@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table loader that tolerates parquet TIMESTAMP(NANOS) columns.
+  *
+  * Spark has no nanosecond timestamp type; with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` a NANOS column arrives as a
+  * raw Long of nanos-since-epoch. We inspect the parquet footer to find
+  * those columns and rebuild them as proper TimestampType via
+  * `timestamp_micros(col div 1000)` — a floor to microseconds, which is
+  * exactly what DuckDB's `CAST(ts_ns AS TIMESTAMP)` does, keeping the
+  * oracle comparison aligned.
+  */
+object Tables {
+
+  /** Column names in `path` whose parquet logical type is TIMESTAMP(NANOS). */
+  def nanosTimestampCols(spark: SparkSession, path: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isFile) p
+      else fs.listStatus(p).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).getOrElse(return Seq.empty)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getFileMetaData.getSchema.getFields.asScala.collect {
+        case f if f.isPrimitive &&
+          (f.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == TimeUnit.NANOS
+            case _ => false
+          }) => f.getName
+      }.toSeq
+    } finally reader.close()
+  }
+
+  /** Load `dir/name.parquet` with nanos columns normalized to TimestampType. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    nanosTimestampCols(spark, path).foldLeft(df) { (d, c) =>
+      d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
+    }
+  }
+}
