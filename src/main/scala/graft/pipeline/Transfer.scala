@@ -16,6 +16,23 @@ final case class Window(column: String, from: String, to: String) {
   def predicate: Column = col(column).between(expr(from), expr(to))
 }
 
+/** O1 ORDER BY passthrough: parse the reference's verbatim sort text
+  * (`-order 'col [DESC][,col2]'`, `clickhouse/reader/main.go:30,149-153`)
+  * into Catalyst sort columns. A bare `expr("col DESC")` would silently
+  * parse DESC as an alias, so direction suffixes are handled explicitly.
+  */
+object SortSpec {
+  def parse(s: String): Column = {
+    val t = s.trim
+    val l = t.toLowerCase
+    if (l.endsWith(" desc")) expr(t.dropRight(5)).desc
+    else if (l.endsWith(" asc")) expr(t.dropRight(4)).asc
+    else expr(t)
+  }
+  def parseList(order: String): Seq[Column] =
+    order.split(",").toIndexedSeq.filter(_.trim.nonEmpty).map(parse)
+}
+
 /** Per-run accounting — the reference's `Status` stream + log counters
   * (`provider.go:231-239`, `consumer.go:197-205`, `contract.proto:46-53`).
   */
@@ -57,7 +74,7 @@ object Transfer {
     var df = source.read(cfg.table)
     if (cfg.fields.nonEmpty) df = df.select(cfg.fields.map(col): _*)
     cfg.window.foreach(w => df = df.where(w.predicate))
-    if (cfg.orderBy.nonEmpty) df = df.orderBy(cfg.orderBy.map(expr): _*)
+    if (cfg.orderBy.nonEmpty) df = df.orderBy(cfg.orderBy.map(SortSpec.parse): _*)
     df
   }
 
