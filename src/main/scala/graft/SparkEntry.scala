@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.queries.ParityQueries
+import graft.queries.{ExtensionQueries, ParityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` maps every implemented SURVEY §2 operator (and extension) to a
@@ -16,12 +16,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ParityQueries.queries("q7_incremental_antijoin")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries
+    ParityQueries.queries ++ ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql
+    ParityQueries.oracleSql ++ ExtensionQueries.oracleSql
 }

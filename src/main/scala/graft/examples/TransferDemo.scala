@@ -43,6 +43,18 @@ object TransferDemo {
 
     val li = src.read("lineitem")
     println("HASH SAMPLE: " + RowHash.withRowHash(li).select("row_hash").first())
+
+    // Extension operators over the documents/embeddings fixtures.
+    import graft.operators.{Dedup, Multimodal, Similarity}
+    val docs = src.read("documents")
+    println(s"MINHASH PAIRS: ${Dedup.minhashNearDups(docs, "doc_id", "text").count()}")
+    println(s"SIMHASH PAIRS: ${Dedup.simhashNearDups(docs, "doc_id", "text").count()}")
+    val emb = src.read("embeddings")
+    println(s"TOPK ROWS: ${Similarity.bruteForceTopK(emb,
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "vec_id", "embedding", 5).count()}")
+    val feats = Multimodal.extractFeatures(spark, Multimodal.demoCorpus(spark, docs), 8)
+    println("MEDIA FEATURES: " + feats.orderBy("media_id").head())
     spark.stop()
   }
 }

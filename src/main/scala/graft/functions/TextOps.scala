@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, language ID, quality scoring, token counting,
+  * and winnowing document fingerprints.
+  *
+  * Everything here is pure built-in Catalyst expression composition — no
+  * UDFs — so each function stays inside whole-stage codegen and runs as a
+  * narrow map over the scan at any scale. Formulas are deliberately
+  * mirrorable in ANSI/DuckDB SQL for the oracle gate.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word n-shingles ("w1 w2 w3") of the token array. Documents
+    * shorter than n yield one truncated shingle (the whole document).
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " ")))
+
+  /** Distinct character n-grams of the raw string. */
+  def charGrams(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => substring(text, lit(i), lit(n))))
+
+  /** Set Jaccard similarity of two pre-distinct arrays. Int/int division
+    * promotes to double identically in Spark and DuckDB.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) / size(array_distinct(concat(a, b)))
+
+  // --- language ID (n-gram/stopword heuristic) ---------------------------
+
+  /** Tiny per-language stopword marker lists (public, common function
+    * words). Deliberately small so the oracle SQL stays readable.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est"),
+  )
+
+  private def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(stopwords(lang))))
+
+  /** Fraction of characters in the CJK unified ideograph block. */
+  def cjkRatio(text: Column): Column =
+    length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) /
+      greatest(length(text), lit(1))
+
+  /** Heuristic language ID: CJK-dominant → zh, else argmax of stopword
+    * hits (ties broken by the fixed order en,es,de,fr), no hits → und.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = Seq("en", "es", "de", "fr")
+    val scores = langs.map(l => stopwordHits(toks, l))
+    val best = scores.reduce((a, b) => greatest(a, b))
+    val pick = langs.zip(scores).foldRight(lit("und")) {
+      case ((l, sc), els) => when(sc === best && best > 0, lit(l)).otherwise(els)
+    }
+    when(cjkRatio(text) > 0.3, lit("zh")).otherwise(pick)
+  }
+
+  // --- quality scoring ---------------------------------------------------
+
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()]", "")) /
+      greatest(length(text), lit(1))
+
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z]", "")) /
+      greatest(length(text), lit(1))
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    stopwordHits(toks, "en") / greatest(size(toks), lit(1))
+  }
+
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0), (acc, t) => acc + length(t)) /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: length saturation, low punctuation,
+    * alphabetic density, some stopwords (fluency proxy). Weights are fixed
+    * so the oracle can mirror them.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text) / lit(100.0), lit(1.0))
+    round(
+      lit(0.3) * lenScore +
+        lit(0.3) * (lit(1.0) - punctRatio(text)) +
+        lit(0.2) * alphaRatio(text) +
+        lit(0.2) * least(stopwordRatio(text) * 4, lit(1.0)),
+      6)
+  }
+
+  // --- fingerprinting ----------------------------------------------------
+
+  /** Bag-normalized document fingerprint: md5 of the sorted distinct token
+    * set. Two documents with the same vocabulary collide regardless of
+    * word order — the cheap first-stage near-dup key.
+    */
+  def wordSetFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03 — public
+    * algorithm): hash every char k-gram (first 8 hex chars of md5, lexical
+    * order), take the minimum of each sliding window of `w` hashes, keep
+    * the distinct minima. Returns the sorted distinct fingerprint array.
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => substring(text, lit(i), lit(k)))
+    val hashes = transform(grams, g => substring(md5(g), 1, 8))
+    val minima = transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+      j => array_min(slice(hashes, j, lit(w))))
+    array_sort(array_distinct(minima))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns plus typed metadata, with decode/feature-extraction run
+  * partition-wise.
+  *
+  * The Spark-side design is the real thing — schema, partition shaping,
+  * typed Dataset boundary, batch iteration — while the codec itself is a
+  * clearly marked deterministic STUB (this container has no image/audio
+  * libraries). A production deployment swaps `stubDecode` for a JNI/
+  * process-isolated decoder without touching the plumbing.
+  *
+  * Scale notes:
+  *   - blobs stay opaque end to end — no driver collect, no base64 blowup;
+  *   - `shapeForDecode` range-repartitions by byte size so each task gets
+  *     a bounded number of decode-bytes (decoders are memory-hungry; a
+  *     partition of 128 MB thumbnails and a partition of 3 ×4 GB videos
+  *     must not look the same to the scheduler);
+  *   - features come back as columns, so downstream filtering/dedup runs
+  *     codegen'd without re-touching the blobs.
+  */
+object Multimodal {
+
+  /** One media object: routing metadata + opaque payload. */
+  final case class MediaFile(
+      media_id: Long,
+      kind: String,           // "image" | "audio" | "video"
+      content: Array[Byte])
+
+  /** Typed decode output (the feature schema downstream ops consume). */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      header_hex: String,
+      fake_width: Int,
+      fake_height: Int,
+      mean_byte: Double)
+
+  /** STUB decoder — deterministic fake standing in for libjpeg/ffmpeg.
+    * Derives "dimensions" from header bytes and a brightness proxy from
+    * the byte mean. Replace with a real codec at deployment; the
+    * signature (Iterator→Iterator, one partition per call) is the real
+    * contract a native decoder needs.
+    */
+  def stubDecode(files: Iterator[MediaFile]): Iterator[MediaFeatures] =
+    files.map { m =>
+      val header = m.content.take(8)
+      val hex = header.map("%02x".format(_)).mkString
+      val h0 = if (header.nonEmpty) java.lang.Byte.toUnsignedInt(header(0)) else 0
+      val h1 = if (header.length > 1) java.lang.Byte.toUnsignedInt(header(1)) else 0
+      val mean =
+        if (m.content.isEmpty) 0.0
+        else m.content.map(java.lang.Byte.toUnsignedInt(_).toLong).sum.toDouble / m.content.length
+      MediaFeatures(
+        media_id = m.media_id,
+        kind = m.kind,
+        n_bytes = m.content.length,
+        header_hex = hex,
+        fake_width = 64 + h0 * 4,   // ??? real impl: parse container header
+        fake_height = 64 + h1 * 4,  // ??? real impl: parse container header
+        mean_byte = mean)
+    }
+
+  /** Partition shaping for decode: range-partition by payload size so
+    * total decode bytes per task are balanced, not row counts.
+    */
+  def shapeForDecode(df: DataFrame, partitions: Int): DataFrame =
+    df.withColumn("__sz", length(col("content")))
+      .repartitionByRange(partitions, col("__sz"), col("media_id"))
+      .drop("__sz")
+
+  /** Full pipeline: shape partitions → partition-wise decode → typed
+    * feature Dataset.
+    */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaFile],
+      partitions: Int = 32): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val shaped = shapeForDecode(media.toDF(), partitions).as[MediaFile]
+    shaped.mapPartitions(stubDecode _)
+  }
+
+  /** Demo corpus: wrap a text table's bytes as fake media blobs (no media
+    * fixtures ship in the container).
+    */
+  def demoCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("content"))
+      .as[MediaFile]
+  }
+}

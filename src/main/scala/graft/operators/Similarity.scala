@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths:
+  *   - brute-force cosine top-k: the exactness baseline. The query set is
+  *     broadcast (it is small by construction), so the scan of the corpus
+  *     stays embarrassingly parallel — no shuffle of the big side;
+  *   - random-hyperplane LSH bucketing: the 100 TB path. Vectors hash to
+  *     `tables` independent bucket keys; search touches only colliding
+  *     buckets. Recall is tunable via tables × bits.
+  *
+  * Cosine math is explicit double-precision expression composition
+  * (zip_with + aggregate fold) — deterministic, codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** All pairs (id_a < id_b) with cosine ≥ threshold, via a size-bounded
+    * self-join. Only for corpora small enough to pair exhaustively —
+    * at scale use `lshNearDups`.
+    */
+  def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Exact top-k neighbors for each query vector (brute force): the query
+    * side is broadcast, the corpus is scanned once, ranking is a window
+    * over the (small) query-id partition.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplane component for
+    * (table, bit, dim): a seeded xxhash64 folded into [-1, 1].
+    */
+  private def planeComponent(table: Int, bit: Int, dim: Column): Column =
+    (xxhash64(lit(s"plane_${table}_$bit"), dim).cast("double") /
+      lit(Long.MaxValue.toDouble))
+
+  /** Random-hyperplane LSH bucket keys: for each of `tables` tables, a
+    * `bits`-bit signature (sign of the projection on each plane).
+    */
+  def lshBucketKeys(vec: Column, tables: Int, bits: Int): Column =
+    array((0 until tables).map { t =>
+      val sig = (0 until bits).map { b =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") * planeComponent(t, b, i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      concat_ws("_", lit(t), sig)
+    }: _*)
+
+  /** LSH-bucketed near-neighbor pairs: candidates share ≥1 bucket in ≥1
+    * table; verified with exact cosine. Same output contract as
+    * `bruteForcePairs` minus LSH misses (tunable via tables/bits).
+    */
+  def lshNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 8, bits: Int = 8): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(lshBucketKeys(col(vecCol), tables, bits)).as("bkey"))
+    val a = keyed.select(col("id").as("id_a"), col("bkey"))
+    val b = keyed.select(col("id").as("id_b"), col("bkey"))
+    val cands = a.join(b, Seq("bkey")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vA = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val vB = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    cands.join(vA, "id_a").join(vB, "id_b")
+      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** LSH-bucketed top-k: query vectors probe their own buckets only, then
+    * rank within candidates. The scale path for ANN search: cost is
+    * proportional to bucket occupancy, not corpus size.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, tables: Int = 8, bits: Int = 8): DataFrame = {
+    val ck = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      explode(lshBucketKeys(col(vecCol), tables, bits)).as("bkey"))
+    val qk = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(lshBucketKeys(col(vecCol), tables, bits)).as("bkey"))
+    val cands = broadcast(qk).join(ck, Seq("bkey"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "q_vec", "neighbor_id", "c_vec").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cands.withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+}

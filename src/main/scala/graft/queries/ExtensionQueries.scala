@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** LLM-training-data pipeline operators (driver mandate, SURVEY §7.3):
+  * dedup family, similarity search, text analysis, multimodal plumbing —
+  * each driver-checkable, with a DuckDB oracle wherever the algorithm is
+  * ANSI-SQL-expressible. SimHash and LSH-bucketed ANN use xxhash64 (not
+  * available in DuckDB) and get rows-only checks; their correctness is
+  * covered by ScalaTest equivalence tests against the exact variants.
+  */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // --- shared DuckDB SQL fragments (mirror TextOps exactly) -------------
+
+  /** Tokens of `text`: lowercase, whitespace split, empties removed. */
+  private val toksSql =
+    raw"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+
+  /** Distinct word n-shingles over token list `T`. */
+  private def shinglesSql(T: String, n: Int): String =
+    s"list_distinct(list_transform(range(1, greatest(len($T) - ${n - 1}, 1) + 1), " +
+      s"i -> array_to_string($T[i:i+${n - 1}], ' ')))"
+
+  private def jaccardSql(a: String, b: String): String =
+    s"len(list_intersect($a, $b)) / len(list_distinct($a || $b))"
+
+  /** Explicit double cosine matching Similarity.cosine's fold order. */
+  private def cosineSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) / " +
+      s"(sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))) * " +
+      s"sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup by normalization key (hash-groupBy, one shuffle).
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactByKey(t(s, dir, "documents"), "doc_id",
+          lower(substring(col("text"), 1, 40)))
+        .orderBy("keep_id")),
+
+    // MinHash + LSH banding, exact-Jaccard verified (word 3-shingles).
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 3, numHashes = 32, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // Exact n-gram Jaccard with size blocking (word 2-shingles, no misses).
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardNearDups(t(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 2, threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash pigeonhole join (rows-only check: xxhash64 not in DuckDB).
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          maxDist = 3)
+        .orderBy("id_a", "id_b")),
+
+    // Embedding-cosine near-dup pairs (exact, double math).
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.bruteForcePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // Brute-force cosine top-k (exactness baseline for ANN).
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN top-k (the 100 TB path; rows-only check —
+    // equivalence vs brute force is asserted in SimilaritySpec).
+    "sim_topk_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, tables = 8, bits = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Token / character / punctuation statistics.
+    "text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"))
+        .orderBy("doc_id")),
+
+    // Heuristic language ID (stopword argmax + CJK ratio).
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // Composite quality score.
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Document fingerprints: bag-normalized md5 + winnowing (rolling hash).
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.wordSetFingerprint(col("text")).as("fp_wordset"),
+        md5(array_join(TextOps.winnowFingerprints(col("text")), "")).as("fp_winnow"),
+        size(TextOps.winnowFingerprints(col("text"))).as("n_winnow"))
+        .orderBy("doc_id")),
+
+    // Multimodal plumbing: opaque binary column + typed features. The
+    // text column stands in for the blob (no media libs in-container);
+    // the decode stub lives in Multimodal.scala.
+    "multimodal_features" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("header_hex"),
+        md5(substring(col("text"), 1, 256)).as("head_md5"))
+        .orderBy("doc_id")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT lower(substr(text, 1, 40)) AS dup_key, min(doc_id) AS keep_id,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val sh = shinglesSql("T", 3)
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),
+         |sh AS (SELECT doc_id, $sh AS s FROM toks)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(${jaccardSql("a.s", "b.s")}, 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE ${jaccardSql("a.s", "b.s")} >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" -> {
+      val sh = shinglesSql("T", 2)
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),
+         |sh AS (SELECT doc_id, $sh AS s FROM toks)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(${jaccardSql("a.s", "b.s")}, 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE ${jaccardSql("a.s", "b.s")} >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(${cosineSql("a.v", "b.v")}, 6) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id) p
+         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${cosineSql("q.v", "c.v")}, 6) AS cos
+         |  FROM q JOIN e c ON q.vec_id != c.vec_id)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "text_stats" ->
+      raw"""SELECT doc_id,
+        |  len($toksSql) AS n_tokens,
+        |  length(text) AS n_chars,
+        |  round(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) /
+        |    greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
+        |    greatest(length(text), 1), 6) AS alpha_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter($toksSql, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x)))"
+      val en = hits(TextOps.stopwords("en")); val es = hits(TextOps.stopwords("es"))
+      val de = hits(TextOps.stopwords("de")); val fr = hits(TextOps.stopwords("fr"))
+      raw"""WITH s AS (SELECT doc_id, lang, text,
+        |  $en AS en, $es AS es, $de AS de, $fr AS fr,
+        |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) /
+        |    greatest(length(text), 1) AS cjk
+        |FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN cjk > 0.3 THEN 'zh'
+        |       WHEN en = greatest(en, es, de, fr) AND en > 0 THEN 'en'
+        |       WHEN es = greatest(en, es, de, fr) AND es > 0 THEN 'es'
+        |       WHEN de = greatest(en, es, de, fr) AND de > 0 THEN 'de'
+        |       WHEN fr = greatest(en, es, de, fr) AND fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "text_quality" -> {
+      val en = TextOps.stopwords("en").map("'" + _ + "'").mkString(",")
+      raw"""WITH s AS (SELECT doc_id,
+        |  len($toksSql) AS n_tokens,
+        |  len(list_filter($toksSql, x -> list_contains([$en], x))) AS sw,
+        |  length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) /
+        |    greatest(length(text), 1) AS punct,
+        |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
+        |    greatest(length(text), 1) AS alpha
+        |FROM documents)
+        |SELECT doc_id, round(
+        |  0.3 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct) +
+        |  0.2 * alpha + 0.2 * least(sw / greatest(n_tokens, 1) * 4, 1.0), 6) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""WITH g AS (SELECT doc_id, text,
+         |  list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+         |    i -> substring(md5(substring(text, i, 8)), 1, 8)) AS h
+         |FROM documents),
+         |w AS (SELECT doc_id, text,
+         |  list_sort(list_distinct(list_transform(
+         |    range(1, greatest(len(h) - 3, 1) + 1),
+         |    j -> list_aggregate(h[j:j+3], 'min')))) AS fp
+         |FROM g)
+         |SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp_wordset,
+         |  md5(array_to_string(fp, '')) AS fp_winnow,
+         |  len(fp) AS n_winnow
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |  strlen(text) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  lower(hex(substr(text, 1, 8))) AS header_hex,
+        |  md5(substr(text, 1, 256)) AS head_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

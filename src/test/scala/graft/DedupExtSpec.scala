@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Equivalence and completeness checks for the approximate dedup family
+  * against exact brute force on the small fixture.
+  */
+class DedupExtSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+
+  /** Exact brute-force word-shingle Jaccard pairs (the oracle shape). */
+  private def brutePairs(n: Int, threshold: Double): Set[(Long, Long)] = {
+    val sh = docs.select(col("doc_id").as("id"),
+      TextOps.wordShingles(TextOps.tokens(col("text")), n).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .where(TextOps.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash LSH finds exactly the brute-force pairs on fixture data") {
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleLen = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brutePairs(3, 0.5))
+  }
+
+  test("size-blocked ngram jaccard equals brute force (blocking is lossless)") {
+    val blocked = Dedup.ngramJaccardNearDups(docs, "doc_id", "text",
+      shingleLen = 2, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brutePairs(2, 0.6))
+  }
+
+  test("simhash pigeonhole join is complete for hamming <= 3") {
+    // Brute-force hamming pairs from the signatures themselves.
+    val sigs = docs.select(col("doc_id").as("id"),
+      Dedup.simhash64(TextOps.tokens(col("text"))).as("sim"))
+    val a = sigs.select(col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = sigs.select(col("id").as("id_b"), col("sim").as("sim_b"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .where(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val joined = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(joined == brute)
+  }
+
+  test("exact dedup groups cover all rows exactly once") {
+    val out = Dedup.exactByKey(docs, "doc_id", lower(substring(col("text"), 1, 40)))
+    assert(out.agg(sum("n_dups")).first().getLong(0) == docs.count())
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sf0001, "embeddings")
+
+  test("cosine is 1 for identical vectors, symmetric otherwise") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(3f, 2f, 1f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.bruteForcePairs(df, "vec_id", "embedding", threshold = -1)
+      .collect()
+    assert(pairs.length == 1)
+    val c = pairs(0).getDouble(2)
+    assert(c > 0.7 && c < 0.72) // 10/14 = 0.714...
+    val self = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 1)
+    assert(self.where(col("cos") > 0.999).count() == 0) // self excluded
+  }
+
+  test("LSH top-k ranks candidates identically to brute force where they overlap") {
+    val q = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, tables = 8, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // LSH scores must agree exactly with brute-force scores for any
+    // (query, neighbor) it returns; recall is reported, not asserted ==1.
+    val bruteScores = brute.map { case (q2, n, c) => (q2, n) -> c }.toMap
+    lsh.foreach { case (q2, n, c) =>
+      bruteScores.get((q2, n)).foreach(bc => assert(bc == c))
+    }
+    val recall = lsh.count { case (q2, n, _) => bruteScores.contains((q2, n)) }.toDouble / brute.size
+    info(s"LSH top-k recall vs brute force: $recall")
+    // The fixture embeddings are random and near-orthogonal (max pairwise
+    // cosine ~0.5), so hyperplane buckets carry little signal — recall here
+    // is a smoke floor. On clustered real embeddings recall tracks
+    // 1-(1-p^bits)^tables with p = 1 - angle/pi.
+    assert(recall > 0.0)
+  }
+
+  test("LSH near-dup pairs are a subset of brute-force pairs with equal scores") {
+    val brute = Similarity.bruteForcePairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.lshNearDups(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(brute))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("text").select(c).first().get(0)
+
+  test("token count splits on whitespace, drops empties") {
+    assert(one(TextOps.tokenCount($"text"), "a  b\tc\nd ") == 4)
+  }
+
+  test("word shingles of 'a b c d' with n=2") {
+    val got = one(TextOps.wordShingles(TextOps.tokens($"text"), 2), "a b c d")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(got.toSeq == Seq("a b", "b c", "c d"))
+  }
+
+  test("langid: stopword argmax picks the right language") {
+    assert(one(TextOps.langId($"text"), "the cat and the dog is here") == "en")
+    assert(one(TextOps.langId($"text"), "el perro y la casa de que") == "es")
+    assert(one(TextOps.langId($"text"), "der hund und die katze ist von") == "de")
+    assert(one(TextOps.langId($"text"), "le chien et les chats est une") == "fr")
+    assert(one(TextOps.langId($"text"), "这是一段中文文本内容测试") == "zh")
+    assert(one(TextOps.langId($"text"), "xyzzy plugh") == "und")
+  }
+
+  test("quality score stays in [0,1]") {
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    val mm = docs.select(min(TextOps.qualityScore(col("text"))).as("lo"),
+      max(TextOps.qualityScore(col("text"))).as("hi")).first()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
+  test("winnowing fingerprint is order-sensitive, wordset fingerprint is not") {
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "dog lazy the over jumps fox brown quick the"
+    val fwA = one(TextOps.wordSetFingerprint($"text"), a)
+    val fwB = one(TextOps.wordSetFingerprint($"text"), b)
+    assert(fwA == fwB) // same bag of words
+    val winA = one(md5(array_join(TextOps.winnowFingerprints($"text"), "")), a)
+    val winB = one(md5(array_join(TextOps.winnowFingerprints($"text"), "")), b)
+    assert(winA != winB) // rolling char grams see the order
+  }
+}
