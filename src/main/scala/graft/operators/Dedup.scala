@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.expressions.VecOps
 import graft.functions.TextOps
 
 /** Deduplication operators for 100 TB-scale training-data pipelines.
@@ -30,17 +31,6 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Candidate pairs from an equality blocking key: explode (id, key),
-    * self-join on key, dedup (a<b) pairs. Only ids travel through the
-    * join; payload is re-attached by the caller.
-    */
-  private def candidatesByKey(keyed: DataFrame): DataFrame = {
-    val a = keyed.select(col("id").as("id_a"), col("bkey"))
-    val b = keyed.select(col("id").as("id_b"), col("bkey"))
-    a.join(b, Seq("bkey")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
-
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum xxhash64 over the shingle set. Pure codegen'd expressions.
     */
@@ -64,59 +54,139 @@ object Dedup {
     * verify. Output: (id_a, id_b, jaccard) for pairs with similarity ≥
     * `threshold`. With b bands of r rows, a pair of true similarity j is
     * caught with probability 1-(1-j^r)^b (≈1 for j≥0.8 at b=16,r=2).
+    *
+    * Physical shape: signatures are computed by exploding shingles and
+    * taking `numHashes` codegen'd min-aggregates in ONE shuffle — not by
+    * `numHashes` interpreted array transforms per row (higher-order
+    * functions don't codegen; at sf0.1 that difference is 65 s → ~8 s).
+    * The verification Jaccard runs on hashed-long shingle sets, which
+    * compare ~5× faster than strings (64-bit collisions are negligible
+    * at any realistic corpus size).
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // Persisted: the plan reuses the shingle table three times (signature
+    // explode + both verification sides); recomputing the interpreted
+    // shingling per use triples the operator's cost.
     val base = df.select(
       col(idCol).as("id"),
       TextOps.wordShingles(TextOps.tokens(col(textCol)), shingleLen).as("sh"))
+      .withColumn("hs", array_sort(transform(col("sh"), s => xxhash64(s))))
+      .select("id", "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val keyed = base
-      .withColumn("bkey",
-        explode(lshBandKeys(minhashSignature(col("sh"), numHashes), bands, rows)))
-      .select("id", "bkey")
+    // One explode + one shuffle computes all signature positions at once.
+    val sigs = base.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy("id")
+      .agg(min(xxhash64(col("h"), lit(0))).as("s0"),
+        (1 until numHashes).map(k => min(xxhash64(col("h"), lit(k))).as(s"s$k")): _*)
 
-    val cands = candidatesByKey(keyed)
-    val shA = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    cands.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws("_", (lit(b) +: (0 until rows).map(i => col(s"s${b * rows + i}"))): _*)
+    }: _*)
+    val keyed = sigs.select(col("id"), explode(bandKeys).as("bkey"))
+
+    // Same verification machinery as ngramJaccardNearDups.
+    verifyPairs(pairStream(keyed), base, threshold)
   }
 
-  /** Exact n-gram Jaccard near-dup pairs with size blocking (no LSH, no
-    * misses): a pair with Jaccard ≥ t must have distinct-set sizes within
-    * a factor 1/t, so candidates are restricted to pairs whose log-sized
-    * buckets are adjacent. Blocking is an equality join on bucket id (the
-    * smaller side probes its own and the next bucket), so qualifying pairs
-    * are never lost and the pair space stays near-linear for t close to 1.
+  /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (SSJoin /
+    * AllPairs family — public algorithm): under any global total order of
+    * shingles, two sets with Jaccard ≥ t must share at least one element
+    * among each set's first `⌊(1-t)·|S|⌋ + 1` elements. Candidates are
+    * pairs sharing a prefix element — an equality join, no misses, no
+    * O(n²) pair space.
+    *
+    * The global order is (document-frequency ASC, hash) — rarest-first.
+    * This is the standard AllPairs refinement: prefixes then hold each
+    * document's RAREST shingles, so popular shingles (which would pair
+    * everything with everything in a small-vocabulary corpus) never become
+    * join keys. Any fixed total order preserves exactness; frequency order
+    * just minimizes candidates. A size-ratio prefilter (|A|·t ≤ |B| ≤
+    * |A|/t, also implied by J ≥ t) prunes before the array intersection.
     */
   def ngramJaccardNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 2, threshold: Double = 0.6): DataFrame = {
-    val logBase = math.log(1.0 / threshold)
     val base = df.select(
       col(idCol).as("id"),
       TextOps.wordShingles(TextOps.tokens(col(textCol)), shingleLen).as("sh"))
-      .withColumn("bucket",
-        floor(log(size(col("sh")).cast("double")) / logBase).cast("long"))
+      .withColumn("hs", array_sort(transform(col("sh"), s => xxhash64(s))))
+      .select("id", "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Every doc lands in its own bucket; it additionally probes bucket+1 so
-    // adjacent-bucket pairs meet exactly once (from the smaller side).
-    val keyed = base.select(col("id"),
-      explode(array(col("bucket"), col("bucket") + 1)).as("bkey"))
-    val cands = candidatesByKey(keyed)
+    // Global rarest-first order: df(shingle) ASC, hash as tie-break. Any
+    // fixed total order preserves exactness; rarest-first minimizes how
+    // often popular shingles become join keys.
+    val ex = base.select(col("id"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, "h")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
+    val prefLen = (floor(size(col("ord")) * lit(1.0 - threshold)) + 1).cast("int")
+    val keyed = ordered.select(col("id"),
+      explode(transform(slice(col("ord"), lit(1), prefLen),
+        s => s.getField("h"))).as("bkey"))
 
-    val shA = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    cands.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
+    verifyPairs(pairStream(keyed), base, threshold)
+  }
+
+  /** Candidate (id_a, id_b) pair stream from an equality blocking key —
+    * NOT deduplicated; dedup happens on the (tiny) verified output.
+    */
+  private def pairStream(keyed: DataFrame): DataFrame = {
+    val a = keyed.select(col("id").as("id_a"), col("bkey"))
+    val b = keyed.select(col("id").as("id_b"), col("bkey"))
+    a.join(b, Seq("bkey")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+  }
+
+  /** Exact-Jaccard verification of a candidate pair stream against the
+    * (id, sorted-hash-set) table.
+    *
+    * Small corpus (fits executor memory): the set table broadcasts as a
+    * plain map and pairs carry two longs through a map-side lookup +
+    * merge-intersect — candidate rows never materialize arrays, never
+    * shuffle. This is the regime where blocking degenerates (small
+    * shingle universe → many candidates), so the per-pair cost must be
+    * nanoseconds.
+    *
+    * Large corpus: shingle universes grow with the corpus, blocking is
+    * selective, candidates are few — a shuffled join carrying the arrays
+    * to the (small) candidate set is the right plan, and Spark picks it.
+    */
+  private def verifyPairs(pairs: DataFrame, base: DataFrame,
+      threshold: Double, broadcastLimit: Long = 2000000): DataFrame = {
+    val verified =
+      if (base.count() <= broadcastLimit) {
+        val sets = base.collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+        val bc = base.sparkSession.sparkContext.broadcast(sets)
+        val jacc = udf { (ia: Long, ib: Long) =>
+          val x = bc.value(ia); val y = bc.value(ib)
+          var i = 0; var j = 0; var c = 0
+          while (i < x.length && j < y.length) {
+            if (x(i) == y(j)) { c += 1; i += 1; j += 1 }
+            else if (x(i) < y(j)) i += 1
+            else j += 1
+          }
+          c.toDouble / (x.length + y.length - c)
+        }
+        pairs.withColumn("jaccard", jacc(col("id_a"), col("id_b")))
+      } else {
+        val shA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
+        val shB = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
+        pairs.join(shA, "id_a").join(shB, "id_b")
+          .withColumn("c", VecOps.sortedIntersectCount(col("hs_a"), col("hs_b")))
+          .withColumn("jaccard",
+            col("c") / (size(col("hs_a")) + size(col("hs_b")) - col("c")))
+      }
+    verified.where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .distinct()
   }
 
   /** 64-bit SimHash of a token array: bit i is set when the sum over
@@ -129,6 +199,25 @@ object Dedup {
       when(vote > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** SimHash signatures for a whole table computed with ONE explode + ONE
+    * shuffle: tokens explode to rows, each token hashed once, then 64
+    * codegen'd conditional sums per doc replace 64 interpreted array folds
+    * per row (the `simhash64` expression form). Bit-identical votes.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = toks.groupBy("id").agg(
+      sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("v0"),
+      (1 until 64).map(i =>
+        sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$i")): _*)
+    val sim = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("id"), sim.as("sim"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist` (≤ 3 for the
     * default 4 chunks — pigeonhole: 3 flipped bits leave at least one
     * 16-bit chunk identical, so the chunk equality join is complete).
@@ -139,8 +228,7 @@ object Dedup {
     require(maxDist < chunks, "pigeonhole completeness needs maxDist < chunks")
     val bitsPer = 64 / chunks
     val mask = (1L << bitsPer) - 1
-    val base = df.select(col(idCol).as("id"),
-      simhash64(TextOps.tokens(col(textCol))).as("sim"))
+    val base = simhashSignatures(df, idCol, textCol)
 
     val keyed = base.select(col("id"), col("sim"),
       explode(array((0 until chunks).map(c =>
