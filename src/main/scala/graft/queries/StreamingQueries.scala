@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.StreamingPipeline
+
+/** Event-time transforms shared between Structured Streaming and batch.
+  * The driver checks them in batch mode against DuckDB; StreamingSpec
+  * proves the identical Column programs produce the same results behind
+  * readStream with Trigger.AvailableNow.
+  */
+object StreamingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-day event-time windows (streaming: + watermark).
+    "stream_tumbling_agg" -> ((s, dir) =>
+      StreamingPipeline.tumblingAgg(Tables.load(s, dir, "events"), "ts")
+        .orderBy("window_start", "event_type")),
+
+    // Gap-based sessionization (streaming: flatMapGroupsWithState).
+    "stream_sessionize" -> ((s, dir) =>
+      StreamingPipeline.sessionizeBatch(
+          Tables.load(s, dir, "events"), "user_id", "ts", lit(1800))
+        .select("user_id", "session_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_id")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling_agg" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |lagged AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+        |flagged AS (SELECT user_id, ts,
+        |  CASE WHEN prev IS NULL
+        |    OR epoch(ts)::BIGINT - epoch(prev)::BIGINT > 1800 THEN 1
+        |    ELSE 0 END AS is_new FROM lagged),
+        |sess AS (SELECT user_id, ts,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+  )
+}

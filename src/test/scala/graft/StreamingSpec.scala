@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.StreamingPipeline
+
+/** Structured-Streaming behavior: exactly-once incremental transfer via
+  * checkpointed AvailableNow runs, and batch/stream equivalence of the
+  * shared event-time transforms.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("incremental transfer: second run with same checkpoint writes nothing") {
+    val tgt = Files.createTempDirectory("graft-stream-tgt").toString
+    val chk = Files.createTempDirectory("graft-stream-chk").toString
+
+    val q1 = StreamingPipeline.incrementalTransfer(spark, sf0001, "events", tgt, chk)
+    q1.awaitTermination()
+    val afterFirst = spark.read.parquet(tgt).count()
+    assert(afterFirst == Tables.load(spark, sf0001, "events").count())
+
+    val q2 = StreamingPipeline.incrementalTransfer(spark, sf0001, "events", tgt, chk)
+    q2.awaitTermination()
+    val afterSecond = spark.read.parquet(tgt).count()
+    assert(afterSecond == afterFirst) // checkpoint offsets: zero duplicates
+  }
+
+  test("streaming sessionization equals batch sessionization") {
+    val events = Tables.load(spark, sf0001, "events")
+    val batch = StreamingPipeline.sessionizeBatch(events, "user_id", "ts", lit(1800))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val streamed = StreamingPipeline.sessionizeStreaming(
+      spark, StreamingPipeline.streamTable(spark, sf0001, "events"), 1800)
+    val q = streamed.writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sessions_out")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+  }
+
+  test("tumbling agg behind readStream matches the batch result") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val batch = StreamingPipeline.tumblingAgg(
+      Tables.load(spark, sf0001, "events"), "ts")
+      .collect().map(_.toSeq).toSet
+
+    val agg = StreamingPipeline.tumblingAgg(
+      StreamingPipeline.streamTable(spark, sf0001, "events"), "ts")
+    val q = agg.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("tumbling_out").collect().map(_.toSeq).toSet
+    assert(got == batch)
+  }
+}
