@@ -21,10 +21,15 @@ import graft.types.UniversalType
   */
 object RowHash {
 
-  /** Hash pre-encoded string cells (the reference's native input shape). */
+  /** Hash pre-encoded string cells (the reference's native input shape).
+    * Implemented as the single codegen'd [[graft.expressions.RowHashMd5]]
+    * expression; the equivalent built-in composition
+    * `md5(array_join(array_sort(transform(array(...), lower))))` falls out
+    * of whole-stage codegen (higher-order lambdas are interpreted).
+    */
   def ofCells(cells: Seq[Column]): Column = {
     val safe = cells.map(c => coalesce(c.cast("string"), lit("")))
-    md5(array_join(array_sort(transform(array(safe: _*), lower _)), ""))
+    graft.expressions.RowHashMd5.of(safe)
   }
 
   /** Hash typed columns by first applying the universal cell encoding

@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.ParityQueries
+
+/** Physical-plan regression checks: the properties that make these plans
+  * survive a 100× scale-up — filter pushdown into the parquet scan,
+  * column pruning, broadcast of small join sides — asserted from
+  * `explain(formatted)` output so a refactor can't silently lose them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = ParityQueries.queries(name)(spark, sf001)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("projection prunes the parquet scan to selected columns") {
+    val p = plan("q2_projection")
+    assert(p.contains("ReadSchema"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_extendedprice"), "scan reads unneeded column")
+  }
+
+  test("window predicate is pushed down to the scan") {
+    val p = plan("q3_window_filter")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual") || pushed.contains("IsNotNull"),
+      s"no pushed filters in:\n$pushed")
+  }
+
+  test("small dimension join uses broadcast") {
+    val p = plan("q11_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "nation join should broadcast")
+  }
+
+  test("incremental anti-join is a hash join, not nested loop") {
+    val p = plan("q7_incremental_antijoin")
+    assert(p.contains("HashJoin") && p.contains("LeftAnti"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("aggregation has a partial (map-side) phase") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "no map-side partial aggregation")
+  }
+
+  test("row hash stays inside whole-stage codegen") {
+    // AQE's pre-execution explain omits codegen markers; check the
+    // non-adaptive executed plan, where a codegen'd Project prints as
+    // "*(n) Project".
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = ParityQueries.queries("q5_row_hash")(spark, sf001)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft_row_hash"), "custom hash expression not in plan")
+      val projLine = p.linesIterator.find(_.contains("graft_row_hash")).get
+      assert(projLine.contains("*("), s"hash Project not codegen'd:\n$projLine")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
