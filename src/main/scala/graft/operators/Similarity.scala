@@ -64,24 +64,26 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplane component for
-    * (table, bit, dim): a seeded xxhash64 folded into [-1, 1].
+  /** Deterministic pseudo-random hyperplane component for (table, bit,
+    * dim), folded into [-1, 1]. Planes are materialized as LITERAL float
+    * arrays so the projection runs through the codegen'd `FloatVecDot`
+    * instead of an interpreted zip_with/aggregate fold per (row, plane).
     */
-  private def planeComponent(table: Int, bit: Int, dim: Column): Column =
-    (xxhash64(lit(s"plane_${table}_$bit"), dim).cast("double") /
-      lit(Long.MaxValue.toDouble))
+  private def planeVal(table: Int, bit: Int, dim: Int): Float = {
+    val h = scala.util.hashing.MurmurHash3.productHash((table, bit, dim))
+    (h.toDouble / Int.MaxValue).toFloat
+  }
 
   /** Random-hyperplane LSH bucket keys: for each of `tables` tables, a
     * `bits`-bit signature (sign of the projection on each plane).
+    * `dims` must cover the embedding length (extra plane components are
+    * ignored by the min-length dot product).
     */
-  def lshBucketKeys(vec: Column, tables: Int, bits: Int): Column =
+  def lshBucketKeys(vec: Column, tables: Int, bits: Int, dims: Int = 64): Column =
     array((0 until tables).map { t =>
       val sig = (0 until bits).map { b =>
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") * planeComponent(t, b, i)),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+        val plane = typedlit((0 until dims).map(d => planeVal(t, b, d)).toArray)
+        when(VecOps.dot(vec, plane) > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
       concat_ws("_", lit(t), sig)
     }: _*)

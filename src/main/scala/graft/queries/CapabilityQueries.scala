@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.types.UniversalType
+
+/** Engine-capability breadth beyond the reference's own surface: the
+  * reference delegates all expression evaluation to its backing stores
+  * (SURVEY §2.6), so a user switching to this engine expects the full SQL
+  * surface those stores provided. Each query exercises one family —
+  * HAVING, conditional aggregation, UNION ALL, EXISTS (semi-join),
+  * ROLLUP subtotals, and the uint64→DECIMAL(20,0) widening path.
+  */
+object CapabilityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(18,4)")), 2).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_having" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+        .where(col("n_items") > 70)
+        .orderBy("l_suppkey")),
+
+    "q18_case_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+          moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")),
+
+    "q19_union_all" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(lit("c").as("tag"), col("event_id"), col("user_id"))
+      val views = ev.where(col("event_type") === "view")
+        .select(lit("v").as("tag"), col("event_id"), col("user_id"))
+      clicks.unionAll(views).orderBy("tag", "event_id")
+    }),
+
+    "q20_exists_semijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q21_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // §1.3 unsigned-64 widening: DECIMAL(20,0) keeps the full uint64 range
+    // exactly where a signed long would overflow.
+    "q22_uint64_decimal" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select((col("l_orderkey") + lit(Long.MaxValue).cast(
+          UniversalType.toSpark("uint64"))).as("u64"))
+        .agg(max(col("u64")).cast("string").as("max_u64"),
+          count(lit(1)).as("n"))),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q17_having" ->
+      """SELECT l_suppkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY l_suppkey HAVING count(*) > 70
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q18_case_agg" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q19_union_all" ->
+      """SELECT 'c' AS tag, event_id, user_id FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'v' AS tag, event_id, user_id FROM events WHERE event_type = 'view'
+        |ORDER BY tag, event_id""".stripMargin,
+
+    "q20_exists_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q21_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q22_uint64_decimal" ->
+      s"""SELECT CAST(max(CAST(l_orderkey AS DECIMAL(20,0)) + ${Long.MaxValue}) AS VARCHAR) AS max_u64,
+         |  count(*) AS n
+         |FROM lineitem""".stripMargin,
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.RowHash
+import graft.operators.IncrementalDedup
+import graft.types.UniversalType
+
+/** Property-based checks from SURVEY §5.2: hash invariances, dedup
+  * idempotence, datetime round-trips — over ScalaCheck-generated inputs
+  * instead of the reference's fixed tables. Sampling is seeded, so runs
+  * are deterministic (no scalatestplus bridge in the dependency set).
+  */
+class PropertySpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val cellGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.choose(-1000000L, 1000000L).map(_.toString),
+    Gen.const(""),
+  )
+  private val rowGen: Gen[List[String]] = Gen.listOfN(4, cellGen)
+
+  private val schema = StructType(Seq("c1", "c2", "c3", "c4")
+    .map(StructField(_, StringType)))
+
+  private def hashOf(cells: List[String]): String = {
+    val df = spark.createDataFrame(List(Row(cells: _*)).asJava, schema)
+    df.select(RowHash.ofAllColumns(df)).first().getString(0)
+  }
+
+  test("hash is invariant under cell permutation and case") {
+    val rnd = new scala.util.Random(7)
+    samples(rowGen, 20).foreach { cells =>
+      val h1 = hashOf(cells)
+      val h2 = hashOf(rnd.shuffle(cells).map(_.toUpperCase))
+      assert(h1 == h2, s"cells=$cells")
+    }
+  }
+
+  test("hash equals the reference algorithm (independent Scala model)") {
+    samples(rowGen, 20).foreach { cells =>
+      // etl.go:61-68 re-implemented directly on JVM strings (ASCII input
+      // keeps Java toLowerCase == UTF8 binary semantics).
+      val expected = {
+        val sorted = cells.map(_.toLowerCase).sorted
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(sorted.mkString("").getBytes("UTF-8"))
+        md.digest().map("%02x".format(_)).mkString
+      }
+      assert(hashOf(cells) == expected, s"cells=$cells")
+    }
+  }
+
+  test("dedup filter is idempotent and anti-monotone") {
+    val rows = (1 to 40).map(i => Row(s"a$i", s"b${i % 7}", s"c${i % 3}", i.toString))
+    val batch = spark.createDataFrame(rows.asJava, schema)
+    val target = spark.createDataFrame(rows.take(15).asJava, schema)
+    val once = IncrementalDedup(batch, target)
+    val twice = IncrementalDedup(once, target)
+    assert(once.count() == 25)
+    assert(twice.count() == once.count())
+  }
+
+  test("datetime source→universal→sink round trip") {
+    import spark.implicits._
+    val tsGen = for {
+      y <- Gen.choose(1990, 2030); mo <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+      h <- Gen.choose(0, 23); mi <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
+    } yield f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d"
+    samples(tsGen, 20).foreach { src =>
+      val round = Seq(src).toDF("c")
+        .select(UniversalType.fromUniversalDatetime(
+          UniversalType.toUniversalDatetime($"c")).as("r"))
+        .first().getString(0)
+      assert(round == src)
+    }
+  }
+}
