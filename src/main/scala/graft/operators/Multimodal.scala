@@ -83,6 +83,53 @@ object Multimodal {
     shaped.mapPartitions(stubDecode _)
   }
 
+  /** One sampled frame of a (fake) video payload. */
+  final case class MediaFrame(
+      media_id: Long,
+      frame_idx: Int,
+      frame_offset: Long,
+      frame_bytes: Array[Byte])
+
+  /** Frame sampling: pick `n` evenly-spaced byte windows from each video
+    * payload. The STUB slices raw bytes where a real implementation seeks
+    * keyframes (??? container parsing); the plumbing — explode to one row
+    * per frame, carry (media_id, frame_idx, offset) for downstream joins,
+    * stay partition-parallel with no driver collect — is the real
+    * contract. Frames inherit the parent's partitioning, so per-frame
+    * feature extraction runs where the bytes already live.
+    */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaFile], n: Int,
+      frameSize: Int = 32): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.filter((m: MediaFile) => m.kind == "video")
+      .flatMap { m =>
+        val len = m.content.length
+        (0 until n).iterator.map { i =>
+          val off = if (n == 1) 0L else (i.toLong * math.max(len - frameSize, 0)) / (n - 1)
+          val end = math.min(off.toInt + frameSize, len)
+          MediaFrame(m.media_id, i, off, m.content.slice(off.toInt, end))
+        }
+      }
+  }
+
+  /** Resize stub: real pipelines decode + rescale pixels; the stub keeps
+    * the contract (binary in → smaller binary out, deterministic) by
+    * striding bytes (??? real impl: bilinear/lanczos over decoded pixels).
+    */
+  def resizeStub(content: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((content.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = content(i * factor); i += 1 }
+    out
+  }
+
+  /** Partition-wise resize over a media Dataset. */
+  def resizeAll(spark: SparkSession, media: Dataset[MediaFile],
+      factor: Int): Dataset[MediaFile] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(m => m.copy(content = resizeStub(m.content, factor))))
+  }
+
   /** Demo corpus: wrap a text table's bytes as fake media blobs (no media
     * fixtures ship in the container).
     */

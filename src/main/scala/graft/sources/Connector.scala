@@ -27,7 +27,8 @@ final class FileConnector(spark: SparkSession, root: String, format: String = "p
 
   def read(table: String): DataFrame = format match {
     case "parquet" => Tables.load(spark, root, table)
-    case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(path(table))
+    case "csv"     => spark.read.option("header", "true").option("sep", "\t")
+      .option("inferSchema", "true").csv(path(table))
     case "json"    => spark.read.json(path(table))
     case other     => spark.read.format(other).load(path(table))
   }
@@ -42,7 +43,10 @@ final class FileConnector(spark: SparkSession, root: String, format: String = "p
           regexp_replace(col(f.name), "\t", "    ").as(f.name)
         else col(f.name)
       }.toIndexedSeq: _*)
-      sanitized.write.mode(mode).option("sep", "\t").csv(path(target))
+      // Header on: the reader is configured header=true, and headerless
+      // part files would each lose their first DATA row to header parsing.
+      sanitized.write.mode(mode).option("sep", "\t").option("header", "true")
+        .csv(path(target))
     case fmt => df.write.mode(mode).format(fmt).save(path(target))
   }
 }
