@@ -25,10 +25,11 @@ object TransferDemo {
     val tmp = java.nio.file.Files.createTempDirectory("graft-demo").toString
     val src = new FileConnector(spark, sfDir)
     val sink = new FileConnector(spark, tmp)
+    // Reference shape: the cursor column (ts) is NOT in the projection.
     val cfg = Transfer.Config(
       table = "events", target = "out",
       fields = Seq("event_id", "user_id", "event_type", "value"),
-      window = Some(Window("user_id", "0", "25")),
+      window = Some(Window("ts", "timestamp'2024-01-01'", "timestamp'2024-01-15'")),
       increment = true)
 
     val r1 = Transfer.run(src, sink, cfg)

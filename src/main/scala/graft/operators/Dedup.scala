@@ -31,23 +31,6 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64 over the shingle set. Pure codegen'd expressions.
-    */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { k =>
-      array_min(transform(shingleSet, s => xxhash64(s, lit(k))))
-    }: _*)
-
-  /** LSH band keys: signature split into `bands` bands of `rows` values,
-    * each band hashed with its index into one string key.
-    */
-  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      concat_ws("_", (lit(b) +: (0 until rows).map(i =>
-        element_at(sig, b * rows + i + 1))): _*)
-    }: _*)
-
   /** MinHash+LSH near-duplicate pairs over a text column.
     *
     * shingle → minhash signature → band → bucket-join → exact-Jaccard
@@ -67,10 +50,15 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
     // Persisted: the plan reuses the shingle table three times (signature
     // explode + both verification sides); recomputing the interpreted
-    // shingling per use triples the operator's cost.
+    // shingling per use triples the operator's cost. The cache is not
+    // explicitly unpersisted (the result is a lazy DataFrame, so there is
+    // no safe point to drop it); MEMORY_AND_DISK entries are LRU-evicted
+    // under pressure and vanish with the session.
     val base = df.select(
       col(idCol).as("id"),
       TextOps.wordShingles(TextOps.tokens(col(textCol)), shingleLen).as("sh"))
@@ -159,13 +147,21 @@ object Dedup {
     * to the (small) candidate set is the right plan, and Spark picks it.
     */
   private def verifyPairs(pairs: DataFrame, base: DataFrame,
-      threshold: Double, broadcastLimit: Long = 2000000): DataFrame = {
+      threshold: Double, broadcastLimit: Long = 100000): DataFrame = {
+    // The count() is an eager plan-selection action, but it runs on the
+    // already-persisted shingle table the verification needs anyway. The
+    // limit is rows, sized so worst-case collected arrays (~200 hashes ×
+    // 8 B × limit ≈ 160 MB) fit a default driver heap; beyond it the
+    // shuffled-join path (linear in candidates) takes over.
     val verified =
       if (base.count() <= broadcastLimit) {
-        val sets = base.collect()
-          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+        // Ids are keyed BY THEIR SPARK STRING CAST on both the map build
+        // and the probe, so any id type (int/long/string/decimal) works
+        // and both sides agree on the encoding.
+        val sets = base.select(col("id").cast("string"), col("hs")).collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
         val bc = base.sparkSession.sparkContext.broadcast(sets)
-        val jacc = udf { (ia: Long, ib: Long) =>
+        val jacc = udf { (ia: String, ib: String) =>
           val x = bc.value(ia); val y = bc.value(ib)
           var i = 0; var j = 0; var c = 0
           while (i < x.length && j < y.length) {
@@ -175,7 +171,8 @@ object Dedup {
           }
           c.toDouble / (x.length + y.length - c)
         }
-        pairs.withColumn("jaccard", jacc(col("id_a"), col("id_b")))
+        pairs.withColumn("jaccard",
+          jacc(col("id_a").cast("string"), col("id_b").cast("string")))
       } else {
         val shA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
         val shB = base.select(col("id").as("id_b"), col("hs").as("hs_b"))

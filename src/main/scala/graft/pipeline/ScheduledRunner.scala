@@ -36,9 +36,15 @@ final class ScheduledRunner(
     stats
   }
 
-  /** Start the periodic schedule; ticks that would overlap are skipped. */
+  /** Start the periodic schedule. Fixed DELAY, not fixed rate: a run that
+    * overshoots the interval pushes the next run out rather than queueing
+    * catch-up executions that would fire back-to-back (fixed-rate on a
+    * single-threaded executor never overlaps, it bursts — and a burst of
+    * non-incremental appends double-writes). The CAS guard stays as a
+    * second line of defense if `tick()` is also called manually.
+    */
   def start(): Unit =
-    exec.scheduleAtFixedRate(() => {
+    exec.scheduleWithFixedDelay(() => {
       if (running.compareAndSet(false, true)) {
         try tick()
         catch { case e: Throwable =>

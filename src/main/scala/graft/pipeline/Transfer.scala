@@ -69,12 +69,17 @@ object Transfer {
       mode: SaveMode = SaveMode.Append,
   )
 
-  /** Build the source-side plan (no action triggered). */
+  /** Build the source-side plan (no action triggered). Window and ORDER BY
+    * apply BEFORE the projection — the reference's generated SQL is
+    * `SELECT <fields> … WHERE cursor … ORDER BY …`, where the cursor/sort
+    * columns need not be in the field list. Catalyst prunes the scan to
+    * the union of referenced columns either way.
+    */
   def plan(source: Connector, cfg: Config): DataFrame = {
     var df = source.read(cfg.table)
-    if (cfg.fields.nonEmpty) df = df.select(cfg.fields.map(col): _*)
     cfg.window.foreach(w => df = df.where(w.predicate))
     if (cfg.orderBy.nonEmpty) df = df.orderBy(cfg.orderBy.map(SortSpec.parse): _*)
+    if (cfg.fields.nonEmpty) df = df.select(cfg.fields.map(col): _*)
     df
   }
 
@@ -87,12 +92,18 @@ object Transfer {
       if (!cfg.increment) src
       else {
         // Snapshot the SAME window/field list on the target so hashes align
-        // (`provider.go:165`, `consumer.go:82`).
+        // (`provider.go:165`, `consumer.go:82`). A projected target may not
+        // contain the cursor column (only `fields` were ever written); then
+        // the window is skipped and the snapshot covers the whole target —
+        // a superset of hashes, still correct for dedup (the reference
+        // would error on the missing column instead).
         var tgt = scala.util.Try(sink.read(cfg.target)).getOrElse(null)
         if (tgt == null) src
         else {
+          cfg.window.foreach { w =>
+            if (tgt.columns.contains(w.column)) tgt = tgt.where(w.predicate)
+          }
           if (cfg.fields.nonEmpty) tgt = tgt.select(cfg.fields.map(col): _*)
-          cfg.window.foreach(w => tgt = tgt.where(w.predicate))
           IncrementalDedup.filter(src, IncrementalDedup.snapshot(tgt))
         }
       }

@@ -46,6 +46,12 @@ object ExtensionQueries {
         .orderBy("keep_id")),
 
     // MinHash + LSH banding, exact-Jaccard verified (word 3-shingles).
+    // The oracle is the exhaustive exact-Jaccard pair set; LSH is
+    // probabilistic, but on the fixed (seed-42) fixtures the qualifying
+    // pairs sit at j≈0.98-0.99 where the 16×2 banding miss probability is
+    // (1-j²)^16 < 1e-20, and no pair falls in the marginal band
+    // [0.5, 0.9) — verified at sf0.001/0.01/0.1. A regenerated dataset
+    // with borderline pairs would need this oracle demoted to rows-only.
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
           shingleLen = 3, numHashes = 32, bands = 16, threshold = 0.5)

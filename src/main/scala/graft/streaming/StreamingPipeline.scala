@@ -28,10 +28,18 @@ object StreamingPipeline {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
     val batch = graft.sources.Tables.load(spark, dir, name)
-    val raw = spark.readStream
-      .schema(spark.read.parquet(path).schema)
-      .option("pathGlobFilter", s"$name.parquet")
-      .parquet(dir)
+    // The file stream source needs a DIRECTORY base path. A single-file
+    // table streams from its parent dir with a glob filter; a
+    // directory-shaped table (Spark's own output layout) streams directly
+    // — a glob filter on the parent would silently match none of its
+    // part files and "process" zero rows.
+    val schema = spark.read.parquet(path).schema
+    val raw =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(schema).parquet(path)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", s"$name.parquet").parquet(dir)
     graft.sources.Tables.nanosTimestampCols(spark, path).foldLeft(raw) { (d, c) =>
       d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
     } match {
@@ -99,8 +107,10 @@ object StreamingPipeline {
       gapSeconds: Long): DataFrame = {
     import spark.implicits._
     def toTs(micros: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(micros / 1000000 * 1000)
-      t.setNanos(((micros % 1000000) * 1000).toInt)
+      // floorDiv/floorMod keep pre-epoch (negative) instants correct.
+      val secs = Math.floorDiv(micros, 1000000L)
+      val t = new java.sql.Timestamp(secs * 1000)
+      t.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
       t
     }
     def emit(user: Long, micros: List[Long]): Iterator[Session] = {
@@ -126,7 +136,9 @@ object StreamingPipeline {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           val micros = rows.map { e =>
-            (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+            // floorDiv: getTime truncates toward zero for pre-epoch
+            // instants while getNanos is always the positive fraction.
+            Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000
           }.toList
           val all = state.getOption.map(_.events).getOrElse(Nil) ++ micros
           // AvailableNow: single batch per run → emit complete sessions now.

@@ -53,6 +53,19 @@ class DedupExtSpec extends SparkSpec {
     assert(joined == brute)
   }
 
+  test("near-dup operators accept non-Long id columns (string ids)") {
+    val sdocs = docs.select(concat(lit("doc_"), col("doc_id")).as("doc_id"), col("text"))
+    val pairs = Dedup.minhashNearDups(sdocs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val longPairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .collect().map(r => (s"doc_${r.getLong(0)}", s"doc_${r.getLong(1)}")).toSet
+    // Same families found; ordering of (a,b) may flip because string ids
+    // sort lexicographically ("doc_10" < "doc_9") — compare unordered.
+    def unordered(s: Set[(String, String)]) =
+      s.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+    assert(unordered(pairs) == unordered(longPairs))
+  }
+
   test("exact dedup groups cover all rows exactly once") {
     val out = Dedup.exactByKey(docs, "doc_id", lower(substring(col("text"), 1, 40)))
     assert(out.agg(sum("n_dups")).first().getLong(0) == docs.count())

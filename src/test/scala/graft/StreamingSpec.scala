@@ -26,6 +26,17 @@ class StreamingSpec extends SparkSpec {
     assert(afterSecond == afterFirst) // checkpoint offsets: zero duplicates
   }
 
+  test("directory-shaped parquet tables stream their part files (no silent zero-row run)") {
+    val root = Files.createTempDirectory("graft-dirtab").toString
+    Tables.load(spark, sf0001, "events").limit(100)
+      .write.parquet(s"$root/evdir.parquet") // Spark's own dir layout
+    val tgt = Files.createTempDirectory("graft-dirtab-tgt").toString
+    val chk = Files.createTempDirectory("graft-dirtab-chk").toString
+    StreamingPipeline.incrementalTransfer(spark, root, "evdir", tgt, chk)
+      .awaitTermination()
+    assert(spark.read.parquet(tgt).count() == 100)
+  }
+
   test("streaming sessionization equals batch sessionization") {
     val events = Tables.load(spark, sf0001, "events")
     val batch = StreamingPipeline.sessionizeBatch(events, "user_id", "ts", lit(1800))

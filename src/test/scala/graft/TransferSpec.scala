@@ -34,6 +34,26 @@ class TransferSpec extends SparkSpec {
     assert(total == first.rowsWritten)
   }
 
+  test("cursor/window column need not be in the projected field list") {
+    // Reference semantics: `SELECT <fields> WHERE cursor BETWEEN …` — the
+    // cursor is not part of the projection (`clickhouse/reader/main.go:164`).
+    val tmp = Files.createTempDirectory("graft-transfer2").toString
+    val src = new FileConnector(spark, sf0001)
+    val sink = new FileConnector(spark, tmp)
+    val cfg = Transfer.Config(
+      table = "events", target = "out",
+      fields = Seq("event_id", "event_type", "value"), // no ts, no user_id
+      window = Some(Window("ts", "timestamp'2024-01-01'", "timestamp'2024-01-08'")),
+      orderBy = Seq("user_id DESC"),                   // sort col not projected
+      increment = true)
+    val first = Transfer.run(src, sink, cfg)
+    assert(first.rowsWritten > 0)
+    assert(sink.read("out").columns.toSeq == Seq("event_id", "event_type", "value"))
+    // Second incremental run: target lacks ts, snapshot skips the window.
+    val second = Transfer.run(src, sink, cfg)
+    assert(second.rowsWritten == 0)
+  }
+
   test("window predicate filters the cursor range") {
     val src = new FileConnector(spark, sf0001)
     val all = Transfer.plan(src, Transfer.Config("events", "x")).count()
