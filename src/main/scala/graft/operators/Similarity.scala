@@ -58,9 +58,22 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         round(VecOps.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6))
+      .select("query_id", "neighbor_id", "cos")
+    rankTopK(scored, k)
+  }
+
+  /** Shared ranking tail: the custom bounded-heap TopKPerKey operator
+    * prunes to k rows per query WITHOUT sorting each partition (O(n log k)
+    * vs the window formulation's full per-partition sort — the difference
+    * at billions of scored candidate pairs), then a row_number over the
+    * tiny surviving groups assigns ranks reusing the same partitioning
+    * (no second shuffle).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("cos").desc, col("neighbor_id").asc), k)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w))
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
@@ -121,10 +134,9 @@ object Similarity {
     val cands = broadcast(qk).join(ck, Seq("bkey"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "q_vec", "neighbor_id", "c_vec").distinct()
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cands.withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+    val scored = cands
+      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .select("query_id", "neighbor_id", "cos")
+    rankTopK(scored, k)
   }
 }
