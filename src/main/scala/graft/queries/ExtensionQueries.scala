@@ -63,6 +63,13 @@ object ExtensionQueries {
           shingleLen = 2, threshold = 0.6)
         .orderBy("id_a", "id_b")),
 
+    // Near-dup families as connected components with canonical keepers —
+    // the cluster step a dedup pipeline runs after pair generation.
+    "dedup_clusters" -> ((s, dir) =>
+      graft.operators.Clusters.dedupClusters(
+          t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy("doc_id")),
+
     // SimHash pigeonhole join (rows-only check: xxhash64 not in DuckDB).
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
@@ -164,6 +171,27 @@ object ExtensionQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE ${jaccardSql("a.s", "b.s")} >= 0.6
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_clusters" -> {
+      val sh = shinglesSql("T", 3)
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS T FROM documents),
+         |sh AS (SELECT doc_id, $sh AS s FROM toks),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE ${jaccardSql("a.s", "b.s")} >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+         |         FROM reach GROUP BY a)
+         |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |  coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "dedup_embedding" ->

@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.Clusters
+import graft.sources.Tables
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components: chain, star, and disjoint pairs all label to min id") {
+    // chain 1-2-3-4, star 10-(11,12,13), pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup clusters: every cluster has exactly one keeper") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val out = Clusters.dedupClusters(docs, "doc_id", "text")
+    assert(out.count() == docs.count())
+    val perCluster = out.groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("is_keeper").cast("int")).as("keepers"))
+      .collect()
+    assert(perCluster.forall(_.getLong(1) == 1L))
+  }
+}
