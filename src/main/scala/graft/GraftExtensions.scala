@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{FloatVecDot, RowHashMd5, SortedLongIntersectCount}
+import graft.plans.TopKStrategy
+
+/** Session wiring for graft's custom Catalyst pieces, so SQL users get
+  * them too:
+  *
+  *   - `spark.sql.extensions=graft.GraftExtensions` (config path, applies
+  *     at session build — the spark-submit way), or
+  *   - `graft.GraftExtensions.register(spark)` at runtime on an existing
+  *     session (what the library entry points use).
+  *
+  * Registers the TopKPerKey planner strategy and three SQL functions:
+  * `graft_row_hash(cells…)`, `float_vec_dot(a, b)`,
+  * `sorted_long_intersect_count(a, b)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => TopKStrategy)
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[RowHashMd5].getName, null, name, usage, "")
+
+  private[graft] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_row_hash",
+      info("graft_row_hash", "_FUNC_(cells...) - order/case-insensitive MD5 row hash"),
+      (exprs: Seq[Expression]) => RowHashMd5(exprs)),
+    ("float_vec_dot",
+      info("float_vec_dot", "_FUNC_(a, b) - double dot product of float arrays"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))),
+    ("sorted_long_intersect_count",
+      info("sorted_long_intersect_count",
+        "_FUNC_(a, b) - intersection size of two sorted distinct bigint arrays"),
+      (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))),
+  )
+
+  /** Runtime registration on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+  }
+}

@@ -56,6 +56,13 @@ object TransferDemo {
       "vec_id", "embedding", 5).count()}")
     val feats = Multimodal.extractFeatures(spark, Multimodal.demoCorpus(spark, docs), 8)
     println("MEDIA FEATURES: " + feats.orderBy("media_id").head())
+
+    // SQL surface: the custom expressions registered for spark.sql users.
+    graft.GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("docs")
+    println("SQL HASH: " + spark.sql(
+      "SELECT graft_row_hash(CAST(doc_id AS STRING), lang, source) AS h " +
+        "FROM docs ORDER BY doc_id LIMIT 1").first())
     spark.stop()
   }
 }

@@ -1,0 +1,34 @@
+package graft
+
+import graft.GraftExtensions
+
+/** The custom expressions must be reachable from plain SQL after
+  * registration — the surface a SQL-only user of the engine sees.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("graft functions callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val hash = spark.sql("SELECT graft_row_hash('1', '2', '3', '4') AS h")
+      .first().getString(0)
+    assert(hash == "81dc9bdb52d04dc20036dbd8313ed055") // md5("1234")
+
+    val dot = spark.sql(
+      "SELECT float_vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .first().getDouble(0)
+    assert(dot == 11.0)
+
+    val c = spark.sql(
+      "SELECT sorted_long_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS c")
+      .first().getInt(0)
+    assert(c == 2)
+  }
+
+  test("registration is idempotent") {
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark)
+    assert(spark.experimental.extraStrategies.count(_ == graft.plans.TopKStrategy) == 1)
+    assert(spark.sql("SELECT graft_row_hash('x') IS NOT NULL AS ok").first().getBoolean(0))
+  }
+}
