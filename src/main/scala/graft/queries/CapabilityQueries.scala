@@ -60,6 +60,51 @@ object CapabilityQueries {
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // TPC-H Q3 shape: 3-way join, filter on both sides, grouped revenue,
+    // top-10. Exercises AQE's broadcast/shuffle choice on a join chain.
+    "q23_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") < expr("timestamp'1998-01-01 00:00:00'"))
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > expr("timestamp'1996-01-01 00:00:00'"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 5-way star join down the region→nation→customer→
+    // orders→lineitem chain, revenue per nation.
+    "q24_local_supplier_volume" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      broadcast(r).join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(c, n("n_nationkey") === c("c_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Scalar subquery: orders above 90% of the global maximum price
+    // (max is exact on doubles, so the threshold is bit-identical).
+    "q25_scalar_subquery" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val threshold = o.agg(max("o_totalprice")).first().getDouble(0) * 0.9
+      o.where(col("o_totalprice") >= threshold)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // §1.3 unsigned-64 widening: DECIMAL(20,0) keeps the full uint64 range
     // exactly where a signed long would overflow.
     "q22_uint64_decimal" -> ((s, dir) =>
@@ -105,5 +150,31 @@ object CapabilityQueries {
       s"""SELECT CAST(max(CAST(l_orderkey AS DECIMAL(20,0)) + ${Long.MaxValue}) AS VARCHAR) AS max_u64,
          |  count(*) AS n
          |FROM lineitem""".stripMargin,
+
+    "q23_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q24_local_supplier_volume" ->
+      """SELECT r_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q25_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= (SELECT max(o_totalprice) * 0.9 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }
