@@ -118,19 +118,52 @@ object TextOps {
   def wordSetFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** Char k-gram hashes of a string (first 8 hex chars of md5 each, in
+    * document order). Building block for winnowing.
+    */
+  def gramHashes(text: Column, k: Int = 8): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => substring(md5(substring(text, lit(i), lit(k))), 1, 8))
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03 — public
-    * algorithm): hash every char k-gram (first 8 hex chars of md5, lexical
-    * order), take the minimum of each sliding window of `w` hashes, keep
-    * the distinct minima. Returns the sorted distinct fingerprint array.
+    * algorithm) as a single array expression: minimum of each sliding
+    * window of `w` gram hashes, distinct, sorted.
+    *
+    * WARNING — small inputs only: expression-tree evaluation re-computes
+    * the `gramHashes` child for EVERY window slice (HOF children are not
+    * CSE'd), i.e. O(len²) md5 calls per row. For corpus-scale use take
+    * [[winnowTable]], which computes each hash once and does the window
+    * minima codegen'd.
     */
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val grams = transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => substring(text, lit(i), lit(k)))
-    val hashes = transform(grams, g => substring(md5(g), 1, 8))
+    val hashes = gramHashes(text, k)
     val minima = transform(
       sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
       j => array_min(slice(hashes, j, lit(w))))
     array_sort(array_distinct(minima))
+  }
+
+  /** Corpus-scale winnowing: (id, fp_winnow, n_winnow) per document.
+    * Gram hashes are computed ONCE per row, exploded, and the sliding
+    * minima run as a codegen'd window min partitioned by document — the
+    * plan is a narrow map + one shuffle by id, linear in total text size
+    * (the expression form above is quadratic per row). Output equals
+    * `md5(concat(sorted distinct minima))` / count exactly.
+    */
+  def winnowTable(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val base = df.select(col(idCol).as("id"), gramHashes(col(textCol), k).as("hs"))
+    val ex = base.select(col("id"), size(col("hs")).as("sz"),
+      posexplode(col("hs")).as(Seq("pos", "h")))
+    val win = W.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    ex.withColumn("m", min(col("h")).over(win))
+      .where(col("pos") <= greatest(col("sz") - w, lit(0))) // pos is 0-based
+      .groupBy(col("id"))
+      .agg(array_sort(collect_set(col("m"))).as("fp"))
+      .select(col("id"),
+        md5(array_join(col("fp"), "")).as("fp_winnow"),
+        size(col("fp")).as("n_winnow"))
   }
 }

@@ -105,6 +105,42 @@ object CapabilityQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Exact interpolated percentiles (both engines use rank = p·(n-1) with
+    // linear interpolation; integer-valued quantities keep it bit-exact).
+    "q26_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy("l_returnflag")),
+
+    // Histogram binning.
+    "q27_histogram" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bin")),
+
+    // Pivot (wide conditional aggregation).
+    "q28_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .count()
+        .na.fill(0)
+        .orderBy("user_id")),
+
+    // NULL semantics parity: null-producing CASE, null-skipping aggregates.
+    "q29_null_semantics" -> ((s, dir) => {
+      val v = when(col("value") < 5, lit(null)).otherwise(col("value"))
+      t(s, dir, "events").select(v.as("v"))
+        .agg(count(lit(1)).as("n_total"),
+          count(col("v")).as("n_nonnull"),
+          countDistinct(col("v")).as("n_distinct"),
+          moneySum(col("v")).as("sum_v"))
+    }),
+
     // §1.3 unsigned-64 widening: DECIMAL(20,0) keeps the full uint64 range
     // exactly where a signed long would overflow.
     "q22_uint64_decimal" -> ((s, dir) =>
@@ -176,5 +212,32 @@ object CapabilityQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice >= (SELECT max(o_totalprice) * 0.9 FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q26_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q27_histogram" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS bin, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q28_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q29_null_semantics" ->
+      """SELECT count(*) AS n_total, count(v) AS n_nonnull,
+        |  count(DISTINCT v) AS n_distinct,
+        |  CAST(round(sum(CAST(v AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_v
+        |FROM (SELECT CASE WHEN value < 5 THEN NULL ELSE value END AS v
+        |      FROM events) s""".stripMargin,
   )
 }

@@ -123,14 +123,20 @@ object ExtensionQueries {
         TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
-    // Document fingerprints: bag-normalized md5 + winnowing (rolling hash).
-    "text_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextOps.wordSetFingerprint(col("text")).as("fp_wordset"),
-        md5(array_join(TextOps.winnowFingerprints(col("text")), "")).as("fp_winnow"),
-        size(TextOps.winnowFingerprints(col("text"))).as("n_winnow"))
-        .orderBy("doc_id")),
+    // Document fingerprints: bag-normalized md5 + winnowing (rolling
+    // hash), via the linear explode+window formulation — the expression
+    // form re-evaluates the gram hashes per window (quadratic per row)
+    // and effectively hangs at sf0.1.
+    "text_fingerprint" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val winnow = TextOps.winnowTable(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"),
+          TextOps.wordSetFingerprint(col("text")).as("fp_wordset"))
+        .join(winnow, "doc_id")
+        .select("doc_id", "fp_wordset", "fp_winnow", "n_winnow")
+        .orderBy("doc_id")
+    }),
 
     // Multimodal plumbing: opaque binary column + typed features. The
     // text column stands in for the blob (no media libs in-container);

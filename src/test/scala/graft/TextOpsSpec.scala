@@ -35,6 +35,17 @@ class TextOpsSpec extends SparkSpec {
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
 
+  test("winnowTable (linear) equals the expression form (quadratic) per doc") {
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents").limit(50)
+    val viaExpr = docs.select(col("doc_id"),
+        md5(array_join(TextOps.winnowFingerprints(col("text")), "")).as("fp"),
+        size(TextOps.winnowFingerprints(col("text"))).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val viaTable = TextOps.winnowTable(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(viaTable == viaExpr)
+  }
+
   test("winnowing fingerprint is order-sensitive, wordset fingerprint is not") {
     val a = "the quick brown fox jumps over the lazy dog"
     val b = "dog lazy the over jumps fox brown quick the"
