@@ -32,6 +32,28 @@ object ExtensionQueries {
   private def jaccardSql(a: String, b: String): String =
     s"len(list_intersect($a, $b)) / len(list_distinct($a || $b))"
 
+  /** All-pairs exact-Jaccard via an inverted index (co-occurrence counts):
+    * |A∩B| from the shingle index self-join, |A∪B| = sa+sb-c. Identical
+    * output to the naive all-pairs list-intersection CTE but ~100× faster
+    * in DuckDB — the oracle must not become the slow side of the gate.
+    * CTE yields `p(id_a, id_b, jaccard_expr …)`; caller appends SELECT.
+    */
+  private def fastPairsCte(n: Int, thresh: Double): String = {
+    val sh = shinglesSql("T", n)
+    s"""toks AS (SELECT doc_id, $toksSql AS T FROM documents),
+       |sh AS (SELECT doc_id, $sh AS s FROM toks),
+       |ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+       |co AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+       |       FROM ex a JOIN ex b USING (h) WHERE a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+       |p AS (SELECT ia AS id_a, ib AS id_b,
+       |        c / (sa.sz + sb.sz - c) AS jacc
+       |      FROM co JOIN sz sa ON co.ia = sa.doc_id
+       |      JOIN sz sb ON co.ib = sb.doc_id
+       |      WHERE c / (sa.sz + sb.sz - c) >= $thresh)""".stripMargin
+  }
+
   /** Explicit double cosine matching Similarity.cosine's fold order. */
   private def cosineSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) / " +
@@ -124,17 +146,17 @@ object ExtensionQueries {
         .orderBy("doc_id")),
 
     // Document fingerprints: bag-normalized md5 + winnowing (rolling
-    // hash), via the linear explode+window formulation — the expression
-    // form re-evaluates the gram hashes per window (quadratic per row)
-    // and effectively hangs at sf0.1.
+    // hash) via the single codegen'd WinnowFingerprint expression — a
+    // narrow map, no shuffle. (The naive nested-HOF form is quadratic
+    // per row and hangs at sf0.1; the explode+window form is linear but
+    // shuffles one row per gram.)
     "text_fingerprint" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val winnow = TextOps.winnowTable(docs, "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-      docs.select(col("doc_id"),
-          TextOps.wordSetFingerprint(col("text")).as("fp_wordset"))
-        .join(winnow, "doc_id")
-        .select("doc_id", "fp_wordset", "fp_winnow", "n_winnow")
+      val wf = graft.expressions.WinnowFingerprint.of(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextOps.wordSetFingerprint(col("text")).as("fp_wordset"),
+          wf.getField("fp_winnow").as("fp_winnow"),
+          wf.getField("n_winnow").as("n_winnow"))
         .orderBy("doc_id")
     }),
 
@@ -157,35 +179,18 @@ object ExtensionQueries {
         |  count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      val sh = shinglesSql("T", 3)
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),
-         |sh AS (SELECT doc_id, $sh AS s FROM toks)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(${jaccardSql("a.s", "b.s")}, 6) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE ${jaccardSql("a.s", "b.s")} >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "dedup_minhash_lsh" ->
+      s"""WITH ${fastPairsCte(3, 0.5)}
+         |SELECT id_a, id_b, round(jacc, 6) AS jaccard
+         |FROM p ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_ngram_jaccard" -> {
-      val sh = shinglesSql("T", 2)
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),
-         |sh AS (SELECT doc_id, $sh AS s FROM toks)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(${jaccardSql("a.s", "b.s")}, 6) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE ${jaccardSql("a.s", "b.s")} >= 0.6
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "dedup_ngram_jaccard" ->
+      s"""WITH ${fastPairsCte(2, 0.6)}
+         |SELECT id_a, id_b, round(jacc, 6) AS jaccard
+         |FROM p ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_clusters" -> {
-      val sh = shinglesSql("T", 3)
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS T FROM documents),
-         |sh AS (SELECT doc_id, $sh AS s FROM toks),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |      WHERE ${jaccardSql("a.s", "b.s")} >= 0.5),
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${fastPairsCte(3, 0.5)},
          |edges AS (SELECT id_a AS a, id_b AS b FROM p
          |          UNION SELECT id_b, id_a FROM p),
          |reach(a, b) AS (
@@ -197,8 +202,7 @@ object ExtensionQueries {
          |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
          |  coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
-         |ORDER BY d.doc_id""".stripMargin
-    },
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

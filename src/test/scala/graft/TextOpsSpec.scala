@@ -35,7 +35,7 @@ class TextOpsSpec extends SparkSpec {
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
 
-  test("winnowTable (linear) equals the expression form (quadratic) per doc") {
+  test("all three winnowing implementations agree per doc") {
     val docs = graft.sources.Tables.load(spark, sf0001, "documents").limit(50)
     val viaExpr = docs.select(col("doc_id"),
         md5(array_join(TextOps.winnowFingerprints(col("text")), "")).as("fp"),
@@ -43,7 +43,12 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     val viaTable = TextOps.winnowTable(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val wf = graft.expressions.WinnowFingerprint.of(col("text"))
+    val viaCodegen = docs.select(col("doc_id"),
+        wf.getField("fp_winnow"), wf.getField("n_winnow"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(viaTable == viaExpr)
+    assert(viaCodegen == viaExpr)
   }
 
   test("winnowing fingerprint is order-sensitive, wordset fingerprint is not") {
