@@ -29,28 +29,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[RowHashMd5].getName, null, name, usage, "")
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
+
+  private def binary(name: String, f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2) throw new IllegalArgumentException(
+      s"$name requires exactly 2 arguments, got ${exprs.length}")
+    f(exprs(0), exprs(1))
+  }
 
   private[graft] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_row_hash",
-      info("graft_row_hash", "_FUNC_(cells...) - order/case-insensitive MD5 row hash"),
+      info(classOf[RowHashMd5], "graft_row_hash",
+        "_FUNC_(cells...) - order/case-insensitive MD5 row hash"),
       (exprs: Seq[Expression]) => RowHashMd5(exprs)),
     ("float_vec_dot",
-      info("float_vec_dot", "_FUNC_(a, b) - double dot product of float arrays"),
-      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))),
+      info(classOf[FloatVecDot], "float_vec_dot",
+        "_FUNC_(a, b) - double dot product of float arrays"),
+      binary("float_vec_dot", FloatVecDot(_, _))),
     ("sorted_long_intersect_count",
-      info("sorted_long_intersect_count",
+      info(classOf[SortedLongIntersectCount], "sorted_long_intersect_count",
         "_FUNC_(a, b) - intersection size of two sorted distinct bigint arrays"),
-      (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))),
+      binary("sorted_long_intersect_count", SortedLongIntersectCount(_, _))),
   )
 
-  /** Runtime registration on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit = {
+  /** Attach the TopK planner strategy to a live session (idempotent). */
+  def ensureStrategy(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     }
+
+  /** Runtime registration on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    ensureStrategy(spark)
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")

@@ -23,7 +23,7 @@ object Clusters {
     * Input: (id_a, id_b) edges. Output: (id, cluster_id) for every node
     * that appears in at least one pair, cluster_id = min id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -50,6 +50,12 @@ object Clusters {
       i += 1
     }
     edges.unpersist()
+    // Unconverged labels are WRONG (a node may point at an id that itself
+    // migrated to a lower cluster), and a wrong cluster_id silently breaks
+    // keeper selection downstream — fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations " +
+        s"(component diameter exceeds maxIter); raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

@@ -63,17 +63,20 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
     child.execute().mapPartitions({ iter =>
       // Ascending in `sortOrder` terms = "better"; the heap is a MAX-heap
       // (reverse comparator) holding the k best seen, evicting its worst.
+      // Rows stay InternalRow — no UnsafeRow assumption, since a child
+      // that already satisfies the distribution (pre-partitioned cache,
+      // codegen fallback) may emit other row classes.
       val ordering = GenerateOrdering.generate(sortOrder, childOutput)
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val heaps = new java.util.HashMap[UnsafeRow, PriorityQueue[UnsafeRow]]()
-      val reverse: Comparator[UnsafeRow] =
-        (a: UnsafeRow, b: UnsafeRow) => ordering.compare(b, a)
+      val heaps = new java.util.HashMap[UnsafeRow, PriorityQueue[InternalRow]]()
+      val reverse: Comparator[InternalRow] =
+        (a: InternalRow, b: InternalRow) => ordering.compare(b, a)
       while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
+        val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new PriorityQueue[UnsafeRow](kLocal, reverse)
+          heap = new PriorityQueue[InternalRow](kLocal, reverse)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < kLocal) heap.add(row.copy())
@@ -98,11 +101,9 @@ object TopK {
     * reuse this operator's partitioning, no extra shuffle).
     */
   def perKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, s"top-k requires k > 0, got $k")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
-    }
+    graft.GraftExtensions.ensureStrategy(spark)
     val keyExprs = keyCols.map(c => ColumnBridge.expression(df(c)))
     val sortOrder = order.map { c =>
       ColumnBridge.catalystExpression(c) match {

@@ -96,11 +96,14 @@ object CapabilityQueries {
     }),
 
     // Scalar subquery: orders above 90% of the global maximum price
-    // (max is exact on doubles, so the threshold is bit-identical).
+    // (max is exact on doubles, so the threshold is bit-identical). The
+    // threshold stays IN the plan as a broadcast single-row join — no
+    // eager driver action at DataFrame-construction time.
     "q25_scalar_subquery" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val threshold = o.agg(max("o_totalprice")).first().getDouble(0) * 0.9
-      o.where(col("o_totalprice") >= threshold)
+      val thr = o.agg((max("o_totalprice") * 0.9).as("__thr"))
+      o.crossJoin(broadcast(thr))
+        .where(col("o_totalprice") >= col("__thr"))
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
@@ -115,12 +118,13 @@ object CapabilityQueries {
           expr("percentile(l_quantity, 0.9)").as("p90"))
         .orderBy("l_returnflag")),
 
-    // Histogram binning.
+    // Histogram binning (nulls-first pinned: Spark and DuckDB default to
+    // opposite NULL placement in ORDER BY).
     "q27_histogram" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(floor(col("value") / 10).cast("long").as("bin"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("bin")),
+        .orderBy(asc_nulls_first("bin"))),
 
     // Pivot (wide conditional aggregation).
     "q28_pivot" -> ((s, dir) =>
@@ -222,7 +226,7 @@ object CapabilityQueries {
 
     "q27_histogram" ->
       """SELECT CAST(floor(value / 10) AS BIGINT) AS bin, count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY bin NULLS FIRST""".stripMargin,
 
     "q28_pivot" ->
       """SELECT user_id,

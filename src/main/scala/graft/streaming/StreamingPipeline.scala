@@ -34,8 +34,13 @@ object StreamingPipeline {
     // — a glob filter on the parent would silently match none of its
     // part files and "process" zero rows.
     val schema = spark.read.parquet(path).schema
+    // Hadoop FileSystem, not java.io.File: the layout check must work on
+    // hdfs://, s3a://, etc. — a local-only check would silently route
+    // dir-shaped remote tables into the zero-row glob branch.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val raw =
-      if (new java.io.File(path).isDirectory)
+      if (fs.getFileStatus(hPath).isDirectory)
         spark.readStream.schema(schema).parquet(path)
       else
         spark.readStream.schema(schema)
