@@ -52,13 +52,19 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every local: when both inputs are non-nullable the
+      // body is emitted unwrapped at the enclosing scope, so two instances
+      // in one projection would otherwise collide in Janino.
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -106,15 +112,23 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every local — see FloatVecDot.doGenCode.
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       s"""
-         |int i = 0, j = 0, c = 0;
-         |int n = $a.numElements(), m = $b.numElements();
-         |while (i < n && j < m) {
-         |  long xv = $a.getLong(i); long yv = $b.getLong(j);
-         |  if (xv == yv) { c++; i++; j++; }
-         |  else if (xv < yv) { i++; } else { j++; }
+         |int $i = 0, $j = 0, $c = 0;
+         |int $n = $a.numElements(), $m = $b.numElements();
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
        """.stripMargin
     })
 

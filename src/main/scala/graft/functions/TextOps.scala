@@ -118,6 +118,14 @@ object TextOps {
   def wordSetFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** 60-bit hash from the first 15 hex chars of md5 — an oracle-checkable
+    * stand-in for xxhash64 (DuckDB: `('0x' || substring(md5(t),1,15))
+    * ::BIGINT`). 60 bits keep the value inside a signed long on both
+    * engines; the top 4 bits of the 64-bit space are constant zero.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Char k-gram hashes of a string (first 8 hex chars of md5 each, in
     * document order). Building block for winnowing.
     */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster canonicalization: near-dup detection yields PAIRS;
   * deduplication needs CLUSTERS (connected components of the pair graph)
@@ -12,10 +13,19 @@ import org.apache.spark.sql.functions._
   * the classic large-graph CC algorithm (what GraphX/GraphFrames run),
   * expressed in DataFrames. Converges in O(component diameter)
   * iterations; near-dup families are shallow (diameter ≤ 3-4 in
-  * practice), and `maxIter` bounds pathological chains. Each iteration
-  * is one join + one aggregation, both partitioned by node id;
-  * `localCheckpoint` truncates the growing lineage so the loop doesn't
-  * re-execute history.
+  * practice), and `maxIter` bounds pathological chains.
+  *
+  * Scale design: each iteration is one join + one aggregation, both
+  * partitioned by node id, and costs exactly ONE driver action (a
+  * `count` of changed labels that doubles as the cache materialization).
+  * Lineage is truncated by persisting each iteration and unpersisting
+  * the previous one; every `checkpointEvery` iterations the labels are
+  * written to RELIABLE checkpoint storage when
+  * `spark.sparkContext.setCheckpointDir` is configured — on a real
+  * cluster an executor loss then replays at most `checkpointEvery`
+  * iterations instead of the whole history (local runs without a
+  * checkpoint dir fall back to `localCheckpoint`, whose blocks die with
+  * an executor — acceptable in a single-JVM session, documented here).
   */
 object Clusters {
 
@@ -23,10 +33,13 @@ object Clusters {
     * Input: (id_a, id_b) edges. Output: (id, cluster_id) for every node
     * that appears in at least one pair, cluster_id = min id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      checkpointEvery: Int = 5): DataFrame = {
+    val spark = pairs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -34,18 +47,33 @@ object Clusters {
 
     var converged = false
     var i = 0
+    var prev: DataFrame = null
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("id"))
         .agg(min("label").as("nlabel"))
-      val updated = labels.withColumnRenamed("label", "old")
+      var updated = labels.withColumnRenamed("label", "old")
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"),
           col("old"))
-        .localCheckpoint(true)
-      converged = updated.where(col("label") =!= col("old")).isEmpty
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // ONE driver action per iteration: the convergence count is also
+      // what materializes the persist (so the next iteration's join reads
+      // the cache, not the lineage).
+      converged = updated.where(col("label") =!= col("old")).count() == 0L
+      if ((i + 1) % checkpointEvery == 0 && !converged) {
+        // Periodic checkpoint bounds both lineage depth and replay-on-
+        // failure cost on deep components.
+        val snap =
+          if (reliable) updated.select("id", "label", "old").checkpoint(true)
+          else updated.select("id", "label", "old").localCheckpoint(true)
+        updated.unpersist()
+        updated = snap
+      }
+      if (prev != null) prev.unpersist()
+      prev = updated
       labels = updated.select("id", "label")
       i += 1
     }
@@ -53,20 +81,33 @@ object Clusters {
     // Unconverged labels are WRONG (a node may point at an id that itself
     // migrated to a lower cluster), and a wrong cluster_id silently breaks
     // keeper selection downstream — fail loudly instead.
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter iterations " +
-        s"(component diameter exceeds maxIter); raise maxIter")
+    if (!converged) {
+      if (prev != null) prev.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"(component diameter exceeds maxIter); raise maxIter")
+    }
+    // The final labels stay persisted: the caller consumes them lazily and
+    // the last iteration's cache is the result's only materialization.
     labels.withColumnRenamed("label", "cluster_id")
   }
 
   /** Full dedup-cluster assignment for a text corpus: MinHash near-dup
     * pairs → components → (doc, cluster, is_keeper). Documents in no
     * pair are their own singleton cluster.
+    *
+    * `connectedComponents` materializes the pair stream (its convergence
+    * counts pull every edge through the near-dup pipeline), after which
+    * the operator's shingle cache is dead weight — it is unpersisted here
+    * so a long-lived session doesn't accumulate one cache entry per call.
     */
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5): DataFrame = {
-    val pairs = Dedup.minhashNearDups(docs, idCol, textCol, threshold = threshold)
-    val comps = connectedComponents(pairs.select("id_a", "id_b"))
+    val (pairs, shingleCache) =
+      Dedup.minhashNearDupsCached(docs, idCol, textCol, threshold = threshold)
+    val comps =
+      try connectedComponents(pairs.select("id_a", "id_b"))
+      finally shingleCache.unpersist()
     docs.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")
       .select(col("id").as(idCol),

@@ -49,22 +49,27 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    minhashNearDupsCached(df, idCol, textCol, shingleLen, numHashes, bands,
+      threshold)._1
+
+  /** As `minhashNearDups`, also returning the persisted shingle table so a
+    * caller that MATERIALIZES the result (e.g. `Clusters.dedupClusters`)
+    * can unpersist it afterwards. Callers returning the lazy result leave
+    * the cache to LRU eviction / session teardown (there is no safe
+    * unpersist point before the consumer runs the query).
+    */
+  private[operators] def minhashNearDupsCached(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.5): (DataFrame, DataFrame) = {
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
     // Persisted: the plan reuses the shingle table three times (signature
     // explode + both verification sides); recomputing the interpreted
-    // shingling per use triples the operator's cost. The cache is not
-    // explicitly unpersisted (the result is a lazy DataFrame, so there is
-    // no safe point to drop it); MEMORY_AND_DISK entries are LRU-evicted
-    // under pressure and vanish with the session.
-    val base = df.select(
-      col(idCol).as("id"),
-      TextOps.wordShingles(TextOps.tokens(col(textCol)), shingleLen).as("sh"))
-      .withColumn("hs", array_sort(transform(col("sh"), s => xxhash64(s))))
-      .select("id", "hs")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingling per use triples the operator's cost.
+    val base = shingleTable(df, idCol, textCol, shingleLen)
 
     // One explode + one shuffle computes all signature positions at once.
     val sigs = base.select(col("id"), explode(col("hs")).as("h"))
@@ -78,8 +83,20 @@ object Dedup {
     val keyed = sigs.select(col("id"), explode(bandKeys).as("bkey"))
 
     // Same verification machinery as ngramJaccardNearDups.
-    verifyPairs(pairStream(keyed), base, threshold)
+    (verifyPairs(pairStream(keyed), base, threshold), base)
   }
+
+  /** Persisted (id, sorted distinct xxhash64-shingle array) table — the
+    * shared input of signature generation and pair verification.
+    */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      TextOps.wordShingles(TextOps.tokens(col(textCol)), shingleLen).as("sh"))
+      .withColumn("hs", array_sort(transform(col("sh"), s => xxhash64(s))))
+      .select("id", "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (SSJoin /
     * AllPairs family — public algorithm): under any global total order of
@@ -99,12 +116,7 @@ object Dedup {
   def ngramJaccardNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 2, threshold: Double = 0.6): DataFrame = {
-    val base = df.select(
-      col(idCol).as("id"),
-      TextOps.wordShingles(TextOps.tokens(col(textCol)), shingleLen).as("sh"))
-      .withColumn("hs", array_sort(transform(col("sh"), s => xxhash64(s))))
-      .select("id", "hs")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = shingleTable(df, idCol, textCol, shingleLen)
 
     // Global rarest-first order: df(shingle) ASC, hash as tie-break. Any
     // fixed total order preserves exactness; rarest-first minimizes how
@@ -135,53 +147,43 @@ object Dedup {
   /** Exact-Jaccard verification of a candidate pair stream against the
     * (id, sorted-hash-set) table.
     *
-    * Small corpus (fits executor memory): the set table broadcasts as a
-    * plain map and pairs carry two longs through a map-side lookup +
-    * merge-intersect — candidate rows never materialize arrays, never
-    * shuffle. This is the regime where blocking degenerates (small
-    * shingle universe → many candidates), so the per-pair cost must be
-    * nanoseconds.
+    * Plan shape: pairs ⋈ sets ⋈ sets with a codegen'd merge-intersect
+    * (`SortedLongIntersectCount`) — the whole verification is one
+    * whole-stage-codegen span: join probe, size-ratio prune, linear
+    * merge scan, threshold filter. No UDF boundary, no per-pair boxing,
+    * no driver-side collect. Inside codegen the broadcast-side array is
+    * read in place from the hashed relation, so candidate rows never
+    * copy the arrays.
     *
-    * Large corpus: shingle universes grow with the corpus, blocking is
-    * selective, candidates are few — a shuffled join carrying the arrays
-    * to the (small) candidate set is the right plan, and Spark picks it.
+    * Small corpus (fits executor memory): both set sides get an explicit
+    * `broadcast()` hint — candidates never shuffle. This is the regime
+    * where blocking degenerates (small shingle universe → many
+    * candidates), so the per-pair cost must be nanoseconds. Large corpus:
+    * shingle universes grow with the corpus, blocking is selective,
+    * candidates are few — the shuffled join carrying arrays to the
+    * (small) candidate set is the right plan.
+    *
+    * Size-ratio prune: J(A,B) ≥ t ⟹ min(|A|,|B|)/max(|A|,|B|) ≥ t
+    * (c ≤ min and |A|+|B|-c ≥ max), checked before the merge scan.
     */
   private def verifyPairs(pairs: DataFrame, base: DataFrame,
       threshold: Double, broadcastLimit: Long = 100000): DataFrame = {
-    // The count() is an eager plan-selection action, but it runs on the
+    // The count() is an eager hint-selection action, but it runs on the
     // already-persisted shingle table the verification needs anyway. The
-    // limit is rows, sized so worst-case collected arrays (~200 hashes ×
-    // 8 B × limit ≈ 160 MB) fit a default driver heap; beyond it the
-    // shuffled-join path (linear in candidates) takes over.
-    val verified =
-      if (base.count() <= broadcastLimit) {
-        // Ids are keyed BY THEIR SPARK STRING CAST on both the map build
-        // and the probe, so any id type (int/long/string/decimal) works
-        // and both sides agree on the encoding.
-        val sets = base.select(col("id").cast("string"), col("hs")).collect()
-          .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
-        val bc = base.sparkSession.sparkContext.broadcast(sets)
-        val jacc = udf { (ia: String, ib: String) =>
-          val x = bc.value(ia); val y = bc.value(ib)
-          var i = 0; var j = 0; var c = 0
-          while (i < x.length && j < y.length) {
-            if (x(i) == y(j)) { c += 1; i += 1; j += 1 }
-            else if (x(i) < y(j)) i += 1
-            else j += 1
-          }
-          c.toDouble / (x.length + y.length - c)
-        }
-        pairs.withColumn("jaccard",
-          jacc(col("id_a").cast("string"), col("id_b").cast("string")))
-      } else {
-        val shA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
-        val shB = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
-        pairs.join(shA, "id_a").join(shB, "id_b")
-          .withColumn("c", VecOps.sortedIntersectCount(col("hs_a"), col("hs_b")))
-          .withColumn("jaccard",
-            col("c") / (size(col("hs_a")) + size(col("hs_b")) - col("c")))
-      }
-    verified.where(col("jaccard") >= threshold)
+    // limit is rows, sized so worst-case broadcast arrays (~200 hashes ×
+    // 8 B × limit ≈ 160 MB) fit executor memory; beyond it the shuffled
+    // join (linear in candidates) takes over.
+    val hint: DataFrame => DataFrame =
+      if (base.count() <= broadcastLimit) broadcast else identity
+    val shA = hint(base.select(col("id").as("id_a"), col("hs").as("hs_a")))
+    val shB = hint(base.select(col("id").as("id_b"), col("hs").as("hs_b")))
+    pairs.join(shA, "id_a").join(shB, "id_b")
+      .where(least(size(col("hs_a")), size(col("hs_b"))) >=
+        greatest(size(col("hs_a")), size(col("hs_b"))) * lit(threshold))
+      .withColumn("c", VecOps.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard",
+        col("c") / (size(col("hs_a")) + size(col("hs_b")) - col("c")))
+      .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .distinct()
   }
@@ -200,11 +202,16 @@ object Dedup {
     * shuffle: tokens explode to rows, each token hashed once, then 64
     * codegen'd conditional sums per doc replace 64 interpreted array folds
     * per row (the `simhash64` expression form). Bit-identical votes.
+    *
+    * `tokenHash` is the per-token 64-bit hash: xxhash64 (default, fast
+    * path) or `TextOps.md5Hash60` (oracle-checkable in DuckDB; its top 4
+    * bits are constant, which leaves Hamming distances intact).
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", tokenHash(col("t")))
     val votes = toks.groupBy("id").agg(
       sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("v0"),
       (1 until 64).map(i =>
@@ -221,11 +228,12 @@ object Dedup {
     */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, chunks: Int = 4): DataFrame = {
+      maxDist: Int = 3, chunks: Int = 4,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxDist < chunks, "pigeonhole completeness needs maxDist < chunks")
     val bitsPer = 64 / chunks
     val mask = (1L << bitsPer) - 1
-    val base = simhashSignatures(df, idCol, textCol)
+    val base = simhashSignatures(df, idCol, textCol, tokenHash)
 
     val keyed = base.select(col("id"), col("sim"),
       explode(array((0 until chunks).map(c =>

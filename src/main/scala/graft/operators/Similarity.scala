@@ -87,6 +87,12 @@ object Similarity {
     (h.toDouble / Int.MaxValue).toFloat
   }
 
+  /** The (table, bit) hyperplane as exact double values (floats widened) —
+    * lets an external oracle reproduce `lshBucketKeys` bit-identically.
+    */
+  def planeValues(table: Int, bit: Int, dims: Int = 64): Array[Double] =
+    (0 until dims).map(d => planeVal(table, bit, d).toDouble).toArray
+
   /** Random-hyperplane LSH bucket keys: for each of `tables` tables, a
     * `bits`-bit signature (sign of the projection on each plane).
     * `dims` must cover the embedding length (extra plane components are

@@ -39,11 +39,11 @@ object StreamingQueries {
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
         |flagged AS (SELECT user_id, ts,
         |  CASE WHEN prev IS NULL
-        |    OR epoch(ts)::BIGINT - epoch(prev)::BIGINT > 1800 THEN 1
+        |    OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000 THEN 1
         |    ELSE 0 END AS is_new FROM lagged),
         |sess AS (SELECT user_id, ts,
-        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged)
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flagged)
         |SELECT user_id, session_id, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id

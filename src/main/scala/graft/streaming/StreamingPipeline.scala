@@ -94,7 +94,8 @@ object StreamingPipeline {
     df.withColumn("__prev", lag(col(tsCol), 1).over(w))
       .withColumn("__new",
         when(col("__prev").isNull ||
-          col(tsCol).cast("long") - col("__prev").cast("long") > gap.cast("long"), 1)
+          unix_micros(col(tsCol)) - unix_micros(col("__prev")) >
+            gap.cast("long") * lit(1000000L), 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("__new")).over(
         w.rowsBetween(W.unboundedPreceding, W.currentRow)))
