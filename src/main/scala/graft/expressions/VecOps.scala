@@ -137,6 +137,107 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd thresholded Jaccard over two SORTED distinct `array<bigint>`
+  * columns: returns J(A,B) = |A∩B| / |A∪B| when J ≥ `threshold`, else
+  * -1.0 — with EARLY EXIT. J ≥ t requires c ≥ ⌈t/(1+t)·(|A|+|B|)⌉;
+  * during the merge scan the reachable intersection is bounded by
+  * c + min(remaining_a, remaining_b), so a pair whose bound falls below
+  * the requirement aborts mid-scan. On near-dup workloads almost all
+  * candidate pairs are negatives that abort after a fraction of the
+  * merge, cutting the dominant verification cost ~3-4× vs a full
+  * intersection count. The returned Jaccard for passing pairs is exactly
+  * the full-scan value (the early exit only fires on pairs that cannot
+  * pass).
+  *
+  * `threshold` must be a foldable non-null double in [0, 1).
+  */
+case class SortedLongJaccardGE(left: Expression, right: Expression,
+    thresholdExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = thresholdExpr
+
+  private lazy val threshold: Double =
+    thresholdExpr.eval(null).asInstanceOf[Double]
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arraysOk = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _                                                 => false
+    })
+    if (!arraysOk) TypeCheckResult.TypeCheckFailure(
+      s"sorted_long_jaccard_ge expects two array<bigint> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    else if (thresholdExpr.dataType != DoubleType || !thresholdExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "sorted_long_jaccard_ge threshold must be a foldable double")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_long_jaccard_ge"
+
+  override def nullSafeEval(a: Any, b: Any, t: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    val th = t.asInstanceOf[Double]
+    // required = ceil(th/(1+th) * (n+m)) without FP ceil drift:
+    // c*(1+th) >= th*(n+m)  ⟺  c >= th*(n+m)/(1+th)
+    val required = math.ceil(th * (n + m) / (1.0 + th) - 1e-9).toInt
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      if (c + math.min(n - i, m - j) < required) return -1.0
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val jac = if (n + m - c == 0) 0.0 else c.toDouble / (n + m - c)
+    if (jac >= th) jac else -1.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, _) => {
+      // freshName for every local — see FloatVecDot.doGenCode.
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val req = ctx.freshName("req")
+      val rem = ctx.freshName("rem")
+      val jac = ctx.freshName("jac")
+      val th = threshold
+      s"""
+         |int $n = $a.numElements(), $m = $b.numElements();
+         |int $req = (int) java.lang.Math.ceil($th * ($n + $m) / (1.0 + $th) - 1e-9);
+         |int $i = 0, $j = 0, $c = 0;
+         |${ev.value} = -1.0;
+         |while ($i < $n && $j < $m) {
+         |  int $rem = ($n - $i < $m - $j) ? ($n - $i) : ($m - $j);
+         |  if ($c + $rem < $req) { $c = -1; break; }
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |if ($c >= 0) {
+         |  double $jac = ($n + $m - $c == 0) ? 0.0
+         |    : ((double) $c) / ($n + $m - $c);
+         |  if ($jac >= $th) { ${ev.value} = $jac; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(left = newFirst, right = newSecond, thresholdExpr = newThird)
+}
+
 object VecOps {
   /** Column-level dot product of two float-array columns (double result). */
   def dot(a: Column, b: Column): Column =
@@ -151,4 +252,12 @@ object VecOps {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Early-exit thresholded Jaccard of two sorted distinct long-array
+    * columns: J(a,b) when ≥ threshold, else -1.0.
+    */
+  def sortedJaccardGE(a: Column, b: Column, threshold: Double): Column =
+    ColumnBridge.column(SortedLongJaccardGE(
+      ColumnBridge.expression(a), ColumnBridge.expression(b),
+      org.apache.spark.sql.catalyst.expressions.Literal(threshold)))
 }

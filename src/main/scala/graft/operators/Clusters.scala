@@ -32,13 +32,54 @@ object Clusters {
   /** Connected components of an undirected pair graph.
     * Input: (id_a, id_b) edges. Output: (id, cluster_id) for every node
     * that appears in at least one pair, cluster_id = min id reachable.
+    *
+    * Two regimes, guarded like `Dedup.verifyPairs`' broadcast path:
+    * near-dup pair graphs are usually MUCH smaller than the corpus (the
+    * whole point of blocking), so when the edge count is at most
+    * `localEdgeLimit` (default 2M ≈ tens of MB on the driver) and ids
+    * are integral, the components are solved in one pass of union-find
+    * on the driver — zero iterations, zero per-iteration shuffles, one
+    * collect of an already-materialized tiny table. Larger graphs take
+    * the distributed min-label-propagation loop below.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5, localEdgeLimit: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+    val e0 = pairs.select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val integralIds = e0.schema.fields.forall(f =>
+      f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType)
+    // The count is the materialization the algorithm needs anyway (every
+    // path reads the edges at least once from the cache it fills).
+    if (integralIds && e0.count() <= localEdgeLimit) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      // Union by MIN: the smaller root becomes the representative, so the
+      // final root of every set is its minimum id — same labels as the
+      // distributed min-propagation loop.
+      e0.collect().foreach { r =>
+        val a = r.get(0) match { case l: Long => l; case i: Int => i.toLong; case s: Short => s.toLong }
+        val b = r.get(1) match { case l: Long => l; case i: Int => i.toLong; case s: Short => s.toLong }
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      e0.unpersist()
+      import spark.implicits._
+      return parent.keysIterator.map(id => (id, find(id))).toSeq
+        .toDF("id", "cluster_id")
+    }
+    val edges = e0
+      .union(e0.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = edges.select(col("id_a").as("id")).distinct()
@@ -78,6 +119,7 @@ object Clusters {
       i += 1
     }
     edges.unpersist()
+    e0.unpersist()
     // Unconverged labels are WRONG (a node may point at an id that itself
     // migrated to a lower cluster), and a wrong cluster_id silently breaks
     // keeper selection downstream — fail loudly instead.

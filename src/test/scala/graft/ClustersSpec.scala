@@ -17,6 +17,25 @@ class ClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("components: distributed loop (localEdgeLimit=0) gives same labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs, localEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("components: non-integral ids fall back to the distributed loop") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("dedup clusters: every cluster has exactly one keeper") {
     val docs = Tables.load(spark, sf0001, "documents")
     val out = Clusters.dedupClusters(docs, "doc_id", "text")
