@@ -8,10 +8,13 @@ import graft.sources.Tables
 
 /** LLM-training-data pipeline operators (driver mandate, SURVEY §7.3):
   * dedup family, similarity search, text analysis, multimodal plumbing —
-  * each driver-checkable, with a DuckDB oracle wherever the algorithm is
-  * ANSI-SQL-expressible. SimHash and LSH-bucketed ANN use xxhash64 (not
-  * available in DuckDB) and get rows-only checks; their correctness is
-  * covered by ScalaTest equivalence tests against the exact variants.
+  * each driver-checkable with a DuckDB oracle. Where the production fast
+  * path uses xxhash64 (not available in DuckDB), the driver-checked
+  * query runs the same operator with an oracle-expressible hash
+  * (`TextOps.md5Hash60`) — the operator code is identical, only the
+  * pluggable hash differs, and the xxhash64 path keeps its ScalaTest
+  * equivalence coverage. LSH bucket keys are reproduced exactly in SQL
+  * from `Similarity.planeValues` literals.
   */
 object ExtensionQueries {
 
@@ -92,10 +95,13 @@ object ExtensionQueries {
           t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .orderBy("doc_id")),
 
-    // SimHash pigeonhole join (rows-only check: xxhash64 not in DuckDB).
+    // SimHash pigeonhole join. The driver-checked variant hashes tokens
+    // with md5Hash60 so DuckDB can replay the signature math exactly;
+    // the xxhash64 default stays the production fast path (equivalence
+    // of the pigeonhole join itself is spec-asserted on both).
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-          maxDist = 3)
+          maxDist = 3, tokenHash = TextOps.md5Hash60)
         .orderBy("id_a", "id_b")),
 
     // Embedding-cosine near-dup pairs (exact, double math).
@@ -112,8 +118,9 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN top-k (the 100 TB path; rows-only check —
-    // equivalence vs brute force is asserted in SimilaritySpec).
+    // LSH-bucketed ANN top-k (the 100 TB path). The oracle replays the
+    // hyperplane projections from planeValues literals, so the bucketing
+    // itself — not just the final ranking — is DuckDB-verified.
     "sim_topk_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 10),
@@ -203,6 +210,59 @@ object ExtensionQueries {
          |  coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_simhash" -> {
+      // md5Hash60 in DuckDB: same 15 hex chars of md5, hex-parsed. Bits
+      // 60-63 of the hash are constant zero, so their votes are strictly
+      // negative and the corresponding sim bits never set — the SQL only
+      // generates bits 0-59 (the Spark side computes all 64; bits 60-63
+      // evaluate to 0 identically).
+      val votes = (0 until 60).map(i =>
+        s"sum(((h >> $i) & 1) * 2 - 1) AS v$i").mkString(", ")
+      val sim = (0 until 60).map(i =>
+        s"(CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |h AS (SELECT doc_id,
+         |  ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+         |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+         |s AS (SELECT doc_id, $sim AS sim FROM v)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "sim_topk_lsh" -> {
+      // Exact replay of lshBucketKeys: per (table, bit) the hyperplane
+      // components are emitted as double literals (Double.toString
+      // round-trips, and embedding::DOUBLE[] widens floats exactly, so
+      // the projection sign matches Spark's FloatVecDot bit for bit).
+      def planeList(tb: Int, b: Int): String =
+        "[" + Similarity.planeValues(tb, b)
+          .map(java.lang.Double.toString).mkString(",") + "]"
+      def keySql(tb: Int): String =
+        (0 until 8).map { b =>
+          val dot = s"list_sum(list_transform(range(1, len(v) + 1), " +
+            s"i -> v[i] * (${planeList(tb, b)})[i]))"
+          s"(CASE WHEN $dot > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+      val keys = (0 until 8).map(tb => s"(${keySql(tb)}) AS k$tb").mkString(", ")
+      val collide = (0 until 8).map(tb => s"q.k$tb = c.k$tb").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |k AS (SELECT vec_id, v, $keys FROM e),
+         |cand AS (SELECT q.vec_id AS query_id, q.v AS qv,
+         |    c.vec_id AS neighbor_id, c.v AS cv
+         |  FROM k q JOIN k c ON q.vec_id != c.vec_id AND ($collide)
+         |  WHERE q.vec_id < 10),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  round(${cosineSql("qv", "cv")}, 6) AS cos FROM cand)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -77,6 +77,10 @@ final class JdbcConnector(
     upperBound: Option[String] = None,
 ) extends Connector {
 
+  // ClickHouse URLs get the reference's type semantics (S3) via the
+  // registered dialect; other URLs use Spark's stock dialects.
+  if (ClickHouseDialect.canHandle(url)) ClickHouseDialect.register()
+
   private def base = {
     var r = spark.read.format("jdbc")
       .option("url", url)
