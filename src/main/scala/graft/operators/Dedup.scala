@@ -94,7 +94,12 @@ object Dedup {
     df.select(
       col(idCol).as("id"),
       TextOps.wordShingles(TextOps.tokens(col(textCol)), shingleLen).as("sh"))
-      .withColumn("hs", array_sort(transform(col("sh"), s => xxhash64(s))))
+      // NULL text → empty set, not a null array: null-text docs then flow
+      // through signature/verify plumbing as ordinary no-shingle rows
+      // (they can never pair) instead of nulling out downstream exprs.
+      .withColumn("hs", coalesce(
+        array_sort(transform(col("sh"), s => xxhash64(s))),
+        array().cast("array<bigint>")))
       .select("id", "hs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -110,8 +115,9 @@ object Dedup {
     * document's RAREST shingles, so popular shingles (which would pair
     * everything with everything in a small-vocabulary corpus) never become
     * join keys. Any fixed total order preserves exactness; frequency order
-    * just minimizes candidates. A size-ratio prefilter (|A|·t ≤ |B| ≤
-    * |A|/t, also implied by J ≥ t) prunes before the array intersection.
+    * just minimizes candidates. Candidate verification is the early-exit
+    * thresholded merge scan in `verifyPairs` (the size-ratio implication
+    * of J ≥ t is enforced there by the scan's reachability bound).
     */
   def ngramJaccardNearDups(
       df: DataFrame, idCol: String, textCol: String,

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * partition-wise.
   *
   * The Spark-side design is the real thing — schema, partition shaping,
-  * typed Dataset boundary, batch iteration — while the codec itself is a
-  * clearly marked deterministic STUB (this container has no image/audio
-  * libraries). A production deployment swaps `stubDecode` for a JNI/
+  * typed Dataset boundary, batch iteration — and header-level metadata
+  * (dimensions, sample rates) is parsed from REAL container layouts
+  * (`Containers`: BMP/PNG/GIF/WAV, pure byte arithmetic). Pixel/sample
+  * decoding is the one remaining stub (this sandbox has no codec
+  * libraries); a production deployment swaps it for a JNI/
   * process-isolated decoder without touching the plumbing.
   *
   * Scale notes:
@@ -30,38 +32,51 @@ object Multimodal {
       kind: String,           // "image" | "audio" | "video"
       content: Array[Byte])
 
-  /** Typed decode output (the feature schema downstream ops consume). */
+  /** Typed decode output (the feature schema downstream ops consume).
+    * `width`/`height` are real container dimensions for recognized image
+    * formats; `sample_rate`/`channels`/`bits_per_sample` for WAV audio;
+    * 0 where the format doesn't carry the field. `format` is the
+    * detected container ("bmp"/"png"/"gif"/"wav") or "unknown".
+    */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
+      format: String,
       n_bytes: Int,
       header_hex: String,
-      fake_width: Int,
-      fake_height: Int,
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
       mean_byte: Double)
 
-  /** STUB decoder — deterministic fake standing in for libjpeg/ffmpeg.
-    * Derives "dimensions" from header bytes and a brightness proxy from
-    * the byte mean. Replace with a real codec at deployment; the
-    * signature (Iterator→Iterator, one partition per call) is the real
-    * contract a native decoder needs.
+  /** Decoder: REAL container-header parsing (`Containers.parse` — BMP,
+    * PNG, GIF, WAV from raw bytes, no external libs) plus a brightness
+    * proxy from the byte mean. Only pixel/sample DECODING remains out of
+    * scope (no codec libraries in this container) — a production
+    * deployment adds a JNI/process-isolated codec behind the same
+    * Iterator→Iterator, one-call-per-partition contract.
     */
-  def stubDecode(files: Iterator[MediaFile]): Iterator[MediaFeatures] =
+  def decode(files: Iterator[MediaFile]): Iterator[MediaFeatures] =
     files.map { m =>
       val header = m.content.take(8)
       val hex = header.map("%02x".format(_)).mkString
-      val h0 = if (header.nonEmpty) java.lang.Byte.toUnsignedInt(header(0)) else 0
-      val h1 = if (header.length > 1) java.lang.Byte.toUnsignedInt(header(1)) else 0
       val mean =
         if (m.content.isEmpty) 0.0
         else m.content.map(java.lang.Byte.toUnsignedInt(_).toLong).sum.toDouble / m.content.length
+      val h = Containers.parse(m.content)
       MediaFeatures(
         media_id = m.media_id,
         kind = m.kind,
+        format = h.format,
         n_bytes = m.content.length,
         header_hex = hex,
-        fake_width = 64 + h0 * 4,   // ??? real impl: parse container header
-        fake_height = 64 + h1 * 4,  // ??? real impl: parse container header
+        width = h.width,
+        height = h.height,
+        sample_rate = h.sampleRate,
+        channels = h.channels,
+        bits_per_sample = h.bitsPerSample,
         mean_byte = mean)
     }
 
@@ -80,7 +95,7 @@ object Multimodal {
       partitions: Int = 32): Dataset[MediaFeatures] = {
     import spark.implicits._
     val shaped = shapeForDecode(media.toDF(), partitions).as[MediaFile]
-    shaped.mapPartitions(stubDecode _)
+    shaped.mapPartitions(decode _)
   }
 
   /** One sampled frame of a (fake) video payload. */
@@ -130,8 +145,11 @@ object Multimodal {
     media.mapPartitions(_.map(m => m.copy(content = resizeStub(m.content, factor))))
   }
 
-  /** Demo corpus: wrap a text table's bytes as fake media blobs (no media
-    * fixtures ship in the container).
+  /** Demo corpus: wrap a text table's bytes in REAL containers (BMP for
+    * "image", WAV for "audio", bare bytes for "video") with dimensions /
+    * rates derived deterministically from the id — no media fixtures ship
+    * in the container, but the decode path still parses genuine BMP and
+    * RIFF layouts end to end.
     */
   def demoCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -141,5 +159,17 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("content"))
       .as[MediaFile]
+      .mapPartitions(_.map { m =>
+        val wrapped = m.kind match {
+          case "image" =>
+            Containers.synthBmp(64 + (m.media_id % 97).toInt,
+              64 + (m.media_id % 53).toInt, m.content)
+          case "audio" =>
+            Containers.synthWav(8000 + 100 * (m.media_id % 441).toInt,
+              1 + (m.media_id % 2).toInt, 16, m.content)
+          case _ => m.content
+        }
+        m.copy(content = wrapped)
+      })
   }
 }

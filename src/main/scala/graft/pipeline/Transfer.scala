@@ -109,10 +109,14 @@ object Transfer {
       }
 
     // One pass for the write; counts computed on cached narrow plans.
+    // The source count runs BEFORE the write: if source and target
+    // overlap (self-append) or the source is concurrently mutated,
+    // accounting must reflect the rows this run actually saw, not the
+    // post-write state (rowsFiltered would otherwise go negative).
     val cached = toWrite.cache()
     val written = cached.count()
-    sink.write(cached, cfg.target, cfg.mode)
     val read = src.count()
+    sink.write(cached, cfg.target, cfg.mode)
     cached.unpersist()
     RunStats(
       rowsRead = read,

@@ -1,9 +1,34 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{Containers, Multimodal}
 import graft.sources.Tables
 
 class MultimodalSpec extends SparkSpec {
+
+  test("container parsing: true dimensions/rates from synthesized headers") {
+    val payload = "some payload bytes".getBytes
+    val bmp = Containers.parse(Containers.synthBmp(640, 480, payload))
+    assert(bmp.format == "bmp" && bmp.width == 640 && bmp.height == 480)
+    val wav = Containers.parse(Containers.synthWav(44100, 2, 16, payload))
+    assert(wav.format == "wav" && wav.sampleRate == 44100 &&
+      wav.channels == 2 && wav.bitsPerSample == 16)
+    // PNG: hand-built signature + IHDR for 300x200
+    val png = java.nio.ByteBuffer.allocate(24)
+      .putInt(0x89504e47).putInt(0x0d0a1a0a)
+      .putInt(13).put("IHDR".getBytes).putInt(300).putInt(200).array()
+    val p = Containers.parse(png)
+    assert(p.format == "png" && p.width == 300 && p.height == 200)
+    // GIF89a 12x34 little-endian
+    val gif = "GIF89a".getBytes ++ Array[Byte](12, 0, 34, 0)
+    val g = Containers.parse(gif)
+    assert(g.format == "gif" && g.width == 12 && g.height == 34)
+    // garbage → unknown, not an exception
+    assert(Containers.parse("not a container".getBytes).format == "unknown")
+    assert(Containers.parse(Array.emptyByteArray).format == "unknown")
+    // truncated magic-only prefixes must not throw either
+    assert(Containers.parse("RIFF".getBytes).format == "unknown")
+    assert(Containers.parse(Array[Byte]('B', 'M')).format == "unknown")
+  }
 
   test("binary pipeline: shape → partition-wise decode → typed features") {
     val docs = Tables.load(spark, sf0001, "documents")
@@ -17,8 +42,22 @@ class MultimodalSpec extends SparkSpec {
       assert(f.header_hex.length == 16) // 8 bytes hex'd
       assert(f.mean_byte > 0 && f.mean_byte < 255)
       assert(Set("image", "audio", "video").contains(f.kind))
+      // real parsing of the synthesized containers, per kind
+      f.kind match {
+        case "image" =>
+          assert(f.format == "bmp")
+          assert(f.width == 64 + (f.media_id % 97).toInt)
+          assert(f.height == 64 + (f.media_id % 53).toInt)
+        case "audio" =>
+          assert(f.format == "wav")
+          assert(f.sample_rate == 8000 + 100 * (f.media_id % 441).toInt)
+          assert(f.channels == 1 + (f.media_id % 2).toInt)
+          assert(f.bits_per_sample == 16)
+        case _ =>
+          assert(f.format == "unknown" && f.width == 0 && f.sample_rate == 0)
+      }
     }
-    // deterministic stub: same input → same features
+    // deterministic: same input → same features
     val again = Multimodal.extractFeatures(spark, media, partitions = 3).collect()
     assert(rows.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
   }
