@@ -89,8 +89,11 @@ object Dedup {
   /** Persisted (id, sorted distinct xxhash64-shingle array) table — the
     * shared input of signature generation and pair verification.
     */
-  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int): DataFrame =
+  private def shingleTable(df0: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int): DataFrame = {
+    // Shingling is the CPU-heavy narrow stage; don't let a few-row-group
+    // input serialize it (no-op on well-partitioned inputs).
+    val df = graft.sources.Tables.rebalanceForCompute(df0)
     df.select(
       col(idCol).as("id"),
       TextOps.wordShingles(TextOps.tokens(col(textCol)), shingleLen).as("sh"))
@@ -102,6 +105,7 @@ object Dedup {
         array().cast("array<bigint>")))
       .select("id", "hs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (SSJoin /
     * AllPairs family — public algorithm): under any global total order of
@@ -219,8 +223,9 @@ object Dedup {
     * path) or `TextOps.md5Hash60` (oracle-checkable in DuckDB; its top 4
     * bits are constant, which leaves Hamming distances intact).
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+  def simhashSignatures(df0: DataFrame, idCol: String, textCol: String,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val df = graft.sources.Tables.rebalanceForCompute(df0)
     val toks = df.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("t"))
       .withColumn("h", tokenHash(col("t")))

@@ -34,8 +34,11 @@ object Similarity {
     */
   def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val n = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VecOps.norm(col(vecCol)).as("nrm"))
+    // The O(n²) scan parallelizes over the stream side's partitions —
+    // a few-row-group input would run it single-threaded.
+    val n = graft.sources.Tables.rebalanceForCompute(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        VecOps.norm(col(vecCol)).as("nrm")))
     val a = n.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = n.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
@@ -53,8 +56,9 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       VecOps.norm(col(vecCol)).as("q_nrm")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      VecOps.norm(col(vecCol)).as("c_nrm"))
+    val c = graft.sources.Tables.rebalanceForCompute(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        VecOps.norm(col(vecCol)).as("c_nrm")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         round(VecOps.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6))
@@ -111,8 +115,9 @@ object Similarity {
     * table; verified with exact cosine. Same output contract as
     * `bruteForcePairs` minus LSH misses (tunable via tables/bits).
     */
-  def lshNearDups(df: DataFrame, idCol: String, vecCol: String,
+  def lshNearDups(df0: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 8, bits: Int = 8): DataFrame = {
+    val df = graft.sources.Tables.rebalanceForCompute(df0)
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       explode(lshBucketKeys(col(vecCol), tables, bits)).as("bkey"))
     val a = keyed.select(col("id").as("id_a"), col("bkey"))
@@ -131,8 +136,9 @@ object Similarity {
     * rank within candidates. The scale path for ANN search: cost is
     * proportional to bucket occupancy, not corpus size.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+  def lshTopK(corpus0: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, tables: Int = 8, bits: Int = 8): DataFrame = {
+    val corpus = graft.sources.Tables.rebalanceForCompute(corpus0)
     val ck = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       explode(lshBucketKeys(col(vecCol), tables, bits)).as("bkey"))
     val qk = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),

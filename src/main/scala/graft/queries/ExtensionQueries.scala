@@ -21,6 +21,12 @@ object ExtensionQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** CPU-heavy narrow transforms over a few-row-group table serialize on
+    * the unsplittable scan — rebalance first (no-op on real inputs).
+    */
+  private def tc(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.rebalanceForCompute(t(s, dir, name))
+
   // --- shared DuckDB SQL fragments (mirror TextOps exactly) -------------
 
   /** Tokens of `text`: lowercase, whitespace split, empties removed. */
@@ -130,7 +136,7 @@ object ExtensionQueries {
 
     // Token / character / punctuation statistics.
     "text_stats" -> ((s, dir) =>
-      t(s, dir, "documents").select(
+      tc(s, dir, "documents").select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         length(col("text")).as("n_chars"),
@@ -140,14 +146,14 @@ object ExtensionQueries {
 
     // Heuristic language ID (stopword argmax + CJK ratio).
     "text_langid" -> ((s, dir) =>
-      t(s, dir, "documents").select(
+      tc(s, dir, "documents").select(
         col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
 
     // Composite quality score.
     "text_quality" -> ((s, dir) =>
-      t(s, dir, "documents").select(
+      tc(s, dir, "documents").select(
         col("doc_id"),
         TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
@@ -159,7 +165,7 @@ object ExtensionQueries {
     // shuffles one row per gram.)
     "text_fingerprint" -> ((s, dir) => {
       val wf = graft.expressions.WinnowFingerprint.of(col("text"))
-      t(s, dir, "documents").select(
+      tc(s, dir, "documents").select(
           col("doc_id"),
           TextOps.wordSetFingerprint(col("text")).as("fp_wordset"),
           wf.getField("fp_winnow").as("fp_winnow"),
@@ -171,7 +177,7 @@ object ExtensionQueries {
     // text column stands in for the blob (no media libs in-container);
     // the decode stub lives in Multimodal.scala.
     "multimodal_features" -> ((s, dir) =>
-      t(s, dir, "documents").select(
+      tc(s, dir, "documents").select(
         col("doc_id"),
         length(col("text").cast("binary")).as("n_bytes"),
         md5(col("text").cast("binary")).as("content_md5"),

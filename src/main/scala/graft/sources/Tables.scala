@@ -52,4 +52,25 @@ object Tables {
       d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
     }
   }
+
+  /** Guard for CPU-bound narrow transforms (shingling, fingerprinting,
+    * per-row hashing, brute-force vector scans): parquet scans cannot
+    * split a row group, so a table written as few large row groups scans
+    * as few tasks no matter how many cores exist — a single-file
+    * single-row-group input runs the whole downstream map SINGLE-THREADED
+    * while the rest of the cluster idles.
+    *
+    * If (and only if) the scan's partition count is under half the
+    * default parallelism, redistribute rows round-robin across the
+    * executors. On real many-file inputs (any 100 TB table) the
+    * condition is false and this is a no-op — the shuffle cost is only
+    * ever paid on inputs small enough that it is trivially cheap, and
+    * only ahead of compute heavy enough to dwarf it.
+    */
+  def rebalanceForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2))
+      df.repartition(target)
+    else df
+  }
 }
