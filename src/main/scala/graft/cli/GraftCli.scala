@@ -51,7 +51,8 @@ object GraftCli {
       workers: Int = 1,
       increment: Boolean = false,
       schedule: String = "@midnight",
-      once: Boolean = false)
+      once: Boolean = false,
+      logLevel: String = "INFO")
 
   /** Parse `-flag value` / `-flag` args; throws IllegalArgumentException
     * with the reference's error messages on invalid input.
@@ -73,6 +74,10 @@ object GraftCli {
       case "-increment" :: t      => loop(t, c.copy(increment = true))
       case "-schedule" :: v :: t  => loop(t, c.copy(schedule = v))
       case "-once" :: t           => loop(t, c.copy(once = true))
+      // accepted for reference-invocation compatibility
+      // (clickhouse/reader/main.go:36); Spark logging is configured via
+      // log4j, so the value is recorded but not interpreted
+      case "-log" :: v :: t       => loop(t, c.copy(logLevel = v))
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag '$other'")
     }

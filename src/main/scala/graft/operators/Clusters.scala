@@ -36,17 +36,22 @@ object Clusters {
     * Two regimes, guarded like `Dedup.verifyPairs`' broadcast path:
     * near-dup pair graphs are usually MUCH smaller than the corpus (the
     * whole point of blocking), so when the edge count is at most
-    * `localEdgeLimit` (default 2M ≈ tens of MB on the driver) and ids
-    * are integral, the components are solved in one pass of union-find
-    * on the driver — zero iterations, zero per-iteration shuffles, one
-    * collect of an already-materialized tiny table. Larger graphs take
-    * the distributed min-label-propagation loop below.
+    * `localEdgeLimit` (default 500k: collected as primitive longs +
+    * a specialized LongMap ≈ low tens of MB transient driver heap, safe
+    * under the default 1g driver) and ids are integral, the components
+    * are solved in one pass of union-find on the driver — zero
+    * iterations, zero per-iteration shuffles, one collect of an
+    * already-materialized tiny table. Larger graphs take the
+    * distributed min-label-propagation loop below. The local path casts
+    * its output back to the input id type, so the result schema does
+    * not depend on which regime ran.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      checkpointEvery: Int = 5, localEdgeLimit: Long = 2000000L): DataFrame = {
+      checkpointEvery: Int = 5, localEdgeLimit: Long = 500000L): DataFrame = {
     val spark = pairs.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+    val idType = pairs.schema("id_a").dataType
     val e0 = pairs.select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val integralIds = e0.schema.fields.forall(f =>
@@ -55,7 +60,12 @@ object Clusters {
     // The count is the materialization the algorithm needs anyway (every
     // path reads the edges at least once from the cache it fills).
     if (integralIds && e0.count() <= localEdgeLimit) {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      import spark.implicits._
+      // Primitive-long collect (no Row boxing) + specialized LongMap.
+      val edgeArr = e0.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      e0.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
         while (parent(r) != r) r = parent(r)
@@ -66,17 +76,15 @@ object Clusters {
       // Union by MIN: the smaller root becomes the representative, so the
       // final root of every set is its minimum id — same labels as the
       // distributed min-propagation loop.
-      e0.collect().foreach { r =>
-        val a = r.get(0) match { case l: Long => l; case i: Int => i.toLong; case s: Short => s.toLong }
-        val b = r.get(1) match { case l: Long => l; case i: Int => i.toLong; case s: Short => s.toLong }
+      edgeArr.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val ra = find(a); val rb = find(b)
         if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
       }
-      e0.unpersist()
-      import spark.implicits._
       return parent.keysIterator.map(id => (id, find(id))).toSeq
         .toDF("id", "cluster_id")
+        .select(col("id").cast(idType).as("id"),
+          col("cluster_id").cast(idType).as("cluster_id"))
     }
     val edges = e0
       .union(e0.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -85,6 +93,11 @@ object Clusters {
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // The eager label init above materialized `edges`; from here the loop
+    // only reads the edges cache, so the single-direction e0 copy is dead
+    // weight — drop it now rather than holding 1.5× the edge data through
+    // every iteration.
+    e0.unpersist()
 
     var converged = false
     var i = 0
@@ -119,7 +132,6 @@ object Clusters {
       i += 1
     }
     edges.unpersist()
-    e0.unpersist()
     // Unconverged labels are WRONG (a node may point at an id that itself
     // migrated to a lower cluster), and a wrong cluster_id silently breaks
     // keeper selection downstream — fail loudly instead.

@@ -72,16 +72,20 @@ object Containers {
     * is word-aligned: odd sizes are padded by one byte.
     */
   private def parseWav(b: Array[Byte]): MediaHeader = {
-    var off = 12
+    // Long offsets + strictly-increasing advance: a corrupt/malicious
+    // chunk size (e.g. 0xFFFFFFF8) must not wrap the cursor into an
+    // infinite loop or out-of-bounds read — degrade to unknown instead.
+    var off = 12L
     while (off + 8 <= b.length) {
-      val id = ascii(b, off, 4)
-      val size = leU32(b, off + 4)
+      val i = off.toInt
+      val id = ascii(b, i, 4)
+      val size = leU32(b, i + 4) // unsigned, 0..2^32-1
       if (id == "fmt " && off + 8 + 16 <= b.length && size >= 16L)
         return MediaHeader("wav",
-          channels = leU16(b, off + 10),
-          sampleRate = leU32(b, off + 12).toInt,
-          bitsPerSample = leU16(b, off + 22))
-      off += 8 + size.toInt + (size.toInt & 1)
+          channels = leU16(b, i + 10),
+          sampleRate = leU32(b, i + 12).toInt,
+          bitsPerSample = leU16(b, i + 22))
+      off += 8L + size + (size & 1L)
     }
     unknown
   }

@@ -167,7 +167,10 @@ object Multimodal {
           case "audio" =>
             Containers.synthWav(8000 + 100 * (m.media_id % 441).toInt,
               1 + (m.media_id % 2).toInt, 16, m.content)
-          case _ => m.content
+          // 0x00 sentinel: raw text that happened to start with a
+          // container magic ("BM", "RIFF"…) would otherwise parse as
+          // that container with garbage fields.
+          case _ => 0.toByte +: m.content
         }
         m.copy(content = wrapped)
       })

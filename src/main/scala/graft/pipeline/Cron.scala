@@ -130,7 +130,10 @@ object Schedule {
             parseField(mo, 1, 12, monthNames.zipWithIndex.map { case (n, i) => (n, i + 1) }),
             // 7 is an alias for Sunday (0) in most crons
             parseField(dw, 0, 7, dayNames.zipWithIndex).map(d => if (d == 7) 0 else d),
-            domStar = dm == "*", dowStar = dw == "*")
+            // Vixie cron sets the day-field star flag for ANY field
+            // starting with '*' (so "*/2" in dom does NOT trigger the
+            // dom/dow union rule).
+            domStar = dm.startsWith("*"), dowStar = dw.startsWith("*"))
         case _ => throw new IllegalArgumentException(
           s"bad cron rule '$rule' (want 5 fields or a @descriptor)")
       }

@@ -90,8 +90,10 @@ final class ScheduledRunner private (
 
   private def scheduleNext(): Unit = {
     if (stopped) return
+    // +1: toMillis FLOORS, and a tick waking a sub-millisecond early
+    // would recompute the same fire instant and double-run the slot.
     val delay = math.max(1L,
-      Duration.between(clock.instant(), nextFire()).toMillis)
+      Duration.between(clock.instant(), nextFire()).toMillis + 1)
     exec.schedule(new Runnable {
       def run(): Unit = { guardedTick(); scheduleNext() }
     }, delay, TimeUnit.MILLISECONDS)

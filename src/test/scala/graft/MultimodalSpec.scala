@@ -28,6 +28,11 @@ class MultimodalSpec extends SparkSpec {
     // truncated magic-only prefixes must not throw either
     assert(Containers.parse("RIFF".getBytes).format == "unknown")
     assert(Containers.parse(Array[Byte]('B', 'M')).format == "unknown")
+    // malicious RIFF chunk size 0xFFFFFFF8 (would advance the cursor by 0
+    // with signed arithmetic): must terminate with unknown, not hang
+    val evil = "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVE".getBytes ++ "junk".getBytes ++ Array[Byte](-8, -1, -1, -1)
+    assert(Containers.parse(evil).format == "unknown")
   }
 
   test("binary pipeline: shape → partition-wise decode → typed features") {

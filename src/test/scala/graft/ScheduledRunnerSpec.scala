@@ -39,6 +39,10 @@ class ScheduledRunnerSpec extends SparkSpec {
     // dow=7 is Sunday (alias of 0); next Sunday is Aug 16
     assert(Schedule.parse("0 0 * * 7")
       .next(at("2026-08-12T00:00:00Z"), utc) == at("2026-08-16T00:00:00Z"))
+    // Vixie star rule: '*/2' in dom is still a STAR, so dow alone
+    // restricts the day — next Monday (Aug 17), NOT the union's Aug 13
+    assert(Schedule.parse("0 0 */2 * MON")
+      .next(at("2026-08-12T00:00:00Z"), utc) == at("2026-08-17T00:00:00Z"))
   }
 
   test("@hourly, @weekly, @every durations") {
