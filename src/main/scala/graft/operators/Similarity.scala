@@ -132,6 +132,68 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Deterministic pseudo-random IVF anchor component for (cell, dim) —
+    * the coarse quantizer of `ivfTopK`, reproducible by an external
+    * oracle via `anchorValues`. Distinct hash domain from `planeVal`.
+    */
+  private def anchorVal(cell: Int, dim: Int): Float = {
+    val h = scala.util.hashing.MurmurHash3.productHash((cell, dim, 0x1f1f))
+    (h.toDouble / Int.MaxValue).toFloat
+  }
+
+  /** The cell's anchor as exact double values (floats widened). */
+  def anchorValues(cell: Int, dims: Int = 64): Array[Double] =
+    (0 until dims).map(d => anchorVal(cell, d).toDouble).toArray
+
+  /** Per-row array of dot products against all `cells` anchors (each a
+    * codegen'd `FloatVecDot` against a literal float array).
+    */
+  private def anchorDots(vec: Column, cells: Int, dims: Int): Column =
+    array((0 until cells).map { c =>
+      val anchor = typedlit((0 until dims).map(d => anchorVal(c, d)).toArray)
+      VecOps.dot(vec, anchor)
+    }: _*)
+
+  /** IVF-style ANN top-k with a FIXED coarse quantizer: `cells`
+    * deterministic anchor vectors partition the space into argmax-dot
+    * Voronoi cells; every corpus vector is assigned to its cell (1-based
+    * `array_position` of the max dot — first index on ties), and each
+    * query probes only its `nprobe` nearest cells (dot DESC, index ASC).
+    * Candidates get exact cosine + top-k ranking, like `lshTopK`.
+    *
+    * Classic IVF trains the quantizer with k-means; fixed pseudo-random
+    * anchors trade some cell balance for full determinism (the driver
+    * oracle replays the anchors as literals) and zero training passes.
+    * Scale: assignment is a narrow map over the corpus (`cells` codegen
+    * dots/row), the probe join is an equality join on cell id, and cost
+    * ∝ probed-cell occupancy — `cells` grows ~√n at corpus scale.
+    */
+  def ivfTopK(corpus0: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cells: Int = 16, nprobe: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val corpus = graft.sources.Tables.rebalanceForCompute(corpus0)
+    val ck = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("__ds", anchorDots(col("c_vec"), cells, dims))
+      .withColumn("cell", array_position(col("__ds"), array_max(col("__ds"))))
+      .drop("__ds")
+    // nprobe nearest anchors: sort (−dot, idx) structs lexicographically
+    // = dot DESC with idx ASC tie-break, 1-based to match array_position.
+    val probes = slice(transform(
+      array_sort(transform(sequence(lit(0), lit(cells - 1)),
+        i => struct((element_at(col("__ds"), i + 1) * lit(-1.0)).as("negd"),
+          (i + 1).as("idx")))),
+      s => s.getField("idx")), 1, nprobe)
+    val qk = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("__ds", anchorDots(col("q_vec"), cells, dims))
+      .withColumn("cell", explode(probes))
+      .drop("__ds")
+    val scored = broadcast(qk).join(ck, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .select("query_id", "neighbor_id", "cos")
+    rankTopK(scored, k)
+  }
+
   /** LSH-bucketed top-k: query vectors probe their own buckets only, then
     * rank within candidates. The scale path for ANN search: cost is
     * proportional to bucket occupancy, not corpus size.

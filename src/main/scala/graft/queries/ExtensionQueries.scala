@@ -134,6 +134,17 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-style ANN top-k: fixed deterministic coarse quantizer (16
+    // argmax-dot Voronoi cells, 4 probed per query). The oracle replays
+    // the anchors as literals — assignment, probing, and ranking all
+    // DuckDB-verified.
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, cells = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // Token / character / punctuation statistics.
     "text_stats" -> ((s, dir) =>
       tc(s, dir, "documents").select(
@@ -261,6 +272,39 @@ object ExtensionQueries {
          |    c.vec_id AS neighbor_id, c.v AS cv
          |  FROM k q JOIN k c ON q.vec_id != c.vec_id AND ($collide)
          |  WHERE q.vec_id < 10),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  round(${cosineSql("qv", "cv")}, 6) AS cos FROM cand)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "sim_topk_ivf" -> {
+      // Anchor replay mirrors the LSH oracle: Double.toString literals
+      // round-trip, embedding::DOUBLE[] widens exactly, list_indexof and
+      // array_position both return the FIRST max index (tie rule).
+      def anchorList(c: Int): String =
+        "[" + Similarity.anchorValues(c)
+          .map(java.lang.Double.toString).mkString(",") + "]"
+      val dots = (0 until 16).map(c =>
+        s"list_sum(list_transform(range(1, len(v) + 1), " +
+          s"i -> v[i] * (${anchorList(c)})[i]))").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |d AS (SELECT vec_id, v, [$dots] AS ds FROM e),
+         |c AS (SELECT vec_id, v, list_indexof(ds, list_max(ds)) AS cell FROM d),
+         |q AS (SELECT vec_id, v, ds FROM d WHERE vec_id < 10),
+         |qx AS (SELECT vec_id, unnest(ds) AS dot,
+         |         generate_subscripts(ds, 1) AS idx FROM q),
+         |qr AS (SELECT vec_id, idx, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY dot DESC, idx) AS rnk FROM qx),
+         |probe AS (SELECT q.vec_id, q.v, qr.idx AS cell
+         |          FROM q JOIN qr USING (vec_id) WHERE qr.rnk <= 4),
+         |cand AS (SELECT probe.vec_id AS query_id, probe.v AS qv,
+         |           c.vec_id AS neighbor_id, c.v AS cv
+         |         FROM probe JOIN c ON probe.cell = c.cell
+         |           AND probe.vec_id != c.vec_id),
          |scored AS (SELECT query_id, neighbor_id,
          |  round(${cosineSql("qv", "cv")}, 6) AS cos FROM cand)
          |SELECT query_id, neighbor_id, cos, rank FROM (

@@ -41,6 +41,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("IVF top-k: scores agree with brute force, partitions cover the corpus") {
+    val q = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+      cells = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    // any returned (query, neighbor) must carry the exact brute-force score
+    ivf.foreach { case (q2, n, c) =>
+      brute.get((q2, n)).foreach(bc => assert(bc == c)) }
+    val recall = ivf.count { case (q2, n, _) => brute.contains((q2, n)) }.toDouble / brute.size
+    info(s"IVF top-k recall vs brute force (nprobe=4/16): $recall")
+    assert(recall > 0.0)
+    // probing ALL cells must recover brute force exactly (candidate gen
+    // is a partition, not a filter)
+    val full = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+      cells = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == brute)
+    // deterministic: repeated runs identical
+    val again = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+      cells = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("LSH near-dup pairs are a subset of brute-force pairs with equal scores") {
     val brute = Similarity.bruteForcePairs(emb, "vec_id", "embedding", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
