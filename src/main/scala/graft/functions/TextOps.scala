@@ -20,6 +20,15 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenizer count: letter runs, digit runs, and single
+    * other non-space marks each count once (the GPT-2 pre-tokenizer
+    * shape, minus byte-level merges) — the cheap "how many subword-ish
+    * tokens will this cost" estimator a training pipeline filters on.
+    * RE2-compatible pattern, so external oracles reproduce it verbatim.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
   /** Distinct word n-shingles ("w1 w2 w3") of the token array. Documents
     * shorter than n yield one truncated shingle (the whole document).
     */

@@ -150,6 +150,7 @@ object ExtensionQueries {
       tc(s, dir, "documents").select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_tokens_bpe"),
         length(col("text")).as("n_chars"),
         round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
         round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"))
@@ -338,6 +339,7 @@ object ExtensionQueries {
     "text_stats" ->
       raw"""SELECT doc_id,
         |  len($toksSql) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
         |  length(text) AS n_chars,
         |  round(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) /
         |    greatest(length(text), 1), 6) AS punct_ratio,

@@ -78,6 +78,17 @@ object StreamingPipeline {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked streaming tumbling aggregation: bounds the state store
+    * (windows older than `delay` behind the max observed event time are
+    * finalized and dropped) and lets Append mode emit each window exactly
+    * once, when it CLOSES. This is the unbounded-stream shape of
+    * `tumblingAgg` — without a watermark, windowed state grows forever
+    * and Append mode cannot emit at all.
+    */
+  def tumblingAggWatermarked(df: DataFrame, tsCol: String,
+      width: String = "1 day", delay: String = "1 hour"): DataFrame =
+    tumblingAgg(df.withWatermark(tsCol, delay), tsCol, width)
+
   // --- sessionization ----------------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp)

@@ -55,6 +55,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("watermarked tumbling agg: Append emits exactly the closed windows") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val events = Tables.load(spark, sf0001, "events")
+    val batch = StreamingPipeline.tumblingAgg(events, "ts")
+
+    val agg = StreamingPipeline.tumblingAggWatermarked(
+      StreamingPipeline.streamTable(spark, sf0001, "events"), "ts",
+      width = "1 day", delay = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("wm_out").collect().map(_.toSeq).toSet
+
+    // Append + watermark emits a window when the watermark (max event
+    // time - delay) passes its END; windows still open at end-of-input
+    // stay in state. The emitted set must be exactly the batch windows
+    // that closed under the final watermark — deterministic on a finite
+    // fixture.
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val wmMs = maxTs - 3600L * 1000
+    val closed = batch.where(
+      col("window_start").cast("long") * 1000 + 86400000L <= wmMs)
+      .collect().map(_.toSeq).toSet
+    assert(got == closed)
+    assert(got.nonEmpty) // fixture spans > 1 day + delay, so some close
+    // and not everything closes (the last window is always still open)
+    assert(got.size < batch.count())
+  }
+
   test("tumbling agg behind readStream matches the batch result") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val batch = StreamingPipeline.tumblingAgg(
