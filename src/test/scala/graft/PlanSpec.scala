@@ -48,6 +48,30 @@ class PlanSpec extends SparkSpec {
       "no map-side partial aggregation")
   }
 
+  test("ngram verification: broadcast joins, codegen'd scan, no UDF") {
+    val df = graft.queries.ExtensionQueries
+      .queries("dedup_ngram_jaccard")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      "pair verification should broadcast the shingle-set sides")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "verification must stay UDF-free (codegen merge scan)")
+    assert(p.contains("sorted_long_jaccard_ge"),
+      "early-exit jaccard expression not in plan")
+  }
+
+  test("IVF top-k: query side broadcast, cell join not a cross product") {
+    val df = graft.queries.ExtensionQueries
+      .queries("sim_topk_ivf")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      "probe join should broadcast the (tiny) query side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cell probe must be an equality join, not an all-pairs scan")
+  }
+
   test("row hash stays inside whole-stage codegen") {
     // AQE's pre-execution explain omits codegen markers; check the
     // non-adaptive executed plan, where a codegen'd Project prints as
