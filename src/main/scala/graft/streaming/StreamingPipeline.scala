@@ -94,7 +94,11 @@ object StreamingPipeline {
   final case class Event(user_id: Long, ts: java.sql.Timestamp)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
-  private final case class SessionState(events: List[Long]) // epoch micros
+  // Public + Array[Long]: the state encoder's generated code must SEE the
+  // accessor (a private nested case class hides events() from Janino once
+  // state actually round-trips through the store), and the primitive
+  // array avoids collection-encoder overhead per micro-batch.
+  final case class SessionState(events: Array[Long]) // epoch micros
 
   /** Batch sessionization: gap-based sessions via lag + running sum —
     * the oracle-checkable reference semantics.
@@ -120,47 +124,103 @@ object StreamingPipeline {
     * express the semantics. Buffers per-user event times, emits gap-based
     * sessions at end-of-input (AvailableNow) / timeout (continuous).
     */
+  private def toTs(micros: Long): java.sql.Timestamp = {
+    // floorDiv/floorMod keep pre-epoch (negative) instants correct.
+    val secs = Math.floorDiv(micros, 1000000L)
+    val t = new java.sql.Timestamp(secs * 1000)
+    t.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
+    t
+  }
+
+  /** Split a user's (sorted-or-not) event micros into gap-based sessions. */
+  private def emit(user: Long, micros: List[Long],
+      gapSeconds: Long): Iterator[Session] = {
+    if (micros.isEmpty) Iterator.empty
+    else {
+      val sorted = micros.sorted
+      val sessions = scala.collection.mutable.ListBuffer.empty[Session]
+      var start = sorted.head; var prev = sorted.head; var n = 1L
+      for (t <- sorted.tail) {
+        if (t - prev > gapSeconds * 1000000L) {
+          sessions += Session(user, toTs(start), toTs(prev), n)
+          start = t; n = 0
+        }
+        prev = t; n += 1
+      }
+      sessions += Session(user, toTs(start), toTs(prev), n)
+      sessions.iterator
+    }
+  }
+
   def sessionizeStreaming(spark: SparkSession, events: DataFrame,
       gapSeconds: Long): DataFrame = {
     import spark.implicits._
-    def toTs(micros: Long): java.sql.Timestamp = {
-      // floorDiv/floorMod keep pre-epoch (negative) instants correct.
-      val secs = Math.floorDiv(micros, 1000000L)
-      val t = new java.sql.Timestamp(secs * 1000)
-      t.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
-      t
-    }
-    def emit(user: Long, micros: List[Long]): Iterator[Session] = {
-      if (micros.isEmpty) Iterator.empty
-      else {
-        val sorted = micros.sorted
-        val sessions = scala.collection.mutable.ListBuffer.empty[Session]
-        var start = sorted.head; var prev = sorted.head; var n = 1L
-        for (t <- sorted.tail) {
-          if (t - prev > gapSeconds * 1000000L) {
-            sessions += Session(user, toTs(start), toTs(prev), n)
-            start = t; n = 0
-          }
-          prev = t; n += 1
-        }
-        sessions += Session(user, toTs(start), toTs(prev), n)
-        sessions.iterator
-      }
-    }
     events.select(col("user_id"), col("ts")).as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val micros = rows.map { e =>
-            // floorDiv: getTime truncates toward zero for pre-epoch
-            // instants while getNanos is always the positive fraction.
-            Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000
-          }.toList
-          val all = state.getOption.map(_.events).getOrElse(Nil) ++ micros
+          val micros = rows.map(e => tsMicros(e.ts)).toList
+          val all = state.getOption.map(_.events.toList).getOrElse(Nil) ++ micros
           // AvailableNow: single batch per run → emit complete sessions now.
           state.remove()
-          emit(user, all)
+          emit(user, all, gapSeconds)
       }.toDF()
   }
+
+  /** CONTINUOUS-stream sessionization: unlike `sessionizeStreaming`
+    * (which assumes one AvailableNow batch holds all events and emits
+    * everything), this version is correct when a user's session spans
+    * micro-batches. Per batch it buffers the user's events in state and
+    * emits ONLY sessions that have provably closed — gap-complete
+    * against the watermark (no event older than `watermark - gap` can
+    * still arrive, so a session whose last event is `≤ watermark - gap`
+    * can never be extended). The open tail stays in state;
+    * `EventTimeTimeout` fires for users with no new events so their
+    * final sessions still emit once the watermark passes. State per user
+    * is the open-tail event list — bounded by one session's events, not
+    * the stream's history. Requires `withWatermark` on `tsCol` upstream.
+    */
+  def sessionizeContinuous(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    events.select(col("user_id"), col("ts")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val incoming = rows.map(e => tsMicros(e.ts)).toList
+          val all = (state.getOption.map(_.events.toList).getOrElse(Nil) ++ incoming).sorted
+          // Watermark in micros; 0 before the first batch establishes one.
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          // Split: sessions whose LAST event precedes (watermark - gap)
+          // can never be extended by any future on-time event → emit.
+          // Everything newer is the open tail → keep in state.
+          val (closedEvts, openEvts) = all.partition(_ + gapMicros <= wmMicros)
+          // A closed-side event within gap of the open side belongs to the
+          // open session (partition is by timestamp, session by gap chain):
+          // walk back while gap-chained.
+          var closed = closedEvts
+          var open = openEvts
+          while (closed.nonEmpty && open.nonEmpty && open.head - closed.last <= gapMicros) {
+            open = closed.last :: open
+            closed = closed.init
+          }
+          if (open.isEmpty) {
+            state.remove() // nothing pending; next event starts fresh
+          } else {
+            state.update(SessionState(open.toArray))
+            // Fire a timeout once the open tail's gap can close, so the
+            // final session emits even if the user goes quiet.
+            state.setTimeoutTimestamp((open.last + gapMicros) / 1000L + 1L)
+          }
+          emit(user, closed, gapSeconds)
+      }.toDF()
+  }
+
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    // floorDiv: getTime truncates toward zero for pre-epoch instants
+    // while getNanos is always the positive fraction.
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
 }

@@ -84,6 +84,54 @@ class StreamingSpec extends SparkSpec {
     assert(got.size < batch.count())
   }
 
+  test("continuous sessionization: sessions emit once closed, survive batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts").withWatermark("ts", "0 seconds")
+    val out = StreamingPipeline.sessionizeContinuous(spark, events, gapSeconds = 1800)
+    val q = out.writeStream.format("memory").queryName("cont_sessions")
+      .outputMode(OutputMode.Append()).start()
+    def emitted(): Set[Seq[Any]] = spark.table("cont_sessions")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+
+    try {
+      // batch 1: one session's worth of events for user 1 + user 2
+      in.addData((1L, ts(100)), (1L, ts(200)), (2L, ts(150)))
+      q.processAllAvailable()
+      assert(emitted().isEmpty) // watermark hasn't passed session end + gap
+
+      // batch 2: a much later event — the OLD session is now closeable,
+      // but the watermark only advances AFTER this batch, so emission
+      // happens on the next trigger
+      in.addData((1L, ts(5000)))
+      q.processAllAvailable()
+
+      // batch 3: watermark (5000s) now exceeds 200s+1800s — the first
+      // session emits, split across three batches of state
+      in.addData((1L, ts(10000)))
+      q.processAllAvailable()
+      assert(emitted().contains(Seq(1L, ts(100), ts(200), 2L)))
+      assert(emitted().contains(Seq(2L, ts(150), ts(150), 1L))) // timeout fired
+      assert(!emitted().exists(r => r(1) == ts(5000))) // 5000 still open
+
+      // advance watermark past 5000+gap: that session closes too
+      in.addData((1L, ts(20000)))
+      q.processAllAvailable()
+      in.addData((1L, ts(30000)))
+      q.processAllAvailable()
+      assert(emitted().contains(Seq(1L, ts(5000), ts(5000), 1L)))
+      assert(emitted().contains(Seq(1L, ts(10000), ts(10000), 1L)))
+      // the final tail (20000, 30000 are separate sessions; 30000 open)
+      assert(!emitted().exists(r => r(1) == ts(30000)))
+    } finally q.stop()
+  }
+
   test("tumbling agg behind readStream matches the batch result") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val batch = StreamingPipeline.tumblingAgg(
