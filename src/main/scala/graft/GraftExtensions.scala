@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{FloatVecDot, RowHashMd5, SortedLongIntersectCount}
+import graft.expressions.{FloatVecDot, RowHashMd5, SortedLongIntersectCount, SortedLongJaccardGE}
 import graft.plans.TopKStrategy
 
 /** Session wiring for graft's custom Catalyst pieces, so SQL users get
@@ -14,9 +14,10 @@ import graft.plans.TopKStrategy
   *   - `graft.GraftExtensions.register(spark)` at runtime on an existing
   *     session (what the library entry points use).
   *
-  * Registers the TopKPerKey planner strategy and three SQL functions:
+  * Registers the TopKPerKey planner strategy and four SQL functions:
   * `graft_row_hash(cells…)`, `float_vec_dot(a, b)`,
-  * `sorted_long_intersect_count(a, b)`.
+  * `sorted_long_intersect_count(a, b)`,
+  * `sorted_long_jaccard_ge(a, b, threshold)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -52,6 +53,14 @@ object GraftExtensions {
       info(classOf[SortedLongIntersectCount], "sorted_long_intersect_count",
         "_FUNC_(a, b) - intersection size of two sorted distinct bigint arrays"),
       binary("sorted_long_intersect_count", SortedLongIntersectCount(_, _))),
+    ("sorted_long_jaccard_ge",
+      info(classOf[SortedLongJaccardGE], "sorted_long_jaccard_ge",
+        "_FUNC_(a, b, t) - Jaccard of two sorted distinct bigint arrays when >= t, else -1.0 (early exit)"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"sorted_long_jaccard_ge requires exactly 3 arguments, got ${exprs.length}")
+        SortedLongJaccardGE(exprs(0), exprs(1), exprs(2))
+      }),
   )
 
   /** Attach the TopK planner strategy to a live session (idempotent). */

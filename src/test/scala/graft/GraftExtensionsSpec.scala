@@ -23,6 +23,16 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT sorted_long_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS c")
       .first().getInt(0)
     assert(c == 2)
+
+    // J = 2/4 = 0.5: passes t=0.5, fails t=0.6 (early exit → -1)
+    val j = spark.sql(
+      "SELECT sorted_long_jaccard_ge(array(1L, 2L, 5L), array(2L, 3L, 5L), 0.5D) AS j")
+      .first().getDouble(0)
+    assert(j == 0.5)
+    val jf = spark.sql(
+      "SELECT sorted_long_jaccard_ge(array(1L, 2L, 5L), array(2L, 3L, 5L), 0.6D) AS j")
+      .first().getDouble(0)
+    assert(jf == -1.0)
   }
 
   test("registration is idempotent") {
