@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** The whitespace class, spelled out: Java `\s` includes vertical tab
+    * (), RE2's does not — an explicit identical class keeps Spark
+    * and the DuckDB (RE2) oracle splitting on exactly the same set.
+    */
+  private[graft] val wsClass = "[ \\t\\n\\r\\f\\x0B]"
+
   /** Lowercased whitespace tokens, empties removed. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    filter(split(lower(text), wsClass + "+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -27,7 +33,8 @@ object TextOps {
     * RE2-compatible pattern, so external oracles reproduce it verbatim.
     */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0)))
 
   /** Distinct word n-shingles ("w1 w2 w3") of the token array. Documents
     * shorter than n yield one truncated shingle (the whole document).

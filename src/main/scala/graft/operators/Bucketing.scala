@@ -22,10 +22,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, in-bucket-sorted managed table. */
+  /** Write `df` as a bucketed, in-bucket-sorted managed table.
+    *
+    * The repartition on the bucket key is load-bearing: without it each
+    * INPUT partition writes one file per bucket it holds rows for — up
+    * to partitions × buckets small files (metadata blowup at exactly
+    * the scale bucketing exists for). Repartitioned, each bucket is one
+    * task's output: one file per bucket.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode(mode)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")

@@ -36,27 +36,35 @@ object Clusters {
     * Two regimes, guarded like `Dedup.verifyPairs`' broadcast path:
     * near-dup pair graphs are usually MUCH smaller than the corpus (the
     * whole point of blocking), so when the edge count is at most
-    * `localEdgeLimit` (default 500k: collected as primitive longs +
-    * a specialized LongMap ≈ low tens of MB transient driver heap, safe
-    * under the default 1g driver) and ids are integral, the components
+    * `localEdgeLimit` (default 1M: collected tuples + a specialized
+    * LongMap + the result list ≈ 200 MB transient driver heap worst
+    * case — sized against the default 1g driver) and ids are integral,
+    * the components
     * are solved in one pass of union-find on the driver — zero
     * iterations, zero per-iteration shuffles, one collect of an
     * already-materialized tiny table. Larger graphs take the
     * distributed min-label-propagation loop below. The local path casts
-    * its output back to the input id type, so the result schema does
-    * not depend on which regime ran.
+    * its output back to the (single) input id type, so for same-width
+    * integral ids the result schema does not depend on which regime
+    * ran; mixed-width id columns always take the distributed loop.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      checkpointEvery: Int = 5, localEdgeLimit: Long = 500000L): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 100,
+      checkpointEvery: Int = 5, localEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
     val idType = pairs.schema("id_a").dataType
     val e0 = pairs.select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Local path requires integral ids of the SAME width on both sides:
+    // mixed (int, bigint) columns would make the output cast lossy (a
+    // bigint id above Int.MaxValue cast to the int side's type throws
+    // under ANSI). Mixed-width graphs take the distributed loop, whose
+    // union coerces to the wider type.
     val integralIds = e0.schema.fields.forall(f =>
       f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == ShortType)
+        f.dataType == ShortType) &&
+      e0.schema.fields.map(_.dataType).distinct.length == 1
     // The count is the materialization the algorithm needs anyway (every
     // path reads the edges at least once from the cache it fills).
     if (integralIds && e0.count() <= localEdgeLimit) {
@@ -139,7 +147,9 @@ object Clusters {
       if (prev != null) prev.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations " +
-          s"(component diameter exceeds maxIter); raise maxIter")
+          s"(component diameter exceeds maxIter); raise maxIter — or, for " +
+          s"deep-chain graphs that fit the driver, raise localEdgeLimit " +
+          s"so the union-find path (no iteration bound) takes them")
     }
     // The final labels stay persisted: the caller consumes them lazily and
     // the last iteration's cache is the result's only materialization.

@@ -81,15 +81,23 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, bit,
-    * dim), folded into [-1, 1]. Planes are materialized as LITERAL float
-    * arrays so the projection runs through the codegen'd `FloatVecDot`
-    * instead of an interpreted zip_with/aggregate fold per (row, plane).
+  /** Deterministic pseudo-random unit component from a salt tuple,
+    * folded into [-1, 1] — the ONE source of truth for both the LSH
+    * hyperplanes and the IVF anchors (oracle parity depends on both
+    * sides of each pair reading the same fold).
     */
-  private def planeVal(table: Int, bit: Int, dim: Int): Float = {
-    val h = scala.util.hashing.MurmurHash3.productHash((table, bit, dim))
+  private def hashUnit(salt: Product): Float = {
+    val h = scala.util.hashing.MurmurHash3.productHash(salt)
     (h.toDouble / Int.MaxValue).toFloat
   }
+
+  /** Deterministic pseudo-random hyperplane component for (table, bit,
+    * dim). Planes are materialized as LITERAL float arrays so the
+    * projection runs through the codegen'd `FloatVecDot` instead of an
+    * interpreted zip_with/aggregate fold per (row, plane).
+    */
+  private def planeVal(table: Int, bit: Int, dim: Int): Float =
+    hashUnit((table, bit, dim))
 
   /** The (table, bit) hyperplane as exact double values (floats widened) —
     * lets an external oracle reproduce `lshBucketKeys` bit-identically.
@@ -136,10 +144,8 @@ object Similarity {
     * the coarse quantizer of `ivfTopK`, reproducible by an external
     * oracle via `anchorValues`. Distinct hash domain from `planeVal`.
     */
-  private def anchorVal(cell: Int, dim: Int): Float = {
-    val h = scala.util.hashing.MurmurHash3.productHash((cell, dim, 0x1f1f))
-    (h.toDouble / Int.MaxValue).toFloat
-  }
+  private def anchorVal(cell: Int, dim: Int): Float =
+    hashUnit((cell, dim, 0x1f1f)) // distinct salt domain from planeVal
 
   /** The cell's anchor as exact double values (floats widened). */
   def anchorValues(cell: Int, dims: Int = 64): Array[Double] =

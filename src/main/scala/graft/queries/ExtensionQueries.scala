@@ -29,9 +29,12 @@ object ExtensionQueries {
 
   // --- shared DuckDB SQL fragments (mirror TextOps exactly) -------------
 
-  /** Tokens of `text`: lowercase, whitespace split, empties removed. */
+  /** Tokens of `text`: lowercase, whitespace split, empties removed.
+    * Explicit whitespace class matching `TextOps.wsClass` exactly (RE2's
+    * `\s` lacks \x0B; Java's includes it).
+    */
   private val toksSql =
-    raw"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+    raw"list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x != '')"
 
   /** Distinct word n-shingles over token list `T`. */
   private def shinglesSql(T: String, n: Int): String =
@@ -339,7 +342,7 @@ object ExtensionQueries {
     "text_stats" ->
       raw"""SELECT doc_id,
         |  len($toksSql) AS n_tokens,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]')) AS n_tokens_bpe,
         |  length(text) AS n_chars,
         |  round(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) /
         |    greatest(length(text), 1), 6) AS punct_ratio,
