@@ -12,6 +12,7 @@ import graft.sources.{Connector, FileConnector, JdbcConnector}
   * {{{
   * runMain graft.cli.GraftCli \
   *   -url jdbc:clickhouse://host:8123/db   (or file:/data/dir[#format])
+  *   -target-url <url>                     (optional: sink storage; default -url)
   *   -user default -password ''
   *   -from db.src_table -to db.dst_table
   *   -fields f1,f2,... | '*'
@@ -40,6 +41,7 @@ object GraftCli {
 
   final case class Conf(
       url: String = "",
+      targetUrl: String = "", // empty → same storage as -url (reference shape)
       user: String = "default",
       password: String = "",
       from: String = "",
@@ -62,6 +64,7 @@ object GraftCli {
     def loop(rest: List[String], c: Conf): Conf = rest match {
       case Nil => c
       case "-url" :: v :: t       => loop(t, c.copy(url = v))
+      case "-target-url" :: v :: t => loop(t, c.copy(targetUrl = v))
       case "-user" :: v :: t      => loop(t, c.copy(user = v))
       case "-password" :: v :: t  => loop(t, c.copy(password = v))
       case "-from" :: v :: t      => loop(t, c.copy(from = v))
@@ -130,10 +133,23 @@ object GraftCli {
       orderBy = c.order.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq,
       increment = c.increment)
 
+  /** Source/sink pair: the reference reads and writes "the database" at
+    * `-url` (its -from/-to are two tables of one storage); `-target-url`
+    * optionally points the sink at a different storage — without it, a
+    * file-mode `-to` lands UNDER the source root, which is rarely what a
+    * file user means.
+    */
+  private[cli] def connectors(spark: SparkSession, c: Conf): (Connector, Connector) = {
+    val src = connector(spark, c)
+    val sink = if (c.targetUrl.isEmpty) src
+      else connector(spark, c.copy(url = c.targetUrl))
+    (src, sink)
+  }
+
   /** One tick with the parsed flags — the `-once` path and the spec seam. */
   def runOnce(spark: SparkSession, c: Conf): RunStats = {
-    val conn = connector(spark, c)
-    Transfer.run(conn, conn, transferConfig(c))
+    val (src, sink) = connectors(spark, c)
+    Transfer.run(src, sink, transferConfig(c))
   }
 
   def main(args: Array[String]): Unit = {
@@ -152,8 +168,8 @@ object GraftCli {
       val stats = runOnce(spark, c)
       println(s"RUN: $stats")
     } else {
-      val conn = connector(spark, c)
-      val runner = new ScheduledRunner(conn, conn, transferConfig(c),
+      val (src, sink) = connectors(spark, c)
+      val runner = new ScheduledRunner(src, sink, transferConfig(c),
         c.schedule, (s: RunStats) => println(s"RUN: $s"))
       println(s"Scheduled '${c.schedule}', next fire ${runner.nextFire()}")
       runner.start()

@@ -45,6 +45,17 @@ class GraftCliSpec extends SparkSpec {
     assert(cliStats.rowsWritten > 0)
   }
 
+  test("-target-url routes the sink to a different storage root") {
+    val tmp = Files.createTempDirectory("graft-cli-tgt").toString
+    val conf = GraftCli.parse(Seq(
+      "-url", s"file:$sf0001", "-target-url", s"file:$tmp",
+      "-from", "events", "-to", "out",
+      "-fields", "event_id,user_id", "-window", "user_id:0:5", "-once"))
+    val stats = GraftCli.runOnce(spark, conf)
+    assert(stats.rowsWritten > 0)
+    assert(spark.read.parquet(s"$tmp/out.parquet").count() == stats.rowsWritten)
+  }
+
   test("flag parsing: defaults, '*' fields, window split") {
     val c = GraftCli.parse(Seq("-url", "file:/x", "-from", "a", "-to", "b"))
     assert(c.fields == "*" && c.schedule == "@midnight" && c.batch == 1000 &&
