@@ -148,6 +148,16 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Deterministic per-group downsampling: at most 50 docs per language,
+    // chosen by smallest (md5-hash, id) — the pre-mix corpus cap, running
+    // through the bounded-heap TopKPerKey operator.
+    "sample_per_group" -> ((s, dir) =>
+      graft.operators.Sampling.capPerGroup(
+          t(s, dir, "documents"), Seq("lang"), "doc_id", k = 50,
+          hashFn = TextOps.md5Hash60)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // Token / character / punctuation statistics.
     "text_stats" -> ((s, dir) =>
       tc(s, dir, "documents").select(
@@ -338,6 +348,14 @@ object ExtensionQueries {
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sample_per_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+        |      doc_id) AS rn
+        |  FROM documents) r
+        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       raw"""SELECT doc_id,
