@@ -72,6 +72,21 @@ class PlanSpec extends SparkSpec {
       "cell probe must be an equality join, not an all-pairs scan")
   }
 
+  test("rebalanceForCompute: expands starved scans, no-ops healthy ones") {
+    import spark.implicits._
+    val starved = (1 to 100).toDF("x").coalesce(1)
+    val fixed = graft.sources.Tables.rebalanceForCompute(starved)
+    assert(fixed.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // an input already at/above half default parallelism is untouched —
+    // the guard must never introduce a shuffle on a healthy (real,
+    // many-file) input
+    val healthy = (1 to 100).toDF("x")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val same = graft.sources.Tables.rebalanceForCompute(healthy)
+    assert(same eq healthy)
+  }
+
   test("row hash stays inside whole-stage codegen") {
     // AQE's pre-execution explain omits codegen markers; check the
     // non-adaptive executed plan, where a codegen'd Project prints as
