@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** The whitespace class, spelled out: Java `\s` includes vertical tab
-    * (), RE2's does not — an explicit identical class keeps Spark
-    * and the DuckDB (RE2) oracle splitting on exactly the same set.
+  /** The whitespace set, spelled out once: Java `\s` includes vertical
+    * tab (\x0B), RE2's does not — every Spark regex AND every DuckDB
+    * oracle fragment derives from THIS string (escapes pass through SQL
+    * single-quotes verbatim, so the same characters reach both engines).
     */
-  private[graft] val wsClass = "[ \\t\\n\\r\\f\\x0B]"
+  private[graft] val wsChars = " \\t\\n\\r\\f\\x0B"
+  private[graft] val wsClass = s"[$wsChars]"
 
   /** Lowercased whitespace tokens, empties removed. */
   def tokens(text: Column): Column =
@@ -34,7 +36,7 @@ object TextOps {
     */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text,
-      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]"), lit(0)))
+      lit(s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9$wsChars]"), lit(0)))
 
   /** Distinct word n-shingles ("w1 w2 w3") of the token array. Documents
     * shorter than n yield one truncated shingle (the whole document).

@@ -36,9 +36,12 @@ object Clusters {
     * Two regimes, guarded like `Dedup.verifyPairs`' broadcast path:
     * near-dup pair graphs are usually MUCH smaller than the corpus (the
     * whole point of blocking), so when the edge count is at most
-    * `localEdgeLimit` (default 1M: collected tuples + a specialized
-    * LongMap + the result list ≈ 200 MB transient driver heap worst
-    * case — sized against the default 1g driver) and ids are integral,
+    * `localEdgeLimit` (default 500k — honest accounting: boxed collect
+    * tuples + LongMap + result list + LocalRelation re-encode total
+    * ≈ 2× the raw bytes, so 500k edges ≈ 200 MB transient peak, safe
+    * under a default 1g driver; graphs of 0.5-2M edges on bigger
+    * drivers can raise the limit explicitly, e.g. for deep-chain
+    * graphs the iterative path handles poorly) and ids are integral,
     * the components
     * are solved in one pass of union-find on the driver — zero
     * iterations, zero per-iteration shuffles, one collect of an
@@ -49,7 +52,7 @@ object Clusters {
     * ran; mixed-width id columns always take the distributed loop.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 100,
-      checkpointEvery: Int = 5, localEdgeLimit: Long = 1000000L): DataFrame = {
+      checkpointEvery: Int = 5, localEdgeLimit: Long = 500000L): DataFrame = {
     val spark = pairs.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}

@@ -24,11 +24,22 @@ object Sampling {
     * `(hashFn(idCol as string), idCol)` ascending. `hashFn` defaults to
     * xxhash64 (fast path); pass `TextOps.md5Hash60` for an
     * oracle-reproducible variant.
+    *
+    * `idCol` must be a UNIQUE, NON-NULL key (a document id): uniqueness
+    * is what makes the `(hash, id)` order total, hence the selection
+    * deterministic. NULL ids sort LAST on both engines
+    * (`asc_nulls_last`, matching SQL's default) — but multiple NULL-id
+    * rows are mutually indistinguishable to the ordering, so which of
+    * THEM survives an under-cut group is undefined.
     */
   def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
-      k: Int, hashFn: Column => Column = xxhash64(_)): DataFrame =
+      k: Int, hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    // collision-proof scratch column name
+    val h = Iterator.from(0).map(i => s"__graft_cap_h$i")
+      .find(n => !df.columns.contains(n)).get
     graft.plans.TopK.perKey(
-      df.withColumn("__h", hashFn(col(idCol).cast("string"))),
-      groupCols, Seq(col("__h").asc, col(idCol).asc), k)
-      .drop("__h")
+      df.withColumn(h, hashFn(col(idCol).cast("string"))),
+      groupCols, Seq(col(h).asc_nulls_last, col(idCol).asc_nulls_last), k)
+      .drop(h)
+  }
 }

@@ -30,11 +30,12 @@ object ExtensionQueries {
   // --- shared DuckDB SQL fragments (mirror TextOps exactly) -------------
 
   /** Tokens of `text`: lowercase, whitespace split, empties removed.
-    * Explicit whitespace class matching `TextOps.wsClass` exactly (RE2's
-    * `\s` lacks \x0B; Java's includes it).
+    * The whitespace class is INTERPOLATED from `TextOps.wsChars` — one
+    * source of truth for both engines (RE2's `\s` lacks \x0B; Java's
+    * includes it, so implicit classes drift).
     */
   private val toksSql =
-    raw"list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> x != '')"
+    s"list_filter(string_split_regex(lower(text), '[${TextOps.wsChars}]+'), x -> x != '')"
 
   /** Distinct word n-shingles over token list `T`. */
   private def shinglesSql(T: String, n: Int): String =
@@ -360,7 +361,7 @@ object ExtensionQueries {
     "text_stats" ->
       raw"""SELECT doc_id,
         |  len($toksSql) AS n_tokens,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]')) AS n_tokens_bpe,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9${TextOps.wsChars}]')) AS n_tokens_bpe,
         |  length(text) AS n_chars,
         |  round(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) /
         |    greatest(length(text), 1), 6) AS punct_ratio,
