@@ -122,6 +122,13 @@ object Dedup {
     * just minimizes candidates. Candidate verification is the early-exit
     * thresholded merge scan in `verifyPairs` (the size-ratio implication
     * of J ≥ t is enforced there by the scan's reachability bound).
+    *
+    * Measured and REJECTED (examples/ProfileNgram3, sf0.1): the PPJoin
+    * positional filter prunes the occurrence stream 12.8M → 3.5M, yet
+    * slows the operator ~2× end to end — the early-exit scan already
+    * aborts hopeless pairs on its first bound check (same arithmetic as
+    * the positional predicate), and threading pos/size columns through
+    * the join costs more than the pruned scans saved.
     */
   def ngramJaccardNearDups(
       df: DataFrame, idCol: String, textCol: String,
