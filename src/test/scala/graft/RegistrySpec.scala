@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{CapabilityQueries, ExtensionQueries, ParityQueries, StreamingQueries}
+
+/** The driver contract is assembled by `++` over four registries — a
+  * duplicated query name would silently SHADOW an earlier definition and
+  * the driver would grade the wrong program. Locked down here.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  private val parts = Seq(
+    "parity" -> ParityQueries.queries.keySet,
+    "extension" -> ExtensionQueries.queries.keySet,
+    "streaming" -> StreamingQueries.queries.keySet,
+    "capability" -> CapabilityQueries.queries.keySet)
+
+  test("query names are globally unique across registries") {
+    val all = parts.flatMap(_._2.toSeq)
+    val dupes = all.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dupes.isEmpty, s"shadowed query names: ${dupes.mkString(", ")}")
+    assert(SparkEntry.queries.size == all.length)
+  }
+
+  test("every oracle has a query and every query has an oracle") {
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
+    // full-coverage invariant established in round 2: zero rows-only checks
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
+  }
+}
