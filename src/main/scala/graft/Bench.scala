@@ -29,13 +29,23 @@ object Bench {
     // row-count scan, not the declared query).
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Each query: one untimed warmup, then the MIN of two timed runs —
+    // a shared sandbox can stall any single run (GC, CPU contention);
+    // the min is the steady-state cost and is what stays comparable
+    // across machines. Cache state is reset BETWEEN queries so each
+    // measurement starts from the same (empty) storage pool instead of
+    // whatever earlier queries left behind: accumulated persists can
+    // evict a query's own warmup cache mid-bench, which showed up as a
+    // 3× swing on the driver that no local run reproduced.
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime(); run(fn); (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         run(fn) // warmup: codegen + JIT + IO caches
-        val t0 = System.nanoTime()
-        run(fn)
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> math.min(timed(fn), timed(fn))
       } catch { case _: Throwable => name -> -1.0 }
+      finally spark.catalog.clearCache()
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

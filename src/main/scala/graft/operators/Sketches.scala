@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Mergeable cardinality / frequency sketches — the 100 TB answer to
+  * "how many distinct X" and "how often does Y occur" when an exact
+  * `COUNT(DISTINCT)` shuffle or a full frequency table is too big.
+  *
+  * All three sketches here are DETERMINISTIC given the hash function:
+  * KMV (k-minimum-values, Bar-Yossef et al. 2002), HyperLogLog
+  * registers (Flajolet et al. 2007, raw estimator without the
+  * stochastic-averaging bias table), and Count-Min (Cormode &
+  * Muthukrishnan 2005). Determinism is the point: with the pluggable
+  * `TextOps.md5Hash60` hash the whole sketch — registers, not just the
+  * final estimate — replays in ANSI SQL, so the driver oracle checks
+  * the sketch math itself. Production callers swap in `xxhash64` for
+  * speed; the algorithms are hash-agnostic.
+  *
+  * Scale shape: every sketch is one narrow hash map + ONE partial
+  * aggregation (Spark's map-side combine makes the shuffle carry at
+  * most `m`/`k`/`depth × width` rows per partition, not data rows).
+  * All sketches are mergeable by construction (min/max/sum), which is
+  * what makes them partition-parallel.
+  */
+object Sketches {
+
+  /** Normalizing constant for a `bits`-bit non-negative hash. */
+  private def domain(bits: Int): Double = math.pow(2.0, bits)
+
+  /** KMV distinct-count estimate: keep the k smallest DISTINCT hash
+    * values; with u = (k-th smallest + 1) / 2^bits (the hash domain
+    * normalized to (0,1]), estimate (k-1)/u. When fewer than k distinct
+    * hashes exist the sketch is exact and returns that count.
+    *
+    * One row out: (k, n_exact, kmv_est). `n_exact` is carried for
+    * error inspection — on a real corpus you'd skip it (it is the very
+    * shuffle the sketch avoids).
+    *
+    * Plan: hash+distinct is one partial-agg shuffle; the k smallest
+    * arrive via TakeOrdered (per-partition top-k, no global sort).
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 64,
+      hashFn: Column => Column = TextOps.md5Hash60, hashBits: Int = 60): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    // Hash the decimal-string form: engine-portable (an oracle replays
+    // md5(key::VARCHAR)), and identical for any key type.
+    val kth = df.select(hashFn(col(keyCol).cast("string")).as("h")).distinct()
+      .orderBy("h").limit(k)
+      .agg(count(lit(1)).as("n_in_k"), max(col("h")).as("h_k"))
+    val exact = df.agg(countDistinct(col(keyCol)).as("n_exact"))
+    exact.crossJoin(kth).select(
+      lit(k).as("k"),
+      col("n_exact"),
+      when(col("n_in_k") < k, col("n_in_k").cast("double"))
+        .otherwise(round(
+          lit(k - 1.0) / ((col("h_k") + 1).cast("double") / lit(domain(hashBits))),
+          4)).as("kmv_est"))
+  }
+
+  /** HyperLogLog distinct-count estimate with m registers (power of 2).
+    *
+    * bucket = h mod m; payload = h >> log2(m) (so bucket and payload
+    * bits are independent); rho = 1 + leading zeros of the payload
+    * within its (hashBits - log2(m))-bit window = payloadBits + 1 -
+    * bitlength(payload). Register j keeps max rho. The raw HLL
+    * estimator alpha_m * m² / Σ 2^-M_j is computed EXACTLY: each term
+    * 2^(payloadBits+1-M_j) is an integer, so the harmonic sum is a
+    * BIGINT — no float-summation order dependence, and the single
+    * final division is reproducible in any engine.
+    *
+    * One row out: (m, n_exact, hll_est). Accuracy ~1.04/√m relative.
+    * Range guard: the raw estimator needs n ≳ 2.5m (below that HLL
+    * switches to linear counting, whose `ln` is libm-dependent and
+    * NOT bit-reproducible across engines — this method targets the
+    * large-cardinality regime a sketch exists for, and `kmvDistinct`
+    * covers small counts exactly).
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, m: Int = 64,
+      hashFn: Column => Column = TextOps.md5Hash60, hashBits: Int = 60): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of 2, >= 16")
+    val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)
+    val payloadBits = hashBits - bucketBits
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // alpha * m^2 * 2^payloadBits — the numerator of the exact-sum form.
+    val numerator = alpha * m.toDouble * m.toDouble * domain(payloadBits)
+
+    val h = df.select(hashFn(col(keyCol).cast("string")).as("h"))
+      .select(pmod(col("h"), lit(m)).as("bucket"),
+        // Unsigned shift: md5Hash60 is non-negative (no difference), but
+        // a production xxhash64 hash is signed and must not sign-extend.
+        shiftrightunsigned(col("h"), bucketBits).as("w"))
+    val rho = when(col("w") === 0, lit(payloadBits + 1))
+      .otherwise(lit(payloadBits + 1) - length(bin(col("w"))))
+    val regs = h.select(col("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("r"))
+    // Σ 2^(payloadBits+1-r) over present registers + 2^(payloadBits+1)
+    // per EMPTY register (M_j = 0) — exact integer arithmetic.
+    val summed = regs.agg(
+      // shiftleft's Scala binding takes a literal shift; the SQL form
+      // accepts a column one.
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${payloadBits + 1} - r)")).as("s"),
+      count(lit(1)).as("nregs"))
+      .select((col("s") +
+        (lit(m) - col("nregs")) * lit(1L << (payloadBits + 1))).as("harm"))
+    val exact = df.agg(countDistinct(col(keyCol)).as("n_exact"))
+    exact.crossJoin(summed).select(
+      lit(m).as("m"),
+      col("n_exact"),
+      // numerator carries the +1 exponent shift of the harm terms: the
+      // classic Σ2^-M equals harm / 2^(payloadBits+1).
+      round(lit(numerator * 2.0) / col("harm").cast("double"), 3).as("hll_est"))
+  }
+
+  /** Exact double numerator of the HLL estimate, for oracle replay. */
+  def hllNumerator(m: Int, hashBits: Int = 60): Double = {
+    val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)
+    val payloadBits = hashBits - bucketBits
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha * m.toDouble * m.toDouble * domain(payloadBits) * 2.0
+  }
+
+  /** Count-Min sketch of key frequencies: `depth` independent hash rows
+    * of `width` counters; cell (d, b) = Σ counts of keys with
+    * h_d(key) mod width = b. Point estimate = min over rows — an upper
+    * bound with error ≤ ε·N at probability 1-δ for width = e/ε,
+    * depth = ln(1/δ).
+    */
+  def cmsSketch(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 256,
+      hashFn: Column => Column = TextOps.md5Hash60): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    df.select(explode(array((0 until depth).map(d => struct(
+        lit(d).as("d"),
+        pmod(hashFn(concat_ws("_", lit(d), col(keyCol))), lit(width)).as("b"))): _*))
+        .as("cell"))
+      .groupBy(col("cell.d").as("d"), col("cell.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-Min point estimates for the keys of `queryKeys(keyCol)`:
+    * each key probes its `depth` cells, the estimate is the min. The
+    * sketch is depth×width rows — broadcast — so probing is a narrow
+    * map over the query keys regardless of corpus size.
+    */
+  def cmsEstimate(sketch: DataFrame, queryKeys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256,
+      hashFn: Column => Column = TextOps.md5Hash60): DataFrame = {
+    val probes = queryKeys.select(col(keyCol), explode(array(
+      (0 until depth).map(d => struct(
+        lit(d).as("d"),
+        pmod(hashFn(concat_ws("_", lit(d), col(keyCol))), lit(width)).as("b"))): _*))
+      .as("cell"))
+      .select(col(keyCol), col("cell.d").as("d"), col("cell.b").as("b"))
+    probes.join(broadcast(sketch), Seq("d", "b"), "left")
+      .groupBy(keyCol)
+      // A missing cell means nothing hashed there: count 0.
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+}

@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.{Clusters, Sampling, Similarity, Sketches, TemporalJoins}
+import graft.sources.Tables
+
+/** Round-3 analytics surface: time-series joins (as-of, banded range),
+  * deterministic cardinality/frequency sketches (KMV, HLL, Count-Min),
+  * int8-quantized ANN, and the composed corpus-curation pipeline. Every
+  * query is DuckDB-oracle-checkable: sketch hashes are md5-derived (the
+  * engines share no other 64-bit hash), float math is widened to double
+  * on both sides, and integer arithmetic (HLL harmonic sum, int8 dot
+  * products) is exact by construction.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tc(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.rebalanceForCompute(t(s, dir, name))
+
+  /** md5-hash-60 of a BIGINT key's decimal string, as DuckDB SQL. */
+  private def h60(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: each click picks up the most recent view at-or-before
+    // it for the same user — one shuffle + one sort, no theta join.
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      // Right side unique per (user, ts): max event_id wins, so the
+      // as-of tie rule is exercised but deterministic.
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max("event_id").as("view_id"))
+        .select("user_id", "view_ts", "view_id")
+      TemporalJoins.asofJoin(clicks, views, Seq("user_id"), "ts", "view_ts",
+          rightTie = Some("view_id"))
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("view_id"),
+          unix_micros(col("view_ts")).as("view_ts_us"))
+        .orderBy("click_id")
+    }),
+
+    // Banded range join: clicks falling inside any [error, error+30min]
+    // window of the same user — equality join on (user, time bucket).
+    "range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("err_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("err_end"))
+      TemporalJoins.rangeJoin(clicks, errors, Seq("user_id"),
+          "ts", "err_start", "err_end", bucketWidthUs = 30L * 60 * 1000000)
+        .select("click_id", "error_id", "user_id")
+        .orderBy("click_id", "error_id")
+    }),
+
+    // KMV distinct-count sketch over order keys (k smallest hashes).
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvDistinct(t(s, dir, "lineitem"), "l_orderkey", k = 64)),
+
+    // HyperLogLog distinct-count sketch (64 registers, exact-integer
+    // harmonic sum — the whole register table replays in the oracle).
+    "sketch_hll_distinct" -> ((s, dir) =>
+      Sketches.hllDistinct(t(s, dir, "lineitem"), "l_orderkey", m = 64)),
+
+    // Count-Min frequency sketch over suppliers; point estimates vs
+    // true counts for the first 20 keys.
+    "sketch_cms_freq" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sketch = Sketches.cmsSketch(li, "l_suppkey", depth = 4, width = 256)
+      val keys = li.where(col("l_suppkey") <= 20).select("l_suppkey").distinct()
+      val est = Sketches.cmsEstimate(sketch, keys, "l_suppkey",
+        depth = 4, width = 256)
+      val exact = li.where(col("l_suppkey") <= 20)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("true_cnt"))
+      est.join(exact, Seq("l_suppkey"))
+        .select("l_suppkey", "cms_est", "true_cnt")
+        .orderBy("l_suppkey")
+    }),
+
+    // ANN top-k over int8-quantized codes: integer dot products, exact
+    // in every engine — the 4×-smaller storage path for 100 TB ANN.
+    "sim_topk_int8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.int8TopK(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The composed curation pipeline: quality + language gate → near-dup
+    // cluster keepers → deterministic per-source cap. Each stage is an
+    // operator checked standalone elsewhere; this query checks their
+    // COMPOSITION end to end.
+    "corpus_curate" -> ((s, dir) => {
+      val scored = tc(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("source"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"),
+        TextOps.langId(col("text")).as("pred_lang"))
+      val kept0 = scored
+        .where(col("pred_lang") === "en" && col("quality") >= 0.5)
+      val keepers = Clusters.dedupClusters(
+          kept0.select("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+        .where(col("is_keeper")).select("doc_id")
+      Sampling.capPerGroup(kept0.join(keepers, "doc_id"), Seq("source"),
+          "doc_id", k = 100, hashFn = TextOps.md5Hash60)
+        .select("doc_id", "source", "quality")
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type FROM events),
+        |clicks AS (SELECT event_id AS click_id, user_id, ts FROM ev
+        |           WHERE event_type = 'click'),
+        |views AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+        |          FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, ts AS uts, 1 AS side, click_id,
+        |    NULL::BIGINT AS view_id, NULL::TIMESTAMP AS view_ts FROM clicks
+        |  UNION ALL
+        |  SELECT user_id, view_ts, 0, NULL, view_id, view_ts FROM views),
+        |c AS (SELECT user_id, uts, side, click_id,
+        |  last_value(view_id IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY uts, side, coalesce(view_id, 0)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
+        |  last_value(view_ts IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY uts, side, coalesce(view_id, 0)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts
+        |  FROM u)
+        |SELECT click_id, user_id, epoch_us(uts) AS ts_us, view_id,
+        |  epoch_us(view_ts) AS view_ts_us
+        |FROM c WHERE side = 1 ORDER BY click_id""".stripMargin,
+
+    "range_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type FROM events)
+        |SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
+        |FROM ev c JOIN ev e ON c.user_id = e.user_id
+        |WHERE c.event_type = 'click' AND e.event_type = 'error'
+        |  AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, error_id""".stripMargin,
+
+    "sketch_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT ${h60("l_orderkey::VARCHAR")} AS h
+         |           FROM lineitem),
+         |k AS (SELECT h FROM h ORDER BY h LIMIT 64),
+         |a AS (SELECT count(*) AS n_in_k, max(h) AS h_k FROM k),
+         |e AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+         |SELECT 64 AS k, n_exact,
+         |  CASE WHEN n_in_k < 64 THEN n_in_k::DOUBLE
+         |       ELSE round(63.0 / ((h_k + 1)::DOUBLE / 1152921504606846976.0), 4)
+         |  END AS kmv_est
+         |FROM e, a""".stripMargin,
+
+    "sketch_hll_distinct" -> {
+      // The numerator constant is computed ONCE in Scala and replayed as
+      // a literal — Double.toString round-trips exactly.
+      val num = java.lang.Double.toString(Sketches.hllNumerator(64))
+      s"""WITH h AS (SELECT ${h60("l_orderkey::VARCHAR")} AS h FROM lineitem),
+         |b AS (SELECT h % 64 AS bucket, h >> 6 AS w FROM h),
+         |r AS (SELECT bucket, max(CASE WHEN w = 0 THEN 55
+         |        ELSE 55 - length(printf('%b', w)) END) AS r
+         |      FROM b GROUP BY bucket),
+         |s AS (SELECT sum(1::BIGINT << (55 - r)) AS s, count(*) AS nregs FROM r),
+         |t AS (SELECT s + (64 - nregs) * (1::BIGINT << 55) AS harm FROM s),
+         |e AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+         |SELECT 64 AS m, n_exact, round($num / harm::DOUBLE, 3) AS hll_est
+         |FROM e, t""".stripMargin
+    },
+
+    "sketch_cms_freq" ->
+      s"""WITH ex AS (SELECT d, ${h60("d || '_' || l_suppkey")} % 256 AS b
+         |            FROM lineitem CROSS JOIN range(0, 4) r(d)),
+         |sk AS (SELECT d, b, count(*) AS cnt FROM ex GROUP BY 1, 2),
+         |qk AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey <= 20),
+         |probes AS (SELECT l_suppkey, d,
+         |    ${h60("d || '_' || l_suppkey")} % 256 AS b
+         |  FROM qk CROSS JOIN range(0, 4) r(d)),
+         |est AS (SELECT l_suppkey, min(coalesce(cnt, 0)) AS cms_est
+         |        FROM probes LEFT JOIN sk USING (d, b) GROUP BY 1),
+         |tc AS (SELECT l_suppkey, count(*) AS true_cnt FROM lineitem
+         |       WHERE l_suppkey <= 20 GROUP BY 1)
+         |SELECT l_suppkey, cms_est, true_cnt FROM est JOIN tc USING (l_suppkey)
+         |ORDER BY l_suppkey""".stripMargin,
+
+    "sim_topk_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |qz AS (SELECT vec_id,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |       ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+        |  FROM sc),
+        |scored AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+        |    i -> a.q[i] * c.q[i])) AS BIGINT) AS qdot
+        |  FROM qz a JOIN qz c ON a.vec_id != c.vec_id
+        |  WHERE a.vec_id < 10)
+        |SELECT query_id, neighbor_id, qdot, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "corpus_curate" -> {
+      def hits(lang: String) =
+        s"len(list_filter(${ExtensionQueries.toksSql}, x -> list_contains([" +
+          TextOps.stopwords(lang).map("'" + _ + "'").mkString(",") + "], x)))"
+      raw"""WITH RECURSIVE s AS (SELECT doc_id, text, source,
+        |  len(${ExtensionQueries.toksSql}) AS n_tokens,
+        |  ${hits("en")} AS en, ${hits("es")} AS es,
+        |  ${hits("de")} AS de, ${hits("fr")} AS fr,
+        |  length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) /
+        |    greatest(length(text), 1) AS punct,
+        |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
+        |    greatest(length(text), 1) AS alpha,
+        |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) /
+        |    greatest(length(text), 1) AS cjk
+        |FROM documents),
+        |scored AS (SELECT doc_id, text, source,
+        |  round(0.3 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct) +
+        |    0.2 * alpha + 0.2 * least(en / greatest(n_tokens, 1) * 4, 1.0), 6)
+        |    AS quality,
+        |  CASE WHEN cjk > 0.3 THEN 'zh'
+        |       WHEN en = greatest(en, es, de, fr) AND en > 0 THEN 'en'
+        |       WHEN es = greatest(en, es, de, fr) AND es > 0 THEN 'es'
+        |       WHEN de = greatest(en, es, de, fr) AND de > 0 THEN 'de'
+        |       WHEN fr = greatest(en, es, de, fr) AND fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS pred_lang
+        |FROM s),
+        |kept0 AS (SELECT doc_id, text, source, quality FROM scored
+        |          WHERE pred_lang = 'en' AND quality >= 0.5),
+        |${ExtensionQueries.fastPairsCte(3, 0.5, "kept0")},
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+        |         FROM reach GROUP BY a),
+        |keepers AS (SELECT k.doc_id FROM kept0 k
+        |            LEFT JOIN comp c ON k.doc_id = c.id
+        |            WHERE coalesce(c.cluster_id, k.doc_id) = k.doc_id),
+        |capped AS (SELECT k0.doc_id, k0.source, k0.quality,
+        |    row_number() OVER (PARTITION BY k0.source
+        |      ORDER BY ${h60("k0.doc_id::VARCHAR")}, k0.doc_id) AS rn
+        |  FROM kept0 k0 JOIN keepers USING (doc_id))
+        |SELECT doc_id, source, quality FROM capped
+        |WHERE rn <= 100 ORDER BY doc_id""".stripMargin
+    },
+  )
+}

@@ -34,7 +34,7 @@ object ExtensionQueries {
     * source of truth for both engines (RE2's `\s` lacks \x0B; Java's
     * includes it, so implicit classes drift).
     */
-  private val toksSql =
+  private[queries] val toksSql =
     s"list_filter(string_split_regex(lower(text), '[${TextOps.wsChars}]+'), x -> x != '')"
 
   /** Distinct word n-shingles over token list `T`. */
@@ -51,9 +51,10 @@ object ExtensionQueries {
     * in DuckDB — the oracle must not become the slow side of the gate.
     * CTE yields `p(id_a, id_b, jaccard_expr …)`; caller appends SELECT.
     */
-  private def fastPairsCte(n: Int, thresh: Double): String = {
+  private[queries] def fastPairsCte(n: Int, thresh: Double,
+      src: String = "documents"): String = {
     val sh = shinglesSql("T", n)
-    s"""toks AS (SELECT doc_id, $toksSql AS T FROM documents),
+    s"""toks AS (SELECT doc_id, $toksSql AS T FROM $src),
        |sh AS (SELECT doc_id, $sh AS s FROM toks),
        |ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
        |co AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c

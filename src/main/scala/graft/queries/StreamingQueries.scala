@@ -18,6 +18,19 @@ object StreamingQueries {
       StreamingPipeline.tumblingAgg(Tables.load(s, dir, "events"), "ts")
         .orderBy("window_start", "event_type")),
 
+    // At-least-once → exactly-once dedup: the input is the event stream
+    // REDELIVERED (unioned with itself); the program must emit each
+    // event exactly once. Streaming spec runs the same program behind
+    // readStream with dropDuplicatesWithinWatermark.
+    "stream_dedup" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      StreamingPipeline.dedupExactlyOnce(ev.union(ev), Seq("event_id"), "ts")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy("event_id")
+    }),
+
     // Gap-based sessionization (streaming: flatMapGroupsWithState).
     "stream_sessionize" -> ((s, dir) =>
       StreamingPipeline.sessionizeBatch(
@@ -32,6 +45,11 @@ object StreamingQueries {
         |  event_type, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

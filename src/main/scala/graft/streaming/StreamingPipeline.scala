@@ -89,6 +89,26 @@ object StreamingPipeline {
       width: String = "1 day", delay: String = "1 hour"): DataFrame =
     tumblingAgg(df.withWatermark(tsCol, delay), tsCol, width)
 
+  /** Exactly-once delivery from an at-least-once input: drop redelivered
+    * copies by delivery key (the reference's snapshot anti-join guards
+    * the same property across scheduled runs, `provider.go:160-178`).
+    * One Column program, two physical shapes: in batch a plain
+    * `dropDuplicates`; on a stream, watermarked
+    * `dropDuplicatesWithinWatermark` — the state store then holds keys
+    * only inside the redelivery horizon, so state is bounded by the
+    * redelivery window, not by stream history (a bare streaming
+    * `dropDuplicates` grows state forever at 100 TB).
+    *
+    * Redelivered copies are byte-identical, so the OUTPUT ROW SET is
+    * deterministic no matter which physical copy each engine keeps.
+    */
+  def dedupExactlyOnce(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      redeliveryHorizon: String = "1 hour"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, redeliveryHorizon)
+        .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    else df.dropDuplicates(keyCols)
+
   // --- sessionization ----------------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp)

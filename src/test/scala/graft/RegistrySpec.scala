@@ -1,9 +1,9 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{CapabilityQueries, ExtensionQueries, ParityQueries, StreamingQueries}
+import graft.queries.{AnalyticsQueries, CapabilityQueries, ExtensionQueries, ParityQueries, StreamingQueries}
 
-/** The driver contract is assembled by `++` over four registries — a
+/** The driver contract is assembled by `++` over five registries — a
   * duplicated query name would silently SHADOW an earlier definition and
   * the driver would grade the wrong program. Locked down here.
   */
@@ -13,7 +13,8 @@ class RegistrySpec extends AnyFunSuite {
     "parity" -> ParityQueries.queries.keySet,
     "extension" -> ExtensionQueries.queries.keySet,
     "streaming" -> StreamingQueries.queries.keySet,
-    "capability" -> CapabilityQueries.queries.keySet)
+    "capability" -> CapabilityQueries.queries.keySet,
+    "analytics" -> AnalyticsQueries.queries.keySet)
 
   test("query names are globally unique across registries") {
     val all = parts.flatMap(_._2.toSeq)

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+import graft.sources.Tables
+
+/** Sketch correctness: estimates land inside their theoretical error
+  * envelopes, degenerate regimes are exact, and Count-Min keeps its
+  * one-sided (never-underestimate) guarantee.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = Tables.load(spark, sf0001, "lineitem")
+
+  test("KMV: estimate within expected relative error of exact") {
+    val r = Sketches.kmvDistinct(li, "l_orderkey", k = 64).head()
+    val (exact, est) = (r.getLong(1), r.getDouble(2))
+    // KMV σ ≈ 1/√(k-2) ≈ 12.7%; 4σ envelope keeps the spec stable
+    // while still catching broken math (off by 2× etc.).
+    assert(math.abs(est - exact) / exact < 0.51, s"exact=$exact est=$est")
+  }
+
+  test("KMV: fewer distinct keys than k is exact") {
+    val small = (1 to 10).flatMap(i => Seq(i, i)).toDF("key")
+    val r = Sketches.kmvDistinct(small, "key", k = 64).head()
+    assert(r.getLong(1) == 10 && r.getDouble(2) == 10.0)
+  }
+
+  test("HLL: estimate within expected relative error; registers deterministic") {
+    val r = Sketches.hllDistinct(li, "l_orderkey", m = 64).head()
+    val (exact, est) = (r.getLong(1), r.getDouble(2))
+    assert(exact > 2.5 * 64, "fixture must be in the raw-estimator regime")
+    // HLL σ ≈ 1.04/√64 = 13%; 4σ envelope.
+    assert(math.abs(est - exact) / exact < 0.52, s"exact=$exact est=$est")
+    val r2 = Sketches.hllDistinct(li, "l_orderkey", m = 64).head()
+    assert(r.getDouble(2) == r2.getDouble(2))
+  }
+
+  test("Count-Min: never underestimates, and is near-exact at low collision load") {
+    val sketch = Sketches.cmsSketch(li, "l_suppkey", depth = 4, width = 256)
+    val keys = li.select("l_suppkey").distinct()
+    val est = Sketches.cmsEstimate(sketch, keys, "l_suppkey", depth = 4, width = 256)
+    val exact = li.groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+    val joined = est.join(exact, "l_suppkey")
+      .select(col("cms_est"), col("n")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r =>
+      assert(r.getLong(0) >= r.getLong(1), s"CMS underestimated: $r"))
+    // Distinct suppliers ≪ width: most cells are collision-free, so the
+    // majority of estimates must be exactly the true count.
+    val exactHits = joined.count(r => r.getLong(0) == r.getLong(1))
+    assert(exactHits * 2 > joined.length,
+      s"only $exactHits/${joined.length} exact")
+  }
+
+  test("sketches are one row and carry their parameters") {
+    val kmv = Sketches.kmvDistinct(li.limit(500), "l_orderkey", k = 16)
+    assert(kmv.columns.toSeq == Seq("k", "n_exact", "kmv_est"))
+    assert(kmv.count() == 1)
+    val hll = Sketches.hllDistinct(li.limit(5000), "l_orderkey", m = 32)
+    assert(hll.columns.toSeq == Seq("m", "n_exact", "hll_est"))
+    assert(hll.head().getInt(0) == 32)
+  }
+}
