@@ -126,14 +126,28 @@ object Sketches {
     * h_d(key) mod width = b. Point estimate = min over rows — an upper
     * bound with error ≤ ε·N at probability 1-δ for width = e/ε,
     * depth = ln(1/δ).
+    *
+    * The `depth` row hashes are derived from ONE base hash by
+    * Kirsch–Mitzenmacher double hashing, h_d = h1 + d·h2 (the standard
+    * way Bloom/CMS implementations avoid d independent hash passes):
+    * one md5/xxhash per row instead of `depth`, same error guarantees.
     */
+  private def cmsBuckets(key: Column, depth: Int, width: Int,
+      hashFn: Column => Column): Column = {
+    val h = hashFn(key.cast("string"))
+    // Split the base hash into two 30-bit halves; h1 + d·h2 stays well
+    // under 2^32 so the modulo arithmetic is exact (and portable SQL).
+    val h1 = pmod(h, lit(1073741824L))
+    val h2 = shiftrightunsigned(h, 30)
+    array((0 until depth).map(d => struct(
+      lit(d).as("d"),
+      pmod(h1 + lit(d.toLong) * h2, lit(width)).as("b"))): _*)
+  }
+
   def cmsSketch(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 256,
       hashFn: Column => Column = TextOps.md5Hash60): DataFrame = {
     require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
-    df.select(explode(array((0 until depth).map(d => struct(
-        lit(d).as("d"),
-        pmod(hashFn(concat_ws("_", lit(d), col(keyCol))), lit(width)).as("b"))): _*))
-        .as("cell"))
+    df.select(explode(cmsBuckets(col(keyCol), depth, width, hashFn)).as("cell"))
       .groupBy(col("cell.d").as("d"), col("cell.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -146,11 +160,9 @@ object Sketches {
   def cmsEstimate(sketch: DataFrame, queryKeys: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 256,
       hashFn: Column => Column = TextOps.md5Hash60): DataFrame = {
-    val probes = queryKeys.select(col(keyCol), explode(array(
-      (0 until depth).map(d => struct(
-        lit(d).as("d"),
-        pmod(hashFn(concat_ws("_", lit(d), col(keyCol))), lit(width)).as("b"))): _*))
-      .as("cell"))
+    val probes = queryKeys
+      .select(col(keyCol),
+        explode(cmsBuckets(col(keyCol), depth, width, hashFn)).as("cell"))
       .select(col(keyCol), col("cell.d").as("d"), col("cell.b").as("b"))
     probes.join(broadcast(sketch), Seq("d", "b"), "left")
       .groupBy(keyCol)

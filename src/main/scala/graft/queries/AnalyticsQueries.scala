@@ -96,6 +96,26 @@ object AnalyticsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Bloom-filter incremental dedup: the seen half (even event_ids)
+    // summarizes to 4096 bits; probing the incoming half classifies
+    // each key maybe-seen / definitely-new with zero false negatives —
+    // the broadcast-scale form of the reference's in-RAM snapshot set.
+    "bloom_incremental_dedup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("key", concat_ws("_", col("user_id"), col("event_type")))
+      val snapshot = ev.where(pmod(col("event_id"), lit(2)) === 0)
+      val incoming = ev.where(pmod(col("event_id"), lit(2)) === 1)
+      val bloom = graft.operators.Bloom.build(snapshot, "key", m = 4096, k = 3)
+      val probed = graft.operators.Bloom.probe(incoming, "key", bloom,
+        m = 4096, k = 3)
+      val truly = snapshot.select("key").distinct()
+        .withColumn("truly_seen", lit(true))
+      probed.join(truly, Seq("key"), "left")
+        .select(col("key"), col("maybe_seen"),
+          coalesce(col("truly_seen"), lit(false)).as("truly_seen"))
+        .orderBy("key")
+    }),
+
     // The composed curation pipeline: quality + language gate → near-dup
     // cluster keepers → deterministic per-source cap. Each stage is an
     // operator checked standalone elsewhere; this query checks their
@@ -105,8 +125,14 @@ object AnalyticsQueries {
         col("doc_id"), col("text"), col("source"),
         round(TextOps.qualityScore(col("text")), 6).as("quality"),
         TextOps.langId(col("text")).as("pred_lang"))
+      // kept0 feeds BOTH the cluster pipeline (materialized inside
+      // connectedComponents) and the final keeper join — persisting it
+      // runs the quality/langid regex pass once instead of three times.
+      // Left to LRU/session teardown like the dedup shingle caches (the
+      // lazily-returned result still reads it).
       val kept0 = scored
         .where(col("pred_lang") === "en" && col("quality") >= 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keepers = Clusters.dedupClusters(
           kept0.select("doc_id", "text"), "doc_id", "text", threshold = 0.5)
         .where(col("is_keeper")).select("doc_id")
@@ -180,12 +206,15 @@ object AnalyticsQueries {
     },
 
     "sketch_cms_freq" ->
-      s"""WITH ex AS (SELECT d, ${h60("d || '_' || l_suppkey")} % 256 AS b
-         |            FROM lineitem CROSS JOIN range(0, 4) r(d)),
+      s"""WITH hh AS (SELECT ${h60("l_suppkey::VARCHAR")} AS h,
+         |    l_suppkey FROM lineitem),
+         |ex AS (SELECT d, (h % 1073741824 + d * (h >> 30)) % 256 AS b
+         |       FROM hh CROSS JOIN range(0, 4) r(d)),
          |sk AS (SELECT d, b, count(*) AS cnt FROM ex GROUP BY 1, 2),
-         |qk AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey <= 20),
+         |qk AS (SELECT DISTINCT ${h60("l_suppkey::VARCHAR")} AS h, l_suppkey
+         |       FROM lineitem WHERE l_suppkey <= 20),
          |probes AS (SELECT l_suppkey, d,
-         |    ${h60("d || '_' || l_suppkey")} % 256 AS b
+         |    (h % 1073741824 + d * (h >> 30)) % 256 AS b
          |  FROM qk CROSS JOIN range(0, 4) r(d)),
          |est AS (SELECT l_suppkey, min(coalesce(cnt, 0)) AS cms_est
          |        FROM probes LEFT JOIN sk USING (d, b) GROUP BY 1),
@@ -212,6 +241,25 @@ object AnalyticsQueries {
         |    PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rank
         |  FROM scored) r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "bloom_incremental_dedup" ->
+      s"""WITH ev AS (SELECT user_id || '_' || event_type AS key, event_id
+         |            FROM events),
+         |snap AS (SELECT DISTINCT key FROM ev WHERE event_id % 2 = 0),
+         |inc AS (SELECT DISTINCT key FROM ev WHERE event_id % 2 = 1),
+         |spos AS (SELECT DISTINCT (h % 1073741824 + i * (h >> 30)) % 4096 AS pos
+         |  FROM (SELECT ${h60("key")} AS h FROM snap) s
+         |  CROSS JOIN range(0, 3) r(i)),
+         |ipos AS (SELECT key, (h % 1073741824 + i * (h >> 30)) % 4096 AS pos
+         |  FROM (SELECT key, ${h60("key")} AS h FROM inc) q
+         |  CROSS JOIN range(0, 3) r(i)),
+         |probe AS (SELECT key,
+         |    min(CASE WHEN sp.pos IS NOT NULL THEN 1 ELSE 0 END) = 1
+         |      AS maybe_seen
+         |  FROM ipos LEFT JOIN spos sp ON ipos.pos = sp.pos GROUP BY key)
+         |SELECT p.key, p.maybe_seen, (s.key IS NOT NULL) AS truly_seen
+         |FROM probe p LEFT JOIN snap s ON p.key = s.key
+         |ORDER BY p.key""".stripMargin,
 
     "corpus_curate" -> {
       def hits(lang: String) =
