@@ -52,6 +52,10 @@ object TemporalJoins {
         .intersect(rightPayload).isEmpty,
       s"left/right non-key columns must be disjoint: " +
         left.columns.toSeq.intersect(rightPayload).mkString(", "))
+    val scratch = Seq("__ts", "__side", "__tie", "__rp")
+    require((left.columns ++ right.columns).intersect(scratch).isEmpty,
+      s"column names ${scratch.mkString("/")} are reserved by asofJoin")
+    require(rightPayload.nonEmpty, "right side needs at least one payload column")
     // The left time column travels as __ts (and is restored at the end);
     // remaining left payload is carried through the union untouched.
     val leftPayload = left.columns
@@ -60,39 +64,44 @@ object TemporalJoins {
       // Deterministic fallback tie-break: hash of the whole right payload.
       xxhash64(rightPayload.map(col): _*))
 
+    // The right payload travels as ONE struct: `last(..., ignoreNulls)`
+    // then carries whole right ROWS atomically — per-column carries
+    // would stitch together cells from different right rows whenever a
+    // payload cell is null.
+    val rpType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c)))
     val lPart = left.select(
       keys.map(col) ++
-        Seq(col(leftTime).as("__ts"), lit(1).as("__side"), lit(0L).as("__tie")) ++
-        leftPayload.map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        Seq(col(leftTime).as("__ts"), lit(1).as("__side"), lit(0L).as("__tie"),
+          lit(null).cast(rpType).as("__rp")) ++
+        leftPayload.map(col): _*)
     val rPart = right.select(
       keys.map(col) ++
         Seq(col(rightTime).cast(left.schema(leftTime).dataType).as("__ts"),
-          lit(0).as("__side"), tieCol.cast("long").as("__tie")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col): _*)
+          lit(0).as("__side"), tieCol.cast("long").as("__tie"),
+          struct(rightPayload.map(col): _*).as("__rp")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lPart.unionByName(rPart)
       .select(
-        (keys.map(col) ++ Seq(col("__ts"), col("__side")) ++ leftPayload.map(col) ++
-          rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+        (keys.map(col) ++ Seq(col("__ts"), col("__side")) ++ leftPayload.map(col) :+
+          last(col("__rp"), ignoreNulls = true).over(w).as("__rp")): _*)
       .where(col("__side") === 1)
 
-    val aged = tolerance match {
+    val masked = tolerance match {
       case Some(tol) =>
         // A match older than the tolerance is no match: null the payload.
-        val fresh = col(rightTime).isNotNull &&
-          col(rightTime) >= (col("__ts") - tol)
-        carried.select(
-          (keys.map(col) ++ Seq(col("__ts")) ++ leftPayload.map(col) ++
-            rightPayload.map(c => when(fresh, col(c)).as(c))): _*)
+        val fresh = col("__rp").isNotNull &&
+          col("__rp").getField(rightTime) >= (col("__ts") - tol)
+        carried.withColumn("__rp", when(fresh, col("__rp")))
       case None => carried
     }
-    aged.withColumnRenamed("__ts", leftTime)
-      .select((keys ++ (leftTime +: leftPayload) ++ rightPayload).map(col): _*)
+    masked.withColumnRenamed("__ts", leftTime)
+      .select((keys ++ (leftTime +: leftPayload)).map(col) ++
+        rightPayload.map(c => col("__rp").getField(c).as(c)): _*)
   }
 
   /** Banded range join: all (left, right) pairs with equal `keys` and

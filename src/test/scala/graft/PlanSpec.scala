@@ -72,6 +72,43 @@ class PlanSpec extends SparkSpec {
       "cell probe must be an equality join, not an all-pairs scan")
   }
 
+  test("asof join: one shuffle + sort, no theta join anywhere") {
+    val df = graft.queries.AnalyticsQueries.queries("asof_join")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("SortMergeJoin(") // union trick: no join operator at all
+      , s"asof must not be a join:\n${p.take(800)}")
+    assert(p.contains("Window"), "carry-forward window missing")
+  }
+
+  test("range join: equality join on bucket keys, not an inequality-only join") {
+    val df = graft.queries.AnalyticsQueries.queries("range_join")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bucket blocking must make this an equality join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("bloom probe: filter side broadcast, probe side never shuffles its rows") {
+    val df = graft.queries.AnalyticsQueries
+      .queries("bloom_incremental_dedup")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), "bloom positions must broadcast")
+  }
+
+  test("sketches: partial (map-side) aggregation carries the shuffle") {
+    for (q <- Seq("sketch_hll_distinct", "sketch_cms_freq")) {
+      val df = graft.queries.AnalyticsQueries.queries(q)(spark, sf001)
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("HashAggregate"), s"$q: no hash aggregation")
+      assert(p.contains("partial_"), s"$q: no map-side partial phase")
+    }
+  }
+
   test("rebalanceForCompute: expands starved scans, no-ops healthy ones") {
     import spark.implicits._
     val starved = (1 to 100).toDF("x").coalesce(1)

@@ -60,6 +60,18 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.getLong(0) == 9L)
   }
 
+  test("asofJoin carries right rows atomically when payload cells are null") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val left = Seq((1L, t(300), "x")).toDF("k", "lts", "lp")
+    // Latest right row has a NULL cell: the match must be (t200, null),
+    // not a stitched (t200, "old") from the earlier row.
+    val right = Seq((1L, t(100), Option("old")), (1L, t(200), None))
+      .toDF("k", "rts", "rp")
+    val got = TemporalJoins.asofJoin(left, right, Seq("k"), "lts", "rts").head()
+    assert(got.getTimestamp(3) == t(200))
+    assert(got.isNullAt(4))
+  }
+
   test("rangeJoin equals the naive interval theta join, including multi-bucket intervals") {
     val clicks = ev.where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
