@@ -62,6 +62,8 @@ object Bloom {
     */
   def probe(df: DataFrame, keyCol: String, bloom: DataFrame, m: Int = 4096,
       k: Int = 3, hashFn: Column => Column = TextOps.md5Hash60): DataFrame = {
+    require(keyCol != "pos" && keyCol != "__pos" && keyCol != "__hit",
+      s"key column '$keyCol' collides with probe's scratch/filter columns")
     val withPos = df.select(col(keyCol)).distinct()
       .withColumn("__pos", explode(positions(col(keyCol), m, k, hashFn)))
     withPos.join(

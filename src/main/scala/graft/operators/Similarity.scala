@@ -73,12 +73,14 @@ object Similarity {
     * tiny surviving groups assigns ranks reusing the same partitioning
     * (no second shuffle).
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private def rankTopK(scored: DataFrame, k: Int,
+      scoreCol: String = "cos"): DataFrame = {
     val top = graft.plans.TopK.perKey(scored, Seq("query_id"),
-      Seq(col("cos").desc, col("neighbor_id").asc), k)
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      Seq(col(scoreCol).desc, col("neighbor_id").asc), k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
     top.withColumn("rank", row_number().over(w))
-      .select("query_id", "neighbor_id", "cos", "rank")
+      .select("query_id", "neighbor_id", scoreCol, "rank")
   }
 
   /** Deterministic pseudo-random unit component from a salt tuple,
@@ -237,12 +239,7 @@ object Similarity {
       // double accumulator, so the cast back to long is lossless.
       .withColumn("qdot", VecOps.dot(col("q_q"), col("c_q")).cast("long"))
       .select("query_id", "neighbor_id", "qdot")
-    val top = graft.plans.TopK.perKey(scored, Seq("query_id"),
-      Seq(col("qdot").desc, col("neighbor_id").asc), k)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("qdot").desc, col("neighbor_id"))
-    top.withColumn("rank", row_number().over(w))
-      .select("query_id", "neighbor_id", "qdot", "rank")
+    rankTopK(scored, k, scoreCol = "qdot")
   }
 
   /** LSH-bucketed top-k: query vectors probe their own buckets only, then

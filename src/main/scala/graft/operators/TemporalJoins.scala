@@ -75,7 +75,12 @@ object TemporalJoins {
         Seq(col(leftTime).as("__ts"), lit(1).as("__side"), lit(0L).as("__tie"),
           lit(null).cast(rpType).as("__rp")) ++
         leftPayload.map(col): _*)
-    val rPart = right.select(
+    // A right row with a NULL time can never be an as-of match — but
+    // under NULLS FIRST it would sort before the whole partition and be
+    // carried into every left row. Drop such rows up front. (A NULL
+    // LEFT time also sorts first, sees no preceding right row, and
+    // correctly gets a null match — no filter needed on that side.)
+    val rPart = right.where(col(rightTime).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTime).cast(left.schema(leftTime).dataType).as("__ts"),
           lit(0).as("__side"), tieCol.cast("long").as("__tie"),

@@ -22,9 +22,8 @@ object AnalyticsQueries {
   private def tc(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.rebalanceForCompute(t(s, dir, name))
 
-  /** md5-hash-60 of a BIGINT key's decimal string, as DuckDB SQL. */
-  private def h60(expr: String): String =
-    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+  /** Shared md5-60 oracle contract (single copy in ExtensionQueries). */
+  private def h60(expr: String): String = ExtensionQueries.md5Hash60Sql(expr)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: each click picks up the most recent view at-or-before
@@ -262,30 +261,19 @@ object AnalyticsQueries {
          |ORDER BY p.key""".stripMargin,
 
     "corpus_curate" -> {
-      def hits(lang: String) =
-        s"len(list_filter(${ExtensionQueries.toksSql}, x -> list_contains([" +
-          TextOps.stopwords(lang).map("'" + _ + "'").mkString(",") + "], x)))"
-      raw"""WITH RECURSIVE s AS (SELECT doc_id, text, source,
-        |  len(${ExtensionQueries.toksSql}) AS n_tokens,
-        |  ${hits("en")} AS en, ${hits("es")} AS es,
-        |  ${hits("de")} AS de, ${hits("fr")} AS fr,
-        |  length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) /
-        |    greatest(length(text), 1) AS punct,
-        |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
-        |    greatest(length(text), 1) AS alpha,
-        |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) /
-        |    greatest(length(text), 1) AS cjk
+      import ExtensionQueries.{alphaRatioSql, cjkRatioSql, hitsSql,
+        punctRatioSql, predLangCaseSql, qualitySql, toksSql}
+      s"""WITH RECURSIVE s AS (SELECT doc_id, text, source,
+        |  len($toksSql) AS n_tokens,
+        |  ${hitsSql("en")} AS en, ${hitsSql("es")} AS es,
+        |  ${hitsSql("de")} AS de, ${hitsSql("fr")} AS fr,
+        |  $punctRatioSql AS punct,
+        |  $alphaRatioSql AS alpha,
+        |  $cjkRatioSql AS cjk
         |FROM documents),
         |scored AS (SELECT doc_id, text, source,
-        |  round(0.3 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct) +
-        |    0.2 * alpha + 0.2 * least(en / greatest(n_tokens, 1) * 4, 1.0), 6)
-        |    AS quality,
-        |  CASE WHEN cjk > 0.3 THEN 'zh'
-        |       WHEN en = greatest(en, es, de, fr) AND en > 0 THEN 'en'
-        |       WHEN es = greatest(en, es, de, fr) AND es > 0 THEN 'es'
-        |       WHEN de = greatest(en, es, de, fr) AND de > 0 THEN 'de'
-        |       WHEN fr = greatest(en, es, de, fr) AND fr > 0 THEN 'fr'
-        |       ELSE 'und' END AS pred_lang
+        |  ${qualitySql(sw = "en")} AS quality,
+        |  $predLangCaseSql AS pred_lang
         |FROM s),
         |kept0 AS (SELECT doc_id, text, source, quality FROM scored
         |          WHERE pred_lang = 'en' AND quality >= 0.5),

@@ -37,6 +37,47 @@ object ExtensionQueries {
   private[queries] val toksSql =
     s"list_filter(string_split_regex(lower(text), '[${TextOps.wsChars}]+'), x -> x != '')"
 
+  /** md5-derived 60-bit hash of a SQL expression — THE one copy of the
+    * contract that must stay byte-equivalent to `TextOps.md5Hash60`.
+    */
+  private[queries] def md5Hash60Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  // --- shared text-scoring fragments (mirror TextOps exactly; used by
+  // text_quality / text_langid here and corpus_curate's composition) ---
+
+  /** Stopword hits of `lang` over the document's tokens. */
+  private[queries] def hitsSql(lang: String): String =
+    s"len(list_filter($toksSql, x -> list_contains([" +
+      TextOps.stopwords(lang).map("'" + _ + "'").mkString(",") + "], x)))"
+
+  private[queries] val punctRatioSql =
+    """length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) /
+      |    greatest(length(text), 1)""".stripMargin
+  private[queries] val alphaRatioSql =
+    """length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
+      |    greatest(length(text), 1)""".stripMargin
+  private[queries] val cjkRatioSql =
+    raw"""length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) /
+      |    greatest(length(text), 1)""".stripMargin
+
+  /** Composite quality over pre-aliased n_tokens/punct/alpha and the
+    * English stopword-hit column `sw`.
+    */
+  private[queries] def qualitySql(sw: String = "sw"): String =
+    s"""round(
+       |  0.3 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct) +
+       |  0.2 * alpha + 0.2 * least($sw / greatest(n_tokens, 1) * 4, 1.0), 6)""".stripMargin
+
+  /** Language decision over pre-aliased en/es/de/fr/cjk columns. */
+  private[queries] val predLangCaseSql =
+    """CASE WHEN cjk > 0.3 THEN 'zh'
+      |       WHEN en = greatest(en, es, de, fr) AND en > 0 THEN 'en'
+      |       WHEN es = greatest(en, es, de, fr) AND es > 0 THEN 'es'
+      |       WHEN de = greatest(en, es, de, fr) AND de > 0 THEN 'de'
+      |       WHEN fr = greatest(en, es, de, fr) AND fr > 0 THEN 'fr'
+      |       ELSE 'und' END""".stripMargin
+
   /** Distinct word n-shingles over token list `T`. */
   private def shinglesSql(T: String, n: Int): String =
     s"list_distinct(list_transform(range(1, greatest(len($T) - ${n - 1}, 1) + 1), " +
@@ -256,7 +297,7 @@ object ExtensionQueries {
         s"(CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
          |h AS (SELECT doc_id,
-         |  ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+         |  ${md5Hash60Sql("t")} AS h FROM toks),
          |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
          |s AS (SELECT doc_id, $sim AS sim FROM v)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -352,12 +393,12 @@ object ExtensionQueries {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sample_per_group" ->
-      """SELECT doc_id, lang FROM (
-        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-        |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
-        |      doc_id) AS rn
-        |  FROM documents) r
-        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${md5Hash60Sql("doc_id::VARCHAR")},
+         |      doc_id) AS rn
+         |  FROM documents) r
+         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       raw"""SELECT doc_id,
@@ -370,41 +411,25 @@ object ExtensionQueries {
         |    greatest(length(text), 1), 6) AS alpha_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "text_langid" -> {
-      def hits(words: Seq[String]) =
-        s"len(list_filter($toksSql, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x)))"
-      val en = hits(TextOps.stopwords("en")); val es = hits(TextOps.stopwords("es"))
-      val de = hits(TextOps.stopwords("de")); val fr = hits(TextOps.stopwords("fr"))
-      raw"""WITH s AS (SELECT doc_id, lang, text,
-        |  $en AS en, $es AS es, $de AS de, $fr AS fr,
-        |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) /
-        |    greatest(length(text), 1) AS cjk
-        |FROM documents)
-        |SELECT doc_id, lang,
-        |  CASE WHEN cjk > 0.3 THEN 'zh'
-        |       WHEN en = greatest(en, es, de, fr) AND en > 0 THEN 'en'
-        |       WHEN es = greatest(en, es, de, fr) AND es > 0 THEN 'es'
-        |       WHEN de = greatest(en, es, de, fr) AND de > 0 THEN 'de'
-        |       WHEN fr = greatest(en, es, de, fr) AND fr > 0 THEN 'fr'
-        |       ELSE 'und' END AS pred_lang
-        |FROM s ORDER BY doc_id""".stripMargin
-    },
+    "text_langid" ->
+      s"""WITH s AS (SELECT doc_id, lang, text,
+         |  ${hitsSql("en")} AS en, ${hitsSql("es")} AS es,
+         |  ${hitsSql("de")} AS de, ${hitsSql("fr")} AS fr,
+         |  $cjkRatioSql AS cjk
+         |FROM documents)
+         |SELECT doc_id, lang,
+         |  $predLangCaseSql AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
 
-    "text_quality" -> {
-      val en = TextOps.stopwords("en").map("'" + _ + "'").mkString(",")
-      raw"""WITH s AS (SELECT doc_id,
-        |  len($toksSql) AS n_tokens,
-        |  len(list_filter($toksSql, x -> list_contains([$en], x))) AS sw,
-        |  length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) /
-        |    greatest(length(text), 1) AS punct,
-        |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
-        |    greatest(length(text), 1) AS alpha
-        |FROM documents)
-        |SELECT doc_id, round(
-        |  0.3 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct) +
-        |  0.2 * alpha + 0.2 * least(sw / greatest(n_tokens, 1) * 4, 1.0), 6) AS quality
-        |FROM s ORDER BY doc_id""".stripMargin
-    },
+    "text_quality" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  len($toksSql) AS n_tokens,
+         |  ${hitsSql("en")} AS sw,
+         |  $punctRatioSql AS punct,
+         |  $alphaRatioSql AS alpha
+         |FROM documents)
+         |SELECT doc_id, ${qualitySql()} AS quality
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH g AS (SELECT doc_id, text,

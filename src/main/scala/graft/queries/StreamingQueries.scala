@@ -20,12 +20,16 @@ object StreamingQueries {
 
     // At-least-once → exactly-once dedup: the input is the event stream
     // REDELIVERED (unioned with itself); the program must emit each
-    // event exactly once. Streaming spec runs the same program behind
+    // event exactly once. The delivery key is the FULL row — the
+    // reference's row-hash identity — so correctness needs no fixture
+    // invariant (kept copy ≡ any copy) and the oracle is simply
+    // SELECT DISTINCT. Streaming spec runs the same program behind
     // readStream with dropDuplicatesWithinWatermark.
     "stream_dedup" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
-      StreamingPipeline.dedupExactlyOnce(ev.union(ev), Seq("event_id"), "ts")
+      StreamingPipeline.dedupExactlyOnce(ev.union(ev),
+          Seq("event_id", "ts", "user_id", "event_type", "value"), "ts")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("ts_us"))
         .orderBy("event_id")
@@ -47,7 +51,7 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "stream_dedup" ->
-      """SELECT event_id, user_id, event_type, value,
+      """SELECT DISTINCT event_id, user_id, event_type, value,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
 

@@ -77,7 +77,8 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
-      && !p.contains("SortMergeJoin(") // union trick: no join operator at all
+      && !p.contains("SortMergeJoin") // union trick: no join operator at all
+      && !p.contains("ShuffledHashJoin")
       , s"asof must not be a join:\n${p.take(800)}")
     assert(p.contains("Window"), "carry-forward window missing")
   }

@@ -72,6 +72,15 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.isNullAt(4))
   }
 
+  test("asofJoin ignores right rows with a NULL time (they sort NULLS FIRST)") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val left = Seq((1L, t(100), "x")).toDF("k", "lts", "lp")
+    val right = Seq((1L, Option.empty[java.sql.Timestamp], "ghost"))
+      .toDF("k", "rts", "rp")
+    val got = TemporalJoins.asofJoin(left, right, Seq("k"), "lts", "rts").head()
+    assert(got.isNullAt(3) && got.isNullAt(4), s"null-ts right row matched: $got")
+  }
+
   test("rangeJoin equals the naive interval theta join, including multi-bucket intervals") {
     val clicks = ev.where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
