@@ -6,7 +6,8 @@ package graft.operators
   * sample decoding still needs real codecs and stays out of scope).
   *
   * Formats: BMP (BITMAPINFOHEADER little-endian), PNG (IHDR big-endian),
-  * GIF (87a/89a logical screen), WAV (RIFF/WAVE `fmt ` chunk walk).
+  * GIF (87a/89a logical screen), WAV (RIFF/WAVE `fmt ` chunk walk),
+  * JPEG (marker-segment walk to the start-of-frame dimensions).
   * Unknown magics return `MediaHeader.unknown` rather than throwing —
   * at 100 TB a corrupt blob must degrade to a filterable row, not kill
   * the task.
@@ -43,6 +44,8 @@ object Containers {
       MediaHeader("gif", width = leU16(b, 6), height = leU16(b, 8))
     else if (b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE")
       parseWav(b)
+    else if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8 && u8(b, 2) == 0xFF)
+      parseJpeg(b)
     else unknown
 
   /** BMP: 14-byte file header, then a DIB header. BITMAPCOREHEADER
@@ -88,6 +91,55 @@ object Containers {
       off += 8L + size + (size & 1L)
     }
     unknown
+  }
+
+  private def beU16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  /** JPEG: walk 0xFF-prefixed marker segments from after SOI until a
+    * start-of-frame marker (SOF0-15 minus the non-frame DHT/JPG/DAC
+    * slots), whose payload is [precision u8][height u16][width u16].
+    * Stand-alone markers (RST, TEM) have no length word. A zero/corrupt
+    * segment length degrades to unknown instead of looping.
+    */
+  private def parseJpeg(b: Array[Byte]): MediaHeader = {
+    var off = 2L
+    while (off + 4 <= b.length) {
+      val i = off.toInt
+      if (u8(b, i) != 0xFF) return unknown
+      val marker = u8(b, i + 1)
+      if (marker == 0xFF) { off += 1 } // fill bytes before a marker
+      else if ((marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) off += 2
+      else {
+        val len = beU16(b, i + 2)
+        if (len < 2) return unknown
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof)
+          return if (off + 9 <= b.length)
+            MediaHeader("jpeg", width = beU16(b, i + 7), height = beU16(b, i + 5))
+          else unknown
+        if (marker == 0xD9 || marker == 0xDA) return unknown // EOI/SOS before SOF
+        off += 2L + len
+      }
+    }
+    unknown
+  }
+
+  /** Minimal valid JFIF JPEG header up to SOF0 (no entropy data —
+    * header fields are what the parser reads).
+    */
+  def synthJpeg(width: Int, height: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(2 + 18 + 12)
+    out.put(Array(0xFF, 0xD8).map(_.toByte))                 // SOI
+    out.put(Array(0xFF, 0xE0).map(_.toByte)).putShort(16)    // APP0, len 16
+      .put("JFIF".getBytes).put(0.toByte)
+      .put(1.toByte).put(1.toByte).put(0.toByte)
+      .putShort(72).putShort(72).put(0.toByte).put(0.toByte)
+    out.put(Array(0xFF, 0xC0).map(_.toByte)).putShort(10)    // SOF0, len 10
+      .put(8.toByte)                                         // precision
+      .putShort(height.toShort).putShort(width.toShort)
+      .put(1.toByte)                                         // 1 component
+    out.array()
   }
 
   // --- synthesizers (tests + demo corpus; also the write-side proof the

@@ -22,6 +22,15 @@ class MultimodalSpec extends SparkSpec {
     val gif = "GIF89a".getBytes ++ Array[Byte](12, 0, 34, 0)
     val g = Containers.parse(gif)
     assert(g.format == "gif" && g.width == 12 && g.height == 34)
+    // JPEG: synthesized JFIF header, SOF0 after APP0
+    val jp = Containers.parse(Containers.synthJpeg(1920, 1080))
+    assert(jp.format == "jpeg" && jp.width == 1920 && jp.height == 1080)
+    // JPEG with no SOF before EOI → unknown, not a hang
+    val noSof = Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)
+    assert(Containers.parse(noSof).format == "unknown")
+    // JPEG with a zero-length segment (corrupt) must terminate
+    val zeroLen = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x00).map(_.toByte)
+    assert(Containers.parse(zeroLen).format == "unknown")
     // garbage → unknown, not an exception
     assert(Containers.parse("not a container".getBytes).format == "unknown")
     assert(Containers.parse(Array.emptyByteArray).format == "unknown")

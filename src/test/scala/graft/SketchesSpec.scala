@@ -54,6 +54,22 @@ class SketchesSpec extends SparkSpec {
       s"only $exactHits/${joined.length} exact")
   }
 
+  test("sketches are partition-invariant (mergeability in practice)") {
+    // A sketch built from 13 partitions must equal the 1-partition build:
+    // min/max/sum merges are associative-commutative, which is exactly
+    // what lets the 1000-executor build produce the same answer.
+    val shuffled = li.repartition(13)
+    assert(Sketches.kmvDistinct(li, "l_orderkey", 64).head().getDouble(2) ==
+      Sketches.kmvDistinct(shuffled, "l_orderkey", 64).head().getDouble(2))
+    assert(Sketches.hllDistinct(li, "l_orderkey", 64).head().getDouble(2) ==
+      Sketches.hllDistinct(shuffled, "l_orderkey", 64).head().getDouble(2))
+    val a = Sketches.cmsSketch(li, "l_suppkey").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = Sketches.cmsSketch(shuffled, "l_suppkey").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
   test("sketches are one row and carry their parameters") {
     val kmv = Sketches.kmvDistinct(li.limit(500), "l_orderkey", k = 16)
     assert(kmv.columns.toSeq == Seq("k", "n_exact", "kmv_est"))
