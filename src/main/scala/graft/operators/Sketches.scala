@@ -121,6 +121,54 @@ object Sketches {
     alpha * m.toDouble * m.toDouble * domain(payloadBits) * 2.0
   }
 
+  /** Histogram quantile estimates: one min/max pass, one 256-bin count
+    * pass (map-side combined — the shuffle carries ≤ `bins` rows per
+    * partition), then per-quantile linear interpolation inside the
+    * selected bin. Error is bounded by one bin width of the VALUE range
+    * (vs rank-error sketches like GK/t-digest, which are either
+    * insertion-order-dependent or float-merge-order-dependent and so
+    * can't be replayed bit-exactly by an external oracle — the fixed
+    * grid is what buys determinism AND mergeability: bin counts are
+    * sums).
+    *
+    * Output: one row per q — (q, n, est). The tiny cumulative window
+    * runs over ≤ `bins` rows on one partition (explicitly fine: the
+    * histogram, not the data, is what's being scanned).
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, bins: Int = 256,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    require(bins >= 2 && qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    val v = col(valueCol).cast("double")
+    val stats = df.agg(min(v).as("mn"), max(v).as("mx"),
+      count(v).as("n"))
+    val w = (col("mx") - col("mn")) / lit(bins.toDouble)
+    val binned = df.select(v.as("__v")).where(col("__v").isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(when(col("mx") === col("mn"), lit(0))
+        .otherwise(least(floor((col("__v") - col("mn")) / w), lit(bins - 1)))
+        .cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy("bin").rowsBetween(Long.MinValue, 0)
+    val cum = binned.select(col("bin"), col("cnt"),
+      sum("cnt").over(win).as("cum"))
+    val qdf = df.sparkSession.createDataFrame(
+      qs.map(Tuple1(_))).toDF("q")
+    // First bin whose cumulative count reaches q·n, then interpolate at
+    // the target rank inside it.
+    val picked = broadcast(qdf).crossJoin(broadcast(stats))
+      .join(cum, col("cum") >= col("q") * col("n"))
+      .groupBy("q", "mn", "mx", "n")
+      .agg(min_by(struct(col("bin"), col("cnt"), col("cum")), col("bin")).as("s"))
+    picked.select(col("q"), col("n"),
+      round(when(col("mx") === col("mn"), col("mn")).otherwise(
+        col("mn") + ((col("mx") - col("mn")) / lit(bins.toDouble)) *
+          (col("s.bin") +
+            (col("q") * col("n") - (col("s.cum") - col("s.cnt"))) / col("s.cnt"))),
+        4).as("est"))
+      .orderBy("q")
+  }
+
   /** Count-Min sketch of key frequencies: `depth` independent hash rows
     * of `width` counters; cell (d, b) = Σ counts of keys with
     * h_d(key) mod width = b. Point estimate = min over rows — an upper

@@ -71,6 +71,12 @@ object AnalyticsQueries {
     "sketch_hll_distinct" -> ((s, dir) =>
       Sketches.hllDistinct(t(s, dir, "lineitem"), "l_orderkey", m = 64)),
 
+    // Histogram quantile sketch over prices: fixed 256-bin grid, exact
+    // integer counts, linear interpolation — deterministic where
+    // rank-error sketches are merge-order-dependent.
+    "sketch_quantile" -> ((s, dir) =>
+      Sketches.histogramQuantiles(t(s, dir, "lineitem"), "l_extendedprice")),
+
     // Count-Min frequency sketch over suppliers; point estimates vs
     // true counts for the first 20 keys.
     "sketch_cms_freq" -> ((s, dir) => {
@@ -203,6 +209,27 @@ object AnalyticsQueries {
          |SELECT 64 AS m, n_exact, round($num / harm::DOUBLE, 3) AS hll_est
          |FROM e, t""".stripMargin
     },
+
+    "sketch_quantile" ->
+      """WITH s AS (SELECT min(l_extendedprice)::DOUBLE AS mn,
+        |    max(l_extendedprice)::DOUBLE AS mx,
+        |    count(l_extendedprice) AS n FROM lineitem),
+        |b AS (SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE least(floor((l_extendedprice::DOUBLE - mn) /
+        |      ((mx - mn) / 256.0)), 255) END::INT AS bin
+        |  FROM lineitem, s WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+        |cc AS (SELECT bin, cnt,
+        |    sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c),
+        |qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q),
+        |pick AS (SELECT q, min(bin) AS bin FROM qs, s, cc
+        |         WHERE cum >= q * n GROUP BY q)
+        |SELECT q, n, round(CASE WHEN mx = mn THEN mn
+        |    ELSE mn + ((mx - mn) / 256.0) *
+        |      (cc.bin + (q * n - (cum - cnt)) / cnt) END, 4) AS est
+        |FROM pick JOIN cc ON pick.bin = cc.bin, s
+        |ORDER BY q""".stripMargin,
 
     "sketch_cms_freq" ->
       s"""WITH hh AS (SELECT ${h60("l_suppkey::VARCHAR")} AS h,

@@ -54,6 +54,26 @@ class SketchesSpec extends SparkSpec {
       s"only $exactHits/${joined.length} exact")
   }
 
+  test("histogram quantiles: within one bin width of the exact quantile") {
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val est = graft.operators.Sketches
+      .histogramQuantiles(li, "l_extendedprice", bins = 256, qs = qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    val Array(mn, mx) = li.agg(min("l_extendedprice"), max("l_extendedprice"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val binW = (mx - mn) / 256.0
+    val exact = li.stat.approxQuantile("l_extendedprice", qs.toArray, 0.0)
+    qs.zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(est(q) - ex) <= binW + 1e-9,
+        s"q=$q est=${est(q)} exact=$ex binW=$binW")
+    }
+    // partition invariance
+    val est13 = graft.operators.Sketches
+      .histogramQuantiles(li.repartition(13), "l_extendedprice", bins = 256, qs = qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(est == est13)
+  }
+
   test("sketches are partition-invariant (mergeability in practice)") {
     // A sketch built from 13 partitions must equal the 1-partition build:
     // min/max/sum merges are associative-commutative, which is exactly
