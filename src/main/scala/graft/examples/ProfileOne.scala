@@ -18,8 +18,9 @@ object ProfileOne {
     val fn = graft.SparkEntry.queries(name)
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
-      println(f"RUN$i $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // Same materializing action as Bench, so numbers are comparable.
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"RUN$i $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -45,7 +45,10 @@ object Bloom {
     */
   def build(df: DataFrame, keyCol: String, m: Int = 4096, k: Int = 3,
       hashFn: Column => Column = TextOps.md5Hash60): DataFrame =
-    df.select(explode(positions(col(keyCol), m, k, hashFn)).as("pos")).distinct()
+    // Rebalanced: the hash+explode map is CPU-bound and must not be
+    // serialized by a few-row-group input (no-op on healthy inputs).
+    graft.sources.Tables.rebalanceForCompute(df)
+      .select(explode(positions(col(keyCol), m, k, hashFn)).as("pos")).distinct()
 
   /** Probe: per DISTINCT key of `df(keyCol)`, `maybe_seen` — true iff
     * ALL k positions are set. False ⇒ definitely not in the build set
@@ -64,7 +67,8 @@ object Bloom {
       k: Int = 3, hashFn: Column => Column = TextOps.md5Hash60): DataFrame = {
     require(keyCol != "pos" && keyCol != "__pos" && keyCol != "__hit",
       s"key column '$keyCol' collides with probe's scratch/filter columns")
-    val withPos = df.select(col(keyCol)).distinct()
+    val withPos = graft.sources.Tables.rebalanceForCompute(
+        df.select(col(keyCol))).distinct()
       .withColumn("__pos", explode(positions(col(keyCol), m, k, hashFn)))
     withPos.join(
         broadcast(bloom.withColumn("__hit", lit(1))),

@@ -45,8 +45,11 @@ object Sketches {
       hashFn: Column => Column = TextOps.md5Hash60, hashBits: Int = 60): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     // Hash the decimal-string form: engine-portable (an oracle replays
-    // md5(key::VARCHAR)), and identical for any key type.
-    val kth = df.select(hashFn(col(keyCol).cast("string")).as("h")).distinct()
+    // md5(key::VARCHAR)), and identical for any key type. The hash map
+    // is the CPU-heavy narrow stage — don't let a few-row-group input
+    // serialize it (no-op on well-partitioned inputs).
+    val dfc = graft.sources.Tables.rebalanceForCompute(df)
+    val kth = dfc.select(hashFn(col(keyCol).cast("string")).as("h")).distinct()
       .orderBy("h").limit(k)
       .agg(count(lit(1)).as("n_in_k"), max(col("h")).as("h_k"))
     val exact = df.agg(countDistinct(col(keyCol)).as("n_exact"))
@@ -86,7 +89,9 @@ object Sketches {
     // alpha * m^2 * 2^payloadBits — the numerator of the exact-sum form.
     val numerator = alpha * m.toDouble * m.toDouble * domain(payloadBits)
 
-    val h = df.select(hashFn(col(keyCol).cast("string")).as("h"))
+    // Rebalance ahead of the hash map (same reason as kmvDistinct).
+    val h = graft.sources.Tables.rebalanceForCompute(df)
+      .select(hashFn(col(keyCol).cast("string")).as("h"))
       .select(pmod(col("h"), lit(m)).as("bucket"),
         // Unsigned shift: md5Hash60 is non-negative (no difference), but
         // a production xxhash64 hash is signed and must not sign-extend.
@@ -142,7 +147,8 @@ object Sketches {
     val stats = df.agg(min(v).as("mn"), max(v).as("mx"),
       count(v).as("n"))
     val w = (col("mx") - col("mn")) / lit(bins.toDouble)
-    val binned = df.select(v.as("__v")).where(col("__v").isNotNull)
+    val binned = graft.sources.Tables.rebalanceForCompute(
+        df.select(v.as("__v")).where(col("__v").isNotNull))
       .crossJoin(broadcast(stats))
       .select(when(col("mx") === col("mn"), lit(0))
         .otherwise(least(floor((col("__v") - col("mn")) / w), lit(bins - 1)))
@@ -195,7 +201,9 @@ object Sketches {
   def cmsSketch(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 256,
       hashFn: Column => Column = TextOps.md5Hash60): DataFrame = {
     require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
-    df.select(explode(cmsBuckets(col(keyCol), depth, width, hashFn)).as("cell"))
+    // Rebalance ahead of the hash+explode map (same reason as kmvDistinct).
+    graft.sources.Tables.rebalanceForCompute(df)
+      .select(explode(cmsBuckets(col(keyCol), depth, width, hashFn)).as("cell"))
       .groupBy(col("cell.d").as("d"), col("cell.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
   }
