@@ -202,6 +202,39 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Per-label element-wise centroids (mean-pooling — the k-means
+    * assignment-step aggregate, and the "average the embeddings of a
+    * group" primitive of retrieval pipelines).
+    *
+    * Output is EXPLODED — (label, pos, c, n), pos 1-based — so every
+    * cell is a scalar an external oracle can hash.
+    *
+    * Determinism: float sums are order-dependent, and a distributed
+    * aggregation cannot fix its addition order — so components are
+    * summed in FIXED-POINT (floor(x·2^20) as long): integer addition is
+    * associative-commutative, the partial aggregation stays map-side
+    * combinable, and every engine computes the identical centroid. The
+    * 2^-20 quantization (≈1e-6, below float32's own resolution near 1)
+    * is the documented price.
+    *
+    * Scale shape: posexplode (narrow) → ONE shuffle of (label, pos)
+    * partial sums. dims × labels cells regardless of corpus size.
+    */
+  def centroids(df0: DataFrame, labelCol: String, vecCol: String,
+      scaleBits: Int = 20): DataFrame = {
+    val q = (1L << scaleBits).toDouble
+    val df = graft.sources.Tables.rebalanceForCompute(df0)
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos0", "x")))
+      .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+        floor(col("x").cast("double") * lit(q)).cast("long").as("fx"))
+      .groupBy("label", "pos")
+      .agg(sum("fx").as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        round((col("s").cast("double") / col("n")) / lit(q), 6).as("c"),
+        col("n"))
+  }
+
   /** Symmetric int8 quantization of a float-vector column: codes are
     * round-half-up(x / scale) with scale = max|x| / 127, so values span
     * [-127, 127]. Returned as (codes FLOAT array, scale) — float-typed

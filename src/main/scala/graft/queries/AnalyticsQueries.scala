@@ -92,6 +92,13 @@ object AnalyticsQueries {
         .orderBy("l_suppkey")
     }),
 
+    // Per-label embedding centroids (mean pooling) with fixed-point
+    // sums: integer addition is order-free, so the distributed result
+    // is bit-identical to the oracle's.
+    "embedding_centroid" -> ((s, dir) =>
+      Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "pos")),
+
     // ANN top-k over int8-quantized codes: integer dot products, exact
     // in every engine — the 4×-smaller storage path for 100 TB ANN.
     "sim_topk_int8" -> ((s, dir) => {
@@ -248,6 +255,15 @@ object AnalyticsQueries {
          |       WHERE l_suppkey <= 20 GROUP BY 1)
          |SELECT l_suppkey, cms_est, true_cnt FROM est JOIN tc USING (l_suppkey)
          |ORDER BY l_suppkey""".stripMargin,
+
+    "embedding_centroid" ->
+      """WITH e AS (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |f AS (SELECT label, pos, floor(x * 1048576.0)::BIGINT AS fx FROM e),
+        |g AS (SELECT label, pos, sum(fx) AS s, count(*) AS n
+        |      FROM f GROUP BY 1, 2)
+        |SELECT label, pos, round((s::DOUBLE / n) / 1048576.0, 6) AS c, n
+        |FROM g ORDER BY label, pos""".stripMargin,
 
     "sim_topk_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

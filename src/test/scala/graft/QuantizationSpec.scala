@@ -41,6 +41,28 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("centroids: within fixed-point quantum of the naive mean, partition-invariant") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val got = Similarity.centroids(e, "label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val naive = e.collect()
+      .map(r => r.getInt(2) -> r.getSeq[Float](1).toArray)
+      .groupBy(_._1).map { case (lbl, vs) =>
+        val arrs = vs.map(_._2)
+        lbl -> arrs.head.indices.map(i =>
+          arrs.map(_(i).toDouble).sum / arrs.length).toArray
+      }
+    naive.foreach { case (lbl, mean) =>
+      mean.zipWithIndex.foreach { case (m, i) =>
+        val c = got((lbl, i + 1L))
+        assert(math.abs(c - m) < 1.0 / (1 << 20) + 1e-6, s"label=$lbl pos=$i")
+      }
+    }
+    val got13 = Similarity.centroids(e.repartition(13), "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == got13)
+  }
+
   test("zero vector quantizes to all-zero codes (no NaN)") {
     import spark.implicits._
     val df = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, 2f, -3f)))
