@@ -1,9 +1,10 @@
 package graft.examples
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 import graft.sources.Tables
+import Profiling.{noop, time}
 
 /** Scratch: round-3 stage breakdown of the dedup hot path — where do
   * ngram/minhash/clusters actually spend their seconds at sf0.1?
@@ -11,19 +12,7 @@ import graft.sources.Tables
 object ProfileR3 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    def noop(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    def time(label: String)(f: => Unit): Unit = {
-      f // warmup
-      val t0 = System.nanoTime(); f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
+    val spark = Profiling.session()
 
     val docs = Tables.load(spark, dir, "documents")
     println(s"docs: ${docs.count()}")

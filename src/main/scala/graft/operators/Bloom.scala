@@ -67,8 +67,11 @@ object Bloom {
       k: Int = 3, hashFn: Column => Column = TextOps.md5Hash60): DataFrame = {
     require(keyCol != "pos" && keyCol != "__pos" && keyCol != "__hit",
       s"key column '$keyCol' collides with probe's scratch/filter columns")
-    val withPos = graft.sources.Tables.rebalanceForCompute(
-        df.select(col(keyCol))).distinct()
+    // No rebalance here: the distinct's own hash shuffle already spreads
+    // the keys across the cluster, so the downstream positions() hashing
+    // is parallel regardless of the input's row-group layout (unlike
+    // build(), where the hash map runs BEFORE any shuffle).
+    val withPos = df.select(col(keyCol)).distinct()
       .withColumn("__pos", explode(positions(col(keyCol), m, k, hashFn)))
     withPos.join(
         broadcast(bloom.withColumn("__hit", lit(1))),

@@ -101,7 +101,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("sketches: partial (map-side) aggregation carries the shuffle") {
-    for (q <- Seq("sketch_hll_distinct", "sketch_cms_freq")) {
+    for (q <- Seq("sketch_hll_distinct", "sketch_cms_freq", "embedding_centroid")) {
       val df = graft.queries.AnalyticsQueries.queries(q)(spark, sf001)
       val p = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
