@@ -46,6 +46,17 @@ object TextOps {
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => array_join(slice(toks, i, lit(n)), " ")))
 
+  /** Word n-grams of the token array in document order, NON-distinct —
+    * repetition metrics need every occurrence, not the set. Documents
+    * shorter than n yield one truncated gram (the whole document), the
+    * same convention as [[wordShingles]], so the gram count is never 0
+    * and occurrence fractions stay well-defined.
+    */
+  def wordGrams(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+
   /** Distinct character n-grams of the raw string. */
   def charGrams(text: Column, n: Int): Column =
     array_distinct(transform(
@@ -168,6 +179,42 @@ object TextOps {
       sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
       j => array_min(slice(hashes, j, lit(w))))
     array_sort(array_distinct(minima))
+  }
+
+  /** Repetition metrics per document (the Gopher-paper repetition
+    * filters — Rae et al. 2021, public): over the word n-gram
+    * OCCURRENCES of each document,
+    *   - `n_grams`        total n-gram occurrences,
+    *   - `top_gram_frac`  occurrences of the most frequent n-gram / total,
+    *   - `dup_gram_frac`  occurrences of grams appearing more than once / total,
+    *   - `ttr`            type-token ratio (distinct tokens / tokens).
+    * Boilerplate-heavy or looping documents score high on the fracs and
+    * low on ttr; a curation pipeline thresholds on them.
+    *
+    * Plan shape: one narrow gram explode, then two hash aggregations —
+    * (id, gram) counts and per-id rollup — both with map-side partial
+    * aggregation, plus a co-partitioned join back to the per-doc ttr.
+    * Per-group state is bounded by document length (no corpus-scale
+    * skew key exists), so the plan survives arbitrary corpus size.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val perDoc = toks.select(col("id"),
+      (size(array_distinct(col("t"))) / greatest(size(col("t")), lit(1))).as("ttr"))
+    val counts = toks
+      .select(col("id"), explode(wordGrams(col("t"), n)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+    val rolled = counts.groupBy("id").agg(
+      sum(col("c")).as("n_grams"),
+      max(col("c")).as("top"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
+    rolled.join(perDoc, "id").select(
+      col("id"),
+      col("n_grams"),
+      round(col("top") / col("n_grams"), 6).as("top_gram_frac"),
+      round(col("dup") / col("n_grams"), 6).as("dup_gram_frac"),
+      round(col("ttr"), 6).as("ttr"))
   }
 
   /** Corpus-scale winnowing: (id, fp_winnow, n_winnow) per document.

@@ -78,10 +78,16 @@ object ExtensionQueries {
       |       WHEN fr = greatest(en, es, de, fr) AND fr > 0 THEN 'fr'
       |       ELSE 'und' END""".stripMargin
 
+  /** Word n-grams over token list `T` in document order, NON-distinct
+    * (every occurrence — repetition metrics count multiplicity).
+    */
+  private def gramsSql(T: String, n: Int): String =
+    s"list_transform(range(1, greatest(len($T) - ${n - 1}, 1) + 1), " +
+      s"i -> array_to_string($T[i:i+${n - 1}], ' '))"
+
   /** Distinct word n-shingles over token list `T`. */
   private def shinglesSql(T: String, n: Int): String =
-    s"list_distinct(list_transform(range(1, greatest(len($T) - ${n - 1}, 1) + 1), " +
-      s"i -> array_to_string($T[i:i+${n - 1}], ' ')))"
+    s"list_distinct(${gramsSql(T, n)})"
 
   private def jaccardSql(a: String, b: String): String =
     s"len(list_intersect($a, $b)) / len(list_distinct($a || $b))"
@@ -240,6 +246,22 @@ object ExtensionQueries {
           wf.getField("n_winnow").as("n_winnow"))
         .orderBy("doc_id")
     }),
+
+    // Gopher-style repetition filters: top/duplicate 2-gram occurrence
+    // fractions + type-token ratio per document.
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(tc(s, dir, "documents"), "doc_id", "text", n = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // Token-budget sequence packing: deterministic pack assignment per
+    // source via an exclusive prefix sum of token counts.
+    "pack_sequences" -> ((s, dir) =>
+      graft.operators.Packing.assignPacks(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          Seq("source"), "doc_id", TextOps.tokenCount(col("text")), budget = 256)
+        .select("doc_id", "source", "n_tokens", "pack_id")
+        .orderBy("doc_id")),
 
     // Multimodal plumbing: opaque binary column + typed features. The
     // text column stands in for the blob (no media libs in-container);
@@ -445,6 +467,30 @@ object ExtensionQueries {
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp_wordset,
          |  md5(array_to_string(fp, '')) AS fp_winnow,
          |  len(fp) AS n_winnow
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),
+         |g AS (SELECT doc_id, unnest(${gramsSql("T", 2)}) AS g FROM toks),
+         |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         |r AS (SELECT doc_id,
+         |  CAST(sum(c) AS BIGINT) AS n_grams, max(c) AS top,
+         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+         |FROM c GROUP BY 1)
+         |SELECT t.doc_id, r.n_grams,
+         |  round(r.top / r.n_grams, 6) AS top_gram_frac,
+         |  round(r.dup / r.n_grams, 6) AS dup_gram_frac,
+         |  round(len(list_distinct(T)) / greatest(len(T), 1), 6) AS ttr
+         |FROM toks t JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH s AS (SELECT doc_id, source, len($toksSql) AS n_tokens
+         |  FROM documents),
+         |w AS (SELECT doc_id, source, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |FROM s)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id
          |FROM w ORDER BY doc_id""".stripMargin,
 
     "multimodal_features" ->
