@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Benchmark decontamination: flag corpus documents that share word
+  * n-grams with a held-out evaluation/benchmark set, so they can be
+  * dropped (or down-weighted) before training. The standard published
+  * recipe (GPT-3 appendix C / PaLM / Llama, all public) is exactly this
+  * n-gram-overlap test.
+  *
+  * Scale shape: the benchmark side is eval suites — thousands of
+  * documents against a 100 TB corpus — so its distinct-gram set is
+  * explicitly `broadcast()`: the corpus side keeps its partitioning, no
+  * shuffle of corpus grams ever happens, and the whole job is one
+  * narrow explode + broadcast hash LEFT join + one partial-aggregated
+  * groupBy per corpus document. If a benchmark ever outgrew broadcast
+  * range, dropping the hint degrades gracefully to a shuffled join.
+  */
+object Decontaminate {
+
+  /** Per corpus document: `n_grams` (distinct word n-grams),
+    * `n_contaminated` (of those, how many appear anywhere in
+    * `bench`), `contam_frac`, and the `contaminated` flag.
+    * Documents shorter than `n` tokens contribute one truncated gram
+    * (the whole document) — [[TextOps.wordShingles]]' convention — so
+    * a short duplicated doc still matches.
+    */
+  def overlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      explode(TextOps.wordShingles(TextOps.tokens(col(textCol)), n)).as("g"))
+    val benchGrams = broadcast(
+      grams(bench).select("g").distinct().withColumn("__hit", lit(1)))
+    grams(corpus)
+      .join(benchGrams, Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_contaminated"))
+      .select(
+        col("id"),
+        col("n_grams"),
+        col("n_contaminated"),
+        round(col("n_contaminated") / col("n_grams"), 6).as("contam_frac"),
+        (col("n_contaminated") > 0).as("contaminated"))
+  }
+}

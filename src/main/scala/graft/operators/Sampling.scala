@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.TextOps
 
 /** Deterministic corpus downsampling — the "at most k documents per
   * domain/language/source" cap every training-data pipeline applies
@@ -41,5 +42,32 @@ object Sampling {
       df.withColumn(h, hashFn(col(idCol).cast("string"))),
       groupCols, Seq(col(h).asc_nulls_last, col(idCol).asc_nulls_last), k)
       .drop(h)
+  }
+
+  /** Deterministic train/val/test split assignment: bucket each row by
+    * a seed-keyed hash of its id into [0, 10000) and map cumulative
+    * fraction ranges to labels. Row-local (a narrow map, no shuffle, no
+    * RNG state), so membership is stable under corpus growth: adding
+    * documents never moves an existing document between splits — the
+    * property that keeps yesterday's test set uncontaminated by
+    * tomorrow's training run.
+    *
+    * `fracs` are (label, fraction) in range order; fractions must sum
+    * to 1 within 1e-9. Output adds `bucket` and `split`.
+    */
+  def assignSplit(df: DataFrame, idCol: String, seed: String,
+      fracs: Seq[(String, Double)],
+      hashFn: Column => Column = TextOps.md5Hash60): DataFrame = {
+    require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $fracs")
+    val bucket = pmod(
+      hashFn(concat(lit(seed), col(idCol).cast("string"))), lit(10000L))
+    val cuts = fracs.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000)
+    }.tail
+    val split = fracs.zip(cuts).foldRight(lit(fracs.last._1)) {
+      case (((label, _), cut), els) => when(bucket < cut, label).otherwise(els)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", split)
   }
 }

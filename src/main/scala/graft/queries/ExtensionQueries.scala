@@ -263,6 +263,31 @@ object ExtensionQueries {
         .select("doc_id", "source", "n_tokens", "pack_id")
         .orderBy("doc_id")),
 
+    // Benchmark decontamination: 5-gram overlap of the corpus (src1..9)
+    // against a held-out benchmark set (src0), benchmark grams broadcast.
+    "decontaminate" -> ((s, dir) => {
+      val d = tc(s, dir, "documents")
+      graft.operators.Decontaminate.overlap(
+          d.where(col("source") =!= "src0"), d.where(col("source") === "src0"),
+          "doc_id", "text", n = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic seed-keyed global shuffle order (epoch-0 training
+    // order), dense rank without a single-partition window stage.
+    "shuffle_order" -> ((s, dir) =>
+      graft.operators.TrainingOrder.shuffleOrder(
+          t(s, dir, "documents").select("doc_id"), "doc_id", seed = "s42")
+        .orderBy("doc_id")),
+
+    // Hash-bucketed train/val/test split: stable under corpus growth.
+    "split_assign" -> ((s, dir) =>
+      graft.operators.Sampling.assignSplit(
+          t(s, dir, "documents").select("doc_id"), "doc_id", seed = "s7",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .orderBy("doc_id")),
+
     // Multimodal plumbing: opaque binary column + typed features. The
     // text column stands in for the blob (no media libs in-container);
     // the decode stub lives in Multimodal.scala.
@@ -492,6 +517,37 @@ object ExtensionQueries {
          |SELECT doc_id, source, n_tokens,
          |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id
          |FROM w ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS T FROM documents),
+         |g AS (SELECT doc_id, source, unnest(${shinglesSql("T", 5)}) AS gram
+         |      FROM toks),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+         |c AS (SELECT g.doc_id,
+         |        count(*) AS n_grams,
+         |        count(b.gram) AS n_contaminated
+         |      FROM g LEFT JOIN bench b ON g.gram = b.gram
+         |      WHERE g.source != 'src0' GROUP BY 1)
+         |SELECT doc_id, n_grams, n_contaminated,
+         |  round(n_contaminated / n_grams, 6) AS contam_frac,
+         |  n_contaminated > 0 AS contaminated
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "shuffle_order" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5('s42' || doc_id::VARCHAR), doc_id) - 1
+        |    AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "split_assign" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${md5Hash60Sql("'s7' || doc_id::VARCHAR")} % 10000 AS bucket
+         |FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 9000 THEN 'train'
+         |       WHEN bucket < 9500 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontaminate, Sampling, TrainingOrder}
+
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate: overlap counts on hand-built docs") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),       // grams abcde, bcdef — bcdef contaminated
+      (2L, "x y z w v")          // one gram, clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "q q b c d e f q")).toDF("doc_id", "text")
+    val got = Decontaminate.overlap(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(4))).toSet
+    assert(got == Set((1L, 2L, 1L, true), (2L, 1L, 0L, false)))
+  }
+
+  test("decontaminate: short doc matches via truncated-gram convention") {
+    val corpus = Seq((1L, "tiny doc")).toDF("doc_id", "text")
+    val bench = Seq((10L, "tiny doc")).toDF("doc_id", "text")
+    val r = Decontaminate.overlap(corpus, bench, "doc_id", "text", n = 5).first()
+    assert(r.getLong(2) == 1L && r.getBoolean(4))
+  }
+
+  test("shuffleOrder: dense rank equals the single-partition window order") {
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select("doc_id")
+    val got = TrainingOrder.shuffleOrder(docs, "doc_id", "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = docs
+      .withColumn("k", md5(concat(lit("s1"), $"doc_id".cast("string"))))
+      .withColumn("p", row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy($"k", $"doc_id"))
+        .cast("long") - 1)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("p"))).toMap
+    assert(got == want)
+    // ranks are a dense permutation of 0..n-1
+    assert(got.values.toSeq.sorted == (0L until got.size).toSeq)
+  }
+
+  test("assignSplit: stable under corpus growth, fractions roughly hold") {
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+      .select("doc_id")
+    val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val full = Sampling.assignSplit(docs, "doc_id", "s7", fr)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val half = Sampling.assignSplit(docs.where($"doc_id" % 2 === 0),
+        "doc_id", "s7", fr)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // growth-stability: every doc keeps its split when the corpus shrinks
+    half.foreach { case (id, s) => assert(full(id) == s) }
+    val n = full.size.toDouble
+    val trainFrac = full.values.count(_ == "train") / n
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"trainFrac=$trainFrac")
+    assert(full.values.toSet == Set("train", "val", "test"))
+  }
+
+  test("assignSplit rejects fractions that do not sum to 1") {
+    val df = Seq(1L).toDF("doc_id")
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, "doc_id", "s", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+}
