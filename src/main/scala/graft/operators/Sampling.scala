@@ -70,4 +70,39 @@ object Sampling {
     }
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
+
+  /** Corpus mixing: fill each group's token budget greedily in a
+    * seed-keyed pseudo-random document order (hash, id) — the "sample
+    * source X down to N tokens" step that turns raw per-source corpora
+    * into a training mixture. A document is kept while the EXCLUSIVE
+    * running token sum is under the group's budget, so the group's
+    * kept-token total lands in [budget, budget + maxDocTokens) and a
+    * budget never selects zero documents. Deterministic: membership
+    * depends only on (seed, id, token counts), not partitioning.
+    *
+    * Output adds `n_tokens` and `keep`. One shuffle (by `groupCols`,
+    * for the running sum); the same partition-granularity note as
+    * [[Packing.assignPacks]] applies — at 100 TB, budget per
+    * `(source, shard)` rather than per `source` keeps a partition's
+    * rows on one executor.
+    */
+  def mixToBudget(df: DataFrame, groupCols: Seq[String], idCol: String,
+      tokenCol: Column, budgets: Map[String, Long], seed: String,
+      hashFn: Column => Column = TextOps.md5Hash60): DataFrame = {
+    require(groupCols.size == 1,
+      "budgets are keyed by the single group column's value")
+    require(budgets.values.forall(_ > 0), s"budgets must be positive: $budgets")
+    val h = hashFn(concat(lit(seed), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(h.asc, col(idCol).asc)
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (els, (k, b)) => when(col(groupCols.head) === k, b).otherwise(els)
+    }
+    // groups with no budget entry are dropped (keep = false), and the
+    // coalesce keeps the column non-nullable for writers/oracles
+    df.withColumn("n_tokens", tokenCol)
+      .withColumn("keep", coalesce(
+        sum(col("n_tokens")).over(w) - col("n_tokens") < budget, lit(false)))
+  }
 }

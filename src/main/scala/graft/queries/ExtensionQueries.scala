@@ -281,6 +281,18 @@ object ExtensionQueries {
           t(s, dir, "documents").select("doc_id"), "doc_id", seed = "s42")
         .orderBy("doc_id")),
 
+    // Training-mixture sampling: greedy per-source token-budget fill in
+    // seed-keyed hash order (exact budgets, deterministic membership).
+    "mix_to_budget" -> ((s, dir) =>
+      graft.operators.Sampling.mixToBudget(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          Seq("source"), "doc_id", TextOps.tokenCount(col("text")),
+          budgets = (0 to 9).map(i =>
+            s"src$i" -> (if (i < 5) 1500L else 800L)).toMap,
+          seed = "m1")
+        .select("doc_id", "source", "n_tokens", "keep")
+        .orderBy("doc_id")),
+
     // Hash-bucketed train/val/test split: stable under corpus growth.
     "split_assign" -> ((s, dir) =>
       graft.operators.Sampling.assignSplit(
@@ -538,6 +550,20 @@ object ExtensionQueries {
         |  row_number() OVER (ORDER BY md5('s42' || doc_id::VARCHAR), doc_id) - 1
         |    AS shuffle_pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mix_to_budget" ->
+      s"""WITH s AS (SELECT doc_id, source, len($toksSql) AS n_tokens,
+         |  ${md5Hash60Sql("'m1' || doc_id::VARCHAR")} AS h FROM documents),
+         |w AS (SELECT doc_id, source, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+         |FROM s)
+         |SELECT doc_id, source, n_tokens,
+         |  coalesce((cum - n_tokens) <
+         |    (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+         |          THEN 1500
+         |          WHEN source IN ('src5','src6','src7','src8','src9')
+         |          THEN 800 END), false) AS keep
+         |FROM w ORDER BY doc_id""".stripMargin,
 
     "split_assign" ->
       s"""WITH b AS (SELECT doc_id,

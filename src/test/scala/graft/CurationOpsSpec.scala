@@ -58,6 +58,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(full.values.toSet == Set("train", "val", "test"))
   }
 
+  test("mixToBudget: kept tokens land in [budget, budget + maxDoc) per group") {
+    val docs = graft.sources.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val budgets = (0 to 9).map(i => s"src$i" -> 700L).toMap
+    val out = Sampling.mixToBudget(docs, Seq("source"), "doc_id",
+      graft.functions.TextOps.tokenCount(col("text")), budgets, seed = "t1")
+    val kept = out.where($"keep")
+      .groupBy("source").agg(sum("n_tokens").as("tok"), max("n_tokens").as("mx"))
+      .collect()
+    assert(kept.nonEmpty)
+    kept.foreach { r =>
+      assert(budgets.contains(r.getString(0))) // unbudgeted groups dropped
+      val tok = r.getLong(1)
+      assert(tok >= 700L && tok < 700L + r.getInt(2), s"$r")
+    }
+    // membership is independent of input partitioning
+    val ids = out.where($"keep").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val again = Sampling.mixToBudget(docs.repartition(7), Seq("source"),
+      "doc_id", graft.functions.TextOps.tokenCount(col("text")), budgets, "t1")
+      .where($"keep").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+  }
+
   test("assignSplit rejects fractions that do not sum to 1") {
     val df = Seq(1L).toDF("doc_id")
     intercept[IllegalArgumentException] {
