@@ -22,6 +22,27 @@ object TextOps {
   private[graft] val wsChars = " \\t\\n\\r\\f\\x0B"
   private[graft] val wsClass = s"[$wsChars]"
 
+  /** Control + zero-width characters scrubbed by [[normalizeText]]:
+    * C0 controls, DEL, zero-width space/joiners, BOM. `\x{...}` escapes
+    * parse identically in Java regex and RE2, so — like [[wsChars]] —
+    * the one string serves both engines.
+    */
+  private[graft] val ctrlChars = "\\x00-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}"
+
+  /** Canonical text normalization ahead of fingerprinting/dedup:
+    * Unicode NFC (codegen'd [[graft.expressions.NfcNormalize]]), control
+    * and zero-width characters to spaces, whitespace runs collapsed to
+    * one space, ends trimmed. A pure narrow map that stays inside
+    * whole-stage codegen; byte-identical in DuckDB as
+    * `trim(regexp_replace(regexp_replace(nfc_normalize(t), ctrl, ' ',
+    * 'g'), ws+, ' ', 'g'))`.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.expressions.NfcNormalize.of(text),
+        s"[$ctrlChars]", " "),
+      wsClass + "+", " "))
+
   /** Lowercased whitespace tokens, empties removed. */
   def tokens(text: Column): Column =
     filter(split(lower(text), wsClass + "+"), t => t =!= "")

@@ -263,6 +263,16 @@ object ExtensionQueries {
         .select("doc_id", "source", "n_tokens", "pack_id")
         .orderBy("doc_id")),
 
+    // Canonical text normalization (NFC + control scrub + ws collapse):
+    // the step ahead of every fingerprint; identity on ASCII fixtures,
+    // but the full expression pipeline runs and both engines replay it.
+    "text_normalize" -> ((s, dir) =>
+      tc(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.normalizeText(col("text")).as("norm_text"),
+        (TextOps.normalizeText(col("text")) =!= col("text")).as("changed"))
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: 5-gram overlap of the corpus (src1..9)
     // against a held-out benchmark set (src0), benchmark grams broadcast.
     "decontaminate" -> ((s, dir) => {
@@ -529,6 +539,15 @@ object ExtensionQueries {
          |SELECT doc_id, source, n_tokens,
          |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id
          |FROM w ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      s"""WITH n AS (SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+         |    '[${TextOps.ctrlChars}]', ' ', 'g'),
+         |    '[${TextOps.wsChars}]+', ' ', 'g')) AS norm_text, text
+         |FROM documents)
+         |SELECT doc_id, norm_text, norm_text != text AS changed
+         |FROM n ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, source, $toksSql AS T FROM documents),

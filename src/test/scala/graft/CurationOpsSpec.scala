@@ -82,6 +82,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(again == ids)
   }
 
+  test("normalizeText: NFC composition, zero-width scrub, ws collapse") {
+    import graft.functions.TextOps
+    def norm(s: String): String =
+      Seq(s).toDF("text").select(TextOps.normalizeText($"text")).first().getString(0)
+    // decomposed e + COMBINING ACUTE (U+0301) -> composed e-acute (U+00E9)
+    assert(norm("cafe\u0301") == "caf\u00e9")
+    // zero-width space / BOM / joiner / controls become (collapsed) spaces
+    assert(norm("a\u200bb") == "a b")
+    assert(norm("\ufeffx y\t\t z \r\n") == "x y z")
+    assert(norm("a b\u200dc") == "a b c")
+    // ascii fast path is identity, and the op is idempotent
+    assert(norm("plain text") == "plain text")
+    assert(norm(norm(" a\u200b\u200b b ")) == norm(" a\u200b\u200b b "))
+    // interpreted eval path agrees with the DataFrame (codegen) path
+    val e = graft.expressions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "cafe\u0301", org.apache.spark.sql.types.StringType))
+    assert(e.eval(null).toString == "caf\u00e9")
+  }
+
   test("assignSplit rejects fractions that do not sum to 1") {
     val df = Seq(1L).toDF("doc_id")
     intercept[IllegalArgumentException] {
