@@ -35,6 +35,28 @@ object StreamingQueries {
         .orderBy("event_id")
     }),
 
+    // Sliding 1-day windows every 6 hours (each event in 4 windows).
+    "stream_sliding_agg" -> ((s, dir) =>
+      StreamingPipeline.slidingAgg(Tables.load(s, dir, "events"), "ts",
+          width = "1 day", slide = "6 hours")
+        .orderBy("window_start", "event_type")),
+
+    // Stream-static enrichment: events joined to broadcast customer and
+    // nation dims (user_id keys into c_custkey on these fixtures).
+    "stream_enrich" -> ((s, dir) =>
+      StreamingPipeline.enrich(
+          Tables.load(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "value"),
+          Seq(
+            Tables.load(s, dir, "customer")
+              .select("c_custkey", "c_mktsegment", "c_nationkey")
+              -> (col("user_id") === col("c_custkey")),
+            Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+              -> (col("c_nationkey") === col("n_nationkey"))))
+        .select("event_id", "user_id", "event_type", "value",
+          "c_mktsegment", "n_name")
+        .orderBy("event_id")),
+
     // Gap-based sessionization (streaming: flatMapGroupsWithState).
     "stream_sessionize" -> ((s, dir) =>
       StreamingPipeline.sessionizeBatch(
@@ -54,6 +76,28 @@ object StreamingQueries {
       """SELECT DISTINCT event_id, user_id, event_type, value,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // Hopping windows replayed in micros arithmetic: 6h slide buckets,
+    // each event expanded into k=0..3 preceding window starts. Spark
+    // aligns windows to the 1970 epoch; midnight UTC is a whole multiple
+    // of 6h, so explicit floor-division reproduces it exactly.
+    "stream_sliding_agg" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |           FROM events),
+        |w AS (SELECT
+        |  make_timestamp(((epoch_us(ts) // 21600000000) - k) * 21600000000)
+        |    AS window_start, event_type, value
+        |FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "stream_enrich" ->
+      """SELECT event_id, user_id, event_type, value, c_mktsegment, n_name
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY event_id""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -78,6 +78,34 @@ object StreamingPipeline {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding (hopping) event-time windows: each event lands in
+    * width/slide overlapping windows — the "error rate over the last
+    * hour, refreshed every 15 minutes" shape. Spark expands the window
+    * set in a narrow generate before the one aggregation shuffle; state
+    * per window is O(#groups), bounded under a watermark exactly like
+    * [[tumblingAggWatermarked]]. Same Column program batch and stream.
+    */
+  def slidingAgg(df: DataFrame, tsCol: String, width: String = "1 day",
+      slide: String = "6 hours"): DataFrame =
+    df.groupBy(window(col(tsCol), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stream-static enrichment: join the event stream to slow-changing
+    * dimension tables. Each dim is explicitly `broadcast()` — the static
+    * side ships to every executor once per batch and the stream side
+    * never shuffles, which is both the only fully-general stream-static
+    * join shape and the right plan at 100 TB of events vs MB-scale dims.
+    * One Column program batch and stream (inner joins only: outer
+    * stream-static joins change semantics under late static updates).
+    */
+  def enrich(stream: DataFrame, dims: Seq[(DataFrame, Column)]): DataFrame =
+    dims.foldLeft(stream) { case (acc, (dim, cond)) =>
+      acc.join(broadcast(dim), cond, "inner")
+    }
+
   /** Watermarked streaming tumbling aggregation: bounds the state store
     * (windows older than `delay` behind the max observed event time are
     * finalized and dropped) and lets Append mode emit each window exactly

@@ -84,6 +84,52 @@ class StreamingSpec extends SparkSpec {
     assert(got.size < batch.count())
   }
 
+  test("sliding agg: batch result and each event lands in width/slide windows") {
+    val events = Tables.load(spark, sf0001, "events")
+    val batch = StreamingPipeline.slidingAgg(events, "ts",
+      width = "1 day", slide = "6 hours")
+    // total weighted count = 4x the event count (every event in 4 windows)
+    val total = batch.agg(sum("n_events")).head().getLong(0)
+    assert(total == 4 * events.count())
+    // streaming run behind readStream (Complete mode — no watermark here)
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val agg = StreamingPipeline.slidingAgg(
+      StreamingPipeline.streamTable(spark, sf0001, "events"), "ts",
+      width = "1 day", slide = "6 hours")
+    val q = agg.writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("slide_out").collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet)
+  }
+
+  test("stream-static enrich: streaming equals batch, dims broadcast") {
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    def dims = Seq(
+      Tables.load(spark, sf0001, "customer")
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+        -> (col("user_id") === col("c_custkey")),
+      Tables.load(spark, sf0001, "nation").select("n_nationkey", "n_name")
+        -> (col("c_nationkey") === col("n_nationkey")))
+    val ev = Tables.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val batch = StreamingPipeline.enrich(ev, dims)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    // plan uses broadcast joins, not shuffles
+    val plan = StreamingPipeline.enrich(ev, dims)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val enriched = StreamingPipeline.enrich(
+      StreamingPipeline.streamTable(spark, sf0001, "events")
+        .select("event_id", "user_id", "event_type", "value"), dims)
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("enrich_out").collect().map(_.toSeq).toSet == batch)
+  }
+
   test("continuous sessionization: sessions emit once closed, survive batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
