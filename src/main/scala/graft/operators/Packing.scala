@@ -37,4 +37,30 @@ object Packing {
         floor((col("__cum") - col("n_tokens")) / lit(budget.toDouble)))
       .drop("__cum")
   }
+
+  /** Materialize one training sequence per pack: documents of a pack
+    * concatenated in `orderCol` order with `sep` between them, plus doc
+    * and token accounting. Runs [[assignPacks]] then ONE aggregation —
+    * the sort_array trick keeps concatenation order deterministic inside
+    * an unordered hash aggregate (collect_list order is
+    * partition-dependent; sorting the collected (order, text) structs
+    * restores it). Per-group state is one pack's documents ≈ `budget`
+    * tokens — bounded by construction, so group skew cannot OOM an
+    * executor no matter the corpus size.
+    */
+  def materialize(df: DataFrame, partCols: Seq[String], orderCol: String,
+      textCol: String, tokenCol: Column, budget: Int,
+      sep: String = "\n\n"): DataFrame = {
+    val assigned = assignPacks(df, partCols, orderCol, tokenCol, budget)
+    assigned
+      .groupBy((partCols :+ "pack_id").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col(orderCol), col(textCol)))),
+            s => s.getField(textCol)),
+          sep).as("sequence"))
+  }
 }

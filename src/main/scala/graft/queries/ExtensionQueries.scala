@@ -291,6 +291,17 @@ object ExtensionQueries {
           t(s, dir, "documents").select("doc_id"), "doc_id", seed = "s42")
         .orderBy("doc_id")),
 
+    // Pack materialization: one concatenated training sequence per pack
+    // (md5 of the sequence keeps the oracle row narrow).
+    "pack_materialize" -> ((s, dir) =>
+      graft.operators.Packing.materialize(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          Seq("source"), "doc_id", "text",
+          TextOps.tokenCount(col("text")), budget = 256)
+        .select(col("source"), col("pack_id"), col("n_docs"),
+          col("pack_tokens"), md5(col("sequence")).as("seq_md5"))
+        .orderBy("source", "pack_id")),
+
     // Training-mixture sampling: greedy per-source token-budget fill in
     // seed-keyed hash order (exact budgets, deterministic membership).
     "mix_to_budget" -> ((s, dir) =>
@@ -569,6 +580,20 @@ object ExtensionQueries {
         |  row_number() OVER (ORDER BY md5('s42' || doc_id::VARCHAR), doc_id) - 1
         |    AS shuffle_pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pack_materialize" ->
+      s"""WITH s AS (SELECT doc_id, source, text, len($toksSql) AS n_tokens
+         |  FROM documents),
+         |w AS (SELECT doc_id, source, text, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |FROM s),
+         |p AS (SELECT doc_id, source, text, n_tokens,
+         |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id
+         |FROM w)
+         |SELECT source, pack_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_md5
+         |FROM p GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
 
     "mix_to_budget" ->
       s"""WITH s AS (SELECT doc_id, source, len($toksSql) AS n_tokens,

@@ -39,6 +39,23 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("materialize: sequences concatenate in order, invariant to partitioning") {
+    val df = Seq(
+      ("a", 1L, "one"), ("a", 2L, "two"), ("a", 3L, "three"), ("b", 9L, "nine")
+    ).toDF("src", "id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.materialize(d, Seq("src"), "id", "text", lit(100), budget = 150,
+          sep = "|")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+    val got = run(df)
+    // a: cum-exclusive 0,100,200 / 150 -> packs 0,0,1 ; b: pack 0
+    assert(got == Set(
+      ("a", 0L, 2L, 200L, "one|two"), ("a", 1L, 1L, 100L, "three"),
+      ("b", 0L, 1L, 100L, "nine")))
+    assert(run(df.repartition(5)) == got)
+  }
+
   test("budget must be positive") {
     val df = Seq(("a", 1L, 1)).toDF("src", "id", "len")
     intercept[IllegalArgumentException] {
