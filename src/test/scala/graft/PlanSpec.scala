@@ -110,6 +110,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: benchmark grams broadcast, corpus grams never shuffle") {
+    val df = graft.queries.ExtensionQueries
+      .queries("decontaminate")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), "benchmark gram set must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus gram stream must not shuffle into the join")
+    assert(p.contains("partial_count"), "per-doc agg needs a map-side phase")
+  }
+
+  test("split_assign is a pure narrow map (no hash shuffle, no join)") {
+    val df = graft.queries.ExtensionQueries
+      .queries("split_assign")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("hashpartitioning"),
+      "split assignment must not shuffle (only the output sort may range-partition)")
+    assert(!p.contains("Join"), "split assignment must not join")
+  }
+
+  test("pack assignment: exactly one hash shuffle (the per-source window)") {
+    val df = graft.queries.ExtensionQueries
+      .queries("pack_sequences")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash shuffle, saw $hashEx")
+  }
+
+  test("text_normalize stays UDF-free with the nfc expression in-plan") {
+    val df = graft.queries.ExtensionQueries
+      .queries("text_normalize")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("nfc_normalize"), "NfcNormalize expression not in plan")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
   test("rebalanceForCompute: expands starved scans, no-ops healthy ones") {
     import spark.implicits._
     val starved = (1 to 100).toDF("x").coalesce(1)
