@@ -33,23 +33,34 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = child.dataType
   override def prettyName: String = "nfc_normalize"
 
+  // numBytes == numChars <=> pure ASCII <=> already NFC: the dominant
+  // web-corpus case skips even the UTF-16 decode; non-ASCII rows probe
+  // isNormalized on the decoded string before allocating a new one.
   override def nullSafeEval(s: Any): Any = {
-    val str = s.asInstanceOf[UTF8String].toString
-    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    val u = s.asInstanceOf[UTF8String]
+    if (u.numBytes == u.numChars) s
+    else {
+      val str = u.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val tmp = ctx.freshName("s")
       s"""
-         |String $tmp = $c.toString();
-         |${ev.value} = java.text.Normalizer.isNormalized(
-         |    $tmp, java.text.Normalizer.Form.NFC)
-         |  ? $c
-         |  : UTF8String.fromString(java.text.Normalizer.normalize(
-         |      $tmp, java.text.Normalizer.Form.NFC));
+         |if ($c.numBytes() == $c.numChars()) {
+         |  ${ev.value} = $c;
+         |} else {
+         |  String $tmp = $c.toString();
+         |  ${ev.value} = java.text.Normalizer.isNormalized(
+         |      $tmp, java.text.Normalizer.Form.NFC)
+         |    ? $c
+         |    : UTF8String.fromString(java.text.Normalizer.normalize(
+         |        $tmp, java.text.Normalizer.Form.NFC));
+         |}
        """.stripMargin
     })
 

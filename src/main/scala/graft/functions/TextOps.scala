@@ -59,24 +59,25 @@ object TextOps {
     size(regexp_extract_all(text,
       lit(s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9$wsChars]"), lit(0)))
 
-  /** Distinct word n-shingles ("w1 w2 w3") of the token array. Documents
-    * shorter than n yield one truncated shingle (the whole document).
-    */
-  def wordShingles(toks: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(n)), " ")))
-
   /** Word n-grams of the token array in document order, NON-distinct —
     * repetition metrics need every occurrence, not the set. Documents
-    * shorter than n yield one truncated gram (the whole document), the
-    * same convention as [[wordShingles]], so the gram count is never 0
-    * and occurrence fractions stay well-defined.
+    * shorter than n yield one truncated gram (the whole document), so
+    * the gram count is never 0 and occurrence fractions stay
+    * well-defined. THE one copy of the gram expression: shingles are
+    * defined as its distinct form, mirroring the SQL side
+    * (`shinglesSql = list_distinct(gramsSql)`), so the truncated-gram
+    * convention cannot desynchronize between the two.
     */
   def wordGrams(toks: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => array_join(slice(toks, i, lit(n)), " "))
+
+  /** Distinct word n-shingles ("w1 w2 w3") of the token array. Documents
+    * shorter than n yield one truncated shingle (the whole document).
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    array_distinct(wordGrams(toks, n))
 
   /** Distinct character n-grams of the raw string. */
   def charGrams(text: Column, n: Int): Column =

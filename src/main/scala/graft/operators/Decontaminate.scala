@@ -29,9 +29,13 @@ object Decontaminate {
     */
   def overlap(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    def grams(df: DataFrame) = df.select(
-      col(idCol).as("id"),
-      explode(TextOps.wordShingles(TextOps.tokens(col(textCol)), n)).as("g"))
+    // tokens materialized into a column FIRST: Spark does not CSE HOF
+    // lambda children, so shingling directly over tokens(text) would
+    // re-tokenize the document once per gram (the quadratic nested-HOF
+    // trap this repo hit on winnowing)
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("id"), explode(TextOps.wordShingles(col("__t"), n)).as("g"))
     val benchGrams = broadcast(
       grams(bench).select("g").distinct().withColumn("__hit", lit(1)))
     grams(corpus)

@@ -26,11 +26,18 @@ object Packing {
 
   /** Per-row pack assignment: input columns plus `n_tokens` (the
     * evaluated `tokenCol`) and `pack_id`.
+    *
+    * `orderCol` must be UNIQUE within each partition (a document id):
+    * uniqueness is what makes the order — and therefore the assignment —
+    * total and deterministic. The frame is ROWS-based explicitly;
+    * the default RANGE frame would collapse order ties onto one
+    * inclusive sum and blow the budget by the tie-group size.
     */
   def assignPacks(df: DataFrame, partCols: Seq[String], orderCol: String,
       tokenCol: Column, budget: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tokens", tokenCol)
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .withColumn("pack_id",

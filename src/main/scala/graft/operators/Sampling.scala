@@ -93,9 +93,13 @@ object Sampling {
       "budgets are keyed by the single group column's value")
     require(budgets.values.forall(_ > 0), s"budgets must be positive: $budgets")
     val h = hashFn(concat(lit(seed), col(idCol).cast("string")))
+    // ROWS frame (unique idCol makes the order total; explicit frame
+    // guards against RANGE peer-collapse if that ever changes)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val budget = budgets.foldLeft(lit(null).cast("long")) {
       case (els, (k, b)) => when(col(groupCols.head) === k, b).otherwise(els)
     }

@@ -25,11 +25,18 @@ object TrainingOrder {
     * reproducible across runs, partitionings, and engines).
     */
   def shuffleOrder(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    require(!df.columns.contains("shuffle_pos"),
+      "input already has a shuffle_pos column")
     val k = Iterator.from(0).map(i => s"__graft_ord_k$i")
       .find(n => !df.columns.contains(n)).get
+    // persisted because zipWithIndex's size-count job materializes every
+    // sorted partition — without the persist the full distributed sort
+    // would run twice (once to count, once for the consuming action).
+    // Left to LRU/session teardown like the dedup shingle caches.
     val sorted = df
       .withColumn(k, md5(concat(lit(seed), col(idCol).cast("string"))))
       .orderBy(col(k), col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = sorted.schema.add("shuffle_pos", LongType, nullable = false)
     val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)

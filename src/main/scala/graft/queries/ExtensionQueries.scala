@@ -79,11 +79,15 @@ object ExtensionQueries {
       |       ELSE 'und' END""".stripMargin
 
   /** Word n-grams over token list `T` in document order, NON-distinct
-    * (every occurrence — repetition metrics count multiplicity).
+    * (every occurrence — repetition metrics count multiplicity). The
+    * coalesce aligns the zero-token edge with Spark: slicing an EMPTY
+    * DuckDB list yields NULL where Spark's slice+array_join yields ''
+    * — without it a whitespace-only document would have gram [NULL]
+    * here but [''] in the engine (NULL never equi-joins, '' does).
     */
   private def gramsSql(T: String, n: Int): String =
     s"list_transform(range(1, greatest(len($T) - ${n - 1}, 1) + 1), " +
-      s"i -> array_to_string($T[i:i+${n - 1}], ' '))"
+      s"i -> coalesce(array_to_string($T[i:i+${n - 1}], ' '), ''))"
 
   /** Distinct word n-shingles over token list `T`. */
   private def shinglesSql(T: String, n: Int): String =
@@ -258,7 +262,7 @@ object ExtensionQueries {
     // source via an exclusive prefix sum of token counts.
     "pack_sequences" -> ((s, dir) =>
       graft.operators.Packing.assignPacks(
-          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          tc(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
           Seq("source"), "doc_id", TextOps.tokenCount(col("text")), budget = 256)
         .select("doc_id", "source", "n_tokens", "pack_id")
         .orderBy("doc_id")),
@@ -295,7 +299,7 @@ object ExtensionQueries {
     // (md5 of the sequence keeps the oracle row narrow).
     "pack_materialize" -> ((s, dir) =>
       graft.operators.Packing.materialize(
-          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          tc(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
           Seq("source"), "doc_id", "text",
           TextOps.tokenCount(col("text")), budget = 256)
         .select(col("source"), col("pack_id"), col("n_docs"),
@@ -306,7 +310,7 @@ object ExtensionQueries {
     // seed-keyed hash order (exact budgets, deterministic membership).
     "mix_to_budget" -> ((s, dir) =>
       graft.operators.Sampling.mixToBudget(
-          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          tc(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
           Seq("source"), "doc_id", TextOps.tokenCount(col("text")),
           budgets = (0 to 9).map(i =>
             s"src$i" -> (if (i < 5) 1500L else 800L)).toMap,

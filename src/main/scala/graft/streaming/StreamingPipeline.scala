@@ -72,11 +72,7 @@ object StreamingPipeline {
     * stream; in streaming add `withWatermark` upstream).
     */
   def tumblingAgg(df: DataFrame, tsCol: String, width: String = "1 day"): DataFrame =
-    df.groupBy(window(col(tsCol), width).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,4)")), 2).cast("double").as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+    slidingAgg(df, tsCol, width, slide = width)
 
   /** Sliding (hopping) event-time windows: each event lands in
     * width/slide overlapping windows — the "error rate over the last
@@ -87,6 +83,8 @@ object StreamingPipeline {
     */
   def slidingAgg(df: DataFrame, tsCol: String, width: String = "1 day",
       slide: String = "6 hours"): DataFrame =
+    // ONE copy of the oracle-parity money-sum contract (decimal cast,
+    // round-2, double cast): tumblingAgg delegates here with slide=width.
     df.groupBy(window(col(tsCol), width, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value").cast("decimal(18,4)")), 2).cast("double").as("sum_value"))
