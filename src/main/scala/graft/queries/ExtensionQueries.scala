@@ -262,7 +262,7 @@ object ExtensionQueries {
     // source via an exclusive prefix sum of token counts.
     "pack_sequences" -> ((s, dir) =>
       graft.operators.Packing.assignPacks(
-          tc(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
           Seq("source"), "doc_id", TextOps.tokenCount(col("text")), budget = 256)
         .select("doc_id", "source", "n_tokens", "pack_id")
         .orderBy("doc_id")),
@@ -299,7 +299,7 @@ object ExtensionQueries {
     // (md5 of the sequence keeps the oracle row narrow).
     "pack_materialize" -> ((s, dir) =>
       graft.operators.Packing.materialize(
-          tc(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
           Seq("source"), "doc_id", "text",
           TextOps.tokenCount(col("text")), budget = 256)
         .select(col("source"), col("pack_id"), col("n_docs"),
@@ -310,7 +310,7 @@ object ExtensionQueries {
     // seed-keyed hash order (exact budgets, deterministic membership).
     "mix_to_budget" -> ((s, dir) =>
       graft.operators.Sampling.mixToBudget(
-          tc(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
           Seq("source"), "doc_id", TextOps.tokenCount(col("text")),
           budgets = (0 to 9).map(i =>
             s"src$i" -> (if (i < 5) 1500L else 800L)).toMap,
