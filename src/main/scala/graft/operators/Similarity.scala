@@ -107,6 +107,32 @@ object Similarity {
   def planeValues(table: Int, bit: Int, dims: Int = 64): Array[Double] =
     (0 until dims).map(d => planeVal(table, bit, d).toDouble).toArray
 
+  /** Namespace for the projection plane family — outside any LSH table
+    * index (those are 0..tables-1), so reduction planes and bucket
+    * planes never collide.
+    */
+  val ProjTable = 101
+
+  /** Projection plane `j` as exact doubles, for oracle replay. */
+  def projPlaneValues(j: Int, dims: Int = 64): Array[Double] =
+    planeValues(ProjTable, j, dims)
+
+  /** Johnson–Lindenstrauss-style random projection of an embedding to
+    * `outDims` components: out_j = round(<vec, plane_j>, 6) with the
+    * deterministic plane family above. A pure narrow map through the
+    * codegen'd `FloatVecDot` — no shuffle, no fitted model to ship —
+    * giving cheaper downstream ANN/clustering at 100 TB (JL: pairwise
+    * distances are preserved within ε for outDims = O(log n / ε²));
+    * `projPlaneValues` lets any SQL engine replay it bit-identically.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, dims: Int = 64): DataFrame =
+    df.select(
+      col(idCol) +: (0 until outDims).map { j =>
+        val plane = typedlit((0 until dims).map(d => planeVal(ProjTable, j, d)).toArray)
+        round(VecOps.dot(col(vecCol), plane), 6).as(s"p$j")
+      }: _*)
+
   /** Random-hyperplane LSH bucket keys: for each of `tables` tables, a
     * `bits`-bit signature (sign of the projection on each plane).
     * `dims` must cover the embedding length (extra plane components are

@@ -325,6 +325,13 @@ object ExtensionQueries {
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .orderBy("doc_id")),
 
+    // JL-style random projection: 64-d embeddings reduced to 8
+    // deterministic plane dots — a narrow codegen'd map, no shuffle.
+    "embed_project" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+          outDims = 8)
+        .orderBy("vec_id")),
+
     // Multimodal plumbing: opaque binary column + typed features. The
     // text column stands in for the blob (no media libs in-container);
     // the decode stub lives in Multimodal.scala.
@@ -622,6 +629,22 @@ object ExtensionQueries {
          |       WHEN bucket < 9500 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "embed_project" -> {
+      // Same literal-replay contract as sim_topk_lsh: Double.toString
+      // round-trips and embedding::DOUBLE[] widens floats exactly.
+      def planeList(j: Int): String =
+        "[" + Similarity.projPlaneValues(j)
+          .map(java.lang.Double.toString).mkString(",") + "]"
+      val cols = (0 until 8).map { j =>
+        s"round(list_sum(list_transform(range(1, len(v) + 1), " +
+          s"i -> v[i] * (${planeList(j)})[i])), 6) AS p$j"
+      }.mkString(",\n|  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_id,
+         |  $cols
+         |FROM e ORDER BY vec_id""".stripMargin
+    },
 
     "multimodal_features" ->
       """SELECT doc_id,

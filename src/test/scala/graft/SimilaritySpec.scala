@@ -75,4 +75,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(lsh.subsetOf(brute))
   }
+
+  test("random projection: deterministic, linear, matches explicit plane dot") {
+    import spark.implicits._
+    val a = Array.tabulate(64)(i => (i % 5 - 2).toFloat)
+    val b = Array.tabulate(64)(i => (i % 3 - 1).toFloat)
+    val sum = a.zip(b).map { case (x, y) => x + y }
+    val df = Seq((1L, a), (2L, b), (3L, sum)).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(df, "vec_id", "embedding", outDims = 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getDouble)).toMap
+    // projection is linear: p(a + b) == p(a) + p(b) (up to the round-6)
+    (0 until 4).foreach { j =>
+      assert(math.abs(got(3L)(j) - (got(1L)(j) + got(2L)(j))) < 2e-6)
+    }
+    // p0 of `a` equals the explicit double fold over projPlaneValues(0)
+    val want = a.map(_.toDouble).zip(Similarity.projPlaneValues(0))
+      .foldLeft(0.0) { case (acc, (x, p)) => acc + x * p }
+    assert(got(1L)(0) == math.rint(want * 1e6) / 1e6 ||
+      math.abs(got(1L)(0) - want) < 1e-6)
+    // deterministic across invocations
+    val again = Similarity.randomProject(df, "vec_id", "embedding", outDims = 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getDouble)).toMap
+    assert(again == got)
+  }
 }
