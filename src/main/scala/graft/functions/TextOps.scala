@@ -239,6 +239,20 @@ object TextOps {
       round(col("ttr"), 6).as("ttr"))
   }
 
+  /** Tokenizer-vocabulary induction: the corpus-wide top-`k` tokens by
+    * occurrence count, deterministically tie-broken by token. Plan shape
+    * at scale: one narrow explode, a map-side-partial hash aggregation
+    * over the (small-by-definition) vocabulary, then Spark's
+    * `TakeOrderedAndProject` — each partition keeps only its local
+    * top-k, so no global sort materializes.
+    */
+  def vocabTopK(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+
   /** Corpus-scale winnowing: (id, fp_winnow, n_winnow) per document.
     * Gram hashes are computed ONCE per row, exploded, and the sliding
     * minima run as a codegen'd window min partitioned by document — the

@@ -325,6 +325,12 @@ object ExtensionQueries {
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .orderBy("doc_id")),
 
+    // Tokenizer vocabulary induction: corpus-wide top-100 tokens by
+    // occurrence, total-ordered (count desc, token asc) so the cut is
+    // deterministic.
+    "vocab_topk" -> ((s, dir) =>
+      TextOps.vocabTopK(tc(s, dir, "documents"), "text", k = 100)),
+
     // JL-style random projection: 64-d embeddings reduced to 8
     // deterministic plane dots — a narrow codegen'd map, no shuffle.
     "embed_project" -> ((s, dir) =>
@@ -629,6 +635,11 @@ object ExtensionQueries {
          |       WHEN bucket < 9500 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "vocab_topk" ->
+      s"""SELECT t AS token, count(*) AS n_occurrences
+         |FROM (SELECT unnest($toksSql) AS t FROM documents)
+         |GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
 
     "embed_project" -> {
       // Same literal-replay contract as sim_topk_lsh: Double.toString

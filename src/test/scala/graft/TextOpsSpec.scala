@@ -19,6 +19,14 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq("a b", "b c", "c d"))
   }
 
+  test("vocabTopK: count-desc order with deterministic token tie-break at the cut") {
+    val df = Seq("b b a a c d").toDF("text")
+    // counts: a=2 b=2 c=1 d=1; k=3 cuts inside the c/d tie -> c wins
+    val got = TextOps.vocabTopK(df, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+
   test("langid: stopword argmax picks the right language") {
     assert(one(TextOps.langId($"text"), "the cat and the dog is here") == "en")
     assert(one(TextOps.langId($"text"), "el perro y la casa de que") == "es")
