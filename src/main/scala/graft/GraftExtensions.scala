@@ -61,6 +61,14 @@ object GraftExtensions {
           s"sorted_long_jaccard_ge requires exactly 3 arguments, got ${exprs.length}")
         SortedLongJaccardGE(exprs(0), exprs(1), exprs(2))
       }),
+    ("graft_nfc_normalize",
+      info(classOf[graft.expressions.NfcNormalize], "graft_nfc_normalize",
+        "_FUNC_(s) - Unicode NFC normalization (codegen'd, ASCII fast path)"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"graft_nfc_normalize requires exactly 1 argument, got ${exprs.length}")
+        graft.expressions.NfcNormalize(exprs(0))
+      }),
   )
 
   /** Attach the TopK planner strategy to a live session (idempotent). */

@@ -33,6 +33,11 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT sorted_long_jaccard_ge(array(1L, 2L, 5L), array(2L, 3L, 5L), 0.6D) AS j")
       .first().getDouble(0)
     assert(jf == -1.0)
+    // decomposed e + combining acute composes under NFC
+    val decomposed = "cafe\u0301"
+    val nfc = spark.sql(s"SELECT graft_nfc_normalize('$decomposed') AS s")
+      .first().getString(0)
+    assert(nfc == "caf\u00e9" && nfc.length == 4)
   }
 
   test("registration is idempotent") {

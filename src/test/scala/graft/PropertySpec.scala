@@ -122,6 +122,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("repetitionStats: fracs in [0,1], ttr in (0,1], n_grams = tokens-(n-1) or 1") {
+    import spark.implicits._
+    val docGen = Gen.choose(0, 40).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "c", "dd", "eee")).map(_.mkString(" ")))
+    val docs = samples(docGen, 25).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .filter(_._2.trim.nonEmpty)
+    val rows = graft.functions.TextOps
+      .repetitionStats(docs.toDF("id", "text"), "id", "text", n = 2)
+      .collect()
+    assert(rows.length == docs.size)
+    val nTokens = docs.map { case (i, t) =>
+      i -> t.split("\\s+").count(_.nonEmpty) }.toMap
+    rows.foreach { r =>
+      val (top, dup, ttr) = (r.getAs[Double]("top_gram_frac"),
+        r.getAs[Double]("dup_gram_frac"), r.getAs[Double]("ttr"))
+      assert(top > 0 && top <= 1 && dup >= 0 && dup <= 1 && ttr > 0 && ttr <= 1)
+      assert(dup == 0.0 || dup >= top, s"dup<top in $r") // dup counts every repeated gram
+      assert(r.getAs[Long]("n_grams") ==
+        math.max(nTokens(r.getAs[Long]("id")) - 1, 1))
+    }
+  }
+
+  test("normalizeText: idempotent and NFC-stable on random unicode mixes") {
+    import spark.implicits._
+    val charGen = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.const("\t"),
+      Gen.const("\u00e9"), Gen.const("e\u0301"), Gen.const("\u200b"),
+      Gen.const("\ufeff"), Gen.const(""))
+    val strGen = Gen.choose(0, 30).flatMap(k =>
+      Gen.listOfN(k, charGen).map(_.mkString))
+    val inputs = samples(strGen, 30)
+    def normAll(ss: Seq[String]): Seq[String] =
+      ss.toDF("text")
+        .select(graft.functions.TextOps.normalizeText($"text"))
+        .collect().map(_.getString(0)).toSeq
+    val once = normAll(inputs)
+    assert(normAll(once) == once) // idempotent
+    once.foreach { s =>
+      assert(java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      assert(!s.exists(c => c.isControl ||
+        c == '\u200b' || c == '\u200c' || c == '\u200d' || c == '\ufeff'))
+      assert(!s.contains("  ") && s == s.trim)
+    }
+  }
+
+  test("assignSplit covers every row with exactly one label at any fraction mix") {
+    import spark.implicits._
+    val fracsGen = Gen.choose(1, 9999).map { cut =>
+      Seq("x" -> cut / 10000.0, "y" -> (10000 - cut) / 10000.0) }
+    val ids = (1L to 200L).toDF("id")
+    samples(fracsGen, 10).foreach { fr =>
+      val out = graft.operators.Sampling.assignSplit(ids, "id", "ps", fr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(out.length == 200)
+      out.foreach { case (_, b, s) =>
+        assert(b >= 0 && b < 10000)
+        val cut = math.round(fr.head._2 * 10000)
+        assert(s == (if (b < cut) "x" else "y"))
+      }
+    }
+  }
+
   test("datetime source→universal→sink round trip") {
     import spark.implicits._
     val tsGen = for {
