@@ -14,10 +14,12 @@ import graft.plans.TopKStrategy
   *   - `graft.GraftExtensions.register(spark)` at runtime on an existing
   *     session (what the library entry points use).
   *
-  * Registers the TopKPerKey planner strategy and four SQL functions:
-  * `graft_row_hash(cells…)`, `float_vec_dot(a, b)`,
-  * `sorted_long_intersect_count(a, b)`,
-  * `sorted_long_jaccard_ge(a, b, threshold)`.
+  * Registers the TopKPerKey planner strategy and the SQL functions
+  * enumerated in [[GraftExtensions.functions]] — that Seq is the single
+  * source of truth; currently `graft_row_hash(cells…)`,
+  * `float_vec_dot(a, b)`, `sorted_long_intersect_count(a, b)`,
+  * `sorted_long_jaccard_ge(a, b, threshold)`, and
+  * `graft_nfc_normalize(s)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {

@@ -94,9 +94,15 @@ object Dedup {
     // Shingling is the CPU-heavy narrow stage; don't let a few-row-group
     // input serialize it (no-op on well-partitioned inputs).
     val df = graft.sources.Tables.rebalanceForCompute(df0)
-    df.select(
-      col(idCol).as("id"),
-      TextOps.wordShingles(TextOps.tokens(col(textCol)), shingleLen).as("sh"))
+    // tokens materialized BEFORE shingling: HOF lambda children are not
+    // CSE'd, so wordShingles over a raw tokens(text) expression would
+    // re-run the regex tokenizer once per gram — O(tokens²) per document
+    // (the winnowing trap; harmless on short fixtures, quadratic on
+    // real long documents)
+    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__t"))
+      .select(
+        col("id"),
+        TextOps.wordShingles(col("__t"), shingleLen).as("sh"))
       // NULL text → empty set, not a null array: null-text docs then flow
       // through signature/verify plumbing as ordinary no-shingle rows
       // (they can never pair) instead of nulling out downstream exprs.

@@ -138,7 +138,9 @@ object Similarity {
     * `dims` must cover the embedding length (extra plane components are
     * ignored by the min-length dot product).
     */
-  def lshBucketKeys(vec: Column, tables: Int, bits: Int, dims: Int = 64): Column =
+  def lshBucketKeys(vec: Column, tables: Int, bits: Int, dims: Int = 64): Column = {
+    require(tables < ProjTable,
+      s"tables must stay below ProjTable=$ProjTable (plane namespaces would collide)")
     array((0 until tables).map { t =>
       val sig = (0 until bits).map { b =>
         val plane = typedlit((0 until dims).map(d => planeVal(t, b, d)).toArray)
@@ -146,6 +148,7 @@ object Similarity {
       }.reduce((a, b) => a.bitwiseOR(b))
       concat_ws("_", lit(t), sig)
     }: _*)
+  }
 
   /** LSH-bucketed near-neighbor pairs: candidates share ≥1 bucket in ≥1
     * table; verified with exact cosine. Same output contract as

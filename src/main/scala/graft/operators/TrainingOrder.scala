@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Deterministic global shuffle for training order: every epoch-0 data
   * loader wants the corpus in a reproducible pseudo-random total order.
@@ -11,11 +11,14 @@ import org.apache.spark.sql.types.LongType
   * `shuffle_pos` in that order.
   *
   * Scale shape: an unpartitioned `row_number()` window would move every
-  * row to ONE partition (Spark warns exactly this). Instead the frame
-  * is range-partitioned and sorted by the key — a distributed sort —
-  * and ranks come from per-partition offsets (`zipWithIndex`: one extra
-  * O(#partitions) count job, then a narrow map). No single-partition
-  * stage anywhere, so the op survives arbitrary corpus size.
+  * row to ONE partition (Spark warns exactly this). Instead ranks come
+  * from BUCKET OFFSETS: the first 4 hex chars of the md5 key split the
+  * order into 65,536 lexicographic buckets; one tiny aggregation counts
+  * each bucket (collected bounded at 65,536 rows and broadcast back),
+  * and a per-bucket `row_number()` window adds the within-bucket rank.
+  * One shuffle by bucket, no persisted intermediate, no RDD round-trip,
+  * and the md5 key makes every bucket ≈ corpus/65,536 rows — skew-free
+  * by construction at any corpus size.
   */
 object TrainingOrder {
 
@@ -29,18 +32,23 @@ object TrainingOrder {
       "input already has a shuffle_pos column")
     val k = Iterator.from(0).map(i => s"__graft_ord_k$i")
       .find(n => !df.columns.contains(n)).get
-    // persisted because zipWithIndex's size-count job materializes every
-    // sorted partition — without the persist the full distributed sort
-    // would run twice (once to count, once for the consuming action).
-    // Left to LRU/session teardown like the dedup shingle caches.
-    val sorted = df
+    val b = s"${k}_b"
+    val keyed = df
       .withColumn(k, md5(concat(lit(seed), col(idCol).cast("string"))))
-      .orderBy(col(k), col(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val schema = sorted.schema.add("shuffle_pos", LongType, nullable = false)
-    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    df.sparkSession.createDataFrame(ranked, schema).drop(k)
+      .withColumn(b, substring(col(k), 1, 4))
+    // bucket -> rows-before-it offset; the bucket id is a PREFIX of the
+    // sort key, so lexicographic bucket order == global key order
+    val counts = keyed.groupBy(b).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)((acc, p) => acc + p._2))
+    val offDf = broadcast(
+      df.sparkSession.createDataFrame(offsets).toDF(b, "__off"))
+    val w = Window.partitionBy(col(b)).orderBy(col(k), col(idCol))
+    keyed
+      .join(offDf, b)
+      .withColumn("shuffle_pos",
+        col("__off") + row_number().over(w).cast("long") - 1L)
+      .drop(k, b, "__off")
   }
 }
