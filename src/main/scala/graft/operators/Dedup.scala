@@ -65,25 +65,59 @@ object Dedup {
       threshold: Double = 0.5): (DataFrame, DataFrame) = {
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
-    val rows = numHashes / bands
     // Persisted: the plan reuses the shingle table three times (signature
     // explode + both verification sides); recomputing the interpreted
     // shingling per use triples the operator's cost.
     val base = shingleTable(df, idCol, textCol, shingleLen)
+    val keyed = bandKeyed(base, numHashes, bands)
 
-    // One explode + one shuffle computes all signature positions at once.
+    // Same verification machinery as ngramJaccardNearDups.
+    (verifyPairs(pairStream(keyed), base, threshold), base)
+  }
+
+  /** Incremental near-dup detection: flag documents of a NEW batch that
+    * near-duplicate an EXISTING corpus — the shape a production ingest
+    * actually runs (re-pairing the whole corpus per batch is O(corpus²)
+    * wasted work; only new × corpus pairs matter). Same shingle →
+    * signature → band machinery as [[minhashNearDups]], but the
+    * candidate join is ASYMMETRIC: new-batch band keys against corpus
+    * band keys, so cost scales with |new| × band-collision rate, never
+    * with corpus pair space. Output: (`idCol`, dup_of, jaccard) for
+    * each new document near-duplicating a corpus document at ≥
+    * `threshold`.
+    */
+  def minhashIncremental(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String, shingleLen: Int = 3,
+      numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val newBase = shingleTable(newDf, idCol, textCol, shingleLen)
+    val oldBase = shingleTable(corpusDf, idCol, textCol, shingleLen)
+    val pairs = bandKeyed(newBase, numHashes, bands)
+      .select(col("id").as("id_a"), col("bkey"))
+      .join(bandKeyed(oldBase, numHashes, bands)
+        .select(col("id").as("id_b"), col("bkey")), Seq("bkey"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+    verifyPairsTwoSided(pairs, newBase, oldBase, threshold)
+      .select(col("id_a").as(idCol), col("id_b").as("dup_of"), col("jaccard"))
+  }
+
+  /** (id, bkey) band-key stream: one explode + one shuffle computes all
+    * `numHashes` signature positions, then bands of `numHashes/bands`
+    * rows concatenate into string keys.
+    */
+  private def bandKeyed(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
     val sigs = base.select(col("id"), explode(col("hs")).as("h"))
       .groupBy("id")
       .agg(min(xxhash64(col("h"), lit(0))).as("s0"),
         (1 until numHashes).map(k => min(xxhash64(col("h"), lit(k))).as(s"s$k")): _*)
-
     val bandKeys = array((0 until bands).map { b =>
       concat_ws("_", (lit(b) +: (0 until rows).map(i => col(s"s${b * rows + i}"))): _*)
     }: _*)
-    val keyed = sigs.select(col("id"), explode(bandKeys).as("bkey"))
-
-    // Same verification machinery as ngramJaccardNearDups.
-    (verifyPairs(pairStream(keyed), base, threshold), base)
+    sigs.select(col("id"), explode(bandKeys).as("bkey"))
   }
 
   /** Persisted (id, sorted distinct xxhash64-shingle array) table — the
@@ -199,16 +233,26 @@ object Dedup {
     * element comparison.
     */
   private def verifyPairs(pairs: DataFrame, base: DataFrame,
-      threshold: Double, broadcastLimit: Long = 100000): DataFrame = {
+      threshold: Double, broadcastLimit: Long = 100000): DataFrame =
+    verifyPairsTwoSided(pairs, base, base, threshold, broadcastLimit)
+
+  /** As [[verifyPairs]] but with distinct A/B set tables (incremental
+    * dedup verifies new-batch rows against corpus rows). Each side gets
+    * its own broadcast decision — in the incremental case the new batch
+    * is typically tiny and broadcasts even when the corpus cannot.
+    */
+  private def verifyPairsTwoSided(pairs: DataFrame, baseA: DataFrame,
+      baseB: DataFrame, threshold: Double,
+      broadcastLimit: Long = 100000): DataFrame = {
     // The count() is an eager hint-selection action, but it runs on the
     // already-persisted shingle table the verification needs anyway. The
     // limit is rows, sized so worst-case broadcast arrays (~200 hashes ×
     // 8 B × limit ≈ 160 MB) fit executor memory; beyond it the shuffled
     // join (linear in candidates) takes over.
-    val hint: DataFrame => DataFrame =
+    def hint(base: DataFrame): DataFrame => DataFrame =
       if (base.count() <= broadcastLimit) broadcast else identity
-    val shA = hint(base.select(col("id").as("id_a"), col("hs").as("hs_a")))
-    val shB = hint(base.select(col("id").as("id_b"), col("hs").as("hs_b")))
+    val shA = hint(baseA)(baseA.select(col("id").as("id_a"), col("hs").as("hs_a")))
+    val shB = hint(baseB)(baseB.select(col("id").as("id_b"), col("hs").as("hs_b")))
     pairs.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard",
         VecOps.sortedJaccardGE(col("hs_a"), col("hs_b"), threshold))

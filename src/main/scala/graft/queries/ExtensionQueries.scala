@@ -150,6 +150,19 @@ object ExtensionQueries {
           shingleLen = 2, threshold = 0.6)
         .orderBy("id_a", "id_b")),
 
+    // Incremental minhash dedup: a simulated new batch (doc_id % 5 = 0)
+    // against the standing corpus — the per-ingest production shape.
+    // Same recall caveat as dedup_minhash_lsh (fixture pairs sit far
+    // from the banding margin).
+    "dedup_incremental_minhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minhashIncremental(
+          d.where(col("doc_id") % 5 === 0), d.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", shingleLen = 3, numHashes = 32, bands = 16,
+          threshold = 0.5)
+        .orderBy("doc_id", "dup_of")
+    }),
+
     // Near-dup families as connected components with canonical keepers —
     // the cluster step a dedup pipeline runs after pair generation.
     "dedup_clusters" -> ((s, dir) =>
@@ -366,6 +379,22 @@ object ExtensionQueries {
       s"""WITH ${fastPairsCte(2, 0.6)}
          |SELECT id_a, id_b, round(jacc, 6) AS jaccard
          |FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_incremental_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("T", 3)} AS s FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         |co AS (SELECT n.doc_id AS id_new, o.doc_id AS id_old, count(*) AS c
+         |       FROM ex n JOIN ex o USING (h)
+         |       WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 != 0
+         |       GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(s) AS sz FROM sh)
+         |SELECT id_new AS doc_id, id_old AS dup_of,
+         |  round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+         |FROM co JOIN sz sa ON co.id_new = sa.doc_id
+         |JOIN sz sb ON co.id_old = sb.doc_id
+         |WHERE c / (sa.sz + sb.sz - c) >= 0.5
+         |ORDER BY doc_id, dup_of""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${fastPairsCte(3, 0.5)},

@@ -70,4 +70,23 @@ class DedupExtSpec extends SparkSpec {
     val out = Dedup.exactByKey(docs, "doc_id", lower(substring(col("text"), 1, 40)))
     assert(out.agg(sum("n_dups")).first().getLong(0) == docs.count())
   }
+
+  test("incremental minhash equals the cross-split slice of the symmetric op") {
+    val newDf = docs.where(col("doc_id") % 5 === 0)
+    val oldDf = docs.where(col("doc_id") % 5 =!= 0)
+    val inc = Dedup.minhashIncremental(newDf, oldDf, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // symmetric pairs (id_a < id_b) reoriented to (new, old), cross-split only
+    val sym = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        Seq((a, b, j), (b, a, j)) // both orientations
+      }
+      .filter { case (n, o, _) => n % 5 == 0 && o % 5 != 0 }
+      .toSet
+    assert(inc == sym)
+    assert(inc.nonEmpty, "fixture should contain cross-split near-dups")
+  }
 }
