@@ -7,7 +7,8 @@ package graft.operators
   *
   * Formats: BMP (BITMAPINFOHEADER little-endian), PNG (IHDR big-endian),
   * GIF (87a/89a logical screen), WAV (RIFF/WAVE `fmt ` chunk walk),
-  * JPEG (marker-segment walk to the start-of-frame dimensions).
+  * JPEG (marker-segment walk to the start-of-frame dimensions),
+  * MP4/ISO-BMFF (box walk: ftyp brand + moov/mvhd duration).
   * Unknown magics return `MediaHeader.unknown` rather than throwing —
   * at 100 TB a corrupt blob must degrade to a filterable row, not kill
   * the task.
@@ -20,7 +21,8 @@ object Containers {
       height: Int = 0,
       sampleRate: Int = 0,
       channels: Int = 0,
-      bitsPerSample: Int = 0)
+      bitsPerSample: Int = 0,
+      durationMs: Long = 0)
 
   val unknown: MediaHeader = MediaHeader("unknown")
 
@@ -46,6 +48,7 @@ object Containers {
       parseWav(b)
     else if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8 && u8(b, 2) == 0xFF)
       parseJpeg(b)
+    else if (b.length >= 12 && ascii(b, 4, 4) == "ftyp") parseMp4(b)
     else unknown
 
   /** BMP: 14-byte file header, then a DIB header. BITMAPCOREHEADER
@@ -184,6 +187,69 @@ object Containers {
       .putShort(bitsPerSample.toShort)
       .put("data".getBytes).putInt(payload.length)
       .put(payload)
+    out.array()
+  }
+
+  /** MP4/ISO-BMFF: scan top-level boxes ([size:be32][type:4cc]; size 1 =
+    * 64-bit largesize, size 0 = to-EOF), then moov → mvhd (version 0:
+    * be32 timescale at +12, be32 duration at +16 of the box payload;
+    * version 1: be32 timescale at +20, be64 duration at +24).
+    * `durationMs = duration * 1000 / timescale`. Malformed boxes →
+    * "unknown", never an exception (decode paths see arbitrary bytes).
+    */
+  private def parseMp4(b: Array[Byte]): MediaHeader = try {
+    def beU64(i: Int): Long = (beU32(b, i) << 32) | beU32(b, i + 4)
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] { // (type, payloadStart, payloadEnd)
+        private var p = lo
+        def hasNext: Boolean = p + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val size0 = beU32(b, p)
+          val tpe = ascii(b, p + 4, 4)
+          val (payload, end) =
+            if (size0 == 1L && p + 16 <= hi) (p + 16, p + beU64(p + 8))
+            else if (size0 == 0L) (p + 8, hi.toLong)
+            else (p + 8, p + size0)
+          val e = math.min(end, hi.toLong).toInt
+          if (e <= p) { p = hi; (tpe, p, p) } // corrupt size: stop
+          else { p = e; (tpe, payload, e) }
+        }
+      }
+    val top = boxes(0, b.length).toSeq
+    val brand = top.collectFirst { case ("ftyp", s, e) if e - s >= 4 =>
+      ascii(b, s, 4) }.getOrElse(return unknown)
+    val dur = top.collectFirst { case ("moov", s, e) =>
+      boxes(s, e).collectFirst { case ("mvhd", ms, me) =>
+        val v = u8(b, ms)
+        if (v == 0 && me - ms >= 20) {
+          val ts = beU32(b, ms + 12); val d = beU32(b, ms + 16)
+          if (ts > 0) d * 1000L / ts else 0L
+        } else if (v == 1 && me - ms >= 32) {
+          val ts = beU32(b, ms + 20); val d = beU64(ms + 24)
+          if (ts > 0) d * 1000L / ts else 0L
+        } else 0L
+      }.getOrElse(0L)
+    }.getOrElse(0L)
+    MediaHeader("mp4/" + brand.trim, durationMs = dur)
+  } catch { case _: IndexOutOfBoundsException => unknown }
+
+  /** Minimal valid MP4: ftyp(brand) + moov(mvhd v0 with the given
+    * timescale/duration) + a free-space payload box.
+    */
+  def synthMp4(brand: String, timescale: Int, duration: Long,
+      payload: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    require(brand.length == 4, s"brand must be 4 chars: '$brand'")
+    val mvhdSize = 8 + 20  // header + v0 fields through duration
+    val moovSize = 8 + mvhdSize
+    val out = java.nio.ByteBuffer
+      .allocate(16 + moovSize + 8 + payload.length)   // big-endian default
+    out.putInt(16).put("ftyp".getBytes).put(brand.getBytes).putInt(0x200)
+    out.putInt(moovSize).put("moov".getBytes)
+    out.putInt(mvhdSize).put("mvhd".getBytes)
+      .putInt(0)                       // version 0 + flags
+      .putInt(0).putInt(0)             // ctime, mtime
+      .putInt(timescale).putInt(duration.toInt)
+    out.putInt(8 + payload.length).put("free".getBytes).put(payload)
     out.array()
   }
 }

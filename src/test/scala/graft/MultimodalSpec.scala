@@ -28,6 +28,14 @@ class MultimodalSpec extends SparkSpec {
     // JPEG with no SOF before EOI → unknown, not a hang
     val noSof = Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)
     assert(Containers.parse(noSof).format == "unknown")
+    // MP4: brand + mvhd duration round-trip; v0 math 90000-scale
+    val mp4 = Containers.parse(Containers.synthMp4("isom", 90000, 90000L * 42))
+    assert(mp4.format == "mp4/isom" && mp4.durationMs == 42000L)
+    val odd = Containers.parse(Containers.synthMp4("mp42", 1000, 1500))
+    assert(odd.format == "mp4/mp42" && odd.durationMs == 1500L)
+    // truncated/corrupt mp4 bytes never throw
+    val truncated = Containers.synthMp4("isom", 1000, 1000).take(10)
+    assert(Containers.parse(truncated).format == "unknown")
     // JPEG with a zero-length segment (corrupt) must terminate
     val zeroLen = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x00).map(_.toByte)
     assert(Containers.parse(zeroLen).format == "unknown")
