@@ -239,6 +239,36 @@ object TextOps {
       round(col("ttr"), 6).as("ttr"))
   }
 
+  /** Token-window chunking: split each document into `chunkTokens`-token
+    * chunks advancing by `chunkTokens - overlap` — the
+    * embedding/RAG-prep counterpart of sequence packing (packing merges
+    * short documents; chunking splits long ones). Output: (id, chunk_id,
+    * chunk_text, n_tokens), one row per chunk, chunk_id 0-based in
+    * document order; a document never yields zero rows (an empty doc
+    * produces one empty chunk). A narrow map + generate — no shuffle —
+    * so it runs at corpus scale as a pure scan stage. Tokens are
+    * materialized into a column first (HOF re-eval trap) and referenced
+    * twice in the chunk transform, which keeps CollapseProject from
+    * re-inlining the tokenizer.
+    */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int,
+      overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .withColumn("nc", greatest(
+        ceil((greatest(size(col("t")), lit(1)) - lit(overlap)) / lit(stride.toDouble)),
+        lit(1L)).cast("int"))
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), col("nc") - 1),
+        j => slice(col("t"), j * stride + 1, lit(chunkTokens)))))
+      .select(col("id"), col("pos").as("chunk_id"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).as("n_tokens"))
+  }
+
   /** Tokenizer-vocabulary induction: the corpus-wide top-`k` tokens by
     * occurrence count, deterministically tie-broken by token. Plan shape
     * at scale: one narrow explode, a map-side-partial hash aggregation

@@ -338,6 +338,14 @@ object ExtensionQueries {
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .orderBy("doc_id")),
 
+    // Token-window chunking: 64-token chunks, 16-token overlap (stride
+    // 48) — the embedding-prep splitter.
+    "chunk_documents" -> ((s, dir) =>
+      TextOps.chunkDocs(tc(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id")),
+
     // Tokenizer vocabulary induction: corpus-wide top-100 tokens by
     // occurrence, total-ordered (count desc, token asc) so the cut is
     // deterministic.
@@ -664,6 +672,20 @@ object ExtensionQueries {
          |       WHEN bucket < 9500 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "chunk_documents" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),
+         |n AS (SELECT doc_id, T,
+         |  greatest(CAST(ceil((greatest(len(T), 1) - 16) / 48.0) AS BIGINT), 1)
+         |    AS nc FROM toks),
+         |c AS (SELECT doc_id,
+         |  list_transform(range(0, nc), j -> T[j*48+1 : j*48+64]) AS chunks
+         |FROM n)
+         |SELECT doc_id,
+         |  generate_subscripts(chunks, 1) - 1 AS chunk_id,
+         |  coalesce(array_to_string(unnest(chunks), ' '), '') AS chunk_text,
+         |  coalesce(len(unnest(chunks)), 0) AS n_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "vocab_topk" ->
       s"""SELECT t AS token, count(*) AS n_occurrences

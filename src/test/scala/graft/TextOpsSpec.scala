@@ -19,6 +19,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq("a b", "b c", "c d"))
   }
 
+  test("chunkDocs: overlapping windows, document order, never zero rows") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val got = TextOps.chunkDocs(Seq((1L, doc)).toDF("id", "text"), "id", "text",
+        chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    // stride 3, nc = ceil((10-1)/3) = 3: starts 1,4,7 — full coverage
+    assert(got.toSeq == Seq(
+      (0, "w1 w2 w3 w4", 4), (1, "w4 w5 w6 w7", 4), (2, "w7 w8 w9 w10", 4)))
+    // no overlap: chunks partition the document exactly
+    val flat = TextOps.chunkDocs(Seq((1L, doc)).toDF("id", "text"), "id", "text",
+        chunkTokens = 3, overlap = 0)
+      .orderBy("chunk_id").collect().map(_.getString(2)).mkString(" ")
+    assert(flat == doc)
+    // whitespace-only doc still yields one (empty) chunk
+    val empty = TextOps.chunkDocs(Seq((1L, "  \t ")).toDF("id", "text"),
+        "id", "text", chunkTokens = 4, overlap = 1).collect()
+    assert(empty.length == 1 && empty(0).getString(2) == ""
+      && empty(0).getInt(3) == 0)
+  }
+
   test("vocabTopK: count-desc order with deterministic token tie-break at the cut") {
     val df = Seq("b b a a c d").toDF("text")
     // counts: a=2 b=2 c=1 d=1; k=3 cuts inside the c/d tie -> c wins
