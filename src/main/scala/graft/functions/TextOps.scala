@@ -257,7 +257,11 @@ object TextOps {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
     val stride = chunkTokens - overlap
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    // NULL text -> empty token array (not a null): the doc then takes the
+    // one-empty-chunk path instead of emitting a NULL chunk row (oracle
+    // coalesces to ''/0 — the engine must match)
+    df.select(col(idCol).as("id"),
+        coalesce(tokens(col(textCol)), array().cast("array<string>")).as("t"))
       .withColumn("nc", greatest(
         ceil((greatest(size(col("t")), lit(1)) - lit(overlap)) / lit(stride.toDouble)),
         lit(1L)).cast("int"))

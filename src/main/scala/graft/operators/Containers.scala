@@ -207,7 +207,10 @@ object Containers {
           val size0 = beU32(b, p)
           val tpe = ascii(b, p + 4, 4)
           val (payload, end) =
-            if (size0 == 1L && p + 16 <= hi) (p + 16, p + beU64(p + 8))
+            if (size0 == 1L)
+              // truncated largesize header = corrupt: stop, don't walk
+              // misaligned tail bytes as fake boxes
+              if (p + 16 <= hi) (p + 16, p + beU64(p + 8)) else (p + 8, 0L)
             else if (size0 == 0L) (p + 8, hi.toLong)
             else (p + 8, p + size0)
           val e = math.min(end, hi.toLong).toInt
@@ -220,14 +223,19 @@ object Containers {
       ascii(b, s, 4) }.getOrElse(return unknown)
     val dur = top.collectFirst { case ("moov", s, e) =>
       boxes(s, e).collectFirst { case ("mvhd", ms, me) =>
-        val v = u8(b, ms)
-        if (v == 0 && me - ms >= 20) {
-          val ts = beU32(b, ms + 12); val d = beU32(b, ms + 16)
-          if (ts > 0) d * 1000L / ts else 0L
-        } else if (v == 1 && me - ms >= 32) {
-          val ts = beU32(b, ms + 20); val d = beU64(ms + 24)
-          if (ts > 0) d * 1000L / ts else 0L
-        } else 0L
+        // bounds BEFORE the version read: a payload-less mvhd degrades
+        // to duration 0 like any other malformed mvhd, never to an
+        // exception that loses the already-parsed brand
+        if (me - ms < 20) 0L
+        else u8(b, ms) match {
+          case 0 =>
+            val ts = beU32(b, ms + 12); val d = beU32(b, ms + 16)
+            if (ts > 0) d * 1000L / ts else 0L
+          case 1 if me - ms >= 32 =>
+            val ts = beU32(b, ms + 20); val d = beU64(ms + 24)
+            if (ts > 0) d * 1000L / ts else 0L
+          case _ => 0L
+        }
       }.getOrElse(0L)
     }.getOrElse(0L)
     MediaHeader("mp4/" + brand.trim, durationMs = dur)
@@ -239,6 +247,8 @@ object Containers {
   def synthMp4(brand: String, timescale: Int, duration: Long,
       payload: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     require(brand.length == 4, s"brand must be 4 chars: '$brand'")
+    require(duration >= 0 && duration <= 0xFFFFFFFFL,
+      s"v0 mvhd duration is u32; got $duration")
     val mvhdSize = 8 + 20  // header + v0 fields through duration
     val moovSize = 8 + mvhdSize
     val out = java.nio.ByteBuffer

@@ -251,8 +251,10 @@ object Dedup {
     // join (linear in candidates) takes over.
     def hint(base: DataFrame): DataFrame => DataFrame =
       if (base.count() <= broadcastLimit) broadcast else identity
-    val shA = hint(baseA)(baseA.select(col("id").as("id_a"), col("hs").as("hs_a")))
-    val shB = hint(baseB)(baseB.select(col("id").as("id_b"), col("hs").as("hs_b")))
+    val hintA = hint(baseA)
+    val hintB = if (baseB eq baseA) hintA else hint(baseB) // one count, not two
+    val shA = hintA(baseA.select(col("id").as("id_a"), col("hs").as("hs_a")))
+    val shB = hintB(baseB.select(col("id").as("id_b"), col("hs").as("hs_b")))
     pairs.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard",
         VecOps.sortedJaccardGE(col("hs_a"), col("hs_b"), threshold))

@@ -36,6 +36,20 @@ class MultimodalSpec extends SparkSpec {
     // truncated/corrupt mp4 bytes never throw
     val truncated = Containers.synthMp4("isom", 1000, 1000).take(10)
     assert(Containers.parse(truncated).format == "unknown")
+    // payload-less mvhd at EOF: brand survives, duration degrades to 0
+    val bare = java.nio.ByteBuffer.allocate(16 + 8 + 8)
+    bare.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0x200)
+    bare.putInt(16).put("moov".getBytes).putInt(8).put("mvhd".getBytes)
+    val h = Containers.parse(bare.array())
+    assert(h.format == "mp4/isom" && h.durationMs == 0L)
+    // truncated 64-bit largesize header stops the walk (no fake boxes)
+    val big = java.nio.ByteBuffer.allocate(16 + 12)
+    big.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0x200)
+    big.putInt(1).put("mdat".getBytes).putInt(0x6d6f6f76) // 'moov' bytes in tail
+    assert(Containers.parse(big.array()).durationMs == 0L)
+    intercept[IllegalArgumentException] {
+      Containers.synthMp4("isom", 1000, 0x1_0000_0000L) // v0 u32 overflow
+    }
     // JPEG with a zero-length segment (corrupt) must terminate
     val zeroLen = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x00).map(_.toByte)
     assert(Containers.parse(zeroLen).format == "unknown")
