@@ -172,10 +172,20 @@ object Clusters {
       threshold: Double = 0.5): DataFrame = {
     val (pairs, shingleCache) =
       Dedup.minhashNearDupsCached(docs, idCol, textCol, threshold = threshold)
-    val comps =
-      try connectedComponents(pairs.select("id_a", "id_b"))
-      finally shingleCache.unpersist()
-    docs.select(col(idCol).as("id"))
+    try clustersOver(docs, idCol, pairs)
+    finally shingleCache.unpersist()
+  }
+
+  /** Cluster assignment for an arbitrary (id_a, id_b) pair stream over a
+    * universe table: every universe row gets a cluster (singletons keep
+    * their own id) and a canonical-keeper flag. The composition point
+    * for ensemble dedup — union pair streams from different detectors
+    * (text MinHash, embedding cosine, SimHash…) and cluster once.
+    */
+  def clustersOver(universe: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs.select("id_a", "id_b"))
+    universe.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))

@@ -170,6 +170,20 @@ object ExtensionQueries {
           t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .orderBy("doc_id")),
 
+    // Ensemble dedup: text MinHash pairs UNION embedding-cosine pairs,
+    // clustered once — detectors compose at the pair-stream level
+    // (fixture embeddings align 1:1 with doc_ids).
+    "dedup_ensemble" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val textPairs = Dedup.minhashNearDups(d, "doc_id", "text",
+        threshold = 0.5).select("id_a", "id_b")
+      val embPairs = Similarity.bruteForcePairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4).select("id_a", "id_b")
+      graft.operators.Clusters.clustersOver(d, "doc_id",
+          textPairs.union(embPairs))
+        .orderBy("doc_id")
+    }),
+
     // SimHash pigeonhole join. The driver-checked variant hashes tokens
     // with md5Hash60 so DuckDB can replay the signature math exactly;
     // the xxhash64 default stays the production fast path (equivalence
@@ -408,6 +422,26 @@ object ExtensionQueries {
       s"""WITH RECURSIVE ${fastPairsCte(3, 0.5)},
          |edges AS (SELECT id_a AS a, id_b AS b FROM p
          |          UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+         |         FROM reach GROUP BY a)
+         |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |  coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_ensemble" ->
+      s"""WITH RECURSIVE ${fastPairsCte(3, 0.5)},
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ep AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |       FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+         |       WHERE ${cosineSql("a.v", "b.v")} >= 0.4),
+         |allp AS (SELECT id_a, id_b FROM p UNION SELECT id_a, id_b FROM ep),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM allp
+         |          UNION SELECT id_b, id_a FROM allp),
          |reach(a, b) AS (
          |  SELECT a, b FROM edges
          |  UNION

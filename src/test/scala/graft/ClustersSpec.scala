@@ -46,4 +46,19 @@ class ClustersSpec extends SparkSpec {
       .collect()
     assert(perCluster.forall(_.getLong(1) == 1L))
   }
+
+  test("clustersOver: unioned detector pair streams bridge into one cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val universe = (1L to 6L).toDF("doc_id")
+    val textPairs = Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val embPairs = Seq((2L, 3L)).toDF("id_a", "id_b") // bridges 1-2 to 3
+    val got = Clusters.clustersOver(universe, "doc_id",
+        textPairs.union(embPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), // merged across detectors
+      (4L, 4L, true), (5L, 4L, false),
+      (6L, 6L, true)))                                  // untouched singleton
+  }
 }
