@@ -373,6 +373,28 @@ object ExtensionQueries {
           outDims = 8)
         .orderBy("vec_id")),
 
+    // Corpus report: per-(source, lang) rollup of the curation metrics —
+    // the dashboard aggregation a pipeline run ends with. ROLLUP gives
+    // per-source and grand-total rows in the same pass.
+    "corpus_report" -> ((s, dir) =>
+      tc(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          (TextOps.langId(col("text")) === col("lang")).cast("int").as("lang_ok"))
+        .rollup("source", "lang")
+        // mean quality via order-free fixed-point sums (a double avg is
+        // partition-order-dependent; quality is already 6-dp so *1e6 is
+        // integral up to float noise that round() removes)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(round(col("quality") * 1e6).cast("long")).as("__q6"),
+          sum(col("lang_ok")).as("langid_agree"))
+        .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+          round(col("__q6") / 1e6 / col("n_docs"), 6).as("avg_quality"),
+          col("langid_agree"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
+
     // Multimodal plumbing: opaque binary column + typed features. The
     // text column stands in for the blob (no media libs in-container);
     // the decode stub lives in Multimodal.scala.
@@ -741,6 +763,28 @@ object ExtensionQueries {
          |  $cols
          |FROM e ORDER BY vec_id""".stripMargin
     },
+
+    "corpus_report" ->
+      s"""WITH s AS (SELECT source, lang,
+         |  len($toksSql) AS n_tokens,
+         |  ${hitsSql("en")} AS en, ${hitsSql("es")} AS es,
+         |  ${hitsSql("de")} AS de, ${hitsSql("fr")} AS fr,
+         |  $punctRatioSql AS punct,
+         |  $alphaRatioSql AS alpha,
+         |  $cjkRatioSql AS cjk
+         |FROM documents),
+         |scored AS (SELECT source, lang, n_tokens,
+         |  ${qualitySql(sw = "en")} AS quality,
+         |  $predLangCaseSql AS pred
+         |FROM s)
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / 1000000.0 / count(*), 6) AS avg_quality,
+         |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS langid_agree
+         |FROM scored GROUP BY ROLLUP(source, lang)
+         |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id,

@@ -102,6 +102,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(e.eval(null).toString == "caf\u00e9")
   }
 
+  test("corpus_report: rollup yields leaf + per-source + grand-total rows") {
+    val out = graft.queries.ExtensionQueries
+      .queries("corpus_report")(spark, sf0001)
+      .collect()
+    val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val perSource = out.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val leaves = out.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.length == 1)
+    val total = graft.sources.Tables.load(spark, sf0001, "documents").count()
+    assert(grand(0).getAs[Long]("n_docs") == total)
+    assert(perSource.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(leaves.map(_.getAs[Long]("n_docs")).sum == total)
+    out.foreach { r =>
+      val q = r.getAs[Double]("avg_quality")
+      assert(q >= 0.0 && q <= 1.0, s"quality out of range: $r")
+    }
+  }
+
   test("assignSplit rejects fractions that do not sum to 1") {
     val df = Seq(1L).toDF("doc_id")
     intercept[IllegalArgumentException] {
