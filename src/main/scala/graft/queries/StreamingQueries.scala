@@ -57,6 +57,25 @@ object StreamingQueries {
           "c_mktsegment", "n_name")
         .orderBy("event_id")),
 
+    // Stream-stream interval join shape (batch-checked): views within
+    // 30 minutes after a click by the same user.
+    "stream_interval_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      StreamingPipeline.intervalJoin(clicks, views, "user_id", "v_user",
+          "click_ts", "view_ts", maxDelaySeconds = 1800)
+        .select(col("click_id"), col("view_id"), col("user_id"),
+          (unix_micros(col("view_ts")) - unix_micros(col("click_ts")))
+            .as("delay_us"))
+        .orderBy("click_id", "view_id")
+    }),
+
     // Gap-based sessionization (streaming: flatMapGroupsWithState).
     "stream_sessionize" -> ((s, dir) =>
       StreamingPipeline.sessionizeBatch(
@@ -98,6 +117,20 @@ object StreamingQueries {
         |JOIN customer ON user_id = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY event_id""".stripMargin,
+
+    "stream_interval_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |            event_type FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM e
+        |      WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM e
+        |      WHERE event_type = 'view')
+        |SELECT click_id, view_id, c.user_id,
+        |  epoch_us(view_ts) - epoch_us(click_ts) AS delay_us
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND view_ts >= click_ts
+        |  AND view_ts <= click_ts + INTERVAL 1800 SECONDS
+        |ORDER BY click_id, view_id""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -104,6 +104,23 @@ object StreamingPipeline {
       acc.join(broadcast(dim), cond, "inner")
     }
 
+  /** Event-time interval join: match each left row to right rows with
+    * the same key whose timestamp falls in [leftTs, leftTs + maxDelay] —
+    * click→view attribution, request→response pairing. Caller supplies
+    * frames with DISJOINT column names (no hidden aliasing). One Column
+    * program batch and stream: on streams, watermark BOTH sides first —
+    * Spark then derives state-cleanup bounds from this equality +
+    * time-range condition (the canonical stream-stream join shape;
+    * without the range bound, join state grows forever).
+    */
+  def intervalJoin(lhs: DataFrame, rhs: DataFrame, lhsKey: String,
+      rhsKey: String, lhsTs: String, rhsTs: String,
+      maxDelaySeconds: Int): DataFrame =
+    lhs.join(rhs,
+      col(lhsKey) === col(rhsKey) &&
+        col(rhsTs) >= col(lhsTs) &&
+        col(rhsTs) <= col(lhsTs) + expr(s"INTERVAL $maxDelaySeconds SECONDS"))
+
   /** Watermarked streaming tumbling aggregation: bounds the state store
     * (windows older than `delay` behind the max observed event time are
     * finalized and dropped) and lets Append mode emit each window exactly

@@ -130,6 +130,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("enrich_out").collect().map(_.toSeq).toSet == batch)
   }
 
+  test("stream-stream interval join: streaming equals batch attribution") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    def split(ev: org.apache.spark.sql.DataFrame) = (
+      ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts")),
+      ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("view_ts")))
+    val (bc, bv) = split(Tables.load(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type"))
+    val batch = StreamingPipeline.intervalJoin(bc, bv, "user_id", "v_user",
+        "click_ts", "view_ts", 1800)
+      .select("click_id", "view_id").collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    // two independent stream readers (a self-join on one reader is
+    // ambiguous), both watermarked — required for stream-stream joins
+    val (sc, sv) = (
+      split(StreamingPipeline.streamTable(spark, sf0001, "events")
+        .select("event_id", "ts", "user_id", "event_type"))._1
+        .withWatermark("click_ts", "1 hour"),
+      split(StreamingPipeline.streamTable(spark, sf0001, "events")
+        .select("event_id", "ts", "user_id", "event_type"))._2
+        .withWatermark("view_ts", "1 hour"))
+    val joined = StreamingPipeline.intervalJoin(sc, sv, "user_id", "v_user",
+        "click_ts", "view_ts", 1800)
+      .select("click_id", "view_id")
+    val q = joined.writeStream.format("memory").queryName("ivj_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("ivj_out").collect().map(_.toSeq).toSet == batch)
+  }
+
   test("continuous sessionization: sessions emit once closed, survive batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
