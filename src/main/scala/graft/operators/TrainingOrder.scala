@@ -51,4 +51,43 @@ object TrainingOrder {
         col("__off") + row_number().over(w).cast("long") - 1L)
       .drop(k, b, "__off")
   }
+
+  /** Corpus-wide percentile rank of a [0,1] score column (quality
+    * percentiles for curation thresholds) — `percent_rank()` over
+    * `(score, id)` without the single-partition window.
+    *
+    * Same bucket-offset scheme as [[shuffleOrder]], with the bucket
+    * being a VALUE prefix: `floor(score * nBuckets)` is monotone in the
+    * score, so lexicographic bucket order == global score order; one
+    * tiny count aggregation (≤ `nBuckets` rows, broadcast back) plus a
+    * per-bucket window gives the dense global rank. Out-of-range scores
+    * clamp into the end buckets (still order-consistent).
+    *
+    * Appends `pct` = rank/(n−1) rounded to 6 dp — exactly SQL's
+    * `percent_rank() OVER (ORDER BY score, id)` since the `(score, id)`
+    * order is total (`idCol` unique, non-null).
+    */
+  def percentileRank(df: DataFrame, scoreCol: String, idCol: String,
+      nBuckets: Int = 4096): DataFrame = {
+    require(!df.columns.contains("pct"), "input already has a pct column")
+    val b = Iterator.from(0).map(i => s"__graft_pct_b$i")
+      .find(n => !df.columns.contains(n)).get
+    val keyed = df.withColumn(b,
+      greatest(least(floor(col(scoreCol) * nBuckets), lit(nBuckets - 1)),
+        lit(0)).cast("int"))
+    val counts = keyed.groupBy(b).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val n = counts.map(_._2).sum
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)((acc, p) => acc + p._2))
+    val offDf = broadcast(
+      df.sparkSession.createDataFrame(offsets).toDF(b, "__off"))
+    val w = Window.partitionBy(col(b)).orderBy(col(scoreCol), col(idCol))
+    keyed
+      .join(offDf, b)
+      .withColumn("pct", round(
+        (col("__off") + row_number().over(w).cast("long") - 1L)
+          .cast("double") / lit(math.max(n - 1L, 1L)), 6))
+      .drop(b, "__off")
+  }
 }

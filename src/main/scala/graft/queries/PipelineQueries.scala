@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.functions.TextOps
+import graft.operators.{Anomaly, Merge, Profile, Redact, Search,
+  TemporalJoins, TrainingOrder, Zorder}
+import graft.sources.Tables
+
+/** Warehouse-operations surface: semi-structured JSON extraction, the
+  * ANALYZE-style column profiler, MERGE-INTO upsert, z-score telemetry
+  * QA, BM25 lexical retrieval, PII redaction, and the left-outer
+  * event-time interval join. Every query carries a DuckDB oracle; the
+  * determinism tricks follow the house rules — integer fixed-point for
+  * distributed sums, rational (log-free) idf for BM25, RE2-compatible
+  * regex constants interpolated from the operator object.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tc(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.rebalanceForCompute(t(s, dir, name))
+
+  /** The fixture-vocabulary benchmark queries for BM25 (term rows). */
+  private val bm25Terms: Seq[(Int, String)] = Seq(
+    0 -> "hash", 0 -> "join",
+    1 -> "window", 1 -> "stream", 1 -> "agg",
+    2 -> "slow")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Semi-structured extraction: schema'd from_json over the props
+    // column, then exact integer aggregates per event type.
+    "json_extract_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.withColumn("k",
+          from_json(col("props"),
+            StructType(Seq(StructField("k", IntegerType)))).getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("k")).as("nk"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          sum("k").as("sum_k"))
+        .orderBy("event_type")
+    }),
+
+    // ANALYZE-style profile of six heterogeneous lineitem columns:
+    // one scan, multi-distinct via a single Expand.
+    "profile_table" -> ((s, dir) =>
+      Profile.table(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_shipdate"))),
+
+    // MERGE INTO semantics: a 10%-price-bump update batch plus an
+    // insert batch folded onto orders. Price arithmetic in exact cents
+    // (cents*11+5 DIV 10 = half-up 1.1×) so both engines agree bitwise.
+    "merge_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val upd = o.where(pmod(col("o_orderkey"), lit(97)) === 0)
+        .withColumn("o_totalprice", expr(
+          "CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 + 5) DIV 10 AS DOUBLE) / 100.0"))
+      val ins = o.where(pmod(col("o_orderkey"), lit(997)) === 0)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          col("o_custkey"), lit(1000.0).as("o_totalprice"))
+      Merge.upsert(o, upd.unionByName(ins), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Telemetry QA: per-event-type z-score outliers over the 2-dp value
+    // metric (fixed-point moments, order-free).
+    "anomaly_zscore" -> ((s, dir) =>
+      Anomaly.zscoreOutliers(t(s, dir, "events"), "value",
+          Seq("event_type"), threshold = 3.0, scale = 100L)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")),
+
+    // BM25 lexical top-10 for three fixture-vocabulary queries,
+    // rational-idf variant (cross-engine deterministic, no libm log).
+    "search_bm25" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      val qs = bm25Terms.toDF("query_id", "term")
+      Search.bm25TopK(tc(s, dir, "documents"), "doc_id", "text", qs, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PII scrub: deterministic synthetic contact block appended to each
+    // document, then email/IP/phone redaction + audit counts.
+    "text_pii_redact" -> ((s, dir) => {
+      val d = tc(s, dir, "documents").withColumn("contact",
+        concat(substring(col("text"), 1, 40), lit(" reach me at "),
+          col("source"), lit("."), col("doc_id"), lit("@mail.example or 555-"),
+          lpad((pmod(col("doc_id"), lit(9000)) + lit(1000)).cast("string"),
+            4, "0"),
+          lit(" from 10."), pmod(col("doc_id"), lit(250)), lit(".0."),
+          pmod(col("doc_id"), lit(200)), lit(" end")))
+      Redact.redactPii(d, "contact")
+        .select(col("doc_id"), col("n_email").cast("long").as("n_email"),
+          col("n_ip").cast("long").as("n_ip"),
+          col("n_phone").cast("long").as("n_phone"), col("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // Left-outer event-time interval join: every click, with any error
+    // window [err, err+30m] of the same user it falls into — unmatched
+    // clicks survive with a NULL error_id.
+    "interval_join_left" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("err_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("err_end"))
+      val pairs = TemporalJoins.rangeJoin(clicks, errors, Seq("user_id"),
+          "ts", "err_start", "err_end", bucketWidthUs = 30L * 60 * 1000000)
+        .select("click_id", "error_id")
+      clicks.join(pairs, Seq("click_id"), "left")
+        .select(col("click_id"), col("user_id"), col("error_id"))
+        .orderBy(col("click_id"), col("error_id").asc_nulls_first)
+    }),
+
+    // Z-order key: the Morton bit-interleave of (partkey, suppkey) that
+    // writeZordered clusters on — computed here over lineitem so the
+    // oracle proves the key is byte-identical cross-engine.
+    "zorder_code" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Zorder.mortonCode(col("l_partkey"), col("l_suppkey"), 16)
+            .as("zcode"))
+        .orderBy("zcode", "l_orderkey", "l_linenumber")),
+
+    // Corpus-wide quality percentiles (curation thresholds like "drop
+    // the bottom decile") — percent_rank without the one-partition
+    // window, via value-prefix bucket offsets.
+    "quality_percentile" -> ((s, dir) =>
+      TrainingOrder.percentileRank(
+          tc(s, dir, "documents").select(col("doc_id"),
+            TextOps.qualityScore(col("text")).as("quality")),
+          "quality", "doc_id")
+        .select("doc_id", "quality", "pct")
+        .orderBy("doc_id")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "json_extract_agg" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT k) AS nk,
+        |  min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "profile_table" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "merge_upsert" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    ((round(o_totalprice * 100)::BIGINT * 11 + 5) // 10)::DOUBLE
+        |      / 100.0 AS o_totalprice
+        |  FROM o WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 1000.0
+        |  FROM o WHERE o_orderkey % 997 = 0)
+        |SELECT coalesce(u.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |  coalesce(u.o_custkey, o.o_custkey) AS o_custkey,
+        |  coalesce(u.o_totalprice, o.o_totalprice) AS o_totalprice,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+        |       WHEN u.o_orderkey IS NOT NULL THEN 'updated'
+        |       ELSE 'kept' END AS action
+        |FROM o FULL OUTER JOIN upd u ON o.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "anomaly_zscore" ->
+      """WITH v AS (SELECT event_id, event_type, value,
+        |    round(value * 100)::BIGINT AS v100 FROM events),
+        |st AS (SELECT event_type, count(*) AS n, sum(v100) AS s,
+        |    sum(v100 * v100) AS ss FROM v GROUP BY 1)
+        |SELECT event_id, event_type, value, z FROM (
+        |  SELECT event_id, v.event_type, value,
+        |    round((v100::DOUBLE - s::DOUBLE / n) /
+        |      sqrt(ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)), 4)
+        |      AS z
+        |  FROM v JOIN st USING (event_type))
+        |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
+
+    "search_bm25" -> {
+      val values = bm25Terms
+        .map { case (q, tm) => s"($q, '$tm')" }.mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $values),
+         |d AS (SELECT doc_id, ${ExtensionQueries.toksSql} AS toks
+         |      FROM documents),
+         |dl AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+         |stats AS (SELECT count(*) AS n, sum(dl) AS s FROM dl),
+         |tf AS (SELECT doc_id, dl, tok AS term, count(*) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+         |       WHERE tok IN (SELECT DISTINCT term FROM q)
+         |       GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT q.query_id, tf.doc_id,
+         |    round(((2 * n - 2 * df + 1) * 22 * tf.tf * s)::DOUBLE /
+         |      ((2 * df + 1) * (10 * tf.tf * s + 3 * s + 9 * tf.dl * n))::DOUBLE
+         |      * 1000000.0)::BIGINT AS micro
+         |  FROM q JOIN tf ON q.term = tf.term
+         |  JOIN dfreq ON tf.term = dfreq.term, stats),
+         |agg AS (SELECT query_id, doc_id, sum(micro) AS micro
+         |        FROM scored GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, doc_id, micro, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY micro DESC, doc_id) AS rank
+         |  FROM agg)
+         |SELECT query_id, doc_id, round(micro / 1000000.0, 6) AS score, rank
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "text_pii_redact" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  substr(text, 1, 40) || ' reach me at ' || source || '.' ||
+         |  doc_id || '@mail.example or 555-' ||
+         |  lpad((doc_id % 9000 + 1000)::VARCHAR, 4, '0') ||
+         |  ' from 10.' || (doc_id % 250) || '.0.' || (doc_id % 200) ||
+         |  ' end' AS contact
+         |FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(contact, '${Redact.EmailPattern}'))
+         |    AS n_email,
+         |  len(regexp_extract_all(contact, '${Redact.Ipv4Pattern}')) AS n_ip,
+         |  len(regexp_extract_all(contact, '${Redact.PhonePattern}'))
+         |    AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(contact,
+         |    '${Redact.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${Redact.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${Redact.PhonePattern}', '<PHONE>', 'g') AS redacted
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "interval_join_left" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type FROM events)
+        |SELECT c.event_id AS click_id, c.user_id, e.event_id AS error_id
+        |FROM ev c LEFT JOIN ev e ON c.user_id = e.user_id
+        |  AND e.event_type = 'error'
+        |  AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click'
+        |ORDER BY click_id, error_id NULLS FIRST""".stripMargin,
+
+    "zorder_code" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${Zorder.mortonCodeSql("l_partkey", "l_suppkey", 16)} AS zcode
+         |FROM lineitem
+         |ORDER BY zcode, l_orderkey, l_linenumber""".stripMargin,
+
+    "quality_percentile" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  len(${ExtensionQueries.toksSql}) AS n_tokens,
+         |  ${ExtensionQueries.hitsSql("en")} AS sw,
+         |  ${ExtensionQueries.punctRatioSql} AS punct,
+         |  ${ExtensionQueries.alphaRatioSql} AS alpha
+         |FROM documents),
+         |q AS (SELECT doc_id, ${ExtensionQueries.qualitySql()} AS quality
+         |      FROM s)
+         |SELECT doc_id, quality,
+         |  round(percent_rank() OVER (ORDER BY quality, doc_id), 6) AS pct
+         |FROM q ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Anomaly, Merge, Profile, Redact, Search}
+
+/** Specs for the warehouse-ops surface: profiler, merge, anomaly,
+  * redaction, BM25 search.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile_table: counts, nulls, distincts, canonical min/max") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.5)),
+      (2L, Some("b"), None),
+      (3L, None, Some(2.5)),
+      (4L, Some("a"), Some(1.5))
+    ).toDF("id", "s", "v")
+    val p = Profile.table(df, Seq("id", "s", "v")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5))).toMap
+    assert(p("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(p("s") == ((4L, 1L, 2L, "a", "b")))
+    assert(p("v") == ((4L, 1L, 2L, "1.5", "2.5")))
+  }
+
+  test("profile_table: approx variant shares the schema") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val exact = Profile.table(df, Seq("id", "s"))
+    val approx = Profile.table(df, Seq("id", "s"), exact = false)
+    assert(exact.schema == approx.schema)
+    assert(approx.count() == 2)
+  }
+
+  test("merge upsert: updated, inserted, kept partition the output") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "price")
+    val updates = Seq((2L, "b2", 25.0), (9L, "new", 99.0))
+      .toDF("k", "name", "price")
+    val out = Merge.upsert(target, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+    assert(out(1L) == (("a", 10.0, "kept")))
+    assert(out(2L) == (("b2", 25.0, "updated")))
+    assert(out(3L) == (("c", 30.0, "kept")))
+    assert(out(9L) == (("new", 99.0, "inserted")))
+    assert(out.size == 4)
+  }
+
+  test("merge upsert rejects mismatched schemas") {
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((1L, "x", 2.0)).toDF("k", "v", "w")
+    intercept[IllegalArgumentException] {
+      Merge.upsert(a, b, Seq("k"))
+    }
+  }
+
+  test("anomaly zscore flags exactly the planted outlier") {
+    // 40 tight values + one far outlier per group.
+    val rows = (for {
+      g <- Seq("a", "b")
+      i <- 1 to 40
+    } yield (s"$g$i", g, 10.0 + (i % 3) * 0.01)) :+
+      (("aX", "a", 500.0)) :+ (("bX", "b", 0.01))
+    val df = rows.toDF("id", "grp", "value")
+    val out = Anomaly.zscoreOutliers(df, "value", Seq("grp"), 3.0)
+      .select("id").as[String].collect().toSet
+    assert(out == Set("aX", "bX"))
+  }
+
+  test("anomaly zscore: fixed-point moments are partition-invariant") {
+    val df = Tables1.events(spark, sf001)
+    val z1 = Anomaly.zscoreOutliers(df, "value", Seq("event_type"), 3.0)
+      .select("event_id", "z").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val z2 = Anomaly.zscoreOutliers(df.repartition(13), "value",
+        Seq("event_type"), 3.0)
+      .select("event_id", "z").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(z1 == z2 && z1.nonEmpty)
+  }
+
+  test("redaction replaces email, ip, phone and counts hits") {
+    val df = Seq(
+      (1L, "mail a.b@c.org and x@y.io, call 555-1234 from 10.0.0.1"),
+      (2L, "no pii here")
+    ).toDF("id", "text")
+    val out = Redact.redactPii(df, "text")
+      .select("id", "n_email", "n_ip", "n_phone", "redacted").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L) == ((2, 1, 1,
+      "mail <EMAIL> and <EMAIL>, call <PHONE> from <IP>")))
+    assert(out(2L) == ((0, 0, 0, "no pii here")))
+  }
+
+  test("redaction order: emails never half-eaten by the ip pattern") {
+    val df = Seq((1L, "v1.2.3.4@host.com")).toDF("id", "text")
+    val r = Redact.redactPii(df, "text").select("redacted")
+      .as[String].head()
+    assert(r == "<EMAIL>")
+  }
+
+  test("bm25: relevant docs rank first, k bounds the output") {
+    val docs = Seq(
+      (1L, "hash join hash join hash"),
+      (2L, "hash once among many other words here now"),
+      (3L, "window agg stream"),
+      (4L, "totally unrelated text")
+    ).toDF("doc_id", "text")
+    val qs = Seq((0, "hash"), (0, "join")).toDF("query_id", "term")
+    val out = Search.bm25TopK(docs, "doc_id", "text", qs, k = 2).collect()
+    assert(out.length == 2)
+    val top = out.find(_.getInt(3) == 1).get
+    assert(top.getLong(1) == 1L) // the hash-join-dense doc wins
+    assert(out.forall(_.getDouble(2) > 0.0))
+  }
+
+  test("morton code interleaves bits (known values)") {
+    val df = Seq((5L, 3L), (0L, 0L), (7L, 0L), (0L, 7L))
+      .toDF("x", "y")
+    val out = df.select(operators.Zorder.mortonCode(col("x"), col("y"), 8)
+      .as("z")).as[Long].collect().toSeq
+    // x=101b,y=011b -> z = x0 + y0<<1 + y1<<3 + x2<<4 = 1+2+8+16 = 27
+    assert(out == Seq(27L, 0L, 21L, 42L))
+  }
+
+  test("z-ordered files bound BOTH dimensions (data-skipping layout)") {
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    operators.Zorder.writeZordered(df, s"$dir/t", numFiles = 16, "x", "y",
+      bits = 6)
+    val spans = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+        val p = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        (p.getLong(1) - p.getLong(0), p.getLong(3) - p.getLong(2))
+      }
+    assert(spans.size > 4)
+    // Files cover COMPACT rectangles in both dims — far below the
+    // 63-wide global span (a single-key sort gives span 63 in the other
+    // dim for EVERY file). A file whose code range straddles a top-level
+    // Morton quadrant boundary can legitimately span wide in one dim, so
+    // allow a few straddlers; a single-key layout would fail this for
+    // every file.
+    assert(spans.count { case (sx, sy) => sx <= 31 && sy <= 31 }
+      >= spans.size - 3)
+  }
+
+  test("percentileRank equals percent_rank over (score, id)") {
+    val df = Tables1.docs(spark, sf0001)
+      .select(col("doc_id"),
+        graft.functions.TextOps.qualityScore(col("text")).as("q"))
+    val viaOp = operators.TrainingOrder.percentileRank(df, "q", "doc_id")
+      .select("doc_id", "pct").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaWindow = df.withColumn("pct", round(
+        percent_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("q"), col("doc_id"))), 6))
+      .select("doc_id", "pct").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaOp == viaWindow && viaOp.nonEmpty)
+  }
+
+  test("percentileRank is partition-invariant") {
+    val df = Tables1.docs(spark, sf0001)
+      .select(col("doc_id"),
+        graft.functions.TextOps.qualityScore(col("text")).as("q"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      operators.TrainingOrder.percentileRank(d, "q", "doc_id")
+        .select("doc_id", "pct").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(df) == run(df.repartition(11)))
+  }
+
+  test("bm25 scores are partition-invariant (fixed-point term sums)") {
+    val docs = Tables1.docs(spark, sf001)
+    val qs = Seq((0, "hash"), (0, "join"), (1, "slow")).toDF("query_id", "term")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Search.bm25TopK(d, "doc_id", "text", qs, k = 5)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    assert(run(docs) == run(docs.repartition(17)) && run(docs).nonEmpty)
+  }
+}
+
+/** Tiny loader shims so the spec reads fixture tables through the same
+  * path the queries do.
+  */
+private object Tables1 {
+  def events(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.sources.Tables.load(s, dir, "events")
+  def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.sources.Tables.load(s, dir, "documents")
+}
