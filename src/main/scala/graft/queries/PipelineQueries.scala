@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.functions.TextOps
-import graft.operators.{Anomaly, Merge, Profile, Redact, Search,
-  TemporalJoins, TrainingOrder, Zorder}
+import graft.operators.{Anomaly, Funnel, Merge, Profile, Redact, Search,
+  TemporalJoins, TrainingOrder, Urls, Zorder}
 import graft.sources.Tables
 
 /** Warehouse-operations surface: semi-structured JSON extraction, the
@@ -142,6 +142,35 @@ object PipelineQueries {
           "quality", "doc_id")
         .select("doc_id", "quality", "pct")
         .orderBy("doc_id")),
+
+    // Ordered view→click→purchase funnel: earliest chain per user with
+    // strict event-time ordering, no self theta join.
+    "funnel_conversion" -> ((s, dir) =>
+      Funnel.funnel(t(s, dir, "events"), "user_id", "ts", Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+        .select(col("user_id"),
+          unix_micros(col("view_ts")).as("view_ts_us"),
+          unix_micros(col("click_ts")).as("click_ts_us"),
+          unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+        .orderBy("user_id")),
+
+    // URL canonicalization: tracking params, fragments, and host casing
+    // normalized off deterministic synthetic crawl URLs.
+    "url_canonicalize" -> ((s, dir) => {
+      val d = tc(s, dir, "documents").withColumn("url",
+        concat(lit("HTTPS://"), col("source"), lit(".Example.COM/"),
+          col("lang"), lit("/doc/"), col("doc_id"),
+          lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(7)),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("&utm_campaign=x"))
+            .otherwise(lit("")),
+          lit("#sec")))
+      d.select(col("doc_id"), col("url"),
+          Urls.canonicalizeUrl(col("url")).as("canon"),
+          Urls.urlHost(col("url")).as("host"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -274,5 +303,50 @@ object PipelineQueries {
          |SELECT doc_id, quality,
          |  round(percent_rank() OVER (ORDER BY quality, doc_id), 6) AS pct
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type FROM events),
+        |v AS (SELECT user_id, min(ts) AS view_ts FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM ev e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM ev e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        |      GROUP BY 1)
+        |SELECT v.user_id, epoch_us(view_ts) AS view_ts_us,
+        |  epoch_us(click_ts) AS click_ts_us,
+        |  epoch_us(purchase_ts) AS purchase_ts_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "url_canonicalize" -> {
+      val sh = Urls.SchemeHostPattern
+      s"""WITH d AS (SELECT doc_id,
+         |  'HTTPS://' || source || '.Example.COM/' || lang || '/doc/' ||
+         |  doc_id || '?utm_source=feed&id=' || (doc_id % 7) ||
+         |  CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=x' ELSE '' END ||
+         |  '#sec' AS url
+         |FROM documents),
+         |c AS (SELECT doc_id, url,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    url, '${Urls.FragmentPattern}', ''),
+         |    '${Urls.UtmParamPattern}', '', 'g'),
+         |    '\\?&', '?'), '^([^?]*)&', '\\1?') AS s4
+         |FROM d),
+         |t AS (SELECT doc_id, url,
+         |  regexp_replace(s4, '[?&]$$', '') AS s5 FROM c),
+         |f AS (SELECT doc_id, url, s5,
+         |  regexp_extract(s5, '$sh', 1) AS m FROM t)
+         |SELECT doc_id, url,
+         |  CASE WHEN m != '' THEN lower(m) || substr(s5, length(m) + 1)
+         |       ELSE s5 END AS canon,
+         |  lower(regexp_extract(url,
+         |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
   )
 }

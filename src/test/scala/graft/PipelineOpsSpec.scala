@@ -173,6 +173,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run(df) == run(df.repartition(11)))
   }
 
+  test("funnel: strict event-time order, per-stage earliest chain") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // u1: full chain in order
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // u2: click BEFORE view — chain stops at view
+      (2L, ts(1), "click"), (2L, ts(2), "view"),
+      // u3: purchase before click — view->click only
+      (3L, ts(1), "view"), (3L, ts(2), "purchase"), (3L, ts(3), "click"),
+      // u4: never viewed — absent from output
+      (4L, ts(1), "click"), (4L, ts(2), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = operators.Funnel.funnel(ev, "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+      .collect().map(r => r.getLong(0) ->
+        (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(out(1L) == ((false, false, false)))
+    assert(out(2L) == ((false, true, true)))
+    assert(out(3L) == ((false, false, true)))
+    assert(!out.contains(4L))
+  }
+
+  test("url canonicalization: utm, fragment, host case") {
+    val cases = Seq(
+      ("HTTPS://WWW.Ex.COM/Path?utm_source=a&id=3#frag",
+        "https://www.ex.com/Path?id=3"),
+      ("http://ex.com/p?id=1&utm_campaign=x&q=2", "http://ex.com/p?id=1&q=2"),
+      ("http://ex.com/p?utm_a=1", "http://ex.com/p"),
+      ("http://EX.com/p?utm_a=1&utm_b=2&z=9", "http://ex.com/p?z=9"),
+      ("no-scheme/path?utm_x=1", "no-scheme/path"),
+      ("http://ex.com/CasePreserved/PATH", "http://ex.com/CasePreserved/PATH"))
+    val df = cases.map(_._1).zipWithIndex.map(_.swap).toDF("i", "u")
+    val got = df.select(col("i"), operators.Urls.canonicalizeUrl(col("u")))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i) == want, s"case $i")
+    }
+  }
+
   test("bm25 scores are partition-invariant (fixed-point term sums)") {
     val docs = Tables1.docs(spark, sf001)
     val qs = Seq((0, "hash"), (0, "join"), (1, "slow")).toDF("query_id", "term")

@@ -164,6 +164,45 @@ class PlanSpec extends SparkSpec {
     assert(same eq healthy)
   }
 
+  private def pipePlan(name: String): String = {
+    val df = graft.queries.PipelineQueries.queries(name)(spark, sf001)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("profile_table: ONE table scan (multi-distinct via Expand)") {
+    val p = pipePlan("profile_table")
+    // detail-section node lines only ("(1) Scan parquet"); the tree
+    // rendering repeats each node once more
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"profiler must scan once, saw $scans scans")
+    assert(p.contains("Expand"), "multi-distinct should plan one Expand")
+  }
+
+  test("search_bm25: postings pruned by broadcast join, no UDF") {
+    val p = pipePlan("search_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      "query vocabulary must broadcast-prune postings before the shuffle")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+  }
+
+  test("zorder_code: pure codegen bit-shuffle, single range sort") {
+    val p = pipePlan("zorder_code")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_extendedprice"),
+      "zorder scan must prune to the 4 used columns")
+  }
+
+  test("merge_upsert and funnel avoid nested-loop/cartesian joins") {
+    val pm = pipePlan("merge_upsert")
+    assert(!pm.contains("BroadcastNestedLoopJoin") &&
+      !pm.contains("CartesianProduct"))
+    val pf = pipePlan("funnel_conversion")
+    assert(!pf.contains("BroadcastNestedLoopJoin") &&
+      !pf.contains("CartesianProduct"))
+  }
+
   test("row hash stays inside whole-stage codegen") {
     // AQE's pre-execution explain omits codegen markers; check the
     // non-adaptive executed plan, where a codegen'd Project prints as
