@@ -118,6 +118,41 @@ object Sketches {
       round(lit(numerator * 2.0) / col("harm").cast("double"), 3).as("hll_est"))
   }
 
+  /** Per-group HLL distinct estimates — the GROUP BY form of
+    * [[hllDistinct]] (per-source distinct users, per-shard distinct
+    * keys). Registers shuffle once keyed by (group, bucket) — at most
+    * `groups × m` rows into the fold, regardless of input size — then
+    * one group-level exact-integer harmonic sum. Identical register
+    * math to the global form, so the same oracle replay applies with a
+    * GROUP BY added.
+    */
+  def hllDistinctByGroup(df: DataFrame, groupCol: String, keyCol: String,
+      m: Int = 64, hashFn: Column => Column = TextOps.md5Hash60,
+      hashBits: Int = 60): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of 2, >= 16")
+    val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)
+    val payloadBits = hashBits - bucketBits
+    val numerator = hllNumerator(m, hashBits)
+    val h = graft.sources.Tables.rebalanceForCompute(df)
+      .select(col(groupCol), hashFn(col(keyCol).cast("string")).as("h"))
+      .select(col(groupCol), pmod(col("h"), lit(m)).as("bucket"),
+        shiftrightunsigned(col("h"), bucketBits).as("w"))
+    val rho = when(col("w") === 0, lit(payloadBits + 1))
+      .otherwise(lit(payloadBits + 1) - length(bin(col("w"))))
+    val regs = h.select(col(groupCol), col("bucket"), rho.as("rho"))
+      .groupBy(col(groupCol), col("bucket")).agg(max(col("rho")).as("r"))
+    val summed = regs.groupBy(col(groupCol)).agg(
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${payloadBits + 1} - r)")).as("s"),
+      count(lit(1)).as("nregs"))
+      .select(col(groupCol), (col("s") +
+        (lit(m) - col("nregs")) * lit(1L << (payloadBits + 1))).as("harm"))
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(keyCol)).as("n_exact"))
+    exact.join(summed, groupCol).select(
+      col(groupCol), lit(m).as("m"), col("n_exact"),
+      round(lit(numerator) / col("harm").cast("double"), 3).as("hll_est"))
+  }
+
   /** Exact double numerator of the HLL estimate, for oracle replay. */
   def hllNumerator(m: Int, hashBits: Int = 60): Double = {
     val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)

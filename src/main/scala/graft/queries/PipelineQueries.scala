@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.functions.TextOps
 import graft.operators.{Anomaly, Funnel, Merge, Profile, Redact, Search,
@@ -171,6 +172,45 @@ object PipelineQueries {
           Urls.urlHost(col("url")).as("host"))
         .orderBy("doc_id")
     }),
+
+    // Time-range rolling aggregates: per-user 1-hour trailing window via
+    // a RANGE frame over epoch micros — count exact, sum in fixed-point
+    // cents so the frame arithmetic is engine- and order-independent.
+    "rolling_value_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("__us"))
+        .rangeBetween(-3600L * 1000000, 0)
+      t(s, dir, "events")
+        .withColumn("__us", unix_micros(col("ts")))
+        .withColumn("__v100", round(col("value") * 100).cast("long"))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("avg_1h", round(
+          sum(col("__v100")).over(w).cast("double") / 100.0 / col("n_win"),
+          4))
+        .select(col("event_id"), col("user_id"), col("__us").as("ts_us"),
+          col("n_win"), col("avg_1h"))
+        .orderBy("event_id")
+    }),
+
+    // Per-language heavy hitters: top-20 tokens by count through the
+    // bounded-heap TopK operator (no full per-group sort).
+    "vocab_topk_by_lang" -> ((s, dir) => {
+      val counts = tc(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      graft.plans.TopK.perKey(counts, Seq("lang"),
+          Seq(col("cnt").desc, col("token").asc), 20)
+        .withColumn("rank", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("cnt").desc, col("token").asc)))
+        .orderBy("lang", "rank")
+    }),
+
+    // Per-group HLL: distinct-user estimates per event type; at most
+    // groups x 64 register rows shuffle, whatever the event volume.
+    "sketch_hll_by_group" -> ((s, dir) =>
+      graft.operators.Sketches.hllDistinctByGroup(
+          t(s, dir, "events"), "event_type", "user_id", m = 64)
+        .orderBy("event_type")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -347,6 +387,52 @@ object PipelineQueries {
          |  lower(regexp_extract(url,
          |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
          |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "rolling_value_avg" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    round(value * 100)::BIGINT AS v100 FROM events)
+        |SELECT event_id, user_id, us AS ts_us,
+        |  count(*) OVER w AS n_win,
+        |  round((sum(v100) OVER w)::DOUBLE / 100.0 / (count(*) OVER w), 4)
+        |    AS avg_1h
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "vocab_topk_by_lang" ->
+      s"""WITH toks AS (SELECT lang, unnest(${ExtensionQueries.toksSql})
+         |    AS token FROM documents),
+         |counts AS (SELECT lang, token, count(*) AS cnt FROM toks
+         |           GROUP BY 1, 2),
+         |ranked AS (SELECT lang, token, cnt, row_number() OVER (
+         |    PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+         |  FROM counts)
+         |SELECT lang, token, cnt, rank FROM ranked WHERE rank <= 20
+         |ORDER BY lang, rank""".stripMargin,
+
+    "sketch_hll_by_group" -> {
+      val num = java.lang.Double.toString(
+        graft.operators.Sketches.hllNumerator(64))
+      val h60 = ExtensionQueries.md5Hash60Sql("user_id::VARCHAR")
+      s"""WITH h AS (SELECT event_type, $h60 AS h FROM events),
+         |b AS (SELECT event_type, h % 64 AS bucket, h >> 6 AS w FROM h),
+         |r AS (SELECT event_type, bucket,
+         |    max(CASE WHEN w = 0 THEN 55
+         |        ELSE 55 - length(printf('%b', w)) END) AS r
+         |  FROM b GROUP BY 1, 2),
+         |s AS (SELECT event_type, sum(1::BIGINT << (55 - r)) AS s,
+         |    count(*) AS nregs FROM r GROUP BY 1),
+         |t AS (SELECT event_type,
+         |    s + (64 - nregs) * (1::BIGINT << 55) AS harm FROM s),
+         |e AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |      FROM events GROUP BY 1)
+         |SELECT e.event_type, 64 AS m, n_exact,
+         |  round($num / harm::DOUBLE, 3) AS hll_est
+         |FROM e JOIN t ON e.event_type = t.event_type
+         |ORDER BY e.event_type""".stripMargin
     },
   )
 }

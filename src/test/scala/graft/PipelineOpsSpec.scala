@@ -173,6 +173,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run(df) == run(df.repartition(11)))
   }
 
+  test("grouped HLL: sane per-group estimates, partition-invariant") {
+    val ev = Tables1.events(spark, sf001)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      operators.Sketches.hllDistinctByGroup(d, "event_type", "user_id")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+    val est = run(ev)
+    assert(est.size == 5)
+    est.values.foreach { case (exact, hll) =>
+      assert(hll > exact * 0.5 && hll < exact * 2.0,
+        s"HLL estimate $hll far from exact $exact")
+    }
+    assert(run(ev.repartition(13)) == est)
+  }
+
   test("funnel: strict event-time order, per-stage earliest chain") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
