@@ -211,6 +211,45 @@ object PipelineQueries {
       graft.operators.Sketches.hllDistinctByGroup(
           t(s, dir, "events"), "event_type", "user_id", m = 64)
         .orderBy("event_type")),
+
+    // Salted-join parity under the driver oracle: the skew-safe join
+    // must equal the plain join row for row (SkewSpec asserts the same
+    // locally; this makes it a hash-checked driver guarantee).
+    "skew_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+      val perUser = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n_user_events"))
+      graft.operators.Skew.saltedJoin(ev, perUser, "user_id", saltFactor = 8)
+        .select("event_id", "user_id", "n_user_events")
+        .orderBy("event_id")
+    }),
+
+    // Container-header roundtrip: synthesize real BMP/WAV bytes from
+    // doc_id-derived parameters on the executors, parse them back with
+    // the byte-level header parsers, and let the oracle check the
+    // parsed fields against the same arithmetic — the parsers' output
+    // is then hash-verified by the driver, not just spec-asserted.
+    "container_metadata" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      tc(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 2 == 0)
+              graft.operators.Containers.synthBmp(
+                (id % 64 + 1).toInt, (id % 48 + 1).toInt,
+                Array.emptyByteArray)
+            else
+              graft.operators.Containers.synthWav(
+                (8000 + (id % 8) * 4000).toInt, (1 + id % 2).toInt, 16,
+                new Array[Byte]((id % 100).toInt * 2))
+          val m = graft.operators.Containers.parse(bytes)
+          (id, m.format, m.width, m.height, m.sampleRate, m.channels,
+            bytes.length)
+        }
+        .toDF("doc_id", "format", "width", "height", "sample_rate",
+          "channels", "n_bytes")
+        .orderBy("doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -434,5 +473,26 @@ object PipelineQueries {
          |FROM e JOIN t ON e.event_type = t.event_type
          |ORDER BY e.event_type""".stripMargin
     },
+
+    "skew_salted_join" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_user_events FROM events
+        |           GROUP BY 1)
+        |SELECT e.event_id, e.user_id, u.n_user_events
+        |FROM events e JOIN u ON e.user_id = u.user_id
+        |ORDER BY e.event_id""".stripMargin,
+
+    "container_metadata" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+        |  (CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 ELSE 0
+        |   END)::INTEGER AS width,
+        |  (CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1 ELSE 0
+        |   END)::INTEGER AS height,
+        |  (CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 4000 ELSE 0
+        |   END)::INTEGER AS sample_rate,
+        |  (CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 0 END)::INTEGER AS channels,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 + (doc_id % 100) * 2
+        |   END)::INTEGER AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -121,6 +121,24 @@ object StreamingPipeline {
         col(rhsTs) >= col(lhsTs) &&
         col(rhsTs) <= col(lhsTs) + expr(s"INTERVAL $maxDelaySeconds SECONDS"))
 
+  /** Left-outer event-time interval join: like [[intervalJoin]] but
+    * unmatched left rows survive with NULL right columns. On streams
+    * BOTH sides must be watermarked (the passed frames should already
+    * carry `withWatermark`): Spark emits the null row only once the
+    * watermark proves no matching right row can still arrive — the
+    * outer result is late by the watermark delay, never wrong. State
+    * stays bounded by `maxDelaySeconds` + the watermark, exactly as in
+    * the inner form.
+    */
+  def intervalJoinLeftOuter(lhs: DataFrame, rhs: DataFrame, lhsKey: String,
+      rhsKey: String, lhsTs: String, rhsTs: String,
+      maxDelaySeconds: Int): DataFrame =
+    lhs.join(rhs,
+      col(lhsKey) === col(rhsKey) &&
+        col(rhsTs) >= col(lhsTs) &&
+        col(rhsTs) <= col(lhsTs) + expr(s"INTERVAL $maxDelaySeconds SECONDS"),
+      "left_outer")
+
   /** Watermarked streaming tumbling aggregation: bounds the state store
     * (windows older than `delay` behind the max observed event time are
     * finalized and dropped) and lets Append mode emit each window exactly

@@ -1,9 +1,9 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{AnalyticsQueries, CapabilityQueries, ExtensionQueries, ParityQueries, StreamingQueries}
+import graft.queries.{AnalyticsQueries, CapabilityQueries, ExtensionQueries, ParityQueries, PipelineQueries, StreamingQueries}
 
-/** The driver contract is assembled by `++` over five registries — a
+/** The driver contract is assembled by `++` over six registries — a
   * duplicated query name would silently SHADOW an earlier definition and
   * the driver would grade the wrong program. Locked down here.
   */
@@ -14,7 +14,8 @@ class RegistrySpec extends AnyFunSuite {
     "extension" -> ExtensionQueries.queries.keySet,
     "streaming" -> StreamingQueries.queries.keySet,
     "capability" -> CapabilityQueries.queries.keySet,
-    "analytics" -> AnalyticsQueries.queries.keySet)
+    "analytics" -> AnalyticsQueries.queries.keySet,
+    "pipeline" -> PipelineQueries.queries.keySet)
 
   test("query names are globally unique across registries") {
     val all = parts.flatMap(_._2.toSeq)

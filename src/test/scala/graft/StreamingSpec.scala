@@ -164,6 +164,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("ivj_out").collect().map(_.toSeq).toSet == batch)
   }
 
+  test("stream-stream LEFT OUTER interval join: inner rows exact, " +
+      "outer nulls only for proven-unmatched rows") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    def split(ev: org.apache.spark.sql.DataFrame) = (
+      ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts")),
+      ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("view_ts")))
+    val (bc, bv) = split(Tables.load(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type"))
+    val batch = StreamingPipeline.intervalJoinLeftOuter(bc, bv, "user_id",
+        "v_user", "click_ts", "view_ts", 1800)
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    val batchInner = batch.filter(_._2 != -1L)
+    val (sc, sv) = (
+      split(StreamingPipeline.streamTable(spark, sf0001, "events")
+        .select("event_id", "ts", "user_id", "event_type"))._1
+        .withWatermark("click_ts", "1 hour"),
+      split(StreamingPipeline.streamTable(spark, sf0001, "events")
+        .select("event_id", "ts", "user_id", "event_type"))._2
+        .withWatermark("view_ts", "1 hour"))
+    val joined = StreamingPipeline.intervalJoinLeftOuter(sc, sv, "user_id",
+        "v_user", "click_ts", "view_ts", 1800)
+      .select("click_id", "view_id")
+    val q = joined.writeStream.format("memory").queryName("ivjl_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ivjl_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    // Every inner match must be emitted; null-extensions may lag the
+    // final watermark (rows the watermark hasn't yet proven unmatched
+    // are withheld, never fabricated) — so: inner ⊆ got ⊆ batch.
+    assert(batchInner.subsetOf(got), "streaming lost inner matches")
+    assert(got.subsetOf(batch), "streaming fabricated rows")
+  }
+
   test("continuous sessionization: sessions emit once closed, survive batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
