@@ -212,6 +212,50 @@ object PipelineQueries {
           t(s, dir, "events"), "event_type", "user_id", m = 64)
         .orderBy("event_type")),
 
+    // Pearson correlation between two event metrics, per group — all
+    // six moments are exact integer sums (value cents x props.k), so
+    // the closed-form corr is a fixed IEEE op sequence on both engines.
+    // Long-sum headroom: |x| < 2^16, |y| < 2^7 keep n*sxx < 2^63 up to
+    // ~10^9 rows per group; beyond that widen the moments to DECIMAL.
+    "metric_correlation" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("x", round(col("value") * 100).cast("long"))
+        .withColumn("y", from_json(col("props"),
+          StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").cast("long"))
+      val m = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      m.select(col("event_type"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6).as("corr"))
+        .orderBy("event_type")
+    }),
+
+    // Corpus-LM quality scoring: mean per-token integer surprisal
+    // against a corpus-trained unigram model (CCNet-style filter,
+    // log-free for engine parity — see LmScore).
+    "lm_doc_surprisal" -> ((s, dir) =>
+      graft.operators.LmScore
+        .unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // Deterministic Lloyd k-means on the embeddings table: k=8 seeds
+    // = lowest vec_ids, 3 iterations, fixed-point centroid sums.
+    // Output = exploded trained centroids + cluster sizes.
+    "kmeans_embeddings" -> ((s, dir) =>
+      graft.operators.Kmeans
+        .fitCentroids(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 3)
+        .orderBy("cid", "pos")),
+
     // Salted-join parity under the driver oracle: the skew-safe join
     // must equal the plain join row for row (SkewSpec asserts the same
     // locally; this makes it a hash-checked driver guarantee).
@@ -472,6 +516,68 @@ object PipelineQueries {
          |  round($num / harm::DOUBLE, 3) AS hll_est
          |FROM e JOIN t ON e.event_type = t.event_type
          |ORDER BY e.event_type""".stripMargin
+    },
+
+    "metric_correlation" ->
+      """WITH ev AS (SELECT event_type,
+        |    round(value * 100)::BIGINT AS x,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+        |  FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((n * sxy - sx * sy)::DOUBLE /
+        |    (sqrt((n * sxx - sx * sx)::DOUBLE) *
+        |     sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS corr
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "lm_doc_surprisal" ->
+      s"""WITH w AS (SELECT doc_id, unnest(${ExtensionQueries.toksSql}) AS t
+        |  FROM documents),
+        |vc AS (SELECT t, count(*) AS c FROM w GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n, count(*) AS v FROM vc),
+        |sc AS (SELECT t,
+        |    (length(format('{:b}', (n + v) // (c + 1))) - 1)::BIGINT AS bits
+        |  FROM vc, tot),
+        |d AS (SELECT w.doc_id, count(*) AS n_tokens,
+        |    sum(bits)::BIGINT AS sb
+        |  FROM w JOIN sc USING (t) GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(sb::DOUBLE / n_tokens, 6) AS avg_bits
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "kmeans_embeddings" -> {
+      // Lloyd iterations unrolled: each round re-derives (assignment,
+      // fixed-point sums, next centroids) from the previous round's
+      // centroid lists. Mirrors Kmeans.fitCentroids op for op.
+      val sq = "list_sum(list_transform(range(1, len(e.v) + 1), " +
+        "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
+      def kmIter(k: Int): String =
+        s"""a$k AS (SELECT e.vec_id, c.cid FROM e CROSS JOIN c${k - 1} c
+          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+          |    ORDER BY $sq, c.cid) = 1),
+          |g$k AS (SELECT a.cid, u.pos, sum(u.fx) AS s, count(*) AS n
+          |  FROM a$k a JOIN u USING (vec_id) GROUP BY 1, 2),
+          |c$k AS (SELECT cid,
+          |    list((s::DOUBLE / n) / 1048576.0 ORDER BY pos) AS c
+          |  FROM g$k GROUP BY cid)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |u AS (SELECT vec_id,
+        |    generate_subscripts(embedding, 1)::BIGINT AS pos,
+        |    floor(unnest(embedding::DOUBLE[]) * 1048576.0)::BIGINT AS fx
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS c FROM e
+        |  ORDER BY vec_id LIMIT 8),
+        |${kmIter(1)},
+        |${kmIter(2)},
+        |${kmIter(3)}
+        |SELECT cid, pos, round((s::DOUBLE / n) / 1048576.0, 6) AS c, n
+        |FROM g3 ORDER BY cid, pos""".stripMargin
     },
 
     "skew_salted_join" ->

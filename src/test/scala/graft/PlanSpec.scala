@@ -170,13 +170,15 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
-  test("profile_table: ONE table scan (multi-distinct via Expand)") {
+  test("profile_table: one scan per type class, hash-aggregated") {
     val p = pipePlan("profile_table")
     // detail-section node lines only ("(1) Scan parquet"); the tree
     // rendering repeats each node once more
     val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
-    assert(scans == 1, s"profiler must scan once, saw $scans scans")
+    assert(scans <= 2, s"one scan per type class max, saw $scans scans")
     assert(p.contains("Expand"), "multi-distinct should plan one Expand")
+    assert(p.contains("HashAggregate"),
+      "primitive-column pass must stay on vectorized HashAggregate")
   }
 
   test("search_bm25: postings pruned by broadcast join, no UDF") {
