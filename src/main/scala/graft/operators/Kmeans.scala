@@ -37,12 +37,28 @@ import org.apache.spark.sql.functions._
   */
 object Kmeans {
 
+  /** The fitted model: (cid, centroid) pairs, cid-sorted, centroids
+    * unrounded — the coarse quantizer [[Similarity.ivfTrainedTopK]]
+    * serves with.
+    */
+  def fit(df0: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scaleBits: Int = 20): Seq[(Long, Array[Double])] =
+    run(df0, idCol, vecCol, k, iters, scaleBits)._1
+
   /** Final exploded centroids: (cid, pos, c, n) — pos 1-based, c
     * rounded to 6 dp for output (iteration-internal centroids stay
     * unrounded), n = cluster size. k·dims rows.
     */
   def fitCentroids(df0: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, scaleBits: Int = 20): DataFrame = {
+    val lastAgg = run(df0, idCol, vecCol, k, iters, scaleBits)._2
+    lastAgg.select(col("cid"), col("pos"), round(col("c"), 6).as("c"),
+      col("n"))
+  }
+
+  private def run(df0: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scaleBits: Int)
+      : (Seq[(Long, Array[Double])], DataFrame) = {
     val q = (1L << scaleBits).toDouble
     val df = graft.sources.Tables.rebalanceForCompute(df0)
       .select(col(idCol).cast("long").as("id"),
@@ -70,20 +86,32 @@ object Kmeans {
           col("n"))
       cents = regroup(lastAgg.select("cid", "pos", "c").collect())
     }
-    lastAgg.select(col("cid"), col("pos"), round(col("c"), 6).as("c"),
-      col("n"))
+    (cents, lastAgg)
   }
 
   /** argmin-distance centroid id: array_sort of (d, cid) structs is a
     * lexicographic sort, so element 1 = min distance with smallest-id
     * tie-break (the [[Similarity.ivfTopK]] probe idiom).
     */
-  private def nearestCid(v: Column, cents: Seq[(Long, Array[Double])])
+  private[operators] def nearestCid(v: Column, cents: Seq[(Long, Array[Double])])
       : Column = {
     val entries = cents.map { case (cid, c) =>
       struct(sqDist(v, c).as("d"), lit(cid).as("cid"))
     }
     element_at(array_sort(array(entries: _*)), 1).getField("cid")
+  }
+
+  /** The `nprobe` nearest centroid ids, nearest-first (same
+    * lexicographic (d, cid) order as [[nearestCid]]) — the query-side
+    * probe list of trained IVF.
+    */
+  private[operators] def nearestCids(v: Column,
+      cents: Seq[(Long, Array[Double])], nprobe: Int): Column = {
+    val entries = cents.map { case (cid, c) =>
+      struct(sqDist(v, c).as("d"), lit(cid).as("cid"))
+    }
+    slice(transform(array_sort(array(entries: _*)), s => s.getField("cid")),
+      1, nprobe)
   }
 
   /** Sequential left fold of (v_i − c_i)²: `aggregate` evaluates the

@@ -231,6 +231,39 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF ANN with a TRAINED coarse quantizer: [[Kmeans.fit]] centroids
+    * replace [[ivfTopK]]'s fixed pseudo-random anchors — the classic
+    * train-then-serve IVF (k-means cells adapt to the corpus, so cell
+    * occupancy is balanced where the data is, not where the hash
+    * landed). Assignment/probing reuse the k-means fold (argmin
+    * squared-L2, smallest-cid ties); candidate scoring is the exact
+    * [[cosine]] like every other ANN variant here.
+    *
+    * Scale shape identical to [[ivfTopK]]: narrow assignment map over
+    * the corpus (k folds/row against broadcast-literal centroids), the
+    * probe join is an equality join on cell id, cost ∝ probed-cell
+    * occupancy. Training adds [[Kmeans.fit]]'s iterations up front —
+    * amortized over every query batch served from the index.
+    */
+  def ivfTrainedTopK(corpus0: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Seq[(Long, Array[Double])],
+      nprobe: Int): DataFrame = {
+    require(cents.nonEmpty && nprobe >= 1)
+    val corpus = graft.sources.Tables.rebalanceForCompute(corpus0)
+    def toD(c: Column) = transform(c, x => x.cast("double"))
+    val ck = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      Kmeans.nearestCid(toD(col(vecCol)), cents).as("cell"))
+    val qk = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"),
+      explode(Kmeans.nearestCids(toD(col(vecCol)), cents, nprobe)).as("cell"))
+    val scored = broadcast(qk).join(ck, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .select("query_id", "neighbor_id", "cos")
+    rankTopK(scored, k)
+  }
+
   /** Per-label element-wise centroids (mean-pooling — the k-means
     * assignment-step aggregate, and the "average the embeddings of a
     * group" primitive of retrieval pipelines).

@@ -43,6 +43,40 @@ object ExtensionQueries {
   private[queries] def md5Hash60Sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** Squared-L2 between `e.v` and `c.c` as the sequential fold
+    * `Kmeans.sqDist` runs — usable wherever those aliases are in scope.
+    */
+  private[queries] val kmSqDistSql =
+    "list_sum(list_transform(range(1, len(e.v) + 1), " +
+      "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
+
+  /** DuckDB replay of `Kmeans.fitCentroids`' loop on the embeddings
+    * table: CTE-body fragment (no WITH keyword) defining `e` (double
+    * vectors), `u` (fixed-point components), `c0` (lowest-id seeds) and
+    * `a$i`/`g$i`/`c$i` per unrolled Lloyd round — final centroids in
+    * `c$iters`, final sums/sizes in `g$iters`.
+    */
+  private[queries] def kmeansCtesSql(k: Int, iters: Int): String = {
+    def kmIter(i: Int): String =
+      s"""a$i AS (SELECT e.vec_id, c.cid FROM e CROSS JOIN c${i - 1} c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY $kmSqDistSql, c.cid) = 1),
+        |g$i AS (SELECT a.cid, u.pos, sum(u.fx) AS s, count(*) AS n
+        |  FROM a$i a JOIN u USING (vec_id) GROUP BY 1, 2),
+        |c$i AS (SELECT cid,
+        |    list((s::DOUBLE / n) / 1048576.0 ORDER BY pos) AS c
+        |  FROM g$i GROUP BY cid)""".stripMargin
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |u AS (SELECT vec_id,
+      |    generate_subscripts(embedding, 1)::BIGINT AS pos,
+      |    floor(unnest(embedding::DOUBLE[]) * 1048576.0)::BIGINT AS fx
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS c FROM e
+      |  ORDER BY vec_id LIMIT $k),
+      |${(1 to iters).map(kmIter).mkString(",\n")}""".stripMargin
+  }
+
   // --- shared text-scoring fragments (mirror TextOps exactly; used by
   // text_quality / text_langid here and corpus_curate's composition) ---
 
@@ -225,6 +259,18 @@ object ExtensionQueries {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, cells = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Trained IVF ANN: k-means (k=8, 2 Lloyd rounds) as the coarse
+    // quantizer, 3 cells probed per query — train-then-serve, fully
+    // oracle-replayed (training loop AND probe/rank).
+    "sim_topk_ivfk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = graft.operators.Kmeans.fit(e, "vec_id", "embedding",
+        k = 8, iters = 2)
+      Similarity.ivfTrainedTopK(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, cents, nprobe = 3)
         .orderBy("query_id", "rank")
     }),
 
@@ -560,6 +606,26 @@ object ExtensionQueries {
          |  FROM scored) r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    "sim_topk_ivfk" ->
+      s"""WITH ${kmeansCtesSql(k = 8, iters = 2)},
+         |ca AS (SELECT e.vec_id, e.v, c.cid AS cell FROM e CROSS JOIN c2 c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY $kmSqDistSql, c.cid) = 1),
+         |qp AS (SELECT e.vec_id, e.v, c.cid AS cell FROM e CROSS JOIN c2 c
+         |  WHERE e.vec_id < 10
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY $kmSqDistSql, c.cid) <= 3),
+         |cand AS (SELECT qp.vec_id AS query_id, qp.v AS qv,
+         |    ca.vec_id AS neighbor_id, ca.v AS cv
+         |  FROM qp JOIN ca USING (cell) WHERE qp.vec_id != ca.vec_id),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  round(${cosineSql("qv", "cv")}, 6) AS cos FROM cand)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -551,31 +551,11 @@ object PipelineQueries {
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "kmeans_embeddings" -> {
-      // Lloyd iterations unrolled: each round re-derives (assignment,
-      // fixed-point sums, next centroids) from the previous round's
-      // centroid lists. Mirrors Kmeans.fitCentroids op for op.
-      val sq = "list_sum(list_transform(range(1, len(e.v) + 1), " +
-        "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
-      def kmIter(k: Int): String =
-        s"""a$k AS (SELECT e.vec_id, c.cid FROM e CROSS JOIN c${k - 1} c
-          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-          |    ORDER BY $sq, c.cid) = 1),
-          |g$k AS (SELECT a.cid, u.pos, sum(u.fx) AS s, count(*) AS n
-          |  FROM a$k a JOIN u USING (vec_id) GROUP BY 1, 2),
-          |c$k AS (SELECT cid,
-          |    list((s::DOUBLE / n) / 1048576.0 ORDER BY pos) AS c
-          |  FROM g$k GROUP BY cid)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |u AS (SELECT vec_id,
-        |    generate_subscripts(embedding, 1)::BIGINT AS pos,
-        |    floor(unnest(embedding::DOUBLE[]) * 1048576.0)::BIGINT AS fx
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, v AS c FROM e
-        |  ORDER BY vec_id LIMIT 8),
-        |${kmIter(1)},
-        |${kmIter(2)},
-        |${kmIter(3)}
+      // Lloyd iterations unrolled (shared fragment with sim_topk_ivfk):
+      // each round re-derives (assignment, fixed-point sums, next
+      // centroids) from the previous round's centroid lists — mirrors
+      // Kmeans.fitCentroids op for op.
+      s"""WITH ${ExtensionQueries.kmeansCtesSql(k = 8, iters = 3)}
         |SELECT cid, pos, round((s::DOUBLE / n) / 1048576.0, 6) AS c, n
         |FROM g3 ORDER BY cid, pos""".stripMargin
     },

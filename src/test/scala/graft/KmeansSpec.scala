@@ -41,6 +41,30 @@ class KmeansSpec extends SparkSpec {
     assert(cost(3) < cost(1))
   }
 
+  test("ivfTrainedTopK: exact scores, full-probe = brute force, deterministic") {
+    import graft.operators.Similarity
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val cents = Kmeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfk = Similarity.ivfTrainedTopK(emb, q, "vec_id", "embedding", 5,
+      cents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivfk.nonEmpty)
+    // any returned (query, neighbor) carries the exact brute-force score
+    ivfk.foreach { case (q2, n, c) =>
+      brute.get((q2, n)).foreach(bc => assert(bc == c)) }
+    val recall = ivfk.count { case (q2, n, _) =>
+      brute.contains((q2, n)) }.toDouble / brute.size
+    info(s"trained-IVF recall vs brute force (nprobe=2/4): $recall")
+    assert(recall > 0.0)
+    // probing ALL cells recovers brute force exactly
+    val full = Similarity.ivfTrainedTopK(emb, q, "vec_id", "embedding", 5,
+      cents, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == brute)
+  }
+
   test("fitCentroids: deterministic across runs and partitionings") {
     val a = Kmeans.fitCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
       .orderBy("cid", "pos").collect().toSeq
