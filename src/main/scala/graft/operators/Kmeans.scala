@@ -43,7 +43,7 @@ object Kmeans {
     */
   def fit(df0: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, scaleBits: Int = 20): Seq[(Long, Array[Double])] =
-    run(df0, idCol, vecCol, k, iters, scaleBits)._1
+    run(df0, idCol, vecCol, k, iters, scaleBits)._1()
 
   /** Final exploded centroids: (cid, pos, c, n) — pos 1-based, c
     * rounded to 6 dp for output (iteration-internal centroids stay
@@ -58,7 +58,7 @@ object Kmeans {
 
   private def run(df0: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, scaleBits: Int)
-      : (Seq[(Long, Array[Double])], DataFrame) = {
+      : (() => Seq[(Long, Array[Double])], DataFrame) = {
     val q = (1L << scaleBits).toDouble
     val df = graft.sources.Tables.rebalanceForCompute(df0)
       .select(col(idCol).cast("long").as("id"),
@@ -73,7 +73,7 @@ object Kmeans {
     var cents: Seq[(Long, Array[Double])] = regroup(seedRows)
 
     var lastAgg: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val assigned = df.withColumn("cid", nearestCid(col("v"), cents))
       lastAgg = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("p0", "x")))
@@ -84,9 +84,13 @@ object Kmeans {
         .select(col("cid"), col("pos"),
           ((col("s").cast("double") / col("n")) / lit(q)).as("c"),
           col("n"))
-      cents = regroup(lastAgg.select("cid", "pos", "c").collect())
+      // The final round's collect is deferred: fitCentroids returns the
+      // plan itself (one job saved), and fit()'s lazy val only runs it
+      // when the trained model is actually read.
+      if (i < iters) cents = regroup(lastAgg.select("cid", "pos", "c").collect())
     }
-    (cents, lastAgg)
+    val finalAgg = lastAgg
+    (() => regroup(finalAgg.select("cid", "pos", "c").collect()), finalAgg)
   }
 
   /** argmin-distance centroid id: array_sort of (d, cid) structs is a

@@ -264,6 +264,38 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** SemDeDup-style semantic near-dup pairs: candidates are pairs that
+    * land in the SAME trained k-means cell ([[Kmeans.fit]] +
+    * [[Kmeans.nearestCid]]), verified with exact [[cosine]]. The third
+    * blocking scheme of the family — hyperplane buckets
+    * ([[lshNearDups]]) block by random geometry, prefix/band keys block
+    * by content, k-means cells block by the corpus's own density — and
+    * the one the SemDeDup pipeline (Abbas et al. 2023) uses, where
+    * near-dups are searched only within a cluster.
+    *
+    * Scale shape: assignment is a narrow map (k folds/row against
+    * broadcast-literal centroids), candidates come from ONE equality
+    * self-join on cell id — pair work is Σ |cell|², never n², and k
+    * grows ~√n to keep cells bounded. Misses pairs straddling a cell
+    * boundary (SemDeDup accepts exactly this trade).
+    */
+  def semanticNearDups(df0: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Array[Double])], threshold: Double): DataFrame = {
+    require(cents.nonEmpty)
+    val df = graft.sources.Tables.rebalanceForCompute(df0)
+    def toD(c: Column) = transform(c, x => x.cast("double"))
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Kmeans.nearestCid(toD(col(vecCol)), cents).as("cell"))
+    val a = assigned.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("cell"))
+    val b = assigned.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("cell"))
+    a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Per-label element-wise centroids (mean-pooling — the k-means
     * assignment-step aggregate, and the "average the embeddings of a
     * group" primitive of retrieval pipelines).

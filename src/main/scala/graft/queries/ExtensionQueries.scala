@@ -274,6 +274,18 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup: embedding near-dup pairs blocked by trained k-means
+    // cell — pair work is sum(|cell|^2), never n^2. Same threshold as
+    // dedup_embedding, so the subset relation is oracle-visible.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = graft.operators.Kmeans.fit(e, "vec_id", "embedding",
+        k = 8, iters = 2)
+      Similarity.semanticNearDups(e, "vec_id", "embedding", cents,
+          threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Deterministic per-group downsampling: at most 50 docs per language,
     // chosen by smallest (md5-hash, id) — the pre-mix corpus cap, running
     // through the bounded-heap TopKPerKey operator.
@@ -626,6 +638,18 @@ object ExtensionQueries {
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH ${kmeansCtesSql(k = 8, iters = 2)},
+         |ca AS (SELECT e.vec_id, e.v, c.cid AS cell FROM e CROSS JOIN c2 c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY $kmSqDistSql, c.cid) = 1)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(${cosineSql("a.v", "b.v")}, 6) AS cos
+         |  FROM ca a JOIN ca b ON a.cell = b.cell
+         |    AND a.vec_id < b.vec_id) p
+         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -65,6 +65,19 @@ class KmeansSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("semanticNearDups: subset of brute-force pairs with equal scores") {
+    import graft.operators.Similarity
+    val cents = Kmeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val brute = Similarity.bruteForcePairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sem = Similarity.semanticNearDups(emb, "vec_id", "embedding",
+        cents, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sem.subsetOf(brute))
+    info(s"semantic recall vs brute force: ${sem.size}/${brute.size}")
+    assert(sem.nonEmpty)
+  }
+
   test("fitCentroids: deterministic across runs and partitionings") {
     val a = Kmeans.fitCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
       .orderBy("cid", "pos").collect().toSeq
