@@ -46,4 +46,38 @@ object Merge {
         .when(matched, lit("updated"))
         .otherwise(lit("kept")).as("action"): _*)
   }
+
+  /** SCD type-2 apply: close each key's CURRENT history row
+    * (valid_to IS NULL) at `version` when a change arrives for it, and
+    * append every change row as the new current version
+    * (valid_from = version, valid_to = NULL). Non-matched history rows
+    * and already-closed versions carry through untouched — the
+    * dimension keeps its full change history instead of [[upsert]]'s
+    * overwrite.
+    *
+    * `history` = changes' columns + (valid_from INT, valid_to INT).
+    * Scale shape: ONE equi-join of history against the change keys
+    * (AQE broadcasts a small change batch, so the standing history is
+    * a single pass) + a union with the change rows; nothing driver-side.
+    */
+  def scd2(history: DataFrame, changes: DataFrame, keys: Seq[String],
+      version: Int): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    require(history.columns.toSeq ==
+      changes.columns.toSeq ++ Seq("valid_from", "valid_to"),
+      s"history must be changes' schema + (valid_from, valid_to); got " +
+        s"history ${history.columns.mkString(",")} vs " +
+        s"changes ${changes.columns.mkString(",")}")
+    val hit = changes.select(keys.map(col): _*).distinct()
+      .withColumn("__hit", lit(1))
+    val closed = history.join(hit, keys, "left")
+      .withColumn("valid_to",
+        when(col("__hit").isNotNull && col("valid_to").isNull, lit(version))
+          .otherwise(col("valid_to")))
+      .drop("__hit")
+    val appended = changes
+      .withColumn("valid_from", lit(version))
+      .withColumn("valid_to", lit(null).cast("integer"))
+    closed.unionByName(appended)
+  }
 }

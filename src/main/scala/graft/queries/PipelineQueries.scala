@@ -256,6 +256,43 @@ object PipelineQueries {
           k = 8, iters = 3)
         .orderBy("cid", "pos")),
 
+    // SCD type-2 history: orders as version-1 dimension, a 10%-price-
+    // bump change batch applied at version 2 — matched current rows
+    // close, changes append; cents math shared with merge_upsert.
+    "scd2_history" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val hist = o.withColumn("valid_from", lit(1))
+        .withColumn("valid_to", lit(null).cast("integer"))
+      val ch = o.where(pmod(col("o_orderkey"), lit(10)) === 3)
+        .withColumn("cents", expr("(cents * 11 + 5) DIV 10"))
+      Merge.scd2(hist, ch, Seq("o_orderkey"), version = 2)
+        .orderBy("o_orderkey", "valid_from")
+    }),
+
+    // Cohort retention matrix: users bucketed by first-event ISO week,
+    // distinct-active counts per whole-week offset.
+    "retention_cohorts" -> ((s, dir) =>
+      graft.operators.Retention.cohorts(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
+    // Incremental aggregate maintenance: standing state (ts < cutoff)
+    // merged with the delta batch's state — the oracle recomputes from
+    // the FULL fact table, so the hash match IS the IVM invariant
+    // (merge(state, delta) == recompute).
+    "incremental_agg" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val ev = t(s, dir, "events").withColumn("cents",
+        round(col("value") * 100).cast("long"))
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val st = IncrementalAgg.state(
+        ev.where(col("ts") < cutoff), Seq("event_type"), "cents")
+      val d = IncrementalAgg.state(
+        ev.where(col("ts") >= cutoff), Seq("event_type"), "cents")
+      IncrementalAgg.merge(st, d, Seq("event_type")).orderBy("event_type")
+    }),
+
     // Salted-join parity under the driver oracle: the skew-safe join
     // must equal the plain join row for row (SkewSpec asserts the same
     // locally; this makes it a hash-checked driver guarantee).
@@ -559,6 +596,36 @@ object PipelineQueries {
         |SELECT cid, pos, round((s::DOUBLE / n) / 1048576.0, 6) AS c, n
         |FROM g3 ORDER BY cid, pos""".stripMargin
     },
+
+    "scd2_history" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        |ch AS (SELECT o_orderkey, (cents * 11 + 5) // 10 AS cents
+        |  FROM o WHERE o_orderkey % 10 = 3)
+        |SELECT o.o_orderkey, o.cents, 1 AS valid_from,
+        |  CASE WHEN ch.o_orderkey IS NULL THEN NULL ELSE 2 END AS valid_to
+        |FROM o LEFT JOIN ch ON o.o_orderkey = ch.o_orderkey
+        |UNION ALL
+        |SELECT o_orderkey, cents, 2 AS valid_from, NULL AS valid_to FROM ch
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH ev AS (SELECT DISTINCT user_id AS u,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP))::DATE AS w
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fw AS (SELECT u, min(w) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT cohort_week,
+        |  (date_diff('day', cohort_week, w) // 7)::BIGINT AS week_offset,
+        |  count(DISTINCT u) AS n_users
+        |FROM ev JOIN fw USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "incremental_agg" ->
+      """WITH ev AS (SELECT event_type,
+        |    round(value * 100)::BIGINT AS cents FROM events)
+        |SELECT event_type, count(cents) AS n, sum(cents)::BIGINT AS sum_v,
+        |  min(cents) AS min_v, max(cents) AS max_v
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "skew_salted_join" ->
       """WITH u AS (SELECT user_id, count(*) AS n_user_events FROM events

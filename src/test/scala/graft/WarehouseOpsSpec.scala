@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{IncrementalAgg, Retention}
+
+class WarehouseOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("retention cohorts: staggered users land in their own cohorts") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: first event Mon Jan 1 week, active again weeks +1 and +3
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-24 10:00:00")),
+      // u2: same cohort as u1, only week 0
+      (2L, ts("2024-01-03 09:00:00")),
+      // u3: cohort of Jan 8, active week 0 twice (counted once) and +1
+      (3L, ts("2024-01-08 08:00:00")), (3L, ts("2024-01-10 08:00:00")),
+      (3L, ts("2024-01-17 08:00:00")))
+      .toDF("user_id", "ts")
+    val out = Retention.cohorts(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 3L) -> 1L,
+      ("2024-01-08", 0L) -> 1L, ("2024-01-08", 1L) -> 1L))
+  }
+
+  test("scd2: closes current rows, appends changes, preserves closed history") {
+    import spark.implicits._
+    import graft.operators.Merge
+    // key 1 already has a closed v1 and a current v2; key 2 only current v1
+    val hist = Seq(
+      (1L, 10L, 1, Some(2)), (1L, 12L, 2, None),
+      (2L, 20L, 1, None))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val changes = Seq((1L, 15L)).toDF("k", "v")
+    val out = Merge.scd2(hist, changes, Seq("k"), version = 3)
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 10L, 1, 2),   // closed history untouched
+      (1L, 12L, 2, 3),   // current row closed at v3
+      (1L, 15L, 3, -1),  // change appended as new current
+      (2L, 20L, 1, -1))) // unmatched key untouched
+  }
+
+  test("incremental agg: merge of per-batch states == full recompute") {
+    import spark.implicits._
+    val full = Seq(("a", 1L), ("a", 5L), ("b", -2L), ("a", 3L), ("b", 7L),
+      ("c", 0L)).toDF("k", "v")
+    val b1 = full.where(col("v") < 3)
+    val b2 = full.where(col("v") >= 3)
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.state(b1, Seq("k"), "v"),
+      IncrementalAgg.state(b2, Seq("k"), "v"), Seq("k"))
+      .orderBy("k").collect().toSeq
+    val direct = IncrementalAgg.state(full, Seq("k"), "v")
+      .orderBy("k").collect().toSeq
+    assert(merged == direct)
+  }
+
+  test("incremental agg: merge is associative across three batches") {
+    import spark.implicits._
+    val full = (1 to 30).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+    val parts = Seq(
+      full.where(col("v") % 3 === 0), full.where(col("v") % 3 === 1),
+      full.where(col("v") % 3 === 2))
+      .map(IncrementalAgg.state(_, Seq("k"), "v"))
+    val leftFold = IncrementalAgg.merge(
+      IncrementalAgg.merge(parts(0), parts(1), Seq("k")), parts(2), Seq("k"))
+    val rightFold = IncrementalAgg.merge(
+      parts(0), IncrementalAgg.merge(parts(1), parts(2), Seq("k")), Seq("k"))
+    assert(leftFold.orderBy("k").collect().toSeq ==
+      rightFold.orderBy("k").collect().toSeq)
+    assert(leftFold.orderBy("k").collect().toSeq ==
+      IncrementalAgg.state(full, Seq("k"), "v").orderBy("k").collect().toSeq)
+  }
+}
