@@ -256,6 +256,27 @@ object PipelineQueries {
           k = 8, iters = 3)
         .orderBy("cid", "pos")),
 
+    // Record linkage: two disjoint part catalogs (key parity) fuzzy-
+    // joined on name by distinct-trigram Jaccard >= 0.6 — integer
+    // count test, no float division.
+    "linkage_fuzzy" -> ((s, dir) => {
+      val p = t(s, dir, "part").where(col("p_partkey") <= 2000)
+      graft.operators.Linkage.trigramJoin(
+          p.where(pmod(col("p_partkey"), lit(2)) === 0),
+          p.where(pmod(col("p_partkey"), lit(2)) === 1),
+          "p_partkey", "p_name", "p_partkey", "p_name", t100 = 60)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Hourly gap-fill: dense per-type grid, forward-filled last
+    // observed value — the resample/carry-forward telemetry primitive.
+    "gapfill_ffill" -> ((s, dir) =>
+      graft.operators.Gapfill.hourlyFfill(t(s, dir, "events"),
+          "event_type", "ts", "event_id",
+          round(col("value") * 100).cast("long"))
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type", "h")),
+
     // SCD type-2 history: orders as version-1 dimension, a 10%-price-
     // bump change batch applied at version 2 — matched current rows
     // close, changes append; cents math shared with merge_upsert.
@@ -596,6 +617,47 @@ object PipelineQueries {
         |SELECT cid, pos, round((s::DOUBLE / n) / 1048576.0, 6) AS c, n
         |FROM g3 ORDER BY cid, pos""".stripMargin
     },
+
+    "linkage_fuzzy" ->
+      """WITH pa AS (SELECT p_partkey AS id_a,
+        |    '  ' || lower(p_name) || '  ' AS p
+        |  FROM part WHERE p_partkey <= 2000 AND p_partkey % 2 = 0),
+        |pb AS (SELECT p_partkey AS id_b,
+        |    '  ' || lower(p_name) || '  ' AS p
+        |  FROM part WHERE p_partkey <= 2000 AND p_partkey % 2 = 1),
+        |ga AS (SELECT id_a, unnest(list_distinct(list_transform(
+        |    range(1, length(p) - 1), i -> substr(p, i, 3)))) AS g FROM pa),
+        |gb AS (SELECT id_b, unnest(list_distinct(list_transform(
+        |    range(1, length(p) - 1), i -> substr(p, i, 3)))) AS g FROM pb),
+        |sa AS (SELECT id_a, count(*) AS na FROM ga GROUP BY 1),
+        |sb AS (SELECT id_b, count(*) AS nb FROM gb GROUP BY 1),
+        |sh AS (SELECT id_a, id_b, count(*) AS n_shared
+        |  FROM ga JOIN gb USING (g) GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared, na + nb - n_shared AS n_union
+        |FROM sh JOIN sa USING (id_a) JOIN sb USING (id_b)
+        |WHERE n_shared * 100 >= (na + nb - n_shared) * 60
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "gapfill_ffill" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id, round(value * 100)::BIGINT AS cents
+        |  FROM events WHERE ts IS NOT NULL),
+        |ob AS (SELECT event_type, h, cents FROM (
+        |    SELECT event_type, date_trunc('hour', ts) AS h, cents,
+        |      row_number() OVER (PARTITION BY event_type,
+        |          date_trunc('hour', ts)
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM ev) r
+        |  WHERE rn = 1),
+        |rg AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM ob GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM rg)
+        |SELECT g.event_type, g.h,
+        |  last_value(ob.cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.h) AS v
+        |FROM grid g LEFT JOIN ob
+        |  ON g.event_type = ob.event_type AND g.h = ob.h
+        |ORDER BY 1, 2""".stripMargin,
 
     "scd2_history" ->
       """WITH o AS (SELECT o_orderkey,

@@ -52,6 +52,42 @@ class WarehouseOpsSpec extends SparkSpec {
       (2L, 20L, 1, -1))) // unmatched key untouched
   }
 
+  test("linkage: identical names link, disjoint names don't, jaccard exact") {
+    import spark.implicits._
+    import graft.operators.Linkage
+    val a = Seq((1L, "navy blue lace"), (2L, "crimson rose")).toDF("id", "name")
+    val b = Seq((10L, "navy blue lace"), (11L, "zzz qqq xxx")).toDF("id", "name")
+    val out = Linkage.trigramJoin(a, b, "id", "name", "id", "name", 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L))) // exact name match: jaccard = 1
+    // identical strings: shared == union
+    val row = Linkage.trigramJoin(a, b, "id", "name", "id", "name", 100)
+      .head
+    assert(row.getLong(2) == row.getLong(3))
+  }
+
+  test("gapfill: silent hours carry the last observed value forward") {
+    import spark.implicits._
+    import graft.operators.Gapfill
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:15:00"), "a", 5L),
+      (2L, ts("2024-01-01 00:45:00"), "a", 7L),  // same hour, later => wins
+      (3L, ts("2024-01-01 03:10:00"), "a", 9L),  // hours 1-2 silent
+      (4L, ts("2024-01-01 01:00:00"), "b", 1L))
+      .toDF("event_id", "ts", "event_type", "cents")
+    val out = Gapfill.hourlyFfill(ev, "event_type", "ts", "event_id",
+        org.apache.spark.sql.functions.col("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      ("a", "2024-01-01 00:00:00.0", 7L),
+      ("a", "2024-01-01 01:00:00.0", 7L),
+      ("a", "2024-01-01 02:00:00.0", 7L),
+      ("a", "2024-01-01 03:00:00.0", 9L),
+      ("b", "2024-01-01 01:00:00.0", 1L)))
+  }
+
   test("incremental agg: merge of per-batch states == full recompute") {
     import spark.implicits._
     val full = Seq(("a", 1L), ("a", 5L), ("b", -2L), ("a", 3L), ("b", 7L),
