@@ -196,6 +196,23 @@ class PlanSpec extends SparkSpec {
       "zorder scan must prune to the 4 used columns")
   }
 
+  test("new warehouse ops avoid nested-loop/cartesian joins, stay codegen") {
+    for (q <- Seq("retention_cohorts", "incremental_agg", "scd2_history",
+        "linkage_fuzzy", "gapfill_ffill")) {
+      val p = pipePlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+        s"$q leaves whole-stage codegen")
+    }
+    // the gapfill window must consume the GRID (post-aggregate rows),
+    // not the raw event stream: its child plan contains the grid's
+    // generator, which only exists after the per-hour reduction
+    val pg = pipePlan("gapfill_ffill")
+    assert(pg.contains("Window") && pg.contains("Generate"),
+      "gapfill = window over generated grid")
+  }
+
   test("merge_upsert and funnel avoid nested-loop/cartesian joins") {
     val pm = pipePlan("merge_upsert")
     assert(!pm.contains("BroadcastNestedLoopJoin") &&

@@ -103,6 +103,37 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("linkage: A→B results transpose to B→A results") {
+    import spark.implicits._
+    import graft.operators.Linkage
+    val a = Seq((1L, "navy blue lace"), (2L, "hot pink rose"),
+      (3L, "pale navy blue")).toDF("id", "name")
+    val b = Seq((10L, "navy blue laces"), (11L, "rose pink hot"))
+      .toDF("id", "name")
+    val ab = Linkage.trigramJoin(a, b, "id", "name", "id", "name", 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val ba = Linkage.trigramJoin(b, a, "id", "name", "id", "name", 40)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(ab == ba && ab.nonEmpty)
+  }
+
+  test("gapfill: grid is dense per group and exact at observed hours") {
+    import spark.implicits._
+    import graft.operators.Gapfill
+    val ev = Seq(
+      (1L, ts("2024-02-01 05:30:00"), "x", 3L),
+      (2L, ts("2024-02-01 11:30:00"), "x", 8L))
+      .toDF("event_id", "ts", "event_type", "cents")
+    val out = Gapfill.hourlyFfill(ev, "event_type", "ts", "event_id",
+        org.apache.spark.sql.functions.col("cents"))
+      .orderBy("h").collect()
+    assert(out.length == 7) // 05:00 .. 11:00 inclusive, no holes
+    assert(out.head.getLong(2) == 3L && out.last.getLong(2) == 8L)
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 3L, 3L, 3L, 3L, 3L, 8L))
+  }
+
   test("incremental agg: merge is associative across three batches") {
     import spark.implicits._
     val full = (1 to 30).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
