@@ -256,6 +256,57 @@ object PipelineQueries {
           k = 8, iters = 3)
         .orderBy("cid", "pos")),
 
+    // Last-touch attribution: each purchase joined as-of to the user's
+    // latest click/view within 24h — the asofJoin composition every
+    // marketing stack runs.
+    "attribution_last_touch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("conv_id"))
+      val touch = ev.where(col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(max(struct(col("event_id"), col("event_type"))).as("s"))
+        .select(col("user_id"), col("ts").as("touch_ts"),
+          col("s.event_id").as("touch_id"), col("s.event_type").as("touch_type"))
+      TemporalJoins.asofJoin(conv, touch, Seq("user_id"), "ts", "touch_ts",
+          rightTie = Some("touch_id"),
+          tolerance = Some(expr("INTERVAL 24 HOURS")))
+        .select("conv_id", "user_id", "touch_id", "touch_type", "touch_ts")
+        .orderBy("conv_id")
+    }),
+
+    // Constraint checking: rows violating any data-quality rule are
+    // quarantined with the sorted violated-rule names.
+    "dq_quarantine" -> ((s, dir) =>
+      graft.operators.Quality.quarantine(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber"),
+          Seq(
+            "qty_le_45" -> (col("l_quantity") <= 45),
+            "disc_le_8pct" -> (col("l_discount") <= 0.08),
+            "tax_le_6pct" -> (col("l_tax") <= 0.06),
+            "shipped_by_1998" ->
+              (col("l_shipdate") <= lit("1998-12-01").cast("date"))))
+        // the driver's row-sort normalization needs scalar cells, so the
+        // query surface joins the violation array into one string
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array_join(col("violations"), ",").as("violations"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Wide->long unpivot of per-flag metric sums (the melt side of
+    // q28's pivot) — stack() stays inside whole-stage codegen.
+    "unpivot_metrics" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(expr("CAST(ROUND(l_quantity) AS BIGINT)")).as("qty"),
+          sum(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+            .as("price_cents"),
+          count(lit(1)).as("n_rows"))
+        .selectExpr("l_returnflag",
+          "stack(3, 'qty', qty, 'price_cents', price_cents, " +
+            "'n_rows', n_rows) AS (metric, value)")
+        .orderBy("l_returnflag", "metric")),
+
     // Record linkage: two disjoint part catalogs (key parity) fuzzy-
     // joined on name by distinct-trigram Jaccard >= 0.6 — integer
     // count test, no float division.
@@ -617,6 +668,71 @@ object PipelineQueries {
         |SELECT cid, pos, round((s::DOUBLE / n) / 1048576.0, 6) AS c, n
         |FROM g3 ORDER BY cid, pos""".stripMargin
     },
+
+    "attribution_last_touch" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    user_id, event_type FROM events),
+        |conv AS (SELECT event_id AS conv_id, user_id, ts FROM ev
+        |  WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, ts AS touch_ts, event_id AS touch_id,
+        |    event_type AS touch_type FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM ev WHERE event_type IN ('click', 'view')) r
+        |  WHERE rn = 1),
+        |u AS (SELECT user_id, ts AS uts, 1 AS side, conv_id,
+        |    NULL::BIGINT AS touch_id, NULL::VARCHAR AS touch_type,
+        |    NULL::TIMESTAMP AS touch_ts FROM conv
+        |  UNION ALL
+        |  SELECT user_id, touch_ts, 0, NULL, touch_id, touch_type,
+        |    touch_ts FROM touch),
+        |c AS (SELECT user_id, uts, side, conv_id,
+        |    last_value(touch_id IGNORE NULLS) OVER w AS touch_id,
+        |    last_value(touch_type IGNORE NULLS) OVER w AS touch_type,
+        |    last_value(touch_ts IGNORE NULLS) OVER w AS touch_ts
+        |  FROM u WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY uts, side, coalesce(touch_id, 0)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT conv_id, user_id,
+        |  CASE WHEN touch_ts >= uts - INTERVAL 24 HOURS
+        |    THEN touch_id END AS touch_id,
+        |  CASE WHEN touch_ts >= uts - INTERVAL 24 HOURS
+        |    THEN touch_type END AS touch_type,
+        |  CASE WHEN touch_ts >= uts - INTERVAL 24 HOURS
+        |    THEN touch_ts END AS touch_ts
+        |FROM c WHERE side = 1 ORDER BY conv_id""".stripMargin,
+
+    "dq_quarantine" ->
+      """SELECT l_orderkey, l_linenumber, violations FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    array_to_string(list_sort(list_filter([
+        |      CASE WHEN NOT coalesce(l_quantity <= 45, false)
+        |        THEN 'qty_le_45' END,
+        |      CASE WHEN NOT coalesce(l_discount <= 0.08, false)
+        |        THEN 'disc_le_8pct' END,
+        |      CASE WHEN NOT coalesce(l_tax <= 0.06, false)
+        |        THEN 'tax_le_6pct' END,
+        |      CASE WHEN NOT coalesce(l_shipdate <= DATE '1998-12-01', false)
+        |        THEN 'shipped_by_1998' END],
+        |      x -> x IS NOT NULL)), ',') AS violations
+        |  FROM lineitem) q
+        |WHERE len(violations) > 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "unpivot_metrics" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    sum(round(l_quantity)::BIGINT)::BIGINT AS qty,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+        |      AS price_cents,
+        |    count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price_cents', price_cents FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, 'n_rows', n_rows FROM a) u
+        |ORDER BY 1, 2""".stripMargin,
 
     "linkage_fuzzy" ->
       """WITH pa AS (SELECT p_partkey AS id_a,

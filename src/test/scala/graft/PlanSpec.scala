@@ -198,7 +198,8 @@ class PlanSpec extends SparkSpec {
 
   test("new warehouse ops avoid nested-loop/cartesian joins, stay codegen") {
     for (q <- Seq("retention_cohorts", "incremental_agg", "scd2_history",
-        "linkage_fuzzy", "gapfill_ffill")) {
+        "linkage_fuzzy", "gapfill_ffill", "attribution_last_touch",
+        "dq_quarantine", "unpivot_metrics")) {
       val p = pipePlan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")

@@ -103,6 +103,41 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("quarantine: violations listed sorted, NULL predicate = violation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Quality
+    val df = Seq((1L, Some(10L), "ok"), (2L, Some(99L), "bad"),
+      (3L, None, "bad")).toDF("id", "v", "tag")
+    val out = Quality.quarantine(df, Seq("id"), Seq(
+        "v_small" -> (col("v") <= 50),
+        "tag_ok" -> (col("tag") === "ok")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out == Map(
+      2L -> Seq("tag_ok", "v_small"),  // sorted names
+      3L -> Seq("tag_ok", "v_small"))) // NULL v counts as violation
+    assert(!out.contains(1L))
+  }
+
+  test("attribution: purchase takes the latest prior touch within window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TemporalJoins
+    val conv = Seq((7L, ts("2024-03-01 12:00:00"), 100L))
+      .toDF("user_id", "ts", "conv_id")
+    val touch = Seq(
+      (7L, ts("2024-03-01 11:00:00"), 1L, "view"),
+      (7L, ts("2024-03-01 11:30:00"), 2L, "click"), // latest => attributed
+      (7L, ts("2024-02-01 09:00:00"), 3L, "view"))  // outside 24h
+      .toDF("user_id", "touch_ts", "touch_id", "touch_type")
+    val out = TemporalJoins.asofJoin(conv, touch, Seq("user_id"),
+        "ts", "touch_ts", rightTie = Some("touch_id"),
+        tolerance = Some(expr("INTERVAL 24 HOURS")))
+      .select("conv_id", "touch_id", "touch_type").head
+    assert((out.getLong(0), out.getLong(1), out.getString(2)) ==
+      (100L, 2L, "click"))
+  }
+
   test("linkage: A→B results transpose to B→A results") {
     import spark.implicits._
     import graft.operators.Linkage
