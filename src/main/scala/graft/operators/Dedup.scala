@@ -263,6 +263,58 @@ object Dedup {
       .distinct()
   }
 
+  /** Asymmetric CONTAINMENT near-dups: ordered pairs where document A's
+    * shingle set is mostly inside B's — `|A∩B| / |A| ≥ t` — the
+    * snippet/quote/boilerplate detector symmetric Jaccard misses (a
+    * tweet quoted inside an article scores near-zero Jaccard but
+    * containment ≈ 1). Directed: (id_a, id_b) means A inside B; both
+    * directions are evaluated.
+    *
+    * Prefix filter, containment form: if |A∩B| ≥ t·|A| then among A's
+    * first ⌊(1−t)·|A|⌋+1 shingles under the global rarest-first order at
+    * least one is in B (else too many of A's elements are missing) — so
+    * candidates come from A-prefix × B-full equality join on the
+    * shingle, the same discipline as [[ngramJaccardNearDups]] with the
+    * prefix on the contained side only. Verification is the codegen'd
+    * sorted-set intersect count + an exact integer test
+    * (`1000·c ≥ ⌈1000·t⌉·|A|` — no float division).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 2, threshold: Double = 0.8,
+      broadcastLimit: Long = 100000): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val t1000 = math.ceil(threshold * 1000).toLong
+    val base = shingleTable(df, idCol, textCol, shingleLen)
+    val ex = base.select(col("id"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, "h")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
+    val prefLen = (floor(size(col("ord")) * lit(1.0 - threshold)) + 1)
+      .cast("int")
+    val aKeys = ordered.select(col("id").as("id_a"),
+      explode(transform(slice(col("ord"), lit(1), prefLen),
+        s => s.getField("h"))).as("h"))
+    val bKeys = ex.select(col("id").as("id_b"), col("h"))
+    val pairs = aKeys.join(bKeys, Seq("h"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+    val hint: DataFrame => DataFrame =
+      if (base.count() <= broadcastLimit) broadcast else identity
+    val shA = hint(base.select(col("id").as("id_a"), col("hs").as("hs_a")))
+    val shB = hint(base.select(col("id").as("id_b"), col("hs").as("hs_b")))
+    pairs.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("c",
+        graft.expressions.VecOps.sortedIntersectCount(
+          col("hs_a"), col("hs_b")).cast("long"))
+      .where(col("c") * 1000 >= lit(t1000) * size(col("hs_a")) &&
+        size(col("hs_a")) > 0)
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") / size(col("hs_a")), 6)
+          .as("containment"))
+      .distinct()
+  }
+
   /** 64-bit SimHash of a token array: bit i is set when the sum over
     * tokens of ±1 (sign of bit i of the token's xxhash64) is positive.
     */

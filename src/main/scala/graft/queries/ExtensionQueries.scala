@@ -184,6 +184,14 @@ object ExtensionQueries {
           shingleLen = 2, threshold = 0.6)
         .orderBy("id_a", "id_b")),
 
+    // Asymmetric containment (|A∩B|/|A| >= 0.7): the snippet/quote
+    // detector symmetric Jaccard misses; directed pairs, prefix filter
+    // on the contained side, integer threshold test.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleLen = 2, threshold = 0.7)
+        .orderBy("id_a", "id_b")),
+
     // Incremental minhash dedup: a simulated new batch (doc_id % 5 = 0)
     // against the standing corpus — the per-ingest production shape.
     // Same recall caveat as dedup_minhash_lsh (fixture pairs sit far
@@ -481,6 +489,20 @@ object ExtensionQueries {
       s"""WITH ${fastPairsCte(2, 0.6)}
          |SELECT id_a, id_b, round(jacc, 6) AS jaccard
          |FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("T", 2)} AS s FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         |co AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |       FROM ex a JOIN ex b USING (h)
+         |       WHERE a.doc_id != b.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(s) AS sz FROM sh)
+         |SELECT ia AS id_a, ib AS id_b,
+         |  round(c::DOUBLE / sa.sz, 6) AS containment
+         |FROM co JOIN sz sa ON co.ia = sa.doc_id
+         |WHERE c * 1000 >= 700 * sa.sz AND sa.sz > 0
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_incremental_minhash" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),

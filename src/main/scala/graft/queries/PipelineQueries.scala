@@ -256,6 +256,21 @@ object PipelineQueries {
           k = 8, iters = 3)
         .orderBy("cid", "pos")),
 
+    // Week-over-week metric deltas: per-type weekly counts with lag +
+    // percent change — the period-over-period dashboard staple.
+    "metrics_wow" -> ((s, dir) => {
+      val wk = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          to_date(date_trunc("week", col("ts"))).as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      wk.withColumn("prev_n", lag("n", 1).over(w))
+        .withColumn("wow_pct",
+          round((col("n") - col("prev_n")).cast("double")
+            / col("prev_n") * 100, 6))
+        .orderBy("event_type", "week")
+    }),
+
     // Last-touch attribution: each purchase joined as-of to the user's
     // latest click/view within 24h — the asofJoin composition every
     // marketing stack runs.
@@ -668,6 +683,17 @@ object PipelineQueries {
         |SELECT cid, pos, round((s::DOUBLE / n) / 1048576.0, 6) AS c, n
         |FROM g3 ORDER BY cid, pos""".stripMargin
     },
+
+    "metrics_wow" ->
+      """WITH wk AS (SELECT event_type,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP))::DATE AS week,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, week, n, prev_n,
+        |  round((n - prev_n)::DOUBLE / prev_n * 100, 6) AS wow_pct
+        |FROM (SELECT *, lag(n) OVER (PARTITION BY event_type
+        |    ORDER BY week) AS prev_n FROM wk) t
+        |ORDER BY 1, 2""".stripMargin,
 
     "attribution_last_touch" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -89,4 +89,42 @@ class DedupExtSpec extends SparkSpec {
     assert(inc == sym)
     assert(inc.nonEmpty, "fixture should contain cross-split near-dups")
   }
+
+  test("containment: directed, exact on a synthetic snippet-in-article pair") {
+    import spark.implicits._
+    // article = snippet + lots of extra text; J(snippet, article) is low
+    // but containment(snippet -> article) = 1
+    val snippet = "alpha beta gamma delta epsilon zeta"
+    val extra = (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val df = Seq((1L, snippet), (2L, s"$snippet $extra"),
+      (3L, "unrelated totally different text here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text",
+        shingleLen = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 2L)),
+      s"expected only snippet->article, got ${out.mkString(",")}")
+    assert(out.head._3 == 1.0) // every snippet shingle is in the article
+    // symmetric jaccard must NOT pair them at its usual threshold
+    val j = Dedup.ngramJaccardNearDups(df, "doc_id", "text",
+      shingleLen = 2, threshold = 0.6)
+    assert(j.count() == 0)
+  }
+
+  test("containment on the fixture: every pair verifies against brute force") {
+    val sh = docs.select(col("doc_id").as("id"),
+      TextOps.wordShingles(TextOps.tokens(col("text")), 2).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val brute = a.crossJoin(b).where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("c"),
+        size(col("sh_a")).as("sz"))
+      .where(col("c") * 1000 >= col("sz") * 700 && col("sz") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleLen = 2, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == brute)
+  }
 }
