@@ -287,6 +287,47 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
 
+  /** Collocation mining by integer LIFT — the log-free PMI variant
+    * (PMI = log lift; log is monotone, so ranking by lift ranks by PMI
+    * without a libm call crossing engines). For adjacent token pairs:
+    *
+    *   lift_micro(x,y) = ⌊c_xy · N · 10⁶ / (c_x · c_y)⌋
+    *
+    * over OCCURRENCE counts (not distinct-per-doc): c_xy adjacent-pair
+    * occurrences, c_x/c_y unigram occurrences, N total pair count.
+    * `minCount` suppresses the rare-pair explosion PMI is notorious
+    * for. Integer headroom: c_xy·N·10⁶ < 2⁶³ holds while
+    * c_xy·N < 9.2e12 — per-shard corpora beyond that should widen to
+    * DECIMAL.
+    *
+    * Scale shape: one narrow map explodes adjacent pairs, ONE shuffle
+    * counts pairs, unigram counts ride a second small aggregate joined
+    * back by word (broadcast when the vocab is small); top-k through
+    * TakeOrderedAndProject.
+    */
+  def collocationLift(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int, minCount: Long = 5): org.apache.spark.sql.DataFrame = {
+    val toks = graft.sources.Tables.rebalanceForCompute(df)
+      .select(tokens(col(textCol)).as("t"))
+    val pairs = toks.select(explode(expr(
+      "transform(sequence(1, greatest(size(t) - 1, 0)), " +
+        "i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val cxy = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val cx = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val n = cxy.agg(sum("c_xy").as("n_pairs"))
+    cxy.where(col("c_xy") >= minCount)
+      .join(cx.select(col("w").as("w1"), col("c_w").as("c_x")), "w1")
+      .join(cx.select(col("w").as("w2"), col("c_w").as("c_y")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        expr("(c_xy * n_pairs * 1000000L) DIV (c_x * c_y)")
+          .as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Corpus-scale winnowing: (id, fp_winnow, n_winnow) per document.
     * Gram hashes are computed ONCE per row, exploded, and the sliding
     * minima run as a codegen'd window min partitioned by document — the

@@ -184,6 +184,11 @@ object ExtensionQueries {
           shingleLen = 2, threshold = 0.6)
         .orderBy("id_a", "id_b")),
 
+    // Collocation mining: top-50 adjacent token pairs by integer lift
+    // (log-free PMI ranking), occurrence counts, min support 5.
+    "collocation_lift" -> ((s, dir) =>
+      TextOps.collocationLift(t(s, dir, "documents"), "text", k = 50)),
+
     // Asymmetric containment (|A∩B|/|A| >= 0.7): the snippet/quote
     // detector symmetric Jaccard misses; directed pairs, prefix filter
     // on the contained side, integer threshold test.
@@ -489,6 +494,22 @@ object ExtensionQueries {
       s"""WITH ${fastPairsCte(2, 0.6)}
          |SELECT id_a, id_b, round(jacc, 6) AS jaccard
          |FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    "collocation_lift" ->
+      s"""WITH toks AS (SELECT $toksSql AS T FROM documents),
+         |pr AS (SELECT unnest(list_transform(range(1, len(T)),
+         |    i -> struct_pack(w1 := T[i], w2 := T[i + 1]))) AS p FROM toks),
+         |pairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM pr),
+         |cxy AS (SELECT w1, w2, count(*) AS c_xy FROM pairs GROUP BY 1, 2),
+         |cw AS (SELECT w, count(*) AS c_w FROM (
+         |    SELECT unnest(T) AS w FROM toks) u GROUP BY 1),
+         |n AS (SELECT sum(c_xy)::BIGINT AS n_pairs FROM cxy)
+         |SELECT w1, w2, c_xy,
+         |  ((c_xy * n_pairs * 1000000) // (a.c_w * b.c_w))::BIGINT
+         |    AS lift_micro
+         |FROM cxy JOIN cw a ON cxy.w1 = a.w JOIN cw b ON cxy.w2 = b.w, n
+         |WHERE c_xy >= 5
+         |ORDER BY lift_micro DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),

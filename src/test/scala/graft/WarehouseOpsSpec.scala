@@ -103,6 +103,23 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("collocation lift: hand-computed on a fixed bigram corpus") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    // "aa bb" x5 and "cc dd" x5 plus noise pairing cc with many partners:
+    // (aa,bb) keeps maximal lift, diluted (cc,dd) scores lower.
+    val docs = (Seq.fill(5)("aa bb") ++ Seq.fill(5)("cc dd") ++
+      (1 to 5).map(i => s"cc x$i")).toDF("text")
+    val out = TextOps.collocationLift(docs, "text", k = 10, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // N = 15 pairs, c_aa = c_bb = 5: lift(aa,bb) = 5*15*1e6/(5*5) = 3e6
+    assert(out.head == ("aa", "bb", 5L, 3000000L))
+    // c_cc = 10, c_dd = 5: lift(cc,dd) = 5*15*1e6/(10*5) = 1.5e6
+    assert(out(1) == ("cc", "dd", 5L, 1500000L))
+    assert(out.length == 2) // noise pairs fall below minCount
+  }
+
   test("quarantine: violations listed sorted, NULL predicate = violation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
