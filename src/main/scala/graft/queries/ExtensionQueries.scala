@@ -189,12 +189,18 @@ object ExtensionQueries {
     "collocation_lift" -> ((s, dir) =>
       TextOps.collocationLift(t(s, dir, "documents"), "text", k = 50)),
 
-    // Asymmetric containment (|A∩B|/|A| >= 0.7): the snippet/quote
+    // Asymmetric containment (|A∩B|/|A| >= 0.8): the snippet/quote
     // detector symmetric Jaccard misses; directed pairs, prefix filter
-    // on the contained side, integer threshold test.
+    // on the contained side, integer threshold test. Corpus capped at
+    // 1200 docs: the fixture's synthetic vocabulary is tiny, so EVERY
+    // bigram is a hot key and candidate volume grows ~quadratically —
+    // the adversarial case for containment joins (real corpora have
+    // large Zipfian shingle universes that keep the prefix join
+    // selective; the spec proves exactness against brute force).
     "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleLen = 2, threshold = 0.7)
+      Dedup.containmentPairs(
+          t(s, dir, "documents").where(col("doc_id") < 1200),
+          "doc_id", "text", shingleLen = 2, threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
     // Incremental minhash dedup: a simulated new batch (doc_id % 5 = 0)
@@ -512,7 +518,8 @@ object ExtensionQueries {
          |ORDER BY lift_micro DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "dedup_containment" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents
+         |  WHERE doc_id < 1200),
          |sh AS (SELECT doc_id, ${shinglesSql("T", 2)} AS s FROM toks),
          |ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
          |co AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
@@ -522,7 +529,7 @@ object ExtensionQueries {
          |SELECT ia AS id_a, ib AS id_b,
          |  round(c::DOUBLE / sa.sz, 6) AS containment
          |FROM co JOIN sz sa ON co.ia = sa.doc_id
-         |WHERE c * 1000 >= 700 * sa.sz AND sa.sz > 0
+         |WHERE c * 1000 >= 800 * sa.sz AND sa.sz > 0
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_incremental_minhash" ->
