@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Spans}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline operators (driver mandate, SURVEY §7.3):
@@ -202,6 +202,22 @@ object ExtensionQueries {
           t(s, dir, "documents").where(col("doc_id") < 1200),
           "doc_id", "text", shingleLen = 2, threshold = 0.8)
         .orderBy("id_a", "id_b")),
+
+    // Substring-level dedup (Lee et al. 2022 shape): maximal cross-doc
+    // duplicated token spans of length >= 10, via positional gram
+    // hashing + gaps-and-islands merge — no suffix array, no pair space.
+    "dedup_spans" -> ((s, dir) =>
+      Spans.duplicatedSpans(tc(s, dir, "documents"), "doc_id", "text",
+          k = 10, minDocs = 2)
+        .orderBy("doc_id", "span_start")),
+
+    // Removal side: every duplicated gram occurrence except the
+    // lexicographically first (doc_id, pos) is stripped; unique and
+    // short documents pass through unchanged.
+    "dedup_span_removal" -> ((s, dir) =>
+      Spans.removeDuplicateSpans(tc(s, dir, "documents"), "doc_id", "text",
+          k = 10, minDocs = 2)
+        .orderBy("doc_id")),
 
     // Incremental minhash dedup: a simulated new batch (doc_id % 5 = 0)
     // against the standing corpus — the per-ingest production shape.
@@ -531,6 +547,43 @@ object ExtensionQueries {
          |FROM co JOIN sz sa ON co.ia = sa.doc_id
          |WHERE c * 1000 >= 800 * sa.sz AND sa.sz > 0
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),
+         |gp AS (SELECT doc_id, i AS pos, array_to_string(T[i:i+9], ' ') AS g
+         |       FROM toks, unnest(range(1, greatest(len(T) - 9, 0) + 1)) AS t(i)),
+         |d AS (SELECT g FROM gp GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |h AS (SELECT doc_id, pos FROM gp JOIN d USING (g)),
+         |b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+         |        PARTITION BY doc_id ORDER BY pos) <= 10 THEN 0 ELSE 1 END AS brk
+         |      FROM h),
+         |s AS (SELECT doc_id, pos, sum(brk) OVER (
+         |        PARTITION BY doc_id ORDER BY pos) AS island FROM b)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+         |  max(pos) + 9 - min(pos) + 1 AS span_tokens
+         |FROM s GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_span_removal" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),
+         |gp AS (SELECT doc_id, i AS pos, array_to_string(T[i:i+9], ' ') AS g
+         |       FROM toks, unnest(range(1, greatest(len(T) - 9, 0) + 1)) AS t(i)),
+         |d AS (SELECT g FROM gp GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |r AS (SELECT gp.doc_id, gp.pos, row_number() OVER (
+         |        PARTITION BY gp.g ORDER BY gp.doc_id, gp.pos) AS rn
+         |      FROM gp JOIN d USING (g)),
+         |m AS (SELECT DISTINCT doc_id, pos + u.i AS tp
+         |      FROM r, unnest(range(0, 10)) AS u(i) WHERE rn > 1),
+         |tk AS (SELECT doc_id, i AS tp, T[i] AS tok
+         |       FROM toks, unnest(range(1, len(T) + 1)) AS t(i)),
+         |kept AS (SELECT tk.doc_id, tk.tp, tk.tok FROM tk
+         |         LEFT JOIN m ON tk.doc_id = m.doc_id AND tk.tp = m.tp
+         |         WHERE m.doc_id IS NULL),
+         |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+         |              count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+         |  coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+         |  (len(T) - coalesce(ka.n_kept, 0))::BIGINT AS n_removed
+         |FROM toks t LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_incremental_minhash" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS T FROM documents),
