@@ -223,6 +223,29 @@ class PlanSpec extends SparkSpec {
       !pf.contains("CartesianProduct"))
   }
 
+  test("duplicate spans: equality joins only, partial agg, no UDF") {
+    val df = graft.queries.ExtensionQueries
+      .queries("dedup_spans")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "occurrence recovery must be an equality join on the gram hash")
+    assert(p.contains("HashAggregate") && p.contains("partial_count"),
+      "duplicated-gram detection needs a map-side partial phase")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "span pipeline must stay UDF-free")
+  }
+
+  test("span removal: anti-join on position, no pair-space products") {
+    val df = graft.queries.ExtensionQueries
+      .queries("dedup_span_removal")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftAnti"), "covered positions must drop via anti-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no all-pairs operators anywhere in the removal plan")
+  }
+
   test("row hash stays inside whole-stage codegen") {
     // AQE's pre-execution explain omits codegen markers; check the
     // non-adaptive executed plan, where a codegen'd Project prints as
