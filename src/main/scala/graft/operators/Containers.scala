@@ -190,6 +190,127 @@ object Containers {
     out.array()
   }
 
+  // --- real payload DECODING for the uncompressed formats --------------
+  // 24-bit BMP and PCM WAV carry raw pixels/samples — no codec library
+  // needed, just geometry (row padding, chunk walk, endianness). These
+  // complete the decode path for the formats where "decode" is byte
+  // arithmetic; compressed formats (PNG/JPEG/MP4) stay header-only.
+
+  /** Decode a 24-bit uncompressed BMP's pixel bytes into logical
+    * top-down row order (B,G,R per pixel), stripping the 4-byte row
+    * padding and un-reversing the bottom-up row storage. Returns null
+    * for anything that is not a well-formed 24bpp BI_RGB bitmap with a
+    * complete pixel array — corrupt blobs degrade to a filterable
+    * value, never an exception.
+    */
+  def bmpPixelBytes(b: Array[Byte]): Array[Byte] = {
+    if (!(b.length >= 54 && b(0) == 'B' && b(1) == 'M')) return null
+    val dibSize = leU32(b, 14)
+    if (dibSize < 40L) return null
+    val w = leS32(b, 18)
+    val hRaw = leS32(b, 22)
+    val h = math.abs(hRaw)
+    val bpp = leU16(b, 28)
+    val compression = leU32(b, 30)
+    val off = leU32(b, 10)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0L) return null
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (off < 54L || off + rowSize.toLong * h > b.length) return null
+    val out = new Array[Byte](w * h * 3)
+    var row = 0
+    while (row < h) {
+      // positive height = rows stored bottom-up; negative = top-down
+      val srcRow = if (hRaw > 0) h - 1 - row else row
+      System.arraycopy(b, off.toInt + srcRow * rowSize, out, row * w * 3, w * 3)
+      row += 1
+    }
+    out
+  }
+
+  /** 24-bit BMP from logical top-down pixel bytes (length w*h*3),
+    * writing bottom-up padded rows — the exact inverse of
+    * [[bmpPixelBytes]] (`bmpPixelBytes(synthBmp24(w,h,px)) == px`).
+    */
+  def synthBmp24(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"need $width*$height*3 pixel bytes, got ${pixels.length}")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val out = java.nio.ByteBuffer.allocate(54 + rowSize * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + rowSize * height).putShort(0).putShort(0).putInt(54)
+      .putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(rowSize * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = height - 1 // bottom-up storage
+    while (row >= 0) {
+      out.put(pixels, row * width * 3, width * 3)
+      var pad = rowSize - width * 3
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    out.array()
+  }
+
+  /** Nearest-neighbor downscale of a 24-bit BMP by an integer factor —
+    * a REAL resize over decoded pixels (not byte striding), returning a
+    * valid BMP of the reduced dimensions. Null for undecodable inputs.
+    */
+  def resizeBmp(b: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val px = bmpPixelBytes(b)
+    if (px == null) return null
+    val h = parse(b) // well-formed: bmpPixelBytes succeeded
+    val (w0, h0) = (h.width, h.height)
+    val w1 = math.max(w0 / factor, 1)
+    val h1 = math.max(h0 / factor, 1)
+    val out = new Array[Byte](w1 * h1 * 3)
+    var y = 0
+    while (y < h1) {
+      var x = 0
+      while (x < w1) {
+        val src = ((y * factor) * w0 + (x * factor)) * 3
+        System.arraycopy(px, src, out, (y * w1 + x) * 3, 3)
+        x += 1
+      }
+      y += 1
+    }
+    synthBmp24(w1, h1, out)
+  }
+
+  /** Decode a WAV's `data` chunk into signed 16-bit little-endian
+    * samples. Requires a `fmt ` chunk declaring 16 bits per sample (the
+    * samples are interpreted as PCM s16le; any rate or channel count);
+    * null otherwise — same degrade-don't-throw posture as the header
+    * parsers. Walks chunks, so LIST/JUNK prefixes and trailing metadata
+    * chunks are handled.
+    */
+  def wavSamples(b: Array[Byte]): Array[Short] = {
+    if (!(b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"))
+      return null
+    val hdr = parseWav(b)
+    if (hdr.format != "wav" || hdr.bitsPerSample != 16) return null
+    var off = 12L
+    while (off + 8 <= b.length) {
+      val i = off.toInt
+      val id = ascii(b, i, 4)
+      val size = leU32(b, i + 4)
+      if (id == "data") {
+        val avail = math.min(size, b.length - (off + 8)) // truncated: take what's there
+        val n = (avail / 2).toInt
+        val out = new Array[Short](n)
+        var j = 0
+        while (j < n) {
+          out(j) = (u8(b, i + 8 + 2 * j) | (u8(b, i + 9 + 2 * j) << 8)).toShort
+          j += 1
+        }
+        return out
+      }
+      off += 8L + size + (size & 1L)
+    }
+    null
+  }
+
   /** MP4/ISO-BMFF: scan top-level boxes ([size:be32][type:4cc]; size 1 =
     * 64-bit largesize, size 0 = to-EOF), then moov → mvhd (version 0:
     * be32 timescale at +12, be32 duration at +16 of the box payload;

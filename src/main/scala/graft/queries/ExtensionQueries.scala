@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Dedup, Similarity, Spans}
+import graft.operators.{Dedup, Multimodal, Similarity, Spans}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline operators (driver mandate, SURVEY §7.3):
@@ -499,6 +499,30 @@ object ExtensionQueries {
         lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("header_hex"),
         md5(substring(col("text"), 1, 256)).as("head_md5"))
         .orderBy("doc_id")),
+
+    // REAL pixel decode end-to-end: synthesize valid padded bottom-up
+    // 24-bit BMPs from a deterministic generator, decode them back
+    // through the actual row geometry (padding strip + row un-reverse),
+    // reduce to per-channel integer sums. The oracle replays the
+    // generator arithmetic directly — any decode-geometry bug (padding,
+    // row order, channel offset) breaks the hash match.
+    "multimodal_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Multimodal.demoPixelCorpus(s, t(s, dir, "documents"))
+      Multimodal.pixelStats(s,
+          Multimodal.shapeForDecode(corpus.toDF(), 32).as[Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
+    // REAL sample decode: RIFF chunk walk to `data`, s16le reassembly,
+    // peak/energy/count — incl. the -32768 edge sample.
+    "multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Multimodal.demoAudioCorpus(s, t(s, dir, "documents"))
+      Multimodal.audioStats(s,
+          Multimodal.shapeForDecode(corpus.toDF(), 32).as[Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -986,5 +1010,33 @@ object ExtensionQueries {
         |  lower(hex(substr(text, 1, 8))) AS header_hex,
         |  md5(substr(text, 1, 256)) AS head_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Replays the pixel generator arithmetic (no byte parsing): the
+    // Spark side must decode its own synthesized BMPs back to exactly
+    // these sums through the real row-padding/bottom-up geometry.
+    "multimodal_pixels" ->
+      """WITH m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents)
+        |SELECT doc_id AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  (w * h)::BIGINT AS n_pixels,
+        |  list_sum(list_transform(list_filter(range(0, w*h*3), i -> i % 3 = 0),
+        |    i -> (doc_id*31 + i*7) % 256))::BIGINT AS c0_sum,
+        |  list_sum(list_transform(list_filter(range(0, w*h*3), i -> i % 3 = 1),
+        |    i -> (doc_id*31 + i*7) % 256))::BIGINT AS c1_sum,
+        |  list_sum(list_transform(list_filter(range(0, w*h*3), i -> i % 3 = 2),
+        |    i -> (doc_id*31 + i*7) % 256))::BIGINT AS c2_sum
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "multimodal_audio" ->
+      """WITH m AS (SELECT doc_id, 8000 + 100 * (doc_id % 441) AS rate,
+        |                  500 + doc_id % 300 AS n FROM documents),
+        |s AS (SELECT doc_id, rate, n,
+        |        list_transform(range(0, n),
+        |          j -> (doc_id*13 + j*37) % 65536 - 32768) AS ss FROM m)
+        |SELECT doc_id AS media_id, rate::BIGINT AS sample_rate,
+        |  n::BIGINT AS n_samples,
+        |  list_max(list_transform(ss, x -> abs(x)))::BIGINT AS peak_abs,
+        |  list_sum(list_transform(ss, x -> x*x))::BIGINT AS sum_sq
+        |FROM s ORDER BY media_id""".stripMargin,
   )
 }

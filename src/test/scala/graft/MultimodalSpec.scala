@@ -5,6 +5,65 @@ import graft.sources.Tables
 
 class MultimodalSpec extends SparkSpec {
 
+  test("bmp pixel decode round-trips through padding and bottom-up rows") {
+    // 3x2 image: width*3 = 9 bytes/row → 3 padding bytes per row.
+    val px = Array.tabulate(3 * 2 * 3)(i => (i * 11 % 256).toByte)
+    val bmp = Containers.synthBmp24(3, 2, px)
+    assert(Containers.bmpPixelBytes(bmp).toSeq == px.toSeq)
+    // Parsed header agrees with the synthesized geometry.
+    val h = Containers.parse(bmp)
+    assert(h.format == "bmp" && h.width == 3 && h.height == 2)
+    // Corrupt / non-24bpp inputs degrade to null, never throw.
+    assert(Containers.bmpPixelBytes(bmp.take(40)) == null)
+    assert(Containers.bmpPixelBytes("not a bitmap at all".getBytes) == null)
+    val truncated = bmp.take(bmp.length - 1) // missing final pixel byte
+    assert(Containers.bmpPixelBytes(truncated) == null)
+  }
+
+  test("bmp nearest-neighbor resize picks true source pixels") {
+    // 4x4 with pixel (x,y) = value x+4*y in all three channels.
+    val px = Array.tabulate(4 * 4 * 3)(i => (i / 3).toByte)
+    val half = Containers.resizeBmp(Containers.synthBmp24(4, 4, px), 2)
+    val hh = Containers.parse(half)
+    assert(hh.width == 2 && hh.height == 2)
+    val out = Containers.bmpPixelBytes(half)
+    // nearest-neighbor keeps pixels (0,0)=0, (2,0)=2, (0,2)=8, (2,2)=10
+    assert(out.grouped(3).map(_.head.toInt).toSeq == Seq(0, 2, 8, 10))
+    assert(Containers.resizeBmp("junk".getBytes, 2) == null)
+  }
+
+  test("wav sample decode: s16le reassembly incl. -32768 edge") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, j) =>
+      bytes(2 * j) = (s & 0xFF).toByte
+      bytes(2 * j + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val wav = Containers.synthWav(16000, 1, 16, bytes)
+    assert(Containers.wavSamples(wav).toSeq == samples.toSeq)
+    // 8-bit WAVs and non-RIFF bytes → null
+    assert(Containers.wavSamples(Containers.synthWav(8000, 1, 8, bytes)) == null)
+    assert(Containers.wavSamples("RIFFnope".getBytes) == null)
+  }
+
+  test("pixel/audio stats datasets decode their own synthesized corpora") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf0001, "documents").limit(50)
+    val ps = Multimodal.pixelStats(spark,
+      Multimodal.demoPixelCorpus(spark, docs)).collect()
+    assert(ps.length == 50 && ps.forall(_.width > 0))
+    // Replay the generator for one row and compare the channel sums.
+    val r = ps.find(_.media_id == 1L).get
+    val (w, h) = ((8 + 1 % 9), (8 + 1 % 7))
+    val gen = Array.tabulate(w * h * 3)(i => (1 * 31 + i * 7) % 256)
+    assert(r.width == w && r.height == h)
+    assert(r.c0_sum == gen.zipWithIndex.collect { case (v, i) if i % 3 == 0 => v.toLong }.sum)
+    assert(r.c2_sum == gen.zipWithIndex.collect { case (v, i) if i % 3 == 2 => v.toLong }.sum)
+    val as = Multimodal.audioStats(spark,
+      Multimodal.demoAudioCorpus(spark, docs)).collect()
+    assert(as.length == 50 && as.forall(a => a.n_samples >= 500 && a.peak_abs <= 32768))
+  }
+
   test("container parsing: true dimensions/rates from synthesized headers") {
     val payload = "some payload bytes".getBytes
     val bmp = Containers.parse(Containers.synthBmp(640, 480, payload))
