@@ -418,6 +418,25 @@ object PipelineQueries {
           "channels", "n_bytes")
         .orderBy("doc_id")
     }),
+
+    // Market-basket co-occurrence: top-50 part pairs by number of
+    // orders containing both. Candidate pairs come from a self
+    // equality join on the order key (never a cross join); per-order
+    // line counts are bounded, so the pair blowup per key is C(n,2)
+    // with small n, and the pair count aggregates map-side before the
+    // one shuffle. Ordering totalized by (count, p1, p2) so the LIMIT
+    // boundary is deterministic.
+    "basket_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.select(col("ok"), col("pk").as("p1"))
+      val b = li.select(col("ok"), col("pk").as("p2"))
+      a.join(b, Seq("ok")).where(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+        .limit(50)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -851,5 +870,13 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 + (doc_id % 100) * 2
         |   END)::INTEGER AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |p AS (SELECT a.pk AS p1, b.pk AS p2
+        |      FROM li a JOIN li b USING (ok) WHERE a.pk < b.pk)
+        |SELECT p1, p2, count(*)::BIGINT AS n_orders FROM p GROUP BY 1, 2
+        |ORDER BY n_orders DESC, p1, p2 LIMIT 50""".stripMargin,
   )
 }
