@@ -61,6 +61,15 @@ class SpansSpec extends SparkSpec {
     assert(byId(4L)._1 == "too short")
   }
 
+  test("xxhash64 production path equals the md5 oracle path") {
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    def run(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Spans.duplicatedSpans(docs, "doc_id", "text", k = 10, hashFn = h)
+        .orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(graft.functions.TextOps.md5Hash60) == run(xxhash64(_)))
+  }
+
   test("fixture invariants: spans >= k tokens, removal conserves tokens") {
     val docs = graft.sources.Tables.load(spark, sf0001, "documents")
     val spans = Spans.duplicatedSpans(docs, "doc_id", "text", k = 10)
