@@ -66,6 +66,35 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Contrastive hard-negative mining: for each query, the k most
+    * cosine-similar corpus vectors with a DIFFERENT label — the pairs an
+    * embedding-model trainer wants as in-batch negatives (similar enough
+    * to be hard, labeled differently so they are true negatives).
+    * Same scale shape as [[bruteForceTopK]]: broadcast query side, one
+    * corpus scan with precomputed norms, bounded-heap top-k.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), col(vecCol).as("q_vec"),
+      VecOps.norm(col(vecCol)).as("q_nrm")))
+    val c = graft.sources.Tables.rebalanceForCompute(
+      corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("n_label"), col(vecCol).as("c_vec"),
+        VecOps.norm(col(vecCol)).as("c_nrm")))
+    val scored = q.join(c,
+        col("query_id") =!= col("neighbor_id") &&
+          col("q_label") =!= col("n_label"))
+      .withColumn("cos",
+        round(VecOps.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6))
+      .select("query_id", "q_label", "neighbor_id", "n_label", "cos")
+    val top = graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("cos").desc, col("neighbor_id").asc), k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+  }
+
   /** Shared ranking tail: the custom bounded-heap TopKPerKey operator
     * prunes to k rows per query WITHOUT sorting each partition (O(n log k)
     * vs the window formulation's full per-partition sort — the difference

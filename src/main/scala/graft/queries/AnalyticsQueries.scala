@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Clusters, Sampling, Similarity, Sketches, TemporalJoins}
+import graft.operators.{Clusters, Graph, Sampling, Similarity, Sketches, TemporalJoins}
 import graft.sources.Tables
 
 /** Round-3 analytics surface: time-series joins (as-of, banded range),
@@ -126,6 +126,31 @@ object AnalyticsQueries {
         .select(col("key"), col("maybe_seen"),
           coalesce(col("truly_seen"), lit(false)).as("truly_seen"))
         .orderBy("key")
+    }),
+
+    // Contrastive hard-negative mining: per query, the k most
+    // cosine-similar vectors with a DIFFERENT label (in-batch negatives
+    // for embedding-model training).
+    "sim_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Fixed-point integer PageRank over the supplier co-purchase graph
+    // (suppliers sharing an order, both directions). Integer arithmetic
+    // makes the distributed result bit-identical to the oracle's serial
+    // replay regardless of partitioning.
+    "graph_pagerank" -> ((s, dir) => {
+      val li = tc(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+      Graph.pageRankInt(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
     }),
 
     // The composed curation pipeline: quality + language gate → near-dup
@@ -302,6 +327,66 @@ object AnalyticsQueries {
          |SELECT p.key, p.maybe_seen, (s.key IS NOT NULL) AS truly_seen
          |FROM probe p LEFT JOIN snap s ON p.key = s.key
          |ORDER BY p.key""".stripMargin,
+
+    "sim_hard_negatives" -> {
+      val cos = ExtensionQueries.cosineSql("q.v", "c.v")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.label AS q_label,
+         |    c.vec_id AS neighbor_id, c.label AS n_label,
+         |    round($cos, 6) AS cos
+         |  FROM q JOIN e c ON q.vec_id != c.vec_id AND q.label != c.label)
+         |SELECT query_id, q_label, neighbor_id, n_label, cos, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Serial replay of the exact integer recurrence, 3 unrolled
+    // iterations; '//' (DuckDB floor-div) == Spark 'div' because every
+    // operand is non-negative.
+    "graph_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |            FROM lineitem),
+        |edges AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |          FROM li a JOIN li b ON a.ok = b.ok AND a.sk != b.sk),
+        |nodes AS (SELECT src AS node FROM edges
+        |          UNION SELECT dst FROM edges),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*)::BIGINT AS deg FROM edges
+        |           GROUP BY src),
+        |base AS (SELECT ((15000000000000 // 100) // n)::BIGINT AS base_fp
+        |         FROM nn),
+        |r0 AS (SELECT node, (1000000000000 // n)::BIGINT AS r
+        |       FROM nodes, nn),
+        |s1 AS (SELECT d.src, (r.r // d.deg)::BIGINT AS c
+        |       FROM r0 r JOIN outdeg d ON r.node = d.src),
+        |i1 AS (SELECT e.dst, sum(c)::BIGINT AS infl
+        |       FROM edges e JOIN s1 USING (src) GROUP BY e.dst),
+        |r1 AS (SELECT n2.node,
+        |    (b.base_fp + ((85 * coalesce(i.infl, 0)) // 100))::BIGINT AS r
+        |  FROM nodes n2 LEFT JOIN i1 i ON n2.node = i.dst
+        |  CROSS JOIN base b),
+        |s2 AS (SELECT d.src, (r.r // d.deg)::BIGINT AS c
+        |       FROM r1 r JOIN outdeg d ON r.node = d.src),
+        |i2 AS (SELECT e.dst, sum(c)::BIGINT AS infl
+        |       FROM edges e JOIN s2 USING (src) GROUP BY e.dst),
+        |r2 AS (SELECT n2.node,
+        |    (b.base_fp + ((85 * coalesce(i.infl, 0)) // 100))::BIGINT AS r
+        |  FROM nodes n2 LEFT JOIN i2 i ON n2.node = i.dst
+        |  CROSS JOIN base b),
+        |s3 AS (SELECT d.src, (r.r // d.deg)::BIGINT AS c
+        |       FROM r2 r JOIN outdeg d ON r.node = d.src),
+        |i3 AS (SELECT e.dst, sum(c)::BIGINT AS infl
+        |       FROM edges e JOIN s3 USING (src) GROUP BY e.dst),
+        |r3 AS (SELECT n2.node,
+        |    (b.base_fp + ((85 * coalesce(i.infl, 0)) // 100))::BIGINT AS r
+        |  FROM nodes n2 LEFT JOIN i3 i ON n2.node = i.dst
+        |  CROSS JOIN base b)
+        |SELECT node, r AS rank_fp FROM r3 ORDER BY node""".stripMargin,
 
     "corpus_curate" -> {
       import ExtensionQueries.{alphaRatioSql, cjkRatioSql, hitsSql,

@@ -154,7 +154,7 @@ object ExtensionQueries {
   }
 
   /** Explicit double cosine matching Similarity.cosine's fold order. */
-  private def cosineSql(a: String, b: String): String =
+  private[queries] def cosineSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) / " +
       s"(sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))) * " +
       s"sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))"

@@ -98,4 +98,40 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getDouble)).toMap
     assert(again == got)
   }
+
+  test("hard negatives: different label, contiguous ranks, driver-replay top-1") {
+    val q = emb.where(col("vec_id") < 5)
+    val rows = Similarity.hardNegatives(emb, q, "vec_id", "embedding", "label", k = 5)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Any]("q_label") != r.getAs[Any]("n_label"))
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id"))
+    }
+    // per-query ranks are 1..n contiguous, cos non-increasing
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to g.length))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // driver-side replay: top-1 for query 0 is the true different-label argmax
+    val all = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getAs[Any](1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val (qid, qlab, qv) = all.find(_._1 == 0L).get
+    val want = all.filter(t => t._1 != qid && t._2 != qlab)
+      .map(t => (math.rint(cos(qv, t._3) * 1e6) / 1e6, t._1))
+      .maxBy { case (c, id) => (c, -id) }
+    val got = rows.filter(r => r.getAs[Long]("query_id") == 0L &&
+      r.getAs[Int]("rank") == 1).head
+    assert(got.getAs[Long]("neighbor_id") == want._2)
+    assert(math.abs(got.getAs[Double]("cos") - want._1) < 1e-6)
+  }
 }
