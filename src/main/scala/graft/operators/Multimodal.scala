@@ -207,6 +207,59 @@ object Multimodal {
     })
   }
 
+  case class AHash(media_id: Long, width: Long, height: Long,
+      gray_sum: Long, hash_hi: Long, hash_lo: Long)
+
+  /** Perceptual average-hash over REAL decoded BMP pixels: sample an
+    * 8×8 grid at `(r·h div 8, c·w div 8)`, gray = integer channel sum,
+    * bit k set iff `64·gray(k) > Σgray` — the classic aHash with every
+    * step in exact integers (no float resize), so near-dup image
+    * detection is oracle-replayable and partition-invariant. The 64-bit
+    * hash is emitted as two 32-bit halves (`hash_hi`, `hash_lo`) to stay
+    * in non-negative BIGINT range on every engine.
+    *
+    * Scale shape: one narrow partition-wise pass (decode + 64 samples
+    * per image); blobs never shuffle. Hamming-banded pairing on the
+    * halves (exact 32-bit chunk match ⇒ distance ≤ 32) composes with
+    * the [[Dedup.simhashNearDups]] pigeonhole machinery.
+    */
+  def ahash(spark: SparkSession, media: Dataset[MediaFile]): Dataset[AHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val hdr = Containers.parse(m.content)
+      val px = Containers.bmpPixelBytes(m.content)
+      if (px == null) AHash(m.media_id, -1L, -1L, -1L, -1L, -1L)
+      else {
+        val w = hdr.width.toInt; val h = hdr.height.toInt
+        val g = new Array[Long](64)
+        var s = 0L
+        var r8 = 0
+        while (r8 < 8) {
+          var c8 = 0
+          while (c8 < 8) {
+            val base = 3 * ((r8 * h / 8) * w + (c8 * w / 8))
+            val gray = java.lang.Byte.toUnsignedInt(px(base)) +
+              java.lang.Byte.toUnsignedInt(px(base + 1)) +
+              java.lang.Byte.toUnsignedInt(px(base + 2))
+            g(r8 * 8 + c8) = gray.toLong
+            s += gray
+            c8 += 1
+          }
+          r8 += 1
+        }
+        var hi = 0L; var lo = 0L
+        var k = 0
+        while (k < 64) {
+          if (64L * g(k) > s) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        AHash(m.media_id, w.toLong, h.toLong, s, hi, lo)
+      }
+    })
+  }
+
   /** Deterministic PCM WAV corpus: sample `j` of clip `id` is
     * `((id*13 + j*37) mod 65536) - 32768` (full s16 range incl. the
     * -32768 edge), encoded little-endian into a real RIFF layout.

@@ -84,4 +84,34 @@ object Search {
       .withColumn("score", round(col("__micro") / lit(1e6), 6))
       .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
   }
+
+  /** Per-document top-k terms by tf·idf with a RATIONAL idf surrogate:
+    * `score_fp = tf * ((N << 20) div df)` — exact 64-bit integers, so the
+    * distributed ranking is bit-identical to a serial replay. The
+    * surrogate is monotone in tf and in 1/df (what tf·idf orders by);
+    * like [[bm25TopK]]'s rational idf it trades the log's compression
+    * for cross-engine exactness.
+    *
+    * Scale shape: tokenize (narrow map) → one (doc, term) shuffle for tf
+    * → term-level df off the tf table (second small shuffle) → broadcast
+    * df + N back onto tf → bounded-heap top-k per doc. The df table is
+    * vocabulary-sized (≪ corpus), hence broadcast.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      .withColumn("score_fp", col("tf") * expr("(n_docs * 1048576) div df"))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score_fp"))
+    val top = graft.plans.TopK.perKey(scored, Seq(idCol),
+      Seq(col("score_fp").desc, col("term").asc), k)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))
+        .orderBy(col("score_fp").desc, col("term").asc)))
+  }
 }

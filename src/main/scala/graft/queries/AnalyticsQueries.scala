@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Clusters, Graph, Sampling, Similarity, Sketches, TemporalJoins}
+import graft.operators.{Clusters, Graph, Multimodal, Sampling, Search, Similarity, Sketches, TemporalJoins}
 import graft.sources.Tables
 
 /** Round-3 analytics surface: time-series joins (as-of, banded range),
@@ -151,6 +151,22 @@ object AnalyticsQueries {
         .select("src", "dst")
       Graph.pageRankInt(edges, "src", "dst", iterations = 3)
         .orderBy("node")
+    }),
+
+    // Per-doc top-3 keywords by rational tf·idf (exact integers).
+    "tfidf_topterms" -> ((s, dir) =>
+      Search.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
+    // Perceptual average-hash over REAL decoded BMP pixels (8×8 integer
+    // grid sample, mean threshold) — near-dup image detection whose
+    // whole decode→hash path the oracle replays from the generator.
+    "image_ahash" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Multimodal.demoPixelCorpus(s, t(s, dir, "documents"))
+      Multimodal.ahash(s,
+          Multimodal.shapeForDecode(corpus.toDF(), 32).as[Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
     }),
 
     // The composed curation pipeline: quality + language gate → near-dup
@@ -387,6 +403,51 @@ object AnalyticsQueries {
         |  FROM nodes n2 LEFT JOIN i3 i ON n2.node = i.dst
         |  CROSS JOIN base b)
         |SELECT node, r AS rank_fp FROM r3 ORDER BY node""".stripMargin,
+
+    "tfidf_topterms" -> {
+      val toks = ExtensionQueries.toksSql
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |       FROM tk GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, tf, df,
+         |    (tf * ((n_docs * 1048576) // df))::BIGINT AS score_fp
+         |  FROM tf JOIN dfq USING (term), nn)
+         |SELECT doc_id, term, tf, df, score_fp, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score_fp DESC, term) AS rank
+         |  FROM sc) r
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+    },
+
+    // Replays the pixel generator arithmetic through the 8×8 grid
+    // sample + mean threshold — the Spark side must get there by
+    // decoding its own BMP bytes through the real row geometry.
+    "image_ahash" ->
+      """WITH m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents),
+        |cells AS (SELECT doc_id, w, h, (r8 * 8 + c8) AS k,
+        |    3 * (((r8 * h) // 8) * w + ((c8 * w) // 8)) AS base
+        |  FROM m CROSS JOIN range(0, 8) rr(r8) CROSS JOIN range(0, 8) cc(c8)),
+        |g AS (SELECT doc_id, w, h, k,
+        |    ((doc_id*31 + base*7) % 256 + (doc_id*31 + (base+1)*7) % 256
+        |      + (doc_id*31 + (base+2)*7) % 256)::BIGINT AS gray
+        |  FROM cells),
+        |t AS (SELECT doc_id, sum(gray)::BIGINT AS s FROM g GROUP BY 1),
+        |bits AS (SELECT g.doc_id, g.k,
+        |    CASE WHEN 64 * g.gray > t.s THEN 1::BIGINT ELSE 0::BIGINT END AS b
+        |  FROM g JOIN t ON g.doc_id = t.doc_id),
+        |hh AS (SELECT doc_id,
+        |    sum(CASE WHEN k >= 32 THEN b << (k - 32) ELSE 0 END)::BIGINT
+        |      AS hash_hi,
+        |    sum(CASE WHEN k < 32 THEN b << k ELSE 0 END)::BIGINT AS hash_lo
+        |  FROM bits GROUP BY 1)
+        |SELECT m.doc_id AS media_id, m.w::BIGINT AS width,
+        |  m.h::BIGINT AS height, t.s AS gray_sum, hash_hi, hash_lo
+        |FROM m JOIN t ON m.doc_id = t.doc_id
+        |JOIN hh ON m.doc_id = hh.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     "corpus_curate" -> {
       import ExtensionQueries.{alphaRatioSql, cjkRatioSql, hitsSql,

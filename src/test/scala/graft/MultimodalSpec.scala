@@ -184,4 +184,35 @@ class MultimodalSpec extends SparkSpec {
       assert(r.content.headOption == o.content.headOption)
     }
   }
+
+  test("average-hash: flat image hashes to zero, half-split image to known bits") {
+    import spark.implicits._
+    import graft.operators.Containers
+    // flat gray image: no pixel exceeds the mean -> all 64 bits zero
+    val w = 10; val h = 9
+    val flat = Array.fill(w * h * 3)(77.toByte)
+    // top-half bright (rows r >= h/2 in BMP bottom-up == visual top; the
+    // generator array is in row 0..h-1 order, decode restores it)
+    val split = Array.tabulate(w * h * 3) { i =>
+      val row = (i / 3) / w
+      (if (row >= 5) 250 else 10).toByte
+    }
+    val media = Seq(
+      Multimodal.MediaFile(1L, "image", Containers.synthBmp24(w, h, flat)),
+      Multimodal.MediaFile(2L, "image", Containers.synthBmp24(w, h, split)))
+      .toDS()
+    val got = Multimodal.ahash(spark, media).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(got(1L).hash_hi == 0L && got(1L).hash_lo == 0L)
+    assert(got(1L).gray_sum == 64L * 3 * 77)
+    // split image: grid rows whose sample row (r8*h/8) >= 5 are bright.
+    // r8*9/8 >= 5 <=> r8 >= 5 (r8=5 -> row 5). Bits k = r8*8+c8 for
+    // r8 in 5..7 are set -> lo bits 32..31? k in 40..63 -> hi bits 8..31.
+    val expHi = (40 until 64).map(k => 1L << (k - 32)).sum
+    assert(got(2L).hash_hi == expHi && got(2L).hash_lo == 0L)
+    // partition invariance: 1 vs 4 partitions, identical hashes
+    val again = Multimodal.ahash(spark, media.repartition(4)).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(again == got)
+  }
 }

@@ -115,6 +115,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) > 0.0))
   }
 
+  test("tfidf top terms: rare term outranks common term, hand replay exact") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha common"),
+      (2L, "beta common common"),
+      (3L, "gamma common"),
+      (4L, "common common")
+    ).toDF("doc_id", "text")
+    val out = Search.tfidfTopTerms(docs, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    // doc 1: alpha tf=3 df=1 -> 3 * (4<<20 // 1); common tf=1 df=4 -> 1<<20
+    val a = out.find(t => t._1 == 1L && t._6 == 1).get
+    assert(a._2 == "alpha" && a._5 == 3L * ((4L << 20) / 1))
+    val c = out.find(t => t._1 == 1L && t._6 == 2).get
+    assert(c._2 == "common" && c._5 == (4L << 20) / 4)
+    // every doc emits <= 2 ranked rows, ranks contiguous from 1
+    out.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._6).sorted.toSeq == (1 to g.length)) }
+  }
+
   test("morton code interleaves bits (known values)") {
     val df = Seq((5L, 3L), (0L, 0L), (7L, 0L), (0L, 7L))
       .toDF("x", "y")
