@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -190,5 +190,29 @@ object Clusters {
       .select(col("id").as(idCol),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
       .withColumn("is_keeper", (col(idCol) === col("cluster_id")).cast("boolean"))
+  }
+
+  /** Quality-aware dedup: cluster as [[clustersOver]], but the keeper is
+    * the cluster's argmax of `scoreCol` (smallest id on ties) instead of
+    * the min-label canonical id — "keep the best copy", the rule real
+    * curation pipelines want when near-dups differ in quality.
+    *
+    * The argmax is a struct-max aggregation (one partial-aggregated
+    * shuffle, order-free and exact given a totalized (score, id) order),
+    * not a window sort.
+    */
+  def keepBestPerCluster(universe: DataFrame, idCol: String,
+      pairs: DataFrame, scoreCol: Column): DataFrame = {
+    val assigned = clustersOver(universe, idCol, pairs)
+      .select(col(idCol), col("cluster_id"))
+    val scored = universe.select(col(idCol), scoreCol.as("score"))
+      .join(assigned, Seq(idCol))
+    // max(struct(score, -id)) = (max score, min id on ties)
+    val best = scored.groupBy("cluster_id")
+      .agg(max(struct(col("score"), (-col(idCol)).as("__negid"))).as("__b"))
+      .select(col("cluster_id"), (-col("__b.__negid")).as("__keep_id"))
+    scored.join(best, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("score"),
+        (col(idCol) === col("__keep_id")).as("is_keeper"))
   }
 }

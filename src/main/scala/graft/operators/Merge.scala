@@ -80,4 +80,34 @@ object Merge {
       .withColumn("valid_to", lit(null).cast("integer"))
     closed.unionByName(appended)
   }
+
+  /** Snapshot diff (CDC classify): compare two versions of a table on a
+    * key and emit one row per divergence — `insert` (key only in new),
+    * `delete` (key only in old), `update` (key in both, compared columns
+    * differ). Unchanged keys are dropped. Change detection runs on the
+    * reference's value-sorted MD5 row hash ([[graft.functions.RowHash]]),
+    * so wide rows compare via one codegen'd digest, not N column
+    * equality tests — the same contract the reference's incremental
+    * mode uses for its snapshot set.
+    *
+    * Scale shape: each side reduces to (key, 16-byte hash) in a narrow
+    * map BEFORE the one full-outer shuffle join — the join carries
+    * hashes, never the compared payload columns.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compareCols.nonEmpty)
+    val keyCols = keys.map(col)
+    val o = oldDf.select(keyCols :+
+      graft.functions.RowHash.ofColumns(oldDf, compareCols).as("__h_old"): _*)
+    val n = newDf.select(keyCols :+
+      graft.functions.RowHash.ofColumns(newDf, compareCols).as("__h_new"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__h_old").isNull, lit("insert"))
+          .when(col("__h_new").isNull, lit("delete"))
+          .when(col("__h_old") =!= col("__h_new"), lit("update")))
+      .where(col("change_type").isNotNull)
+      .select(keyCols :+ col("change_type"): _*)
+  }
 }

@@ -109,4 +109,39 @@ object Sampling {
       .withColumn("keep", coalesce(
         sum(col("n_tokens")).over(w) - col("n_tokens") < budget, lit(false)))
   }
+
+  /** Temperature-scaled (α = 0.5) multilingual sampling, XLM-style:
+    * group g gets a share of `totalBudget` proportional to `n_g^α`,
+    * flattening the head so low-resource groups survive the downsample.
+    * α is fixed at ½ because `sqrt` is CORRECTLY ROUNDED under IEEE 754
+    * in every engine — the weight `⌊√n_g · 2^20⌋` is therefore an exact
+    * integer, the weight total is an order-free integer sum, and each
+    * allocation `(B · w_g) div Σw` is exact 64-bit arithmetic (general
+    * α would need `pow`, whose last ULP is engine-dependent).
+    *
+    * Within a group, kept rows are the smallest `(hash(seed‖id), id)` —
+    * the same reproducible pseudo-random rule as [[capPerGroup]].
+    * Output: the kept rows with `n_g` and `alloc` attached.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      totalBudget: Long, seed: String,
+      hashFn: Column => Column = TextOps.md5Hash60): DataFrame = {
+    require(totalBudget > 0)
+    val weights = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_g"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_g").cast("double")) * lit(1048576L)).cast("long"))
+    val tot = weights.agg(sum("w_fp").as("sum_w"))
+    val alloc = weights.crossJoin(broadcast(tot))
+      .withColumn("alloc",
+        least(expr(s"($totalBudget * w_fp) div sum_w"), col("n_g")))
+      .select(col(groupCol), col("n_g"), col("alloc"))
+    val h = hashFn(concat(lit(seed), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+    df.join(broadcast(alloc), Seq(groupCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("alloc"))
+      .drop("__rn")
+  }
 }

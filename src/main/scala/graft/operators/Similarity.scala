@@ -66,6 +66,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Bitext-style mutual-top-1 mining (LASER/CCMatrix family): the pairs
+    * `(a, b)` where `b` is `a`'s cosine nearest neighbor in B AND `a` is
+    * `b`'s nearest in A. Mutuality is the classic precision filter for
+    * parallel-corpus mining: one-directional nearest neighbors are full
+    * of hubs; mutual pairs are overwhelmingly true alignments.
+    *
+    * Scale shape: two [[bruteForceTopK]] passes (broadcast query side,
+    * one corpus scan each) and an equality join of two id-pair tables.
+    * For corpus-×-corpus scale, feed the LSH/IVF top-k variants instead —
+    * the mutuality join is identical.
+    */
+  def mutualTop1(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val ab = bruteForceTopK(b, a, idCol, vecCol, k = 1)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cos"))
+    val ba = bruteForceTopK(a, b, idCol, vecCol, k = 1)
+      .select(col("neighbor_id").as("id_a"), col("query_id").as("id_b"))
+    ab.join(ba, Seq("id_a", "id_b"))
+  }
+
   /** Contrastive hard-negative mining: for each query, the k most
     * cosine-similar corpus vectors with a DIFFERENT label — the pairs an
     * embedding-model trainer wants as in-batch negatives (similar enough

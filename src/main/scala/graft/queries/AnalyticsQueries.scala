@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Clusters, Graph, Multimodal, Sampling, Search, Similarity, Sketches, TemporalJoins}
+import graft.operators.{Clusters, Dedup, Graph, Merge, Multimodal, Sampling, Search, Similarity, Sketches, TemporalJoins}
 import graft.sources.Tables
 
 /** Round-3 analytics surface: time-series joins (as-of, banded range),
@@ -167,6 +167,51 @@ object AnalyticsQueries {
       Multimodal.ahash(s,
           Multimodal.shapeForDecode(corpus.toDF(), 32).as[Multimodal.MediaFile])
         .toDF().orderBy("media_id")
+    }),
+
+    // Quality-aware dedup: same clusters as dedup_clusters, but the
+    // keeper is the cluster's argmax quality (struct-max agg, no window
+    // sort) — "keep the best copy".
+    "dedup_quality_keeper" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b")
+      val universe = tc(s, dir, "documents").select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      Clusters.keepBestPerCluster(universe, "doc_id", pairs, col("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-scaled (α=0.5) multilingual sampling: budget shares
+    // ∝ √n_lang in exact fixed-point integers.
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureSample(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", totalBudget = 300L, seed = "r3")
+        .select("doc_id", "lang", "n_g", "alloc")
+        .orderBy("doc_id")),
+
+    // Bitext-style mutual-top-1 mining between two embedding groups.
+    "bitext_mutual_top1" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.mutualTop1(e.where(col("label") === 0),
+          e.where(col("label") === 1), "vec_id", "embedding")
+        .orderBy("id_a")
+    }),
+
+    // Snapshot diff (CDC classify) on the reference's value-sorted MD5
+    // row hash: insert / delete / update between two table versions.
+    "table_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val oldV = o.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 5 === 0, lit("9-SYNTH"))
+            .otherwise(col("o_orderpriority")))
+      val newV = o.where(col("o_orderkey") % 11 =!= 0)
+      Merge.snapshotDiff(oldV, newV, Seq("o_orderkey"),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("o_orderkey")
     }),
 
     // The composed curation pipeline: quality + language gate → near-dup
@@ -448,6 +493,94 @@ object AnalyticsQueries {
         |FROM m JOIN t ON m.doc_id = t.doc_id
         |JOIN hh ON m.doc_id = hh.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    "dedup_quality_keeper" -> {
+      import ExtensionQueries.{alphaRatioSql, hitsSql, punctRatioSql,
+        qualitySql, toksSql}
+      s"""WITH RECURSIVE ${ExtensionQueries.fastPairsCte(3, 0.5)},
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+         |         FROM reach GROUP BY a),
+         |s AS (SELECT doc_id,
+         |  len($toksSql) AS n_tokens,
+         |  ${hitsSql("en")} AS sw,
+         |  $punctRatioSql AS punct,
+         |  $alphaRatioSql AS alpha
+         |FROM documents),
+         |q AS (SELECT doc_id, ${qualitySql()} AS score FROM s),
+         |j AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |    q.score
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |  JOIN q ON q.doc_id = d.doc_id),
+         |b AS (SELECT cluster_id, doc_id AS keep_id FROM (
+         |    SELECT cluster_id, doc_id, row_number() OVER (
+         |      PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+         |    FROM j) r WHERE rn = 1)
+         |SELECT j.doc_id, j.cluster_id, j.score,
+         |  (j.doc_id = b.keep_id) AS is_keeper
+         |FROM j JOIN b USING (cluster_id) ORDER BY j.doc_id""".stripMargin
+    },
+
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*)::BIGINT AS n_g FROM documents
+         |           GROUP BY 1),
+         |w AS (SELECT lang, n_g,
+         |    floor(sqrt(n_g::DOUBLE) * 1048576)::BIGINT AS w_fp FROM c),
+         |t AS (SELECT sum(w_fp)::BIGINT AS sum_w FROM w),
+         |a AS (SELECT lang, n_g,
+         |    least((300 * w_fp) // sum_w, n_g)::BIGINT AS alloc FROM w, t),
+         |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${h60("'r3' || doc_id::VARCHAR")}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT r.doc_id, r.lang, a.n_g, a.alloc FROM r JOIN a USING (lang)
+         |WHERE rn <= alloc ORDER BY doc_id""".stripMargin,
+
+    "bitext_mutual_top1" -> {
+      val cos = ExtensionQueries.cosineSql("a.v", "b.v")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |sab AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round($cos, 6) AS cos
+         |  FROM (SELECT vec_id, v FROM e WHERE label = 0) a
+         |  CROSS JOIN (SELECT vec_id, v FROM e WHERE label = 1) b),
+         |ab AS (SELECT id_a, id_b, cos FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM sab) r
+         |  WHERE rn = 1),
+         |ba AS (SELECT id_a, id_b FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY id_b ORDER BY cos DESC, id_a) AS rn FROM sab) r
+         |  WHERE rn = 1)
+         |SELECT ab.id_a, ab.id_b, ab.cos FROM ab
+         |JOIN ba USING (id_a, id_b) ORDER BY id_a""".stripMargin
+    },
+
+    "table_diff" -> {
+      def h(prio: String): String =
+        "md5(array_to_string(list_sort([lower(CAST(o_custkey AS VARCHAR)), " +
+          s"lower(o_orderstatus), lower($prio)]), ''))"
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |             o_orderpriority FROM orders),
+         |oldv AS (SELECT o_orderkey,
+         |    ${h("CASE WHEN o_orderkey % 5 = 0 THEN '9-SYNTH' ELSE o_orderpriority END")} AS h
+         |  FROM o WHERE o_orderkey % 7 != 0),
+         |newv AS (SELECT o_orderkey, ${h("o_orderpriority")} AS h
+         |  FROM o WHERE o_orderkey % 11 != 0)
+         |SELECT coalesce(oldv.o_orderkey, newv.o_orderkey) AS o_orderkey,
+         |  CASE WHEN oldv.o_orderkey IS NULL THEN 'insert'
+         |       WHEN newv.o_orderkey IS NULL THEN 'delete'
+         |       WHEN oldv.h != newv.h THEN 'update' END AS change_type
+         |FROM oldv FULL JOIN newv ON oldv.o_orderkey = newv.o_orderkey
+         |WHERE (CASE WHEN oldv.o_orderkey IS NULL THEN 'insert'
+         |       WHEN newv.o_orderkey IS NULL THEN 'delete'
+         |       WHEN oldv.h != newv.h THEN 'update' END) IS NOT NULL
+         |ORDER BY o_orderkey""".stripMargin
+    },
 
     "corpus_curate" -> {
       import ExtensionQueries.{alphaRatioSql, cjkRatioSql, hitsSql,

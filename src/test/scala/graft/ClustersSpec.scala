@@ -61,4 +61,19 @@ class ClustersSpec extends SparkSpec {
       (4L, 4L, true), (5L, 4L, false),
       (6L, 6L, true)))                                  // untouched singleton
   }
+
+  test("keepBestPerCluster: argmax quality wins, min id on ties, singletons keep") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val universe = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.7),
+      (5L, 0.9), (6L, 0.9)).toDF("id", "quality")
+    // cluster {1,2,3}: 2 has max quality; cluster {5,6}: tie 0.9 -> min id 5
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Clusters.keepBestPerCluster(universe, "id", pairs, col("quality"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    assert(got == Set(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true),                  // singleton keeps itself
+      (5L, 5L, true), (6L, 5L, false)))
+  }
 }

@@ -82,6 +82,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(again == ids)
   }
 
+  test("temperatureSample: sqrt allocation exact, caps at group size, invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // groups: a=100 rows, b=25, c=1  ->  w_fp = floor(sqrt(n)*2^20)
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 125).map(i => (i.toLong, "b")) ++ Seq((126L, "c")))
+      .toDF("id", "g")
+    val out = Sampling.temperatureSample(df, "g", "id", totalBudget = 40L,
+      seed = "t")
+    val alloc = out.select("g", "n_g", "alloc").distinct().collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wA = math.floor(math.sqrt(100.0) * 1048576).toLong
+    val wB = math.floor(math.sqrt(25.0) * 1048576).toLong
+    val wC = math.floor(math.sqrt(1.0) * 1048576).toLong
+    val sum = wA + wB + wC
+    assert(alloc("a") == (100L, 40L * wA / sum))
+    assert(alloc("b") == (25L, 40L * wB / sum))
+    assert(alloc("c") == (1L, math.min(40L * wC / sum, 1L)))
+    // kept counts match allocations
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") == alloc("a")._2 && counts("b") == alloc("b")._2)
+    // partition invariance
+    val again = Sampling.temperatureSample(df.repartition(13), "g", "id",
+      totalBudget = 40L, seed = "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("normalizeText: NFC composition, zero-width scrub, ws collapse") {
     import graft.functions.TextOps
     def norm(s: String): String =

@@ -115,6 +115,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) > 0.0))
   }
 
+  test("snapshotDiff classifies insert/delete/update and drops unchanged") {
+    val oldV = Seq(
+      (1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40)
+    ).toDF("k", "s", "v")
+    val newV = Seq(
+      (1L, "a", 10),          // unchanged -> dropped
+      (2L, "B", 20),          // case-insensitive hash -> unchanged
+      (3L, "c", 99),          // update
+      (5L, "e", 50)           // insert; 4 deleted
+    ).toDF("k", "s", "v")
+    val got = Merge.snapshotDiff(oldV, newV, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(3L -> "update", 4L -> "delete", 5L -> "insert"))
+  }
+
   test("tfidf top terms: rare term outranks common term, hand replay exact") {
     val docs = Seq(
       (1L, "alpha alpha alpha common"),

@@ -246,6 +246,49 @@ class PlanSpec extends SparkSpec {
       "no all-pairs operators anywhere in the removal plan")
   }
 
+  test("tfidf: broadcast df-table join, partial tf aggregation, bounded top-k") {
+    val df = graft.queries.AnalyticsQueries
+      .queries("tfidf_topterms")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      "vocabulary-sized df table must broadcast onto tf")
+    assert(p.contains("TopKPerKey"), "ranking must use the bounded-heap operator")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("table_diff: join carries 16-byte hashes, not payload columns") {
+    val df = graft.queries.AnalyticsQueries
+      .queries("table_diff")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("FullOuter"), "diff needs the full-outer key join")
+    assert(p.contains("graft_row_hash"),
+      "change detection must run on the codegen'd row hash")
+    // compared payload columns reduce to the hash BELOW the join: the
+    // join's own output must not mention them
+    val joinSection = p.linesIterator
+      .dropWhile(l => !l.contains("FullOuter")).take(6).mkString("\n")
+    assert(!joinSection.contains("o_orderpriority"),
+      s"join should carry hashes, not payload:\n$joinSection")
+  }
+
+  test("pagerank: iteration joins are hash joins, 1-row base broadcasts") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.sources.Tables.load(spark, sf001, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val edges = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+      .where(col("src") =!= col("dst")).select("src", "dst")
+    val df = graft.operators.Graph.pageRankInt(edges, "src", "dst", 2)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), "no cartesian joins in the sweep")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row (n_nodes, base_fp) table must broadcast")
+    assert(p.contains("HashAggregate"), "inflow aggregation is hash-based")
+  }
+
   test("row hash stays inside whole-stage codegen") {
     // AQE's pre-execution explain omits codegen markers; check the
     // non-adaptive executed plan, where a codegen'd Project prints as

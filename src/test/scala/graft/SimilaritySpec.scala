@@ -99,6 +99,22 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("mutual top-1: aligned pairs survive, hub's extra suitors filtered") {
+    import spark.implicits._
+    // a1<->b1 aligned; a2 and a3 both point at hub b2, but b2's nearest
+    // is a2 -> (a2,b2) mutual, (a3,b2) one-directional only.
+    val a = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val b = Seq(
+      (11L, Array(0.99f, 0.01f, 0f)),
+      (12L, Array(0.05f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mutualTop1(a, b, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 11L), (2L, 12L)))
+  }
+
   test("hard negatives: different label, contiguous ranks, driver-replay top-1") {
     val q = emb.where(col("vec_id") < 5)
     val rows = Similarity.hardNegatives(emb, q, "vec_id", "embedding", "label", k = 5)
