@@ -43,4 +43,40 @@ object Funnel {
     }
     frontier
   }
+
+  /** Clickstream path mining: gap-sessionize events per user (same rule
+    * as the streaming sessionizer), order each session's event types
+    * into a `a>b>c` path string, and return the top-k paths by session
+    * count — the user-journey summary product analytics asks for, and
+    * for interaction-data curation the dominant-trajectory inventory.
+    *
+    * Determinism: events totalize on `(ts, idCol)`; the per-session
+    * path is built by sorting the COLLECTED (ts, id, type) structs —
+    * collect order is partition-dependent, the sorted array is not.
+    * Scale shape: two shuffles (user window, session groupBy) plus a
+    * path-count aggregation into a bounded global top-k
+    * (TakeOrderedAndProject) — no full sort of the path table.
+    */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSec: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(userCol))
+      .orderBy(col("__us").asc, col(idCol).asc)
+    val flagged = events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__prev", lag(col("__us"), 1).over(wOrd))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__us") - col("__prev") > gapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = flagged.groupBy(col(userCol), col("session_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__us").as("u"),
+          col(idCol).as("i"), col(typeCol).as("t")))),
+        x => x.getField("t")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
 }

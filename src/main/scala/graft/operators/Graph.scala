@@ -74,4 +74,55 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
   }
+
+  /** HITS hubs & authorities (Kleinberg), exact-integer power sweeps.
+    *
+    * Each sweep: authority = Σ hub over in-edges, hub = Σ authority over
+    * out-edges — the standard mutual recursion — followed by
+    * MAX-normalization in fixed point (`(x · scale) div max(x)`) instead
+    * of the textbook L2 norm: the L2 norm's sqrt+divide is
+    * engine-dependent float math, while max-normalization keeps every
+    * intermediate an exact 64-bit integer (so results are bit-identical
+    * under any partitioning) and preserves the score ORDERING, which is
+    * what ranking consumers use. Like [[pageRankInt]], the whole
+    * computation is one lazy plan — the per-sweep maxima are 1-row
+    * broadcast frames, not driver actions.
+    *
+    * Scale shape per sweep: two shuffle join+agg rounds (in-edges, then
+    * out-edges) over the persisted edge table.
+    */
+  def hitsInt(edges0: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && scale > 0)
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    def renorm(raw: DataFrame, valCol: String): DataFrame = {
+      // (x * scale) div max(x): max > 0 whenever the graph has edges
+      val mx = broadcast(raw.agg(max(col(valCol)).as("__mx")))
+      raw.crossJoin(mx)
+        .select(col("node"),
+          expr(s"($valCol * ${scale}L) div __mx").as(valCol))
+    }
+    var hub = nodes.select(col("node"), lit(scale).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = nodes.join(
+          edges.join(hub, edges("src") === hub("node"))
+            .groupBy(col("dst")).agg(sum("h").as("a_raw")),
+          nodes("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("a_raw"), lit(0L)).as("a"))
+      auth = renorm(aRaw, "a")
+      val hRaw = nodes.join(
+          edges.join(auth, edges("dst") === auth("node"))
+            .groupBy(col("src")).agg(sum("a").as("h_raw")),
+          nodes("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("h_raw"), lit(0L)).as("h"))
+      hub = renorm(hRaw, "h")
+    }
+    auth.select(col("node"), col("a").as("auth_fp"))
+      .join(hub.select(col("node"), col("h").as("hub_fp")), Seq("node"))
+  }
 }

@@ -260,6 +260,38 @@ object Multimodal {
     })
   }
 
+  /** Near-duplicate images by Hamming distance over [[ahash]] bits:
+    * 4×16-bit pigeonhole chunks (complete for `maxDist` ≤ 3 — any two
+    * hashes within distance 3 agree exactly on at least one chunk), so
+    * candidates come from an equality join on chunk keys, never an
+    * all-pairs product; survivors verify with two codegen'd
+    * `bit_count(xor)` — the [[graft.operators.Dedup.simhashNearDups]]
+    * machinery applied to perceptual image hashes.
+    */
+  def ahashNearDups(hashes: DataFrame, idCol: String = "media_id",
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4,
+      "4x16-bit pigeonhole chunks are complete for maxDist <= 3")
+    val keyed = hashes.select(col(idCol).as("id"),
+      col("hash_hi"), col("hash_lo"),
+      explode(array((0 until 4).map { c =>
+        val src = if (c < 2) col("hash_lo") else col("hash_hi")
+        concat_ws("_", lit(c),
+          shiftright(src, (c % 2) * 16).bitwiseAND(lit(0xFFFFL)))
+      }: _*)).as("bkey"))
+    val a = keyed.select(col("id").as("id_a"), col("hash_hi").as("hi_a"),
+      col("hash_lo").as("lo_a"), col("bkey"))
+    val b = keyed.select(col("id").as("id_b"), col("hash_hi").as("hi_b"),
+      col("hash_lo").as("lo_b"), col("bkey"))
+    a.join(b, Seq("bkey")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+      .where(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Deterministic PCM WAV corpus: sample `j` of clip `id` is
     * `((id*13 + j*37) mod 65536) - 32768` (full s16 range incl. the
     * -32768 edge), encoded little-endian into a real RIFF layout.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Clusters, Dedup, Graph, Merge, Multimodal, Sampling, Search, Similarity, Sketches, TemporalJoins}
+import graft.operators.{Clusters, Dedup, Funnel, Graph, Merge, Multimodal, Sampling, Search, Similarity, Sketches, TemporalJoins}
 import graft.sources.Tables
 
 /** Round-3 analytics surface: time-series joins (as-of, banded range),
@@ -24,6 +24,31 @@ object AnalyticsQueries {
 
   /** Shared md5-60 oracle contract (single copy in ExtensionQueries). */
   private def h60(expr: String): String = ExtensionQueries.md5Hash60Sql(expr)
+
+  /** CTE chain replaying the BMP generator arithmetic through the aHash
+    * 8×8 grid sample + mean threshold; ends with `hh(doc_id, hash_hi,
+    * hash_lo)` (plus `m` for dimensions and `t` for the gray sum).
+    * Shared by the `image_ahash` and `image_phash_pairs` oracles.
+    */
+  private val ahashCtes: String =
+    """m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |           FROM documents),
+      |cells AS (SELECT doc_id, w, h, (r8 * 8 + c8) AS k,
+      |    3 * (((r8 * h) // 8) * w + ((c8 * w) // 8)) AS base
+      |  FROM m CROSS JOIN range(0, 8) rr(r8) CROSS JOIN range(0, 8) cc(c8)),
+      |g AS (SELECT doc_id, w, h, k,
+      |    ((doc_id*31 + base*7) % 256 + (doc_id*31 + (base+1)*7) % 256
+      |      + (doc_id*31 + (base+2)*7) % 256)::BIGINT AS gray
+      |  FROM cells),
+      |t AS (SELECT doc_id, sum(gray)::BIGINT AS s FROM g GROUP BY 1),
+      |bits AS (SELECT g.doc_id, g.k,
+      |    CASE WHEN 64 * g.gray > t.s THEN 1::BIGINT ELSE 0::BIGINT END AS b
+      |  FROM g JOIN t ON g.doc_id = t.doc_id),
+      |hh AS (SELECT doc_id,
+      |    sum(CASE WHEN k >= 32 THEN b << (k - 32) ELSE 0 END)::BIGINT
+      |      AS hash_hi,
+      |    sum(CASE WHEN k < 32 THEN b << k ELSE 0 END)::BIGINT AS hash_lo
+      |  FROM bits GROUP BY 1)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: each click picks up the most recent view at-or-before
@@ -212,6 +237,39 @@ object AnalyticsQueries {
       Merge.snapshotDiff(oldV, newV, Seq("o_orderkey"),
           Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("o_orderkey")
+    }),
+
+    // Clickstream path mining: gap-sessionized event-type journeys,
+    // top-20 by session count.
+    "session_paths" -> ((s, dir) =>
+      Funnel.sessionPaths(t(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type", gapSec = 1800L, k = 20)
+        .orderBy(col("n_sessions").desc, col("path"))),
+
+    // Near-duplicate images: Hamming ≤ 3 pairs over the perceptual
+    // average-hash, pigeonhole chunk join (no all-pairs product).
+    "image_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Multimodal.demoPixelCorpus(s, t(s, dir, "documents"))
+      val hashes = Multimodal.ahash(s,
+        Multimodal.shapeForDecode(corpus.toDF(), 32)
+          .as[Multimodal.MediaFile]).toDF()
+      Multimodal.ahashNearDups(hashes, "media_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // HITS hubs/authorities on the customer→supplier purchase graph
+    // (bipartite: customers are hubs, suppliers authorities), exact
+    // integer sweeps with max-normalization.
+    "graph_hits" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey"))
+      val edges = o.join(li, "ok")
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      Graph.hitsInt(edges, "src", "dst", iterations = 2).orderBy("node")
     }),
 
     // The composed curation pipeline: quality + language gate → near-dup
@@ -470,29 +528,78 @@ object AnalyticsQueries {
     // sample + mean threshold — the Spark side must get there by
     // decoding its own BMP bytes through the real row geometry.
     "image_ahash" ->
-      """WITH m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
-        |           FROM documents),
-        |cells AS (SELECT doc_id, w, h, (r8 * 8 + c8) AS k,
-        |    3 * (((r8 * h) // 8) * w + ((c8 * w) // 8)) AS base
-        |  FROM m CROSS JOIN range(0, 8) rr(r8) CROSS JOIN range(0, 8) cc(c8)),
-        |g AS (SELECT doc_id, w, h, k,
-        |    ((doc_id*31 + base*7) % 256 + (doc_id*31 + (base+1)*7) % 256
-        |      + (doc_id*31 + (base+2)*7) % 256)::BIGINT AS gray
-        |  FROM cells),
-        |t AS (SELECT doc_id, sum(gray)::BIGINT AS s FROM g GROUP BY 1),
-        |bits AS (SELECT g.doc_id, g.k,
-        |    CASE WHEN 64 * g.gray > t.s THEN 1::BIGINT ELSE 0::BIGINT END AS b
-        |  FROM g JOIN t ON g.doc_id = t.doc_id),
-        |hh AS (SELECT doc_id,
-        |    sum(CASE WHEN k >= 32 THEN b << (k - 32) ELSE 0 END)::BIGINT
-        |      AS hash_hi,
-        |    sum(CASE WHEN k < 32 THEN b << k ELSE 0 END)::BIGINT AS hash_lo
-        |  FROM bits GROUP BY 1)
+      s"""WITH $ahashCtes
         |SELECT m.doc_id AS media_id, m.w::BIGINT AS width,
         |  m.h::BIGINT AS height, t.s AS gray_sum, hash_hi, hash_lo
         |FROM m JOIN t ON m.doc_id = t.doc_id
         |JOIN hh ON m.doc_id = hh.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // Exhaustive-pair replay of the pigeonhole-joined Spark plan: every
+    // hash pair within Hamming 3, straight off the generator-replayed
+    // hashes.
+    "image_phash_pairs" ->
+      s"""WITH $ahashCtes,
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    (bit_count(xor(a.hash_hi, b.hash_hi))
+        |      + bit_count(xor(a.hash_lo, b.hash_lo)))::INT AS hamming
+        |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "session_paths" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |lagged AS (SELECT *, lag(us) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |flagged AS (SELECT *, CASE WHEN prev IS NULL
+        |    OR us - prev > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM lagged),
+        |sess AS (SELECT *, CAST(sum(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flagged),
+        |p AS (SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        |  FROM sess GROUP BY 1, 2),
+        |c AS (SELECT path, count(*)::BIGINT AS n_sessions FROM p GROUP BY 1)
+        |SELECT path, n_sessions FROM c
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    // Two unrolled HITS sweeps in exact integers; '//' == Spark 'div'
+    // (all operands non-negative).
+    "graph_hits" ->
+      """WITH edges AS (SELECT DISTINCT 'c' || o_custkey AS src,
+        |    's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS node FROM edges
+        |          UNION SELECT dst FROM edges),
+        |h0 AS (SELECT node, 1000000::BIGINT AS h FROM nodes),
+        |a1r AS (SELECT n.node, coalesce(x.a_raw, 0)::BIGINT AS a
+        |  FROM nodes n LEFT JOIN (SELECT e.dst, sum(h.h)::BIGINT AS a_raw
+        |    FROM edges e JOIN h0 h ON e.src = h.node GROUP BY e.dst) x
+        |  ON n.node = x.dst),
+        |ma1 AS (SELECT max(a)::BIGINT AS mx FROM a1r),
+        |a1 AS (SELECT node, ((a * 1000000) // mx)::BIGINT AS a FROM a1r, ma1),
+        |h1r AS (SELECT n.node, coalesce(x.h_raw, 0)::BIGINT AS h
+        |  FROM nodes n LEFT JOIN (SELECT e.src, sum(a1.a)::BIGINT AS h_raw
+        |    FROM edges e JOIN a1 ON e.dst = a1.node GROUP BY e.src) x
+        |  ON n.node = x.src),
+        |mh1 AS (SELECT max(h)::BIGINT AS mx FROM h1r),
+        |h1 AS (SELECT node, ((h * 1000000) // mx)::BIGINT AS h FROM h1r, mh1),
+        |a2r AS (SELECT n.node, coalesce(x.a_raw, 0)::BIGINT AS a
+        |  FROM nodes n LEFT JOIN (SELECT e.dst, sum(h1.h)::BIGINT AS a_raw
+        |    FROM edges e JOIN h1 ON e.src = h1.node GROUP BY e.dst) x
+        |  ON n.node = x.dst),
+        |ma2 AS (SELECT max(a)::BIGINT AS mx FROM a2r),
+        |a2 AS (SELECT node, ((a * 1000000) // mx)::BIGINT AS a FROM a2r, ma2),
+        |h2r AS (SELECT n.node, coalesce(x.h_raw, 0)::BIGINT AS h
+        |  FROM nodes n LEFT JOIN (SELECT e.src, sum(a2.a)::BIGINT AS h_raw
+        |    FROM edges e JOIN a2 ON e.dst = a2.node GROUP BY e.src) x
+        |  ON n.node = x.src),
+        |mh2 AS (SELECT max(h)::BIGINT AS mx FROM h2r),
+        |h2 AS (SELECT node, ((h * 1000000) // mx)::BIGINT AS h FROM h2r, mh2)
+        |SELECT a2.node, a2.a AS auth_fp, h2.h AS hub_fp
+        |FROM a2 JOIN h2 USING (node) ORDER BY node""".stripMargin,
 
     "dedup_quality_keeper" -> {
       import ExtensionQueries.{alphaRatioSql, hitsSql, punctRatioSql,

@@ -56,6 +56,51 @@ class GraphSpec extends SparkSpec {
     assert(r1 == r7)
   }
 
+  /** Serial reference for hitsInt: same integer recurrence, plain Scala. */
+  private def serialHits(edges: Seq[(String, String)], iters: Int,
+      scale: Long = 1000000L): Map[String, (Long, Long)] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = Map.empty[String, Long]
+    for (_ <- 1 to iters) {
+      val aRaw = nodes.map(n =>
+        n -> es.filter(_._2 == n).map(e => hub(e._1)).sum).toMap
+      val ma = aRaw.values.max
+      auth = aRaw.map { case (n, v) => n -> v * scale / ma }
+      val hRaw = nodes.map(n =>
+        n -> es.filter(_._1 == n).map(e => auth(e._2)).sum).toMap
+      val mh = hRaw.values.max
+      hub = hRaw.map { case (n, v) => n -> v * scale / mh }
+    }
+    nodes.map(n => n -> (auth(n), hub(n))).toMap
+  }
+
+  test("hitsInt matches the serial integer replay on a bipartite graph") {
+    import spark.implicits._
+    val es = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"), ("c3", "s1"),
+      ("c3", "s3"))
+    val got = Graph.hitsInt(es.toDF("src", "dst"), "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = serialHits(es, 2)
+    assert(got == want)
+    // s1 (3 in-edges from strong hubs) is the top authority; pure hubs
+    // carry zero authority, pure authorities zero hubness
+    assert(got("s1")._1 == 1000000L)
+    assert(got("c1")._1 == 0L && got("s1")._2 == 0L)
+  }
+
+  test("hitsInt is partition-invariant") {
+    import spark.implicits._
+    val es = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"), ("c3", "s1"),
+      ("c3", "s3"), ("c2", "s3"))
+    def run(parts: Int) =
+      Graph.hitsInt(es.toDF("src", "dst").repartition(parts),
+          "src", "dst", iterations = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) == run(7))
+  }
+
   test("supplier co-purchase graph at sf0.001: all nodes ranked, ranks positive") {
     val li = graft.sources.Tables.load(spark, sf0001, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()

@@ -185,6 +185,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ahashNearDups: close hashes pair via pigeonhole, far hashes don't") {
+    import spark.implicits._
+    val hashes = Seq(
+      (1L, 0x0000FFFF0000FFL, 0x00FF00FF00FF00FFL),
+      (2L, 0x0000FFFF0000FFL ^ 0x3L, 0x00FF00FF00FF00FFL),        // d=2 on hi
+      (3L, 0x0000FFFF0000FFL, 0x00FF00FF00FF00FFL ^ 0x500000001L), // d=3 on lo
+      (4L, 0x0000FFFF0000FFL ^ 0x0F0F0FL, 0x00FF00FF00FF00FFL),    // d=12
+      (5L, 0x0000FFFF0000FFL, 0x00FF00FF00FF00FFL)                 // d=0 dup of 1
+    ).toDF("media_id", "hash_hi", "hash_lo")
+    val got = Multimodal.ahashNearDups(hashes, "media_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.contains((1L, 2L, 2)))
+    assert(got.contains((1L, 3L, 3)))
+    assert(got.contains((1L, 5L, 0)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), s"d=12 leaked: $got")
+    // transitive closeness between 2 and 5 (same as 1-2)
+    assert(got.contains((2L, 5L, 2)))
+  }
+
   test("average-hash: flat image hashes to zero, half-split image to known bits") {
     import spark.implicits._
     import graft.operators.Containers

@@ -115,6 +115,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) > 0.0))
   }
 
+  test("sessionPaths: gap splits sessions, paths order by time, top-k counts") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      // user 1, session 1: a>b ; session 2 (2h later): c
+      (101L, 1L, "a", ts(0)), (102L, 1L, "b", ts(10)), (103L, 1L, "c", ts(130)),
+      // user 2, one session: a>b (same timestamps, id tie-break inside)
+      (201L, 2L, "a", ts(5)), (202L, 2L, "b", ts(5)),
+      // user 3, one session: c
+      (301L, 3L, "c", ts(7))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.operators.Funnel.sessionPaths(ev, "user_id", "ts",
+        "event_id", "event_type", gapSec = 1800L, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a>b" -> 2L, "c" -> 2L))
+    // k bounds output with the (count desc, path) total order
+    val top1 = graft.operators.Funnel.sessionPaths(ev, "user_id", "ts",
+        "event_id", "event_type", gapSec = 1800L, k = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("a>b"))
+  }
+
   test("snapshotDiff classifies insert/delete/update and drops unchanged") {
     val oldV = Seq(
       (1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40)
