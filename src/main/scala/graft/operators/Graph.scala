@@ -28,6 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Lazy lineage cut between sweeps: WITHOUT it, sweep k's plan embeds
+    * sweeps 1..k-1 as subplans, so whole-stage codegen compiles O(k²)
+    * stages (measured: 37 s cold / 6.4 s warm for 3 PageRank sweeps at
+    * sf0.1; ~2.5 s warm with the cut). `eager = false` keeps the
+    * operator a single lazy plan — materialization happens inside the
+    * caller's one action, each sweep reading the previous sweep's
+    * materialized blocks. Reliable checkpoint storage is used when the
+    * session has a checkpoint dir (same policy as
+    * [[Clusters.connectedComponents]]); local blocks otherwise.
+    */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+
   /** PageRank with `iterations` synchronous sweeps.
     *
     * Dangling mass (nodes with no out-edges) is dropped rather than
@@ -66,11 +81,12 @@ object Graph {
         .select(col("src"), expr("r div deg").as("c"))
       val inflow = edges.join(share, "src")
         .groupBy("dst").agg(sum("c").as("infl"))
-      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-        .crossJoin(base)
-        .select(col("node"),
-          expr(s"base_fp + (($dampNum * coalesce(infl, 0L)) div $dampDen)")
-            .as("r"))
+      ranks = truncate(
+        nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+          .crossJoin(base)
+          .select(col("node"),
+            expr(s"base_fp + (($dampNum * coalesce(infl, 0L)) div $dampDen)")
+              .as("r")))
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
   }
@@ -99,6 +115,7 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def renorm(raw: DataFrame, valCol: String): DataFrame = {
       // (x * scale) div max(x): max > 0 whenever the graph has edges
       val mx = broadcast(raw.agg(max(col(valCol)).as("__mx")))
@@ -114,13 +131,13 @@ object Graph {
             .groupBy(col("dst")).agg(sum("h").as("a_raw")),
           nodes("node") === col("dst"), "left")
         .select(col("node"), coalesce(col("a_raw"), lit(0L)).as("a"))
-      auth = renorm(aRaw, "a")
+      auth = truncate(renorm(aRaw, "a"))
       val hRaw = nodes.join(
           edges.join(auth, edges("dst") === auth("node"))
             .groupBy(col("src")).agg(sum("a").as("h_raw")),
           nodes("node") === col("src"), "left")
         .select(col("node"), coalesce(col("h_raw"), lit(0L)).as("h"))
-      hub = renorm(hRaw, "h")
+      hub = truncate(renorm(hRaw, "h"))
     }
     auth.select(col("node"), col("a").as("auth_fp"))
       .join(hub.select(col("node"), col("h").as("hub_fp")), Seq("node"))
