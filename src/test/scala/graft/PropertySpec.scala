@@ -199,4 +199,76 @@ class PropertySpec extends SparkSpec {
       assert(round == src)
     }
   }
+
+  test("snapshotDiff: diff(x, x) empty; swapping sides swaps insert/delete") {
+    import spark.implicits._
+    val rowGen3 = Gen.listOfN(3, Gen.listOfN(2, cellGen))
+    samples(rowGen3, 8).zipWithIndex.foreach { case (rows, i) =>
+      val a = rows.zipWithIndex.map { case (cs, j) => (j.toLong, cs.head, cs(1)) }
+        .toDF("k", "x", "y")
+      val b = rows.reverse.zipWithIndex
+        .map { case (cs, j) => (j.toLong + i, cs.head, cs(1)) }
+        .toDF("k", "x", "y")
+      assert(graft.operators.Merge.snapshotDiff(a, a, Seq("k"), Seq("x", "y"))
+        .count() == 0L)
+      val fwd = graft.operators.Merge.snapshotDiff(a, b, Seq("k"), Seq("x", "y"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val rev = graft.operators.Merge.snapshotDiff(b, a, Seq("k"), Seq("x", "y"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fwd.keySet == rev.keySet)
+      fwd.foreach { case (k, ct) =>
+        val want = ct match {
+          case "insert" => "delete"
+          case "delete" => "insert"
+          case other    => other
+        }
+        assert(rev(k) == want, s"key $k: fwd=$ct rev=${rev(k)}")
+      }
+    }
+  }
+
+  test("temperatureSample: total alloc bounded by budget, monotone in group size") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sizesGen = Gen.listOfN(4, Gen.choose(1, 60))
+    samples(sizesGen, 6).foreach { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (1 to n).map(i => (g.toLong * 1000 + i, s"g$g")) }
+      val df = rows.toDF("id", "grp")
+      val budget = 30L
+      val out = graft.operators.Sampling
+        .temperatureSample(df, "grp", "id", budget, "p")
+      val alloc = out.select("grp", "n_g", "alloc").distinct().collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(alloc.values.map(_._2).sum <= budget)
+      alloc.values.foreach { case (n, a) => assert(a <= n) }
+      // monotone: a strictly larger group never allocates less
+      val byN = alloc.values.toSeq.sortBy(_._1)
+      byN.zip(byN.tail).foreach { case ((n1, a1), (n2, a2)) =>
+        if (n1 < n2) assert(a1 <= a2, s"alloc not monotone: $byN") }
+      // kept rows per group == alloc
+      val counts = out.groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      alloc.foreach { case (g, (_, a)) =>
+        assert(counts.getOrElse(g, 0L) == a) }
+    }
+  }
+
+  test("pageRankInt: total mass bounded by scale, every node >= teleport base") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(1L, 8L), Gen.choose(1L, 8L))).map(_.filter(e => e._1 != e._2))
+    samples(edgeGen, 6).filter(_.nonEmpty).foreach { es =>
+      val ranks = graft.operators.Graph
+        .pageRankInt(es.toDF("src", "dst"), "src", "dst", iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = ranks.size.toLong
+      val scale = 1000000000000L
+      val base = (15L * scale / 100) / n
+      // dangling mass is dropped, integer division only rounds down:
+      // total never exceeds the unit mass, each node keeps >= teleport
+      assert(ranks.values.sum <= scale)
+      ranks.values.foreach(r => assert(r >= base))
+    }
+  }
 }
