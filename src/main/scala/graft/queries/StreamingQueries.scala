@@ -76,6 +76,16 @@ object StreamingQueries {
         .orderBy("click_id", "view_id")
     }),
 
+    // Windowed heavy hitters: per 1-day window, top-5 users by event
+    // count (streaming: stateful counts + foreachBatch rank).
+    "stream_topk_hitters" -> ((s, dir) => {
+      val counts = StreamingPipeline.windowedCounts(
+        Tables.load(s, dir, "events"), "ts", "user_id", "1 day")
+      StreamingPipeline.topKPerWindow(counts, "user_id", 5)
+        .select("window_start", "user_id", "n", "rank")
+        .orderBy("window_start", "rank")
+    }),
+
     // Gap-based sessionization (streaming: flatMapGroupsWithState).
     "stream_sessionize" -> ((s, dir) =>
       StreamingPipeline.sessionizeBatch(
@@ -85,6 +95,16 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_topk_hitters" ->
+      """WITH c AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP))
+        |    AS window_start, user_id, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, user_id, n, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY window_start ORDER BY n DESC, user_id) AS rank
+        |  FROM c) r
+        |WHERE rank <= 5 ORDER BY window_start, rank""".stripMargin,
+
     "stream_tumbling_agg" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, count(*) AS n_events,

@@ -91,6 +91,34 @@ object StreamingPipeline {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Per-window per-key counts — the STATEFUL half of windowed heavy
+    * hitters, a single shared Column program batch and stream (state per
+    * window is O(#distinct keys), bounded under a watermark exactly like
+    * [[tumblingAggWatermarked]]).
+    */
+  def windowedCounts(df: DataFrame, tsCol: String, keyCol: String,
+      width: String = "1 day"): DataFrame =
+    df.groupBy(window(col(tsCol), width).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("n"))
+
+  /** The STATELESS rank half of windowed heavy hitters, applied to the
+    * materialized [[windowedCounts]] aggregate: per window, the top-k
+    * keys by count. Rank-over-stream is not expressible in Append mode,
+    * so streaming deployments run this inside `foreachBatch` (or over
+    * the sink table) — the counts stage carries all the streaming state;
+    * this stage is a bounded-heap top-k plus a row_number over ≤ k rows
+    * per window. StreamingSpec proves counts-then-rank behind
+    * `readStream` equals the one-shot batch program.
+    */
+  def topKPerWindow(counts: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perKey(counts, Seq("window_start"),
+      Seq(col("n").desc, col(keyCol).asc), k)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start").orderBy(col("n").desc, col(keyCol).asc)))
+  }
+
   /** Stream-static enrichment: join the event stream to slow-changing
     * dimension tables. Each dim is explicitly `broadcast()` — the static
     * side ships to every executor once per batch and the stream side

@@ -103,6 +103,26 @@ class StreamingSpec extends SparkSpec {
       batch.collect().map(_.toSeq).toSet)
   }
 
+  test("windowed heavy hitters: streamed counts + rank equals one-shot batch") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val events = Tables.load(spark, sf0001, "events")
+    val batch = StreamingPipeline.topKPerWindow(
+      StreamingPipeline.windowedCounts(events, "ts", "user_id", "1 day"),
+      "user_id", 5)
+    // stateful half behind readStream, stateless rank on the sink table
+    val counts = StreamingPipeline.windowedCounts(
+      StreamingPipeline.streamTable(spark, sf0001, "events"),
+      "ts", "user_id", "1 day")
+    val q = counts.writeStream.format("memory").queryName("hitters_counts")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = StreamingPipeline.topKPerWindow(
+      spark.table("hitters_counts"), "user_id", 5)
+    assert(streamed.collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet)
+    assert(batch.count() > 0)
+  }
+
   test("stream-static enrich: streaming equals batch, dims broadcast") {
     import org.apache.spark.sql.functions.{broadcast => _, _}
     def dims = Seq(
