@@ -41,4 +41,46 @@ object Anomaly {
       .where(abs(col("z")) > lit(threshold))
       .drop("__v", "__cnt", "__s", "__ss")
   }
+
+  /** Cumulative-deviation drift detection (V-mask-style CUSUM, no
+    * reset): per group, the point where the running sum deviates most
+    * from the group's mean trend — `argmax_i |Σ_{j≤i} v_j − i·mean|` —
+    * flagging level shifts that per-point z-scores miss.
+    *
+    * Exactness: the deviation is kept as the INTEGER `n·prefix_i − i·S`
+    * (multiplying through by n avoids the mean division), prefix sums
+    * run over the totalized `(ts, id)` order, and the argmax is one
+    * struct-max aggregation with `(|raw|, −id)` — so the result is
+    * bit-identical under any partitioning and replayable in SQL. The
+    * reported `drift` rescales to value units (`raw / (n·scale)`) with
+    * a single double division.
+    *
+    * Scale shape: one window shuffle (per-group prefix sums), a
+    * broadcast of the per-group (n, S) moments, one struct-max
+    * aggregation. The event side shuffles once.
+    */
+  def cusumDrift(df: DataFrame, valueCol: String, tsCol: String,
+      idCol: String, groupCols: Seq[String],
+      scale: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.withColumn("__v", round(col(valueCol) * lit(scale)).cast("long"))
+      .withColumn("__us", unix_micros(col(tsCol)))
+    val stats = v.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__us").asc, col(idCol).asc)
+    val pre = v
+      .withColumn("__p", sum(col("__v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__i", row_number().over(w).cast("long"))
+    val sc = pre.join(broadcast(stats), groupCols)
+      .withColumn("__raw", col("__n") * col("__p") - col("__i") * col("__s"))
+    val best = sc.groupBy(groupCols.map(col): _*)
+      .agg(max(struct(abs(col("__raw")).as("a"), (-col(idCol)).as("ni"),
+        col("__raw").as("r"), col("__n").as("n"))).as("__b"))
+    best.select(groupCols.map(col) ++ Seq(
+      (-col("__b.ni")).as("at_event"),
+      round(col("__b.r").cast("double") /
+        (col("__b.n") * lit(scale)).cast("double"), 6).as("drift")): _*)
+  }
 }

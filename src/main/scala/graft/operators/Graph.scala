@@ -56,7 +56,8 @@ object Graph {
     */
   def pageRankInt(edges0: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, dampNum: Long = 85, dampDen: Long = 100,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      truncateLineage: Boolean = true): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen)
     val edges = edges0
       .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
@@ -81,12 +82,12 @@ object Graph {
         .select(col("src"), expr("r div deg").as("c"))
       val inflow = edges.join(share, "src")
         .groupBy("dst").agg(sum("c").as("infl"))
-      ranks = truncate(
-        nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-          .crossJoin(base)
-          .select(col("node"),
-            expr(s"base_fp + (($dampNum * coalesce(infl, 0L)) div $dampDen)")
-              .as("r")))
+      val swept = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .crossJoin(base)
+        .select(col("node"),
+          expr(s"base_fp + (($dampNum * coalesce(infl, 0L)) div $dampDen)")
+            .as("r"))
+      ranks = if (truncateLineage) truncate(swept) else swept
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
   }
@@ -108,7 +109,8 @@ object Graph {
     * out-edges) over the persisted edge table.
     */
   def hitsInt(edges0: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 2, scale: Long = 1000000L): DataFrame = {
+      iterations: Int = 2, scale: Long = 1000000L,
+      truncateLineage: Boolean = true): DataFrame = {
     require(iterations >= 1 && scale > 0)
     val edges = edges0
       .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
@@ -131,13 +133,15 @@ object Graph {
             .groupBy(col("dst")).agg(sum("h").as("a_raw")),
           nodes("node") === col("dst"), "left")
         .select(col("node"), coalesce(col("a_raw"), lit(0L)).as("a"))
-      auth = truncate(renorm(aRaw, "a"))
+      auth = renorm(aRaw, "a")
+      if (truncateLineage) auth = truncate(auth)
       val hRaw = nodes.join(
           edges.join(auth, edges("dst") === auth("node"))
             .groupBy(col("src")).agg(sum("a").as("h_raw")),
           nodes("node") === col("src"), "left")
         .select(col("node"), coalesce(col("h_raw"), lit(0L)).as("h"))
-      hub = truncate(renorm(hRaw, "h"))
+      hub = renorm(hRaw, "h")
+      if (truncateLineage) hub = truncate(hub)
     }
     auth.select(col("node"), col("a").as("auth_fp"))
       .join(hub.select(col("node"), col("h").as("hub_fp")), Seq("node"))

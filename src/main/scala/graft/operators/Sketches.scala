@@ -260,4 +260,24 @@ object Sketches {
       // A missing cell means nothing hashed there: count 0.
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
+
+  /** Join-cardinality estimate via Count-Min inner products
+    * (Cormode–Muthukrishnan sketch algebra): `|A ⋈ B on key| =
+    * Σ_k c_A(k)·c_B(k)`, estimated as `min_d Σ_b A[d][b]·B[d][b]`.
+    * Hash collisions only ADD cross terms, so the estimate never
+    * under-counts — the safe direction for an optimizer deciding
+    * whether a join output fits a broadcast. All arithmetic is exact
+    * integers; the two sketches are depth×width rows each, so after the
+    * two corpus scans the estimate itself is broadcast-sized work.
+    */
+  def cmsJoinCardinality(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String, depth: Int = 4, width: Int = 256,
+      hashFn: Column => Column = TextOps.md5Hash60): DataFrame = {
+    val sa = cmsSketch(a, aKey, depth, width, hashFn)
+    val sb = cmsSketch(b, bKey, depth, width, hashFn)
+    sa.select(col("d"), col("b"), col("cnt").as("ca"))
+      .join(sb.select(col("d"), col("b"), col("cnt").as("cb")), Seq("d", "b"))
+      .groupBy("d").agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(min("dot").as("join_card_est"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Clusters, Dedup, Funnel, Graph, Merge, Multimodal, Sampling, Search, Similarity, Sketches, TemporalJoins}
+import graft.operators.{Anomaly, Clusters, Dedup, Funnel, Graph, Merge, Multimodal, Sampling, Search, Similarity, Sketches, TemporalJoins}
 import graft.sources.Tables
 
 /** Round-3 analytics surface: time-series joins (as-of, banded range),
@@ -271,6 +271,26 @@ object AnalyticsQueries {
           concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
       Graph.hitsInt(edges, "src", "dst", iterations = 2).orderBy("node")
     }),
+
+    // Join-cardinality estimation via CMS inner products (never
+    // under-counts), next to the exact count for calibration.
+    "sketch_join_card" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val est = Sketches.cmsJoinCardinality(li, "l_orderkey",
+        o, "o_orderkey")
+      val truth = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("true_card"))
+      est.crossJoin(truth)
+    }),
+
+    // Cumulative-deviation drift point per user (V-mask CUSUM): the
+    // event where the running value sum strays furthest from the mean
+    // trend.
+    "anomaly_cusum" -> ((s, dir) =>
+      Anomaly.cusumDrift(t(s, dir, "events"), "value", "ts",
+          "event_id", Seq("user_id"))
+        .orderBy("user_id")),
 
     // The composed curation pipeline: quality + language gate → near-dup
     // cluster keepers → deterministic per-source cap. Each stage is an
@@ -688,6 +708,44 @@ object AnalyticsQueries {
          |       WHEN oldv.h != newv.h THEN 'update' END) IS NOT NULL
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    "sketch_join_card" ->
+      s"""WITH ha AS (SELECT ${h60("l_orderkey::VARCHAR")} AS h FROM lineitem),
+         |ea AS (SELECT d, (h % 1073741824 + d * (h >> 30)) % 256 AS b
+         |       FROM ha CROSS JOIN range(0, 4) r(d)),
+         |sa AS (SELECT d, b, count(*)::BIGINT AS ca FROM ea GROUP BY 1, 2),
+         |hb AS (SELECT ${h60("o_orderkey::VARCHAR")} AS h FROM orders),
+         |eb AS (SELECT d, (h % 1073741824 + d * (h >> 30)) % 256 AS b
+         |       FROM hb CROSS JOIN range(0, 4) r(d)),
+         |sb AS (SELECT d, b, count(*)::BIGINT AS cb FROM eb GROUP BY 1, 2),
+         |dots AS (SELECT sa.d, sum(ca * cb)::BIGINT AS dot
+         |  FROM sa JOIN sb ON sa.d = sb.d AND sa.b = sb.b GROUP BY 1),
+         |e AS (SELECT min(dot)::BIGINT AS join_card_est FROM dots),
+         |tc AS (SELECT count(*)::BIGINT AS true_card
+         |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         |SELECT join_card_est, true_card FROM e, tc""".stripMargin,
+
+    "anomaly_cusum" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    round(value * 100)::BIGINT AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |st AS (SELECT user_id, count(*)::BIGINT AS n, sum(v)::BIGINT AS s
+        |       FROM e GROUP BY 1),
+        |pre AS (SELECT user_id, event_id, us,
+        |    sum(v) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS p,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id)::BIGINT AS i FROM e),
+        |sc AS (SELECT pre.user_id, event_id,
+        |    (n * p - i * s)::BIGINT AS raw, n
+        |  FROM pre JOIN st USING (user_id)),
+        |b AS (SELECT user_id, event_id AS at_event, raw, n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY abs(raw) DESC, event_id) AS rn FROM sc) r
+        |  WHERE rn = 1)
+        |SELECT user_id, at_event,
+        |  round(raw::DOUBLE / (n * 100)::DOUBLE, 6) AS drift
+        |FROM b ORDER BY user_id""".stripMargin,
 
     "corpus_curate" -> {
       import ExtensionQueries.{alphaRatioSql, cjkRatioSql, hitsSql,

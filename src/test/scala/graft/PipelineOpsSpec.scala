@@ -115,6 +115,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) > 0.0))
   }
 
+  test("cusumDrift finds the planted level shift, partition-invariant") {
+    import java.sql.Timestamp
+    def ts(i: Int) = new Timestamp(1700000000000L + i * 60000L)
+    // user 1: value 10 for 10 events, then 20 for 10 events — the
+    // cumulative deviation |n·p − i·S| peaks exactly at the shift
+    val rows = (1 to 10).map(i => (i.toLong, 1L, 10.0, ts(i))) ++
+      (11 to 20).map(i => (i.toLong, 1L, 20.0, ts(i)))
+    val df = rows.toDF("event_id", "user_id", "value", "ts")
+    val got = graft.operators.Anomaly
+      .cusumDrift(df, "value", "ts", "event_id", Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1)
+    assert(got.head._2 == 10L, s"drift peak should be at the shift: $got")
+    // hand replay: mean = 15, prefix at i=10 is 100 -> p - i·mean = -50
+    assert(math.abs(got.head._3 - (-50.0)) < 1e-9)
+    val again = graft.operators.Anomaly
+      .cusumDrift(df.repartition(7), "value", "ts", "event_id", Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("sessionPaths: gap splits sessions, paths order by time, top-k counts") {
     import java.sql.Timestamp
     def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)

@@ -98,4 +98,27 @@ class SketchesSpec extends SparkSpec {
     assert(hll.columns.toSeq == Seq("m", "n_exact", "hll_est"))
     assert(hll.head().getInt(0) == 32)
   }
+
+  test("CMS join cardinality: never under-counts, exact when collision-free") {
+    import spark.implicits._
+    // a: key k repeated k times (k=1..8); b: each key once + misses
+    val a = (1 to 8).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val b = ((1 to 8) ++ Seq(100, 101)).map(_.toLong).toDF("k")
+    val truth = (1 to 8).map(_.toLong).sum // Σ k·1 = 36
+    // wide sketch: 10 distinct keys over 4×1024 cells -> collisions
+    // are overwhelmingly unlikely; est should be exact
+    val est = Sketches.cmsJoinCardinality(a, "k", b, "k",
+      depth = 4, width = 1024).head().getLong(0)
+    assert(est == truth, s"est $est != $truth")
+    // narrow sketch: collisions allowed, but never an under-count
+    val estNarrow = Sketches.cmsJoinCardinality(a, "k", b, "k",
+      depth = 2, width = 4).head().getLong(0)
+    assert(estNarrow >= truth)
+    // fixture-scale sanity: lineitem ⋈ orders
+    val o = Tables.load(spark, sf0001, "orders")
+    val est2 = Sketches.cmsJoinCardinality(li, "l_orderkey",
+      o, "o_orderkey").head().getLong(0)
+    val true2 = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    assert(est2 >= true2)
+  }
 }
