@@ -146,4 +146,33 @@ object Graph {
     auth.select(col("node"), col("a").as("auth_fp"))
       .join(hub.select(col("node"), col("h").as("hub_fp")), Seq("node"))
   }
+
+  /** Multi-source BFS: hop distance from the nearest seed, bounded at
+    * `maxDepth` sweeps — "how far is every page from a trusted seed
+    * set", the TrustRank-style proximity signal curation uses to weight
+    * crawled documents. Nodes unreached within `maxDepth` hops are
+    * absent from the output (their distance is unknown, not ∞).
+    *
+    * Each sweep is one join + one min-aggregation — all integers, so
+    * results are partition-invariant; per-sweep lineage is cut the same
+    * way as [[pageRankInt]].
+    */
+  def bfsDepth(edges0: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxDepth: Int = 3,
+      truncateLineage: Boolean = true): DataFrame = {
+    require(maxDepth >= 1)
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var depth = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("depth", lit(0L))
+    for (d <- 1 to maxDepth) {
+      val next = depth.join(edges, depth("node") === edges("src"))
+        .select(col("dst").as("node"), lit(d.toLong).as("depth"))
+      val swept = depth.union(next)
+        .groupBy("node").agg(min("depth").as("depth"))
+      depth = if (truncateLineage) truncate(swept) else swept
+    }
+    depth
+  }
 }

@@ -114,4 +114,33 @@ object Search {
         .partitionBy(col(idCol))
         .orderBy(col("score_fp").desc, col("term").asc)))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval combiner: each input ranking contributes
+    * `scale div (c + rank)` per (query, doc), summed across rankings.
+    * RRF uses only RANKS, so a BM25 list and a cosine-ANN list fuse
+    * without score calibration; the floor division keeps every
+    * contribution an exact integer (order-free sums, engine-exact).
+    *
+    * Scale shape: union of k-bounded ranking tables (tiny — k rows per
+    * query per ranking) → one (query, doc) aggregation → bounded-heap
+    * top-k. The expensive work happened upstream in the retrievers.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, idCol: String,
+      k: Int, c: Long = 60L, scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty && c >= 0 && scale > 0)
+    val unioned = rankings
+      .map(_.select(col(queryCol), col(idCol), col("rank")))
+      .reduce(_ unionByName _)
+    val scored = unioned
+      .withColumn("__contrib", expr(s"${scale}L div (${c}L + rank)"))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(sum("__contrib").as("rrf_fp"))
+    val top = graft.plans.TopK.perKey(scored, Seq(queryCol),
+      Seq(col("rrf_fp").desc, col(idCol).asc), k)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col(queryCol))
+        .orderBy(col("rrf_fp").desc, col(idCol).asc)))
+  }
 }

@@ -292,6 +292,36 @@ object AnalyticsQueries {
           "event_id", Seq("user_id"))
         .orderBy("user_id")),
 
+    // Hybrid retrieval: BM25 lexical top-10 fused with cosine dense
+    // top-10 by reciprocal-rank fusion (rank-only, calibration-free).
+    "search_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val lexical = Search.bm25TopK(t(s, dir, "documents"), "doc_id",
+          "text", PipelineQueries.bm25Terms.toDF("query_id", "term"), k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(e,
+          e.where(col("vec_id") <= 2), "vec_id", "embedding", k = 10)
+        .select(col("query_id").cast("int").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      Search.rrfFuse(Seq(lexical, dense), "query_id", "doc_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Multi-source BFS: hop distance from part-1's suppliers over the
+    // supplier co-purchase graph (TrustRank-style seed proximity).
+    "graph_bfs_depth" -> ((s, dir) => {
+      val li = tc(s, dir, "lineitem")
+      val pairs = li.select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk")).distinct()
+      val edges = pairs.toDF("ok", "src").join(pairs.toDF("ok", "dst"), "ok")
+        .where(col("src") =!= col("dst")).select("src", "dst")
+      val seeds = li.where(col("l_partkey") === 1)
+        .select(col("l_suppkey").as("node")).distinct()
+      Graph.bfsDepth(edges, "src", "dst", seeds, "node", maxDepth = 3)
+        .orderBy("node")
+    }),
+
     // The composed curation pipeline: quality + language gate → near-dup
     // cluster keepers → deterministic per-source cap. Each stage is an
     // operator checked standalone elsewhere; this query checks their
@@ -746,6 +776,53 @@ object AnalyticsQueries {
         |SELECT user_id, at_event,
         |  round(raw::DOUBLE / (n * 100)::DOUBLE, 6) AS drift
         |FROM b ORDER BY user_id""".stripMargin,
+
+    "search_hybrid_rrf" -> {
+      val cos = ExtensionQueries.cosineSql("q.v", "c.v")
+      s"""WITH ${PipelineQueries.bm25RankedCte},
+         |lex AS (SELECT query_id, doc_id, rank FROM ranked
+         |        WHERE rank <= 10),
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qv AS (SELECT vec_id, v FROM ev WHERE vec_id <= 2),
+         |dsc AS (SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+         |    round($cos, 6) AS cos
+         |  FROM qv q JOIN ev c ON q.vec_id != c.vec_id),
+         |den AS (SELECT qid::INT AS query_id, doc_id, rank FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY cos DESC, doc_id) AS rank
+         |    FROM dsc) r
+         |  WHERE rank <= 10),
+         |u AS (SELECT * FROM lex UNION ALL SELECT * FROM den),
+         |f AS (SELECT query_id, doc_id,
+         |    sum(1000000::BIGINT // (60 + rank))::BIGINT AS rrf_fp
+         |  FROM u GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rrf_fp, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_fp DESC, doc_id) AS rank
+         |  FROM f) r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "graph_bfs_depth" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |            FROM lineitem),
+        |edges AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |          FROM li a JOIN li b ON a.ok = b.ok AND a.sk != b.sk),
+        |d0 AS (SELECT DISTINCT l_suppkey AS node, 0::BIGINT AS depth
+        |       FROM lineitem WHERE l_partkey = 1),
+        |n1 AS (SELECT e.dst AS node, 1::BIGINT AS depth
+        |       FROM edges e JOIN d0 ON e.src = d0.node),
+        |d1 AS (SELECT node, min(depth)::BIGINT AS depth FROM (
+        |    SELECT * FROM d0 UNION ALL SELECT * FROM n1) u GROUP BY 1),
+        |n2 AS (SELECT e.dst AS node, 2::BIGINT AS depth
+        |       FROM edges e JOIN d1 ON e.src = d1.node),
+        |d2 AS (SELECT node, min(depth)::BIGINT AS depth FROM (
+        |    SELECT * FROM d1 UNION ALL SELECT * FROM n2) u GROUP BY 1),
+        |n3 AS (SELECT e.dst AS node, 3::BIGINT AS depth
+        |       FROM edges e JOIN d2 ON e.src = d2.node),
+        |d3 AS (SELECT node, min(depth)::BIGINT AS depth FROM (
+        |    SELECT * FROM d2 UNION ALL SELECT * FROM n3) u GROUP BY 1)
+        |SELECT node, depth FROM d3 ORDER BY node""".stripMargin,
 
     "corpus_curate" -> {
       import ExtensionQueries.{alphaRatioSql, cjkRatioSql, hitsSql,

@@ -26,10 +26,40 @@ object PipelineQueries {
     Tables.rebalanceForCompute(t(s, dir, name))
 
   /** The fixture-vocabulary benchmark queries for BM25 (term rows). */
-  private val bm25Terms: Seq[(Int, String)] = Seq(
+  private[queries] val bm25Terms: Seq[(Int, String)] = Seq(
     0 -> "hash", 0 -> "join",
     1 -> "window", 1 -> "stream", 1 -> "agg",
     2 -> "slow")
+
+  /** The BM25 oracle CTE chain up to `ranked(query_id, doc_id, micro,
+    * rank)` — ONE copy of the rational-idf replay, shared by the
+    * `search_bm25` and `search_hybrid_rrf` oracles.
+    */
+  private[queries] def bm25RankedCte: String = {
+    val values = bm25Terms
+      .map { case (q, tm) => s"($q, '$tm')" }.mkString(", ")
+    s"""q(query_id, term) AS (VALUES $values),
+       |d AS (SELECT doc_id, ${ExtensionQueries.toksSql} AS toks
+       |      FROM documents),
+       |dl AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS s FROM dl),
+       |tf AS (SELECT doc_id, dl, tok AS term, count(*) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+       |       WHERE tok IN (SELECT DISTINCT term FROM q)
+       |       GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT q.query_id, tf.doc_id,
+       |    round(((2 * n - 2 * df + 1) * 22 * tf.tf * s)::DOUBLE /
+       |      ((2 * df + 1) * (10 * tf.tf * s + 3 * s + 9 * tf.dl * n))::DOUBLE
+       |      * 1000000.0)::BIGINT AS micro
+       |  FROM q JOIN tf ON q.term = tf.term
+       |  JOIN dfreq ON tf.term = dfreq.term, stats),
+       |agg AS (SELECT query_id, doc_id, sum(micro) AS micro
+       |        FROM scored GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, doc_id, micro, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY micro DESC, doc_id) AS rank
+       |  FROM agg)""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Semi-structured extraction: schema'd from_json over the props
@@ -493,29 +523,7 @@ object PipelineQueries {
         |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
 
     "search_bm25" -> {
-      val values = bm25Terms
-        .map { case (q, tm) => s"($q, '$tm')" }.mkString(", ")
-      s"""WITH q(query_id, term) AS (VALUES $values),
-         |d AS (SELECT doc_id, ${ExtensionQueries.toksSql} AS toks
-         |      FROM documents),
-         |dl AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
-         |stats AS (SELECT count(*) AS n, sum(dl) AS s FROM dl),
-         |tf AS (SELECT doc_id, dl, tok AS term, count(*) AS tf
-         |       FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
-         |       WHERE tok IN (SELECT DISTINCT term FROM q)
-         |       GROUP BY 1, 2, 3),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |scored AS (SELECT q.query_id, tf.doc_id,
-         |    round(((2 * n - 2 * df + 1) * 22 * tf.tf * s)::DOUBLE /
-         |      ((2 * df + 1) * (10 * tf.tf * s + 3 * s + 9 * tf.dl * n))::DOUBLE
-         |      * 1000000.0)::BIGINT AS micro
-         |  FROM q JOIN tf ON q.term = tf.term
-         |  JOIN dfreq ON tf.term = dfreq.term, stats),
-         |agg AS (SELECT query_id, doc_id, sum(micro) AS micro
-         |        FROM scored GROUP BY 1, 2),
-         |ranked AS (SELECT query_id, doc_id, micro, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY micro DESC, doc_id) AS rank
-         |  FROM agg)
+      s"""WITH $bm25RankedCte
          |SELECT query_id, doc_id, round(micro / 1000000.0, 6) AS score, rank
          |FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin

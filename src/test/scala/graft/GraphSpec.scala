@@ -101,6 +101,22 @@ class GraphSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("bfsDepth: min-hop from nearest seed, unreached nodes absent") {
+    import spark.implicits._
+    // chain 1->2->3->4->5, seed {1}; 6->7 disconnected
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsDepth(es.toDF("src", "dst"), "src", "dst",
+        seeds, "node", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // two seeds: nearest wins
+    val got2 = Graph.bfsDepth(es.toDF("src", "dst"), "src", "dst",
+        Seq(1L, 4L).toDF("node"), "node", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L, 5L -> 1L))
+  }
+
   test("supplier co-purchase graph at sf0.001: all nodes ranked, ranks positive") {
     val li = graft.sources.Tables.load(spark, sf0001, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()

@@ -115,6 +115,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) > 0.0))
   }
 
+  test("rrfFuse: both-list docs beat single-list docs, exact integer scores") {
+    val lex = Seq((0, 10L, 1), (0, 11L, 2), (0, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val den = Seq((0, 11L, 1), (0, 13L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Search.rrfFuse(Seq(lex, den), "query_id", "doc_id", k = 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getInt(3))).toMap
+    // doc 11: ranks 2 (lex) + 1 (den) = 1000000/62 + 1000000/61
+    assert(got(11L)._1 == 1000000L / 62 + 1000000L / 61)
+    assert(got(11L)._2 == 1) // fused winner despite topping neither... both
+    assert(got(10L)._1 == 1000000L / 61)
+    // single-list docs trail the both-list doc
+    assert(got(10L)._2 == 2 && got(13L)._2 == 3 && got(12L)._2 == 4)
+  }
+
   test("cusumDrift finds the planted level shift, partition-invariant") {
     import java.sql.Timestamp
     def ts(i: Int) = new Timestamp(1700000000000L + i * 60000L)
