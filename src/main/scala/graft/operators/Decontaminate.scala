@@ -49,4 +49,39 @@ object Decontaminate {
         round(col("n_contaminated") / col("n_grams"), 6).as("contam_frac"),
         (col("n_contaminated") > 0).as("contaminated"))
   }
+
+  /** Semantic (embedding-space) decontamination — the companion to the
+    * n-gram test above: flag corpus vectors whose cosine similarity to
+    * ANY benchmark vector reaches `threshold`, reporting the best
+    * match. Catches paraphrased/reworded benchmark leakage that exact
+    * n-gram overlap misses (the published recipe behind
+    * embedding-based contamination audits).
+    *
+    * Scale shape: mirrors [[overlap]] — the benchmark side is tiny
+    * (eval suites vs a 100 TB corpus) and explicitly `broadcast()`;
+    * the corpus is scanned once in place, scored against the broadcast
+    * vectors in a codegen'd dot product, thresholded EARLY (before any
+    * aggregation state), and reduced per corpus id by a hash-aggregate
+    * `max_by` — no window sort, no corpus shuffle beyond the per-id
+    * combine of already-filtered survivors.
+    */
+  def semantic(corpus: DataFrame, bench: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    import graft.expressions.VecOps
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("c_vec"),
+      VecOps.norm(col(vecCol)).as("c_nrm"))
+    val b = broadcast(bench.select(col(idCol).as("bench_id"),
+      col(vecCol).as("b_vec"), VecOps.norm(col(vecCol)).as("b_nrm")))
+    c.join(b)
+      .withColumn("cos", round(
+        VecOps.dot(col("c_vec"), col("b_vec")) / (col("c_nrm") * col("b_nrm")), 6))
+      .where(col("cos") >= lit(threshold))
+      .groupBy("id")
+      // best benchmark match; cos ties break on the SMALLEST bench id
+      // (negated in the ordering struct) to mirror the oracle's
+      // `ORDER BY cos DESC, bench_id` rank
+      .agg(max_by(struct(col("bench_id"), col("cos")),
+        struct(col("cos"), -col("bench_id"))).as("m"))
+      .select(col("id"), col("m.bench_id").as("bench_id"), col("m.cos").as("cos"))
+  }
 }

@@ -34,4 +34,36 @@ object Quality {
       .where(size(col("violations")) > 0)
       .select(idCols.map(col) :+ col("violations"): _*)
   }
+
+  /** Blocklist audit — the banned-term filter every web-corpus pipeline
+    * runs before training: per document, the whole-word hit count
+    * against `terms`, the distinct matched terms (sorted,
+    * comma-joined), and a keep/flag/drop action (`drop` at ≥ `dropAt`
+    * hits, `flag` at ≥ `flagAt`).
+    *
+    * Scale shape: the blocklist is a literal array inside one
+    * codegen'd narrow projection — no join, no shuffle, no UDF; the
+    * corpus is scanned once in place. A blocklist too large for a
+    * literal (100k+ phrases) would switch to a broadcast join on
+    * exploded tokens; for the word lists actually used (hundreds of
+    * terms) the in-expression form is strictly cheaper.
+    */
+  def blocklistAudit(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], flagAt: Int = 1, dropAt: Int = 3): DataFrame = {
+    require(terms.nonEmpty && flagAt >= 1 && dropAt >= flagAt)
+    val termArr = array(terms.map(lit): _*)
+    // NULL text audits as zero hits (keep), not a NULL row
+    val hits = filter(
+      coalesce(graft.functions.TextOps.tokens(col(textCol)),
+        array().cast("array<string>")),
+      t => array_contains(termArr, t))
+    df.select(col(idCol), hits.as("__h"))
+      .select(
+        col(idCol),
+        size(col("__h")).cast("long").as("n_hits"),
+        array_join(array_sort(array_distinct(col("__h"))), ",").as("hit_terms"),
+        when(size(col("__h")) >= dropAt, lit("drop"))
+          .when(size(col("__h")) >= flagAt, lit("flag"))
+          .otherwise(lit("keep")).as("action"))
+  }
 }

@@ -221,6 +221,51 @@ object Sketches {
     * way Bloom/CMS implementations avoid d independent hash passes):
     * one md5/xxhash per row instead of `depth`, same error guarantees.
     */
+  /** Per-group [[histogramQuantiles]]: the same fixed-grid sketch with
+    * every stage keyed by `groupCol`. Group count is assumed small
+    * relative to the data (event types, languages, sources — the
+    * dashboard case), so the per-group (min, max, n) stats table is
+    * `broadcast()` back onto the scan: the big side is read once in
+    * place, binned in a narrow projection, and the only shuffle is the
+    * partial-aggregated (group, bin) count — ≤ groups × bins rows. The
+    * cumulative window then runs over that tiny table, partitioned by
+    * group (never a single global partition).
+    */
+  def histogramQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, bins: Int = 256,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    require(bins >= 2 && qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(col(groupCol).as("g"))
+      .agg(min(v).as("mn"), max(v).as("mx"), count(v).as("n"))
+    val w = (col("mx") - col("mn")) / lit(bins.toDouble)
+    val binned = graft.sources.Tables.rebalanceForCompute(
+        df.select(col(groupCol).as("g"), v.as("__v"))
+          .where(col("__v").isNotNull))
+      .join(broadcast(stats), Seq("g"))
+      .select(col("g"), when(col("mx") === col("mn"), lit(0))
+        .otherwise(least(floor((col("__v") - col("mn")) / w), lit(bins - 1)))
+        .cast("int").as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("bin").rowsBetween(Long.MinValue, 0)
+    val cum = binned.select(col("g"), col("bin"), col("cnt"),
+      sum("cnt").over(win).as("cum"))
+    val qdf = df.sparkSession.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    val picked = broadcast(qdf).crossJoin(broadcast(stats))
+      .join(cum, Seq("g"))
+      .where(col("cum") >= col("q") * col("n"))
+      .groupBy("g", "q", "mn", "mx", "n")
+      .agg(min_by(struct(col("bin"), col("cnt"), col("cum")), col("bin")).as("s"))
+    picked.select(col("g").as(groupCol), col("q"), col("n"),
+      round(when(col("mx") === col("mn"), col("mn")).otherwise(
+        col("mn") + ((col("mx") - col("mn")) / lit(bins.toDouble)) *
+          (col("s.bin") +
+            (col("q") * col("n") - (col("s.cum") - col("s.cnt"))) / col("s.cnt"))),
+        4).as("est"))
+      .orderBy(groupCol, "q")
+  }
+
   private def cmsBuckets(key: Column, depth: Int, width: Int,
       hashFn: Column => Column): Column = {
     val h = hashFn(key.cast("string"))

@@ -102,6 +102,12 @@ object AnalyticsQueries {
     "sketch_quantile" -> ((s, dir) =>
       Sketches.histogramQuantiles(t(s, dir, "lineitem"), "l_extendedprice")),
 
+    // Per-group quantile sketch: the same fixed-grid histogram, keyed
+    // by event type — per-group stats broadcast back onto one scan.
+    "sketch_quantile_by_group" -> ((s, dir) =>
+      Sketches.histogramQuantilesByGroup(t(s, dir, "events"),
+        "event_type", "value", bins = 64, qs = Seq(0.5, 0.9, 0.99))),
+
     // Count-Min frequency sketch over suppliers; point estimates vs
     // true counts for the first 20 keys.
     "sketch_cms_freq" -> ((s, dir) => {
@@ -431,6 +437,31 @@ object AnalyticsQueries {
         |      (cc.bin + (q * n - (cum - cnt)) / cnt) END, 4) AS est
         |FROM pick JOIN cc ON pick.bin = cc.bin, s
         |ORDER BY q""".stripMargin,
+
+    "sketch_quantile_by_group" ->
+      """WITH s AS (SELECT event_type AS g, min(value)::DOUBLE AS mn,
+        |    max(value)::DOUBLE AS mx, count(value) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT e.event_type AS g, CASE WHEN mx = mn THEN 0
+        |    ELSE least(floor((value::DOUBLE - mn) / ((mx - mn) / 64.0)), 63)
+        |    END::INT AS bin
+        |  FROM events e JOIN s ON e.event_type = s.g
+        |  WHERE value IS NOT NULL),
+        |c AS (SELECT g, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |cc AS (SELECT g, bin, cnt, sum(cnt) OVER (
+        |    PARTITION BY g ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c),
+        |qs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+        |pick AS (SELECT cc.g, q, min(bin) AS bin
+        |  FROM qs CROSS JOIN cc JOIN s ON cc.g = s.g
+        |  WHERE cum >= q * n GROUP BY 1, 2)
+        |SELECT pick.g AS event_type, q, n, round(CASE WHEN mx = mn THEN mn
+        |    ELSE mn + ((mx - mn) / 64.0) *
+        |      (cc.bin + (q * n - (cum - cnt)) / cnt) END, 4) AS est
+        |FROM pick
+        |JOIN cc ON pick.g = cc.g AND pick.bin = cc.bin
+        |JOIN s ON pick.g = s.g
+        |ORDER BY event_type, q""".stripMargin,
 
     "sketch_cms_freq" ->
       s"""WITH hh AS (SELECT ${h60("l_suppkey::VARCHAR")} AS h,

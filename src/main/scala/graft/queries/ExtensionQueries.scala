@@ -408,6 +408,18 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // Semantic decontamination: corpus vectors within cosine 0.35 of
+    // any benchmark vector (vec_id % 37 = 0 plays the benchmark),
+    // reporting the best match — benchmark broadcast, corpus unshuffled.
+    "decontaminate_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Decontaminate.semantic(
+          e.where(col("vec_id") % 37 =!= 0), e.where(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", threshold = 0.35)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+
     // Deterministic seed-keyed global shuffle order (epoch-0 training
     // order), dense rank without a single-partition window stage.
     "shuffle_order" -> ((s, dir) =>
@@ -901,6 +913,19 @@ object ExtensionQueries {
          |  round(n_contaminated / n_grams, 6) AS contam_frac,
          |  n_contaminated > 0 AS contaminated
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id AS bench_id, v FROM e WHERE vec_id % 37 = 0),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id % 37 != 0),
+         |sc AS (SELECT c.vec_id, b.bench_id,
+         |    round(${cosineSql("c.v", "b.v")}, 6) AS cos
+         |  FROM c CROSS JOIN b),
+         |r AS (SELECT vec_id, bench_id, cos, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
+         |  FROM sc WHERE cos >= 0.35)
+         |SELECT vec_id, bench_id, cos FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     "shuffle_order" ->
       """SELECT doc_id,

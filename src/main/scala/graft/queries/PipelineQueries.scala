@@ -467,7 +467,58 @@ object PipelineQueries {
         .orderBy(col("n_orders").desc, col("p1"), col("p2"))
         .limit(50)
     }),
+
+    // BPE merge induction (tokenizer training): the first 6 most
+    // frequent adjacent-symbol merges learned from the corpus, with
+    // their pair counts — the full training loop replays in the oracle
+    // through the space-anchored replace() encoding (see Bpe).
+    "bpe_merges" -> ((s, dir) =>
+      graft.operators.Bpe.merges(tc(s, dir, "documents"), "text", numMerges = 6)
+        .orderBy("merge_rank")),
+
+    // Banned-term blocklist audit: whole-word hits per document +
+    // keep/flag/drop action — one narrow codegen'd projection, no
+    // shuffle, no UDF.
+    "text_blocklist" -> ((s, dir) =>
+      graft.operators.Quality.blocklistAudit(t(s, dir, "documents"),
+          "doc_id", "text", blockTerms, flagAt = 1, dropAt = 3)
+        .orderBy("doc_id")),
   )
+
+  /** Fixture-vocabulary blocklist for `text_blocklist` (term rows). */
+  private[queries] val blockTerms: Seq[String] = Seq("slow", "big", "sort")
+
+  /** DuckDB replay of `Bpe.merges`' training loop: CTE-body fragment
+    * (no WITH keyword) defining `w0` (space-anchored symbol strings of
+    * the `[a-z0-9]+` vocabulary with frequencies) and, per unrolled
+    * round i, `p$i` (pair counts), `m$i` (the argmax merge) and `w$i`
+    * (the vocabulary after applying it). Merge list = m1 ∪ … ∪ mK.
+    */
+  private[queries] def bpeCtesSql(numMerges: Int): String = {
+    // NOTE: the enclosing oracle literal runs stripMargin over the
+    // INTERPOLATED text, so no line here may start with `|` (a `||`
+    // at a line start would lose its first pipe).
+    val w0 =
+      s"""w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ') ||
+         |    ' ' AS repr, c FROM (
+         |  SELECT tok AS w, count(*) AS c FROM (
+         |    SELECT unnest(${ExtensionQueries.toksSql}) AS tok FROM documents) u
+         |  WHERE regexp_matches(tok, '^[a-z0-9]+$$') GROUP BY 1) v)""".stripMargin
+    val iters = (1 to numMerges).map { i =>
+      s"""p$i AS (SELECT a, b, sum(c)::BIGINT AS cnt FROM (
+         |  SELECT s[j] AS a, s[j + 1] AS b, c FROM (
+         |    SELECT s, c, unnest(range(1, len(s))) AS j FROM (
+         |      SELECT string_split(trim(repr, ' '), '  ') AS s, c
+         |      FROM w${i - 1}) x) y) z GROUP BY 1, 2),
+         |m$i AS (SELECT $i AS merge_rank, a AS sym_a, b AS sym_b,
+         |    cnt AS pair_count
+         |  FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS (SELECT replace(repr, ' ' || sym_a || '  ' || sym_b || ' ',
+         |    ' ' || sym_a || sym_b || ' ') AS repr, c
+         |  FROM w${i - 1}, m$i)""".stripMargin
+    }
+    (w0 +: iters).mkString(",\n")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "json_extract_agg" ->
@@ -886,5 +937,28 @@ object PipelineQueries {
         |      FROM li a JOIN li b USING (ok) WHERE a.pk < b.pk)
         |SELECT p1, p2, count(*)::BIGINT AS n_orders FROM p GROUP BY 1, 2
         |ORDER BY n_orders DESC, p1, p2 LIMIT 50""".stripMargin,
+
+    "bpe_merges" -> {
+      val k = 6
+      s"""WITH ${bpeCtesSql(k)}
+         |SELECT merge_rank, sym_a, sym_b, pair_count FROM (
+         |  ${(1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+         |ORDER BY merge_rank""".stripMargin
+    },
+
+    "text_blocklist" -> {
+      val in = blockTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH h AS (SELECT doc_id, coalesce(
+         |    list_filter(${ExtensionQueries.toksSql}, x -> x IN ($in)),
+         |    []::VARCHAR[]) AS hl
+         |  FROM documents)
+         |SELECT doc_id, len(hl)::BIGINT AS n_hits,
+         |  coalesce(array_to_string(list_sort(list_distinct(hl)), ','), '')
+         |    AS hit_terms,
+         |  CASE WHEN len(hl) >= 3 THEN 'drop'
+         |       WHEN len(hl) >= 1 THEN 'flag'
+         |       ELSE 'keep' END AS action
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
   )
 }
