@@ -95,4 +95,38 @@ object Bpe {
         spark.sparkContext.parallelize(out.toSeq, 1), outSchema)
     } finally vocab.unpersist()
   }
+
+  /** Apply a learned merge list to the corpus — the tokenizer-APPLY side:
+    * per document, the `[a-z0-9]+` word count and the BPE symbol count
+    * after replaying `mergesDf`'s merges in rank order. The per-document
+    * `n_tokens / n_words` ratio is the compression diagnostic used to
+    * pick tokenizer budgets.
+    *
+    * Scale shape: the merge list is tiny by construction (it IS the
+    * tokenizer — thousands of rows at most) and is collected once to the
+    * driver, where it unrolls into a chain of `replace` calls inside ONE
+    * narrow codegen'd projection — no join, no shuffle, no per-row state.
+    * Documents are encoded with the same space-anchored symbol-string
+    * representation as training (see class doc): words join with a
+    * newline so no merge pattern (always `" a  b "`) can span a word
+    * boundary.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      mergesDf: DataFrame): DataFrame = {
+    val ms = mergesDf.select("merge_rank", "sym_a", "sym_b")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = filter(TextOps.tokens(col(textCol)),
+      t => t.rlike("^[a-z0-9]+$"))
+    val repr0 = concat_ws("\n", transform(words, w => reprOf(w)))
+    val encoded = ms.foldLeft(repr0) { case (r, (a, b)) =>
+      replace(r, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    df.select(col(idCol), words.as("__w"), encoded.as("__r"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_words"),
+        size(filter(split(col("__r"), " "),
+          x => x =!= "" && x =!= "\n")).cast("long").as("n_tokens"))
+  }
 }

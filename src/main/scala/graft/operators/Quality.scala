@@ -66,4 +66,45 @@ object Quality {
           .when(size(col("__h")) >= flagAt, lit("flag"))
           .otherwise(lit("keep")).as("action"))
   }
+
+  /** Per-group unigram total-variation distance from the corpus-wide
+    * token distribution — the mixture diagnostic that says HOW different
+    * each source/language is from the blend (0 = identical distribution,
+    * →1 = disjoint vocabulary). Computed exactly:
+    * `TV(g) = ½·(Σ_present |c_gt·n − c_t·n_g| / (n_g·n) + (n − Σ_present c_t)/n)`
+    * — the second term folds every token ABSENT from group g
+    * (|0 − c_t/n| summed) via Σ_absent = n − Σ_present, so only observed
+    * (group, token) rows are ever materialized. All sums are exact
+    * integers (order-free under any partitioning); doubles appear only
+    * in the final per-group expression, which every engine evaluates
+    * identically.
+    *
+    * Scale shape: the corpus is tokenized ONCE into a partial-aggregated
+    * (group, token) count table; the per-token corpus count comes from a
+    * window over that table partitioned by token (scales with vocabulary,
+    * never a global partition), per-group totals are a tiny broadcast
+    * join. Counts beyond ~3·10⁹ tokens × large groups need the
+    * decimal(38,0) widening of the `c_gt·n` products (int64 documented
+    * limit).
+    */
+  def unigramDivergence(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tok = graft.sources.Tables.rebalanceForCompute(df)
+      .select(col(groupCol).as("g"),
+        explode(graft.functions.TextOps.tokens(col(textCol))).as("t"))
+    val cgt = tok.groupBy("g", "t").agg(count(lit(1)).as("cgt"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy("t")
+    val withCt = cgt.withColumn("ct", sum("cgt").over(wt))
+    val ng = cgt.groupBy("g").agg(sum("cgt").as("ng"))
+    val n = ng.agg(sum("ng").as("n"))
+    withCt
+      .join(broadcast(ng), Seq("g"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("g").as(groupCol), col("ng").as("n_tokens"), col("n"))
+      .agg(sum(abs(col("cgt") * col("n") - col("ct") * col("ng"))).as("sd"),
+        sum("ct").as("st"))
+      .select(col(groupCol), col("n_tokens"),
+        round(lit(0.5) * (col("sd") / (col("n_tokens") * col("n")) +
+          (col("n") - col("st")) / col("n")), 6).as("tv_dist"))
+  }
 }

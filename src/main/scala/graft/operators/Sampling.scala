@@ -144,4 +144,44 @@ object Sampling {
       .where(col("__rn") <= col("alloc"))
       .drop("__rn")
   }
+
+  /** Deterministic stratified resampling toward target group shares —
+    * the mixture-rebalancing step that turns an as-crawled distribution
+    * (80% English, …) into the distribution the training run wants.
+    * Each group gets acceptance probability
+    * `p_g = min(1, share_g·N / n_g)` (uniform shares `1/G` when `shares`
+    * is empty); a row is kept iff the 52-bit seed-keyed hash fraction of
+    * its id falls below `p_g`. Membership depends only on
+    * (seed, id, group counts) — never on partitioning or an RNG stream —
+    * so reruns keep identical documents and the draw is unbiased w.r.t.
+    * document order. Groups absent from a non-empty `shares` map get
+    * share 0 (dropped).
+    *
+    * Scale shape: one tiny per-group count aggregate (groups = languages
+    * / sources) joined back `broadcast()`; the accept test is then a
+    * narrow codegen'd filter on the scan — no shuffle of the corpus.
+    * The 52-bit hash is exact in a double, so `h < p·2^52` evaluates
+    * bit-identically in every engine.
+    */
+  def resampleToTarget(df: DataFrame, groupCol: String, idCol: String,
+      seed: String, shares: Map[String, Double] = Map.empty): DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__ng"))
+    val tot = counts.agg(sum("__ng").as("__n"),
+      count(lit(1)).as("__ngroups"))
+    val share =
+      if (shares.isEmpty) lit(1.0) / col("__ngroups")
+      else shares.foldLeft(lit(0.0): Column) { case (acc, (g, s)) =>
+        when(col("__g") === g, lit(s)).otherwise(acc)
+      }
+    val p = counts.crossJoin(tot)
+      .select(col("__g"),
+        least(lit(1.0), share * col("__n") / col("__ng")).as("__p"))
+    val h52 = shiftright(
+      TextOps.md5Hash60(concat_ws("_", lit(seed), col(idCol).cast("string"))),
+      8).cast("double")
+    df.join(broadcast(p), col(groupCol) === col("__g"))
+      .where(h52 < col("__p") * lit(4503599627370496.0)) // 2^52
+      .drop("__g", "__p")
+  }
 }

@@ -438,4 +438,48 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos")
     rankTopK(scored, k)
   }
+
+  /** Cosine of every vector to its own label's centroid — the
+    * embedding-space outlier diagnostic (mislabeled / off-distribution
+    * documents sit far from their cluster's mean). Everything runs in
+    * fixed-point integers: vectors quantize to `floor(x·2^scaleBits)`,
+    * the centroid is the UN-normalized integer component-sum (cosine is
+    * scale-invariant, so dividing by n is unnecessary — and skipping it
+    * keeps the arithmetic exact), and the final cosine is assembled in
+    * doubles from three exact int64 sums, identical in every engine.
+    *
+    * Scale shape: centroids are one partial-aggregated (label, pos) sum
+    * — a labels×dims table — collected into per-label arrays and
+    * `broadcast()` back onto a single corpus scan; no corpus shuffle.
+    * The per-row fold over the quantized arrays is a higher-order
+    * function (interpreted): at real scale swap it for a codegen'd
+    * long-vector dot (the `FloatVecDot` pattern); int64 headroom at
+    * scaleBits=16 covers |x|≤1, dims≤256, ≤2^26 rows per label.
+    */
+  def centroidCosine(df0: DataFrame, labelCol: String, idCol: String,
+      vecCol: String, scaleBits: Int = 16): DataFrame = {
+    val q = (1L << scaleBits).toDouble
+    val df = graft.sources.Tables.rebalanceForCompute(df0)
+    val fx = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(q)).cast("long"))
+    val v = df.select(col(idCol).as("id"), col(labelCol).as("label"),
+      fx.as("fv"))
+    val cent = v
+      .select(col("label"), posexplode(col("fv")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(sum("x").as("s"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          e => e.getField("s")).as("cv"),
+        sum(col("s") * col("s")).as("nb"))
+    v.join(broadcast(cent), Seq("label"))
+      .select(col("id"), col("label"),
+        aggregate(zip_with(col("fv"), col("cv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot"),
+        aggregate(col("fv"), lit(0L), (acc, x) => acc + x * x).as("na"),
+        col("nb"))
+      .select(col("id"), col("label"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(col("dot") / (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double"))), 6)).as("cos_centroid"))
+  }
 }

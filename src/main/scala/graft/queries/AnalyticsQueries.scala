@@ -222,6 +222,29 @@ object AnalyticsQueries {
         .select("doc_id", "lang", "n_g", "alloc")
         .orderBy("doc_id")),
 
+    // Stratified resampling toward a uniform language mix: broadcast
+    // per-group acceptance probabilities, a 52-bit hash threshold as
+    // one narrow filter — no corpus shuffle. Reported per group.
+    "sample_resample_target" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val kept = Sampling.resampleToTarget(d, "lang", "doc_id", "rs42")
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // Embedding-space outliers: cosine of each vector to its own label
+    // centroid, exact fixed-point arithmetic; flags the far tail.
+    "embed_outlier" -> ((s, dir) =>
+      Similarity.centroidCosine(t(s, dir, "embeddings"), "label",
+          "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("is_outlier", col("cos_centroid") < lit(-0.05))
+        .orderBy("vec_id")),
+
     // Bitext-style mutual-top-1 mining between two embedding groups.
     "bitext_mutual_top1" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -727,6 +750,48 @@ object AnalyticsQueries {
          |  FROM documents)
          |SELECT r.doc_id, r.lang, a.n_g, a.alloc FROM r JOIN a USING (lang)
          |WHERE rn <= alloc ORDER BY doc_id""".stripMargin,
+
+    "sample_resample_target" ->
+      s"""WITH c AS (SELECT lang AS g, count(*)::BIGINT AS ng FROM documents
+         |           GROUP BY 1),
+         |tt AS (SELECT CAST(sum(ng) AS BIGINT) AS n, count(*)::BIGINT
+         |       AS ngroups FROM c),
+         |p AS (SELECT g, least(1.0, (1.0 / ngroups) * n / ng) AS p
+         |      FROM c, tt),
+         |k AS (SELECT d.lang, count(*)::BIGINT AS n_kept
+         |  FROM documents d JOIN p ON d.lang = p.g
+         |  WHERE ((${h60("'rs42_' || doc_id::VARCHAR")} >> 8)::DOUBLE)
+         |    < p * 4503599627370496.0
+         |  GROUP BY 1)
+         |SELECT c.g AS lang, c.ng AS n_docs,
+         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept
+         |FROM c LEFT JOIN k ON c.g = k.lang ORDER BY lang""".stripMargin,
+
+    "embed_outlier" ->
+      """WITH f AS (SELECT vec_id, label,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> floor(x * 65536.0)::BIGINT) AS fv
+        |  FROM embeddings),
+        |ex AS (SELECT label, unnest(fv) AS x,
+        |    generate_subscripts(fv, 1) AS pos FROM f),
+        |c AS (SELECT label, pos, CAST(sum(x) AS BIGINT) AS s
+        |      FROM ex GROUP BY 1, 2),
+        |ca AS (SELECT label, list(s ORDER BY pos) AS cv,
+        |    CAST(sum(s * s) AS BIGINT) AS nb FROM c GROUP BY 1),
+        |sc AS (SELECT vec_id, f.label,
+        |    CAST(list_sum(list_transform(range(1, len(fv) + 1),
+        |      i -> fv[i] * cv[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(fv, x -> x * x)) AS BIGINT) AS na,
+        |    nb
+        |  FROM f JOIN ca ON f.label = ca.label),
+        |r AS (SELECT vec_id, label,
+        |    CASE WHEN na > 0 AND nb > 0 THEN
+        |      round(dot / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 6)
+        |    END AS cos_centroid
+        |  FROM sc)
+        |SELECT vec_id, label, cos_centroid,
+        |  cos_centroid < -0.05 AS is_outlier
+        |FROM r ORDER BY vec_id""".stripMargin,
 
     "bitext_mutual_top1" -> {
       val cos = ExtensionQueries.cosineSql("a.v", "b.v")

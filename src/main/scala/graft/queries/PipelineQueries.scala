@@ -483,6 +483,23 @@ object PipelineQueries {
       graft.operators.Quality.blocklistAudit(t(s, dir, "documents"),
           "doc_id", "text", blockTerms, flagAt = 1, dropAt = 3)
         .orderBy("doc_id")),
+
+    // Tokenizer APPLY: the 6 learned merges replay over every document
+    // as one chain of codegen'd replaces — per-doc word/BPE-token
+    // counts, the compression diagnostic behind tokenizer budgets.
+    "bpe_encode" -> ((s, dir) => {
+      val d = tc(s, dir, "documents")
+      graft.operators.Bpe.encode(d, "doc_id", "text",
+          graft.operators.Bpe.merges(d, "text", numMerges = 6))
+        .orderBy("doc_id")
+    }),
+
+    // Mixture diagnostic: per-source unigram total-variation distance
+    // from the corpus blend — exact-integer sums, one tokenize pass.
+    "corpus_divergence" -> ((s, dir) =>
+      graft.operators.Quality.unigramDivergence(t(s, dir, "documents"),
+          "source", "text")
+        .orderBy("source")),
   )
 
   /** Fixture-vocabulary blocklist for `text_blocklist` (term rows). */
@@ -944,6 +961,46 @@ object PipelineQueries {
          |SELECT merge_rank, sym_a, sym_b, pair_count FROM (
          |  ${(1 to k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
          |ORDER BY merge_rank""".stripMargin
+    },
+
+    "bpe_encode" -> {
+      val k = 6
+      val words = s"list_filter(${ExtensionQueries.toksSql}, " +
+        "x -> regexp_matches(x, '^[a-z0-9]+$'))"
+      val chain = (1 to k).map { i =>
+        s"""d$i AS (SELECT doc_id, n_words, replace(repr,
+           |    ' ' || sym_a || '  ' || sym_b || ' ',
+           |    ' ' || sym_a || sym_b || ' ') AS repr FROM d${i - 1}, m$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeCtesSql(k)},
+         |d0 AS (SELECT doc_id, array_to_string(list_transform($words,
+         |    w -> ' ' || array_to_string(string_split(w, ''), '  ') || ' '),
+         |    chr(10)) AS repr,
+         |  len($words) AS n_words FROM documents),
+         |$chain
+         |SELECT doc_id, n_words::BIGINT AS n_words,
+         |  len(list_filter(string_split(repr, ' '),
+         |    x -> x != '' AND x != chr(10)))::BIGINT AS n_tokens
+         |FROM d$k ORDER BY doc_id""".stripMargin
+    },
+
+    "corpus_divergence" -> {
+      val toks = ExtensionQueries.toksSql
+      s"""WITH tok AS (SELECT source AS g, unnest($toks) AS t FROM documents),
+         |cgt AS (SELECT g, t, count(*)::BIGINT AS cgt FROM tok GROUP BY 1, 2),
+         |wct AS (SELECT g, t, cgt, CAST(sum(cgt) OVER (PARTITION BY t)
+         |    AS BIGINT) AS ct FROM cgt),
+         |ng AS (SELECT g, CAST(sum(cgt) AS BIGINT) AS ng FROM cgt GROUP BY 1),
+         |n AS (SELECT CAST(sum(ng) AS BIGINT) AS n FROM ng),
+         |a AS (SELECT wct.g, ng.ng AS n_tokens, n.n,
+         |    CAST(sum(abs(cgt * n.n - ct * ng.ng)) AS BIGINT) AS sd,
+         |    CAST(sum(ct) AS BIGINT) AS st
+         |  FROM wct JOIN ng ON wct.g = ng.g CROSS JOIN n
+         |  GROUP BY 1, 2, 3)
+         |SELECT g AS source, n_tokens,
+         |  round(0.5 * (sd / (n_tokens * n) + (n - st) / n), 6) AS tv_dist
+         |FROM a ORDER BY source""".stripMargin
     },
 
     "text_blocklist" -> {
