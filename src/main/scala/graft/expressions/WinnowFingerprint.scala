@@ -51,6 +51,28 @@ object WinnowUtil {
     */
   def winnow(text: UTF8String, k: Int, w: Int): InternalRow = {
     val md = MessageDigest.getInstance("MD5")
+    val minima = minimaSet(md, text, k, w)
+    val sb = new java.lang.StringBuilder(minima.size() * 8)
+    val it = minima.iterator()
+    while (it.hasNext) sb.append(it.next())
+    val fp = md5Hex32(md, sb.toString.getBytes("UTF-8"))
+    InternalRow(fp, minima.size())
+  }
+
+  /** The raw sorted-distinct winnow minima behind [[winnow]] as an array
+    * column — collision mining equality-joins on its elements.
+    */
+  def winnowSet(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val minima = minimaSet(MessageDigest.getInstance("MD5"), text, k, w)
+    val out = new Array[AnyRef](minima.size())
+    val it = minima.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def minimaSet(md: MessageDigest, text: UTF8String, k: Int,
+      w: Int): java.util.TreeSet[String] = {
     val len = text.numChars()
     val nGrams = math.max(len - k + 1, 1)
     val hashes = new Array[String](nGrams)
@@ -79,11 +101,7 @@ object WinnowUtil {
       while (i < nGrams) { if (hashes(i) < best) best = hashes(i); i += 1 }
       minima.add(best)
     }
-    val sb = new java.lang.StringBuilder(minima.size() * 8)
-    val it = minima.iterator()
-    while (it.hasNext) sb.append(it.next())
-    val fp = md5Hex32(md, sb.toString.getBytes("UTF-8"))
-    InternalRow(fp, minima.size())
+    minima
   }
 }
 
@@ -115,4 +133,30 @@ case class WinnowFingerprint(child: Expression, k: Int = 8, w: Int = 4)
 object WinnowFingerprint {
   def of(text: Column, k: Int = 8, w: Int = 4): Column =
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, w))
+}
+
+/** The sorted-distinct winnow minima as an `array<string>` column — same
+  * one-pass kernel as [[WinnowFingerprint]], exposed element-wise so
+  * collision mining can explode + equality-join on individual minima.
+  */
+case class WinnowMinima(child: Expression, k: Int = 8, w: Int = 4)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow_minima"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowUtil.winnowSet(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.WinnowUtil.winnowSet($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowMinima {
+  def of(text: Column, k: Int = 8, w: Int = 4): Column =
+    ColumnBridge.column(WinnowMinima(ColumnBridge.expression(text), k, w))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Anomaly, Clusters, Dedup, Funnel, Graph, Merge, Multimodal, Sampling, Search, Similarity, Sketches, TemporalJoins}
+import graft.operators.{Anomaly, Clusters, Dedup, Funnel, Graph, Merge, Multimodal, Sampling, Search, Similarity, Sketches, TemporalJoins, TrainingOrder}
 import graft.sources.Tables
 
 /** Round-3 analytics surface: time-series joins (as-of, banded range),
@@ -376,6 +376,80 @@ object AnalyticsQueries {
         .select("doc_id", "source", "quality")
         .orderBy("doc_id")
     }),
+
+    // Winnow-fingerprint collision mining: pairs of documents sharing
+    // >= 3 RARE winnow minima (document frequency 2..10). Candidates
+    // come only from an equality self-join on the minimum hash, and the
+    // df cap bounds every join bucket at C(10,2)=45 pairs — the pair
+    // space stays linear in corpus size at any scale.
+    "fingerprint_collisions" -> ((s, dir) => {
+      val m = tc(s, dir, "documents").select(col("doc_id"),
+        explode(graft.expressions.WinnowMinima.of(col("text"))).as("fp"))
+      val rareFp = m.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, 10)).select("fp")
+      val rare = m.join(rareFp, "fp")
+      rare.as("a").join(rare.as("b"), Seq("fp"))
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Source-level MinHash similarity matrix: 32-permutation signature
+    // per source over word unigrams, pairwise agreement = Jaccard
+    // estimate. min() is duplicate-blind, so no distinct shuffle is
+    // needed — partial aggregation collapses each partition to
+    // (source × 32) rows before the only shuffle; the matrix join runs
+    // on 9×32 rows.
+    "source_similarity_minhash" -> ((s, dir) => {
+      val K = 32
+      val sig = tc(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .select(col("source"), col("w"),
+          explode(sequence(lit(0), lit(K - 1))).as("k"))
+        .groupBy(col("source"), col("k"))
+        .agg(min(TextOps.md5Hash60(
+          concat_ws(":", col("k"), col("w")))).as("mh"))
+      sig.as("a")
+        .join(sig.as("b"),
+          col("a.k") === col("b.k") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L))
+          .as("n_match"))
+        .select(col("source_a"), col("source_b"), col("n_match"),
+          round(col("n_match") / lit(K.toDouble), 6).as("sim"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // Curation mix by quality decile: corpus-wide quality deciles (via
+    // the bucketed percentile rank — no single-partition global sort)
+    // crossed with source, doc and token mass per cell. The report a
+    // curation run reads to decide per-source sampling rates.
+    "curate_quality_mix" -> ((s, dir) => {
+      val scored = tc(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      TrainingOrder.percentileRank(scored, "quality", "doc_id")
+        .withColumn("decile",
+          least(floor(col("pct") * 10).cast("int"), lit(9)))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("source", "decile")
+    }),
+
+    // Per-source lexical diversity: distinct word-bigram fraction. One
+    // explode + one partial-agg shuffle; count(DISTINCT) runs as
+    // Spark's two-stage expand, never a per-source collect.
+    "source_diversity" -> ((s, dir) =>
+      tc(s, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.wordGrams(TextOps.tokens(col("text")), 2)).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct"))
+        .select(col("source"), col("n_grams"), col("n_distinct"),
+          round(col("n_distinct") / col("n_grams"), 6).as("diversity"))
+        .orderBy("source")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -955,6 +1029,76 @@ object AnalyticsQueries {
         |  FROM kept0 k0 JOIN keepers USING (doc_id))
         |SELECT doc_id, source, quality FROM capped
         |WHERE rn <= 100 ORDER BY doc_id""".stripMargin
+    },
+
+    "fingerprint_collisions" ->
+      """WITH g AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |    i -> substring(md5(substring(text, i, 8)), 1, 8)) AS h
+        |FROM documents),
+        |w AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    range(1, greatest(len(h) - 3, 1) + 1),
+        |    j -> list_aggregate(h[j:j+3], 'min'))) AS fps
+        |FROM g),
+        |m AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |rare AS (SELECT fp FROM m GROUP BY fp
+        |         HAVING count(*) BETWEEN 2 AND 10),
+        |r AS (SELECT m.doc_id, m.fp FROM m JOIN rare USING (fp)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        count(*) AS n_shared
+        |      FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared FROM p
+        |WHERE n_shared >= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "source_similarity_minhash" -> {
+      import ExtensionQueries.toksSql
+      s"""WITH tk AS (SELECT source, unnest($toksSql) AS w FROM documents),
+         |sig AS (SELECT source, k,
+         |    min(${h60("k::VARCHAR || ':' || w")}) AS mh
+         |  FROM tk CROSS JOIN range(0, 32) r(k) GROUP BY 1, 2),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match
+         |  FROM sig a JOIN sig b ON a.k = b.k AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_match,
+         |  round(n_match / 32.0, 6) AS sim
+         |FROM p ORDER BY source_a, source_b""".stripMargin
+    },
+
+    "curate_quality_mix" -> {
+      import ExtensionQueries.{alphaRatioSql, hitsSql, punctRatioSql,
+        qualitySql, toksSql}
+      s"""WITH s AS (SELECT doc_id, source,
+         |  len($toksSql) AS n_tokens,
+         |  ${hitsSql("en")} AS sw,
+         |  $punctRatioSql AS punct,
+         |  $alphaRatioSql AS alpha
+         |FROM documents),
+         |q AS (SELECT doc_id, source, n_tokens,
+         |  ${qualitySql()} AS quality FROM s),
+         |d AS (SELECT source, n_tokens,
+         |  LEAST(CAST(floor(round(percent_rank() OVER
+         |    (ORDER BY quality, doc_id), 6) * 10) AS INT), 9) AS decile
+         |FROM q)
+         |SELECT source, decile, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM d GROUP BY 1, 2 ORDER BY source, decile""".stripMargin
+    },
+
+    "source_diversity" -> {
+      import ExtensionQueries.toksSql
+      s"""WITH tk AS (SELECT source, $toksSql AS T FROM documents),
+         |g AS (SELECT source,
+         |  unnest(list_transform(range(1, greatest(len(T) - 1, 1) + 1),
+         |    i -> coalesce(array_to_string(T[i:i+1], ' '), ''))) AS g
+         |FROM tk)
+         |SELECT source, count(*) AS n_grams,
+         |  count(DISTINCT g) AS n_distinct,
+         |  round(count(DISTINCT g) / count(*), 6) AS diversity
+         |FROM g GROUP BY 1 ORDER BY source""".stripMargin
     },
   )
 }

@@ -81,6 +81,15 @@ class TextOpsSpec extends SparkSpec {
     assert(viaCodegen == viaExpr)
   }
 
+  test("WinnowMinima array equals the expression-form minima set") {
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents").limit(50)
+    val mismatched = docs.select(
+        graft.expressions.WinnowMinima.of(col("text")).as("m"),
+        TextOps.winnowFingerprints(col("text")).as("e"))
+      .where(col("m") =!= col("e")).count()
+    assert(mismatched == 0)
+  }
+
   test("winnowing fingerprint is order-sensitive, wordset fingerprint is not") {
     val a = "the quick brown fox jumps over the lazy dog"
     val b = "dog lazy the over jumps fox brown quick the"
