@@ -7,18 +7,43 @@ import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
-/** Fixture-table loader that tolerates parquet TIMESTAMP(NANOS) columns.
+/** Fixture-table loader that normalizes every parquet timestamp encoding
+  * to one engine-internal type: session-TZ `TimestampType`.
   *
-  * Spark has no nanosecond timestamp type; with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` a NANOS column arrives as a
-  * raw Long of nanos-since-epoch. We inspect the parquet footer to find
-  * those columns and rebuild them as proper TimestampType via
-  * `timestamp_micros(col div 1000)` — a floor to microseconds, which is
-  * exactly what DuckDB's `CAST(ts_ns AS TIMESTAMP)` does, keeping the
-  * oracle comparison aligned.
+  * Parquet writers vary: TIMESTAMP(NANOS) (no Spark equivalent — with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a raw Long of
+  * nanos-since-epoch), TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives
+  * as `TimestampNTZType`), and TIMESTAMP(MICROS, isAdjustedToUTC=true)
+  * (arrives as `TimestampType`). Downstream operators do micros arithmetic
+  * (`unix_micros`) and event-time streaming (`withWatermark`), both of
+  * which require `TimestampType` — so the loader folds all three encodings
+  * into it:
+  *
+  *  - NANOS: rebuilt via `timestamp_micros(col div 1000)` — a floor to
+  *    microseconds, exactly what DuckDB's `CAST(ts_ns AS TIMESTAMP)` does,
+  *    keeping the oracle comparison aligned.
+  *  - NTZ: `cast(TimestampType)`. The session time zone is pinned UTC in
+  *    every entry point, so the cast reinterprets the same wall-clock
+  *    micros value as the same instant — the identity the DuckDB oracle
+  *    (which is TZ-naive) already assumes.
+  *
+  * Mirrors the reference's own datetime funneling, which converts every
+  * MySQL temporal type to one canonical ClickHouse DateTime
+  * (reference: clickhouse/types/types.go:24-35).
   */
 object Tables {
+
+  /** Fold every `TimestampNTZType` column of `df` into session-TZ
+    * `TimestampType` (identity under the pinned-UTC session).
+    */
+  def normalizeNtz(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
+      else d
+    }
 
   /** Column names in `path` whose parquet logical type is TIMESTAMP(NANOS). */
   def nanosTimestampCols(spark: SparkSession, path: String): Seq[String] = {
@@ -43,14 +68,16 @@ object Tables {
     } finally reader.close()
   }
 
-  /** Load `dir/name.parquet` with nanos columns normalized to TimestampType. */
+  /** Load `dir/name.parquet` with every timestamp encoding (NANOS-as-long,
+    * NTZ-micros, LTZ-micros) normalized to session-TZ TimestampType.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
     val df = spark.read.parquet(path)
-    nanosTimestampCols(spark, path).foldLeft(df) { (d, c) =>
+    normalizeNtz(nanosTimestampCols(spark, path).foldLeft(df) { (d, c) =>
       d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
-    }
+    })
   }
 
   /** Guard for CPU-bound narrow transforms (shingling, fingerprinting,

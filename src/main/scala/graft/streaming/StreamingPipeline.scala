@@ -45,11 +45,11 @@ object StreamingPipeline {
       else
         spark.readStream.schema(schema)
           .option("pathGlobFilter", s"$name.parquet").parquet(dir)
-    graft.sources.Tables.nanosTimestampCols(spark, path).foldLeft(raw) { (d, c) =>
-      d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
-    } match {
-      case df => df.select(batch.columns.map(col).toIndexedSeq: _*)
-    }
+    val normalized = graft.sources.Tables.normalizeNtz(
+      graft.sources.Tables.nanosTimestampCols(spark, path).foldLeft(raw) { (d, c) =>
+        d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
+      })
+    normalized.select(batch.columns.map(col).toIndexedSeq: _*)
   }
 
   /** One incremental run: process everything not yet in the checkpoint,
