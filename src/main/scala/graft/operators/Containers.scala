@@ -362,6 +362,123 @@ object Containers {
     MediaHeader("mp4/" + brand.trim, durationMs = dur)
   } catch { case _: IndexOutOfBoundsException => unknown }
 
+  /** A video sample (frame) located inside an MP4: `sampleIdx` is the
+    * 0-based position in the track's sample table, `sync` marks
+    * keyframes (listed in `stss`), and [offset, offset+size) are the
+    * absolute byte range of the sample payload in the file.
+    */
+  final case class Mp4Sample(sampleIdx: Int, sync: Boolean, offset: Long, size: Long)
+
+  /** Read the first video track's sample table from an ISO-BMFF file:
+    * moov → trak → mdia → minf → stbl, then
+    *
+    *  - `stsz` — per-sample byte sizes (or one uniform size),
+    *  - `stco` — chunk byte offsets (this reader requires the common
+    *    one-sample-per-chunk layout, i.e. #chunks == #samples; anything
+    *    else degrades to empty rather than guessing at `stsc` grouping),
+    *  - `stss` — 1-based sync-sample (keyframe) numbers; an absent
+    *    `stss` means every sample is sync, per the ISO spec.
+    *
+    * Malformed or truncated tables return an empty array — the same
+    * degrade-don't-throw posture as every other parser here.
+    */
+  def mp4Samples(b: Array[Byte]): Array[Mp4Sample] = try {
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var p = lo
+        def hasNext: Boolean = p + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val size0 = beU32(b, p)
+          val tpe = ascii(b, p + 4, 4)
+          val end = if (size0 == 0L) hi.toLong else p + size0
+          val e = math.min(end, hi.toLong).toInt
+          if (e <= p) { val q = p; p = hi; (tpe, q + 8, q + 8) }
+          else { val payload = p + 8; p = e; (tpe, payload, e) }
+        }
+      }
+    if (!(b.length >= 12 && ascii(b, 4, 4) == "ftyp")) return Array.empty
+    val stbl = (for {
+      ("moov", ms, me) <- boxes(0, b.length)
+      ("trak", ts, te) <- boxes(ms, me)
+      ("mdia", ds, de) <- boxes(ts, te)
+      ("minf", fs, fe) <- boxes(ds, de)
+      ("stbl", ss, se) <- boxes(fs, fe)
+    } yield (ss, se)).nextOption().getOrElse(return Array.empty)
+    val (ss, se) = stbl
+    var sizes: Array[Long] = null
+    var offsets: Array[Long] = null
+    var sync: Array[Int] = null // 1-based sample numbers; null = all sync
+    for ((tpe, ps, pe) <- boxes(ss, se)) tpe match {
+      case "stsz" if pe - ps >= 12 =>
+        val uniform = beU32(b, ps + 4)
+        val n = beU32(b, ps + 8).toInt
+        sizes =
+          if (uniform != 0L) Array.fill(n)(uniform)
+          else if (pe - ps >= 12 + 4 * n)
+            Array.tabulate(n)(i => beU32(b, ps + 12 + 4 * i))
+          else return Array.empty
+      case "stco" if pe - ps >= 8 =>
+        val n = beU32(b, ps + 4).toInt
+        if (pe - ps < 8 + 4 * n) return Array.empty
+        offsets = Array.tabulate(n)(i => beU32(b, ps + 8 + 4 * i))
+      case "stss" if pe - ps >= 8 =>
+        val n = beU32(b, ps + 4).toInt
+        if (pe - ps < 8 + 4 * n) return Array.empty
+        sync = Array.tabulate(n)(i => beU32(b, ps + 8 + 4 * i).toInt)
+      case _ => ()
+    }
+    if (sizes == null || offsets == null || sizes.length != offsets.length)
+      return Array.empty
+    val syncSet = if (sync == null) null else sync.toSet
+    Array.tabulate(sizes.length) { i =>
+      Mp4Sample(i, syncSet == null || syncSet.contains(i + 1), offsets(i), sizes(i))
+    }
+  } catch { case _: IndexOutOfBoundsException => Array.empty }
+
+  /** Valid MP4 with a real sample table: ftyp + moov{mvhd, trak{mdia{
+    * minf{stbl{stsz, stco, stss}}}}} + mdat holding `samples`
+    * back-to-back (one chunk per sample, so `stco` has one absolute
+    * offset per sample). `syncSamples` are 1-based keyframe numbers.
+    * Write-side proof that [[mp4Samples]] reads real ISO-BMFF layout.
+    */
+  def synthMp4Samples(brand: String, timescale: Int, duration: Long,
+      samples: Array[Array[Byte]], syncSamples: Seq[Int]): Array[Byte] = {
+    require(brand.length == 4, s"brand must be 4 chars: '$brand'")
+    val n = samples.length
+    val mvhdSize = 8 + 20
+    val stszSize = 8 + 12 + 4 * n
+    val stcoSize = 8 + 8 + 4 * n
+    val stssSize = 8 + 8 + 4 * syncSamples.length
+    val stblSize = 8 + stszSize + stcoSize + stssSize
+    val minfSize = 8 + stblSize
+    val mdiaSize = 8 + minfSize
+    val trakSize = 8 + mdiaSize
+    val moovSize = 8 + mvhdSize + trakSize
+    val ftypSize = 16
+    val mdatPayload = samples.map(_.length).sum
+    val mdatStart = ftypSize + moovSize
+    val out = java.nio.ByteBuffer.allocate(mdatStart + 8 + mdatPayload)
+    out.putInt(ftypSize).put("ftyp".getBytes).put(brand.getBytes).putInt(0x200)
+    out.putInt(moovSize).put("moov".getBytes)
+    out.putInt(mvhdSize).put("mvhd".getBytes)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(timescale).putInt(duration.toInt)
+    out.putInt(trakSize).put("trak".getBytes)
+    out.putInt(mdiaSize).put("mdia".getBytes)
+    out.putInt(minfSize).put("minf".getBytes)
+    out.putInt(stblSize).put("stbl".getBytes)
+    out.putInt(stszSize).put("stsz".getBytes).putInt(0).putInt(0).putInt(n)
+    samples.foreach(s => out.putInt(s.length))
+    out.putInt(stcoSize).put("stco".getBytes).putInt(0).putInt(n)
+    var off = mdatStart + 8
+    samples.foreach { s => out.putInt(off); off += s.length }
+    out.putInt(stssSize).put("stss".getBytes).putInt(0).putInt(syncSamples.length)
+    syncSamples.foreach(out.putInt)
+    out.putInt(8 + mdatPayload).put("mdat".getBytes)
+    samples.foreach(out.put)
+    out.array()
+  }
+
   /** Minimal valid MP4: ftyp(brand) + moov(mvhd v0 with the given
     * timescale/duration) + a free-space payload box.
     */

@@ -103,51 +103,58 @@ object Multimodal {
     shaped.mapPartitions(decode _)
   }
 
-  /** One sampled frame of a (fake) video payload. */
+  /** One sampled keyframe of a video payload. */
   final case class MediaFrame(
       media_id: Long,
       frame_idx: Int,
-      frame_offset: Long,
+      sample_idx: Int,        // 0-based position in the container's sample table
+      frame_offset: Long,     // absolute byte offset of the sample in the file
       frame_bytes: Array[Byte])
 
-  /** Frame sampling: pick `n` evenly-spaced byte windows from each video
-    * payload. The STUB slices raw bytes where a real implementation seeks
-    * keyframes (??? container parsing); the plumbing — explode to one row
-    * per frame, carry (media_id, frame_idx, offset) for downstream joins,
-    * stay partition-parallel with no driver collect — is the real
-    * contract. Frames inherit the parent's partitioning, so per-frame
-    * feature extraction runs where the bytes already live.
+  /** KEYFRAME sampling: parse each MP4's real sample table
+    * (`Containers.mp4Samples` — stbl/stsz/stco/stss box walk), keep the
+    * sync samples (keyframes), and pick `n` evenly spaced ones; each
+    * emitted frame carries the exact byte range of that sample from
+    * `mdat`. Non-MP4 or table-less payloads degrade to zero frames — a
+    * corrupt blob filters out, never kills the task. Frames inherit the
+    * parent's partitioning, so per-frame feature extraction runs where
+    * the bytes already live; no driver collect anywhere.
     */
-  def sampleFrames(spark: SparkSession, media: Dataset[MediaFile], n: Int,
-      frameSize: Int = 32): Dataset[MediaFrame] = {
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaFile],
+      n: Int): Dataset[MediaFrame] = {
     import spark.implicits._
     media.filter((m: MediaFile) => m.kind == "video")
       .flatMap { m =>
-        val len = m.content.length
-        (0 until n).iterator.map { i =>
-          val off = if (n == 1) 0L else (i.toLong * math.max(len - frameSize, 0)) / (n - 1)
-          val end = math.min(off.toInt + frameSize, len)
-          MediaFrame(m.media_id, i, off, m.content.slice(off.toInt, end))
+        val keyframes = Containers.mp4Samples(m.content).filter(_.sync)
+        val k = keyframes.length
+        val take = math.min(n, k)
+        (0 until take).iterator.map { i =>
+          // evenly spaced over the keyframe list; endpoints included
+          val sel = if (take == 1) 0 else (i * (k - 1)) / (take - 1)
+          val s = keyframes(sel)
+          val lo = s.offset.toInt
+          val hi = math.min(s.offset + s.size, m.content.length).toInt
+          MediaFrame(m.media_id, i, s.sampleIdx, s.offset,
+            java.util.Arrays.copyOfRange(m.content, lo, hi))
         }
       }
   }
 
-  /** Resize stub: real pipelines decode + rescale pixels; the stub keeps
-    * the contract (binary in → smaller binary out, deterministic) by
-    * striding bytes (??? real impl: bilinear/lanczos over decoded pixels).
+  /** Partition-wise REAL resize over a media Dataset: decodable 24-bit
+    * BMPs are nearest-neighbor downscaled over their decoded pixels
+    * (`Containers.resizeBmp` — row padding and bottom-up geometry
+    * handled); anything undecodable passes through unchanged, so a mixed
+    * or partially corrupt corpus degrades per-row instead of failing the
+    * job. Compressed codecs (PNG/JPEG) would slot in behind the same
+    * contract with a real decoder library.
     */
-  def resizeStub(content: Array[Byte], factor: Int): Array[Byte] = {
-    val out = new Array[Byte]((content.length + factor - 1) / factor)
-    var i = 0
-    while (i < out.length) { out(i) = content(i * factor); i += 1 }
-    out
-  }
-
-  /** Partition-wise resize over a media Dataset. */
   def resizeAll(spark: SparkSession, media: Dataset[MediaFile],
       factor: Int): Dataset[MediaFile] = {
     import spark.implicits._
-    media.mapPartitions(_.map(m => m.copy(content = resizeStub(m.content, factor))))
+    media.mapPartitions(_.map { m =>
+      val resized = Containers.resizeBmp(m.content, factor)
+      if (resized == null) m else m.copy(content = resized)
+    })
   }
 
   /** Per-image REAL pixel statistics (decoded, not header-level). */
@@ -296,6 +303,48 @@ object Multimodal {
     * `((id*13 + j*37) mod 65536) - 32768` (full s16 range incl. the
     * -32768 edge), encoded little-endian into a real RIFF layout.
     */
+  /** Deterministic MP4 corpus with REAL sample tables: video `id` has
+    * `4 + id%5` samples; sample `s` is `16 + ((id+s)%3)*8` bytes with
+    * byte `j` = `(id*131 + s*17 + j*7) mod 256`; keyframes (stss) are
+    * the odd 1-based sample numbers 1,3,5,…. Valid ISO-BMFF through the
+    * stbl/stsz/stco/stss path, so keyframe extraction exercises the real
+    * box walk — and an oracle can replay the generator arithmetic
+    * without parsing bytes.
+    */
+  def demoVideoCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nSamples = (4 + id % 5).toInt
+      val samples = Array.tabulate(nSamples) { s =>
+        val size = (16 + ((id + s) % 3) * 8).toInt
+        Array.tabulate(size)(j => ((id * 131 + s * 17 + j * 7) % 256).toByte)
+      }
+      val sync = (1 to nSamples by 2).toSeq
+      MediaFile(id, "video",
+        Containers.synthMp4Samples("isom", 1000, nSamples * 40L, samples, sync))
+    })
+  }
+
+  /** Per-sampled-keyframe byte reduction: frame length + unsigned byte
+    * sum, proving the stco/stsz offsets were followed into real `mdat`
+    * payload bytes (an off-by-one in any table breaks the sums).
+    */
+  final case class FrameStats(media_id: Long, frame_idx: Int,
+      sample_idx: Int, n_bytes: Int, byte_sum: Long)
+
+  def keyframeStats(spark: SparkSession, media: Dataset[MediaFile],
+      n: Int): Dataset[FrameStats] = {
+    import spark.implicits._
+    sampleFrames(spark, media, n).map { f =>
+      var sum = 0L
+      var j = 0
+      while (j < f.frame_bytes.length) {
+        sum += java.lang.Byte.toUnsignedInt(f.frame_bytes(j)); j += 1
+      }
+      FrameStats(f.media_id, f.frame_idx, f.sample_idx, f.frame_bytes.length, sum)
+    }
+  }
+
   def demoAudioCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>

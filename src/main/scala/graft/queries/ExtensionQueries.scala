@@ -535,6 +535,21 @@ object ExtensionQueries {
           Multimodal.shapeForDecode(corpus.toDF(), 32).as[Multimodal.MediaFile])
         .toDF().orderBy("media_id")
     }),
+
+    // REAL keyframe extraction end-to-end: synthesize valid ISO-BMFF
+    // files with sample tables (stsz/stco/stss), walk the boxes back,
+    // pick 3 evenly-spaced sync samples, and slice their exact byte
+    // ranges out of mdat. The oracle replays the generator arithmetic —
+    // any off-by-one in the box walk, the 1-based stss numbering, or
+    // the chunk-offset table breaks the byte sums.
+    "video_keyframes" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Multimodal.demoVideoCorpus(s, t(s, dir, "documents"))
+      Multimodal.keyframeStats(s,
+          Multimodal.shapeForDecode(corpus.toDF(), 32).as[Multimodal.MediaFile],
+          n = 3)
+        .toDF().orderBy("media_id", "frame_idx")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1051,6 +1066,34 @@ object ExtensionQueries {
         |  list_sum(list_transform(list_filter(range(0, w*h*3), i -> i % 3 = 2),
         |    i -> (doc_id*31 + i*7) % 256))::BIGINT AS c2_sum
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // Replays the MP4 generator arithmetic: ns samples, keyframes at
+    // odd 1-based numbers (0-based 0,2,4,…), 3 evenly spaced picks, and
+    // per-frame unsigned byte sums. The Spark side must walk real
+    // stsz/stco/stss tables and slice real mdat ranges to match.
+    "video_keyframes" ->
+      """WITH m AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS ns,
+        |         (4 + doc_id % 5 + 1) // 2 AS k
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, k, LEAST(3, k) AS take, i
+        |  FROM m, (SELECT unnest(range(0, 3)) AS i)
+        |  WHERE i < LEAST(3, k)),
+        |sel AS (
+        |  SELECT doc_id, i,
+        |         2 * (CASE WHEN take = 1 THEN 0
+        |              ELSE (i * (k - 1)) // (take - 1) END) AS s0
+        |  FROM f),
+        |sized AS (
+        |  SELECT doc_id, i, s0,
+        |         16 + ((doc_id + s0) % 3) * 8 AS sz
+        |  FROM sel)
+        |SELECT doc_id AS media_id, i::INT AS frame_idx, s0::INT AS sample_idx,
+        |  sz::INT AS n_bytes,
+        |  list_sum(list_transform(range(0, sz),
+        |    j -> (doc_id*131 + s0*17 + j*7) % 256))::BIGINT AS byte_sum
+        |FROM sized ORDER BY media_id, frame_idx""".stripMargin,
 
     "multimodal_audio" ->
       """WITH m AS (SELECT doc_id, 8000 + 100 * (doc_id % 441) AS rate,

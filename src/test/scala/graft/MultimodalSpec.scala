@@ -157,22 +157,61 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
   }
 
-  test("frame sampling: n evenly-spaced frames per video, offsets ordered") {
-    val docs = Tables.load(spark, sf0001, "documents")
-    val media = Multimodal.demoCorpus(spark, docs)
-    val nVideos = media.filter((m: Multimodal.MediaFile) => m.kind == "video").count()
-    val frames = Multimodal.sampleFrames(spark, media, n = 4).collect()
-    assert(frames.length == nVideos * 4)
-    frames.groupBy(_.media_id).foreach { case (_, fs) =>
-      val sorted = fs.sortBy(_.frame_idx)
-      assert(sorted.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
-      assert(sorted.head.frame_offset == 0)
-      assert(sorted.map(_.frame_offset).toSeq == sorted.map(_.frame_offset).sorted.toSeq)
-      assert(fs.forall(_.frame_bytes.length <= 32))
+  test("mp4 sample tables round-trip: stsz/stco/stss write then box-walk read") {
+    val samples = Array(
+      Array.tabulate(16)(_.toByte),
+      Array.tabulate(24)(i => (i + 100).toByte),
+      Array.tabulate(8)(i => (i * 3).toByte))
+    val mp4 = Containers.synthMp4Samples("isom", 1000, 120L, samples, Seq(1, 3))
+    // header path still parses (brand + duration via mvhd)
+    val h = Containers.parse(mp4)
+    assert(h.format == "mp4/isom" && h.durationMs == 120L)
+    val got = Containers.mp4Samples(mp4)
+    assert(got.length == 3)
+    assert(got.map(_.size).toSeq == Seq(16L, 24L, 8L))
+    assert(got.map(_.sync).toSeq == Seq(true, false, true))
+    // offsets point at the REAL payload bytes inside mdat
+    got.zip(samples).foreach { case (s, expected) =>
+      val sliced = mp4.slice(s.offset.toInt, (s.offset + s.size).toInt)
+      assert(sliced.toSeq == expected.toSeq)
     }
+    // table-less or corrupt input degrades to empty, never throws
+    assert(Containers.mp4Samples(Containers.synthMp4("isom", 1000, 50L)).isEmpty)
+    assert(Containers.mp4Samples("garbage".getBytes).isEmpty)
+    assert(Containers.mp4Samples(mp4.take(40)).isEmpty)
   }
 
-  test("resize shrinks payloads deterministically, keeps ids/kinds") {
+  test("keyframe sampling: evenly-spaced sync samples, real mdat bytes") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val media = Multimodal.demoVideoCorpus(spark, docs)
+    val frames = Multimodal.sampleFrames(spark, media, n = 3).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.media_id).foreach { case (id, fs) =>
+      val ns = (4 + id % 5).toInt
+      val k = (ns + 1) / 2 // odd 1-based sample numbers are sync
+      assert(fs.length == math.min(3, k))
+      val sorted = fs.sortBy(_.frame_idx)
+      // sync samples only: 0-based even sample indices
+      assert(sorted.forall(_.sample_idx % 2 == 0))
+      // offsets strictly increase and sit past the moov header
+      assert(sorted.map(_.frame_offset).toSeq ==
+        sorted.map(_.frame_offset).sorted.toSeq)
+      assert(sorted.head.frame_offset > 54)
+      // bytes are the generator's, proving stco/stsz were followed
+      sorted.foreach { f =>
+        val size = (16 + ((id + f.sample_idx) % 3) * 8).toInt
+        assert(f.frame_bytes.length == size)
+        val expected = Array.tabulate(size)(j =>
+          ((id * 131 + f.sample_idx * 17 + j * 7) % 256).toByte)
+        assert(f.frame_bytes.toSeq == expected.toSeq)
+      }
+    }
+    // non-MP4 "video" payloads degrade to zero frames, not an exception
+    val opaque = Multimodal.demoCorpus(spark, docs)
+    assert(Multimodal.sampleFrames(spark, opaque, n = 3).count() == 0)
+  }
+
+  test("resize: real pixel downscale for BMPs, pass-through otherwise") {
     val docs = Tables.load(spark, sf0001, "documents")
     val media = Multimodal.demoCorpus(spark, docs)
     val resized = Multimodal.resizeAll(spark, media, factor = 4).collect()
@@ -180,8 +219,17 @@ class MultimodalSpec extends SparkSpec {
     resized.foreach { r =>
       val o = orig(r.media_id)
       assert(r.kind == o.kind)
-      assert(r.content.length == (o.content.length + 3) / 4)
-      assert(r.content.headOption == o.content.headOption)
+      if (o.kind == "image" && Containers.bmpPixelBytes(o.content) != null) {
+        // real resize: dimensions shrink by the factor, output decodable
+        val before = Containers.parse(o.content)
+        val after = Containers.parse(r.content)
+        assert(after.format == "bmp")
+        assert(after.width == math.max(before.width / 4, 1))
+        assert(after.height == math.max(before.height / 4, 1))
+      } else {
+        // undecodable payloads pass through untouched
+        assert(r.content.toSeq == o.content.toSeq)
+      }
     }
   }
 
