@@ -37,6 +37,21 @@ class MixtureOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L, 3L), (2L, 1L, 3L), (3L, 0L, 0L)))
   }
 
+  test("bpe: maxVocab cap keeps the most frequent words, exact above |vocab|") {
+    val df = Seq((1L, "low low low lower rare")).toDF("doc_id", "text")
+    val full = Bpe.merges(df, "text", numMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // any cap ≥ |vocab| (3 words) is exact — identical to the default
+    val atCap = Bpe.merges(df, "text", numMerges = 2, maxVocab = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(atCap.toSeq == full.toSeq)
+    // cap 2 keeps {low×3, lower×1} (count desc, word asc drops rare×1):
+    // pairs unchanged for l/o/w, so merge 1 is still (l,o) with count 4
+    val capped = Bpe.merges(df, "text", numMerges = 1, maxVocab = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(capped.toSeq == Seq(("l", "o", 4L)))
+  }
+
   test("bpe: greedy-leftmost replace ('aaaa'→'aa aa', 'aaa'→'aa a')") {
     val train = Seq((0L, "aa aa aa")).toDF("doc_id", "text") // merge (a,a)
     val m = Bpe.merges(train, "text", numMerges = 1)
