@@ -303,6 +303,45 @@ object Multimodal {
     * `((id*13 + j*37) mod 65536) - 32768` (full s16 range incl. the
     * -32768 edge), encoded little-endian into a real RIFF layout.
     */
+  /** Acoustic fingerprint over REAL decoded PCM: non-overlapping
+    * `frameSize`-sample frames, per-frame integer energy Σs², and a
+    * Shazam-style energy-delta bit string (bit i set iff frame i+1 is
+    * louder than frame i) — the alignment-robust compact signature used
+    * for audio dedup. Exact integers end to end, so the fingerprint is
+    * bit-identical under any partitioning and replayable by a SQL
+    * oracle. Undecodable payloads degrade to -1 sentinels.
+    */
+  final case class AudioFingerprint(
+      media_id: Long, n_frames: Int, fp_bits: Long,
+      peak_frame_idx: Int, total_energy: Long)
+
+  def audioFingerprint(spark: SparkSession, media: Dataset[MediaFile],
+      frameSize: Int = 64): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    require(frameSize >= 1, s"frameSize must be >= 1: $frameSize")
+    media.mapPartitions(_.map { m =>
+      val s = Containers.wavSamples(m.content)
+      if (s == null) AudioFingerprint(m.media_id, -1, -1L, -1, -1L)
+      else {
+        val nf = s.length / frameSize
+        val e = Array.tabulate(nf) { f =>
+          var sum = 0L
+          var k = 0
+          while (k < frameSize) {
+            val v = s(f * frameSize + k).toLong; sum += v * v; k += 1
+          }
+          sum
+        }
+        var fp = 0L
+        var i = 0
+        // first 63 deltas only: 1L << 63 would wrap into the sign bit
+        while (i < nf - 1 && i < 63) { if (e(i + 1) > e(i)) fp |= 1L << i; i += 1 }
+        val peak = if (nf == 0) -1 else e.indexOf(e.max) // first on ties
+        AudioFingerprint(m.media_id, nf, fp, peak, e.sum)
+      }
+    })
+  }
+
   /** Deterministic MP4 corpus with REAL sample tables: video `id` has
     * `4 + id%5` samples; sample `s` is `16 + ((id+s)%3)*8` bytes with
     * byte `j` = `(id*131 + s*17 + j*7) mod 256`; keyframes (stss) are

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Dedup, Multimodal, Similarity, Spans}
+import graft.operators.{Dedup, Html, Multimodal, Similarity, Spans}
 import graft.sources.Tables
 
 /** LLM-training-data pipeline operators (driver mandate, SURVEY §7.3):
@@ -536,6 +536,34 @@ object ExtensionQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // Acoustic fingerprint end-to-end: decode the synthesized PCM WAVs
+    // (RIFF walk + s16le reassembly), frame into 64-sample windows,
+    // integer energy contour → delta-bit signature. The oracle replays
+    // the sample generator arithmetic — any framing/decode/packing
+    // off-by-one breaks the exact-integer fingerprints.
+    "audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Multimodal.demoAudioCorpus(s, t(s, dir, "documents"))
+      Multimodal.audioFingerprint(s,
+          Multimodal.shapeForDecode(corpus.toDF(), 32).as[Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
+    // HTML boilerplate removal end-to-end: deterministic HTML wrapping
+    // (title/h1, 25-word paragraphs, id-conditional nav/footer chrome,
+    // entities), then the codegen'd RE2-safe strip chain. The oracle
+    // reconstructs the expected prose from the raw table — tag leakage,
+    // missed chrome, or broken entity decode all break the md5s.
+    "html_extract" -> ((s, dir) => {
+      val html = Html.demoHtmlCorpus(tc(s, dir, "documents"))
+      html.select(col("doc_id"), Html.extractText(col("html")).as("__t"))
+        .select(col("doc_id"),
+          size(split(col("__t"), " ")).cast("long").as("n_words"),
+          length(col("__t")).cast("long").as("n_chars"),
+          md5(col("__t").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // REAL keyframe extraction end-to-end: synthesize valid ISO-BMFF
     // files with sample tables (stsz/stco/stss), walk the boxes back,
     // pick 3 evenly-spaced sync samples, and slice their exact byte
@@ -1066,6 +1094,39 @@ object ExtensionQueries {
         |  list_sum(list_transform(list_filter(range(0, w*h*3), i -> i % 3 = 2),
         |    i -> (doc_id*31 + i*7) % 256))::BIGINT AS c2_sum
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // Replays the PCM generator arithmetic (same corpus as
+    // multimodal_audio): 64-sample frame energies, first-63-delta bit
+    // packing, first-occurrence peak frame.
+    "audio_fingerprint" ->
+      """WITH m AS (SELECT doc_id, 500 + doc_id % 300 AS n FROM documents),
+        |f AS (SELECT doc_id, n, n // 64 AS nf FROM m),
+        |e AS (SELECT doc_id, nf,
+        |  list_transform(range(0, nf), fr ->
+        |    list_sum(list_transform(range(fr*64, fr*64 + 64),
+        |      j -> ((doc_id*13 + j*37) % 65536 - 32768)
+        |           * ((doc_id*13 + j*37) % 65536 - 32768)))) AS es
+        |  FROM f)
+        |SELECT doc_id AS media_id, nf::INT AS n_frames,
+        |  COALESCE(list_sum(list_transform(range(0, LEAST(nf - 1, 63)), i ->
+        |    CASE WHEN es[i + 2] > es[i + 1]
+        |         THEN (1::BIGINT << i) ELSE 0 END)), 0)::BIGINT AS fp_bits,
+        |  (list_position(es, list_max(es)) - 1)::INT AS peak_frame_idx,
+        |  list_sum(es)::BIGINT AS total_energy
+        |FROM e ORDER BY media_id""".stripMargin,
+
+    // Reconstructs the post-strip prose (`doc <id> <text>`, whitespace
+    // collapsed) straight from the raw table — no HTML parsing in the
+    // oracle, so the Spark strip chain is tested, not mirrored.
+    "html_extract" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim('doc ' || doc_id || ' ' ||
+        |         trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents)
+        |SELECT doc_id, len(string_split(t, ' '))::BIGINT AS n_words,
+        |  strlen(t)::BIGINT AS n_chars, md5(t) AS text_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // Replays the MP4 generator arithmetic: ns samples, keyframes at
     // odd 1-based numbers (0-based 0,2,4,…), 3 evenly spaced picks, and

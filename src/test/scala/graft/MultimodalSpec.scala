@@ -157,6 +157,31 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
   }
 
+  test("audio fingerprint: framing, delta bits, first-occurrence peak") {
+    import spark.implicits._
+    // 4 frames of 64 samples with energies quiet, loud, quiet, loud:
+    // deltas (+,-,+) → bits 0b101 = 5; peak = first loud frame = 1.
+    val amp = Array(10, 1000, 10, 1000)
+    val bytes = new Array[Byte](4 * 64 * 2)
+    for (f <- 0 until 4; k <- 0 until 64) {
+      val v = if (k % 2 == 0) amp(f) else -amp(f)
+      bytes(2 * (f * 64 + k)) = (v & 0xFF).toByte
+      bytes(2 * (f * 64 + k) + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val media = Seq(
+      Multimodal.MediaFile(1L, "audio", Containers.synthWav(8000, 1, 16, bytes)),
+      Multimodal.MediaFile(2L, "audio", "not audio at all".getBytes)).toDS()
+    val got = Multimodal.audioFingerprint(spark, media).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(got(1L).n_frames == 4)
+    assert(got(1L).fp_bits == 5L)
+    assert(got(1L).peak_frame_idx == 1)
+    assert(got(1L).total_energy ==
+      amp.map(a => 64L * a * a).sum)
+    // undecodable payload → -1 sentinels, not an exception
+    assert(got(2L).n_frames == -1 && got(2L).fp_bits == -1L)
+  }
+
   test("mp4 sample tables round-trip: stsz/stco/stss write then box-walk read") {
     val samples = Array(
       Array.tabulate(16)(_.toByte),

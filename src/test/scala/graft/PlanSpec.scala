@@ -293,6 +293,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "inflow aggregation is hash-based")
   }
 
+  test("html_extract: one codegen'd projection chain, no UDF, no join") {
+    val df = graft.queries.ExtensionQueries
+      .queries("html_extract")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "strip chain must stay codegen'd regexp_replace, not a UDF")
+    assert(!p.contains("Join"), "no join belongs in a narrow strip chain")
+    // exactly the scan's exchange work: the final presentation orderBy
+    // plus the rebalance round-robin — no aggregation shuffles
+    assert(!p.contains("HashAggregate"), "no aggregation belongs here")
+  }
+
   test("row hash stays inside whole-stage codegen") {
     // AQE's pre-execution explain omits codegen markers; check the
     // non-adaptive executed plan, where a codegen'd Project prints as
