@@ -92,6 +92,16 @@ object StreamingQueries {
           Tables.load(s, dir, "events"), "user_id", "ts", lit(1800))
         .select("user_id", "session_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_id")),
+
+    // Sessionization via the BUILT-IN session_window aggregation — the
+    // compose-existing-ops path: one groupBy, Spark-managed merge state,
+    // watermark-bounded in streaming. Strict gap boundary (an event
+    // exactly `gap` later opens a new session), which the oracle replays
+    // with `>=`.
+    "stream_session_window" -> ((s, dir) =>
+      StreamingPipeline.sessionWindowAgg(
+          Tables.load(s, dir, "events"), "user_id", "ts", "30 minutes")
+        .orderBy("user_id", "session_start")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -151,6 +161,22 @@ object StreamingQueries {
         |  AND view_ts >= click_ts
         |  AND view_ts <= click_ts + INTERVAL 1800 SECONDS
         |ORDER BY click_id, view_id""".stripMargin,
+
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |lagged AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+        |flagged AS (SELECT user_id, ts,
+        |  CASE WHEN prev IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev) >= 1800 * 1000000 THEN 1
+        |    ELSE 0 END AS is_new FROM lagged),
+        |sess AS (SELECT user_id, ts,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

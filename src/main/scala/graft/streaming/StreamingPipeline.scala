@@ -200,6 +200,29 @@ object StreamingPipeline {
 
   // --- sessionization ----------------------------------------------------
 
+  /** Built-in session windows — the compose-existing-ops path (preferred
+    * when its semantics fit): `session_window(ts, gap)` merges events
+    * into gap-delimited windows inside one aggregation, with Spark
+    * managing the merge/expiry state natively (no custom state store
+    * code, AQE-aware, and in streaming the watermark bounds state and
+    * drives Append-mode emission).
+    *
+    * Boundary semantics differ from [[sessionizeBatch]] BY CONTRACT: the
+    * built-in merges an event iff it lands strictly before the previous
+    * window's end (`prev_ts + gap`), so a gap of EXACTLY `gap` starts a
+    * new session — `sessionizeBatch`'s lag formulation is inclusive
+    * (`diff > gap` splits). Both are exact; pick per pipeline.
+    */
+  def sessionWindowAgg(df: DataFrame, userCol: String, tsCol: String,
+      gap: String = "30 minutes"): DataFrame =
+    df.groupBy(col(userCol).as("user_id"),
+        session_window(col(tsCol), gap).as("w"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)

@@ -274,6 +274,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in session_window behind readStream matches the batch result") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val ev = Tables.load(spark, sf0001, "events")
+    val batch = StreamingPipeline.sessionWindowAgg(ev, "user_id", "ts")
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    // Append mode emits a session only once the watermark passes its
+    // end, and sessions inside the final watermark delay stay in state
+    // when the query stops. A far-future sentinel event (user -1) pushes
+    // the end-of-input watermark past every REAL session; the sentinel's
+    // own session stays un-emitted (its end is beyond the watermark), so
+    // the emitted set is exactly the batch program's on the real events.
+    val tmp = java.nio.file.Files.createTempDirectory("sesswin").toString
+    ev.write.parquet(s"$tmp/events.parquet") // directory-shaped table
+    ev.agg(max(col("ts")).as("ts")).select(
+        lit(-1L).as("event_id"),
+        expr("ts + INTERVAL 240 HOURS").as("ts"),
+        lit(-1L).as("user_id"),
+        lit("view").as("event_type"),
+        lit(0.0d).as("value"),
+        lit("{}").as("props"))
+      .write.mode("append").parquet(s"$tmp/events.parquet")
+    val agg = StreamingPipeline.sessionWindowAgg(
+      StreamingPipeline.streamTable(spark, tmp, "events")
+        .withWatermark("ts", "1 hour"), "user_id", "ts")
+    val q = agg.writeStream.format("memory").queryName("sesswin_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("sesswin_out").collect().map(_.toSeq).toSet == batch)
+  }
+
   test("tumbling agg behind readStream matches the batch result") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val batch = StreamingPipeline.tumblingAgg(
