@@ -306,6 +306,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("sesswin_out").collect().map(_.toSeq).toSet == batch)
   }
 
+  test("stateful streaming runs unchanged on the RocksDB state store") {
+    // At 100 TB the default HDFS-backed store keeps every key in
+    // executor heap; RocksDB spills state to local disk and is the
+    // production provider. Same Column program, same results — only the
+    // provider conf differs, proven here on the watermarked session
+    // aggregation (merge-heavy, the hardest state shape we use).
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val agg = StreamingPipeline.sessionWindowAgg(
+        StreamingPipeline.streamTable(spark, sf0001, "events")
+          .withWatermark("ts", "1 hour"), "user_id", "ts")
+      val q = agg.writeStream.format("memory").queryName("rocks_out")
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // Append emits only watermark-closed sessions; every emitted row
+      // must agree with the batch program (subset relation), and the
+      // bulk of sessions must have flushed.
+      val batch = StreamingPipeline.sessionWindowAgg(
+        Tables.load(spark, sf0001, "events"), "user_id", "ts")
+        .collect().map(_.toSeq).toSet
+      val got = spark.table("rocks_out").collect().map(_.toSeq).toSet
+      assert(got.nonEmpty && got.subsetOf(batch),
+        s"RocksDB-backed result diverged: ${got.size} rows vs batch ${batch.size}")
+      assert(got.size >= batch.size / 2, "most sessions should have flushed")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("tumbling agg behind readStream matches the batch result") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val batch = StreamingPipeline.tumblingAgg(
