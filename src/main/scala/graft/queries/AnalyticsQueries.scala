@@ -295,10 +295,23 @@ object AnalyticsQueries {
         .select(col("l_orderkey").as("ok"), col("l_suppkey"))
       val o = t(s, dir, "orders")
         .select(col("o_orderkey").as("ok"), col("o_custkey"))
+      // Disjoint LONG node ids (even = customer 2k, odd = supplier 2k+1)
+      // instead of "c…"/"s…" strings: the id crosses 4 sweep joins + 4
+      // aggregations, and an 8-byte fixed key shuffles/compares far
+      // cheaper than a var-length UTF8 one at any scale. The bijection
+      // preserves the edge multiset, so the exact-integer scores are
+      // bit-identical; ids stringify only at the output boundary.
       val edges = o.join(li, "ok")
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-      Graph.hitsInt(edges, "src", "dst", iterations = 2).orderBy("node")
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.hitsInt(edges, "src", "dst", iterations = 2)
+        .select(
+          when(col("node") % 2 === 0,
+            concat(lit("c"), expr("node div 2").cast("string")))
+            .otherwise(concat(lit("s"), expr("node div 2").cast("string")))
+            .as("node"),
+          col("auth_fp"), col("hub_fp"))
+        .orderBy("node")
     }),
 
     // Join-cardinality estimation via CMS inner products (never
