@@ -33,4 +33,43 @@ object Layout {
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode(mode).parquet(path)
   }
+
+  final case class CompactStats(
+      filesBefore: Int, filesAfter: Int, bytesBefore: Long)
+
+  /** Small-file compaction — the standing maintenance job of any
+    * incrementally-written lake table. Streaming/incremental appends
+    * leave thousands of KB-scale files per partition; every downstream
+    * scan then pays per-file open/footer/seek costs and the scheduler
+    * drowns in splits. Compaction rewrites the table as
+    * `ceil(bytes / targetFileBytes)` files — range-clustered + sorted
+    * when `cols` are given (preserving [[writeSorted]]'s min-max
+    * pruning), round-robin otherwise.
+    *
+    * Writes to `outPath` rather than in place: an in-place rewrite needs
+    * a table format with a commit protocol (Delta/Iceberg manifests) to
+    * stay atomic under concurrent readers; path-swap is the primitive
+    * this library exposes, and the caller owns the swap.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileBytes: Long = 128L << 20,
+      cols: Seq[String] = Nil): CompactStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(hPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val bytes = parts.map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val shaped =
+      if (cols.nonEmpty)
+        df.repartitionByRange(n, cols.map(col): _*)
+          .sortWithinPartitions(cols.map(col): _*)
+      else df.repartition(n)
+    shaped.write.mode(SaveMode.Overwrite).parquet(outPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    CompactStats(parts.length, after, bytes)
+  }
 }

@@ -37,4 +37,34 @@ class LayoutSpec extends SparkSpec {
       .select(input_file_name()).distinct().count()
     assert(touched == 1)
   }
+
+  test("compact: many small files → few target-sized, content identical") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val li = Tables.load(spark, sf0001, "lineitem")
+    // Simulate an incremental-append mess: 64 tiny files.
+    li.repartition(64).write.parquet(s"$base/small")
+    val stats = Layout.compact(spark, s"$base/small", s"$base/big",
+      targetFileBytes = 256L << 10)
+    assert(stats.filesBefore == 64)
+    assert(stats.filesAfter < 16, s"still ${stats.filesAfter} files")
+    assert(stats.filesAfter ==
+      math.max(1, (stats.bytesBefore + (256L << 10) - 1) / (256L << 10)))
+    // content is the same multiset of rows (column order normalized —
+    // parquet round-trips preserve names, not necessarily positions)
+    def multiset(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).collect().map(_.toSeq.mkString("|")).toSeq.sorted
+    }
+    assert(multiset(spark.read.parquet(s"$base/big")) == multiset(li))
+
+    // clustered compaction preserves the min-max pruning property
+    val statsSorted = Layout.compact(spark, s"$base/small", s"$base/sorted",
+      targetFileBytes = 256L << 10, cols = Seq("l_shipdate"))
+    assert(statsSorted.filesAfter > 1)
+    val sorted = spark.read.parquet(s"$base/sorted")
+    val someDate = li.agg(min("l_shipdate")).head().get(0)
+    val touched = sorted.where(col("l_shipdate") === lit(someDate))
+      .select(input_file_name()).distinct().count()
+    assert(touched == 1)
+  }
 }
