@@ -81,6 +81,33 @@ object Merge {
     closed.unionByName(appended)
   }
 
+  /** CDC changelog APPLY — the inverse of [[snapshotDiff]]: collapse an
+    * ordered stream of per-key change records (upserts and deletes) to
+    * the final table state. Last writer wins per key, ordered by
+    * `(orderCols)` (must be a TOTAL order per key — include a unique
+    * tiebreaker like the change id); keys whose LAST record is a delete
+    * disappear.
+    *
+    * Scale shape: one partial-aggregated `max_by(payload, order)`
+    * groupBy — a single shuffle carrying one row per key out of the
+    * map side. The textbook window formulation
+    * (`row_number() OVER (PARTITION BY key ORDER BY … DESC) = 1`) sorts
+    * every key's full change history; `max_by`'s partial aggregation
+    * reduces each partition to one candidate per key before the
+    * exchange, which at a 100 TB changelog is the difference between
+    * shuffling the history and shuffling the keys.
+    */
+  def applyCdc(changes: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      deleteCol: String): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty)
+    val payload = changes.columns.filterNot(keys.contains).toSeq
+    val latest = changes.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(orderCols.map(col): _*)).as("__last"))
+    latest.where(!col(s"__last.$deleteCol"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__last.$c").as(c)): _*)
+  }
+
   /** Snapshot diff (CDC classify): compare two versions of a table on a
     * key and emit one row per divergence — `insert` (key only in new),
     * `delete` (key only in old), `update` (key in both, compared columns

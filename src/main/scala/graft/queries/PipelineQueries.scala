@@ -100,6 +100,22 @@ object PipelineQueries {
         .orderBy("o_orderkey")
     }),
 
+    // CDC changelog apply: the event stream read as per-user change
+    // records ('error' = delete, anything else = upsert), collapsed to
+    // final state by last-writer-wins on (ts, event_id). One
+    // partial-aggregated max_by shuffle — one row per key leaves each
+    // map partition, vs the window formulation's full history sort.
+    "cdc_apply" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"), col("value"),
+        (col("event_type") === "error").as("is_delete"))
+      Merge.applyCdc(ev, keys = Seq("user_id"),
+          orderCols = Seq("ts_us", "event_id"), deleteCol = "is_delete")
+        .select("user_id", "ts_us", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
     // Telemetry QA: per-event-type z-score outliers over the 2-dp value
     // metric (fixed-point moments, order-free).
     "anomaly_zscore" -> ((s, dir) =>
@@ -557,6 +573,18 @@ object PipelineQueries {
         "l_returnflag", "l_shipdate").map(one)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+
+    "cdc_apply" ->
+      """WITH ranked AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+        |               event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts_us, event_id, event_type, value
+        |FROM ranked WHERE rn = 1 AND event_type != 'error'
+        |ORDER BY user_id""".stripMargin,
 
     "merge_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),

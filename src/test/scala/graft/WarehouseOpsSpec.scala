@@ -30,6 +30,33 @@ class WarehouseOpsSpec extends SparkSpec {
       ("2024-01-08", 0L) -> 1L, ("2024-01-08", 1L) -> 1L))
   }
 
+  test("cdc apply: last writer wins, trailing delete removes the key") {
+    import spark.implicits._
+    import graft.operators.Merge
+    val changes = Seq(
+      // key 1: upsert then newer upsert → latest value survives
+      (1L, 10L, 100L, "a", false),
+      (1L, 20L, 101L, "b", false),
+      // key 2: upsert then delete → key disappears
+      (2L, 10L, 102L, "c", false),
+      (2L, 30L, 103L, "d", true),
+      // key 3: delete then LATER upsert → key resurrects
+      (3L, 10L, 104L, "e", true),
+      (3L, 40L, 105L, "f", false),
+      // key 4: same ts, tiebreak on change id (106 < 107)
+      (4L, 50L, 106L, "g", false),
+      (4L, 50L, 107L, "h", false)
+    ).toDF("k", "ts", "chg_id", "v", "is_delete")
+    val got = Merge.applyCdc(changes, Seq("k"), Seq("ts", "chg_id"), "is_delete")
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "b", 3L -> "f", 4L -> "h"))
+    // partition invariance: exact integers + total order per key
+    val again = Merge.applyCdc(changes.repartition(7), Seq("k"),
+      Seq("ts", "chg_id"), "is_delete")
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   test("scd2: closes current rows, appends changes, preserves closed history") {
     import spark.implicits._
     import graft.operators.Merge
