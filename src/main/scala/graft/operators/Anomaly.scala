@@ -83,4 +83,37 @@ object Anomaly {
       round(col("__b.r").cast("double") /
         (col("__b.n") * lit(scale)).cast("double"), 6).as("drift")): _*)
   }
+
+  /** Robust outliers via the modified z-score (Iglewicz–Hoaglin):
+    * `0.6745 · (x − median) / MAD`, flagging |mz| > `threshold`
+    * (canonical 3.5). Means and stddevs ([[zscoreOutliers]]) are
+    * dragged by the very outliers being hunted; median/MAD have a 50%
+    * breakdown point, so this is the pass heavy-tailed metrics need.
+    *
+    * Exact medians need a full sort at scale; instead both location
+    * (median) and spread (MAD = median |x − median|) come from the
+    * deterministic fixed-grid histogram sketch
+    * ([[Sketches.histogramQuantiles]]) — two bounded aggregation
+    * passes over the data (each shuffles ≤ `bins` rows), one broadcast
+    * back, zero sorts. Value-space error ≤ one bin width, identical on
+    * every engine, so the SQL oracle replays it verbatim.
+    *
+    * A zero MAD (≥ 50% of values identical) flags nothing: the modified
+    * z-score is undefined there, and the standard fallback (meanAD)
+    * trades robustness for exactly the contamination this op avoids.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, threshold: Double = 3.5,
+      bins: Int = 256): DataFrame = {
+    val med1 = Sketches.histogramQuantiles(df, valueCol, bins, Seq(0.5))
+      .select(col("est").as("__med"))
+    val dev = df.crossJoin(broadcast(med1))
+      .withColumn("__ad", abs(col(valueCol).cast("double") - col("__med")))
+    val mad1 = Sketches.histogramQuantiles(dev, "__ad", bins, Seq(0.5))
+      .select(col("est").as("__mad"))
+    df.crossJoin(broadcast(med1)).crossJoin(broadcast(mad1))
+      .withColumn("mz", round(
+        lit(0.6745) * (col(valueCol).cast("double") - col("__med")) / col("__mad"), 4))
+      .where(col("__mad") > 0 && abs(col("mz")) > lit(threshold))
+      .drop("__med", "__mad")
+  }
 }

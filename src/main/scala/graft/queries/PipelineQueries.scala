@@ -116,6 +116,14 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
+    // Robust outliers: modified z-score on median/MAD from the
+    // deterministic histogram sketch — two bounded aggregation passes,
+    // no sort; flags the heavy tail the mean/stddev z-score understates.
+    "anomaly_mad" -> ((s, dir) =>
+      Anomaly.madOutliers(t(s, dir, "events"), "value", threshold = 3.5)
+        .select("event_id", "event_type", "value", "mz")
+        .orderBy("event_id")),
+
     // Telemetry QA: per-event-type z-score outliers over the 2-dp value
     // metric (fixed-point moments, order-free).
     "anomaly_zscore" -> ((s, dir) =>
@@ -573,6 +581,49 @@ object PipelineQueries {
         "l_returnflag", "l_shipdate").map(one)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+
+    // Replays the two-pass histogram median/MAD arithmetic verbatim
+    // (same fixed-grid CTE shape as the sketch_quantile oracle, applied
+    // to value and then to |value − median|), then the rounded modified
+    // z-score filter.
+    "anomaly_mad" ->
+      """WITH s1 AS (SELECT min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx,
+        |    count(value) AS n FROM events),
+        |b1 AS (SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE least(floor((value::DOUBLE - mn) / ((mx - mn) / 256.0)), 255)
+        |    END::INT AS bin
+        |  FROM events, s1 WHERE value IS NOT NULL),
+        |c1 AS (SELECT bin, count(*) AS cnt FROM b1 GROUP BY bin),
+        |cc1 AS (SELECT bin, cnt,
+        |    sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c1),
+        |p1 AS (SELECT min(bin) AS bin FROM s1, cc1 WHERE cum >= 0.5 * n),
+        |med AS (SELECT round(CASE WHEN mx = mn THEN mn
+        |    ELSE mn + ((mx - mn) / 256.0) *
+        |      (cc1.bin + (0.5 * n - (cum - cnt)) / cnt) END, 4) AS m
+        |  FROM p1 JOIN cc1 ON p1.bin = cc1.bin, s1),
+        |d AS (SELECT event_id, event_type, value,
+        |    abs(value::DOUBLE - m) AS ad FROM events, med),
+        |s2 AS (SELECT min(ad)::DOUBLE AS mn, max(ad)::DOUBLE AS mx,
+        |    count(ad) AS n FROM d),
+        |b2 AS (SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE least(floor((ad - mn) / ((mx - mn) / 256.0)), 255)
+        |    END::INT AS bin
+        |  FROM d, s2 WHERE ad IS NOT NULL),
+        |c2 AS (SELECT bin, count(*) AS cnt FROM b2 GROUP BY bin),
+        |cc2 AS (SELECT bin, cnt,
+        |    sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c2),
+        |p2 AS (SELECT min(bin) AS bin FROM s2, cc2 WHERE cum >= 0.5 * n),
+        |mad AS (SELECT round(CASE WHEN mx = mn THEN mn
+        |    ELSE mn + ((mx - mn) / 256.0) *
+        |      (cc2.bin + (0.5 * n - (cum - cnt)) / cnt) END, 4) AS md
+        |  FROM p2 JOIN cc2 ON p2.bin = cc2.bin, s2)
+        |SELECT event_id, event_type, value,
+        |  round(0.6745 * (value::DOUBLE - m) / md, 4) AS mz
+        |FROM events, med, mad
+        |WHERE md > 0 AND abs(round(0.6745 * (value::DOUBLE - m) / md, 4)) > 3.5
+        |ORDER BY event_id""".stripMargin,
 
     "cdc_apply" ->
       """WITH ranked AS (

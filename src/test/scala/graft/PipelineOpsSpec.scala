@@ -69,6 +69,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Set("aX", "bX"))
   }
 
+  test("anomaly MAD: flags the planted spike, zero-MAD flags nothing") {
+    // spread 1..9 (MAD well-defined) + one far spike
+    val rows = ((1 to 9).map(i => (i.toLong, i.toDouble)) :+ ((100L, 1000.0)))
+    val df = rows.toDF("event_id", "value")
+    val got = Anomaly.madOutliers(df, "value", threshold = 3.5)
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(100L), s"flagged $got")
+    // degenerate constant column → MAD 0 → guard yields zero flags,
+    // never a divide-by-zero NaN flood
+    val flat = (1 to 21).map(i => (i.toLong, 7.0)).toDF("event_id", "value")
+    assert(Anomaly.madOutliers(flat, "value").count() == 0)
+    // partition invariance (histogram counts are exact integers)
+    val p = Anomaly.madOutliers(df.repartition(7), "value", threshold = 3.5)
+      .select("event_id").as[Long].collect().toSet
+    assert(p == got)
+  }
+
   test("anomaly zscore: fixed-point moments are partition-invariant") {
     val df = Tables1.events(spark, sf001)
     val z1 = Anomaly.zscoreOutliers(df, "value", Seq("event_type"), 3.0)
