@@ -345,6 +345,36 @@ object PipelineQueries {
         .orderBy("conv_id")
     }),
 
+    // Linear multi-touch attribution: every click/view in the 24h
+    // window before a purchase shares the conversion credit equally —
+    // exact integer micro-credits (1000000 div n, order-free sums), so
+    // the floor remainder policy is deterministic on both engines.
+    // Weekly per-channel rollup; one user-keyed equi-join + range
+    // filter, one per-conversion count, partial-agg everywhere.
+    "attribution_linear" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("conv_us"),
+          to_date(date_trunc("week", col("ts"))).as("week"),
+          col("event_id").as("conv_id"))
+      val touch = ev.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), unix_micros(col("ts")).as("touch_us"),
+          col("event_type").as("touch_type"))
+      val joined = conv.join(touch, Seq("user_id"))
+        .where(col("touch_us") <= col("conv_us") &&
+          col("touch_us") >= col("conv_us") - lit(24L * 3600 * 1000000L))
+      val perConv = joined.groupBy("conv_id").agg(count(lit(1)).as("n_touch"))
+      joined.join(perConv, "conv_id")
+        .withColumn("credit_micro", expr("1000000 div n_touch"))
+        .groupBy("week", "touch_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum("credit_micro").as("__cm"))
+        .select(col("week"), col("touch_type"), col("n_touches"),
+          round(col("__cm") / 1e6, 6).as("credit"))
+        .orderBy("week", "touch_type")
+    }),
+
     // Constraint checking: rows violating any data-quality rule are
     // quarantined with the sorted violated-rule names.
     "dq_quarantine" -> ((s, dir) =>
@@ -868,6 +898,25 @@ object PipelineQueries {
         |FROM (SELECT *, lag(n) OVER (PARTITION BY event_type
         |    ORDER BY week) AS prev_n FROM wk) t
         |ORDER BY 1, 2""".stripMargin,
+
+    "attribution_linear" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    user_id, event_type FROM events),
+        |conv AS (SELECT user_id, epoch_us(ts) AS conv_us,
+        |    date_trunc('week', ts)::DATE AS week, event_id AS conv_id
+        |  FROM ev WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, epoch_us(ts) AS touch_us,
+        |    event_type AS touch_type
+        |  FROM ev WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT conv_id, week, touch_type
+        |  FROM conv JOIN touch USING (user_id)
+        |  WHERE touch_us <= conv_us
+        |    AND touch_us >= conv_us - 86400000000),
+        |n AS (SELECT conv_id, count(*) AS n_touch FROM j GROUP BY conv_id)
+        |SELECT week, touch_type, count(*)::BIGINT AS n_touches,
+        |  round(sum(1000000 // n_touch)::BIGINT / 1e6, 6) AS credit
+        |FROM j JOIN n USING (conv_id)
+        |GROUP BY week, touch_type ORDER BY week, touch_type""".stripMargin,
 
     "attribution_last_touch" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
