@@ -44,6 +44,52 @@ object Funnel {
     frontier
   }
 
+  /** Time-bounded funnel (ClickHouse `windowFunnel` semantics): like
+    * [[funnel]], but the whole chain must complete within
+    * `windowSeconds` of the user's FIRST stage-1 event — "signed up and
+    * converted within 24h", the conversion-window question plain
+    * ordered funnels can't answer.
+    *
+    * Chain rule per user: stage-1 anchor = earliest stage-1 event;
+    * stage k (k ≥ 2) = earliest stage-k event strictly after the
+    * user's stage k−1 timestamp AND within `windowSeconds` of the
+    * anchor. Greedy-earliest at every step, matching [[funnel]] (and
+    * ClickHouse's default mode). Returns one row per user who reached
+    * stage 1: each stage's nullable timestamp plus `depth` (number of
+    * stages completed in the window).
+    *
+    * Same scale shape as [[funnel]]: one filter + per-user min-agg per
+    * stage, frontier joins only — never a row-to-row self theta join.
+    * The window bound rides the stage join as an extra inequality on
+    * the already-joined frontier row, so no new shuffle appears.
+    */
+  def windowFunnel(events: DataFrame, userCol: String, tsCol: String,
+      windowSeconds: Long,
+      stages: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val head = stages.head
+    val anchorCol = s"${head._1}_ts"
+    var frontier = events.where(head._2)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as(anchorCol))
+    for (((label, pred), prev) <- stages.tail.zip(stages.map(_._1))) {
+      val next = events.where(pred)
+        .select(col(userCol), col(tsCol))
+        .join(frontier.select(col(userCol),
+          col(s"${prev}_ts").as("__prev_ts"), col(anchorCol).as("__anchor")), userCol)
+        .where(col(tsCol) > col("__prev_ts") &&
+          unix_micros(col(tsCol)) - unix_micros(col("__anchor")) <=
+            windowSeconds * 1000000L)
+        .groupBy(col(userCol))
+        .agg(min(col(tsCol)).as(s"${label}_ts"))
+      frontier = frontier.join(next, Seq(userCol), "left")
+    }
+    val depth = stages.map { case (label, _) =>
+      when(col(s"${label}_ts").isNotNull, 1L).otherwise(0L)
+    }.reduce(_ + _)
+    frontier.withColumn("depth", depth)
+  }
+
   /** Clickstream path mining: gap-sessionize events per user (same rule
     * as the streaming sessionizer), order each session's event types
     * into a `a>b>c` path string, and return the top-k paths by session

@@ -147,6 +147,80 @@ object Graph {
       .join(hub.select(col("node"), col("h").as("hub_fp")), Seq("node"))
   }
 
+  /** Per-node triangle counts via degree-ordered edge orientation —
+    * the clustering-coefficient numerator, a spam/quality signal for
+    * link graphs (link farms triangle-saturate; organic link
+    * neighborhoods don't) and the standard test of whether a graph
+    * engine can avoid the naive 3-way self-join blowup.
+    *
+    * Algorithm (the "compact-forward" shape every distributed triangle
+    * counter uses): canonicalize to undirected edges `u < v`; orient
+    * each edge from the (degree, id)-smaller endpoint to the larger;
+    * enumerate wedges as self-joins of the oriented edge list on the
+    * shared LOW endpoint (pairing the two out-neighbors in orientation
+    * order); close each wedge against the oriented edge set. Every
+    * triangle is produced exactly once, and per-node wedge work is
+    * Σ out-deg² where orientation bounds out-degree at O(√m) — the
+    * whole reason to orient by degree rather than join raw edges
+    * (a hub of degree d would otherwise contribute d² wedges).
+    *
+    * Orientation keys pack (degree, id) into one BIGINT
+    * (`deg·2³² + id`, exact while ids < 2³² and degrees < 2³¹) so the
+    * three joins compare single longs instead of structs. All counts
+    * are exact integers — partition-order invariant, replayable by a
+    * serial SQL oracle.
+    *
+    * Scale shape: degree computation is one agg over edges; the wedge
+    * enumeration and the closing check are equality joins on node keys
+    * (shuffle-partitioned, AQE-balanced) — the n² pair space is never
+    * enumerated.
+    *
+    * @return (node, n_triangles) for every node of the graph,
+    *         zero-filled for triangle-free nodes.
+    */
+  def triangleCounts(edges0: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    // Canonical undirected edges: u < v, self-loops dropped, dedup'd.
+    val und = edges0.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("u").as("node"))
+      .union(und.select(col("v"))).distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // Packed orientation key: (deg, id) as one comparable BIGINT.
+    val keyed = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"),
+        (col("du") * lit(4294967296L) + col("u")).as("ku"),
+        (col("dv") * lit(4294967296L) + col("v")).as("kv"))
+    // Oriented: lo --> hi in (deg, id) order.
+    val ori = keyed.select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("lo"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("hi"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("khi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Wedges (a; b, c) with b before c in orientation order; the closing
+    // edge b->c, if present, is oriented exactly that way, so one
+    // semi-join on (lo, hi) = (b, c) closes the triangle.
+    val w1 = ori.select(col("lo").as("a"), col("hi").as("b"), col("khi").as("kb"))
+    val w2 = ori.select(col("lo").as("a2"), col("hi").as("c"), col("khi").as("kc"))
+    val wedges = w1.join(w2, col("a") === col("a2") && col("kb") < col("kc"))
+      .select(col("a"), col("b"), col("c"))
+    val tris = wedges.join(ori,
+        wedges("b") === ori("lo") && wedges("c") === ori("hi"), "left_semi")
+    // Every triangle credits each of its three corners once.
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** Multi-source BFS: hop distance from the nearest seed, bounded at
     * `maxDepth` sweeps — "how far is every page from a trusted seed
     * set", the TrustRank-style proximity signal curation uses to weight

@@ -184,4 +184,57 @@ object Sampling {
       .where(h52 < col("__p") * lit(4503599627370496.0)) // 2^52
       .drop("__g", "__p")
   }
+
+  /** Weighted priority sampling (Duffield–Lund–Thorup, JACM'07
+    * "Priority sampling"): draw k rows with inclusion probability
+    * increasing in `weightCol` AND keep subset sums estimable — each
+    * kept row carries `est_weight = max(weight, τ)` where τ is the
+    * (k+1)-th priority, making Σ est_weight over any kept subset an
+    * unbiased estimator of that subset's true weight sum. This is the
+    * "sample 10k documents but keep token counts estimable" primitive
+    * a curation pipeline needs when it reports corpus composition from
+    * a sample. Weights and τ are carried in 2^26 fixed point
+    * (`est_weight_fp = max(w·2^26, τ)`) so every comparison is exact
+    * integer math.
+    *
+    * Priority q = (w · 2^26) div (hash₂₆(id, seed) + 1) in exact 64-bit
+    * integers (hash₂₆ = top 26 bits of the md5-60 hash, so q ≤ w·2^26
+    * never overflows for w up to ~2^37): a deterministic, seed-keyed
+    * stand-in for the paper's w/u with u ∈ (0,1] uniform. Ties broken
+    * by id → total order → reproducible sample, SQL-replayable oracle.
+    *
+    * Scale shape: one narrow hash map, then ONE bounded global top-(k+1)
+    * (TakeOrderedAndProject — per-partition heaps, no full sort); τ is
+    * the boundary row, split off with a 1-row broadcast join rather
+    * than a driver action. The corpus itself never shuffles.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val h26 = shiftright(TextOps.md5Hash60(
+      concat_ws("_", lit(seed), col(idCol).cast("string"))), 34) + lit(1L)
+    val withQ = df
+      .withColumn("__h", h26)
+      .withColumn("priority_fp",
+        expr(s"(cast(`$weightCol` as bigint) * 67108864L) div __h"))
+      .drop("__h")
+    // ONE bounded global top-(k+1): TakeOrderedAndProject (per-partition
+    // heaps, no full sort). The k+1-row window ranking after it runs on
+    // k+1 rows — not the 1-partition-full-table anti-pattern.
+    val topK1 = withQ
+      .orderBy(col("priority_fp").desc, col(idCol).asc).limit(k + 1)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("priority_fp").desc, col(idCol).asc)))
+    // τ = the (k+1)-th priority; absent (≤ k rows total) → τ = 0, and
+    // est_weight degenerates to the exact weight as the paper requires.
+    val tau = broadcast(topK1.where(col("__rn") === k + 1)
+      .select(col("priority_fp").as("__tau")))
+    topK1.where(col("__rn") <= k)
+      .join(tau, lit(true), "left")
+      .withColumn("est_weight_fp",
+        greatest(col(weightCol).cast("long") * lit(67108864L),
+          coalesce(col("__tau"), lit(0L))))
+      .drop("__rn", "__tau")
+  }
 }

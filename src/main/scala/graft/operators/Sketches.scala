@@ -62,6 +62,58 @@ object Sketches {
           4)).as("kmv_est"))
   }
 
+  /** KMV set algebra (Beyer et al., SIGMOD'07 "On Synopses for
+    * Distinct-Value Estimation Under Multiset Operations"): estimate
+    * |A∪B|, Jaccard(A,B), and |A∩B| between two keyed frames from their
+    * k-min-value sketches alone — the "how much do these two sources
+    * overlap" question (shared users, shared vocabulary, shared URLs)
+    * answered WITHOUT a distinct-join of the full sets.
+    *
+    * Combined sketch = k smallest distinct hashes of A's ∪ B's sketch
+    * hash sets; with u = (k-th + 1)/2^bits: union_est = (k−1)/u.
+    * ρ = |{h ∈ combined : h ∈ sketch(A) ∧ h ∈ sketch(B)}| / k is an
+    * unbiased Jaccard estimator, and intersect_est = ρ · union_est.
+    *
+    * Everything after the two per-side sketch builds (each one
+    * hash+distinct partial-agg shuffle + TakeOrdered, exactly
+    * [[kmvDistinct]]'s plan) happens on ≤ 2k-row frames — at 100 TB the
+    * scans dominate and the sketch algebra is free. Hashes are exact
+    * integers; the two final divisions are single double ops both
+    * engines reproduce bit-identically.
+    *
+    * One row out: (k, union_est, jaccard_est, intersect_est).
+    */
+  def kmvSetOps(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      k: Int = 64, hashFn: Column => Column = TextOps.md5Hash60,
+      hashBits: Int = 60): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    def sketch(df: DataFrame, keyCol: String): DataFrame =
+      graft.sources.Tables.rebalanceForCompute(df)
+        .select(hashFn(col(keyCol).cast("string")).as("h")).distinct()
+        .orderBy("h").limit(k)
+    val sa = sketch(a, aKey).withColumn("in_a", lit(1L))
+    val sb = sketch(b, bKey).withColumn("in_b", lit(1L))
+    // Combined k smallest over the union of the two sketches (≤ 2k rows).
+    val combined = sa.select("h").union(sb.select("h")).distinct()
+      .orderBy("h").limit(k)
+    val flagged = combined
+      .join(sa, Seq("h"), "left").join(sb, Seq("h"), "left")
+    val agg = flagged.agg(
+      count(lit(1)).as("n_in_k"),
+      max(col("h")).as("h_k"),
+      sum(coalesce(col("in_a"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
+        .as("n_both"))
+    agg.select(
+      lit(k).as("k"),
+      // Short side exact when the union fits inside k (sketch == set).
+      when(col("n_in_k") < k, col("n_in_k").cast("double"))
+        .otherwise(round(
+          lit(k - 1.0) / ((col("h_k") + 1).cast("double") / lit(domain(hashBits))),
+          4)).as("union_est"),
+      round(col("n_both").cast("double") / col("n_in_k"), 6).as("jaccard_est"))
+      .withColumn("intersect_est", round(col("union_est") * col("jaccard_est"), 4))
+  }
+
   /** HyperLogLog distinct-count estimate with m registers (power of 2).
     *
     * bucket = h mod m; payload = h >> log2(m) (so bucket and payload

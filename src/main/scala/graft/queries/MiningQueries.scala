@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Funnel, Graph, Sampling, Sketches, Urls}
+import graft.sources.Tables
+
+/** Round-4 mining surface: graph triangle counting, time-bounded
+  * funnels, KMV set algebra, priority sampling, URL-level dedup, and
+  * snapshot drift reporting. Everything follows the repo-wide oracle
+  * contract: integer/fixed-point arithmetic wherever aggregation order
+  * could vary, md5-derived hashes (the only 64-bit hash both engines
+  * share), and rounding applied identically on both sides.
+  */
+object MiningQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tc(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.rebalanceForCompute(t(s, dir, name))
+
+  private def h60(expr: String): String = ExtensionQueries.md5Hash60Sql(expr)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-node triangle counts over the part co-purchase graph
+    // (deterministic 1-in-8 node subsample keeps the synthetic graph
+    // sparse — the full co-purchase graph is near-complete, where
+    // triangle counting is both degenerate and quadratic). Exact
+    // integers end to end; the degree orientation inside
+    // Graph.triangleCounts bounds wedge work at Σ out-deg² with
+    // out-deg = O(√m).
+    "graph_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(pmod(col("l_partkey"), lit(8)) === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+        .where(col("src") < col("dst"))
+        .select("src", "dst")
+      Graph.triangleCounts(edges, "src", "dst").orderBy("node")
+    }),
+
+    // ClickHouse-windowFunnel semantics: the view→click→purchase chain
+    // must complete within 1h of the user's FIRST view. Depth = number
+    // of stages reached inside the window.
+    "funnel_windowed" -> ((s, dir) =>
+      Funnel.windowFunnel(t(s, dir, "events"), "user_id", "ts", 3600L, Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+        .select(col("user_id"),
+          unix_micros(col("view_ts")).as("view_ts_us"),
+          unix_micros(col("click_ts")).as("click_ts_us"),
+          unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+          col("depth"))
+        .orderBy("user_id")),
+
+    // KMV set algebra: estimated |A∪B| / Jaccard / |A∩B| between the
+    // viewing and purchasing user populations, from two 64-hash
+    // sketches — the audience-overlap question answered without a
+    // distinct-join of the full sets.
+    "sketch_kmv_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Sketches.kmvSetOps(
+        ev.where(col("event_type") === "view"), "user_id",
+        ev.where(col("event_type") === "purchase"), "user_id", k = 64)
+    }),
+
+    // Duffield–Lund–Thorup priority sampling: 64 documents drawn with
+    // probability increasing in length, each carrying the
+    // max(w·2²⁶, τ) estimation weight that keeps sampled subset sums
+    // unbiased.
+    "sample_priority" -> ((s, dir) =>
+      Sampling.prioritySample(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", k = 64, seed = "pri7")
+        .select("doc_id", "n_chars", "priority_fp", "est_weight_fp")
+        .orderBy(col("priority_fp").desc, col("doc_id"))),
+
+    // URL-level dedup — the crawl pipeline's first dedup pass: distinct
+    // tracking decorations (utm params, fragments, host casing) of the
+    // same page collapse under canonicalization; keeper = min doc_id
+    // per canonical URL. The synthetic URLs alias doc pages mod 97 so
+    // real collisions exist at every sf.
+    "dedup_url" -> ((s, dir) => {
+      val d = tc(s, dir, "documents").withColumn("url",
+        concat(lit("HTTPS://"), col("source"), lit(".Example.COM/"),
+          col("lang"), lit("/doc/"), pmod(col("doc_id"), lit(97)),
+          lit("?utm_source=feed"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("&utm_campaign=x"))
+            .otherwise(lit("")),
+          lit("#sec")))
+      d.select(col("doc_id"), Urls.canonicalizeUrl(col("url")).as("canon"))
+        .groupBy("canon")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_dups"))
+        .orderBy("canon")
+    }),
+
+    // Snapshot drift report: split events into two half-corpora by
+    // event_id parity (stand-ins for yesterday's and today's loads) and
+    // report per-event-type volume, audience, and money deltas — the
+    // data-quality monitor between pipeline runs. Count deltas in exact
+    // basis points (integer div); money via the repo-wide
+    // decimal-cast/round-2 contract. One scan, one shuffle.
+    "profile_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val old = pmod(col("event_id"), lit(2)) === 0
+      ev.groupBy("event_type").agg(
+          sum(when(old, 1L).otherwise(0L)).as("n_old"),
+          sum(when(!old, 1L).otherwise(0L)).as("n_new"),
+          countDistinct(when(old, col("user_id"))).as("users_old"),
+          countDistinct(when(!old, col("user_id"))).as("users_new"),
+          round(sum(when(old, col("value").cast("decimal(18,4)"))), 2)
+            .cast("double").as("value_old"),
+          round(sum(when(!old, col("value").cast("decimal(18,4)"))), 2)
+            .cast("double").as("value_new"))
+        // Sign-safe basis points: Spark `div` truncates toward zero,
+        // DuckDB `//` floors — they agree only on non-negative
+        // operands, so divide magnitudes and reapply the sign.
+        .withColumn("n_delta_bp",
+          expr("CASE WHEN n_new >= n_old" +
+            " THEN ((n_new - n_old) * 10000) div n_old" +
+            " ELSE -(((n_old - n_new) * 10000) div n_old) END"))
+        .withColumn("users_delta_bp",
+          expr("CASE WHEN users_new >= users_old" +
+            " THEN ((users_new - users_old) * 10000) div users_old" +
+            " ELSE -(((users_old - users_new) * 10000) div users_old) END"))
+        .orderBy("event_type")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 8 = 0),
+        |und AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+        |deg AS (SELECT node, count(*)::BIGINT AS deg
+        |        FROM (SELECT u AS node FROM und
+        |              UNION ALL SELECT v FROM und) GROUP BY node),
+        |ori AS (SELECT
+        |    CASE WHEN du.deg*4294967296 + e.u < dv.deg*4294967296 + e.v
+        |         THEN e.u ELSE e.v END AS lo,
+        |    CASE WHEN du.deg*4294967296 + e.u < dv.deg*4294967296 + e.v
+        |         THEN e.v ELSE e.u END AS hi,
+        |    greatest(du.deg*4294967296 + e.u, dv.deg*4294967296 + e.v) AS khi
+        |  FROM und e JOIN deg du ON e.u = du.node
+        |             JOIN deg dv ON e.v = dv.node),
+        |tri AS (SELECT w1.a AS a, w1.b AS b, w2.c AS c
+        |  FROM (SELECT lo AS a, hi AS b, khi AS kb FROM ori) w1
+        |  JOIN (SELECT lo AS a2, hi AS c, khi AS kc FROM ori) w2
+        |    ON w1.a = w2.a2 AND w1.kb < w2.kc
+        |  WHERE EXISTS (SELECT 1 FROM ori o
+        |                WHERE o.lo = w1.b AND o.hi = w2.c)),
+        |cnt AS (SELECT node, count(*)::BIGINT AS n_triangles
+        |  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri) GROUP BY node)
+        |SELECT n.node::BIGINT AS node,
+        |  coalesce(c.n_triangles, 0)::BIGINT AS n_triangles
+        |FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY node""".stripMargin,
+
+    "funnel_windowed" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type FROM events),
+        |v AS (SELECT user_id, min(ts) AS view_ts FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM ev e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        |        AND epoch_us(e.ts) - epoch_us(v.view_ts) <= 3600000000
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM ev e
+        |      JOIN c ON e.user_id = c.user_id
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        |        AND epoch_us(e.ts) - epoch_us(v.view_ts) <= 3600000000
+        |      GROUP BY 1)
+        |SELECT v.user_id, epoch_us(view_ts) AS view_ts_us,
+        |  epoch_us(click_ts) AS click_ts_us,
+        |  epoch_us(purchase_ts) AS purchase_ts_us,
+        |  (1 + CASE WHEN click_ts IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN purchase_ts IS NULL THEN 0 ELSE 1 END)::BIGINT
+        |    AS depth
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "sketch_kmv_setops" ->
+      s"""WITH ha AS (SELECT DISTINCT ${h60("user_id::VARCHAR")} AS h
+         |  FROM events WHERE event_type = 'view'),
+         |sa AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+         |hb AS (SELECT DISTINCT ${h60("user_id::VARCHAR")} AS h
+         |  FROM events WHERE event_type = 'purchase'),
+         |sb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+         |comb AS (SELECT h FROM
+         |  (SELECT h FROM sa UNION SELECT h FROM sb) ORDER BY h LIMIT 64),
+         |agg AS (SELECT count(*) AS n_in_k, max(h) AS h_k,
+         |    sum(CASE WHEN h IN (SELECT h FROM sa)
+         |              AND h IN (SELECT h FROM sb)
+         |             THEN 1 ELSE 0 END)::BIGINT AS n_both
+         |  FROM comb),
+         |est AS (SELECT
+         |  CASE WHEN n_in_k < 64 THEN n_in_k::DOUBLE
+         |       ELSE round(63.0 / ((h_k + 1)::DOUBLE
+         |                          / 1152921504606846976.0), 4)
+         |  END AS union_est,
+         |  round(n_both::DOUBLE / n_in_k, 6) AS jaccard_est
+         |  FROM agg)
+         |SELECT 64 AS k, union_est, jaccard_est,
+         |  round(union_est * jaccard_est, 4) AS intersect_est
+         |FROM est""".stripMargin,
+
+    "sample_priority" -> {
+      val hh = h60("'pri7_' || doc_id::VARCHAR")
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |    ($hh // 17179869184) + 1 AS hh
+         |  FROM documents),
+         |q AS (SELECT doc_id, n_chars,
+         |    (n_chars::BIGINT * 67108864) // hh AS priority_fp FROM h),
+         |r AS (SELECT *, row_number() OVER
+         |    (ORDER BY priority_fp DESC, doc_id) AS rn FROM q),
+         |tau AS (SELECT priority_fp AS t FROM r WHERE rn = 65)
+         |SELECT doc_id, n_chars, priority_fp,
+         |  greatest(n_chars::BIGINT * 67108864,
+         |    coalesce((SELECT t FROM tau), 0)) AS est_weight_fp
+         |FROM r WHERE rn <= 64
+         |ORDER BY priority_fp DESC, doc_id""".stripMargin
+    },
+
+    "dedup_url" -> {
+      val sh = Urls.SchemeHostPattern
+      s"""WITH d AS (SELECT doc_id,
+         |  'HTTPS://' || source || '.Example.COM/' || lang || '/doc/' ||
+         |  (doc_id % 97) || '?utm_source=feed' ||
+         |  CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=x' ELSE '' END ||
+         |  '#sec' AS url
+         |FROM documents),
+         |c AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    url, '${Urls.FragmentPattern}', ''),
+         |    '${Urls.UtmParamPattern}', '', 'g'),
+         |    '\\?&', '?'), '^([^?]*)&', '\\1?') AS s4
+         |FROM d),
+         |t AS (SELECT doc_id,
+         |  regexp_replace(s4, '[?&]$$', '') AS s5 FROM c),
+         |f AS (SELECT doc_id, s5,
+         |  regexp_extract(s5, '$sh', 1) AS m FROM t),
+         |canon AS (SELECT doc_id,
+         |  CASE WHEN m != '' THEN lower(m) || substr(s5, length(m) + 1)
+         |       ELSE s5 END AS canon FROM f)
+         |SELECT canon, min(doc_id) AS keeper_id,
+         |  count(*)::BIGINT AS n_dups
+         |FROM canon GROUP BY canon ORDER BY canon""".stripMargin
+    },
+
+    "profile_drift" ->
+      """WITH a AS (SELECT event_type,
+        |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_old,
+        |    sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_new,
+        |    count(DISTINCT CASE WHEN event_id % 2 = 0 THEN user_id END)
+        |      ::BIGINT AS users_old,
+        |    count(DISTINCT CASE WHEN event_id % 2 = 1 THEN user_id END)
+        |      ::BIGINT AS users_new,
+        |    round(sum(CASE WHEN event_id % 2 = 0
+        |              THEN value::DECIMAL(18,4) END), 2)::DOUBLE
+        |      AS value_old,
+        |    round(sum(CASE WHEN event_id % 2 = 1
+        |              THEN value::DECIMAL(18,4) END), 2)::DOUBLE
+        |      AS value_new
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n_old, n_new, users_old, users_new,
+        |  value_old, value_new,
+        |  CASE WHEN n_new >= n_old
+        |       THEN ((n_new - n_old) * 10000) // n_old
+        |       ELSE -(((n_old - n_new) * 10000) // n_old) END
+        |    AS n_delta_bp,
+        |  CASE WHEN users_new >= users_old
+        |       THEN ((users_new - users_old) * 10000) // users_old
+        |       ELSE -(((users_old - users_new) * 10000) // users_old) END
+        |    AS users_delta_bp
+        |FROM a ORDER BY event_type""".stripMargin)
+}

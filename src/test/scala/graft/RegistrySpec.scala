@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{AnalyticsQueries, CapabilityQueries, ExtensionQueries, ParityQueries, PipelineQueries, StreamingQueries}
+import graft.queries.{AnalyticsQueries, CapabilityQueries, ExtensionQueries, MiningQueries, ParityQueries, PipelineQueries, StreamingQueries}
 
 /** The driver contract is assembled by `++` over six registries — a
   * duplicated query name would silently SHADOW an earlier definition and
@@ -15,7 +15,8 @@ class RegistrySpec extends AnyFunSuite {
     "streaming" -> StreamingQueries.queries.keySet,
     "capability" -> CapabilityQueries.queries.keySet,
     "analytics" -> AnalyticsQueries.queries.keySet,
-    "pipeline" -> PipelineQueries.queries.keySet)
+    "pipeline" -> PipelineQueries.queries.keySet,
+    "mining" -> MiningQueries.queries.keySet)
 
   test("query names are globally unique across registries") {
     val all = parts.flatMap(_._2.toSeq)
