@@ -32,13 +32,22 @@ object MiningQueries {
     // Graph.triangleCounts bounds wedge work at Σ out-deg² with
     // out-deg = O(√m).
     "graph_triangles" -> ((s, dir) => {
+      // Edge generation: per-order part sets expanded to ordered pairs
+      // in ONE scan + ONE shuffle (collect_set dedups per order; the
+      // sorted-array double-transform emits each pair once, narrow).
+      // The self-join alternative scans lineitem twice and shuffles on
+      // the skew-prone order key; per-order set size is bounded by
+      // order width, so the array state is safe at any corpus scale.
       val li = t(s, dir, "lineitem")
         .where(pmod(col("l_partkey"), lit(8)) === 0)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
-        .where(col("src") < col("dst"))
-        .select("src", "dst")
+      val edges = li.groupBy("ok")
+        .agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS src, y AS dst))))")).as("p"))
+        .select(col("p.src"), col("p.dst"))
       Graph.triangleCounts(edges, "src", "dst").orderBy("node")
     }),
 
