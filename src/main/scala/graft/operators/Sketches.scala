@@ -132,15 +132,11 @@ object Sketches {
     * large-cardinality regime a sketch exists for, and `kmvDistinct`
     * covers small counts exactly).
     */
-  def hllDistinct(df: DataFrame, keyCol: String, m: Int = 64,
-      hashFn: Column => Column = TextOps.md5Hash60, hashBits: Int = 60): DataFrame = {
-    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of 2, >= 16")
-    val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)
-    val payloadBits = hashBits - bucketBits
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    // alpha * m^2 * 2^payloadBits — the numerator of the exact-sum form.
-    val numerator = alpha * m.toDouble * m.toDouble * domain(payloadBits)
-
+  /** HLL register table (bucket, r) of `df[keyCol]` — the mergeable
+    * sketch state shared by [[hllDistinct]] and [[hllUnion]].
+    */
+  private def hllRegisters(df: DataFrame, keyCol: String, m: Int,
+      hashFn: Column => Column, bucketBits: Int, payloadBits: Int): DataFrame = {
     // Rebalance ahead of the hash map (same reason as kmvDistinct).
     val h = graft.sources.Tables.rebalanceForCompute(df)
       .select(hashFn(col(keyCol).cast("string")).as("h"))
@@ -150,17 +146,34 @@ object Sketches {
         shiftrightunsigned(col("h"), bucketBits).as("w"))
     val rho = when(col("w") === 0, lit(payloadBits + 1))
       .otherwise(lit(payloadBits + 1) - length(bin(col("w"))))
-    val regs = h.select(col("bucket"), rho.as("rho"))
+    h.select(col("bucket"), rho.as("rho"))
       .groupBy("bucket").agg(max(col("rho")).as("r"))
-    // Σ 2^(payloadBits+1-r) over present registers + 2^(payloadBits+1)
-    // per EMPTY register (M_j = 0) — exact integer arithmetic.
-    val summed = regs.agg(
+  }
+
+  /** 1-row frame: exact-integer harmonic sum of a register table.
+    * Σ 2^(payloadBits+1-r) over present registers + 2^(payloadBits+1)
+    * per EMPTY register (M_j = 0) — exact integer arithmetic.
+    */
+  private def hllHarm(regs: DataFrame, m: Int, payloadBits: Int,
+      as: String): DataFrame =
+    regs.agg(
       // shiftleft's Scala binding takes a literal shift; the SQL form
       // accepts a column one.
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${payloadBits + 1} - r)")).as("s"),
       count(lit(1)).as("nregs"))
       .select((col("s") +
-        (lit(m) - col("nregs")) * lit(1L << (payloadBits + 1))).as("harm"))
+        (lit(m) - col("nregs")) * lit(1L << (payloadBits + 1))).as(as))
+
+  def hllDistinct(df: DataFrame, keyCol: String, m: Int = 64,
+      hashFn: Column => Column = TextOps.md5Hash60, hashBits: Int = 60): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of 2, >= 16")
+    val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)
+    val payloadBits = hashBits - bucketBits
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // alpha * m^2 * 2^payloadBits — the numerator of the exact-sum form.
+    val numerator = alpha * m.toDouble * m.toDouble * domain(payloadBits)
+    val regs = hllRegisters(df, keyCol, m, hashFn, bucketBits, payloadBits)
+    val summed = hllHarm(regs, m, payloadBits, "harm")
     val exact = df.agg(countDistinct(col(keyCol)).as("n_exact"))
     exact.crossJoin(summed).select(
       lit(m).as("m"),
@@ -168,6 +181,41 @@ object Sketches {
       // numerator carries the +1 exponent shift of the harm terms: the
       // classic Σ2^-M equals harm / 2^(payloadBits+1).
       round(lit(numerator * 2.0) / col("harm").cast("double"), 3).as("hll_est"))
+  }
+
+  /** HLL UNION — the mergeability that justifies sketches at 100 TB:
+    * register-wise max of two sides' register tables IS the sketch of
+    * the union (each register keeps the max rho any union element
+    * produces), so per-shard/per-day sketches roll up without
+    * re-touching the data. Returns per-side and merged estimates in
+    * one row: (m, est_a, est_b, union_est). All three run the same
+    * exact-integer harmonic sum as [[hllDistinct]]; the merge itself
+    * is a full-outer join of two ≤ m-row register tables — free.
+    */
+  def hllUnion(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      m: Int = 64, hashFn: Column => Column = TextOps.md5Hash60,
+      hashBits: Int = 60): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of 2, >= 16")
+    val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)
+    val payloadBits = hashBits - bucketBits
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numerator = alpha * m.toDouble * m.toDouble * domain(payloadBits)
+    val ra = hllRegisters(a, aKey, m, hashFn, bucketBits, payloadBits)
+    val rb = hllRegisters(b, bKey, m, hashFn, bucketBits, payloadBits)
+    // Register-wise max; an absent register is 0 on that side.
+    val merged = ra.select(col("bucket"), col("r").as("r_a"))
+      .join(rb.select(col("bucket"), col("r").as("r_b")),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        greatest(coalesce(col("r_a"), lit(0L)),
+          coalesce(col("r_b"), lit(0L))).as("r"))
+    def est(harm: Column): Column =
+      round(lit(numerator * 2.0) / harm.cast("double"), 3)
+    hllHarm(ra, m, payloadBits, "ha")
+      .crossJoin(hllHarm(rb, m, payloadBits, "hb"))
+      .crossJoin(hllHarm(merged, m, payloadBits, "hu"))
+      .select(lit(m).as("m"), est(col("ha")).as("est_a"),
+        est(col("hb")).as("est_b"), est(col("hu")).as("union_est"))
   }
 
   /** Per-group HLL distinct estimates — the GROUP BY form of

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Funnel, Graph, Sampling, Sketches, Urls}
+import graft.operators.{Funnel, Graph, LmScore, Sampling, Sketches, Urls}
 import graft.sources.Tables
 
 /** Round-4 mining surface: graph triangle counting, time-bounded
@@ -105,6 +105,27 @@ object MiningQueries {
         .groupBy("canon")
         .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_dups"))
         .orderBy("canon")
+    }),
+
+    // Conditional bigram surprisal: the next-order CCNet-style LM
+    // filter — word-PAIR improbability catches repetitive/garbled text
+    // a unigram model scores as fluent. Integer floor-log₂ contract.
+    "lm_bigram_surprisal" -> ((s, dir) =>
+      LmScore.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // HLL mergeability: two overlapping order populations (small-
+    // quantity and large-quantity lineitems) sketched independently,
+    // then unioned by register-wise max — per-shard sketches rolling
+    // up without re-touching the data is the whole point of HLL at
+    // 100 TB. Cardinalities are thousands at every sf, inside the raw
+    // estimator's n ≳ 2.5m validity range.
+    "sketch_hll_union" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Sketches.hllUnion(
+        li.where(col("l_quantity") <= 30), "l_orderkey",
+        li.where(col("l_quantity") >= 20), "l_orderkey", m = 64)
     }),
 
     // Snapshot drift report: split events into two half-corpora by
@@ -263,6 +284,57 @@ object MiningQueries {
          |SELECT canon, min(doc_id) AS keeper_id,
          |  count(*)::BIGINT AS n_dups
          |FROM canon GROUP BY canon ORDER BY canon""".stripMargin
+    },
+
+    "lm_bigram_surprisal" ->
+      s"""WITH d0 AS (SELECT doc_id, ${ExtensionQueries.toksSql} AS ts
+         |  FROM documents),
+         |w AS (SELECT doc_id, unnest(ts) AS t FROM d0),
+         |vocab AS (SELECT count(DISTINCT t) AS v FROM w),
+         |pairs AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM d0, UNNEST(range(1, len(ts))) AS u(i)
+         |  WHERE len(ts) >= 2),
+         |ctx AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+         |sc AS (SELECT big.w1, big.w2,
+         |    (length(format('{:b}', (c1 + v) // (c12 + 1))) - 1)::BIGINT
+         |      AS bits
+         |  FROM big JOIN ctx USING (w1), vocab),
+         |d AS (SELECT p.doc_id, count(*) AS n_bigrams,
+         |    sum(bits)::BIGINT AS sb
+         |  FROM pairs p JOIN sc ON p.w1 = sc.w1 AND p.w2 = sc.w2
+         |  GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |  round(sb::DOUBLE / n_bigrams, 6) AS avg_bits
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "sketch_hll_union" -> {
+      // The numerator constant is computed ONCE in Scala and replayed
+      // as a literal — Double.toString round-trips exactly.
+      val num = java.lang.Double.toString(Sketches.hllNumerator(64))
+      def regs(name: String, filt: String): String =
+        s"""h_$name AS (SELECT ${h60("l_orderkey::VARCHAR")} AS h
+           |  FROM lineitem WHERE $filt),
+           |b_$name AS (SELECT h % 64 AS bucket, h >> 6 AS w FROM h_$name),
+           |r_$name AS (SELECT bucket, max(CASE WHEN w = 0 THEN 55
+           |      ELSE 55 - length(printf('%b', w)) END) AS r
+           |    FROM b_$name GROUP BY bucket),
+           |t_$name AS (SELECT (SELECT sum(1::BIGINT << (55 - r))
+           |      FROM r_$name) +
+           |    (64 - (SELECT count(*) FROM r_$name)) * (1::BIGINT << 55)
+           |      AS harm)""".stripMargin
+      s"""WITH ${regs("a", "l_quantity <= 30")},
+         |${regs("b", "l_quantity >= 20")},
+         |r_u AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+         |    greatest(coalesce(a.r, 0), coalesce(b.r, 0)) AS r
+         |  FROM r_a a FULL JOIN r_b b USING (bucket)),
+         |t_u AS (SELECT (SELECT sum(1::BIGINT << (55 - r)) FROM r_u) +
+         |    (64 - (SELECT count(*) FROM r_u)) * (1::BIGINT << 55)
+         |      AS harm)
+         |SELECT 64 AS m, round($num / t_a.harm::DOUBLE, 3) AS est_a,
+         |  round($num / t_b.harm::DOUBLE, 3) AS est_b,
+         |  round($num / t_u.harm::DOUBLE, 3) AS union_est
+         |FROM t_a, t_b, t_u""".stripMargin
     },
 
     "profile_drift" ->

@@ -142,6 +142,45 @@ class MiningOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("intersect_est") == 0.0)
   }
 
+  // ---- HLL union ---------------------------------------------------------
+
+  test("hllUnion: merged estimate equals the single-sketch estimate " +
+      "of the union, and disjoint sides roughly add") {
+    import spark.implicits._
+    val a = (1 to 1000).toDF("id")
+    val b = (801 to 1800).toDF("id") // union = 1..1800
+    val u = graft.operators.Sketches.hllUnion(a, "id", b, "id", m = 64)
+      .collect().head
+    val direct = graft.operators.Sketches
+      .hllDistinct((1 to 1800).toDF("id"), "id", m = 64)
+      .collect().head.getAs[Double]("hll_est")
+    // register-wise max IS the union sketch: merged estimate must equal
+    // the estimate of sketching the union directly — exactly.
+    assert(u.getAs[Double]("union_est") == direct)
+    // per-side estimates in a plausible band (~13% rel error at m=64)
+    assert(math.abs(u.getAs[Double]("est_a") - 1000) < 400)
+    assert(math.abs(u.getAs[Double]("est_b") - 1000) < 400)
+  }
+
+  // ---- bigram surprisal --------------------------------------------------
+
+  test("bigramSurprisal: repeated-pair documents score lower than " +
+      "unique-pair ones; n_bigrams = tokens - 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b a b a b a b"),  // one dominant bigram pattern
+      (2L, "a c b d a e b f a g b h"),  // every pair rare
+      (3L, "solo")                       // < 2 tokens: drops out
+    ).toDF("doc_id", "text")
+    val got = graft.operators.LmScore
+      .bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_bits"))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 11L && got(2L)._1 == 11L)
+    assert(got(1L)._2 < got(2L)._2)
+  }
+
   // ---- priority sampling -------------------------------------------------
 
   test("prioritySample: k rows, τ-floored weights, deterministic") {
