@@ -208,16 +208,24 @@ object Sampling {
     * the boundary row, split off with a 1-row broadcast join rather
     * than a driver action. The corpus itself never shuffles.
     */
-  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
-      k: Int, seed: String): DataFrame = {
-    require(k >= 1, "need k >= 1")
+  /** Shared priority computation for [[prioritySample]] /
+    * [[prioritySamplePerGroup]]: q = (w·2^26) div (hash₂₆(seed, id)+1),
+    * exact in 64-bit for weights up to ~2^37.
+    */
+  private def withPriority(df: DataFrame, idCol: String,
+      weightCol: String, seed: String): DataFrame = {
     val h26 = shiftright(TextOps.md5Hash60(
       concat_ws("_", lit(seed), col(idCol).cast("string"))), 34) + lit(1L)
-    val withQ = df
-      .withColumn("__h", h26)
+    df.withColumn("__h", h26)
       .withColumn("priority_fp",
         expr(s"(cast(`$weightCol` as bigint) * 67108864L) div __h"))
       .drop("__h")
+  }
+
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val withQ = withPriority(df, idCol, weightCol, seed)
     // ONE bounded global top-(k+1): TakeOrderedAndProject (per-partition
     // heaps, no full sort). The k+1-row window ranking after it runs on
     // k+1 rows — not the 1-partition-full-table anti-pattern.
@@ -232,6 +240,34 @@ object Sampling {
       .select(col("priority_fp").as("__tau")))
     topK1.where(col("__rn") <= k)
       .join(tau, lit(true), "left")
+      .withColumn("est_weight_fp",
+        greatest(col(weightCol).cast("long") * lit(67108864L),
+          coalesce(col("__tau"), lit(0L))))
+      .drop("__rn", "__tau")
+  }
+
+  /** Per-group [[prioritySample]]: an independent weighted k-sample
+    * (with its own τ) inside every group — "16 length-weighted docs
+    * per language, composition still estimable". The group-wide
+    * top-(k+1) runs through the bounded-heap `TopKPerKey` operator
+    * (O(k) state per group, one shuffle by group key, no per-group
+    * full sort); the rank/τ window after it touches ≤ k+1 rows per
+    * group. τ is joined back per group — no driver action.
+    */
+  def prioritySamplePerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: String, weightCol: String, k: Int, seed: String): DataFrame = {
+    require(k >= 1 && groupCols.nonEmpty, "need k >= 1 and a group key")
+    val withQ = withPriority(df, idCol, weightCol, seed)
+    val topK1 = graft.plans.TopK.perKey(withQ, groupCols,
+        Seq(col("priority_fp").desc, col(idCol).asc), k + 1)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+          .orderBy(col("priority_fp").desc, col(idCol).asc)))
+    val tau = topK1.where(col("__rn") === k + 1)
+      .select(groupCols.map(col) :+ col("priority_fp").as("__tau"): _*)
+    topK1.where(col("__rn") <= k)
+      .join(tau, groupCols, "left")
       .withColumn("est_weight_fp",
         greatest(col(weightCol).cast("long") * lit(67108864L),
           coalesce(col("__tau"), lit(0L))))

@@ -153,6 +153,15 @@ object CapabilityQueries {
           UniversalType.toSpark("uint64"))).as("u64"))
         .agg(max(col("u64")).cast("string").as("max_u64"),
           count(lit(1)).as("n"))),
+
+    // CUBE: all 2^k grouping-set combinations (q21's ROLLUP covers only
+    // the prefix chain — CUBE adds the (∅, l_linestatus) slice).
+    "q30_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -243,5 +252,11 @@ object CapabilityQueries {
         |  CAST(round(sum(CAST(v AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_v
         |FROM (SELECT CASE WHEN value < 5 THEN NULL ELSE value END AS v
         |      FROM events) s""".stripMargin,
+
+    "q30_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Funnel, Graph, LmScore, Sampling, Sketches, Urls}
+import graft.operators.{Funnel, Graph, LmScore, Sampling, Sketches, Urls, Watermarks}
 import graft.sources.Tables
 
 /** Round-4 mining surface: graph triangle counting, time-bounded
@@ -126,6 +126,63 @@ object MiningQueries {
       Sketches.hllUnion(
         li.where(col("l_quantity") <= 30), "l_orderkey",
         li.where(col("l_quantity") >= 20), "l_orderkey", m = 64)
+    }),
+
+    // Per-group priority sampling: an independent 16-doc length-
+    // weighted sample per language, each with its own τ — per-group
+    // top-(k+1) through the bounded-heap TopKPerKey operator.
+    "sample_priority_per_group" -> ((s, dir) =>
+      Sampling.prioritySamplePerGroup(
+          t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+          Seq("lang"), "doc_id", "n_chars", k = 16, seed = "pg9")
+        .select("lang", "doc_id", "n_chars", "priority_fp", "est_weight_fp")
+        .orderBy(col("lang"), col("priority_fp").desc, col("doc_id"))),
+
+    // Least-squares metric trend per event type over weekly counts —
+    // "is this metric drifting up or down" with the slope's numerator
+    // and denominator as exact integers (n·Σxy − Σx·Σy over
+    // n·Σx² − (Σx)²) and only the final ratio as a double.
+    "metrics_trend" -> ((s, dir) => {
+      val wk = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          to_date(date_trunc("week", col("ts"))).as("week"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x",
+          datediff(col("week"), lit(java.sql.Date.valueOf("2024-01-01")))
+            .cast("long"))
+      wk.groupBy("event_type").agg(
+          count(lit(1)).as("n_weeks"),
+          sum(col("x") * col("y")).as("__sxy"),
+          sum(col("x")).as("__sx"),
+          sum(col("y")).as("__sy"),
+          sum(col("x") * col("x")).as("__sxx"))
+        .select(col("event_type"), col("n_weeks"),
+          (col("n_weeks") * col("__sxy") - col("__sx") * col("__sy"))
+            .as("trend_num"),
+          (col("n_weeks") * col("__sxx") - col("__sx") * col("__sx"))
+            .as("trend_den"))
+        .withColumn("slope_per_day",
+          when(col("trend_den") === 0, lit(null).cast("double"))
+            .otherwise(round(
+              col("trend_num").cast("double") / col("trend_den"), 8)))
+        .orderBy("event_type")
+    }),
+
+    // Watermark tuning from history: the event-lateness distribution
+    // (vs a monotone arrival key) that tells a streaming deployment
+    // what `withWatermark` delay actually drops. The fixture's events
+    // are perfectly event-time ordered, so the query models network
+    // disorder with a deterministic per-event observation lag (hash mod
+    // 5 min) — arrival order stays `event_id`, observed event time lags
+    // it. The running max over arrival order inside the operator is
+    // two-level bucket-decomposed — no global sort, no 1-partition
+    // window over the event table.
+    "stream_lateness_audit" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_obs",
+        timestamp_micros(unix_micros(col("ts")) -
+          pmod(graft.functions.TextOps.md5Hash60(
+            col("event_id").cast("string")), lit(300000000L))))
+      Watermarks.latenessAudit(ev, "event_id", "ts_obs")
     }),
 
     // Snapshot drift report: split events into two half-corpora by
@@ -284,6 +341,56 @@ object MiningQueries {
          |SELECT canon, min(doc_id) AS keeper_id,
          |  count(*)::BIGINT AS n_dups
          |FROM canon GROUP BY canon ORDER BY canon""".stripMargin
+    },
+
+    "sample_priority_per_group" -> {
+      val hh = h60("'pg9_' || doc_id::VARCHAR")
+      s"""WITH h AS (SELECT lang, doc_id, n_chars,
+         |    ($hh // 17179869184) + 1 AS hh
+         |  FROM documents),
+         |q AS (SELECT lang, doc_id, n_chars,
+         |    (n_chars::BIGINT * 67108864) // hh AS priority_fp FROM h),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY priority_fp DESC, doc_id) AS rn FROM q),
+         |tau AS (SELECT lang, priority_fp AS t FROM r WHERE rn = 17)
+         |SELECT r.lang, doc_id, n_chars, priority_fp,
+         |  greatest(n_chars::BIGINT * 67108864, coalesce(t, 0))
+         |    AS est_weight_fp
+         |FROM r LEFT JOIN tau ON r.lang = tau.lang WHERE rn <= 16
+         |ORDER BY r.lang, priority_fp DESC, doc_id""".stripMargin
+    },
+
+    "metrics_trend" ->
+      """WITH wk AS (SELECT event_type,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP))::DATE AS week,
+        |    count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type,
+        |    (week - DATE '2024-01-01')::BIGINT AS x, y FROM wk),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_weeks,
+        |    sum(x * y)::BIGINT AS sxy, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx
+        |  FROM x GROUP BY 1)
+        |SELECT event_type, n_weeks,
+        |  (n_weeks * sxy - sx * sy)::BIGINT AS trend_num,
+        |  (n_weeks * sxx - sx * sx)::BIGINT AS trend_den,
+        |  CASE WHEN n_weeks * sxx - sx * sx = 0 THEN NULL
+        |       ELSE round((n_weeks * sxy - sx * sy)::DOUBLE
+        |                  / (n_weeks * sxx - sx * sx), 8) END
+        |    AS slope_per_day
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "stream_lateness_audit" -> {
+      val hh = h60("event_id::VARCHAR")
+      s"""WITH ev AS (SELECT event_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) - ($hh % 300000000)
+         |      AS us FROM events),
+         |l AS (SELECT max(us) OVER (ORDER BY event_id
+         |    ROWS UNBOUNDED PRECEDING) - us AS lateness_us FROM ev)
+         |SELECT lateness_us // 60000000 AS lateness_bucket,
+         |  count(*)::BIGINT AS n_events,
+         |  max(lateness_us)::BIGINT AS max_lateness_us
+         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "lm_bigram_surprisal" ->

@@ -217,6 +217,55 @@ class MiningOpsSpec extends SparkSpec {
       10L * 67108864L))
   }
 
+  test("prioritySamplePerGroup: independent per-group samples with " +
+      "per-group τ floors") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (s"g${i % 3}", i, i % 11 + 1))
+      .toDF("g", "id", "w")
+    val got = Sampling
+      .prioritySamplePerGroup(df, Seq("g"), "id", "w", k = 10, seed = "s")
+      .collect()
+    assert(got.length == 30)
+    assert(got.groupBy(_.getAs[String]("g")).forall(_._2.length == 10))
+    // per-group: the kept set equals the serial top-10 by (q desc, id)
+    val all = Sampling.prioritySamplePerGroup(df, Seq("g"), "id", "w",
+      k = 1000, seed = "s").collect() // k > group size: everything kept
+    assert(all.length == 300)
+    val serial = all.groupBy(_.getAs[String]("g")).toSeq.flatMap {
+      case (_, rs) =>
+        rs.sortBy(r => (-r.getAs[Long]("priority_fp"), r.getAs[Long]("id")))
+          .take(10).map(r => r.getAs[Long]("id")).toSeq
+    }.toSet
+    assert(got.map(_.getAs[Long]("id")).toSet == serial)
+  }
+
+  // ---- lateness audit ----------------------------------------------------
+
+  test("latenessAudit matches a serial running-max replay across " +
+      "bucket boundaries") {
+    import spark.implicits._
+    // Arrival seq 0..199 with event times jittered backwards — spans
+    // many 16-wide arrival buckets so carry-in paths are exercised.
+    val rows = (0L until 200L).map { i =>
+      (i, ((i * 60) - (i * 37 % 11) * 25) * 1000000L) // micros
+    }
+    val df = rows.toDF("seq", "us")
+      .select(col("seq"), expr("timestamp_micros(us)").as("ts"))
+    val got = graft.operators.Watermarks
+      .latenessAudit(df, "seq", "ts", bucketWidthUs = 10000000L,
+        arrivalBucket = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // serial replay
+    var mx = Long.MinValue
+    val lat = rows.sortBy(_._1).map { case (_, us) =>
+      mx = math.max(mx, us); mx - us
+    }
+    val want = lat.groupBy(_ / 10000000L).map { case (b, xs) =>
+      (b, xs.size.toLong, xs.max)
+    }.toSeq.sorted
+    assert(got.toSeq.sorted == want)
+  }
+
   test("prioritySample favors heavy rows") {
     import spark.implicits._
     // 100 rows of weight 1, 10 rows of weight 1000
