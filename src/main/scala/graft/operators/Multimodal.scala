@@ -267,6 +267,55 @@ object Multimodal {
     })
   }
 
+  case class DHash(media_id: Long, width: Long, height: Long,
+      hash_hi: Long, hash_lo: Long)
+
+  /** Perceptual difference-hash (dHash) over REAL decoded BMP pixels:
+    * sample an 8×9 grid at `(r·h div 8, c·w div 9)`, gray = integer
+    * channel sum, bit `r·8+c` set iff the right-neighbor cell is
+    * brighter — the gradient-based sibling of [[ahash]] (aHash keys on
+    * global brightness, dHash on local gradients, so the two catch
+    * different perturbation families; production dedup runs both and
+    * unions the pair streams). Every step is exact integers, so the
+    * 64-bit signature is partition-invariant and oracle-replayable;
+    * emitted as two 32-bit halves to stay in non-negative BIGINT range.
+    *
+    * Scale shape: one narrow partition-wise pass (decode + 72 samples
+    * per image); blobs never shuffle. Pairs via [[ahashNearDups]] on
+    * the halves — the pigeonhole machinery is hash-agnostic.
+    */
+  def dhash(spark: SparkSession, media: Dataset[MediaFile]): Dataset[DHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val hdr = Containers.parse(m.content)
+      val px = Containers.bmpPixelBytes(m.content)
+      if (px == null) DHash(m.media_id, -1L, -1L, -1L, -1L)
+      else {
+        val w = hdr.width.toInt; val h = hdr.height.toInt
+        def gray(r8: Int, c9: Int): Long = {
+          val base = 3 * ((r8 * h / 8) * w + (c9 * w / 9))
+          (java.lang.Byte.toUnsignedInt(px(base)) +
+            java.lang.Byte.toUnsignedInt(px(base + 1)) +
+            java.lang.Byte.toUnsignedInt(px(base + 2))).toLong
+        }
+        var hi = 0L; var lo = 0L
+        var r8 = 0
+        while (r8 < 8) {
+          var c8 = 0
+          while (c8 < 8) {
+            if (gray(r8, c8 + 1) > gray(r8, c8)) {
+              val k = r8 * 8 + c8
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            c8 += 1
+          }
+          r8 += 1
+        }
+        DHash(m.media_id, w.toLong, h.toLong, hi, lo)
+      }
+    })
+  }
+
   /** Near-duplicate images by Hamming distance over [[ahash]] bits:
     * 4×16-bit pigeonhole chunks (complete for `maxDist` ≤ 3 — any two
     * hashes within distance 3 agree exactly on at least one chunk), so
@@ -340,6 +389,62 @@ object Multimodal {
         AudioFingerprint(m.media_id, nf, fp, peak, e.sum)
       }
     })
+  }
+
+  /** One voice-activity segment of a clip: a maximal run of consecutive
+    * above-average-energy frames. `seg_idx` is 0-based in time order.
+    */
+  final case class VadSegment(media_id: Long, seg_idx: Int,
+      start_frame: Int, end_frame: Int, n_frames: Int, seg_energy: Long)
+
+  /** Energy-threshold voice-activity detection over REAL decoded PCM:
+    * non-overlapping `frameSize`-sample frames, per-frame integer energy
+    * Σs², a frame is ACTIVE iff its energy exceeds the clip's per-frame
+    * mean (the integer cross-multiply `e_f · n_frames > Σe` — no
+    * division), and maximal runs of active frames merge into segments —
+    * the "where is the speech" pre-filter an audio-training pipeline
+    * runs before transcription. Trailing samples short of a full frame
+    * are dropped (same frame convention as [[audioFingerprint]]).
+    *
+    * Exact integers end to end ⇒ segment boundaries are bit-identical
+    * under any partitioning and replayable by a SQL oracle. Scale
+    * shape: one narrow partition-wise pass; the gaps-and-islands merge
+    * runs inside the per-clip loop (a clip's frames are already local),
+    * so no shuffle ever sees sample data — output is segments only.
+    * Undecodable payloads degrade to a single (-1 …) sentinel row.
+    */
+  def vadSegments(spark: SparkSession, media: Dataset[MediaFile],
+      frameSize: Int = 64): Dataset[VadSegment] = {
+    import spark.implicits._
+    require(frameSize >= 1, s"frameSize must be >= 1: $frameSize")
+    media.flatMap { m =>
+      val s = Containers.wavSamples(m.content)
+      if (s == null) Seq(VadSegment(m.media_id, -1, -1, -1, -1, -1L))
+      else {
+        val nf = s.length / frameSize
+        val e = Array.tabulate(nf) { f =>
+          var sum = 0L
+          var k = 0
+          while (k < frameSize) {
+            val v = s(f * frameSize + k).toLong; sum += v * v; k += 1
+          }
+          sum
+        }
+        val total = e.sum
+        val segs = scala.collection.mutable.ArrayBuffer.empty[VadSegment]
+        var f = 0
+        while (f < nf) {
+          if (e(f) * nf > total) {
+            val start = f
+            var energy = 0L
+            while (f < nf && e(f) * nf > total) { energy += e(f); f += 1 }
+            segs += VadSegment(m.media_id, segs.length, start, f - 1,
+              f - start, energy)
+          } else f += 1
+        }
+        segs
+      }
+    }
   }
 
   /** Deterministic MP4 corpus with REAL sample tables: video `id` has

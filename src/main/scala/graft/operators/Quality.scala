@@ -67,6 +67,51 @@ object Quality {
           .otherwise(lit("keep")).as("action"))
   }
 
+  /** Gopher-style rule-bundle document filter (Rae et al. 2021 §A1.1,
+    * public): the hard quality gates a web corpus passes BEFORE any
+    * model-based scoring —
+    *   - token count within [`minTokens`, `maxTokens`],
+    *   - mean token length within [3, 6] characters,
+    *   - type-token ratio ≥ 0.35 (loops/boilerplate repeat vocabulary),
+    *   - ≥ 1 English stopword hit (the "is this prose at all" test).
+    * Emits per document the integer evidence (`n_tokens`,
+    * `mean_len_micro`, `ttr_micro`, `sw_hits` — micro fixed-point, no
+    * float thresholds to drift across engines), the FIRST failing rule
+    * name in the fixed order above (`'' `= clean), and the `keep` bit.
+    * Reporting the reason, not just the bit, is what makes the filter
+    * tunable: curation dashboards histogram reject reasons per source.
+    *
+    * Scale shape: one codegen'd narrow projection per row — no shuffle,
+    * no UDF; the corpus is scanned once in place.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 20, maxTokens: Long = 80): DataFrame = {
+    val toks = coalesce(graft.functions.TextOps.tokens(col(textCol)),
+      array().cast("array<string>"))
+    val en = graft.functions.TextOps.stopwords("en")
+    df.select(
+        col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("__len"),
+        size(array_distinct(toks)).cast("long").as("__dist"),
+        size(filter(toks, t => t.isInCollection(en))).cast("long").as("sw_hits"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        expr("(__len * 1000000) DIV greatest(n_tokens, 1)").as("mean_len_micro"),
+        expr("(__dist * 1000000) DIV greatest(n_tokens, 1)").as("ttr_micro"),
+        col("sw_hits"))
+      .withColumn("reject_reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("mean_len_micro") < 3000000L ||
+            col("mean_len_micro") > 6000000L, "mean_len")
+          .when(col("ttr_micro") < 350000L, "low_ttr")
+          .when(col("sw_hits") < 1L, "no_stopwords")
+          .otherwise(""))
+      .withColumn("keep", col("reject_reason") === "")
+  }
+
   /** Per-group unigram total-variation distance from the corpus-wide
     * token distribution — the mixture diagnostic that says HOW different
     * each source/language is from the blend (0 = identical distribution,

@@ -110,6 +110,40 @@ object Sampling {
         sum(col("n_tokens")).over(w) - col("n_tokens") < budget, lit(false)))
   }
 
+  /** Per-source epoch allocation for a fixed training-token budget —
+    * the "how many times does each source repeat" plan a run config is
+    * built from (the repeated-data accounting of Muennighoff et al.
+    * 2023): an equal `budget DIV n_sources` token share per source,
+    * converted to epochs of that source's corpus and clamped at
+    * `capMicro` (micro fixed-point epochs — repeating a small source
+    * beyond ~4 epochs degrades, so the cap binds for tiny sources while
+    * big sources train sub-epoch). One-pass by design: freed budget
+    * from capped sources is NOT redistributed — allocation stays a pure
+    * per-source function of (budget, S, n_s), so adding a source never
+    * changes another source's plan (growth-stable, like hash splits).
+    *
+    * Output per source: `n_tokens`, `epochs_micro`, and the resulting
+    * `tokens_taken = (epochs_micro · n_tokens) DIV 10⁶`. Exact 64-bit
+    * integer arithmetic end to end. Scale shape: one partial-aggregated
+    * count per source + a broadcast of the (tiny) source list size —
+    * the corpus shuffles nothing.
+    */
+  def epochMix(df: DataFrame, groupCol: String, tokenCol: Column,
+      budget: Long, capMicro: Long = 4000000L): DataFrame = {
+    require(budget > 0 && capMicro > 0)
+    val perSrc = df.groupBy(col(groupCol))
+      .agg(sum(tokenCol).as("n_tokens"))
+    val nSrc = perSrc.agg(count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(nSrc))
+      .withColumn("epochs_micro",
+        least(lit(capMicro),
+          expr(s"(($budget DIV n_sources) * 1000000) DIV greatest(n_tokens, 1)")))
+      .withColumn("tokens_taken",
+        expr("(epochs_micro * n_tokens) DIV 1000000"))
+      .select(col(groupCol), col("n_tokens"), col("epochs_micro"),
+        col("tokens_taken"))
+  }
+
   /** Temperature-scaled (α = 0.5) multilingual sampling, XLM-style:
     * group g gets a share of `totalBudget` proportional to `n_g^α`,
     * flattening the head so low-resource groups survive the downsample.

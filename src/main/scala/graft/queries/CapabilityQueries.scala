@@ -162,6 +162,27 @@ object CapabilityQueries {
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
         .orderBy(asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"))),
+
+    // Navigation/distribution window-function suite: lag, lead, ntile,
+    // cume_dist over each customer's order history — one shuffle by
+    // custkey, all four functions share the single sorted window pass.
+    // cents keeps the money integer; (o_orderdate, o_orderkey) is a
+    // total order so every value is deterministic.
+    "q31_window_suite" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .where(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderdate"))
+        .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .withColumn("next_cents", lead(col("cents"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("cume_d", round(cume_dist().over(w), 6))
+        .drop("o_orderdate")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -258,5 +279,18 @@ object CapabilityQueries {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q31_window_suite" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    round(o_totalprice * 100)::BIGINT AS cents, o_orderdate
+        |  FROM orders WHERE o_custkey <= 100)
+        |SELECT o_custkey, o_orderkey, cents,
+        |  lag(cents) OVER w AS prev_cents,
+        |  lead(cents) OVER w AS next_cents,
+        |  ntile(4) OVER w AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cume_d
+        |FROM o WINDOW w AS (PARTITION BY o_custkey
+        |                    ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }

@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.{Graph, Multimodal, Quality, Sampling}
+import graft.sources.Tables
+
+/** Round-4 corpus-curation surface: the Gopher rule-bundle filter,
+  * tokenizer-vocabulary coverage, epoch-mix planning, perceptual
+  * difference-hashing, PCM voice-activity detection, EWMA / lag-1
+  * autocorrelation metric smoothing, and 2-hop graph reach. Same oracle
+  * contract as every other batch: exact integers (micro fixed-point)
+  * wherever aggregation order could vary, doubles only in final
+  * per-row expressions both engines evaluate identically.
+  */
+object CorpusQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tc(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.rebalanceForCompute(t(s, dir, name))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher-style hard quality gates with per-document reject reasons
+    // — one codegen'd narrow projection over the corpus scan.
+    "text_gopher_filter" -> ((s, dir) =>
+      Quality.gopherFilter(tc(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Tokenizer-vocabulary coverage: what fraction of each source's
+    // token occurrences the corpus-wide top-100 vocabulary covers —
+    // the "how well does one tokenizer fit every slice" diagnostic.
+    // One explode feeds BOTH the vocab induction and the per-source
+    // totals via the shared (source, token) count table; the top-100
+    // vocab rides back as a broadcast semi-join.
+    "vocab_coverage" -> ((s, dir) => {
+      val counts = tc(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        .persist()
+      val vocab = counts.groupBy("token").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(100)
+      val covered = counts.join(broadcast(vocab.select("token")), Seq("token"), "left_semi")
+        .groupBy("source").agg(sum("c").as("covered_tokens"))
+      val totals = counts.groupBy("source").agg(sum("c").as("n_tokens"))
+      val out = totals.join(covered, Seq("source"), "left")
+        .select(col("source"), col("n_tokens"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+        .withColumn("coverage_ppm",
+          expr("(covered_tokens * 1000000) DIV n_tokens"))
+        .orderBy("source")
+      out
+    }),
+
+    // Per-source epoch allocation for a 20k-token training budget,
+    // capped at 4.0 epochs — the run-config mixing plan.
+    "mix_epochs" -> ((s, dir) =>
+      Sampling.epochMix(tc(s, dir, "documents"), "source",
+          TextOps.tokenCount(col("text")).cast("long"), budget = 20000L)
+        .orderBy("source")),
+
+    // Perceptual difference-hash over REAL decoded BMP pixels — the
+    // gradient sibling of image_ahash (same decode, different signature).
+    "image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Multimodal.demoPixelCorpus(s, t(s, dir, "documents"))
+      Multimodal.dhash(s,
+          Multimodal.shapeForDecode(corpus.toDF(), 32).as[Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
+    // Energy-threshold voice-activity segments over REAL decoded PCM:
+    // above-mean frames merged gaps-and-islands style inside the
+    // per-clip decode pass — segments only ever leave the executor.
+    "audio_vad_segments" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Multimodal.demoAudioCorpus(s, t(s, dir, "documents"))
+      Multimodal.vadSegments(s,
+          Multimodal.shapeForDecode(corpus.toDF(), 32).as[Multimodal.MediaFile])
+        .toDF().orderBy("media_id", "seg_idx")
+    }),
+
+    // Hourly per-type EWMA (α = ½) of event cents via Horner weights:
+    // the 10-term lag chain 512·c_t + 256·c_{t-1} + … stays exact
+    // 64-bit integer, and the denominator 2¹⁰ − 2^(10−m) adapts to
+    // series shorter than the window — no float smoothing state.
+    "metrics_ewma" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = W.partitionBy("event_type").orderBy("hr")
+      val num = (col("cents") * 512L +: (1 to 9).map(l =>
+        coalesce(lag(col("cents"), l).over(w), lit(0L)) * lit(1L << (9 - l))))
+        .reduce(_ + _)
+      hourly.withColumn("__num", num)
+        .withColumn("__m", least(row_number().over(w), lit(10)))
+        .select(col("event_type"), unix_micros(col("hr")).as("hr_us"),
+          col("cents"),
+          expr("(__num * 1000000) DIV (1024 - shiftleft(1, 10 - __m))")
+            .as("ewma_micro"))
+        .orderBy("event_type", "hr_us")
+    }),
+
+    // Lag-1 autocorrelation of the hourly series from six exact integer
+    // moments — metric_correlation's machinery pointed at (x_t, x_{t-1}).
+    "metrics_autocorr" -> ((s, dir) => {
+      val w = W.partitionBy("event_type").orderBy("hr")
+      val pairs = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+        .withColumn("y", lag(col("x"), 1).over(w))
+        .where(col("y").isNotNull)
+      pairs.groupBy("event_type").agg(
+          count(lit(1)).as("n_pairs"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n_pairs"),
+          round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))),
+            6).as("autocorr"))
+        .orderBy("event_type")
+    }),
+
+    // Distinct friends-of-friends per node over the (subsampled)
+    // co-purchase graph — wedge-bounded link-prediction candidates,
+    // same edge build as graph_triangles.
+    "graph_2hop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(pmod(col("l_partkey"), lit(8)) === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.groupBy("ok")
+        .agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS src, y AS dst))))")).as("p"))
+        .select(col("p.src"), col("p.dst"))
+      Graph.twoHopReach(edges, "src", "dst").orderBy("node")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_gopher_filter" ->
+      s"""WITH t AS (SELECT doc_id, ${ExtensionQueries.toksSql} AS T
+         |           FROM documents),
+         |m AS (SELECT doc_id, len(T)::BIGINT AS n_tokens,
+         |    (coalesce(list_sum(list_transform(T, x -> length(x))), 0) * 1000000)
+         |      // greatest(len(T), 1) AS mean_len_micro,
+         |    (len(list_distinct(T)) * 1000000) // greatest(len(T), 1)
+         |      AS ttr_micro,
+         |    len(list_filter(T, x -> list_contains(
+         |      ['the','and','of','to','is','in','that'], x)))::BIGINT AS sw_hits
+         |  FROM t),
+         |r AS (SELECT *,
+         |    CASE WHEN n_tokens < 20 THEN 'too_short'
+         |         WHEN n_tokens > 80 THEN 'too_long'
+         |         WHEN mean_len_micro < 3000000
+         |           OR mean_len_micro > 6000000 THEN 'mean_len'
+         |         WHEN ttr_micro < 350000 THEN 'low_ttr'
+         |         WHEN sw_hits < 1 THEN 'no_stopwords'
+         |         ELSE '' END AS reject_reason
+         |  FROM m)
+         |SELECT doc_id, n_tokens, mean_len_micro::BIGINT AS mean_len_micro,
+         |  ttr_micro::BIGINT AS ttr_micro, sw_hits, reject_reason,
+         |  reject_reason = '' AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""WITH tok AS (SELECT source, unnest(${ExtensionQueries.toksSql}) AS token
+         |            FROM documents),
+         |c AS (SELECT source, token, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+         |v AS (SELECT token FROM (SELECT token, sum(c)::BIGINT AS n FROM c
+         |                         GROUP BY 1 ORDER BY n DESC, token LIMIT 100)),
+         |cov AS (SELECT source, sum(c)::BIGINT AS covered_tokens FROM c
+         |        WHERE token IN (SELECT token FROM v) GROUP BY 1),
+         |tot AS (SELECT source, sum(c)::BIGINT AS n_tokens FROM c GROUP BY 1)
+         |SELECT t.source, t.n_tokens,
+         |  coalesce(cov.covered_tokens, 0)::BIGINT AS covered_tokens,
+         |  ((coalesce(cov.covered_tokens, 0) * 1000000) // t.n_tokens)::BIGINT
+         |    AS coverage_ppm
+         |FROM tot t LEFT JOIN cov USING (source) ORDER BY source""".stripMargin,
+
+    "mix_epochs" ->
+      s"""WITH d AS (SELECT source, len(${ExtensionQueries.toksSql})::BIGINT AS nt
+         |           FROM documents),
+         |g AS (SELECT source, sum(nt)::BIGINT AS n_tokens FROM d GROUP BY 1),
+         |s AS (SELECT count(*)::BIGINT AS n_sources FROM g)
+         |SELECT source, n_tokens,
+         |  least(4000000, ((20000 // n_sources) * 1000000)
+         |    // greatest(n_tokens, 1))::BIGINT AS epochs_micro,
+         |  ((least(4000000, ((20000 // n_sources) * 1000000)
+         |      // greatest(n_tokens, 1)) * n_tokens) // 1000000)::BIGINT
+         |    AS tokens_taken
+         |FROM g CROSS JOIN s ORDER BY source""".stripMargin,
+
+    // Replays the demoPixelCorpus generator arithmetic (pixel byte i of
+    // image id = (id*31 + i*7) mod 256, w = 8 + id%9, h = 8 + id%7) —
+    // same convention as the image_ahash oracle, on an 8×9 grid.
+    "image_dhash" ->
+      """WITH m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents),
+        |cells AS (SELECT doc_id, w, h, r8, c9,
+        |    3 * (((r8 * h) // 8) * w + ((c9 * w) // 9)) AS base
+        |  FROM m CROSS JOIN range(0, 8) rr(r8) CROSS JOIN range(0, 9) cc(c9)),
+        |g AS (SELECT doc_id, r8, c9,
+        |    ((doc_id*31 + base*7) % 256 + (doc_id*31 + (base+1)*7) % 256
+        |      + (doc_id*31 + (base+2)*7) % 256)::BIGINT AS gray
+        |  FROM cells),
+        |bits AS (SELECT a.doc_id, (a.r8 * 8 + a.c9)::BIGINT AS k,
+        |    CASE WHEN b.gray > a.gray THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.r8 = b.r8
+        |    AND b.c9 = a.c9 + 1
+        |  WHERE a.c9 < 8),
+        |hh AS (SELECT doc_id,
+        |    sum(CASE WHEN k >= 32 THEN bit << (k - 32) ELSE 0 END)::BIGINT
+        |      AS hash_hi,
+        |    sum(CASE WHEN k < 32 THEN bit << k ELSE 0 END)::BIGINT AS hash_lo
+        |  FROM bits GROUP BY 1)
+        |SELECT m.doc_id AS media_id, m.w::BIGINT AS width, m.h::BIGINT AS height,
+        |  hh.hash_hi, hh.hash_lo
+        |FROM m JOIN hh USING (doc_id) ORDER BY media_id""".stripMargin,
+
+    // Replays the demoAudioCorpus generator (sample j of clip id =
+    // ((id*13 + j*37) mod 65536) − 32768, n = 500 + id%300), 64-sample
+    // frames, active iff e_f·nf > Σe, islands via f − row_number().
+    "audio_vad_segments" ->
+      """WITH m AS (SELECT doc_id AS id, (500 + doc_id % 300) AS n FROM documents),
+        |fr AS (SELECT id, f, n // 64 AS nf FROM m
+        |       CROSS JOIN range(0, 13) rf(f) WHERE f < n // 64),
+        |sm AS (SELECT id, f, nf,
+        |    ((id*13 + (f*64 + k)*37) % 65536 - 32768)::BIGINT AS v
+        |  FROM fr CROSS JOIN range(0, 64) rk(k)),
+        |en AS (SELECT id, f, nf, sum(v*v)::BIGINT AS e FROM sm GROUP BY 1, 2, 3),
+        |tot AS (SELECT id, sum(e)::BIGINT AS total FROM en GROUP BY 1),
+        |act AS (SELECT en.id, en.f, en.e FROM en JOIN tot USING (id)
+        |        WHERE en.e * en.nf > tot.total),
+        |isl AS (SELECT id, f, e,
+        |    f - row_number() OVER (PARTITION BY id ORDER BY f) AS grp
+        |  FROM act),
+        |seg AS (SELECT id, grp, min(f) AS start_frame, max(f) AS end_frame,
+        |    count(*) AS n_frames, sum(e)::BIGINT AS seg_energy
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT id AS media_id,
+        |  (row_number() OVER (PARTITION BY id ORDER BY start_frame) - 1)::INT
+        |    AS seg_idx,
+        |  start_frame::INT AS start_frame, end_frame::INT AS end_frame,
+        |  n_frames::INT AS n_frames, seg_energy
+        |FROM seg ORDER BY media_id, seg_idx""".stripMargin,
+
+    "metrics_ewma" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |      AS hr, sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |    FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, hr, cents,
+        |    cents * 512
+        |      + coalesce(lag(cents, 1) OVER w, 0) * 256
+        |      + coalesce(lag(cents, 2) OVER w, 0) * 128
+        |      + coalesce(lag(cents, 3) OVER w, 0) * 64
+        |      + coalesce(lag(cents, 4) OVER w, 0) * 32
+        |      + coalesce(lag(cents, 5) OVER w, 0) * 16
+        |      + coalesce(lag(cents, 6) OVER w, 0) * 8
+        |      + coalesce(lag(cents, 7) OVER w, 0) * 4
+        |      + coalesce(lag(cents, 8) OVER w, 0) * 2
+        |      + coalesce(lag(cents, 9) OVER w, 0) AS num,
+        |    least(row_number() OVER w, 10) AS m
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr))
+        |SELECT event_type, epoch_us(hr) AS hr_us, cents,
+        |  ((num * 1000000) // (1024 - (1 << (10 - m))))::BIGINT AS ewma_micro
+        |FROM l ORDER BY event_type, hr_us""".stripMargin,
+
+    "metrics_autocorr" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |      AS hr, sum(round(value * 100)::BIGINT)::BIGINT AS x
+        |    FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, x,
+        |    lag(x) OVER (PARTITION BY event_type ORDER BY hr) AS y FROM h),
+        |f AS (SELECT * FROM p WHERE y IS NOT NULL),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, n_pairs,
+        |  round((n_pairs * sxy - sx * sy)::DOUBLE /
+        |    (sqrt((n_pairs * sxx - sx * sx)::DOUBLE) *
+        |     sqrt((n_pairs * syy - sy * sy)::DOUBLE)), 6) AS autocorr
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "graph_2hop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 8 = 0),
+        |und AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+        |tp AS (SELECT DISTINCT a1.u AS a, a2.v AS c
+        |       FROM adj a1 JOIN adj a2 ON a1.v = a2.u WHERE a1.u != a2.v),
+        |d2 AS (SELECT a, c FROM tp WHERE NOT EXISTS
+        |       (SELECT 1 FROM adj WHERE adj.u = tp.a AND adj.v = tp.c)),
+        |cnt AS (SELECT a AS node, count(*)::BIGINT AS n_2hop FROM d2 GROUP BY 1)
+        |SELECT n.node::BIGINT AS node,
+        |  coalesce(c.n_2hop, 0)::BIGINT AS n_2hop
+        |FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY node""".stripMargin,
+  )
+}

@@ -93,6 +93,16 @@ object StreamingQueries {
         .select("user_id", "session_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_id")),
 
+    // Running per-user totals: the stateful scalar-accumulator shape —
+    // batch is a ROWS-framed cumulative window sum; streaming carries
+    // ONE long per user through flatMapGroupsWithState (StreamingSpec
+    // proves the equivalence).
+    "stream_running_total" -> ((s, dir) =>
+      StreamingPipeline.runningTotalsBatch(
+          Tables.load(s, dir, "events")
+            .select("user_id", "event_id", "ts", "value"))
+        .orderBy("user_id", "ts_us", "event_id")),
+
     // Sessionization via the BUILT-IN session_window aggregation — the
     // compose-existing-ops path: one groupBy, Spark-managed merge state,
     // watermark-bounded in streaming. Strict gap boundary (an event
@@ -105,6 +115,14 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_running_total" ->
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  round(value * 100)::BIGINT AS cents,
+        |  CAST(sum(round(value * 100)::BIGINT) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+
     "stream_topk_hitters" ->
       """WITH c AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP))
         |    AS window_start, user_id, count(*)::BIGINT AS n

@@ -351,6 +351,62 @@ object StreamingPipeline {
       }.toDF()
   }
 
+  // --- running per-key totals --------------------------------------------
+
+  final case class ValuedEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, cents: Long)
+  final case class RunningTotal(user_id: Long, event_id: Long, ts_us: Long,
+      cents: Long, running_cents: Long)
+  final case class TotalState(total: Long)
+
+  /** Batch running per-user totals: the event-time cumulative sum of
+    * integer cents, totally ordered by `(ts, event_id)` (the unique id
+    * breaks timestamp ties, so the running value at every row is
+    * deterministic). One shuffle by user; the window frame is ROWS so
+    * ties never peer-collapse.
+    */
+  def runningTotalsBatch(df: DataFrame): DataFrame = {
+    val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    df.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"), col("ts"))
+      .withColumn("running_cents", sum(col("cents")).over(w))
+      .drop("ts")
+  }
+
+  /** Streaming running per-user totals — the stateful scalar-accumulator
+    * shape (`flatMapGroupsWithState` carrying ONE long per key, the
+    * smallest possible state): each micro-batch sorts the user's new
+    * events by `(ts, event_id)`, continues the running sum from state,
+    * emits one row per event, and stores only the final total. Correct
+    * whenever batches arrive in event-time order per key (file sources
+    * + AvailableNow trivially satisfy this with a single batch; a live
+    * deployment puts a watermark-sorted stage upstream). State is O(1)
+    * per user forever — unlike buffering approaches, this never grows
+    * with history.
+    */
+  def runningTotalsStreaming(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[ValuedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TotalState, RunningTotal](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[ValuedEvent], state: GroupState[TotalState]) =>
+          val sorted = rows.toIndexedSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var total = state.getOption.map(_.total).getOrElse(0L)
+          val out = sorted.map { e =>
+            total += e.cents
+            RunningTotal(user, e.event_id, tsMicros(e.ts), e.cents, total)
+          }
+          state.update(TotalState(total))
+          out.iterator
+      }.toDF()
+  }
+
   private def tsMicros(ts: java.sql.Timestamp): Long =
     // floorDiv: getTime truncates toward zero for pre-epoch instants
     // while getNanos is always the positive fraction.

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.{Graph, Multimodal, Quality, Sampling}
+import graft.sources.Tables
+
+/** Round-4 corpus batch: Gopher rule-bundle filter, vocabulary coverage,
+  * epoch-mix planning, dHash, PCM voice-activity segments, 2-hop reach,
+  * and the stateful running-total stream≡batch equivalence.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.Dataset
+
+  private def docs = Tables.load(spark, sf0001, "documents")
+
+  private def media(corpus: Dataset[Multimodal.MediaFile]) = {
+    import spark.implicits._
+    Multimodal.shapeForDecode(corpus.toDF(), 4).as[Multimodal.MediaFile]
+  }
+
+  test("gopherFilter: keep bit matches reject_reason; evidence is consistent") {
+    val out = Quality.gopherFilter(docs, "doc_id", "text").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val reason = r.getAs[String]("reject_reason")
+      assert(r.getAs[Boolean]("keep") == reason.isEmpty)
+      val n = r.getAs[Long]("n_tokens")
+      // The first-match rule order is part of the contract.
+      if (n < 20) assert(reason == "too_short")
+      else if (n > 80) assert(reason == "too_long")
+      assert(r.getAs[Long]("ttr_micro") <= 1000000L)
+    }
+    // The fixture must exercise both branches or the filter proves nothing.
+    assert(out.exists(_.getAs[Boolean]("keep")))
+    assert(out.exists(!_.getAs[Boolean]("keep")))
+  }
+
+  test("epochMix: cap binds, taken tokens are consistent, plan is per-source pure") {
+    val out = Sampling.epochMix(docs, "source",
+      TextOps.tokenCount(col("text")).cast("long"), budget = 20000L).collect()
+    assert(out.length == docs.select("source").distinct().count())
+    out.foreach { r =>
+      val e = r.getAs[Long]("epochs_micro")
+      assert(e >= 0 && e <= 4000000L)
+      assert(r.getAs[Long]("tokens_taken") ==
+        e * r.getAs[Long]("n_tokens") / 1000000L)
+    }
+  }
+
+  test("dhash: partition-invariant, dims match the generator, differs from ahash") {
+    import spark.implicits._
+    val corpus = Multimodal.demoPixelCorpus(spark, docs)
+    val one = Multimodal.dhash(spark, media(corpus)).collect()
+      .map(h => h.media_id -> h).toMap
+    val other = Multimodal.dhash(spark,
+        media(corpus.repartition(7))).collect()
+      .map(h => h.media_id -> h).toMap
+    assert(one == other) // exact integers ⇒ bit-identical under any layout
+    one.values.foreach { h =>
+      assert(h.width == 8 + h.media_id % 9 && h.height == 8 + h.media_id % 7)
+    }
+    // Gradient bits are a different signal than brightness bits.
+    val ah = Multimodal.ahash(spark, media(corpus)).collect()
+      .map(h => h.media_id -> (h.hash_hi, h.hash_lo)).toMap
+    assert(one.exists { case (id, h) => (h.hash_hi, h.hash_lo) != ah(id) })
+  }
+
+  test("vadSegments: segments are disjoint, in-range, and energy-consistent") {
+    import spark.implicits._
+    val corpus = Multimodal.demoAudioCorpus(spark, docs)
+    val segs = Multimodal.vadSegments(spark, media(corpus)).collect()
+      .groupBy(_.media_id)
+    assert(segs.nonEmpty)
+    segs.foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_.seg_idx)
+      assert(sorted.map(_.seg_idx).toSeq == sorted.indices.toSeq)
+      val nf = (500 + id % 300).toInt / 64
+      sorted.foreach { s =>
+        assert(s.start_frame >= 0 && s.end_frame < nf)
+        assert(s.n_frames == s.end_frame - s.start_frame + 1)
+        assert(s.seg_energy > 0)
+      }
+      // Maximal runs: consecutive segments never touch.
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.start_frame > a.end_frame + 1)
+        case _ =>
+      }
+    }
+  }
+
+  test("twoHopReach: exact distance-2 counts on a known graph") {
+    import spark.implicits._
+    // Path 1-2-3-4 plus spur 2-5.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.twoHopReach(edges, "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("running totals: streaming state equals the batch window sum") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val events = Tables.load(spark, sf0001, "events")
+      .select("user_id", "event_id", "ts", "value")
+    val batch = graft.streaming.StreamingPipeline.runningTotalsBatch(events)
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.StreamingPipeline.runningTotalsStreaming(
+      spark, graft.streaming.StreamingPipeline.streamTable(spark, sf0001, "events"))
+    val q = streamed.writeStream.format("memory").queryName("running_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("running_out")
+      .select("user_id", "event_id", "ts_us", "cents", "running_cents")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+  }
+}
