@@ -489,6 +489,56 @@ object Multimodal {
     }
   }
 
+  /** One keyframe's content fingerprint: `fp = Σ byte_j · (j+1)` over the
+    * sample's mdat payload — a position-weighted checksum (equal bytes ⇒
+    * equal fp) that an external engine can replay without md5-over-blob
+    * support. Weak by design: it's a BLOCKING key, and [[videoNearDups]]
+    * requires ≥2 agreeing keyframes, so stray collisions cost recall
+    * work, never correctness of the "shared fingerprints" count.
+    */
+  final case class KeyframeFp(media_id: Long, sample_idx: Int,
+      n_bytes: Int, fp: Long)
+
+  /** ALL sync-sample fingerprints of each clip via the REAL ISO-BMFF
+    * sample-table walk (stsz/stco/stss → exact mdat byte ranges). One
+    * narrow partition-wise pass; undecodable containers yield no rows.
+    */
+  def keyframeFingerprints(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[KeyframeFp] = {
+    import spark.implicits._
+    media.flatMap { m =>
+      val samples = Containers.mp4Samples(m.content)
+      if (samples == null) Seq.empty[KeyframeFp]
+      else samples.iterator.filter(_.sync).map { smp =>
+        var fp = 0L
+        var j = 0
+        val off = smp.offset.toInt; val n = smp.size.toInt
+        while (j < n) {
+          fp += java.lang.Byte.toUnsignedInt(m.content(off + j)).toLong * (j + 1)
+          j += 1
+        }
+        KeyframeFp(m.media_id, smp.sampleIdx, n, fp)
+      }.toSeq
+    }
+  }
+
+  /** Near-duplicate videos: pairs sharing at least `minShared` keyframe
+    * fingerprints — re-encoded/re-uploaded copies keep most keyframes
+    * byte-identical while metadata and padding drift. The join keys on
+    * `(n_bytes, fp)` (an equality join over fingerprint buckets, never
+    * an all-pairs product), so pair work scales with bucket occupancy
+    * exactly like the LSH band joins.
+    */
+  def videoNearDups(fps: DataFrame, minShared: Int = 2): DataFrame = {
+    val a = fps.select(col("media_id").as("id_a"), col("n_bytes"), col("fp"))
+    val b = fps.select(col("media_id").as("id_b"),
+      col("n_bytes").as("__nb"), col("fp").as("__fp"))
+    a.join(b, col("n_bytes") === col("__nb") && col("fp") === col("__fp") &&
+        col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   def demoAudioCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>

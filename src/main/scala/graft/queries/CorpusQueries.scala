@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Graph, Multimodal, Quality, Sampling}
+import graft.operators.{Bloom, Graph, Multimodal, Quality, Sampling, Urls}
 import graft.sources.Tables
 
 /** Round-4 corpus-curation surface: the Gopher rule-bundle filter,
@@ -143,6 +143,69 @@ object CorpusQueries {
             "y -> struct(x AS src, y AS dst))))")).as("p"))
         .select(col("p.src"), col("p.dst"))
       Graph.twoHopReach(edges, "src", "dst").orderBy("node")
+    }),
+
+    // Near-duplicate videos by shared keyframe fingerprints: REAL
+    // ISO-BMFF sample-table walk → position-weighted payload checksums
+    // → (size, fp) bucket join, ≥2 agreeing keyframes. Blobs never
+    // shuffle; only (id, size, fp) rows do.
+    "video_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Multimodal.demoVideoCorpus(s, t(s, dir, "documents"))
+      val fps = Multimodal.keyframeFingerprints(s,
+        Multimodal.shapeForDecode(corpus.toDF(), 32).as[Multimodal.MediaFile])
+      Multimodal.videoNearDups(fps.toDF()).orderBy("id_a", "id_b")
+    }),
+
+    // Bloom-pruned join: the "broadcast m bits instead of shuffling the
+    // fact table" plan — build a filter on the (tiny) filtered dim,
+    // probe the fact side's distinct keys, semi-join the survivors,
+    // then the exact join removes the ε of false positives. Result is
+    // hash-identical to the plain join (no false negatives), which is
+    // precisely what the oracle asserts.
+    "join_bloom_pruned" -> ((s, dir) => {
+      val dims = t(s, dir, "part").where(col("p_size") === 1)
+        .select(col("p_partkey"))
+      val bloom = Bloom.build(dims, "p_partkey")
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_quantity")
+      val maybe = Bloom.probe(li.select("l_partkey"), "l_partkey", bloom)
+        .where(col("maybe_seen")).select("l_partkey")
+      val pruned = li.join(broadcast(maybe), Seq("l_partkey"), "left_semi")
+      pruned.join(broadcast(dims), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+        .orderBy("p_partkey")
+    }),
+
+    // Per-user inter-arrival gap statistics — the event-cadence
+    // telemetry a sessionization gap or watermark delay is tuned from.
+    // One shuffle by user; exact integer micros end to end.
+    "user_interarrival" -> ((s, dir) => {
+      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events").select("user_id", "event_id", "ts")
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .where(col("__prev").isNotNull)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(col("__prev"))).as("gap_us"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_gaps"),
+          min("gap_us").as("min_gap_us"), max("gap_us").as("max_gap_us"),
+          expr("sum(gap_us) DIV count(*)").as("mean_gap_us"))
+        .orderBy("user_id")
+    }),
+
+    // Crawl politeness / domain diversity: parse the host out of each
+    // document's URL and keep a deterministic (hash, id) sample of at
+    // most 15 documents per host — the per-domain cap web corpora apply
+    // so no single site dominates training data. Bounded-heap top-k per
+    // host, never a global sort.
+    "crawl_host_cap" -> ((s, dir) => {
+      val d = tc(s, dir, "documents").withColumn("url",
+        concat(lit("HTTPS://"), col("source"), lit(".Example.COM/"),
+          col("lang"), lit("/doc/"), pmod(col("doc_id"), lit(97))))
+      val hosted = d.select(col("doc_id"), Urls.urlHost(col("url")).as("host"))
+      Sampling.capPerGroup(hosted, Seq("host"), "doc_id", k = 15,
+          hashFn = TextOps.md5Hash60)
+        .select("doc_id", "host").orderBy("doc_id")
     }),
   )
 
@@ -309,5 +372,63 @@ object CorpusQueries {
         |SELECT n.node::BIGINT AS node,
         |  coalesce(c.n_2hop, 0)::BIGINT AS n_2hop
         |FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY node""".stripMargin,
+
+    // Replays the demoVideoCorpus generator (ns = 4 + id%5 samples,
+    // sync samples at even 0-based indices 0,2,…, sample s byte j =
+    // (id*131 + s*17 + j*7) mod 256, size 16 + ((id+s)%3)*8) — same
+    // conventions as the video_keyframes oracle.
+    "video_near_dup" ->
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 5 AS ns,
+        |           (4 + doc_id % 5 + 1) // 2 AS k FROM documents),
+        |kf AS (SELECT doc_id, 2 * i AS s0 FROM m
+        |       CROSS JOIN range(0, 4) ri(i) WHERE i < k),
+        |sized AS (SELECT doc_id, s0,
+        |    16 + ((doc_id + s0) % 3) * 8 AS sz FROM kf),
+        |fp AS (SELECT doc_id, s0, sz,
+        |    list_sum(list_transform(range(0, sz),
+        |      j -> ((doc_id*131 + s0*17 + j*7) % 256) * (j + 1)))::BIGINT AS fp
+        |  FROM sized),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM fp a JOIN fp b ON a.sz = b.sz AND a.fp = b.fp
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "join_bloom_pruned" ->
+      """SELECT p_partkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1 GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+
+    "user_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |g AS (SELECT user_id,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS gap_us
+        |  FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_gaps,
+        |  min(gap_us)::BIGINT AS min_gap_us,
+        |  max(gap_us)::BIGINT AS max_gap_us,
+        |  (sum(gap_us) // count(*))::BIGINT AS mean_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "crawl_host_cap" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    'HTTPS://' || source || '.Example.COM/' || lang || '/doc/' ||
+         |    (doc_id % 97) AS url
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    lower(regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
+         |  FROM d)
+         |SELECT doc_id, host FROM (
+         |  SELECT doc_id, host, row_number() OVER (PARTITION BY host
+         |    ORDER BY ${ExtensionQueries.md5Hash60Sql("doc_id::VARCHAR")},
+         |      doc_id) AS rn
+         |  FROM h) r
+         |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
   )
 }

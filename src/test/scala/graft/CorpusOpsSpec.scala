@@ -99,6 +99,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("keyframe fingerprints: one row per sync sample, equal bytes ⇒ equal fp") {
+    import spark.implicits._
+    val corpus = Multimodal.demoVideoCorpus(spark, docs)
+    val fps = Multimodal.keyframeFingerprints(spark, media(corpus)).collect()
+    val byId = fps.groupBy(_.media_id)
+    byId.foreach { case (id, ks) =>
+      assert(ks.length == ((4 + id % 5 + 1) / 2).toInt) // sync = every other sample
+      assert(ks.forall(k => k.sample_idx % 2 == 0))
+    }
+    // The generator makes byte content a function of ((id*131+s*17)%256, size):
+    // same class ⇒ identical bytes ⇒ identical fp.
+    val classes = fps.groupBy(k =>
+      (((k.media_id * 131 + k.sample_idx * 17) % 256), k.n_bytes))
+    classes.values.foreach(ks => assert(ks.map(_.fp).distinct.length == 1))
+  }
+
+  test("bloom-pruned join is hash-identical to the plain join") {
+    import graft.operators.Bloom
+    val dims = Tables.load(spark, sf0001, "part")
+      .where(col("p_size") === 1).select(col("p_partkey"))
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select("l_partkey", "l_quantity")
+    val bloom = Bloom.build(dims, "p_partkey")
+    val maybe = Bloom.probe(li.select("l_partkey"), "l_partkey", bloom)
+      .where(col("maybe_seen")).select("l_partkey")
+    val pruned = li.join(broadcast(maybe), Seq("l_partkey"), "left_semi")
+      .join(broadcast(dims), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n"))
+    val plain = li.join(dims, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n"))
+    assert(pruned.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+  }
+
   test("running totals: streaming state equals the batch window sum") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val events = Tables.load(spark, sf0001, "events")
