@@ -109,6 +109,80 @@ object TemporalJoins {
         rightPayload.map(c => col("__rp").getField(c).as(c)): _*)
   }
 
+  /** Nearest-neighbor as-of join: for every left row, the single right
+    * row with the same `keys` whose `rightTime` is CLOSEST in either
+    * direction, within `tolerance`; equidistant candidates resolve to
+    * the EARLIER right row (the pandas `merge_asof(direction='nearest')`
+    * semantics). Same one-shuffle union trick as [[asofJoin]], with TWO
+    * carries over the one sorted pass: `last_value(…, ignoreNulls)` over
+    * UNBOUNDED PRECEDING..CURRENT (the at-or-before match) and
+    * `first_value(…, ignoreNulls)` over 1 FOLLOWING..UNBOUNDED (the
+    * strictly-after match; an equal-ts right sorts BEFORE the left row,
+    * so it is already the backward match at distance 0). No theta join,
+    * no per-row candidate scan.
+    *
+    * Ties among right rows sharing (key, ts): backward keeps the
+    * largest `rightTie`, forward the smallest — pre-aggregate the right
+    * side to one row per (key, ts) when that asymmetry matters.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, tolerance: Column,
+      rightTie: Option[String] = None): DataFrame = {
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    require((left.columns.toSeq.filterNot(keys.contains))
+        .intersect(rightPayload).isEmpty,
+      s"left/right non-key columns must be disjoint: " +
+        left.columns.toSeq.intersect(rightPayload).mkString(", "))
+    val scratch = Seq("__ts", "__side", "__tie", "__rp", "__prev", "__next")
+    require((left.columns ++ right.columns).intersect(scratch).isEmpty,
+      s"column names ${scratch.mkString("/")} are reserved by asofNearest")
+    require(rightPayload.nonEmpty, "right side needs at least one payload column")
+    val leftPayload = left.columns
+      .filterNot(keys.contains).filterNot(_ == leftTime).toSeq
+    val tieCol = rightTie.map(col).getOrElse(
+      xxhash64(rightPayload.map(col): _*))
+    val rpType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c)))
+    val lPart = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__ts"), lit(1).as("__side"), lit(0L).as("__tie"),
+          lit(null).cast(rpType).as("__rp")) ++
+        leftPayload.map(col): _*)
+    val rPart = right.where(col(rightTime).isNotNull).select(
+      keys.map(col) ++
+        Seq(col(rightTime).cast(left.schema(leftTime).dataType).as("__ts"),
+          lit(0).as("__side"), tieCol.cast("long").as("__tie"),
+          struct(rightPayload.map(col): _*).as("__rp")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+    val carried = lPart.unionByName(rPart)
+      .select(
+        (keys.map(col) ++ Seq(col("__ts"), col("__side")) ++ leftPayload.map(col) ++
+          Seq(last(col("__rp"), ignoreNulls = true).over(wPrev).as("__prev"),
+            first(col("__rp"), ignoreNulls = true).over(wNext).as("__next"))): _*)
+      .where(col("__side") === 1)
+
+    def ts(c: Column): Column = unix_micros(c.getField(rightTime))
+    // Tolerance is applied in timestamp space (like asofJoin): a
+    // candidate farther than `tolerance` from the left time is no match.
+    val prevOk = col("__prev").isNotNull &&
+      col("__prev").getField(rightTime) >= (col("__ts") - tolerance)
+    val nextOk = col("__next").isNotNull &&
+      col("__next").getField(rightTime) <= (col("__ts") + tolerance)
+    val prevDiff = unix_micros(col("__ts")) - ts(col("__prev"))
+    val nextDiff = ts(col("__next")) - unix_micros(col("__ts"))
+    val picked = carried.withColumn("__rp",
+      when(prevOk && (!nextOk || prevDiff <= nextDiff), col("__prev"))
+        .when(nextOk, col("__next")))
+    picked.withColumnRenamed("__ts", leftTime)
+      .select((keys ++ (leftTime +: leftPayload)).map(col) ++
+        rightPayload.map(c => col("__rp").getField(c).as(c)): _*)
+  }
+
   /** Banded range join: all (left, right) pairs with equal `keys` and
     * `rStart <= leftTime <= rEnd`, via fixed-width time-bucket blocking.
     *

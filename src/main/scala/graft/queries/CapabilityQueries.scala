@@ -183,6 +183,33 @@ object CapabilityQueries {
         .drop("o_orderdate")
         .orderBy("o_custkey", "o_orderkey")
     }),
+
+    // The TPC-H Q1 pricing-summary shape in full: the canonical wide
+    // money aggregation. Every factor is cast to an EXACT decimal
+    // BEFORE multiplying (prices/discounts/taxes are 2-decimal money by
+    // contract), so the per-row products and the order-free decimal
+    // sums are bit-identical in any engine — the double triple-product
+    // would diverge at the 4th decimal between rounding implementations.
+    // Averages divide the already-rounded sums.
+    "q32_pricing_summary" -> ((s, dir) => {
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val discF = (lit(1) - col("l_discount")).cast("decimal(4,2)")
+      val taxF = (lit(1) + col("l_tax")).cast("decimal(4,2)")
+      val base = round(sum(price), 2).cast("double")
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+          base.as("sum_base_price"),
+          round(sum(price * discF), 2).cast("double").as("sum_disc_price"),
+          round(sum(price * discF * taxF), 2).cast("double").as("sum_charge"),
+          round(sum("l_quantity") / count(lit(1)), 6).as("avg_qty"),
+          round(base / count(lit(1)), 6).as("avg_price"),
+          round(sum(col("l_discount").cast("decimal(4,2)")).cast("double")
+            / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -292,5 +319,27 @@ object CapabilityQueries {
         |FROM o WINDOW w AS (PARTITION BY o_custkey
         |                    ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q32_pricing_summary" ->
+      """WITH l AS (SELECT l_returnflag, l_linestatus, l_quantity,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+        |    CAST(1 - l_discount AS DECIMAL(4,2)) AS discf,
+        |    CAST(1 + l_tax AS DECIMAL(4,2)) AS taxf,
+        |    CAST(l_discount AS DECIMAL(4,2)) AS disc
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(round(sum(price), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(price * discf), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(price * discf * taxf), 2) AS DOUBLE) AS sum_charge,
+        |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
+        |  round(CAST(round(sum(price), 2) AS DOUBLE) / count(*), 6)
+        |    AS avg_price,
+        |  round(CAST(sum(disc) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS n_rows
+        |FROM l
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 }

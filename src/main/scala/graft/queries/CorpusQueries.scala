@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Bloom, Graph, Multimodal, Quality, Sampling, Urls}
+import graft.operators.{Bloom, Graph, Multimodal, Quality, Sampling, Search, TemporalJoins, Urls}
 import graft.sources.Tables
 
 /** Round-4 corpus-curation surface: the Gopher rule-bundle filter,
@@ -206,6 +206,56 @@ object CorpusQueries {
       Sampling.capPerGroup(hosted, Seq("host"), "doc_id", k = 15,
           hashFn = TextOps.md5Hash60)
         .select("doc_id", "host").orderBy("doc_id")
+    }),
+
+    // Nearest as-of join: each click pairs with its CLOSEST view in
+    // either direction within 1h, equidistant → the earlier view — the
+    // sensor-alignment / feature-join variant of asof_join, still one
+    // shuffle + one sorted pass (two carries, no theta join).
+    "asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max("event_id").as("view_id"))
+        .select("user_id", "view_ts", "view_id")
+      TemporalJoins.asofNearest(clicks, views, Seq("user_id"), "ts", "view_ts",
+          tolerance = expr("INTERVAL 1 HOUR"), rightTie = Some("view_id"))
+        .select(col("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("view_id"),
+          (unix_micros(col("view_ts")) - unix_micros(col("ts"))).as("delta_us"))
+        .orderBy("click_id")
+    }),
+
+    // Retrieval evaluation over the BM25 ranking: P@10 and MRR per
+    // query against all-terms-present relevance labels — the metric
+    // pass every search/RAG pipeline runs after an index change. The
+    // label join is (tiny query set) × corpus — a broadcast predicate
+    // scan, never a corpus shuffle; metrics are exact ppm integers.
+    "search_eval" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      val qs = PipelineQueries.bm25Terms.toDF("query_id", "term")
+      val ranked = Search.bm25TopK(tc(s, dir, "documents"), "doc_id", "text",
+        qs, k = 30)
+      val toks = tc(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokens(col("text")).as("t"))
+      val nTerms = qs.groupBy("query_id").agg(countDistinct("term").as("n_terms"))
+      val rel = broadcast(qs).join(toks, array_contains(col("t"), col("term")))
+        .groupBy("query_id", "doc_id").agg(countDistinct("term").as("n_hit"))
+        .join(broadcast(nTerms), "query_id")
+        .where(col("n_hit") === col("n_terms"))
+        .select(col("query_id"), col("doc_id"), lit(1).as("rel"))
+      ranked.join(rel, Seq("query_id", "doc_id"), "left")
+        .withColumn("r", coalesce(col("rel"), lit(0)))
+        .groupBy("query_id").agg(
+          sum(when(col("rank") <= 10, col("r")).otherwise(0)).cast("long")
+            .as("n_rel_at_10"),
+          min(when(col("r") === 1, col("rank"))).as("__fr"))
+        .select(col("query_id"), col("n_rel_at_10"),
+          expr("(n_rel_at_10 * 1000000) DIV 10").as("p_at_10_ppm"),
+          coalesce(expr("1000000 DIV __fr"), lit(0L)).as("mrr_ppm"))
+        .orderBy("query_id")
     }),
   )
 
@@ -430,5 +480,49 @@ object CorpusQueries {
          |      doc_id) AS rn
          |  FROM h) r
          |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+
+    "asof_nearest" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |            event_type FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM e
+        |      WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+        |      FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+        |cand AS (SELECT c.click_id, v.view_id,
+        |    epoch_us(v.view_ts) - epoch_us(c.ts) AS delta_us
+        |  FROM c JOIN v USING (user_id)
+        |  WHERE abs(epoch_us(v.view_ts) - epoch_us(c.ts)) <= 3600000000),
+        |pick AS (SELECT click_id, view_id, delta_us FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY click_id
+        |      ORDER BY abs(delta_us), delta_us) AS rn FROM cand) x
+        |  WHERE rn = 1)
+        |SELECT c.click_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |  p.view_id, p.delta_us
+        |FROM c LEFT JOIN pick p USING (click_id)
+        |ORDER BY click_id""".stripMargin,
+
+    "search_eval" ->
+      s"""WITH ${PipelineQueries.bm25RankedCte},
+         |nt AS (SELECT query_id, count(DISTINCT term) AS n_terms
+         |       FROM q GROUP BY 1),
+         |hits AS (SELECT q.query_id, d.doc_id,
+         |    count(DISTINCT q.term) AS n_hit
+         |  FROM q JOIN d ON list_contains(d.toks, q.term) GROUP BY 1, 2),
+         |relq AS (SELECT hits.query_id, hits.doc_id
+         |  FROM hits JOIN nt USING (query_id) WHERE n_hit = n_terms),
+         |t30 AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 30),
+         |jj AS (SELECT t.query_id, t.rank,
+         |    CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+         |  FROM t30 t LEFT JOIN relq r
+         |    ON t.query_id = r.query_id AND t.doc_id = r.doc_id),
+         |m AS (SELECT query_id,
+         |    sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END)::BIGINT
+         |      AS n_rel_at_10,
+         |    min(CASE WHEN rel = 1 THEN rank END) AS fr
+         |  FROM jj GROUP BY 1)
+         |SELECT query_id, n_rel_at_10,
+         |  ((n_rel_at_10 * 1000000) // 10)::BIGINT AS p_at_10_ppm,
+         |  coalesce(1000000 // fr, 0)::BIGINT AS mrr_ppm
+         |FROM m ORDER BY query_id""".stripMargin,
   )
 }

@@ -133,6 +133,25 @@ class CorpusOpsSpec extends SparkSpec {
       plain.collect().map(_.toSeq).toSet)
   }
 
+  test("asofNearest: closest match either direction, earlier wins ties, tolerance nulls") {
+    import spark.implicits._
+    import graft.operators.TemporalJoins
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, ts(100), 10L), (1L, ts(500), 11L), (1L, ts(5000), 12L))
+      .toDF("k", "lt", "lid")
+    // rights at 90 (10 before click 100) and 110 (10 after): tie → earlier.
+    val right = Seq((1L, ts(90), 20L), (1L, ts(110), 21L), (1L, ts(460), 22L))
+      .toDF("k", "rt", "rid")
+    val got = TemporalJoins.asofNearest(left, right, Seq("k"), "lt", "rt",
+        tolerance = expr("INTERVAL 60 SECONDS"), rightTie = Some("rid"))
+      .select("lid", "rid").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(
+      10L -> 20L, // |100-90| == |110-100| → earlier (90) wins
+      11L -> 22L, // 460 is closer than 110 (and within tolerance)
+      12L -> -1L)) // nothing within 60s of 5000
+  }
+
   test("running totals: streaming state equals the batch window sum") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val events = Tables.load(spark, sf0001, "events")
