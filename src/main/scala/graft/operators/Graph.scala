@@ -259,6 +259,45 @@ object Graph {
       .select(col("node"), coalesce(col("n_2hop"), lit(0L)).as("n_2hop"))
   }
 
+  /** Bounded k-core peeling: `rounds` sweeps of "drop every node with
+    * degree < k, then recompute" over an undirected graph — the dense-
+    * core extraction that separates organically-linked pages from
+    * long-tail leaves (spam/boilerplate graphs shed whole subtrees in
+    * the first sweep). A FIXED round count, not loop-to-fixpoint, keeps
+    * the plan finite and the result replayable by an unrolled SQL
+    * oracle; each sweep is one degree aggregation + two semi-joins,
+    * exact integers throughout, and `rounds` sweeps of lineage are cut
+    * nowhere because the plan stays a straight-line DAG (no action per
+    * sweep — Catalyst sees the whole pipeline at once).
+    *
+    * @return surviving (node, deg) — degree measured in the final
+    *         filtered graph.
+    */
+  def kCore(edges0: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val und = edges0.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    var adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      val keep = adj.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("node")
+      adj = adj
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+    }
+    // Degrees measured in the final filtered graph — NOT re-filtered:
+    // a fixed-round peel reports the graph as the last sweep left it
+    // (nodes that fell below k in the final sweep surface with their
+    // residual degree; the next sweep would drop them).
+    adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Multi-source BFS: hop distance from the nearest seed, bounded at
     * `maxDepth` sweeps — "how far is every page from a trusted seed
     * set", the TrustRank-style proximity signal curation uses to weight

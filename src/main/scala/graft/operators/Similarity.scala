@@ -133,6 +133,46 @@ object Similarity {
       .select("query_id", "neighbor_id", scoreCol, "rank")
   }
 
+  /** Late-interaction MaxSim top-k (the ColBERT scoring shape, public —
+    * Khattab & Zaharia 2020): each vector is split into `chunks`
+    * subvectors, and score(q, d) = Σ over q's chunks of the MAX dot
+    * product against any of d's chunks — token-level matching that a
+    * single pooled dot washes out. Chunk dots are rounded to micro
+    * integers BEFORE max/sum, so ranking is exact and order-free (max
+    * and sum of integers commute across any partitioning).
+    *
+    * Scale shape: the query side is broadcast as chunk rows; the corpus
+    * explodes to `chunks` rows per vector in a narrow generate and is
+    * scanned once (codegen'd `FloatVecDot` per chunk pair); ranking
+    * goes through the bounded-heap TopKPerKey operator. Per-query work
+    * is `chunks²·|corpus|` dots — at 100 TB, run it behind an ANN
+    * candidate stage (IVF/LSH) exactly like brute-force cosine.
+    */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, chunks: Int = 4, dims: Int = 64): DataFrame = {
+    require(chunks >= 1 && dims % chunks == 0,
+      s"dims ($dims) must divide into chunks ($chunks)")
+    val clen = dims / chunks
+    def chunkRows(df: DataFrame, asId: String, idxName: String,
+        vecName: String) =
+      graft.sources.Tables.rebalanceForCompute(df)
+        .select(col(idCol).as(asId), posexplode(expr(
+          s"transform(sequence(0, ${chunks - 1}), " +
+            s"c -> slice($vecCol, c * $clen + 1, $clen))"))
+          .as(Seq(idxName, vecName)))
+    val qc = chunkRows(queries, "query_id", "qc", "qv")
+    val cc = chunkRows(corpus, "neighbor_id", "dc", "dv")
+    val dots = cc.join(broadcast(qc), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qc"),
+        round(VecOps.dot(col("qv"), col("dv")) * 1000000)
+          .cast("long").as("dot_micro"))
+    val best = dots.groupBy("query_id", "neighbor_id", "qc")
+      .agg(max("dot_micro").as("m"))
+    val scored = best.groupBy("query_id", "neighbor_id")
+      .agg(sum("m").as("maxsim_micro"))
+    rankTopK(scored, k, "maxsim_micro")
+  }
+
   /** Deterministic pseudo-random unit component from a salt tuple,
     * folded into [-1, 1] — the ONE source of truth for both the LSH
     * hyperplanes and the IVF anchors (oracle parity depends on both

@@ -210,6 +210,18 @@ object CapabilityQueries {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+
+    // INTERSECT ALL: multiset intersection (min multiplicity per value)
+    // — q14 covers EXCEPT; this completes the bag-semantics set family.
+    // Customers appearing among both open- and finished-order rows,
+    // with min(open_count, finished_count) copies each.
+    "q33_intersect_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderstatus") === "O").select("o_custkey")
+        .intersectAll(
+          o.where(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -341,5 +353,11 @@ object CapabilityQueries {
         |FROM l
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q33_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

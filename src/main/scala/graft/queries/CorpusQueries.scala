@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Bloom, Graph, Multimodal, Quality, Sampling, Search, TemporalJoins, Urls}
+import graft.operators.{Bloom, Graph, Multimodal, Quality, Sampling, Search, Similarity, TemporalJoins, Urls}
 import graft.sources.Tables
 
 /** Round-4 corpus-curation surface: the Gopher rule-bundle filter,
@@ -256,6 +256,32 @@ object CorpusQueries {
           expr("(n_rel_at_10 * 1000000) DIV 10").as("p_at_10_ppm"),
           coalesce(expr("1000000 DIV __fr"), lit(0L)).as("mrr_ppm"))
         .orderBy("query_id")
+    }),
+
+    // Bounded k-core peeling (k=3, 3 sweeps) over the co-purchase
+    // subsample — dense-core extraction; fixed rounds keep the plan a
+    // straight-line DAG and the oracle an unrolled CTE chain.
+    "graph_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(pmod(col("l_partkey"), lit(8)) === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.groupBy("ok")
+        .agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS src, y AS dst))))")).as("p"))
+        .select(col("p.src"), col("p.dst"))
+      Graph.kCore(edges, "src", "dst", k = 3, rounds = 3).orderBy("node")
+    }),
+
+    // Late-interaction MaxSim ANN (ColBERT scoring shape): 4×16-dim
+    // chunks, per-chunk max dot, micro-integer exact ranking.
+    "sim_maxsim_late" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.maxSimTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
     }),
   )
 
@@ -524,5 +550,47 @@ object CorpusQueries {
          |  ((n_rel_at_10 * 1000000) // 10)::BIGINT AS p_at_10_ppm,
          |  coalesce(1000000 // fr, 0)::BIGINT AS mrr_ppm
          |FROM m ORDER BY query_id""".stripMargin,
+
+    // Unrolled 3-round peel: each round recomputes degrees over the
+    // previous round's edge set and keeps nodes with deg >= 3.
+    "graph_kcore" -> {
+      def round(i: Int): String =
+        s"""d$i AS (SELECT u AS node, count(*)::BIGINT AS deg
+           |        FROM a${i - 1} GROUP BY 1),
+           |k$i AS (SELECT node FROM d$i WHERE deg >= 3),
+           |a$i AS (SELECT a.u, a.v FROM a${i - 1} a
+           |        JOIN k$i ku ON a.u = ku.node
+           |        JOIN k$i kv ON a.v = kv.node)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |            FROM lineitem WHERE l_partkey % 8 = 0),
+         |und AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |a0 AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT u::BIGINT AS node, count(*)::BIGINT AS deg
+         |FROM a3 GROUP BY 1 ORDER BY node""".stripMargin
+    },
+
+    "sim_maxsim_late" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+        |qch AS (SELECT vec_id AS query_id, c AS qi,
+        |    v[c*16+1 : c*16+16] AS qv FROM q CROSS JOIN range(0, 4) rc(c)),
+        |cch AS (SELECT vec_id AS neighbor_id, c AS di,
+        |    v[c*16+1 : c*16+16] AS dv FROM e CROSS JOIN range(0, 4) rd(c)),
+        |dots AS (SELECT query_id, neighbor_id, qi,
+        |    round(list_sum(list_transform(range(1, 17),
+        |      i -> qv[i] * dv[i])) * 1000000)::BIGINT AS dot_micro
+        |  FROM cch JOIN qch ON query_id != neighbor_id),
+        |best AS (SELECT query_id, neighbor_id, qi, max(dot_micro) AS m
+        |         FROM dots GROUP BY 1, 2, 3),
+        |scored AS (SELECT query_id, neighbor_id, sum(m)::BIGINT
+        |             AS maxsim_micro
+        |           FROM best GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, maxsim_micro, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY maxsim_micro DESC, neighbor_id) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

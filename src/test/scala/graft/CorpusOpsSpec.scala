@@ -133,6 +133,16 @@ class CorpusOpsSpec extends SparkSpec {
       plain.collect().map(_.toSeq).toSet)
   }
 
+  test("kCore: peeling drops leaves, keeps the clique") {
+    import spark.implicits._
+    // Triangle+tail: 1-2-3 clique (deg 2 each) with pendant 3-4.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.kCore(edges, "src", "dst", k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Node 4 (deg 1) peels in sweep 1; the triangle survives at deg 2.
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("asofNearest: closest match either direction, earlier wins ties, tolerance nulls") {
     import spark.implicits._
     import graft.operators.TemporalJoins
