@@ -222,6 +222,24 @@ object CapabilityQueries {
           o.where(col("o_orderstatus") === "F").select("o_custkey"))
         .orderBy("o_custkey")
     }),
+
+    // Null-safe join (<=> / IS NOT DISTINCT FROM): the NULL bucket is a
+    // JOIN KEY, not a dropped row — grouping dirty data by a nullable
+    // derived key and full-outer joining two aggregates of it.
+    "q34_null_safe_join" -> ((s, dir) => {
+      val k = when(col("value") < 5, lit(null))
+        .otherwise(floor(col("value") / 50)).cast("long")
+      val ev = t(s, dir, "events")
+      val c = ev.where(col("event_type") === "click")
+        .select(k.as("ck")).groupBy("ck").agg(count(lit(1)).as("n_click"))
+      val v = ev.where(col("event_type") === "view")
+        .select(k.as("vk")).groupBy("vk").agg(count(lit(1)).as("n_view"))
+      c.join(v, col("ck") <=> col("vk"), "full_outer")
+        .select(coalesce(col("ck"), col("vk")).as("k"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"),
+          coalesce(col("n_view"), lit(0L)).as("n_view"))
+        .orderBy(asc_nulls_first("k"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -359,5 +377,20 @@ object CapabilityQueries {
         |INTERSECT ALL
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin,
+
+    "q34_null_safe_join" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN value < 5 THEN NULL
+        |         ELSE floor(value / 50)::BIGINT END AS k
+        |  FROM events),
+        |c AS (SELECT k AS ck, count(*)::BIGINT AS n_click FROM e
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |v AS (SELECT k AS vk, count(*)::BIGINT AS n_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1)
+        |SELECT coalesce(ck, vk) AS k,
+        |  coalesce(n_click, 0)::BIGINT AS n_click,
+        |  coalesce(n_view, 0)::BIGINT AS n_view
+        |FROM c FULL JOIN v ON ck IS NOT DISTINCT FROM vk
+        |ORDER BY k NULLS FIRST""".stripMargin,
   )
 }

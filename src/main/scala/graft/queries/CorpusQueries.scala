@@ -283,6 +283,26 @@ object CorpusQueries {
           "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
+
+    // Tokens WITH character offsets into the normalized text — the
+    // span-alignment table NER/QA training data is built on (a span
+    // label references (doc, start, end); tokenization must agree).
+    // Normalization guarantees single spaces, so offsets are exact
+    // prefix sums: one narrow map + generate, one shuffle by doc for
+    // the running sum.
+    "token_offsets" -> ((s, dir) => {
+      val norm = tc(s, dir, "documents").select(col("doc_id"),
+        TextOps.normalizeText(col("text")).as("norm"))
+      val ex = norm.select(col("doc_id"),
+        posexplode(split(col("norm"), " ")).as(Seq("token_idx", "token")))
+      val w = W.partitionBy("doc_id").orderBy("token_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+      ex.withColumn("start_char",
+          (coalesce(sum(length(col("token"))).over(w), lit(0))
+            + col("token_idx")).cast("long"))
+        .withColumn("end_char", col("start_char") + length(col("token")))
+        .orderBy("doc_id", "token_idx")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -592,5 +612,25 @@ object CorpusQueries {
         |    ORDER BY maxsim_micro DESC, neighbor_id) AS rank
         |  FROM scored) r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "token_offsets" ->
+      s"""WITH n AS (SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+         |      '[${TextOps.ctrlChars}]', ' ', 'g'),
+         |      '[${TextOps.wsChars}]+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |u AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token,
+         |      (generate_subscripts(string_split(norm, ' '), 1) - 1)::INT
+         |        AS token_idx
+         |      FROM n)
+         |SELECT doc_id, token_idx, token,
+         |  (coalesce(sum(length(token)) OVER (PARTITION BY doc_id
+         |    ORDER BY token_idx ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0) + token_idx)::BIGINT AS start_char,
+         |  (coalesce(sum(length(token)) OVER (PARTITION BY doc_id
+         |    ORDER BY token_idx ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0) + token_idx + length(token))::BIGINT
+         |    AS end_char
+         |FROM u ORDER BY doc_id, token_idx""".stripMargin,
   )
 }

@@ -103,6 +103,14 @@ object StreamingQueries {
             .select("user_id", "event_id", "ts", "value"))
         .orderBy("user_id", "ts_us", "event_id")),
 
+    // Exact per-window distinct users: dedup-then-count (the streaming-
+    // legal form of count_distinct — two watermark-bounded stateful
+    // stages instead of one inexpressible one).
+    "stream_window_uniques" -> ((s, dir) =>
+      StreamingPipeline.windowedUniques(
+          Tables.load(s, dir, "events"), "ts", "user_id")
+        .orderBy("window_start")),
+
     // Sessionization via the BUILT-IN session_window aggregation — the
     // compose-existing-ops path: one groupBy, Spark-managed merge state,
     // watermark-bounded in streaming. Strict gap boundary (an event
@@ -122,6 +130,11 @@ object StreamingQueries {
         |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
         |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "stream_window_uniques" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  count(DISTINCT user_id)::BIGINT AS n_unique
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
 
     "stream_topk_hitters" ->
       """WITH c AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP))

@@ -351,6 +351,23 @@ object StreamingPipeline {
       }.toDF()
   }
 
+  /** EXACT distinct keys per tumbling window, streaming-shaped: dedup on
+    * (window, key) first, then count rows — `count_distinct` is not
+    * expressible in streaming Append mode, but dedup-then-count is the
+    * blessed multi-stateful-operator pipeline (Spark ≥ 3.5), with both
+    * stages' state watermark-bounded. Same Column program in batch,
+    * where it degenerates to distinct + count. State per window is
+    * O(#distinct keys) — the exact-answer budget; swap in
+    * `approx_count_distinct` when ±2% is acceptable at 100 TB.
+    */
+  def windowedUniques(df: DataFrame, tsCol: String, keyCol: String,
+      width: String = "1 day"): DataFrame =
+    df.select(window(col(tsCol), width).as("w"), col(keyCol))
+      .dropDuplicates("w", keyCol)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_unique"))
+      .select(col("w.start").as("window_start"), col("n_unique"))
+
   // --- running per-key totals --------------------------------------------
 
   final case class ValuedEvent(user_id: Long, event_id: Long,

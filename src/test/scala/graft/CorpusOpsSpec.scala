@@ -162,6 +162,46 @@ class CorpusOpsSpec extends SparkSpec {
       12L -> -1L)) // nothing within 60s of 5000
   }
 
+  test("windowed uniques: dedup-then-count behind readStream equals batch on closed windows") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val sp = graft.streaming.StreamingPipeline
+    val events = Tables.load(spark, sf0001, "events")
+    val maxTsUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // Append emits a window only once it CLOSES against the watermark
+    // (end <= max event time - delay); the final open day stays in state.
+    val dayUs = 86400L * 1000000; val delayUs = 3600L * 1000000
+    val closed = sp.windowedUniques(events, "ts", "user_id")
+      .where(unix_micros(col("window_start")) + dayUs <= maxTsUs - delayUs)
+      .collect().map(_.toSeq).toSet
+    val streamed = sp.windowedUniques(
+      sp.streamTable(spark, sf0001, "events").withWatermark("ts", "1 hour"),
+      "ts", "user_id")
+    val q = streamed.writeStream.format("memory").queryName("uniq_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("uniq_out").collect().map(_.toSeq).toSet
+    assert(got == closed)
+    assert(closed.nonEmpty)
+  }
+
+  test("token offsets: spans index back into the normalized text") {
+    import graft.functions.TextOps
+    val norm = docs.select(col("doc_id"),
+      TextOps.normalizeText(col("text")).as("norm"))
+    val ex = norm.select(col("doc_id"), col("norm"),
+      posexplode(split(col("norm"), " ")).as(Seq("token_idx", "token")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("token_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rows = ex.withColumn("start",
+        coalesce(sum(length(col("token"))).over(w), lit(0)) + col("token_idx"))
+      .select(col("norm"), col("token"), col("start")).collect()
+    rows.foreach { r =>
+      val (nrm, tok, st) = (r.getString(0), r.getString(1), r.getAs[Number](2).intValue)
+      assert(nrm.substring(st, st + tok.length) == tok) // the span IS the token
+    }
+  }
+
   test("running totals: streaming state equals the batch window sum") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val events = Tables.load(spark, sf0001, "events")
