@@ -303,6 +303,76 @@ object CorpusQueries {
         .withColumn("end_char", col("start_char") + length(col("token")))
         .orderBy("doc_id", "token_idx")
     }),
+
+    // Apriori level-3 market-basket mining: frequent triples via the
+    // level-wise prune — candidates come ONLY from frequent-pair
+    // self-joins (anti-monotonicity: every sub-pair of a frequent
+    // triple is frequent), then the candidate set (small by
+    // construction) broadcasts back onto the baskets for exact counts.
+    // The naive triple enumeration the oracle runs is O(width³) per
+    // basket over ALL parts; the pruned path touches only candidate
+    // triples — the difference between feasible and not at 100 TB.
+    // Hash equality against the naive oracle proves the prune lossless.
+    "basket_triples" -> ((s, dir) => {
+      val minSupport = 2L
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.select(col("ok"), col("pk").as("p1"))
+      val b = li.select(col("ok"), col("pk").as("p2"))
+      val f2 = a.join(b, Seq("ok")).where(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
+        .where(col("n") >= minSupport).select("p1", "p2")
+      // C3: extend frequent pairs sharing the first item, prune on the
+      // third sub-pair.
+      val x = f2.select(col("p1").as("ta"), col("p2").as("tb"))
+      val y = f2.select(col("p1").as("ta"), col("p2").as("tc"))
+      val c3 = x.join(y, Seq("ta")).where(col("tb") < col("tc"))
+        .join(f2.select(col("p1").as("tb"), col("p2").as("tc")),
+          Seq("tb", "tc"), "left_semi")
+      val l1 = li.select(col("ok"), col("pk").as("ta"))
+      val l2 = li.select(col("ok"), col("pk").as("tb"))
+      val l3 = li.select(col("ok"), col("pk").as("tc"))
+      l1.join(broadcast(c3), Seq("ta"))
+        .join(l2, Seq("ok", "tb"))
+        .join(l3, Seq("ok", "tc"))
+        .groupBy(col("ta").as("p1"), col("tb").as("p2"), col("tc").as("p3"))
+        .agg(count(lit(1)).as("n_orders"))
+        .where(col("n_orders") >= minSupport)
+        .orderBy(col("n_orders").desc, col("p1"), col("p2"), col("p3"))
+    }),
+
+    // Hour-of-day seasonality profile per event type — the weekly/daily
+    // shape a capacity plan or anomaly baseline subtracts out. Exact
+    // integer cents; mean in micro fixed point.
+    "metrics_seasonality" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).as("hour_of_day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("cents_sum"))
+        .withColumn("mean_cents_micro",
+          expr("(cents_sum * 1000000) DIV n_events"))
+        .orderBy("event_type", "hour_of_day")),
+
+    // Embedding drift between label slices: pairwise cosine of the
+    // per-label fixed-point centroids — the "did slice X's embedding
+    // distribution move" monitor. Centroid rows are tiny (labels × 64),
+    // so the pair stage is a broadcast cross of a handful of vectors.
+    "embed_label_drift" -> ((s, dir) => {
+      val cent = Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")
+      val vecs = cent.groupBy("label").agg(
+        expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+          .as("v"))
+      val va = vecs.select(col("label").as("label_a"), col("v").as("va"))
+      val vb = vecs.select(col("label").as("label_b"), col("v").as("vb"))
+      def dot(p: String, q: String) =
+        expr(s"aggregate(zip_with($p, $q, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+      va.crossJoin(vb).where(col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(dot("va", "vb") /
+            (sqrt(dot("va", "va")) * sqrt(dot("vb", "vb"))), 6).as("cos"))
+        .orderBy("label_a", "label_b")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -632,5 +702,46 @@ object CorpusQueries {
          |    AND 1 PRECEDING), 0) + token_idx + length(token))::BIGINT
          |    AS end_char
          |FROM u ORDER BY doc_id, token_idx""".stripMargin,
+
+    // Naive triple enumeration — the correctness spec the Apriori
+    // prune must reproduce exactly.
+    "basket_triples" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |t AS (SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3,
+        |    count(*)::BIGINT AS n_orders
+        |  FROM li a JOIN li b USING (ok) JOIN li c USING (ok)
+        |  WHERE a.pk < b.pk AND b.pk < c.pk GROUP BY 1, 2, 3)
+        |SELECT p1, p2, p3, n_orders FROM t WHERE n_orders >= 2
+        |ORDER BY n_orders DESC, p1, p2, p3""".stripMargin,
+
+    "metrics_seasonality" ->
+      """SELECT event_type, hour(CAST(ts AS TIMESTAMP))::INT AS hour_of_day,
+        |  count(*)::BIGINT AS n_events,
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS cents_sum,
+        |  ((sum(round(value * 100)::BIGINT) * 1000000) // count(*))::BIGINT
+        |    AS mean_cents_micro
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_of_day""".stripMargin,
+
+    "embed_label_drift" ->
+      """WITH u AS (SELECT label,
+        |    generate_subscripts(embedding, 1)::BIGINT AS pos,
+        |    floor(unnest(embedding::DOUBLE[]) * 1048576.0)::BIGINT AS fx
+        |  FROM embeddings),
+        |g AS (SELECT label, pos, sum(fx)::BIGINT AS s, count(*) AS n
+        |      FROM u GROUP BY 1, 2),
+        |c AS (SELECT label, pos,
+        |      round((s::DOUBLE / n) / 1048576.0, 6) AS comp FROM g),
+        |vec AS (SELECT label, list(comp ORDER BY pos) AS v
+        |        FROM c GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(list_sum(list_transform(range(1, len(a.v) + 1),
+        |      i -> a.v[i] * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(a.v) + 1),
+        |      i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(b.v) + 1),
+        |      i -> b.v[i] * b.v[i])))), 6) AS cos
+        |FROM vec a JOIN vec b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
   )
 }

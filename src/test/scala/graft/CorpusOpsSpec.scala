@@ -202,6 +202,23 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("basket triples: the Apriori prune equals naive enumeration") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val a = li.select(col("ok"), col("pk").as("p1"))
+    val b = li.select(col("ok"), col("pk").as("p2"))
+    val c = li.select(col("ok"), col("pk").as("p3"))
+    val naive = a.join(b, Seq("ok")).join(c, Seq("ok"))
+      .where(col("p1") < col("p2") && col("p2") < col("p3"))
+      .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 2)
+      .collect().map(_.toSeq).toSet
+    val pruned = graft.queries.CorpusQueries
+      .queries("basket_triples")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == naive && naive.nonEmpty)
+  }
+
   test("running totals: streaming state equals the batch window sum") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val events = Tables.load(spark, sf0001, "events")
