@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Bloom, Graph, Multimodal, Quality, Sampling, Search, Similarity, TemporalJoins, Urls}
+import graft.operators.{Bloom, Gapfill, Graph, Multimodal, Quality, Sampling, Search, Similarity, TemporalJoins, Urls}
 import graft.sources.Tables
 
 /** Round-4 corpus-curation surface: the Gopher rule-bundle filter,
@@ -372,6 +372,38 @@ object CorpusQueries {
           round(dot("va", "vb") /
             (sqrt(dot("va", "va")) * sqrt(dot("vb", "vb"))), 6).as("cos"))
         .orderBy("label_a", "label_b")
+    }),
+
+    // Linear-interpolation resample onto the hourly grid — gapfill's
+    // straight-line sibling (silent hours take the line between the
+    // surrounding observations, nonnegative-integer arithmetic).
+    "gapfill_linear" -> ((s, dir) =>
+      Gapfill.hourlyLinear(t(s, dir, "events"), "event_type", "ts",
+          "event_id", round(col("value") * 100).cast("long"))
+        .select(col("g").as("event_type"), col("h"), col("v"))
+        .orderBy("event_type", "h")),
+
+    // One-pass multi-grain rollup via GROUPING SETS: daily, weekly, and
+    // monthly volumes from a single shuffle — the grouping-set Expand
+    // is the one-scan alternative to three separate aggregations.
+    // Grain labels read off which grouped column survived (they are
+    // never NULL when grouped, so the CASE is unambiguous).
+    "metrics_rollup_grains" -> ((s, dir) => {
+      t(s, dir, "events").select(
+          date_trunc("day", col("ts")).as("d"),
+          date_trunc("week", col("ts")).as("w"),
+          date_trunc("month", col("ts")).as("m"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_ev_grains")
+      s.sql(
+        """SELECT CASE WHEN d IS NOT NULL THEN 'day'
+          |            WHEN w IS NOT NULL THEN 'week'
+          |            ELSE 'month' END AS grain,
+          |  coalesce(d, w, m) AS period_start,
+          |  count(*) AS n_events, sum(cents) AS cents_sum
+          |FROM graft_ev_grains
+          |GROUP BY GROUPING SETS ((d), (w), (m))
+          |ORDER BY grain, period_start""".stripMargin)
     }),
   )
 
@@ -743,5 +775,57 @@ object CorpusQueries {
         |      i -> b.v[i] * b.v[i])))), 6) AS cos
         |FROM vec a JOIN vec b ON a.label < b.label
         |ORDER BY label_a, label_b""".stripMargin,
+
+    "gapfill_linear" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id, round(value * 100)::BIGINT AS cents
+        |  FROM events WHERE ts IS NOT NULL),
+        |ob AS (SELECT event_type, h, cents FROM (
+        |    SELECT event_type, date_trunc('hour', ts) AS h, cents,
+        |      row_number() OVER (PARTITION BY event_type,
+        |          date_trunc('hour', ts)
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM ev) r
+        |  WHERE rn = 1),
+        |rg AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM ob GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM rg),
+        |j AS (SELECT g.event_type, g.h,
+        |    epoch_us(g.h) // 3600000000 AS hi, ob.cents AS v_obs
+        |  FROM grid g LEFT JOIN ob
+        |    ON g.event_type = ob.event_type AND g.h = ob.h),
+        |c AS (SELECT event_type, h, hi, v_obs,
+        |    last_value(v_obs IGNORE NULLS) OVER wp AS vp,
+        |    last_value(CASE WHEN v_obs IS NOT NULL THEN hi END IGNORE NULLS)
+        |      OVER wp AS hp,
+        |    first_value(v_obs IGNORE NULLS) OVER wn AS vn,
+        |    first_value(CASE WHEN v_obs IS NOT NULL THEN hi END IGNORE NULLS)
+        |      OVER wn AS hn
+        |  FROM j WINDOW
+        |    wp AS (PARTITION BY event_type ORDER BY hi
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY event_type ORDER BY hi
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, h,
+        |  CASE WHEN hn IS NULL OR hn = hp THEN vp
+        |       ELSE (vp * (hn - hi) + vn * (hi - hp)) // (hn - hp)
+        |  END AS v
+        |FROM c ORDER BY event_type, h""".stripMargin,
+
+    "metrics_rollup_grains" ->
+      """WITH e AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS w,
+        |    date_trunc('month', CAST(ts AS TIMESTAMP)) AS m,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events)
+        |SELECT CASE WHEN d IS NOT NULL THEN 'day'
+        |            WHEN w IS NOT NULL THEN 'week'
+        |            ELSE 'month' END AS grain,
+        |  coalesce(d, w, m) AS period_start,
+        |  count(*)::BIGINT AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM e
+        |GROUP BY GROUPING SETS ((d), (w), (m))
+        |ORDER BY grain, period_start""".stripMargin,
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
-import graft.operators.{Graph, Multimodal, Quality, Sampling}
+import graft.operators.{Gapfill, Graph, Multimodal, Quality, Sampling}
 import graft.sources.Tables
 
 /** Round-4 corpus batch: Gopher rule-bundle filter, vocabulary coverage,
@@ -217,6 +217,37 @@ class CorpusOpsSpec extends SparkSpec {
       .queries("basket_triples")(spark, sf0001)
       .collect().map(_.toSeq).toSet
     assert(pruned == naive && naive.nonEmpty)
+  }
+
+  test("hourlyLinear: interpolates the straight line, ffills the tail") {
+    import spark.implicits._
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600L * 1000)
+    // Observations at hours 0 (v=100) and 3 (v=400); hour 5 trailing obs 0.
+    val ev = Seq(("a", ts(0), 1L, 100L), ("a", ts(3), 2L, 400L),
+        ("b", ts(0), 3L, 50L))
+      .toDF("g", "ts", "id", "cents")
+    val got = Gapfill.hourlyLinear(ev, "g", "ts", "id", col("cents"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L,
+        r.getLong(2))).toSet
+    assert(got == Set(("a", 0L, 100L), ("a", 1L, 200L), ("a", 2L, 300L),
+      ("a", 3L, 400L), ("b", 0L, 50L)))
+  }
+
+  test("plan shapes: bloom prune broadcasts, gopher filter never shuffles") {
+    def plan(name: String) = graft.queries.CorpusQueries
+      .queries(name)(spark, sf001).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val bloom = plan("join_bloom_pruned")
+    assert(bloom.contains("BroadcastHashJoin"),
+      "bloom-pruned join must broadcast the filter/dim sides")
+    // The Gopher filter is a pure narrow projection: any Exchange means
+    // a refactor broke the no-shuffle contract (the final orderBy is
+    // display-only and excluded by planning just the filter).
+    val gopher = graft.operators.Quality
+      .gopherFilter(Tables.load(spark, sf001, "documents"), "doc_id", "text")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!gopher.contains("Exchange"), "gopherFilter must stay shuffle-free")
   }
 
   test("running totals: streaming state equals the batch window sum") {
