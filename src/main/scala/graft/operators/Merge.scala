@@ -97,16 +97,25 @@ object Merge {
     * exchange, which at a 100 TB changelog is the difference between
     * shuffling the history and shuffling the keys.
     */
-  def applyCdc(changes: DataFrame, keys: Seq[String], orderCols: Seq[String],
-      deleteCol: String): DataFrame = {
+  /** The winning (max-`orderCols`) row per key, INCLUDING delete
+    * winners — the tombstone-preserving form [[applyCdc]] filters and
+    * incremental appliers must keep: physically dropping a deleted key
+    * loses the delete's order position, and any older change for that
+    * key arriving in a later batch would silently resurrect it.
+    */
+  def latestPerKey(changes: DataFrame, keys: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty && orderCols.nonEmpty)
     val payload = changes.columns.filterNot(keys.contains).toSeq
-    val latest = changes.groupBy(keys.map(col): _*)
+    changes.groupBy(keys.map(col): _*)
       .agg(max_by(struct(payload.map(col): _*),
         struct(orderCols.map(col): _*)).as("__last"))
-    latest.where(!col(s"__last.$deleteCol"))
       .select(keys.map(col) ++ payload.map(c => col(s"__last.$c").as(c)): _*)
   }
+
+  def applyCdc(changes: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      deleteCol: String): DataFrame =
+    latestPerKey(changes, keys, orderCols).where(!col(deleteCol))
 
   /** Snapshot diff (CDC classify): compare two versions of a table on a
     * key and emit one row per divergence — `insert` (key only in new),

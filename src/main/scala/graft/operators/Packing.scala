@@ -45,6 +45,27 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Per-document TOKEN SPANS within each pack — the loss-mask /
+    * attention-boundary table emitted alongside a packed dataset (span
+    * labels, per-doc loss weighting, and cross-doc attention masking
+    * all key on "where does document d live inside pack p"). Spans are
+    * in pack-token coordinates, separators excluded: start = sum of the
+    * pack's earlier documents' tokens, end exclusive. One extra window
+    * over the already-assigned rows; same determinism contract as
+    * [[assignPacks]] (unique `orderCol` ⇒ total order ⇒ exact spans).
+    */
+  def spans(df: DataFrame, partCols: Seq[String], orderCol: String,
+      tokenCol: Column, budget: Int): DataFrame = {
+    val assigned = assignPacks(df, partCols, orderCol, tokenCol, budget)
+    val w = Window.partitionBy((partCols :+ "pack_id").map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    assigned
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)).cast("long"))
+      .withColumn("end_tok", col("start_tok") + col("n_tokens"))
+  }
+
   /** Materialize one training sequence per pack: documents of a pack
     * concatenated in `orderCol` order with `sep` between them, plus doc
     * and token accounting. Runs [[assignPacks]] then ONE aggregation —

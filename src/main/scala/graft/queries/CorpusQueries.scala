@@ -405,6 +405,17 @@ object CorpusQueries {
           |GROUP BY GROUPING SETS ((d), (w), (m))
           |ORDER BY grain, period_start""".stripMargin)
     }),
+
+    // Per-document token spans inside each pack — the loss-mask table a
+    // packed dataset ships with (span labels and cross-doc attention
+    // masks key on these offsets).
+    "pack_spans" -> ((s, dir) =>
+      graft.operators.Packing.spans(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          Seq("source"), "doc_id", TextOps.tokenCount(col("text")), budget = 256)
+        .select("doc_id", "source", "pack_id", "n_tokens",
+          "start_tok", "end_tok")
+        .orderBy("doc_id")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -827,5 +838,24 @@ object CorpusQueries {
         |FROM e
         |GROUP BY GROUPING SETS ((d), (w), (m))
         |ORDER BY grain, period_start""".stripMargin,
+
+    "pack_spans" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |    len(${ExtensionQueries.toksSql})::BIGINT AS n_tokens
+         |  FROM documents),
+         |w AS (SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |  FROM s),
+         |p AS (SELECT doc_id, source, n_tokens,
+         |    CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id
+         |  FROM w)
+         |SELECT doc_id, source, pack_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY source, pack_id
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0)::BIGINT AS start_tok,
+         |  (coalesce(sum(n_tokens) OVER (PARTITION BY source, pack_id
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0) + n_tokens)::BIGINT AS end_tok
+         |FROM p ORDER BY doc_id""".stripMargin,
   )
 }

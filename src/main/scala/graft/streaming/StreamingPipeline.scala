@@ -351,6 +351,61 @@ object StreamingPipeline {
       }.toDF()
   }
 
+  /** Streaming CDC apply: maintain a keyed table from a change stream
+    * via `foreachBatch` — each micro-batch unions the current target
+    * state with the batch and re-resolves per key with
+    * [[graft.operators.Merge.applyCdc]] (max-`orderCols` row wins,
+    * winner-is-delete drops the key). Because resolution always
+    * compares against the SURVIVING row's order columns, the result is
+    * independent of how changes split across micro-batches — no
+    * batches-arrive-in-order assumption, unlike a blind last-batch-wins
+    * upsert. Generations are written out-of-place
+    * (`<root>/gen=<batchId>`); [[readCdcTarget]] reads the latest — the
+    * swap-pointer commit protocol, same as `Layout.compact`.
+    *
+    * State note: the target table IS the state (no state store), so a
+    * restart resumes from the checkpoint offsets + last written
+    * generation. Per-batch cost is one target scan + one combinable
+    * shuffle of (keys) — at 100 TB the target side would move to a
+    * partitioned MERGE (only touched partitions rewritten).
+    */
+  def cdcApplyStreaming(changes: DataFrame, keys: Seq[String],
+      orderCols: Seq[String], deleteCol: String, targetRoot: String,
+      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val all = readCdcTarget(ss, targetRoot) match {
+          case Some(prev) => prev.unionByName(batch)
+          case None => batch
+        }
+        // Tombstones (delete winners) are RETAINED in the written
+        // generation: dropping them would let an older change in a
+        // later batch resurrect the key. Consumers filter `deleteCol`;
+        // a vacuum pass may drop tombstones older than the max late
+        // arrival the pipeline admits.
+        graft.operators.Merge.latestPerKey(all, keys, orderCols)
+          .write.mode("overwrite").parquet(s"$targetRoot/gen=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The latest generation written by [[cdcApplyStreaming]], if any. */
+  def readCdcTarget(spark: SparkSession, targetRoot: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(targetRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) None
+    else {
+      val gens = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+        .map(s => (s.getPath.getName.stripPrefix("gen=").toLong, s.getPath))
+      if (gens.isEmpty) None
+      else Some(spark.read.parquet(gens.maxBy(_._1)._2.toString))
+    }
+  }
+
   /** EXACT distinct keys per tumbling window, streaming-shaped: dedup on
     * (window, key) first, then count rows — `count_distinct` is not
     * expressible in streaming Append mode, but dedup-then-count is the

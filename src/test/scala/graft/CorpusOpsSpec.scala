@@ -250,6 +250,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!gopher.contains("Exchange"), "gopherFilter must stay shuffle-free")
   }
 
+  test("streaming CDC apply over multiple batches equals one-shot applyCdc") {
+    import java.nio.file.Files
+    val sp = graft.streaming.StreamingPipeline
+    val shaped = Tables.load(spark, sf0001, "events").select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      col("event_type"), col("value"),
+      (col("event_type") === "error").as("is_delete"))
+    val oneShot = graft.operators.Merge
+      .applyCdc(shaped, Seq("user_id"), Seq("ts_us", "event_id"), "is_delete")
+      .collect().map(_.toSeq).toSet
+
+    // 4 source files + maxFilesPerTrigger=1 → 4 micro-batches in
+    // ARBITRARY event-time order; the apply must still converge.
+    val src = Files.createTempDirectory("graft-cdc-src").toString
+    shaped.repartition(4).write.mode("overwrite").parquet(src)
+    val tgt = Files.createTempDirectory("graft-cdc-tgt").toString
+    val chk = Files.createTempDirectory("graft-cdc-chk").toString
+    val stream = spark.readStream.schema(shaped.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = sp.cdcApplyStreaming(stream, Seq("user_id"),
+      Seq("ts_us", "event_id"), "is_delete", tgt, chk)
+    q.awaitTermination()
+    // Consumers read past the tombstones (delete winners stay physically
+    // present so late older changes can never resurrect a deleted key).
+    val got = sp.readCdcTarget(spark, tgt).get
+      .where(!col("is_delete"))
+      .select(shaped.columns.map(col).toIndexedSeq: _*)
+      .collect().map(_.toSeq).toSet
+    assert(got == oneShot)
+  }
+
   test("running totals: streaming state equals the batch window sum") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val events = Tables.load(spark, sf0001, "events")
