@@ -406,6 +406,60 @@ object CorpusQueries {
           |ORDER BY grain, period_start""".stripMargin)
     }),
 
+    // CCNet-style quality bucketing (public pipeline — Wenzek et al.
+    // 2020): per-language surprisal terciles against the corpus unigram
+    // LM; 'head' = most-fluent third, the slice CCNet trains on.
+    // Deterministic: avg_bits is the engine-exact rounded surprisal and
+    // doc_id breaks ties, so ntile is a total order.
+    "quality_ccnet_buckets" -> ((s, dir) => {
+      val d = tc(s, dir, "documents")
+      val sur = graft.operators.LmScore.unigramSurprisal(d, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      val w = W.partitionBy("lang").orderBy(col("avg_bits"), col("doc_id"))
+      sur.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", element_at(
+          array(lit("head"), lit("middle"), lit("tail")), ntile(3).over(w)))
+        .select("doc_id", "lang", "n_tokens", "avg_bits", "bucket")
+        .orderBy("doc_id")
+    }),
+
+    // Referential-integrity audit: orphan counts per FK relation — the
+    // constraint check a warehouse runs after every load (NULL FKs
+    // count as orphans: unknown is not a pass). Three anti-joins, each
+    // shuffling only the key column.
+    "dq_fk_orphans" -> ((s, dir) => {
+      def orphans(rel: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String) =
+        child.select(col(ck))
+          .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(rel).as("relation"), col("n_orphans"))
+      orphans("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")
+        .unionAll(orphans("lineitem->part", t(s, dir, "lineitem"),
+          "l_partkey", t(s, dir, "part"), "p_partkey"))
+        .unionAll(orphans("orders->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey"))
+        .orderBy("relation")
+    }),
+
+    // Primary-key uniqueness audit across the catalog: one aggregate
+    // per table, unioned — n_dup > 0 is the broken-load alarm.
+    "dq_pk_duplicates" -> ((s, dir) => {
+      def pkDup(tbl: String, name: String, k: String) =
+        t(s, dir, name).agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(k)).as("n_distinct"))
+          .select(lit(tbl).as("table_name"), col("n_rows"),
+            col("n_distinct"),
+            (col("n_rows") - col("n_distinct")).as("n_dup"))
+      pkDup("customer", "customer", "c_custkey")
+        .unionAll(pkDup("documents", "documents", "doc_id"))
+        .unionAll(pkDup("events", "events", "event_id"))
+        .unionAll(pkDup("orders", "orders", "o_orderkey"))
+        .unionAll(pkDup("part", "part", "p_partkey"))
+        .orderBy("table_name")
+    }),
+
     // Per-document token spans inside each pack — the loss-mask table a
     // packed dataset ships with (span labels and cross-doc attention
     // masks key on these offsets).
@@ -838,6 +892,61 @@ object CorpusQueries {
         |FROM e
         |GROUP BY GROUPING SETS ((d), (w), (m))
         |ORDER BY grain, period_start""".stripMargin,
+
+    "quality_ccnet_buckets" ->
+      s"""WITH w AS (SELECT doc_id, unnest(${ExtensionQueries.toksSql}) AS t
+         |  FROM documents),
+         |vc AS (SELECT t, count(*) AS c FROM w GROUP BY 1),
+         |tot AS (SELECT sum(c)::BIGINT AS n, count(*) AS v FROM vc),
+         |sc AS (SELECT t,
+         |    (length(format('{:b}', (n + v) // (c + 1))) - 1)::BIGINT AS bits
+         |  FROM vc, tot),
+         |d AS (SELECT w.doc_id, count(*)::BIGINT AS n_tokens,
+         |    sum(bits)::BIGINT AS sb
+         |  FROM w JOIN sc USING (t) GROUP BY 1),
+         |s2 AS (SELECT doc_id, n_tokens,
+         |    round(sb::DOUBLE / n_tokens, 6) AS avg_bits FROM d),
+         |j AS (SELECT s2.doc_id, doc.lang, s2.n_tokens, s2.avg_bits
+         |      FROM s2 JOIN documents doc USING (doc_id))
+         |SELECT doc_id, lang, n_tokens, avg_bits,
+         |  CASE ntile(3) OVER (PARTITION BY lang
+         |      ORDER BY avg_bits, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         |  END AS bucket
+         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "dq_fk_orphans" ->
+      """SELECT 'lineitem->orders' AS relation, count(*)::BIGINT AS n_orphans
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'lineitem->part', count(*)::BIGINT
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_partkey IS NULL
+        |UNION ALL
+        |SELECT 'orders->customer', count(*)::BIGINT
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey IS NULL
+        |ORDER BY relation""".stripMargin,
+
+    "dq_pk_duplicates" ->
+      """SELECT 'customer' AS table_name, count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT c_custkey)::BIGINT AS n_distinct,
+        |  (count(*) - count(DISTINCT c_custkey))::BIGINT AS n_dup
+        |FROM customer
+        |UNION ALL SELECT 'documents', count(*)::BIGINT,
+        |  count(DISTINCT doc_id)::BIGINT,
+        |  (count(*) - count(DISTINCT doc_id))::BIGINT FROM documents
+        |UNION ALL SELECT 'events', count(*)::BIGINT,
+        |  count(DISTINCT event_id)::BIGINT,
+        |  (count(*) - count(DISTINCT event_id))::BIGINT FROM events
+        |UNION ALL SELECT 'orders', count(*)::BIGINT,
+        |  count(DISTINCT o_orderkey)::BIGINT,
+        |  (count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders
+        |UNION ALL SELECT 'part', count(*)::BIGINT,
+        |  count(DISTINCT p_partkey)::BIGINT,
+        |  (count(*) - count(DISTINCT p_partkey))::BIGINT FROM part
+        |ORDER BY table_name""".stripMargin,
 
     "pack_spans" ->
       s"""WITH s AS (SELECT doc_id, source,
