@@ -240,6 +240,21 @@ object CapabilityQueries {
           coalesce(col("n_view"), lit(0L)).as("n_view"))
         .orderBy(asc_nulls_first("k"))
     }),
+
+    // Relational division ("for all"): customers whose orders span
+    // EVERY priority level — the universal-quantifier query shape SQL
+    // expresses as count(distinct) against the domain size. One
+    // aggregation plus a broadcast scalar.
+    "q35_relational_division" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val domain = o.agg(countDistinct("o_orderpriority").as("n_prio"))
+      o.groupBy("o_custkey")
+        .agg(countDistinct("o_orderpriority").as("n_prio_cust"))
+        .crossJoin(broadcast(domain))
+        .where(col("n_prio_cust") === col("n_prio"))
+        .select(col("o_custkey"), col("n_prio_cust"))
+        .orderBy("o_custkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -392,5 +407,13 @@ object CapabilityQueries {
         |  coalesce(n_view, 0)::BIGINT AS n_view
         |FROM c FULL JOIN v ON ck IS NOT DISTINCT FROM vk
         |ORDER BY k NULLS FIRST""".stripMargin,
+
+    "q35_relational_division" ->
+      """SELECT o_custkey,
+        |  count(DISTINCT o_orderpriority)::BIGINT AS n_prio_cust
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(DISTINCT o_orderpriority) =
+        |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -460,6 +460,42 @@ object CorpusQueries {
         .orderBy("table_name")
     }),
 
+    // Bloom-filter mergeability: set-bit-union of two half-corpus
+    // filters IS the full-corpus filter — the per-shard-build-then-OR
+    // path that lets 1000 executors build one filter without
+    // re-touching data. The equality bit in the output row is the
+    // invariant itself, oracle-checked.
+    "sketch_bloom_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val even = Bloom.build(ev.where(pmod(col("event_id"), lit(2)) === 0),
+        "user_id")
+      val odd = Bloom.build(ev.where(pmod(col("event_id"), lit(2)) === 1),
+        "user_id")
+      val union = even.union(odd).distinct()
+      val full = Bloom.build(ev, "user_id")
+      even.agg(count(lit(1)).as("n_bits_even"))
+        .crossJoin(odd.agg(count(lit(1)).as("n_bits_odd")))
+        .crossJoin(union.agg(count(lit(1)).as("n_bits_union")))
+        .crossJoin(full.agg(count(lit(1)).as("n_bits_full")))
+        .withColumn("merge_equals_rebuild",
+          col("n_bits_union") === col("n_bits_full"))
+    }),
+
+    // First-order session transition matrix: counts and ppm
+    // probabilities of consecutive event-type transitions per user
+    // timeline — the Markov view behind "what do users do after X".
+    "session_transitions" -> ((s, dir) => {
+      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events").select("user_id", "event_id", "ts", "event_type")
+        .withColumn("to_state", lead(col("event_type"), 1).over(w))
+        .where(col("to_state").isNotNull)
+        .groupBy(col("event_type").as("from_state"), col("to_state"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prob_ppm",
+          expr("(n * 1000000) DIV (sum(n) OVER (PARTITION BY from_state))"))
+        .orderBy("from_state", "to_state")
+    }),
+
     // Per-document token spans inside each pack — the loss-mask table a
     // packed dataset ships with (span labels and cross-doc attention
     // masks key on these offsets).
@@ -892,6 +928,43 @@ object CorpusQueries {
         |FROM e
         |GROUP BY GROUPING SETS ((d), (w), (m))
         |ORDER BY grain, period_start""".stripMargin,
+
+    // Replays Bloom.positions: h = md5-60-bit of the key string,
+    // h1 = h mod 2^30, h2 = h >> 30, pos_i = (h1 + i·h2) mod 4096.
+    "sketch_bloom_union" -> {
+      def posCte(name: String, filter: String): String =
+        s"""$name AS (SELECT DISTINCT (h % 1073741824 + i * (h >> 30)) % 4096
+           |    AS pos
+           |  FROM (SELECT ${ExtensionQueries.md5Hash60Sql("user_id::VARCHAR")}
+           |      AS h
+           |    FROM (SELECT DISTINCT user_id FROM events $filter))
+           |  CROSS JOIN range(0, 3) r(i))""".stripMargin
+      s"""WITH ${posCte("pe", "WHERE event_id % 2 = 0")},
+         |${posCte("po", "WHERE event_id % 2 = 1")},
+         |${posCte("pf", "")},
+         |pu AS (SELECT DISTINCT pos FROM (SELECT pos FROM pe
+         |       UNION ALL SELECT pos FROM po))
+         |SELECT (SELECT count(*) FROM pe)::BIGINT AS n_bits_even,
+         |  (SELECT count(*) FROM po)::BIGINT AS n_bits_odd,
+         |  (SELECT count(*) FROM pu)::BIGINT AS n_bits_union,
+         |  (SELECT count(*) FROM pf)::BIGINT AS n_bits_full,
+         |  (SELECT count(*) FROM pu) = (SELECT count(*) FROM pf)
+         |    AS merge_equals_rebuild""".stripMargin
+    },
+
+    "session_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events),
+        |p AS (SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM e),
+        |c AS (SELECT from_state, to_state, count(*)::BIGINT AS n
+        |  FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  ((n * 1000000) // (sum(n) OVER (PARTITION BY from_state)))::BIGINT
+        |    AS prob_ppm
+        |FROM c ORDER BY from_state, to_state""".stripMargin,
 
     "quality_ccnet_buckets" ->
       s"""WITH w AS (SELECT doc_id, unnest(${ExtensionQueries.toksSql}) AS t
