@@ -460,6 +460,44 @@ object CorpusQueries {
         .orderBy("table_name")
     }),
 
+    // Calendar dimension over the events span — the date spine every
+    // warehouse joins against; generated, never loaded. Weekday is
+    // ISO (0 = Monday) to dodge the engines' conflicting dayofweek
+    // origins; weeks/months/quarters via date_trunc.
+    "calendar_dim" -> ((s, dir) => {
+      val span = t(s, dir, "events")
+        .agg(date_trunc("day", min(col("ts"))).as("d0"),
+          date_trunc("day", max(col("ts"))).as("d1"))
+      span.select(explode(
+          sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        .select(col("day"),
+          weekday(col("day")).cast("int").as("iso_weekday"),
+          (weekday(col("day")) >= 5).as("is_weekend"),
+          date_trunc("week", col("day")).as("week_start"),
+          date_trunc("month", col("day")).as("month_start"),
+          quarter(col("day")).cast("int").as("quarter"))
+        .orderBy("day")
+    }),
+
+    // New-vs-returning growth accounting: per day, active users, users
+    // seen for the FIRST time, and the cumulative distinct-user count —
+    // computed without any cumulative-distinct state (first-seen day is
+    // a per-user min; the cumulative count is a running sum of news).
+    "metrics_new_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val active = ev.distinct().groupBy("day")
+        .agg(count(lit(1)).as("n_active"))
+      val firstDay = ev.groupBy("user_id").agg(min("day").as("day"))
+      val news = firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+      active.join(news, Seq("day"), "left")
+        .select(col("day"), col("n_active"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_users", sum("n_new").over(
+          W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .orderBy("day")
+    }),
+
     // Bloom-filter mergeability: set-bit-union of two half-corpus
     // filters IS the full-corpus filter — the per-shard-build-then-OR
     // path that lets 1000 executors build one filter without
@@ -928,6 +966,31 @@ object CorpusQueries {
         |FROM e
         |GROUP BY GROUPING SETS ((d), (w), (m))
         |ORDER BY grain, period_start""".stripMargin,
+
+    "calendar_dim" ->
+      """WITH span AS (SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP)))
+        |    AS d0, date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS d1
+        |  FROM events),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS day FROM span)
+        |SELECT day, (isodow(day) - 1)::INT AS iso_weekday,
+        |  isodow(day) - 1 >= 5 AS is_weekend,
+        |  date_trunc('week', day) AS week_start,
+        |  date_trunc('month', day) AS month_start,
+        |  quarter(day)::INT AS quarter
+        |FROM days ORDER BY day""".stripMargin,
+
+    "metrics_new_users" ->
+      """WITH e AS (SELECT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |a AS (SELECT day, count(*)::BIGINT AS n_active
+        |      FROM (SELECT DISTINCT user_id, day FROM e) GROUP BY 1),
+        |f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+        |n AS (SELECT day, count(*)::BIGINT AS n_new FROM f GROUP BY 1)
+        |SELECT a.day, a.n_active, coalesce(n.n_new, 0)::BIGINT AS n_new,
+        |  CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM a LEFT JOIN n USING (day) ORDER BY a.day""".stripMargin,
 
     // Replays Bloom.positions: h = md5-60-bit of the key string,
     // h1 = h mod 2^30, h2 = h >> 30, pos_i = (h1 + i·h2) mod 4096.
