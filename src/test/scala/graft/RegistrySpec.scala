@@ -1,9 +1,9 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{AnalyticsQueries, CapabilityQueries, ExtensionQueries, MiningQueries, ParityQueries, PipelineQueries, StreamingQueries}
+import graft.queries.{AnalyticsQueries, CapabilityQueries, CorpusQueries, ExtensionQueries, MiningQueries, ParityQueries, PipelineQueries, StreamingQueries}
 
-/** The driver contract is assembled by `++` over six registries — a
+/** The driver contract is assembled by `++` over the query registries — a
   * duplicated query name would silently SHADOW an earlier definition and
   * the driver would grade the wrong program. Locked down here.
   */
@@ -16,7 +16,8 @@ class RegistrySpec extends AnyFunSuite {
     "capability" -> CapabilityQueries.queries.keySet,
     "analytics" -> AnalyticsQueries.queries.keySet,
     "pipeline" -> PipelineQueries.queries.keySet,
-    "mining" -> MiningQueries.queries.keySet)
+    "mining" -> MiningQueries.queries.keySet,
+    "corpus" -> CorpusQueries.queries.keySet)
 
   test("query names are globally unique across registries") {
     val all = parts.flatMap(_._2.toSeq)
