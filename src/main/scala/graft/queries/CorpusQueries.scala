@@ -460,6 +460,31 @@ object CorpusQueries {
         .orderBy("table_name")
     }),
 
+    // Tokenizer fertility per language: BPE-ish subword tokens per
+    // whitespace word — the "how expensive is this language for the
+    // tokenizer" metric driving vocab-size and mixture decisions.
+    // Exact integer sums; ratio in ppm.
+    "tokenizer_fertility" -> ((s, dir) =>
+      tc(s, dir, "documents")
+        .groupBy("lang")
+        .agg(sum(TextOps.bpeTokenCount(col("text")).cast("long")).as("n_bpe"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_words"))
+        .withColumn("fertility_ppm",
+          expr("(n_bpe * 1000000) DIV greatest(n_words, 1)"))
+        .orderBy("lang")),
+
+    // Per-source log₂ document-length histogram — the size-distribution
+    // fingerprint that catches truncation/concatenation bugs upstream
+    // (integer floor-log₂ via bit length, no libm).
+    "corpus_length_histogram" -> ((s, dir) =>
+      tc(s, dir, "documents")
+        .select(col("source"),
+          (length(bin(greatest(length(col("text")), lit(1)))) - 1)
+            .cast("int").as("log2_chars"))
+        .groupBy("source", "log2_chars")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "log2_chars")),
+
     // Calendar dimension over the events span — the date spine every
     // warehouse joins against; generated, never loaded. Weekday is
     // ISO (0 = Monday) to dodge the engines' conflicting dayofweek
@@ -966,6 +991,26 @@ object CorpusQueries {
         |FROM e
         |GROUP BY GROUPING SETS ((d), (w), (m))
         |ORDER BY grain, period_start""".stripMargin,
+
+    "tokenizer_fertility" ->
+      s"""WITH d AS (SELECT lang,
+         |    len(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9${TextOps.wsChars}]'))::BIGINT
+         |      AS n_bpe,
+         |    len(${ExtensionQueries.toksSql})::BIGINT AS n_words
+         |  FROM documents)
+         |SELECT lang, sum(n_bpe)::BIGINT AS n_bpe,
+         |  sum(n_words)::BIGINT AS n_words,
+         |  ((sum(n_bpe) * 1000000) // greatest(sum(n_words), 1))::BIGINT
+         |    AS fertility_ppm
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "corpus_length_histogram" ->
+      """SELECT source,
+        |  (length(format('{:b}', greatest(length(text), 1))) - 1)::INT
+        |    AS log2_chars,
+        |  count(*)::BIGINT AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY source, log2_chars""".stripMargin,
 
     "calendar_dim" ->
       """WITH span AS (SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP)))
