@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.queries.{AnalyticsQueries, CapabilityQueries, CorpusQueries, ExtensionQueries, MiningQueries, ParityQueries, PipelineQueries, StreamingQueries}
+import graft.queries.{AnalyticsQueries, CapabilityQueries, ClassicQueries, CorpusQueries, ExtensionQueries, MiningQueries, ParityQueries, PipelineQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` maps every implemented SURVEY §2 operator (and extension) to a
@@ -21,7 +21,8 @@ object SparkEntry {
     ParityQueries.queries ++ ExtensionQueries.queries ++
       StreamingQueries.queries ++ CapabilityQueries.queries ++
       AnalyticsQueries.queries ++ PipelineQueries.queries ++
-      MiningQueries.queries ++ CorpusQueries.queries
+      MiningQueries.queries ++ CorpusQueries.queries ++
+      ClassicQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     ParityQueries.oracleSql ++ ExtensionQueries.oracleSql ++
       StreamingQueries.oracleSql ++ CapabilityQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      MiningQueries.oracleSql ++ CorpusQueries.oracleSql
+      MiningQueries.oracleSql ++ CorpusQueries.oracleSql ++
+      ClassicQueries.oracleSql
 }

@@ -214,6 +214,42 @@ class PlanSpec extends SparkSpec {
       "gapfill = window over generated grid")
   }
 
+  test("decision-support classics: broadcast dims, no cartesians, no UDFs") {
+    def classicPlan(name: String): String = {
+      val df = graft.queries.ClassicQueries.queries(name)(spark, sf001)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    // q40/q44 deliberately cross-join a broadcast 1-row scalar (max /
+    // threshold) — a BroadcastNestedLoopJoin over one row is the right
+    // plan there, so they are exempt from the nested-loop assertion.
+    val scalarCross = Set("q40_top_supplier", "q44_sales_opportunity")
+    for (q <- graft.queries.ClassicQueries.queries.keys.toSeq.sorted) {
+      val p = classicPlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      if (!scalarCross(q))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans a nested loop")
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+        s"$q leaves whole-stage codegen")
+    }
+    // Both nation legs of the volume-shipping 5-way join broadcast;
+    // the fact-side joins stay hash joins.
+    val p36 = classicPlan("q36_volume_shipping")
+    assert(p36.contains("BroadcastHashJoin"), "nation legs must broadcast")
+    // The disjunctive brand filter stays ONE scan + one broadcast join,
+    // not a union of three passes over lineitem.
+    val p42 = classicPlan("q42_disjunctive_brand")
+    assert(p42.contains("BroadcastHashJoin"), "part side must broadcast")
+    assert(!p42.contains("Union"), "disjunction must not split the scan")
+    // Decorrelated Q21: the per-order EXISTS/NOT-EXISTS pair became one
+    // aggregate — no correlated re-scan, supplier dim broadcasts.
+    val p43 = classicPlan("q43_waiting_orders")
+    assert(p43.contains("BroadcastHashJoin"), "supplier dim must broadcast")
+    assert(p43.contains("partial_count") || p43.contains("Partial"),
+      "per-order stats need a map-side partial phase")
+  }
+
   test("merge_upsert and funnel avoid nested-loop/cartesian joins") {
     val pm = pipePlan("merge_upsert")
     assert(!pm.contains("BroadcastNestedLoopJoin") &&
