@@ -51,6 +51,37 @@ object MiningQueries {
       Graph.triangleCounts(edges, "src", "dst").orderBy("node")
     }),
 
+    // Connected components over a sparse supplier-scoped co-purchase
+    // graph (parts linked when the SAME supplier ships both in one
+    // order; 1-in-2 node subsample). Unlike the triangle graph this
+    // one fragments into ~150 components at sf0.01, so the labels are
+    // non-trivial. Edges build in one scan + one shuffle (per-(order,
+    // supplier) sorted sets expanded to ordered pairs, narrow); the
+    // component labels come from Clusters.connectedComponents — driver
+    // union-find under the guarded 500k-edge limit, distributed
+    // min-label propagation beyond it. Output adds the component size
+    // via one tiny self-aggregation.
+    "graph_components" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(pmod(col("l_partkey"), lit(2)) === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          col("l_partkey").as("pk"))
+      val edges = li.groupBy("ok", "sk")
+        .agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+      val labels = graft.operators.Clusters.connectedComponents(edges)
+        .select(col("id").as("node"), col("cluster_id").as("component"))
+      val sizes = labels.groupBy("component")
+        .agg(count(lit(1)).as("comp_size"))
+      labels.join(sizes, Seq("component"))
+        .select("node", "component", "comp_size")
+        .orderBy("node")
+    }),
+
     // ClickHouse-windowFunnel semantics: the view→click→purchase chain
     // must complete within 1h of the user's FIRST view. Depth = number
     // of stages reached inside the window.
@@ -248,6 +279,26 @@ object MiningQueries {
         |SELECT n.node::BIGINT AS node,
         |  coalesce(c.n_triangles, 0)::BIGINT AS n_triangles
         |FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY node""".stripMargin,
+
+    "graph_components" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_partkey % 2 = 0),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM li a JOIN li b
+        |        ON a.ok = b.ok AND a.sk = b.sk AND a.pk < b.pk),
+        |und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |nodes AS (SELECT DISTINCT u AS node FROM und),
+        |reach(node, lab) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT und.v AS node, reach.lab
+        |  FROM reach JOIN und ON und.u = reach.node),
+        |comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+        |sizes AS (SELECT component, count(*)::BIGINT AS comp_size
+        |          FROM comp GROUP BY component)
+        |SELECT node::BIGINT AS node, component::BIGINT AS component, comp_size
+        |FROM comp JOIN sizes USING (component) ORDER BY node""".stripMargin,
 
     "funnel_windowed" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id,
