@@ -523,6 +523,49 @@ object CorpusQueries {
         .orderBy("day")
     }),
 
+    // Rolling engagement: per day, distinct daily actives (DAU), the
+    // trailing-7-day distinct actives (WAU), and the integer-ppm
+    // stickiness ratio. The sliding DISTINCT is the hard part at scale
+    // — computed by exploding each (user, day) into the ≤7 window days
+    // it serves (bounded 7× blowup on the DEDUPED user-day pairs, not
+    // the raw events) and re-deduplicating per target day. No range
+    // join, no per-day re-scan of history.
+    "metrics_active_users" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val days = ud.select(col("d").as("day")).distinct()
+      val windowed = ud.select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+      val wau = windowed.join(days, Seq("day"), "left_semi")
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      val dau = ud.groupBy(col("d").as("day"))
+        .agg(count(lit(1)).as("dau"))
+      dau.join(wau, Seq("day"))
+        .withColumn("stickiness_ppm", expr("(dau * 1000000) DIV wau"))
+        .orderBy("day")
+    }),
+
+    // Model-based quality gate: a fixed-weight linear classifier over
+    // hashed text bigrams (the fastText-style filter shape LLaMA/CCNet
+    // pipelines run, with deterministic pseudo-weights standing in for
+    // trained ones — weight(b) = h60(b) mod 64 mod 21 − 10). Scoring
+    // is one narrow codegen'd projection + a per-row lambda fold: no
+    // shuffle, no model broadcast, embarrassingly parallel at 100 TB.
+    "quality_classifier" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val bigrams = expr(
+        "transform(slice(__T, 1, size(__T) - 1), " +
+          "(x, i) -> concat(x, ' ', element_at(__T, i + 2)))")
+      tc(s, dir, "documents")
+        .select(col("doc_id"), toks.as("__T"))
+        .select(col("doc_id"), bigrams.as("__B"))
+        .select(col("doc_id"), size(col("__B")).cast("long").as("n_bigrams"),
+          aggregate(col("__B"), lit(0L), (acc, b) =>
+            acc + (TextOps.md5Hash60(b) % 64 % 21 - 10)).as("score"))
+        .withColumn("keep", col("score") >= 0)
+        .orderBy("doc_id")
+    }),
+
     // Bloom-filter mergeability: set-bit-union of two half-corpus
     // filters IS the full-corpus filter — the per-shard-build-then-OR
     // path that lets 1000 executors build one filter without
@@ -1036,6 +1079,33 @@ object CorpusQueries {
         |  CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.day
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
         |FROM a LEFT JOIN n USING (day) ORDER BY a.day""".stripMargin,
+
+    "metrics_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |w AS (SELECT ud.user_id, ud.d + x::INTEGER AS day
+        |      FROM ud CROSS JOIN range(0, 7) t(x)),
+        |wau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS wau
+        |        FROM w WHERE day IN (SELECT day FROM days) GROUP BY 1),
+        |dau AS (SELECT d AS day, count(*)::BIGINT AS dau FROM ud GROUP BY 1)
+        |SELECT day, dau, wau, (dau * 1000000) // wau AS stickiness_ppm
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
+    "quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id, ${ExtensionQueries.toksSql} AS T
+         |           FROM documents),
+         |b AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(T)),
+         |                          i -> T[i] || ' ' || T[i + 1])) AS bg
+         |  FROM t)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |  sum(${ExtensionQueries.md5Hash60Sql("bg")} % 64 % 21 - 10)::BIGINT
+         |    AS score,
+         |  (sum(${ExtensionQueries.md5Hash60Sql("bg")} % 64 % 21 - 10) >= 0)
+         |    AS keep
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Replays Bloom.positions: h = md5-60-bit of the key string,
     // h1 = h mod 2^30, h2 = h >> 30, pos_i = (h1 + i·h2) mod 4096.
