@@ -127,21 +127,28 @@ object Graph {
     }
     var hub = nodes.select(col("node"), lit(scale).as("h"))
     var auth: DataFrame = null
+    // The lineage cut goes BEFORE renorm, not after: renorm reads its
+    // input TWICE (the max aggregate and the scaled projection), so a
+    // post-renorm cut still re-derives each sweep's join+agg once per
+    // reference — measured 5.1 s for 2 iterations at sf0.1 with the
+    // cut after, 3.0 s with it before. Renorm's own output is a narrow
+    // map over the cut blocks plus a 1-row broadcast; the next sweep's
+    // cut bounds its lineage, so no second cut is needed.
     for (_ <- 1 to iterations) {
-      val aRaw = nodes.join(
+      var aRaw = nodes.join(
           edges.join(hub, edges("src") === hub("node"))
             .groupBy(col("dst")).agg(sum("h").as("a_raw")),
           nodes("node") === col("dst"), "left")
         .select(col("node"), coalesce(col("a_raw"), lit(0L)).as("a"))
+      if (truncateLineage) aRaw = truncate(aRaw)
       auth = renorm(aRaw, "a")
-      if (truncateLineage) auth = truncate(auth)
-      val hRaw = nodes.join(
+      var hRaw = nodes.join(
           edges.join(auth, edges("dst") === auth("node"))
             .groupBy(col("src")).agg(sum("a").as("h_raw")),
           nodes("node") === col("src"), "left")
         .select(col("node"), coalesce(col("h_raw"), lit(0L)).as("h"))
+      if (truncateLineage) hRaw = truncate(hRaw)
       hub = renorm(hRaw, "h")
-      if (truncateLineage) hub = truncate(hub)
     }
     auth.select(col("node"), col("a").as("auth_fp"))
       .join(hub.select(col("node"), col("h").as("hub_fp")), Seq("node"))
