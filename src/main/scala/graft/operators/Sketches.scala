@@ -279,8 +279,11 @@ object Sketches {
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
     require(bins >= 2 && qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
     val v = col(valueCol).cast("double")
-    val stats = df.agg(min(v).as("mn"), max(v).as("mx"),
-      count(v).as("n"))
+    // The 1-row stats frame feeds BOTH the binning pass and the final
+    // quantile pick — cut its lineage so the min/max/count scan runs
+    // once, not once per reference.
+    val stats = graft.sources.Tables.cutLineage(
+      df.agg(min(v).as("mn"), max(v).as("mx"), count(v).as("n")))
     val w = (col("mx") - col("mn")) / lit(bins.toDouble)
     val binned = graft.sources.Tables.rebalanceForCompute(
         df.select(v.as("__v")).where(col("__v").isNotNull))

@@ -100,4 +100,19 @@ object Tables {
       df.repartition(target)
     else df
   }
+
+  /** Lazy lineage cut for a frame that will be REFERENCED more than once
+    * in a bigger plan (a broadcast stats row feeding two consumers, an
+    * iteration's working set): without it every reference re-derives the
+    * frame's whole subplan. `eager = false` keeps the caller's plan
+    * lazy — materialization happens inside the caller's single action,
+    * later references reading the first evaluation's blocks. Reliable
+    * checkpoint storage when the session has a checkpoint dir (blocks
+    * survive executor loss — the 1000-executor default), local blocks
+    * otherwise. Same policy as the Graph/Clusters iteration cuts.
+    */
+  def cutLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 }
