@@ -273,9 +273,9 @@ object Graph {
     * the first sweep). A FIXED round count, not loop-to-fixpoint, keeps
     * the plan finite and the result replayable by an unrolled SQL
     * oracle; each sweep is one degree aggregation + two semi-joins,
-    * exact integers throughout, and `rounds` sweeps of lineage are cut
-    * nowhere because the plan stays a straight-line DAG (no action per
-    * sweep — Catalyst sees the whole pipeline at once).
+    * exact integers throughout, with a lazy lineage cut per sweep
+    * (each sweep references the working edge set three times, so an
+    * uncut plan re-derives all earlier sweeps per reference).
     *
     * @return surviving (node, deg) — degree measured in the final
     *         filtered graph.

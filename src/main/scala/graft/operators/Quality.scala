@@ -137,7 +137,12 @@ object Quality {
     val tok = graft.sources.Tables.rebalanceForCompute(df)
       .select(col(groupCol).as("g"),
         explode(graft.functions.TextOps.tokens(col(textCol))).as("t"))
-    val cgt = tok.groupBy("g", "t").agg(count(lit(1)).as("cgt"))
+    // The (group, token) count table feeds three consumers (the
+    // per-token window, the per-group totals, and through them the
+    // grand total) — cut its lineage so the tokenize-explode-aggregate
+    // pipeline runs once, not once per reference.
+    val cgt = graft.sources.Tables.cutLineage(
+      tok.groupBy("g", "t").agg(count(lit(1)).as("cgt")))
     val wt = org.apache.spark.sql.expressions.Window.partitionBy("t")
     val withCt = cgt.withColumn("ct", sum("cgt").over(wt))
     val ng = cgt.groupBy("g").agg(sum("cgt").as("ng"))
