@@ -205,6 +205,11 @@ object Clusters {
       pairs: DataFrame, scoreCol: Column): DataFrame = {
     val assigned = clustersOver(universe, idCol, pairs)
       .select(col(idCol), col("cluster_id"))
+    // Referenced twice (the per-cluster argmax and the final keeper
+    // join), deliberately NOT materialized: both references are one
+    // corpus scan + a broadcast join against the small component table,
+    // and re-running that is cheaper than persisting a corpus-sized
+    // intermediate (measured: a lineage cut here bought nothing).
     val scored = universe.select(col(idCol), scoreCol.as("score"))
       .join(assigned, Seq(idCol))
     // max(struct(score, -id)) = (max score, min id on ties)
