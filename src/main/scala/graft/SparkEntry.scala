@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.queries.{AnalyticsQueries, CapabilityQueries, ClassicQueries, CorpusQueries, ExtensionQueries, MiningQueries, ParityQueries, PipelineQueries, StreamingQueries}
+import graft.queries.{AnalyticsQueries, CapabilityQueries, ClassicQueries, CorpusQueries, ExtensionQueries, FrontierQueries, MiningQueries, ParityQueries, PipelineQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` maps every implemented SURVEY §2 operator (and extension) to a
@@ -22,7 +22,7 @@ object SparkEntry {
       StreamingQueries.queries ++ CapabilityQueries.queries ++
       AnalyticsQueries.queries ++ PipelineQueries.queries ++
       MiningQueries.queries ++ CorpusQueries.queries ++
-      ClassicQueries.queries
+      ClassicQueries.queries ++ FrontierQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       StreamingQueries.oracleSql ++ CapabilityQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++ PipelineQueries.oracleSql ++
       MiningQueries.oracleSql ++ CorpusQueries.oracleSql ++
-      ClassicQueries.oracleSql
+      ClassicQueries.oracleSql ++ FrontierQueries.oracleSql
 }

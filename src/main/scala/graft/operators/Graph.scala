@@ -154,6 +154,115 @@ object Graph {
       .join(hub.select(col("node"), col("h").as("hub_fp")), Seq("node"))
   }
 
+  /** Personalized PageRank: the random walk teleports back to a SEED
+    * SET instead of the whole graph — "how close is every node to the
+    * trusted pages", the quality-propagation signal TrustRank-style
+    * curation uses (seed quality flows along links; spam far from all
+    * seeds starves). Same exact-integer fixed point as [[pageRankInt]]
+    * — bit-identical under any partitioning, replayed verbatim by a
+    * serial SQL oracle — with the teleport vector `v` uniform over
+    * seeds: `r₀ = v`, `rₖ₊₁ = (1-d)·v + d·M rₖ`, non-seeds get ZERO
+    * teleport mass.
+    *
+    * Scale shape per sweep: identical to [[pageRankInt]] (one
+    * shuffle-join on `src` + one aggregation by `dst` over the
+    * persisted edge table); the seed set joins once as a left-semi
+    * flag, and the 1-row seed-count frame broadcasts.
+    */
+  def personalizedPageRankInt(edges0: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      iterations: Int = 2, dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000000L,
+      truncateLineage: Boolean = true): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen)
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Seeds restricted to graph nodes: teleport mass must land on rows
+    // the sweep join can ever see, and n_seeds must count the same set.
+    val seedNodes = nodes.join(
+        seeds.select(col(seedCol).as("node")).distinct(),
+        Seq("node"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = broadcast(seedNodes.agg(count(lit(1)).as("n_seeds")))
+    // Per-node teleport mass: ((1-d)·scale) div n_seeds on seeds, 0 off.
+    val flagged = nodes
+      .join(seedNodes.withColumn("__is_seed", lit(true)), Seq("node"), "left")
+      .crossJoin(nSeeds)
+      .select(col("node"),
+        when(col("__is_seed"),
+          expr(s"(${(dampDen - dampNum) * scale} div $dampDen) div n_seeds"))
+          .otherwise(lit(0L)).as("tele_fp"),
+        when(col("__is_seed"), expr(s"${scale}L div n_seeds"))
+          .otherwise(lit(0L)).as("r0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = flagged.select(col("node"), col("r0").as("r"))
+    for (_ <- 1 to iterations) {
+      val share = ranks.join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("src"), expr("r div deg").as("c"))
+      val inflow = edges.join(share, "src")
+        .groupBy("dst").agg(sum("c").as("infl"))
+      val swept = flagged.join(inflow, flagged("node") === inflow("dst"), "left")
+        .select(col("node"),
+          expr(s"tele_fp + (($dampNum * coalesce(infl, 0L)) div $dampDen)")
+            .as("r"))
+      ranks = if (truncateLineage) truncate(swept) else swept
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"))
+  }
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007),
+    * `rounds` fixed sweeps: every node simultaneously adopts the most
+    * frequent label among its neighbors AND itself, ties broken by the
+    * smaller label — deterministic (synchronous + total tie order), so
+    * the distributed result is partition-invariant and an unrolled SQL
+    * oracle replays it exactly. Unlike connected components (which only
+    * answers "touching at all"), frequency-weighted propagation tracks
+    * DENSITY: a node linked once to a big community and three times to
+    * a small one joins the small one.
+    *
+    * A fixed round count, not loop-to-convergence: LPA on large graphs
+    * is run for a bounded sweep budget anyway (oscillation is possible
+    * under synchronous update), and bounded rounds keep the plan a
+    * straight-line DAG. Scale shape per sweep: one shuffle-join of the
+    * symmetrized adjacency with the label table + one two-level
+    * aggregation ((node, label) counts, then per-node argmax via a
+    * lexicographic struct-min — partial-agg friendly, no window sort).
+    * Per-sweep lineage cut as in [[pageRankInt]].
+    */
+  def labelPropagation(edges0: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 2, truncateLineage: Boolean = true): DataFrame = {
+    require(rounds >= 1)
+    val und = edges0.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    // Symmetrize + a self-loop per node: the node's own label votes
+    // once, which dampens 2-cycles of synchronous label swapping.
+    val nodes = und.select(col("u").as("node"))
+      .union(und.select(col("v"))).distinct()
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .unionAll(nodes.select(col("node").as("u"), col("node").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = adj.join(labels, adj("v") === labels("node"))
+        .groupBy(adj("u").as("nd"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax by (cnt desc, label asc) as min(struct(-cnt, label)) —
+      // lexicographic struct comparison inside a plain aggregate.
+      val swept = votes
+        .groupBy(col("nd").as("node"))
+        .agg(min(struct((col("cnt") * -1).as("nc"), col("label"))).as("m"))
+        .select(col("node"), col("m.label").as("label"))
+      labels = if (truncateLineage) truncate(swept) else swept
+    }
+    labels
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation —
     * the clustering-coefficient numerator, a spam/quality signal for
     * link graphs (link farms triangle-saturate; organic link

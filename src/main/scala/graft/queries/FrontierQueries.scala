@@ -1,0 +1,408 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.{Graph, Skyline}
+import graft.sources.Tables
+
+/** Round-4 frontier surface: skyline (Pareto) queries, seed-personalized
+  * PageRank, label-propagation communities, degree distributions,
+  * Benford/skew data-quality audits, readability scoring, exact
+  * rank-selected percentiles, and vocabulary-growth tracking.
+  *
+  * Repo-wide oracle contract throughout: integer/fixed-point arithmetic
+  * wherever aggregation or partition order could vary, `div`/`//` floor
+  * division only on non-negative operands (where the two engines agree),
+  * and tie orders total on both sides.
+  */
+object FrontierQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tc(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.rebalanceForCompute(t(s, dir, name))
+
+  /** The sparse supplier-scoped part co-purchase edge list shared by the
+    * community / degree queries (canonical `id_a < id_b`, dedup'd):
+    * parts are linked when the same supplier ships both within one
+    * order, 1-in-2 part subsample — the graph that fragments into
+    * ~150 components at sf0.01 (same construction as
+    * `graph_components`, one scan + one shuffle).
+    */
+  private def partEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .where(pmod(col("l_partkey"), lit(2)) === 0)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        col("l_partkey").as("pk"))
+    li.groupBy("ok", "sk")
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS src, y AS dst))))")).as("p"))
+      .select(col("p.src"), col("p.dst"))
+  }
+
+  /** Shared SQL for [[partEdges]]: canonical `u < v` distinct pairs. */
+  private val partEdgesSql =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk,
+      |         l_partkey AS pk
+      |       FROM lineitem WHERE l_partkey % 2 = 0),
+      |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |      FROM li a JOIN li b
+      |        ON a.ok = b.ok AND a.sk = b.sk AND a.pk < b.pk)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Skyline (Pareto frontier) over parts on (minimize price cents,
+    // maximize size): "cheapest part for its size class". The bucketed
+    // decomposition inside Skyline.frontier2d never builds the global
+    // single-partition window the textbook formulation needs.
+    "skyline_pareto" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"),
+        col("p_size"))
+      Skyline.frontier2d(p, "cents", "p_size", bucketWidth = 10000L)
+        .orderBy("p_partkey")
+    }),
+
+    // Personalized PageRank from the 1-in-10 supplier seed set over the
+    // supplier co-purchase graph — TrustRank-style proximity-to-trusted
+    // weighting, exact-integer sweeps.
+    "graph_ppr" -> ((s, dir) => {
+      val li = tc(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+      val seeds = t(s, dir, "supplier")
+        .where(pmod(col("s_suppkey"), lit(10)) === 0)
+        .select(col("s_suppkey"))
+      Graph.personalizedPageRankInt(edges, "src", "dst", seeds,
+          "s_suppkey", iterations = 2)
+        .orderBy("node")
+    }),
+
+    // Label-propagation communities (2 synchronous sweeps, ties to the
+    // smaller label) over the sparse part co-purchase graph, with
+    // community sizes — density-aware grouping where connected
+    // components only answer "touching at all".
+    "graph_communities" -> ((s, dir) => {
+      val labels = Graph.labelPropagation(partEdges(s, dir), "src", "dst",
+        rounds = 2)
+      val sizes = labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("comm_size"))
+      labels.select(col("node"), col("label").as("community"))
+        .join(sizes, Seq("community"))
+        .select("node", "community", "comm_size")
+        .orderBy("node")
+    }),
+
+    // Degree distribution of the sparse part graph in log2 bins — the
+    // first diagnostic of whether a graph is hub-skewed (and therefore
+    // whether joins over it need salting).
+    "graph_degree_dist" -> ((s, dir) => {
+      val und = partEdges(s, dir).select(
+          least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      deg.select((length(bin(col("deg"))) - 1).cast("int").as("log2_deg"))
+        .groupBy("log2_deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("log2_deg")
+    }),
+
+    // Benford first-digit audit of order totals: observed vs expected
+    // leading-digit shares in exact ppm — the classic fabricated-data
+    // screen for money columns. Digit extraction goes through the
+    // BIGINT's decimal string (identical in both engines); expected
+    // shares are the log10(1+1/d) constants pre-rounded to ppm.
+    "dq_benford" -> ((s, dir) => {
+      val cents = t(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("cents") > 0)
+      val total = broadcast(cents.agg(count(lit(1)).as("n_total")))
+      val expPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      cents.select(substring(col("cents").cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(total)
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000) div n_total").as("obs_ppm"),
+          (2 to 9).foldLeft(when(col("digit") === "1", lit(expPpm(0)))) {
+            (c, d) => c.when(col("digit") === d.toString, lit(expPpm(d - 1)))
+          }.as("exp_ppm"))
+        .orderBy("digit")
+    }),
+
+    // Flesch-style readability per document in milli fixed point:
+    // sentences = [.!?]+ runs, syllables = [aeiouy]+ vowel groups (the
+    // standard no-dictionary approximation), words = the engine-wide
+    // token count. All counts are run-length deltas over regexp_replace
+    // — string-exact in both engines; the final score keeps the
+    // 206.835/1.015/84.6 coefficients in integer milli units with `div`.
+    "text_readability" -> ((s, dir) =>
+      tc(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_words"),
+          {
+            val m = regexp_replace(col("text"), "[.!?]+", "#")
+            (length(m) - length(regexp_replace(m, "#", ""))).cast("long")
+          }.as("n_sentences"),
+          {
+            val v = regexp_replace(lower(col("text")), "[aeiouy]+", "#")
+            (length(v) - length(regexp_replace(v, "#", ""))).cast("long")
+          }.as("n_syllables"))
+        .select(col("doc_id"), col("n_words"),
+          greatest(col("n_sentences"), lit(1L)).as("n_sentences"),
+          col("n_syllables"))
+        .withColumn("flesch_milli",
+          lit(206835L) -
+            expr("(1015 * n_words) div n_sentences") -
+            expr("(84600 * n_syllables) div greatest(n_words, 1)"))
+        .orderBy("doc_id")),
+
+    // Exact p50/p90/p99 event values per type by RANK SELECTION (the
+    // value at row ceil(q·n) of the per-type sort) — integer-exact, no
+    // interpolation, so the answer is engine-identical. This is the
+    // exact-answer budget: one per-key sort; the fixed-grid
+    // sketch_quantile family is the documented approximation for when
+    // a 100 TB key won't sort.
+    "metrics_latency_pcts" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cents"), col("event_id"))
+      val ranked = ev
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      ranked.groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+            .as("p50_cents"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
+            .as("p90_cents"),
+          max(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents")))
+            .as("p99_cents"))
+        .orderBy("event_type")
+    }),
+
+    // Vocabulary growth: new-to-the-corpus tokens per doc_id bucket of
+    // 100 (first-seen bucket is a per-token min — no cumulative-distinct
+    // state), plus the running vocabulary size over the tiny per-bucket
+    // frame. The truncated-ingest fingerprint: a healthy crawl keeps
+    // adding vocabulary; a looping one flatlines.
+    "vocab_growth" -> ((s, dir) => {
+      val firstSeen = tc(s, dir, "documents")
+        .select(expr("doc_id div 100").as("bucket"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(min(col("bucket")).as("bucket"))
+      val perBucket = firstSeen.groupBy("bucket")
+        .agg(count(lit(1)).as("n_new_tokens"))
+      perBucket.withColumn("vocab_cum",
+          sum(col("n_new_tokens")).over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("bucket")
+    }),
+
+    // Join-key skew report over the three hottest key columns: distinct
+    // counts plus the heaviest key's row share in ppm — the number that
+    // decides between a plain shuffle join and the salted path. One
+    // count-aggregation per column; no row ever carries payload.
+    "dq_skew_report" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      def keyStats(df: DataFrame, keyCol: String): DataFrame = {
+        val counts = df.groupBy(col(keyCol).as("k"))
+          .agg(count(lit(1)).as("cnt"))
+        counts.agg(count(lit(1)).as("n_distinct"),
+            sum(col("cnt")).as("n_rows"), max(col("cnt")).as("top_n"))
+          .select(lit(keyCol).as("key_col"), col("n_rows"),
+            col("n_distinct"), col("top_n"),
+            expr("(top_n * 1000000) div n_rows").as("top_share_ppm"))
+      }
+      keyStats(li, "l_suppkey")
+        .unionAll(keyStats(li, "l_partkey"))
+        .unionAll(keyStats(o, "o_custkey"))
+        .orderBy("key_col")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    // NOT EXISTS strict domination — the quadratic serial definition the
+    // bucketed window decomposition must reproduce exactly.
+    "skyline_pareto" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents, p_size
+        |  FROM part)
+        |SELECT p_partkey, cents, p_size,
+        |  NOT EXISTS (SELECT 1 FROM p q
+        |    WHERE q.cents <= p.cents AND q.p_size >= p.p_size
+        |      AND (q.cents < p.cents OR q.p_size > p.p_size))
+        |    AS is_frontier
+        |FROM p ORDER BY p_partkey""".stripMargin,
+
+    // Serial replay of the exact integer PPR recurrence, 2 unrolled
+    // iterations; teleport mass only on seed nodes.
+    "graph_ppr" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |            FROM lineitem),
+        |edges AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |          FROM li a JOIN li b ON a.ok = b.ok AND a.sk != b.sk),
+        |nodes AS (SELECT src AS node FROM edges
+        |          UNION SELECT dst FROM edges),
+        |outdeg AS (SELECT src, count(*)::BIGINT AS deg FROM edges
+        |           GROUP BY src),
+        |seeds AS (SELECT DISTINCT s_suppkey AS node FROM supplier
+        |          WHERE s_suppkey % 10 = 0
+        |            AND s_suppkey IN (SELECT node FROM nodes)),
+        |ns AS (SELECT count(*)::BIGINT AS n FROM seeds),
+        |fl AS (SELECT n2.node,
+        |    CASE WHEN s.node IS NOT NULL
+        |      THEN ((15000000000000 // 100) // ns.n) ELSE 0 END::BIGINT
+        |      AS tele_fp,
+        |    CASE WHEN s.node IS NOT NULL
+        |      THEN (1000000000000 // ns.n) ELSE 0 END::BIGINT AS r0
+        |  FROM nodes n2 LEFT JOIN seeds s ON n2.node = s.node CROSS JOIN ns),
+        |s1 AS (SELECT d.src, (f.r0 // d.deg)::BIGINT AS c
+        |       FROM fl f JOIN outdeg d ON f.node = d.src),
+        |i1 AS (SELECT e.dst, sum(c)::BIGINT AS infl
+        |       FROM edges e JOIN s1 USING (src) GROUP BY e.dst),
+        |r1 AS (SELECT f.node,
+        |    (f.tele_fp + ((85 * coalesce(i.infl, 0)) // 100))::BIGINT AS r
+        |  FROM fl f LEFT JOIN i1 i ON f.node = i.dst),
+        |s2 AS (SELECT d.src, (r.r // d.deg)::BIGINT AS c
+        |       FROM r1 r JOIN outdeg d ON r.node = d.src),
+        |i2 AS (SELECT e.dst, sum(c)::BIGINT AS infl
+        |       FROM edges e JOIN s2 USING (src) GROUP BY e.dst),
+        |r2 AS (SELECT f.node,
+        |    (f.tele_fp + ((85 * coalesce(i.infl, 0)) // 100))::BIGINT AS r
+        |  FROM fl f LEFT JOIN i2 i ON f.node = i.dst)
+        |SELECT node, r AS rank_fp FROM r2 ORDER BY node""".stripMargin,
+
+    // 2 unrolled synchronous LPA sweeps: per-(node, neighbor-label)
+    // vote counts, argmax by (count desc, label asc) via row_number.
+    "graph_communities" ->
+      s"""WITH $partEdgesSql,
+         |und AS (SELECT u, v FROM e),
+         |nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+         |adj AS (SELECT u, v FROM und
+         |        UNION ALL SELECT v AS u, u AS v FROM und
+         |        UNION ALL SELECT node AS u, node AS v FROM nodes),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |v1 AS (SELECT adj.u AS nd, l0.label, count(*)::BIGINT AS cnt
+         |       FROM adj JOIN l0 ON adj.v = l0.node GROUP BY 1, 2),
+         |l1 AS (SELECT nd AS node, label FROM (
+         |    SELECT nd, label, row_number() OVER (
+         |      PARTITION BY nd ORDER BY cnt DESC, label) AS rn FROM v1) x
+         |  WHERE rn = 1),
+         |v2 AS (SELECT adj.u AS nd, l1.label, count(*)::BIGINT AS cnt
+         |       FROM adj JOIN l1 ON adj.v = l1.node GROUP BY 1, 2),
+         |l2 AS (SELECT nd AS node, label FROM (
+         |    SELECT nd, label, row_number() OVER (
+         |      PARTITION BY nd ORDER BY cnt DESC, label) AS rn FROM v2) x
+         |  WHERE rn = 1),
+         |sizes AS (SELECT label AS community, count(*)::BIGINT AS comm_size
+         |          FROM l2 GROUP BY 1)
+         |SELECT node::BIGINT AS node, label::BIGINT AS community, comm_size
+         |FROM l2 JOIN sizes ON l2.label = sizes.community
+         |ORDER BY node""".stripMargin,
+
+    "graph_degree_dist" ->
+      s"""WITH $partEdgesSql,
+         |deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+         |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) a
+         |  GROUP BY node)
+         |SELECT (length(format('{:b}', deg)) - 1)::INT AS log2_deg,
+         |  count(*)::BIGINT AS n_nodes
+         |FROM deg GROUP BY 1 ORDER BY log2_deg""".stripMargin,
+
+    "dq_benford" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS cents FROM orders
+        |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |tot AS (SELECT count(*)::BIGINT AS n_total FROM c),
+        |d AS (SELECT substr(cents::VARCHAR, 1, 1) AS digit,
+        |    count(*)::BIGINT AS n
+        |  FROM c GROUP BY 1)
+        |SELECT digit, n, ((n * 1000000) // n_total)::BIGINT AS obs_ppm,
+        |  (CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+        |    WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181
+        |    WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153
+        |    WHEN '9' THEN 45757 END)::BIGINT AS exp_ppm
+        |FROM d CROSS JOIN tot ORDER BY digit""".stripMargin,
+
+    "text_readability" -> {
+      val toks = ExtensionQueries.toksSql
+      s"""WITH m AS (SELECT doc_id,
+         |    len($toks)::BIGINT AS n_words,
+         |    (length(regexp_replace(text, '[.!?]+', '#', 'g')) -
+         |     length(regexp_replace(regexp_replace(text, '[.!?]+', '#', 'g'),
+         |       '#', '', 'g')))::BIGINT AS n_sentences,
+         |    (length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g')) -
+         |     length(regexp_replace(
+         |       regexp_replace(lower(text), '[aeiouy]+', '#', 'g'),
+         |       '#', '', 'g')))::BIGINT AS n_syllables
+         |  FROM documents),
+         |g AS (SELECT doc_id, n_words,
+         |    greatest(n_sentences, 1) AS n_sentences, n_syllables FROM m)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  (206835 - ((1015 * n_words) // n_sentences)
+         |   - ((84600 * n_syllables) // greatest(n_words, 1)))::BIGINT
+         |    AS flesch_milli
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "metrics_latency_pcts" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN cents END)::BIGINT
+        |    AS p50_cents,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)::BIGINT
+        |    AS p90_cents,
+        |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)::BIGINT
+        |    AS p99_cents
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "vocab_growth" -> {
+      val toks = ExtensionQueries.toksSql
+      s"""WITH tk AS (SELECT doc_id // 100 AS bucket, unnest($toks) AS tok
+         |            FROM documents),
+         |fs AS (SELECT tok, min(bucket)::BIGINT AS bucket FROM tk
+         |       GROUP BY tok),
+         |pb AS (SELECT bucket, count(*)::BIGINT AS n_new_tokens FROM fs
+         |       GROUP BY bucket)
+         |SELECT bucket, n_new_tokens,
+         |  sum(n_new_tokens) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS vocab_cum
+         |FROM pb ORDER BY bucket""".stripMargin
+    },
+
+    "dq_skew_report" ->
+      """WITH s1 AS (SELECT 'l_suppkey' AS key_col, l_suppkey AS k
+        |            FROM lineitem),
+        |s2 AS (SELECT 'l_partkey' AS key_col, l_partkey AS k FROM lineitem),
+        |s3 AS (SELECT 'o_custkey' AS key_col, o_custkey AS k FROM orders),
+        |a AS (SELECT key_col, k, count(*)::BIGINT AS cnt FROM (
+        |    SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |    UNION ALL SELECT * FROM s3) u
+        |  GROUP BY key_col, k)
+        |SELECT key_col, sum(cnt)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_distinct, max(cnt)::BIGINT AS top_n,
+        |  ((max(cnt) * 1000000) // sum(cnt))::BIGINT AS top_share_ppm
+        |FROM a GROUP BY key_col ORDER BY key_col""".stripMargin)
+}

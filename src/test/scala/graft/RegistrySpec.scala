@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{AnalyticsQueries, CapabilityQueries, ClassicQueries, CorpusQueries, ExtensionQueries, MiningQueries, ParityQueries, PipelineQueries, StreamingQueries}
+import graft.queries.{AnalyticsQueries, CapabilityQueries, ClassicQueries, CorpusQueries, ExtensionQueries, FrontierQueries, MiningQueries, ParityQueries, PipelineQueries, StreamingQueries}
 
 /** The driver contract is assembled by `++` over the query registries — a
   * duplicated query name would silently SHADOW an earlier definition and
@@ -18,7 +18,8 @@ class RegistrySpec extends AnyFunSuite {
     "pipeline" -> PipelineQueries.queries.keySet,
     "mining" -> MiningQueries.queries.keySet,
     "corpus" -> CorpusQueries.queries.keySet,
-    "classic" -> ClassicQueries.queries.keySet)
+    "classic" -> ClassicQueries.queries.keySet,
+    "frontier" -> FrontierQueries.queries.keySet)
 
   test("query names are globally unique across registries") {
     val all = parts.flatMap(_._2.toSeq)
