@@ -243,6 +243,52 @@ object ClassicQueries {
           col("min_price"))
         .orderBy("p_partkey", "s_suppkey")
     }),
+
+    // TPC-H Q4 shape (order priority checking): orders with at least
+    // one lineitem shipped more than 60 days after the order date,
+    // counted per priority. The EXISTS decorrelates to a LEFT-SEMI
+    // join on the order key with the lateness predicate in the join
+    // condition — the probe side never duplicates orders no matter how
+    // many late items each has. Lateness compares exact epoch micros
+    // (no engine date arithmetic).
+    "q46_late_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), unix_micros(col("l_shipdate")).as("ship_us"))
+      o.join(li,
+          o("o_orderkey") === li("l_orderkey") &&
+            col("ship_us") - unix_micros(col("o_orderdate")) >
+              lit(60L * 86400L * 1000000L),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): for one brand,
+    // the revenue carried by lineitems whose quantity is below 20% of
+    // the part's average quantity. The correlated scalar subquery
+    // decorrelates to a per-part aggregate joined back onto the scan;
+    // the 0.2·avg comparison is cleared of division algebraically
+    // (5·qty·cnt < Σqty — quantities are integral), so no float
+    // boundary decides row membership. Per-part rollup output keeps
+    // the result auditable.
+    "q47_small_qty_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          col("l_extendedprice"))
+      val brandParts = broadcast(t(s, dir, "part")
+        .where(col("p_brand") === "Brand#11").select("p_partkey"))
+      val scoped = li.join(brandParts, li("l_partkey") === col("p_partkey"))
+      val stats = scoped.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      scoped.join(stats, col("l_partkey") === col("a_partkey"))
+        .where(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_small"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("p_partkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -375,5 +421,30 @@ object ClassicQueries {
         |JOIN part ON l_partkey = p_partkey
         |WHERE min_price = best_price AND p_size <= 5
         |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    "q46_late_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND epoch_us(CAST(l_shipdate AS TIMESTAMP)) -
+        |        epoch_us(CAST(o_orderdate AS TIMESTAMP)) > 5184000000000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q47_small_qty_revenue" ->
+      """WITH scoped AS (
+        |  SELECT l_partkey AS p_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#11'),
+        |stats AS (SELECT p_partkey, sum(qty)::BIGINT AS sum_qty,
+        |    count(*)::BIGINT AS cnt
+        |  FROM scoped GROUP BY 1)
+        |SELECT p_partkey, count(*)::BIGINT AS n_small,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM scoped JOIN stats USING (p_partkey)
+        |WHERE qty * 5 * cnt < sum_qty
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
   )
 }

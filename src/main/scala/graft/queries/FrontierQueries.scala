@@ -232,6 +232,77 @@ object FrontierQueries {
         .unionAll(keyStats(li, "l_partkey"))
         .unionAll(keyStats(o, "o_custkey"))
         .orderBy("key_col")
+    }),
+
+    // Truncation dedup: document pairs where one text is a PREFIX of
+    // the other (the re-crawl-cut-short duplicate exact-hash dedup
+    // misses). Candidate pairs come from an equality join on the first
+    // 32 chars — a pair can only be prefix-related if those agree — and
+    // a substring-equality check verifies; texts shorter than 32 chars
+    // are out of contract (too ambiguous to call truncations). The
+    // shorter doc is id_a; equal-length (identical) texts order by id.
+    "dedup_prefix_trunc" -> ((s, dir) => {
+      val d = tc(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("len"),
+          substring(col("text"), 1, 32).as("k32"))
+        .where(col("len") >= 32)
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"),
+        col("len").as("len_a"), col("k32"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"),
+        col("len").as("len_b"), col("k32"))
+      a.join(b, Seq("k32"))
+        .where(col("id_a") =!= col("id_b") &&
+          (col("len_a") < col("len_b") ||
+            (col("len_a") === col("len_b") && col("id_a") < col("id_b"))) &&
+          expr("substring(text_b, 1, cast(len_a AS INT))") === col("text_a"))
+        .select("id_a", "id_b", "len_a", "len_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Missed-heartbeat alerts: per user, events arriving more than 2h
+    // after the previous one. Batch = one lag window per user key;
+    // streaming = the same program through flatMapGroupsWithState
+    // carrying ONE long (last-seen micros) per user — StreamingSpec
+    // proves batch ≡ stream.
+    "stream_gap_alert" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline.gapAlertsBatch(
+          t(s, dir, "events"), thresholdSeconds = 7200L)
+        .orderBy("user_id", "ts_us")),
+
+    // Session-duration histogram: 30-minute-gap sessions binned by
+    // log2 of their duration in seconds (zero-length single-event
+    // sessions land in bin 0) — the engagement-shape fingerprint, and
+    // the watermark/state-budget sizing input for the streaming
+    // sessionizer.
+    "session_duration_histogram" -> ((s, dir) => {
+      val sess = graft.streaming.StreamingPipeline.sessionizeBatch(
+        t(s, dir, "events"), "user_id", "ts", lit(1800))
+      sess.select(
+          (length(bin(greatest(
+            ((unix_micros(col("session_end")) -
+              unix_micros(col("session_start"))) / lit(1000000L))
+              .cast("long"), lit(1L)))) - 1).cast("int").as("log2_dur_s"))
+        .groupBy("log2_dur_s").agg(count(lit(1)).as("n_sessions"))
+        .orderBy("log2_dur_s")
+    }),
+
+    // Proper-noun density: capitalized-word share of each document's
+    // RAW (case-preserving) token stream in ppm — the entity-richness
+    // signal that separates encyclopedic prose from boilerplate. One
+    // narrow codegen'd projection; the whitespace class is the shared
+    // engine-wide constant.
+    "text_entity_density" -> ((s, dir) => {
+      val rawToks = filter(
+        split(col("text"), s"[${TextOps.wsChars}]+"), x => x =!= "")
+      val caps = filter(rawToks, x => x.rlike("^[A-Z][a-z]+$"))
+      tc(s, dir, "documents")
+        .select(col("doc_id"),
+          size(rawToks).cast("long").as("n_tokens"),
+          size(caps).cast("long").as("n_caps"))
+        .withColumn("caps_ppm",
+          expr("(n_caps * 1000000) div greatest(n_tokens, 1)"))
+        .orderBy("doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -404,5 +475,65 @@ object FrontierQueries {
         |SELECT key_col, sum(cnt)::BIGINT AS n_rows,
         |  count(*)::BIGINT AS n_distinct, max(cnt)::BIGINT AS top_n,
         |  ((max(cnt) * 1000000) // sum(cnt))::BIGINT AS top_share_ppm
-        |FROM a GROUP BY key_col ORDER BY key_col""".stripMargin)
+        |FROM a GROUP BY key_col ORDER BY key_col""".stripMargin,
+
+    "dedup_prefix_trunc" ->
+      """WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS len,
+        |    substr(text, 1, 32) AS k32
+        |  FROM documents WHERE length(text) >= 32)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.len AS len_a, b.len AS len_b
+        |FROM d a JOIN d b ON a.k32 = b.k32 AND a.doc_id != b.doc_id
+        |WHERE (a.len < b.len OR (a.len = b.len AND a.doc_id < b.doc_id))
+        |  AND substr(b.text, 1, CAST(a.len AS INT)) = a.text
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "stream_gap_alert" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |l AS (SELECT user_id, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |      AS prev_ts_us
+        |  FROM e)
+        |SELECT user_id, ts_us, prev_ts_us,
+        |  ((ts_us - prev_ts_us) // 1000000)::BIGINT AS gap_s
+        |FROM l
+        |WHERE prev_ts_us IS NOT NULL AND ts_us - prev_ts_us > 7200000000
+        |ORDER BY user_id, ts_us""".stripMargin,
+
+    "session_duration_histogram" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |lagged AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+        |flagged AS (SELECT user_id, ts,
+        |  CASE WHEN prev IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000::BIGINT THEN 1
+        |    ELSE 0 END AS is_new FROM lagged),
+        |sess AS (SELECT user_id, ts,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM flagged),
+        |agg AS (SELECT user_id, session_id,
+        |    min(ts) AS session_start, max(ts) AS session_end
+        |  FROM sess GROUP BY user_id, session_id),
+        |durs AS (SELECT greatest(
+        |    (epoch_us(session_end) - epoch_us(session_start)) // 1000000,
+        |    1)::BIGINT AS dur_s FROM agg)
+        |SELECT (length(format('{:b}', dur_s)) - 1)::INT AS log2_dur_s,
+        |  count(*)::BIGINT AS n_sessions
+        |FROM durs GROUP BY 1 ORDER BY log2_dur_s""".stripMargin,
+
+    "text_entity_density" -> {
+      val ws = graft.functions.TextOps.wsChars
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '[$ws]+'), x -> x != '')
+         |      AS toks
+         |  FROM documents)
+         |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  len(list_filter(toks,
+         |    x -> regexp_full_match(x, '[A-Z][a-z]+')))::BIGINT AS n_caps,
+         |  ((len(list_filter(toks,
+         |      x -> regexp_full_match(x, '[A-Z][a-z]+'))) * 1000000)
+         |    // greatest(len(toks), 1))::BIGINT AS caps_ppm
+         |FROM tk ORDER BY doc_id""".stripMargin
+    })
 }

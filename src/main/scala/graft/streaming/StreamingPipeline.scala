@@ -479,6 +479,60 @@ object StreamingPipeline {
       }.toDF()
   }
 
+  // --- heartbeat gap alerts ----------------------------------------------
+
+  final case class GapEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class GapAlert(user_id: Long, ts_us: Long, prev_ts_us: Long,
+      gap_s: Long)
+  final case class LastSeen(last_us: Long)
+
+  /** Batch heartbeat-gap detection: per user, every event whose gap to
+    * the PREVIOUS event exceeds `thresholdSeconds` — the missed-
+    * heartbeat / silent-sensor alert. One lag window per user key; the
+    * first event of a user has no predecessor and never alerts.
+    */
+  def gapAlertsBatch(df: DataFrame, thresholdSeconds: Long): DataFrame = {
+    val w = W.partitionBy("user_id").orderBy(col("ts_us"))
+    df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
+      .where(col("prev_ts_us").isNotNull &&
+        col("ts_us") - col("prev_ts_us") > thresholdSeconds * 1000000L)
+      .select(col("user_id"), col("ts_us"), col("prev_ts_us"),
+        ((col("ts_us") - col("prev_ts_us")) / lit(1000000L)).cast("long")
+          .as("gap_s"))
+  }
+
+  /** Streaming heartbeat-gap detection — the one-long-per-key stateful
+    * shape (same family as [[runningTotalsStreaming]]): state is the
+    * user's LAST event time only; each micro-batch sorts the user's new
+    * events, chains them onto the stored last-seen, and emits every
+    * over-threshold gap. Correct whenever batches arrive in event-time
+    * order per key (single AvailableNow batch trivially; live
+    * deployments put a watermark-sorted stage upstream). Unlike the
+    * batch lag window there is no per-key sort of HISTORY — state never
+    * grows with stream length.
+    */
+  def gapAlertsStreaming(spark: SparkSession, events: DataFrame,
+      thresholdSeconds: Long): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts")).as[GapEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, GapAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[GapEvent], state: GroupState[LastSeen]) =>
+          val sorted = rows.map(e => tsMicros(e.ts)).toIndexedSeq.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapAlert]
+          var prev = state.getOption.map(_.last_us).getOrElse(Long.MinValue)
+          for (t <- sorted) {
+            if (prev != Long.MinValue && t - prev > thresholdSeconds * 1000000L)
+              out += GapAlert(user, t, prev, (t - prev) / 1000000L)
+            prev = t
+          }
+          if (sorted.nonEmpty) state.update(LastSeen(sorted.last))
+          out.iterator
+      }.toDF()
+  }
+
   private def tsMicros(ts: java.sql.Timestamp): Long =
     // floorDiv: getTime truncates toward zero for pre-epoch instants
     // while getNanos is always the positive fraction.

@@ -55,6 +55,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming gap alerts equal the batch lag-window program") {
+    val events = Tables.load(spark, sf0001, "events")
+    val batch = StreamingPipeline.gapAlertsBatch(events, 3600L)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty) // fixture must actually exercise the alert path
+
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val streamed = StreamingPipeline.gapAlertsStreaming(
+      spark, StreamingPipeline.streamTable(spark, sf0001, "events"), 3600L)
+    val q = streamed.writeStream.format("memory").queryName("gaps_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("gaps_out")
+      .select("user_id", "ts_us", "prev_ts_us", "gap_s")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+  }
+
   test("watermarked tumbling agg: Append emits exactly the closed windows") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val events = Tables.load(spark, sf0001, "events")
