@@ -329,6 +329,54 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "inflow aggregation is hash-based")
   }
 
+  test("skyline: windows partition by bucket, full table never in one partition") {
+    val df = graft.queries.FrontierQueries
+      .queries("skyline_pareto")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "frontier test must not enumerate the pair space")
+    // The only SinglePartition exchange allowed is the one feeding the
+    // TINY per-bucket-max window (and the final presentation sort);
+    // the data-sized windows hash-partition by bucket / cost.
+    assert(p.contains("hashpartitioning"),
+      "within-bucket windows must hash-distribute")
+    assert(p.contains("BroadcastExchange"),
+      "the per-bucket prefix-max table must broadcast back")
+  }
+
+  test("prefix-truncation dedup: equality hash join on the 32-char key") {
+    val df = graft.queries.FrontierQueries
+      .queries("dedup_prefix_trunc")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be the k32 equality join, not all-pairs")
+    assert(p.contains("HashJoin"), "k32 join should be hash-based")
+  }
+
+  test("q46: EXISTS decorrelates to a left-semi hash join") {
+    val df = graft.queries.ClassicQueries
+      .queries("q46_late_order_priority")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftSemi"), "orders must semi-join, never duplicate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q47: brand part list broadcasts; stats join stays hash") {
+    val df = graft.queries.ClassicQueries
+      .queries("q47_small_qty_revenue")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the filtered brand part list must broadcast onto the lineitem scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("html_extract: one codegen'd projection chain, no UDF, no join") {
     val df = graft.queries.ExtensionQueries
       .queries("html_extract")(spark, sf001)
