@@ -418,6 +418,45 @@ object Graph {
     adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Link prediction: the top-k NON-adjacent node pairs ranked by
+    * common-neighbor count, with the neighborhood-Jaccard score in ppm
+    * as tie-break evidence — the classic "which edges are missing"
+    * candidate list (crawl frontier prioritization, related-item
+    * suggestions). Fully deterministic rank order:
+    * (common neighbors desc, jaccard ppm desc, a asc, c asc).
+    *
+    * Plan shape: wedge enumeration over the symmetrized adjacency with
+    * `a < c` canonicalization (Σ deg² work, each pair counted once per
+    * shared neighbor), one (a, c) count aggregation, a left-anti join
+    * against the canonical edge set to drop already-linked pairs, two
+    * degree joins, and a bounded global top-k through
+    * TakeOrderedAndProject — the n² pair space is never enumerated.
+    */
+  def linkPrediction(edges0: DataFrame, srcCol: String, dstCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 1)
+    val und = edges0.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val cn = adj.select(col("u").as("a"), col("v").as("b"))
+      .join(adj.select(col("u").as("b"), col("v").as("c")), "b")
+      .where(col("a") < col("c"))
+      .groupBy("a", "c").agg(count(lit(1)).as("common"))
+    cn.join(und, cn("a") === und("u") && cn("c") === und("v"), "left_anti")
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("c"), col("deg").as("dc")), "c")
+      .select(col("a"), col("c"), col("common"),
+        expr("(common * 1000000) div (da + dc - common)").as("jaccard_ppm"))
+      .orderBy(col("common").desc, col("jaccard_ppm").desc,
+        col("a"), col("c"))
+      .limit(k)
+  }
+
   /** Multi-source BFS: hop distance from the nearest seed, bounded at
     * `maxDepth` sweeps — "how far is every page from a trusted seed
     * set", the TrustRank-style proximity signal curation uses to weight

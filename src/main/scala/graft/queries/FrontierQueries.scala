@@ -303,6 +303,114 @@ object FrontierQueries {
         .withColumn("caps_ppm",
           expr("(n_caps * 1000000) div greatest(n_tokens, 1)"))
         .orderBy("doc_id")
+    }),
+
+    // Dominant principal direction of the embedding corpus by 2
+    // fixed-point power sweeps — the anisotropy/whitening diagnostic.
+    // Exact-integer throughout (portable trunc division on negatives),
+    // so the 64-dim component is engine-identical.
+    "embed_pca_power" -> ((s, dir) =>
+      graft.operators.Pca.dominantComponent(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, iterations = 2)
+        .orderBy("pos")),
+
+    // Every vector's 1-D projection onto the dominant component — the
+    // cheap corpus ordering / outlier score PCA buys.
+    "embed_pca_project" -> ((s, dir) =>
+      graft.operators.Pca.projectDominant(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, iterations = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
+    // Link prediction over the sparse part co-purchase graph: top-50
+    // missing edges by common-neighbor count with Jaccard-ppm
+    // tie-break — the crawl-frontier / related-item candidate list.
+    "graph_link_prediction" -> ((s, dir) =>
+      Graph.linkPrediction(partEdges(s, dir), "src", "dst", k = 50)),
+
+    // Degree assortativity of the sparse part graph: Pearson r of the
+    // endpoint degrees over all directed edges, from six exact integer
+    // moments (one double expression at the end) — do high-degree
+    // nodes link to high-degree nodes (assortative, r>0) or to leaves
+    // (disassortative, r<0)?
+    "graph_assortativity" -> ((s, dir) => {
+      val und = partEdges(s, dir).select(
+          least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      val deg = adj.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val pairs = adj
+        .join(deg.select(col("node").as("u"), col("deg").as("x")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("y")), "v")
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n_pairs"),
+          // each variance term fits a long; their PRODUCT does not —
+          // cast to double before multiplying (identically in the
+          // oracle, so the float path is the same expression tree)
+          round(
+            (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")), 6).as("assortativity"))
+    }),
+
+    // RFM customer segmentation: recency (days since last order at the
+    // snapshot's max date), frequency (orders), monetary (exact cents),
+    // each quartiled by ntile(4) under a TOTAL order (metric, custkey) —
+    // deterministic bucket membership in both engines. The window runs
+    // over the customer DIMENSION (compact by definition), not the
+    // fact table.
+    "customer_rfm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(unix_micros(col("o_orderdate"))).as("last_us"),
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("monetary_cents"))
+      val ref = broadcast(perCust.agg(max(col("last_us")).as("ref_us")))
+      val scored = perCust.crossJoin(ref)
+        .select(col("custkey"), col("n_orders"), col("monetary_cents"),
+          expr("(ref_us - last_us) div 86400000000").as("recency_days"))
+      scored
+        .withColumn("r_q", ntile(4).over(
+          Window.orderBy(col("recency_days"), col("custkey"))))
+        .withColumn("f_q", ntile(4).over(
+          Window.orderBy(col("n_orders").desc, col("custkey"))))
+        .withColumn("m_q", ntile(4).over(
+          Window.orderBy(col("monetary_cents").desc, col("custkey"))))
+        .withColumn("rfm",
+          (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("int"))
+        .orderBy("custkey")
+    }),
+
+    // Cohort lifetime value: customers grouped by first-order quarter;
+    // per (cohort, quarters-since-first) the active-customer count and
+    // exact-decimal revenue — the table LTV curves are read from.
+    "orders_cohort_ltv" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")) - 1)
+          .cast("long").as("qidx"),
+        col("o_totalprice"))
+      val first = o.groupBy(col("o_custkey").as("ck"))
+        .agg(min(col("qidx")).as("cohort_qidx"))
+      o.join(first, o("o_custkey") === first("ck"))
+        .groupBy(col("cohort_qidx"),
+          (col("qidx") - col("cohort_qidx")).as("quarters_out"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("revenue"))
+        .orderBy("cohort_qidx", "quarters_out")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -535,5 +643,125 @@ object FrontierQueries {
          |      x -> regexp_full_match(x, '[A-Z][a-z]+'))) * 1000000)
          |    // greatest(len(toks), 1))::BIGINT AS caps_ppm
          |FROM tk ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    "embed_pca_power" ->
+      s"""WITH ${pcaCtesSql(iters = 2)}
+         |SELECT pos, w AS w_fp FROM w2 ORDER BY pos""".stripMargin,
+
+    "embed_pca_project" ->
+      s"""WITH ${pcaCtesSql(iters = 2)},
+         |p AS (SELECT u.vec_id, sum(u.u * w2.w)::BIGINT AS raw
+         |      FROM u JOIN w2 ON u.pos = w2.pos GROUP BY 1)
+         |SELECT vec_id,
+         |  ${graft.operators.Pca.tdivSql("raw", "1048576", "//")}::BIGINT
+         |    AS proj_fp
+         |FROM p ORDER BY vec_id""".stripMargin,
+
+    "graph_link_prediction" ->
+      s"""WITH $partEdgesSql,
+         |und AS (SELECT u, v FROM e),
+         |adj AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         |deg AS (SELECT u AS node, count(*)::BIGINT AS deg
+         |        FROM adj GROUP BY 1),
+         |cn AS (SELECT a1.v AS a, a2.v AS c, count(*)::BIGINT AS common
+         |       FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+         |       GROUP BY 1, 2),
+         |miss AS (SELECT cn.a, cn.c, cn.common FROM cn
+         |  LEFT JOIN und ON cn.a = und.u AND cn.c = und.v
+         |  WHERE und.u IS NULL),
+         |j AS (SELECT a, c, common,
+         |    ((common * 1000000) // (da.deg + dc.deg - common))::BIGINT
+         |      AS jaccard_ppm
+         |  FROM miss JOIN deg da ON miss.a = da.node
+         |  JOIN deg dc ON miss.c = dc.node)
+         |SELECT a, c, common, jaccard_ppm FROM j
+         |ORDER BY common DESC, jaccard_ppm DESC, a, c LIMIT 50""".stripMargin,
+
+    "graph_assortativity" ->
+      s"""WITH $partEdgesSql,
+         |und AS (SELECT u, v FROM e),
+         |adj AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         |deg AS (SELECT u AS node, count(*)::BIGINT AS deg
+         |        FROM adj GROUP BY 1),
+         |p AS (SELECT dx.deg AS x, dy.deg AS y FROM adj
+         |      JOIN deg dx ON adj.u = dx.node
+         |      JOIN deg dy ON adj.v = dy.node),
+         |m AS (SELECT count(*)::BIGINT AS n_pairs, sum(x)::BIGINT AS sx,
+         |    sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+         |    sum(y*y)::BIGINT AS syy, sum(x*y)::BIGINT AS sxy
+         |  FROM p)
+         |SELECT n_pairs,
+         |  round(CAST(n_pairs*sxy - sx*sy AS DOUBLE) /
+         |    sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE) *
+         |         CAST(n_pairs*syy - sy*sy AS DOUBLE)), 6)
+         |    AS assortativity
+         |FROM m""".stripMargin,
+
+    "customer_rfm" ->
+      """WITH pc AS (SELECT o_custkey AS custkey,
+        |    max(epoch_us(CAST(o_orderdate AS TIMESTAMP)))::BIGINT
+        |      AS last_us,
+        |    count(*)::BIGINT AS n_orders,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |ref AS (SELECT max(last_us)::BIGINT AS ref_us FROM pc),
+        |sc AS (SELECT custkey, n_orders, monetary_cents,
+        |    ((ref_us - last_us) // 86400000000)::BIGINT AS recency_days
+        |  FROM pc CROSS JOIN ref),
+        |q AS (SELECT custkey, n_orders, monetary_cents, recency_days,
+        |    ntile(4) OVER (ORDER BY recency_days, custkey) AS r_q,
+        |    ntile(4) OVER (ORDER BY n_orders DESC, custkey) AS f_q,
+        |    ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_q
+        |  FROM sc)
+        |SELECT custkey, n_orders, monetary_cents, recency_days,
+        |  r_q::INT AS r_q, f_q::INT AS f_q, m_q::INT AS m_q,
+        |  (r_q * 100 + f_q * 10 + m_q)::INT AS rfm
+        |FROM q ORDER BY custkey""".stripMargin,
+
+    "orders_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    (year(CAST(o_orderdate AS TIMESTAMP)) * 4 +
+        |     quarter(CAST(o_orderdate AS TIMESTAMP)) - 1)::BIGINT AS qidx,
+        |    o_totalprice
+        |  FROM orders),
+        |f AS (SELECT o_custkey AS ck, min(qidx)::BIGINT AS cohort_qidx
+        |      FROM o GROUP BY 1)
+        |SELECT cohort_qidx, (qidx - cohort_qidx)::BIGINT AS quarters_out,
+        |  count(DISTINCT o.o_custkey)::BIGINT AS n_active,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM o JOIN f ON o.o_custkey = f.ck
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** DuckDB replay of [[graft.operators.Pca.dominantComponent]] on the
+    * embeddings table: CTE-body fragment defining `u` (2²⁰ fixed-point
+    * components), `w0` (all-ones start) and `d$i`/`c$i`/`s$i`/`m$i`/
+    * `w$i` per unrolled power sweep — final component in `w$iters`.
+    */
+  private def pcaCtesSql(iters: Int): String = {
+    val tdiv = (x: String, k: String) =>
+      graft.operators.Pca.tdivSql(x, k, "//")
+    val sweeps = (1 to iters).map { i =>
+      val pw = if (i == 1) "w0" else s"w${i - 1}"
+      s"""d$i AS (SELECT u.vec_id, sum(u.u * $pw.w)::BIGINT AS raw
+         |       FROM u JOIN $pw USING (pos) GROUP BY 1),
+         |c$i AS (SELECT vec_id, ${tdiv("raw", "67108864")}::BIGINT AS c
+         |        FROM d$i),
+         |s$i AS (SELECT u.pos, sum(u.u * c$i.c)::BIGINT AS s
+         |        FROM u JOIN c$i USING (vec_id) GROUP BY 1),
+         |m$i AS (SELECT greatest(max(abs(s)) // 1048576, 1)::BIGINT AS mxs
+         |        FROM s$i),
+         |w$i AS (SELECT pos, ${tdiv("s", "mxs")}::BIGINT AS w
+         |        FROM s$i CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""u AS (SELECT vec_id, i - 1 AS pos,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+       |      AS u
+       |  FROM embeddings, range(1, 65) r(i)),
+       |w0 AS (SELECT i - 1 AS pos, 1048576::BIGINT AS w
+       |       FROM range(1, 65) r(i)),
+       |$sweeps""".stripMargin
+  }
 }

@@ -74,6 +74,46 @@ class FrontierOpsSpec extends SparkSpec {
     assert(ranks(1L) + ranks(2L) > 900000000000L)
   }
 
+  test("power iteration finds the dominant axis of an anisotropic cloud") {
+    // Vectors hugging the x-axis with small y jitter: the dominant
+    // component must be ~(±2^20, small) — x dominates y by far.
+    val vecs = (1 to 40).map { i =>
+      (i.toLong, Array((if (i % 2 == 0) 10.0f else -10.0f) *
+        (1f + (i % 5) / 10f), (i % 3 - 1).toFloat * 0.1f))
+    }
+    val df = spark.createDataFrame(vecs).toDF("id", "vec")
+    val w = graft.operators.Pca.dominantComponent(df, "id", "vec",
+        dim = 2, iterations = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(math.abs(w(0)) == 1048576L, s"x component should saturate: $w")
+    assert(math.abs(w(1)) < 1048576L / 10, s"y component should be small: $w")
+  }
+
+  test("pca projection is the fixed-point dot with the component") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.5f, 0.0f)))
+    val df = spark.createDataFrame(vecs).toDF("id", "vec")
+    val proj = graft.operators.Pca.projectDominant(df, "id", "vec",
+        dim = 2, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // component is (±2^20, 0); projections keep the input ratios
+    assert(math.abs(proj(1L)) == 1048576L)
+    assert(proj(2L) == -proj(1L))
+    assert(math.abs(proj(3L) * 2 - proj(1L)) <= 2) // rounding slack
+  }
+
+  test("link prediction ranks the shared-neighbor pair first and skips edges") {
+    // Star: 1-2, 1-3, 1-4 plus edge 2-3. Non-adjacent candidates with
+    // common neighbors: (2,4) and (3,4) via node 1 (1 common each);
+    // (2,3) is adjacent and must not appear.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+      .toDF("src", "dst")
+    val got = graft.operators.Graph.linkPrediction(edges, "src", "dst", 10)
+      .select("a", "c").as[(Long, Long)].collect().toSet
+    assert(got.contains((2L, 4L)) && got.contains((3L, 4L)))
+    assert(!got.contains((2L, 3L)), "existing edges must be excluded")
+  }
+
   test("personalized PageRank is identical with and without lineage cuts") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
       .toDF("src", "dst")
