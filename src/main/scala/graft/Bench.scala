@@ -22,6 +22,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // custom strategy + optimizer rules + SQL functions (idempotent)
+    GraftExtensions.register(spark)
     // The timed action is a noop-format write: every output row is fully
     // materialized through the executed plan, so projections, sorts and
     // expression work stay IN the measurement (a bare `count()` lets

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.expressions.{FloatVecDot, RowHashMd5, SortedLongIntersectCount, SortedLongJaccardGE}
-import graft.plans.TopKStrategy
+import graft.plans.{RegexPrefixRewrite, TopKStrategy}
 
 /** Session wiring for graft's custom Catalyst pieces, so SQL users get
   * them too:
@@ -24,6 +24,7 @@ import graft.plans.TopKStrategy
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => RegexPrefixRewrite)
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
@@ -80,9 +81,20 @@ object GraftExtensions {
         spark.experimental.extraStrategies :+ TopKStrategy
     }
 
+  /** Attach the regex-rewrite optimizer rule to a live session
+    * (idempotent — `extraOptimizations` is the runtime counterpart of
+    * `injectOptimizerRule`).
+    */
+  def ensureOptimizerRules(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RegexPrefixRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RegexPrefixRewrite
+    }
+
   /** Runtime registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     ensureStrategy(spark)
+    ensureOptimizerRules(spark)
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")

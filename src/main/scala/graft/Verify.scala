@@ -15,6 +15,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // custom strategy + optimizer rules + SQL functions (idempotent)
+    GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (comma-separated names); driver sets nothing.
     val only = sys.env.get("GRAFT_VERIFY_ONLY")

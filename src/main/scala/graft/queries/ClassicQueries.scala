@@ -289,6 +289,39 @@ object ClassicQueries {
           moneySum(col("l_extendedprice")).as("revenue"))
         .orderBy("p_partkey")
     }),
+
+    // TPC-H Q6 shape (forecasting revenue change): revenue that would
+    // be gained by eliminating small discounts — one scan, every
+    // predicate pushed to the parquet reader, exact-decimal money sum.
+    // The canonical "is your filter pushdown working" query.
+    "q48_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(moneySum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // TPC-H Q10 shape (returned-item reporting): the customers who
+    // returned the most revenue in a quarter — returns join orders join
+    // customer, nation broadcast, top-20 under a TOTAL (revenue desc,
+    // custkey) order so the cut line is deterministic.
+    "q49_returned_items" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+        .agg(moneySum(rev).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -446,5 +479,28 @@ object ClassicQueries {
         |FROM scoped JOIN stats USING (p_partkey)
         |WHERE qty * 5 * cnt < sum_qty
         |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+
+    "q48_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        |  AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q49_returned_items" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
   )
 }

@@ -44,6 +44,40 @@ class GraftExtensionsSpec extends SparkSpec {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)
     assert(spark.experimental.extraStrategies.count(_ == graft.plans.TopKStrategy) == 1)
+    assert(spark.experimental.extraOptimizations
+      .count(_ == graft.plans.RegexPrefixRewrite) == 1)
     assert(spark.sql("SELECT graft_row_hash('x') IS NOT NULL AS ok").first().getBoolean(0))
+  }
+
+  test("anchored literal RLIKE rewrites to string predicates, results unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.register(spark)
+    // A parquet-backed frame: a local relation would be constant-folded
+    // whole (ConvertToLocalRelation), leaving no predicate to inspect.
+    val df = graft.sources.Tables.load(spark, sf0001, "part")
+      .select(col("p_brand").as("s"))
+
+    def optimized(pattern: String): String =
+      df.where(col("s").rlike(pattern)).queryExecution.optimizedPlan.toString
+
+    // ^lit → StartsWith, lit$ → EndsWith, ^lit$ → =, lit → Contains
+    assert(optimized("^Brand#1").contains("StartsWith") &&
+      !optimized("^Brand#1").contains("RLIKE"))
+    assert(optimized("#1x$").contains("EndsWith"))
+    assert(optimized("^Brand#1$").contains("= Brand#1"))
+    assert(optimized("and#").contains("Contains"))
+    // metacharacters must NOT rewrite — semantics would change
+    assert(optimized("^Brand#[0-9]").contains("RLIKE"))
+    assert(optimized("^Brand#1+").contains("RLIKE"))
+
+    // results identical to the un-rewritten regex on every shape
+    for (p <- Seq("^Brand#1", "#1x$", "^Brand#1$", "and#", "")) {
+      val got = df.where(col("s").rlike(p)).as[String].collect().toSet
+      val expected = df.as[String].collect()
+        .filter(s => java.util.regex.Pattern.compile(p).matcher(s).find())
+        .toSet
+      assert(got == expected, s"pattern $p")
+    }
   }
 }
