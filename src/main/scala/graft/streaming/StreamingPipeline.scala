@@ -533,6 +533,54 @@ object StreamingPipeline {
       }.toDF()
   }
 
+  /** [[runningTotalsStreaming]] rebuilt on the `transformWithState`
+    * StatefulProcessor API (Spark 4.x) — the forward path for custom
+    * streaming state: typed named state handles (`ValueState`) instead
+    * of one opaque blob, per-state TTL, timers decoupled from output
+    * mode, and RocksDB-only execution (the production store; the spec
+    * sets the provider). Same contract as the fGWS form: ONE long per
+    * user, events chained in `(ts, event_id)` order per batch.
+    */
+  private class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ValuedEvent, RunningTotal] {
+    @transient private var total:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[ValuedEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RunningTotal] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+      var t = if (total.exists()) total.get() else 0L
+      val out = sorted.map { e =>
+        t += e.cents
+        RunningTotal(user, e.event_id, tsMicros(e.ts), e.cents, t)
+      }
+      total.update(t)
+      out.iterator
+    }
+  }
+
+  /** Running per-user totals via [[RunningTotalProcessor]]; requires the
+    * RocksDB state store provider (transformWithState's only backend).
+    */
+  def runningTotalsTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[ValuedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   private def tsMicros(ts: java.sql.Timestamp): Long =
     // floorDiv: getTime truncates toward zero for pre-epoch instants
     // while getNanos is always the positive fraction.

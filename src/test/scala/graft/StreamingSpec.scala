@@ -324,6 +324,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("sesswin_out").collect().map(_.toSeq).toSet == batch)
   }
 
+  test("transformWithState running totals equal the batch window program") {
+    // The StatefulProcessor API executes only on RocksDB.
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = StreamingPipeline.runningTotalsBatch(
+        Tables.load(spark, sf0001, "events")
+          .select("user_id", "event_id", "ts", "value"))
+        .collect().map(_.toSeq).toSet
+      val streamed = StreamingPipeline.runningTotalsTws(
+        spark, StreamingPipeline.streamTable(spark, sf0001, "events"))
+      val q = streamed.writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("tws_out")
+        .select("user_id", "event_id", "ts_us", "cents", "running_cents")
+        .collect().map(_.toSeq).toSet
+      assert(got == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful streaming runs unchanged on the RocksDB state store") {
     // At 100 TB the default HDFS-backed store keeps every key in
     // executor heap; RocksDB spills state to local disk and is the
