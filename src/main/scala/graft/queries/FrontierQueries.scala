@@ -411,6 +411,107 @@ object FrontierQueries {
           round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
             .cast("double").as("revenue"))
         .orderBy("cohort_qidx", "quarters_out")
+    }),
+
+    // Greedy k-center coreset of the embedding corpus (k=8): the
+    // diversity sample — every pick is the vector farthest from the
+    // picked set, in exact fixed-point distances (the full greedy
+    // trajectory replays in serial SQL).
+    "sample_coreset" -> ((s, dir) =>
+      graft.operators.Coreset.kCenters(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .orderBy("rank")),
+
+    // Modularity of the LPA communities over the sparse part graph —
+    // did propagation find real structure (Q≫0) or noise (Q≈0)?
+    // Q = Σ_c(4·m·L_c − D_c²) / (4m²): the numerator is one exact
+    // integer sum (order-free), the single division happens once in
+    // double — so the statistic is engine-identical.
+    "graph_modularity" -> ((s, dir) => {
+      val und = partEdges(s, dir).select(
+          least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = Graph.labelPropagation(und, "u", "v", rounds = 2)
+      val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      val degC = adj
+        .join(labels.select(col("node").as("u"), col("label").as("lc")), "u")
+        .groupBy("lc").agg(count(lit(1)).as("d_c"))
+      val intraC = und
+        .join(labels.select(col("node").as("u"), col("label").as("la")), "u")
+        .join(labels.select(col("node").as("v"), col("label").as("lb")), "v")
+        .where(col("la") === col("lb"))
+        .groupBy(col("la").as("lc")).agg(count(lit(1)).as("l_c"))
+      val m = broadcast(und.agg(count(lit(1)).as("m")))
+      degC.join(intraC, Seq("lc"), "left")
+        .select(col("lc"), col("d_c"),
+          coalesce(col("l_c"), lit(0L)).as("l_c"))
+        .crossJoin(m)
+        .agg(count(lit(1)).as("n_communities"), max(col("m")).as("m_edges"),
+          sum(lit(4L) * col("m") * col("l_c") - col("d_c") * col("d_c"))
+            .as("num"))
+        .select(col("n_communities"), col("m_edges"),
+          round(col("num").cast("double") /
+            (lit(4.0) * col("m_edges").cast("double") *
+              col("m_edges").cast("double")), 6).as("modularity"))
+    }),
+
+    // Winsorized event values: per type, clamp at the rank-selected
+    // p05/p95 (value at ceil(q·n) — integer-exact) and report the
+    // clipped mean — the robust-mean preprocessing step, sharing the
+    // exact-percentile machinery of metrics_latency_pcts.
+    "metrics_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cents"), col("event_id"))
+      val ranked = ev
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val pcts = ranked.groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n + 19) div 20"), col("cents")))
+            .as("p05_cents"),
+          max(when(col("rn") === expr("(19 * n + 19) div 20"), col("cents")))
+            .as("p95_cents"))
+      ev.join(broadcast(pcts), Seq("event_type"))
+        .select(col("event_type"), col("n"), col("p05_cents"),
+          col("p95_cents"),
+          greatest(least(col("cents"), col("p95_cents")), col("p05_cents"))
+            .as("clamped"))
+        .groupBy("event_type", "n", "p05_cents", "p95_cents")
+        .agg(expr("sum(clamped) div max(n)").as("wins_mean_cents"))
+        .orderBy("event_type")
+    }),
+
+    // Two-sample chi-square drift between the even/odd event halves:
+    // per event type the observed counts and the type's chi² term
+    // against the pooled expectation — the distribution-shift monitor
+    // behind "did this week's mix move". Counts are exact integers;
+    // only each row's final term is a double (one expression tree,
+    // engine-identical).
+    "dq_chi_square_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        pmod(col("event_id"), lit(2)).as("h"))
+      val o = ev.groupBy("event_type")
+        .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("o1"),
+          sum(when(col("h") === 1, 1L).otherwise(0L)).as("o2"))
+      val tot = broadcast(o.agg(sum(col("o1")).as("n1"),
+        sum(col("o2")).as("n2")))
+      o.crossJoin(tot)
+        .select(col("event_type"), col("o1"), col("o2"),
+          round({
+            val p = (col("o1") + col("o2")).cast("double") /
+              (col("n1") + col("n2")).cast("double")
+            val e1 = col("n1").cast("double") * p
+            val e2 = col("n2").cast("double") * p
+            val d1 = col("o1").cast("double") - e1
+            val d2 = col("o2").cast("double") - e2
+            d1 * d1 / e1 + d2 * d2 / e2
+          }, 6).as("chi2_term"))
+        .orderBy("event_type")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -733,7 +834,122 @@ object FrontierQueries {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
         |    AS DOUBLE) AS revenue
         |FROM o JOIN f ON o.o_custkey = f.ck
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Serial replay of the exact greedy k-center trajectory, 8
+    // unrolled pick/update rounds.
+    "sample_coreset" ->
+      s"""WITH ${coresetCtesSql(k = 8)}
+         |SELECT * FROM picks ORDER BY rank""".stripMargin,
+
+    "graph_modularity" ->
+      s"""WITH $partEdgesSql,
+         |und AS (SELECT u, v FROM e),
+         |nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+         |adj AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         |adjs AS (SELECT u, v FROM adj
+         |         UNION ALL SELECT node, node FROM nodes),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |v1 AS (SELECT adjs.u AS nd, l0.label, count(*)::BIGINT AS cnt
+         |       FROM adjs JOIN l0 ON adjs.v = l0.node GROUP BY 1, 2),
+         |l1 AS (SELECT nd AS node, label FROM (
+         |    SELECT nd, label, row_number() OVER (
+         |      PARTITION BY nd ORDER BY cnt DESC, label) AS rn FROM v1) x
+         |  WHERE rn = 1),
+         |v2 AS (SELECT adjs.u AS nd, l1.label, count(*)::BIGINT AS cnt
+         |       FROM adjs JOIN l1 ON adjs.v = l1.node GROUP BY 1, 2),
+         |l2 AS (SELECT nd AS node, label FROM (
+         |    SELECT nd, label, row_number() OVER (
+         |      PARTITION BY nd ORDER BY cnt DESC, label) AS rn FROM v2) x
+         |  WHERE rn = 1),
+         |mm AS (SELECT count(*)::BIGINT AS m FROM und),
+         |dc AS (SELECT l2.label AS lc, count(*)::BIGINT AS d_c
+         |       FROM adj JOIN l2 ON adj.u = l2.node GROUP BY 1),
+         |ic AS (SELECT la.label AS lc, count(*)::BIGINT AS l_c
+         |  FROM und JOIN l2 la ON und.u = la.node
+         |  JOIN l2 lb ON und.v = lb.node
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |rows_ AS (SELECT dc.lc, dc.d_c, coalesce(ic.l_c, 0)::BIGINT AS l_c
+         |          FROM dc LEFT JOIN ic USING (lc))
+         |SELECT count(*)::BIGINT AS n_communities,
+         |  (SELECT m FROM mm) AS m_edges,
+         |  round(sum(4 * (SELECT m FROM mm) * l_c - d_c * d_c)::DOUBLE /
+         |    (4.0 * (SELECT m FROM mm)::DOUBLE * (SELECT m FROM mm)::DOUBLE),
+         |    6) AS modularity
+         |FROM rows_""".stripMargin,
+
+    "metrics_winsorize" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |p AS (SELECT event_type, max(n)::BIGINT AS n,
+        |    max(CASE WHEN rn = (n + 19) // 20 THEN cents END)::BIGINT
+        |      AS p05_cents,
+        |    max(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END)::BIGINT
+        |      AS p95_cents
+        |  FROM r GROUP BY event_type)
+        |SELECT ev.event_type, p.n, p.p05_cents, p.p95_cents,
+        |  (sum(greatest(least(ev.cents, p.p95_cents), p.p05_cents))
+        |    // max(p.n))::BIGINT AS wins_mean_cents
+        |FROM ev JOIN p USING (event_type)
+        |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
+
+    "dq_chi_square_drift" ->
+      """WITH o AS (SELECT event_type,
+        |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS o1,
+        |    sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS o2
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(o1)::BIGINT AS n1, sum(o2)::BIGINT AS n2 FROM o)
+        |SELECT event_type, o1, o2,
+        |  round(
+        |    (o1::DOUBLE - n1::DOUBLE * ((o1 + o2)::DOUBLE
+        |      / (n1 + n2)::DOUBLE))
+        |    * (o1::DOUBLE - n1::DOUBLE * ((o1 + o2)::DOUBLE
+        |      / (n1 + n2)::DOUBLE))
+        |    / (n1::DOUBLE * ((o1 + o2)::DOUBLE / (n1 + n2)::DOUBLE)) +
+        |    (o2::DOUBLE - n2::DOUBLE * ((o1 + o2)::DOUBLE
+        |      / (n1 + n2)::DOUBLE))
+        |    * (o2::DOUBLE - n2::DOUBLE * ((o1 + o2)::DOUBLE
+        |      / (n1 + n2)::DOUBLE))
+        |    / (n2::DOUBLE * ((o1 + o2)::DOUBLE / (n1 + n2)::DOUBLE)), 6)
+        |    AS chi2_term
+        |FROM o CROSS JOIN t ORDER BY event_type""".stripMargin)
+
+  /** DuckDB replay of [[graft.operators.Coreset.kCenters]] on the
+    * embeddings table: `u` (2²⁰ fixed-point component lists), then per
+    * round a pick CTE (`p$i` — argmax of min-distance, ties to lowest
+    * id) and a distance-update CTE (`m$i`), ending in `picks`.
+    */
+  private def coresetCtesSql(k: Int): String = {
+    val d2 = (row: String, c: String) =>
+      s"list_sum(list_transform(range(1, 65), " +
+        s"i -> ($row.u[i] - $c.u[i]) * ($row.u[i] - $c.u[i])))::BIGINT"
+    val rounds = (2 to k).map { i =>
+      val prevM = if (i == 2) "m1" else s"m${i - 1}"
+      s"""p$i AS (SELECT id, u, mind FROM $prevM
+         |        ORDER BY mind DESC, id LIMIT 1),
+         |m$i AS (SELECT m.id, m.u,
+         |    least(m.mind, ${d2("m", "p")}) AS mind
+         |  FROM $prevM m CROSS JOIN p$i p)""".stripMargin
+    }.mkString(",\n")
+    val picks = (2 to k)
+      .map(i => s"SELECT $i AS rank, id, mind AS radius_sq FROM p$i")
+      .mkString("\n  UNION ALL ")
+    s"""u AS (SELECT vec_id AS id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS u
+       |  FROM embeddings),
+       |p1 AS (SELECT id, u FROM u ORDER BY id LIMIT 1),
+       |m1 AS (SELECT uu.id, uu.u, ${d2("uu", "p")} AS mind
+       |       FROM u uu CROSS JOIN p1 p),
+       |$rounds,
+       |picks AS (SELECT 1 AS rank, id, 0::BIGINT AS radius_sq FROM p1
+       |  UNION ALL $picks)""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.operators.Pca.dominantComponent]] on the
     * embeddings table: CTE-body fragment defining `u` (2²⁰ fixed-point

@@ -114,6 +114,20 @@ class FrontierOpsSpec extends SparkSpec {
     assert(!got.contains((2L, 3L)), "existing edges must be excluded")
   }
 
+  test("k-center greedy picks the extremes before the crowd") {
+    // Points on a line: a dense cluster near 0 and two far loners.
+    // Seed = lowest id (in the cluster); picks 2 and 3 must be the
+    // loners (farthest-first), before any second cluster point.
+    val pts = Seq((1L, Array(0.0f, 0f)), (2L, Array(0.1f, 0f)),
+      (3L, Array(0.2f, 0f)), (4L, Array(100.0f, 0f)),
+      (5L, Array(-100.0f, 0f)))
+    val df = spark.createDataFrame(pts).toDF("id", "vec")
+    val picks = graft.operators.Coreset.kCenters(df, "id", "vec", k = 3)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(picks.head == 1L)
+    assert(picks.tail.toSet == Set(4L, 5L))
+  }
+
   test("personalized PageRank is identical with and without lineage cuts") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
       .toDF("src", "dst")
