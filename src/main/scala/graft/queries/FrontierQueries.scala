@@ -512,6 +512,98 @@ object FrontierQueries {
             d1 * d1 / e1 + d2 * d2 / e2
           }, 6).as("chi2_term"))
         .orderBy("event_type")
+    }),
+
+    // Per-node clustering coefficient over the dense part co-purchase
+    // graph (same 1-in-8 subsample as graph_triangles): 2T/(deg·(deg−1))
+    // in exact ppm — triangle saturation separates organic link
+    // neighborhoods from link-farm cliques, per node rather than the
+    // corpus-level triangle count.
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(pmod(col("l_partkey"), lit(8)) === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.groupBy("ok")
+        .agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS src, y AS dst))))")).as("p"))
+        .select(col("p.src"), col("p.dst"))
+      val und = edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      Graph.triangleCounts(und, "u", "v")
+        .join(deg, Seq("node"))
+        .select(col("node"), col("deg"), col("n_triangles"),
+          when(col("deg") >= 2,
+            expr("(2 * n_triangles * 1000000) div (deg * (deg - 1))"))
+            .otherwise(lit(0L)).as("cc_ppm"))
+        .orderBy("node")
+    }),
+
+    // ABC (Pareto) part classification by exact-cents revenue:
+    // cumulative-share class A ≤80%, B ≤95%, C rest, under a total
+    // (cents desc, partkey) order. The cumulative window runs over the
+    // PART DIMENSION (compact by definition), integer tests only —
+    // the inventory-policy / storage-tiering classic.
+    "orders_abc_analysis" -> ((s, dir) => {
+      val perPart = t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long").as("lc"))
+        .groupBy("l_partkey").agg(sum(col("lc")).as("cents"))
+      val tot = broadcast(perPart.agg(sum(col("cents")).as("total")))
+      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perPart.withColumn("cum_cents", sum(col("cents")).over(w))
+        .crossJoin(tot)
+        .select(col("l_partkey"), col("cents"), col("cum_cents"),
+          when(col("cum_cents") * 100 <= col("total") * 80, "A")
+            .when(col("cum_cents") * 100 <= col("total") * 95, "B")
+            .otherwise("C").as("abc_class"))
+        .orderBy("l_partkey")
+    }),
+
+    // Duplicate-family size histogram: how big do MinHash dedup
+    // clusters get (including the singleton mass)? The dedup-budget /
+    // dedup-sanity dashboard number — a sudden fat tail means a
+    // boilerplate template flooded the crawl.
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val clusters = graft.operators.Clusters.dedupClusters(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
+    // Zipf power-law fit of the token frequency-of-frequencies: least-
+    // squares slope over (log2 count, log2 #tokens-with-count) integer
+    // bins — exact moments, one double ratio (metrics_trend's
+    // contract). Healthy natural text slopes near −1; generated or
+    // deduplicated-to-death corpora flatten.
+    "text_zipf_slope" -> ((s, dir) => {
+      val counts = tc(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val bins = counts
+        .select((length(bin(col("c"))) - 1).cast("long").as("x"))
+        .groupBy("x").agg(count(lit(1)).as("nt"))
+        .select(col("x"), (length(bin(col("nt"))) - 1).cast("long").as("y"))
+      bins.agg(count(lit(1)).as("n_bins"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("n_bins"),
+          when(col("n_bins") * col("sxx") - col("sx") * col("sx") === 0,
+            lit(null).cast("double"))
+            .otherwise(round(
+              (col("n_bins") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+                (col("n_bins") * col("sxx") - col("sx") * col("sx")),
+              8)).as("zipf_slope"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -917,7 +1009,97 @@ object FrontierQueries {
         |      / (n1 + n2)::DOUBLE))
         |    / (n2::DOUBLE * ((o1 + o2)::DOUBLE / (n1 + n2)::DOUBLE)), 6)
         |    AS chi2_term
-        |FROM o CROSS JOIN t ORDER BY event_type""".stripMargin)
+        |FROM o CROSS JOIN t ORDER BY event_type""".stripMargin,
+
+    "graph_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_partkey % 8 = 0),
+        |und AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und),
+        |deg AS (SELECT node, count(*)::BIGINT AS deg
+        |        FROM (SELECT u AS node FROM und
+        |              UNION ALL SELECT v FROM und) GROUP BY node),
+        |ori AS (SELECT
+        |    CASE WHEN du.deg*4294967296 + e.u < dv.deg*4294967296 + e.v
+        |         THEN e.u ELSE e.v END AS lo,
+        |    CASE WHEN du.deg*4294967296 + e.u < dv.deg*4294967296 + e.v
+        |         THEN e.v ELSE e.u END AS hi,
+        |    greatest(du.deg*4294967296 + e.u, dv.deg*4294967296 + e.v) AS khi
+        |  FROM und e JOIN deg du ON e.u = du.node
+        |             JOIN deg dv ON e.v = dv.node),
+        |tri AS (SELECT w1.a AS a, w1.b AS b, w2.c AS c
+        |  FROM (SELECT lo AS a, hi AS b, khi AS kb FROM ori) w1
+        |  JOIN (SELECT lo AS a2, hi AS c, khi AS kc FROM ori) w2
+        |    ON w1.a = w2.a2 AND w1.kb < w2.kc
+        |  WHERE EXISTS (SELECT 1 FROM ori o
+        |                WHERE o.lo = w1.b AND o.hi = w2.c)),
+        |cnt AS (SELECT node, count(*)::BIGINT AS n_triangles
+        |  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri) GROUP BY node)
+        |SELECT n.node::BIGINT AS node, d.deg,
+        |  coalesce(c.n_triangles, 0)::BIGINT AS n_triangles,
+        |  (CASE WHEN d.deg >= 2
+        |    THEN (2 * coalesce(c.n_triangles, 0) * 1000000)
+        |         // (d.deg * (d.deg - 1))
+        |    ELSE 0 END)::BIGINT AS cc_ppm
+        |FROM nodes n JOIN deg d USING (node)
+        |LEFT JOIN cnt c USING (node) ORDER BY node""".stripMargin,
+
+    "orders_abc_analysis" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT))::BIGINT AS cents
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(cents)::BIGINT AS total FROM pp),
+        |cum AS (SELECT l_partkey, cents,
+        |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+        |  FROM pp)
+        |SELECT l_partkey, cents, cum_cents,
+        |  CASE WHEN cum_cents * 100 <= total * 80 THEN 'A'
+        |       WHEN cum_cents * 100 <= total * 95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM cum CROSS JOIN tot ORDER BY l_partkey""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE ${ExtensionQueries.fastPairsCte(3, 0.5)},
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+         |         FROM reach GROUP BY a),
+         |lab AS (SELECT d.doc_id,
+         |    coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+         |          FROM lab GROUP BY 1)
+         |SELECT cluster_size, count(*)::BIGINT AS n_clusters
+         |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    "text_zipf_slope" -> {
+      val toks = ExtensionQueries.toksSql
+      s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
+         |c AS (SELECT tok, count(*)::BIGINT AS c FROM tk GROUP BY 1),
+         |b AS (SELECT (length(format('{:b}', c)) - 1)::BIGINT AS x,
+         |    count(*)::BIGINT AS nt
+         |  FROM c GROUP BY 1),
+         |xy AS (SELECT x, (length(format('{:b}', nt)) - 1)::BIGINT AS y
+         |       FROM b),
+         |a AS (SELECT count(*)::BIGINT AS n_bins, sum(x*y)::BIGINT AS sxy,
+         |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         |    sum(x*x)::BIGINT AS sxx
+         |  FROM xy)
+         |SELECT n_bins,
+         |  CASE WHEN n_bins * sxx - sx * sx = 0 THEN NULL
+         |       ELSE round((n_bins * sxy - sx * sy)::DOUBLE
+         |                  / (n_bins * sxx - sx * sx), 8) END
+         |    AS zipf_slope
+         |FROM a""".stripMargin
+    })
 
   /** DuckDB replay of [[graft.operators.Coreset.kCenters]] on the
     * embeddings table: `u` (2²⁰ fixed-point component lists), then per
