@@ -53,7 +53,9 @@ object Coreset {
       (1, seed._1, 0L))
     var state = q.select(col("id"), col("u"), d2(seed._2).as("mind"))
     for (r <- 2 to k) {
-      state = state.localCheckpoint(eager = false)
+      // engine-wide lineage-cut policy (reliable checkpoint storage
+      // when a checkpoint dir exists — executor-loss-safe on clusters)
+      state = graft.sources.Tables.cutLineage(state)
       val next = state.orderBy(col("mind").desc, col("id"))
         .select("id", "u", "mind").as[(Long, Seq[Long], Long)].head()
       picked += ((r, next._1, next._3))

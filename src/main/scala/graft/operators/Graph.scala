@@ -39,9 +39,7 @@ object Graph {
     * [[Clusters.connectedComponents]]); local blocks otherwise.
     */
   private def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = false)
-    else df.localCheckpoint(eager = false)
+    graft.sources.Tables.cutLineage(df) // ONE copy of the cut policy
 
   /** PageRank with `iterations` synchronous sweeps.
     *
@@ -295,7 +293,19 @@ object Graph {
     *         zero-filled for triangle-free nodes.
     */
   def triangleCounts(edges0: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String): DataFrame =
+    triangleCountsImpl(edges0, srcCol, dstCol, withDeg = false)
+
+  /** [[triangleCounts]] plus each node's degree — the clustering-
+    * coefficient inputs from ONE edge canonicalization and ONE degree
+    * aggregation (callers needing both must not rebuild them).
+    */
+  def triangleCountsWithDeg(edges0: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    triangleCountsImpl(edges0, srcCol, dstCol, withDeg = true)
+
+  private def triangleCountsImpl(edges0: DataFrame, srcCol: String,
+      dstCol: String, withDeg: Boolean): DataFrame = {
     // Canonical undirected edges: u < v, self-loops dropped, dedup'd.
     val und = edges0.select(
         least(col(srcCol), col(dstCol)).cast("long").as("u"),
@@ -333,8 +343,10 @@ object Graph {
     val perNode = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-    nodes.join(perNode, Seq("node"), "left")
+    val base = nodes.join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    if (withDeg) base.join(deg, Seq("node")) // 1:1 — every node has deg ≥ 1
+    else base
   }
 
   /** Per-node 2-hop reach over an undirected graph: the number of

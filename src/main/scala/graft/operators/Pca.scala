@@ -42,10 +42,10 @@ object Pca {
     s"(CASE WHEN $x >= 0 THEN abs($x) $divOp $k " +
       s"ELSE -(abs($x) $divOp $k) END)"
 
+  // ONE copy of the checkpoint-dir-aware lineage-cut policy, shared
+  // engine-wide.
   private def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = false)
-    else df.localCheckpoint(eager = false)
+    graft.sources.Tables.cutLineage(df)
 
   /** The dominant component after `iterations` power sweeps, as
     * (pos, w_fp) at 2²⁰ fixed-point scale, starting from the all-ones

@@ -6,13 +6,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Optimizer rule: rewrite anchored, metacharacter-free `RLIKE`
-  * patterns into plain string predicates —
+/** Optimizer rule: rewrite metacharacter-free `RLIKE` patterns into
+  * plain string predicates —
   *
-  *   - `x RLIKE '^lit$'` → `x = 'lit'`
-  *   - `x RLIKE '^lit'`  → `startswith(x, 'lit')`
-  *   - `x RLIKE 'lit$'`  → `endswith(x, 'lit')`
-  *   - `x RLIKE 'lit'`   → `contains(x, 'lit')`
+  *   - `x RLIKE '^lit'` → `startswith(x, 'lit')`
+  *   - `x RLIKE 'lit'`  → `contains(x, 'lit')`
   *
   * Why it matters at scale: text-curation plans are full of prefix
   * probes written as regexes (`source RLIKE '^wiki'`, blocklists,
@@ -22,13 +20,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * pushdown as `StringStartsWith`/`StringContains`, so the rewrite can
   * skip row groups entirely instead of merely matching faster.
   *
-  * Scope is deliberately conservative: only patterns whose body
-  * contains NO regex metacharacter rewrite (any of `\.[]{}()*+?^$|`
-  * in the body disqualifies — no attempt to interpret escapes), so
-  * the rewrite is exactly the identity on match semantics, including
-  * NULL handling (both sides are null-intolerant binary string
-  * predicates) and the empty pattern (`contains(x, '')` ≡ `x RLIKE ''`
-  * — true for every non-null row).
+  * `$`-anchored patterns are deliberately NOT rewritten: Java's `$`
+  * in default mode matches before a FINAL line terminator
+  * (`"abc$"` finds a match in `"abc\n"`), so `endswith`/`=` would
+  * silently drop rows ending in `\n`/`\r\n` — common in crawled text.
+  * `^` has no such subtlety outside MULTILINE mode, which Spark's
+  * RLIKE does not enable.
+  *
+  * Scope is conservative: only patterns whose body contains NO regex
+  * metacharacter rewrite (any of `\.[]{}()*+?^$|` in the body
+  * disqualifies — no attempt to interpret escapes), so the rewrite is
+  * exactly the identity on match semantics, including NULL handling
+  * (both sides are null-intolerant binary string predicates) and the
+  * empty pattern (`contains(x, '')` ≡ `x RLIKE ''` — true for every
+  * non-null row).
   *
   * Registered with `SparkSessionExtensions.injectOptimizerRule` (the
   * config path) and `spark.experimental.extraOptimizations` (the
@@ -44,15 +49,13 @@ object RegexPrefixRewrite extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case r @ RLike(left, Literal(p: UTF8String, StringType)) =>
         val s = p.toString
-        val anchoredStart = s.startsWith("^")
-        val anchoredEnd = s.endsWith("$")
-        val body = s.stripPrefix("^").stripSuffix("$")
-        if (!literalOnly(body)) r
-        else (anchoredStart, anchoredEnd) match {
-          case (true, true) => EqualTo(left, Literal(body))
-          case (true, false) => StartsWith(left, Literal(body))
-          case (false, true) => EndsWith(left, Literal(body))
-          case (false, false) => Contains(left, Literal(body))
+        if (s.endsWith("$")) r // '$' matches before a final \n — unsafe
+        else {
+          val anchoredStart = s.startsWith("^")
+          val body = s.stripPrefix("^")
+          if (!literalOnly(body)) r
+          else if (anchoredStart) StartsWith(left, Literal(body))
+          else Contains(left, Literal(body))
         }
     }
 }

@@ -306,7 +306,8 @@ object ClassicQueries {
 
     // TPC-H Q10 shape (returned-item reporting): the customers who
     // returned the most revenue in a quarter — returns join orders join
-    // customer, nation broadcast, top-20 under a TOTAL (revenue desc,
+    // customer (nation denormalized to the raw key; the fixture carries
+    // no n_name need here), top-20 under a TOTAL (revenue desc,
     // custkey) order so the cut line is deterministic.
     "q49_returned_items" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").where(col("l_returnflag") === "R")

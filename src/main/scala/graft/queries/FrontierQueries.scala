@@ -26,11 +26,14 @@ object FrontierQueries {
     Tables.rebalanceForCompute(t(s, dir, name))
 
   /** The sparse supplier-scoped part co-purchase edge list shared by the
-    * community / degree queries (canonical `id_a < id_b`, dedup'd):
-    * parts are linked when the same supplier ships both within one
-    * order, 1-in-2 part subsample — the graph that fragments into
-    * ~150 components at sf0.01 (same construction as
-    * `graph_components`, one scan + one shuffle).
+    * community / degree queries: parts are linked when the same supplier
+    * ships both within one order, 1-in-2 part subsample — the graph that
+    * fragments into ~150 components at sf0.01 (same construction as
+    * `graph_components`, one scan + one shuffle). Pairs satisfy
+    * `src < dst` and are deduplicated WITHIN each (order, supplier)
+    * group only — the same edge recurs once per group containing both
+    * parts, so consumers must `distinct()` (every graph operator here
+    * canonicalizes internally).
     */
   private def partEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -54,6 +57,29 @@ object FrontierQueries {
       |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
       |      FROM li a JOIN li b
       |        ON a.ok = b.ok AND a.sk = b.sk AND a.pk < b.pk)""".stripMargin
+
+  /** The rank-selection scaffold shared by `metrics_latency_pcts` and
+    * `metrics_winsorize`: events as (event_type, event_id, cents) with
+    * each row's per-type rank under the TOTAL (cents, event_id) order
+    * (`rn`) and the type's row count (`n`).
+    */
+  private def rankedEventCents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    ev.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("cents"), col("event_id"))))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+  }
+
+  /** Aggregate picking the cents value at rank ceil(num·n/den) of the
+    * per-type sort — the exact (no-interpolation) percentile selector.
+    */
+  private def rankPick(num: Int, den: Int): org.apache.spark.sql.Column =
+    max(when(col("rn") === expr(s"($num * n + ${den - 1}) div $den"),
+      col("cents")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -174,25 +200,13 @@ object FrontierQueries {
     // exact-answer budget: one per-key sort; the fixed-grid
     // sketch_quantile family is the documented approximation for when
     // a 100 TB key won't sort.
-    "metrics_latency_pcts" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("event_type"),
-        col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"))
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("cents"), col("event_id"))
-      val ranked = ev
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      ranked.groupBy("event_type")
+    "metrics_latency_pcts" -> ((s, dir) =>
+      rankedEventCents(s, dir).groupBy("event_type")
         .agg(max(col("n")).as("n"),
-          max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
-            .as("p50_cents"),
-          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
-            .as("p90_cents"),
-          max(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents")))
-            .as("p99_cents"))
-        .orderBy("event_type")
-    }),
+          rankPick(1, 2).as("p50_cents"),
+          rankPick(9, 10).as("p90_cents"),
+          rankPick(99, 100).as("p99_cents"))
+        .orderBy("event_type")),
 
     // Vocabulary growth: new-to-the-corpus tokens per doc_id bucket of
     // 100 (first-seen bucket is a per-token min — no cumulative-distinct
@@ -352,16 +366,18 @@ object FrontierQueries {
           sum(col("y") * col("y")).as("syy"),
           sum(col("x") * col("y")).as("sxy"))
         .select(col("n_pairs"),
-          // each variance term fits a long; their PRODUCT does not —
-          // cast to double before multiplying (identically in the
-          // oracle, so the float path is the same expression tree)
-          round(
-            (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
-              .cast("double") /
-              sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
-                .cast("double") *
-                (col("n_pairs") * col("syy") - col("sy") * col("sy"))
-                  .cast("double")), 6).as("assortativity"))
+          // moment PRODUCTS (n·sxy, sx·sy, …) overflow 64-bit integers
+          // on large graphs even though each moment fits — every
+          // multiplication happens in double, with the identical
+          // expression tree in the oracle so the float path matches
+          round({
+            def d(c: org.apache.spark.sql.Column) = c.cast("double")
+            (d(col("n_pairs")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+              sqrt((d(col("n_pairs")) * d(col("sxx")) -
+                d(col("sx")) * d(col("sx"))) *
+                (d(col("n_pairs")) * d(col("syy")) -
+                  d(col("sy")) * d(col("sy"))))
+          }, 6).as("assortativity"))
     }),
 
     // RFM customer segmentation: recency (days since last order at the
@@ -462,21 +478,13 @@ object FrontierQueries {
     // clipped mean — the robust-mean preprocessing step, sharing the
     // exact-percentile machinery of metrics_latency_pcts.
     "metrics_winsorize" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("event_type"),
-        col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"))
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("cents"), col("event_id"))
-      val ranked = ev
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val ranked = rankedEventCents(s, dir)
       val pcts = ranked.groupBy("event_type")
         .agg(max(col("n")).as("n"),
-          max(when(col("rn") === expr("(n + 19) div 20"), col("cents")))
-            .as("p05_cents"),
-          max(when(col("rn") === expr("(19 * n + 19) div 20"), col("cents")))
-            .as("p95_cents"))
-      ev.join(broadcast(pcts), Seq("event_type"))
+          rankPick(1, 20).as("p05_cents"),
+          rankPick(19, 20).as("p95_cents"))
+      ranked.select("event_type", "cents")
+        .join(broadcast(pcts), Seq("event_type"))
         .select(col("event_type"), col("n"), col("p05_cents"),
           col("p95_cents"),
           greatest(least(col("cents"), col("p95_cents")), col("p05_cents"))
@@ -530,14 +538,9 @@ object FrontierQueries {
             "transform(slice(ps, i + 2, size(ps)), " +
             "y -> struct(x AS src, y AS dst))))")).as("p"))
         .select(col("p.src"), col("p.dst"))
-      val und = edges.select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = und.select(col("u").as("node"))
-        .unionAll(und.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      Graph.triangleCounts(und, "u", "v")
-        .join(deg, Seq("node"))
+      // triangleCountsWithDeg canonicalizes edges and aggregates
+      // degrees ONCE internally — no second edge build out here.
+      Graph.triangleCountsWithDeg(edges, "src", "dst")
         .select(col("node"), col("deg"), col("n_triangles"),
           when(col("deg") >= 2,
             expr("(2 * n_triangles * 1000000) div (deg * (deg - 1))"))
@@ -885,10 +888,10 @@ object FrontierQueries {
          |    sum(y*y)::BIGINT AS syy, sum(x*y)::BIGINT AS sxy
          |  FROM p)
          |SELECT n_pairs,
-         |  round(CAST(n_pairs*sxy - sx*sy AS DOUBLE) /
-         |    sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE) *
-         |         CAST(n_pairs*syy - sy*sy AS DOUBLE)), 6)
-         |    AS assortativity
+         |  round((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+         |    sqrt((n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+         |         (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+         |    6) AS assortativity
          |FROM m""".stripMargin,
 
     "customer_rfm" ->

@@ -61,18 +61,20 @@ class GraftExtensionsSpec extends SparkSpec {
     def optimized(pattern: String): String =
       df.where(col("s").rlike(pattern)).queryExecution.optimizedPlan.toString
 
-    // ^lit → StartsWith, lit$ → EndsWith, ^lit$ → =, lit → Contains
+    // ^lit → StartsWith, lit → Contains
     assert(optimized("^Brand#1").contains("StartsWith") &&
       !optimized("^Brand#1").contains("RLIKE"))
-    assert(optimized("#1x$").contains("EndsWith"))
-    assert(optimized("^Brand#1$").contains("= Brand#1"))
     assert(optimized("and#").contains("Contains"))
     // metacharacters must NOT rewrite — semantics would change
     assert(optimized("^Brand#[0-9]").contains("RLIKE"))
     assert(optimized("^Brand#1+").contains("RLIKE"))
+    // '$'-anchored patterns must NOT rewrite: Java '$' matches before a
+    // final line terminator, endswith/= do not ("abc$" matches "abc\n")
+    assert(optimized("#1x$").contains("RLIKE"))
+    assert(optimized("^Brand#1$").contains("RLIKE"))
 
     // results identical to the un-rewritten regex on every shape
-    for (p <- Seq("^Brand#1", "#1x$", "^Brand#1$", "and#", "")) {
+    for (p <- Seq("^Brand#1", "and#", "")) {
       val got = df.where(col("s").rlike(p)).as[String].collect().toSet
       val expected = df.as[String].collect()
         .filter(s => java.util.regex.Pattern.compile(p).matcher(s).find())
