@@ -583,6 +583,67 @@ object FrontierQueries {
         .orderBy("cluster_size")
     }),
 
+    // Skip-gram training pairs with deterministic negative sampling —
+    // the word2vec/contrastive data-prep step: (center, context)
+    // co-occurrence pairs from ±2 token windows, each distinct pair
+    // carrying 2 hash-picked negatives from the ranked vocabulary.
+    // The window self-join keys on doc_id (hash-distributed) with the
+    // |Δpos| ≤ 2 band as a residual predicate — never a token-level
+    // product; negatives index the vocab by md5-derived position, so
+    // the "random" draw replays exactly in SQL. Top-100 pairs under a
+    // total (count desc, center, context) order bound the output.
+    "sample_skipgram_negatives" -> ((s, dir) => {
+      val toks = tc(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Ranked vocabulary (alphabetical, 1-based) — the negative pool.
+      // The rank window runs over the VOCABULARY, not the corpus.
+      val vocab = toks.select(col("tok").as("v_tok")).distinct()
+        .withColumn("v_idx", row_number().over(Window.orderBy("v_tok")))
+      val nVocab = broadcast(vocab.agg(count(lit(1)).as("n_vocab")))
+      val a = toks.select(col("doc_id"), col("pos").as("pa"),
+        col("tok").as("center"))
+      val b = toks.select(col("doc_id"), col("pos").as("pb"),
+        col("tok").as("context"))
+      val pairs = a.join(b, Seq("doc_id"))
+        .where(col("pa") =!= col("pb") &&
+          abs(col("pa") - col("pb")) <= 2)
+        .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("center"), col("context"))
+        .limit(100)
+      // Deterministic negatives: vocab[h60(center|context|i) mod V] + 1.
+      def negIdx(i: Int) = pmod(TextOps.md5Hash60(
+        concat_ws("|", col("center"), col("context"), lit(i.toString))),
+        col("n_vocab")) + 1
+      pairs.crossJoin(nVocab)
+        .withColumn("i1", negIdx(1)).withColumn("i2", negIdx(2))
+        .join(broadcast(vocab.select(col("v_idx").as("i1"),
+          col("v_tok").as("neg1"))), Seq("i1"))
+        .join(broadcast(vocab.select(col("v_idx").as("i2"),
+          col("v_tok").as("neg2"))), Seq("i2"))
+        .select("center", "context", "n_pairs", "neg1", "neg2")
+        .orderBy(col("n_pairs").desc, col("center"), col("context"))
+    }),
+
+    // Per-user daily quota audit: events beyond the first 5 of each
+    // (user, day) under the total (ts, event_id) arrival order — the
+    // rate-limit / abuse-throttle accounting view. Streaming-natively
+    // this is one counter per (user, day) with a day's TTL (the
+    // gap-alert state shape); batch is a single windowed rank.
+    "user_daily_quota" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        to_date(col("ts")).as("day"), col("ts"), col("event_id"))
+      val w = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("rn", row_number().over(w))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("rn") > 5, 1L).otherwise(0L)).as("n_over_quota"))
+        .where(col("n_over_quota") > 0)
+        .orderBy("user_id", "day")
+    }),
+
     // Zipf power-law fit of the token frequency-of-frequencies: least-
     // squares slope over (log2 count, log2 #tokens-with-count) integer
     // bins — exact moments, one double ratio (metrics_trend's
@@ -1082,6 +1143,48 @@ object FrontierQueries {
          |          FROM lab GROUP BY 1)
          |SELECT cluster_size, count(*)::BIGINT AS n_clusters
          |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    "sample_skipgram_negatives" -> {
+      val toks = ExtensionQueries.toksSql
+      def neg(i: Int) =
+        "(" + ExtensionQueries.md5Hash60Sql(
+          s"center || '|' || context || '|' || '$i'") + " % n_vocab) + 1"
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok,
+         |    (generate_subscripts($toks, 1) - 1)::BIGINT AS pos
+         |  FROM documents),
+         |vocab AS (SELECT tok AS v_tok, row_number() OVER (ORDER BY tok)
+         |    AS v_idx
+         |  FROM (SELECT DISTINCT tok FROM tk) d),
+         |nv AS (SELECT count(*)::BIGINT AS n_vocab FROM vocab),
+         |pr AS (SELECT a.tok AS center, b.tok AS context,
+         |    count(*)::BIGINT AS n_pairs
+         |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+         |    AND a.pos != b.pos AND abs(a.pos - b.pos) <= 2
+         |  GROUP BY 1, 2
+         |  ORDER BY n_pairs DESC, center, context LIMIT 100),
+         |ni AS (SELECT center, context, n_pairs,
+         |    ${neg(1)} AS i1, ${neg(2)} AS i2
+         |  FROM pr CROSS JOIN nv)
+         |SELECT center, context, n_pairs, v1.v_tok AS neg1,
+         |  v2.v_tok AS neg2
+         |FROM ni JOIN vocab v1 ON ni.i1 = v1.v_idx
+         |JOIN vocab v2 ON ni.i2 = v2.v_idx
+         |ORDER BY n_pairs DESC, center, context""".stripMargin
+    },
+
+    "user_daily_quota" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(ts AS TIMESTAMP)::DATE AS day,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |r AS (SELECT user_id, day,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM ev)
+        |SELECT user_id, day, count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN rn > 5 THEN 1 ELSE 0 END)::BIGINT AS n_over_quota
+        |FROM r GROUP BY 1, 2
+        |HAVING sum(CASE WHEN rn > 5 THEN 1 ELSE 0 END) > 0
+        |ORDER BY user_id, day""".stripMargin,
 
     "text_zipf_slope" -> {
       val toks = ExtensionQueries.toksSql
