@@ -377,6 +377,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pca power sweep: component table broadcasts, no cartesian on data") {
+    // truncateLineage=false: the lazy per-sweep checkpoint collapses the
+    // sweep body to an RDD leaf, hiding the joins this test inspects
+    // (production keeps the cut — same caveat as the pagerank test).
+    val df = graft.operators.Pca.dominantComponent(
+      graft.sources.Tables.load(spark, sf001, "embeddings"),
+      "vec_id", "embedding", dim = 64, iterations = 2,
+      truncateLineage = false)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastExchange"),
+      "the d-row component table must broadcast into each sweep")
+    assert(!p.contains("CartesianProduct"),
+      "only the 1-row renorm may cross-join (BNLJ), never the data side")
+    assert(p.contains("HashAggregate"), "dot/sum aggregations are hash-based")
+  }
+
+  test("skip-gram pairs: doc-keyed join with the window band as residual") {
+    val df = graft.queries.FrontierQueries
+      .queries("sample_skipgram_negatives")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must join on doc_id, not enumerate token products")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "the window self-join must key on doc_id")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-100 cut must be a bounded global top-k, not a full sort")
+  }
+
   test("html_extract: one codegen'd projection chain, no UDF, no join") {
     val df = graft.queries.ExtensionQueries
       .queries("html_extract")(spark, sf001)
