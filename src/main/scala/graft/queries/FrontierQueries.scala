@@ -644,6 +644,47 @@ object FrontierQueries {
         .orderBy("user_id", "day")
     }),
 
+    // Open-order backlog aging: orders still 'O' bucketed by 30-day
+    // age bands against the snapshot's max order date — the AR-aging /
+    // fulfillment-debt report. Age arithmetic in exact epoch micros;
+    // one scan + one broadcast reference date.
+    "orders_backlog_aging" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val ref = broadcast(o.agg(max(unix_micros(col("o_orderdate")))
+        .as("ref_us")))
+      o.where(col("o_orderstatus") === "O")
+        .crossJoin(ref)
+        .select(expr(
+          "((ref_us - unix_micros(o_orderdate)) div 86400000000) div 30")
+          .as("age_bucket_30d"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("age_bucket_30d")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("open_cents"))
+        .orderBy("age_bucket_30d")
+    }),
+
+    // Supplier revenue concentration (Herfindahl index, ppm): Σ share²
+    // over suppliers — the single-source-risk diagnostic. Per-supplier
+    // cents are exact integers; squares overflow 64-bit, so Σcᵢ² runs
+    // in exact DECIMAL(38) (order-free) and ONE final double division
+    // produces the index — identical expression tree in the oracle.
+    "supplier_concentration_hhi" -> ((s, dir) => {
+      val perSupp = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long").as("lc"))
+        .groupBy("l_suppkey").agg(sum(col("lc")).as("cents"))
+      val c = col("cents").cast("decimal(19,0)")
+      perSupp
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("cents")).as("total_cents"),
+          sum(c * c).as("__sumsq"))
+        .select(col("n_suppliers"), col("total_cents"),
+          round(col("__sumsq").cast("double") /
+            (col("total_cents").cast("double") *
+              col("total_cents").cast("double")) * 1000000, 2).as("hhi_ppm"))
+    }),
+
     // Zipf power-law fit of the token frequency-of-frequencies: least-
     // squares slope over (log2 count, log2 #tokens-with-count) integer
     // bins — exact moments, one double ratio (metrics_trend's
@@ -1185,6 +1226,33 @@ object FrontierQueries {
         |FROM r GROUP BY 1, 2
         |HAVING sum(CASE WHEN rn > 5 THEN 1 ELSE 0 END) > 0
         |ORDER BY user_id, day""".stripMargin,
+
+    "orders_backlog_aging" ->
+      """WITH ref AS (SELECT max(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+        |    ::BIGINT AS ref_us FROM orders)
+        |SELECT ((ref_us - epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+        |    // 86400000000 // 30)::BIGINT AS age_bucket_30d,
+        |  count(*)::BIGINT AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |    AS open_cents
+        |FROM orders CROSS JOIN ref
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY 1 ORDER BY age_bucket_30d""".stripMargin,
+
+    "supplier_concentration_hhi" ->
+      """WITH ps AS (SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT))::BIGINT AS cents
+        |  FROM lineitem GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n_suppliers,
+        |    sum(cents)::BIGINT AS total_cents,
+        |    sum(cents::HUGEINT * cents::HUGEINT) AS sumsq
+        |  FROM ps)
+        |SELECT n_suppliers, total_cents,
+        |  round(sumsq::DOUBLE /
+        |    (total_cents::DOUBLE * total_cents::DOUBLE) * 1000000, 2)
+        |    AS hhi_ppm
+        |FROM a""".stripMargin,
 
     "text_zipf_slope" -> {
       val toks = ExtensionQueries.toksSql
