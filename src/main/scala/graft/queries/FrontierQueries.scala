@@ -382,12 +382,19 @@ object FrontierQueries {
 
     // RFM customer segmentation: recency (days since last order at the
     // snapshot's max date), frequency (orders), monetary (exact cents),
-    // each quartiled by ntile(4) under a TOTAL order (metric, custkey) —
-    // deterministic bucket membership in both engines. The window runs
-    // over the customer DIMENSION (compact by definition), not the
-    // fact table.
+    // each quartiled under a TOTAL order (metric, custkey) —
+    // deterministic bucket membership in both engines.
+    //
+    // Scale shape: the textbook `ntile(4) OVER (ORDER BY …)` is a
+    // single-partition window over every customer — billions of rows
+    // at corpus scale. Instead each metric gets a bucketed global rank
+    // (adaptive range buckets from one broadcast min/max aggregate,
+    // Ranks.bucketedRowNumber) and the quartile is reconstructed
+    // EXACTLY from (rank, count) by Ranks.ntileFromRank — identical
+    // tile membership, no data-sized single-partition window. The
+    // three metric ranks are three hash-distributed bucket windows.
     "customer_rfm" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Ranks
       val perCust = t(s, dir, "orders")
         .groupBy(col("o_custkey").as("custkey"))
         .agg(max(unix_micros(col("o_orderdate"))).as("last_us"),
@@ -398,15 +405,36 @@ object FrontierQueries {
       val scored = perCust.crossJoin(ref)
         .select(col("custkey"), col("n_orders"), col("monetary_cents"),
           expr("(ref_us - last_us) div 86400000000").as("recency_days"))
-      scored
-        .withColumn("r_q", ntile(4).over(
-          Window.orderBy(col("recency_days"), col("custkey"))))
-        .withColumn("f_q", ntile(4).over(
-          Window.orderBy(col("n_orders").desc, col("custkey"))))
-        .withColumn("m_q", ntile(4).over(
-          Window.orderBy(col("monetary_cents").desc, col("custkey"))))
+      // One pass for every range bound + the ntile row count.
+      val stats = broadcast(scored.agg(count(lit(1)).as("__n"),
+        min("recency_days").as("__rlo"), max("recency_days").as("__rhi"),
+        min("n_orders").as("__flo"), max("n_orders").as("__fhi"),
+        min("monetary_cents").as("__mlo"),
+        max("monetary_cents").as("__mhi")))
+      val st = scored.crossJoin(stats)
+      val rk1 = Ranks.bucketedRowNumber(st,
+        Ranks.rangeBucket(col("recency_days"), col("__rlo"), col("__rhi"),
+          4096),
+        Seq(col("recency_days"), col("custkey")), "__r_rank")
+      val rk2 = Ranks.bucketedRowNumber(rk1,
+        Ranks.rangeBucket(-col("n_orders"), -col("__fhi"), -col("__flo"),
+          4096),
+        Seq(col("n_orders").desc, col("custkey")), "__f_rank")
+      val rk3 = Ranks.bucketedRowNumber(rk2,
+        Ranks.rangeBucket(-col("monetary_cents"), -col("__mhi"),
+          -col("__mlo"), 4096),
+        Seq(col("monetary_cents").desc, col("custkey")), "__m_rank")
+      rk3
+        .withColumn("r_q",
+          Ranks.ntileFromRank(col("__r_rank"), col("__n"), 4))
+        .withColumn("f_q",
+          Ranks.ntileFromRank(col("__f_rank"), col("__n"), 4))
+        .withColumn("m_q",
+          Ranks.ntileFromRank(col("__m_rank"), col("__n"), 4))
         .withColumn("rfm",
           (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("int"))
+        .select("custkey", "n_orders", "monetary_cents", "recency_days",
+          "r_q", "f_q", "m_q", "rfm")
         .orderBy("custkey")
     }),
 
@@ -550,20 +578,32 @@ object FrontierQueries {
 
     // ABC (Pareto) part classification by exact-cents revenue:
     // cumulative-share class A ≤80%, B ≤95%, C rest, under a total
-    // (cents desc, partkey) order. The cumulative window runs over the
-    // PART DIMENSION (compact by definition), integer tests only —
-    // the inventory-policy / storage-tiering classic.
+    // (cents desc, partkey) order, integer tests only — the
+    // inventory-policy / storage-tiering classic.
+    //
+    // Scale shape: the textbook cumulative window
+    // (`sum(cents) OVER (ORDER BY cents DESC, partkey)`) collapses
+    // every part into one task — billions of parts at corpus scale.
+    // Instead the running sum decomposes over adaptive revenue-range
+    // buckets (Ranks.bucketedRunningSum, the Skyline.frontier2d
+    // two-level pattern): per-bucket partials prefix-summed over a
+    // ≤4k-row frame + a within-bucket window hash-partitioned by
+    // bucket. Same cum_cents, no data-sized single-partition window.
     "orders_abc_analysis" -> ((s, dir) => {
+      import graft.operators.Ranks
       val perPart = t(s, dir, "lineitem")
         .select(col("l_partkey"),
           round(col("l_extendedprice") * (lit(1) - col("l_discount"))
             * 100).cast("long").as("lc"))
         .groupBy("l_partkey").agg(sum(col("lc")).as("cents"))
-      val tot = broadcast(perPart.agg(sum(col("cents")).as("total")))
-      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      perPart.withColumn("cum_cents", sum(col("cents")).over(w))
-        .crossJoin(tot)
+      val tot = broadcast(perPart.agg(sum(col("cents")).as("total"),
+        min(col("cents")).as("__clo"), max(col("cents")).as("__chi")))
+      val cum = Ranks.bucketedRunningSum(perPart.crossJoin(tot),
+        col("cents"),
+        Ranks.rangeBucket(-col("cents"), -col("__chi"), -col("__clo"),
+          4096),
+        Seq(col("cents").desc, col("l_partkey")), "cum_cents")
+      cum
         .select(col("l_partkey"), col("cents"), col("cum_cents"),
           when(col("cum_cents") * 100 <= col("total") * 80, "A")
             .when(col("cum_cents") * 100 <= col("total") * 95, "B")
@@ -592,15 +632,23 @@ object FrontierQueries {
     // product; negatives index the vocab by md5-derived position, so
     // the "random" draw replays exactly in SQL. Top-100 pairs under a
     // total (count desc, center, context) order bound the output.
+    //
+    // Scale shape: the alphabetical vocab rank is a BUCKETED global
+    // row_number (3-char-prefix buckets — an order-preserving range
+    // prefix of the sort key, Ranks.bucketedRowNumber), never a
+    // single-partition window over an unbounded vocabulary; and the
+    // vocabulary is JOINED, not broadcast — only the 100-row pair side
+    // is small (AQE broadcasts that side at runtime on its own).
     "sample_skipgram_negatives" -> ((s, dir) => {
+      import graft.operators.Ranks
       val toks = tc(s, dir, "documents")
         .select(col("doc_id"), posexplode(TextOps.tokens(col("text")))
           .as(Seq("pos", "tok")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Ranked vocabulary (alphabetical, 1-based) — the negative pool.
-      // The rank window runs over the VOCABULARY, not the corpus.
-      val vocab = toks.select(col("tok").as("v_tok")).distinct()
-        .withColumn("v_idx", row_number().over(Window.orderBy("v_tok")))
+      val vocab = Ranks.bucketedRowNumber(
+        toks.select(col("tok").as("v_tok")).distinct(),
+        substring(col("v_tok"), 1, 3), Seq(col("v_tok")), "v_idx")
       val nVocab = broadcast(vocab.agg(count(lit(1)).as("n_vocab")))
       val a = toks.select(col("doc_id"), col("pos").as("pa"),
         col("tok").as("center"))
@@ -618,10 +666,10 @@ object FrontierQueries {
         col("n_vocab")) + 1
       pairs.crossJoin(nVocab)
         .withColumn("i1", negIdx(1)).withColumn("i2", negIdx(2))
-        .join(broadcast(vocab.select(col("v_idx").as("i1"),
-          col("v_tok").as("neg1"))), Seq("i1"))
-        .join(broadcast(vocab.select(col("v_idx").as("i2"),
-          col("v_tok").as("neg2"))), Seq("i2"))
+        .join(vocab.select(col("v_idx").as("i1"),
+          col("v_tok").as("neg1")), Seq("i1"))
+        .join(vocab.select(col("v_idx").as("i2"),
+          col("v_tok").as("neg2")), Seq("i2"))
         .select("center", "context", "n_pairs", "neg1", "neg2")
         .orderBy(col("n_pairs").desc, col("center"), col("context"))
     }),

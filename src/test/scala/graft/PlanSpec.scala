@@ -420,6 +420,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), "no aggregation belongs here")
   }
 
+  test("rfm/abc/skipgram: global windows only over per-bucket frames") {
+    // The r04 verdict's three scale-killers: each used a single-
+    // partition window (ntile / cumulative sum / vocab rank) over an
+    // unbounded dimension. After the Ranks decomposition, the ONLY
+    // empty-partition WindowExec allowed in these plans is the tiny
+    // per-bucket prefix window — recognizable because it orders on a
+    // `__graft_rk_b*` bucket column (input ≤ #buckets rows by
+    // construction) — and each plan must also contain the
+    // hash-distributed within-bucket window.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for ((reg, name) <- Seq(
+        (graft.queries.FrontierQueries.queries, "customer_rfm"),
+        (graft.queries.FrontierQueries.queries, "orders_abc_analysis"),
+        (graft.queries.FrontierQueries.queries,
+          "sample_skipgram_negatives"))) {
+      val df = reg(name)(spark, sf001)
+      val wins = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec => w
+      }
+      val global = wins.filter(_.partitionSpec.isEmpty)
+      assert(global.nonEmpty && wins.exists(_.partitionSpec.nonEmpty),
+        s"$name: expected bucket-offset + within-bucket window pair")
+      global.foreach { w =>
+        val ordCols = w.orderSpec.flatMap(_.child.references.map(_.name))
+        assert(ordCols.forall(_.startsWith("__graft_rk_b")),
+          s"$name: unpartitioned window over non-bucket frame " +
+            s"(order: ${ordCols.mkString(",")}) — single-task at scale")
+      }
+    }
+  }
+
   test("row hash stays inside whole-stage codegen") {
     // AQE's pre-execution explain omits codegen markers; check the
     // non-adaptive executed plan, where a codegen'd Project prints as
