@@ -29,6 +29,13 @@ object Coreset {
   /** The k greedy centers as (rank, id, radius_sq) — `radius_sq` is
     * the picked point's distance² to the previously chosen set (the
     * coverage radius achieved BEFORE this pick; 0 for the seed).
+    *
+    * The input must be NON-EMPTY (there is no seed otherwise —
+    * enforced with a clear error). If the corpus is exhausted before
+    * k picks — fewer than k distinct vectors, so the farthest
+    * remaining point sits at distance 0 — the trajectory SHORT-
+    * CIRCUITS and returns the < k centers that already cover every
+    * point exactly, rather than silently re-picking covered points.
     */
   def kCenters(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
@@ -47,20 +54,32 @@ object Coreset {
         lit(0L), (acc, x) => acc + x)
     }
 
-    val seed = q.orderBy("id").select("id", "u").as[(Long, Seq[Long])]
-      .head()
+    val seedRows = q.orderBy("id").select("id", "u")
+      .as[(Long, Seq[Long])].take(1)
+    require(seedRows.nonEmpty,
+      "kCenters: input table is empty — no seed point to start from")
+    val seed = seedRows.head
     val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
       (1, seed._1, 0L))
     var state = q.select(col("id"), col("u"), d2(seed._2).as("mind"))
-    for (r <- 2 to k) {
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
       // engine-wide lineage-cut policy (reliable checkpoint storage
       // when a checkpoint dir exists — executor-loss-safe on clusters)
       state = graft.sources.Tables.cutLineage(state)
       val next = state.orderBy(col("mind").desc, col("id"))
         .select("id", "u", "mind").as[(Long, Seq[Long], Long)].head()
-      picked += ((r, next._1, next._3))
-      state = state.select(col("id"), col("u"),
-        least(col("mind"), d2(next._2)).as("mind"))
+      if (next._3 == 0L) {
+        // max min-distance is 0: every point coincides with a picked
+        // center — further picks would be duplicates with radius 0.
+        exhausted = true
+      } else {
+        picked += ((r, next._1, next._3))
+        state = state.select(col("id"), col("u"),
+          least(col("mind"), d2(next._2)).as("mind"))
+        r += 1
+      }
     }
     picked.toSeq.toDF("rank", "id", "radius_sq")
   }

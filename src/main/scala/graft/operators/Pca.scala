@@ -51,6 +51,17 @@ object Pca {
     * (pos, w_fp) at 2²⁰ fixed-point scale, starting from the all-ones
     * vector (deterministic sign convention).
     *
+    * Operating bound — the per-dimension sum `s_d = Σ_i u_id·c_i`
+    * grows LINEARLY with the corpus: each term is ≤ |v|²·2⁴⁰ (u and c
+    * both at 2²⁰ scale), so exactness requires
+    * `n · max|v|² · 2⁴⁰ < 2⁶³`, i.e. ≈ 8.3M vectors for unit-normalized
+    * embeddings (|v| ≤ 1). Beyond that the long sum overflows — Spark
+    * wraps silently in non-ANSI mode while the SQL oracle errors — so
+    * past the bound shard the corpus (the component of a uniform
+    * shard estimates the full-corpus component; power iteration only
+    * needs the Gram matrix direction, which concentrates) or widen the
+    * accumulator to decimal at ~3× aggregation cost.
+    *
     * @param df  table with `idCol` and an array<float> `vecCol`
     * @param dim the (fixed, known) embedding dimensionality
     */

@@ -30,10 +30,9 @@ object FrontierQueries {
     * ships both within one order, 1-in-2 part subsample — the graph that
     * fragments into ~150 components at sf0.01 (same construction as
     * `graph_components`, one scan + one shuffle). Pairs satisfy
-    * `src < dst` and are deduplicated WITHIN each (order, supplier)
-    * group only — the same edge recurs once per group containing both
-    * parts, so consumers must `distinct()` (every graph operator here
-    * canonicalizes internally).
+    * `src < dst` and are globally DISTINCT — matching the paired
+    * [[partEdgesSql]] CTE `e` exactly, so a consumer may pair the two
+    * directly (e.g. count edges) without its own canonicalization.
     */
   private def partEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -47,6 +46,7 @@ object FrontierQueries {
           "transform(slice(ps, i + 2, size(ps)), " +
           "y -> struct(x AS src, y AS dst))))")).as("p"))
       .select(col("p.src"), col("p.dst"))
+      .distinct()
   }
 
   /** Shared SQL for [[partEdges]]: canonical `u < v` distinct pairs. */
@@ -504,7 +504,11 @@ object FrontierQueries {
     // Winsorized event values: per type, clamp at the rank-selected
     // p05/p95 (value at ceil(q·n) — integer-exact) and report the
     // clipped mean — the robust-mean preprocessing step, sharing the
-    // exact-percentile machinery of metrics_latency_pcts.
+    // exact-percentile machinery of metrics_latency_pcts. The mean
+    // divides through Pca.tdivSql (sign·(|x| div n)) so a NEGATIVE
+    // clamped sum — possible with refund-style negative event values —
+    // truncates identically in both engines (bare `div` vs `//`
+    // disagree on negatives).
     "metrics_winsorize" -> ((s, dir) => {
       val ranked = rankedEventCents(s, dir)
       val pcts = ranked.groupBy("event_type")
@@ -518,7 +522,8 @@ object FrontierQueries {
           greatest(least(col("cents"), col("p95_cents")), col("p05_cents"))
             .as("clamped"))
         .groupBy("event_type", "n", "p05_cents", "p95_cents")
-        .agg(expr("sum(clamped) div max(n)").as("wins_mean_cents"))
+        .agg(expr(graft.operators.Pca.tdivSql("sum(clamped)", "max(n)"))
+          .as("wins_mean_cents"))
         .orderBy("event_type")
     }),
 
@@ -1124,7 +1129,7 @@ object FrontierQueries {
          |FROM rows_""".stripMargin,
 
     "metrics_winsorize" ->
-      """WITH ev AS (SELECT event_type, event_id,
+      s"""WITH ev AS (SELECT event_type, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
         |r AS (SELECT event_type, cents,
         |    row_number() OVER (PARTITION BY event_type
@@ -1138,8 +1143,9 @@ object FrontierQueries {
         |      AS p95_cents
         |  FROM r GROUP BY event_type)
         |SELECT ev.event_type, p.n, p.p05_cents, p.p95_cents,
-        |  (sum(greatest(least(ev.cents, p.p95_cents), p.p05_cents))
-        |    // max(p.n))::BIGINT AS wins_mean_cents
+        |  ${graft.operators.Pca.tdivSql(
+             "sum(greatest(least(ev.cents, p.p95_cents), p.p05_cents))",
+             "max(p.n)", "//")}::BIGINT AS wins_mean_cents
         |FROM ev JOIN p USING (event_type)
         |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
 

@@ -506,11 +506,14 @@ object StreamingPipeline {
     * shape (same family as [[runningTotalsStreaming]]): state is the
     * user's LAST event time only; each micro-batch sorts the user's new
     * events, chains them onto the stored last-seen, and emits every
-    * over-threshold gap. Correct whenever batches arrive in event-time
+    * over-threshold gap. Requires batches to arrive in event-time
     * order per key (single AvailableNow batch trivially; live
-    * deployments put a watermark-sorted stage upstream). Unlike the
-    * batch lag window there is no per-key sort of HISTORY — state never
-    * grows with stream length.
+    * deployments put a watermark-sorted stage upstream) — and the
+    * requirement is ENFORCED, not assumed: an event older than the
+    * stored last-seen is a cross-batch ordering violation that would
+    * silently emit wrong gaps, so the processor fails the query with a
+    * clear error instead. Unlike the batch lag window there is no
+    * per-key sort of HISTORY — state never grows with stream length.
     */
   def gapAlertsStreaming(spark: SparkSession, events: DataFrame,
       thresholdSeconds: Long): DataFrame = {
@@ -523,6 +526,12 @@ object StreamingPipeline {
           val sorted = rows.map(e => tsMicros(e.ts)).toIndexedSeq.sorted
           val out = scala.collection.mutable.ArrayBuffer.empty[GapAlert]
           var prev = state.getOption.map(_.last_us).getOrElse(Long.MinValue)
+          if (prev != Long.MinValue && sorted.nonEmpty && sorted.head < prev)
+            throw new IllegalStateException(
+              s"gapAlertsStreaming: out-of-order batch for user $user — " +
+                s"event at ${sorted.head}us precedes stored last-seen " +
+                s"${prev}us; the upstream must deliver per-key batches in " +
+                "event-time order (e.g. a watermark-sorted stage)")
           for (t <- sorted) {
             if (prev != Long.MinValue && t - prev > thresholdSeconds * 1000000L)
               out += GapAlert(user, t, prev, (t - prev) / 1000000L)

@@ -73,6 +73,55 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("gap alerts: cross-batch chaining works; out-of-order batch fails loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+    // in-order multi-batch: the gap spans the batch boundary and is
+    // measured against the STORED last-seen, not just within-batch
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val ev = in.toDF().toDF("user_id", "ts")
+    val out = StreamingPipeline.gapAlertsStreaming(spark, ev, 3600L)
+    val q = out.writeStream.format("memory").queryName("gap_mb")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, ts(100)), (1L, ts(200)))
+      q.processAllAvailable()
+      in.addData((1L, ts(10000))) // 9800s gap vs batch-1 tail
+      q.processAllAvailable()
+      val got = spark.table("gap_mb")
+        .select("user_id", "ts_us", "prev_ts_us", "gap_s")
+        .collect().map(_.toSeq).toSet
+      assert(got == Set(Seq(1L, 10000000000L, 200000000L, 9800L)))
+    } finally q.stop()
+
+    // out-of-order across batches: the documented contract violation
+    // must FAIL the query with the enforcement message, never emit
+    // silently-wrong gaps
+    val in2 = MemoryStream[(Long, java.sql.Timestamp)]
+    val ev2 = in2.toDF().toDF("user_id", "ts")
+    val out2 = StreamingPipeline.gapAlertsStreaming(spark, ev2, 3600L)
+    val q2 = out2.writeStream.format("memory").queryName("gap_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in2.addData((7L, ts(10000)))
+      q2.processAllAvailable()
+      in2.addData((7L, ts(100))) // older than stored last-seen
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+        q2.awaitTermination(30000)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("out-of-order batch")),
+        s"wrong failure: ${msgs(ex).mkString(" | ")}")
+    } finally q2.stop()
+  }
+
   test("watermarked tumbling agg: Append emits exactly the closed windows") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val events = Tables.load(spark, sf0001, "events")
