@@ -278,6 +278,210 @@ object Containers {
     synthBmp24(w1, h1, out)
   }
 
+  // --- real PNG pixel decode: DEFLATE is in the JDK -------------------
+  // PNG's "codec" is zlib (java.util.zip.Inflater) plus five per-row
+  // byte filters — no external library needed, unlike JPEG/MP4 whose
+  // codecs (DCT/entropy, H.26x) genuinely require one. Supported
+  // profile: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA),
+  // non-interlaced — the overwhelmingly common profile in web corpora.
+  // Everything else (16-bit, palette, Adam7) degrades to null.
+
+  /** Decode a PNG into logical top-down 3-bytes-per-pixel rows (R,G,B
+    * per pixel; grayscale replicated ×3, alpha dropped): concatenate
+    * the IDAT chunks, inflate, and reverse the per-row filter (None /
+    * Sub / Up / Average / Paeth). Null for anything outside the
+    * supported profile or with corrupt/truncated structure — same
+    * degrade-don't-throw posture as [[bmpPixelBytes]]. The inflated
+    * size is computed from the header BEFORE allocation and capped
+    * (2³⁰ bytes), so a forged-header "zip bomb" blob can neither OOM
+    * an executor nor loop the task.
+    */
+  def pngPixelBytes(b: Array[Byte]): Array[Byte] = {
+    if (!(b.length >= 41 && beU32(b, 0) == 0x89504e47L &&
+        beU32(b, 4) == 0x0d0a1a0aL)) return null
+    var off = 8L
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
+    var interlace = 0; var compression = 0; var filterMethod = 0
+    var sawIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (off + 8 <= b.length && !done) {
+      val i = off.toInt
+      val len = beU32(b, i) // unsigned
+      val tpe = ascii(b, i + 4, 4)
+      if (len > b.length - (i + 8)) return null // truncated chunk
+      tpe match {
+        case "IHDR" =>
+          if (len < 13) return null
+          w = beU32(b, i + 8).toInt; h = beU32(b, i + 12).toInt
+          bitDepth = u8(b, i + 16); colorType = u8(b, i + 17)
+          compression = u8(b, i + 18); filterMethod = u8(b, i + 19)
+          interlace = u8(b, i + 20); sawIhdr = true
+        case "IDAT" => idat.write(b, i + 8, len.toInt)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks (tEXt, pHYs, …) skip cleanly
+      }
+      off += 12L + len // len + type + data + crc
+    }
+    if (!sawIhdr || w <= 0 || h <= 0 || bitDepth != 8 ||
+        compression != 0 || filterMethod != 0 || interlace != 0) return null
+    val ch = colorType match {
+      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return null
+    }
+    val stride = w.toLong * ch
+    val rawLen = (stride + 1L) * h
+    if (rawLen > (1L << 30) || w.toLong * h * 3 > (1L << 30)) return null
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        got += n
+      }
+      if (got < raw.length) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    // Reverse the per-row filters. `prev` is the reconstructed row
+    // above (all zeros for row 0, per spec); `bpp` is the filter
+    // distance (whole pixels, = channels at 8-bit depth).
+    val strideI = stride.toInt
+    val bpp = ch
+    val out = new Array[Byte](w * h * 3)
+    val prev = new Array[Byte](strideI)
+    val cur = new Array[Byte](strideI)
+    var row = 0
+    while (row < h) {
+      val base = row * (strideI + 1)
+      val ft = u8(raw, base)
+      System.arraycopy(raw, base + 1, cur, 0, strideI)
+      (ft: @annotation.switch) match {
+        case 0 => ()
+        case 1 => // Sub: + byte bpp to the left
+          var x = bpp
+          while (x < strideI) { cur(x) = (cur(x) + cur(x - bpp)).toByte; x += 1 }
+        case 2 => // Up: + byte above
+          var x = 0
+          while (x < strideI) { cur(x) = (cur(x) + prev(x)).toByte; x += 1 }
+        case 3 => // Average: + floor((left + above) / 2)
+          var x = 0
+          while (x < strideI) {
+            val a = if (x >= bpp) u8(cur, x - bpp) else 0
+            cur(x) = (u8(cur, x) + ((a + u8(prev, x)) >> 1)).toByte
+            x += 1
+          }
+        case 4 => // Paeth: + nearest of (left, above, upper-left) to p=a+b-c
+          var x = 0
+          while (x < strideI) {
+            val a = if (x >= bpp) u8(cur, x - bpp) else 0
+            val up = u8(prev, x)
+            val c = if (x >= bpp) u8(prev, x - bpp) else 0
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            cur(x) = (u8(cur, x) + pred).toByte
+            x += 1
+          }
+        case _ => return null // invalid filter type
+      }
+      // emit as 3-byte pixels
+      var p = 0
+      while (p < w) {
+        val d = (row * w + p) * 3
+        ch match {
+          case 1 => val g = cur(p); out(d) = g; out(d + 1) = g; out(d + 2) = g
+          case 3 => out(d) = cur(3 * p); out(d + 1) = cur(3 * p + 1)
+            out(d + 2) = cur(3 * p + 2)
+          case _ => out(d) = cur(4 * p); out(d + 1) = cur(4 * p + 1)
+            out(d + 2) = cur(4 * p + 2) // alpha dropped
+        }
+        p += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, strideI)
+      row += 1
+    }
+    out
+  }
+
+  /** Valid PNG from raw samples (length w·h·channels for color type
+    * 0 → 1, 2 → 3, 6 → 4): per-row FORWARD filtering with the filter
+    * type chosen by `filterFor(row)` (0–4), zlib-deflated IDAT, CRC'd
+    * chunks — the exact inverse of [[pngPixelBytes]] and the write-side
+    * proof it reverses real filters, not a private convention.
+    */
+  def synthPng(width: Int, height: Int, colorType: Int,
+      samples: Array[Byte], filterFor: Int => Int): Array[Byte] = {
+    val ch = colorType match {
+      case 0 => 1; case 2 => 3; case 6 => 4
+      case _ => throw new IllegalArgumentException(
+        s"unsupported color type $colorType (use 0, 2, or 6)")
+    }
+    require(samples.length == width * height * ch,
+      s"need $width*$height*$ch sample bytes, got ${samples.length}")
+    val stride = width * ch
+    val bpp = ch
+    val raw = new Array[Byte]((stride + 1) * height)
+    var row = 0
+    while (row < height) {
+      val ft = filterFor(row)
+      require(ft >= 0 && ft <= 4, s"filter type must be 0..4: $ft")
+      raw(row * (stride + 1)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val v = u8(samples, row * stride + x)
+        val a = if (x >= bpp) u8(samples, row * stride + x - bpp) else 0
+        val up = if (row > 0) u8(samples, (row - 1) * stride + x) else 0
+        val c = if (row > 0 && x >= bpp) u8(samples, (row - 1) * stride + x - bpp) else 0
+        val pred = (ft: @annotation.switch) match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) >> 1
+          case _ =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        raw(row * (stride + 1) + 1 + x) = (v - pred).toByte
+        x += 1
+      }
+      row += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val z = zBuf.toByteArray
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(tpe.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)          // depth, color
+      .put(0.toByte).put(0.toByte).put(0.toByte)    // comp, filter, interlace
+      .array()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** RGB convenience overload of [[synthPng]] (color type 2). */
+  def synthPng(width: Int, height: Int, pixels: Array[Byte],
+      filterFor: Int => Int): Array[Byte] =
+    synthPng(width, height, 2, pixels, filterFor)
+
   /** Decode a WAV's `data` chunk into signed 16-bit little-endian
     * samples. Requires a `fmt ` chunk declaring 16 bits per sample (the
     * samples are interpreted as PCM s16le; any rate or channel count);

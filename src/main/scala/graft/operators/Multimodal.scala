@@ -11,14 +11,18 @@ import org.apache.spark.sql.functions._
   * typed Dataset boundary, batch iteration — and header-level metadata
   * (dimensions, sample rates) is parsed from REAL container layouts
   * (`Containers`: BMP/PNG/GIF/JPEG/WAV/MP4, pure byte arithmetic).
-  * Payload decoding is REAL for the uncompressed formats — 24-bit BMP
-  * pixels through the row-padding/bottom-up geometry, PCM WAV s16le
-  * samples through the RIFF chunk walk ([[pixelStats]]/[[audioStats]]),
-  * including a true nearest-neighbor resize over decoded pixels
-  * (`Containers.resizeBmp`). Only compressed-codec paths (PNG/JPEG
-  * pixels, MP4 frames) remain stubs — this sandbox has no codec
-  * libraries; a production deployment swaps in a JNI/process-isolated
-  * decoder without touching the plumbing.
+  * Payload decoding is REAL for BMP, PNG, WAV, and MP4 sample tables —
+  * 24-bit BMP pixels through the row-padding/bottom-up geometry, PNG
+  * pixels through zlib inflate + the five per-row filters
+  * (`Containers.pngPixelBytes` — DEFLATE ships in the JDK), PCM WAV
+  * s16le samples through the RIFF chunk walk
+  * ([[pixelStats]]/[[audioStats]]), MP4 keyframes through the
+  * stsz/stco/stss walk ([[sampleFrames]]), plus a true nearest-neighbor
+  * resize over decoded pixels (`Containers.resizeBmp`). Only
+  * compressed-CODEC pixel decode (JPEG DCT/entropy, H.26x frames — the
+  * bytes [[sampleFrames]] extracts) stays out: those codecs need real
+  * libraries this sandbox doesn't ship; a production deployment swaps
+  * in a JNI/process-isolated decoder without touching the plumbing.
   *
   * Scale notes:
   *   - blobs stay opaque end to end — no driver collect, no base64 blowup;
@@ -58,10 +62,12 @@ object Multimodal {
 
   /** Decoder: REAL container-header parsing (`Containers.parse` — BMP,
     * PNG, GIF, WAV from raw bytes, no external libs) plus a brightness
-    * proxy from the byte mean. Only pixel/sample DECODING remains out of
-    * scope (no codec libraries in this container) — a production
-    * deployment adds a JNI/process-isolated codec behind the same
-    * Iterator→Iterator, one-call-per-partition contract.
+    * proxy from the byte mean. Full payload decode lives in
+    * [[pixelStats]]/[[audioStats]]/[[sampleFrames]] (BMP/PNG pixels,
+    * PCM samples, MP4 keyframes); only compressed-codec pixel decode
+    * (JPEG, H.26x) needs a library this sandbox doesn't ship — a
+    * production deployment adds a JNI/process-isolated codec behind the
+    * same Iterator→Iterator, one-call-per-partition contract.
     */
   def decode(files: Iterator[MediaFile]): Iterator[MediaFeatures] =
     files.map { m =>
@@ -167,11 +173,28 @@ object Multimodal {
       media_id: Long, sample_rate: Long, n_samples: Long,
       peak_abs: Long, sum_sq: Long)
 
-  /** Deterministic 24-bit BMP corpus: pixel byte `i` of image `id` is
-    * `(id*31 + i*7) mod 256`, dimensions derived from the id. Valid
-    * padded bottom-up bitmaps, so the decode side exercises the real
-    * row geometry (and an oracle can replay the generator arithmetic
-    * without parsing bytes).
+  /** Logical top-down 3-bytes-per-pixel decode for any supported image
+    * container: 24-bit BMP (row-padding strip + bottom-up un-reverse;
+    * bytes are B,G,R) or 8-bit PNG (zlib inflate + per-row unfilter;
+    * bytes are R,G,B, gray replicated, alpha dropped). Null for
+    * anything undecodable — the shared degrade-don't-throw entry every
+    * pixel operator here routes through, so adding a format upgrades
+    * all of them at once.
+    */
+  def imagePixelBytes(content: Array[Byte]): Array[Byte] = {
+    val bmp = Containers.bmpPixelBytes(content)
+    if (bmp != null) bmp else Containers.pngPixelBytes(content)
+  }
+
+  /** Deterministic mixed-format image corpus: pixel byte `i` of image
+    * `id` is `(id*31 + i*7) mod 256`, dimensions derived from the id.
+    * Even ids encode as valid padded bottom-up 24-bit BMPs; odd ids as
+    * valid PNGs with the row filter CYCLING through all five types
+    * (`row mod 5`), so decode exercises the real BMP row geometry AND
+    * the real inflate + None/Sub/Up/Average/Paeth unfilter path — while
+    * the LOGICAL pixels stay a pure function of the id, so an oracle
+    * replays the generator arithmetic without parsing bytes and every
+    * downstream hash is format-independent.
     */
   def demoPixelCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -179,13 +202,39 @@ object Multimodal {
       val w = (8 + id % 9).toInt
       val h = (8 + id % 7).toInt
       val px = Array.tabulate(w * h * 3)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
-      MediaFile(id, "image", Containers.synthBmp24(w, h, px))
+      val blob =
+        if (id % 2 == 0) Containers.synthBmp24(w, h, px)
+        else Containers.synthPng(w, h, px, row => row % 5)
+      MediaFile(id, "image", blob)
     })
   }
 
-  /** REAL pixel decode over a media Dataset: parse each 24-bit BMP's
-    * dimensions, strip row padding, un-reverse bottom-up rows
-    * (`Containers.bmpPixelBytes`), and reduce the decoded bytes to
+  /** Deterministic all-PNG corpus cycling the three supported color
+    * types — `id mod 3` = 0 → grayscale (type 0), 1 → RGB (type 2),
+    * 2 → RGBA (type 6) — with sample byte `i` of image `id` =
+    * `(id*31 + i*7) mod 256` over `w·h·channels` samples and the row
+    * filter cycling `row mod 5`. Decoding must run inflate + unfilter
+    * at three different filter distances (bpp 1/3/4) AND apply the
+    * gray-replicate / alpha-drop channel mapping to reproduce the
+    * oracle's arithmetic.
+    */
+  def demoPngCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      val colorType = (id % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+      val ch = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+      val samples =
+        Array.tabulate(w * h * ch)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+      MediaFile(id, "image",
+        Containers.synthPng(w, h, colorType, samples, row => row % 5))
+    })
+  }
+
+  /** REAL pixel decode over a media Dataset: parse each image's
+    * dimensions and decode through [[imagePixelBytes]] (BMP row
+    * geometry or PNG inflate+unfilter), reducing the decoded bytes to
     * per-channel integer sums — undecodable blobs degrade to a
     * (-1, -1, …) row rather than failing the stage. One narrow
     * partition-wise pass; blobs never leave the executor.
@@ -194,7 +243,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
       val hdr = Containers.parse(m.content)
-      val px = Containers.bmpPixelBytes(m.content)
+      val px = imagePixelBytes(m.content)
       if (px == null) PixelStats(m.media_id, -1L, -1L, -1L, -1L, -1L, -1L)
       else {
         var c0 = 0L; var c1 = 0L; var c2 = 0L
@@ -234,7 +283,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
       val hdr = Containers.parse(m.content)
-      val px = Containers.bmpPixelBytes(m.content)
+      val px = imagePixelBytes(m.content)
       if (px == null) AHash(m.media_id, -1L, -1L, -1L, -1L, -1L)
       else {
         val w = hdr.width.toInt; val h = hdr.height.toInt
@@ -288,7 +337,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
       val hdr = Containers.parse(m.content)
-      val px = Containers.bmpPixelBytes(m.content)
+      val px = imagePixelBytes(m.content)
       if (px == null) DHash(m.media_id, -1L, -1L, -1L, -1L)
       else {
         val w = hdr.width.toInt; val h = hdr.height.toInt

@@ -501,8 +501,8 @@ object ExtensionQueries {
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
 
     // Multimodal plumbing: opaque binary column + typed features. The
-    // text column stands in for the blob (no media libs in-container);
-    // the decode stub lives in Multimodal.scala.
+    // text column stands in for the blob; real payload decode (BMP/PNG
+    // pixels, PCM samples, MP4 keyframes) lives in Multimodal.scala.
     "multimodal_features" -> ((s, dir) =>
       tc(s, dir, "documents").select(
         col("doc_id"),
@@ -512,12 +512,14 @@ object ExtensionQueries {
         md5(substring(col("text"), 1, 256)).as("head_md5"))
         .orderBy("doc_id")),
 
-    // REAL pixel decode end-to-end: synthesize valid padded bottom-up
-    // 24-bit BMPs from a deterministic generator, decode them back
-    // through the actual row geometry (padding strip + row un-reverse),
-    // reduce to per-channel integer sums. The oracle replays the
-    // generator arithmetic directly — any decode-geometry bug (padding,
-    // row order, channel offset) breaks the hash match.
+    // REAL pixel decode end-to-end over a MIXED-format corpus: even
+    // ids are valid padded bottom-up 24-bit BMPs, odd ids valid PNGs
+    // whose row filters cycle all five types — both decoded back to the
+    // same logical pixels (BMP: padding strip + row un-reverse; PNG:
+    // zlib inflate + None/Sub/Up/Average/Paeth unfilter), reduced to
+    // per-channel integer sums. The oracle replays the generator
+    // arithmetic directly — any decode bug in either path (padding, row
+    // order, filter reversal, channel offset) breaks the hash match.
     "multimodal_pixels" -> ((s, dir) => {
       import s.implicits._
       val corpus = Multimodal.demoPixelCorpus(s, t(s, dir, "documents"))

@@ -83,6 +83,22 @@ object FrontierQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // REAL PNG pixel decode across all three supported color types:
+    // the corpus cycles grayscale/RGB/RGBA (filter distance bpp 1/3/4,
+    // row filters cycling all five types), so reproducing the oracle's
+    // generator arithmetic requires a correct zlib inflate, a correct
+    // unfilter at each bpp, AND the gray-replicate / alpha-drop channel
+    // mapping. Complements multimodal_pixels (mixed BMP/PNG, RGB only).
+    "multimodal_png_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoPngCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.pixelStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // Skyline (Pareto frontier) over parts on (minimize price cents,
     // maximize size): "cheapest part for its size class". The bucketed
     // decomposition inside Skyline.frontier2d never builds the global
@@ -765,6 +781,28 @@ object FrontierQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+
+    // Replays the PNG sample-generator arithmetic per color type: the
+    // Spark side must arrive at these sums by inflating and unfiltering
+    // its own synthesized PNGs. Channel k's sum runs over the w·h·ch
+    // sample indices congruent to k; grayscale replicates its single
+    // channel into all three outputs, RGBA drops the 4th.
+    "multimodal_png_pixels" ->
+      """WITH m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |sums AS (SELECT doc_id, w, h, ch,
+        |    list_transform(range(0, ch), k ->
+        |      list_sum(list_transform(
+        |        list_filter(range(0, w*h*ch), i -> i % ch = k),
+        |        i -> (doc_id*31 + i*7) % 256))) AS cs
+        |  FROM m)
+        |SELECT doc_id AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  (w*h)::BIGINT AS n_pixels,
+        |  cs[1]::BIGINT AS c0_sum,
+        |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[2] END)::BIGINT AS c1_sum,
+        |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[3] END)::BIGINT AS c2_sum
+        |FROM sums ORDER BY media_id""".stripMargin,
 
     // NOT EXISTS strict domination — the quadratic serial definition the
     // bucketed window decomposition must reproduce exactly.

@@ -20,6 +20,77 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.bmpPixelBytes(truncated) == null)
   }
 
+  test("png pixel decode round-trips every filter type and color type") {
+    // Each single filter type in isolation (every row the same filter),
+    // on dims where left/up/upper-left neighbors all exist.
+    val px = Array.tabulate(5 * 4 * 3)(i => (i * 37 % 256).toByte)
+    for (ft <- 0 to 4) {
+      val png = Containers.synthPng(5, 4, px, _ => ft)
+      assert(Containers.pngPixelBytes(png).toSeq == px.toSeq,
+        s"filter $ft failed to round-trip")
+    }
+    // All five filters mixed in one image (the corpus convention).
+    val mixed = Containers.synthPng(5, 4, px, row => row % 5)
+    assert(Containers.pngPixelBytes(mixed).toSeq == px.toSeq)
+    // Header parse agrees with the synthesized geometry.
+    val h = Containers.parse(mixed)
+    assert(h.format == "png" && h.width == 5 && h.height == 4)
+    // Grayscale (type 0, bpp 1): single channel replicated ×3.
+    val gray = Array.tabulate(5 * 4)(i => (i * 53 % 256).toByte)
+    val gpng = Containers.synthPng(5, 4, 0, gray, row => row % 5)
+    val gdec = Containers.pngPixelBytes(gpng)
+    assert(gdec.length == 5 * 4 * 3)
+    for (p <- 0 until 20; c <- 0 until 3) assert(gdec(3 * p + c) == gray(p))
+    // RGBA (type 6, bpp 4): alpha dropped after unfiltering.
+    val rgba = Array.tabulate(5 * 4 * 4)(i => (i * 29 % 256).toByte)
+    val apng = Containers.synthPng(5, 4, 6, rgba, row => row % 5)
+    val adec = Containers.pngPixelBytes(apng)
+    for (p <- 0 until 20; c <- 0 until 3) assert(adec(3 * p + c) == rgba(4 * p + c))
+  }
+
+  test("png decode degrades to null on corrupt or unsupported inputs") {
+    val px = Array.tabulate(4 * 3 * 3)(i => (i * 19 % 256).toByte)
+    val png = Containers.synthPng(4, 3, px, _ => 4)
+    assert(Containers.pngPixelBytes(png) != null)
+    // Not a PNG at all / truncated mid-chunk / truncated DEFLATE stream.
+    assert(Containers.pngPixelBytes("clearly not an image".getBytes) == null)
+    assert(Containers.pngPixelBytes(png.take(30)) == null)
+    // Shrink the IDAT declared length by 8 (length word at offset 33 =
+    // 8 sig + 25 IHDR chunk): the walk now feeds the inflater a stream
+    // missing real compressed bytes (not just the 4-byte adler
+    // trailer), so inflation cannot complete — and the misaligned
+    // follow-on "chunk" must bounds-degrade, not throw.
+    val short = png.clone()
+    short(36) = (short(36) - 8).toByte
+    assert(Containers.pngPixelBytes(short) == null)
+    // Unsupported profiles: patch the IHDR fields in place (data starts
+    // at offset 16: width, height, depth@24, color@25, interlace@28).
+    def patched(at: Int, v: Byte): Array[Byte] = {
+      val c = png.clone(); c(at) = v; c
+    }
+    assert(Containers.pngPixelBytes(patched(24, 16)) == null) // 16-bit depth
+    assert(Containers.pngPixelBytes(patched(25, 3)) == null)  // palette
+    assert(Containers.pngPixelBytes(patched(28, 1)) == null)  // Adam7
+    // Forged-header zip bomb: huge declared height must be rejected
+    // BEFORE allocation, not discovered by a failed 2 GB array.
+    val bomb = png.clone()
+    bomb(20) = 0x7F.toByte; bomb(21) = 0xFF.toByte // height ≈ 2^31
+    assert(Containers.pngPixelBytes(bomb) == null)
+  }
+
+  test("bmp and png encodings of the same logical pixels decode identically") {
+    // The mixed demoPixelCorpus contract: format is an encoding detail,
+    // decoded pixels are a pure function of the id.
+    val id = 7L
+    val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+    val px = Array.tabulate(w * h * 3)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+    val viaBmp = Multimodal.imagePixelBytes(Containers.synthBmp24(w, h, px))
+    val viaPng = Multimodal.imagePixelBytes(
+      Containers.synthPng(w, h, px, row => row % 5))
+    assert(viaBmp.toSeq == px.toSeq)
+    assert(viaPng.toSeq == px.toSeq)
+  }
+
   test("bmp nearest-neighbor resize picks true source pixels") {
     // 4x4 with pixel (x,y) = value x+4*y in all three channels.
     val px = Array.tabulate(4 * 4 * 3)(i => (i / 3).toByte)
