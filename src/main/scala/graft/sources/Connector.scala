@@ -75,6 +75,12 @@ final class JdbcConnector(
     partitionColumn: Option[String] = None,
     lowerBound: Option[String] = None,
     upperBound: Option[String] = None,
+    // Appended to CREATE TABLE on first write. ClickHouse REQUIRES an
+    // engine clause (`CREATE TABLE … ENGINE = MergeTree ORDER BY …`),
+    // so jdbc:clickhouse URLs default to an unordered MergeTree — the
+    // reference's CH writer creates tables out of band and never hits
+    // this; Spark's JDBC writer owns DDL, so the connector must.
+    createTableOptions: String = "",
 ) extends Connector {
 
   // ClickHouse URLs get the reference's type semantics (S3) via the
@@ -112,6 +118,11 @@ final class JdbcConnector(
       .option("dbtable", target)
       .option("batchsize", batchSize)
       .option("rewriteBatchedStatements", "true")
+    val cto =
+      if (createTableOptions.nonEmpty) createTableOptions
+      else if (ClickHouseDialect.canHandle(url)) "ENGINE = MergeTree ORDER BY tuple()"
+      else ""
+    if (cto.nonEmpty) w = w.option("createTableOptions", cto)
     if (user.nonEmpty) w = w.option("user", user).option("password", password)
     w.save()
   }
