@@ -271,4 +271,144 @@ class PropertySpec extends SparkSpec {
       ranks.values.foreach(r => assert(r >= base))
     }
   }
+
+  test("tdivSql: both engines' division semantics normalize to truncation toward zero") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = for {
+      x <- Gen.choose(-1000000000000000000L, 1000000000000000000L)
+      k <- Gen.choose(1L, 1000000000L)
+    } yield (x, k)
+    val cases = samples(gen, 40) ++
+      Seq((-7L, 2L), (7L, 2L), (0L, 5L), (-1L, 1000000000L), (-999999999999999999L, 7L))
+    // The contract: sign(x)·(|x| div k) — truncation toward zero.
+    def model(x: Long, k: Long): Long = if (x >= 0) x / k else -((-x) / k)
+    cases.foreach { case (x, k) =>
+      // A FLOOR-division engine (DuckDB `//`) evaluating the same CASE
+      // lands on the model too: the division operands are non-negative
+      // inside the CASE, where floor == truncation.
+      val viaFloor =
+        if (x >= 0) Math.floorDiv(x, k) else -Math.floorDiv(-x, k)
+      assert(viaFloor == model(x, k))
+      // …while BARE floor division diverges by 1 on negative non-exact
+      // inputs — the reason the helper exists.
+      if (x < 0 && x % k != 0) assert(Math.floorDiv(x, k) == model(x, k) - 1)
+    }
+    // Spark's `div` (truncating) through the same CASE: equal to model.
+    val got = cases.toDF("x", "k").select(col("x"), col("k"),
+      expr(graft.operators.Pca.tdivSql("x", "k")).cast("long").as("t")).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == model(r.getLong(0), r.getLong(1)),
+        s"x=${r.getLong(0)} k=${r.getLong(1)}")
+    }
+  }
+
+  test("hhi: decimal sum-of-squares is exact at cent scales where double degrades") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Revenue cents up to 10^17 per supplier: squares ≈ 10^34 — far past
+    // double's 2^53 integer range, comfortably inside DECIMAL(38,0)
+    // (40 × 10^34 < 10^38). The supplier_concentration_hhi aggregation
+    // must reproduce exact BigInt arithmetic.
+    val gen = Gen.listOfN(40, Gen.choose(1L, 100000000000000000L))
+    samples(gen, 5).foreach { cents =>
+      val df = cents.toDF("cents")
+      val c = col("cents").cast("decimal(19,0)")
+      val row = df.agg(sum(col("cents")).as("total"), sum(c * c).as("sumsq")).head
+      val modelSumSq = cents.map(v => BigInt(v) * BigInt(v)).sum
+      assert(BigInt(row.getDecimal(1).toBigInteger) == modelSumSq,
+        "decimal sum-of-squares not exact")
+      assert(row.getLong(0) == cents.sum)
+    }
+  }
+
+  test("zipf slope: log2 binning + moment slope matches an independent model") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def lg(v: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(v)
+    def slope(counts: Seq[Long]): Option[Double] = {
+      // independent formulation: numberOfLeadingZeros instead of the
+      // query's length(bin(c))-1 string path
+      val bins = counts.groupBy(lg).map { case (x, g) => (x, lg(g.size.toLong)) }.toSeq
+      val n = bins.size.toLong
+      val sx = bins.map(_._1).sum; val sy = bins.map(_._2).sum
+      val sxy = bins.map(p => p._1 * p._2).sum
+      val sxx = bins.map(p => p._1 * p._1).sum
+      val den = n * sxx - sx * sx
+      if (den == 0) None
+      else Some(BigDecimal((n * sxy - sx * sy).toDouble / den.toDouble)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    def sparkSlope(counts: Seq[Long]): Option[Double] = {
+      // the text_zipf_slope expression tree from the counts stage down
+      val bins = counts.toDF("c")
+        .select((length(bin(col("c"))) - 1).cast("long").as("x"))
+        .groupBy("x").agg(count(lit(1)).as("nt"))
+        .select(col("x"), (length(bin(col("nt"))) - 1).cast("long").as("y"))
+      val r = bins.agg(count(lit(1)).as("n_bins"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"))
+        .select(
+          when(col("n_bins") * col("sxx") - col("sx") * col("sx") === 0,
+            lit(null).cast("double"))
+            .otherwise(round(
+              (col("n_bins") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+                (col("n_bins") * col("sxx") - col("sx") * col("sx")),
+              8)).as("slope")).head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val gen = Gen.listOfN(200, Gen.frequency(
+      8 -> Gen.choose(1L, 50L), 3 -> Gen.choose(50L, 5000L),
+      1 -> Gen.choose(5000L, 100000L)))
+    samples(gen, 5).foreach { counts =>
+      assert(sparkSlope(counts) == slope(counts), s"counts head=${counts.take(8)}")
+    }
+    // degenerate single-bin input → null slope, not a division blow-up
+    assert(sparkSlope(Seq.fill(30)(17L)) == None)
+    assert(slope(Seq.fill(30)(17L)) == None)
+  }
+
+  test("assortativity: double moment products correct where integer products wrap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Degrees in [10^8, 3·10^8] over 50 edges: each SUM fits a long
+    // (Σx² ≤ 4.5·10^18) but moment PRODUCTS like sx·sy are ≥ 2.5·10^19
+    // > 2^63 on every sample — the exact regime the query's
+    // multiply-in-double tree exists for.
+    val gen = Gen.listOfN(50,
+      Gen.zip(Gen.choose(100000000L, 300000000L),
+        Gen.choose(100000000L, 300000000L)))
+    samples(gen, 5).foreach { pairs =>
+      val r = pairs.toDF("x", "y")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(round({
+          def d(c: org.apache.spark.sql.Column) = c.cast("double")
+          (d(col("n_pairs")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            sqrt((d(col("n_pairs")) * d(col("sxx")) -
+              d(col("sx")) * d(col("sx"))) *
+              (d(col("n_pairs")) * d(col("syy")) -
+                d(col("sy")) * d(col("sy"))))
+        }, 6).as("r")).head.getDouble(0)
+      // exact model: BigInt moments, double only for the final ratio
+      val n = BigInt(pairs.size)
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val num = n * sxy - sx * sy
+      val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      val model = num.toDouble / math.sqrt(den.toDouble)
+      assert(math.abs(r - model) <= 2e-5, s"got $r model $model")
+      // the overflow regime really was reached: a Long product wraps
+      assert((sx * sy) > BigInt(Long.MaxValue) ||
+        (n * sxx) > BigInt(Long.MaxValue),
+        "generator failed to reach the integer-overflow regime")
+    }
+  }
 }
