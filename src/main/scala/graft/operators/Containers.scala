@@ -252,16 +252,11 @@ object Containers {
     out.array()
   }
 
-  /** Nearest-neighbor downscale of a 24-bit BMP by an integer factor —
-    * a REAL resize over decoded pixels (not byte striding), returning a
-    * valid BMP of the reduced dimensions. Null for undecodable inputs.
+  /** Nearest-neighbor integer-factor downscale over logical top-down
+    * 3-byte pixels — the shared kernel of [[resizeBmp]]/[[resizePng]].
     */
-  def resizeBmp(b: Array[Byte], factor: Int): Array[Byte] = {
-    require(factor >= 1, s"factor must be >= 1: $factor")
-    val px = bmpPixelBytes(b)
-    if (px == null) return null
-    val h = parse(b) // well-formed: bmpPixelBytes succeeded
-    val (w0, h0) = (h.width, h.height)
+  private def resizePixels(px: Array[Byte], w0: Int, h0: Int,
+      factor: Int): (Int, Int, Array[Byte]) = {
     val w1 = math.max(w0 / factor, 1)
     val h1 = math.max(h0 / factor, 1)
     val out = new Array[Byte](w1 * h1 * 3)
@@ -275,7 +270,34 @@ object Containers {
       }
       y += 1
     }
+    (w1, h1, out)
+  }
+
+  /** Nearest-neighbor downscale of a 24-bit BMP by an integer factor —
+    * a REAL resize over decoded pixels (not byte striding), returning a
+    * valid BMP of the reduced dimensions. Null for undecodable inputs.
+    */
+  def resizeBmp(b: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val px = bmpPixelBytes(b)
+    if (px == null) return null
+    val h = parse(b) // well-formed: bmpPixelBytes succeeded
+    val (w1, h1, out) = resizePixels(px, h.width, h.height, factor)
     synthBmp24(w1, h1, out)
+  }
+
+  /** Nearest-neighbor downscale of a PNG by an integer factor: decode
+    * through inflate+unfilter, resize the logical pixels, re-encode as
+    * an RGB (type 2) PNG with filter None — a real decode→transform→
+    * re-encode cycle. Null for undecodable inputs.
+    */
+  def resizePng(b: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val px = pngPixelBytes(b)
+    if (px == null) return null
+    val h = parse(b)
+    val (w1, h1, out) = resizePixels(px, h.width, h.height, factor)
+    synthPng(w1, h1, out, _ => 0)
   }
 
   // --- real PNG pixel decode: DEFLATE is in the JDK -------------------
@@ -481,6 +503,428 @@ object Containers {
   def synthPng(width: Int, height: Int, pixels: Array[Byte],
       filterFor: Int => Int): Array[Byte] =
     synthPng(width, height, 2, pixels, filterFor)
+
+  // --- real baseline-JPEG pixel decode: Huffman + IDCT in pure JVM ----
+  // Baseline sequential JPEG (SOF0) needs no codec library either: the
+  // entropy layer is canonical Huffman (ITU T.81 §F.2), the transform
+  // is an 8×8 IDCT, both implementable in plain JVM arithmetic.
+  // Supported profile: 8-bit baseline, 1 component (grayscale) or
+  // 3 components (YCbCr) at 1×1 sampling (no chroma subsampling),
+  // optional restart intervals. Progressive (SOF2), arithmetic coding,
+  // and subsampled chroma degrade to null.
+
+  /** Zig-zag index → natural (row-major) index, ITU T.81 Figure A.6. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16) for the 8-point IDCT. */
+  private lazy val CosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private lazy val Cu: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Decode a baseline JPEG into logical top-down 3-bytes-per-pixel
+    * rows (grayscale replicated ×3; YCbCr converted with the BT.601
+    * full-range equations). The full entropy path is real — canonical
+    * Huffman tables built from DHT, DC prediction, AC run-length with
+    * ZRL/EOB, 0xFF00 byte unstuffing, restart-marker resync — followed
+    * by dequantization, zig-zag reorder, and a double-precision 8×8
+    * IDCT (exact for the DC-only blocks the oracle corpus uses; ≤1 LSB
+    * from the reference transform elsewhere, the usual decoder
+    * tolerance). Null for anything outside the profile or corrupt —
+    * same degrade-don't-throw posture as [[bmpPixelBytes]] /
+    * [[pngPixelBytes]]. Production note: the naive 64-mult-per-pixel
+    * IDCT favors obviousness over speed; an AAN fixed-point IDCT slots
+    * in without touching the entropy layer.
+    */
+  def jpegPixelBytes(b: Array[Byte]): Array[Byte] = try {
+    if (!(b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8)) return null
+
+    // ---- marker walk: collect DQT/DHT/SOF0/DRI, stop at SOS ----------
+    val quant = new Array[Array[Int]](4)                 // zigzag order
+    // Huffman tables by (class<<1 | id): canonical decode arrays
+    val hCount = new Array[Array[Int]](8)                // counts per length 1..16
+    val hMin = new Array[Array[Int]](8); val hMax = new Array[Array[Int]](8)
+    val hValPtr = new Array[Array[Int]](8); val hVals = new Array[Array[Int]](8)
+    var w = 0; var h = 0
+    var nComp = 0
+    val compQ = new Array[Int](3)                        // quant table per comp
+    val compDc = new Array[Int](3); val compAc = new Array[Int](3)
+    var restartInterval = 0
+    var off = 2
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (off + 4 > b.length) return null
+      if (u8(b, off) != 0xFF) return null
+      val marker = u8(b, off + 1)
+      if (marker == 0xFF) { off += 1 }
+      else if ((marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) off += 2
+      else {
+        val len = beU16(b, off + 2)
+        if (len < 2 || off + 2 + len > b.length) return null
+        val ds = off + 4; val de = off + 2 + len
+        marker match {
+          case 0xDB => // DQT: one or more tables
+            var p = ds
+            while (p < de) {
+              val pq = u8(b, p) >> 4; val tq = u8(b, p) & 15
+              if (tq > 3) return null
+              val n = if (pq == 0) 64 else 128
+              if (p + 1 + n > de) return null
+              quant(tq) = Array.tabulate(64)(i =>
+                if (pq == 0) u8(b, p + 1 + i) else beU16(b, p + 1 + 2 * i))
+              p += 1 + n
+            }
+          case 0xC4 => // DHT: one or more tables
+            var p = ds
+            while (p < de) {
+              val tc = u8(b, p) >> 4; val th = u8(b, p) & 15
+              if (tc > 1 || th > 3 || p + 17 > de) return null
+              val counts = Array.tabulate(17)(i => if (i == 0) 0 else u8(b, p + i))
+              val total = counts.sum
+              if (p + 17 + total > de) return null
+              val vals = Array.tabulate(total)(i => u8(b, p + 17 + i))
+              // canonical code assignment (T.81 §C.2)
+              val mn = new Array[Int](17); val mx = new Array[Int](17)
+              val vp = new Array[Int](17)
+              var code = 0; var k = 0
+              for (l <- 1 to 16) {
+                mn(l) = code; vp(l) = k
+                code += counts(l); k += counts(l)
+                mx(l) = code - 1                   // valid only if counts(l)>0
+                code <<= 1
+              }
+              val key = (tc << 2) | th
+              hCount(key) = counts; hMin(key) = mn; hMax(key) = mx
+              hValPtr(key) = vp; hVals(key) = vals
+              p += 17 + total
+            }
+          case 0xC0 => // SOF0 baseline
+            if (u8(b, ds) != 8) return null        // precision
+            h = beU16(b, ds + 1); w = beU16(b, ds + 3)
+            nComp = u8(b, ds + 5)
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return null
+            if (w.toLong * h * 3 > (1L << 30)) return null // forged dims
+            for (c <- 0 until nComp) {
+              val hv = u8(b, ds + 6 + 3 * c + 1)
+              if (hv != 0x11) return null          // 1×1 sampling only
+              compQ(c) = u8(b, ds + 6 + 3 * c + 2)
+            }
+          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+              0xCB | 0xCD | 0xCE | 0xCF =>
+            return null                            // non-baseline frame
+          case 0xDD => restartInterval = beU16(b, ds)
+          case 0xDA => // SOS
+            if (u8(b, ds) != nComp || nComp == 0) return null
+            for (c <- 0 until nComp) {
+              val tt = u8(b, ds + 2 + 2 * c)
+              compDc(c) = tt >> 4; compAc(c) = tt & 15
+            }
+            sosAt = de                             // entropy data starts here
+          case 0xD9 => return null                 // EOI before SOS
+          case _ => ()                             // APPn/COM: skip
+        }
+        off += 2 + len
+      }
+    }
+    if (w == 0 || nComp == 0) return null
+    for (c <- 0 until nComp)
+      if (quant(compQ(c)) == null) return null
+
+    // ---- entropy-coded segment: bit reader with unstuffing ----------
+    object Corrupt extends scala.util.control.ControlThrowable
+    var pos = sosAt
+    var bitBuf = 0; var bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= b.length) throw Corrupt
+        var v = u8(b, pos); pos += 1
+        if (v == 0xFF) {
+          val m = if (pos < b.length) u8(b, pos) else -1
+          if (m == 0x00) pos += 1                  // stuffed data byte
+          else throw Corrupt                       // marker mid-block
+        }
+        bitBuf = v; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    def decodeHuff(key: Int): Int = {
+      if (hVals(key) == null) throw Corrupt
+      var code = nextBit(); var l = 1
+      while (l <= 16 && (hCount(key)(l) == 0 || code > hMax(key)(l))) {
+        code = (code << 1) | nextBit(); l += 1
+      }
+      if (l > 16) throw Corrupt
+      hVals(key)(hValPtr(key)(l) + code - hMin(key)(l))
+    }
+
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    var mcu = 0
+    var my = 0
+    while (my < bh) {
+      var mx = 0
+      while (mx < bw) {
+        // restart-marker resync: byte-align, consume RSTn, reset DC
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bitCnt = 0
+          if (pos + 2 > b.length || u8(b, pos) != 0xFF) throw Corrupt
+          val m = u8(b, pos + 1)
+          if (m < 0xD0 || m > 0xD7) throw Corrupt
+          pos += 2
+          java.util.Arrays.fill(pred, 0)
+        }
+        var c = 0
+        while (c < nComp) {
+          val qtab = quant(compQ(c))
+          java.util.Arrays.fill(coef, 0)
+          // DC: category + extend, predicted from the previous block
+          val s = decodeHuff((0 << 2) | compDc(c))
+          if (s > 11) throw Corrupt
+          pred(c) += extend(receive(s), s)
+          coef(0) = pred(c) * qtab(0)
+          // AC: (run, size) pairs with EOB / ZRL
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = decodeHuff((1 << 2) | compAc(c))
+            val r = rs >> 4; val sz = rs & 15
+            if (sz == 0) {
+              if (r == 15) k += 16 else eob = true  // ZRL / EOB
+            } else {
+              k += r
+              if (k > 63) throw Corrupt
+              coef(ZigZag(k)) = extend(receive(sz), sz) * qtab(k)
+              k += 1
+            }
+          }
+          // 8×8 IDCT + level shift, clamped
+          val plane = planes(c)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var sum = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  val f = coef(v * 8 + u)
+                  if (f != 0) sum += Cu(u) * Cu(v) * f * CosT(x)(u) * CosT(y)(v)
+                  u += 1
+                }
+                v += 1
+              }
+              val pix = math.round(sum / 4 + 128).toInt
+              plane((my * 8 + y) * (bw * 8) + mx * 8 + x) =
+                if (pix < 0) 0 else if (pix > 255) 255 else pix
+              x += 1
+            }
+            y += 1
+          }
+          c += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+
+    // ---- crop + color-convert to 3-byte pixels ----------------------
+    val out = new Array[Byte](w * h * 3)
+    val stride = bw * 8
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = (y * w + x) * 3
+        if (nComp == 1) {
+          val g = planes(0)(y * stride + x).toByte
+          out(d) = g; out(d + 1) = g; out(d + 2) = g
+        } else {
+          val yy = planes(0)(y * stride + x)
+          val cb = planes(1)(y * stride + x) - 128
+          val cr = planes(2)(y * stride + x) - 128
+          def cl(v: Double): Byte = {
+            val r = math.round(v).toInt
+            (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+          }
+          out(d) = cl(yy + 1.402 * cr)
+          out(d + 1) = cl(yy - 0.344136 * cb - 0.714136 * cr)
+          out(d + 2) = cl(yy + 1.772 * cb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  } catch {
+    case _: scala.util.control.ControlThrowable => null
+    case _: IndexOutOfBoundsException => null
+  }
+
+  /** Valid baseline grayscale JPEG from QUANTIZED coefficient blocks:
+    * `coefs(bx, by)` returns a block's 64 quantized coefficients in
+    * ZIG-ZAG order; the encoder quantizes nothing (the caller already
+    * did), emitting real DC-difference categories, (run,size) AC pairs
+    * with ZRL/EOB, Huffman tables BUILT from the symbols actually used
+    * (canonical, fixed-length assignment), 0xFF byte stuffing, and
+    * optional restart markers every `restartInterval` MCUs. The exact
+    * write-side counterpart of [[jpegPixelBytes]]'s entropy layer —
+    * dims need not be multiples of 8 (the decoder crops edge blocks).
+    */
+  def synthJpegGrayCoefs(width: Int, height: Int, quantTable: Array[Int],
+      coefs: (Int, Int) => Array[Int], restartInterval: Int = 0): Array[Byte] = {
+    require(quantTable.length == 64, "quant table must have 64 entries")
+    require(quantTable.forall(q => q >= 1 && q <= 255), "quant entries 1..255")
+    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+
+    def category(v: Int): Int =
+      if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+    // ---- first pass: collect the (run,size)/category symbols used ----
+    val dcSyms = scala.collection.mutable.SortedSet.empty[Int]
+    val acSyms = scala.collection.mutable.SortedSet.empty[Int]
+    var prevDc = 0
+    for (by <- 0 until bh; bx <- 0 until bw) {
+      if (restartInterval > 0 && (by * bw + bx) % restartInterval == 0) prevDc = 0
+      val cs = coefs(bx, by)
+      require(cs.length == 64, s"block ($bx,$by) must have 64 coefficients")
+      dcSyms += category(cs(0) - prevDc); prevDc = cs(0)
+      // EOB is emitted ONLY when the last nonzero zigzag index < 63:
+      // the decoder's AC loop exits at k=64 without consuming a symbol,
+      // so an EOB after coefficient 63 would desync the stream.
+      val lastNz = (1 to 63).foldLeft(0)((m, k) => if (cs(k) != 0) k else m)
+      var k = 1; var run = 0
+      while (k <= lastNz) {
+        if (cs(k) == 0) run += 1
+        else {
+          while (run >= 16) { acSyms += 0xF0; run -= 16 }
+          acSyms += (run << 4) | category(cs(k)); run = 0
+        }
+        k += 1
+      }
+      if (lastNz < 63) acSyms += 0x00
+    }
+
+    // ---- canonical fixed-length Huffman table over the used symbols --
+    // All codes get the same length L with 2^L > nSyms (so the all-ones
+    // code stays unused, as T.81 encoders conventionally arrange).
+    def buildTable(syms: Seq[Int]): (Map[Int, (Int, Int)], Array[Int], Seq[Int]) = {
+      var l = 1
+      while ((1 << l) <= syms.size) l += 1
+      val codes = syms.zipWithIndex.map { case (s, i) => s -> (i, l) }.toMap
+      val counts = Array.fill(17)(0); counts(l) = syms.size
+      (codes, counts, syms)
+    }
+    val (dcCodes, dcCounts, dcList) = buildTable(dcSyms.toSeq)
+    val (acCodes, acCounts, acList) = buildTable(acSyms.toSeq)
+
+    // ---- emit ---------------------------------------------------------
+    val out = new java.io.ByteArrayOutputStream()
+    def put(bytes: Int*): Unit = bytes.foreach(v => out.write(v & 0xFF))
+    def putSeg(marker: Int, payload: Array[Int]): Unit = {
+      put(0xFF, marker, (payload.length + 2) >> 8, (payload.length + 2) & 0xFF)
+      payload.foreach(v => out.write(v & 0xFF))
+    }
+    put(0xFF, 0xD8)                                        // SOI
+    putSeg(0xDB, Array(0x00) ++ quantTable)                // DQT id 0
+    putSeg(0xC0, Array(8,                                  // SOF0
+      height >> 8, height & 0xFF, width >> 8, width & 0xFF,
+      1, 1, 0x11, 0))                                      // 1 comp, 1×1, q0
+    putSeg(0xC4, Array(0x00) ++ dcCounts.drop(1) ++ dcList) // DHT DC 0
+    putSeg(0xC4, Array(0x10) ++ acCounts.drop(1) ++ acList) // DHT AC 0
+    if (restartInterval > 0)
+      putSeg(0xDD, Array(restartInterval >> 8, restartInterval & 0xFF))
+    putSeg(0xDA, Array(1, 1, 0x00, 0, 63, 0))              // SOS
+
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((code >> i) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          out.write(bitBuf & 0xFF)
+          if ((bitBuf & 0xFF) == 0xFF) out.write(0x00)     // byte stuffing
+          bitBuf = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flushBits(): Unit = if (bitCnt > 0) {               // pad with 1s
+      putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt)
+    }
+    prevDc = 0
+    var rst = 0
+    for (by <- 0 until bh; bx <- 0 until bw) {
+      val mcu = by * bw + bx
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        flushBits()
+        put(0xFF, 0xD0 + (rst & 7)); rst += 1
+        prevDc = 0
+      }
+      val cs = coefs(bx, by)
+      val diff = cs(0) - prevDc; prevDc = cs(0)
+      val s = category(diff)
+      val (dcC, dcL) = dcCodes(s)
+      putBits(dcC, dcL)
+      if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      val lastNz = (1 to 63).foldLeft(0)((m, k) => if (cs(k) != 0) k else m)
+      var k = 1; var run = 0
+      while (k <= lastNz) {
+        if (cs(k) == 0) run += 1
+        else {
+          while (run >= 16) {
+            val (c0, l0) = acCodes(0xF0); putBits(c0, l0); run -= 16
+          }
+          val sz = category(cs(k))
+          val (c1, l1) = acCodes((run << 4) | sz)
+          putBits(c1, l1)
+          putBits(if (cs(k) < 0) cs(k) + (1 << sz) - 1 else cs(k), sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (lastNz < 63) { val (ce, le) = acCodes(0x00); putBits(ce, le) } // EOB
+    }
+    flushBits()
+    put(0xFF, 0xD9)                                        // EOI
+    out.toByteArray
+  }
+
+  /** Block-constant grayscale JPEG: block (bx,by) holds the single
+    * value `blockVal(bx,by)` (0..255). With the all-8s quant table the
+    * whole decode chain is INTEGER-EXACT — the DC coefficient of a
+    * constant block v is 8·(v−128), which quantizes by 8 without loss
+    * and survives the IDCT's power-of-two scaling to reproduce v
+    * bit-for-bit — so an external oracle can replay the generator
+    * arithmetic without modeling the transform.
+    */
+  def synthJpegGray(width: Int, height: Int,
+      blockVal: (Int, Int) => Int): Array[Byte] =
+    synthJpegGrayCoefs(width, height, Array.fill(64)(8),
+      (bx, by) => {
+        val v = blockVal(bx, by)
+        require(v >= 0 && v <= 255, s"block value out of range: $v")
+        val c = new Array[Int](64); c(0) = v - 128; c
+      })
 
   /** Decode a WAV's `data` chunk into signed 16-bit little-endian
     * samples. Requires a `fmt ` chunk declaring 16 bits per sample (the

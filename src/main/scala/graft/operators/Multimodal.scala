@@ -11,18 +11,20 @@ import org.apache.spark.sql.functions._
   * typed Dataset boundary, batch iteration — and header-level metadata
   * (dimensions, sample rates) is parsed from REAL container layouts
   * (`Containers`: BMP/PNG/GIF/JPEG/WAV/MP4, pure byte arithmetic).
-  * Payload decoding is REAL for BMP, PNG, WAV, and MP4 sample tables —
-  * 24-bit BMP pixels through the row-padding/bottom-up geometry, PNG
-  * pixels through zlib inflate + the five per-row filters
-  * (`Containers.pngPixelBytes` — DEFLATE ships in the JDK), PCM WAV
-  * s16le samples through the RIFF chunk walk
+  * Payload decoding is REAL for BMP, PNG, baseline JPEG, WAV, and MP4
+  * sample tables — 24-bit BMP pixels through the row-padding/bottom-up
+  * geometry, PNG pixels through zlib inflate + the five per-row
+  * filters (`Containers.pngPixelBytes` — DEFLATE ships in the JDK),
+  * baseline-JPEG pixels through canonical Huffman + dequantize + 8×8
+  * IDCT (`Containers.jpegPixelBytes` — T.81's entropy layer is plain
+  * arithmetic), PCM WAV s16le samples through the RIFF chunk walk
   * ([[pixelStats]]/[[audioStats]]), MP4 keyframes through the
   * stsz/stco/stss walk ([[sampleFrames]]), plus a true nearest-neighbor
-  * resize over decoded pixels (`Containers.resizeBmp`). Only
-  * compressed-CODEC pixel decode (JPEG DCT/entropy, H.26x frames — the
-  * bytes [[sampleFrames]] extracts) stays out: those codecs need real
-  * libraries this sandbox doesn't ship; a production deployment swaps
-  * in a JNI/process-isolated decoder without touching the plumbing.
+  * resize over decoded pixels (`Containers.resizeBmp`). Only VIDEO
+  * codec frame decode (H.26x — the bytes [[sampleFrames]] extracts)
+  * stays out: that genuinely needs a codec library this sandbox
+  * doesn't ship; a production deployment swaps in a JNI/
+  * process-isolated decoder without touching the plumbing.
   *
   * Scale notes:
   *   - blobs stay opaque end to end — no driver collect, no base64 blowup;
@@ -63,11 +65,11 @@ object Multimodal {
   /** Decoder: REAL container-header parsing (`Containers.parse` — BMP,
     * PNG, GIF, WAV from raw bytes, no external libs) plus a brightness
     * proxy from the byte mean. Full payload decode lives in
-    * [[pixelStats]]/[[audioStats]]/[[sampleFrames]] (BMP/PNG pixels,
-    * PCM samples, MP4 keyframes); only compressed-codec pixel decode
-    * (JPEG, H.26x) needs a library this sandbox doesn't ship — a
-    * production deployment adds a JNI/process-isolated codec behind the
-    * same Iterator→Iterator, one-call-per-partition contract.
+    * [[pixelStats]]/[[audioStats]]/[[sampleFrames]] (BMP/PNG/JPEG
+    * pixels, PCM samples, MP4 keyframes); only video-codec frame decode
+    * (H.26x) needs a library this sandbox doesn't ship — a production
+    * deployment adds a JNI/process-isolated codec behind the same
+    * Iterator→Iterator, one-call-per-partition contract.
     */
   def decode(files: Iterator[MediaFile]): Iterator[MediaFeatures] =
     files.map { m =>
@@ -147,18 +149,22 @@ object Multimodal {
   }
 
   /** Partition-wise REAL resize over a media Dataset: decodable 24-bit
-    * BMPs are nearest-neighbor downscaled over their decoded pixels
-    * (`Containers.resizeBmp` — row padding and bottom-up geometry
-    * handled); anything undecodable passes through unchanged, so a mixed
-    * or partially corrupt corpus degrades per-row instead of failing the
-    * job. Compressed codecs (PNG/JPEG) would slot in behind the same
-    * contract with a real decoder library.
+    * BMPs and PNGs are nearest-neighbor downscaled over their decoded
+    * pixels (`Containers.resizeBmp` / `Containers.resizePng` — each
+    * re-encoded in its own format); anything undecodable passes through
+    * unchanged, so a mixed or partially corrupt corpus degrades per-row
+    * instead of failing the job. JPEG re-ENCODE needs a forward
+    * DCT+quantizer — decode is real ([[imagePixelBytes]]); lossy
+    * re-encode stays with a production codec library.
     */
   def resizeAll(spark: SparkSession, media: Dataset[MediaFile],
       factor: Int): Dataset[MediaFile] = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val resized = Containers.resizeBmp(m.content, factor)
+      val viaBmp = Containers.resizeBmp(m.content, factor)
+      val resized =
+        if (viaBmp != null) viaBmp
+        else Containers.resizePng(m.content, factor)
       if (resized == null) m else m.copy(content = resized)
     })
   }
@@ -175,15 +181,18 @@ object Multimodal {
 
   /** Logical top-down 3-bytes-per-pixel decode for any supported image
     * container: 24-bit BMP (row-padding strip + bottom-up un-reverse;
-    * bytes are B,G,R) or 8-bit PNG (zlib inflate + per-row unfilter;
-    * bytes are R,G,B, gray replicated, alpha dropped). Null for
-    * anything undecodable — the shared degrade-don't-throw entry every
-    * pixel operator here routes through, so adding a format upgrades
-    * all of them at once.
+    * bytes are B,G,R), 8-bit PNG (zlib inflate + per-row unfilter;
+    * bytes are R,G,B, gray replicated, alpha dropped), or baseline
+    * JPEG (canonical Huffman + dequantize + 8×8 IDCT; grayscale
+    * replicated, YCbCr converted). Null for anything undecodable — the
+    * shared degrade-don't-throw entry every pixel operator here routes
+    * through, so adding a format upgrades all of them at once.
     */
   def imagePixelBytes(content: Array[Byte]): Array[Byte] = {
     val bmp = Containers.bmpPixelBytes(content)
-    if (bmp != null) bmp else Containers.pngPixelBytes(content)
+    if (bmp != null) return bmp
+    val png = Containers.pngPixelBytes(content)
+    if (png != null) png else Containers.jpegPixelBytes(content)
   }
 
   /** Deterministic mixed-format image corpus: pixel byte `i` of image
@@ -206,6 +215,24 @@ object Multimodal {
         if (id % 2 == 0) Containers.synthBmp24(w, h, px)
         else Containers.synthPng(w, h, px, row => row % 5)
       MediaFile(id, "image", blob)
+    })
+  }
+
+  /** Deterministic baseline-JPEG corpus: image `id` is `2 + id%3`
+    * blocks wide × `1 + id%2` blocks tall of BLOCK-CONSTANT gray, block
+    * `b` (raster order) holding `(id*31 + b*7) mod 256`. With the
+    * all-8s quant table the decode chain — marker walk, canonical
+    * Huffman DC stream, dequantize, IDCT, level shift — is
+    * INTEGER-EXACT, so an oracle replays the generator arithmetic while
+    * the Spark side must earn it through a real entropy decode.
+    */
+  def demoJpegCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val bw = (2 + id % 3).toInt
+      val bh = (1 + id % 2).toInt
+      MediaFile(id, "image", Containers.synthJpegGray(bw * 8, bh * 8,
+        (bx, by) => ((id * 31 + (by.toLong * bw + bx) * 7) % 256).toInt))
     })
   }
 

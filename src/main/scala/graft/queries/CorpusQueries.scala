@@ -114,16 +114,23 @@ object CorpusQueries {
         .agg(sum(round(col("value") * 100).cast("long")).as("x"))
         .withColumn("y", lag(col("x"), 1).over(w))
         .where(col("y").isNotNull)
+      // Moment sums in DECIMAL(38): x is an hourly revenue sum, so x²
+      // terms overflow a long at real scale (x ~ 10¹⁵ ⇒ x² ~ 10³⁰) —
+      // decimal partials stay exact (and overflow to a VISIBLE null,
+      // never a silent wrap). Moment PRODUCTS then multiply as doubles,
+      // with the identical IEEE sequence in the oracle.
+      def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
       pairs.groupBy("event_type").agg(
           count(lit(1)).as("n_pairs"),
-          sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
+          sum(dc(col("x"))).as("sx"), sum(dc(col("y"))).as("sy"),
+          sum(dc(col("x")) * dc(col("x"))).as("sxx"),
+          sum(dc(col("y")) * dc(col("y"))).as("syy"),
+          sum(dc(col("x")) * dc(col("y"))).as("sxy"))
         .select(col("event_type"), col("n_pairs"),
-          round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double"))
-              * sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          round((d(col("n_pairs")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+            / (sqrt(d(col("n_pairs")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+              * sqrt(d(col("n_pairs")) * d(col("syy")) - d(col("sy")) * d(col("sy")))),
             6).as("autocorr"))
         .orderBy("event_type")
     }),
@@ -757,9 +764,10 @@ object CorpusQueries {
         |    CAST(sum(x * y) AS BIGINT) AS sxy
         |  FROM f GROUP BY 1)
         |SELECT event_type, n_pairs,
-        |  round((n_pairs * sxy - sx * sy)::DOUBLE /
-        |    (sqrt((n_pairs * sxx - sx * sx)::DOUBLE) *
-        |     sqrt((n_pairs * syy - sy * sy)::DOUBLE)), 6) AS autocorr
+        |  round((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    (sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |     sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+        |    6) AS autocorr
         |FROM m ORDER BY event_type""".stripMargin,
 
     "graph_2hop" ->

@@ -99,6 +99,24 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // REAL baseline-JPEG pixel decode: the corpus is block-constant
+    // grayscale JPEGs with the all-8s quant table, where the whole
+    // chain — marker walk, canonical-Huffman DC stream, dequantize,
+    // IDCT, level shift — is integer-exact; the oracle replays the
+    // block generator, the Spark side must earn it through a real
+    // entropy decode. (AC coefficients, ZRL runs, byte unstuffing and
+    // restart resync are exercised at spec level in MultimodalSpec —
+    // lossy general JPEG can't be SQL-replayed.)
+    "multimodal_jpeg_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoJpegCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.pixelStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // Skyline (Pareto frontier) over parts on (minimize price cents,
     // maximize size): "cheapest part for its size class". The bucketed
     // decomposition inside Skyline.frontier2d never builds the global
@@ -376,11 +394,15 @@ object FrontierQueries {
       val pairs = adj
         .join(deg.select(col("node").as("u"), col("deg").as("x")), "u")
         .join(deg.select(col("node").as("v"), col("deg").as("y")), "v")
+      // moment sums in DECIMAL(38): Σdeg² over a trillion-edge graph
+      // exceeds 2^63 even when every term fits — decimal partials stay
+      // exact and overflow visibly (null), never wrap
+      def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
       pairs.agg(count(lit(1)).as("n_pairs"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
+          sum(dc(col("x"))).as("sx"), sum(dc(col("y"))).as("sy"),
+          sum(dc(col("x")) * dc(col("x"))).as("sxx"),
+          sum(dc(col("y")) * dc(col("y"))).as("syy"),
+          sum(dc(col("x")) * dc(col("y"))).as("sxy"))
         .select(col("n_pairs"),
           // moment PRODUCTS (n·sxy, sx·sy, …) overflow 64-bit integers
           // on large graphs even though each moment fits — every
@@ -803,6 +825,22 @@ object FrontierQueries {
         |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[2] END)::BIGINT AS c1_sum,
         |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[3] END)::BIGINT AS c2_sum
         |FROM sums ORDER BY media_id""".stripMargin,
+
+    // Replays the block-constant JPEG generator: gray value of block b
+    // (raster order) is (id*31 + b*7) % 256, replicated to all three
+    // channels over each block's 64 pixels.
+    "multimodal_jpeg_pixels" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+        |           FROM documents),
+        |s AS (SELECT doc_id, bw, bh,
+        |    list_sum(list_transform(range(0, bw*bh),
+        |      b -> (doc_id*31 + b*7) % 256)) AS vs
+        |  FROM m)
+        |SELECT doc_id AS media_id, (bw*8)::BIGINT AS width,
+        |  (bh*8)::BIGINT AS height, (bw*bh*64)::BIGINT AS n_pixels,
+        |  (64*vs)::BIGINT AS c0_sum, (64*vs)::BIGINT AS c1_sum,
+        |  (64*vs)::BIGINT AS c2_sum
+        |FROM s ORDER BY media_id""".stripMargin,
 
     // NOT EXISTS strict domination — the quadratic serial definition the
     // bucketed window decomposition must reproduce exactly.

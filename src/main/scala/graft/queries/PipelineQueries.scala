@@ -269,26 +269,30 @@ object PipelineQueries {
     // Pearson correlation between two event metrics, per group — all
     // six moments are exact integer sums (value cents x props.k), so
     // the closed-form corr is a fixed IEEE op sequence on both engines.
-    // Long-sum headroom: |x| < 2^16, |y| < 2^7 keep n*sxx < 2^63 up to
-    // ~10^9 rows per group; beyond that widen the moments to DECIMAL.
     "metric_correlation" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("x", round(col("value") * 100).cast("long"))
         .withColumn("y", from_json(col("props"),
           StructType(Seq(StructField("k", IntegerType))))
           .getField("k").cast("long"))
+      // Moment sums in DECIMAL(38): per-term x² fits a long today, but
+      // the SUM over 10¹²-row groups does not — decimal partials stay
+      // exact and overflow to a visible null, never a silent wrap.
+      // Moment products multiply as doubles, IEEE-identical to the
+      // oracle's expression.
+      def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
       val m = ev.groupBy("event_type").agg(
         count(lit(1)).as("n"),
-        sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(dc(col("x"))).as("sx"), sum(dc(col("y"))).as("sy"),
+        sum(dc(col("x")) * dc(col("x"))).as("sxx"),
+        sum(dc(col("y")) * dc(col("y"))).as("syy"),
+        sum(dc(col("x")) * dc(col("y"))).as("sxy"))
       m.select(col("event_type"), col("n"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-                .cast("double"))
-              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-                .cast("double"))), 6).as("corr"))
+          round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+            / (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+              * sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))),
+            6).as("corr"))
         .orderBy("event_type")
     }),
 
@@ -858,9 +862,10 @@ object PipelineQueries {
         |    CAST(sum(x * y) AS BIGINT) AS sxy
         |  FROM ev GROUP BY 1)
         |SELECT event_type, n,
-        |  round((n * sxy - sx * sy)::DOUBLE /
-        |    (sqrt((n * sxx - sx * sx)::DOUBLE) *
-        |     sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS corr
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |     sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+        |    6) AS corr
         |FROM m ORDER BY event_type""".stripMargin,
 
     "lm_doc_surprisal" ->

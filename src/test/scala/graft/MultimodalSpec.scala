@@ -78,6 +78,126 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.pngPixelBytes(bomb) == null)
   }
 
+  test("jpeg: block-constant decode is integer-exact through the whole chain") {
+    // 3×2 blocks (24×16 px) covering the value edges 0/128/255.
+    val vals = Array(Array(0, 128, 255), Array(17, 254, 1)) // (by)(bx)
+    val jpg = Containers.synthJpegGray(24, 16, (bx, by) => vals(by)(bx))
+    val hdr = Containers.parse(jpg)
+    assert(hdr.format == "jpeg" && hdr.width == 24 && hdr.height == 16)
+    val px = Containers.jpegPixelBytes(jpg)
+    assert(px != null && px.length == 24 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 24; c <- 0 until 3) {
+      val expect = vals(y / 8)(x / 8)
+      val got = java.lang.Byte.toUnsignedInt(px((y * 24 + x) * 3 + c))
+      assert(got == expect, s"($x,$y,$c): got $got expected $expect")
+    }
+    // Non-multiple-of-8 dims: the edge blocks crop, values still exact.
+    val jc = Containers.synthJpegGray(20, 10, (bx, by) => 10 * (by * 3 + bx + 1))
+    val pc = Containers.jpegPixelBytes(jc)
+    assert(pc.length == 20 * 10 * 3)
+    assert(java.lang.Byte.toUnsignedInt(pc((9 * 20 + 19) * 3)) == 60) // block (2,1)
+  }
+
+  // zig-zag → natural index and an independent direct-form IDCT over
+  // natural-order DEQUANTIZED coefficients — shared by the JPEG specs.
+  private val zz = Array( // ITU T.81 Figure A.6
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+  private def refIdct(nat: Array[Int]): Array[Int] = Array.tabulate(64) { i =>
+    val y = i / 8; val x = i % 8
+    var sum = 0.0
+    for (v <- 0 until 8; u <- 0 until 8) {
+      val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
+      val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
+      sum += cu * cv * nat(v * 8 + u) *
+        math.cos((2 * x + 1) * u * math.Pi / 16) *
+        math.cos((2 * y + 1) * v * math.Pi / 16)
+    }
+    val p = math.round(sum / 4 + 128).toInt
+    math.max(0, math.min(255, p))
+  }
+
+  test("jpeg: AC coefficients, ZRL runs, and restart markers decode correctly") {
+    val qt = Array.tabulate(64)(i => 1 + i % 7) // non-uniform quant table
+    // Three blocks: low-frequency ACs (negative included); a >16 zero
+    // run (ZRL) before a high-frequency coef; and a nonzero coefficient
+    // AT zigzag index 63 — the no-EOB edge case of T.81 §F.1.2.2.
+    val b0 = new Array[Int](64)
+    b0(0) = -5; b0(1) = 12; b0(2) = -7; b0(5) = 3
+    val b1 = new Array[Int](64)
+    b1(0) = 40; b1(20) = -9; b1(45) = 6 // gap of 24 zeros → ZRL + run
+    val b2 = new Array[Int](64)
+    b2(0) = 9; b2(63) = 2               // full block: EOB must be absent
+    val blocks = Array(b0, b1, b2)
+    val jpg = Containers.synthJpegGrayCoefs(24, 8, qt, (bx, _) => blocks(bx))
+    val px = Containers.jpegPixelBytes(jpg)
+    assert(px != null)
+    for (bx <- 0 to 2) {
+      val nat = new Array[Int](64)
+      for (k <- 0 until 64) nat(zz(k)) = blocks(bx)(k) * qt(k)
+      val expect = refIdct(nat)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val got = java.lang.Byte.toUnsignedInt(px((y * 24 + bx * 8 + x) * 3))
+        assert(got == expect(y * 8 + x), s"block $bx ($x,$y)")
+      }
+    }
+    // Restart interval: same logical image, RST markers every 2 MCUs —
+    // DC predictors reset at each marker, output identical.
+    val vals = Array(7, 250, 13, 99, 200, 5)
+    val plain = Containers.synthJpegGray(48, 8, (bx, _) => vals(bx))
+    val withRst = Containers.synthJpegGrayCoefs(48, 8, Array.fill(64)(8),
+      (bx, _) => { val c = new Array[Int](64); c(0) = vals(bx) - 128; c },
+      restartInterval = 2)
+    assert(withRst.length > plain.length) // markers actually present
+    assert(Containers.jpegPixelBytes(withRst).toSeq ==
+      Containers.jpegPixelBytes(plain).toSeq)
+  }
+
+  test("jpeg: a stuffed 0xFF00 entropy byte decodes transparently") {
+    // Crafted to FORCE a 0xFF data byte: with DC=64 (category 7) the
+    // entropy prefix is exactly 16 bits — dc code (1) + 7 diff bits +
+    // three ZRLs (6) + the (14,8) symbol (2) — so the following AC
+    // value 255 (eight 1-bits) fills a whole byte: 0xFF, which the
+    // encoder must stuff with 0x00 and the decoder must unstuff.
+    val block = new Array[Int](64)
+    block(0) = 64; block(63) = 255
+    val qt = Array.fill(64)(3)
+    val jpg = Containers.synthJpegGrayCoefs(8, 8, qt, (_, _) => block)
+    val stuffedAt = (0 until jpg.length - 1).find(i =>
+      (jpg(i) & 0xFF) == 0xFF && jpg(i + 1) == 0x00)
+    assert(stuffedAt.isDefined, "crafted stream contains no stuffed byte")
+    val px = Containers.jpegPixelBytes(jpg)
+    assert(px != null)
+    val nat = new Array[Int](64)
+    for (k <- 0 until 64) nat(zz(k)) = block(k) * qt(k)
+    val expect = refIdct(nat)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(java.lang.Byte.toUnsignedInt(px((y * 8 + x) * 3)) ==
+        expect(y * 8 + x), s"($x,$y)")
+  }
+
+  test("jpeg decode degrades to null on corrupt or unsupported inputs") {
+    val jpg = Containers.synthJpegGray(16, 8, (bx, _) => 100 + bx)
+    assert(Containers.jpegPixelBytes(jpg) != null)
+    assert(Containers.jpegPixelBytes("not a jpeg".getBytes) == null)
+    assert(Containers.jpegPixelBytes(jpg.take(20)) == null)       // truncated tables
+    assert(Containers.jpegPixelBytes(jpg.take(jpg.length - 4)) == null) // truncated stream
+    def patched(find: Int => Boolean, at: Int => Int, v: Byte): Array[Byte] = {
+      val c = jpg.clone()
+      val i = (0 until c.length - 1).find(j =>
+        (c(j) & 0xFF) == 0xFF && find(c(j + 1) & 0xFF)).get
+      c(at(i)) = v; c
+    }
+    // SOF0 → SOF2 (progressive): unsupported profile.
+    assert(Containers.jpegPixelBytes(
+      patched(_ == 0xC0, _ + 1, 0xC2.toByte)) == null)
+    // 2×2-subsampled luma (hv byte: FF C0 len2 prec1 h2 w2 n1 id1 → +11).
+    assert(Containers.jpegPixelBytes(
+      patched(_ == 0xC0, _ + 11, 0x22.toByte)) == null)
+  }
+
   test("bmp and png encodings of the same logical pixels decode identically") {
     // The mixed demoPixelCorpus contract: format is an encoding detail,
     // decoded pixels are a pure function of the id.
@@ -101,6 +221,14 @@ class MultimodalSpec extends SparkSpec {
     // nearest-neighbor keeps pixels (0,0)=0, (2,0)=2, (0,2)=8, (2,2)=10
     assert(out.grouped(3).map(_.head.toInt).toSeq == Seq(0, 2, 8, 10))
     assert(Containers.resizeBmp("junk".getBytes, 2) == null)
+    // PNG path: same logical pixels, decode→resize→re-encode→decode
+    // picks the identical nearest-neighbor sources.
+    val phalf = Containers.resizePng(
+      Containers.synthPng(4, 4, px, row => row % 5), 2)
+    assert(Containers.parse(phalf).format == "png")
+    val pout = Containers.pngPixelBytes(phalf)
+    assert(pout.grouped(3).map(_.head.toInt).toSeq == Seq(0, 2, 8, 10))
+    assert(Containers.resizePng("junk".getBytes, 2) == null)
   }
 
   test("wav sample decode: s16le reassembly incl. -32768 edge") {
