@@ -780,18 +780,22 @@ object Containers {
     case _: IndexOutOfBoundsException => null
   }
 
-  /** Valid baseline grayscale JPEG from QUANTIZED coefficient blocks:
-    * `coefs(bx, by)` returns a block's 64 quantized coefficients in
-    * ZIG-ZAG order; the encoder quantizes nothing (the caller already
-    * did), emitting real DC-difference categories, (run,size) AC pairs
-    * with ZRL/EOB, Huffman tables BUILT from the symbols actually used
-    * (canonical, fixed-length assignment), 0xFF byte stuffing, and
-    * optional restart markers every `restartInterval` MCUs. The exact
-    * write-side counterpart of [[jpegPixelBytes]]'s entropy layer —
-    * dims need not be multiples of 8 (the decoder crops edge blocks).
+  /** Valid baseline JPEG from QUANTIZED coefficient blocks, 1 or 3
+    * components at 1×1 sampling (interleaved MCUs, shared tables):
+    * `coefs(comp, bx, by)` returns a block's 64 quantized coefficients
+    * in ZIG-ZAG order; the encoder quantizes nothing (the caller
+    * already did), emitting real DC-difference categories, (run,size)
+    * AC pairs with ZRL/EOB, Huffman tables BUILT from the symbols
+    * actually used (canonical, fixed-length assignment), 0xFF byte
+    * stuffing, and optional restart markers every `restartInterval`
+    * MCUs. The exact write-side counterpart of [[jpegPixelBytes]]'s
+    * entropy layer — dims need not be multiples of 8 (the decoder
+    * crops edge blocks).
     */
-  def synthJpegGrayCoefs(width: Int, height: Int, quantTable: Array[Int],
-      coefs: (Int, Int) => Array[Int], restartInterval: Int = 0): Array[Byte] = {
+  private def synthJpegCoefs(width: Int, height: Int, nComp: Int,
+      quantTable: Array[Int], coefs: (Int, Int, Int) => Array[Int],
+      restartInterval: Int): Array[Byte] = {
+    require(nComp == 1 || nComp == 3, s"1 or 3 components: $nComp")
     require(quantTable.length == 64, "quant table must have 64 entries")
     require(quantTable.forall(q => q >= 1 && q <= 255), "quant entries 1..255")
     val bw = (width + 7) / 8; val bh = (height + 7) / 8
@@ -802,26 +806,30 @@ object Containers {
     // ---- first pass: collect the (run,size)/category symbols used ----
     val dcSyms = scala.collection.mutable.SortedSet.empty[Int]
     val acSyms = scala.collection.mutable.SortedSet.empty[Int]
-    var prevDc = 0
+    val prevDcScan = new Array[Int](nComp)
     for (by <- 0 until bh; bx <- 0 until bw) {
-      if (restartInterval > 0 && (by * bw + bx) % restartInterval == 0) prevDc = 0
-      val cs = coefs(bx, by)
-      require(cs.length == 64, s"block ($bx,$by) must have 64 coefficients")
-      dcSyms += category(cs(0) - prevDc); prevDc = cs(0)
-      // EOB is emitted ONLY when the last nonzero zigzag index < 63:
-      // the decoder's AC loop exits at k=64 without consuming a symbol,
-      // so an EOB after coefficient 63 would desync the stream.
-      val lastNz = (1 to 63).foldLeft(0)((m, k) => if (cs(k) != 0) k else m)
-      var k = 1; var run = 0
-      while (k <= lastNz) {
-        if (cs(k) == 0) run += 1
-        else {
-          while (run >= 16) { acSyms += 0xF0; run -= 16 }
-          acSyms += (run << 4) | category(cs(k)); run = 0
+      if (restartInterval > 0 && (by * bw + bx) % restartInterval == 0)
+        java.util.Arrays.fill(prevDcScan, 0)
+      for (comp <- 0 until nComp) {
+        val cs = coefs(comp, bx, by)
+        require(cs.length == 64, s"block ($comp,$bx,$by) must have 64 coefficients")
+        dcSyms += category(cs(0) - prevDcScan(comp)); prevDcScan(comp) = cs(0)
+        // EOB is emitted ONLY when the last nonzero zigzag index < 63:
+        // the decoder's AC loop exits at k=64 without consuming a
+        // symbol, so an EOB after coefficient 63 would desync the
+        // stream.
+        val lastNz = (1 to 63).foldLeft(0)((m, k) => if (cs(k) != 0) k else m)
+        var k = 1; var run = 0
+        while (k <= lastNz) {
+          if (cs(k) == 0) run += 1
+          else {
+            while (run >= 16) { acSyms += 0xF0; run -= 16 }
+            acSyms += (run << 4) | category(cs(k)); run = 0
+          }
+          k += 1
         }
-        k += 1
+        if (lastNz < 63) acSyms += 0x00
       }
-      if (lastNz < 63) acSyms += 0x00
     }
 
     // ---- canonical fixed-length Huffman table over the used symbols --
@@ -847,13 +855,14 @@ object Containers {
     put(0xFF, 0xD8)                                        // SOI
     putSeg(0xDB, Array(0x00) ++ quantTable)                // DQT id 0
     putSeg(0xC0, Array(8,                                  // SOF0
-      height >> 8, height & 0xFF, width >> 8, width & 0xFF,
-      1, 1, 0x11, 0))                                      // 1 comp, 1×1, q0
+      height >> 8, height & 0xFF, width >> 8, width & 0xFF, nComp) ++
+      (0 until nComp).flatMap(c => Seq(c + 1, 0x11, 0)))   // 1×1, q0 each
     putSeg(0xC4, Array(0x00) ++ dcCounts.drop(1) ++ dcList) // DHT DC 0
     putSeg(0xC4, Array(0x10) ++ acCounts.drop(1) ++ acList) // DHT AC 0
     if (restartInterval > 0)
       putSeg(0xDD, Array(restartInterval >> 8, restartInterval & 0xFF))
-    putSeg(0xDA, Array(1, 1, 0x00, 0, 63, 0))              // SOS
+    putSeg(0xDA, Array(nComp) ++                           // SOS
+      (0 until nComp).flatMap(c => Seq(c + 1, 0x00)) ++ Seq(0, 63, 0))
 
     var bitBuf = 0; var bitCnt = 0
     def putBits(code: Int, len: Int): Unit = {
@@ -871,43 +880,63 @@ object Containers {
     def flushBits(): Unit = if (bitCnt > 0) {               // pad with 1s
       putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt)
     }
-    prevDc = 0
+    val prevDc = new Array[Int](nComp)
     var rst = 0
     for (by <- 0 until bh; bx <- 0 until bw) {
       val mcu = by * bw + bx
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         flushBits()
         put(0xFF, 0xD0 + (rst & 7)); rst += 1
-        prevDc = 0
+        java.util.Arrays.fill(prevDc, 0)
       }
-      val cs = coefs(bx, by)
-      val diff = cs(0) - prevDc; prevDc = cs(0)
-      val s = category(diff)
-      val (dcC, dcL) = dcCodes(s)
-      putBits(dcC, dcL)
-      if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-      val lastNz = (1 to 63).foldLeft(0)((m, k) => if (cs(k) != 0) k else m)
-      var k = 1; var run = 0
-      while (k <= lastNz) {
-        if (cs(k) == 0) run += 1
-        else {
-          while (run >= 16) {
-            val (c0, l0) = acCodes(0xF0); putBits(c0, l0); run -= 16
+      for (comp <- 0 until nComp) {
+        val cs = coefs(comp, bx, by)
+        val diff = cs(0) - prevDc(comp); prevDc(comp) = cs(0)
+        val s = category(diff)
+        val (dcC, dcL) = dcCodes(s)
+        putBits(dcC, dcL)
+        if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        val lastNz = (1 to 63).foldLeft(0)((m, k) => if (cs(k) != 0) k else m)
+        var k = 1; var run = 0
+        while (k <= lastNz) {
+          if (cs(k) == 0) run += 1
+          else {
+            while (run >= 16) {
+              val (c0, l0) = acCodes(0xF0); putBits(c0, l0); run -= 16
+            }
+            val sz = category(cs(k))
+            val (c1, l1) = acCodes((run << 4) | sz)
+            putBits(c1, l1)
+            putBits(if (cs(k) < 0) cs(k) + (1 << sz) - 1 else cs(k), sz)
+            run = 0
           }
-          val sz = category(cs(k))
-          val (c1, l1) = acCodes((run << 4) | sz)
-          putBits(c1, l1)
-          putBits(if (cs(k) < 0) cs(k) + (1 << sz) - 1 else cs(k), sz)
-          run = 0
+          k += 1
         }
-        k += 1
+        if (lastNz < 63) { val (ce, le) = acCodes(0x00); putBits(ce, le) } // EOB
       }
-      if (lastNz < 63) { val (ce, le) = acCodes(0x00); putBits(ce, le) } // EOB
     }
     flushBits()
     put(0xFF, 0xD9)                                        // EOI
     out.toByteArray
   }
+
+  /** Grayscale form of the coefficient encoder (see [[synthJpegYccCoefs]]
+    * for the 3-component interleaved form).
+    */
+  def synthJpegGrayCoefs(width: Int, height: Int, quantTable: Array[Int],
+      coefs: (Int, Int) => Array[Int], restartInterval: Int = 0): Array[Byte] =
+    synthJpegCoefs(width, height, 1, quantTable,
+      (_, bx, by) => coefs(bx, by), restartInterval)
+
+  /** 3-component (YCbCr, 1×1 sampling, interleaved MCUs, shared
+    * tables) coefficient encoder: `coefs(comp, bx, by)` with comp
+    * 0=Y, 1=Cb, 2=Cr. Write-side proof of the decoder's interleaved
+    * MCU walk, per-component DC prediction, and color conversion.
+    */
+  def synthJpegYccCoefs(width: Int, height: Int, quantTable: Array[Int],
+      coefs: (Int, Int, Int) => Array[Int],
+      restartInterval: Int = 0): Array[Byte] =
+    synthJpegCoefs(width, height, 3, quantTable, coefs, restartInterval)
 
   /** Block-constant grayscale JPEG: block (bx,by) holds the single
     * value `blockVal(bx,by)` (0..255). With the all-8s quant table the

@@ -34,43 +34,66 @@ object Ranks {
       .find(n => !df.columns.contains(n)).get
 
   /** Append `out` = the INCLUSIVE running sum of `value` under the
-    * total order (`bucket` asc, then `orderCols` within a bucket).
+    * total order (`bucket` asc, then `orderCols` within a bucket),
+    * independently WITHIN each `partCols` group (empty = one global
+    * order).
     *
     * Contract: `bucket` must order consistently with `orderCols`
     * across buckets — i.e. it is a range prefix of the leading sort
-    * key (any orderable type; lexicographic for strings) — and its
-    * cardinality must be broadcast-small (≤ ~65k: the per-bucket
-    * partials are prefix-windowed and broadcast back). `value` must
-    * be integral (cast to long; use `lit(1L)` for a row count).
+    * key (any orderable type; lexicographic for strings) — and
+    * `|partCols groups| × |buckets|` must be broadcast-small
+    * (≤ ~65k: the per-bucket partials are prefix-windowed and
+    * broadcast back). `value` must be integral (cast to long; use
+    * `lit(1L)` for a row count).
+    *
+    * Why partCols instead of one call per group: N chained calls cost
+    * N shuffles + N sequential window stages; stacking the groups into
+    * one frame ranks them all in ONE aggregation + ONE window pass.
     */
-  def bucketedRunningSum(df: DataFrame, value: Column, bucket: Column,
-      orderCols: Seq[Column], out: String): DataFrame = {
+  def bucketedRunningSumBy(df: DataFrame, partCols: Seq[String],
+      value: Column, bucket: Column, orderCols: Seq[Column],
+      out: String): DataFrame = {
     val b = fresh(df, "__graft_rk_b")
     val v = fresh(df, "__graft_rk_v")
     val keyed = df.withColumn(b, bucket).withColumn(v, value.cast("long"))
-    // Per-bucket partials, prefix-summed over STRICTLY earlier buckets.
-    // Single-partition window, but over ≤ #buckets rows by contract.
-    val bw = Window.orderBy(col(b))
+    // Per-(group, bucket) partials, prefix-summed over STRICTLY earlier
+    // buckets of the same group. The window frame is ≤ #groups×#buckets
+    // rows by contract — partitioned by group, so it is only ever
+    // single-partition in the degenerate global (partCols empty) case.
+    val bw = (if (partCols.isEmpty) Window.orderBy(col(b))
+              else Window.partitionBy(partCols.map(col): _*).orderBy(col(b)))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = keyed.groupBy(b).agg(sum(col(v)).as("__bsum"))
+    val gk = partCols :+ b
+    val offs = keyed.groupBy(gk.map(col): _*).agg(sum(col(v)).as("__bsum"))
       .withColumn("__off", coalesce(sum(col("__bsum")).over(bw), lit(0L)))
-      .select(col(b), col("__off"))
-    // Within-bucket inclusive running sum — hash-distributed by bucket.
-    val w = Window.partitionBy(col(b)).orderBy(orderCols: _*)
+      .drop("__bsum")
+    // Within-bucket inclusive running sum — hash-distributed by
+    // (group, bucket).
+    val w = Window.partitionBy(gk.map(col): _*).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    keyed.join(broadcast(offs), Seq(b))
+    keyed.join(broadcast(offs), gk)
       .withColumn(out, col("__off") + sum(col(v)).over(w))
       .drop(b, v, "__off")
   }
 
+  /** Global-order form of [[bucketedRunningSumBy]]. */
+  def bucketedRunningSum(df: DataFrame, value: Column, bucket: Column,
+      orderCols: Seq[Column], out: String): DataFrame =
+    bucketedRunningSumBy(df, Nil, value, bucket, orderCols, out)
+
   /** Append `out` = the dense 1-based `row_number()` under the total
-    * order (`bucket` asc, then `orderCols`) — [[bucketedRunningSum]]
-    * of a constant 1. `orderCols` must be a total order within each
-    * bucket for the rank to be deterministic.
+    * order (`bucket` asc, then `orderCols`), per `partCols` group —
+    * [[bucketedRunningSumBy]] of a constant 1. `orderCols` must be a
+    * total order within each bucket for the rank to be deterministic.
     */
+  def bucketedRowNumberBy(df: DataFrame, partCols: Seq[String],
+      bucket: Column, orderCols: Seq[Column], out: String): DataFrame =
+    bucketedRunningSumBy(df, partCols, lit(1L), bucket, orderCols, out)
+
+  /** Global-order form of [[bucketedRowNumberBy]]. */
   def bucketedRowNumber(df: DataFrame, bucket: Column,
       orderCols: Seq[Column], out: String): DataFrame =
-    bucketedRunningSum(df, lit(1L), bucket, orderCols, out)
+    bucketedRowNumberBy(df, Nil, bucket, orderCols, out)
 
   /** Exact integer floor-division for NON-NEGATIVE operands, engine-
     * portable: `(x - pmod(x, d)) / d` — the numerator is divisible by

@@ -425,12 +425,14 @@ object FrontierQueries {
     //
     // Scale shape: the textbook `ntile(4) OVER (ORDER BY …)` is a
     // single-partition window over every customer — billions of rows
-    // at corpus scale. Instead each metric gets a bucketed global rank
-    // (adaptive range buckets from one broadcast min/max aggregate,
-    // Ranks.bucketedRowNumber) and the quartile is reconstructed
-    // EXACTLY from (rank, count) by Ranks.ntileFromRank — identical
-    // tile membership, no data-sized single-partition window. The
-    // three metric ranks are three hash-distributed bucket windows.
+    // at corpus scale. Instead the three metrics STACK into
+    // (metric id, ascending-oriented value) rows and ONE bucketed rank
+    // pass partitioned by metric id (adaptive range buckets per metric
+    // from a broadcast min/max aggregate, Ranks.bucketedRowNumberBy)
+    // ranks all three — one aggregation + one window shuffle instead
+    // of three chained passes — then the quartile is reconstructed
+    // EXACTLY from (rank, count) by Ranks.ntileFromRank: identical
+    // tile membership, no data-sized single-partition window anywhere.
     "customer_rfm" -> ((s, dir) => {
       import graft.operators.Ranks
       val perCust = t(s, dir, "orders")
@@ -439,30 +441,46 @@ object FrontierQueries {
           count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long"))
             .as("monetary_cents"))
-      val ref = broadcast(perCust.agg(max(col("last_us")).as("ref_us")))
-      val scored = perCust.crossJoin(ref)
-        .select(col("custkey"), col("n_orders"), col("monetary_cents"),
-          expr("(ref_us - last_us) div 86400000000").as("recency_days"))
-      // One pass for every range bound + the ntile row count.
-      val stats = broadcast(scored.agg(count(lit(1)).as("__n"),
-        min("recency_days").as("__rlo"), max("recency_days").as("__rhi"),
+      // ONE broadcast aggregate supplies the snapshot reference AND
+      // every per-metric range bound: recency bounds are monotone
+      // transforms of the last_us bounds (recency lo = 0 at the
+      // newest customer), so no second stats pass over the data.
+      val stats = broadcast(perCust.agg(count(lit(1)).as("__n"),
+        max(col("last_us")).as("ref_us"), min(col("last_us")).as("min_us"),
         min("n_orders").as("__flo"), max("n_orders").as("__fhi"),
         min("monetary_cents").as("__mlo"),
         max("monetary_cents").as("__mhi")))
-      val st = scored.crossJoin(stats)
-      val rk1 = Ranks.bucketedRowNumber(st,
-        Ranks.rangeBucket(col("recency_days"), col("__rlo"), col("__rhi"),
-          4096),
-        Seq(col("recency_days"), col("custkey")), "__r_rank")
-      val rk2 = Ranks.bucketedRowNumber(rk1,
-        Ranks.rangeBucket(-col("n_orders"), -col("__fhi"), -col("__flo"),
-          4096),
-        Seq(col("n_orders").desc, col("custkey")), "__f_rank")
-      val rk3 = Ranks.bucketedRowNumber(rk2,
-        Ranks.rangeBucket(-col("monetary_cents"), -col("__mhi"),
-          -col("__mlo"), 4096),
-        Seq(col("monetary_cents").desc, col("custkey")), "__m_rank")
-      rk3
+      val scored = perCust.crossJoin(stats)
+        .select(col("custkey"), col("n_orders"), col("monetary_cents"),
+          expr("(ref_us - last_us) div 86400000000").as("recency_days"),
+          expr("(ref_us - min_us) div 86400000000").as("__rhi"),
+          col("__n"), col("__flo"), col("__fhi"), col("__mlo"),
+          col("__mhi"))
+      // Stack: m=1 recency asc, m=2 frequency desc, m=3 monetary desc
+      // (desc = ascending on the negated value; custkey breaks ties);
+      // each row carries its metric's oriented (lo, hi) range bounds.
+      val stacked = scored.select(col("custkey"), col("n_orders"),
+          col("monetary_cents"), col("recency_days"), col("__n"),
+          expr("explode(array(" +
+            "struct(1 AS m, recency_days AS v, 0L AS lo, __rhi AS hi), " +
+            "struct(2 AS m, -n_orders AS v, -__fhi AS lo, -__flo AS hi), " +
+            "struct(3 AS m, -monetary_cents AS v, -__mhi AS lo, " +
+            "-__mlo AS hi)))").as("mv"))
+        .select(col("custkey"), col("n_orders"), col("monetary_cents"),
+          col("recency_days"), col("__n"), col("mv.m").as("m"),
+          col("mv.v").as("v"), col("mv.lo").as("__lo"),
+          col("mv.hi").as("__hi"))
+      val ranked = Ranks.bucketedRowNumberBy(stacked, Seq("m"),
+        Ranks.rangeBucket(col("v"), col("__lo"), col("__hi"), 4096),
+        Seq(col("v"), col("custkey")), "__rank")
+      ranked.groupBy("custkey").agg(
+          max("n_orders").as("n_orders"),
+          max("monetary_cents").as("monetary_cents"),
+          max("recency_days").as("recency_days"),
+          max("__n").as("__n"), // = customer count, same for every metric
+          max(when(col("m") === 1, col("__rank"))).as("__r_rank"),
+          max(when(col("m") === 2, col("__rank"))).as("__f_rank"),
+          max(when(col("m") === 3, col("__rank"))).as("__m_rank"))
         .withColumn("r_q",
           Ranks.ntileFromRank(col("__r_rank"), col("__n"), 4))
         .withColumn("f_q",

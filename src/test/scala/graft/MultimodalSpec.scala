@@ -155,6 +155,32 @@ class MultimodalSpec extends SparkSpec {
       Containers.jpegPixelBytes(plain).toSeq)
   }
 
+  test("jpeg: 3-component YCbCr interleaved MCUs decode and color-convert") {
+    // Two MCUs of constant (Y, Cb, Cr) — neutral gray (chroma 128 must
+    // leave R=G=B=Y) and a red-saturating triple. Constant blocks with
+    // the all-8s table reach the planes integer-exact, so the expected
+    // RGB is the BT.601 formula applied to the exact plane values.
+    val ycc = Array(Array(128, 128, 128), Array(200, 50, 220)) // (bx)(comp)
+    val jpg = Containers.synthJpegYccCoefs(16, 8, Array.fill(64)(8),
+      (comp, bx, _) => {
+        val c = new Array[Int](64); c(0) = ycc(bx)(comp) - 128; c
+      })
+    val px = Containers.jpegPixelBytes(jpg)
+    assert(px != null && px.length == 16 * 8 * 3)
+    def cl(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+    for (bx <- 0 to 1; y <- 0 until 8; x <- 0 until 8) {
+      val yy = ycc(bx)(0); val cb = ycc(bx)(1); val cr = ycc(bx)(2)
+      val d = (y * 16 + bx * 8 + x) * 3
+      assert(java.lang.Byte.toUnsignedInt(px(d)) ==
+        cl(yy + 1.402 * (cr - 128)), s"R at mcu $bx ($x,$y)")
+      assert(java.lang.Byte.toUnsignedInt(px(d + 1)) ==
+        cl(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        s"G at mcu $bx ($x,$y)")
+      assert(java.lang.Byte.toUnsignedInt(px(d + 2)) ==
+        cl(yy + 1.772 * (cb - 128)), s"B at mcu $bx ($x,$y)")
+    }
+  }
+
   test("jpeg: a stuffed 0xFF00 entropy byte decodes transparently") {
     // Crafted to FORCE a 0xFF data byte: with DC=64 (category 7) the
     // entropy prefix is exactly 16 bits — dc code (1) + 7 diff bits +

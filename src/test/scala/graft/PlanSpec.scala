@@ -440,8 +440,12 @@ class PlanSpec extends SparkSpec {
         case w: WindowExec => w
       }
       val global = wins.filter(_.partitionSpec.isEmpty)
-      assert(global.nonEmpty && wins.exists(_.partitionSpec.nonEmpty),
-        s"$name: expected bucket-offset + within-bucket window pair")
+      // At least the hash-distributed within-bucket window must exist;
+      // a fully-partitioned plan (e.g. customer_rfm's stacked ranks,
+      // whose offset window partitions by metric id) may have NO
+      // unpartitioned window at all — even better.
+      assert(wins.exists(_.partitionSpec.nonEmpty),
+        s"$name: expected a hash-distributed within-bucket window")
       global.foreach { w =>
         val ordCols = w.orderSpec.flatMap(_.child.references.map(_.name))
         assert(ordCols.forall(_.startsWith("__graft_rk_b")),

@@ -35,6 +35,23 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("bucketedRowNumberBy matches per-partition row_number in one pass") {
+    // Rank independently within each l_partkey%5 group — the stacked
+    // many-orders-in-one-pass shape customer_rfm uses.
+    val g = li.withColumn("grp", pmod(col("l_partkey"), lit(5)))
+    val expect = g.withColumn("rk",
+      row_number().over(Window.partitionBy("grp")
+        .orderBy(col("qty"), col("uid"))).cast("long"))
+    val stats = g.groupBy("grp")
+      .agg(min("qty").as("lo"), max("qty").as("hi"))
+    val got = Ranks.bucketedRowNumberBy(g.join(broadcast(stats), "grp"),
+      Seq("grp"),
+      Ranks.rangeBucket(col("qty"), col("lo"), col("hi"), 64),
+      Seq(col("qty"), col("uid")), "rk")
+    assert(got.select("uid", "grp", "rk")
+      .except(expect.select("uid", "grp", "rk")).isEmpty)
+  }
+
   test("bucketedRunningSum matches cumulative window, descending order") {
     val expect = li.withColumn("cum",
       sum(col("qty")).over(Window.orderBy(col("qty").desc, col("uid"))
