@@ -504,6 +504,273 @@ object Containers {
       filterFor: Int => Int): Array[Byte] =
     synthPng(width, height, 2, pixels, filterFor)
 
+  // --- real GIF pixel decode: LZW is pure algorithm ------------------
+  // GIF's "codec" is LZW over palette indices — dictionary-based,
+  // deterministic, implementable in plain JVM arithmetic like PNG's
+  // DEFLATE (which at least ships in the JDK; LZW here is ours).
+  // Supported: 87a/89a, first image covering the full logical screen,
+  // global or local palette, interlaced or sequential, extensions
+  // skipped. Animated GIFs decode their first frame.
+
+  /** Stream-order → logical row permutation for interlaced GIFs
+    * (passes: every 8th from 0, every 8th from 4, every 4th from 2,
+    * every 2nd from 1).
+    */
+  private def interlaceRows(h: Int): Array[Int] = {
+    val rows = new Array[Int](h)
+    var j = 0
+    for ((s, st) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var r = s
+      while (r < h) { rows(j) = r; j += 1; r += st }
+    }
+    rows
+  }
+
+  /** GIF-flavor LZW decode (LSB-first bit packing, CLEAR/END codes,
+    * code width growing to 12 bits, KwKwK case) of `expected` palette
+    * indices. Null on any truncation or malformed code.
+    */
+  private def lzwDecode(d: Array[Byte], mcs: Int, expected: Int): Array[Int] = {
+    val clear = 1 << mcs; val end = clear + 1
+    val maxCodes = 4096
+    var codeSize = mcs + 1
+    val prefix = new Array[Int](maxCodes)
+    val suffix = new Array[Int](maxCodes)
+    var dictSize = end + 1
+    val out = new Array[Int](expected)
+    var outN = 0
+    var bitPos = 0
+    def read(): Int = {
+      if (bitPos + codeSize > d.length * 8) return -1
+      var v = 0
+      var i = 0
+      while (i < codeSize) {
+        val bp = bitPos + i
+        if (((d(bp >> 3) >> (bp & 7)) & 1) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    val stack = new Array[Int](maxCodes + 1)
+    var prev = -1
+    var prevFirst = 0
+    while (outN < expected) {
+      val code = read()
+      if (code < 0) return null
+      if (code == clear) {
+        dictSize = end + 1; codeSize = mcs + 1; prev = -1
+      } else if (code == end) {
+        return null // END before the image filled = truncated
+      } else {
+        var sp = 0
+        var cur = code
+        if (code >= dictSize) {
+          if (code != dictSize || prev < 0) return null
+          stack(sp) = prevFirst; sp += 1 // KwKwK: seq(prev) :+ first
+          cur = prev
+        }
+        while (cur >= clear + 2) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+        if (cur >= clear) return null
+        stack(sp) = cur; sp += 1
+        val first = cur
+        while (sp > 0) {
+          sp -= 1
+          if (outN >= expected) return null
+          out(outN) = stack(sp); outN += 1
+        }
+        if (prev >= 0 && dictSize < maxCodes) {
+          prefix(dictSize) = prev; suffix(dictSize) = first
+          dictSize += 1
+          // one LESS than the encoder's bump point: the decoder adds
+          // each entry one code later (it reconstructs e_k while
+          // processing c_{k+1}), so it must widen as soon as the NEXT
+          // add would reach 2^codeSize — or it reads the encoder's
+          // already-widened codes at the old width and desyncs
+          if (dictSize == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+        }
+        prev = code
+        prevFirst = first
+      }
+    }
+    out
+  }
+
+  /** GIF-flavor LZW encode — the exact inverse of [[lzwDecode]]: a
+    * real growing dictionary (not clear-code spam), code width bumps
+    * in lockstep with the decoder's, and a CLEAR + reset when the
+    * dictionary fills at 4096.
+    */
+  private def lzwEncode(indices: Array[Int], mcs: Int): Array[Byte] = {
+    val clear = 1 << mcs; val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeSize = mcs + 1
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += codeSize
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xFF).toInt); bitBuf >>= 8; bitCnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var dictSize = end + 1
+    put(clear)
+    var prev = -1
+    for (s <- indices) {
+      require(s >= 0 && s < clear, s"index $s out of palette range")
+      if (prev < 0) prev = s
+      else dict.get((prev, s)) match {
+        case Some(c) => prev = c
+        case None =>
+          put(prev)
+          dict((prev, s)) = dictSize
+          dictSize += 1
+          // lockstep with the decoder: IT bumps after adding the entry
+          // it reconstructs from this very code
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          if (dictSize == 4096) {
+            put(clear)
+            dict.clear(); dictSize = end + 1; codeSize = mcs + 1
+          }
+          prev = s
+      }
+    }
+    if (prev >= 0) put(prev)
+    put(end)
+    while (bitCnt > 0) {
+      out.write((bitBuf & 0xFF).toInt); bitBuf >>= 8
+      bitCnt = math.max(bitCnt - 8, 0)
+    }
+    out.toByteArray
+  }
+
+  /** Decode a GIF's first full-frame image into logical top-down
+    * 3-bytes-per-pixel rows (R,G,B from the active palette): block
+    * walk past extensions, global/local color table, LZW decode of the
+    * sub-block-concatenated index stream, interlace reorder. Null for
+    * anything malformed, truncated, partial-frame, or with an index
+    * outside the palette — degrade-don't-throw like every decoder
+    * here.
+    */
+  def gifPixelBytes(b: Array[Byte]): Array[Byte] = try {
+    if (!(b.length >= 14 &&
+        (ascii(b, 0, 6) == "GIF87a" || ascii(b, 0, 6) == "GIF89a"))) return null
+    val w = leU16(b, 6); val h = leU16(b, 8)
+    if (w <= 0 || h <= 0 || w.toLong * h * 3 > (1L << 30)) return null
+    val packed = u8(b, 10)
+    var pos = 13
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + 3 * n > b.length) return null
+      gct = Array.tabulate(3 * n)(i => u8(b, pos + i))
+      pos += 3 * n
+    }
+    while (pos < b.length) {
+      u8(b, pos) match {
+        case 0x21 => // extension: label byte + data sub-blocks
+          pos += 2
+          while (pos < b.length && u8(b, pos) != 0) pos += 1 + u8(b, pos)
+          if (pos >= b.length) return null
+          pos += 1
+        case 0x2C =>
+          if (pos + 10 > b.length) return null
+          val ix = leU16(b, pos + 1); val iy = leU16(b, pos + 3)
+          val iw = leU16(b, pos + 5); val ih = leU16(b, pos + 7)
+          val ip = u8(b, pos + 9)
+          pos += 10
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            if (pos + 3 * n > b.length) return null
+            pal = Array.tabulate(3 * n)(i => u8(b, pos + i))
+            pos += 3 * n
+          }
+          if (pal == null) return null
+          if (ix != 0 || iy != 0 || iw != w || ih != h) return null // partial frame
+          if (pos >= b.length) return null
+          val mcs = u8(b, pos); pos += 1
+          if (mcs < 2 || mcs > 11) return null
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < b.length && u8(b, pos) != 0) {
+            val n = u8(b, pos)
+            if (pos + 1 + n > b.length) return null
+            data.write(b, pos + 1, n); pos += 1 + n
+          }
+          if (pos >= b.length) return null // missing sub-block terminator
+          val idx = lzwDecode(data.toByteArray, mcs, w * h)
+          if (idx == null) return null
+          val np = pal.length / 3
+          val rowOf = if ((ip & 0x40) != 0) interlaceRows(h) else null
+          val out = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val v = idx(i)
+            if (v >= np) return null
+            val row = if (rowOf == null) i / w else rowOf(i / w)
+            val d0 = (row * w + i % w) * 3
+            out(d0) = pal(3 * v).toByte
+            out(d0 + 1) = pal(3 * v + 1).toByte
+            out(d0 + 2) = pal(3 * v + 2).toByte
+            i += 1
+          }
+          return out
+        case 0x3B => return null // trailer before any image
+        case _ => return null
+      }
+    }
+    null
+  } catch { case _: IndexOutOfBoundsException => null }
+
+  /** Valid GIF89a from a palette (3·2^k RGB bytes) and logical
+    * top-down palette indices: real LZW compression
+    * ([[lzwEncode]] — growing dictionary, CLEAR at 4096), data split
+    * into ≤255-byte sub-blocks, optional interlaced row order, and a
+    * Graphic Control Extension so decoders exercise the extension-skip
+    * path. Exact inverse of [[gifPixelBytes]] modulo palette lookup.
+    */
+  def synthGif(width: Int, height: Int, paletteRgb: Array[Int],
+      indices: Array[Int], interlaced: Boolean = false): Array[Byte] = {
+    val np = paletteRgb.length / 3
+    require(np >= 2 && np <= 256 && Integer.bitCount(np) == 1,
+      s"palette size must be a power of two in 2..256: $np")
+    require(paletteRgb.length == 3 * np, "palette must be 3*n RGB bytes")
+    require(indices.length == width * height,
+      s"need $width*$height indices, got ${indices.length}")
+    val k = 31 - Integer.numberOfLeadingZeros(np) // log2(np)
+    val mcs = math.max(2, k)
+    val stream =
+      if (!interlaced) indices
+      else {
+        val rows = interlaceRows(height)
+        val s = new Array[Int](indices.length)
+        for (j <- 0 until height)
+          System.arraycopy(indices, rows(j) * width, s, j * width, width)
+        s
+      }
+    val z = lzwEncode(stream, mcs)
+    val out = new java.io.ByteArrayOutputStream()
+    def put(v: Int*): Unit = v.foreach(x => out.write(x & 0xFF))
+    put('G', 'I', 'F', '8', '9', 'a')
+    put(width & 0xFF, width >> 8, height & 0xFF, height >> 8)
+    put(0x80 | (k - 1), 0, 0) // GCT present, size 2^k; bg 0; no aspect
+    paletteRgb.foreach(v => out.write(v & 0xFF))
+    put(0x21, 0xF9, 4, 0, 0, 0, 0, 0) // GCE (no transparency), terminator
+    put(0x2C, 0, 0, 0, 0,
+      width & 0xFF, width >> 8, height & 0xFF, height >> 8,
+      if (interlaced) 0x40 else 0x00)
+    put(mcs)
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(255, z.length - off)
+      put(n)
+      out.write(z, off, n)
+      off += n
+    }
+    put(0x00, 0x3B) // sub-block terminator, trailer
+    out.toByteArray
+  }
+
   // --- real baseline-JPEG pixel decode: Huffman + IDCT in pure JVM ----
   // Baseline sequential JPEG (SOF0) needs no codec library either: the
   // entropy layer is canonical Huffman (ITU T.81 §F.2), the transform

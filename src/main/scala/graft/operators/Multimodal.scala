@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * typed Dataset boundary, batch iteration — and header-level metadata
   * (dimensions, sample rates) is parsed from REAL container layouts
   * (`Containers`: BMP/PNG/GIF/JPEG/WAV/MP4, pure byte arithmetic).
-  * Payload decoding is REAL for BMP, PNG, baseline JPEG, WAV, and MP4
-  * sample tables — 24-bit BMP pixels through the row-padding/bottom-up
-  * geometry, PNG pixels through zlib inflate + the five per-row
-  * filters (`Containers.pngPixelBytes` — DEFLATE ships in the JDK),
+  * Payload decoding is REAL for BMP, PNG, GIF, baseline JPEG, WAV,
+  * and MP4 sample tables — 24-bit BMP pixels through the
+  * row-padding/bottom-up geometry, PNG pixels through zlib inflate +
+  * the five per-row filters (`Containers.pngPixelBytes` — DEFLATE
+  * ships in the JDK), GIF pixels through a from-scratch LZW
+  * decompressor + palette + de-interlace (`Containers.gifPixelBytes`),
   * baseline-JPEG pixels through canonical Huffman + dequantize + 8×8
   * IDCT (`Containers.jpegPixelBytes` — T.81's entropy layer is plain
   * arithmetic), PCM WAV s16le samples through the RIFF chunk walk
@@ -65,7 +67,7 @@ object Multimodal {
   /** Decoder: REAL container-header parsing (`Containers.parse` — BMP,
     * PNG, GIF, WAV from raw bytes, no external libs) plus a brightness
     * proxy from the byte mean. Full payload decode lives in
-    * [[pixelStats]]/[[audioStats]]/[[sampleFrames]] (BMP/PNG/JPEG
+    * [[pixelStats]]/[[audioStats]]/[[sampleFrames]] (BMP/PNG/GIF/JPEG
     * pixels, PCM samples, MP4 keyframes); only video-codec frame decode
     * (H.26x) needs a library this sandbox doesn't ship — a production
     * deployment adds a JNI/process-isolated codec behind the same
@@ -192,7 +194,9 @@ object Multimodal {
     val bmp = Containers.bmpPixelBytes(content)
     if (bmp != null) return bmp
     val png = Containers.pngPixelBytes(content)
-    if (png != null) png else Containers.jpegPixelBytes(content)
+    if (png != null) return png
+    val gif = Containers.gifPixelBytes(content)
+    if (gif != null) gif else Containers.jpegPixelBytes(content)
   }
 
   /** Deterministic mixed-format image corpus: pixel byte `i` of image
@@ -215,6 +219,35 @@ object Multimodal {
         if (id % 2 == 0) Containers.synthBmp24(w, h, px)
         else Containers.synthPng(w, h, px, row => row % 5)
       MediaFile(id, "image", blob)
+    })
+  }
+
+  /** Deterministic GIF corpus: image `id` is `8+id%9 × 8+id%7` over a
+    * `2^(2 + 3·(id%3))`-entry palette (4/32/256) whose entry `j` is
+    * `((j·41+7)%256, (j·73+11)%256, (j·97+13)%256)`; pixel `i`'s index
+    * is `(id·31 + i·7) mod np`, and odd ids store INTERLACED row
+    * order. Decoding must run a real LZW decompression (with the
+    * dictionary actually growing — the index stream is non-repetitive)
+    * plus the 4-pass de-interlace to reproduce the oracle's palette
+    * arithmetic.
+    */
+  def demoGifCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      val np = 1 << (2 + 3 * (id % 3)).toInt
+      val pal = Array.tabulate(3 * np) { i =>
+        val j = i / 3
+        (i % 3) match {
+          case 0 => (j * 41 + 7) % 256
+          case 1 => (j * 73 + 11) % 256
+          case _ => (j * 97 + 13) % 256
+        }
+      }
+      val idx = Array.tabulate(w * h)(i => ((id * 31 + i.toLong * 7) % np).toInt)
+      MediaFile(id, "image",
+        Containers.synthGif(w, h, pal, idx, interlaced = id % 2 == 1))
     })
   }
 

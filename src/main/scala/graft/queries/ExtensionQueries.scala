@@ -501,7 +501,7 @@ object ExtensionQueries {
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
 
     // Multimodal plumbing: opaque binary column + typed features. The
-    // text column stands in for the blob; real payload decode (BMP/PNG
+    // text column stands in for the blob; real payload decode (BMP/PNG/GIF/JPEG
     // pixels, PCM samples, MP4 keyframes) lives in Multimodal.scala.
     "multimodal_features" -> ((s, dir) =>
       tc(s, dir, "documents").select(

@@ -99,6 +99,22 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // REAL GIF pixel decode: a full LZW decompression (growing
+    // dictionary, 12-bit cap, LSB-first packing) over a deterministic
+    // palette-index generator, with odd ids additionally stored in
+    // 4-pass interlaced row order — the oracle replays palette
+    // arithmetic, the Spark side must earn it through the real
+    // decompressor and de-interlace.
+    "multimodal_gif_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoGifCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.pixelStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // REAL baseline-JPEG pixel decode: the corpus is block-constant
     // grayscale JPEGs with the all-8s quant table, where the whole
     // chain — marker walk, canonical-Huffman DC stream, dequantize,
@@ -843,6 +859,24 @@ object FrontierQueries {
         |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[2] END)::BIGINT AS c1_sum,
         |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[3] END)::BIGINT AS c2_sum
         |FROM sums ORDER BY media_id""".stripMargin,
+
+    // Replays the GIF palette arithmetic: pixel i's index is
+    // (id*31 + i*7) mod np, channel c of palette entry j is
+    // (j*{41,73,97} + {7,11,13}) % 256 — interlacing permutes rows
+    // only, so the channel SUMS are storage-order-invariant.
+    "multimodal_gif_pixels" ->
+      """WITH m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |    CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 32 ELSE 256 END AS np
+        |  FROM documents)
+        |SELECT doc_id AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  (w*h)::BIGINT AS n_pixels,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> (((doc_id*31 + i*7) % np) * 41 + 7) % 256))::BIGINT AS c0_sum,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> (((doc_id*31 + i*7) % np) * 73 + 11) % 256))::BIGINT AS c1_sum,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> (((doc_id*31 + i*7) % np) * 97 + 13) % 256))::BIGINT AS c2_sum
+        |FROM m ORDER BY media_id""".stripMargin,
 
     // Replays the block-constant JPEG generator: gray value of block b
     // (raster order) is (id*31 + b*7) % 256, replicated to all three

@@ -78,6 +78,57 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.pngPixelBytes(bomb) == null)
   }
 
+  test("gif: LZW round-trips sequential, interlaced, repetitive, and large streams") {
+    val pal = Array.tabulate(3 * 16) { i =>
+      val j = i / 3
+      (i % 3) match {
+        case 0 => (j * 41 + 7) % 256
+        case 1 => (j * 73 + 11) % 256
+        case _ => (j * 97 + 13) % 256
+      }
+    }
+    def expectRgb(idx: Array[Int]): Seq[Int] =
+      idx.flatMap(j => Seq(pal(3 * j), pal(3 * j + 1), pal(3 * j + 2))).toSeq
+    def decoded(b: Array[Byte]): Seq[Int] =
+      Containers.gifPixelBytes(b).map(java.lang.Byte.toUnsignedInt(_)).toSeq
+
+    // sequential: varied indices force real dictionary growth
+    val idx = Array.tabulate(12 * 9)(i => (i * 7 + 3) % 16)
+    val gif = Containers.synthGif(12, 9, pal, idx)
+    val hdr = Containers.parse(gif)
+    assert(hdr.format == "gif" && hdr.width == 12 && hdr.height == 9)
+    assert(decoded(gif) == expectRgb(idx))
+    // interlaced: same logical pixels through the 4-pass row order
+    assert(decoded(Containers.synthGif(12, 9, pal, idx, interlaced = true))
+      == expectRgb(idx))
+    // repetitive run: the KwKwK (code == dictSize) decode case
+    val runs = Array.fill(64)(5) ++ Array.tabulate(32)(i => i % 4)
+    assert(decoded(Containers.synthGif(12, 8, pal, runs)) == expectRgb(runs))
+    // large image: >255-byte compressed data (sub-block splitting) AND
+    // >4096 dictionary entries (CLEAR + reset mid-stream)
+    val big = Array.tabulate(200 * 100)(i => ((i * i + i / 3) % 16 + i % 5) % 16)
+    assert(decoded(Containers.synthGif(200, 100, pal, big)) == expectRgb(big))
+    // tiny 4-entry palette at the minimum 2-bit code size
+    val pal4 = Array(0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255)
+    val i4 = Array.tabulate(8 * 8)(i => i % 4)
+    assert(decoded(Containers.synthGif(8, 8, pal4, i4)) ==
+      i4.flatMap(j => Seq(pal4(3 * j), pal4(3 * j + 1), pal4(3 * j + 2))).toSeq)
+  }
+
+  test("gif decode degrades to null on corrupt or unsupported inputs") {
+    val pal = Array.tabulate(3 * 8)(i => (i * 31) % 256)
+    val idx = Array.tabulate(10 * 6)(i => i % 8)
+    val gif = Containers.synthGif(10, 6, pal, idx)
+    assert(Containers.gifPixelBytes(gif) != null)
+    assert(Containers.gifPixelBytes("definitely not a gif".getBytes) == null)
+    assert(Containers.gifPixelBytes(gif.take(12)) == null)
+    // truncated mid-LZW-stream: indices can't fill the frame
+    assert(Containers.gifPixelBytes(gif.take(gif.length - 6)) == null)
+    // trailer-only (no image descriptor)
+    val noImage = gif.take(13 + 3 * 8) ++ Array(0x3B.toByte)
+    assert(Containers.gifPixelBytes(noImage) == null)
+  }
+
   test("jpeg: block-constant decode is integer-exact through the whole chain") {
     // 3×2 blocks (24×16 px) covering the value edges 0/128/255.
     val vals = Array(Array(0, 128, 255), Array(17, 254, 1)) // (by)(bx)
