@@ -652,7 +652,28 @@ object Containers {
     * outside the palette — degrade-don't-throw like every decoder
     * here.
     */
-  def gifPixelBytes(b: Array[Byte]): Array[Byte] = try {
+  def gifPixelBytes(b: Array[Byte]): Array[Byte] =
+    gifDecodeIndexed(b) match {
+      case null => null
+      case (w, h, pal, idx) =>
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val v = idx(i)
+          out(3 * i) = pal(3 * v).toByte
+          out(3 * i + 1) = pal(3 * v + 1).toByte
+          out(3 * i + 2) = pal(3 * v + 2).toByte
+          i += 1
+        }
+        out
+    }
+
+  /** The palette-preserving form of [[gifPixelBytes]]:
+    * (width, height, palette RGB bytes, logical top-down indices) —
+    * what a palette-aware transform (e.g. [[resizeGif]]) needs. Null
+    * on the same degrade conditions.
+    */
+  def gifDecodeIndexed(b: Array[Byte]): (Int, Int, Array[Int], Array[Int]) = try {
     if (!(b.length >= 14 &&
         (ascii(b, 0, 6) == "GIF87a" || ascii(b, 0, 6) == "GIF89a"))) return null
     val w = leU16(b, 6); val h = leU16(b, 8)
@@ -702,25 +723,48 @@ object Containers {
           if (idx == null) return null
           val np = pal.length / 3
           val rowOf = if ((ip & 0x40) != 0) interlaceRows(h) else null
-          val out = new Array[Byte](w * h * 3)
+          val logical = new Array[Int](w * h)
           var i = 0
           while (i < w * h) {
             val v = idx(i)
             if (v >= np) return null
             val row = if (rowOf == null) i / w else rowOf(i / w)
-            val d0 = (row * w + i % w) * 3
-            out(d0) = pal(3 * v).toByte
-            out(d0 + 1) = pal(3 * v + 1).toByte
-            out(d0 + 2) = pal(3 * v + 2).toByte
+            logical(row * w + i % w) = v
             i += 1
           }
-          return out
+          return (w, h, pal, logical)
         case 0x3B => return null // trailer before any image
         case _ => return null
       }
     }
     null
   } catch { case _: IndexOutOfBoundsException => null }
+
+  /** Nearest-neighbor downscale of a GIF by an integer factor on the
+    * INDEX grid (palette preserved exactly — no color resampling),
+    * re-encoded through the real LZW path. Null for undecodable
+    * inputs.
+    */
+  def resizeGif(b: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    gifDecodeIndexed(b) match {
+      case null => null
+      case (w0, h0, pal, idx) =>
+        val w1 = math.max(w0 / factor, 1)
+        val h1 = math.max(h0 / factor, 1)
+        val out = new Array[Int](w1 * h1)
+        var y = 0
+        while (y < h1) {
+          var x = 0
+          while (x < w1) {
+            out(y * w1 + x) = idx((y * factor) * w0 + (x * factor))
+            x += 1
+          }
+          y += 1
+        }
+        synthGif(w1, h1, pal, out)
+    }
+  }
 
   /** Valid GIF89a from a palette (3·2^k RGB bytes) and logical
     * top-down palette indices: real LZW compression

@@ -151,22 +151,26 @@ object Multimodal {
   }
 
   /** Partition-wise REAL resize over a media Dataset: decodable 24-bit
-    * BMPs and PNGs are nearest-neighbor downscaled over their decoded
-    * pixels (`Containers.resizeBmp` / `Containers.resizePng` — each
-    * re-encoded in its own format); anything undecodable passes through
-    * unchanged, so a mixed or partially corrupt corpus degrades per-row
-    * instead of failing the job. JPEG re-ENCODE needs a forward
-    * DCT+quantizer — decode is real ([[imagePixelBytes]]); lossy
-    * re-encode stays with a production codec library.
+    * BMPs, PNGs, and GIFs are nearest-neighbor downscaled over their
+    * decoded pixels (`Containers.resizeBmp` / `resizePng` /
+    * `resizeGif` — each re-encoded in its own format, GIF on the index
+    * grid with its palette preserved); anything undecodable passes
+    * through unchanged, so a mixed or partially corrupt corpus
+    * degrades per-row instead of failing the job. JPEG re-ENCODE needs
+    * a forward DCT+quantizer — decode is real ([[imagePixelBytes]]);
+    * lossy re-encode stays with a production codec library.
     */
   def resizeAll(spark: SparkSession, media: Dataset[MediaFile],
       factor: Int): Dataset[MediaFile] = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
       val viaBmp = Containers.resizeBmp(m.content, factor)
-      val resized =
+      val viaPng =
         if (viaBmp != null) viaBmp
         else Containers.resizePng(m.content, factor)
+      val resized =
+        if (viaPng != null) viaPng
+        else Containers.resizeGif(m.content, factor)
       if (resized == null) m else m.copy(content = resized)
     })
   }

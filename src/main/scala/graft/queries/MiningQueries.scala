@@ -173,6 +173,12 @@ object MiningQueries {
     // "is this metric drifting up or down" with the slope's numerator
     // and denominator as exact integers (n·Σxy − Σx·Σy over
     // n·Σx² − (Σx)²) and only the final ratio as a double.
+    // Operating bound: the OUTPUT columns trend_num/trend_den are long
+    // moment products over the WEEKS dimension (x = day offset ≤ ~10⁴,
+    // n ≤ ~10³ weeks), exact while n·Σxy < 2⁶³ — i.e. weekly counts up
+    // to ~10¹¹. Past that, widen to decimal AND change the declared
+    // output schema (unlike metrics_autocorr/metric_correlation, whose
+    // moments are internal and already decimal-widened).
     "metrics_trend" -> ((s, dir) => {
       val wk = t(s, dir, "events")
         .groupBy(col("event_type"),

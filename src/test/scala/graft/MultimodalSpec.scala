@@ -306,6 +306,15 @@ class MultimodalSpec extends SparkSpec {
     val pout = Containers.pngPixelBytes(phalf)
     assert(pout.grouped(3).map(_.head.toInt).toSeq == Seq(0, 2, 8, 10))
     assert(Containers.resizePng("junk".getBytes, 2) == null)
+    // GIF path: nearest-neighbor on the INDEX grid, palette preserved
+    val gpal = Array.tabulate(3 * 16)(i => (i * 17) % 256)
+    val gidx = Array.tabulate(4 * 4)(identity) // index = pixel position
+    val ghalf = Containers.resizeGif(Containers.synthGif(4, 4, gpal, gidx), 2)
+    assert(Containers.parse(ghalf).format == "gif")
+    val (gw, gh, gp2, gi2) = Containers.gifDecodeIndexed(ghalf)
+    assert(gw == 2 && gh == 2 && gp2.toSeq == gpal.toSeq)
+    assert(gi2.toSeq == Seq(0, 2, 8, 10))
+    assert(Containers.resizeGif("junk".getBytes, 2) == null)
   }
 
   test("wav sample decode: s16le reassembly incl. -32768 edge") {
