@@ -171,15 +171,17 @@ object Containers {
     out.array()
   }
 
-  /** Minimal valid PCM WAV wrapping `payload` as the data chunk. */
+  /** Minimal valid WAV wrapping `payload` as the data chunk. `format`
+    * is the WAVE format code (1 = PCM, 6 = A-law, 7 = μ-law).
+    */
   def synthWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
-      payload: Array[Byte]): Array[Byte] = {
+      payload: Array[Byte], format: Int = 1): Array[Byte] = {
     val blockAlign = channels * bitsPerSample / 8
     val out = java.nio.ByteBuffer.allocate(44 + payload.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes).putInt(36 + payload.length).put("WAVE".getBytes)
       .put("fmt ".getBytes).putInt(16)
-      .putShort(1)                          // PCM
+      .putShort(format.toShort)
       .putShort(channels.toShort)
       .putInt(sampleRate)
       .putInt(sampleRate * blockAlign)      // byte rate
@@ -1266,33 +1268,81 @@ object Containers {
         val c = new Array[Int](64); c(0) = v - 128; c
       })
 
-  /** Decode a WAV's `data` chunk into signed 16-bit little-endian
-    * samples. Requires a `fmt ` chunk declaring 16 bits per sample (the
-    * samples are interpreted as PCM s16le; any rate or channel count);
-    * null otherwise — same degrade-don't-throw posture as the header
-    * parsers. Walks chunks, so LIST/JUNK prefixes and trailing metadata
-    * chunks are handled.
+  /** ITU G.711 μ-law byte → linear s16 (the ×4-scaled CCITT expansion,
+    * ±32124 full scale — the convention libsndfile/sox emit).
+    */
+  def ulawToLinear(byte: Int): Int = {
+    val u = (~byte) & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU G.711 A-law byte → linear s16 (±32256 full scale; the sign
+    * bit SET means positive, after the 0x55 toggle).
+    */
+  def alawToLinear(byte: Int): Int = {
+    val a = byte ^ 0x55
+    val exp = (a >> 4) & 7
+    val mant = a & 0x0F
+    val t = if (exp == 0) (mant << 4) + 8 else ((mant << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Decode a WAV's `data` chunk into signed 16-bit samples. Format
+    * codes: 1 (PCM, 16-bit s16le), 7 (G.711 μ-law, 8-bit) and 6
+    * (G.711 A-law, 8-bit) — the compressed telephony formats expand
+    * through the real ITU G.711 segment arithmetic
+    * ([[ulawToLinear]]/[[alawToLinear]]). Anything else null — same
+    * degrade-don't-throw posture as the header parsers. Walks chunks,
+    * so LIST/JUNK prefixes and trailing metadata chunks are handled.
     */
   def wavSamples(b: Array[Byte]): Array[Short] = {
     if (!(b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"))
       return null
-    val hdr = parseWav(b)
-    if (hdr.format != "wav" || hdr.bitsPerSample != 16) return null
+    // fmt walk: need the format CODE, which MediaHeader doesn't carry
+    var fmtCode = -1; var bits = -1
     var off = 12L
+    while (off + 8 <= b.length && fmtCode < 0) {
+      val i = off.toInt
+      if (ascii(b, i, 4) == "fmt " && off + 8 + 16 <= b.length &&
+          leU32(b, i + 4) >= 16L) {
+        fmtCode = leU16(b, i + 8); bits = leU16(b, i + 22)
+      }
+      off += 8L + leU32(b, i + 4) + (leU32(b, i + 4) & 1L)
+    }
+    val mode = (fmtCode, bits) match {
+      case (1, 16) => 0 // PCM s16le
+      case (7, 8)  => 1 // μ-law
+      case (6, 8)  => 2 // A-law
+      case _       => return null
+    }
+    off = 12L
     while (off + 8 <= b.length) {
       val i = off.toInt
       val id = ascii(b, i, 4)
       val size = leU32(b, i + 4)
       if (id == "data") {
         val avail = math.min(size, b.length - (off + 8)) // truncated: take what's there
-        val n = (avail / 2).toInt
-        val out = new Array[Short](n)
-        var j = 0
-        while (j < n) {
-          out(j) = (u8(b, i + 8 + 2 * j) | (u8(b, i + 9 + 2 * j) << 8)).toShort
-          j += 1
+        if (mode == 0) {
+          val n = (avail / 2).toInt
+          val out = new Array[Short](n)
+          var j = 0
+          while (j < n) {
+            out(j) = (u8(b, i + 8 + 2 * j) | (u8(b, i + 9 + 2 * j) << 8)).toShort
+            j += 1
+          }
+          return out
+        } else {
+          val n = avail.toInt
+          val out = new Array[Short](n)
+          var j = 0
+          while (j < n) {
+            val v = u8(b, i + 8 + j)
+            out(j) = (if (mode == 1) ulawToLinear(v) else alawToLinear(v)).toShort
+            j += 1
+          }
+          return out
         }
-        return out
       }
       off += 8L + size + (size & 1L)
     }

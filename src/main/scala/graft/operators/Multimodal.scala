@@ -669,9 +669,27 @@ object Multimodal {
     })
   }
 
+  /** Deterministic G.711 telephony corpus: clip `id` holds
+    * `400 + id%200` companded bytes, byte `j` = `(id*13 + j*37) % 256`,
+    * μ-law (format 7) for even ids and A-law (format 6) for odd, at
+    * the telephony-standard 8 kHz. Decoding must run the real ITU
+    * segment expansion to reproduce the oracle's arithmetic.
+    */
+  def demoG711Corpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (400 + id % 200).toInt
+      val bytes = Array.tabulate(n)(j => ((id * 13 + j.toLong * 37) % 256).toByte)
+      val fmt = if (id % 2 == 0) 7 else 6
+      MediaFile(id, "audio", Containers.synthWav(8000, 1, 8, bytes, fmt))
+    })
+  }
+
   /** REAL sample decode: walk the RIFF chunks to `data`, reassemble
-    * s16le samples (`Containers.wavSamples`), and reduce to
-    * peak/energy/count — again one narrow pass, degrade-don't-throw.
+    * s16le samples (`Containers.wavSamples` — PCM s16le, or G.711
+    * μ-law/A-law expanded through the ITU segment arithmetic), and
+    * reduce to peak/energy/count — again one narrow pass,
+    * degrade-don't-throw.
     */
   def audioStats(spark: SparkSession, media: Dataset[MediaFile]): Dataset[AudioStats] = {
     import spark.implicits._

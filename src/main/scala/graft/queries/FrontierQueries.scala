@@ -99,6 +99,20 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // REAL G.711 telephony audio decode: μ-law/A-law companded WAVs
+    // expand through the exact ITU segment arithmetic — the oracle
+    // replays the expansion formula per byte; the Spark side must get
+    // there through the RIFF walk + format-code dispatch + expansion.
+    "multimodal_audio_g711" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoG711Corpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.audioStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // REAL GIF pixel decode: a full LZW decompression (growing
     // dictionary, 12-bit cap, LSB-first packing) over a deterministic
     // palette-index generator, with odd ids additionally stored in
@@ -859,6 +873,37 @@ object FrontierQueries {
         |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[2] END)::BIGINT AS c1_sum,
         |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[3] END)::BIGINT AS c2_sum
         |FROM sums ORDER BY media_id""".stripMargin,
+
+    // Replays the ITU G.711 expansion per companded byte
+    // (μ-law: complement, segment shift, bias 132; A-law: 0x55
+    // toggle, segment shift, sign bit SET = positive) over the
+    // deterministic byte generator.
+    "multimodal_audio_g711" ->
+      """WITH m AS (SELECT doc_id, 400 + doc_id % 200 AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |    list_transform(range(0, n), j -> (doc_id*13 + j*37) % 256) AS bs
+        |  FROM m),
+        |v AS (SELECT doc_id, n,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      list_transform(bs, x -> CASE WHEN (255 - x) >= 128
+        |        THEN 132 - ((((255 - x) % 16) * 8 + 132)
+        |                    << (((255 - x) // 16) % 8))
+        |        ELSE ((((255 - x) % 16) * 8 + 132)
+        |              << (((255 - x) // 16) % 8)) - 132 END)
+        |    ELSE
+        |      list_transform(bs, x ->
+        |        (CASE WHEN xor(x, 85) >= 128 THEN 1 ELSE -1 END) *
+        |        (CASE WHEN ((xor(x, 85) // 16) % 8) = 0
+        |          THEN (xor(x, 85) % 16) * 16 + 8
+        |          ELSE ((xor(x, 85) % 16) * 16 + 264)
+        |               << (((xor(x, 85) // 16) % 8) - 1) END))
+        |    END AS vs
+        |  FROM s)
+        |SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
+        |  n::BIGINT AS n_samples,
+        |  list_max(list_transform(vs, y -> abs(y)))::BIGINT AS peak_abs,
+        |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
+        |FROM v ORDER BY media_id""".stripMargin,
 
     // Replays the GIF palette arithmetic: pixel i's index is
     // (id*31 + i*7) mod np, channel c of palette entry j is

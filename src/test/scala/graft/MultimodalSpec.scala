@@ -331,6 +331,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.wavSamples("RIFFnope".getBytes) == null)
   }
 
+  test("g711: ITU table landmarks and wav round-trip for both laws") {
+    // μ-law landmark values (G.711 ×4-scaled convention):
+    assert(Containers.ulawToLinear(0xFF) == 0)       // +0
+    assert(Containers.ulawToLinear(0x7F) == 0)       // -0
+    assert(Containers.ulawToLinear(0x80) == 32124)   // max positive
+    assert(Containers.ulawToLinear(0x00) == -32124)  // max negative
+    // A-law landmarks (sign bit set after 0x55 toggle = positive):
+    assert(Containers.alawToLinear(0xD5) == 8)
+    assert(Containers.alawToLinear(0x55) == -8)
+    assert(Containers.alawToLinear(0xAA) == 32256)
+    assert(Containers.alawToLinear(0x2A) == -32256)
+    // Full byte-range round trip through real RIFF containers.
+    val bytes = Array.tabulate(256)(_.toByte)
+    val mu = Containers.wavSamples(Containers.synthWav(8000, 1, 8, bytes, 7))
+    val al = Containers.wavSamples(Containers.synthWav(8000, 1, 8, bytes, 6))
+    for (j <- 0 until 256) {
+      assert(mu(j) == Containers.ulawToLinear(j).toShort, s"ulaw $j")
+      assert(al(j) == Containers.alawToLinear(j).toShort, s"alaw $j")
+    }
+    // Unsupported format code degrades to null, not garbage.
+    assert(Containers.wavSamples(
+      Containers.synthWav(8000, 1, 8, bytes, 2)) == null) // ADPCM
+  }
+
   test("pixel/audio stats datasets decode their own synthesized corpora") {
     import spark.implicits._
     val docs = Tables.load(spark, sf0001, "documents").limit(50)
