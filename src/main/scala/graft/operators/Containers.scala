@@ -73,27 +73,35 @@ object Containers {
       MediaHeader("png", width = beU32(b, 16).toInt, height = beU32(b, 20).toInt)
     else unknown
 
-  /** WAV: walk RIFF chunks from offset 12 until `fmt ` (not assumed
-    * first — some writers put LIST/JUNK chunks ahead of it). Chunk data
-    * is word-aligned: odd sizes are padded by one byte.
+  /** Walk RIFF chunks from offset 12 to the first complete `fmt `
+    * chunk (not assumed first — some writers put LIST/JUNK chunks
+    * ahead of it); returns its chunk offset, or -1. Chunk data is
+    * word-aligned: odd sizes are padded by one byte. Long offsets +
+    * strictly-increasing advance: a corrupt/malicious chunk size
+    * (e.g. 0xFFFFFFF8) must not wrap the cursor into an infinite loop
+    * or out-of-bounds read. ONE copy of the walk — [[parseWav]] and
+    * [[wavSamples]] both route through it.
     */
-  private def parseWav(b: Array[Byte]): MediaHeader = {
-    // Long offsets + strictly-increasing advance: a corrupt/malicious
-    // chunk size (e.g. 0xFFFFFFF8) must not wrap the cursor into an
-    // infinite loop or out-of-bounds read — degrade to unknown instead.
+  private def findWavFmt(b: Array[Byte]): Int = {
     var off = 12L
     while (off + 8 <= b.length) {
       val i = off.toInt
       val id = ascii(b, i, 4)
       val size = leU32(b, i + 4) // unsigned, 0..2^32-1
       if (id == "fmt " && off + 8 + 16 <= b.length && size >= 16L)
-        return MediaHeader("wav",
-          channels = leU16(b, i + 10),
-          sampleRate = leU32(b, i + 12).toInt,
-          bitsPerSample = leU16(b, i + 22))
+        return i
       off += 8L + size + (size & 1L)
     }
-    unknown
+    -1
+  }
+
+  private def parseWav(b: Array[Byte]): MediaHeader = {
+    val i = findWavFmt(b)
+    if (i < 0) unknown
+    else MediaHeader("wav",
+      channels = leU16(b, i + 10),
+      sampleRate = leU32(b, i + 12).toInt,
+      bitsPerSample = leU16(b, i + 22))
   }
 
   private def beU16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
@@ -334,6 +342,10 @@ object Containers {
       val len = beU32(b, i) // unsigned
       val tpe = ascii(b, i + 4, 4)
       if (len > b.length - (i + 8)) return null // truncated chunk
+      // the spec REQUIRES IHDR first; accepting a stray leading chunk
+      // would diverge from parse() (which reads dims at the fixed
+      // offset), and consumers pair this decode with parse()'s dims
+      if (!sawIhdr && tpe != "IHDR") return null
       tpe match {
         case "IHDR" =>
           if (len < 13) return null
@@ -362,7 +374,10 @@ object Containers {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // zero progress without being finished = truncated stream OR a
+        // preset-dictionary (FDICT) header we'll never satisfy — both
+        // must degrade, not spin the task forever
+        if (n == 0 && !inf.finished()) return null
         got += n
       }
       if (got < raw.length) return null
@@ -987,6 +1002,12 @@ object Containers {
     }
 
     val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    // the forged-dims guard above caps OUTPUT bytes, but the Int
+    // coefficient planes amplify 4 bytes/sample × nComp over the
+    // block-padded grid — cap the ACTUAL allocation too, or a
+    // 200-byte blob with a huge SOF0 OOMs before entropy decode
+    // would ever reject it
+    if (bw.toLong * 8 * bh * 8 * nComp * 4 > (1L << 30)) return null
     val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
@@ -1299,24 +1320,17 @@ object Containers {
   def wavSamples(b: Array[Byte]): Array[Short] = {
     if (!(b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"))
       return null
-    // fmt walk: need the format CODE, which MediaHeader doesn't carry
-    var fmtCode = -1; var bits = -1
-    var off = 12L
-    while (off + 8 <= b.length && fmtCode < 0) {
-      val i = off.toInt
-      if (ascii(b, i, 4) == "fmt " && off + 8 + 16 <= b.length &&
-          leU32(b, i + 4) >= 16L) {
-        fmtCode = leU16(b, i + 8); bits = leU16(b, i + 22)
-      }
-      off += 8L + leU32(b, i + 4) + (leU32(b, i + 4) & 1L)
-    }
+    // the format CODE, which MediaHeader doesn't carry
+    val fi = findWavFmt(b)
+    if (fi < 0) return null
+    val fmtCode = leU16(b, fi + 8); val bits = leU16(b, fi + 22)
     val mode = (fmtCode, bits) match {
       case (1, 16) => 0 // PCM s16le
       case (7, 8)  => 1 // μ-law
       case (6, 8)  => 2 // A-law
       case _       => return null
     }
-    off = 12L
+    var off = 12L
     while (off + 8 <= b.length) {
       val i = off.toInt
       val id = ascii(b, i, 4)

@@ -44,7 +44,11 @@ object Ranks {
     * `|partCols groups| × |buckets|` must be broadcast-small
     * (≤ ~65k: the per-bucket partials are prefix-windowed and
     * broadcast back). `value` must be integral (cast to long; use
-    * `lit(1L)` for a row count).
+    * `lit(1L)` for a row count). `bucket` and every `partCols` column
+    * must be NON-NULL on every row: the offsets come back through an
+    * equi-join on those keys, so a null key would silently DROP the
+    * row (a plain window null-orders instead) — rank nullable metrics
+    * through `coalesce`/a sentinel bucket.
     *
     * Why partCols instead of one call per group: N chained calls cost
     * N shuffles + N sequential window stages; stacking the groups into
@@ -55,6 +59,8 @@ object Ranks {
       out: String): DataFrame = {
     val b = fresh(df, "__graft_rk_b")
     val v = fresh(df, "__graft_rk_v")
+    val bs = fresh(df, "__graft_rk_bsum")
+    val o = fresh(df, "__graft_rk_off")
     val keyed = df.withColumn(b, bucket).withColumn(v, value.cast("long"))
     // Per-(group, bucket) partials, prefix-summed over STRICTLY earlier
     // buckets of the same group. The window frame is ≤ #groups×#buckets
@@ -64,16 +70,16 @@ object Ranks {
               else Window.partitionBy(partCols.map(col): _*).orderBy(col(b)))
       .rowsBetween(Window.unboundedPreceding, -1)
     val gk = partCols :+ b
-    val offs = keyed.groupBy(gk.map(col): _*).agg(sum(col(v)).as("__bsum"))
-      .withColumn("__off", coalesce(sum(col("__bsum")).over(bw), lit(0L)))
-      .drop("__bsum")
+    val offs = keyed.groupBy(gk.map(col): _*).agg(sum(col(v)).as(bs))
+      .withColumn(o, coalesce(sum(col(bs)).over(bw), lit(0L)))
+      .drop(bs)
     // Within-bucket inclusive running sum — hash-distributed by
     // (group, bucket).
     val w = Window.partitionBy(gk.map(col): _*).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     keyed.join(broadcast(offs), gk)
-      .withColumn(out, col("__off") + sum(col(v)).over(w))
-      .drop(b, v, "__off")
+      .withColumn(out, col(o) + sum(col(v)).over(w))
+      .drop(b, v, o)
   }
 
   /** Global-order form of [[bucketedRunningSumBy]]. */

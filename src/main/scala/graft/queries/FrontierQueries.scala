@@ -196,10 +196,11 @@ object FrontierQueries {
     // first diagnostic of whether a graph is hub-skewed (and therefore
     // whether joins over it need salting).
     "graph_degree_dist" -> ((s, dir) => {
-      val und = partEdges(s, dir).select(
-          least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .distinct()
+      // partEdges already emits globally-distinct src<dst pairs — a
+      // second least/greatest+distinct would re-shuffle the largest
+      // intermediate of the query for no semantic change
+      val und = partEdges(s, dir)
+        .select(col("src").as("u"), col("dst").as("v"))
       val deg = und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -414,10 +415,11 @@ object FrontierQueries {
     // nodes link to high-degree nodes (assortative, r>0) or to leaves
     // (disassortative, r<0)?
     "graph_assortativity" -> ((s, dir) => {
-      val und = partEdges(s, dir).select(
-          least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .distinct()
+      // partEdges already emits globally-distinct src<dst pairs — a
+      // second least/greatest+distinct would re-shuffle the largest
+      // intermediate of the query for no semantic change
+      val und = partEdges(s, dir)
+        .select(col("src").as("u"), col("dst").as("v"))
       val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       val deg = adj.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("deg"))
@@ -558,10 +560,11 @@ object FrontierQueries {
     // integer sum (order-free), the single division happens once in
     // double — so the statistic is engine-identical.
     "graph_modularity" -> ((s, dir) => {
-      val und = partEdges(s, dir).select(
-          least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .distinct()
+      // partEdges already emits globally-distinct src<dst pairs — a
+      // second least/greatest+distinct would re-shuffle the largest
+      // intermediate of the query for no semantic change
+      val und = partEdges(s, dir)
+        .select(col("src").as("u"), col("dst").as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val labels = Graph.labelPropagation(und, "u", "v", rounds = 2)
       val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
@@ -1519,8 +1522,14 @@ object FrontierQueries {
          |    least(m.mind, ${d2("m", "p")}) AS mind
          |  FROM $prevM m CROSS JOIN p$i p)""".stripMargin
     }.mkString(",\n")
+    // Mirror kCenters' exhaustion short-circuit: a radius-0 pick means
+    // every point already coincides with a center, and the max
+    // min-distance is non-increasing across rounds — so filtering
+    // radius_sq > 0 drops exactly the re-picks the Spark side stops
+    // before making, keeping parity on degenerate (< k distinct
+    // vectors) corpora.
     val picks = (2 to k)
-      .map(i => s"SELECT $i AS rank, id, mind AS radius_sq FROM p$i")
+      .map(i => s"SELECT $i AS rank, id, mind AS radius_sq FROM p$i WHERE mind > 0")
       .mkString("\n  UNION ALL ")
     s"""u AS (SELECT vec_id AS id,
        |    list_transform(embedding,

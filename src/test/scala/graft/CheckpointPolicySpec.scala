@@ -21,8 +21,11 @@ class CheckpointPolicySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
 
   test("iterative operators: identical results under local and reliable checkpointing") {
-    assert(spark.sparkContext.getCheckpointDir.isEmpty,
-      "precondition: no checkpoint dir yet — this spec sets it")
+    // setCheckpointDir is JVM-global with no unset; if some earlier
+    // suite in this JVM already configured one, the local-fallback leg
+    // can't run — CANCEL (the comparison is meaningless), don't fail.
+    assume(spark.sparkContext.getCheckpointDir.isEmpty,
+      "a checkpoint dir is already set in this JVM — cannot exercise the local fallback")
     // Two iteration families: pagerank (per-sweep join+agg fixed point)
     // and k-core (peel loop); both route every sweep through cutLineage.
     val localPr = runQuery("graph_pagerank")

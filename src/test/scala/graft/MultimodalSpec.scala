@@ -76,6 +76,19 @@ class MultimodalSpec extends SparkSpec {
     val bomb = png.clone()
     bomb(20) = 0x7F.toByte; bomb(21) = 0xFF.toByte // height ≈ 2^31
     assert(Containers.pngPixelBytes(bomb) == null)
+    // FDICT zlib header (0x78 0xBB, checksum-valid): Inflater reports
+    // needsDictionary with zero progress — must degrade to null, not
+    // spin the task forever (zlib header = first 2 IDAT data bytes, at
+    // offset 41 = 8 sig + 25 IHDR + 8 chunk header).
+    val fdict = png.clone()
+    fdict(41) = 0x78.toByte; fdict(42) = 0xBB.toByte
+    assert(Containers.pngPixelBytes(fdict) == null)
+    // IHDR must be FIRST (spec): a stray leading chunk would make this
+    // decode diverge from parse()'s fixed-offset dimensions.
+    val stray = png.take(8) ++ (
+      java.nio.ByteBuffer.allocate(12).putInt(0).put("tEXt".getBytes)
+        .putInt(0).array()) ++ png.drop(8)
+    assert(Containers.pngPixelBytes(stray) == null)
   }
 
   test("gif: LZW round-trips sequential, interlaced, repetitive, and large streams") {
@@ -273,6 +286,15 @@ class MultimodalSpec extends SparkSpec {
     // 2×2-subsampled luma (hv byte: FF C0 len2 prec1 h2 w2 n1 id1 → +11).
     assert(Containers.jpegPixelBytes(
       patched(_ == 0xC0, _ + 11, 0x22.toByte)) == null)
+    // Forged SOF dims that pass the 2^30 OUTPUT cap but would blow the
+    // 4-byte-per-sample coefficient planes: reject before allocation.
+    val big = jpg.clone()
+    val sof = (0 until big.length - 1).find(j =>
+      (big(j) & 0xFF) == 0xFF && (big(j + 1) & 0xFF) == 0xC0).get
+    // height := 5461, width := 65535  (h at sof+5..6, w at sof+7..8)
+    big(sof + 5) = 0x15.toByte; big(sof + 6) = 0x55.toByte
+    big(sof + 7) = 0xFF.toByte; big(sof + 8) = 0xFF.toByte
+    assert(Containers.jpegPixelBytes(big) == null)
   }
 
   test("bmp and png encodings of the same logical pixels decode identically") {
