@@ -521,6 +521,191 @@ object Containers {
       filterFor: Int => Int): Array[Byte] =
     synthPng(width, height, 2, pixels, filterFor)
 
+  // --- dataset-shard containers: tar (WebDataset) and WARC (crawls) --
+  // The two container formats large-scale training corpora actually
+  // ship in: tar shards of grouped sample files (the WebDataset
+  // convention) and WARC web-crawl archives. Both are pure byte/text
+  // layouts — header arithmetic, no codec.
+
+  /** One tar entry: `offset` is the absolute position of the entry's
+    * DATA (the 512-byte header precedes it), `typeflag` per ustar
+    * ('0'/NUL regular file, '5' directory, …).
+    */
+  final case class TarEntry(name: String, size: Long, offset: Long,
+      typeflag: Char)
+
+  /** Walk a (ustar) tar archive's headers: octal size fields, header
+    * checksum VERIFIED (the field summed as spaces), 512-byte data
+    * padding, terminated by a zero block or end of archive. Null for a
+    * checksum mismatch, truncated entry data, or unparseable size —
+    * degrade-don't-throw.
+    */
+  def tarEntries(b: Array[Byte]): Array[TarEntry] = try {
+    val out = scala.collection.mutable.ArrayBuffer.empty[TarEntry]
+    def octal(i: Int, n: Int): Long = {
+      var j = i; val end = i + n
+      while (j < end && (b(j) == ' '.toByte || b(j) == 0)) j += 1
+      var v = 0L; var any = false
+      while (j < end && b(j) >= '0'.toByte && b(j) <= '7'.toByte) {
+        v = v * 8 + (b(j) - '0'); j += 1; any = true
+      }
+      if (any) v else -1L
+    }
+    var off = 0L
+    while (off + 512 <= b.length) {
+      val i = off.toInt
+      var allZero = true
+      var k = 0
+      while (allZero && k < 512) { if (b(i + k) != 0) allZero = false; k += 1 }
+      if (allZero) return out.toArray // end-of-archive block
+      val stored = octal(i + 148, 8)
+      var sum = 0L
+      k = 0
+      while (k < 512) {
+        sum += (if (k >= 148 && k < 156) 32 else u8(b, i + k)); k += 1
+      }
+      if (stored != sum) return null // corrupt header
+      val nameEnd = {
+        var e = i
+        while (e < i + 100 && b(e) != 0) e += 1
+        e
+      }
+      val name = new String(b, i, nameEnd - i,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val size = octal(i + 124, 12)
+      if (size < 0) return null
+      if (off + 512 + size > b.length) return null // truncated data
+      val tf = b(i + 156) match { case 0 => '0'; case c => c.toChar }
+      out += TarEntry(name, size, off + 512, tf)
+      off += 512 + ((size + 511) / 512) * 512
+    }
+    // Falling out of the loop means the archive ended WITHOUT the
+    // end-of-archive zero block — a cut-off shard. Returning the
+    // partial entry list would silently drop training samples, so
+    // treat it as corrupt instead.
+    null
+  } catch { case _: IndexOutOfBoundsException => null }
+
+  /** Valid ustar tar from (name, bytes) files: proper octal fields,
+    * computed header checksum, 512-padded data, two terminating zero
+    * blocks — the exact write-side counterpart of [[tarEntries]].
+    */
+  def synthTar(files: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for ((name, data) <- files) {
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      require(nb.length <= 100, s"name too long for a ustar header: $name")
+      val h = new Array[Byte](512)
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      def putOctal(off: Int, width: Int, v: Long): Unit = {
+        val s = s"%0${width - 1}o".format(v).getBytes("US-ASCII")
+        System.arraycopy(s, s.length - (width - 1), h, off, width - 1)
+        h(off + width - 1) = 0
+      }
+      putOctal(100, 8, 420 /* 0644 */)
+      putOctal(108, 8, 0); putOctal(116, 8, 0)
+      putOctal(124, 12, data.length)
+      putOctal(136, 12, 0)
+      h(156) = '0'.toByte
+      System.arraycopy("ustar".getBytes, 0, h, 257, 5)
+      h(263) = '0'.toByte; h(264) = '0'.toByte // version "00"
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L
+      for (k <- 0 until 512) sum += u8(h, k)
+      val cs = "%06o".format(sum).getBytes("US-ASCII")
+      System.arraycopy(cs, 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '.toByte
+      out.write(h)
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024)) // two zero blocks
+    out.toByteArray
+  }
+
+  /** One WARC record: header fields plus the absolute byte range of
+    * its content block.
+    */
+  final case class WarcRecord(warcType: String, targetUri: String,
+      contentLength: Long, payloadOffset: Long)
+
+  /** Walk a WARC 1.0/1.1 file: per record, the version line, CRLF
+    * header lines up to the empty line (field names case-insensitive),
+    * a Content-Length-delimited content block, and the two-CRLF record
+    * separator. Null for a missing version line, unparseable or absent
+    * Content-Length, or truncated content — degrade-don't-throw.
+    */
+  def warcRecords(b: Array[Byte]): Array[WarcRecord] = try {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    def lineEnd(from: Int): Int = {
+      var j = from
+      while (j + 1 < b.length && !(b(j) == '\r'.toByte && b(j + 1) == '\n'.toByte))
+        j += 1
+      if (j + 1 < b.length) j else -1
+    }
+    var off = 0
+    while (off < b.length) {
+      // tolerate extra CRLFs between records
+      while (off + 1 < b.length && b(off) == '\r'.toByte && b(off + 1) == '\n'.toByte)
+        off += 2
+      if (off >= b.length) return out.toArray
+      val ve = lineEnd(off)
+      if (ve < 0) return null
+      val version = new String(b, off, ve - off, "US-ASCII")
+      if (!version.startsWith("WARC/")) return null
+      var p = ve + 2
+      var wtype = ""; var uri = ""; var clen = -1L
+      var headerDone = false
+      while (!headerDone) {
+        val le = lineEnd(p)
+        if (le < 0) return null
+        if (le == p) { headerDone = true; p += 2 } // empty line
+        else {
+          val line = new String(b, p, le - p, "US-ASCII")
+          val ci = line.indexOf(':')
+          if (ci < 0) return null
+          val key = line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(ci + 1).trim
+          key match {
+            case "warc-type"       => wtype = value
+            case "warc-target-uri" => uri = value
+            case "content-length"  =>
+              clen = try value.toLong catch { case _: NumberFormatException => return null }
+            case _ => ()
+          }
+          p = le + 2
+        }
+      }
+      if (clen < 0 || p + clen > b.length) return null
+      out += WarcRecord(wtype, uri, clen, p.toLong)
+      off = (p + clen).toInt
+      // the record-terminating CRLFCRLF (lenient if at end of file)
+    }
+    out.toArray
+  } catch { case _: IndexOutOfBoundsException => null }
+
+  /** Valid WARC 1.0 from (type, targetUri, payload) records — CRLF
+    * headers with Content-Length, double-CRLF record separators; the
+    * exact write-side counterpart of [[warcRecords]].
+    */
+  def synthWarc(records: Seq[(String, String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for (((tpe, uri, payload), i) <- records.zipWithIndex) {
+      val hdr = new StringBuilder()
+      hdr.append("WARC/1.0\r\n")
+      hdr.append(s"WARC-Type: $tpe\r\n")
+      hdr.append(s"WARC-Record-ID: <urn:graft:$i>\r\n")
+      if (uri.nonEmpty) hdr.append(s"WARC-Target-URI: $uri\r\n")
+      hdr.append(s"Content-Length: ${payload.length}\r\n")
+      hdr.append("\r\n")
+      out.write(hdr.toString.getBytes("US-ASCII"))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes("US-ASCII"))
+    }
+    out.toByteArray
+  }
+
   // --- real GIF pixel decode: LZW is pure algorithm ------------------
   // GIF's "codec" is LZW over palette indices — dictionary-based,
   // deterministic, implementable in plain JVM arithmetic like PNG's

@@ -669,6 +669,122 @@ object Multimodal {
     })
   }
 
+  /** One WebDataset-style sample reassembled from a tar shard: the
+    * files `<key>.<ext>` grouped by `<key>` (basename before the first
+    * dot — the WebDataset convention).
+    */
+  final case class ShardSample(shard_id: Long, sample_key: String,
+      n_parts: Int, n_bytes: Long, byte_sum: Long)
+
+  /** Walk each tar shard's REAL ustar headers (checksums verified) and
+    * regroup member files into training samples by basename — the
+    * WebDataset read path. One narrow partition-wise pass: shards are
+    * the unit of parallelism at corpus scale, bytes never shuffle,
+    * output is one row per sample. Corrupt shards degrade to a single
+    * (-1 …) sentinel row.
+    */
+  def tarShardSamples(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[ShardSample] = {
+    import spark.implicits._
+    media.flatMap { m =>
+      val entries = Containers.tarEntries(m.content)
+      if (entries == null) Seq(ShardSample(m.media_id, "", -1, -1L, -1L))
+      else entries.filter(_.typeflag == '0')
+        .groupBy(e => e.name.takeWhile(_ != '.'))
+        .toSeq.map { case (key, parts) =>
+          var bytes = 0L; var sum = 0L
+          parts.foreach { e =>
+            bytes += e.size
+            var j = 0
+            while (j < e.size) {
+              sum += java.lang.Byte.toUnsignedInt(
+                m.content((e.offset + j).toInt))
+              j += 1
+            }
+          }
+          ShardSample(m.media_id, key, parts.length, bytes, sum)
+        }
+    }
+  }
+
+  /** Deterministic WebDataset-style tar-shard corpus: shard `id` holds
+    * `2 + id%3` samples; sample `s` ships a `%06d.txt` part of
+    * `16 + (id+s)%8` bytes (byte `j` = `(id*31 + s*17 + j*7) % 256`)
+    * and a 1-byte `%06d.cls` label (`(id+s) % 256`) — real ustar
+    * headers, checksums, padding, end blocks.
+    */
+  def demoTarShards(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (2 + id % 3).toInt
+      val files = (0 until n).flatMap { s =>
+        val len = (16 + (id + s) % 8).toInt
+        val txt = Array.tabulate(len)(j =>
+          ((id * 31 + s * 17 + j.toLong * 7) % 256).toByte)
+        val cls = Array(((id + s) % 256).toByte)
+        Seq(f"$s%06d.txt" -> txt, f"$s%06d.cls" -> cls)
+      }
+      MediaFile(id, "shard", Containers.synthTar(files))
+    })
+  }
+
+  /** Per-crawl WARC summary: record count, response count, response
+    * content bytes, and the unsigned byte sum over response payloads.
+    */
+  final case class WarcStats(crawl_id: Long, n_records: Int,
+      n_responses: Int, response_bytes: Long, payload_sum: Long)
+
+  /** Walk each WARC crawl file's REAL record structure (version line,
+    * CRLF headers, Content-Length-delimited blocks) and reduce the
+    * response payloads — the Common-Crawl-shaped ingest path, one
+    * narrow partition-wise pass, degrade-don't-throw.
+    */
+  def warcStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[WarcStats] = {
+    import spark.implicits._
+    media.map { m =>
+      val recs = Containers.warcRecords(m.content)
+      if (recs == null) WarcStats(m.media_id, -1, -1, -1L, -1L)
+      else {
+        var nr = 0; var rb = 0L; var ps = 0L
+        recs.foreach { r =>
+          if (r.warcType == "response") {
+            nr += 1; rb += r.contentLength
+            var j = 0L
+            while (j < r.contentLength) {
+              ps += java.lang.Byte.toUnsignedInt(
+                m.content((r.payloadOffset + j).toInt))
+              j += 1
+            }
+          }
+        }
+        WarcStats(m.media_id, recs.length, nr, rb, ps)
+      }
+    }
+  }
+
+  /** Deterministic WARC corpus: crawl `id` holds `2 + id%3` records
+    * cycling response/request/metadata, record `s` carrying a
+    * `24 + (id+s)%16`-byte payload (byte `j` =
+    * `(id*13 + s*29 + j*7) % 256`) for `https://ex.test/<id>/<s>`.
+    */
+  def demoWarcCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (2 + id % 3).toInt
+      val recs = (0 until n).map { s =>
+        val tpe = (s % 3) match {
+          case 0 => "response"; case 1 => "request"; case _ => "metadata"
+        }
+        val len = (24 + (id + s) % 16).toInt
+        val payload = Array.tabulate(len)(j =>
+          ((id * 13 + s * 29 + j.toLong * 7) % 256).toByte)
+        (tpe, s"https://ex.test/$id/$s", payload)
+      }
+      MediaFile(id, "crawl", Containers.synthWarc(recs))
+    })
+  }
+
   /** Deterministic G.711 telephony corpus: clip `id` holds
     * `400 + id%200` companded bytes, byte `j` = `(id*13 + j*37) % 256`,
     * μ-law (format 7) for even ids and A-law (format 6) for odd, at

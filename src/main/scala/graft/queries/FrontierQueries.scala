@@ -99,6 +99,34 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // WebDataset-shaped shard reading: walk REAL ustar tar headers
+    // (octal fields, verified checksums, 512-byte padding) and regroup
+    // member files into training samples by basename — the oracle
+    // replays the shard generator; the Spark side must parse genuine
+    // tar bytes to match.
+    "shard_tar_samples" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoTarShards(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.tarShardSamples(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("shard_id", "sample_key")
+    }),
+
+    // Common-Crawl-shaped WARC ingest: walk REAL record structure
+    // (version line, CRLF headers, Content-Length blocks) and reduce
+    // the response payloads — generator-replay oracle again.
+    "warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoWarcCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.warcStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("crawl_id")
+    }),
+
     // REAL G.711 telephony audio decode: μ-law/A-law companded WAVs
     // expand through the exact ITU segment arithmetic — the oracle
     // replays the expansion formula per byte; the Spark side must get
@@ -876,6 +904,35 @@ object FrontierQueries {
         |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[2] END)::BIGINT AS c1_sum,
         |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[3] END)::BIGINT AS c2_sum
         |FROM sums ORDER BY media_id""".stripMargin,
+
+    // Replays the tar-shard generator: sample s of shard id has a
+    // (16 + (id+s)%8)-byte .txt part and a 1-byte .cls label.
+    "shard_tar_samples" ->
+      """WITH m AS (SELECT doc_id,
+        |    unnest(range(0, (2 + doc_id % 3)::BIGINT)) AS s
+        |  FROM documents)
+        |SELECT doc_id AS shard_id, lpad(s::VARCHAR, 6, '0') AS sample_key,
+        |  2::INT AS n_parts,
+        |  (16 + (doc_id + s) % 8 + 1)::BIGINT AS n_bytes,
+        |  (list_sum(list_transform(range(0, 16 + (doc_id + s) % 8),
+        |     j -> (doc_id*31 + s*17 + j*7) % 256))
+        |   + (doc_id + s) % 256)::BIGINT AS byte_sum
+        |FROM m ORDER BY shard_id, sample_key""".stripMargin,
+
+    // Replays the WARC generator: records cycle
+    // response/request/metadata; only responses are reduced.
+    "warc_extract" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS n FROM documents),
+        |r AS (SELECT doc_id, n,
+        |    list_filter(range(0, n), s -> s % 3 = 0) AS resp FROM m)
+        |SELECT doc_id AS crawl_id, n::INT AS n_records,
+        |  length(resp)::INT AS n_responses,
+        |  list_sum(list_transform(resp,
+        |    s -> 24 + (doc_id + s) % 16))::BIGINT AS response_bytes,
+        |  list_sum(list_transform(resp, s ->
+        |    list_sum(list_transform(range(0, 24 + (doc_id + s) % 16),
+        |      j -> (doc_id*13 + s*29 + j*7) % 256))))::BIGINT AS payload_sum
+        |FROM r ORDER BY crawl_id""".stripMargin,
 
     // Replays the ITU G.711 expansion per companded byte
     // (μ-law: complement, segment shift, bias 132; A-law: 0x55

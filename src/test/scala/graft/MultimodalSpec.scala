@@ -353,6 +353,59 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.wavSamples("RIFFnope".getBytes) == null)
   }
 
+  test("tar: ustar round-trip with checksum verification and padding") {
+    val files = Seq(
+      "000000.txt" -> Array.tabulate(20)(i => (i * 7).toByte),
+      "000000.cls" -> Array[Byte](42),
+      "dir/b.bin" -> Array.tabulate(513)(i => (i * 3).toByte), // spans blocks
+      "empty.txt" -> Array.emptyByteArray)
+    val tar = Containers.synthTar(files)
+    assert(tar.length % 512 == 0)
+    val entries = Containers.tarEntries(tar)
+    assert(entries != null && entries.length == 4)
+    for (((name, data), e) <- files.zip(entries)) {
+      assert(e.name == name && e.size == data.length && e.typeflag == '0')
+      val got = java.util.Arrays.copyOfRange(tar, e.offset.toInt,
+        (e.offset + e.size).toInt)
+      assert(got.toSeq == data.toSeq, name)
+    }
+    // checksum mismatch (one flipped header byte) degrades to null
+    val bad = tar.clone(); bad(10) = (bad(10) + 1).toByte
+    assert(Containers.tarEntries(bad) == null)
+    // truncated member data degrades to null
+    assert(Containers.tarEntries(tar.take(600)) == null)
+    // empty archive (just the end blocks) parses to zero entries
+    assert(Containers.tarEntries(new Array[Byte](1024)).isEmpty)
+  }
+
+  test("warc: record walk round-trip, case-insensitive headers, degrades") {
+    val recs = Seq(
+      ("response", "https://ex.test/1", Array.tabulate(30)(i => (i * 5).toByte)),
+      ("request", "https://ex.test/1", "GET / HTTP/1.1".getBytes.map(identity)),
+      ("metadata", "", Array[Byte]('x', '\r', '\n', 'y'))) // CRLF inside payload
+    val warc = Containers.synthWarc(recs)
+    val got = Containers.warcRecords(warc)
+    assert(got != null && got.length == 3)
+    for (((tpe, uri, payload), r) <- recs.zip(got)) {
+      assert(r.warcType == tpe && r.targetUri == uri)
+      assert(r.contentLength == payload.length)
+      val body = java.util.Arrays.copyOfRange(warc, r.payloadOffset.toInt,
+        (r.payloadOffset + r.contentLength).toInt)
+      assert(body.toSeq == payload.toSeq)
+    }
+    // header keys are case-insensitive per the WARC spec
+    val lower = new String(warc, "ISO-8859-1")
+      .replace("Content-Length", "content-LENGTH")
+      .getBytes("ISO-8859-1")
+    assert(Containers.warcRecords(lower).length == 3)
+    // not a WARC / truncated content / bogus length degrade to null
+    assert(Containers.warcRecords("HTTP/1.1 200 OK\r\n".getBytes) == null)
+    assert(Containers.warcRecords(warc.take(warc.length - 10)) == null)
+    val noLen = new String(warc, "ISO-8859-1")
+      .replace("Content-Length", "X-Length").getBytes("ISO-8859-1")
+    assert(Containers.warcRecords(noLen) == null)
+  }
+
   test("g711: ITU table landmarks and wav round-trip for both laws") {
     // μ-law landmark values (G.711 ×4-scaled convention):
     assert(Containers.ulawToLinear(0xFF) == 0)       // +0
