@@ -535,10 +535,15 @@ object Containers {
       typeflag: Char)
 
   /** Walk a (ustar) tar archive's headers: octal size fields, header
-    * checksum VERIFIED (the field summed as spaces), 512-byte data
-    * padding, terminated by a zero block or end of archive. Null for a
-    * checksum mismatch, truncated entry data, or unparseable size —
-    * degrade-don't-throw.
+    * checksum VERIFIED (the field summed as spaces), the POSIX prefix
+    * field joined onto long member paths, 512-byte data padding,
+    * terminated by the end-of-archive zero block — which is REQUIRED:
+    * an archive that just stops is a cut-off shard and returns null
+    * rather than silently dropping the tail samples. Null also for a
+    * checksum mismatch, truncated entry data, unparseable size, or
+    * PAX/GNU extension records (typeflag x/g/L/K — their path
+    * overrides are not interpreted, and misparsing them as plain
+    * files would silently corrupt names) — degrade-don't-throw.
     */
   def tarEntries(b: Array[Byte]): Array[TarEntry] = try {
     val out = scala.collection.mutable.ArrayBuffer.empty[TarEntry]
@@ -576,7 +581,18 @@ object Containers {
       if (size < 0) return null
       if (off + 512 + size > b.length) return null // truncated data
       val tf = b(i + 156) match { case 0 => '0'; case c => c.toChar }
-      out += TarEntry(name, size, off + 512, tf)
+      if (tf == 'x' || tf == 'g' || tf == 'L' || tf == 'K') return null
+      // POSIX ustar stores the leading directories of >100-byte paths
+      // in the 155-byte prefix field — only trusted under the ustar
+      // magic (old-format headers carry arbitrary bytes there)
+      val full =
+        if (ascii(b, i + 257, 5) == "ustar" && b(i + 345) != 0) {
+          var e = i + 345
+          while (e < i + 500 && b(e) != 0) e += 1
+          new String(b, i + 345, e - (i + 345),
+            java.nio.charset.StandardCharsets.UTF_8) + "/" + name
+        } else name
+      out += TarEntry(full, size, off + 512, tf)
       off += 512 + ((size + 511) / 512) * 512
     }
     // Falling out of the loop means the archive ended WITHOUT the
@@ -587,16 +603,31 @@ object Containers {
   } catch { case _: IndexOutOfBoundsException => null }
 
   /** Valid ustar tar from (name, bytes) files: proper octal fields,
-    * computed header checksum, 512-padded data, two terminating zero
-    * blocks — the exact write-side counterpart of [[tarEntries]].
+    * computed header checksum, paths over 100 bytes split across the
+    * POSIX prefix field at a `/` boundary, 512-padded data, two
+    * terminating zero blocks — the exact write-side counterpart of
+    * [[tarEntries]].
     */
   def synthTar(files: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     for ((name, data) <- files) {
-      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      require(nb.length <= 100, s"name too long for a ustar header: $name")
+      val bytesOf = (s: String) =>
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val (prefix, base) =
+        if (bytesOf(name).length <= 100) ("", name)
+        else {
+          val cut = name.indices.filter(name(_) == '/').find { c =>
+            bytesOf(name.substring(0, c)).length <= 155 &&
+              bytesOf(name.substring(c + 1)).length <= 100
+          }.getOrElse(throw new IllegalArgumentException(
+            s"path cannot split into a 155/100-byte prefix/name pair: $name"))
+          (name.substring(0, cut), name.substring(cut + 1))
+        }
+      val nb = bytesOf(base)
+      val pb = bytesOf(prefix)
       val h = new Array[Byte](512)
       System.arraycopy(nb, 0, h, 0, nb.length)
+      System.arraycopy(pb, 0, h, 345, pb.length)
       def putOctal(off: Int, width: Int, v: Long): Unit = {
         val s = s"%0${width - 1}o".format(v).getBytes("US-ASCII")
         System.arraycopy(s, s.length - (width - 1), h, off, width - 1)
@@ -677,7 +708,10 @@ object Containers {
           p = le + 2
         }
       }
-      if (clen < 0 || p + clen > b.length) return null
+      // overflow-safe truncation check: `p + clen > b.length` wraps
+      // negative for a hostile Content-Length near Long.MaxValue and
+      // would let a poisoned record escape to crash the consumer
+      if (clen < 0 || clen > b.length - p) return null
       out += WarcRecord(wtype, uri, clen, p.toLong)
       off = (p + clen).toInt
       // the record-terminating CRLFCRLF (lenient if at end of file)

@@ -376,6 +376,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.tarEntries(tar.take(600)) == null)
     // empty archive (just the end blocks) parses to zero entries
     assert(Containers.tarEntries(new Array[Byte](1024)).isEmpty)
+    // >100-byte paths round-trip through the POSIX prefix field
+    val longPath = ("deep/" * 25) + "sample/000042.txt" // 142 chars
+    val lt = Containers.synthTar(Seq(longPath -> Array[Byte](1, 2, 3)))
+    val le = Containers.tarEntries(lt)
+    assert(le != null && le.head.name == longPath && le.head.size == 3)
+    // PAX/GNU extension records are not interpreted — misparsing their
+    // path overrides would silently corrupt names, so degrade instead
+    def retype(t: Array[Byte], flag: Byte): Array[Byte] = {
+      val c = t.clone(); c(156) = flag
+      java.util.Arrays.fill(c, 148, 156, ' '.toByte)
+      var sum = 0L
+      for (k <- 0 until 512) sum += c(k) & 0xFF
+      System.arraycopy("%06o".format(sum).getBytes, 0, c, 148, 6)
+      c(154) = 0; c(155) = ' '.toByte
+      c
+    }
+    assert(Containers.tarEntries(retype(tar, 'x')) == null) // PAX header
+    assert(Containers.tarEntries(retype(tar, 'L')) == null) // GNU longname
   }
 
   test("warc: record walk round-trip, case-insensitive headers, degrades") {
@@ -404,6 +422,11 @@ class MultimodalSpec extends SparkSpec {
     val noLen = new String(warc, "ISO-8859-1")
       .replace("Content-Length", "X-Length").getBytes("ISO-8859-1")
     assert(Containers.warcRecords(noLen) == null)
+    // hostile near-Long.MaxValue Content-Length must not wrap past the
+    // truncation guard and escape as a poisoned record
+    val hostile = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 9223372036854775707\r\n\r\n").getBytes("US-ASCII")
+    assert(Containers.warcRecords(hostile) == null)
   }
 
   test("g711: ITU table landmarks and wav round-trip for both laws") {
