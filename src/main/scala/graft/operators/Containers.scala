@@ -49,6 +49,15 @@ object Containers {
     else if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8 && u8(b, 2) == 0xFF)
       parseJpeg(b)
     else if (b.length >= 12 && ascii(b, 4, 4) == "ftyp") parseMp4(b)
+    else if (b.length >= 8 &&
+        ((b(0) == 'I'.toByte && b(1) == 'I'.toByte && leU16(b, 2) == 42) ||
+         (b(0) == 'M'.toByte && b(1) == 'M'.toByte && beU16(b, 2) == 42))) {
+      val t = tiffTags(b)
+      if (t == null) unknown
+      else MediaHeader("tiff",
+        width = t.get(256).map(_.head.toInt).getOrElse(0),
+        height = t.get(257).map(_.head.toInt).getOrElse(0))
+    }
     else unknown
 
   /** BMP: 14-byte file header, then a DIB header. BITMAPCOREHEADER
@@ -520,6 +529,160 @@ object Containers {
   def synthPng(width: Int, height: Int, pixels: Array[Byte],
       filterFor: Int => Int): Array[Byte] =
     synthPng(width, height, 2, pixels, filterFor)
+
+  // --- real TIFF pixel decode: IFD walk + uncompressed strips --------
+  // Baseline TIFF (the scanned-document format) at 8-bit gray/RGB with
+  // Compression=1 is pure layout: an IFD tag walk in either byte order
+  // and strip concatenation — no codec. LZW/JPEG-in-TIFF variants
+  // degrade to null.
+
+  /** Decode an uncompressed 8-bit grayscale or RGB TIFF (II or MM
+    * byte order, chunky planar config, any strip layout) into logical
+    * top-down 3-bytes-per-pixel rows (gray replicated ×3). Null for
+    * compressed/planar/other-depth variants or any malformed
+    * structure — degrade-don't-throw like every decoder here.
+    */
+  /** First-IFD tag table of a TIFF (SHORT/LONG values, inline or
+    * out-of-line, either byte order); null if not a well-formed TIFF
+    * header. Shared by [[parse]] (dimensions) and [[tiffPixelBytes]].
+    */
+  private def tiffTags(b: Array[Byte]): scala.collection.Map[Int, Array[Long]] = try {
+    if (b.length < 8) return null
+    val le = b(0) == 'I'.toByte && b(1) == 'I'.toByte
+    val isBe = b(0) == 'M'.toByte && b(1) == 'M'.toByte
+    if (!le && !isBe) return null
+    def r16(i: Int): Int = if (le) leU16(b, i) else beU16(b, i)
+    def r32(i: Int): Long = if (le) leU32(b, i) else beU32(b, i)
+    if (r16(2) != 42) return null
+    val ifd = r32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return null
+    val n = r16(ifd.toInt)
+    val tags = scala.collection.mutable.Map.empty[Int, Array[Long]]
+    var k = 0
+    while (k < n) {
+      val e = ifd.toInt + 2 + 12 * k
+      if (e + 12 > b.length) return null
+      val tag = r16(e); val tpe = r16(e + 2); val cnt = r32(e + 4)
+      val sz = tpe match { case 3 => 2; case 4 => 4; case _ => 0 }
+      if (sz > 0 && cnt > 0 && cnt <= 65536) {
+        val total = sz * cnt
+        val base =
+          if (total <= 4) e + 8
+          else {
+            val off = r32(e + 8)
+            if (off + total > b.length) return null
+            off.toInt
+          }
+        tags(tag) = Array.tabulate(cnt.toInt)(j =>
+          if (sz == 2) r16(base + 2 * j).toLong else r32(base + 4 * j))
+      }
+      k += 1
+    }
+    tags
+  } catch { case _: IndexOutOfBoundsException => null }
+
+  def tiffPixelBytes(b: Array[Byte]): Array[Byte] = try {
+    val tags = tiffTags(b)
+    if (tags == null) return null
+    def one(tag: Int, default: Long): Long =
+      tags.get(tag).map(_.head).getOrElse(default)
+    val w = one(256, -1).toInt; val h = one(257, -1).toInt
+    if (w <= 0 || h <= 0 || w.toLong * h * 3 > (1L << 30)) return null
+    if (one(259, 1) != 1) return null            // Compression: none
+    val spp = one(277, 1).toInt
+    if (spp != 1 && spp != 3) return null
+    val photo = one(262, if (spp == 3) 2L else 1L)
+    if (photo != (if (spp == 3) 2L else 1L)) return null
+    val bits = tags.getOrElse(258, Array.fill(spp)(8L))
+    if (bits.length != spp || bits.exists(_ != 8L)) return null
+    if (one(284, 1) != 1) return null            // chunky planar only
+    val offs = tags.getOrElse(273, return null)  // StripOffsets
+    val cnts = tags.getOrElse(279, return null)  // StripByteCounts
+    if (offs.length != cnts.length) return null
+    val total = w.toLong * h * spp
+    if (cnts.sum != total) return null
+    val raw = new Array[Byte](total.toInt)
+    var p = 0
+    var s = 0
+    while (s < offs.length) {
+      val o = offs(s); val c = cnts(s)
+      if (o < 0 || c < 0 || c > b.length - o) return null
+      System.arraycopy(b, o.toInt, raw, p, c.toInt)
+      p += c.toInt
+      s += 1
+    }
+    if (spp == 3) raw
+    else {
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val g = raw(i)
+        out(3 * i) = g; out(3 * i + 1) = g; out(3 * i + 2) = g
+        i += 1
+      }
+      out
+    }
+  } catch { case _: IndexOutOfBoundsException => null }
+
+  /** Valid uncompressed TIFF from raw samples (`w·h·spp` bytes, spp 1
+    * or 3) in the chosen byte order, with the strip layout REAL
+    * (`rowsPerStrip` row bands, per-strip offsets/byte counts,
+    * out-of-line arrays where values exceed the 4-byte inline field) —
+    * the exact write-side counterpart of [[tiffPixelBytes]].
+    */
+  def synthTiff(width: Int, height: Int, spp: Int, samples: Array[Byte],
+      bigEndian: Boolean = false, rowsPerStrip: Int = 0): Array[Byte] = {
+    require(spp == 1 || spp == 3, s"spp must be 1 or 3: $spp")
+    require(samples.length == width * height * spp,
+      s"need $width*$height*$spp sample bytes, got ${samples.length}")
+    val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
+    val nStrips = (height + rps - 1) / rps
+    val nEntries = 9
+    val ifdSize = 2 + nEntries * 12 + 4
+    val ifdOff = 8
+    var extra = ifdOff + ifdSize
+    val bitsOff = extra
+    if (spp == 3) extra += 6            // 3×SHORT out of line
+    val offsOff = extra
+    if (nStrips > 1) extra += 4 * nStrips
+    val cntsOff = extra
+    if (nStrips > 1) extra += 4 * nStrips
+    val dataOff = extra
+    val stripRows = Array.tabulate(nStrips)(s =>
+      math.min(rps, height - s * rps))
+    val stripBytes = stripRows.map(_ * width * spp)
+    val stripOffs = stripBytes.scanLeft(dataOff)(_ + _).dropRight(1)
+    val buf = java.nio.ByteBuffer.allocate(dataOff + samples.length)
+      .order(if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put((if (bigEndian) "MM" else "II").getBytes)
+    buf.putShort(42).putInt(ifdOff)
+    buf.putShort(nEntries.toShort)
+    def entry(tag: Int, tpe: Int, cnt: Int, inline: Long): Unit = {
+      buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(cnt)
+      if (tpe == 3 && cnt == 1) buf.putShort(inline.toShort).putShort(0)
+      else buf.putInt(inline.toInt)
+    }
+    entry(256, 4, 1, width)
+    entry(257, 4, 1, height)
+    if (spp == 1) entry(258, 3, 1, 8) else entry(258, 3, 3, bitsOff)
+    entry(259, 3, 1, 1)                       // Compression: none
+    entry(262, 3, 1, if (spp == 3) 2 else 1)  // Photometric
+    if (nStrips == 1) entry(273, 4, 1, dataOff)
+    else entry(273, 4, nStrips, offsOff)
+    entry(277, 3, 1, spp)
+    entry(278, 4, 1, rps)
+    if (nStrips == 1) entry(279, 4, 1, samples.length)
+    else entry(279, 4, nStrips, cntsOff)
+    buf.putInt(0)                             // no next IFD
+    if (spp == 3) { buf.putShort(8); buf.putShort(8); buf.putShort(8) }
+    if (nStrips > 1) {
+      stripOffs.foreach(buf.putInt)
+      stripBytes.foreach(buf.putInt)
+    }
+    buf.put(samples)
+    buf.array()
+  }
 
   // --- dataset-shard containers: tar (WebDataset) and WARC (crawls) --
   // The two container formats large-scale training corpora actually

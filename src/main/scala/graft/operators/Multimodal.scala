@@ -200,7 +200,9 @@ object Multimodal {
     val png = Containers.pngPixelBytes(content)
     if (png != null) return png
     val gif = Containers.gifPixelBytes(content)
-    if (gif != null) gif else Containers.jpegPixelBytes(content)
+    if (gif != null) return gif
+    val tif = Containers.tiffPixelBytes(content)
+    if (tif != null) tif else Containers.jpegPixelBytes(content)
   }
 
   /** Deterministic mixed-format image corpus: pixel byte `i` of image
@@ -223,6 +225,26 @@ object Multimodal {
         if (id % 2 == 0) Containers.synthBmp24(w, h, px)
         else Containers.synthPng(w, h, px, row => row % 5)
       MediaFile(id, "image", blob)
+    })
+  }
+
+  /** Deterministic TIFF corpus: image `id` is `8+id%9 × 8+id%7`,
+    * grayscale (spp 1) for even ids and RGB (spp 3) for odd, sample
+    * byte `i` = `(id*31 + i*7) % 256`, byte order cycling little/big
+    * endian (`id%3 == 0` → MM) and a `3 + id%5`-row strip layout —
+    * decoding must walk real IFDs in both byte orders and reassemble
+    * multi-strip data to reproduce the oracle's arithmetic.
+    */
+  def demoTiffCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      val spp = if (id % 2 == 0) 1 else 3
+      val samples =
+        Array.tabulate(w * h * spp)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+      MediaFile(id, "image", Containers.synthTiff(w, h, spp, samples,
+        bigEndian = id % 3 == 0, rowsPerStrip = (3 + id % 5).toInt))
     })
   }
 

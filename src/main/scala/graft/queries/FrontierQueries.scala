@@ -99,6 +99,20 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // REAL TIFF pixel decode: IFD tag walks in BOTH byte orders plus
+    // multi-strip reassembly over gray/RGB corpora — the oracle
+    // replays the sample generator, the Spark side must parse genuine
+    // IFDs (inline and out-of-line values) to match.
+    "multimodal_tiff_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoTiffCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.pixelStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // WebDataset-shaped shard reading: walk REAL ustar tar headers
     // (octal fields, verified checksums, 512-byte padding) and regroup
     // member files into training samples by basename — the oracle
@@ -891,6 +905,25 @@ object FrontierQueries {
     "multimodal_png_pixels" ->
       """WITH m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
         |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |sums AS (SELECT doc_id, w, h, ch,
+        |    list_transform(range(0, ch), k ->
+        |      list_sum(list_transform(
+        |        list_filter(range(0, w*h*ch), i -> i % ch = k),
+        |        i -> (doc_id*31 + i*7) % 256))) AS cs
+        |  FROM m)
+        |SELECT doc_id AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  (w*h)::BIGINT AS n_pixels,
+        |  cs[1]::BIGINT AS c0_sum,
+        |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[2] END)::BIGINT AS c1_sum,
+        |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[3] END)::BIGINT AS c2_sum
+        |FROM sums ORDER BY media_id""".stripMargin,
+
+    // Replays the TIFF sample generator per spp (gray replicated,
+    // RGB channel-striped) — same shape as the PNG oracle.
+    "multimodal_tiff_pixels" ->
+      """WITH m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
         |  FROM documents),
         |sums AS (SELECT doc_id, w, h, ch,
         |    list_transform(range(0, ch), k ->

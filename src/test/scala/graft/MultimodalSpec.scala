@@ -91,6 +91,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.pngPixelBytes(stray) == null)
   }
 
+  test("tiff: IFD walk in both byte orders, multi-strip, gray and RGB") {
+    val rgb = Array.tabulate(6 * 5 * 3)(i => (i * 13 % 256).toByte)
+    for (bigEndian <- Seq(false, true); rps <- Seq(0, 2)) {
+      val t = Containers.synthTiff(6, 5, 3, rgb, bigEndian, rps)
+      val hdr = Containers.parse(t)
+      assert(hdr.format == "tiff" && hdr.width == 6 && hdr.height == 5,
+        s"be=$bigEndian rps=$rps")
+      assert(Containers.tiffPixelBytes(t).toSeq == rgb.toSeq,
+        s"be=$bigEndian rps=$rps")
+    }
+    // grayscale replicates its channel; via the shared dispatcher too
+    val gray = Array.tabulate(6 * 5)(i => (i * 29 % 256).toByte)
+    val gt = Containers.synthTiff(6, 5, 1, gray, bigEndian = true, rowsPerStrip = 3)
+    val gd = Multimodal.imagePixelBytes(gt)
+    for (p <- 0 until 30; c <- 0 until 3) assert(gd(3 * p + c) == gray(p))
+    // degrades: not a tiff / truncated strips / compressed / planar
+    assert(Containers.tiffPixelBytes("not a tiff at all".getBytes) == null)
+    val full = Containers.synthTiff(6, 5, 3, rgb)
+    assert(Containers.tiffPixelBytes(full.take(full.length - 5)) == null)
+    // Compression tag (259) is the 4th entry: value at 8+2+3*12+8
+    val lzw = full.clone()
+    lzw(8 + 2 + 3 * 12 + 8) = 5 // LZW compression code
+    assert(Containers.tiffPixelBytes(lzw) == null)
+  }
+
   test("gif: LZW round-trips sequential, interlaced, repetitive, and large streams") {
     val pal = Array.tabulate(3 * 16) { i =>
       val j = i / 3
