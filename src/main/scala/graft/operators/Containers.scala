@@ -215,12 +215,14 @@ object Containers {
   // complete the decode path for the formats where "decode" is byte
   // arithmetic; compressed formats (PNG/JPEG/MP4) stay header-only.
 
-  /** Decode a 24-bit uncompressed BMP's pixel bytes into logical
-    * top-down row order (B,G,R per pixel), stripping the 4-byte row
-    * padding and un-reversing the bottom-up row storage. Returns null
-    * for anything that is not a well-formed 24bpp BI_RGB bitmap with a
-    * complete pixel array — corrupt blobs degrade to a filterable
-    * value, never an exception.
+  /** Decode an uncompressed BMP's pixels into logical top-down row
+    * order (B,G,R per pixel): 24-bit direct color, or 8-bit / 4-bit
+    * palette-indexed (color table resolved, nibbles unpacked
+    * high-first) — stripping the 4-byte row padding and un-reversing
+    * the bottom-up row storage. Returns null for anything that is not
+    * a well-formed BI_RGB bitmap with a complete pixel array and (for
+    * indexed formats) an in-range color table — corrupt blobs degrade
+    * to a filterable value, never an exception.
     */
   def bmpPixelBytes(b: Array[Byte]): Array[Byte] = {
     if (!(b.length >= 54 && b(0) == 'B' && b(1) == 'M')) return null
@@ -232,18 +234,53 @@ object Containers {
     val bpp = leU16(b, 28)
     val compression = leU32(b, 30)
     val off = leU32(b, 10)
-    if (w <= 0 || h == 0 || bpp != 24 || compression != 0L) return null
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    if (off < 54L || off + rowSize.toLong * h > b.length) return null
-    val out = new Array[Byte](w * h * 3)
-    var row = 0
-    while (row < h) {
-      // positive height = rows stored bottom-up; negative = top-down
-      val srcRow = if (hRaw > 0) h - 1 - row else row
-      System.arraycopy(b, off.toInt + srcRow * rowSize, out, row * w * 3, w * 3)
-      row += 1
-    }
-    out
+    if (w <= 0 || h == 0 || compression != 0L) return null
+    if (w.toLong * h * 3 > (1L << 30)) return null
+    if (bpp == 24) {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      if (off < 54L || off + rowSize.toLong * h > b.length) return null
+      val out = new Array[Byte](w * h * 3)
+      var row = 0
+      while (row < h) {
+        // positive height = rows stored bottom-up; negative = top-down
+        val srcRow = if (hRaw > 0) h - 1 - row else row
+        System.arraycopy(b, off.toInt + srcRow * rowSize, out, row * w * 3, w * 3)
+        row += 1
+      }
+      out
+    } else if (bpp == 8 || bpp == 4) {
+      val clrUsed = leU32(b, 46).toInt
+      val np = if (clrUsed > 0) clrUsed else 1 << bpp
+      if (np > (1 << bpp)) return null
+      val palOff = 14 + dibSize.toInt       // BGRA quads follow the DIB
+      if (palOff + 4L * np > b.length) return null
+      val rowSize = ((w * bpp + 31) / 32) * 4
+      if (off < palOff + 4L * np || off + rowSize.toLong * h > b.length)
+        return null
+      val out = new Array[Byte](w * h * 3)
+      var row = 0
+      while (row < h) {
+        val srcRow = if (hRaw > 0) h - 1 - row else row
+        val base = off.toInt + srcRow * rowSize
+        var x = 0
+        while (x < w) {
+          val idx =
+            if (bpp == 8) u8(b, base + x)
+            else { // 4bpp: high nibble is the LEFT pixel
+              val byte = u8(b, base + x / 2)
+              if (x % 2 == 0) byte >> 4 else byte & 0x0F
+            }
+          if (idx >= np) return null
+          val d = (row * w + x) * 3
+          out(d) = b(palOff + 4 * idx)           // B
+          out(d + 1) = b(palOff + 4 * idx + 1)   // G
+          out(d + 2) = b(palOff + 4 * idx + 2)   // R
+          x += 1
+        }
+        row += 1
+      }
+      out
+    } else null
   }
 
   /** 24-bit BMP from logical top-down pixel bytes (length w*h*3),
@@ -290,6 +327,58 @@ object Containers {
       y += 1
     }
     (w1, h1, out)
+  }
+
+  /** Valid palette-indexed BMP (8 or 4 bits per pixel) from a BGR
+    * color table (3·np bytes, np ≤ 2^bpp) and logical top-down
+    * indices: BGRA color-table quads after the BITMAPINFOHEADER,
+    * biClrUsed set, bottom-up 4-byte-aligned rows, 4bpp nibbles packed
+    * high-first — the exact write-side counterpart of
+    * [[bmpPixelBytes]]'s indexed path.
+    */
+  def synthBmpPal(width: Int, height: Int, bpp: Int, paletteBgr: Array[Int],
+      indices: Array[Int]): Array[Byte] = {
+    require(bpp == 8 || bpp == 4, s"bpp must be 8 or 4: $bpp")
+    val np = paletteBgr.length / 3
+    require(paletteBgr.length == 3 * np && np >= 1 && np <= (1 << bpp),
+      s"palette must be 3*np BGR bytes with np <= 2^$bpp")
+    require(indices.length == width * height,
+      s"need $width*$height indices, got ${indices.length}")
+    val rowSize = ((width * bpp + 31) / 32) * 4
+    val off = 54 + 4 * np
+    val out = java.nio.ByteBuffer.allocate(off + rowSize * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+      .putInt(off + rowSize * height).putShort(0).putShort(0).putInt(off)
+      .putInt(40).putInt(width).putInt(height).putShort(1)
+      .putShort(bpp.toShort)
+      .putInt(0).putInt(rowSize * height)
+      .putInt(2835).putInt(2835)
+      .putInt(np)                        // biClrUsed
+      .putInt(0)
+    for (j <- 0 until np)
+      out.put(paletteBgr(3 * j).toByte).put(paletteBgr(3 * j + 1).toByte)
+        .put(paletteBgr(3 * j + 2).toByte).put(0.toByte)
+    var row = height - 1 // bottom-up storage
+    while (row >= 0) {
+      val rowBytes = new Array[Byte](rowSize)
+      var x = 0
+      while (x < width) {
+        val idx = indices(row * width + x)
+        require(idx >= 0 && idx < np, s"index $idx out of palette range")
+        if (bpp == 8) rowBytes(x) = idx.toByte
+        else {
+          val p = x / 2
+          rowBytes(p) =
+            (if (x % 2 == 0) (rowBytes(p) & 0x0F) | (idx << 4)
+             else (rowBytes(p) & 0xF0) | idx).toByte
+        }
+        x += 1
+      }
+      out.put(rowBytes)
+      row -= 1
+    }
+    out.array()
   }
 
   /** Nearest-neighbor downscale of a 24-bit BMP by an integer factor —

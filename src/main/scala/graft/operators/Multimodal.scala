@@ -228,6 +228,34 @@ object Multimodal {
     })
   }
 
+  /** Deterministic palette-BMP corpus: image `id` is `8+id%9 × 8+id%7`,
+    * 8-bit indexed over a 256-entry table for even ids and 4-bit over
+    * 16 entries for odd (nibble packing + odd-width padding on the
+    * line); color-table entry `j` is B/G/R
+    * `(j·41+7, j·73+11, j·97+13) mod 256` and pixel `i`'s index is
+    * `(id·31 + i·7) mod np` — decode must resolve real BGRA color
+    * tables through the bottom-up padded row geometry.
+    */
+  def demoBmpPalCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      val bpp = if (id % 2 == 0) 8 else 4
+      val np = if (bpp == 8) 256 else 16
+      val pal = Array.tabulate(3 * np) { i =>
+        val j = i / 3
+        (i % 3) match {
+          case 0 => (j * 41 + 7) % 256
+          case 1 => (j * 73 + 11) % 256
+          case _ => (j * 97 + 13) % 256
+        }
+      }
+      val idx = Array.tabulate(w * h)(i => ((id * 31 + i.toLong * 7) % np).toInt)
+      MediaFile(id, "image", Containers.synthBmpPal(w, h, bpp, pal, idx))
+    })
+  }
+
   /** Deterministic TIFF corpus: image `id` is `8+id%9 × 8+id%7`,
     * grayscale (spp 1) for even ids and RGB (spp 3) for odd, sample
     * byte `i` = `(id*31 + i*7) % 256`, byte order cycling little/big

@@ -99,6 +99,20 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // REAL palette-BMP decode: 8-bit and 4-bit indexed bitmaps resolve
+    // genuine BGRA color tables through the bottom-up padded row
+    // geometry (nibbles unpacked high-first) — the oracle replays the
+    // palette arithmetic like the GIF query.
+    "multimodal_bmp_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoBmpPalCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.pixelStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // REAL TIFF pixel decode: IFD tag walks in BOTH byte orders plus
     // multi-strip reassembly over gray/RGB corpora — the oracle
     // replays the sample generator, the Spark side must parse genuine
@@ -918,6 +932,24 @@ object FrontierQueries {
         |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[2] END)::BIGINT AS c1_sum,
         |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[3] END)::BIGINT AS c2_sum
         |FROM sums ORDER BY media_id""".stripMargin,
+
+    // Replays the palette-BMP generator: index of pixel i is
+    // (id*31 + i*7) mod np (np = 256 for 8bpp even ids, 16 for 4bpp
+    // odd), channel c of color-table entry j is
+    // (j*{41,73,97} + {7,11,13}) % 256 in B,G,R order.
+    "multimodal_bmp_indexed" ->
+      """WITH m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 16 END AS np
+        |  FROM documents)
+        |SELECT doc_id AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  (w*h)::BIGINT AS n_pixels,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> (((doc_id*31 + i*7) % np) * 41 + 7) % 256))::BIGINT AS c0_sum,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> (((doc_id*31 + i*7) % np) * 73 + 11) % 256))::BIGINT AS c1_sum,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> (((doc_id*31 + i*7) % np) * 97 + 13) % 256))::BIGINT AS c2_sum
+        |FROM m ORDER BY media_id""".stripMargin,
 
     // Replays the TIFF sample generator per spp (gray replicated,
     // RGB channel-striped) — same shape as the PNG oracle.

@@ -91,6 +91,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.pngPixelBytes(stray) == null)
   }
 
+  test("bmp indexed: 8bpp and 4bpp palette decode through real color tables") {
+    val pal = Array.tabulate(3 * 16)(i => (i * 31 + 5) % 256) // BGR triples
+    def expect(idx: Array[Int]): Seq[Int] =
+      idx.flatMap(j => Seq(pal(3 * j), pal(3 * j + 1), pal(3 * j + 2))).toSeq
+    // 8bpp, odd width (row padding in play)
+    val i8 = Array.tabulate(5 * 4)(i => (i * 7 + 2) % 16)
+    val b8 = Containers.synthBmpPal(5, 4, 8, pal, i8)
+    assert(Containers.parse(b8).format == "bmp")
+    assert(Containers.bmpPixelBytes(b8)
+      .map(java.lang.Byte.toUnsignedInt(_)).toSeq == expect(i8))
+    // 4bpp, odd width (nibble packing + padding)
+    val i4 = Array.tabulate(7 * 3)(i => (i * 5 + 1) % 16)
+    val b4 = Containers.synthBmpPal(7, 3, 4, pal, i4)
+    assert(Containers.bmpPixelBytes(b4)
+      .map(java.lang.Byte.toUnsignedInt(_)).toSeq == expect(i4))
+    // out-of-range index (beyond biClrUsed) degrades to null
+    val bad = b8.clone()
+    bad(54 + 4 * 16) = 200.toByte // first pixel byte: index 200 >= np 16
+    assert(Containers.bmpPixelBytes(bad) == null)
+    // truncated pixel array degrades to null
+    assert(Containers.bmpPixelBytes(b8.take(b8.length - 3)) == null)
+  }
+
   test("tiff: IFD walk in both byte orders, multi-strip, gray and RGB") {
     val rgb = Array.tabulate(6 * 5 * 3)(i => (i * 13 % 256).toByte)
     for (bigEndian <- Seq(false, true); rps <- Seq(0, 2)) {
