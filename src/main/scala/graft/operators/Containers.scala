@@ -227,7 +227,12 @@ object Containers {
   def bmpPixelBytes(b: Array[Byte]): Array[Byte] = {
     if (!(b.length >= 54 && b(0) == 'B' && b(1) == 'M')) return null
     val dibSize = leU32(b, 14)
-    if (dibSize < 40L) return null
+    // reject before narrowing: an unsigned dibSize >= 2^31 would wrap
+    // `14 + dibSize.toInt` negative and slip past the Long bounds
+    // checks into an out-of-bounds palette read — a hostile blob must
+    // degrade to null, never throw (imagePixelBytes tries BMP first on
+    // EVERY image)
+    if (dibSize < 40L || dibSize > b.length - 14L) return null
     val w = leS32(b, 18)
     val hRaw = leS32(b, 22)
     val h = math.abs(hRaw)
@@ -786,16 +791,57 @@ object Containers {
   final case class TarEntry(name: String, size: Long, offset: Long,
       typeflag: Char)
 
+  /** Parse the `len key=value\n` records of a PAX extended header
+    * block (`len` is the DECIMAL byte length of the whole record,
+    * including itself, the separating space, and the trailing
+    * newline — POSIX.1-2001 pax Interchange Format). Returns the
+    * key→value map, or null for a malformed block (a record whose
+    * length field is non-numeric, out of range, or whose record does
+    * not end in `\n`).
+    */
+  private def paxRecords(b: Array[Byte], off: Int,
+      len: Int): scala.collection.Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var p = off
+    val end = off + len
+    while (p < end) {
+      // decimal length prefix up to the first space
+      var q = p; var n = 0L; var any = false
+      while (q < end && b(q) >= '0'.toByte && b(q) <= '9'.toByte) {
+        n = n * 10 + (b(q) - '0'); q += 1; any = true
+        if (n > len) return null
+      }
+      if (!any || q >= end || b(q) != ' '.toByte) return null
+      val recEnd = p + n.toInt
+      if (recEnd > end || b(recEnd - 1) != '\n'.toByte) return null
+      val body = new String(b, q + 1, recEnd - 1 - (q + 1),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val eq = body.indexOf('=')
+      if (eq < 0) return null
+      m(body.substring(0, eq)) = body.substring(eq + 1)
+      p = recEnd
+    }
+    m
+  }
+
   /** Walk a (ustar) tar archive's headers: octal size fields, header
     * checksum VERIFIED (the field summed as spaces), the POSIX prefix
     * field joined onto long member paths, 512-byte data padding,
     * terminated by the end-of-archive zero block — which is REQUIRED:
     * an archive that just stops is a cut-off shard and returns null
-    * rather than silently dropping the tail samples. Null also for a
-    * checksum mismatch, truncated entry data, unparseable size, or
-    * PAX/GNU extension records (typeflag x/g/L/K — their path
-    * overrides are not interpreted, and misparsing them as plain
-    * files would silently corrupt names) — degrade-don't-throw.
+    * rather than silently dropping the tail samples.
+    *
+    * Extension records are CONSUMED, not emitted: a PAX per-file
+    * header (typeflag `x`) or global header (`g`) is parsed as
+    * `len key=value\n` records whose `path` overrides the next file's
+    * (respectively every following file's) name — Python's `tarfile`
+    * writes PAX format BY DEFAULT since 3.8, so real WebDataset
+    * shards are overwhelmingly this shape; a GNU longname (`L`)
+    * supplies the next file's full name and a GNU longlink (`K`) is
+    * skipped. Precedence per spec: `x` beats `g` beats `L` beats the
+    * ustar name+prefix fields. Null for a checksum mismatch,
+    * truncated entry data, unparseable size, or a malformed PAX
+    * block — degrade-don't-throw.
     */
   def tarEntries(b: Array[Byte]): Array[TarEntry] = try {
     val out = scala.collection.mutable.ArrayBuffer.empty[TarEntry]
@@ -809,6 +855,9 @@ object Containers {
       if (any) v else -1L
     }
     var off = 0L
+    var globalPath: String = null  // PAX 'g' path default, if any
+    var nextPath: String = null    // PAX 'x' / GNU 'L' override for the next file
+    var nextFromPax = false        // 'x' beats 'L' if both precede one file
     while (off + 512 <= b.length) {
       val i = off.toInt
       var allZero = true
@@ -832,19 +881,43 @@ object Containers {
       val size = octal(i + 124, 12)
       if (size < 0) return null
       if (off + 512 + size > b.length) return null // truncated data
+      if (size > Int.MaxValue - 1024) return null  // extension blobs are small
       val tf = b(i + 156) match { case 0 => '0'; case c => c.toChar }
-      if (tf == 'x' || tf == 'g' || tf == 'L' || tf == 'K') return null
-      // POSIX ustar stores the leading directories of >100-byte paths
-      // in the 155-byte prefix field — only trusted under the ustar
-      // magic (old-format headers carry arbitrary bytes there)
-      val full =
-        if (ascii(b, i + 257, 5) == "ustar" && b(i + 345) != 0) {
-          var e = i + 345
-          while (e < i + 500 && b(e) != 0) e += 1
-          new String(b, i + 345, e - (i + 345),
-            java.nio.charset.StandardCharsets.UTF_8) + "/" + name
-        } else name
-      out += TarEntry(full, size, off + 512, tf)
+      tf match {
+        case 'x' | 'g' =>
+          val recs = paxRecords(b, (off + 512).toInt, size.toInt)
+          if (recs == null) return null // malformed PAX = corrupt shard
+          recs.get("path").foreach { p =>
+            if (tf == 'x') { nextPath = p; nextFromPax = true }
+            else globalPath = p
+          }
+        case 'L' => // GNU longname: NUL-terminated full name for the next file
+          if (!nextFromPax) {
+            var e = (off + 512).toInt; val de = (off + 512 + size).toInt
+            while (e < de && b(e) != 0) e += 1
+            nextPath = new String(b, (off + 512).toInt, e - (off + 512).toInt,
+              java.nio.charset.StandardCharsets.UTF_8)
+          }
+        case 'K' => () // GNU longlink: link target, not tracked here
+        case _ =>
+          // POSIX ustar stores the leading directories of >100-byte
+          // paths in the 155-byte prefix field — only trusted under
+          // the ustar magic (old-format headers carry arbitrary bytes
+          // there)
+          val ustarName =
+            if (ascii(b, i + 257, 5) == "ustar" && b(i + 345) != 0) {
+              var e = i + 345
+              while (e < i + 500 && b(e) != 0) e += 1
+              new String(b, i + 345, e - (i + 345),
+                java.nio.charset.StandardCharsets.UTF_8) + "/" + name
+            } else name
+          val full =
+            if (nextPath != null) nextPath
+            else if (globalPath != null) globalPath
+            else ustarName
+          nextPath = null; nextFromPax = false
+          out += TarEntry(full, size, off + 512, tf)
+      }
       off += 512 + ((size + 511) / 512) * 512
     }
     // Falling out of the loop means the archive ended WITHOUT the
@@ -854,29 +927,42 @@ object Containers {
     null
   } catch { case _: IndexOutOfBoundsException => null }
 
-  /** Valid ustar tar from (name, bytes) files: proper octal fields,
-    * computed header checksum, paths over 100 bytes split across the
-    * POSIX prefix field at a `/` boundary, 512-padded data, two
-    * terminating zero blocks — the exact write-side counterpart of
-    * [[tarEntries]].
+  /** Valid tar from (name, bytes) files in one of the three layouts
+    * real shards ship in — the exact write-side counterpart of
+    * [[tarEntries]]:
+    *
+    *  - `"ustar"` (default): plain POSIX ustar — octal fields,
+    *    computed checksum, paths over 100 bytes split across the
+    *    155-byte prefix field at a `/` boundary;
+    *  - `"pax"`: POSIX.1-2001 pax Interchange Format, the layout
+    *    Python's `tarfile` writes by default since 3.8 — one global
+    *    (`g`) header with a `comment` record, then per file an
+    *    extended (`x`) header whose `path` record carries the real
+    *    name while the following ustar header holds the name
+    *    truncated to 100 bytes;
+    *  - `"gnu"`: GNU longname layout — per file an `L` member named
+    *    `././@LongLink` carrying the NUL-terminated real name, then
+    *    the truncated ustar header.
+    *
+    * All three end with 512-padded data and two terminating zero
+    * blocks.
     */
-  def synthTar(files: Seq[(String, Array[Byte])]): Array[Byte] = {
+  def synthTar(files: Seq[(String, Array[Byte])],
+      style: String = "ustar"): Array[Byte] = {
+    require(style == "ustar" || style == "pax" || style == "gnu",
+      s"style must be ustar|pax|gnu: $style")
+    val bytesOf = (s: String) =>
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = new java.io.ByteArrayOutputStream()
-    for ((name, data) <- files) {
-      val bytesOf = (s: String) =>
-        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val (prefix, base) =
-        if (bytesOf(name).length <= 100) ("", name)
-        else {
-          val cut = name.indices.filter(name(_) == '/').find { c =>
-            bytesOf(name.substring(0, c)).length <= 155 &&
-              bytesOf(name.substring(c + 1)).length <= 100
-          }.getOrElse(throw new IllegalArgumentException(
-            s"path cannot split into a 155/100-byte prefix/name pair: $name"))
-          (name.substring(0, cut), name.substring(cut + 1))
-        }
+
+    /** One 512-byte header + padded data block. `name` must fit the
+      * 100-byte field (callers pre-truncate or pre-split).
+      */
+    def writeMember(base: String, prefix: String, typeflag: Char,
+        data: Array[Byte]): Unit = {
       val nb = bytesOf(base)
       val pb = bytesOf(prefix)
+      require(nb.length <= 100 && pb.length <= 155, "field overflow")
       val h = new Array[Byte](512)
       System.arraycopy(nb, 0, h, 0, nb.length)
       System.arraycopy(pb, 0, h, 345, pb.length)
@@ -889,7 +975,7 @@ object Containers {
       putOctal(108, 8, 0); putOctal(116, 8, 0)
       putOctal(124, 12, data.length)
       putOctal(136, 12, 0)
-      h(156) = '0'.toByte
+      h(156) = typeflag.toByte
       System.arraycopy("ustar".getBytes, 0, h, 257, 5)
       h(263) = '0'.toByte; h(264) = '0'.toByte // version "00"
       java.util.Arrays.fill(h, 148, 156, ' '.toByte)
@@ -903,6 +989,48 @@ object Containers {
       val pad = (512 - data.length % 512) % 512
       out.write(new Array[Byte](pad))
     }
+
+    /** `len key=value\n` with len counting itself (pax record). */
+    def paxRecord(key: String, value: String): Array[Byte] = {
+      val body = bytesOf(s" $key=$value\n")
+      var len = body.length + 1 // at least one length digit
+      while (s"$len".length + body.length != len) len += 1
+      bytesOf(s"$len") ++ body
+    }
+
+    /** UTF-8-safe truncation of `s` to at most 100 bytes. */
+    def trunc100(s: String): String = {
+      var t = s
+      while (bytesOf(t).length > 100) t = t.substring(0, t.length - 1)
+      t
+    }
+
+    if (style == "pax")
+      writeMember("pax_global_header", "", 'g',
+        paxRecord("comment", "graft synthetic shard"))
+    for ((name, data) <- files) {
+      style match {
+        case "pax" =>
+          writeMember(trunc100("PaxHeaders.0/" + name), "", 'x',
+            paxRecord("path", name))
+          writeMember(trunc100(name), "", '0', data)
+        case "gnu" =>
+          writeMember("././@LongLink", "", 'L', bytesOf(name) :+ 0.toByte)
+          writeMember(trunc100(name), "", '0', data)
+        case _ =>
+          val (prefix, base) =
+            if (bytesOf(name).length <= 100) ("", name)
+            else {
+              val cut = name.indices.filter(name(_) == '/').find { c =>
+                bytesOf(name.substring(0, c)).length <= 155 &&
+                  bytesOf(name.substring(c + 1)).length <= 100
+              }.getOrElse(throw new IllegalArgumentException(
+                s"path cannot split into a 155/100-byte prefix/name pair: $name"))
+              (name.substring(0, cut), name.substring(cut + 1))
+            }
+          writeMember(base, prefix, '0', data)
+      }
+    }
     out.write(new Array[Byte](1024)) // two zero blocks
     out.toByteArray
   }
@@ -913,11 +1041,46 @@ object Containers {
   final case class WarcRecord(warcType: String, targetUri: String,
       contentLength: Long, payloadOffset: Long)
 
+  /** Expand a `.warc.gz` into plain WARC bytes: Common Crawl frames
+    * each record as its OWN gzip member and concatenates them, which
+    * is exactly the multi-member stream `java.util.zip.GZIPInputStream`
+    * walks natively. Identity for input that is not gzip (magic
+    * `1f 8b`); null for a corrupt or truncated stream, or one
+    * inflating past the 2³⁰-byte cap (a "gzip bomb" must neither OOM
+    * an executor nor loop the task) — degrade-don't-throw. Callers
+    * parse the RETURNED bytes (record offsets index into them, not
+    * into the compressed blob).
+    */
+  def warcInflate(b: Array[Byte]): Array[Byte] = {
+    if (b.length < 2 || u8(b, 0) != 0x1f || u8(b, 1) != 0x8b) return b
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      var total = 0L
+      while (n >= 0) {
+        total += n
+        if (total > (1L << 30)) return null // decompression bomb
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      in.close()
+      out.toByteArray
+    } catch {
+      case _: java.io.IOException => null // CRC/format error, truncation
+    }
+  }
+
   /** Walk a WARC 1.0/1.1 file: per record, the version line, CRLF
     * header lines up to the empty line (field names case-insensitive),
     * a Content-Length-delimited content block, and the two-CRLF record
     * separator. Null for a missing version line, unparseable or absent
     * Content-Length, or truncated content — degrade-don't-throw.
+    * Gzipped input (`.warc.gz`) routes through [[warcInflate]] FIRST —
+    * offsets in the returned records index into ITS output, not the
+    * compressed bytes.
     */
   def warcRecords(b: Array[Byte]): Array[WarcRecord] = try {
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
@@ -973,9 +1136,13 @@ object Containers {
 
   /** Valid WARC 1.0 from (type, targetUri, payload) records — CRLF
     * headers with Content-Length, double-CRLF record separators; the
-    * exact write-side counterpart of [[warcRecords]].
+    * exact write-side counterpart of [[warcRecords]]. With
+    * `gzipPerRecord` each record becomes its OWN gzip member and the
+    * members concatenate — Common Crawl's `.warc.gz` framing, the
+    * write-side counterpart of [[warcInflate]].
     */
-  def synthWarc(records: Seq[(String, String, Array[Byte])]): Array[Byte] = {
+  def synthWarc(records: Seq[(String, String, Array[Byte])],
+      gzipPerRecord: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     for (((tpe, uri, payload), i) <- records.zipWithIndex) {
       val hdr = new StringBuilder()
@@ -985,9 +1152,15 @@ object Containers {
       if (uri.nonEmpty) hdr.append(s"WARC-Target-URI: $uri\r\n")
       hdr.append(s"Content-Length: ${payload.length}\r\n")
       hdr.append("\r\n")
-      out.write(hdr.toString.getBytes("US-ASCII"))
-      out.write(payload)
-      out.write("\r\n\r\n".getBytes("US-ASCII"))
+      val rec = new java.io.ByteArrayOutputStream()
+      rec.write(hdr.toString.getBytes("US-ASCII"))
+      rec.write(payload)
+      rec.write("\r\n\r\n".getBytes("US-ASCII"))
+      if (gzipPerRecord) {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(rec.toByteArray)
+        gz.finish() // flush THIS member; the enclosing stream stays open
+      } else rec.writeTo(out)
     }
     out.toByteArray
   }
@@ -1070,12 +1243,12 @@ object Containers {
         if (prev >= 0 && dictSize < maxCodes) {
           prefix(dictSize) = prev; suffix(dictSize) = first
           dictSize += 1
-          // one LESS than the encoder's bump point: the decoder adds
-          // each entry one code later (it reconstructs e_k while
-          // processing c_{k+1}), so it must widen as soon as the NEXT
-          // add would reach 2^codeSize — or it reads the encoder's
-          // already-widened codes at the old width and desyncs
-          if (dictSize == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+          // STANDARD (giflib) timing: widen when the dictionary fills
+          // the current width, i.e. post-add dictSize == 2^codeSize.
+          // (TIFF-LZW uses the "early change" variant — one code
+          // sooner — which is NOT what GIF encoders emit; see
+          // [[lzwDecodeTiff]] for that convention.)
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
         }
         prev = code
         prevFirst = first
@@ -1113,9 +1286,12 @@ object Containers {
           put(prev)
           dict((prev, s)) = dictSize
           dictSize += 1
-          // lockstep with the decoder: IT bumps after adding the entry
-          // it reconstructs from this very code
-          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          // STANDARD (giflib) timing: the decoder is one dictionary
+          // add BEHIND the encoder at each code boundary, so the
+          // encoder delays its width bump one entry past the decoder's
+          // (decoder bumps at post-add 2^w, encoder at 2^w + 1) —
+          // both then widen between the same two emitted codes.
+          if (dictSize == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
           if (dictSize == 4096) {
             put(clear)
             dict.clear(); dictSize = end + 1; codeSize = mcs + 1

@@ -740,7 +740,15 @@ object Multimodal {
       val entries = Containers.tarEntries(m.content)
       if (entries == null) Seq(ShardSample(m.media_id, "", -1, -1L, -1L))
       else entries.filter(_.typeflag == '0')
-        .groupBy(e => e.name.takeWhile(_ != '.'))
+        // WebDataset key = path up to the first dot of the BASENAME —
+        // dots are legal in directory names ("v1.2/0001.txt" keys as
+        // "v1.2/0001", not "v1"), so the split must start after the
+        // last '/'
+        .groupBy { e =>
+          val base = e.name.lastIndexOf('/') + 1
+          val dot = e.name.indexOf('.', base)
+          if (dot < 0) e.name else e.name.substring(0, dot)
+        }
         .toSeq.map { case (key, parts) =>
           var bytes = 0L; var sum = 0L
           parts.foreach { e =>
@@ -760,21 +768,39 @@ object Multimodal {
   /** Deterministic WebDataset-style tar-shard corpus: shard `id` holds
     * `2 + id%3` samples; sample `s` ships a `%06d.txt` part of
     * `16 + (id+s)%8` bytes (byte `j` = `(id*31 + s*17 + j*7) % 256`)
-    * and a 1-byte `%06d.cls` label (`(id+s) % 256`) — real ustar
-    * headers, checksums, padding, end blocks.
+    * and a 1-byte `%06d.cls` label (`(id+s) % 256`).
+    *
+    * The ARCHIVE layout cycles the three shapes real shards ship in
+    * (`id mod 3`): 0 → plain ustar; 1 → PAX (Python `tarfile`'s
+    * default since 3.8 — a `g` global header plus per-file `x`
+    * headers whose `path` records carry the real names) under the
+    * dotted >100-byte directory `paxdir.{id%5}/ppp…p/`; 2 → GNU
+    * longname (`L` members) under `gnu.dir.{id%7}/ggg…g/`. The long
+    * dotted directories force the embedded ustar name to TRUNCATE, so
+    * only a reader that honors the extension records recovers the
+    * real paths — and the dot inside the directory name pins the
+    * WebDataset key split to the basename, not the full path.
     */
   def demoTarShards(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
       val n = (2 + id % 3).toInt
+      val dir = (id % 3) match {
+        case 0 => ""
+        case 1 => s"paxdir.${id % 5}/" + "p" * 92 + "/"
+        case _ => s"gnu.dir.${id % 7}/" + "g" * 95 + "/"
+      }
+      val style = (id % 3) match {
+        case 0 => "ustar"; case 1 => "pax"; case _ => "gnu"
+      }
       val files = (0 until n).flatMap { s =>
         val len = (16 + (id + s) % 8).toInt
         val txt = Array.tabulate(len)(j =>
           ((id * 31 + s * 17 + j.toLong * 7) % 256).toByte)
         val cls = Array(((id + s) % 256).toByte)
-        Seq(f"$s%06d.txt" -> txt, f"$s%06d.cls" -> cls)
+        Seq(f"$dir$s%06d.txt" -> txt, f"$dir$s%06d.cls" -> cls)
       }
-      MediaFile(id, "shard", Containers.synthTar(files))
+      MediaFile(id, "shard", Containers.synthTar(files, style))
     })
   }
 
@@ -787,13 +813,17 @@ object Multimodal {
   /** Walk each WARC crawl file's REAL record structure (version line,
     * CRLF headers, Content-Length-delimited blocks) and reduce the
     * response payloads — the Common-Crawl-shaped ingest path, one
-    * narrow partition-wise pass, degrade-don't-throw.
+    * narrow partition-wise pass, degrade-don't-throw. `.warc.gz`
+    * inputs (per-record gzip members, the Common Crawl framing)
+    * expand through `Containers.warcInflate` first; record offsets
+    * index into the EXPANDED bytes.
     */
   def warcStats(spark: SparkSession,
       media: Dataset[MediaFile]): Dataset[WarcStats] = {
     import spark.implicits._
     media.map { m =>
-      val recs = Containers.warcRecords(m.content)
+      val body = Containers.warcInflate(m.content)
+      val recs = if (body == null) null else Containers.warcRecords(body)
       if (recs == null) WarcStats(m.media_id, -1, -1, -1L, -1L)
       else {
         var nr = 0; var rb = 0L; var ps = 0L
@@ -803,7 +833,7 @@ object Multimodal {
             var j = 0L
             while (j < r.contentLength) {
               ps += java.lang.Byte.toUnsignedInt(
-                m.content((r.payloadOffset + j).toInt))
+                body((r.payloadOffset + j).toInt))
               j += 1
             }
           }
@@ -817,6 +847,10 @@ object Multimodal {
     * cycling response/request/metadata, record `s` carrying a
     * `24 + (id+s)%16`-byte payload (byte `j` =
     * `(id*13 + s*29 + j*7) % 256`) for `https://ex.test/<id>/<s>`.
+    * Odd ids ship as `.warc.gz` — each record its own gzip member,
+    * Common Crawl's framing — so the decode path must walk the
+    * multi-member gunzip to reproduce the same oracle sums the plain
+    * crawls produce.
     */
   def demoWarcCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -831,7 +865,8 @@ object Multimodal {
           ((id * 13 + s * 29 + j.toLong * 7) % 256).toByte)
         (tpe, s"https://ex.test/$id/$s", payload)
       }
-      MediaFile(id, "crawl", Containers.synthWarc(recs))
+      MediaFile(id, "crawl",
+        Containers.synthWarc(recs, gzipPerRecord = id % 2 == 1))
     })
   }
 

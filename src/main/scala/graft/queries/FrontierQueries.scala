@@ -127,11 +127,15 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
-    // WebDataset-shaped shard reading: walk REAL ustar tar headers
-    // (octal fields, verified checksums, 512-byte padding) and regroup
-    // member files into training samples by basename — the oracle
-    // replays the shard generator; the Spark side must parse genuine
-    // tar bytes to match.
+    // WebDataset-shaped shard reading: walk REAL tar headers (octal
+    // fields, verified checksums, 512-byte padding) across the three
+    // layouts real shards ship in — plain ustar, PAX (Python tarfile's
+    // default: g/x extension records whose `path` overrides the
+    // truncated embedded names), and GNU longname (L records) — and
+    // regroup member files into training samples by basename. The
+    // oracle replays the shard generator including the recovered long
+    // dotted-directory paths; the Spark side must parse genuine
+    // extension records to match.
     "shard_tar_samples" -> ((s, dir) => {
       import s.implicits._
       val corpus = graft.operators.Multimodal.demoTarShards(
@@ -144,7 +148,10 @@ object FrontierQueries {
 
     // Common-Crawl-shaped WARC ingest: walk REAL record structure
     // (version line, CRLF headers, Content-Length blocks) and reduce
-    // the response payloads — generator-replay oracle again.
+    // the response payloads; odd crawls ship as `.warc.gz` with each
+    // record its own gzip member (Common Crawl's framing), expanded
+    // through a real multi-member gunzip — generator-replay oracle
+    // again (compression is transparent to the sums).
     "warc_extract" -> ((s, dir) => {
       import s.implicits._
       val corpus = graft.operators.Multimodal.demoWarcCorpus(
@@ -971,18 +978,31 @@ object FrontierQueries {
         |FROM sums ORDER BY media_id""".stripMargin,
 
     // Replays the tar-shard generator: sample s of shard id has a
-    // (16 + (id+s)%8)-byte .txt part and a 1-byte .cls label.
+    // (16 + (id+s)%8)-byte .txt part and a 1-byte .cls label; the
+    // key carries the per-style directory (ustar / PAX-path-override /
+    // GNU-longname) up to the first dot of the BASENAME — dotted
+    // directory names stay intact, pinning both the extension-record
+    // name recovery and the WebDataset key-split convention.
     "shard_tar_samples" ->
       """WITH m AS (SELECT doc_id,
         |    unnest(range(0, (2 + doc_id % 3)::BIGINT)) AS s
-        |  FROM documents)
-        |SELECT doc_id AS shard_id, lpad(s::VARCHAR, 6, '0') AS sample_key,
+        |  FROM documents),
+        |k AS (SELECT doc_id, s,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN ''
+        |      WHEN 1 THEN 'paxdir.' || (doc_id % 5)::VARCHAR || '/'
+        |                  || repeat('p', 92) || '/'
+        |      ELSE 'gnu.dir.' || (doc_id % 7)::VARCHAR || '/'
+        |           || repeat('g', 95) || '/'
+        |    END || lpad(s::VARCHAR, 6, '0') AS sample_key
+        |  FROM m)
+        |SELECT doc_id AS shard_id, sample_key,
         |  2::INT AS n_parts,
         |  (16 + (doc_id + s) % 8 + 1)::BIGINT AS n_bytes,
         |  (list_sum(list_transform(range(0, 16 + (doc_id + s) % 8),
         |     j -> (doc_id*31 + s*17 + j*7) % 256))
         |   + (doc_id + s) % 256)::BIGINT AS byte_sum
-        |FROM m ORDER BY shard_id, sample_key""".stripMargin,
+        |FROM k ORDER BY shard_id, sample_key""".stripMargin,
 
     // Replays the WARC generator: records cycle
     // response/request/metadata; only responses are reduced.

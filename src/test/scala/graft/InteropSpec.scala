@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Containers
+
+/** Interop pins against the JDK's OWN image codecs (`javax.imageio`):
+  * every from-scratch decoder here must read what a standard encoder
+  * writes, and every synthesizer must be readable by a standard
+  * decoder — otherwise a self-consistent encode/decode pair can hide
+  * a convention bug that only real-world files expose (exactly what
+  * happened with GIF LZW code-width timing: the TIFF-style "early
+  * change" round-tripped internally but failed on every giflib-encoded
+  * GIF). ImageIO ships GIF/PNG/BMP/JPEG/TIFF read+write in the bare
+  * JDK, so these tests need no fixtures and no network.
+  */
+class InteropSpec extends AnyFunSuite {
+
+  import java.awt.image.{BufferedImage, IndexColorModel}
+  import javax.imageio.ImageIO
+
+  private def writeBytes(img: BufferedImage, format: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, format, out), s"JDK cannot write $format")
+    out.toByteArray
+  }
+
+  private def readImg(b: Array[Byte]): BufferedImage =
+    ImageIO.read(new java.io.ByteArrayInputStream(b))
+
+  /** RGB triple of pixel (x,y) from an ImageIO decode. */
+  private def rgbOf(img: BufferedImage, x: Int, y: Int): (Int, Int, Int) = {
+    val v = img.getRGB(x, y)
+    ((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+  }
+
+  // deterministic, LZW-hostile index pattern (few repeats → the
+  // dictionary grows through every code-width bump and past 4096)
+  private def idxPattern(w: Int, h: Int, np: Int)(x: Int, y: Int): Int =
+    (x * 7 + y * 13 + x * y + (x * x + 3 * y * y) / 5) % np
+
+  test("gif: a JDK-ImageIO-encoded GIF decodes (standard LZW timing)") {
+    val w = 128; val h = 128 // 16384 px: dict passes 512/1024/2048/4096
+    val r = Array.tabulate(256)(j => ((j * 41 + 7) % 256).toByte)
+    val g = Array.tabulate(256)(j => ((j * 73 + 11) % 256).toByte)
+    val b = Array.tabulate(256)(j => ((j * 97 + 13) % 256).toByte)
+    val icm = new IndexColorModel(8, 256, r, g, b)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, idxPattern(w, h, 256)(x, y))
+    val gif = writeBytes(img, "gif")
+    val px = Containers.gifPixelBytes(gif)
+    assert(px != null, "decoder rejected a standard-encoder GIF")
+    val ref = readImg(gif)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      val (rr, gg, bb) = rgbOf(ref, x, y)
+      assert((px(d) & 0xFF, px(d + 1) & 0xFF, px(d + 2) & 0xFF) == (rr, gg, bb),
+        s"pixel ($x,$y)")
+    }
+  }
+
+  test("gif: synthGif output is readable by the JDK's standard decoder") {
+    val w = 90; val h = 70 // 6300 px: crosses the 512/1024/2048 bumps
+    val np = 256
+    val pal = Array.tabulate(3 * np) { i =>
+      val j = i / 3
+      (i % 3) match {
+        case 0 => (j * 41 + 7) % 256
+        case 1 => (j * 73 + 11) % 256
+        case _ => (j * 97 + 13) % 256
+      }
+    }
+    for (interlaced <- Seq(false, true)) {
+      val idx = Array.tabulate(w * h)(i => idxPattern(w, h, np)(i % w, i / w))
+      val gif = Containers.synthGif(w, h, pal, idx, interlaced)
+      val ref = readImg(gif)
+      assert(ref != null, s"JDK decoder rejected synthGif interlaced=$interlaced")
+      assert(ref.getWidth == w && ref.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = idx(y * w + x)
+        assert(rgbOf(ref, x, y) == (pal(3 * j), pal(3 * j + 1), pal(3 * j + 2)),
+          s"pixel ($x,$y) interlaced=$interlaced")
+      }
+    }
+  }
+
+  test("gif: dictionary-full CLEAR + reset survives a standard decoder") {
+    // enough low-entropy-free pixels to push the dictionary to 4096 and
+    // force synthGif's mid-stream CLEAR; the JDK decoder must resync
+    val w = 200; val h = 160 // 32000 px
+    val np = 256
+    val pal = Array.tabulate(3 * np)(i => (i * 37 + 5) % 256)
+    val idx = Array.tabulate(w * h)(i => idxPattern(w, h, np)(i % w, i / w))
+    val gif = Containers.synthGif(w, h, pal, idx)
+    // also require the internal decoder to agree with the JDK decoder
+    val mine = Containers.gifPixelBytes(gif)
+    val ref = readImg(gif)
+    assert(mine != null && ref != null)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      assert(rgbOf(ref, x, y) ==
+        (mine(d) & 0xFF, mine(d + 1) & 0xFF, mine(d + 2) & 0xFF),
+        s"pixel ($x,$y)")
+    }
+  }
+
+  test("png: JDK-encoded PNG decodes; synthPng is JDK-readable") {
+    val w = 40; val h = 30
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 7 + y) % 256 << 16) | ((y * 11 + x) % 256 << 8) |
+        (x * y % 256))
+    val png = writeBytes(img, "png")
+    val px = Containers.pngPixelBytes(png)
+    assert(px != null, "decoder rejected a standard-encoder PNG")
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      assert(rgbOf(img, x, y) ==
+        (px(d) & 0xFF, px(d + 1) & 0xFF, px(d + 2) & 0xFF), s"pixel ($x,$y)")
+    }
+    // reverse: all five filter types through a standard decoder
+    val samples = Array.tabulate(w * h * 3)(i => ((i * 31 + 7) % 256).toByte)
+    val mine = Containers.synthPng(w, h, samples, row => row % 5)
+    val ref = readImg(mine)
+    assert(ref != null)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      assert(rgbOf(ref, x, y) ==
+        (samples(d) & 0xFF, samples(d + 1) & 0xFF, samples(d + 2) & 0xFF),
+        s"pixel ($x,$y)")
+    }
+  }
+
+  test("bmp: JDK-encoded BMP decodes; synthBmp24 is JDK-readable") {
+    val w = 37; val h = 23 // odd width: row padding in play
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 5 + y * 3) % 256 << 16) |
+        ((x + y * 7) % 256 << 8) | ((x * 11 + y) % 256))
+    val bmp = writeBytes(img, "bmp")
+    val px = Containers.bmpPixelBytes(bmp) // B,G,R order
+    assert(px != null, "decoder rejected a standard-encoder BMP")
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      val (r, g, b) = rgbOf(img, x, y)
+      assert((px(d + 2) & 0xFF, px(d + 1) & 0xFF, px(d) & 0xFF) == (r, g, b),
+        s"pixel ($x,$y)")
+    }
+    val pixels = Array.tabulate(w * h * 3)(i => ((i * 13 + 5) % 256).toByte)
+    val ref = readImg(Containers.synthBmp24(w, h, pixels)) // B,G,R input
+    assert(ref != null)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      assert(rgbOf(ref, x, y) ==
+        (pixels(d + 2) & 0xFF, pixels(d + 1) & 0xFF, pixels(d) & 0xFF),
+        s"pixel ($x,$y)")
+    }
+  }
+}

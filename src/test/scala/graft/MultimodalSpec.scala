@@ -429,8 +429,36 @@ class MultimodalSpec extends SparkSpec {
     val lt = Containers.synthTar(Seq(longPath -> Array[Byte](1, 2, 3)))
     val le = Containers.tarEntries(lt)
     assert(le != null && le.head.name == longPath && le.head.size == 3)
-    // PAX/GNU extension records are not interpreted — misparsing their
-    // path overrides would silently corrupt names, so degrade instead
+  }
+
+  test("tar: PAX and GNU-longname layouts recover full paths") {
+    // a >100-byte dotted-directory path: the embedded ustar name MUST
+    // truncate, so only honoring the extension records recovers it
+    val dir = "v1.2/" + "d" * 92 + "/"
+    val files = Seq(
+      dir + "000000.txt" -> Array.tabulate(20)(i => (i * 7).toByte),
+      dir + "000000.cls" -> Array[Byte](42),
+      "short.bin" -> Array.tabulate(5)(i => (i * 3).toByte))
+    for (style <- Seq("pax", "gnu")) {
+      val tar = Containers.synthTar(files, style)
+      val entries = Containers.tarEntries(tar)
+      assert(entries != null && entries.length == 3, style)
+      // extension members (g/x/L) are consumed, never emitted
+      assert(entries.forall(_.typeflag == '0'), style)
+      for (((name, data), e) <- files.zip(entries)) {
+        assert(e.name == name, s"$style: ${e.name}")
+        val got = java.util.Arrays.copyOfRange(tar, e.offset.toInt,
+          (e.offset + e.size).toInt)
+        assert(got.toSeq == data.toSeq, s"$style: $name")
+      }
+    }
+    // each 'x' override applies to exactly ONE file (and the leading
+    // 'g' global header's comment record is parsed and skipped)
+    val paxTar = Containers.synthTar(Seq(
+      "a.txt" -> Array[Byte](1), "b.txt" -> Array[Byte](2)), "pax")
+    val pe = Containers.tarEntries(paxTar)
+    assert(pe.map(_.name).toSeq == Seq("a.txt", "b.txt"))
+    // malformed PAX records (no digit length prefix) = corrupt shard
     def retype(t: Array[Byte], flag: Byte): Array[Byte] = {
       val c = t.clone(); c(156) = flag
       java.util.Arrays.fill(c, 148, 156, ' '.toByte)
@@ -440,8 +468,27 @@ class MultimodalSpec extends SparkSpec {
       c(154) = 0; c(155) = ' '.toByte
       c
     }
-    assert(Containers.tarEntries(retype(tar, 'x')) == null) // PAX header
-    assert(Containers.tarEntries(retype(tar, 'L')) == null) // GNU longname
+    val plain = Containers.synthTar(Seq(
+      "junk.bin" -> Array.tabulate(20)(i => (i * 7 + 65).toByte)))
+    assert(Containers.tarEntries(retype(plain, 'x')) == null)
+  }
+
+  test("warc: per-record gzip members expand like Common Crawl shards") {
+    val recs = Seq(
+      ("response", "https://ex.test/1", Array.tabulate(30)(i => (i * 5).toByte)),
+      ("request", "https://ex.test/1", "GET / HTTP/1.1".getBytes.map(identity)),
+      ("metadata", "", Array[Byte]('x', '\r', '\n', 'y')))
+    val plain = Containers.synthWarc(recs)
+    val gz = Containers.synthWarc(recs, gzipPerRecord = true)
+    assert((gz(0) & 0xFF) == 0x1f && (gz(1) & 0xFF) == 0x8b)
+    // multi-member gunzip reproduces the plain bytes exactly
+    assert(Containers.warcInflate(gz).toSeq == plain.toSeq)
+    // identity on plain input; null on a truncated member
+    assert(Containers.warcInflate(plain) eq plain)
+    assert(Containers.warcInflate(gz.take(gz.length - 4)) == null)
+    val got = Containers.warcRecords(Containers.warcInflate(gz))
+    assert(got != null && got.length == 3 &&
+      got.map(_.warcType).toSeq == Seq("response", "request", "metadata"))
   }
 
   test("warc: record walk round-trip, case-insensitive headers, degrades") {
