@@ -675,6 +675,137 @@ object Containers {
     tags
   } catch { case _: IndexOutOfBoundsException => null }
 
+  /** PackBits (Apple RLE, TIFF Compression=32773) decode of exactly
+    * `expected` bytes from `d[off, off+len)`: n ≥ 0 → n+1 literal
+    * bytes, n in -127..-1 → the next byte repeated 1-n times, -128 →
+    * no-op. Null on any over/under-run.
+    */
+  private def packbitsDecode(d: Array[Byte], off: Int, len: Int,
+      expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var outN = 0; var p = off; val end = off + len
+    while (outN < expected && p < end) {
+      val n = d(p); p += 1
+      if (n >= 0) {
+        if (p + n + 1 > end || outN + n + 1 > expected) return null
+        var i = 0
+        while (i <= n) { out(outN) = d(p); p += 1; outN += 1; i += 1 }
+      } else if (n != -128) {
+        if (p >= end) return null
+        val cnt = 1 - n
+        if (outN + cnt > expected) return null
+        val v = d(p); p += 1
+        var i = 0
+        while (i < cnt) { out(outN) = v; outN += 1; i += 1 }
+      }
+    }
+    if (outN != expected) return null
+    out
+  }
+
+  /** Zlib (TIFF Compression=8 "Adobe deflate" / 32946) decode of
+    * exactly `expected` bytes — same zero-progress/overrun hardening
+    * as the PNG IDAT path. Null on corruption.
+    */
+  private def zlibDecode(d: Array[Byte], off: Int, len: Int,
+      expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(d, off, len)
+      var got = 0
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(out, got, expected - got)
+        if (n == 0 && !inf.finished()) return null
+        got += n
+      }
+      if (got < expected) return null
+      out
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
+  }
+
+  /** TIFF-flavor LZW (Compression=5) decode of exactly `expected`
+    * bytes: MSB-first bit packing, 8-bit symbols, Clear=256 / EOI=257,
+    * 9→12-bit codes with the spec's "EARLY change" (the decoder widens
+    * when the table reaches 2ⁿ-1 entries — one code sooner than the
+    * GIF/giflib convention; the off-by-one is enshrined in the TIFF6
+    * spec and what libtiff emits). Null on truncation or a malformed
+    * code.
+    */
+  private def lzwDecodeTiff(d: Array[Byte], off: Int, len: Int,
+      expected: Int): Array[Byte] = {
+    val clear = 256; val eoi = 257
+    val maxCodes = 4096
+    val prefix = new Array[Int](maxCodes)
+    val suffix = new Array[Int](maxCodes)
+    var dictSize = 258
+    var codeSize = 9
+    val out = new Array[Byte](expected)
+    var outN = 0
+    var bitPos = 0L
+    val totalBits = len * 8L
+    def read(): Int = {
+      if (bitPos + codeSize > totalBits) return -1
+      var v = 0
+      var i = 0
+      while (i < codeSize) {
+        val bp = bitPos + i
+        v = (v << 1) | ((d(off + (bp >> 3).toInt) >> (7 - (bp & 7).toInt)) & 1)
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    val stack = new Array[Int](maxCodes + 1)
+    var prev = -1
+    var prevFirst = 0
+    while (outN < expected) {
+      val code = read()
+      if (code < 0) return null
+      if (code == clear) { dictSize = 258; codeSize = 9; prev = -1 }
+      else if (code == eoi) return null // EOI before the strip filled
+      else {
+        var sp = 0
+        var cur = code
+        if (code >= dictSize) {
+          if (code != dictSize || prev < 0) return null
+          stack(sp) = prevFirst; sp += 1 // KwKwK
+          cur = prev
+        }
+        while (cur >= 258) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+        if (cur >= 256) return null
+        stack(sp) = cur; sp += 1
+        val first = cur
+        while (sp > 0) {
+          sp -= 1
+          if (outN >= expected) return null
+          out(outN) = stack(sp).toByte; outN += 1
+        }
+        if (prev >= 0 && dictSize < maxCodes) {
+          prefix(dictSize) = prev; suffix(dictSize) = first
+          dictSize += 1
+          // EARLY change: one code sooner than [[lzwDecode]]'s GIF rule
+          if (dictSize == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+        }
+        prev = code
+        prevFirst = first
+      }
+    }
+    out
+  }
+
+  /** Decode a TIFF (II or MM byte order, chunky planar config, any
+    * strip layout) into logical top-down 3-bytes-per-pixel rows
+    * (8-bit gray replicated ×3, or 8-bit RGB). Compression: none (1),
+    * LZW (5, early-change convention), zlib Deflate (8/32946), or
+    * PackBits (32773); horizontal-differencing Predictor (tag 317 =
+    * 2) is reversed after decompression — together the profiles real
+    * scanned-document corpora ship in. Null for planar/other-depth
+    * variants or any malformed structure — degrade-don't-throw like
+    * every decoder here.
+    */
   def tiffPixelBytes(b: Array[Byte]): Array[Byte] = try {
     val tags = tiffTags(b)
     if (tags == null) return null
@@ -682,7 +813,11 @@ object Containers {
       tags.get(tag).map(_.head).getOrElse(default)
     val w = one(256, -1).toInt; val h = one(257, -1).toInt
     if (w <= 0 || h <= 0 || w.toLong * h * 3 > (1L << 30)) return null
-    if (one(259, 1) != 1) return null            // Compression: none
+    val comp = one(259, 1)
+    if (comp != 1L && comp != 5L && comp != 8L && comp != 32946L &&
+      comp != 32773L) return null
+    val predictor = one(317, 1)
+    if (predictor != 1L && predictor != 2L) return null
     val spp = one(277, 1).toInt
     if (spp != 1 && spp != 3) return null
     val photo = one(262, if (spp == 3) 2L else 1L)
@@ -693,16 +828,45 @@ object Containers {
     val offs = tags.getOrElse(273, return null)  // StripOffsets
     val cnts = tags.getOrElse(279, return null)  // StripByteCounts
     if (offs.length != cnts.length) return null
+    val rps0 = one(278, h.toLong)
+    if (rps0 <= 0) return null
+    val rps = math.min(rps0, h.toLong).toInt
+    val nStrips = (h + rps - 1) / rps
+    if (offs.length != nStrips) return null
+    val rowBytes = w * spp
     val total = w.toLong * h * spp
-    if (cnts.sum != total) return null
     val raw = new Array[Byte](total.toInt)
     var p = 0
     var s = 0
-    while (s < offs.length) {
+    while (s < nStrips) {
+      val rows = math.min(rps, h - s * rps)
+      val expect = rows * rowBytes
       val o = offs(s); val c = cnts(s)
       if (o < 0 || c < 0 || c > b.length - o) return null
-      System.arraycopy(b, o.toInt, raw, p, c.toInt)
-      p += c.toInt
+      val chunk: Array[Byte] = comp match {
+        case 1L =>
+          if (c != expect) return null
+          java.util.Arrays.copyOfRange(b, o.toInt, o.toInt + expect)
+        case 5L => lzwDecodeTiff(b, o.toInt, c.toInt, expect)
+        case 8L | 32946L => zlibDecode(b, o.toInt, c.toInt, expect)
+        case _ => packbitsDecode(b, o.toInt, c.toInt, expect)
+      }
+      if (chunk == null) return null
+      if (predictor == 2L) {
+        // horizontal differencing: sample x adds sample x-spp, per row
+        var r = 0
+        while (r < rows) {
+          var x = spp
+          while (x < rowBytes) {
+            chunk(r * rowBytes + x) =
+              (chunk(r * rowBytes + x) + chunk(r * rowBytes + x - spp)).toByte
+            x += 1
+          }
+          r += 1
+        }
+      }
+      System.arraycopy(chunk, 0, raw, p, expect)
+      p += expect
       s += 1
     }
     if (spp == 3) raw
@@ -718,20 +882,142 @@ object Containers {
     }
   } catch { case _: IndexOutOfBoundsException => null }
 
-  /** Valid uncompressed TIFF from raw samples (`w·h·spp` bytes, spp 1
-    * or 3) in the chosen byte order, with the strip layout REAL
-    * (`rowsPerStrip` row bands, per-strip offsets/byte counts,
-    * out-of-line arrays where values exceed the 4-byte inline field) —
-    * the exact write-side counterpart of [[tiffPixelBytes]].
+  /** PackBits encode, restarting at each `rowBytes` boundary (the
+    * TIFF spec's per-scanline convention) — runs ≥ 2 as repeat
+    * packets, literals chunked to 128. Exact inverse of
+    * [[packbitsDecode]].
+    */
+  private def packbitsEncode(data: Array[Byte], rowBytes: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var rowStart = 0
+    while (rowStart < data.length) {
+      val rowEnd = math.min(rowStart + rowBytes, data.length)
+      var p = rowStart
+      while (p < rowEnd) {
+        // length of the run starting at p (capped at 128)
+        var run = 1
+        while (p + run < rowEnd && run < 128 && data(p + run) == data(p)) run += 1
+        if (run >= 2) {
+          out.write(1 - run)
+          out.write(data(p))
+          p += run
+        } else {
+          // literal stretch until the next run of ≥ 2 (or 128 bytes)
+          var lit = 1
+          while (p + lit < rowEnd && lit < 128 &&
+            !(p + lit + 1 < rowEnd && data(p + lit) == data(p + lit + 1))) lit += 1
+          out.write(lit - 1)
+          out.write(data, p, lit)
+          p += lit
+        }
+      }
+      rowStart = rowEnd
+    }
+    out.toByteArray
+  }
+
+  /** TIFF-flavor LZW encode — the exact inverse of [[lzwDecodeTiff]]:
+    * MSB-first packing, a leading Clear (the spec requires each strip
+    * to start with one), the EARLY code-width change in lockstep with
+    * the decoder's, a Clear + reset before the table overflows, and a
+    * trailing EOI.
+    */
+  private def lzwEncodeTiff(data: Array[Byte]): Array[Byte] = {
+    val clear = 256; val eoi = 257
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeSize = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << codeSize) | code; bitCnt += codeSize
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xFF).toInt); bitCnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var dictSize = 258
+    put(clear)
+    var prev = -1
+    for (byte <- data) {
+      val s = byte & 0xFF
+      if (prev < 0) prev = s
+      else dict.get((prev, s)) match {
+        case Some(c) => prev = c
+        case None =>
+          put(prev)
+          dict((prev, s)) = dictSize
+          dictSize += 1
+          // one entry PAST the decoder's early-change point — both
+          // then widen between the same two emitted codes
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          if (dictSize == 4094) { // clear before the 12-bit table fills
+            put(clear)
+            dict.clear(); dictSize = 258; codeSize = 9
+          }
+          prev = s
+      }
+    }
+    if (prev >= 0) put(prev)
+    put(eoi)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** Valid TIFF from raw samples (`w·h·spp` bytes, spp 1 or 3) in the
+    * chosen byte order, with the strip layout REAL (`rowsPerStrip`
+    * row bands, per-strip offsets/byte counts, out-of-line arrays
+    * where values exceed the 4-byte inline field) and the strip data
+    * written under `compression` 1 (none), 5 (LZW, early-change),
+    * 8 (zlib Deflate), or 32773 (PackBits), optionally horizontally
+    * differenced (`predictor` 2, tag 317) first — the exact
+    * write-side counterpart of [[tiffPixelBytes]].
     */
   def synthTiff(width: Int, height: Int, spp: Int, samples: Array[Byte],
-      bigEndian: Boolean = false, rowsPerStrip: Int = 0): Array[Byte] = {
+      bigEndian: Boolean = false, rowsPerStrip: Int = 0,
+      compression: Int = 1, predictor: Int = 1): Array[Byte] = {
     require(spp == 1 || spp == 3, s"spp must be 1 or 3: $spp")
     require(samples.length == width * height * spp,
       s"need $width*$height*$spp sample bytes, got ${samples.length}")
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32773, s"compression must be 1|5|8|32773: $compression")
+    require(predictor == 1 || predictor == 2,
+      s"predictor must be 1 or 2: $predictor")
     val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
     val nStrips = (height + rps - 1) / rps
-    val nEntries = 9
+    val rowBytes = width * spp
+    val stripRows = Array.tabulate(nStrips)(s =>
+      math.min(rps, height - s * rps))
+    // per-strip payloads: difference (predictor 2), then compress
+    val stripData = Array.tabulate(nStrips) { s =>
+      val rows = stripRows(s)
+      val plain = java.util.Arrays.copyOfRange(samples,
+        (s * rps) * rowBytes, (s * rps + rows) * rowBytes)
+      if (predictor == 2) {
+        var r = 0
+        while (r < rows) {
+          var x = rowBytes - 1
+          while (x >= spp) {
+            plain(r * rowBytes + x) =
+              (plain(r * rowBytes + x) - plain(r * rowBytes + x - spp)).toByte
+            x -= 1
+          }
+          r += 1
+        }
+      }
+      compression match {
+        case 1 => plain
+        case 5 => lzwEncodeTiff(plain)
+        case 32773 => packbitsEncode(plain, rowBytes)
+        case _ =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(plain); d.finish()
+          val z = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!d.finished()) z.write(tmp, 0, d.deflate(tmp))
+          d.end()
+          z.toByteArray
+      }
+    }
+    val nEntries = if (predictor == 2) 10 else 9
     val ifdSize = 2 + nEntries * 12 + 4
     val ifdOff = 8
     var extra = ifdOff + ifdSize
@@ -742,11 +1028,9 @@ object Containers {
     val cntsOff = extra
     if (nStrips > 1) extra += 4 * nStrips
     val dataOff = extra
-    val stripRows = Array.tabulate(nStrips)(s =>
-      math.min(rps, height - s * rps))
-    val stripBytes = stripRows.map(_ * width * spp)
+    val stripBytes = stripData.map(_.length)
     val stripOffs = stripBytes.scanLeft(dataOff)(_ + _).dropRight(1)
-    val buf = java.nio.ByteBuffer.allocate(dataOff + samples.length)
+    val buf = java.nio.ByteBuffer.allocate(dataOff + stripBytes.sum)
       .order(if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
              else java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put((if (bigEndian) "MM" else "II").getBytes)
@@ -760,21 +1044,22 @@ object Containers {
     entry(256, 4, 1, width)
     entry(257, 4, 1, height)
     if (spp == 1) entry(258, 3, 1, 8) else entry(258, 3, 3, bitsOff)
-    entry(259, 3, 1, 1)                       // Compression: none
+    entry(259, 3, 1, compression)
     entry(262, 3, 1, if (spp == 3) 2 else 1)  // Photometric
     if (nStrips == 1) entry(273, 4, 1, dataOff)
     else entry(273, 4, nStrips, offsOff)
     entry(277, 3, 1, spp)
     entry(278, 4, 1, rps)
-    if (nStrips == 1) entry(279, 4, 1, samples.length)
+    if (nStrips == 1) entry(279, 4, 1, stripBytes(0))
     else entry(279, 4, nStrips, cntsOff)
+    if (predictor == 2) entry(317, 3, 1, 2)
     buf.putInt(0)                             // no next IFD
     if (spp == 3) { buf.putShort(8); buf.putShort(8); buf.putShort(8) }
     if (nStrips > 1) {
       stripOffs.foreach(buf.putInt)
       stripBytes.foreach(buf.putInt)
     }
-    buf.put(samples)
+    stripData.foreach(buf.put)
     buf.array()
   }
 

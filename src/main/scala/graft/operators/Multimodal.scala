@@ -259,9 +259,13 @@ object Multimodal {
   /** Deterministic TIFF corpus: image `id` is `8+id%9 × 8+id%7`,
     * grayscale (spp 1) for even ids and RGB (spp 3) for odd, sample
     * byte `i` = `(id*31 + i*7) % 256`, byte order cycling little/big
-    * endian (`id%3 == 0` → MM) and a `3 + id%5`-row strip layout —
-    * decoding must walk real IFDs in both byte orders and reassemble
-    * multi-strip data to reproduce the oracle's arithmetic.
+    * endian (`id%3 == 0` → MM), a `3 + id%5`-row strip layout,
+    * compression cycling none / LZW (early-change) / zlib Deflate /
+    * PackBits (`id%4`), and the horizontal-differencing predictor on
+    * the compressed `id%8 == 1` slice — decoding must walk real IFDs
+    * in both byte orders, run three real decompressors, undo the
+    * predictor, and reassemble multi-strip data to reproduce the
+    * oracle's arithmetic (compression is transparent to the sums).
     */
   def demoTiffCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -271,8 +275,13 @@ object Multimodal {
       val spp = if (id % 2 == 0) 1 else 3
       val samples =
         Array.tabulate(w * h * spp)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+      val comp = (id % 4) match {
+        case 0 => 1; case 1 => 5; case 2 => 8; case _ => 32773
+      }
+      val pred = if (id % 8 == 1 && comp != 1) 2 else 1
       MediaFile(id, "image", Containers.synthTiff(w, h, spp, samples,
-        bigEndian = id % 3 == 0, rowsPerStrip = (3 + id % 5).toInt))
+        bigEndian = id % 3 == 0, rowsPerStrip = (3 + id % 5).toInt,
+        compression = comp, predictor = pred))
     })
   }
 

@@ -131,6 +131,64 @@ class InteropSpec extends AnyFunSuite {
     }
   }
 
+  /** ImageIO TIFF write with an explicit compression type. */
+  private def writeTiff(img: BufferedImage, compression: String): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType(compression)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    baos.toByteArray
+  }
+
+  test("tiff: JDK-encoded LZW/Deflate/PackBits strips decode") {
+    val w = 100; val h = 80 // large enough to cross LZW width bumps
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (idxPattern(w, h, 256)(x, y) << 16) |
+        ((x * 3 + y * 5) % 256 << 8) | ((x + y * y) % 256))
+    val supported = {
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val types = writer.getDefaultWriteParam.getCompressionTypes.toSeq
+      writer.dispose()
+      Seq("LZW", "Deflate", "ZLib", "PackBits").filter(types.contains)
+    }
+    assert(supported.contains("LZW"), s"JDK TIFF writer types: $supported")
+    for (ctype <- supported) {
+      val tiff = writeTiff(img, ctype)
+      val px = Containers.tiffPixelBytes(tiff)
+      assert(px != null, s"decoder rejected a JDK $ctype TIFF")
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = (y * w + x) * 3
+        assert(rgbOf(img, x, y) ==
+          (px(d) & 0xFF, px(d + 1) & 0xFF, px(d + 2) & 0xFF),
+          s"$ctype pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("tiff: synthTiff compressed+predictor output is JDK-readable") {
+    val w = 90; val h = 60
+    val samples = Array.tabulate(w * h * 3)(i =>
+      (idxPattern(w, h, 256)((i / 3) % w, (i / 3) / w) + i % 3).toByte)
+    for ((comp, pred) <- Seq((5, 1), (5, 2), (8, 1), (8, 2), (32773, 1))) {
+      val tiff = Containers.synthTiff(w, h, 3, samples,
+        rowsPerStrip = 17, compression = comp, predictor = pred)
+      val ref = readImg(tiff)
+      assert(ref != null, s"JDK decoder rejected synthTiff comp=$comp pred=$pred")
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = (y * w + x) * 3
+        assert(rgbOf(ref, x, y) ==
+          (samples(d) & 0xFF, samples(d + 1) & 0xFF, samples(d + 2) & 0xFF),
+          s"comp=$comp pred=$pred pixel ($x,$y)")
+      }
+    }
+  }
+
   test("bmp: JDK-encoded BMP decodes; synthBmp24 is JDK-readable") {
     val w = 37; val h = 23 // odd width: row padding in play
     val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)

@@ -134,9 +134,33 @@ class MultimodalSpec extends SparkSpec {
     val full = Containers.synthTiff(6, 5, 3, rgb)
     assert(Containers.tiffPixelBytes(full.take(full.length - 5)) == null)
     // Compression tag (259) is the 4th entry: value at 8+2+3*12+8
-    val lzw = full.clone()
-    lzw(8 + 2 + 3 * 12 + 8) = 5 // LZW compression code
-    assert(Containers.tiffPixelBytes(lzw) == null)
+    val jpegInTiff = full.clone()
+    jpegInTiff(8 + 2 + 3 * 12 + 8) = 7 // JPEG-in-TIFF: unsupported
+    assert(Containers.tiffPixelBytes(jpegInTiff) == null)
+  }
+
+  test("tiff: LZW/Deflate/PackBits strips round-trip, predictor undone") {
+    // noisy data (exercises LZW width growth + literal PackBits
+    // packets) and runs (exercises repeat packets)
+    val w = 40; val h = 30
+    val noisy = Array.tabulate(w * h * 3)(i => ((i * 31 + i * i % 97) % 256).toByte)
+    val runs = Array.tabulate(w * h * 3)(i => ((i / 64) % 256).toByte)
+    for (comp <- Seq(5, 8, 32773); pred <- Seq(1, 2);
+         data <- Seq(noisy, runs); be <- Seq(false, true)) {
+      val t = Containers.synthTiff(w, h, 3, data, bigEndian = be,
+        rowsPerStrip = 7, compression = comp, predictor = pred)
+      assert(Containers.tiffPixelBytes(t).toSeq == data.toSeq,
+        s"comp=$comp pred=$pred be=$be noisy=${data eq noisy}")
+    }
+    // grayscale + predictor over a single strip
+    val gray = Array.tabulate(w * h)(i => ((i * 7) % 256).toByte)
+    val gt = Containers.synthTiff(w, h, 1, gray, compression = 8, predictor = 2)
+    val gd = Containers.tiffPixelBytes(gt)
+    for (p <- 0 until w * h; c <- 0 until 3) assert(gd(3 * p + c) == gray(p))
+    // corrupt compressed strip degrades to null (flip a mid-data byte)
+    val z = Containers.synthTiff(w, h, 3, noisy, compression = 8)
+    val zb = z.clone(); zb(z.length - 40) = (zb(z.length - 40) ^ 0x55).toByte
+    assert(Containers.tiffPixelBytes(zb) == null)
   }
 
   test("gif: LZW round-trips sequential, interlaced, repetitive, and large streams") {
