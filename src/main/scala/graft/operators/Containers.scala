@@ -1769,9 +1769,10 @@ object Containers {
   // entropy layer is canonical Huffman (ITU T.81 §F.2), the transform
   // is an 8×8 IDCT, both implementable in plain JVM arithmetic.
   // Supported profile: 8-bit baseline, 1 component (grayscale) or
-  // 3 components (YCbCr) at 1×1 sampling (no chroma subsampling),
-  // optional restart intervals. Progressive (SOF2), arithmetic coding,
-  // and subsampled chroma degrade to null.
+  // 3 components (YCbCr) with sampling factors 1–2 per axis — 4:4:4,
+  // 4:2:2, 4:4:0, and the 4:2:0 virtually all real color JPEGs use —
+  // with optional restart intervals. Progressive (SOF2) and
+  // arithmetic coding degrade to null.
 
   /** Zig-zag index → natural (row-major) index, ITU T.81 Figure A.6. */
   private val ZigZag: Array[Int] = Array(
@@ -1816,6 +1817,7 @@ object Containers {
     var w = 0; var h = 0
     var nComp = 0
     val compQ = new Array[Int](3)                        // quant table per comp
+    val compH = new Array[Int](3); val compV = new Array[Int](3)
     val compDc = new Array[Int](3); val compAc = new Array[Int](3)
     var restartInterval = 0
     var off = 2
@@ -1874,8 +1876,17 @@ object Containers {
             if (w.toLong * h * 3 > (1L << 30)) return null // forged dims
             for (c <- 0 until nComp) {
               val hv = u8(b, ds + 6 + 3 * c + 1)
-              if (hv != 0x11) return null          // 1×1 sampling only
+              compH(c) = hv >> 4; compV(c) = hv & 15
+              // 1 or 2 in each axis covers 4:4:4 / 4:2:2 / 4:4:0 /
+              // 4:2:0 — every profile real JPEG corpora use
+              if (compH(c) < 1 || compH(c) > 2 ||
+                compV(c) < 1 || compV(c) > 2) return null
               compQ(c) = u8(b, ds + 6 + 3 * c + 2)
+            }
+            if (nComp == 1) {
+              // a single-component scan is non-interleaved: its MCU is
+              // ONE block regardless of declared sampling factors
+              compH(0) = 1; compV(0) = 1
             }
           case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
               0xCB | 0xCD | 0xCE | 0xCF =>
@@ -1933,21 +1944,31 @@ object Containers {
       hVals(key)(hValPtr(key)(l) + code - hMin(key)(l))
     }
 
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    // MCU geometry: Hmax×Vmax 8×8 blocks of the max-sampled component;
+    // component c contributes compH(c)×compV(c) blocks per MCU into a
+    // plane of mcuCols·8·compH(c) × mcuRows·8·compV(c) samples
+    val hMaxS = (0 until nComp).map(compH).max
+    val vMaxS = (0 until nComp).map(compV).max
+    val mcuCols = (w + 8 * hMaxS - 1) / (8 * hMaxS)
+    val mcuRows = (h + 8 * vMaxS - 1) / (8 * vMaxS)
+    val planeW = Array.tabulate(nComp)(c => mcuCols * 8 * compH(c))
+    val planeH = Array.tabulate(nComp)(c => mcuRows * 8 * compV(c))
     // the forged-dims guard above caps OUTPUT bytes, but the Int
     // coefficient planes amplify 4 bytes/sample × nComp over the
     // block-padded grid — cap the ACTUAL allocation too, or a
     // 200-byte blob with a huge SOF0 OOMs before entropy decode
     // would ever reject it
-    if (bw.toLong * 8 * bh * 8 * nComp * 4 > (1L << 30)) return null
-    val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+    var planeBytes = 0L
+    for (c <- 0 until nComp) planeBytes += planeW(c).toLong * planeH(c) * 4
+    if (planeBytes > (1L << 30)) return null
+    val planes = Array.tabulate(nComp)(c => new Array[Int](planeW(c) * planeH(c)))
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     var mcu = 0
     var my = 0
-    while (my < bh) {
+    while (my < mcuRows) {
       var mx = 0
-      while (mx < bw) {
+      while (mx < mcuCols) {
         // restart-marker resync: byte-align, consume RSTn, reset DC
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           bitCnt = 0
@@ -1960,50 +1981,60 @@ object Containers {
         var c = 0
         while (c < nComp) {
           val qtab = quant(compQ(c))
-          java.util.Arrays.fill(coef, 0)
-          // DC: category + extend, predicted from the previous block
-          val s = decodeHuff((0 << 2) | compDc(c))
-          if (s > 11) throw Corrupt
-          pred(c) += extend(receive(s), s)
-          coef(0) = pred(c) * qtab(0)
-          // AC: (run, size) pairs with EOB / ZRL
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = decodeHuff((1 << 2) | compAc(c))
-            val r = rs >> 4; val sz = rs & 15
-            if (sz == 0) {
-              if (r == 15) k += 16 else eob = true  // ZRL / EOB
-            } else {
-              k += r
-              if (k > 63) throw Corrupt
-              coef(ZigZag(k)) = extend(receive(sz), sz) * qtab(k)
-              k += 1
-            }
-          }
-          // 8×8 IDCT + level shift, clamped
-          val plane = planes(c)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var sum = 0.0
-              var v = 0
-              while (v < 8) {
-                var u = 0
-                while (u < 8) {
-                  val f = coef(v * 8 + u)
-                  if (f != 0) sum += Cu(u) * Cu(v) * f * CosT(x)(u) * CosT(y)(v)
-                  u += 1
+          var bv = 0
+          while (bv < compV(c)) {
+            var bhh = 0
+            while (bhh < compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              // DC: category + extend, predicted from the previous block
+              val s = decodeHuff((0 << 2) | compDc(c))
+              if (s > 11) throw Corrupt
+              pred(c) += extend(receive(s), s)
+              coef(0) = pred(c) * qtab(0)
+              // AC: (run, size) pairs with EOB / ZRL
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = decodeHuff((1 << 2) | compAc(c))
+                val r = rs >> 4; val sz = rs & 15
+                if (sz == 0) {
+                  if (r == 15) k += 16 else eob = true  // ZRL / EOB
+                } else {
+                  k += r
+                  if (k > 63) throw Corrupt
+                  coef(ZigZag(k)) = extend(receive(sz), sz) * qtab(k)
+                  k += 1
                 }
-                v += 1
               }
-              val pix = math.round(sum / 4 + 128).toInt
-              plane((my * 8 + y) * (bw * 8) + mx * 8 + x) =
-                if (pix < 0) 0 else if (pix > 255) 255 else pix
-              x += 1
+              // 8×8 IDCT + level shift, clamped
+              val plane = planes(c)
+              val bx0 = (mx * compH(c) + bhh) * 8
+              val by0 = (my * compV(c) + bv) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var sum = 0.0
+                  var v = 0
+                  while (v < 8) {
+                    var u = 0
+                    while (u < 8) {
+                      val f = coef(v * 8 + u)
+                      if (f != 0) sum += Cu(u) * Cu(v) * f * CosT(x)(u) * CosT(y)(v)
+                      u += 1
+                    }
+                    v += 1
+                  }
+                  val pix = math.round(sum / 4 + 128).toInt
+                  plane((by0 + y) * planeW(c) + bx0 + x) =
+                    if (pix < 0) 0 else if (pix > 255) 255 else pix
+                  x += 1
+                }
+                y += 1
+              }
+              bhh += 1
             }
-            y += 1
+            bv += 1
           }
           c += 1
         }
@@ -2013,21 +2044,27 @@ object Containers {
       my += 1
     }
 
-    // ---- crop + color-convert to 3-byte pixels ----------------------
+    // ---- crop + upsample + color-convert to 3-byte pixels -----------
+    // chroma upsampling is nearest-neighbor (floor): sample (x,y) of
+    // component c comes from (x·h_c div Hmax, y·v_c div Vmax) — exact
+    // for the block-constant oracle corpora; a production swap-in of
+    // libjpeg's "fancy" triangle filter touches only this loop
     val out = new Array[Byte](w * h * 3)
-    val stride = bw * 8
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val d = (y * w + x) * 3
         if (nComp == 1) {
-          val g = planes(0)(y * stride + x).toByte
+          val g = planes(0)(y * planeW(0) + x).toByte
           out(d) = g; out(d + 1) = g; out(d + 2) = g
         } else {
-          val yy = planes(0)(y * stride + x)
-          val cb = planes(1)(y * stride + x) - 128
-          val cr = planes(2)(y * stride + x) - 128
+          val yy = planes(0)(
+            (y * compV(0) / vMaxS) * planeW(0) + x * compH(0) / hMaxS)
+          val cb = planes(1)(
+            (y * compV(1) / vMaxS) * planeW(1) + x * compH(1) / hMaxS) - 128
+          val cr = planes(2)(
+            (y * compV(2) / vMaxS) * planeW(2) + x * compH(2) / hMaxS) - 128
           def cl(v: Double): Byte = {
             val r = math.round(v).toInt
             (if (r < 0) 0 else if (r > 255) 255 else r).toByte
@@ -2060,11 +2097,27 @@ object Containers {
     */
   private def synthJpegCoefs(width: Int, height: Int, nComp: Int,
       quantTable: Array[Int], coefs: (Int, Int, Int) => Array[Int],
-      restartInterval: Int): Array[Byte] = {
+      restartInterval: Int,
+      sampling: Seq[(Int, Int)] = Seq.fill(3)((1, 1))): Array[Byte] = {
     require(nComp == 1 || nComp == 3, s"1 or 3 components: $nComp")
     require(quantTable.length == 64, "quant table must have 64 entries")
     require(quantTable.forall(q => q >= 1 && q <= 255), "quant entries 1..255")
-    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    require(sampling.length >= nComp &&
+      sampling.take(nComp).forall { case (hc, vc) =>
+        hc >= 1 && hc <= 2 && vc >= 1 && vc <= 2 },
+      s"sampling factors must be 1 or 2 per axis: $sampling")
+    val hMax = sampling.take(nComp).map(_._1).max
+    val vMax = sampling.take(nComp).map(_._2).max
+    val mcuCols = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcuRows = (height + 8 * vMax - 1) / (8 * vMax)
+    // blocks of one MCU in scan order; component c's block grid spans
+    // the PADDED mcuCols·h_c × mcuRows·v_c area (the decoder crops)
+    def mcuBlocks(mx: Int, my: Int): Seq[(Int, Int, Int)] =
+      for {
+        comp <- 0 until nComp
+        bv <- 0 until sampling(comp)._2
+        bhh <- 0 until sampling(comp)._1
+      } yield (comp, mx * sampling(comp)._1 + bhh, my * sampling(comp)._2 + bv)
 
     def category(v: Int): Int =
       if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
@@ -2073,10 +2126,12 @@ object Containers {
     val dcSyms = scala.collection.mutable.SortedSet.empty[Int]
     val acSyms = scala.collection.mutable.SortedSet.empty[Int]
     val prevDcScan = new Array[Int](nComp)
-    for (by <- 0 until bh; bx <- 0 until bw) {
-      if (restartInterval > 0 && (by * bw + bx) % restartInterval == 0)
+    var mcuScan = 0
+    for (my <- 0 until mcuRows; mx <- 0 until mcuCols) {
+      if (restartInterval > 0 && mcuScan % restartInterval == 0)
         java.util.Arrays.fill(prevDcScan, 0)
-      for (comp <- 0 until nComp) {
+      mcuScan += 1
+      for ((comp, bx, by) <- mcuBlocks(mx, my)) {
         val cs = coefs(comp, bx, by)
         require(cs.length == 64, s"block ($comp,$bx,$by) must have 64 coefficients")
         dcSyms += category(cs(0) - prevDcScan(comp)); prevDcScan(comp) = cs(0)
@@ -2122,7 +2177,8 @@ object Containers {
     putSeg(0xDB, Array(0x00) ++ quantTable)                // DQT id 0
     putSeg(0xC0, Array(8,                                  // SOF0
       height >> 8, height & 0xFF, width >> 8, width & 0xFF, nComp) ++
-      (0 until nComp).flatMap(c => Seq(c + 1, 0x11, 0)))   // 1×1, q0 each
+      (0 until nComp).flatMap(c =>
+        Seq(c + 1, (sampling(c)._1 << 4) | sampling(c)._2, 0))) // q0 each
     putSeg(0xC4, Array(0x00) ++ dcCounts.drop(1) ++ dcList) // DHT DC 0
     putSeg(0xC4, Array(0x10) ++ acCounts.drop(1) ++ acList) // DHT AC 0
     if (restartInterval > 0)
@@ -2148,14 +2204,15 @@ object Containers {
     }
     val prevDc = new Array[Int](nComp)
     var rst = 0
-    for (by <- 0 until bh; bx <- 0 until bw) {
-      val mcu = by * bw + bx
+    var mcu = 0
+    for (my <- 0 until mcuRows; mx <- 0 until mcuCols) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         flushBits()
         put(0xFF, 0xD0 + (rst & 7)); rst += 1
         java.util.Arrays.fill(prevDc, 0)
       }
-      for (comp <- 0 until nComp) {
+      mcu += 1
+      for ((comp, bx, by) <- mcuBlocks(mx, my)) {
         val cs = coefs(comp, bx, by)
         val diff = cs(0) - prevDc(comp); prevDc(comp) = cs(0)
         val s = category(diff)
@@ -2194,15 +2251,22 @@ object Containers {
     synthJpegCoefs(width, height, 1, quantTable,
       (_, bx, by) => coefs(bx, by), restartInterval)
 
-  /** 3-component (YCbCr, 1×1 sampling, interleaved MCUs, shared
-    * tables) coefficient encoder: `coefs(comp, bx, by)` with comp
-    * 0=Y, 1=Cb, 2=Cr. Write-side proof of the decoder's interleaved
-    * MCU walk, per-component DC prediction, and color conversion.
+  /** 3-component (YCbCr, interleaved MCUs, shared tables) coefficient
+    * encoder: `coefs(comp, bx, by)` with comp 0=Y, 1=Cb, 2=Cr, block
+    * grids per component spanning the PADDED
+    * `mcuCols·h_c × mcuRows·v_c` area for the given `sampling`
+    * factors (default 1×1 everywhere = 4:4:4; `Seq((2,2),(1,1),
+    * (1,1))` = the 4:2:0 virtually all real color JPEGs use).
+    * Write-side proof of the decoder's interleaved multi-block MCU
+    * walk, per-component DC prediction, chroma upsampling, and color
+    * conversion.
     */
   def synthJpegYccCoefs(width: Int, height: Int, quantTable: Array[Int],
       coefs: (Int, Int, Int) => Array[Int],
-      restartInterval: Int = 0): Array[Byte] =
-    synthJpegCoefs(width, height, 3, quantTable, coefs, restartInterval)
+      restartInterval: Int = 0,
+      sampling: Seq[(Int, Int)] = Seq.fill(3)((1, 1))): Array[Byte] =
+    synthJpegCoefs(width, height, 3, quantTable, coefs, restartInterval,
+      sampling)
 
   /** Block-constant grayscale JPEG: block (bx,by) holds the single
     * value `blockVal(bx,by)` (0..255). With the all-8s quant table the

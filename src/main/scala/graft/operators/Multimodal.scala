@@ -332,6 +332,47 @@ object Multimodal {
     })
   }
 
+  /** Deterministic 4:2:0 color-JPEG corpus: image `id` is
+    * `16·(1+id%3) × 16·(1+id%2)` — whole 16×16 MCUs of four Y blocks
+    * plus one Cb and one Cr block each. Y block `b` (raster order over
+    * the `bw×bh` luma grid) is the constant `(id*31 + b*7) % 256`;
+    * MCU `m` (raster order) carries constant chroma
+    * `cb = 128 + 23·((id + m) % 5 − 2)` and
+    * `cr = 128 + 23·((id·7 + m·3) % 5 − 2)`. With the all-8s quant
+    * table both planes decode integer-exactly, nearest upsampling of a
+    * constant block is the identity, and the 23-step chroma offsets
+    * keep every BT.601 rounding ≥ 0.008 away from an exact .5 — so a
+    * SQL oracle replays the float conversion bit-for-bit while the
+    * Spark side must earn it through a real subsampled MCU walk
+    * (four Y blocks per chroma pair, per-component DC prediction).
+    */
+  def demoJpeg420Corpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val bw = 2 * (1 + id % 3).toInt
+      val bh = 2 * (1 + id % 2).toInt
+      val w = bw * 8; val h = bh * 8
+      val mcuCols = bw / 2
+      val blob = Containers.synthJpegYccCoefs(w, h, Array.fill(64)(8),
+        (comp, bx, by) => {
+          val c = new Array[Int](64)
+          val v = comp match {
+            case 0 => ((id * 31 + (by.toLong * bw + bx) * 7) % 256).toInt
+            case 1 => // chroma block grid == MCU grid at 2×2
+              val m = by.toLong * mcuCols + bx
+              128 + 23 * (((id + m) % 5).toInt - 2)
+            case _ =>
+              val m = by.toLong * mcuCols + bx
+              128 + 23 * (((id * 7 + m * 3) % 5).toInt - 2)
+          }
+          c(0) = v - 128
+          c
+        },
+        sampling = Seq((2, 2), (1, 1), (1, 1)))
+      MediaFile(id, "image", blob)
+    })
+  }
+
   /** Deterministic all-PNG corpus cycling the three supported color
     * types — `id mod 3` = 0 → grayscale (type 0), 1 → RGB (type 2),
     * 2 → RGBA (type 6) — with sample byte `i` of image `id` =

@@ -210,6 +210,23 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // REAL 4:2:0 JPEG decode — the profile virtually all real color
+    // JPEGs use: four Y blocks per chroma pair in each 16×16 MCU,
+    // per-component DC prediction across the interleaved walk, nearest
+    // chroma upsampling, BT.601 conversion. Block-constant planes +
+    // all-8s quant keep the chain integer-exact into the float
+    // conversion, whose 23-step chroma offsets round identically in
+    // Spark and the SQL oracle (never within 0.008 of a .5 boundary).
+    "multimodal_jpeg420_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoJpeg420Corpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.pixelStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // Skyline (Pareto frontier) over parts on (minimize price cents,
     // maximize size): "cheapest part for its size class". The bucketed
     // decomposition inside Skyline.frontier2d never builds the global
@@ -1083,6 +1100,36 @@ object FrontierQueries {
         |  (64*vs)::BIGINT AS c0_sum, (64*vs)::BIGINT AS c1_sum,
         |  (64*vs)::BIGINT AS c2_sum
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // Replays the 4:2:0 generator: per Y block, 64 pixels share
+    // (yv, cb, cr) with cb/cr from the enclosing 16×16 MCU; the BT.601
+    // conversion is replayed in the same left-to-right association the
+    // decoder uses, with rounds clamped to [0,255]. The 23-step chroma
+    // sets keep every round ≥ 0.008 from a .5 tie, so decimal/double
+    // evaluation differences cannot flip an integer.
+    "multimodal_jpeg420_pixels" ->
+      """WITH m AS (SELECT doc_id, 2*(1 + doc_id % 3) AS bw,
+        |                  2*(1 + doc_id % 2) AS bh FROM documents),
+        |b AS (SELECT doc_id, bw, bh, unnest(range(0, bw*bh)) AS bi FROM m),
+        |v AS (SELECT doc_id, bw, bh,
+        |    (doc_id*31 + bi*7) % 256 AS yv,
+        |    ((bi // bw) // 2) * (bw // 2) + ((bi % bw) // 2) AS mi
+        |  FROM b),
+        |c AS (SELECT doc_id, bw, bh, yv,
+        |    23*(((doc_id + mi) % 5) - 2) AS cb,
+        |    23*(((doc_id*7 + mi*3) % 5) - 2) AS cr
+        |  FROM v),
+        |p AS (SELECT doc_id, bw, bh,
+        |    64*LEAST(GREATEST(round(yv + 1.402*cr), 0), 255) AS rs,
+        |    64*LEAST(GREATEST(round(yv - 0.344136*cb - 0.714136*cr), 0),
+        |             255) AS gs,
+        |    64*LEAST(GREATEST(round(yv + 1.772*cb), 0), 255) AS bs
+        |  FROM c)
+        |SELECT doc_id AS media_id, (bw*8)::BIGINT AS width,
+        |  (bh*8)::BIGINT AS height, (bw*bh*64)::BIGINT AS n_pixels,
+        |  sum(rs)::BIGINT AS c0_sum, sum(gs)::BIGINT AS c1_sum,
+        |  sum(bs)::BIGINT AS c2_sum
+        |FROM p GROUP BY doc_id, bw, bh ORDER BY media_id""".stripMargin,
 
     // NOT EXISTS strict domination — the quadratic serial definition the
     // bucketed window decomposition must reproduce exactly.

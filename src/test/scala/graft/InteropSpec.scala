@@ -189,6 +189,69 @@ class InteropSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg: synthJpegYccCoefs 4:2:0 stream is readable by the JDK decoder") {
+    // uniform chroma across the whole image: libjpeg's "fancy"
+    // triangle upsampling of a constant plane equals nearest, so the
+    // only cross-decoder deltas are fixed-point IDCT/color rounding
+    val w = 48; val h = 32 // 3×2 MCUs
+    val q = Array.fill(64)(8)
+    val yGrid = Array.tabulate(6 * 4)(b => (17 * b + 23) % 256)
+    val jpeg = Containers.synthJpegYccCoefs(w, h, q,
+      (comp, bx, by) => {
+        val c = new Array[Int](64)
+        c(0) = (comp match {
+          case 0 => yGrid(by * 6 + bx)
+          case 1 => 128 - 23
+          case _ => 128 + 46
+        }) - 128
+        c
+      },
+      sampling = Seq((2, 2), (1, 1), (1, 1)))
+    val ref = readImg(jpeg)
+    assert(ref != null, "JDK decoder rejected a synthesized 4:2:0 stream")
+    assert(ref.getWidth == w && ref.getHeight == h)
+    val mine = Containers.jpegPixelBytes(jpeg)
+    assert(mine != null)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      val (r, g, b) = rgbOf(ref, x, y)
+      maxDiff = math.max(maxDiff, math.abs(r - (mine(d) & 0xFF)))
+      maxDiff = math.max(maxDiff, math.abs(g - (mine(d + 1) & 0xFF)))
+      maxDiff = math.max(maxDiff, math.abs(b - (mine(d + 2) & 0xFF)))
+    }
+    // ±2 covers fixed-point vs double IDCT and color-table rounding;
+    // a sampling/MCU-walk desync would blow far past this
+    assert(maxDiff <= 2, s"max per-channel delta $maxDiff vs JDK decoder")
+  }
+
+  test("jpeg: a JDK-ImageIO-encoded color JPEG decodes within tolerance") {
+    // smooth gradients: chroma varies ≤1/px, so nearest-vs-fancy
+    // upsampling stays small; both decoders read the SAME lossy file
+    val w = 64; val h = 48
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((60 + 2 * x) << 16) | ((40 + 2 * y) << 8) | 120)
+    val jpeg = writeBytes(img, "jpeg")
+    val px = Containers.jpegPixelBytes(jpeg)
+    assert(px != null, "decoder rejected a JDK-encoded color JPEG " +
+      "(JDK writers emit 4:2:0 by default)")
+    val ref = readImg(jpeg)
+    var maxDiff = 0; var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      val (r, g, b) = rgbOf(ref, x, y)
+      val dr = math.abs(r - (px(d) & 0xFF))
+      val dg = math.abs(g - (px(d + 1) & 0xFF))
+      val db = math.abs(b - (px(d + 2) & 0xFF))
+      maxDiff = math.max(maxDiff, math.max(dr, math.max(dg, db)))
+      sumDiff += dr + dg + db
+    }
+    val meanDiff = sumDiff.toDouble / (w * h * 3)
+    assert(maxDiff <= 12 && meanDiff <= 2.0,
+      s"vs JDK decode of the same file: max=$maxDiff mean=$meanDiff")
+  }
+
   test("bmp: JDK-encoded BMP decodes; synthBmp24 is JDK-readable") {
     val w = 37; val h = 23 // odd width: row padding in play
     val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)

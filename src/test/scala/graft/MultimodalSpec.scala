@@ -317,6 +317,66 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpeg: 4:2:0 subsampled MCUs decode with nearest chroma upsampling") {
+    // 32×16: 2 MCUs of 4 Y blocks + 1 Cb + 1 Cr each
+    val w = 32; val h = 16
+    val yVals = Array(10, 60, 110, 160, 210, 240, 30, 80) // luma grid 4×2
+    val cbs = Array(128 - 46, 128 + 23)                   // per MCU
+    val crs = Array(128 + 46, 128 - 23)
+    val q = Array.fill(64)(8)
+    val jpeg = Containers.synthJpegYccCoefs(w, h, q,
+      (comp, bx, by) => {
+        val c = new Array[Int](64)
+        c(0) = (comp match {
+          case 0 => yVals(by * 4 + bx)
+          case 1 => cbs(bx)
+          case _ => crs(bx)
+        }) - 128
+        c
+      },
+      sampling = Seq((2, 2), (1, 1), (1, 1)))
+    val px = Containers.jpegPixelBytes(jpeg)
+    assert(px != null)
+    def cl(v: Double): Int = {
+      val r = math.round(v).toInt
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+    for (y <- 0 until h; x <- 0 until w) {
+      val yv = yVals((y / 8) * 4 + x / 8)
+      val cb = cbs(x / 16) - 128
+      val cr = crs(x / 16) - 128
+      val d = (y * w + x) * 3
+      assert((px(d) & 0xFF) == cl(yv + 1.402 * cr), s"R ($x,$y)")
+      assert((px(d + 1) & 0xFF) == cl(yv - 0.344136 * cb - 0.714136 * cr),
+        s"G ($x,$y)")
+      assert((px(d + 2) & 0xFF) == cl(yv + 1.772 * cb), s"B ($x,$y)")
+    }
+    // 4:2:2 (2×1) also decodes: chroma halved horizontally only
+    val jpeg422 = Containers.synthJpegYccCoefs(16, 8, q,
+      (comp, bx, by) => {
+        val c = new Array[Int](64)
+        c(0) = (if (comp == 0) 40 + 50 * bx else 128 + 23 * (comp - 1)) - 128
+        c
+      },
+      sampling = Seq((2, 1), (1, 1), (1, 1)))
+    val px422 = Containers.jpegPixelBytes(jpeg422)
+    assert(px422 != null)
+    val d0 = 0
+    assert((px422(d0) & 0xFF) == cl(40 + 1.402 * 23)) // Y=40, cr offset +23
+    // sampling factors above 2 degrade to null
+    val bad = jpeg.clone()
+    // SOF0 is the 3rd segment (SOI, DQT(69), SOF0): comp 1 h/v byte
+    // offset: 2 + 69 + 4 + 6 + 1 = … locate dynamically instead
+    var off = 2; var sofAt = -1
+    while (sofAt < 0) {
+      val len = ((bad(off + 2) & 0xFF) << 8) | (bad(off + 3) & 0xFF)
+      if ((bad(off + 1) & 0xFF) == 0xC0) sofAt = off
+      else off += 2 + len
+    }
+    bad(sofAt + 4 + 6 + 1) = 0x33 // 3×3 sampling: out of profile
+    assert(Containers.jpegPixelBytes(bad) == null)
+  }
+
   test("jpeg: a stuffed 0xFF00 entropy byte decodes transparently") {
     // Crafted to FORCE a 0xFF data byte: with DC=64 (category 7) the
     // entropy prefix is exactly 16 bits — dc code (1) + 7 diff bits +
@@ -355,9 +415,17 @@ class MultimodalSpec extends SparkSpec {
     // SOF0 → SOF2 (progressive): unsupported profile.
     assert(Containers.jpegPixelBytes(
       patched(_ == 0xC0, _ + 1, 0xC2.toByte)) == null)
-    // 2×2-subsampled luma (hv byte: FF C0 len2 prec1 h2 w2 n1 id1 → +11).
+    // 3×1 sampling: outside the 1–2 profile (hv byte: FF C0 len2
+    // prec1 h2 w2 n1 id1 → +11).
     assert(Containers.jpegPixelBytes(
-      patched(_ == 0xC0, _ + 11, 0x22.toByte)) == null)
+      patched(_ == 0xC0, _ + 11, 0x31.toByte)) == null)
+    // but a DECLARED 2×2 on a single-component scan decodes: per
+    // T.81 a one-component scan is non-interleaved (MCU = one block),
+    // so the sampling factors are irrelevant — libjpeg does the same
+    val gray22 = patched(_ == 0xC0, _ + 11, 0x22.toByte)
+    val px22 = Containers.jpegPixelBytes(gray22)
+    assert(px22 != null &&
+      px22.toSeq == Containers.jpegPixelBytes(jpg).toSeq)
     // Forged SOF dims that pass the 2^30 OUTPUT cap but would blow the
     // 4-byte-per-sample coefficient planes: reject before allocation.
     val big = jpg.clone()
