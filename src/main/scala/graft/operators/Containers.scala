@@ -2359,6 +2359,107 @@ object Containers {
     null
   }
 
+  /** Whether a RECOGNIZED image container that failed to decode did so
+    * because of a feature outside this decoder's supported profile
+    * (16-bit/palette/interlaced PNG, progressive or >2× -sampled JPEG,
+    * unsupported-compression/depth/planar TIFF, RLE or exotic-depth
+    * BMP, partial-frame GIF) — as opposed to plain corruption. Drives
+    * the `decode_err` observability column: at corpus scale, "we don't
+    * support this profile yet" and "the bytes are damaged" demand
+    * different fixes, so they must not be conflated in loss metrics.
+    * Callers pass the format [[parse]] detected; unknown formats and
+    * well-formed-but-undecodable cases return false (= corrupt).
+    */
+  def unsupportedImageProfile(b: Array[Byte], fmt: String): Boolean = try {
+    fmt match {
+      case "png" =>
+        // IHDR fields at fixed offsets: depth@24, color@25, interlace@28
+        b.length >= 29 && (u8(b, 24) != 8 ||
+          !(u8(b, 25) == 0 || u8(b, 25) == 2 || u8(b, 25) == 6) ||
+          u8(b, 28) != 0)
+      case "jpeg" =>
+        // walk to the frame marker: non-SOF0 frames (progressive SOF2,
+        // arithmetic SOF9, …) or sampling factors above 2 are profile
+        // gaps, not corruption
+        var off = 2
+        var res = false
+        var done = false
+        while (!done && off + 4 <= b.length) {
+          if (u8(b, off) != 0xFF) done = true
+          else {
+            val m = u8(b, off + 1)
+            if (m == 0xFF) off += 1
+            else if ((m >= 0xD0 && m <= 0xD7) || m == 0x01) off += 2
+            else {
+              val len = beU16(b, off + 2)
+              if (len < 2) done = true
+              else {
+                val isFrame = m >= 0xC0 && m <= 0xCF && m != 0xC4 &&
+                  m != 0xC8 && m != 0xCC
+                if (isFrame) {
+                  if (m != 0xC0) res = true
+                  else {
+                    val ds = off + 4
+                    val nc = if (ds + 5 < b.length) u8(b, ds + 5) else 0
+                    for (c <- 0 until math.min(nc, 4)
+                         if ds + 6 + 3 * c + 1 < b.length) {
+                      val hv = u8(b, ds + 6 + 3 * c + 1)
+                      if ((hv >> 4) > 2 || (hv & 15) > 2) res = true
+                    }
+                  }
+                  done = true
+                } else if (m == 0xDA || m == 0xD9) done = true
+                else off += 2 + len
+              }
+            }
+          }
+        }
+        res
+      case "tiff" =>
+        val tags = tiffTags(b)
+        if (tags == null) false
+        else {
+          def one(tag: Int, default: Long): Long =
+            tags.get(tag).map(_.head).getOrElse(default)
+          val comp = one(259, 1)
+          val spp = one(277, 1)
+          val bits = tags.getOrElse(258, Array.fill(spp.toInt max 1)(8L))
+          (comp != 1L && comp != 5L && comp != 8L && comp != 32946L &&
+            comp != 32773L) ||
+            one(317, 1) > 2 || (spp != 1L && spp != 3L) ||
+            bits.exists(_ != 8L) || one(284, 1) != 1
+        }
+      case "bmp" =>
+        b.length >= 34 && {
+          val bpp = leU16(b, 28)
+          (bpp != 24 && bpp != 8 && bpp != 4) || leU32(b, 30) != 0L
+        }
+      case "gif" =>
+        // first image descriptor not covering the full logical screen:
+        // an animation frame / partial update we don't compose
+        val w = leU16(b, 6); val h = leU16(b, 8)
+        var pos = 13 + (if ((u8(b, 10) & 0x80) != 0) 3 * (2 << (u8(b, 10) & 7)) else 0)
+        var res = false
+        var done = false
+        while (!done && pos < b.length) {
+          u8(b, pos) match {
+            case 0x21 =>
+              pos += 2
+              while (pos < b.length && u8(b, pos) != 0) pos += 1 + u8(b, pos)
+              pos += 1
+            case 0x2C =>
+              if (pos + 10 <= b.length)
+                res = leU16(b, pos + 1) != 0 || leU16(b, pos + 3) != 0 ||
+                  leU16(b, pos + 5) != w || leU16(b, pos + 7) != h
+              done = true
+            case _ => done = true
+          }
+        }
+        res
+      case _ => false
+    }
+  } catch { case _: IndexOutOfBoundsException => false }
+
   /** MP4/ISO-BMFF: scan top-level boxes ([size:be32][type:4cc]; size 1 =
     * 64-bit largesize, size 0 = to-EOF), then moov → mvhd (version 0:
     * be32 timescale at +12, be32 duration at +16 of the box payload;

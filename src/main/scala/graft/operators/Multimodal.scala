@@ -205,6 +205,77 @@ object Multimodal {
     if (tif != null) tif else Containers.jpegPixelBytes(content)
   }
 
+  /** Classify WHY an image payload decodes or doesn't — the
+    * observability companion to [[imagePixelBytes]], whose silent-null
+    * contract is right for pipelines but wrong for corpus forensics:
+    * at 100 TB "3% of PNGs are 16-bit" (ship a profile extension) and
+    * "3% of PNGs are truncated" (fix the ingest) demand different
+    * responses. Deterministic classes: `ok`, `empty`,
+    * `unknown_container` (no known magic), `not_image` (a recognized
+    * non-image container), `unsupported_profile`
+    * (`Containers.unsupportedImageProfile` — a feature gap), `corrupt`
+    * (recognized container, supported profile, damaged bytes).
+    */
+  def imageDecodeErr(content: Array[Byte]): String = {
+    if (content == null || content.length == 0) return "empty"
+    if (imagePixelBytes(content) != null) return "ok"
+    val fmt = Containers.parse(content).format
+    if (fmt == "unknown") "unknown_container"
+    else if (fmt == "wav" || fmt.startsWith("mp4")) "not_image"
+    else if (Containers.unsupportedImageProfile(content, fmt))
+      "unsupported_profile"
+    else "corrupt"
+  }
+
+  /** Per-(container, reason) decode-loss accounting over a media
+    * Dataset: one narrow partition-wise classify pass, then a tiny
+    * two-column aggregate — the query a pipeline operator watches to
+    * see WHAT an ingest is dropping, instead of inferring it from
+    * silent nulls downstream.
+    */
+  def decodeErrStats(spark: SparkSession,
+      media: Dataset[MediaFile]): DataFrame = {
+    import spark.implicits._
+    media.map(m => (Containers.parse(m.content).format,
+        imageDecodeErr(m.content)))
+      .toDF("format", "decode_err")
+      .groupBy("format", "decode_err").agg(count(lit(1)).as("n"))
+  }
+
+  /** Deterministic decode-forensics corpus planting one failure class
+    * per `id mod 6` residue: 0 → valid BMP (`ok`), 1 → valid PNG
+    * (`ok`), 2 → PNG patched to 16-bit depth (`unsupported_profile`),
+    * 3 → PNG truncated mid-IDAT (`corrupt`), 4 → magic-free garbage
+    * bytes (`unknown_container`; the `id·7 + j·13` generator provably
+    * never forms a known magic), 5 → baseline JPEG with its SOF0
+    * marker rewritten to progressive SOF2 (`unsupported_profile`).
+    */
+  def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (8 + id % 5).toInt
+      val h = (8 + id % 3).toInt
+      val px = Array.tabulate(w * h * 3)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+      def png = Containers.synthPng(w, h, px, row => row % 5)
+      val blob = (id % 6) match {
+        case 0 => Containers.synthBmp24(w, h, px)
+        case 1 => png
+        case 2 => val p = png; p(24) = 16.toByte; p // IHDR bit depth
+        case 3 => png.dropRight(20) // cuts IEND + the IDAT tail
+        case 4 => Array.tabulate(64 + (id % 32).toInt)(j =>
+          ((id * 7 + j * 13) % 256).toByte)
+        case _ =>
+          val j = Containers.synthJpegGray(16, 8,
+            (bx, by) => ((id * 31 + (by * 2 + bx) * 7) % 256).toInt)
+          val sof = (0 until j.length - 1).indexWhere(i =>
+            (j(i) & 0xFF) == 0xFF && (j(i + 1) & 0xFF) == 0xC0)
+          j(sof + 1) = 0xC2.toByte // progressive
+          j
+      }
+      MediaFile(id, "image", blob)
+    })
+  }
+
   /** Deterministic mixed-format image corpus: pixel byte `i` of image
     * `id` is `(id*31 + i*7) mod 256`, dimensions derived from the id.
     * Even ids encode as valid padded bottom-up 24-bit BMPs; odd ids as

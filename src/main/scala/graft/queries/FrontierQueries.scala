@@ -227,6 +227,21 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // Decode-loss forensics: classify every payload as ok / empty /
+    // unknown_container / not_image / unsupported_profile / corrupt
+    // and count by (container, reason) — the observability layer that
+    // distinguishes "ship a profile extension" from "fix the ingest"
+    // at corpus scale, over a corpus with one planted class per id%6.
+    "decode_err_rates" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoDecodeErrCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.decodeErrStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .orderBy("format", "decode_err")
+    }),
+
     // Skyline (Pareto frontier) over parts on (minimize price cents,
     // maximize size): "cheapest part for its size class". The bucketed
     // decomposition inside Skyline.frontier2d never builds the global
@@ -1130,6 +1145,24 @@ object FrontierQueries {
         |  sum(rs)::BIGINT AS c0_sum, sum(gs)::BIGINT AS c1_sum,
         |  sum(bs)::BIGINT AS c2_sum
         |FROM p GROUP BY doc_id, bw, bh ORDER BY media_id""".stripMargin,
+
+    // Replays the planted-failure generator: each id%6 residue maps to
+    // a fixed (container, reason) pair.
+    "decode_err_rates" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'png'
+        |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' ELSE 'jpeg'
+        |    END AS format,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
+        |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
+        |      WHEN 4 THEN 'unknown_container' ELSE 'unsupported_profile'
+        |    END AS decode_err
+        |  FROM documents)
+        |SELECT format, decode_err, count(*)::BIGINT AS n
+        |FROM m GROUP BY format, decode_err
+        |ORDER BY format, decode_err""".stripMargin,
 
     // NOT EXISTS strict domination — the quadratic serial definition the
     // bucketed window decomposition must reproduce exactly.

@@ -437,6 +437,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.jpegPixelBytes(big) == null)
   }
 
+  test("imageDecodeErr: every class is reachable and deterministic") {
+    val px = Array.tabulate(8 * 8 * 3)(i => (i * 19 % 256).toByte)
+    val png = Containers.synthPng(8, 8, px, _ % 5)
+    assert(Multimodal.imageDecodeErr(Containers.synthBmp24(8, 8, px)) == "ok")
+    assert(Multimodal.imageDecodeErr(png) == "ok")
+    assert(Multimodal.imageDecodeErr(Array.emptyByteArray) == "empty")
+    assert(Multimodal.imageDecodeErr("no magic here at all".getBytes)
+      == "unknown_container")
+    assert(Multimodal.imageDecodeErr(
+      Containers.synthWav(8000, 1, 16, new Array[Byte](32))) == "not_image")
+    // profile gaps vs corruption on the SAME container type
+    val deep = png.clone(); deep(24) = 16.toByte
+    assert(Multimodal.imageDecodeErr(deep) == "unsupported_profile")
+    assert(Multimodal.imageDecodeErr(png.dropRight(20)) == "corrupt")
+    // progressive JPEG is a profile gap; a truncated baseline is corrupt
+    val jpg = Containers.synthJpegGray(16, 8, (bx, _) => 50 + bx)
+    val sof = (0 until jpg.length - 1).indexWhere(i =>
+      (jpg(i) & 0xFF) == 0xFF && (jpg(i + 1) & 0xFF) == 0xC0)
+    val prog = jpg.clone(); prog(sof + 1) = 0xC2.toByte
+    assert(Multimodal.imageDecodeErr(prog) == "unsupported_profile")
+    assert(Multimodal.imageDecodeErr(jpg.dropRight(4)) == "corrupt")
+    // JPEG-in-TIFF is a profile gap; a bad strip count is corrupt
+    val tif = Containers.synthTiff(6, 5, 3,
+      Array.tabulate(90)(i => (i * 13 % 256).toByte))
+    val jt = tif.clone(); jt(8 + 2 + 3 * 12 + 8) = 7
+    assert(Multimodal.imageDecodeErr(jt) == "unsupported_profile")
+    assert(Multimodal.imageDecodeErr(tif.dropRight(5)) == "corrupt")
+  }
+
   test("bmp and png encodings of the same logical pixels decode identically") {
     // The mixed demoPixelCorpus contract: format is an encoding detail,
     // decoded pixels are a pure function of the id.
