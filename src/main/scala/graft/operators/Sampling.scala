@@ -208,7 +208,10 @@ object Sampling {
       else shares.foldLeft(lit(0.0): Column) { case (acc, (g, s)) =>
         when(col("__g") === g, lit(s)).otherwise(acc)
       }
-    val p = counts.crossJoin(tot)
+    // broadcast the 1-row total like the siblings above — AQE would
+    // pick it anyway, but an explicit hint keeps a copy-paste of this
+    // pattern safe where the right side isn't provably tiny
+    val p = counts.crossJoin(broadcast(tot))
       .select(col("__g"),
         least(lit(1.0), share * col("__n") / col("__ng")).as("__p"))
     val h52 = shiftright(
