@@ -417,19 +417,22 @@ object Containers {
   // PNG's "codec" is zlib (java.util.zip.Inflater) plus five per-row
   // byte filters — no external library needed, unlike JPEG/MP4 whose
   // codecs (DCT/entropy, H.26x) genuinely require one. Supported
-  // profile: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA),
-  // non-interlaced — the overwhelmingly common profile in web corpora.
-  // Everything else (16-bit, palette, Adam7) degrades to null.
+  // profile: color types 0 (gray, depths 1/2/4/8/16), 2 (RGB, 8/16),
+  // 3 (palette via PLTE, 1/2/4/8), 4 (gray+alpha, 8/16), and
+  // 6 (RGBA, 8/16), non-interlaced — together virtually every PNG in
+  // real web corpora except Adam7, which degrades to null.
 
   /** Decode a PNG into logical top-down 3-bytes-per-pixel rows (R,G,B
-    * per pixel; grayscale replicated ×3, alpha dropped): concatenate
-    * the IDAT chunks, inflate, and reverse the per-row filter (None /
-    * Sub / Up / Average / Paeth). Null for anything outside the
-    * supported profile or with corrupt/truncated structure — same
-    * degrade-don't-throw posture as [[bmpPixelBytes]]. The inflated
-    * size is computed from the header BEFORE allocation and capped
-    * (2³⁰ bytes), so a forged-header "zip bomb" blob can neither OOM
-    * an executor nor loop the task.
+    * per pixel; grayscale replicated ×3 — sub-8-bit samples scaled by
+    * 255/(2^d−1), 16-bit by its high byte — palette indices resolved
+    * through PLTE, alpha dropped): concatenate the IDAT chunks,
+    * inflate, and reverse the per-row filter (None / Sub / Up /
+    * Average / Paeth) at the profile's byte distance. Null for
+    * anything outside the supported profile or with corrupt/truncated
+    * structure — same degrade-don't-throw posture as
+    * [[bmpPixelBytes]]. The inflated size is computed from the header
+    * BEFORE allocation and capped (2³⁰ bytes), so a forged-header
+    * "zip bomb" blob can neither OOM an executor nor loop the task.
     */
   def pngPixelBytes(b: Array[Byte]): Array[Byte] = {
     if (!(b.length >= 41 && beU32(b, 0) == 0x89504e47L &&
@@ -438,6 +441,7 @@ object Containers {
     var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
     var interlace = 0; var compression = 0; var filterMethod = 0
     var sawIhdr = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (off + 8 <= b.length && !done) {
@@ -456,18 +460,34 @@ object Containers {
           bitDepth = u8(b, i + 16); colorType = u8(b, i + 17)
           compression = u8(b, i + 18); filterMethod = u8(b, i + 19)
           interlace = u8(b, i + 20); sawIhdr = true
+        case "PLTE" =>
+          if (len % 3 != 0 || len > 768) return null
+          plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len.toInt)
         case "IDAT" => idat.write(b, i + 8, len.toInt)
         case "IEND" => done = true
         case _ => () // ancillary chunks (tEXt, pHYs, …) skip cleanly
       }
       off += 12L + len // len + type + data + crc
     }
-    if (!sawIhdr || w <= 0 || h <= 0 || bitDepth != 8 ||
+    if (!sawIhdr || w <= 0 || h <= 0 ||
         compression != 0 || filterMethod != 0 || interlace != 0) return null
-    val ch = colorType match {
-      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return null
+    val spp = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return null
     }
-    val stride = w.toLong * ch
+    val depthOk = colorType match {
+      case 0 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+        bitDepth == 8 || bitDepth == 16
+      case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8
+      case _ => bitDepth == 8 || bitDepth == 16
+    }
+    if (!depthOk) return null
+    if (colorType == 3 && (plte == null || plte.length < 3)) return null
+    val np = if (plte == null) 0 else plte.length / 3
+    val stride = (w.toLong * spp * bitDepth + 7) / 8
+    // filter distance in BYTES: ceil(depth/8)·spp, min 1 (sub-8 packs
+    // multiple pixels per byte and filters at one-byte distance)
+    val bpp = math.max(1, spp * bitDepth / 8)
     val rawLen = (stride + 1L) * h
     if (rawLen > (1L << 30) || w.toLong * h * 3 > (1L << 30)) return null
     val raw = new Array[Byte](rawLen.toInt)
@@ -488,13 +508,13 @@ object Containers {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
     // Reverse the per-row filters. `prev` is the reconstructed row
-    // above (all zeros for row 0, per spec); `bpp` is the filter
-    // distance (whole pixels, = channels at 8-bit depth).
+    // above (all zeros for row 0, per spec).
     val strideI = stride.toInt
-    val bpp = ch
     val out = new Array[Byte](w * h * 3)
     val prev = new Array[Byte](strideI)
     val cur = new Array[Byte](strideI)
+    // sub-8-bit gray scales to full range: 255/(2^d−1) is integral
+    val grayScale = if (bitDepth < 8) 255 / ((1 << bitDepth) - 1) else 1
     var row = 0
     while (row < h) {
       val base = row * (strideI + 1)
@@ -531,15 +551,36 @@ object Containers {
         case _ => return null // invalid filter type
       }
       // emit as 3-byte pixels
+      val step = if (bitDepth == 16) 2 else 1 // high byte of 16-bit samples
       var p = 0
       while (p < w) {
         val d = (row * w + p) * 3
-        ch match {
-          case 1 => val g = cur(p); out(d) = g; out(d + 1) = g; out(d + 2) = g
-          case 3 => out(d) = cur(3 * p); out(d + 1) = cur(3 * p + 1)
-            out(d + 2) = cur(3 * p + 2)
-          case _ => out(d) = cur(4 * p); out(d + 1) = cur(4 * p + 1)
-            out(d + 2) = cur(4 * p + 2) // alpha dropped
+        if (bitDepth < 8) {
+          // MSB-first packed sample p of this row
+          val bit = p * bitDepth
+          val v = (u8(cur, bit >> 3) >> (8 - bitDepth - (bit & 7))) &
+            ((1 << bitDepth) - 1)
+          if (colorType == 3) {
+            if (v >= np) return null
+            out(d) = plte(3 * v); out(d + 1) = plte(3 * v + 1)
+            out(d + 2) = plte(3 * v + 2)
+          } else {
+            val g = (v * grayScale).toByte
+            out(d) = g; out(d + 1) = g; out(d + 2) = g
+          }
+        } else colorType match {
+          case 0 | 4 => // gray / gray+alpha (alpha dropped)
+            val g = cur(p * spp * step)
+            out(d) = g; out(d + 1) = g; out(d + 2) = g
+          case 3 =>
+            val v = u8(cur, p)
+            if (v >= np) return null
+            out(d) = plte(3 * v); out(d + 1) = plte(3 * v + 1)
+            out(d + 2) = plte(3 * v + 2)
+          case _ => // RGB / RGBA (alpha dropped)
+            out(d) = cur(p * spp * step)
+            out(d + 1) = cur((p * spp + 1) * step)
+            out(d + 2) = cur((p * spp + 2) * step)
         }
         p += 1
       }
@@ -558,9 +599,9 @@ object Containers {
   def synthPng(width: Int, height: Int, colorType: Int,
       samples: Array[Byte], filterFor: Int => Int): Array[Byte] = {
     val ch = colorType match {
-      case 0 => 1; case 2 => 3; case 6 => 4
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case _ => throw new IllegalArgumentException(
-        s"unsupported color type $colorType (use 0, 2, or 6)")
+        s"unsupported color type $colorType (use 0, 2, 4, or 6)")
     }
     require(samples.length == width * height * ch,
       s"need $width*$height*$ch sample bytes, got ${samples.length}")
@@ -623,6 +664,147 @@ object Containers {
   def synthPng(width: Int, height: Int, pixels: Array[Byte],
       filterFor: Int => Int): Array[Byte] =
     synthPng(width, height, 2, pixels, filterFor)
+
+  /** Assemble a PNG from pre-filtered raw scanline bytes (each row
+    * already prefixed with its filter byte): deflate, CRC, chunk —
+    * shared tail of the three synthesizers. `extraChunks` (e.g. a
+    * PLTE) land between IHDR and IDAT.
+    */
+  private def pngAssemble(width: Int, height: Int, bitDepth: Int,
+      colorType: Int, raw: Array[Byte],
+      extraChunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(tpe.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(bitDepth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++
+      extraChunks.flatMap { case (t, d) => chunk(t, d) } ++
+      chunk("IDAT", zBuf.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Valid palette PNG (color type 3) at depth 1/2/4/8: a real PLTE
+    * chunk (RGB triples), indices packed MSB-first at the depth, and
+    * per-row filtering at one-byte distance with the filter type from
+    * `filterFor(row)` — the exact write-side counterpart of
+    * [[pngPixelBytes]]'s palette path.
+    */
+  def synthPngPal(width: Int, height: Int, depth: Int,
+      paletteRgb: Array[Int], indices: Array[Int],
+      filterFor: Int => Int): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8,
+      s"palette depth must be 1/2/4/8: $depth")
+    val np = paletteRgb.length / 3
+    require(paletteRgb.length == 3 * np && np >= 1 && np <= (1 << depth),
+      s"palette must be 3*np RGB values with np <= 2^$depth")
+    require(indices.length == width * height,
+      s"need $width*$height indices, got ${indices.length}")
+    val stride = (width * depth + 7) / 8
+    val raw = new Array[Byte]((stride + 1) * height)
+    val packed = new Array[Byte](stride) // current row, unfiltered
+    val prevRow = new Array[Byte](stride)
+    var row = 0
+    while (row < height) {
+      java.util.Arrays.fill(packed, 0.toByte)
+      var x = 0
+      while (x < width) {
+        val idx = indices(row * width + x)
+        require(idx >= 0 && idx < np, s"index $idx out of palette range")
+        val bit = x * depth
+        packed(bit >> 3) =
+          (packed(bit >> 3) | (idx << (8 - depth - (bit & 7)))).toByte
+        x += 1
+      }
+      val ft = filterFor(row)
+      require(ft >= 0 && ft <= 4, s"filter type must be 0..4: $ft")
+      raw(row * (stride + 1)) = ft.toByte
+      var k = 0
+      while (k < stride) {
+        val v = u8(packed, k)
+        val a = if (k >= 1) u8(packed, k - 1) else 0
+        val up = if (row > 0) u8(prevRow, k) else 0
+        val c = if (row > 0 && k >= 1) u8(prevRow, k - 1) else 0
+        val pred = (ft: @annotation.switch) match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) >> 1
+          case _ =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        raw(row * (stride + 1) + 1 + k) = (v - pred).toByte
+        k += 1
+      }
+      System.arraycopy(packed, 0, prevRow, 0, stride)
+      row += 1
+    }
+    val plte = new Array[Byte](3 * np)
+    for (i <- plte.indices) plte(i) = (paletteRgb(i) & 0xFF).toByte
+    pngAssemble(width, height, depth, 3, raw, Seq("PLTE" -> plte))
+  }
+
+  /** Valid 16-bit grayscale PNG (color type 0): sample `i`'s 16-bit
+    * value is `hi(i)·256 + lo(i)` big-endian, filtered per row at the
+    * 2-byte distance — write-side proof the decoder reads the HIGH
+    * byte of 16-bit samples.
+    */
+  def synthPngGray16(width: Int, height: Int, hi: Array[Byte],
+      lo: Array[Byte], filterFor: Int => Int): Array[Byte] = {
+    require(hi.length == width * height && lo.length == width * height,
+      s"need $width*$height hi and lo bytes")
+    val stride = width * 2
+    val raw = new Array[Byte]((stride + 1) * height)
+    var row = 0
+    while (row < height) {
+      val ft = filterFor(row)
+      require(ft >= 0 && ft <= 4, s"filter type must be 0..4: $ft")
+      raw(row * (stride + 1)) = ft.toByte
+      var k = 0
+      while (k < stride) {
+        def sample(r: Int, kk: Int): Int = {
+          val p = r * width + kk / 2
+          if (kk % 2 == 0) u8(hi, p) else u8(lo, p)
+        }
+        val v = sample(row, k)
+        val a = if (k >= 2) sample(row, k - 2) else 0
+        val up = if (row > 0) sample(row - 1, k) else 0
+        val c = if (row > 0 && k >= 2) sample(row - 1, k - 2) else 0
+        val pred = (ft: @annotation.switch) match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) >> 1
+          case _ =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        raw(row * (stride + 1) + 1 + k) = (v - pred).toByte
+        k += 1
+      }
+      row += 1
+    }
+    pngAssemble(width, height, 16, 0, raw, Seq.empty)
+  }
 
   // --- real TIFF pixel decode: IFD walk + uncompressed strips --------
   // Baseline TIFF (the scanned-document format) at 8-bit gray/RGB with
@@ -2373,10 +2555,10 @@ object Containers {
   def unsupportedImageProfile(b: Array[Byte], fmt: String): Boolean = try {
     fmt match {
       case "png" =>
-        // IHDR fields at fixed offsets: depth@24, color@25, interlace@28
-        b.length >= 29 && (u8(b, 24) != 8 ||
-          !(u8(b, 25) == 0 || u8(b, 25) == 2 || u8(b, 25) == 6) ||
-          u8(b, 28) != 0)
+        // interlace@28: Adam7 is the one remaining profile gap (all
+        // spec-valid depth/color combos now decode; invalid combos or
+        // a missing PLTE are corruption, not profile)
+        b.length >= 29 && u8(b, 28) != 0
       case "jpeg" =>
         // walk to the frame marker: non-SOF0 frames (progressive SOF2,
         // arithmetic SOF9, …) or sampling factors above 2 are profile

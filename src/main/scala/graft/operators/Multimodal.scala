@@ -244,11 +244,12 @@ object Multimodal {
 
   /** Deterministic decode-forensics corpus planting one failure class
     * per `id mod 6` residue: 0 → valid BMP (`ok`), 1 → valid PNG
-    * (`ok`), 2 → PNG patched to 16-bit depth (`unsupported_profile`),
-    * 3 → PNG truncated mid-IDAT (`corrupt`), 4 → magic-free garbage
-    * bytes (`unknown_container`; the `id·7 + j·13` generator provably
-    * never forms a known magic), 5 → baseline JPEG with its SOF0
-    * marker rewritten to progressive SOF2 (`unsupported_profile`).
+    * (`ok`), 2 → PNG patched to Adam7 interlacing
+    * (`unsupported_profile`), 3 → PNG truncated mid-IDAT (`corrupt`),
+    * 4 → magic-free garbage bytes (`unknown_container`; the
+    * `id·7 + j·13` generator provably never forms a known magic),
+    * 5 → baseline JPEG with its SOF0 marker rewritten to progressive
+    * SOF2 (`unsupported_profile`).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -260,7 +261,7 @@ object Multimodal {
       val blob = (id % 6) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
-        case 2 => val p = png; p(24) = 16.toByte; p // IHDR bit depth
+        case 2 => val p = png; p(28) = 1.toByte; p // IHDR interlace: Adam7
         case 3 => png.dropRight(20) // cuts IEND + the IDAT tail
         case 4 => Array.tabulate(64 + (id % 32).toInt)(j =>
           ((id * 7 + j * 13) % 256).toByte)
@@ -464,6 +465,37 @@ object Multimodal {
         Array.tabulate(w * h * ch)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
       MediaFile(id, "image",
         Containers.synthPng(w, h, colorType, samples, row => row % 5))
+    })
+  }
+
+  /** Deterministic palette-PNG corpus: image `id` is `8+id%9 × 8+id%7`
+    * indexed at depth `1/2/4/8` (cycling `id%4`) over a full
+    * `2^depth`-entry PLTE whose entry `j` is
+    * `((j·41+7)%256, (j·73+11)%256, (j·97+13)%256)` RGB; pixel `i`'s
+    * index is `(id·31 + i·7) mod np` and the row filter cycles
+    * `row mod 5` — decode must inflate, unfilter at one-byte distance,
+    * unpack MSB-first sub-byte indices, and resolve a real PLTE to
+    * reproduce the oracle's palette arithmetic. (Palette PNGs are the
+    * screenshot/diagram half of real web image corpora.)
+    */
+  def demoPngPalCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      val depth = 1 << (id % 4).toInt // 1 / 2 / 4 / 8
+      val np = 1 << depth             // 2 / 4 / 16 / 256
+      val pal = Array.tabulate(3 * np) { i =>
+        val j = i / 3
+        (i % 3) match {
+          case 0 => (j * 41 + 7) % 256
+          case 1 => (j * 73 + 11) % 256
+          case _ => (j * 97 + 13) % 256
+        }
+      }
+      val idx = Array.tabulate(w * h)(i => ((id * 31 + i.toLong * 7) % np).toInt)
+      MediaFile(id, "image",
+        Containers.synthPngPal(w, h, depth, pal, idx, row => row % 5))
     })
   }
 

@@ -227,6 +227,22 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // REAL palette-PNG decode — the screenshot/diagram half of web
+    // image corpora: inflate + one-byte-distance unfilter + MSB-first
+    // sub-byte index unpacking (depths 1/2/4/8) + PLTE resolution.
+    // The oracle replays the palette arithmetic like the GIF/BMP
+    // indexed queries; the Spark side must earn it through the real
+    // chunk walk and bit unpacking.
+    "multimodal_png_palette" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoPngPalCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.pixelStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // Decode-loss forensics: classify every payload as ok / empty /
     // unknown_container / not_image / unsupported_profile / corrupt
     // and count by (container, reason) — the observability layer that
@@ -1145,6 +1161,24 @@ object FrontierQueries {
         |  sum(rs)::BIGINT AS c0_sum, sum(gs)::BIGINT AS c1_sum,
         |  sum(bs)::BIGINT AS c2_sum
         |FROM p GROUP BY doc_id, bw, bh ORDER BY media_id""".stripMargin,
+
+    // Replays the palette-PNG generator: np = 2^(2^(id%4)) capped by
+    // construction at 256; channel c of PLTE entry j is
+    // (j*{41,73,97} + {7,11,13}) % 256 in R,G,B order.
+    "multimodal_png_palette" ->
+      """WITH m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |    CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 16
+        |      ELSE 256 END AS np
+        |  FROM documents)
+        |SELECT doc_id AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  (w*h)::BIGINT AS n_pixels,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> (((doc_id*31 + i*7) % np) * 41 + 7) % 256))::BIGINT AS c0_sum,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> (((doc_id*31 + i*7) % np) * 73 + 11) % 256))::BIGINT AS c1_sum,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> (((doc_id*31 + i*7) % np) * 97 + 13) % 256))::BIGINT AS c2_sum
+        |FROM m ORDER BY media_id""".stripMargin,
 
     // Replays the planted-failure generator: each id%6 residue maps to
     // a fixed (container, reason) pair.

@@ -252,6 +252,60 @@ class InteropSpec extends AnyFunSuite {
       s"vs JDK decode of the same file: max=$maxDiff mean=$meanDiff")
   }
 
+  test("png: JDK palette and 16-bit-gray PNGs decode; synths are JDK-readable") {
+    // JDK-written 8-bit palette PNG (TYPE_BYTE_INDEXED) → our decoder
+    val w = 33; val h = 21
+    val r = Array.tabulate(256)(j => ((j * 41 + 7) % 256).toByte)
+    val g = Array.tabulate(256)(j => ((j * 73 + 11) % 256).toByte)
+    val b = Array.tabulate(256)(j => ((j * 97 + 13) % 256).toByte)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED,
+      new IndexColorModel(8, 256, r, g, b))
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 13) % 256)
+    val png = writeBytes(img, "png")
+    val px = Containers.pngPixelBytes(png)
+    assert(px != null, "decoder rejected a JDK palette PNG")
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      assert(rgbOf(img, x, y) ==
+        (px(d) & 0xFF, px(d + 1) & 0xFF, px(d + 2) & 0xFF), s"pal ($x,$y)")
+    }
+    // our palette synth at sub-byte depth → JDK decoder
+    val pal4 = Array.tabulate(3 * 16)(i => (i * 31 + 5) % 256)
+    val idx4 = Array.tabulate(w * h)(i => (i * 11 + 2) % 16)
+    val mine4 = Containers.synthPngPal(w, h, 4, pal4, idx4, _ % 5)
+    val ref4 = readImg(mine4)
+    assert(ref4 != null, "JDK decoder rejected a depth-4 palette synth")
+    for (y <- 0 until h; x <- 0 until w) {
+      val j = idx4(y * w + x)
+      assert(rgbOf(ref4, x, y) ==
+        (pal4(3 * j), pal4(3 * j + 1), pal4(3 * j + 2)), s"pal4 ($x,$y)")
+    }
+    // JDK-written 16-bit gray (TYPE_USHORT_GRAY) → our decoder reads
+    // the high byte of each big-endian sample
+    val img16 = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img16.getRaster.setSample(x, y, 0, ((x * 257 + y * 1031) * 97) % 65536)
+    val png16 = writeBytes(img16, "png")
+    val px16 = Containers.pngPixelBytes(png16)
+    assert(px16 != null, "decoder rejected a JDK 16-bit gray PNG")
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect = img16.getRaster.getSample(x, y, 0) >> 8
+      assert((px16((y * w + x) * 3) & 0xFF) == expect, s"16-bit ($x,$y)")
+    }
+    // our 16-bit synth → JDK decoder returns the full 16-bit samples
+    val hi = Array.tabulate(w * h)(i => ((i * 13 + 1) % 256).toByte)
+    val lo = Array.tabulate(w * h)(i => ((i * 91 + 7) % 256).toByte)
+    val mine16 = Containers.synthPngGray16(w, h, hi, lo, _ % 5)
+    val ref16 = readImg(mine16)
+    assert(ref16 != null && ref16.getType == BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = y * w + x
+      assert(ref16.getRaster.getSample(x, y, 0) ==
+        ((hi(p) & 0xFF) << 8 | (lo(p) & 0xFF)), s"16rt ($x,$y)")
+    }
+  }
+
   test("bmp: JDK-encoded BMP decodes; synthBmp24 is JDK-readable") {
     val w = 37; val h = 23 // odd width: row padding in play
     val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)

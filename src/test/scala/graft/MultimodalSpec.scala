@@ -48,6 +48,51 @@ class MultimodalSpec extends SparkSpec {
     for (p <- 0 until 20; c <- 0 until 3) assert(adec(3 * p + c) == rgba(4 * p + c))
   }
 
+  test("png: palette depths 1/2/4/8, 16-bit gray, and gray+alpha decode") {
+    // palette at every depth, odd width (sub-byte row padding in play)
+    val w = 11; val h = 6
+    for (depth <- Seq(1, 2, 4, 8)) {
+      val np = 1 << depth
+      val pal = Array.tabulate(3 * np)(i => (i * 37 + 5) % 256)
+      val idx = Array.tabulate(w * h)(i => (i * 7 + 3) % np)
+      val png = Containers.synthPngPal(w, h, depth, pal, idx, _ % 5)
+      val px = Containers.pngPixelBytes(png)
+      assert(px != null, s"depth $depth")
+      for (p <- 0 until w * h; c <- 0 until 3)
+        assert((px(3 * p + c) & 0xFF) == pal(3 * idx(p) + c),
+          s"depth $depth pixel $p ch $c")
+    }
+    // out-of-palette index degrades to null (np < 2^depth)
+    val smallPal = Array.tabulate(3 * 3)(i => i * 11 % 256) // 3 entries at depth 4
+    val badIdx = Array.fill(4 * 4)(2)
+    val okPng = Containers.synthPngPal(4, 4, 4, smallPal, badIdx, _ => 0)
+    assert(Containers.pngPixelBytes(okPng) != null)
+    // patch a packed index nibble beyond np: find IDAT, too fiddly —
+    // instead drop PLTE to prove the missing-palette degrade
+    val noPlte = {
+      val p = okPng
+      // PLTE chunk: after 8-sig + 25-IHDR; length 9 + 12 overhead
+      p.take(33) ++ p.drop(33 + 12 + 9)
+    }
+    assert(Containers.pngPixelBytes(noPlte) == null)
+    // 16-bit gray: the HIGH byte is the 8-bit sample; low byte ignored
+    val hi = Array.tabulate(w * h)(i => ((i * 13 + 1) % 256).toByte)
+    val lo = Array.tabulate(w * h)(i => ((i * 91 + 7) % 256).toByte)
+    val png16 = Containers.synthPngGray16(w, h, hi, lo, _ % 5)
+    val px16 = Containers.pngPixelBytes(png16)
+    assert(px16 != null)
+    for (p <- 0 until w * h; c <- 0 until 3)
+      assert(px16(3 * p + c) == hi(p), s"16-bit pixel $p")
+    // gray+alpha (color type 4): gray kept, alpha dropped
+    val ga = Array.tabulate(w * h * 2)(i =>
+      (if (i % 2 == 0) (i * 5) % 256 else 200).toByte)
+    val png4 = Containers.synthPng(w, h, 4, ga, _ % 5)
+    val px4 = Containers.pngPixelBytes(png4)
+    assert(px4 != null)
+    for (p <- 0 until w * h; c <- 0 until 3)
+      assert(px4(3 * p + c) == ga(2 * p), s"gray+alpha pixel $p")
+  }
+
   test("png decode degrades to null on corrupt or unsupported inputs") {
     val px = Array.tabulate(4 * 3 * 3)(i => (i * 19 % 256).toByte)
     val png = Containers.synthPng(4, 3, px, _ => 4)
@@ -447,9 +492,13 @@ class MultimodalSpec extends SparkSpec {
       == "unknown_container")
     assert(Multimodal.imageDecodeErr(
       Containers.synthWav(8000, 1, 16, new Array[Byte](32))) == "not_image")
-    // profile gaps vs corruption on the SAME container type
+    // profile gaps vs corruption on the SAME container type: Adam7 is
+    // the remaining PNG gap; a 16-bit depth patch over 8-bit data is
+    // short-IDAT corruption now that 16-bit itself decodes
+    val adam7 = png.clone(); adam7(28) = 1.toByte
+    assert(Multimodal.imageDecodeErr(adam7) == "unsupported_profile")
     val deep = png.clone(); deep(24) = 16.toByte
-    assert(Multimodal.imageDecodeErr(deep) == "unsupported_profile")
+    assert(Multimodal.imageDecodeErr(deep) == "corrupt")
     assert(Multimodal.imageDecodeErr(png.dropRight(20)) == "corrupt")
     // progressive JPEG is a profile gap; a truncated baseline is corrupt
     val jpg = Containers.synthJpegGray(16, 8, (bx, _) => 50 + bx)
