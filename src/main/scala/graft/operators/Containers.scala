@@ -1950,11 +1950,12 @@ object Containers {
   // Baseline sequential JPEG (SOF0) needs no codec library either: the
   // entropy layer is canonical Huffman (ITU T.81 §F.2), the transform
   // is an 8×8 IDCT, both implementable in plain JVM arithmetic.
-  // Supported profile: 8-bit baseline, 1 component (grayscale) or
-  // 3 components (YCbCr) with sampling factors 1–2 per axis — 4:4:4,
-  // 4:2:2, 4:4:0, and the 4:2:0 virtually all real color JPEGs use —
-  // with optional restart intervals. Progressive (SOF2) and
-  // arithmetic coding degrade to null.
+  // Supported profile: 8-bit baseline (SOF0) AND progressive (SOF2,
+  // via [[jpegProgressive]]), 1 component (grayscale) or 3 components
+  // (YCbCr) with sampling factors 1–2 per axis — 4:4:4, 4:2:2, 4:4:0,
+  // and the 4:2:0 virtually all real color JPEGs use — with optional
+  // restart intervals. Arithmetic coding and hierarchical/lossless
+  // frames degrade to null.
 
   /** Zig-zag index → natural (row-major) index, ITU T.81 Figure A.6. */
   private val ZigZag: Array[Int] = Array(
@@ -2070,7 +2071,8 @@ object Containers {
               // ONE block regardless of declared sampling factors
               compH(0) = 1; compV(0) = 1
             }
-          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+          case 0xC2 => return jpegProgressive(b)   // progressive: own path
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
               0xCB | 0xCD | 0xCE | 0xCF =>
             return null                            // non-baseline frame
           case 0xDD => restartInterval = beU16(b, ds)
@@ -2231,6 +2233,428 @@ object Containers {
     // component c comes from (x·h_c div Hmax, y·v_c div Vmax) — exact
     // for the block-constant oracle corpora; a production swap-in of
     // libjpeg's "fancy" triangle filter touches only this loop
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = (y * w + x) * 3
+        if (nComp == 1) {
+          val g = planes(0)(y * planeW(0) + x).toByte
+          out(d) = g; out(d + 1) = g; out(d + 2) = g
+        } else {
+          val yy = planes(0)(
+            (y * compV(0) / vMaxS) * planeW(0) + x * compH(0) / hMaxS)
+          val cb = planes(1)(
+            (y * compV(1) / vMaxS) * planeW(1) + x * compH(1) / hMaxS) - 128
+          val cr = planes(2)(
+            (y * compV(2) / vMaxS) * planeW(2) + x * compH(2) / hMaxS) - 128
+          def cl(v: Double): Byte = {
+            val r = math.round(v).toInt
+            (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+          }
+          out(d) = cl(yy + 1.402 * cr)
+          out(d + 1) = cl(yy - 0.344136 * cb - 0.714136 * cr)
+          out(d + 2) = cl(yy + 1.772 * cb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  } catch {
+    case _: scala.util.control.ControlThrowable => null
+    case _: IndexOutOfBoundsException => null
+  }
+
+  /** Progressive (SOF2) JPEG decode — [[jpegPixelBytes]] dispatches
+    * here on a progressive frame marker; same supported sampling
+    * profile and degrade-don't-throw contract. Implements ITU T.81
+    * §G.1.2: DC first/refinement scans (interleaved or single-
+    * component), AC first/refinement scans (always single-component,
+    * EOB-run codes, the correction-bit algorithm), successive-
+    * approximation point transforms, DHT/DQT redefinition between
+    * scans, and restart resync — accumulating coefficients per
+    * component, then one dequantize + IDCT + upsample + BT.601
+    * reconstruction identical to the baseline path's.
+    */
+  private def jpegProgressive(b: Array[Byte]): Array[Byte] = try {
+    object Corrupt extends scala.util.control.ControlThrowable
+    val quant = new Array[Array[Int]](4)
+    val hCount = new Array[Array[Int]](8)
+    val hMin = new Array[Array[Int]](8); val hMax = new Array[Array[Int]](8)
+    val hValPtr = new Array[Array[Int]](8); val hVals = new Array[Array[Int]](8)
+    var w = 0; var h = 0; var nComp = 0
+    val compId = new Array[Int](3); val compQ = new Array[Int](3)
+    val compH = new Array[Int](3); val compV = new Array[Int](3)
+    var restartInterval = 0
+    // per-component coefficient store over the MCU-PADDED block grid,
+    // block-major, NATURAL coefficient order within each 64-slot block
+    var coefArrs: Array[Array[Int]] = null
+    var blocksW: Array[Int] = null
+    var nbW: Array[Int] = null; var nbH: Array[Int] = null // actual grids
+    var hMaxS = 1; var vMaxS = 1; var mcuCols = 0; var mcuRows = 0
+
+    var pos = 2 // past SOI (caller verified the magic)
+
+    // ---- entropy bit reader (scan-scoped state) ----------------------
+    var bitBuf = 0; var bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= b.length) throw Corrupt
+        var v = u8(b, pos); pos += 1
+        if (v == 0xFF) {
+          val m = if (pos < b.length) u8(b, pos) else -1
+          if (m == 0x00) pos += 1
+          else throw Corrupt // marker mid-unit
+        }
+        bitBuf = v; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    def decodeHuff(key: Int): Int = {
+      if (hVals(key) == null) throw Corrupt
+      var code = nextBit(); var l = 1
+      while (l <= 16 && (hCount(key)(l) == 0 || code > hMax(key)(l))) {
+        code = (code << 1) | nextBit(); l += 1
+      }
+      if (l > 16) throw Corrupt
+      hVals(key)(hValPtr(key)(l) + code - hMin(key)(l))
+    }
+
+    // scan-local Huffman table selections, set by each SOS
+    val compDcT = new Array[Int](3); val compAcT = new Array[Int](3)
+
+    // ---- one scan ----------------------------------------------------
+    def decodeScan(scanComps: Array[Int], ss: Int, se: Int,
+        ah: Int, al: Int): Unit = {
+      val ns = scanComps.length
+      if (ss == 0 && se != 0) throw Corrupt  // DC scan must be DC-only
+      if (ss > 0 && ns != 1) throw Corrupt   // AC scans are single-comp
+      if (ss > 63 || se > 63 || se < ss || al > 13) throw Corrupt
+      bitBuf = 0; bitCnt = 0
+      val pred = new Array[Int](3)
+      var eobrun = 0
+      var unit = 0
+      def restartCheck(): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          bitCnt = 0
+          if (pos + 2 > b.length || u8(b, pos) != 0xFF) throw Corrupt
+          val m = u8(b, pos + 1)
+          if (m < 0xD0 || m > 0xD7) throw Corrupt
+          pos += 2
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+      val p1 = 1 << al
+      val m1 = -(1 << al)
+
+      def dcFirst(c: Int, off: Int): Unit = {
+        val s = decodeHuff((0 << 2) | compDcT(c))
+        if (s > 11) throw Corrupt
+        pred(c) += extend(receive(s), s)
+        coefArrs(c)(off) = pred(c) << al
+      }
+      def dcRefine(c: Int, off: Int): Unit =
+        if (nextBit() == 1) coefArrs(c)(off) |= p1
+
+      def acFirst(c: Int, off: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        val arr = coefArrs(c)
+        var k = ss
+        while (k <= se) {
+          val rs = decodeHuff((1 << 2) | compAcT(c))
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1 + (if (r > 0) receive(r) else 0)
+              return
+            }
+          } else {
+            k += r
+            if (k > se) throw Corrupt
+            arr(off + ZigZag(k)) = extend(receive(s), s) << al
+            k += 1
+          }
+        }
+      }
+
+      def acRefine(c: Int, off: Int): Unit = {
+        val arr = coefArrs(c)
+        var k = ss
+        // `eobrun` counts REMAINING blocks after the one that declared
+        // the run: a block entered inside a run consumes one; a block
+        // that DECLARES a run is already excluded at set time — both
+        // then sweep correction bits over their remaining band
+        var inEob = eobrun > 0
+        if (inEob) eobrun -= 1
+        else {
+          var broke = false
+          while (k <= se && !broke) {
+            val rs = decodeHuff((1 << 2) | compAcT(c))
+            var r = rs >> 4; val s = rs & 15
+            var value = 0
+            if (s == 0) {
+              if (r != 15) {
+                eobrun = (1 << r) - 1 + (if (r > 0) receive(r) else 0)
+                inEob = true; broke = true
+              }
+              // r == 15: ZRL — advance over 16 zero-history positions
+            } else {
+              if (s != 1) throw Corrupt
+              value = if (nextBit() == 1) p1 else m1
+            }
+            if (!broke) {
+              var placed = false
+              while (k <= se && !placed) {
+                val idx = off + ZigZag(k)
+                if (arr(idx) != 0) {
+                  if (nextBit() == 1 && (arr(idx) & p1) == 0)
+                    arr(idx) += (if (arr(idx) >= 0) p1 else m1)
+                  k += 1
+                } else {
+                  r -= 1
+                  if (r < 0) {
+                    if (value != 0) arr(idx) = value
+                    k += 1
+                    placed = true
+                  } else k += 1
+                }
+              }
+            }
+          }
+        }
+        if (inEob) {
+          // correction bits for every nonzero-history coef left in band
+          while (k <= se) {
+            val idx = off + ZigZag(k)
+            if (arr(idx) != 0 && nextBit() == 1 && (arr(idx) & p1) == 0)
+              arr(idx) += (if (arr(idx) >= 0) p1 else m1)
+            k += 1
+          }
+        }
+      }
+
+      if (ns > 1) {
+        // interleaved (DC) scan in MCU order
+        var my = 0
+        while (my < mcuRows) {
+          var mx = 0
+          while (mx < mcuCols) {
+            restartCheck()
+            for (c <- scanComps; bv <- 0 until compV(c);
+                 bh2 <- 0 until compH(c)) {
+              val bx = mx * compH(c) + bh2
+              val by = my * compV(c) + bv
+              val off = (by * blocksW(c) + bx) * 64
+              if (ah == 0) dcFirst(c, off) else dcRefine(c, off)
+            }
+            unit += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // single-component scan over the ACTUAL (non-padded) grid
+        val c = scanComps(0)
+        var by = 0
+        while (by < nbH(c)) {
+          var bx = 0
+          while (bx < nbW(c)) {
+            restartCheck()
+            val off = (by * blocksW(c) + bx) * 64
+            if (ss == 0) { if (ah == 0) dcFirst(c, off) else dcRefine(c, off) }
+            else if (ah == 0) acFirst(c, off)
+            else acRefine(c, off)
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    }
+
+    // ---- segment walk ------------------------------------------------
+    var sawEoi = false
+    while (!sawEoi && pos + 2 <= b.length) {
+      if (u8(b, pos) != 0xFF) throw Corrupt
+      val marker = u8(b, pos + 1)
+      if (marker == 0xFF) pos += 1
+      else if ((marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) pos += 2
+      else if (marker == 0xD9) sawEoi = true
+      else {
+        if (pos + 4 > b.length) throw Corrupt
+        val len = beU16(b, pos + 2)
+        if (len < 2 || pos + 2 + len > b.length) throw Corrupt
+        val ds = pos + 4; val de = pos + 2 + len
+        marker match {
+          case 0xDB =>
+            var p = ds
+            while (p < de) {
+              val pq = u8(b, p) >> 4; val tq = u8(b, p) & 15
+              if (tq > 3) throw Corrupt
+              val n = if (pq == 0) 64 else 128
+              if (p + 1 + n > de) throw Corrupt
+              quant(tq) = Array.tabulate(64)(i =>
+                if (pq == 0) u8(b, p + 1 + i) else beU16(b, p + 1 + 2 * i))
+              p += 1 + n
+            }
+            pos = de
+          case 0xC4 =>
+            var p = ds
+            while (p < de) {
+              val tc = u8(b, p) >> 4; val th = u8(b, p) & 15
+              if (tc > 1 || th > 3 || p + 17 > de) throw Corrupt
+              val counts = Array.tabulate(17)(i => if (i == 0) 0 else u8(b, p + i))
+              val total = counts.sum
+              if (p + 17 + total > de) throw Corrupt
+              val vals = Array.tabulate(total)(i => u8(b, p + 17 + i))
+              val mn = new Array[Int](17); val mx = new Array[Int](17)
+              val vp = new Array[Int](17)
+              var code = 0; var k = 0
+              for (l <- 1 to 16) {
+                mn(l) = code; vp(l) = k
+                code += counts(l); k += counts(l)
+                mx(l) = code - 1
+                code <<= 1
+              }
+              val key = (tc << 2) | th
+              hCount(key) = counts; hMin(key) = mn; hMax(key) = mx
+              hValPtr(key) = vp; hVals(key) = vals
+              p += 17 + total
+            }
+            pos = de
+          case 0xC2 =>
+            if (u8(b, ds) != 8) return null
+            h = beU16(b, ds + 1); w = beU16(b, ds + 3)
+            nComp = u8(b, ds + 5)
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return null
+            if (w.toLong * h * 3 > (1L << 30)) return null
+            for (c <- 0 until nComp) {
+              compId(c) = u8(b, ds + 6 + 3 * c)
+              val hv = u8(b, ds + 6 + 3 * c + 1)
+              compH(c) = hv >> 4; compV(c) = hv & 15
+              if (compH(c) < 1 || compH(c) > 2 ||
+                compV(c) < 1 || compV(c) > 2) return null
+              compQ(c) = u8(b, ds + 6 + 3 * c + 2)
+            }
+            if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+            hMaxS = (0 until nComp).map(compH).max
+            vMaxS = (0 until nComp).map(compV).max
+            mcuCols = (w + 8 * hMaxS - 1) / (8 * hMaxS)
+            mcuRows = (h + 8 * vMaxS - 1) / (8 * vMaxS)
+            blocksW = Array.tabulate(nComp)(c => mcuCols * compH(c))
+            val blocksHArr = Array.tabulate(nComp)(c => mcuRows * compV(c))
+            var bytes = 0L
+            for (c <- 0 until nComp)
+              bytes += blocksW(c).toLong * blocksHArr(c) * 64 * 4
+            if (bytes > (1L << 30)) return null
+            coefArrs = Array.tabulate(nComp)(c =>
+              new Array[Int](blocksW(c) * blocksHArr(c) * 64))
+            // actual (non-padded) per-component block grids
+            nbW = Array.tabulate(nComp)(c =>
+              ((w * compH(c) + hMaxS - 1) / hMaxS + 7) / 8)
+            nbH = Array.tabulate(nComp)(c =>
+              ((h * compV(c) + vMaxS - 1) / vMaxS + 7) / 8)
+            pos = de
+          case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+              0xCB | 0xCD | 0xCE | 0xCF =>
+            return null // a second, non-progressive frame: malformed
+          case 0xDD =>
+            restartInterval = beU16(b, ds); pos = de
+          case 0xDA =>
+            if (coefArrs == null) throw Corrupt // SOS before SOF2
+            val ns = u8(b, ds)
+            if (ns < 1 || ns > 3 || de < ds + 1 + 2 * ns + 3) throw Corrupt
+            val scanComps = new Array[Int](ns)
+            for (j <- 0 until ns) {
+              val id = u8(b, ds + 1 + 2 * j)
+              val c = (0 until nComp).find(compId(_) == id)
+                .getOrElse(throw Corrupt)
+              scanComps(j) = c
+              val tt = u8(b, ds + 2 + 2 * j)
+              compDcT(c) = tt >> 4; compAcT(c) = tt & 15
+            }
+            val ss = u8(b, ds + 1 + 2 * ns)
+            val se = u8(b, ds + 2 + 2 * ns)
+            val a = u8(b, ds + 3 + 2 * ns)
+            pos = de
+            decodeScan(scanComps, ss, se, a >> 4, a & 15)
+            // resync: byte-aligned skip to the next true marker
+            // (stuffed 0xFF00 and stray RSTs are scan residue)
+            var found = false
+            while (!found && pos + 1 < b.length) {
+              if (u8(b, pos) == 0xFF) {
+                val m = u8(b, pos + 1)
+                if (m != 0x00 && m != 0xFF && !(m >= 0xD0 && m <= 0xD7))
+                  found = true
+                else pos += (if (m == 0xFF) 1 else 2)
+              } else pos += 1
+            }
+            if (!found) throw Corrupt // ran out without EOI
+          case _ => pos = de // APPn / COM
+        }
+      }
+    }
+    if (coefArrs == null || w == 0) return null
+    for (c <- 0 until nComp) if (quant(compQ(c)) == null) return null
+
+    // ---- reconstruction: dequantize + IDCT + upsample + convert ------
+    val planeW = Array.tabulate(nComp)(c => blocksW(c) * 8)
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Int](planeW(c) * mcuRows * compV(c) * 8))
+    val coefNat = new Array[Int](64)
+    for (c <- 0 until nComp) {
+      val qtab = quant(compQ(c))
+      val arr = coefArrs(c)
+      val bwC = blocksW(c); val bhC = mcuRows * compV(c)
+      var by = 0
+      while (by < bhC) {
+        var bx = 0
+        while (bx < bwC) {
+          val off = (by * bwC + bx) * 64
+          var k = 0
+          while (k < 64) {
+            coefNat(ZigZag(k)) = arr(off + ZigZag(k)) * qtab(k)
+            k += 1
+          }
+          val plane = planes(c)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var sum = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  val f = coefNat(v * 8 + u)
+                  if (f != 0) sum += Cu(u) * Cu(v) * f * CosT(x)(u) * CosT(y)(v)
+                  u += 1
+                }
+                v += 1
+              }
+              val pix = math.round(sum / 4 + 128).toInt
+              plane((by * 8 + y) * planeW(c) + bx * 8 + x) =
+                if (pix < 0) 0 else if (pix > 255) 255 else pix
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -2579,7 +3003,7 @@ object Containers {
                 val isFrame = m >= 0xC0 && m <= 0xCF && m != 0xC4 &&
                   m != 0xC8 && m != 0xCC
                 if (isFrame) {
-                  if (m != 0xC0) res = true
+                  if (m != 0xC0 && m != 0xC2) res = true
                   else {
                     val ds = off + 4
                     val nc = if (ds + 5 < b.length) u8(b, ds + 5) else 0

@@ -248,8 +248,9 @@ object Multimodal {
     * (`unsupported_profile`), 3 → PNG truncated mid-IDAT (`corrupt`),
     * 4 → magic-free garbage bytes (`unknown_container`; the
     * `id·7 + j·13` generator provably never forms a known magic),
-    * 5 → baseline JPEG with its SOF0 marker rewritten to progressive
-    * SOF2 (`unsupported_profile`).
+    * 5 → baseline JPEG with its SOF0 marker rewritten to
+    * arithmetic-coded SOF9 (`unsupported_profile` — progressive SOF2
+    * now DECODES, so the plant uses the genuinely-unsupported frame).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -270,7 +271,7 @@ object Multimodal {
             (bx, by) => ((id * 31 + (by * 2 + bx) * 7) % 256).toInt)
           val sof = (0 until j.length - 1).indexWhere(i =>
             (j(i) & 0xFF) == 0xFF && (j(i + 1) & 0xFF) == 0xC0)
-          j(sof + 1) = 0xC2.toByte // progressive
+          j(sof + 1) = 0xC9.toByte // arithmetic-coded sequential
           j
       }
       MediaFile(id, "image", blob)

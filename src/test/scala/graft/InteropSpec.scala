@@ -306,6 +306,74 @@ class InteropSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg: JDK-encoded PROGRESSIVE streams decode (gray and color)") {
+    // the JDK JPEG writer emits real multi-scan progressive streams
+    // (spectral selection + successive approximation) — the profile
+    // ~1/5 of real web JPEGs use
+    def writeProgressive(img: BufferedImage): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      baos.toByteArray
+    }
+    def sofMarker(b: Array[Byte]): Int = {
+      var off = 2
+      while (true) {
+        val m = b(off + 1) & 0xFF
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+          return m
+        off += 2 + (((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF))
+      }
+      -1
+    }
+    val w = 64; val h = 48
+    // grayscale
+    val gimg = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gimg.getRaster.setSample(x, y, 0, (40 + 2 * x + y) % 256)
+    val gjpg = writeProgressive(gimg)
+    assert(sofMarker(gjpg) == 0xC2, "JDK did not write progressive")
+    val gpx = Containers.jpegPixelBytes(gjpg)
+    assert(gpx != null, "decoder rejected a JDK progressive gray JPEG")
+    val gref = readImg(gjpg)
+    var gmax = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      // compare RASTER samples: getRGB on TYPE_BYTE_GRAY applies a
+      // linear-gray→sRGB gamma map, which is display conversion, not
+      // what the JPEG stream encodes
+      val r = gref.getRaster.getSample(x, y, 0)
+      gmax = math.max(gmax, math.abs(r - (gpx((y * w + x) * 3) & 0xFF)))
+    }
+    assert(gmax <= 2, s"gray progressive: max delta $gmax vs JDK decoder")
+    // color (the writer subsamples + interleaves the DC scan)
+    val cimg = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      cimg.setRGB(x, y, ((60 + 2 * x) << 16) | ((40 + 2 * y) << 8) | 120)
+    val cjpg = writeProgressive(cimg)
+    assert(sofMarker(cjpg) == 0xC2)
+    val cpx = Containers.jpegPixelBytes(cjpg)
+    assert(cpx != null, "decoder rejected a JDK progressive color JPEG")
+    val cref = readImg(cjpg)
+    var cmax = 0; var csum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      val (r, g, bb) = rgbOf(cref, x, y)
+      val dr = math.abs(r - (cpx(d) & 0xFF))
+      val dg = math.abs(g - (cpx(d + 1) & 0xFF))
+      val db = math.abs(bb - (cpx(d + 2) & 0xFF))
+      cmax = math.max(cmax, math.max(dr, math.max(dg, db)))
+      csum += dr + dg + db
+    }
+    val cmean = csum.toDouble / (w * h * 3)
+    assert(cmax <= 12 && cmean <= 2.0,
+      s"color progressive: max=$cmax mean=$cmean vs JDK decoder")
+  }
+
   test("bmp: JDK-encoded BMP decodes; synthBmp24 is JDK-readable") {
     val w = 37; val h = 23 // odd width: row padding in play
     val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)

@@ -457,9 +457,13 @@ class MultimodalSpec extends SparkSpec {
         (c(j) & 0xFF) == 0xFF && find(c(j + 1) & 0xFF)).get
       c(at(i)) = v; c
     }
-    // SOF0 → SOF2 (progressive): unsupported profile.
+    // SOF0 → SOF2 with a baseline Ss=0..63 scan: an INVALID progressive
+    // stream (DC scans must be DC-only) — degrades, not misdecodes.
     assert(Containers.jpegPixelBytes(
       patched(_ == 0xC0, _ + 1, 0xC2.toByte)) == null)
+    // SOF0 → SOF9 (arithmetic coding): unsupported profile.
+    assert(Containers.jpegPixelBytes(
+      patched(_ == 0xC0, _ + 1, 0xC9.toByte)) == null)
     // 3×1 sampling: outside the 1–2 profile (hv byte: FF C0 len2
     // prec1 h2 w2 n1 id1 → +11).
     assert(Containers.jpegPixelBytes(
@@ -500,12 +504,13 @@ class MultimodalSpec extends SparkSpec {
     val deep = png.clone(); deep(24) = 16.toByte
     assert(Multimodal.imageDecodeErr(deep) == "corrupt")
     assert(Multimodal.imageDecodeErr(png.dropRight(20)) == "corrupt")
-    // progressive JPEG is a profile gap; a truncated baseline is corrupt
+    // arithmetic-coded JPEG is a profile gap; a truncated baseline is
+    // corrupt (progressive SOF2 decodes now, so it is no longer one)
     val jpg = Containers.synthJpegGray(16, 8, (bx, _) => 50 + bx)
     val sof = (0 until jpg.length - 1).indexWhere(i =>
       (jpg(i) & 0xFF) == 0xFF && (jpg(i + 1) & 0xFF) == 0xC0)
-    val prog = jpg.clone(); prog(sof + 1) = 0xC2.toByte
-    assert(Multimodal.imageDecodeErr(prog) == "unsupported_profile")
+    val arith = jpg.clone(); arith(sof + 1) = 0xC9.toByte
+    assert(Multimodal.imageDecodeErr(arith) == "unsupported_profile")
     assert(Multimodal.imageDecodeErr(jpg.dropRight(4)) == "corrupt")
     // JPEG-in-TIFF is a profile gap; a bad strip count is corrupt
     val tif = Containers.synthTiff(6, 5, 3,
