@@ -2912,12 +2912,17 @@ object Containers {
   }
 
   /** Decode a WAV's `data` chunk into signed 16-bit samples. Format
-    * codes: 1 (PCM, 16-bit s16le), 7 (G.711 μ-law, 8-bit) and 6
-    * (G.711 A-law, 8-bit) — the compressed telephony formats expand
-    * through the real ITU G.711 segment arithmetic
-    * ([[ulawToLinear]]/[[alawToLinear]]). Anything else null — same
-    * degrade-don't-throw posture as the header parsers. Walks chunks,
-    * so LIST/JUNK prefixes and trailing metadata chunks are handled.
+    * codes: 1 (integer PCM at 8-bit unsigned, 16-bit s16le, 24-bit
+    * s24le, or 32-bit s32le — wider depths keep their top 16 bits,
+    * 8-bit recenters and scales up), 3 (IEEE float32, scaled by 2¹⁵
+    * and clamped), 7 (G.711 μ-law) and 6 (G.711 A-law) — the
+    * telephony formats expand through the real ITU segment arithmetic
+    * ([[ulawToLinear]]/[[alawToLinear]]). WAVE_FORMAT_EXTENSIBLE
+    * (0xFFFE) resolves its REAL code from the SubFormat GUID's first
+    * two bytes — the header shape most multi-channel/high-depth
+    * writers emit. Anything else null — same degrade-don't-throw
+    * posture as the header parsers. Walks chunks, so LIST/JUNK
+    * prefixes and trailing metadata chunks are handled.
     */
   def wavSamples(b: Array[Byte]): Array[Short] = {
     if (!(b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"))
@@ -2925,9 +2930,20 @@ object Containers {
     // the format CODE, which MediaHeader doesn't carry
     val fi = findWavFmt(b)
     if (fi < 0) return null
-    val fmtCode = leU16(b, fi + 8); val bits = leU16(b, fi + 22)
+    val rawCode = leU16(b, fi + 8); val bits = leU16(b, fi + 22)
+    val fmtSize = leU32(b, fi + 4)
+    // extensible: the real code is the SubFormat GUID's data1 (fmt
+    // data offset 24 = 16 base + cbSize 2 + validBits 2 + mask 4)
+    val fmtCode =
+      if (rawCode != 0xFFFE) rawCode
+      else if (fmtSize >= 40L && fi + 8 + 24 + 2 <= b.length) leU16(b, fi + 8 + 24)
+      else return null // extensible header too short for its SubFormat
     val mode = (fmtCode, bits) match {
+      case (1, 8)  => 3 // PCM u8 (unsigned by spec at this depth)
       case (1, 16) => 0 // PCM s16le
+      case (1, 24) => 4 // PCM s24le
+      case (1, 32) => 5 // PCM s32le
+      case (3, 32) => 6 // IEEE float32
       case (7, 8)  => 1 // μ-law
       case (6, 8)  => 2 // A-law
       case _       => return null
@@ -2939,30 +2955,66 @@ object Containers {
       val size = leU32(b, i + 4)
       if (id == "data") {
         val avail = math.min(size, b.length - (off + 8)) // truncated: take what's there
-        if (mode == 0) {
-          val n = (avail / 2).toInt
-          val out = new Array[Short](n)
-          var j = 0
-          while (j < n) {
-            out(j) = (u8(b, i + 8 + 2 * j) | (u8(b, i + 9 + 2 * j) << 8)).toShort
-            j += 1
-          }
-          return out
-        } else {
-          val n = avail.toInt
-          val out = new Array[Short](n)
-          var j = 0
-          while (j < n) {
-            val v = u8(b, i + 8 + j)
-            out(j) = (if (mode == 1) ulawToLinear(v) else alawToLinear(v)).toShort
-            j += 1
-          }
-          return out
+        val width = mode match {
+          case 0 => 2; case 4 => 3; case 5 | 6 => 4; case _ => 1
         }
+        val n = (avail / width).toInt
+        val out = new Array[Short](n)
+        var j = 0
+        while (j < n) {
+          val p = i + 8 + width * j
+          out(j) = (mode: @annotation.switch) match {
+            case 0 => (u8(b, p) | (u8(b, p + 1) << 8)).toShort
+            case 1 => ulawToLinear(u8(b, p)).toShort
+            case 2 => alawToLinear(u8(b, p)).toShort
+            case 3 => ((u8(b, p) - 128) << 8).toShort
+            case 4 => // s24le: arithmetic >> 8 keeps the top 16 bits
+              (((u8(b, p) | (u8(b, p + 1) << 8) | (u8(b, p + 2) << 16)) << 8) >> 16).toShort
+            case 5 => ((leS32(b, p)) >> 16).toShort
+            case _ =>
+              val f = java.lang.Float.intBitsToFloat(leS32(b, p))
+              val v = math.round(f * 32768.0f)
+              (if (v < -32768) -32768 else if (v > 32767) 32767 else v).toShort
+          }
+          j += 1
+        }
+        return out
       }
       off += 8L + size + (size & 1L)
     }
     null
+  }
+
+  /** Valid WAVE_FORMAT_EXTENSIBLE wrapper around `payload`: a 40-byte
+    * fmt chunk with code 0xFFFE, valid-bits/channel-mask fields, and
+    * the KSDATAFORMAT SubFormat GUID carrying the REAL format code in
+    * its first two bytes — the write-side counterpart of
+    * [[wavSamples]]'s extensible resolution.
+    */
+  def synthWavExtensible(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      payload: Array[Byte], subFormat: Int = 1): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + 40 + 8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(4 + 48 + 8 + payload.length)
+      .put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(40)
+      .putShort(0xFFFE.toShort)
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+      .putShort(22)                        // cbSize
+      .putShort(bitsPerSample.toShort)     // valid bits
+      .putInt(if (channels == 1) 0x4 else 0x3) // speaker mask
+      .putShort(subFormat.toShort).putShort(0) // GUID data1 = format code
+      .putShort(0)                             // data2
+      .putShort(0x10.toShort)                  // data3
+      .put(Array(0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+        .map(_.toByte))                        // data4 (KSDATAFORMAT)
+    out.put("data".getBytes).putInt(payload.length).put(payload)
+    out.array()
   }
 
   /** Whether a RECOGNIZED image container that failed to decode did so

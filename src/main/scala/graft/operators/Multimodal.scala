@@ -1040,6 +1040,52 @@ object Multimodal {
     })
   }
 
+  /** Deterministic PCM-depth corpus: clip `id` holds `300 + id%100`
+    * mono samples at 16 kHz, cycling the four integer-PCM container
+    * shapes real audio corpora ship (`id mod 4`): 0 → 8-bit unsigned
+    * (byte `(id·13 + j·37) % 256`, decoded as `(v−128)·256`),
+    * 1 → 16-bit s16le (`(id·13 + j·37) % 65536 − 32768`),
+    * 2 → 24-bit s24le (`(id·13 + j·37) % 2²⁴ − 2²³`, decoded by its
+    * top 16 bits = floor-division by 256), 3 → 16-bit inside a
+    * WAVE_FORMAT_EXTENSIBLE header (code 0xFFFE, real code in the
+    * SubFormat GUID). Decoding must dispatch on real fmt-chunk codes
+    * and widths to reproduce the oracle's arithmetic.
+    */
+  def demoPcmDepthCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (300 + id % 100).toInt
+      val blob = (id % 4) match {
+        case 0 =>
+          val bytes = Array.tabulate(n)(j => ((id * 13 + j.toLong * 37) % 256).toByte)
+          Containers.synthWav(16000, 1, 8, bytes)
+        case 2 =>
+          val bytes = new Array[Byte](3 * n)
+          var j = 0
+          while (j < n) {
+            val v = ((id * 13 + j.toLong * 37) % 16777216).toInt // stored LE
+            bytes(3 * j) = (v & 0xFF).toByte
+            bytes(3 * j + 1) = ((v >> 8) & 0xFF).toByte
+            bytes(3 * j + 2) = ((v >> 16) & 0xFF).toByte
+            j += 1
+          }
+          Containers.synthWav(16000, 1, 24, bytes)
+        case m =>
+          val bytes = new Array[Byte](2 * n)
+          var j = 0
+          while (j < n) {
+            val v = (((id * 13 + j.toLong * 37) % 65536) - 32768).toInt
+            bytes(2 * j) = (v & 0xFF).toByte
+            bytes(2 * j + 1) = ((v >> 8) & 0xFF).toByte
+            j += 1
+          }
+          if (m == 1) Containers.synthWav(16000, 1, 16, bytes)
+          else Containers.synthWavExtensible(16000, 1, 16, bytes)
+      }
+      MediaFile(id, "audio", blob)
+    })
+  }
+
   /** REAL sample decode: walk the RIFF chunks to `data`, reassemble
     * s16le samples (`Containers.wavSamples` — PCM s16le, or G.711
     * μ-law/A-law expanded through the ITU segment arithmetic), and

@@ -243,6 +243,21 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // REAL integer-PCM depth dispatch: 8-bit unsigned recentered,
+    // 16-bit s16le, 24-bit s24le kept to its top 16 bits, and a
+    // WAVE_FORMAT_EXTENSIBLE (0xFFFE) header whose true code lives in
+    // the SubFormat GUID — the fmt-chunk shapes real audio corpora
+    // actually ship. Oracle replays the per-depth arithmetic.
+    "multimodal_audio_pcm_depths" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoPcmDepthCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.audioStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // Decode-loss forensics: classify every payload as ok / empty /
     // unknown_container / not_image / unsupported_profile / corrupt
     // and count by (container, reason) — the observability layer that
@@ -1179,6 +1194,29 @@ object FrontierQueries {
         |  list_sum(list_transform(range(0, w*h),
         |    i -> (((doc_id*31 + i*7) % np) * 97 + 13) % 256))::BIGINT AS c2_sum
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // Replays the per-depth PCM arithmetic: 8-bit (v−128)·256, 16-bit
+    // v−32768, 24-bit signed floor-division by 256 (the top 16 bits);
+    // the extensible case (id%4=3) shares the 16-bit values.
+    "multimodal_audio_pcm_depths" ->
+      """WITH m AS (SELECT doc_id, 300 + doc_id % 100 AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN list_transform(range(0, n),
+        |        j -> ((doc_id*13 + j*37) % 256 - 128) * 256)
+        |      WHEN 2 THEN list_transform(range(0, n), j ->
+        |        (CASE WHEN (doc_id*13 + j*37) % 16777216 >= 8388608
+        |          THEN (doc_id*13 + j*37) % 16777216 - 16777216
+        |          ELSE (doc_id*13 + j*37) % 16777216 END) // 256)
+        |      ELSE list_transform(range(0, n),
+        |        j -> (doc_id*13 + j*37) % 65536 - 32768)
+        |    END AS vs
+        |  FROM m)
+        |SELECT doc_id AS media_id, 16000::BIGINT AS sample_rate,
+        |  n::BIGINT AS n_samples,
+        |  list_max(list_transform(vs, y -> abs(y)))::BIGINT AS peak_abs,
+        |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
+        |FROM s ORDER BY media_id""".stripMargin,
 
     // Replays the planted-failure generator: each id%6 residue maps to
     // a fixed (container, reason) pair.

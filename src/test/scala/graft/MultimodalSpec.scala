@@ -571,8 +571,8 @@ class MultimodalSpec extends SparkSpec {
     }
     val wav = Containers.synthWav(16000, 1, 16, bytes)
     assert(Containers.wavSamples(wav).toSeq == samples.toSeq)
-    // 8-bit WAVs and non-RIFF bytes → null
-    assert(Containers.wavSamples(Containers.synthWav(8000, 1, 8, bytes)) == null)
+    // unsupported depths (12-bit) and non-RIFF bytes → null
+    assert(Containers.wavSamples(Containers.synthWav(8000, 1, 12, bytes)) == null)
     assert(Containers.wavSamples("RIFFnope".getBytes) == null)
   }
 
@@ -697,6 +697,102 @@ class MultimodalSpec extends SparkSpec {
     val hostile = ("WARC/1.0\r\nWARC-Type: response\r\n" +
       "Content-Length: 9223372036854775707\r\n\r\n").getBytes("US-ASCII")
     assert(Containers.warcRecords(hostile) == null)
+  }
+
+  test("wav: PCM depths 8/24/32, float32, and extensible headers decode") {
+    val n = 64
+    // 8-bit unsigned: recentered and scaled
+    val u8s = Array.tabulate(n)(j => ((j * 37 + 5) % 256).toByte)
+    val w8 = Containers.wavSamples(Containers.synthWav(8000, 1, 8, u8s))
+    assert(w8 != null && w8.length == n)
+    for (j <- 0 until n) assert(w8(j) == (((u8s(j) & 0xFF) - 128) << 8).toShort)
+    // 24-bit: top 16 bits kept (arithmetic shift = floor)
+    val b24 = new Array[Byte](3 * n)
+    val v24 = Array.tabulate(n)(j => (j * 524287 + 12345) % (1 << 24))
+    for (j <- 0 until n) {
+      b24(3 * j) = (v24(j) & 0xFF).toByte
+      b24(3 * j + 1) = ((v24(j) >> 8) & 0xFF).toByte
+      b24(3 * j + 2) = ((v24(j) >> 16) & 0xFF).toByte
+    }
+    val w24 = Containers.wavSamples(Containers.synthWav(8000, 1, 24, b24))
+    assert(w24 != null && w24.length == n)
+    for (j <- 0 until n)
+      assert(w24(j) == (((v24(j) << 8) >> 16)).toShort, s"s24 $j")
+    // 32-bit s32le: top 16 bits
+    val b32 = java.nio.ByteBuffer.allocate(4 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val v32 = Array.tabulate(n)(j => j * 67108859 + 99)
+    v32.foreach(b32.putInt)
+    val w32 = Containers.wavSamples(Containers.synthWav(8000, 1, 32, b32.array()))
+    assert(w32 != null && w32.length == n)
+    for (j <- 0 until n) assert(w32(j) == (v32(j) >> 16).toShort, s"s32 $j")
+    // float32 (format 3): scaled by 2^15, clamped at full scale
+    val fb = java.nio.ByteBuffer.allocate(4 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(0.5f, -0.25f, 1.5f, -2.0f).foreach(fb.putFloat)
+    val wf = Containers.wavSamples(
+      Containers.synthWav(8000, 1, 32, fb.array(), format = 3))
+    assert(wf.toSeq == Seq[Short](16384, -8192, 32767, -32768))
+    // WAVE_FORMAT_EXTENSIBLE: real code resolved from the SubFormat GUID
+    val s16 = new Array[Byte](2 * n)
+    for (j <- 0 until n) {
+      val v = j * 1021 - 32000
+      s16(2 * j) = (v & 0xFF).toByte; s16(2 * j + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val ext = Containers.synthWavExtensible(16000, 1, 16, s16)
+    val we = Containers.wavSamples(ext)
+    assert(we != null && we.length == n)
+    for (j <- 0 until n) assert(we(j) == (j * 1021 - 32000).toShort, s"ext $j")
+    // extensible G.711 μ-law subformat also resolves
+    val ug = Array.tabulate(n)(j => ((j * 13) % 256).toByte)
+    val extU = Containers.synthWavExtensible(8000, 1, 8, ug, subFormat = 7)
+    val wu = Containers.wavSamples(extU)
+    assert(wu != null &&
+      wu.toSeq == ug.toSeq.map(v => Containers.ulawToLinear(v & 0xFF).toShort))
+  }
+
+  test("wav: javax.sound-written files decode (the JDK's own WAV writer)") {
+    import javax.sound.sampled._
+    def writeWav(fmt: AudioFormat, data: Array[Byte]): Array[Byte] = {
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt,
+        data.length / fmt.getFrameSize)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val n = 50
+    // 16-bit signed little-endian mono
+    val s16 = new Array[Byte](2 * n)
+    for (j <- 0 until n) {
+      val v = j * 1291 - 31000
+      s16(2 * j) = (v & 0xFF).toByte; s16(2 * j + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val wav16 = writeWav(new AudioFormat(16000f, 16, 1, true, false), s16)
+    val d16 = Containers.wavSamples(wav16)
+    assert(d16 != null && d16.length == n)
+    for (j <- 0 until n) assert(d16(j) == (j * 1291 - 31000).toShort)
+    // 8-bit unsigned mono
+    val u8d = Array.tabulate(n)(j => ((j * 31 + 7) % 256).toByte)
+    val wav8 = writeWav(new AudioFormat(8000f, 8, 1, false, false), u8d)
+    val d8 = Containers.wavSamples(wav8)
+    assert(d8 != null && d8.length == n)
+    for (j <- 0 until n) assert(d8(j) == (((u8d(j) & 0xFF) - 128) << 8).toShort)
+    // 24-bit signed little-endian mono
+    val s24 = new Array[Byte](3 * n)
+    for (j <- 0 until n) {
+      val v = (j * 524287 + 777) % (1 << 24)
+      s24(3 * j) = (v & 0xFF).toByte
+      s24(3 * j + 1) = ((v >> 8) & 0xFF).toByte
+      s24(3 * j + 2) = ((v >> 16) & 0xFF).toByte
+    }
+    val wav24 = writeWav(new AudioFormat(16000f, 24, 1, true, false), s24)
+    val d24 = Containers.wavSamples(wav24)
+    assert(d24 != null && d24.length == n)
+    for (j <- 0 until n) {
+      val v = (j * 524287 + 777) % (1 << 24)
+      assert(d24(j) == ((v << 8) >> 16).toShort, s"jdk s24 $j")
+    }
   }
 
   test("g711: ITU table landmarks and wav round-trip for both laws") {
