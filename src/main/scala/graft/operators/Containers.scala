@@ -419,8 +419,8 @@ object Containers {
   // codecs (DCT/entropy, H.26x) genuinely require one. Supported
   // profile: color types 0 (gray, depths 1/2/4/8/16), 2 (RGB, 8/16),
   // 3 (palette via PLTE, 1/2/4/8), 4 (gray+alpha, 8/16), and
-  // 6 (RGBA, 8/16), non-interlaced — together virtually every PNG in
-  // real web corpora except Adam7, which degrades to null.
+  // 6 (RGBA, 8/16), sequential AND Adam7-interlaced — the full
+  // spec-valid matrix real web corpora draw from.
 
   /** Decode a PNG into logical top-down 3-bytes-per-pixel rows (R,G,B
     * per pixel; grayscale replicated ×3 — sub-8-bit samples scaled by
@@ -470,7 +470,8 @@ object Containers {
       off += 12L + len // len + type + data + crc
     }
     if (!sawIhdr || w <= 0 || h <= 0 ||
-        compression != 0 || filterMethod != 0 || interlace != 0) return null
+        compression != 0 || filterMethod != 0 ||
+        (interlace != 0 && interlace != 1)) return null
     val spp = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return null
@@ -484,11 +485,23 @@ object Containers {
     if (!depthOk) return null
     if (colorType == 3 && (plte == null || plte.length < 3)) return null
     val np = if (plte == null) 0 else plte.length / 3
-    val stride = (w.toLong * spp * bitDepth + 7) / 8
     // filter distance in BYTES: ceil(depth/8)·spp, min 1 (sub-8 packs
     // multiple pixels per byte and filters at one-byte distance)
     val bpp = math.max(1, spp * bitDepth / 8)
-    val rawLen = (stride + 1L) * h
+    // Adam7 decodes as 7 independent sub-images placed on a step grid;
+    // non-interlaced is the single full-grid "pass". Passes with zero
+    // pixels contribute NO bytes (not even filter bytes), per spec.
+    val passGrid: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    // (x0, y0, dx, dy, wp, hp, strideBytes) for each non-empty pass
+    val passes = passGrid.map { case (x0, y0, dx, dy) =>
+      val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      (x0, y0, dx, dy, wp, hp, (wp.toLong * spp * bitDepth + 7) / 8)
+    }.filter(p => p._5 > 0 && p._6 > 0)
+    val rawLen = passes.map(p => (p._7 + 1L) * p._6).sum
     if (rawLen > (1L << 30) || w.toLong * h * 3 > (1L << 30)) return null
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
@@ -507,85 +520,93 @@ object Containers {
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    // Reverse the per-row filters. `prev` is the reconstructed row
-    // above (all zeros for row 0, per spec).
-    val strideI = stride.toInt
+    // Reverse the per-row filters pass by pass: each pass is an
+    // independent sub-image (its own stride; `prev` all zeros for its
+    // first row, per spec), whose pixel (p, row) lands on the output
+    // grid at (x0 + p·dx, y0 + row·dy).
     val out = new Array[Byte](w * h * 3)
-    val prev = new Array[Byte](strideI)
-    val cur = new Array[Byte](strideI)
+    val maxStride = passes.map(_._7).max.toInt
+    val prev = new Array[Byte](maxStride)
+    val cur = new Array[Byte](maxStride)
     // sub-8-bit gray scales to full range: 255/(2^d−1) is integral
     val grayScale = if (bitDepth < 8) 255 / ((1 << bitDepth) - 1) else 1
-    var row = 0
-    while (row < h) {
-      val base = row * (strideI + 1)
-      val ft = u8(raw, base)
-      System.arraycopy(raw, base + 1, cur, 0, strideI)
-      (ft: @annotation.switch) match {
-        case 0 => ()
-        case 1 => // Sub: + byte bpp to the left
-          var x = bpp
-          while (x < strideI) { cur(x) = (cur(x) + cur(x - bpp)).toByte; x += 1 }
-        case 2 => // Up: + byte above
-          var x = 0
-          while (x < strideI) { cur(x) = (cur(x) + prev(x)).toByte; x += 1 }
-        case 3 => // Average: + floor((left + above) / 2)
-          var x = 0
-          while (x < strideI) {
-            val a = if (x >= bpp) u8(cur, x - bpp) else 0
-            cur(x) = (u8(cur, x) + ((a + u8(prev, x)) >> 1)).toByte
-            x += 1
-          }
-        case 4 => // Paeth: + nearest of (left, above, upper-left) to p=a+b-c
-          var x = 0
-          while (x < strideI) {
-            val a = if (x >= bpp) u8(cur, x - bpp) else 0
-            val up = u8(prev, x)
-            val c = if (x >= bpp) u8(prev, x - bpp) else 0
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up)
-            val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
-            cur(x) = (u8(cur, x) + pred).toByte
-            x += 1
-          }
-        case _ => return null // invalid filter type
-      }
-      // emit as 3-byte pixels
-      val step = if (bitDepth == 16) 2 else 1 // high byte of 16-bit samples
-      var p = 0
-      while (p < w) {
-        val d = (row * w + p) * 3
-        if (bitDepth < 8) {
-          // MSB-first packed sample p of this row
-          val bit = p * bitDepth
-          val v = (u8(cur, bit >> 3) >> (8 - bitDepth - (bit & 7))) &
-            ((1 << bitDepth) - 1)
-          if (colorType == 3) {
-            if (v >= np) return null
-            out(d) = plte(3 * v); out(d + 1) = plte(3 * v + 1)
-            out(d + 2) = plte(3 * v + 2)
-          } else {
-            val g = (v * grayScale).toByte
-            out(d) = g; out(d + 1) = g; out(d + 2) = g
-          }
-        } else colorType match {
-          case 0 | 4 => // gray / gray+alpha (alpha dropped)
-            val g = cur(p * spp * step)
-            out(d) = g; out(d + 1) = g; out(d + 2) = g
-          case 3 =>
-            val v = u8(cur, p)
-            if (v >= np) return null
-            out(d) = plte(3 * v); out(d + 1) = plte(3 * v + 1)
-            out(d + 2) = plte(3 * v + 2)
-          case _ => // RGB / RGBA (alpha dropped)
-            out(d) = cur(p * spp * step)
-            out(d + 1) = cur((p * spp + 1) * step)
-            out(d + 2) = cur((p * spp + 2) * step)
+    val step = if (bitDepth == 16) 2 else 1 // high byte of 16-bit samples
+    var rawBase = 0
+    for ((x0, y0, dx, dy, wp, hp, strideL) <- passes) {
+      val strideI = strideL.toInt
+      java.util.Arrays.fill(prev, 0, strideI, 0.toByte)
+      var row = 0
+      while (row < hp) {
+        val base = rawBase + row * (strideI + 1)
+        val ft = u8(raw, base)
+        System.arraycopy(raw, base + 1, cur, 0, strideI)
+        (ft: @annotation.switch) match {
+          case 0 => ()
+          case 1 => // Sub: + byte bpp to the left
+            var x = bpp
+            while (x < strideI) { cur(x) = (cur(x) + cur(x - bpp)).toByte; x += 1 }
+          case 2 => // Up: + byte above
+            var x = 0
+            while (x < strideI) { cur(x) = (cur(x) + prev(x)).toByte; x += 1 }
+          case 3 => // Average: + floor((left + above) / 2)
+            var x = 0
+            while (x < strideI) {
+              val a = if (x >= bpp) u8(cur, x - bpp) else 0
+              cur(x) = (u8(cur, x) + ((a + u8(prev, x)) >> 1)).toByte
+              x += 1
+            }
+          case 4 => // Paeth: + nearest of (left, above, upper-left) to p=a+b-c
+            var x = 0
+            while (x < strideI) {
+              val a = if (x >= bpp) u8(cur, x - bpp) else 0
+              val up = u8(prev, x)
+              val c = if (x >= bpp) u8(prev, x - bpp) else 0
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up)
+              val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+              cur(x) = (u8(cur, x) + pred).toByte
+              x += 1
+            }
+          case _ => return null // invalid filter type
         }
-        p += 1
+        // emit as 3-byte pixels on the (possibly stepped) output grid
+        var p = 0
+        while (p < wp) {
+          val d = ((y0 + row * dy) * w + x0 + p * dx) * 3
+          if (bitDepth < 8) {
+            // MSB-first packed sample p of this row
+            val bit = p * bitDepth
+            val v = (u8(cur, bit >> 3) >> (8 - bitDepth - (bit & 7))) &
+              ((1 << bitDepth) - 1)
+            if (colorType == 3) {
+              if (v >= np) return null
+              out(d) = plte(3 * v); out(d + 1) = plte(3 * v + 1)
+              out(d + 2) = plte(3 * v + 2)
+            } else {
+              val g = (v * grayScale).toByte
+              out(d) = g; out(d + 1) = g; out(d + 2) = g
+            }
+          } else colorType match {
+            case 0 | 4 => // gray / gray+alpha (alpha dropped)
+              val g = cur(p * spp * step)
+              out(d) = g; out(d + 1) = g; out(d + 2) = g
+            case 3 =>
+              val v = u8(cur, p)
+              if (v >= np) return null
+              out(d) = plte(3 * v); out(d + 1) = plte(3 * v + 1)
+              out(d + 2) = plte(3 * v + 2)
+            case _ => // RGB / RGBA (alpha dropped)
+              out(d) = cur(p * spp * step)
+              out(d + 1) = cur((p * spp + 1) * step)
+              out(d + 2) = cur((p * spp + 2) * step)
+          }
+          p += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, strideI)
+        row += 1
       }
-      System.arraycopy(cur, 0, prev, 0, strideI)
-      row += 1
+      rawBase += (strideI + 1) * hp
     }
     out
   }
@@ -696,6 +717,85 @@ object Containers {
     sig ++ chunk("IHDR", ihdr) ++
       extraChunks.flatMap { case (t, d) => chunk(t, d) } ++
       chunk("IDAT", zBuf.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Valid Adam7-INTERLACED PNG at depth 8 (color types 0/2/4/6) from
+    * logical samples: pixels regrouped into the seven pass sub-images
+    * (empty passes wholly absent), each pass filtered independently
+    * with `filterFor(globalRow)` — the write-side counterpart of
+    * [[pngPixelBytes]]'s interlaced path.
+    */
+  def synthPngAdam7(width: Int, height: Int, colorType: Int,
+      samples: Array[Byte], filterFor: Int => Int): Array[Byte] = {
+    val ch = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => throw new IllegalArgumentException(
+        s"unsupported color type $colorType (use 0, 2, 4, or 6)")
+    }
+    require(samples.length == width * height * ch,
+      s"need $width*$height*$ch sample bytes, got ${samples.length}")
+    val grid = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val raw = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- grid) {
+      val wp = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val hp = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (wp > 0 && hp > 0) {
+        val stride = wp * ch
+        val prevRow = new Array[Byte](stride)
+        val curRow = new Array[Byte](stride)
+        for (row <- 0 until hp) {
+          var p = 0
+          while (p < wp) {
+            val src = ((y0 + row * dy) * width + x0 + p * dx) * ch
+            var c = 0
+            while (c < ch) { curRow(p * ch + c) = samples(src + c); c += 1 }
+            p += 1
+          }
+          val ft = filterFor(y0 + row * dy)
+          require(ft >= 0 && ft <= 4, s"filter type must be 0..4: $ft")
+          raw.write(ft)
+          var k = 0
+          while (k < stride) {
+            val v = u8(curRow, k)
+            val a = if (k >= ch) u8(curRow, k - ch) else 0
+            val up = if (row > 0) u8(prevRow, k) else 0
+            val cc = if (row > 0 && k >= ch) u8(prevRow, k - ch) else 0
+            val pred = (ft: @annotation.switch) match {
+              case 0 => 0
+              case 1 => a
+              case 2 => up
+              case 3 => (a + up) >> 1
+              case _ =>
+                val pp = a + up - cc
+                val pa = math.abs(pp - a); val pb = math.abs(pp - up)
+                val pc = math.abs(pp - cc)
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) up else cc
+            }
+            raw.write((v - pred) & 0xFF)
+            k += 1
+          }
+          System.arraycopy(curRow, 0, prevRow, 0, stride)
+        }
+      }
+    }
+    val full = pngAssembleInterlaced(width, height, 8, colorType,
+      raw.toByteArray)
+    full
+  }
+
+  /** [[pngAssemble]] with the IHDR interlace flag set to Adam7. */
+  private def pngAssembleInterlaced(width: Int, height: Int, bitDepth: Int,
+      colorType: Int, raw: Array[Byte]): Array[Byte] = {
+    val plain = pngAssemble(width, height, bitDepth, colorType, raw, Seq.empty)
+    // patch interlace byte (offset 28) and re-CRC the IHDR chunk
+    plain(28) = 1.toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(plain, 12, 4 + 13) // type + data
+    val v = crc.getValue.toInt
+    plain(29) = (v >> 24).toByte; plain(30) = (v >> 16).toByte
+    plain(31) = (v >> 8).toByte; plain(32) = v.toByte
+    plain
   }
 
   /** Valid palette PNG (color type 3) at depth 1/2/4/8: a real PLTE
@@ -3031,10 +3131,10 @@ object Containers {
   def unsupportedImageProfile(b: Array[Byte], fmt: String): Boolean = try {
     fmt match {
       case "png" =>
-        // interlace@28: Adam7 is the one remaining profile gap (all
-        // spec-valid depth/color combos now decode; invalid combos or
-        // a missing PLTE are corruption, not profile)
-        b.length >= 29 && u8(b, 28) != 0
+        // every spec-valid PNG profile (all depth/color combos,
+        // sequential and Adam7) now decodes — an undecodable PNG is
+        // corruption, never a profile gap
+        false
       case "jpeg" =>
         // walk to the frame marker: non-SOF0 frames (progressive SOF2,
         // arithmetic SOF9, …) or sampling factors above 2 are profile

@@ -244,13 +244,14 @@ object Multimodal {
 
   /** Deterministic decode-forensics corpus planting one failure class
     * per `id mod 6` residue: 0 → valid BMP (`ok`), 1 → valid PNG
-    * (`ok`), 2 → PNG patched to Adam7 interlacing
-    * (`unsupported_profile`), 3 → PNG truncated mid-IDAT (`corrupt`),
-    * 4 → magic-free garbage bytes (`unknown_container`; the
-    * `id·7 + j·13` generator provably never forms a known magic),
+    * (`ok`), 2 → TIFF with its Compression tag rewritten to
+    * JPEG-in-TIFF (`unsupported_profile`), 3 → PNG truncated mid-IDAT
+    * (`corrupt`), 4 → magic-free garbage bytes (`unknown_container`;
+    * the `id·7 + j·13` generator provably never forms a known magic),
     * 5 → baseline JPEG with its SOF0 marker rewritten to
     * arithmetic-coded SOF9 (`unsupported_profile` — progressive SOF2
-    * now DECODES, so the plant uses the genuinely-unsupported frame).
+    * and every PNG profile now DECODE, so the plants use genuinely
+    * unsupported features).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -262,7 +263,11 @@ object Multimodal {
       val blob = (id % 6) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
-        case 2 => val p = png; p(28) = 1.toByte; p // IHDR interlace: Adam7
+        case 2 =>
+          val t = Containers.synthTiff(w, h, 1,
+            Array.tabulate(w * h)(i => ((id * 31 + i.toLong * 7) % 256).toByte))
+          t(8 + 2 + 3 * 12 + 8) = 7 // Compression := JPEG-in-TIFF
+          t
         case 3 => png.dropRight(20) // cuts IEND + the IDAT tail
         case 4 => Array.tabulate(64 + (id % 32).toInt)(j =>
           ((id * 7 + j * 13) % 256).toByte)
@@ -450,10 +455,13 @@ object Multimodal {
     * types — `id mod 3` = 0 → grayscale (type 0), 1 → RGB (type 2),
     * 2 → RGBA (type 6) — with sample byte `i` of image `id` =
     * `(id*31 + i*7) mod 256` over `w·h·channels` samples and the row
-    * filter cycling `row mod 5`. Decoding must run inflate + unfilter
-    * at three different filter distances (bpp 1/3/4) AND apply the
+    * filter cycling `row mod 5`; odd ids store ADAM7-INTERLACED
+    * (seven independently-filtered pass sub-images). Decoding must
+    * run inflate + unfilter at three different filter distances
+    * (bpp 1/3/4), reassemble the interlace passes, AND apply the
     * gray-replicate / alpha-drop channel mapping to reproduce the
-    * oracle's arithmetic.
+    * oracle's arithmetic (pass order permutes pixels only, so the
+    * sums are storage-order-invariant).
     */
   def demoPngCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -464,8 +472,11 @@ object Multimodal {
       val ch = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
       val samples =
         Array.tabulate(w * h * ch)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
-      MediaFile(id, "image",
-        Containers.synthPng(w, h, colorType, samples, row => row % 5))
+      val blob =
+        if (id % 2 == 1)
+          Containers.synthPngAdam7(w, h, colorType, samples, row => row % 5)
+        else Containers.synthPng(w, h, colorType, samples, row => row % 5)
+      MediaFile(id, "image", blob)
     })
   }
 

@@ -1223,7 +1223,7 @@ object FrontierQueries {
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
         |    CASE doc_id % 6
-        |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'png'
+        |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' ELSE 'jpeg'
         |    END AS format,
         |    CASE doc_id % 6

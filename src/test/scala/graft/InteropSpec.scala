@@ -252,6 +252,20 @@ class InteropSpec extends AnyFunSuite {
       s"vs JDK decode of the same file: max=$maxDiff mean=$meanDiff")
   }
 
+  test("png: synthPngAdam7 interlaced output is readable by the JDK decoder") {
+    val w = 21; val h = 13 // non-multiples of 8: ragged passes
+    val samples = Array.tabulate(w * h * 3)(i => ((i * 31 + 7) % 256).toByte)
+    val png = Containers.synthPngAdam7(w, h, 2, samples, _ % 5)
+    val ref = readImg(png)
+    assert(ref != null, "JDK decoder rejected an Adam7 synth")
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      assert(rgbOf(ref, x, y) ==
+        (samples(d) & 0xFF, samples(d + 1) & 0xFF, samples(d + 2) & 0xFF),
+        s"pixel ($x,$y)")
+    }
+  }
+
   test("png: JDK palette and 16-bit-gray PNGs decode; synths are JDK-readable") {
     // JDK-written 8-bit palette PNG (TYPE_BYTE_INDEXED) → our decoder
     val w = 33; val h = 21

@@ -93,6 +93,29 @@ class MultimodalSpec extends SparkSpec {
       assert(px4(3 * p + c) == ga(2 * p), s"gray+alpha pixel $p")
   }
 
+  test("png: Adam7 interlaced images decode across color types and sizes") {
+    // sizes below 8 in one/both axes exercise EMPTY passes
+    for ((w, h) <- Seq((16, 12), (7, 3), (8, 8), (5, 9), (1, 1), (2, 2));
+         colorType <- Seq(0, 2, 6)) {
+      val ch = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+      val samples = Array.tabulate(w * h * ch)(i => ((i * 31 + 7) % 256).toByte)
+      val png = Containers.synthPngAdam7(w, h, colorType, samples, _ % 5)
+      val px = Containers.pngPixelBytes(png)
+      assert(px != null, s"($w,$h) ct=$colorType")
+      for (p <- 0 until w * h; c <- 0 until 3) {
+        val expect = colorType match {
+          case 0 => samples(p) // gray replicated
+          case _ => samples(p * ch + c)
+        }
+        assert(px(3 * p + c) == expect, s"($w,$h) ct=$colorType pixel $p ch $c")
+      }
+      // the SAME logical pixels as the sequential encoding
+      val seq = Containers.pngPixelBytes(
+        Containers.synthPng(w, h, colorType, samples, _ % 5))
+      assert(px.toSeq == seq.toSeq, s"($w,$h) ct=$colorType vs sequential")
+    }
+  }
+
   test("png decode degrades to null on corrupt or unsupported inputs") {
     val px = Array.tabulate(4 * 3 * 3)(i => (i * 19 % 256).toByte)
     val png = Containers.synthPng(4, 3, px, _ => 4)
@@ -113,9 +136,11 @@ class MultimodalSpec extends SparkSpec {
     def patched(at: Int, v: Byte): Array[Byte] = {
       val c = png.clone(); c(at) = v; c
     }
-    assert(Containers.pngPixelBytes(patched(24, 16)) == null) // 16-bit depth
-    assert(Containers.pngPixelBytes(patched(25, 3)) == null)  // palette
-    assert(Containers.pngPixelBytes(patched(28, 1)) == null)  // Adam7
+    // 16-bit/interlace flags over 8-bit sequential data = length
+    // mismatch; color type 3 without a PLTE = malformed — all corrupt
+    assert(Containers.pngPixelBytes(patched(24, 16)) == null)
+    assert(Containers.pngPixelBytes(patched(25, 3)) == null)
+    assert(Containers.pngPixelBytes(patched(28, 1)) == null)
     // Forged-header zip bomb: huge declared height must be rejected
     // BEFORE allocation, not discovered by a failed 2 GB array.
     val bomb = png.clone()
@@ -496,11 +521,12 @@ class MultimodalSpec extends SparkSpec {
       == "unknown_container")
     assert(Multimodal.imageDecodeErr(
       Containers.synthWav(8000, 1, 16, new Array[Byte](32))) == "not_image")
-    // profile gaps vs corruption on the SAME container type: Adam7 is
-    // the remaining PNG gap; a 16-bit depth patch over 8-bit data is
-    // short-IDAT corruption now that 16-bit itself decodes
+    // every PNG profile decodes now, so any undecodable PNG is
+    // corruption: a 16-bit depth patch over 8-bit data (short IDAT),
+    // an interlace-flag flip (pass-structure length mismatch), and a
+    // truncation all classify as corrupt
     val adam7 = png.clone(); adam7(28) = 1.toByte
-    assert(Multimodal.imageDecodeErr(adam7) == "unsupported_profile")
+    assert(Multimodal.imageDecodeErr(adam7) == "corrupt")
     val deep = png.clone(); deep(24) = 16.toByte
     assert(Multimodal.imageDecodeErr(deep) == "corrupt")
     assert(Multimodal.imageDecodeErr(png.dropRight(20)) == "corrupt")
