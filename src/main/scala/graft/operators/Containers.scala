@@ -3280,14 +3280,19 @@ object Containers {
     * moov → trak → mdia → minf → stbl, then
     *
     *  - `stsz` — per-sample byte sizes (or one uniform size),
-    *  - `stco` — chunk byte offsets (this reader requires the common
-    *    one-sample-per-chunk layout, i.e. #chunks == #samples; anything
-    *    else degrades to empty rather than guessing at `stsc` grouping),
+    *  - `stco` / `co64` — 32- or 64-bit chunk byte offsets,
+    *  - `stsc` — sample-to-chunk runs (`first_chunk`,
+    *    `samples_per_chunk`), expanded so each sample's offset is its
+    *    chunk offset plus the sizes of the samples packed before it —
+    *    the multi-sample-per-chunk layout real muxers emit; an absent
+    *    `stsc` falls back to one-sample-per-chunk (then #chunks must
+    *    equal #samples),
     *  - `stss` — 1-based sync-sample (keyframe) numbers; an absent
     *    `stss` means every sample is sync, per the ISO spec.
     *
-    * Malformed or truncated tables return an empty array — the same
-    * degrade-don't-throw posture as every other parser here.
+    * Malformed, truncated, or mutually inconsistent tables return an
+    * empty array — the same degrade-don't-throw posture as every
+    * other parser here.
     */
   def mp4Samples(b: Array[Byte]): Array[Mp4Sample] = try {
     def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
@@ -3314,7 +3319,9 @@ object Containers {
     val (ss, se) = stbl
     var sizes: Array[Long] = null
     var offsets: Array[Long] = null
+    var stsc: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
     var sync: Array[Int] = null // 1-based sample numbers; null = all sync
+    def beU64At(i: Int): Long = (beU32(b, i) << 32) | beU32(b, i + 4)
     for ((tpe, ps, pe) <- boxes(ss, se)) tpe match {
       case "stsz" if pe - ps >= 12 =>
         val uniform = beU32(b, ps + 4)
@@ -3328,35 +3335,85 @@ object Containers {
         val n = beU32(b, ps + 4).toInt
         if (pe - ps < 8 + 4 * n) return Array.empty
         offsets = Array.tabulate(n)(i => beU32(b, ps + 8 + 4 * i))
+      case "co64" if pe - ps >= 8 =>
+        val n = beU32(b, ps + 4).toInt
+        if (pe - ps < 8 + 8 * n) return Array.empty
+        offsets = Array.tabulate(n)(i => beU64At(ps + 8 + 8 * i))
+      case "stsc" if pe - ps >= 8 =>
+        val n = beU32(b, ps + 4).toInt
+        if (pe - ps < 8 + 12 * n) return Array.empty
+        stsc = Array.tabulate(n)(i =>
+          (beU32(b, ps + 8 + 12 * i), beU32(b, ps + 8 + 12 * i + 4)))
       case "stss" if pe - ps >= 8 =>
         val n = beU32(b, ps + 4).toInt
         if (pe - ps < 8 + 4 * n) return Array.empty
         sync = Array.tabulate(n)(i => beU32(b, ps + 8 + 4 * i).toInt)
       case _ => ()
     }
-    if (sizes == null || offsets == null || sizes.length != offsets.length)
-      return Array.empty
+    if (sizes == null || offsets == null) return Array.empty
+    val n = sizes.length
+    val sampleOff = new Array[Long](n)
+    if (stsc == null) {
+      // legacy fallback: one sample per chunk, tables must agree
+      if (offsets.length != n) return Array.empty
+      System.arraycopy(offsets, 0, sampleOff, 0, n)
+    } else {
+      // expand the runs: chunk c (1-based) holds spc(c) samples laid
+      // back-to-back from its chunk offset
+      if (stsc.isEmpty || stsc.head._1 != 1L) return Array.empty
+      var s = 0
+      var run = 0
+      var chunk = 1
+      while (chunk <= offsets.length && s < n) {
+        while (run + 1 < stsc.length && stsc(run + 1)._1 <= chunk) run += 1
+        val spc = stsc(run)._2
+        if (spc <= 0 || spc > n) return Array.empty
+        var off = offsets(chunk - 1)
+        var k = 0L
+        while (k < spc && s < n) {
+          sampleOff(s) = off
+          off += sizes(s)
+          s += 1; k += 1
+        }
+        chunk += 1
+      }
+      if (s != n) return Array.empty // tables disagree on sample count
+    }
     val syncSet = if (sync == null) null else sync.toSet
-    Array.tabulate(sizes.length) { i =>
-      Mp4Sample(i, syncSet == null || syncSet.contains(i + 1), offsets(i), sizes(i))
+    Array.tabulate(n) { i =>
+      Mp4Sample(i, syncSet == null || syncSet.contains(i + 1), sampleOff(i),
+        sizes(i))
     }
   } catch { case _: IndexOutOfBoundsException => Array.empty }
 
   /** Valid MP4 with a real sample table: ftyp + moov{mvhd, trak{mdia{
-    * minf{stbl{stsz, stco, stss}}}}} + mdat holding `samples`
-    * back-to-back (one chunk per sample, so `stco` has one absolute
-    * offset per sample). `syncSamples` are 1-based keyframe numbers.
-    * Write-side proof that [[mp4Samples]] reads real ISO-BMFF layout.
+    * minf{stbl{stsz, stsc, stco, stss}}}}} + mdat holding `samples`
+    * back-to-back, grouped `samplesPerChunk` to a chunk — `stco` has
+    * one absolute offset per CHUNK and `stsc` carries the grouping
+    * runs (a short final chunk gets its own run, as real muxers
+    * emit). `syncSamples` are 1-based keyframe numbers. Write-side
+    * proof that [[mp4Samples]] reads real ISO-BMFF layout including
+    * the sample-to-chunk expansion.
     */
   def synthMp4Samples(brand: String, timescale: Int, duration: Long,
-      samples: Array[Array[Byte]], syncSamples: Seq[Int]): Array[Byte] = {
+      samples: Array[Array[Byte]], syncSamples: Seq[Int],
+      samplesPerChunk: Int = 1): Array[Byte] = {
     require(brand.length == 4, s"brand must be 4 chars: '$brand'")
+    require(samplesPerChunk >= 1, s"samplesPerChunk >= 1: $samplesPerChunk")
     val n = samples.length
+    val spc = samplesPerChunk
+    val nChunks = (n + spc - 1) / spc
+    val lastCount = if (n == 0) 0 else n - (nChunks - 1) * spc
+    val stscRuns: Seq[(Int, Int)] =
+      if (nChunks <= 1) Seq(1 -> (if (n == 0) spc else n))
+      else if (lastCount == spc) Seq(1 -> spc)
+      else Seq(1 -> spc, nChunks -> lastCount)
     val mvhdSize = 8 + 20
     val stszSize = 8 + 12 + 4 * n
-    val stcoSize = 8 + 8 + 4 * n
+    val stscSize = 8 + 8 + 12 * stscRuns.length
+    val stcoSize = 8 + 8 + 4 * nChunks
     val stssSize = 8 + 8 + 4 * syncSamples.length
-    val stblSize = 8 + stszSize + stcoSize + stssSize
+    val stblSize = 8 + stszSize + stscSize + stcoSize + stssSize
     val minfSize = 8 + stblSize
     val mdiaSize = 8 + minfSize
     val trakSize = 8 + mdiaSize
@@ -3376,9 +3433,18 @@ object Containers {
     out.putInt(stblSize).put("stbl".getBytes)
     out.putInt(stszSize).put("stsz".getBytes).putInt(0).putInt(0).putInt(n)
     samples.foreach(s => out.putInt(s.length))
-    out.putInt(stcoSize).put("stco".getBytes).putInt(0).putInt(n)
+    out.putInt(stscSize).put("stsc".getBytes).putInt(0).putInt(stscRuns.length)
+    stscRuns.foreach { case (first, count) =>
+      out.putInt(first).putInt(count).putInt(1) // sample description 1
+    }
+    out.putInt(stcoSize).put("stco".getBytes).putInt(0).putInt(nChunks)
     var off = mdatStart + 8
-    samples.foreach { s => out.putInt(off); off += s.length }
+    var s = 0
+    for (_ <- 0 until nChunks) {
+      out.putInt(off)
+      var k = 0
+      while (k < spc && s < n) { off += samples(s).length; s += 1; k += 1 }
+    }
     out.putInt(stssSize).put("stss".getBytes).putInt(0).putInt(syncSamples.length)
     syncSamples.foreach(out.putInt)
     out.putInt(8 + mdatPayload).put("mdat".getBytes)

@@ -778,10 +778,13 @@ object Multimodal {
   /** Deterministic MP4 corpus with REAL sample tables: video `id` has
     * `4 + id%5` samples; sample `s` is `16 + ((id+s)%3)*8` bytes with
     * byte `j` = `(id*131 + s*17 + j*7) mod 256`; keyframes (stss) are
-    * the odd 1-based sample numbers 1,3,5,…. Valid ISO-BMFF through the
-    * stbl/stsz/stco/stss path, so keyframe extraction exercises the real
-    * box walk — and an oracle can replay the generator arithmetic
-    * without parsing bytes.
+    * the odd 1-based sample numbers 1,3,5,…; chunking cycles
+    * `1 + id%3` samples per chunk (real stsc runs, short final chunk
+    * included). Valid ISO-BMFF through the stbl/stsz/stsc/stco/stss
+    * path, so keyframe extraction exercises the real box walk AND the
+    * sample-to-chunk expansion — and an oracle can replay the
+    * generator arithmetic without parsing bytes (chunk grouping moves
+    * offsets, not bytes).
     */
   def demoVideoCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -793,7 +796,8 @@ object Multimodal {
       }
       val sync = (1 to nSamples by 2).toSeq
       MediaFile(id, "video",
-        Containers.synthMp4Samples("isom", 1000, nSamples * 40L, samples, sync))
+        Containers.synthMp4Samples("isom", 1000, nSamples * 40L, samples, sync,
+          samplesPerChunk = (1 + id % 3).toInt))
     })
   }
 

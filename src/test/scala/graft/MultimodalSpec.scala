@@ -999,6 +999,18 @@ class MultimodalSpec extends SparkSpec {
       val sliced = mp4.slice(s.offset.toInt, (s.offset + s.size).toInt)
       assert(sliced.toSeq == expected.toSeq)
     }
+    // multi-sample chunks: stsc runs expand to the same per-sample
+    // byte ranges regardless of grouping (incl. a short final chunk)
+    for (spc <- 2 to 4) {
+      val packed = Containers.synthMp4Samples("isom", 1000, 120L, samples,
+        Seq(1, 3), samplesPerChunk = spc)
+      val g = Containers.mp4Samples(packed)
+      assert(g.length == 3, s"spc=$spc")
+      g.zip(samples).foreach { case (s, expected) =>
+        val sliced = packed.slice(s.offset.toInt, (s.offset + s.size).toInt)
+        assert(sliced.toSeq == expected.toSeq, s"spc=$spc sample ${s.sampleIdx}")
+      }
+    }
     // table-less or corrupt input degrades to empty, never throws
     assert(Containers.mp4Samples(Containers.synthMp4("isom", 1000, 50L)).isEmpty)
     assert(Containers.mp4Samples("garbage".getBytes).isEmpty)
