@@ -1405,8 +1405,10 @@ object Containers {
     * writes PAX format BY DEFAULT since 3.8, so real WebDataset
     * shards are overwhelmingly this shape; a GNU longname (`L`)
     * supplies the next file's full name and a GNU longlink (`K`) is
-    * skipped. Precedence per spec: `x` beats `g` beats `L` beats the
-    * ustar name+prefix fields. Null for a checksum mismatch,
+    * skipped. Precedence: a per-file override (`x` beats `L`) beats
+    * the `g` global default beats the ustar name+prefix fields — an
+    * explicit per-file record always wins over a global one. Null for
+    * a checksum mismatch,
     * truncated entry data, unparseable size, or a malformed PAX
     * block — degrade-don't-throw.
     */
@@ -1621,8 +1623,9 @@ object Containers {
   def warcInflate(b: Array[Byte]): Array[Byte] = {
     if (b.length < 2 || u8(b, 0) != 0x1f || u8(b, 1) != 0x8b) return b
     val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+    var in: java.util.zip.GZIPInputStream = null
     try {
-      val in = new java.util.zip.GZIPInputStream(
+      in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(b))
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
@@ -1633,10 +1636,13 @@ object Containers {
         out.write(buf, 0, n)
         n = in.read(buf)
       }
-      in.close()
       out.toByteArray
     } catch {
       case _: java.io.IOException => null // CRC/format error, truncation
+    } finally {
+      // close on EVERY path — the stream owns a native zlib Inflater
+      // that must not wait for GC on the bomb/corrupt returns
+      if (in != null) try in.close() catch { case _: java.io.IOException => () }
     }
   }
 
@@ -3158,7 +3164,11 @@ object Containers {
                   if (m != 0xC0 && m != 0xC2) res = true
                   else {
                     val ds = off + 4
+                    // 12-bit precision and 4-component (Adobe CMYK)
+                    // frames are profile gaps, as are >2× sampling
+                    if (ds < b.length && u8(b, ds) != 8) res = true
                     val nc = if (ds + 5 < b.length) u8(b, ds + 5) else 0
+                    if (nc == 4) res = true
                     for (c <- 0 until math.min(nc, 4)
                          if ds + 6 + 3 * c + 1 < b.length) {
                       val hv = u8(b, ds + 6 + 3 * c + 1)
@@ -3182,10 +3192,16 @@ object Containers {
           val comp = one(259, 1)
           val spp = one(277, 1)
           val bits = tags.getOrElse(258, Array.fill(spp.toInt max 1)(8L))
+          val photo = one(262, if (spp == 3L) 2L else 1L)
           (comp != 1L && comp != 5L && comp != 8L && comp != 32946L &&
             comp != 32773L) ||
             one(317, 1) > 2 || (spp != 1L && spp != 3L) ||
-            bits.exists(_ != 8L) || one(284, 1) != 1
+            bits.exists(_ != 8L) || one(284, 1) != 1 ||
+            // WhiteIsZero faxes / palette TIFFs / tiled layouts are
+            // intact files outside the decoder's profile, not damage
+            // (a missing StripOffsets WITHOUT tile tags stays corrupt)
+            (photo != (if (spp == 3L) 2L else 1L)) ||
+            tags.contains(322) || tags.contains(324) // tiled layout
         }
       case "bmp" =>
         b.length >= 34 && {
@@ -3378,6 +3394,15 @@ object Containers {
         chunk += 1
       }
       if (s != n) return Array.empty // tables disagree on sample count
+    }
+    // every sample's byte range must lie inside the file: callers
+    // (keyframe fingerprints, frame sampling) index the array raw, so
+    // a forged co64/stsz value must degrade HERE, not kill the task
+    var i = 0
+    while (i < n) {
+      if (sampleOff(i) < 0 || sizes(i) < 0 ||
+        sampleOff(i) + sizes(i) > b.length) return Array.empty
+      i += 1
     }
     val syncSet = if (sync == null) null else sync.toSet
     Array.tabulate(n) { i =>

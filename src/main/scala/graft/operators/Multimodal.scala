@@ -216,15 +216,24 @@ object Multimodal {
     * (`Containers.unsupportedImageProfile` — a feature gap), `corrupt`
     * (recognized container, supported profile, damaged bytes).
     */
-  def imageDecodeErr(content: Array[Byte]): String = {
-    if (content == null || content.length == 0) return "empty"
-    if (imagePixelBytes(content) != null) return "ok"
+  def imageDecodeErr(content: Array[Byte]): String =
+    imageDecodeClass(content)._2
+
+  /** `(detected format, decode_err)` in ONE pass — the header is
+    * parsed once, not re-parsed per column (the TIFF IFD walk is not
+    * free at corpus scale).
+    */
+  def imageDecodeClass(content: Array[Byte]): (String, String) = {
+    if (content == null || content.length == 0) return ("unknown", "empty")
     val fmt = Containers.parse(content).format
-    if (fmt == "unknown") "unknown_container"
-    else if (fmt == "wav" || fmt.startsWith("mp4")) "not_image"
-    else if (Containers.unsupportedImageProfile(content, fmt))
-      "unsupported_profile"
-    else "corrupt"
+    if (imagePixelBytes(content) != null) return (fmt, "ok")
+    val err =
+      if (fmt == "unknown") "unknown_container"
+      else if (fmt == "wav" || fmt.startsWith("mp4")) "not_image"
+      else if (Containers.unsupportedImageProfile(content, fmt))
+        "unsupported_profile"
+      else "corrupt"
+    (fmt, err)
   }
 
   /** Per-(container, reason) decode-loss accounting over a media
@@ -236,8 +245,7 @@ object Multimodal {
   def decodeErrStats(spark: SparkSession,
       media: Dataset[MediaFile]): DataFrame = {
     import spark.implicits._
-    media.map(m => (Containers.parse(m.content).format,
-        imageDecodeErr(m.content)))
+    media.map(m => imageDecodeClass(m.content))
       .toDF("format", "decode_err")
       .groupBy("format", "decode_err").agg(count(lit(1)).as("n"))
   }
@@ -1060,8 +1068,10 @@ object Multimodal {
     * shapes real audio corpora ship (`id mod 4`): 0 → 8-bit unsigned
     * (byte `(id·13 + j·37) % 256`, decoded as `(v−128)·256`),
     * 1 → 16-bit s16le (`(id·13 + j·37) % 65536 − 32768`),
-    * 2 → 24-bit s24le (`(id·13 + j·37) % 2²⁴ − 2²³`, decoded by its
-    * top 16 bits = floor-division by 256), 3 → 16-bit inside a
+    * 2 → 24-bit s24le (`(id·131071 + j·524287) % 2²⁴` stored, i.e.
+    * signed full-range values whose negatives exercise the
+    * floor-vs-truncate division distinction, decoded by the top
+    * 16 bits = floor-division by 256), 3 → 16-bit inside a
     * WAVE_FORMAT_EXTENSIBLE header (code 0xFFFE, real code in the
     * SubFormat GUID). Decoding must dispatch on real fmt-chunk codes
     * and widths to reproduce the oracle's arithmetic.
@@ -1078,7 +1088,9 @@ object Multimodal {
           val bytes = new Array[Byte](3 * n)
           var j = 0
           while (j < n) {
-            val v = ((id * 13 + j.toLong * 37) % 16777216).toInt // stored LE
+            // full-range stride: negatives (v >= 2^23) occur at every
+            // id, keeping the floor-division branch exercised
+            val v = ((id * 131071 + j.toLong * 524287) % 16777216).toInt
             bytes(3 * j) = (v & 0xFF).toByte
             bytes(3 * j + 1) = ((v >> 8) & 0xFF).toByte
             bytes(3 * j + 2) = ((v >> 16) & 0xFF).toByte

@@ -1196,8 +1196,12 @@ object FrontierQueries {
         |FROM m ORDER BY media_id""".stripMargin,
 
     // Replays the per-depth PCM arithmetic: 8-bit (v−128)·256, 16-bit
-    // v−32768, 24-bit signed floor-division by 256 (the top 16 bits);
-    // the extensible case (id%4=3) shares the 16-bit values.
+    // v−32768, 24-bit signed FLOOR-division by 256 (the top 16 bits —
+    // an arithmetic shift in the decoder). DuckDB's `//` truncates
+    // toward zero on negatives, so the floor is built from the
+    // non-negative stored value: u//256 − 65536·[u ≥ 2²³] is exact
+    // because 2²⁴ divides by 256 without remainder. The extensible
+    // case (id%4=3) shares the 16-bit values.
     "multimodal_audio_pcm_depths" ->
       """WITH m AS (SELECT doc_id, 300 + doc_id % 100 AS n FROM documents),
         |s AS (SELECT doc_id, n,
@@ -1205,9 +1209,9 @@ object FrontierQueries {
         |      WHEN 0 THEN list_transform(range(0, n),
         |        j -> ((doc_id*13 + j*37) % 256 - 128) * 256)
         |      WHEN 2 THEN list_transform(range(0, n), j ->
-        |        (CASE WHEN (doc_id*13 + j*37) % 16777216 >= 8388608
-        |          THEN (doc_id*13 + j*37) % 16777216 - 16777216
-        |          ELSE (doc_id*13 + j*37) % 16777216 END) // 256)
+        |        ((doc_id*131071 + j*524287) % 16777216) // 256
+        |        - CASE WHEN (doc_id*131071 + j*524287) % 16777216 >= 8388608
+        |               THEN 65536 ELSE 0 END)
         |      ELSE list_transform(range(0, n),
         |        j -> (doc_id*13 + j*37) % 65536 - 32768)
         |    END AS vs

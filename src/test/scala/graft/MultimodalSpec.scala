@@ -544,6 +544,15 @@ class MultimodalSpec extends SparkSpec {
     val jt = tif.clone(); jt(8 + 2 + 3 * 12 + 8) = 7
     assert(Multimodal.imageDecodeErr(jt) == "unsupported_profile")
     assert(Multimodal.imageDecodeErr(tif.dropRight(5)) == "corrupt")
+    // WhiteIsZero (photometric 0) is a profile gap, not damage
+    val gt0 = Containers.synthTiff(6, 5, 1,
+      Array.tabulate(30)(i => (i * 13 % 256).toByte))
+    // Photometric (262) is the 5th entry: value at 8 + 2 + 4*12 + 8
+    val wz = gt0.clone(); wz(8 + 2 + 4 * 12 + 8) = 0
+    assert(Multimodal.imageDecodeErr(wz) == "unsupported_profile")
+    // 12-bit and CMYK JPEG frames are profile gaps
+    val prec12 = jpg.clone(); prec12(sof + 4) = 12.toByte
+    assert(Multimodal.imageDecodeErr(prec12) == "unsupported_profile")
   }
 
   test("bmp and png encodings of the same logical pixels decode identically") {
@@ -1015,6 +1024,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.mp4Samples(Containers.synthMp4("isom", 1000, 50L)).isEmpty)
     assert(Containers.mp4Samples("garbage".getBytes).isEmpty)
     assert(Containers.mp4Samples(mp4.take(40)).isEmpty)
+    // forged sample ranges (offset/size past EOF) degrade to empty —
+    // callers index the byte array raw, so the bounds gate lives here
+    val stszAt = {
+      var i = 0
+      while (!(mp4(i + 4) == 's' && mp4(i + 5) == 't' && mp4(i + 6) == 's' &&
+        mp4(i + 7) == 'z')) i += 1
+      i
+    }
+    val forged = mp4.clone()
+    // stsz: [len][type][ver+flags][uniform][count][size_0 at +20]
+    forged(stszAt + 20) = 0x7F.toByte // first sample size ≈ 2^31
+    assert(Containers.mp4Samples(forged).isEmpty)
   }
 
   test("keyframe sampling: evenly-spaced sync samples, real mdat bytes") {
