@@ -1730,7 +1730,11 @@ object Containers {
       rec.write(payload)
       rec.write("\r\n\r\n".getBytes("US-ASCII"))
       if (gzipPerRecord) {
-        val gz = new java.util.zip.GZIPOutputStream(out)
+        // BEST_SPEED: the member framing is what matters to readers;
+        // default-level deflate of tiny records is pure synth overhead
+        val gz = new java.util.zip.GZIPOutputStream(out) {
+          `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+        }
         gz.write(rec.toByteArray)
         gz.finish() // flush THIS member; the enclosing stream stays open
       } else rec.writeTo(out)
