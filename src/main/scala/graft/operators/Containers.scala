@@ -1078,15 +1078,17 @@ object Containers {
     out
   }
 
-  /** Decode a TIFF (II or MM byte order, chunky planar config, any
-    * strip layout) into logical top-down 3-bytes-per-pixel rows
+  /** Decode a TIFF (II or MM byte order, chunky planar config, strip
+    * OR tile layout) into logical top-down 3-bytes-per-pixel rows
     * (8-bit gray replicated ×3, or 8-bit RGB). Compression: none (1),
     * LZW (5, early-change convention), zlib Deflate (8/32946), or
     * PackBits (32773); horizontal-differencing Predictor (tag 317 =
-    * 2) is reversed after decompression — together the profiles real
-    * scanned-document corpora ship in. Null for planar/other-depth
-    * variants or any malformed structure — degrade-don't-throw like
-    * every decoder here.
+    * 2) is reversed after decompression; tiled layouts (TileWidth/
+    * TileLength/TileOffsets/TileByteCounts) decompress each FULL
+    * padded tile and clip the edge overhang, per TIFF6 §15 — together
+    * the profiles real scanned-document corpora ship in. Null for
+    * planar/other-depth variants or any malformed structure —
+    * degrade-don't-throw like every decoder here.
     */
   def tiffPixelBytes(b: Array[Byte]): Array[Byte] = try {
     val tags = tiffTags(b)
@@ -1107,23 +1109,12 @@ object Containers {
     val bits = tags.getOrElse(258, Array.fill(spp)(8L))
     if (bits.length != spp || bits.exists(_ != 8L)) return null
     if (one(284, 1) != 1) return null            // chunky planar only
-    val offs = tags.getOrElse(273, return null)  // StripOffsets
-    val cnts = tags.getOrElse(279, return null)  // StripByteCounts
-    if (offs.length != cnts.length) return null
-    val rps0 = one(278, h.toLong)
-    if (rps0 <= 0) return null
-    val rps = math.min(rps0, h.toLong).toInt
-    val nStrips = (h + rps - 1) / rps
-    if (offs.length != nStrips) return null
-    val rowBytes = w * spp
-    val total = w.toLong * h * spp
-    val raw = new Array[Byte](total.toInt)
-    var p = 0
-    var s = 0
-    while (s < nStrips) {
-      val rows = math.min(rps, h - s * rps)
-      val expect = rows * rowBytes
-      val o = offs(s); val c = cnts(s)
+
+    /** Decompress one strip/tile to exactly `expect` bytes and undo
+      * the predictor at the chunk's OWN row width. Null on corruption.
+      */
+    def decodeChunk(o: Long, c: Long, expect: Int, rows: Int,
+        chunkRowBytes: Int): Array[Byte] = {
       if (o < 0 || c < 0 || c > b.length - o) return null
       val chunk: Array[Byte] = comp match {
         case 1L =>
@@ -1133,23 +1124,81 @@ object Containers {
         case 8L | 32946L => zlibDecode(b, o.toInt, c.toInt, expect)
         case _ => packbitsDecode(b, o.toInt, c.toInt, expect)
       }
-      if (chunk == null) return null
-      if (predictor == 2L) {
+      if (chunk != null && predictor == 2L) {
         // horizontal differencing: sample x adds sample x-spp, per row
         var r = 0
         while (r < rows) {
           var x = spp
-          while (x < rowBytes) {
-            chunk(r * rowBytes + x) =
-              (chunk(r * rowBytes + x) + chunk(r * rowBytes + x - spp)).toByte
+          while (x < chunkRowBytes) {
+            chunk(r * chunkRowBytes + x) =
+              (chunk(r * chunkRowBytes + x) +
+                chunk(r * chunkRowBytes + x - spp)).toByte
             x += 1
           }
           r += 1
         }
       }
-      System.arraycopy(chunk, 0, raw, p, expect)
-      p += expect
-      s += 1
+      chunk
+    }
+
+    val rowBytes = w * spp
+    val total = w.toLong * h * spp
+    val raw = new Array[Byte](total.toInt)
+    if (tags.contains(324)) {
+      // --- tiled layout -----------------------------------------------
+      val tw = one(322, -1).toInt; val th = one(323, -1).toInt
+      if (tw <= 0 || th <= 0) return null
+      if (tw.toLong * th * spp > (1L << 28)) return null // forged tile dims
+      val tilesAcross = (w + tw - 1) / tw
+      val tilesDown = (h + th - 1) / th
+      val tOffs = tags.getOrElse(324, return null)
+      val tCnts = tags.getOrElse(325, return null)
+      if (tOffs.length != tilesAcross * tilesDown ||
+        tCnts.length != tOffs.length) return null
+      val tileRowBytes = tw * spp
+      val expect = tileRowBytes * th // edge tiles are FULL padded size
+      var ty = 0
+      while (ty < tilesDown) {
+        var tx = 0
+        while (tx < tilesAcross) {
+          val idx = ty * tilesAcross + tx
+          val tile = decodeChunk(tOffs(idx), tCnts(idx), expect, th,
+            tileRowBytes)
+          if (tile == null) return null
+          // clip the padded overhang into the output grid
+          val copyRows = math.min(th, h - ty * th)
+          val copyBytes = math.min(tw, w - tx * tw) * spp
+          var r = 0
+          while (r < copyRows) {
+            System.arraycopy(tile, r * tileRowBytes, raw,
+              (ty * th + r) * rowBytes + tx * tw * spp, copyBytes)
+            r += 1
+          }
+          tx += 1
+        }
+        ty += 1
+      }
+    } else {
+      // --- strip layout -----------------------------------------------
+      val offs = tags.getOrElse(273, return null)  // StripOffsets
+      val cnts = tags.getOrElse(279, return null)  // StripByteCounts
+      if (offs.length != cnts.length) return null
+      val rps0 = one(278, h.toLong)
+      if (rps0 <= 0) return null
+      val rps = math.min(rps0, h.toLong).toInt
+      val nStrips = (h + rps - 1) / rps
+      if (offs.length != nStrips) return null
+      var p = 0
+      var s = 0
+      while (s < nStrips) {
+        val rows = math.min(rps, h - s * rps)
+        val expect = rows * rowBytes
+        val chunk = decodeChunk(offs(s), cnts(s), expect, rows, rowBytes)
+        if (chunk == null) return null
+        System.arraycopy(chunk, 0, raw, p, expect)
+        p += expect
+        s += 1
+      }
     }
     if (spp == 3) raw
     else {
@@ -1245,17 +1294,20 @@ object Containers {
   }
 
   /** Valid TIFF from raw samples (`w·h·spp` bytes, spp 1 or 3) in the
-    * chosen byte order, with the strip layout REAL (`rowsPerStrip`
+    * chosen byte order, with the layout REAL — strips (`rowsPerStrip`
     * row bands, per-strip offsets/byte counts, out-of-line arrays
-    * where values exceed the 4-byte inline field) and the strip data
-    * written under `compression` 1 (none), 5 (LZW, early-change),
-    * 8 (zlib Deflate), or 32773 (PackBits), optionally horizontally
-    * differenced (`predictor` 2, tag 317) first — the exact
-    * write-side counterpart of [[tiffPixelBytes]].
+    * where values exceed the 4-byte inline field) or, with
+    * `tileSize` > 0 (a multiple of 16 per TIFF6 §15), square tiles
+    * whose edge chunks are zero-padded to FULL tile size — and the
+    * chunk data written under `compression` 1 (none), 5 (LZW,
+    * early-change), 8 (zlib Deflate), or 32773 (PackBits), optionally
+    * horizontally differenced (`predictor` 2, tag 317) first — the
+    * exact write-side counterpart of [[tiffPixelBytes]].
     */
   def synthTiff(width: Int, height: Int, spp: Int, samples: Array[Byte],
       bigEndian: Boolean = false, rowsPerStrip: Int = 0,
-      compression: Int = 1, predictor: Int = 1): Array[Byte] = {
+      compression: Int = 1, predictor: Int = 1,
+      tileSize: Int = 0): Array[Byte] = {
     require(spp == 1 || spp == 3, s"spp must be 1 or 3: $spp")
     require(samples.length == width * height * spp,
       s"need $width*$height*$spp sample bytes, got ${samples.length}")
@@ -1263,23 +1315,20 @@ object Containers {
       compression == 32773, s"compression must be 1|5|8|32773: $compression")
     require(predictor == 1 || predictor == 2,
       s"predictor must be 1 or 2: $predictor")
-    val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
-    val nStrips = (height + rps - 1) / rps
-    val rowBytes = width * spp
-    val stripRows = Array.tabulate(nStrips)(s =>
-      math.min(rps, height - s * rps))
-    // per-strip payloads: difference (predictor 2), then compress
-    val stripData = Array.tabulate(nStrips) { s =>
-      val rows = stripRows(s)
-      val plain = java.util.Arrays.copyOfRange(samples,
-        (s * rps) * rowBytes, (s * rps + rows) * rowBytes)
+    require(tileSize == 0 || tileSize % 16 == 0,
+      s"tile size must be a multiple of 16: $tileSize") // TIFF6 §15
+    val tiled = tileSize > 0
+
+    def diffAndCompress(plain: Array[Byte], rows: Int,
+        chunkRowBytes: Int): Array[Byte] = {
       if (predictor == 2) {
         var r = 0
         while (r < rows) {
-          var x = rowBytes - 1
+          var x = chunkRowBytes - 1
           while (x >= spp) {
-            plain(r * rowBytes + x) =
-              (plain(r * rowBytes + x) - plain(r * rowBytes + x - spp)).toByte
+            plain(r * chunkRowBytes + x) =
+              (plain(r * chunkRowBytes + x) -
+                plain(r * chunkRowBytes + x - spp)).toByte
             x -= 1
           }
           r += 1
@@ -1288,7 +1337,7 @@ object Containers {
       compression match {
         case 1 => plain
         case 5 => lzwEncodeTiff(plain)
-        case 32773 => packbitsEncode(plain, rowBytes)
+        case 32773 => packbitsEncode(plain, chunkRowBytes)
         case _ =>
           val d = new java.util.zip.Deflater()
           d.setInput(plain); d.finish()
@@ -1299,20 +1348,53 @@ object Containers {
           z.toByteArray
       }
     }
-    val nEntries = if (predictor == 2) 10 else 9
+
+    val rowBytes = width * spp
+    // chunk payloads: strips of rowsPerStrip rows, or FULL padded tiles
+    val chunkData: Array[Array[Byte]] =
+      if (tiled) {
+        val tw = tileSize; val th = tileSize
+        val across = (width + tw - 1) / tw
+        val down = (height + th - 1) / th
+        Array.tabulate(across * down) { idx =>
+          val tx = idx % across; val ty = idx / across
+          val plain = new Array[Byte](tw * spp * th) // zero-padded edges
+          val copyRows = math.min(th, height - ty * th)
+          val copyBytes = math.min(tw, width - tx * tw) * spp
+          var r = 0
+          while (r < copyRows) {
+            System.arraycopy(samples, (ty * th + r) * rowBytes + tx * tw * spp,
+              plain, r * tw * spp, copyBytes)
+            r += 1
+          }
+          diffAndCompress(plain, th, tw * spp)
+        }
+      } else {
+        val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
+        val nStrips = (height + rps - 1) / rps
+        Array.tabulate(nStrips) { s =>
+          val rows = math.min(rps, height - s * rps)
+          diffAndCompress(java.util.Arrays.copyOfRange(samples,
+            (s * rps) * rowBytes, (s * rps + rows) * rowBytes), rows, rowBytes)
+        }
+      }
+    val nChunks = chunkData.length
+    val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
+    // strips: 273/278/279 (3 entries); tiles: 322/323/324/325 (4)
+    val nEntries = 6 + (if (tiled) 4 else 3) + (if (predictor == 2) 1 else 0)
     val ifdSize = 2 + nEntries * 12 + 4
     val ifdOff = 8
     var extra = ifdOff + ifdSize
     val bitsOff = extra
     if (spp == 3) extra += 6            // 3×SHORT out of line
     val offsOff = extra
-    if (nStrips > 1) extra += 4 * nStrips
+    if (nChunks > 1) extra += 4 * nChunks
     val cntsOff = extra
-    if (nStrips > 1) extra += 4 * nStrips
+    if (nChunks > 1) extra += 4 * nChunks
     val dataOff = extra
-    val stripBytes = stripData.map(_.length)
-    val stripOffs = stripBytes.scanLeft(dataOff)(_ + _).dropRight(1)
-    val buf = java.nio.ByteBuffer.allocate(dataOff + stripBytes.sum)
+    val chunkBytes = chunkData.map(_.length)
+    val chunkOffs = chunkBytes.scanLeft(dataOff)(_ + _).dropRight(1)
+    val buf = java.nio.ByteBuffer.allocate(dataOff + chunkBytes.sum)
       .order(if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
              else java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put((if (bigEndian) "MM" else "II").getBytes)
@@ -1328,20 +1410,32 @@ object Containers {
     if (spp == 1) entry(258, 3, 1, 8) else entry(258, 3, 3, bitsOff)
     entry(259, 3, 1, compression)
     entry(262, 3, 1, if (spp == 3) 2 else 1)  // Photometric
-    if (nStrips == 1) entry(273, 4, 1, dataOff)
-    else entry(273, 4, nStrips, offsOff)
+    if (!tiled) {
+      if (nChunks == 1) entry(273, 4, 1, dataOff)
+      else entry(273, 4, nChunks, offsOff)
+    }
     entry(277, 3, 1, spp)
-    entry(278, 4, 1, rps)
-    if (nStrips == 1) entry(279, 4, 1, stripBytes(0))
-    else entry(279, 4, nStrips, cntsOff)
+    if (!tiled) {
+      entry(278, 4, 1, rps)
+      if (nChunks == 1) entry(279, 4, 1, chunkBytes(0))
+      else entry(279, 4, nChunks, cntsOff)
+    }
     if (predictor == 2) entry(317, 3, 1, 2)
+    if (tiled) {
+      entry(322, 4, 1, tileSize)
+      entry(323, 4, 1, tileSize)
+      if (nChunks == 1) entry(324, 4, 1, dataOff)
+      else entry(324, 4, nChunks, offsOff)
+      if (nChunks == 1) entry(325, 4, 1, chunkBytes(0))
+      else entry(325, 4, nChunks, cntsOff)
+    }
     buf.putInt(0)                             // no next IFD
     if (spp == 3) { buf.putShort(8); buf.putShort(8); buf.putShort(8) }
-    if (nStrips > 1) {
-      stripOffs.foreach(buf.putInt)
-      stripBytes.foreach(buf.putInt)
+    if (nChunks > 1) {
+      chunkOffs.foreach(buf.putInt)
+      chunkBytes.foreach(buf.putInt)
     }
-    stripData.foreach(buf.put)
+    chunkData.foreach(buf.put)
     buf.array()
   }
 
@@ -3201,11 +3295,10 @@ object Containers {
             comp != 32773L) ||
             one(317, 1) > 2 || (spp != 1L && spp != 3L) ||
             bits.exists(_ != 8L) || one(284, 1) != 1 ||
-            // WhiteIsZero faxes / palette TIFFs / tiled layouts are
-            // intact files outside the decoder's profile, not damage
-            // (a missing StripOffsets WITHOUT tile tags stays corrupt)
-            (photo != (if (spp == 3L) 2L else 1L)) ||
-            tags.contains(322) || tags.contains(324) // tiled layout
+            // WhiteIsZero faxes / palette TIFFs are intact files
+            // outside the decoder's profile, not damage (tiled
+            // layouts DECODE now, so they are neither)
+            (photo != (if (spp == 3L) 2L else 1L))
         }
       case "bmp" =>
         b.length >= 34 && {

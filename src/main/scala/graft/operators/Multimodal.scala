@@ -347,11 +347,14 @@ object Multimodal {
     * byte `i` = `(id*31 + i*7) % 256`, byte order cycling little/big
     * endian (`id%3 == 0` → MM), a `3 + id%5`-row strip layout,
     * compression cycling none / LZW (early-change) / zlib Deflate /
-    * PackBits (`id%4`), and the horizontal-differencing predictor on
-    * the compressed `id%8 == 1` slice — decoding must walk real IFDs
-    * in both byte orders, run three real decompressors, undo the
-    * predictor, and reassemble multi-strip data to reproduce the
-    * oracle's arithmetic (compression is transparent to the sums).
+    * PackBits (`id%4`), the horizontal-differencing predictor on the
+    * compressed `id%8 == 1` slice, and the `id%5 == 2` slice stored
+    * TILED (16-px tiles — larger than these images, so the single
+    * zero-padded tile exercises the full-tile-decode + clip path) —
+    * decoding must walk real IFDs in both byte orders, run three real
+    * decompressors, undo the predictor, and reassemble strip OR tile
+    * data to reproduce the oracle's arithmetic (layout and
+    * compression are transparent to the sums).
     */
   def demoTiffCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -367,7 +370,8 @@ object Multimodal {
       val pred = if (id % 8 == 1 && comp != 1) 2 else 1
       MediaFile(id, "image", Containers.synthTiff(w, h, spp, samples,
         bigEndian = id % 3 == 0, rowsPerStrip = (3 + id % 5).toInt,
-        compression = comp, predictor = pred))
+        compression = comp, predictor = pred,
+        tileSize = if (id % 5 == 2) 16 else 0))
     })
   }
 

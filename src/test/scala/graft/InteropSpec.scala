@@ -171,6 +171,45 @@ class InteropSpec extends AnyFunSuite {
     }
   }
 
+  test("tiff: JDK-written TILED files decode; tiled synth is JDK-readable") {
+    val w = 70; val h = 50 // 16-px tiles: ragged 5×4 grid
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (idxPattern(w, h, 256)(x, y) << 16) |
+        ((x * 5 + y * 3) % 256 << 8) | ((x + 2 * y) % 256))
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setTiling(16, 16, 0, 0)
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val px = Containers.tiffPixelBytes(baos.toByteArray)
+    assert(px != null, "decoder rejected a JDK tiled LZW TIFF")
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      assert(rgbOf(img, x, y) ==
+        (px(d) & 0xFF, px(d + 1) & 0xFF, px(d + 2) & 0xFF), s"tile ($x,$y)")
+    }
+    // reverse: our tiled+PackBits synth through the JDK decoder
+    val samples = Array.tabulate(w * h * 3)(i =>
+      (idxPattern(w, h, 256)((i / 3) % w, (i / 3) / w) + i % 3).toByte)
+    val mine = Containers.synthTiff(w, h, 3, samples,
+      compression = 32773, tileSize = 16)
+    val ref = readImg(mine)
+    assert(ref != null, "JDK decoder rejected a tiled synth")
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      assert(rgbOf(ref, x, y) ==
+        (samples(d) & 0xFF, samples(d + 1) & 0xFF, samples(d + 2) & 0xFF),
+        s"rt ($x,$y)")
+    }
+  }
+
   test("tiff: synthTiff compressed+predictor output is JDK-readable") {
     val w = 90; val h = 60
     val samples = Array.tabulate(w * h * 3)(i =>

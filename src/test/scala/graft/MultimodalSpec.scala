@@ -233,6 +233,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.tiffPixelBytes(zb) == null)
   }
 
+  test("tiff: tiled layouts decode with edge clipping, all compressions") {
+    // 40×30 with 16-px tiles: 3×2 grid, right/bottom tiles padded
+    val w = 40; val h = 30
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 31 + i * i % 89) % 256).toByte)
+    for (comp <- Seq(1, 5, 8, 32773); pred <- Seq(1, 2); be <- Seq(false, true)) {
+      val t = Containers.synthTiff(w, h, 3, rgb, bigEndian = be,
+        compression = comp, predictor = pred, tileSize = 16)
+      assert(Containers.tiffPixelBytes(t).toSeq == rgb.toSeq,
+        s"tiled comp=$comp pred=$pred be=$be")
+    }
+    // grayscale, tile dims exactly dividing the image
+    val gray = Array.tabulate(32 * 16)(i => ((i * 7 + 3) % 256).toByte)
+    val gt = Containers.synthTiff(32, 16, 1, gray, compression = 8,
+      tileSize = 16)
+    val gd = Containers.tiffPixelBytes(gt)
+    for (p <- 0 until 32 * 16; c <- 0 until 3) assert(gd(3 * p + c) == gray(p))
+    // wrong tile count degrades to null (truncate the offsets array by
+    // shrinking TileLength so the grid implies more tiles)
+    val bad = Containers.synthTiff(w, h, 3, rgb, tileSize = 16)
+    // TileLength (323) value: entries 256,257,258,259,262,277,322,323
+    val at323 = 8 + 2 + 7 * 12 + 8
+    bad(at323) = 8 // 8-px tile rows => 4-row grid vs 2 rows of offsets
+    assert(Containers.tiffPixelBytes(bad) == null)
+  }
+
   test("gif: LZW round-trips sequential, interlaced, repetitive, and large streams") {
     val pal = Array.tabulate(3 * 16) { i =>
       val j = i / 3
