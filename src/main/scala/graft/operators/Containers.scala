@@ -1,17 +1,21 @@
 package graft.operators
 
-/** Real media-container HEADER parsing from raw bytes — no external
-  * libraries, so it runs anywhere the JVM runs (VERDICT r1 asked for
-  * true dimensions/sample rates replacing the header stubs; pixel and
-  * sample decoding still needs real codecs and stays out of scope).
-  *
-  * Formats: BMP (BITMAPINFOHEADER little-endian), PNG (IHDR big-endian),
-  * GIF (87a/89a logical screen), WAV (RIFF/WAVE `fmt ` chunk walk),
-  * JPEG (marker-segment walk to the start-of-frame dimensions),
-  * MP4/ISO-BMFF (box walk: ftyp brand + moov/mvhd duration).
-  * Unknown magics return `MediaHeader.unknown` rather than throwing —
-  * at 100 TB a corrupt blob must degrade to a filterable row, not kill
-  * the task.
+/** Real media-container parsing AND payload decoding from raw bytes —
+  * no external libraries, so it runs anywhere the JVM runs. Header
+  * walks (dimensions, sample rates, durations) for every format, and
+  * full pixel/sample decode wherever the codec is pure algorithm:
+  * BMP (true-color + indexed), PNG (all IHDR color types, depths
+  * 1–16, Adam7), GIF (LZW, interlace), baseline + progressive JPEG
+  * (greyscale/4:4:4/4:2:2/4:2:0), TIFF (strips + tiles; none/LZW/
+  * Deflate/PackBits; predictor 2), WAV PCM (8/16/24/32-bit, float,
+  * G.711 μ/A-law, EXTENSIBLE), tar (ustar/PAX/GNU) and WARC
+  * (multi-member gzip) shard containers, MP4 sample tables. Only
+  * video-codec frame decode (H.26x) stays out — it genuinely needs a
+  * codec library; see `Multimodal`'s header for the boundary.
+  * Every decoder degrades to null on malformed input rather than
+  * throwing — at 100 TB a corrupt blob must become a filterable row,
+  * not kill the task. Write-side `synth*` counterparts are exact
+  * inverses, built for generator-replay oracles.
   */
 object Containers {
 
@@ -1811,29 +1815,56 @@ object Containers {
   def synthWarc(records: Seq[(String, String, Array[Byte])],
       gzipPerRecord: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    for (((tpe, uri, payload), i) <- records.zipWithIndex) {
-      val hdr = new StringBuilder()
-      hdr.append("WARC/1.0\r\n")
-      hdr.append(s"WARC-Type: $tpe\r\n")
-      hdr.append(s"WARC-Record-ID: <urn:graft:$i>\r\n")
-      if (uri.nonEmpty) hdr.append(s"WARC-Target-URI: $uri\r\n")
-      hdr.append(s"Content-Length: ${payload.length}\r\n")
-      hdr.append("\r\n")
-      val rec = new java.io.ByteArrayOutputStream()
-      rec.write(hdr.toString.getBytes("US-ASCII"))
-      rec.write(payload)
-      rec.write("\r\n\r\n".getBytes("US-ASCII"))
-      if (gzipPerRecord) {
-        // BEST_SPEED: the member framing is what matters to readers;
-        // default-level deflate of tiny records is pure synth overhead
-        val gz = new java.util.zip.GZIPOutputStream(out) {
-          `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
-        }
-        gz.write(rec.toByteArray)
-        gz.finish() // flush THIS member; the enclosing stream stays open
-      } else rec.writeTo(out)
-    }
-    out.toByteArray
+    // ONE native zlib Deflater reused (reset()) across every member:
+    // a GZIPOutputStream per record would allocate — and, because
+    // only finish() may be called on a shared underlying stream,
+    // never release — one native Deflater (~256 KB) per record.
+    // nowrap=true emits raw deflate; the gzip member header and
+    // CRC32/ISIZE trailer are written by hand around it.
+    val deflater =
+      if (gzipPerRecord)
+        new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+      else null
+    val crc = new java.util.zip.CRC32()
+    val defBuf = new Array[Byte](8192)
+    try {
+      for (((tpe, uri, payload), i) <- records.zipWithIndex) {
+        val hdr = new StringBuilder()
+        hdr.append("WARC/1.0\r\n")
+        hdr.append(s"WARC-Type: $tpe\r\n")
+        hdr.append(s"WARC-Record-ID: <urn:graft:$i>\r\n")
+        if (uri.nonEmpty) hdr.append(s"WARC-Target-URI: $uri\r\n")
+        hdr.append(s"Content-Length: ${payload.length}\r\n")
+        hdr.append("\r\n")
+        val rec = new java.io.ByteArrayOutputStream()
+        rec.write(hdr.toString.getBytes("US-ASCII"))
+        rec.write(payload)
+        rec.write("\r\n\r\n".getBytes("US-ASCII"))
+        if (gzipPerRecord) {
+          val body = rec.toByteArray
+          // 10-byte member header: magic, CM=8 (deflate), no flags,
+          // MTIME=0, XFL=0, OS=255 (unknown) — what readers require
+          out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+            0xff.toByte))
+          deflater.reset()
+          deflater.setInput(body)
+          deflater.finish()
+          while (!deflater.finished())
+            out.write(defBuf, 0, deflater.deflate(defBuf))
+          crc.reset()
+          crc.update(body)
+          val c = crc.getValue
+          val n = body.length.toLong
+          // CRC32 then ISIZE, both little-endian per RFC 1952
+          out.write(Array[Byte](
+            (c & 0xff).toByte, ((c >> 8) & 0xff).toByte,
+            ((c >> 16) & 0xff).toByte, ((c >> 24) & 0xff).toByte,
+            (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+            ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+        } else rec.writeTo(out)
+      }
+      out.toByteArray
+    } finally if (deflater != null) deflater.end()
   }
 
   // --- real GIF pixel decode: LZW is pure algorithm ------------------
@@ -3137,10 +3168,23 @@ object Containers {
     val rawCode = leU16(b, fi + 8); val bits = leU16(b, fi + 22)
     val fmtSize = leU32(b, fi + 4)
     // extensible: the real code is the SubFormat GUID's data1 (fmt
-    // data offset 24 = 16 base + cbSize 2 + validBits 2 + mask 4)
+    // data offset 24 = 16 base + cbSize 2 + validBits 2 + mask 4) —
+    // but ONLY when the 14-byte GUID tail is the fixed KSDATAFORMAT
+    // media-subtype suffix (xxxxxxxx-0000-0010-8000-00AA00389B71); a
+    // vendor GUID that merely starts with 0x0001 is NOT PCM
     val fmtCode =
       if (rawCode != 0xFFFE) rawCode
-      else if (fmtSize >= 40L && fi + 8 + 24 + 2 <= b.length) leU16(b, fi + 8 + 24)
+      else if (fmtSize >= 40L && fi + 8 + 24 + 16 <= b.length) {
+        val g = fi + 8 + 24
+        val tail = Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+          0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+        var k = 0
+        while (k < 14) {
+          if (u8(b, g + 2 + k) != tail(k)) return null
+          k += 1
+        }
+        leU16(b, g)
+      }
       else return null // extensible header too short for its SubFormat
     val mode = (fmtCode, bits) match {
       case (1, 8)  => 3 // PCM u8 (unsigned by spec at this depth)

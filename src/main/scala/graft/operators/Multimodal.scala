@@ -274,7 +274,16 @@ object Multimodal {
         case 2 =>
           val t = Containers.synthTiff(w, h, 1,
             Array.tabulate(w * h)(i => ((id * 31 + i.toLong * 7) % 256).toByte))
-          t(8 + 2 + 3 * 12 + 8) = 7 // Compression := JPEG-in-TIFF
+          // rewrite Compression := JPEG-in-TIFF by WALKING the IFD for
+          // tag 259 (synthTiff is little-endian, IFD at 8, 12-byte
+          // entries, inline SHORT value at entry+8) — a fixed byte
+          // offset would silently retag a different field if synthTiff
+          // ever reordered its entries
+          val nEnt = (t(8) & 0xFF) | ((t(9) & 0xFF) << 8)
+          val eOff = (0 until nEnt).map(10 + _ * 12).find(e =>
+            ((t(e) & 0xFF) | ((t(e + 1) & 0xFF) << 8)) == 259)
+            .getOrElse(sys.error("synthTiff emitted no Compression tag"))
+          t(eOff + 8) = 7; t(eOff + 9) = 0
           t
         case 3 => png.dropRight(20) // cuts IEND + the IDAT tail
         case 4 => Array.tabulate(64 + (id % 32).toInt)(j =>
