@@ -1084,7 +1084,9 @@ object Containers {
 
   /** Decode a TIFF (II or MM byte order, chunky planar config, strip
     * OR tile layout) into logical top-down 3-bytes-per-pixel rows
-    * (8-bit gray replicated ×3, or 8-bit RGB). Compression: none (1),
+    * (8-bit gray replicated ×3 — BlackIsZero or the fax/scan-default
+    * WhiteIsZero inverted — 8-bit palette resolved through the 16-bit
+    * ColorMap, or 8-bit RGB). Compression: none (1),
     * LZW (5, early-change convention), zlib Deflate (8/32946), or
     * PackBits (32773); horizontal-differencing Predictor (tag 317 =
     * 2) is reversed after decompression; tiled layouts (TileWidth/
@@ -1109,9 +1111,19 @@ object Containers {
     val spp = one(277, 1).toInt
     if (spp != 1 && spp != 3) return null
     val photo = one(262, if (spp == 3) 2L else 1L)
-    if (photo != (if (spp == 3) 2L else 1L)) return null
+    // spp 3 must be RGB (2); spp 1 may be BlackIsZero (1), the
+    // fax/scan-default WhiteIsZero (0, inverted), or palette (3,
+    // resolved through the 16-bit ColorMap tag)
+    if (spp == 3 && photo != 2L) return null
+    if (spp == 1 && photo != 0L && photo != 1L && photo != 3L) return null
     val bits = tags.getOrElse(258, Array.fill(spp)(8L))
     if (bits.length != spp || bits.exists(_ != 8L)) return null
+    val colorMap: Array[Long] =
+      if (photo == 3L) {
+        val cm = tags.getOrElse(320, return null)
+        if (cm.length != 3 * 256) return null // 3 · 2^bits SHORT entries
+        cm
+      } else null
     if (one(284, 1) != 1) return null            // chunky planar only
 
     /** Decompress one strip/tile to exactly `expect` bytes and undo
@@ -1209,8 +1221,18 @@ object Containers {
       val out = new Array[Byte](w * h * 3)
       var i = 0
       while (i < w * h) {
-        val g = raw(i)
-        out(3 * i) = g; out(3 * i + 1) = g; out(3 * i + 2) = g
+        if (photo == 3L) {
+          // ColorMap entries are 16-bit per TIFF6; fold to 8 by the
+          // high byte (the convention libtiff's rgba readers use)
+          val j = raw(i) & 0xFF
+          out(3 * i) = (colorMap(j) >> 8).toByte
+          out(3 * i + 1) = (colorMap(256 + j) >> 8).toByte
+          out(3 * i + 2) = (colorMap(512 + j) >> 8).toByte
+        } else {
+          val g = if (photo == 0L) (255 - (raw(i) & 0xFF)).toByte // WhiteIsZero
+                  else raw(i)
+          out(3 * i) = g; out(3 * i + 1) = g; out(3 * i + 2) = g
+        }
         i += 1
       }
       out
@@ -1311,7 +1333,8 @@ object Containers {
   def synthTiff(width: Int, height: Int, spp: Int, samples: Array[Byte],
       bigEndian: Boolean = false, rowsPerStrip: Int = 0,
       compression: Int = 1, predictor: Int = 1,
-      tileSize: Int = 0): Array[Byte] = {
+      tileSize: Int = 0, photometric: Int = -1,
+      colorMap: Array[Int] = null): Array[Byte] = {
     require(spp == 1 || spp == 3, s"spp must be 1 or 3: $spp")
     require(samples.length == width * height * spp,
       s"need $width*$height*$spp sample bytes, got ${samples.length}")
@@ -1321,6 +1344,17 @@ object Containers {
       s"predictor must be 1 or 2: $predictor")
     require(tileSize == 0 || tileSize % 16 == 0,
       s"tile size must be a multiple of 16: $tileSize") // TIFF6 §15
+    // -1 picks the natural photometric (1 gray / 2 RGB); spp-1 images
+    // may instead be 0 (WhiteIsZero) or 3 (palette, with a 768-entry
+    // 16-bit ColorMap)
+    val photo =
+      if (photometric >= 0) photometric else if (spp == 3) 2 else 1
+    require(if (spp == 3) photo == 2 else Set(0, 1, 3)(photo),
+      s"photometric $photo invalid for spp $spp")
+    require((photo == 3) == (colorMap != null),
+      "colorMap exactly when photometric = 3")
+    require(colorMap == null || colorMap.length == 3 * 256,
+      s"ColorMap needs 3*256 entries: ${if (colorMap == null) 0 else colorMap.length}")
     val tiled = tileSize > 0
 
     def diffAndCompress(plain: Array[Byte], rows: Int,
@@ -1385,12 +1419,15 @@ object Containers {
     val nChunks = chunkData.length
     val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
     // strips: 273/278/279 (3 entries); tiles: 322/323/324/325 (4)
-    val nEntries = 6 + (if (tiled) 4 else 3) + (if (predictor == 2) 1 else 0)
+    val nEntries = 6 + (if (tiled) 4 else 3) +
+      (if (predictor == 2) 1 else 0) + (if (colorMap != null) 1 else 0)
     val ifdSize = 2 + nEntries * 12 + 4
     val ifdOff = 8
     var extra = ifdOff + ifdSize
     val bitsOff = extra
     if (spp == 3) extra += 6            // 3×SHORT out of line
+    val mapOff = extra
+    if (colorMap != null) extra += 2 * 3 * 256 // ColorMap SHORTs
     val offsOff = extra
     if (nChunks > 1) extra += 4 * nChunks
     val cntsOff = extra
@@ -1413,7 +1450,7 @@ object Containers {
     entry(257, 4, 1, height)
     if (spp == 1) entry(258, 3, 1, 8) else entry(258, 3, 3, bitsOff)
     entry(259, 3, 1, compression)
-    entry(262, 3, 1, if (spp == 3) 2 else 1)  // Photometric
+    entry(262, 3, 1, photo)                   // Photometric
     if (!tiled) {
       if (nChunks == 1) entry(273, 4, 1, dataOff)
       else entry(273, 4, nChunks, offsOff)
@@ -1425,6 +1462,7 @@ object Containers {
       else entry(279, 4, nChunks, cntsOff)
     }
     if (predictor == 2) entry(317, 3, 1, 2)
+    if (colorMap != null) entry(320, 3, 3 * 256, mapOff)
     if (tiled) {
       entry(322, 4, 1, tileSize)
       entry(323, 4, 1, tileSize)
@@ -1435,6 +1473,7 @@ object Containers {
     }
     buf.putInt(0)                             // no next IFD
     if (spp == 3) { buf.putShort(8); buf.putShort(8); buf.putShort(8) }
+    if (colorMap != null) colorMap.foreach(v => buf.putShort(v.toShort))
     if (nChunks > 1) {
       chunkOffs.foreach(buf.putInt)
       chunkBytes.foreach(buf.putInt)
@@ -3339,10 +3378,12 @@ object Containers {
             comp != 32773L) ||
             one(317, 1) > 2 || (spp != 1L && spp != 3L) ||
             bits.exists(_ != 8L) || one(284, 1) != 1 ||
-            // WhiteIsZero faxes / palette TIFFs are intact files
-            // outside the decoder's profile, not damage (tiled
-            // layouts DECODE now, so they are neither)
-            (photo != (if (spp == 3L) 2L else 1L))
+            // WhiteIsZero (0), BlackIsZero (1) and palette (3) gray
+            // DECODE now, like tiled layouts; remaining photometrics
+            // (separations, YCbCr, Lab) are intact files outside the
+            // profile, not damage
+            (if (spp == 3L) photo != 2L
+             else photo != 0L && photo != 1L && photo != 3L)
         }
       case "bmp" =>
         b.length >= 34 && {

@@ -384,6 +384,47 @@ object Multimodal {
     })
   }
 
+  /** Deterministic photometric-profile TIFF corpus: image `id` is
+    * `8+id%9 × 8+id%7` single-channel with stored sample `i` =
+    * `(id*31 + i*7) % 256`, cycling `id%3` through the THREE gray
+    * photometrics real scan corpora ship: 0 → WhiteIsZero (the
+    * fax/scan default — decoded gray is the INVERSE of the stored
+    * byte), 1 → BlackIsZero (identity), 2 → palette (Photometric 3)
+    * whose 16-bit ColorMap entry `j` is `(j·{41,73,97} + {7,11,13})
+    * % 256` widened by the 8→16 replication convention (·257, what
+    * real writers emit), so the stored byte indexes the same palette
+    * arithmetic the BMP/GIF/PNG corpora use.
+    * Compression still cycles none/LZW/Deflate/PackBits (`id%4`) and
+    * byte order alternates (`id%2`), so the photometric resolution
+    * composes with the whole strip machinery.
+    */
+  def demoTiffPhotoCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      val samples =
+        Array.tabulate(w * h)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+      val comp = (id % 4) match {
+        case 0 => 1; case 1 => 5; case 2 => 8; case _ => 32773
+      }
+      val photo = if (id % 3 == 2) 3 else (id % 3).toInt
+      val cmap =
+        if (photo == 3) Array.tabulate(3 * 256) { i =>
+          val j = i % 256
+          val c = (i / 256) match {
+            case 0 => (j * 41 + 7) % 256
+            case 1 => (j * 73 + 11) % 256
+            case _ => (j * 97 + 13) % 256
+          }
+          c * 257
+        } else null
+      MediaFile(id, "image", Containers.synthTiff(w, h, 1, samples,
+        bigEndian = id % 2 == 0, rowsPerStrip = (3 + id % 5).toInt,
+        compression = comp, photometric = photo, colorMap = cmap))
+    })
+  }
+
   /** Deterministic GIF corpus: image `id` is `8+id%9 × 8+id%7` over a
     * `2^(2 + 3·(id%3))`-entry palette (4/32/256) whose entry `j` is
     * `((j·41+7)%256, (j·73+11)%256, (j·97+13)%256)`; pixel `i`'s index

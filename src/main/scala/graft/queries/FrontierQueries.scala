@@ -127,6 +127,22 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // TIFF gray-photometric profiles: WhiteIsZero (the fax/scan
+    // default — stored bytes invert), BlackIsZero, and palette
+    // (Photometric 3, resolved through a real 16-bit ColorMap tag)
+    // cycling across compressions and byte orders — the oracle
+    // replays invert/identity/palette arithmetic, the Spark side must
+    // resolve the photometric from genuine IFDs to match.
+    "multimodal_tiff_photometric" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoTiffPhotoCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.pixelStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // WebDataset-shaped shard reading: walk REAL tar headers (octal
     // fields, verified checksums, 512-byte padding) across the three
     // layouts real shards ship in — plain ustar, PAX (Python tarfile's
@@ -1039,6 +1055,26 @@ object FrontierQueries {
         |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[2] END)::BIGINT AS c1_sum,
         |  (CASE WHEN ch = 1 THEN cs[1] ELSE cs[3] END)::BIGINT AS c2_sum
         |FROM sums ORDER BY media_id""".stripMargin,
+
+    // Replays the photometric arithmetic: stored byte v decodes to
+    // 255-v (WhiteIsZero), v (BlackIsZero), or palette entry v's
+    // channel (v·{41,73,97} + {7,11,13}) % 256 — compression and byte
+    // order are transparent to the sums.
+    "multimodal_tiff_photometric" ->
+      """WITH m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |    doc_id % 3 AS ph FROM documents),
+        |s AS (SELECT doc_id, w, h, ph,
+        |    list_transform(range(0, w*h), i -> (doc_id*31 + i*7) % 256) AS g
+        |  FROM m)
+        |SELECT doc_id AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  (w*h)::BIGINT AS n_pixels,
+        |  list_sum(list_transform(g, v -> CASE ph WHEN 0 THEN 255 - v
+        |    WHEN 1 THEN v ELSE (v*41 + 7) % 256 END))::BIGINT AS c0_sum,
+        |  list_sum(list_transform(g, v -> CASE ph WHEN 0 THEN 255 - v
+        |    WHEN 1 THEN v ELSE (v*73 + 11) % 256 END))::BIGINT AS c1_sum,
+        |  list_sum(list_transform(g, v -> CASE ph WHEN 0 THEN 255 - v
+        |    WHEN 1 THEN v ELSE (v*97 + 13) % 256 END))::BIGINT AS c2_sum
+        |FROM s ORDER BY media_id""".stripMargin,
 
     // Replays the tar-shard generator: sample s of shard id has a
     // (16 + (id+s)%8)-byte .txt part and a 1-byte .cls label; the

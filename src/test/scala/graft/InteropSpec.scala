@@ -210,6 +210,62 @@ class InteropSpec extends AnyFunSuite {
     }
   }
 
+  test("tiff: JDK palette TIFF decodes; WhiteIsZero/palette synths JDK-readable") {
+    val w = 60; val h = 40
+    // JDK → us: an indexed-color TIFF (Photometric 3 + ColorMap)
+    val r = Array.tabulate(256)(j => ((j * 41 + 7) % 256).toByte)
+    val g = Array.tabulate(256)(j => ((j * 73 + 11) % 256).toByte)
+    val b = Array.tabulate(256)(j => ((j * 97 + 13) % 256).toByte)
+    val icm = new IndexColorModel(8, 256, r, g, b)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, idxPattern(w, h, 256)(x, y))
+    val tiff = writeBytes(img, "tiff")
+    val px = Containers.tiffPixelBytes(tiff)
+    assert(px != null, "decoder rejected a JDK palette TIFF")
+    val ref = readImg(tiff)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      assert(rgbOf(ref, x, y) ==
+        (px(d) & 0xFF, px(d + 1) & 0xFF, px(d + 2) & 0xFF), s"pal ($x,$y)")
+    }
+    // us → JDK: WhiteIsZero must invert under a standard decoder
+    val gray = Array.tabulate(w * h)(i => ((i * 31 + 7) % 256).toByte)
+    val wiz = Containers.synthTiff(w, h, 1, gray, compression = 5,
+      photometric = 0)
+    val refW = readImg(wiz)
+    assert(refW != null, "JDK decoder rejected a WhiteIsZero synth")
+    for (y <- 0 until h; x <- 0 until w) {
+      // compare RASTER samples: the JDK maps MinIsWhite to an exact
+      // 255-v raster but getRGB then applies a gray→sRGB transfer
+      val inv = 255 - (gray(y * w + x) & 0xFF)
+      assert(refW.getRaster.getSample(x, y, 0) == inv, s"wiz ($x,$y)")
+    }
+    // us → JDK: palette entries resolve identically. 16-bit entries
+    // use the 8→16 replication convention (c·257 = c<<8|c) real
+    // writers emit — the JDK folds by v·255/65535, we by v>>8, and
+    // only replicated entries agree under both
+    val cmap = Array.tabulate(3 * 256) { i =>
+      val j = i % 256
+      val c = (i / 256) match {
+        case 0 => (j * 41 + 7) % 256
+        case 1 => (j * 73 + 11) % 256
+        case _ => (j * 97 + 13) % 256
+      }
+      c * 257
+    }
+    val pal = Containers.synthTiff(w, h, 1, gray, compression = 8,
+      photometric = 3, colorMap = cmap)
+    val refP = readImg(pal)
+    assert(refP != null, "JDK decoder rejected a palette synth")
+    for (y <- 0 until h; x <- 0 until w) {
+      val j = gray(y * w + x) & 0xFF
+      assert(rgbOf(refP, x, y) ==
+        ((j * 41 + 7) % 256, (j * 73 + 11) % 256, (j * 97 + 13) % 256),
+        s"pal-rt ($x,$y)")
+    }
+  }
+
   test("tiff: synthTiff compressed+predictor output is JDK-readable") {
     val w = 90; val h = 60
     val samples = Array.tabulate(w * h * 3)(i =>

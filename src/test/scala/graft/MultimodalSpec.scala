@@ -258,6 +258,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.tiffPixelBytes(bad) == null)
   }
 
+  test("tiff: WhiteIsZero inverts and palette resolves through the ColorMap") {
+    val w = 7; val h = 5
+    val gray = Array.tabulate(w * h)(i => (i * 11 + 3).toByte)
+    for (be <- Seq(false, true); comp <- Seq(1, 5, 8, 32773)) {
+      val wiz = Containers.synthTiff(w, h, 1, gray, bigEndian = be,
+        rowsPerStrip = 2, compression = comp, photometric = 0)
+      val px = Containers.tiffPixelBytes(wiz)
+      assert(px != null, s"wiz be=$be comp=$comp")
+      for (i <- 0 until w * h; c <- 0 until 3)
+        assert((px(3 * i + c) & 0xFF) == 255 - (gray(i) & 0xFF),
+          s"wiz i=$i be=$be comp=$comp")
+    }
+    // palette: stored byte indexes the 16-bit ColorMap, folded to the
+    // high byte (entries replicated 8→16 as real writers emit)
+    val cmap = Array.tabulate(3 * 256)(i => ((i % 256) * 7 % 256) * 257)
+    val pal = Containers.synthTiff(w, h, 1, gray, bigEndian = true,
+      compression = 5, photometric = 3, colorMap = cmap)
+    val px = Containers.tiffPixelBytes(pal)
+    assert(px != null)
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert((px(3 * i + c) & 0xFF) == (gray(i) & 0xFF) * 7 % 256, s"pal i=$i")
+    // these photometrics are DECODED profiles now, not gaps
+    assert(!Containers.unsupportedImageProfile(pal, "tiff"))
+    assert(!Containers.unsupportedImageProfile(
+      Containers.synthTiff(w, h, 1, gray, photometric = 0), "tiff"))
+    // a palette file whose ColorMap tag is MISSING is damage: retag
+    // 320 to an unparsed tag id so the decoder must reject it
+    val noMap = pal.clone()
+    val n = (noMap(9) & 0xFF) | ((noMap(8) & 0xFF) << 8) // MM count
+    val e = (0 until n).map(10 + _ * 12).find(o =>
+      (((noMap(o) & 0xFF) << 8) | (noMap(o + 1) & 0xFF)) == 320).get
+    noMap(e) = 0x7F.toByte; noMap(e + 1) = 0x00
+    assert(Containers.tiffPixelBytes(noMap) == null)
+  }
+
   test("gif: LZW round-trips sequential, interlaced, repetitive, and large streams") {
     val pal = Array.tabulate(3 * 16) { i =>
       val j = i / 3
@@ -569,12 +604,14 @@ class MultimodalSpec extends SparkSpec {
     val jt = tif.clone(); jt(8 + 2 + 3 * 12 + 8) = 7
     assert(Multimodal.imageDecodeErr(jt) == "unsupported_profile")
     assert(Multimodal.imageDecodeErr(tif.dropRight(5)) == "corrupt")
-    // WhiteIsZero (photometric 0) is a profile gap, not damage
+    // WhiteIsZero (0) DECODES now; separations (5) stays a profile gap
     val gt0 = Containers.synthTiff(6, 5, 1,
       Array.tabulate(30)(i => (i * 13 % 256).toByte))
     // Photometric (262) is the 5th entry: value at 8 + 2 + 4*12 + 8
     val wz = gt0.clone(); wz(8 + 2 + 4 * 12 + 8) = 0
-    assert(Multimodal.imageDecodeErr(wz) == "unsupported_profile")
+    assert(Multimodal.imageDecodeErr(wz) == "ok")
+    val sep = gt0.clone(); sep(8 + 2 + 4 * 12 + 8) = 5
+    assert(Multimodal.imageDecodeErr(sep) == "unsupported_profile")
     // 12-bit and CMYK JPEG frames are profile gaps
     val prec12 = jpg.clone(); prec12(sof + 4) = 12.toByte
     assert(Multimodal.imageDecodeErr(prec12) == "unsupported_profile")
