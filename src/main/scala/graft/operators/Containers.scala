@@ -2225,11 +2225,12 @@ object Containers {
   // entropy layer is canonical Huffman (ITU T.81 §F.2), the transform
   // is an 8×8 IDCT, both implementable in plain JVM arithmetic.
   // Supported profile: 8-bit baseline (SOF0) AND progressive (SOF2,
-  // via [[jpegProgressive]]), 1 component (grayscale) or 3 components
-  // (YCbCr) with sampling factors 1–2 per axis — 4:4:4, 4:2:2, 4:4:0,
-  // and the 4:2:0 virtually all real color JPEGs use — with optional
-  // restart intervals. Arithmetic coding and hierarchical/lossless
-  // frames degrade to null.
+  // via [[jpegProgressive]]), 1 component (grayscale), 3 components
+  // (YCbCr), or — baseline only — 4 components (Adobe inverted CMYK /
+  // YCCK per the APP14 transform), with sampling factors 1–2 per
+  // axis — 4:4:4, 4:2:2, 4:4:0, and the 4:2:0 virtually all real
+  // color JPEGs use — with optional restart intervals. Arithmetic
+  // coding and hierarchical/lossless frames degrade to null.
 
   /** Zig-zag index → natural (row-major) index, ITU T.81 Figure A.6. */
   private val ZigZag: Array[Int] = Array(
@@ -2273,10 +2274,13 @@ object Containers {
     val hValPtr = new Array[Array[Int]](8); val hVals = new Array[Array[Int]](8)
     var w = 0; var h = 0
     var nComp = 0
-    val compQ = new Array[Int](3)                        // quant table per comp
-    val compH = new Array[Int](3); val compV = new Array[Int](3)
-    val compDc = new Array[Int](3); val compAc = new Array[Int](3)
+    val compQ = new Array[Int](4)                        // quant table per comp
+    val compH = new Array[Int](4); val compV = new Array[Int](4)
+    val compDc = new Array[Int](4); val compAc = new Array[Int](4)
     var restartInterval = 0
+    // APP14 Adobe color transform: -1 absent, 0 CMYK (stored inverted,
+    // Adobe convention), 2 YCCK (YCC-coded inverted CMY + K)
+    var adobeTransform = -1
     var off = 2
     var sosAt = -1
     while (sosAt < 0) {
@@ -2325,11 +2329,15 @@ object Containers {
               hValPtr(key) = vp; hVals(key) = vals
               p += 17 + total
             }
+          case 0xEE => // APP14: Adobe transform flag for 4-comp color
+            if (len >= 14 && ascii(b, ds, 5) == "Adobe")
+              adobeTransform = u8(b, ds + 11)
           case 0xC0 => // SOF0 baseline
             if (u8(b, ds) != 8) return null        // precision
             h = beU16(b, ds + 1); w = beU16(b, ds + 3)
             nComp = u8(b, ds + 5)
-            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return null
+            if (w <= 0 || h <= 0 ||
+              (nComp != 1 && nComp != 3 && nComp != 4)) return null
             if (w.toLong * h * 3 > (1L << 30)) return null // forged dims
             for (c <- 0 until nComp) {
               val hv = u8(b, ds + 6 + 3 * c + 1)
@@ -2506,7 +2514,12 @@ object Containers {
     // chroma upsampling is nearest-neighbor (floor): sample (x,y) of
     // component c comes from (x·h_c div Hmax, y·v_c div Vmax) — exact
     // for the block-constant oracle corpora; a production swap-in of
-    // libjpeg's "fancy" triangle filter touches only this loop
+    // libjpeg's "fancy" triangle filter touches only this loop.
+    // 4-component color: Adobe CMYK JPEGs store INK-INVERTED samples
+    // (APP14 transform 0 or no marker), or YCC-coded inverted CMY + K
+    // (transform 2, YCCK); transform 1 is 3-component-only → null
+    if (nComp == 4 && adobeTransform == 1) return null
+    val ycck = nComp == 4 && adobeTransform == 2
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -2517,19 +2530,36 @@ object Containers {
           val g = planes(0)(y * planeW(0) + x).toByte
           out(d) = g; out(d + 1) = g; out(d + 2) = g
         } else {
-          val yy = planes(0)(
-            (y * compV(0) / vMaxS) * planeW(0) + x * compH(0) / hMaxS)
-          val cb = planes(1)(
-            (y * compV(1) / vMaxS) * planeW(1) + x * compH(1) / hMaxS) - 128
-          val cr = planes(2)(
-            (y * compV(2) / vMaxS) * planeW(2) + x * compH(2) / hMaxS) - 128
-          def cl(v: Double): Byte = {
+          def samp(c: Int): Int = planes(c)(
+            (y * compV(c) / vMaxS) * planeW(c) + x * compH(c) / hMaxS)
+          def cl(v: Double): Int = {
             val r = math.round(v).toInt
-            (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+            if (r < 0) 0 else if (r > 255) 255 else r
           }
-          out(d) = cl(yy + 1.402 * cr)
-          out(d + 1) = cl(yy - 0.344136 * cb - 0.714136 * cr)
-          out(d + 2) = cl(yy + 1.772 * cb)
+          if (nComp == 3 || ycck) {
+            val yy = samp(0); val cb = samp(1) - 128; val cr = samp(2) - 128
+            val r = cl(yy + 1.402 * cr)
+            val g = cl(yy - 0.344136 * cb - 0.714136 * cr)
+            val bb = cl(yy + 1.772 * cb)
+            if (nComp == 3) {
+              out(d) = r.toByte; out(d + 1) = g.toByte; out(d + 2) = bb.toByte
+            } else {
+              // YCCK: the YCC decode yields the INVERTED C/M/Y values;
+              // compose with K' exactly like the plain-CMYK branch
+              val k = samp(3)
+              out(d) = (r * k / 255).toByte
+              out(d + 1) = (g * k / 255).toByte
+              out(d + 2) = (bb * k / 255).toByte
+            }
+          } else {
+            // inverted-CMYK composition R = C'·K'/255 on the stored
+            // samples — truncating division, documented as this
+            // decoder's convention (no spec'd rounding exists)
+            val k = samp(3)
+            out(d) = (samp(0) * k / 255).toByte
+            out(d + 1) = (samp(1) * k / 255).toByte
+            out(d + 2) = (samp(2) * k / 255).toByte
+          }
         }
         x += 1
       }
@@ -2978,8 +3008,12 @@ object Containers {
   private def synthJpegCoefs(width: Int, height: Int, nComp: Int,
       quantTable: Array[Int], coefs: (Int, Int, Int) => Array[Int],
       restartInterval: Int,
-      sampling: Seq[(Int, Int)] = Seq.fill(3)((1, 1))): Array[Byte] = {
-    require(nComp == 1 || nComp == 3, s"1 or 3 components: $nComp")
+      sampling: Seq[(Int, Int)] = Seq.fill(4)((1, 1)),
+      adobeTransform: Int = -1): Array[Byte] = {
+    require(nComp == 1 || nComp == 3 || nComp == 4,
+      s"1, 3 or 4 components: $nComp")
+    require(adobeTransform == -1 || nComp == 4,
+      "APP14 transform only with 4 components")
     require(quantTable.length == 64, "quant table must have 64 entries")
     require(quantTable.forall(q => q >= 1 && q <= 255), "quant entries 1..255")
     require(sampling.length >= nComp &&
@@ -3054,6 +3088,9 @@ object Containers {
       payload.foreach(v => out.write(v & 0xFF))
     }
     put(0xFF, 0xD8)                                        // SOI
+    if (adobeTransform >= 0)                               // APP14 "Adobe"
+      putSeg(0xEE, Array('A', 'd', 'o', 'b', 'e', 0, 100, 0, 0, 0, 0,
+        adobeTransform))
     putSeg(0xDB, Array(0x00) ++ quantTable)                // DQT id 0
     putSeg(0xC0, Array(8,                                  // SOF0
       height >> 8, height & 0xFF, width >> 8, width & 0xFF, nComp) ++
@@ -3147,6 +3184,36 @@ object Containers {
       sampling: Seq[(Int, Int)] = Seq.fill(3)((1, 1))): Array[Byte] =
     synthJpegCoefs(width, height, 3, quantTable, coefs, restartInterval,
       sampling)
+
+  /** 4-component (print-origin Adobe CMYK/YCCK) coefficient encoder:
+    * emits the APP14 "Adobe" marker carrying `transform` (0 = stored
+    * inverted CMYK, 2 = YCCK) before the frame — the write-side
+    * counterpart of [[jpegPixelBytes]]'s four-plane MCU walk and
+    * K-composition.
+    */
+  def synthJpegCmykCoefs(width: Int, height: Int, quantTable: Array[Int],
+      coefs: (Int, Int, Int) => Array[Int],
+      restartInterval: Int = 0,
+      sampling: Seq[(Int, Int)] = Seq.fill(4)((1, 1)),
+      transform: Int = 0): Array[Byte] =
+    synthJpegCoefs(width, height, 4, quantTable, coefs, restartInterval,
+      sampling, adobeTransform = transform)
+
+  /** Block-constant inverted-CMYK JPEG: component `c` of block
+    * (bx,by) holds `blockVal(c, bx, by)` (0..255, the STORED inverted
+    * sample). All-8s quant keeps the chain integer-exact like
+    * [[synthJpegGray]], so an oracle replays
+    * `rgb = stored_cmy · stored_k / 255` without modeling the
+    * transform.
+    */
+  def synthJpegCmyk(width: Int, height: Int,
+      blockVal: (Int, Int, Int) => Int, transform: Int = 0): Array[Byte] =
+    synthJpegCmykCoefs(width, height, Array.fill(64)(8),
+      (c, bx, by) => {
+        val v = blockVal(c, bx, by)
+        require(v >= 0 && v <= 255, s"block value out of range: $v")
+        val cs = new Array[Int](64); cs(0) = v - 128; cs
+      }, transform = transform)
 
   /** Block-constant grayscale JPEG: block (bx,by) holds the single
     * value `blockVal(bx,by)` (0..255). With the all-8s quant table the
@@ -3345,11 +3412,12 @@ object Containers {
                   if (m != 0xC0 && m != 0xC2) res = true
                   else {
                     val ds = off + 4
-                    // 12-bit precision and 4-component (Adobe CMYK)
-                    // frames are profile gaps, as are >2× sampling
+                    // 12-bit precision and >2× sampling are profile
+                    // gaps; 4-component (Adobe CMYK/YCCK) DECODES in
+                    // baseline now and stays a gap only in progressive
                     if (ds < b.length && u8(b, ds) != 8) res = true
                     val nc = if (ds + 5 < b.length) u8(b, ds + 5) else 0
-                    if (nc == 4) res = true
+                    if (nc == 4 && m == 0xC2) res = true
                     for (c <- 0 until math.min(nc, 4)
                          if ds + 6 + 3 * c + 1 < b.length) {
                       val hv = u8(b, ds + 6 + 3 * c + 1)

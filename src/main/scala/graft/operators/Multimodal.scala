@@ -513,6 +513,42 @@ object Multimodal {
     })
   }
 
+  /** Deterministic print-origin CMYK JPEG corpus: image `id` is
+    * `2+id%3 × 1+id%2` blocks of block-constant four-component color.
+    * EVEN ids carry APP14 transform 0 (plain inverted CMYK): stored
+    * component `c` of block `i` is `(id*31 + i*7 + c*53) % 256`, and
+    * the decoder composes `rgb = stored_cmy · stored_k / 255`
+    * (truncating). ODD ids carry transform 2 (YCCK): the CMY planes
+    * are BT.601-coded — Y block `i` = `(id*31 + i*7) % 256`, chroma
+    * `128 + 23·((id+i)%5 − 2)` / `128 + 23·((id·7+i·3)%5 − 2)` (the
+    * 23-step offsets keep every rounding ≥ 0.008 from an exact .5,
+    * same trick as [[demoJpeg420Corpus]]) — with K block `i` =
+    * `(id*13 + i*11) % 256`. All-8s quant keeps the plane decode
+    * integer-exact, so a SQL oracle replays both transforms while the
+    * Spark side must earn them through a real four-plane MCU walk,
+    * APP14 dispatch, and K composition.
+    */
+  def demoJpegCmykCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val bw = (2 + id % 3).toInt
+      val bh = (1 + id % 2).toInt
+      val ycck = id % 2 == 1
+      val blob = Containers.synthJpegCmyk(bw * 8, bh * 8,
+        (comp, bx, by) => {
+          val i = by.toLong * bw + bx
+          if (!ycck) ((id * 31 + i * 7 + comp * 53) % 256).toInt
+          else comp match {
+            case 0 => ((id * 31 + i * 7) % 256).toInt
+            case 1 => 128 + 23 * (((id + i) % 5).toInt - 2)
+            case 2 => 128 + 23 * (((id * 7 + i * 3) % 5).toInt - 2)
+            case _ => ((id * 13 + i * 11) % 256).toInt
+          }
+        }, transform = if (ycck) 2 else 0)
+      MediaFile(id, "image", blob)
+    })
+  }
+
   /** Deterministic all-PNG corpus cycling the three supported color
     * types — `id mod 3` = 0 → grayscale (type 0), 1 → RGB (type 2),
     * 2 → RGBA (type 6) — with sample byte `i` of image `id` =

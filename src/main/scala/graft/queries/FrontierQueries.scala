@@ -243,6 +243,22 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // Print-origin CMYK JPEG decode: four-component baseline frames
+    // with the APP14 Adobe transform — plain inverted CMYK (even ids)
+    // and YCCK (odd ids, BT.601-coded inverted CMY + K). The oracle
+    // replays both transforms; the Spark side must earn them through
+    // the real four-plane MCU walk, APP14 dispatch, and K
+    // composition.
+    "multimodal_jpeg_cmyk" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoJpegCmykCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.pixelStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // REAL palette-PNG decode — the screenshot/diagram half of web
     // image corpora: inflate + one-byte-distance unfilter + MSB-first
     // sub-byte index unpacking (depths 1/2/4/8) + PLTE resolution.
@@ -1211,6 +1227,40 @@ object FrontierQueries {
         |  (bh*8)::BIGINT AS height, (bw*bh*64)::BIGINT AS n_pixels,
         |  sum(rs)::BIGINT AS c0_sum, sum(gs)::BIGINT AS c1_sum,
         |  sum(bs)::BIGINT AS c2_sum
+        |FROM p GROUP BY doc_id, bw, bh ORDER BY media_id""".stripMargin,
+
+    // Replays both Adobe transforms: even ids rgb = stored_cmy·k/255
+    // (truncating) on the inverted-CMYK generator; odd ids run the
+    // BT.601 reconstruction (23-step chroma keeps rounding stable)
+    // then the same K composition.
+    "multimodal_jpeg_cmyk" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS bw,
+        |                  1 + doc_id % 2 AS bh FROM documents),
+        |b AS (SELECT doc_id, bw, bh, unnest(range(0, bw*bh)) AS i FROM m),
+        |v AS (SELECT doc_id, bw, bh,
+        |    (doc_id*31 + i*7) % 256 AS yv,
+        |    (doc_id*31 + i*7 + 53) % 256 AS mv,
+        |    (doc_id*31 + i*7 + 106) % 256 AS yv2,
+        |    (doc_id*31 + i*7 + 159) % 256 AS kv0,
+        |    23*(((doc_id + i) % 5) - 2) AS cb,
+        |    23*(((doc_id*7 + i*3) % 5) - 2) AS cr,
+        |    (doc_id*13 + i*11) % 256 AS kv2
+        |  FROM b),
+        |p AS (SELECT doc_id, bw, bh,
+        |    CASE WHEN doc_id % 2 = 0 THEN (yv * kv0) // 255
+        |      ELSE (LEAST(GREATEST(round(yv + 1.402*cr), 0), 255)::BIGINT
+        |            * kv2) // 255 END AS r,
+        |    CASE WHEN doc_id % 2 = 0 THEN (mv * kv0) // 255
+        |      ELSE (LEAST(GREATEST(round(yv - 0.344136*cb - 0.714136*cr),
+        |                           0), 255)::BIGINT * kv2) // 255 END AS g,
+        |    CASE WHEN doc_id % 2 = 0 THEN (yv2 * kv0) // 255
+        |      ELSE (LEAST(GREATEST(round(yv + 1.772*cb), 0), 255)::BIGINT
+        |            * kv2) // 255 END AS bl
+        |  FROM v)
+        |SELECT doc_id AS media_id, (bw*8)::BIGINT AS width,
+        |  (bh*8)::BIGINT AS height, (bw*bh*64)::BIGINT AS n_pixels,
+        |  (64*sum(r))::BIGINT AS c0_sum, (64*sum(g))::BIGINT AS c1_sum,
+        |  (64*sum(bl))::BIGINT AS c2_sum
         |FROM p GROUP BY doc_id, bw, bh ORDER BY media_id""".stripMargin,
 
     // Replays the palette-PNG generator: np = 2^(2^(id%4)) capped by

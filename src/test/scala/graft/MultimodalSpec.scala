@@ -507,6 +507,46 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.jpegPixelBytes(bad) == null)
   }
 
+  test("jpeg: 4-component Adobe CMYK and YCCK decode with K composition") {
+    // inverted-CMYK (transform 0): rgb = stored_cmy · stored_k / 255,
+    // truncating — two blocks covering full-ink and mixed values
+    val cmyk = Array(Array(255, 128, 0, 255), Array(40, 200, 90, 130))
+    val jpg = Containers.synthJpegCmyk(16, 8,
+      (comp, bx, _) => cmyk(bx)(comp))
+    val px = Containers.jpegPixelBytes(jpg)
+    assert(px != null && px.length == 16 * 8 * 3)
+    for (bx <- 0 to 1; y <- 0 until 8; x <- 0 until 8; c <- 0 to 2) {
+      val d = (y * 16 + bx * 8 + x) * 3
+      assert((px(d + c) & 0xFF) == cmyk(bx)(c) * cmyk(bx)(3) / 255,
+        s"cmyk mcu $bx ($x,$y) ch $c")
+    }
+    // YCCK (transform 2): BT.601 reconstruction then the K composition
+    val ycck = Array(200, 128 - 46, 128 + 23, 180) // Y, Cb, Cr, K
+    val jy = Containers.synthJpegCmyk(8, 8,
+      (comp, _, _) => ycck(comp), transform = 2)
+    val py = Containers.jpegPixelBytes(jy)
+    assert(py != null)
+    def cl(v: Double): Int = {
+      val r = math.round(v).toInt
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+    val er = cl(ycck(0) + 1.402 * (ycck(2) - 128)) * ycck(3) / 255
+    val eg = cl(ycck(0) - 0.344136 * (ycck(1) - 128)
+      - 0.714136 * (ycck(2) - 128)) * ycck(3) / 255
+    val eb = cl(ycck(0) + 1.772 * (ycck(1) - 128)) * ycck(3) / 255
+    for (p <- 0 until 64) {
+      assert((py(3 * p) & 0xFF) == er, s"ycck R $p")
+      assert((py(3 * p + 1) & 0xFF) == eg, s"ycck G $p")
+      assert((py(3 * p + 2) & 0xFF) == eb, s"ycck B $p")
+    }
+    // transform 1 (YCbCr) is 3-component-only: malformed on 4 → null
+    val t1 = Containers.synthJpegCmyk(8, 8, (c, _, _) => ycck(c),
+      transform = 1)
+    assert(Containers.jpegPixelBytes(t1) == null)
+    // baseline 4-comp is IN profile now; 12-bit precision is not
+    assert(!Containers.unsupportedImageProfile(jpg, "jpeg"))
+  }
+
   test("jpeg: a stuffed 0xFF00 entropy byte decodes transparently") {
     // Crafted to FORCE a 0xFF data byte: with DC=64 (category 7) the
     // entropy prefix is exactly 16 bits — dc code (1) + 7 diff bits +
