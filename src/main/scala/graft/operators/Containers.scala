@@ -3484,6 +3484,113 @@ object Containers {
     }
   } catch { case _: IndexOutOfBoundsException => false }
 
+  /** Whether a RECOGNIZED RIFF/WAVE file that [[wavSamples]] refused
+    * did so because its fmt chunk names a codec/depth outside the
+    * supported set (ADPCM, MP3-in-WAV, GSM, exotic PCM depths, a
+    * vendor SubFormat GUID) — a feature gap to ship — as opposed to
+    * structural damage (no fmt chunk, truncated extensible header,
+    * missing data chunk), which is ingest loss. The audio counterpart
+    * of [[unsupportedImageProfile]], driving the same `decode_err`
+    * split.
+    */
+  def unsupportedAudioProfile(b: Array[Byte]): Boolean = try {
+    if (!(b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"))
+      return false
+    val fi = findWavFmt(b)
+    if (fi < 0) return false                 // no fmt chunk = corrupt
+    val rawCode = leU16(b, fi + 8); val bits = leU16(b, fi + 22)
+    val fmtSize = leU32(b, fi + 4)
+    val code =
+      if (rawCode != 0xFFFE) rawCode
+      else if (fmtSize >= 40L && fi + 8 + 24 + 16 <= b.length) {
+        // a SubFormat GUID whose tail is NOT the KSDATAFORMAT suffix
+        // is a vendor codec — a nameable profile, not damaged bytes
+        val g = fi + 8 + 24
+        val tail = Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+          0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+        var k = 0
+        while (k < 14) {
+          if (u8(b, g + 2 + k) != tail(k)) return true
+          k += 1
+        }
+        leU16(b, g)
+      }
+      else return false // extensible fmt too short for its GUID = corrupt
+    (code, bits) match { // the exact set wavSamples dispatches on
+      case (1, 8) | (1, 16) | (1, 24) | (1, 32) | (3, 32) |
+           (7, 8) | (6, 8) => false
+      case _ => true
+    }
+  } catch { case _: IndexOutOfBoundsException => false }
+
+  /** Whether a checksum-valid tar stream carries a member type the
+    * shard reader can't expand — old-GNU sparse (`S`, whose data
+    * region is hole-elided fragments, not file content) or the
+    * dump/multivolume/volume-label types (`D`/`M`/`V`). Walks headers
+    * with the same validated advance as [[tarEntries]] and stops at
+    * the first such member (sparse members can desync the size-based
+    * walk, so nothing after the hit is trusted); damaged headers
+    * return false (= corrupt, not a profile gap).
+    */
+  def unsupportedTarProfile(b: Array[Byte]): Boolean = try {
+    var off = 0L
+    while (off + 512 <= b.length) {
+      val i = off.toInt
+      var allZero = true
+      var k = 0
+      while (allZero && k < 512) { if (b(i + k) != 0) allZero = false; k += 1 }
+      if (allZero) return false // end-of-archive
+      var stored = 0L; var j = i + 148; var any = false
+      while (j < i + 156 && (b(j) == ' '.toByte || b(j) == 0)) j += 1
+      while (j < i + 156 && b(j) >= '0'.toByte && b(j) <= '7'.toByte) {
+        stored = stored * 8 + (b(j) - '0'); j += 1; any = true
+      }
+      var sum = 0L
+      k = 0
+      while (k < 512) {
+        sum += (if (k >= 148 && k < 156) 32 else u8(b, i + k)); k += 1
+      }
+      if (!any || stored != sum) return false // damaged header = corrupt
+      b(i + 156).toChar match {
+        case 'S' | 'D' | 'M' | 'V' => return true
+        case _ => ()
+      }
+      var size = 0L; j = i + 124; any = false
+      while (j < i + 136 && (b(j) == ' '.toByte || b(j) == 0)) j += 1
+      while (j < i + 136 && b(j) >= '0'.toByte && b(j) <= '7'.toByte) {
+        size = size * 8 + (b(j) - '0'); j += 1; any = true
+      }
+      if (!any) return false
+      off += 512 + ((size + 511) / 512) * 512
+    }
+    false
+  } catch { case _: IndexOutOfBoundsException => false }
+
+  /** Whether an ISO-BMFF stream is FRAGMENTED (DASH/CMAF/streaming
+    * capture): a top-level `moof` or `styp` box means the sample
+    * tables live in per-fragment `trun` runs [[mp4Samples]] doesn't
+    * walk — a nameable profile gap, not corruption. Top-level walk
+    * only; 64-bit largesize honored, malformed sizes end the scan.
+    */
+  def mp4Fragmented(b: Array[Byte]): Boolean = try {
+    var off = 0L
+    while (off + 8 <= b.length) {
+      val i = off.toInt
+      val size0 = beU32(b, i)
+      val tpe = ascii(b, i + 4, 4)
+      if (tpe == "moof" || tpe == "styp") return true
+      val size =
+        if (size0 == 0L) return false // to-EOF box: nothing after it
+        else if (size0 == 1L) {
+          if (off + 16 > b.length) return false
+          (beU32(b, i + 8) << 32) | beU32(b, i + 12)
+        } else size0
+      if (size < 8L) return false
+      off += size
+    }
+    false
+  } catch { case _: IndexOutOfBoundsException => false }
+
   /** MP4/ISO-BMFF: scan top-level boxes ([size:be32][type:4cc]; size 1 =
     * 64-bit largesize, size 0 = to-EOF), then moov → mvhd (version 0:
     * be32 timescale at +12, be32 duration at +16 of the box payload;

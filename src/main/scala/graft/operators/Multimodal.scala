@@ -236,30 +236,97 @@ object Multimodal {
     (fmt, err)
   }
 
+  /** `(detected container, decode_err)` across EVERY family this
+    * engine ingests — images via [[imageDecodeClass]]'s logic, WAV
+    * audio, MP4, tar shards, WARC crawls (gzip-framed or plain), and
+    * the zstd frames Common Crawl's newer `.warc.zst` drops ship in.
+    * Same reason vocabulary as images (`ok` / `unsupported_profile` /
+    * `corrupt` / `unknown_container` / `empty`), so one loss dashboard
+    * covers the whole ingest: tar and WARC damage was previously a
+    * silent null from the shard readers.
+    */
+  def mediaDecodeClass(content: Array[Byte]): (String, String) = {
+    if (content == null || content.length == 0) return ("unknown", "empty")
+    val b = content
+    val fmt = Containers.parse(b).format
+    if (fmt == "wav") {
+      val err =
+        if (Containers.wavSamples(b) != null) "ok"
+        else if (Containers.unsupportedAudioProfile(b)) "unsupported_profile"
+        else "corrupt"
+      return ("wav", err)
+    }
+    if (fmt.startsWith("mp4")) {
+      val err =
+        if (Containers.mp4Fragmented(b)) "unsupported_profile"
+        else if (Containers.mp4Samples(b) != null) "ok"
+        else "corrupt"
+      return ("mp4", err)
+    }
+    if (fmt != "unknown") return imageDecodeClass(b)
+    // magic-free families [[Containers.parse]] doesn't cover
+    if (b.length >= 2 && (b(0) & 0xFF) == 0x1f && (b(1) & 0xFF) == 0x8b) {
+      val plain = Containers.warcInflate(b)
+      return if (plain == null) ("gzip", "corrupt") // can't see inside
+      else if (plain.length >= 5 &&
+          new String(plain, 0, 5, "US-ASCII") == "WARC/") {
+        if (Containers.warcRecords(plain) != null) ("warc", "ok")
+        else ("warc", "corrupt")
+      }
+      else ("gzip", "unknown_container") // sound gzip, unrecognized payload
+    }
+    if (b.length >= 5 && new String(b, 0, 5, "US-ASCII") == "WARC/")
+      return (if (Containers.warcRecords(b) != null) ("warc", "ok")
+              else ("warc", "corrupt"))
+    if (b.length >= 4 && (b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
+        (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD)
+      return ("zstd", "unsupported_profile") // frame named, codec gap
+    if (b.length >= 512 && new String(b, 257, 5, "US-ASCII") == "ustar") {
+      val err =
+        if (Containers.unsupportedTarProfile(b)) "unsupported_profile"
+        else if (Containers.tarEntries(b) != null) "ok"
+        else "corrupt"
+      return ("tar", err)
+    }
+    ("unknown", "unknown_container")
+  }
+
   /** Per-(container, reason) decode-loss accounting over a media
     * Dataset: one narrow partition-wise classify pass, then a tiny
     * two-column aggregate — the query a pipeline operator watches to
     * see WHAT an ingest is dropping, instead of inferring it from
-    * silent nulls downstream.
+    * silent nulls downstream. Routes [[mediaDecodeClass]], so tar /
+    * WARC / audio loss shows up beside image loss.
     */
   def decodeErrStats(spark: SparkSession,
       media: Dataset[MediaFile]): DataFrame = {
     import spark.implicits._
-    media.map(m => imageDecodeClass(m.content))
+    media.map(m => mediaDecodeClass(m.content))
       .toDF("format", "decode_err")
       .groupBy("format", "decode_err").agg(count(lit(1)).as("n"))
   }
 
   /** Deterministic decode-forensics corpus planting one failure class
-    * per `id mod 6` residue: 0 → valid BMP (`ok`), 1 → valid PNG
-    * (`ok`), 2 → TIFF with its Compression tag rewritten to
-    * JPEG-in-TIFF (`unsupported_profile`), 3 → PNG truncated mid-IDAT
-    * (`corrupt`), 4 → magic-free garbage bytes (`unknown_container`;
-    * the `id·7 + j·13` generator provably never forms a known magic),
-    * 5 → baseline JPEG with its SOF0 marker rewritten to
-    * arithmetic-coded SOF9 (`unsupported_profile` — progressive SOF2
-    * and every PNG profile now DECODE, so the plants use genuinely
-    * unsupported features).
+    * per `id mod 15` residue, now covering every ingest family:
+    * 0 → valid BMP (`ok`), 1 → valid PNG (`ok`), 2 → TIFF with its
+    * Compression tag rewritten to JPEG-in-TIFF (`unsupported_profile`),
+    * 3 → PNG truncated mid-IDAT (`corrupt`), 4 → magic-free garbage
+    * bytes (`unknown_container`; the `id·7 + j·13` generator provably
+    * never forms a known magic — consecutive bytes differ by 13, which
+    * rules out the gzip/WARC/zstd prefixes, and it is shorter than a
+    * tar header), 5 → baseline JPEG with its SOF0 marker rewritten to
+    * arithmetic-coded SOF9 (`unsupported_profile`), 6 → valid ustar
+    * shard (`tar`/`ok`), 7 → tar with its first name byte flipped so
+    * the header checksum mismatches (`tar`/`corrupt`), 8 → tar whose
+    * member is retagged old-GNU sparse with the checksum recomputed
+    * (`tar`/`unsupported_profile`), 9 → valid per-record-gzip WARC
+    * (`warc`/`ok`), 10 → the same with the final member's CRC/ISIZE
+    * trailer cut (`gzip`/`corrupt` — a broken stream can't name its
+    * payload), 11 → valid PCM-16 WAV (`wav`/`ok`), 12 → WAV whose fmt
+    * chunk names ADPCM (`wav`/`unsupported_profile`), 13 → WAV with
+    * its data chunk id damaged (`wav`/`corrupt`), 14 → a zstd frame
+    * (`zstd`/`unsupported_profile` — the codec gap `.warc.zst` drops
+    * hit).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -268,7 +335,17 @@ object Multimodal {
       val h = (8 + id % 3).toInt
       val px = Array.tabulate(w * h * 3)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
       def png = Containers.synthPng(w, h, px, row => row % 5)
-      val blob = (id % 6) match {
+      def tarBytes = Containers.synthTar(Seq(
+        (s"f$id.bin", Array.tabulate((32 + id % 64).toInt)(j =>
+          ((id * 17 + j * 29) % 256).toByte))))
+      def warcBytes = Containers.synthWarc(Seq(
+        ("response", s"https://example.com/$id",
+          Array.tabulate((48 + id % 80).toInt)(j =>
+            ((id * 23 + j * 19) % 256).toByte))), gzipPerRecord = true)
+      def wavBytes = Containers.synthWav(8000, 1, 16,
+        Array.tabulate((64 + id % 32).toInt * 2)(j =>
+          ((id * 11 + j * 37) % 256).toByte))
+      val blob = (id % 15) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -288,13 +365,53 @@ object Multimodal {
         case 3 => png.dropRight(20) // cuts IEND + the IDAT tail
         case 4 => Array.tabulate(64 + (id % 32).toInt)(j =>
           ((id * 7 + j * 13) % 256).toByte)
-        case _ =>
+        case 5 =>
           val j = Containers.synthJpegGray(16, 8,
             (bx, by) => ((id * 31 + (by * 2 + bx) * 7) % 256).toInt)
           val sof = (0 until j.length - 1).indexWhere(i =>
             (j(i) & 0xFF) == 0xFF && (j(i + 1) & 0xFF) == 0xC0)
           j(sof + 1) = 0xC9.toByte // arithmetic-coded sequential
           j
+        case 6 => tarBytes
+        case 7 =>
+          // flip one name bit: the stored checksum no longer matches,
+          // but the ustar magic at 257 stays for container detection
+          val t = tarBytes
+          t(0) = (t(0) ^ 1).toByte
+          t
+        case 8 =>
+          // retag the member old-GNU sparse and RECOMPUTE the checksum
+          // (field summed as spaces, "%06o\0 " layout, same convention
+          // as synthTar) — a checksum-valid header carrying a profile
+          // the shard reader can't expand
+          val t = tarBytes
+          t(156) = 'S'.toByte
+          java.util.Arrays.fill(t, 148, 156, ' '.toByte)
+          var sum = 0L
+          var k = 0
+          while (k < 512) { sum += (t(k) & 0xFF); k += 1 }
+          val cs = "%06o".format(sum).getBytes("US-ASCII")
+          System.arraycopy(cs, 0, t, 148, 6)
+          t(154) = 0; t(155) = ' '.toByte
+          t
+        case 9 => warcBytes
+        case 10 => warcBytes.dropRight(8) // cut the gzip CRC32+ISIZE trailer
+        case 11 => wavBytes
+        case 12 =>
+          // fmt chunk sits at 12 by synthWav construction; code 2 =
+          // MS-ADPCM, a codec outside wavSamples' dispatch
+          val v = wavBytes
+          v(20) = 2; v(21) = 0
+          v
+        case 13 =>
+          // damage the data chunk id: the fmt chunk stays sound (so
+          // not a profile gap) but no sample region is findable
+          val v = wavBytes
+          v(36) = 'x'.toByte
+          v
+        case _ => Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte) ++
+          Array.tabulate((16 + id % 16).toInt)(j =>
+            ((id * 13 + j * 7) % 256).toByte)
       }
       MediaFile(id, "image", blob)
     })

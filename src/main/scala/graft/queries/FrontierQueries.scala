@@ -290,11 +290,12 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
-    // Decode-loss forensics: classify every payload as ok / empty /
-    // unknown_container / not_image / unsupported_profile / corrupt
-    // and count by (container, reason) — the observability layer that
-    // distinguishes "ship a profile extension" from "fix the ingest"
-    // at corpus scale, over a corpus with one planted class per id%6.
+    // Decode-loss forensics across EVERY ingest family — images, WAV
+    // audio, tar shards, WARC crawls, zstd frames: classify each
+    // payload as ok / empty / unknown_container / unsupported_profile
+    // / corrupt and count by (container, reason) — the observability
+    // layer that distinguishes "ship a profile extension" from "fix
+    // the ingest" at corpus scale, over one planted class per id%15.
     "decode_err_rates" -> ((s, dir) => {
       import s.implicits._
       val corpus = graft.operators.Multimodal.demoDecodeErrCorpus(
@@ -1308,18 +1309,27 @@ object FrontierQueries {
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
 
-    // Replays the planted-failure generator: each id%6 residue maps to
-    // a fixed (container, reason) pair.
+    // Replays the planted-failure generator: each id%15 residue maps
+    // to a fixed (container, reason) pair across all ingest families.
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 6
+        |    CASE doc_id % 15
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
-        |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' ELSE 'jpeg'
+        |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
+        |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
+        |      WHEN 9 THEN 'warc' WHEN 10 THEN 'gzip' WHEN 11 THEN 'wav'
+        |      WHEN 12 THEN 'wav' WHEN 13 THEN 'wav' ELSE 'zstd'
         |    END AS format,
-        |    CASE doc_id % 6
+        |    CASE doc_id % 15
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
-        |      WHEN 4 THEN 'unknown_container' ELSE 'unsupported_profile'
+        |      WHEN 4 THEN 'unknown_container'
+        |      WHEN 5 THEN 'unsupported_profile'
+        |      WHEN 6 THEN 'ok' WHEN 7 THEN 'corrupt'
+        |      WHEN 8 THEN 'unsupported_profile'
+        |      WHEN 9 THEN 'ok' WHEN 10 THEN 'corrupt'
+        |      WHEN 11 THEN 'ok' WHEN 12 THEN 'unsupported_profile'
+        |      WHEN 13 THEN 'corrupt' ELSE 'unsupported_profile'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n

@@ -1241,4 +1241,74 @@ class MultimodalSpec extends SparkSpec {
       .map(a => a.media_id -> a).toMap
     assert(again == got)
   }
+  test("mediaDecodeClass: tar/WARC/audio/zstd loss classes beside images") {
+    import Multimodal.mediaDecodeClass
+    val data = Array.tabulate(70)(j => ((j * 29) % 256).toByte)
+    // tar: valid -> ok; flipped name byte -> checksum mismatch = corrupt
+    val tar = Containers.synthTar(Seq(("a.bin", data)))
+    assert(mediaDecodeClass(tar) == ("tar", "ok"))
+    val bad = tar.clone(); bad(0) = (bad(0) ^ 1).toByte
+    assert(mediaDecodeClass(bad) == ("tar", "corrupt"))
+    // tar: old-GNU sparse member with a RECOMPUTED checksum -> profile
+    val sp = tar.clone()
+    sp(156) = 'S'.toByte
+    java.util.Arrays.fill(sp, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (k <- 0 until 512) sum += (sp(k) & 0xFF)
+    System.arraycopy("%06o".format(sum).getBytes("US-ASCII"), 0, sp, 148, 6)
+    sp(154) = 0; sp(155) = ' '.toByte
+    assert(Containers.unsupportedTarProfile(sp))
+    assert(mediaDecodeClass(sp) == ("tar", "unsupported_profile"))
+    assert(!Containers.unsupportedTarProfile(tar))
+    assert(!Containers.unsupportedTarProfile(bad)) // damage is not a profile
+    // WARC: gzip-framed ok; trailer cut -> the STREAM is corrupt (we
+    // can't see the payload to call it warc); plain-text warc ok too
+    val warc = Containers.synthWarc(
+      Seq(("response", "https://x/1", data)), gzipPerRecord = true)
+    assert(mediaDecodeClass(warc) == ("warc", "ok"))
+    assert(mediaDecodeClass(warc.dropRight(8)) == ("gzip", "corrupt"))
+    val plain = Containers.synthWarc(Seq(("response", "https://x/2", data)))
+    assert(mediaDecodeClass(plain) == ("warc", "ok"))
+    assert(mediaDecodeClass(plain.dropRight(10)) == ("warc", "corrupt"))
+    // sound gzip around a non-WARC payload names the wrapper only
+    val gz = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(data); g.close(); bo.toByteArray
+    }
+    assert(mediaDecodeClass(gz) == ("gzip", "unknown_container"))
+    // WAV: PCM ok; ADPCM fmt code -> profile; damaged data id -> corrupt
+    val wav = Containers.synthWav(8000, 1, 16, Array.tabulate(128)(j =>
+      ((j * 37) % 256).toByte))
+    assert(mediaDecodeClass(wav) == ("wav", "ok"))
+    val adpcm = wav.clone(); adpcm(20) = 2; adpcm(21) = 0
+    assert(Containers.unsupportedAudioProfile(adpcm))
+    assert(mediaDecodeClass(adpcm) == ("wav", "unsupported_profile"))
+    val noData = wav.clone(); noData(36) = 'x'.toByte
+    assert(!Containers.unsupportedAudioProfile(noData))
+    assert(mediaDecodeClass(noData) == ("wav", "corrupt"))
+    // vendor SubFormat GUID in an extensible header is a codec gap
+    val ext = Containers.synthWavExtensible(8000, 1, 16,
+      Array.tabulate(64)(j => ((j * 7) % 256).toByte))
+    assert(mediaDecodeClass(ext) == ("wav", "ok"))
+    val vendor = ext.clone()
+    // GUID tail starts 2 bytes after the code (fmt data off 24 at 12+8)
+    vendor(12 + 8 + 24 + 2) = (vendor(12 + 8 + 24 + 2) ^ 1).toByte
+    assert(Containers.unsupportedAudioProfile(vendor))
+    assert(mediaDecodeClass(vendor) == ("wav", "unsupported_profile"))
+    // zstd frame: named wrapper, codec gap
+    val zst = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte, 1, 2, 3)
+    assert(mediaDecodeClass(zst) == ("zstd", "unsupported_profile"))
+    // fragmented MP4 (top-level moof) is a profile gap, not corruption
+    val mp4 = Containers.synthMp4("isom", 1000, 5000)
+    assert(!Containers.mp4Fragmented(mp4))
+    val moof = mp4 ++ java.nio.ByteBuffer.allocate(8).putInt(8).array()
+      .take(4) ++ "moof".getBytes("US-ASCII")
+    assert(Containers.mp4Fragmented(moof))
+    assert(mediaDecodeClass(moof)._2 == "unsupported_profile")
+    // images still route through the image classifier unchanged
+    assert(mediaDecodeClass(Array.emptyByteArray) == ("unknown", "empty"))
+    val px = Array.tabulate(8 * 8 * 3)(i => (i % 256).toByte)
+    assert(mediaDecodeClass(Containers.synthBmp24(8, 8, px)) == ("bmp", "ok"))
+  }
 }
