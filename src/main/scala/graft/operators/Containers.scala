@@ -2058,20 +2058,164 @@ object Containers {
     * here.
     */
   def gifPixelBytes(b: Array[Byte]): Array[Byte] =
-    gifDecodeIndexed(b) match {
+    gifAnimate(b) match {
       case null => null
-      case (w, h, pal, idx) =>
-        val out = new Array[Byte](w * h * 3)
-        var i = 0
-        while (i < w * h) {
-          val v = idx(i)
-          out(3 * i) = pal(3 * v).toByte
-          out(3 * i + 1) = pal(3 * v + 1).toByte
-          out(3 * i + 2) = pal(3 * v + 2).toByte
-          i += 1
-        }
-        out
+      case (_, _, _, rgb) => rgb
     }
+
+  /** Compose an animated GIF's full frame sequence into its final
+    * canvas: `(width, height, nFrames, RGB bytes)`. Every frame is
+    * LZW-decoded for real — image descriptors at arbitrary offsets,
+    * local or global palettes, interlacing, Graphic Control Extension
+    * transparency (transparent indices leave the canvas untouched),
+    * and disposal methods 0/1 (leave), 2 (restore the frame rect to
+    * the background color) and 3 (restore the previous canvas)
+    * applied between frames per GIF89a. The canvas starts as the
+    * header's background color (black when the header names none or
+    * it is out of palette range) — this decoder composes to RGB, so
+    * renderer "transparent background" conventions have no alpha
+    * channel to land in; the convention is documented so oracles can
+    * replay it. A single full-screen frame composes to exactly that
+    * frame, so this SUBSUMES still-image decode ([[gifPixelBytes]]
+    * routes here). Null on corruption: truncated streams,
+    * out-of-range indices, frames escaping the canvas, or a missing
+    * trailer.
+    */
+  def gifAnimate(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = try {
+    if (!(b.length >= 14 &&
+        (ascii(b, 0, 6) == "GIF87a" || ascii(b, 0, 6) == "GIF89a"))) return null
+    val w = leU16(b, 6); val h = leU16(b, 8)
+    if (w <= 0 || h <= 0 || w.toLong * h * 3 > (1L << 30)) return null
+    val packed = u8(b, 10)
+    val bgIdx = u8(b, 11)
+    var pos = 13
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + 3 * n > b.length) return null
+      gct = Array.tabulate(3 * n)(i => u8(b, pos + i))
+      pos += 3 * n
+    }
+    val hasBg = gct != null && 3 * bgIdx + 2 < gct.length
+    val bgR: Byte = if (hasBg) gct(3 * bgIdx).toByte else 0
+    val bgG: Byte = if (hasBg) gct(3 * bgIdx + 1).toByte else 0
+    val bgB: Byte = if (hasBg) gct(3 * bgIdx + 2).toByte else 0
+    val canvas = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      canvas(3 * p) = bgR; canvas(3 * p + 1) = bgG; canvas(3 * p + 2) = bgB
+      p += 1
+    }
+    var nFrames = 0
+    var transparent = -1; var disposal = 0 // pending GCE, reset per frame
+    // previous frame's disposal is applied when the NEXT frame arrives
+    // (after the last frame the canvas keeps what that frame drew)
+    var prevDisposal = 0
+    var prevX = 0; var prevY = 0; var prevW = 0; var prevH = 0
+    var prevSnap: Array[Byte] = null
+    while (pos < b.length) {
+      u8(b, pos) match {
+        case 0x21 => // extension: GCE feeds composition, others skip
+          if (pos + 1 >= b.length) return null
+          if (u8(b, pos + 1) == 0xF9 && pos + 7 < b.length &&
+              u8(b, pos + 2) == 4) {
+            val pk = u8(b, pos + 3)
+            disposal = (pk >> 2) & 7
+            transparent = if ((pk & 1) != 0) u8(b, pos + 6) else -1
+          }
+          pos += 2
+          while (pos < b.length && u8(b, pos) != 0) pos += 1 + u8(b, pos)
+          if (pos >= b.length) return null
+          pos += 1
+        case 0x2C =>
+          if (pos + 10 > b.length) return null
+          val ix = leU16(b, pos + 1); val iy = leU16(b, pos + 3)
+          val iw = leU16(b, pos + 5); val ih = leU16(b, pos + 7)
+          val ip = u8(b, pos + 9)
+          pos += 10
+          if (iw <= 0 || ih <= 0 || ix + iw > w || iy + ih > h) return null
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            if (pos + 3 * n > b.length) return null
+            pal = Array.tabulate(3 * n)(i => u8(b, pos + i))
+            pos += 3 * n
+          }
+          if (pal == null) return null
+          if (pos >= b.length) return null
+          val mcs = u8(b, pos); pos += 1
+          if (mcs < 2 || mcs > 11) return null
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < b.length && u8(b, pos) != 0) {
+            val n = u8(b, pos)
+            if (pos + 1 + n > b.length) return null
+            data.write(b, pos + 1, n); pos += 1 + n
+          }
+          if (pos >= b.length) return null // missing sub-block terminator
+          pos += 1
+          val idx = lzwDecode(data.toByteArray, mcs, iw * ih)
+          if (idx == null) return null
+          // settle the PREVIOUS frame's disposal before drawing
+          prevDisposal match {
+            case 2 => // restore the previous rect to background
+              var r = 0
+              while (r < prevH) {
+                var c = 0
+                while (c < prevW) {
+                  val d = ((prevY + r) * w + prevX + c) * 3
+                  canvas(d) = bgR; canvas(d + 1) = bgG; canvas(d + 2) = bgB
+                  c += 1
+                }
+                r += 1
+              }
+            case 3 => // restore the canvas as it was before that frame
+              if (prevSnap != null) {
+                var r = 0
+                while (r < prevH) {
+                  System.arraycopy(prevSnap, r * prevW * 3, canvas,
+                    ((prevY + r) * w + prevX) * 3, prevW * 3)
+                  r += 1
+                }
+              }
+            case _ => ()
+          }
+          val snap =
+            if (disposal == 3) {
+              val s = new Array[Byte](iw * ih * 3)
+              var r = 0
+              while (r < ih) {
+                System.arraycopy(canvas, ((iy + r) * w + ix) * 3, s,
+                  r * iw * 3, iw * 3)
+                r += 1
+              }
+              s
+            } else null
+          val np = pal.length / 3
+          val rowOf = if ((ip & 0x40) != 0) interlaceRows(ih) else null
+          var i = 0
+          while (i < iw * ih) {
+            val v = idx(i)
+            if (v >= np) return null
+            if (v != transparent) {
+              val row = if (rowOf == null) i / iw else rowOf(i / iw)
+              val d = ((iy + row) * w + ix + i % iw) * 3
+              canvas(d) = pal(3 * v).toByte
+              canvas(d + 1) = pal(3 * v + 1).toByte
+              canvas(d + 2) = pal(3 * v + 2).toByte
+            }
+            i += 1
+          }
+          prevDisposal = disposal
+          prevX = ix; prevY = iy; prevW = iw; prevH = ih; prevSnap = snap
+          transparent = -1; disposal = 0
+          nFrames += 1
+        case 0x3B =>
+          return if (nFrames >= 1) (w, h, nFrames, canvas) else null
+        case _ => return null
+      }
+    }
+    null // ran out of bytes without a trailer
+  } catch { case _: IndexOutOfBoundsException => null }
 
   /** The palette-preserving form of [[gifPixelBytes]]:
     * (width, height, palette RGB bytes, logical top-down indices) —
@@ -2220,17 +2364,100 @@ object Containers {
     out.toByteArray
   }
 
+  /** One frame for [[synthGifAnim]]: `indices` is the iw×ih local
+    * grid (row-major, pre-interlace); `localPaletteRgb` null = use
+    * the global table; `transparentIdx` −1 = opaque; `disposal` per
+    * GIF89a (0/1 leave, 2 restore-background, 3 restore-previous).
+    */
+  final case class GifFrame(ix: Int, iy: Int, iw: Int, ih: Int,
+      indices: Array[Int], localPaletteRgb: Array[Int] = null,
+      transparentIdx: Int = -1, disposal: Int = 0,
+      interlaced: Boolean = false)
+
+  /** Valid multi-frame GIF89a — the exact write-side counterpart of
+    * [[gifAnimate]]: global color table + background index, then per
+    * frame an optional Graphic Control Extension (emitted whenever
+    * the frame carries transparency or a non-zero disposal), an image
+    * descriptor at the frame's offset with optional local color table
+    * and interlace flag, and the real LZW stream in 255-byte
+    * sub-blocks.
+    */
+  def synthGifAnim(width: Int, height: Int, globalPaletteRgb: Array[Int],
+      bgIndex: Int, frames: Seq[GifFrame]): Array[Byte] = {
+    val np = globalPaletteRgb.length / 3
+    require(np >= 2 && np <= 256 && Integer.bitCount(np) == 1,
+      s"global palette size must be a power of two in 2..256: $np")
+    require(bgIndex >= 0 && bgIndex < np, s"bg index out of palette: $bgIndex")
+    require(frames.nonEmpty, "at least one frame")
+    val k = 31 - Integer.numberOfLeadingZeros(np)
+    val out = new java.io.ByteArrayOutputStream()
+    def put(v: Int*): Unit = v.foreach(x => out.write(x & 0xFF))
+    put('G', 'I', 'F', '8', '9', 'a')
+    put(width & 0xFF, width >> 8, height & 0xFF, height >> 8)
+    put(0x80 | (k - 1), bgIndex, 0)
+    globalPaletteRgb.foreach(v => out.write(v & 0xFF))
+    for (f <- frames) {
+      val pal = if (f.localPaletteRgb != null) f.localPaletteRgb
+                else globalPaletteRgb
+      val fnp = pal.length / 3
+      require(fnp >= 2 && fnp <= 256 && Integer.bitCount(fnp) == 1,
+        s"frame palette size must be a power of two in 2..256: $fnp")
+      require(f.ix >= 0 && f.iy >= 0 && f.iw > 0 && f.ih > 0 &&
+        f.ix + f.iw <= width && f.iy + f.ih <= height,
+        s"frame rect escapes the canvas: ${(f.ix, f.iy, f.iw, f.ih)}")
+      require(f.indices.length == f.iw * f.ih,
+        s"need ${f.iw}*${f.ih} indices, got ${f.indices.length}")
+      require(f.indices.forall(v => v >= 0 && v < fnp), "index out of palette")
+      require(f.disposal >= 0 && f.disposal <= 3, s"disposal: ${f.disposal}")
+      require(f.transparentIdx < fnp, "transparent index out of palette")
+      if (f.transparentIdx >= 0 || f.disposal != 0)
+        put(0x21, 0xF9, 4,
+          (f.disposal << 2) | (if (f.transparentIdx >= 0) 1 else 0),
+          0, 0, math.max(f.transparentIdx, 0), 0)
+      val fk = 31 - Integer.numberOfLeadingZeros(fnp)
+      put(0x2C, f.ix & 0xFF, f.ix >> 8, f.iy & 0xFF, f.iy >> 8,
+        f.iw & 0xFF, f.iw >> 8, f.ih & 0xFF, f.ih >> 8,
+        (if (f.localPaletteRgb != null) 0x80 | (fk - 1) else 0) |
+          (if (f.interlaced) 0x40 else 0))
+      if (f.localPaletteRgb != null) pal.foreach(v => out.write(v & 0xFF))
+      val mcs = math.max(2, fk)
+      val stream =
+        if (!f.interlaced) f.indices
+        else {
+          val rows = interlaceRows(f.ih)
+          val s = new Array[Int](f.indices.length)
+          for (j <- 0 until f.ih)
+            System.arraycopy(f.indices, rows(j) * f.iw, s, j * f.iw, f.iw)
+          s
+        }
+      put(mcs)
+      val z = lzwEncode(stream, mcs)
+      var off = 0
+      while (off < z.length) {
+        val n = math.min(255, z.length - off)
+        put(n)
+        out.write(z, off, n)
+        off += n
+      }
+      put(0x00)
+    }
+    put(0x3B)
+    out.toByteArray
+  }
+
   // --- real baseline-JPEG pixel decode: Huffman + IDCT in pure JVM ----
   // Baseline sequential JPEG (SOF0) needs no codec library either: the
   // entropy layer is canonical Huffman (ITU T.81 §F.2), the transform
   // is an 8×8 IDCT, both implementable in plain JVM arithmetic.
   // Supported profile: 8-bit baseline (SOF0) AND progressive (SOF2,
-  // via [[jpegProgressive]]), 1 component (grayscale), 3 components
-  // (YCbCr), or — baseline only — 4 components (Adobe inverted CMYK /
-  // YCCK per the APP14 transform), with sampling factors 1–2 per
-  // axis — 4:4:4, 4:2:2, 4:4:0, and the 4:2:0 virtually all real
-  // color JPEGs use — with optional restart intervals. Arithmetic
-  // coding and hierarchical/lossless frames degrade to null.
+  // via [[jpegProgressive]]), 12-bit baseline (DICOM/scan exports;
+  // output folds to the high byte), 1 component (grayscale), 3
+  // components (YCbCr), or — 8-bit baseline only — 4 components
+  // (Adobe inverted CMYK / YCCK per the APP14 transform), with
+  // sampling factors 1–2 per axis — 4:4:4, 4:2:2, 4:4:0, and the
+  // 4:2:0 virtually all real color JPEGs use — with optional restart
+  // intervals. Arithmetic coding and hierarchical/lossless frames
+  // degrade to null.
 
   /** Zig-zag index → natural (row-major) index, ITU T.81 Figure A.6. */
   private val ZigZag: Array[Int] = Array(
@@ -2278,6 +2505,7 @@ object Containers {
     val compH = new Array[Int](4); val compV = new Array[Int](4)
     val compDc = new Array[Int](4); val compAc = new Array[Int](4)
     var restartInterval = 0
+    var prec = 8 // SOF sample precision: 8, or 12 (DICOM/scan exports)
     // APP14 Adobe color transform: -1 absent, 0 CMYK (stored inverted,
     // Adobe convention), 2 YCCK (YCC-coded inverted CMY + K)
     var adobeTransform = -1
@@ -2333,11 +2561,15 @@ object Containers {
             if (len >= 14 && ascii(b, ds, 5) == "Adobe")
               adobeTransform = u8(b, ds + 11)
           case 0xC0 => // SOF0 baseline
-            if (u8(b, ds) != 8) return null        // precision
+            prec = u8(b, ds)
+            if (prec != 8 && prec != 12) return null // sample precision
             h = beU16(b, ds + 1); w = beU16(b, ds + 3)
             nComp = u8(b, ds + 5)
             if (w <= 0 || h <= 0 ||
               (nComp != 1 && nComp != 3 && nComp != 4)) return null
+            // 12-bit CMYK: the /255 K-composition convention is 8-bit;
+            // no real corpus pairs the two — stays a profile gap
+            if (prec == 12 && nComp == 4) return null
             if (w.toLong * h * 3 > (1L << 30)) return null // forged dims
             for (c <- 0 until nComp) {
               val hv = u8(b, ds + 6 + 3 * c + 1)
@@ -2430,6 +2662,8 @@ object Containers {
     val planes = Array.tabulate(nComp)(c => new Array[Int](planeW(c) * planeH(c)))
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
+    val mid = 1 << (prec - 1)       // level shift: 128 or 2048
+    val maxV = (1 << prec) - 1      // sample ceiling: 255 or 4095
     var mcu = 0
     var my = 0
     while (my < mcuRows) {
@@ -2453,8 +2687,9 @@ object Containers {
             while (bhh < compH(c)) {
               java.util.Arrays.fill(coef, 0)
               // DC: category + extend, predicted from the previous block
+              // (T.81 Table F.1: categories reach 11 at 8-bit, 15 at 12)
               val s = decodeHuff((0 << 2) | compDc(c))
-              if (s > 11) throw Corrupt
+              if (s > (if (prec == 12) 15 else 11)) throw Corrupt
               pred(c) += extend(receive(s), s)
               coef(0) = pred(c) * qtab(0)
               // AC: (run, size) pairs with EOB / ZRL
@@ -2491,9 +2726,9 @@ object Containers {
                     }
                     v += 1
                   }
-                  val pix = math.round(sum / 4 + 128).toInt
+                  val pix = math.round(sum / 4 + mid).toInt
                   plane((by0 + y) * planeW(c) + bx0 + x) =
-                    if (pix < 0) 0 else if (pix > 255) 255 else pix
+                    if (pix < 0) 0 else if (pix > maxV) maxV else pix
                   x += 1
                 }
                 y += 1
@@ -2520,6 +2755,11 @@ object Containers {
     // (transform 2, YCCK); transform 1 is 3-component-only → null
     if (nComp == 4 && adobeTransform == 1) return null
     val ycck = nComp == 4 && adobeTransform == 2
+    // 12-bit output convention: color-convert IN the 12-bit domain
+    // (chroma centered on 2048, clamp at 4095), then keep the top 8
+    // bits (>> 4) — the same high-byte fold pngPixelBytes applies to
+    // 16-bit PNG, so downstream stats see one byte scale
+    val sh = prec - 8
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -2527,22 +2767,23 @@ object Containers {
       while (x < w) {
         val d = (y * w + x) * 3
         if (nComp == 1) {
-          val g = planes(0)(y * planeW(0) + x).toByte
+          val g = (planes(0)(y * planeW(0) + x) >> sh).toByte
           out(d) = g; out(d + 1) = g; out(d + 2) = g
         } else {
           def samp(c: Int): Int = planes(c)(
             (y * compV(c) / vMaxS) * planeW(c) + x * compH(c) / hMaxS)
           def cl(v: Double): Int = {
             val r = math.round(v).toInt
-            if (r < 0) 0 else if (r > 255) 255 else r
+            if (r < 0) 0 else if (r > maxV) maxV else r
           }
           if (nComp == 3 || ycck) {
-            val yy = samp(0); val cb = samp(1) - 128; val cr = samp(2) - 128
+            val yy = samp(0); val cb = samp(1) - mid; val cr = samp(2) - mid
             val r = cl(yy + 1.402 * cr)
             val g = cl(yy - 0.344136 * cb - 0.714136 * cr)
             val bb = cl(yy + 1.772 * cb)
             if (nComp == 3) {
-              out(d) = r.toByte; out(d + 1) = g.toByte; out(d + 2) = bb.toByte
+              out(d) = (r >> sh).toByte; out(d + 1) = (g >> sh).toByte
+              out(d + 2) = (bb >> sh).toByte
             } else {
               // YCCK: the YCC decode yields the INVERTED C/M/Y values;
               // compose with K' exactly like the plain-CMYK branch
@@ -3009,13 +3250,18 @@ object Containers {
       quantTable: Array[Int], coefs: (Int, Int, Int) => Array[Int],
       restartInterval: Int,
       sampling: Seq[(Int, Int)] = Seq.fill(4)((1, 1)),
-      adobeTransform: Int = -1): Array[Byte] = {
+      adobeTransform: Int = -1,
+      precision: Int = 8): Array[Byte] = {
     require(nComp == 1 || nComp == 3 || nComp == 4,
       s"1, 3 or 4 components: $nComp")
     require(adobeTransform == -1 || nComp == 4,
       "APP14 transform only with 4 components")
+    require(precision == 8 || precision == 12, s"precision 8 or 12: $precision")
+    require(precision == 8 || nComp != 4, "12-bit CMYK is out of profile")
     require(quantTable.length == 64, "quant table must have 64 entries")
-    require(quantTable.forall(q => q >= 1 && q <= 255), "quant entries 1..255")
+    val qMax = if (precision == 8) 255 else 65535 // 12-bit DQT is Pq=1
+    require(quantTable.forall(q => q >= 1 && q <= qMax),
+      s"quant entries 1..$qMax")
     require(sampling.length >= nComp &&
       sampling.take(nComp).forall { case (hc, vc) =>
         hc >= 1 && hc <= 2 && vc >= 1 && vc <= 2 },
@@ -3091,8 +3337,12 @@ object Containers {
     if (adobeTransform >= 0)                               // APP14 "Adobe"
       putSeg(0xEE, Array('A', 'd', 'o', 'b', 'e', 0, 100, 0, 0, 0, 0,
         adobeTransform))
-    putSeg(0xDB, Array(0x00) ++ quantTable)                // DQT id 0
-    putSeg(0xC0, Array(8,                                  // SOF0
+    if (precision == 8)
+      putSeg(0xDB, Array(0x00) ++ quantTable)              // DQT id 0, Pq=0
+    else // 12-bit samples carry 16-bit table entries (T.81 Pq=1)
+      putSeg(0xDB, Array(0x10) ++
+        quantTable.flatMap(q => Seq(q >> 8, q & 0xFF)))
+    putSeg(0xC0, Array(precision,                          // SOF0
       height >> 8, height & 0xFF, width >> 8, width & 0xFF, nComp) ++
       (0 until nComp).flatMap(c =>
         Seq(c + 1, (sampling(c)._1 << 4) | sampling(c)._2, 0))) // q0 each
@@ -3214,6 +3464,23 @@ object Containers {
         require(v >= 0 && v <= 255, s"block value out of range: $v")
         val cs = new Array[Int](64); cs(0) = v - 128; cs
       }, transform = transform)
+
+  /** 12-bit block-constant baseline JPEG (1 = grayscale or 3 = YCbCr
+    * components): component `c` of block (bx,by) holds
+    * `blockVal(c,bx,by)` (0..4095, the 12-bit sample). Emits a Pq=1
+    * 16-bit DQT and SOF precision 12; the all-8s quant keeps the
+    * plane decode INTEGER-EXACT exactly like [[synthJpegGray]]
+    * ((v−2048)·8 / 8 + 2048 = v), so an oracle replays the 12-bit
+    * color math and the final high-byte (>>4) fold.
+    */
+  def synthJpeg12(width: Int, height: Int, nComp: Int,
+      blockVal: (Int, Int, Int) => Int): Array[Byte] =
+    synthJpegCoefs(width, height, nComp, Array.fill(64)(8),
+      (c, bx, by) => {
+        val v = blockVal(c, bx, by)
+        require(v >= 0 && v <= 4095, s"block value out of range: $v")
+        val cs = new Array[Int](64); cs(0) = v - 2048; cs
+      }, restartInterval = 0, precision = 12)
 
   /** Block-constant grayscale JPEG: block (bx,by) holds the single
     * value `blockVal(bx,by)` (0..255). With the all-8s quant table the
@@ -3412,12 +3679,15 @@ object Containers {
                   if (m != 0xC0 && m != 0xC2) res = true
                   else {
                     val ds = off + 4
-                    // 12-bit precision and >2× sampling are profile
-                    // gaps; 4-component (Adobe CMYK/YCCK) DECODES in
-                    // baseline now and stays a gap only in progressive
-                    if (ds < b.length && u8(b, ds) != 8) res = true
+                    // >2× sampling is a profile gap; 8- and 12-bit
+                    // baseline DECODE now (other precisions don't);
+                    // 4-comp (Adobe CMYK/YCCK) and 12-bit each stay a
+                    // gap in progressive, and the two don't combine
+                    val pr = if (ds < b.length) u8(b, ds) else 0
+                    if (pr != 8 && pr != 12) res = true
+                    if (pr == 12 && m == 0xC2) res = true
                     val nc = if (ds + 5 < b.length) u8(b, ds + 5) else 0
-                    if (nc == 4 && m == 0xC2) res = true
+                    if (nc == 4 && (m == 0xC2 || pr == 12)) res = true
                     for (c <- 0 until math.min(nc, 4)
                          if ds + 6 + 3 * c + 1 < b.length) {
                       val hv = u8(b, ds + 6 + 3 * c + 1)
@@ -3459,27 +3729,11 @@ object Containers {
           (bpp != 24 && bpp != 8 && bpp != 4) || leU32(b, 30) != 0L
         }
       case "gif" =>
-        // first image descriptor not covering the full logical screen:
-        // an animation frame / partial update we don't compose
-        val w = leU16(b, 6); val h = leU16(b, 8)
-        var pos = 13 + (if ((u8(b, 10) & 0x80) != 0) 3 * (2 << (u8(b, 10) & 7)) else 0)
-        var res = false
-        var done = false
-        while (!done && pos < b.length) {
-          u8(b, pos) match {
-            case 0x21 =>
-              pos += 2
-              while (pos < b.length && u8(b, pos) != 0) pos += 1 + u8(b, pos)
-              pos += 1
-            case 0x2C =>
-              if (pos + 10 <= b.length)
-                res = leU16(b, pos + 1) != 0 || leU16(b, pos + 3) != 0 ||
-                  leU16(b, pos + 5) != w || leU16(b, pos + 7) != h
-              done = true
-            case _ => done = true
-          }
-        }
-        res
+        // every spec-valid GIF now decodes — partial frames,
+        // animations, transparency and disposal all COMPOSE via
+        // [[gifAnimate]] — so an undecodable GIF is corruption, never
+        // a profile gap (same terminal state the PNG branch reached)
+        false
       case _ => false
     }
   } catch { case _: IndexOutOfBoundsException => false }

@@ -96,10 +96,18 @@ object Multimodal {
     }
 
   /** Partition shaping for decode: range-partition by payload size so
-    * total decode bytes per task are balanced, not row counts.
+    * total decode bytes per task are balanced, not row counts. The
+    * input is cached first because `repartitionByRange` runs a
+    * RESERVOIR-SAMPLING job over the source before the real pass —
+    * without the cache every upstream transform (here often a corpus
+    * synthesizer, in production a decompressing scan) executes twice
+    * per action. The cache holds the PRE-decode payload bytes only
+    * (the working set a 100 TB pipeline would stage per task anyway,
+    * scoped per-batch there, never the whole corpus at once).
     */
   def shapeForDecode(df: DataFrame, partitions: Int): DataFrame =
-    df.withColumn("__sz", length(col("content")))
+    df.cache()
+      .withColumn("__sz", length(col("content")))
       .repartitionByRange(partitions, col("__sz"), col("media_id"))
       .drop("__sz")
 
@@ -662,6 +670,127 @@ object Multimodal {
             case _ => ((id * 13 + i * 11) % 256).toInt
           }
         }, transform = if (ycck) 2 else 0)
+      MediaFile(id, "image", blob)
+    })
+  }
+
+  case class GifAnimStats(media_id: Long, width: Long, height: Long,
+      n_frames: Long, c0_sum: Long, c1_sum: Long, c2_sum: Long)
+
+  /** Channel sums of each GIF's fully COMPOSED animation canvas plus
+    * the frame count — the animated counterpart of [[pixelStats]]:
+    * every frame LZW-decodes and composes through the real
+    * transparency/disposal machinery in [[Containers.gifAnimate]].
+    * Undecodable payloads report −1 rows, same convention as
+    * [[pixelStats]].
+    */
+  def gifAnimStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[GifAnimStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      Containers.gifAnimate(m.content) match {
+        case null => GifAnimStats(m.media_id, -1L, -1L, -1L, -1L, -1L, -1L)
+        case (w, h, n, rgb) =>
+          var c0 = 0L; var c1 = 0L; var c2 = 0L
+          var i = 0
+          while (i < rgb.length) {
+            val v = java.lang.Byte.toUnsignedInt(rgb(i))
+            (i % 3: @annotation.switch) match {
+              case 0 => c0 += v
+              case 1 => c1 += v
+              case _ => c2 += v
+            }
+            i += 1
+          }
+          GifAnimStats(m.media_id, w.toLong, h.toLong, n.toLong, c0, c1, c2)
+      }
+    })
+  }
+
+  /** Deterministic animated-GIF corpus: a 16×16 canvas with
+    * `2 + id%3` frames. The GLOBAL 16-color table maps entry `j` to
+    * `((j·41+7)%256, (j·73+11)%256, (j·97+13)%256)`, background
+    * index 3. Frame 0 covers the canvas (interlaced on odd ids) with
+    * opaque index `v0 + [v0 ≥ 7]` where `v0 = (id·3 + i·5) % 15`
+    * (range 0..15 skipping 7). Overlay frame `k` (1 ≤ k ≤ f−1)
+    * covers quadrant `k−1` — rect `(8·((k−1)%2), 8·((k−1)/2))` —
+    * with index `(id·11 + k·29 + i·3) % 16`, transparent index 7
+    * (hits let frame 0 show through); overlay 2 carries a LOCAL
+    * palette `((j·59+17)%256, (j·83+19)%256, (j·101+23)%256)`;
+    * overlay 1 gets disposal 2 (restore-background) whenever another
+    * frame follows (f ≥ 3), wiping quadrant 0 back to the background
+    * color. A SQL oracle replays the last-writer arithmetic; the
+    * Spark side must earn it through real per-frame LZW, GCE
+    * parsing, palette scoping, and disposal.
+    */
+  def demoGifAnimCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val f = (2 + id % 3).toInt
+      val gct = Array.tabulate(3 * 16) { t =>
+        val j = t / 3
+        (t % 3) match {
+          case 0 => (j * 41 + 7) % 256
+          case 1 => (j * 73 + 11) % 256
+          case _ => (j * 97 + 13) % 256
+        }
+      }
+      val frame0 = Containers.GifFrame(0, 0, 16, 16,
+        Array.tabulate(256) { i =>
+          val v0 = ((id * 3 + i.toLong * 5) % 15).toInt
+          v0 + (if (v0 >= 7) 1 else 0)
+        }, interlaced = id % 2 == 1)
+      val overlays = (1 until f).map { k =>
+        val q = k - 1
+        Containers.GifFrame(8 * (q % 2), 8 * (q / 2), 8, 8,
+          Array.tabulate(64)(i =>
+            ((id * 11 + k * 29 + i.toLong * 3) % 16).toInt),
+          localPaletteRgb = if (k == 2) Array.tabulate(3 * 16) { t =>
+            val j = t / 3
+            (t % 3) match {
+              case 0 => (j * 59 + 17) % 256
+              case 1 => (j * 83 + 19) % 256
+              case _ => (j * 101 + 23) % 256
+            }
+          } else null,
+          transparentIdx = 7,
+          disposal = if (k == 1 && f >= 3) 2 else 0)
+      }
+      val blob = Containers.synthGifAnim(16, 16, gct, 3, frame0 +: overlays)
+      MediaFile(id, "image", blob)
+    })
+  }
+
+  /** Deterministic 12-bit JPEG corpus (the DICOM/scan-export
+    * precision): image `id` is `2+id%3 × 1+id%2` blocks. EVEN ids are
+    * single-component grayscale with block `i` holding the 12-bit
+    * sample `(id*37 + i*13) % 4096`; ODD ids are 4:4:4 YCbCr with
+    * Y block `i` = `(id*29 + i*5) % 4096` and chroma
+    * `2048 + 368·((id+i)%5 − 2)` / `2048 + 368·((id·7+i·3)%5 − 2)`
+    * (the 368-step offsets keep every BT.601 rounding ≥ 0.018 from an
+    * exact .5 — the 12-bit analogue of [[demoJpeg420Corpus]]'s
+    * 23-step trick). All-8s quant keeps the plane decode
+    * integer-exact, so a SQL oracle replays the 12-bit color math and
+    * the decoder's final high-byte (>>4) fold, while the Spark side
+    * must earn them through a real Pq=1 DQT read, 12-bit level shift,
+    * and wide-gamut clamp.
+    */
+  def demoJpeg12Corpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val bw = (2 + id % 3).toInt
+      val bh = (1 + id % 2).toInt
+      val gray = id % 2 == 0
+      val blob = Containers.synthJpeg12(bw * 8, bh * 8, if (gray) 1 else 3,
+        (comp, bx, by) => {
+          val i = by.toLong * bw + bx
+          if (gray) ((id * 37 + i * 13) % 4096).toInt
+          else comp match {
+            case 0 => ((id * 29 + i * 5) % 4096).toInt
+            case 1 => 2048 + 368 * (((id + i) % 5).toInt - 2)
+            case _ => 2048 + 368 * (((id * 7 + i * 3) % 5).toInt - 2)
+          }
+        })
       MediaFile(id, "image", blob)
     })
   }

@@ -259,6 +259,37 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // Animated-GIF composition — the meme/reaction half of web image
+    // corpora: per-frame LZW decode, GCE transparency (holes let
+    // earlier frames show), local-palette scoping, and disposal
+    // methods incl. restore-to-background, composed to the final
+    // canvas. The oracle replays the last-writer arithmetic; the
+    // Spark side must parse real extension blocks to match.
+    "multimodal_gif_anim" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoGifAnimCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.gifAnimStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
+    // 12-bit JPEG decode (DICOM/scan exports): Pq=1 16-bit quant
+    // tables, 2048 level shift, 4095 clamp, and the high-byte fold to
+    // 8-bit output — grayscale on even ids, 4:4:4 YCbCr on odd. The
+    // oracle replays the 12-bit color math; the Spark side must earn
+    // it through the real wide-precision entropy decode.
+    "multimodal_jpeg12_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoJpeg12Corpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.pixelStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // REAL palette-PNG decode — the screenshot/diagram half of web
     // image corpora: inflate + one-byte-distance unfilter + MSB-first
     // sub-byte index unpacking (depths 1/2/4/8) + PLTE resolution.
@@ -1257,6 +1288,80 @@ object FrontierQueries {
         |    CASE WHEN doc_id % 2 = 0 THEN (yv2 * kv0) // 255
         |      ELSE (LEAST(GREATEST(round(yv + 1.772*cb), 0), 255)::BIGINT
         |            * kv2) // 255 END AS bl
+        |  FROM v)
+        |SELECT doc_id AS media_id, (bw*8)::BIGINT AS width,
+        |  (bh*8)::BIGINT AS height, (bw*bh*64)::BIGINT AS n_pixels,
+        |  (64*sum(r))::BIGINT AS c0_sum, (64*sum(g))::BIGINT AS c1_sum,
+        |  (64*sum(bl))::BIGINT AS c2_sum
+        |FROM p GROUP BY doc_id, bw, bh ORDER BY media_id""".stripMargin,
+
+    // Replays the animation compositor: the overlay covering a
+    // pixel's quadrant wins unless transparent (index 7, frame 0
+    // shows through) or later wiped by overlay 1's restore-background
+    // disposal (f ≥ 3 → quadrant 0 = background = global entry 3);
+    // overlay 2 resolves through its LOCAL palette.
+    "multimodal_gif_anim" ->
+      """WITH px AS (SELECT doc_id, 2 + doc_id % 3 AS f,
+        |    unnest(range(0, 256)) AS p FROM documents),
+        |c AS (SELECT doc_id, f, p % 16 AS x, p // 16 AS y FROM px),
+        |q AS (SELECT doc_id, f,
+        |    CASE WHEN x >= 8 THEN 1 ELSE 0 END
+        |      + CASE WHEN y >= 8 THEN 2 ELSE 0 END AS quad,
+        |    (y % 8) * 8 + (x % 8) AS li, y * 16 + x AS fi FROM c),
+        |v AS (SELECT doc_id, f, quad, quad + 1 AS k,
+        |    ((doc_id*3 + fi*5) % 15)
+        |      + CASE WHEN (doc_id*3 + fi*5) % 15 >= 7 THEN 1 ELSE 0 END AS g0,
+        |    (doc_id*11 + (quad+1)*29 + li*3) % 16 AS rawk
+        |  FROM q),
+        |r AS (SELECT doc_id, f, k,
+        |    CASE WHEN f >= 3 AND quad = 0 THEN -1
+        |         WHEN k <= f - 1 AND rawk <> 7 THEN rawk
+        |         ELSE -2 END AS sel, g0
+        |  FROM v),
+        |ch AS (SELECT doc_id,
+        |    CASE WHEN sel = -1 THEN (3*41+7) % 256
+        |         WHEN sel = -2 THEN (g0*41+7) % 256
+        |         WHEN k = 2 THEN (sel*59+17) % 256
+        |         ELSE (sel*41+7) % 256 END AS cr,
+        |    CASE WHEN sel = -1 THEN (3*73+11) % 256
+        |         WHEN sel = -2 THEN (g0*73+11) % 256
+        |         WHEN k = 2 THEN (sel*83+19) % 256
+        |         ELSE (sel*73+11) % 256 END AS cg,
+        |    CASE WHEN sel = -1 THEN (3*97+13) % 256
+        |         WHEN sel = -2 THEN (g0*97+13) % 256
+        |         WHEN k = 2 THEN (sel*101+23) % 256
+        |         ELSE (sel*97+13) % 256 END AS cb
+        |  FROM r)
+        |SELECT doc_id AS media_id, 16::BIGINT AS width,
+        |  16::BIGINT AS height, (2 + doc_id % 3)::BIGINT AS n_frames,
+        |  sum(cr)::BIGINT AS c0_sum, sum(cg)::BIGINT AS c1_sum,
+        |  sum(cb)::BIGINT AS c2_sum
+        |FROM ch GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // Replays the 12-bit generator: even ids fold the gray sample to
+    // its high byte (gv // 16); odd ids run the BT.601 reconstruction
+    // in the 12-bit domain (chroma centered on 2048, clamp at 4095,
+    // 368-step offsets keep rounding stable) then the same fold.
+    "multimodal_jpeg12_pixels" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS bw,
+        |                  1 + doc_id % 2 AS bh FROM documents),
+        |b AS (SELECT doc_id, bw, bh, unnest(range(0, bw*bh)) AS i FROM m),
+        |v AS (SELECT doc_id, bw, bh,
+        |    (doc_id*37 + i*13) % 4096 AS gv,
+        |    (doc_id*29 + i*5) % 4096 AS yv,
+        |    368*(((doc_id + i) % 5) - 2) AS cb,
+        |    368*(((doc_id*7 + i*3) % 5) - 2) AS cr
+        |  FROM b),
+        |p AS (SELECT doc_id, bw, bh,
+        |    CASE WHEN doc_id % 2 = 0 THEN gv // 16
+        |      ELSE LEAST(GREATEST(round(yv + 1.402*cr), 0), 4095)::BIGINT
+        |           // 16 END AS r,
+        |    CASE WHEN doc_id % 2 = 0 THEN gv // 16
+        |      ELSE LEAST(GREATEST(round(yv - 0.344136*cb - 0.714136*cr),
+        |                          0), 4095)::BIGINT // 16 END AS g,
+        |    CASE WHEN doc_id % 2 = 0 THEN gv // 16
+        |      ELSE LEAST(GREATEST(round(yv + 1.772*cb), 0), 4095)::BIGINT
+        |           // 16 END AS bl
         |  FROM v)
         |SELECT doc_id AS media_id, (bw*8)::BIGINT AS width,
         |  (bh*8)::BIGINT AS height, (bw*bh*64)::BIGINT AS n_pixels,

@@ -508,4 +508,40 @@ class InteropSpec extends AnyFunSuite {
         s"pixel ($x,$y)")
     }
   }
+  test("gif: synthGifAnim frames are readable by the JDK's decoder") {
+    import Containers.GifFrame
+    val gct = Array.tabulate(3 * 16) { t =>
+      val j = t / 3
+      (t % 3) match {
+        case 0 => (j * 41 + 7) % 256
+        case 1 => (j * 73 + 11) % 256
+        case _ => (j * 97 + 13) % 256
+      }
+    }
+    val gif = Containers.synthGifAnim(16, 16, gct, 3, Seq(
+      GifFrame(0, 0, 16, 16, Array.tabulate(256)(i => (i * 7 + i / 16) % 16)),
+      GifFrame(8, 0, 8, 8,
+        Array.tabulate(64)(i => (i * 5 + 1) % 16), transparentIdx = 7),
+      GifFrame(0, 8, 8, 8,
+        Array.tabulate(64)(i => (i * 3 + 2) % 16), disposal = 2)))
+    val iis = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    val reader = ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == 3, "JDK sees all three frames")
+    // frame 0 raster must match the index generator through the GCT
+    val f0 = reader.read(0)
+    assert(f0.getWidth == 16 && f0.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val j = (((y * 16 + x) * 7) + (y * 16 + x) / 16) % 16
+      assert(rgbOf(f0, x, y) ==
+        ((gct(3 * j), gct(3 * j + 1), gct(3 * j + 2))), s"frame0 ($x,$y)")
+    }
+    // frame 1 is its own 8x8 rect; a non-transparent index resolves
+    val f1 = reader.read(1)
+    assert(f1.getWidth == 8 && f1.getHeight == 8)
+    val j1 = 1 // local i=0 -> (0*5+1)%16
+    assert(rgbOf(f1, 0, 0) == ((gct(3 * j1), gct(3 * j1 + 1), gct(3 * j1 + 2))))
+    reader.dispose(); iis.close()
+  }
 }

@@ -652,9 +652,14 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageDecodeErr(wz) == "ok")
     val sep = gt0.clone(); sep(8 + 2 + 4 * 12 + 8) = 5
     assert(Multimodal.imageDecodeErr(sep) == "unsupported_profile")
-    // 12-bit and CMYK JPEG frames are profile gaps
+    // 12-bit baseline DECODES now (an 8-bit-built stream retagged to
+    // precision 12 is still a well-formed 12-bit stream — the shared
+    // 8-bit DQT is legal there); only the in-between precisions stay
+    // profile gaps
     val prec12 = jpg.clone(); prec12(sof + 4) = 12.toByte
-    assert(Multimodal.imageDecodeErr(prec12) == "unsupported_profile")
+    assert(Multimodal.imageDecodeErr(prec12) == "ok")
+    val prec10 = jpg.clone(); prec10(sof + 4) = 10.toByte
+    assert(Multimodal.imageDecodeErr(prec10) == "unsupported_profile")
   }
 
   test("bmp and png encodings of the same logical pixels decode identically") {
@@ -1310,5 +1315,112 @@ class MultimodalSpec extends SparkSpec {
     assert(mediaDecodeClass(Array.emptyByteArray) == ("unknown", "empty"))
     val px = Array.tabulate(8 * 8 * 3)(i => (i % 256).toByte)
     assert(mediaDecodeClass(Containers.synthBmp24(8, 8, px)) == ("bmp", "ok"))
+  }
+  test("jpeg: 12-bit baseline decodes with Pq=1 DQT and high-byte fold") {
+    // gray: integer-exact chain, output byte = v >> 4
+    val vals = Array(Array(4095, 0), Array(2048, 1234)) // [by][bx]
+    val jg = Containers.synthJpeg12(16, 16, 1, (_, bx, by) => vals(by)(bx))
+    val pg = Containers.jpegPixelBytes(jg)
+    assert(pg != null && pg.length == 16 * 16 * 3)
+    for (by <- 0 to 1; bx <- 0 to 1; y <- 0 until 8; x <- 0 until 8; c <- 0 to 2) {
+      val d = ((by * 8 + y) * 16 + bx * 8 + x) * 3 + c
+      assert((pg(d) & 0xFF) == vals(by)(bx) >> 4, s"gray ($bx,$by) ch $c")
+    }
+    // color: BT.601 in the 12-bit domain (chroma mid 2048, clamp 4095)
+    // then the same high-byte fold
+    val y0 = 3000; val cb0 = 2048 - 736; val cr0 = 2048 + 368
+    val jc = Containers.synthJpeg12(8, 8, 3,
+      (comp, _, _) => Seq(y0, cb0, cr0)(comp))
+    val pc = Containers.jpegPixelBytes(jc)
+    assert(pc != null)
+    def cl12(v: Double): Int = {
+      val r = math.round(v).toInt
+      if (r < 0) 0 else if (r > 4095) 4095 else r
+    }
+    val er = cl12(y0 + 1.402 * (cr0 - 2048)) >> 4
+    val eg = cl12(y0 - 0.344136 * (cb0 - 2048) - 0.714136 * (cr0 - 2048)) >> 4
+    val eb = cl12(y0 + 1.772 * (cb0 - 2048)) >> 4
+    for (p <- 0 until 64) {
+      assert((pc(3 * p) & 0xFF) == er, s"12-bit R $p")
+      assert((pc(3 * p + 1) & 0xFF) == eg, s"12-bit G $p")
+      assert((pc(3 * p + 2) & 0xFF) == eb, s"12-bit B $p")
+    }
+    // 12-bit baseline is IN profile; retagged SOF2 makes it a
+    // (progressive 12-bit) gap again, and other precisions stay out
+    assert(!Containers.unsupportedImageProfile(jg, "jpeg"))
+    val sof = (0 until jg.length - 1).indexWhere(i =>
+      (jg(i) & 0xFF) == 0xFF && (jg(i + 1) & 0xFF) == 0xC0)
+    val prog = jg.clone(); prog(sof + 1) = 0xC2.toByte
+    assert(Containers.jpegPixelBytes(prog) == null)
+    assert(Containers.unsupportedImageProfile(prog, "jpeg"))
+    val p10 = jg.clone(); p10(sof + 4) = 10
+    assert(Containers.jpegPixelBytes(p10) == null)
+    assert(Containers.unsupportedImageProfile(p10, "jpeg"))
+  }
+  test("gif: animation composes frames with transparency and disposal") {
+    import Containers.GifFrame
+    val gct = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220)
+    def px(rgb: Array[Byte], w: Int, x: Int, y: Int): (Int, Int, Int) = {
+      val d = (y * w + x) * 3
+      ((rgb(d) & 0xFF), (rgb(d + 1) & 0xFF), (rgb(d + 2) & 0xFF))
+    }
+    def pal(j: Int) = (gct(3 * j), gct(3 * j + 1), gct(3 * j + 2))
+    // partial first frame over the background-initialized canvas,
+    // then an overlay whose transparent index lets the bg show
+    val g1 = Containers.synthGifAnim(8, 8, gct, 1, Seq(
+      GifFrame(0, 0, 4, 8, Array.fill(32)(2)),
+      GifFrame(4, 0, 4, 4,
+        Array.tabulate(16)(i => if (i % 2 == 0) 3 else 0),
+        transparentIdx = 0)))
+    val a1 = Containers.gifAnimate(g1)
+    assert(a1 != null && a1._3 == 2 && a1._1 == 8 && a1._2 == 8)
+    assert(px(a1._4, 8, 1, 5) == pal(2))            // frame 0
+    assert(px(a1._4, 8, 4, 0) == pal(3))            // overlay opaque (i=0)
+    assert(px(a1._4, 8, 5, 0) == pal(1))            // overlay transparent -> bg
+    assert(px(a1._4, 8, 6, 6) == pal(1))            // never drawn -> bg
+    // gifPixelBytes now routes through composition (same bytes)
+    assert(java.util.Arrays.equals(Containers.gifPixelBytes(g1), a1._4))
+    // disposal 2: the middle frame's rect is restored to background
+    // before the last frame draws elsewhere
+    val g2 = Containers.synthGifAnim(8, 8, gct, 1, Seq(
+      GifFrame(0, 0, 8, 8, Array.fill(64)(2)),
+      GifFrame(0, 0, 4, 4, Array.fill(16)(3), disposal = 2),
+      GifFrame(4, 4, 2, 2, Array.fill(4)(0))))
+    val a2 = Containers.gifAnimate(g2)
+    assert(a2 != null && a2._3 == 3)
+    assert(px(a2._4, 8, 0, 0) == pal(1))            // restored to bg
+    assert(px(a2._4, 8, 4, 4) == pal(0))            // last frame
+    assert(px(a2._4, 8, 7, 0) == pal(2))            // first frame kept
+    // disposal 3: the middle frame's rect is restored to the PREVIOUS
+    // canvas (frame 0's pixels), not to background
+    val g3 = Containers.synthGifAnim(8, 8, gct, 1, Seq(
+      GifFrame(0, 0, 8, 8, Array.fill(64)(2)),
+      GifFrame(2, 2, 4, 4, Array.fill(16)(3), disposal = 3),
+      GifFrame(0, 0, 2, 2, Array.fill(4)(1))))
+    val a3 = Containers.gifAnimate(g3)
+    assert(a3 != null && a3._3 == 3)
+    assert(px(a3._4, 8, 3, 3) == pal(2))            // restored previous
+    assert(px(a3._4, 8, 1, 1) == pal(1))            // last frame
+    // a local palette scopes to its frame only
+    val loc = Array(1, 2, 3, 4, 5, 6, 7, 8, 9, 100, 101, 102)
+    val g4 = Containers.synthGifAnim(8, 8, gct, 0, Seq(
+      GifFrame(0, 0, 8, 8, Array.fill(64)(2)),
+      GifFrame(0, 0, 2, 2, Array.fill(4)(3), localPaletteRgb = loc)))
+    val a4 = Containers.gifAnimate(g4)
+    assert(a4 != null)
+    assert(px(a4._4, 8, 0, 0) == ((100, 101, 102))) // local entry 3
+    assert(px(a4._4, 8, 5, 5) == pal(2))            // global elsewhere
+    // disposal on the LAST frame never fires (nothing follows)
+    val g5 = Containers.synthGifAnim(8, 8, gct, 1, Seq(
+      GifFrame(0, 0, 8, 8, Array.fill(64)(2)),
+      GifFrame(0, 0, 4, 4, Array.fill(16)(3), disposal = 2)))
+    val a5 = Containers.gifAnimate(g5)
+    assert(a5 != null && px(a5._4, 8, 0, 0) == pal(3))
+    // corrupt: a frame rect escaping the canvas degrades to null
+    val bad = g1.clone()
+    // image descriptor of frame 0 starts right after header+GCT:
+    // 13 + 12 bytes; width field at +5 (little-endian)
+    bad(13 + 12 + 5) = 9
+    assert(Containers.gifAnimate(bad) == null)
   }
 }
