@@ -1549,17 +1549,49 @@ object Containers {
     * truncated entry data, unparseable size, or a malformed PAX
     * block — degrade-don't-throw.
     */
+  /** Skip-spaces/NULs-then-octal-digits field parse shared by every
+    * tar header walk (reader, profile probe, container sniff) — the
+    * convention GNU and POSIX tar both write. −1 when no digit found.
+    */
+  private def tarOctal(b: Array[Byte], i: Int, n: Int): Long = {
+    var j = i; val end = i + n
+    while (j < end && (b(j) == ' '.toByte || b(j) == 0)) j += 1
+    var v = 0L; var any = false
+    while (j < end && b(j) >= '0'.toByte && b(j) <= '7'.toByte) {
+      v = v * 8 + (b(j) - '0'); j += 1; any = true
+    }
+    if (any) v else -1L
+  }
+
+  /** Whether the 512-byte tar header at `i` carries a valid checksum
+    * (the field itself summed as spaces, per ustar). This is the one
+    * practically unforgeable tar signal — the "ustar" magic alone sits
+    * at offset 257 where arbitrary payload bytes of other formats can
+    * land.
+    */
+  private def tarChecksumOk(b: Array[Byte], i: Int): Boolean = {
+    if (i + 512 > b.length) return false
+    val stored = tarOctal(b, i + 148, 8)
+    if (stored < 0) return false
+    var sum = 0L
+    var k = 0
+    while (k < 512) {
+      sum += (if (k >= 148 && k < 156) 32 else u8(b, i + k)); k += 1
+    }
+    stored == sum
+  }
+
+  /** Strong tar-container sniff: ustar magic at 257 AND a validating
+    * first-header checksum. Weak-magic formats (BMP's 2-byte `BM`,
+    * …) can collide with archive member bytes, so classifiers must
+    * test this BEFORE them.
+    */
+  def looksLikeTar(b: Array[Byte]): Boolean =
+    b.length >= 512 && ascii(b, 257, 5) == "ustar" && tarChecksumOk(b, 0)
+
   def tarEntries(b: Array[Byte]): Array[TarEntry] = try {
     val out = scala.collection.mutable.ArrayBuffer.empty[TarEntry]
-    def octal(i: Int, n: Int): Long = {
-      var j = i; val end = i + n
-      while (j < end && (b(j) == ' '.toByte || b(j) == 0)) j += 1
-      var v = 0L; var any = false
-      while (j < end && b(j) >= '0'.toByte && b(j) <= '7'.toByte) {
-        v = v * 8 + (b(j) - '0'); j += 1; any = true
-      }
-      if (any) v else -1L
-    }
+    def octal(i: Int, n: Int): Long = tarOctal(b, i, n)
     var off = 0L
     var globalPath: String = null  // PAX 'g' path default, if any
     var nextPath: String = null    // PAX 'x' / GNU 'L' override for the next file
@@ -1570,13 +1602,7 @@ object Containers {
       var k = 0
       while (allZero && k < 512) { if (b(i + k) != 0) allZero = false; k += 1 }
       if (allZero) return out.toArray // end-of-archive block
-      val stored = octal(i + 148, 8)
-      var sum = 0L
-      k = 0
-      while (k < 512) {
-        sum += (if (k >= 148 && k < 156) 32 else u8(b, i + k)); k += 1
-      }
-      if (stored != sum) return null // corrupt header
+      if (!tarChecksumOk(b, i)) return null // corrupt header
       val nameEnd = {
         var e = i
         while (e < i + 100 && b(e) != 0) e += 1
@@ -3532,33 +3558,46 @@ object Containers {
     * posture as the header parsers. Walks chunks, so LIST/JUNK
     * prefixes and trailing metadata chunks are handled.
     */
+  /** The fixed KSDATAFORMAT media-subtype GUID tail
+    * (xxxxxxxx-0000-0010-8000-00AA00389B71) every standard
+    * WAVE_FORMAT_EXTENSIBLE SubFormat carries after its data1 code.
+    */
+  private val KsDataFormatTail = Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+    0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+
+  /** Resolve the REAL format code of the fmt chunk at `fi`: the
+    * wFormatTag itself, or — for WAVE_FORMAT_EXTENSIBLE (0xFFFE) —
+    * the SubFormat GUID's data1 (fmt data offset 24 = 16 base +
+    * cbSize 2 + validBits 2 + mask 4), trusted ONLY under the fixed
+    * [[KsDataFormatTail]]. Shared by [[wavSamples]] and
+    * [[unsupportedAudioProfile]] so the decoder and the loss
+    * classifier can never disagree on what a header names.
+    * −1 = structurally damaged (extensible fmt too short for its
+    * GUID); −2 = a vendor SubFormat GUID (a nameable codec gap).
+    */
+  private def wavFormatCode(b: Array[Byte], fi: Int): Int = {
+    val rawCode = leU16(b, fi + 8)
+    if (rawCode != 0xFFFE) return rawCode
+    val fmtSize = leU32(b, fi + 4)
+    if (!(fmtSize >= 40L && fi + 8 + 24 + 16 <= b.length)) return -1
+    val g = fi + 8 + 24
+    var k = 0
+    while (k < 14) {
+      if (u8(b, g + 2 + k) != KsDataFormatTail(k)) return -2
+      k += 1
+    }
+    leU16(b, g)
+  }
+
   def wavSamples(b: Array[Byte]): Array[Short] = {
     if (!(b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"))
       return null
     // the format CODE, which MediaHeader doesn't carry
     val fi = findWavFmt(b)
     if (fi < 0) return null
-    val rawCode = leU16(b, fi + 8); val bits = leU16(b, fi + 22)
-    val fmtSize = leU32(b, fi + 4)
-    // extensible: the real code is the SubFormat GUID's data1 (fmt
-    // data offset 24 = 16 base + cbSize 2 + validBits 2 + mask 4) —
-    // but ONLY when the 14-byte GUID tail is the fixed KSDATAFORMAT
-    // media-subtype suffix (xxxxxxxx-0000-0010-8000-00AA00389B71); a
-    // vendor GUID that merely starts with 0x0001 is NOT PCM
-    val fmtCode =
-      if (rawCode != 0xFFFE) rawCode
-      else if (fmtSize >= 40L && fi + 8 + 24 + 16 <= b.length) {
-        val g = fi + 8 + 24
-        val tail = Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
-          0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
-        var k = 0
-        while (k < 14) {
-          if (u8(b, g + 2 + k) != tail(k)) return null
-          k += 1
-        }
-        leU16(b, g)
-      }
-      else return null // extensible header too short for its SubFormat
+    val bits = leU16(b, fi + 22)
+    val fmtCode = wavFormatCode(b, fi)
+    if (fmtCode < 0) return null // damaged extensible / vendor GUID
     val mode = (fmtCode, bits) match {
       case (1, 8)  => 3 // PCM u8 (unsigned by spec at this depth)
       case (1, 16) => 0 // PCM s16le
@@ -3682,16 +3721,21 @@ object Containers {
                     // >2× sampling is a profile gap; 8- and 12-bit
                     // baseline DECODE now (other precisions don't);
                     // 4-comp (Adobe CMYK/YCCK) and 12-bit each stay a
-                    // gap in progressive, and the two don't combine
-                    val pr = if (ds < b.length) u8(b, ds) else 0
-                    if (pr != 8 && pr != 12) res = true
-                    if (pr == 12 && m == 0xC2) res = true
-                    val nc = if (ds + 5 < b.length) u8(b, ds + 5) else 0
-                    if (nc == 4 && (m == 0xC2 || pr == 12)) res = true
-                    for (c <- 0 until math.min(nc, 4)
-                         if ds + 6 + 3 * c + 1 < b.length) {
-                      val hv = u8(b, ds + 6 + 3 * c + 1)
-                      if ((hv >> 4) > 2 || (hv & 15) > 2) res = true
+                    // gap in progressive, and the two don't combine.
+                    // A frame TRUNCATED at the SOF payload proves
+                    // nothing about the profile — leave res alone
+                    // there, so damage classifies as corrupt
+                    if (ds < b.length) {
+                      val pr = u8(b, ds)
+                      if (pr != 8 && pr != 12) res = true
+                      if (pr == 12 && m == 0xC2) res = true
+                      val nc = if (ds + 5 < b.length) u8(b, ds + 5) else 0
+                      if (nc == 4 && (m == 0xC2 || pr == 12)) res = true
+                      for (c <- 0 until math.min(nc, 4)
+                           if ds + 6 + 3 * c + 1 < b.length) {
+                        val hv = u8(b, ds + 6 + 3 * c + 1)
+                        if ((hv >> 4) > 2 || (hv & 15) > 2) res = true
+                      }
                     }
                   }
                   done = true
@@ -3752,28 +3796,15 @@ object Containers {
       return false
     val fi = findWavFmt(b)
     if (fi < 0) return false                 // no fmt chunk = corrupt
-    val rawCode = leU16(b, fi + 8); val bits = leU16(b, fi + 22)
-    val fmtSize = leU32(b, fi + 4)
-    val code =
-      if (rawCode != 0xFFFE) rawCode
-      else if (fmtSize >= 40L && fi + 8 + 24 + 16 <= b.length) {
-        // a SubFormat GUID whose tail is NOT the KSDATAFORMAT suffix
-        // is a vendor codec — a nameable profile, not damaged bytes
-        val g = fi + 8 + 24
-        val tail = Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
-          0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
-        var k = 0
-        while (k < 14) {
-          if (u8(b, g + 2 + k) != tail(k)) return true
-          k += 1
-        }
-        leU16(b, g)
+    val bits = leU16(b, fi + 22)
+    wavFormatCode(b, fi) match {
+      case -1 => false // extensible fmt too short for its GUID = corrupt
+      case -2 => true  // vendor SubFormat GUID = a nameable codec gap
+      case code => (code, bits) match { // the set wavSamples dispatches on
+        case (1, 8) | (1, 16) | (1, 24) | (1, 32) | (3, 32) |
+             (7, 8) | (6, 8) => false
+        case _ => true
       }
-      else return false // extensible fmt too short for its GUID = corrupt
-    (code, bits) match { // the exact set wavSamples dispatches on
-      case (1, 8) | (1, 16) | (1, 24) | (1, 32) | (3, 32) |
-           (7, 8) | (6, 8) => false
-      case _ => true
     }
   } catch { case _: IndexOutOfBoundsException => false }
 
@@ -3794,27 +3825,13 @@ object Containers {
       var k = 0
       while (allZero && k < 512) { if (b(i + k) != 0) allZero = false; k += 1 }
       if (allZero) return false // end-of-archive
-      var stored = 0L; var j = i + 148; var any = false
-      while (j < i + 156 && (b(j) == ' '.toByte || b(j) == 0)) j += 1
-      while (j < i + 156 && b(j) >= '0'.toByte && b(j) <= '7'.toByte) {
-        stored = stored * 8 + (b(j) - '0'); j += 1; any = true
-      }
-      var sum = 0L
-      k = 0
-      while (k < 512) {
-        sum += (if (k >= 148 && k < 156) 32 else u8(b, i + k)); k += 1
-      }
-      if (!any || stored != sum) return false // damaged header = corrupt
+      if (!tarChecksumOk(b, i)) return false // damaged header = corrupt
       b(i + 156).toChar match {
         case 'S' | 'D' | 'M' | 'V' => return true
         case _ => ()
       }
-      var size = 0L; j = i + 124; any = false
-      while (j < i + 136 && (b(j) == ' '.toByte || b(j) == 0)) j += 1
-      while (j < i + 136 && b(j) >= '0'.toByte && b(j) <= '7'.toByte) {
-        size = size * 8 + (b(j) - '0'); j += 1; any = true
-      }
-      if (!any) return false
+      val size = tarOctal(b, i + 124, 12)
+      if (size < 0) return false
       off += 512 + ((size + 511) / 512) * 512
     }
     false

@@ -95,21 +95,30 @@ object Multimodal {
         mean_byte = mean)
     }
 
+  // the one live shapeForDecode corpus cache — see the method doc
+  private val lastShaped =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   /** Partition shaping for decode: range-partition by payload size so
     * total decode bytes per task are balanced, not row counts. The
     * input is cached first because `repartitionByRange` runs a
     * RESERVOIR-SAMPLING job over the source before the real pass —
     * without the cache every upstream transform (here often a corpus
     * synthesizer, in production a decompressing scan) executes twice
-    * per action. The cache holds the PRE-decode payload bytes only
-    * (the working set a 100 TB pipeline would stage per task anyway,
-    * scoped per-batch there, never the whole corpus at once).
+    * per action. The cache is BOUNDED to one corpus: each call
+    * unpersists the previous call's input, so a session sweeping many
+    * decode queries holds one corpus's payload bytes at a time (the
+    * working set a 100 TB pipeline would stage per batch anyway),
+    * never an unbounded accumulation.
     */
-  def shapeForDecode(df: DataFrame, partitions: Int): DataFrame =
+  def shapeForDecode(df: DataFrame, partitions: Int): DataFrame = {
+    val prev = lastShaped.getAndSet(df)
+    if (prev != null && (prev ne df)) prev.unpersist(blocking = false)
     df.cache()
       .withColumn("__sz", length(col("content")))
       .repartitionByRange(partitions, col("__sz"), col("media_id"))
       .drop("__sz")
+  }
 
   /** Full pipeline: shape partitions → partition-wise decode → typed
     * feature Dataset.
@@ -234,14 +243,20 @@ object Multimodal {
   def imageDecodeClass(content: Array[Byte]): (String, String) = {
     if (content == null || content.length == 0) return ("unknown", "empty")
     val fmt = Containers.parse(content).format
-    if (imagePixelBytes(content) != null) return (fmt, "ok")
-    val err =
-      if (fmt == "unknown") "unknown_container"
-      else if (fmt == "wav" || fmt.startsWith("mp4")) "not_image"
-      else if (Containers.unsupportedImageProfile(content, fmt))
-        "unsupported_profile"
-      else "corrupt"
-    (fmt, err)
+    (fmt, imageErrFor(content, fmt))
+  }
+
+  /** Image-family classification against an ALREADY-PARSED format, so
+    * callers that needed the header for routing don't pay the parse
+    * (the TIFF IFD walk in particular) twice per row.
+    */
+  private def imageErrFor(content: Array[Byte], fmt: String): String = {
+    if (imagePixelBytes(content) != null) return "ok"
+    if (fmt == "unknown") "unknown_container"
+    else if (fmt == "wav" || fmt.startsWith("mp4")) "not_image"
+    else if (Containers.unsupportedImageProfile(content, fmt))
+      "unsupported_profile"
+    else "corrupt"
   }
 
   /** `(detected container, decode_err)` across EVERY family this
@@ -256,6 +271,17 @@ object Multimodal {
   def mediaDecodeClass(content: Array[Byte]): (String, String) = {
     if (content == null || content.length == 0) return ("unknown", "empty")
     val b = content
+    // STRONG magic first: the checksum-validated tar sniff must beat
+    // the weak 2-byte image magics — a tar whose first member name
+    // starts "BM…" puts those bytes at offset 0 and would otherwise
+    // masquerade as a broken BMP
+    if (Containers.looksLikeTar(b)) {
+      val err =
+        if (Containers.unsupportedTarProfile(b)) "unsupported_profile"
+        else if (Containers.tarEntries(b) != null) "ok"
+        else "corrupt"
+      return ("tar", err)
+    }
     val fmt = Containers.parse(b).format
     if (fmt == "wav") {
       val err =
@@ -271,7 +297,7 @@ object Multimodal {
         else "corrupt"
       return ("mp4", err)
     }
-    if (fmt != "unknown") return imageDecodeClass(b)
+    if (fmt != "unknown") return (fmt, imageErrFor(b, fmt))
     // magic-free families [[Containers.parse]] doesn't cover
     if (b.length >= 2 && (b(0) & 0xFF) == 0x1f && (b(1) & 0xFF) == 0x8b) {
       val plain = Containers.warcInflate(b)
@@ -289,13 +315,15 @@ object Multimodal {
     if (b.length >= 4 && (b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
         (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD)
       return ("zstd", "unsupported_profile") // frame named, codec gap
-    if (b.length >= 512 && new String(b, 257, 5, "US-ASCII") == "ustar") {
-      val err =
-        if (Containers.unsupportedTarProfile(b)) "unsupported_profile"
-        else if (Containers.tarEntries(b) != null) "ok"
-        else "corrupt"
-      return ("tar", err)
-    }
+    // ftyp-less CMAF/DASH media segment ([styp][moof][mdat]) — the
+    // normal shape of a streaming capture; Containers.parse can't
+    // name it (it keys on ftyp), but the styp brand box can
+    if (b.length >= 12 && new String(b, 4, 4, "US-ASCII") == "styp")
+      return ("mp4", "unsupported_profile")
+    // weak-magic tar fallback: ustar magic present but the first
+    // header's checksum does NOT validate — damaged shard
+    if (b.length >= 512 && new String(b, 257, 5, "US-ASCII") == "ustar")
+      return ("tar", "corrupt")
     ("unknown", "unknown_container")
   }
 

@@ -660,6 +660,12 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageDecodeErr(prec12) == "ok")
     val prec10 = jpg.clone(); prec10(sof + 4) = 10.toByte
     assert(Multimodal.imageDecodeErr(prec10) == "unsupported_profile")
+    // truncation AT the SOF payload proves nothing about the profile:
+    // the probe must NOT flag a cut-off frame header as a profile gap
+    // (the classifier itself calls such a blob unknown_container — the
+    // magic alone can't name a format — so probe directly)
+    assert(!Containers.unsupportedImageProfile(jpg.take(sof + 4), "jpeg"))
+    assert(Multimodal.imageDecodeErr(jpg.take(sof + 4)) == "unknown_container")
   }
 
   test("bmp and png encodings of the same logical pixels decode identically") {
@@ -1252,6 +1258,10 @@ class MultimodalSpec extends SparkSpec {
     // tar: valid -> ok; flipped name byte -> checksum mismatch = corrupt
     val tar = Containers.synthTar(Seq(("a.bin", data)))
     assert(mediaDecodeClass(tar) == ("tar", "ok"))
+    // the checksum-validated tar sniff beats weak image magics: a
+    // member named "BM…" puts BMP's 2-byte magic at offset 0
+    val bmTar = Containers.synthTar(Seq(("BMW_X5_review.json", data)))
+    assert(mediaDecodeClass(bmTar) == ("tar", "ok"))
     val bad = tar.clone(); bad(0) = (bad(0) ^ 1).toByte
     assert(mediaDecodeClass(bad) == ("tar", "corrupt"))
     // tar: old-GNU sparse member with a RECOMPUTED checksum -> profile
@@ -1311,6 +1321,12 @@ class MultimodalSpec extends SparkSpec {
       .take(4) ++ "moof".getBytes("US-ASCII")
     assert(Containers.mp4Fragmented(moof))
     assert(mediaDecodeClass(moof)._2 == "unsupported_profile")
+    // an ftyp-less CMAF media segment ([styp][moof][mdat]) has no
+    // parseable brand but still names itself a fragmented mp4
+    val styp = java.nio.ByteBuffer.allocate(16).putInt(16)
+      .put("styp".getBytes("US-ASCII")).put("msdh".getBytes("US-ASCII"))
+      .putInt(0).array()
+    assert(mediaDecodeClass(styp) == ("mp4", "unsupported_profile"))
     // images still route through the image classifier unchanged
     assert(mediaDecodeClass(Array.emptyByteArray) == ("unknown", "empty"))
     val px = Array.tabulate(8 * 8 * 3)(i => (i % 256).toByte)
