@@ -3589,6 +3589,65 @@ object Containers {
     leU16(b, g)
   }
 
+  /** IMA/DVI ADPCM step-size table (89 entries) and index-advance
+    * table — the public constants every IMA implementation shares.
+    */
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexAdj: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode mono IMA ADPCM blocks: each `blockAlign`-byte block opens
+    * with a 4-byte header (s16le initial predictor — emitted as the
+    * block's first sample, per the MS/libsndfile convention — u8 step
+    * index, reserved) followed by 4-bit nibbles, LOW nibble first.
+    * Per nibble: `diff = step>>3 (+ step>>2 if bit0)(+ step>>1 if
+    * bit1)(+ step if bit2)`, sign from bit 3, predictor clamped to
+    * s16, index advanced by the standard table and clamped to 0..88.
+    * A trailing partial block decodes the nibbles it has; a header
+    * index over 88 is corruption → null.
+    */
+  private def imaAdpcmDecode(b: Array[Byte], dataOff: Int, avail: Int,
+      blockAlign: Int): Array[Short] = {
+    if (blockAlign < 5) return null
+    val out = new scala.collection.mutable.ArrayBuffer[Short]()
+    var blk = 0
+    while (blk.toLong * blockAlign + 4 <= avail) {
+      val base = dataOff + blk * blockAlign
+      var pred = ((u8(b, base) | (u8(b, base + 1) << 8)) << 16) >> 16
+      var idx = u8(b, base + 2)
+      if (idx > 88) return null // damaged header
+      out += pred.toShort
+      val dataBytes = math.min(blockAlign, avail - blk.toLong * blockAlign)
+        .toInt - 4
+      var j = 0
+      val nNibbles = dataBytes * 2
+      while (j < nNibbles) {
+        val byte = u8(b, base + 4 + (j >> 1))
+        val n = if ((j & 1) == 0) byte & 0x0F else byte >> 4
+        val step = ImaStep(idx)
+        var diff = step >> 3
+        if ((n & 1) != 0) diff += step >> 2
+        if ((n & 2) != 0) diff += step >> 1
+        if ((n & 4) != 0) diff += step
+        pred = if ((n & 8) != 0) pred - diff else pred + diff
+        if (pred < -32768) pred = -32768 else if (pred > 32767) pred = 32767
+        idx += ImaIndexAdj(n)
+        if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+        out += pred.toShort
+        j += 1
+      }
+      blk += 1
+    }
+    if (out.isEmpty) null else out.toArray
+  }
+
   def wavSamples(b: Array[Byte]): Array[Short] = {
     if (!(b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"))
       return null
@@ -3596,6 +3655,7 @@ object Containers {
     val fi = findWavFmt(b)
     if (fi < 0) return null
     val bits = leU16(b, fi + 22)
+    val channels = leU16(b, fi + 10)
     val fmtCode = wavFormatCode(b, fi)
     if (fmtCode < 0) return null // damaged extensible / vendor GUID
     val mode = (fmtCode, bits) match {
@@ -3606,6 +3666,7 @@ object Containers {
       case (3, 32) => 6 // IEEE float32
       case (7, 8)  => 1 // μ-law
       case (6, 8)  => 2 // A-law
+      case (17, 4) if channels == 1 => 7 // IMA/DVI ADPCM, block-coded
       case _       => return null
     }
     var off = 12L
@@ -3615,6 +3676,8 @@ object Containers {
       val size = leU32(b, i + 4)
       if (id == "data") {
         val avail = math.min(size, b.length - (off + 8)) // truncated: take what's there
+        if (mode == 7) // block-coded, not fixed-width: own decode path
+          return imaAdpcmDecode(b, i + 8, avail.toInt, leU16(b, fi + 20))
         val width = mode match {
           case 0 => 2; case 4 => 3; case 5 | 6 => 4; case _ => 1
         }
@@ -3674,6 +3737,49 @@ object Containers {
       .put(Array(0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
         .map(_.toByte))                        // data4 (KSDATAFORMAT)
     out.put("data".getBytes).putInt(payload.length).put(payload)
+    out.array()
+  }
+
+  /** Valid mono IMA-ADPCM WAV — the write-side counterpart of
+    * [[imaAdpcmDecode]]: a 20-byte fmt chunk (wFormatTag 0x11,
+    * wBitsPerSample 4, cbSize 2 carrying wSamplesPerBlock) and one
+    * data block per `(predictor, stepIndex, nibbles)` triple — 4-byte
+    * block header then the nibbles packed LOW-first. Every block must
+    * carry the same nibble count (blocks share one blockAlign).
+    */
+  def synthWavImaAdpcm(sampleRate: Int,
+      blocks: Seq[(Int, Int, Array[Int])]): Array[Byte] = {
+    require(blocks.nonEmpty, "at least one block")
+    val nNib = blocks.head._3.length
+    require(nNib > 0 && nNib % 2 == 0, s"nibble count must be even: $nNib")
+    require(blocks.forall(_._3.length == nNib), "uniform block size")
+    require(blocks.forall { case (p, i, ns) =>
+      p >= -32768 && p <= 32767 && i >= 0 && i <= 88 &&
+        ns.forall(n => n >= 0 && n <= 15)
+    }, "predictor s16, index 0..88, nibbles 0..15")
+    val blockAlign = 4 + nNib / 2
+    val dataLen = blocks.length * blockAlign
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + 20 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(4 + 28 + 8 + dataLen).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(20)
+      .putShort(0x11)                       // IMA/DVI ADPCM
+      .putShort(1)                          // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / (nNib + 1)) // approx byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(4)                          // bits per (coded) sample
+      .putShort(2)                          // cbSize
+      .putShort((nNib + 1).toShort)         // wSamplesPerBlock
+    out.put("data".getBytes).putInt(dataLen)
+    for ((p, i, ns) <- blocks) {
+      out.putShort(p.toShort).put(i.toByte).put(0.toByte)
+      var j = 0
+      while (j < nNib) {
+        out.put((ns(j) | (ns(j + 1) << 4)).toByte) // low nibble first
+        j += 2
+      }
+    }
     out.array()
   }
 
@@ -3797,12 +3903,14 @@ object Containers {
     val fi = findWavFmt(b)
     if (fi < 0) return false                 // no fmt chunk = corrupt
     val bits = leU16(b, fi + 22)
+    val channels = leU16(b, fi + 10)
     wavFormatCode(b, fi) match {
       case -1 => false // extensible fmt too short for its GUID = corrupt
       case -2 => true  // vendor SubFormat GUID = a nameable codec gap
       case code => (code, bits) match { // the set wavSamples dispatches on
         case (1, 8) | (1, 16) | (1, 24) | (1, 32) | (3, 32) |
              (7, 8) | (6, 8) => false
+        case (17, 4) => channels != 1 // mono IMA decodes; stereo is a gap
         case _ => true
       }
     }

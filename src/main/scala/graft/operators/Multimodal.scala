@@ -789,6 +789,26 @@ object Multimodal {
     })
   }
 
+  /** Deterministic mono IMA-ADPCM corpus: doc `id` is ONE 36-byte
+    * block — initial predictor `(id·37 mod 65536) − 32768` (emitted
+    * as sample 0), step index `id·13 mod 89`, then 64 nibbles
+    * `(id·7 + j·3) mod 16` packed low-first → 65 samples. The oracle
+    * replays the full IMA recurrence (89-entry step table,
+    * bit-weighted diff, s16 clamp, index clamp) in a recursive CTE,
+    * so the Spark side must earn every sample through the real
+    * block-header walk and nibble arithmetic.
+    */
+  def demoAudioImaCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val blob = Containers.synthWavImaAdpcm(16000, Seq((
+        ((id * 37) % 65536 - 32768).toInt,
+        ((id * 13) % 89).toInt,
+        Array.tabulate(64)(j => ((id * 7 + j.toLong * 3) % 16).toInt))))
+      MediaFile(id, "audio", blob)
+    })
+  }
+
   /** Deterministic 12-bit JPEG corpus (the DICOM/scan-export
     * precision): image `id` is `2+id%3 × 1+id%2` blocks. EVEN ids are
     * single-component grayscale with block `i` holding the 12-bit

@@ -321,6 +321,21 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // REAL IMA-ADPCM decode — the classic 4-bit WAV compression
+    // telephony and game audio shipped for decades: block headers,
+    // low-first nibble unpacking, and the stateful step-table
+    // recurrence with double clamping. The oracle replays the whole
+    // recurrence in a recursive CTE; every sample must match.
+    "multimodal_audio_ima" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoAudioImaCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.audioStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // Decode-loss forensics across EVERY ingest family — images, WAV
     // audio, tar shards, WARC crawls, zstd frames: classify each
     // payload as ok / empty / unknown_container / unsupported_profile
@@ -1294,6 +1309,53 @@ object FrontierQueries {
         |  (64*sum(r))::BIGINT AS c0_sum, (64*sum(g))::BIGINT AS c1_sum,
         |  (64*sum(bl))::BIGINT AS c2_sum
         |FROM p GROUP BY doc_id, bw, bh ORDER BY media_id""".stripMargin,
+
+    // Replays the IMA-ADPCM recurrence itself: a recursive CTE walks
+    // the 64 nibbles carrying (predictor, step index, running peak,
+    // running Σx²), joining the public 89-entry step table and a
+    // 16-row nibble-bit table — the oracle derives every sample
+    // independently, not from the decoder.
+    "multimodal_audio_ima" -> {
+      val stepTab = Seq(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23,
+        25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
+        118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+        408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+        1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493,
+        10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
+        24623, 27086, 29794, 32767).zipWithIndex
+        .map { case (s, i) => s"($i,$s)" }.mkString(",")
+      val nibTab = (0 until 16).map { n =>
+        val adj = Seq(-1, -1, -1, -1, 2, 4, 6, 8)(n & 7)
+        s"($n,${n & 1},${(n >> 1) & 1},${(n >> 2) & 1}," +
+          s"${if (n >= 8) -1 else 1},$adj)"
+      }.mkString(",")
+      val np = "LEAST(GREATEST(d.pred + nb.sgn*(st.s//8 + nb.b0*(st.s//4)" +
+        " + nb.b1*(st.s//2) + nb.b2*st.s), -32768), 32767)"
+      s"""WITH RECURSIVE
+         |steps AS (SELECT * FROM (VALUES $stepTab) t(i, s)),
+         |nibs AS (SELECT * FROM (VALUES $nibTab) t(n, b0, b1, b2, sgn, adj)),
+         |dec AS (
+         |  SELECT doc_id, 0 AS j,
+         |    ((doc_id*37) % 65536 - 32768) AS pred,
+         |    ((doc_id*13) % 89) AS idx,
+         |    abs((doc_id*37) % 65536 - 32768) AS peak,
+         |    ((doc_id*37) % 65536 - 32768)
+         |      * ((doc_id*37) % 65536 - 32768) AS sq
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT d.doc_id, d.j + 1, $np,
+         |    LEAST(GREATEST(d.idx + nb.adj, 0), 88),
+         |    GREATEST(d.peak, abs($np)), d.sq + ($np) * ($np)
+         |  FROM dec d
+         |  JOIN steps st ON st.i = d.idx
+         |  JOIN nibs nb ON nb.n = (d.doc_id*7 + d.j*3) % 16
+         |  WHERE d.j < 64)
+         |SELECT doc_id AS media_id, 16000::BIGINT AS sample_rate,
+         |  65::BIGINT AS n_samples, peak::BIGINT AS peak_abs,
+         |  sq::BIGINT AS sum_sq
+         |FROM dec WHERE j = 64 ORDER BY media_id""".stripMargin
+    },
 
     // Replays the animation compositor: the overlay covering a
     // pixel's quadrant wins unless transparent (index 7, frame 0

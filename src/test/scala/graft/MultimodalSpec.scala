@@ -1439,4 +1439,40 @@ class MultimodalSpec extends SparkSpec {
     bad(13 + 12 + 5) = 9
     assert(Containers.gifAnimate(bad) == null)
   }
+  test("wav: mono IMA-ADPCM blocks decode through the step recurrence") {
+    // hand-computed from the public tables: pred=0, idx=0 (step 7)
+    //   nibble 0 -> diff 7>>3 = 0, pred 0, idx max(0-1,0)=0
+    //   nibble 7 -> diff 0+1+3+7 = 11, pred 11, idx 0+8=8 (step 16)
+    //   nibble 15 -> diff 2+4+8+16 = 30 sign-, pred -19, idx 8+8=16 (34)
+    //   nibble 4 -> diff 34>>3 + 34 = 38, pred 19, idx 16+2=18
+    val wav = Containers.synthWavImaAdpcm(16000,
+      Seq((0, 0, Array(0, 7, 15, 4))))
+    val s = Containers.wavSamples(wav)
+    assert(s != null && s.toSeq == Seq[Short](0, 0, 11, -19, 19))
+    // clamping: start at the ceiling with the biggest step, push up
+    val hot = Containers.synthWavImaAdpcm(16000,
+      Seq((32767, 88, Array(7, 7))))
+    val hs = Containers.wavSamples(hot)
+    assert(hs != null && hs(1) == 32767 && hs(2) == 32767) // s16 clamp
+    // multi-block: each block restarts from its own header
+    val two = Containers.synthWavImaAdpcm(16000,
+      Seq((100, 0, Array(0, 0)), (-200, 3, Array(0, 0))))
+    val ts = Containers.wavSamples(two)
+    assert(ts != null && ts.length == 6)
+    assert(ts(0) == 100 && ts(3) == -200)
+    // header with step index > 88 is corruption -> null (not profile)
+    val bad = wav.clone()
+    // block header starts after RIFF(12)+fmt(8+20)+data hdr(8) = 48
+    bad(48 + 2) = 90
+    assert(Containers.wavSamples(bad) == null)
+    assert(!Containers.unsupportedAudioProfile(bad))
+    // stereo IMA stays a profile gap (channels field at fmt+10)
+    val st = wav.clone(); st(12 + 8 + 2) = 2
+    assert(Containers.wavSamples(st) == null)
+    assert(Containers.unsupportedAudioProfile(st))
+    // parse still names the container and its coded bit depth
+    val hdr = Containers.parse(wav)
+    assert(hdr.format == "wav" && hdr.sampleRate == 16000 &&
+      hdr.bitsPerSample == 4)
+  }
 }
