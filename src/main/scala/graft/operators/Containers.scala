@@ -3945,30 +3945,97 @@ object Containers {
     false
   } catch { case _: IndexOutOfBoundsException => false }
 
-  /** Whether an ISO-BMFF stream is FRAGMENTED (DASH/CMAF/streaming
-    * capture): a top-level `moof` or `styp` box means the sample
-    * tables live in per-fragment `trun` runs [[mp4Samples]] doesn't
-    * walk — a nameable profile gap, not corruption. Top-level walk
-    * only; 64-bit largesize honored, malformed sizes end the scan.
+  /** Sample table of a FRAGMENTED ISO-BMFF stream (DASH/CMAF/
+    * streaming capture): walk every top-level `moof`, inside it each
+    * `traf`'s `tfhd` (base-data-offset, default sample size/flags —
+    * flag-conditional fields in spec order) and `trun` runs
+    * (explicit signed data offset REQUIRED — every real segmenter
+    * writes it; per-sample duration/size/flags/cto fields consumed in
+    * spec order). The base offset defaults to the moof start (the
+    * default-base-is-moof convention and the first-traf default
+    * coincide there); sync comes from per-sample flags, then
+    * first-sample-flags, then the tfhd default — bit 16 is
+    * `sample_is_non_sync_sample`. Sample indices are global across
+    * fragments. Empty array on truncation, missing sizes, or ranges
+    * escaping the file — same degrade contract as the stbl walk.
     */
-  def mp4Fragmented(b: Array[Byte]): Boolean = try {
-    var off = 0L
-    while (off + 8 <= b.length) {
-      val i = off.toInt
-      val size0 = beU32(b, i)
-      val tpe = ascii(b, i + 4, 4)
-      if (tpe == "moof" || tpe == "styp") return true
-      val size =
-        if (size0 == 0L) return false // to-EOF box: nothing after it
-        else if (size0 == 1L) {
-          if (off + 16 > b.length) return false
-          (beU32(b, i + 8) << 32) | beU32(b, i + 12)
-        } else size0
-      if (size < 8L) return false
-      off += size
+  private def mp4FragmentSamples(b: Array[Byte]): Array[Mp4Sample] = try {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
+    var sampleIdx = 0
+    def beU64At(i: Int): Long = (beU32(b, i) << 32) | beU32(b, i + 4)
+    for (("moof", ms, me) <- mp4Boxes(b, 0, b.length)) {
+      val moofStart = ms - 8L
+      for (("traf", ts, te) <- mp4Boxes(b, ms, me)) {
+        var baseOff = moofStart // default-base-is-moof / first-traf default
+        var defSize = -1L
+        var defFlags = -1L
+        for ((tpe, ps, pe) <- mp4Boxes(b, ts, te)) tpe match {
+          case "tfhd" if pe - ps >= 8 =>
+            val flags = beU32(b, ps) & 0xFFFFFF
+            var q = ps + 8 // verflags + track_ID
+            if ((flags & 1) != 0) {
+              if (q + 8 > pe) return Array.empty
+              baseOff = beU64At(q); q += 8
+            }
+            if ((flags & 2) != 0) q += 4    // sample_description_index
+            if ((flags & 8) != 0) q += 4    // default_sample_duration
+            if ((flags & 0x10) != 0) {
+              if (q + 4 > pe) return Array.empty
+              defSize = beU32(b, q); q += 4
+            }
+            if ((flags & 0x20) != 0) {
+              if (q + 4 > pe) return Array.empty
+              defFlags = beU32(b, q); q += 4
+            }
+          case "trun" if pe - ps >= 8 =>
+            val flags = beU32(b, ps) & 0xFFFFFF
+            val count = beU32(b, ps + 4)
+            if (count > (pe - ps)) return Array.empty // forged count
+            var q = ps + 8
+            if ((flags & 1) == 0) return Array.empty // offset-less run
+            if (q + 4 > pe) return Array.empty
+            var off = baseOff + beS32FromU(beU32(b, q)); q += 4
+            var firstFlags = -1L
+            if ((flags & 4) != 0) {
+              if (q + 4 > pe) return Array.empty
+              firstFlags = beU32(b, q); q += 4
+            }
+            var k = 0
+            while (k < count) {
+              if ((flags & 0x100) != 0) q += 4 // duration
+              val sz =
+                if ((flags & 0x200) != 0) {
+                  if (q + 4 > pe) return Array.empty
+                  val v = beU32(b, q); q += 4; v
+                } else if (defSize >= 0) defSize
+                else return Array.empty
+              val sFlags =
+                if ((flags & 0x400) != 0) {
+                  if (q + 4 > pe) return Array.empty
+                  val v = beU32(b, q); q += 4; v
+                } else if (k == 0 && firstFlags >= 0) firstFlags
+                else if (defFlags >= 0) defFlags
+                else 0L // nothing declared anywhere: all-sync default
+              if ((flags & 0x800) != 0) q += 4 // composition offset
+              if (q > pe) return Array.empty
+              if (off < 0 || sz < 0 || off + sz > b.length)
+                return Array.empty
+              out += Mp4Sample(sampleIdx, (sFlags & 0x10000L) == 0L, off, sz)
+              sampleIdx += 1
+              off += sz
+              k += 1
+            }
+          case _ => ()
+        }
+      }
     }
-    false
-  } catch { case _: IndexOutOfBoundsException => false }
+    out.toArray
+  } catch { case _: IndexOutOfBoundsException => Array.empty }
+
+  /** Reinterpret a u32 box field as the SIGNED 32-bit value trun's
+    * data_offset is specified as.
+    */
+  private def beS32FromU(v: Long): Long = v.toInt.toLong
 
   /** MP4/ISO-BMFF: scan top-level boxes ([size:be32][type:4cc]; size 1 =
     * 64-bit largesize, size 0 = to-EOF), then moov → mvhd (version 0:
@@ -4046,28 +4113,37 @@ object Containers {
     * empty array — the same degrade-don't-throw posture as every
     * other parser here.
     */
-  def mp4Samples(b: Array[Byte]): Array[Mp4Sample] = try {
-    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
-      new Iterator[(String, Int, Int)] {
-        private var p = lo
-        def hasNext: Boolean = p + 8 <= hi
-        def next(): (String, Int, Int) = {
-          val size0 = beU32(b, p)
-          val tpe = ascii(b, p + 4, 4)
-          val end = if (size0 == 0L) hi.toLong else p + size0
-          val e = math.min(end, hi.toLong).toInt
-          if (e <= p) { val q = p; p = hi; (tpe, q + 8, q + 8) }
-          else { val payload = p + 8; p = e; (tpe, payload, e) }
-        }
+  /** Child-box iterator over `[lo, hi)`: yields (type, payloadStart,
+    * payloadEnd); a size-0 box runs to `hi`, malformed sizes end the
+    * walk at the enclosing bound. Shared by the stbl and moof walks.
+    */
+  private def mp4Boxes(b: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var p = lo
+      def hasNext: Boolean = p + 8 <= hi
+      def next(): (String, Int, Int) = {
+        val size0 = beU32(b, p)
+        val tpe = ascii(b, p + 4, 4)
+        val end = if (size0 == 0L) hi.toLong else p + size0
+        val e = math.min(end, hi.toLong).toInt
+        if (e <= p) { val q = p; p = hi; (tpe, q + 8, q + 8) }
+        else { val payload = p + 8; p = e; (tpe, payload, e) }
       }
-    if (!(b.length >= 12 && ascii(b, 4, 4) == "ftyp")) return Array.empty
+    }
+
+  def mp4Samples(b: Array[Byte]): Array[Mp4Sample] = try {
+    def boxes(lo: Int, hi: Int) = mp4Boxes(b, lo, hi)
+    if (!(b.length >= 12 &&
+        (ascii(b, 4, 4) == "ftyp" || ascii(b, 4, 4) == "styp")))
+      return Array.empty
     val stbl = (for {
       ("moov", ms, me) <- boxes(0, b.length)
       ("trak", ts, te) <- boxes(ms, me)
       ("mdia", ds, de) <- boxes(ts, te)
       ("minf", fs, fe) <- boxes(ds, de)
       ("stbl", ss, se) <- boxes(fs, fe)
-    } yield (ss, se)).nextOption().getOrElse(return Array.empty)
+    } yield (ss, se)).nextOption()
+      .getOrElse(return mp4FragmentSamples(b))
     val (ss, se) = stbl
     var sizes: Array[Long] = null
     var offsets: Array[Long] = null
@@ -4233,5 +4309,51 @@ object Containers {
       .putInt(timescale).putInt(duration.toInt)
     out.putInt(8 + payload.length).put("free".getBytes).put(payload)
     out.array()
+  }
+  /** Valid fragmented ISO-BMFF (CMAF/DASH media-segment shape) — the
+    * exact write-side counterpart of [[mp4FragmentSamples]]: an
+    * `ftyp` (or, with `styp = true`, the ftyp-less `styp` shape real
+    * media segments ship in) then per fragment
+    * `moof{mfhd, traf{tfhd, trun}} mdat`. The tfhd carries
+    * default-base-is-moof and a non-sync default-sample-flags; the
+    * trun carries an explicit data offset pointing at its own mdat
+    * payload, first-sample-flags = 0 (sync — the
+    * keyframe-per-fragment convention), and per-sample sizes. mdat
+    * payload byte `j` of fragment `f` is `(f*31 + j*7) % 256`.
+    */
+  def synthMp4Fragmented(brand: String, fragments: Seq[Seq[Int]],
+      styp: Boolean = false): Array[Byte] = {
+    require(brand.length == 4, s"brand must be 4 chars: '$brand'")
+    require(fragments.nonEmpty &&
+      fragments.forall(f => f.nonEmpty && f.forall(_ > 0)),
+      "every fragment needs at least one positive-size sample")
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    be32(16); tag(if (styp) "styp" else "ftyp"); tag(brand); be32(0)
+    for ((szs, f) <- fragments.zipWithIndex) {
+      val ns = szs.length
+      val trunSize = 24 + 4 * ns
+      val trafSize = 8 + 20 + trunSize
+      val moofSize = 8 + 16 + trafSize
+      val payload = szs.sum
+      be32(moofSize); tag("moof")
+      be32(16); tag("mfhd"); be32(0); be32(f + 1)        // sequence number
+      be32(trafSize); tag("traf")
+      be32(20); tag("tfhd"); be32(0x020020)              // base-is-moof | def-flags
+      be32(1)                                            // track_ID
+      be32(0x10000)                                      // default: non-sync
+      be32(trunSize); tag("trun"); be32(0x000205)        // doff|first|sizes
+      be32(ns); be32(moofSize + 8)                       // into our mdat
+      be32(0)                                            // first sample: sync
+      szs.foreach(s => be32(s))
+      be32(8 + payload); tag("mdat")
+      var j = 0
+      while (j < payload) { out.write((f * 31 + j * 7) % 256); j += 1 }
+    }
+    out.toByteArray
   }
 }

@@ -291,11 +291,10 @@ object Multimodal {
       return ("wav", err)
     }
     if (fmt.startsWith("mp4")) {
-      val err =
-        if (Containers.mp4Fragmented(b)) "unsupported_profile"
-        else if (Containers.mp4Samples(b) != null) "ok"
-        else "corrupt"
-      return ("mp4", err)
+      // mp4Samples walks BOTH layouts now: stbl tables and
+      // fragmented moof/trun runs
+      val s = Containers.mp4Samples(b)
+      return ("mp4", if (s != null && s.nonEmpty) "ok" else "corrupt")
     }
     if (fmt != "unknown") return (fmt, imageErrFor(b, fmt))
     // magic-free families [[Containers.parse]] doesn't cover
@@ -317,9 +316,12 @@ object Multimodal {
       return ("zstd", "unsupported_profile") // frame named, codec gap
     // ftyp-less CMAF/DASH media segment ([styp][moof][mdat]) — the
     // normal shape of a streaming capture; Containers.parse can't
-    // name it (it keys on ftyp), but the styp brand box can
-    if (b.length >= 12 && new String(b, 4, 4, "US-ASCII") == "styp")
-      return ("mp4", "unsupported_profile")
+    // name it (it keys on ftyp), but the styp brand box can, and the
+    // fragment walk decodes its sample runs
+    if (b.length >= 12 && new String(b, 4, 4, "US-ASCII") == "styp") {
+      val s = Containers.mp4Samples(b)
+      return ("mp4", if (s != null && s.nonEmpty) "ok" else "corrupt")
+    }
     // weak-magic tar fallback: ustar magic present but the first
     // header's checksum does NOT validate — damaged shard
     if (b.length >= 512 && new String(b, 257, 5, "US-ASCII") == "ustar")
@@ -786,6 +788,51 @@ object Multimodal {
       }
       val blob = Containers.synthGifAnim(16, 16, gct, 3, frame0 +: overlays)
       MediaFile(id, "image", blob)
+    })
+  }
+
+  case class FragSampleStats(media_id: Long, n_samples: Long,
+      n_sync: Long, sum_size: Long, sum_offset: Long)
+
+  /** Per-file roll-up of the fragmented-MP4 sample walk: count, sync
+    * (keyframe) count, total payload bytes, and the SUM of absolute
+    * byte offsets — the last one only matches if every tfhd base /
+    * trun data-offset / size-accumulation step is exact, so the
+    * oracle checks the walk, not just the counts. Undecodable files
+    * report −1 rows, same convention as [[pixelStats]].
+    */
+  def mp4SampleStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[FragSampleStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val s = Containers.mp4Samples(m.content)
+      if (s == null || s.isEmpty)
+        FragSampleStats(m.media_id, -1L, -1L, -1L, -1L)
+      else FragSampleStats(m.media_id, s.length.toLong,
+        s.count(_.sync).toLong, s.map(_.size).sum, s.map(_.offset).sum)
+    })
+  }
+
+  /** Deterministic fragmented-MP4 corpus (the CMAF/DASH segment
+    * shape): doc `id` carries `1 + id%3` fragments; fragment `f` has
+    * `2 + (id+f)%3` samples of size `1 + (id·5 + f·7 + k·3) % 50`.
+    * Odd ids use the ftyp-less `styp` header real media segments ship
+    * (same 16-byte size, so offsets replay identically). Every
+    * absolute sample offset is a closed-form function of the synth
+    * layout (`moof = 76 + 4·ns`, data offset `84 + 4·ns`), so the SQL
+    * oracle re-derives the whole walk with window prefix-sums.
+    */
+  def demoFragMp4Corpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nf = (1 + id % 3).toInt
+      val frags = (0 until nf).map { f =>
+        val ns = (2 + (id + f) % 3).toInt
+        (0 until ns).map(k => (1 + (id * 5 + f * 7 + k * 3) % 50).toInt)
+      }
+      val blob = Containers.synthMp4Fragmented("isom", frags,
+        styp = id % 2 == 1)
+      MediaFile(id, "video", blob)
     })
   }
 

@@ -321,6 +321,22 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // Fragmented-MP4 (CMAF/DASH segment) sample walk: moof/traf/tfhd/
+    // trun parsing with default-base-is-moof, explicit trun data
+    // offsets, per-sample sizes, and first-sample-flags sync marking
+    // — the streaming-capture shape stbl tables never cover. The
+    // oracle re-derives every absolute byte offset from the layout
+    // algebra, so one wrong base or size desyncs the sum.
+    "video_fragment_samples" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoFragMp4Corpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.mp4SampleStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // REAL IMA-ADPCM decode — the classic 4-bit WAV compression
     // telephony and game audio shipped for decades: block headers,
     // low-first nibble unpacking, and the stateful step-table
@@ -1309,6 +1325,37 @@ object FrontierQueries {
         |  (64*sum(r))::BIGINT AS c0_sum, (64*sum(g))::BIGINT AS c1_sum,
         |  (64*sum(bl))::BIGINT AS c2_sum
         |FROM p GROUP BY doc_id, bw, bh ORDER BY media_id""".stripMargin,
+
+    // Replays the fragment layout algebra: fragment f of doc id holds
+    // ns = 2+(id+f)%3 samples; moof = 76+4·ns bytes, its trun data
+    // offset = 84+4·ns; fragment starts chain by window prefix-sum of
+    // (moof + mdat) and sample offsets by prefix-sum of sizes. Sync =
+    // first sample of each fragment (first-sample-flags convention).
+    "video_fragment_samples" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 3 AS nf FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, nf)) AS fr FROM m),
+        |fx AS (SELECT doc_id, fr, 2 + (doc_id + fr) % 3 AS ns FROM f),
+        |k AS (SELECT doc_id, fr, ns, unnest(range(0, ns)) AS kk FROM fx),
+        |kz AS (SELECT doc_id, fr, ns, kk,
+        |    1 + (doc_id*5 + fr*7 + kk*3) % 50 AS sz FROM k),
+        |fs AS (SELECT doc_id, fr, any_value(ns) AS ns, sum(sz) AS sfrag
+        |  FROM kz GROUP BY doc_id, fr),
+        |fo AS (SELECT doc_id, fr, ns,
+        |    16 + COALESCE(SUM(76 + 4*ns + 8 + sfrag) OVER (
+        |      PARTITION BY doc_id ORDER BY fr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS fstart
+        |  FROM fs),
+        |ko AS (SELECT kz.doc_id, kz.kk, kz.sz,
+        |    fo.fstart + 84 + 4*fo.ns + COALESCE(SUM(kz.sz) OVER (
+        |      PARTITION BY kz.doc_id, kz.fr ORDER BY kz.kk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS soff
+        |  FROM kz JOIN fo ON fo.doc_id = kz.doc_id AND fo.fr = kz.fr)
+        |SELECT doc_id AS media_id, count(*)::BIGINT AS n_samples,
+        |  sum(CASE WHEN kk = 0 THEN 1 ELSE 0 END)::BIGINT AS n_sync,
+        |  sum(sz)::BIGINT AS sum_size, sum(soff)::BIGINT AS sum_offset
+        |FROM ko GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     // Replays the IMA-ADPCM recurrence itself: a recursive CTE walks
     // the 64 nibbles carrying (predictor, step index, running peak,

@@ -1314,19 +1314,18 @@ class MultimodalSpec extends SparkSpec {
     // zstd frame: named wrapper, codec gap
     val zst = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte, 1, 2, 3)
     assert(mediaDecodeClass(zst) == ("zstd", "unsupported_profile"))
-    // fragmented MP4 (top-level moof) is a profile gap, not corruption
-    val mp4 = Containers.synthMp4("isom", 1000, 5000)
-    assert(!Containers.mp4Fragmented(mp4))
-    val moof = mp4 ++ java.nio.ByteBuffer.allocate(8).putInt(8).array()
-      .take(4) ++ "moof".getBytes("US-ASCII")
-    assert(Containers.mp4Fragmented(moof))
-    assert(mediaDecodeClass(moof)._2 == "unsupported_profile")
-    // an ftyp-less CMAF media segment ([styp][moof][mdat]) has no
-    // parseable brand but still names itself a fragmented mp4
-    val styp = java.nio.ByteBuffer.allocate(16).putInt(16)
+    // fragmented MP4 decodes via the moof/trun walk — both the
+    // ftyp-headed and the ftyp-less CMAF (styp) segment shapes
+    val frag = Containers.synthMp4Fragmented("isom", Seq(Seq(10, 20)))
+    assert(mediaDecodeClass(frag) == ("mp4", "ok"))
+    val stypSeg = Containers.synthMp4Fragmented("msdh",
+      Seq(Seq(5, 6, 7)), styp = true)
+    assert(mediaDecodeClass(stypSeg) == ("mp4", "ok"))
+    // a bare styp box with no moof carries no samples = corrupt
+    val stypOnly = java.nio.ByteBuffer.allocate(16).putInt(16)
       .put("styp".getBytes("US-ASCII")).put("msdh".getBytes("US-ASCII"))
       .putInt(0).array()
-    assert(mediaDecodeClass(styp) == ("mp4", "unsupported_profile"))
+    assert(mediaDecodeClass(stypOnly) == ("mp4", "corrupt"))
     // images still route through the image classifier unchanged
     assert(mediaDecodeClass(Array.emptyByteArray) == ("unknown", "empty"))
     val px = Array.tabulate(8 * 8 * 3)(i => (i % 256).toByte)
@@ -1474,5 +1473,36 @@ class MultimodalSpec extends SparkSpec {
     val hdr = Containers.parse(wav)
     assert(hdr.format == "wav" && hdr.sampleRate == 16000 &&
       hdr.bitsPerSample == 4)
+  }
+  test("mp4: fragmented moof/trun runs yield exact sample ranges") {
+    // two fragments: layout is deterministic, so every offset is
+    // computable by hand: ftyp 16 B; moof = 76 + 4*ns; data_offset =
+    // moofSize + 8 (into the fragment's own mdat)
+    val frag = Containers.synthMp4Fragmented("isom",
+      Seq(Seq(10, 20, 30), Seq(7)))
+    val s = Containers.mp4Samples(frag)
+    assert(s != null && s.length == 4)
+    val moof1 = 76 + 4 * 3 // 88
+    assert(s(0).offset == 16 + moof1 + 8 && s(0).size == 10 && s(0).sync)
+    assert(s(1).offset == s(0).offset + 10 && s(1).size == 20 && !s(1).sync)
+    assert(s(2).offset == s(1).offset + 20 && s(2).size == 30 && !s(2).sync)
+    // fragment 2 starts after fragment 1's mdat (8 + 60 payload)
+    val frag2At = 16 + moof1 + 8 + 60
+    val moof2 = 76 + 4 * 1 // 80
+    assert(s(3).offset == frag2At + moof2 + 8 && s(3).size == 7 && s(3).sync)
+    assert(s(3).sampleIdx == 3) // global ordinal across fragments
+    // the mdat bytes at a sample's range are the generator's
+    val b0 = frag(s(0).offset.toInt) & 0xFF
+    assert(b0 == 0) // fragment 0, payload byte 0: (0*31 + 0*7) % 256
+    // truncation: cutting into the last mdat drops the whole table
+    assert(Containers.mp4Samples(frag.dropRight(3)).isEmpty)
+    // a trun without an explicit data offset degrades to empty
+    val noDo = frag.clone()
+    // trun of fragment 1 starts at ftyp(16) + moof hdr(8) + mfhd(16)
+    // + traf hdr(8) + tfhd(20) = 68; its verflags word is at +8..+11
+    // and the data-offset bit is bit 0 of the low byte
+    assert((noDo(68 + 10) & 0xFF) == 0x02 && (noDo(68 + 11) & 0xFF) == 0x05)
+    noDo(68 + 11) = 0x04
+    assert(Containers.mp4Samples(noDo).isEmpty)
   }
 }
