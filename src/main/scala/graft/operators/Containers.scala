@@ -3648,6 +3648,64 @@ object Containers {
     if (out.isEmpty) null else out.toArray
   }
 
+  /** MS-ADPCM adaptation table and the 7 standard coefficient pairs
+    * (RIFF spec constants every implementation shares).
+    */
+  private val MsAdapt: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+  private val MsCoef1: Array[Int] = Array(256, 512, 0, 192, 240, 460, 392)
+  private val MsCoef2: Array[Int] = Array(0, -256, 0, 64, 0, -208, -232)
+
+  /** Decode mono MS-ADPCM blocks: a 7-byte header (u8 coefficient
+    * index, s16le initial delta, s16le sample1, s16le sample2 — the
+    * seeds, OUTPUT in s2-then-s1 order) then nibbles HIGH-first (the
+    * opposite packing of IMA). Per nibble:
+    * `pred = (prev·c1 + prev2·c2) >> 8 + signed4(n)·delta` clamped to
+    * s16, then `delta = max(16, (adapt(n)·delta) >> 8)`. A trailing
+    * partial block decodes the nibbles it has; a coefficient index
+    * over 6 is corruption → null.
+    */
+  private def msAdpcmDecode(b: Array[Byte], dataOff: Int, avail: Int,
+      blockAlign: Int): Array[Short] = {
+    if (blockAlign < 8) return null
+    val out = new scala.collection.mutable.ArrayBuffer[Short]()
+    var blk = 0
+    while (blk.toLong * blockAlign + 7 <= avail) {
+      val base = dataOff + blk * blockAlign
+      val ci = u8(b, base)
+      if (ci > 6) return null // damaged header
+      val c1 = MsCoef1(ci); val c2 = MsCoef2(ci)
+      def s16(i: Int): Int = ((u8(b, i) | (u8(b, i + 1) << 8)) << 16) >> 16
+      var delta = s16(base + 1)
+      var prev = s16(base + 3)  // sample1: the more recent seed
+      var prev2 = s16(base + 5) // sample2: the older seed, output first
+      out += prev2.toShort
+      out += prev.toShort
+      val dataBytes = math.min(blockAlign, avail - blk.toLong * blockAlign)
+        .toInt - 7
+      var j = 0
+      val nNibbles = dataBytes * 2
+      while (j < nNibbles) {
+        val byte = u8(b, base + 7 + (j >> 1))
+        val n = if ((j & 1) == 0) byte >> 4 else byte & 0x0F
+        val signed = if (n >= 8) n - 16 else n
+        var p = ((prev * c1 + prev2 * c2) >> 8) + signed * delta
+        if (p < -32768) p = -32768 else if (p > 32767) p = 32767
+        prev2 = prev; prev = p
+        // floor 16 per spec; ceiling 32767 is THIS decoder's documented
+        // convention — a step beyond the s16 sample range is useless to
+        // a real encoder, and without the cap a hostile nibble stream
+        // grows delta exponentially into integer overflow
+        delta = math.min(math.max(16, (MsAdapt(n) * delta) >> 8), 32767)
+        out += p.toShort
+        j += 1
+      }
+      blk += 1
+    }
+    if (out.isEmpty) null else out.toArray
+  }
+
   def wavSamples(b: Array[Byte]): Array[Short] = {
     if (!(b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"))
       return null
@@ -3667,6 +3725,7 @@ object Containers {
       case (7, 8)  => 1 // μ-law
       case (6, 8)  => 2 // A-law
       case (17, 4) if channels == 1 => 7 // IMA/DVI ADPCM, block-coded
+      case (2, 4) if channels == 1  => 8 // MS-ADPCM, block-coded
       case _       => return null
     }
     var off = 12L
@@ -3678,6 +3737,8 @@ object Containers {
         val avail = math.min(size, b.length - (off + 8)) // truncated: take what's there
         if (mode == 7) // block-coded, not fixed-width: own decode path
           return imaAdpcmDecode(b, i + 8, avail.toInt, leU16(b, fi + 20))
+        if (mode == 8)
+          return msAdpcmDecode(b, i + 8, avail.toInt, leU16(b, fi + 20))
         val width = mode match {
           case 0 => 2; case 4 => 3; case 5 | 6 => 4; case _ => 1
         }
@@ -3777,6 +3838,56 @@ object Containers {
       var j = 0
       while (j < nNib) {
         out.put((ns(j) | (ns(j + 1) << 4)).toByte) // low nibble first
+        j += 2
+      }
+    }
+    out.array()
+  }
+
+  /** Valid mono MS-ADPCM WAV — the write-side counterpart of
+    * [[msAdpcmDecode]]: a 50-byte fmt chunk (wFormatTag 2,
+    * wBitsPerSample 4, cbSize 32 carrying wSamplesPerBlock and the 7
+    * standard coefficient pairs) and one data block per
+    * `(coefIdx, delta, sample1, sample2, nibbles)` tuple — 7-byte
+    * block header then the nibbles packed HIGH-first. Every block
+    * must carry the same nibble count.
+    */
+  def synthWavMsAdpcm(sampleRate: Int,
+      blocks: Seq[(Int, Int, Int, Int, Array[Int])]): Array[Byte] = {
+    require(blocks.nonEmpty, "at least one block")
+    val nNib = blocks.head._5.length
+    require(nNib > 0 && nNib % 2 == 0, s"nibble count must be even: $nNib")
+    require(blocks.forall(_._5.length == nNib), "uniform block size")
+    require(blocks.forall { case (ci, d, s1, s2, ns) =>
+      ci >= 0 && ci <= 6 &&
+        d >= -32768 && d <= 32767 &&
+        s1 >= -32768 && s1 <= 32767 && s2 >= -32768 && s2 <= 32767 &&
+        ns.forall(n => n >= 0 && n <= 15)
+    }, "coef 0..6, delta/samples s16, nibbles 0..15")
+    val blockAlign = 7 + nNib / 2
+    val dataLen = blocks.length * blockAlign
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + 50 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(4 + 58 + 8 + dataLen).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(50)
+      .putShort(2)                          // MS-ADPCM
+      .putShort(1)                          // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / (nNib + 2)) // approx byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(4)                          // bits per (coded) sample
+      .putShort(32)                         // cbSize
+      .putShort((nNib + 2).toShort)         // wSamplesPerBlock
+      .putShort(7)                          // wNumCoef
+    for (i <- 0 until 7)
+      out.putShort(MsCoef1(i).toShort).putShort(MsCoef2(i).toShort)
+    out.put("data".getBytes).putInt(dataLen)
+    for ((ci, d, s1, s2, ns) <- blocks) {
+      out.put(ci.toByte).putShort(d.toShort)
+        .putShort(s1.toShort).putShort(s2.toShort)
+      var j = 0
+      while (j < nNib) {
+        out.put(((ns(j) << 4) | ns(j + 1)).toByte) // HIGH nibble first
         j += 2
       }
     }
@@ -3911,6 +4022,7 @@ object Containers {
         case (1, 8) | (1, 16) | (1, 24) | (1, 32) | (3, 32) |
              (7, 8) | (6, 8) => false
         case (17, 4) => channels != 1 // mono IMA decodes; stereo is a gap
+        case (2, 4)  => channels != 1 // mono MS-ADPCM decodes too
         case _ => true
       }
     }

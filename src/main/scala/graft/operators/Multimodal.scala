@@ -856,6 +856,28 @@ object Multimodal {
     })
   }
 
+  /** Deterministic mono MS-ADPCM corpus: doc `id` is ONE 39-byte
+    * block — coefficient pair `id mod 7`, initial delta
+    * `16 + id·11 mod 1000`, seed samples `(id·37 mod 65536) − 32768`
+    * (sample1) and `(id·53 mod 65536) − 32768` (sample2, output
+    * first), then 64 nibbles `(id·7 + j·3) mod 16` packed HIGH-first
+    * → 66 samples. The oracle replays the predictor recurrence
+    * `(prev·c1 + prev2·c2) >> 8 + signed4·delta` with the adaptive
+    * delta schedule in a recursive CTE.
+    */
+  def demoAudioMsAdpcmCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val blob = Containers.synthWavMsAdpcm(16000, Seq((
+        (id % 7).toInt,
+        (16 + (id * 11) % 1000).toInt,
+        ((id * 37) % 65536 - 32768).toInt,
+        ((id * 53) % 65536 - 32768).toInt,
+        Array.tabulate(64)(j => ((id * 7 + j.toLong * 3) % 16).toInt))))
+      MediaFile(id, "audio", blob)
+    })
+  }
+
   /** Deterministic 12-bit JPEG corpus (the DICOM/scan-export
     * precision): image `id` is `2+id%3 × 1+id%2` blocks. EVEN ids are
     * single-component grayscale with block `i` holding the 12-bit

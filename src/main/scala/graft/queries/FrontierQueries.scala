@@ -352,6 +352,20 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // REAL MS-ADPCM decode — the OTHER classic 4-bit WAV codec:
+    // 7-byte block headers seeding a two-tap predictor, HIGH-first
+    // nibbles, and the adaptive-delta schedule. The oracle replays the
+    // whole recurrence in a recursive CTE; every sample must match.
+    "multimodal_audio_msadpcm" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoAudioMsAdpcmCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.audioStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // Decode-loss forensics across EVERY ingest family — images, WAV
     // audio, tar shards, WARC crawls, zstd frames: classify each
     // payload as ok / empty / unknown_container / unsupported_profile
@@ -1400,6 +1414,49 @@ object FrontierQueries {
          |  WHERE d.j < 64)
          |SELECT doc_id AS media_id, 16000::BIGINT AS sample_rate,
          |  65::BIGINT AS n_samples, peak::BIGINT AS peak_abs,
+         |  sq::BIGINT AS sum_sq
+         |FROM dec WHERE j = 64 ORDER BY media_id""".stripMargin
+    },
+
+    // Replays the MS-ADPCM recurrence: a recursive CTE carries
+    // (prev, prev2, delta) through the 64 nibbles, joining the public
+    // 7-pair coefficient table (fixed per doc) and a 16-row
+    // signed-nibble/adaptation table; >>8 on a possibly-negative
+    // predictor is FLOOR division, modeled via floor(x/256.0).
+    "multimodal_audio_msadpcm" -> {
+      val coefTab = Seq((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+        (460, -208), (392, -232)).zipWithIndex
+        .map { case ((a, c), i) => s"($i,$a,$c)" }.mkString(",")
+      val adapt = Seq(230, 230, 230, 230, 307, 409, 512, 614,
+        768, 614, 512, 409, 307, 230, 230, 230)
+      val nibTab = (0 until 16).map { n =>
+        s"($n,${if (n >= 8) n - 16 else n},${adapt(n)})"
+      }.mkString(",")
+      val np = "LEAST(GREATEST(CAST(floor((d.prev*d.c1 + d.prev2*d.c2)" +
+        " / 256.0) AS BIGINT) + nt.sn * d.delta, -32768), 32767)"
+      s"""WITH RECURSIVE
+         |cf AS (SELECT * FROM (VALUES $coefTab) t(i, c1, c2)),
+         |nt AS (SELECT * FROM (VALUES $nibTab) t(n, sn, ad)),
+         |dec AS (
+         |  SELECT doc_id, 0 AS j, cf.c1, cf.c2,
+         |    ((doc_id*37) % 65536 - 32768) AS prev,
+         |    ((doc_id*53) % 65536 - 32768) AS prev2,
+         |    (16 + (doc_id*11) % 1000) AS delta,
+         |    GREATEST(abs((doc_id*37) % 65536 - 32768),
+         |             abs((doc_id*53) % 65536 - 32768)) AS peak,
+         |    ((doc_id*37) % 65536 - 32768) * ((doc_id*37) % 65536 - 32768)
+         |      + ((doc_id*53) % 65536 - 32768)
+         |        * ((doc_id*53) % 65536 - 32768) AS sq
+         |  FROM documents JOIN cf ON cf.i = doc_id % 7
+         |  UNION ALL
+         |  SELECT d.doc_id, d.j + 1, d.c1, d.c2, $np, d.prev,
+         |    LEAST(GREATEST(16, (nt.ad * d.delta) // 256), 32767),
+         |    GREATEST(d.peak, abs($np)), d.sq + ($np) * ($np)
+         |  FROM dec d
+         |  JOIN nt ON nt.n = (d.doc_id*7 + d.j*3) % 16
+         |  WHERE d.j < 64)
+         |SELECT doc_id AS media_id, 16000::BIGINT AS sample_rate,
+         |  66::BIGINT AS n_samples, peak::BIGINT AS peak_abs,
          |  sq::BIGINT AS sum_sq
          |FROM dec WHERE j = 64 ORDER BY media_id""".stripMargin
     },

@@ -1505,4 +1505,36 @@ class MultimodalSpec extends SparkSpec {
     noDo(68 + 11) = 0x04
     assert(Containers.mp4Samples(noDo).isEmpty)
   }
+  test("wav: mono MS-ADPCM blocks decode through the two-tap predictor") {
+    // hand-computed with coef pair 0 (c1=256, c2=0): pred depends on
+    // prev only; delta=16, seeds s1=100 (prev), s2=-50 (output first)
+    //   nibble 1 -> (100*256)>>8 + 1*16 = 116; delta = max(16,(230*16)>>8)=16
+    //   nibble 9 -> (116*256)>>8 + (-7)*16 = 4; delta = max(16,(614*16)>>8)=38
+    //   nibble 0 -> (4*256)>>8 + 0 = 4; delta stays via adapt 230: (230*38)>>8=34
+    //   nibble 8 -> (4*256)>>8 + (-8)*34 = -268
+    val wav = Containers.synthWavMsAdpcm(16000,
+      Seq((0, 16, 100, -50, Array(1, 9, 0, 8))))
+    val s = Containers.wavSamples(wav)
+    assert(s != null && s.toSeq == Seq[Short](-50, 100, 116, 4, 4, -268))
+    // coef pair 1 (c1=512, c2=-256) uses BOTH taps; negative >>8 floors
+    //   prev=3, prev2=200: (3*512 - 200*256)>>8 = (1536-51200)>>8 =
+    //   -49664>>8 = -194; nibble 15 -> -194 + (-1)*20 = -214
+    val w2 = Containers.synthWavMsAdpcm(16000,
+      Seq((1, 20, 3, 200, Array(15, 0))))
+    val s2 = Containers.wavSamples(w2)
+    assert(s2 != null && s2(2) == -214)
+    // multi-block restart + corrupt coefficient index -> null
+    val two = Containers.synthWavMsAdpcm(16000,
+      Seq((0, 16, 1, 2, Array(0, 0)), (2, 99, 7, 8, Array(0, 0))))
+    val ts = Containers.wavSamples(two)
+    assert(ts != null && ts.length == 8 && ts(4) == 8 && ts(5) == 7)
+    val bad = wav.clone()
+    bad(12 + 8 + 50 + 8) = 9 // block header coef index at data start
+    assert(Containers.wavSamples(bad) == null)
+    assert(!Containers.unsupportedAudioProfile(bad))
+    // stereo MS-ADPCM stays a profile gap
+    val st = wav.clone(); st(12 + 8 + 2) = 2
+    assert(Containers.wavSamples(st) == null)
+    assert(Containers.unsupportedAudioProfile(st))
+  }
 }
