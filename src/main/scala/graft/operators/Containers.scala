@@ -3603,45 +3603,83 @@ object Containers {
   private val ImaIndexAdj: Array[Int] =
     Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
-  /** Decode mono IMA ADPCM blocks: each `blockAlign`-byte block opens
-    * with a 4-byte header (s16le initial predictor — emitted as the
-    * block's first sample, per the MS/libsndfile convention — u8 step
-    * index, reserved) followed by 4-bit nibbles, LOW nibble first.
-    * Per nibble: `diff = step>>3 (+ step>>2 if bit0)(+ step>>1 if
-    * bit1)(+ step if bit2)`, sign from bit 3, predictor clamped to
-    * s16, index advanced by the standard table and clamped to 0..88.
-    * A trailing partial block decodes the nibbles it has; a header
-    * index over 88 is corruption → null.
+  /** One IMA channel's rolling (predictor, step-index) state; `step`
+    * advances it by one nibble and returns the decoded sample.
+    */
+  private final class ImaState(var pred: Int, var idx: Int) {
+    def step(n: Int): Short = {
+      val s = ImaStep(idx)
+      var diff = s >> 3
+      if ((n & 1) != 0) diff += s >> 2
+      if ((n & 2) != 0) diff += s >> 1
+      if ((n & 4) != 0) diff += s
+      pred = if ((n & 8) != 0) pred - diff else pred + diff
+      if (pred < -32768) pred = -32768 else if (pred > 32767) pred = 32767
+      idx += ImaIndexAdj(n)
+      if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+      pred.toShort
+    }
+  }
+
+  /** Decode IMA ADPCM blocks (mono or stereo): each `blockAlign`-byte
+    * block opens with a 4-byte header PER CHANNEL (s16le initial
+    * predictor — emitted as the channel's first sample, per the
+    * MS/libsndfile convention — u8 step index, reserved) followed by
+    * 4-bit nibbles LOW-first, mono as a flat run, stereo in
+    * alternating 4-byte words (8 nibbles left, 8 nibbles right,
+    * interleaved on output L,R). Per nibble: `diff = step>>3
+    * (+ step>>2 if bit0)(+ step>>1 if bit1)(+ step if bit2)`, sign
+    * from bit 3, predictor clamped to s16, index advanced by the
+    * standard table and clamped to 0..88. A trailing partial block
+    * decodes the nibbles (mono) / complete word-pairs (stereo) it
+    * has; a header index over 88 is corruption → null.
     */
   private def imaAdpcmDecode(b: Array[Byte], dataOff: Int, avail: Int,
-      blockAlign: Int): Array[Short] = {
-    if (blockAlign < 5) return null
+      blockAlign: Int, channels: Int): Array[Short] = {
+    val hdr = 4 * channels
+    if (blockAlign < hdr + 1) return null
     val out = new scala.collection.mutable.ArrayBuffer[Short]()
     var blk = 0
-    while (blk.toLong * blockAlign + 4 <= avail) {
+    while (blk.toLong * blockAlign + hdr <= avail) {
       val base = dataOff + blk * blockAlign
-      var pred = ((u8(b, base) | (u8(b, base + 1) << 8)) << 16) >> 16
-      var idx = u8(b, base + 2)
-      if (idx > 88) return null // damaged header
-      out += pred.toShort
+      val st = Array.tabulate(channels) { c =>
+        val h = base + 4 * c
+        val pred = ((u8(b, h) | (u8(b, h + 1) << 8)) << 16) >> 16
+        val idx = u8(b, h + 2)
+        if (idx > 88) return null // damaged header
+        new ImaState(pred, idx)
+      }
+      st.foreach(s => out += s.pred.toShort)
       val dataBytes = math.min(blockAlign, avail - blk.toLong * blockAlign)
-        .toInt - 4
-      var j = 0
-      val nNibbles = dataBytes * 2
-      while (j < nNibbles) {
-        val byte = u8(b, base + 4 + (j >> 1))
-        val n = if ((j & 1) == 0) byte & 0x0F else byte >> 4
-        val step = ImaStep(idx)
-        var diff = step >> 3
-        if ((n & 1) != 0) diff += step >> 2
-        if ((n & 2) != 0) diff += step >> 1
-        if ((n & 4) != 0) diff += step
-        pred = if ((n & 8) != 0) pred - diff else pred + diff
-        if (pred < -32768) pred = -32768 else if (pred > 32767) pred = 32767
-        idx += ImaIndexAdj(n)
-        if (idx < 0) idx = 0 else if (idx > 88) idx = 88
-        out += pred.toShort
-        j += 1
+        .toInt - hdr
+      if (channels == 1) {
+        var j = 0
+        val nNibbles = dataBytes * 2
+        while (j < nNibbles) {
+          val byte = u8(b, base + hdr + (j >> 1))
+          out += st(0).step(if ((j & 1) == 0) byte & 0x0F else byte >> 4)
+          j += 1
+        }
+      } else {
+        // stereo: 4-byte word per channel, repeating; only complete
+        // L+R word pairs interleave (a cut mid-pair is dropped)
+        val nPairs = dataBytes / 8
+        val lch = new Array[Short](8); val rch = new Array[Short](8)
+        var g = 0
+        while (g < nPairs) {
+          val p0 = base + hdr + g * 8
+          var k = 0
+          while (k < 8) {
+            val lb = u8(b, p0 + (k >> 1))
+            lch(k) = st(0).step(if ((k & 1) == 0) lb & 0x0F else lb >> 4)
+            val rb = u8(b, p0 + 4 + (k >> 1))
+            rch(k) = st(1).step(if ((k & 1) == 0) rb & 0x0F else rb >> 4)
+            k += 1
+          }
+          k = 0
+          while (k < 8) { out += lch(k); out += rch(k); k += 1 }
+          g += 1
+        }
       }
       blk += 1
     }
@@ -3724,7 +3762,8 @@ object Containers {
       case (3, 32) => 6 // IEEE float32
       case (7, 8)  => 1 // μ-law
       case (6, 8)  => 2 // A-law
-      case (17, 4) if channels == 1 => 7 // IMA/DVI ADPCM, block-coded
+      case (17, 4) if channels == 1 || channels == 2 =>
+        7 // IMA/DVI ADPCM, block-coded, mono or stereo
       case (2, 4) if channels == 1  => 8 // MS-ADPCM, block-coded
       case _       => return null
     }
@@ -3736,7 +3775,8 @@ object Containers {
       if (id == "data") {
         val avail = math.min(size, b.length - (off + 8)) // truncated: take what's there
         if (mode == 7) // block-coded, not fixed-width: own decode path
-          return imaAdpcmDecode(b, i + 8, avail.toInt, leU16(b, fi + 20))
+          return imaAdpcmDecode(b, i + 8, avail.toInt, leU16(b, fi + 20),
+            channels)
         if (mode == 8)
           return msAdpcmDecode(b, i + 8, avail.toInt, leU16(b, fi + 20))
         val width = mode match {
@@ -3839,6 +3879,60 @@ object Containers {
       while (j < nNib) {
         out.put((ns(j) | (ns(j + 1) << 4)).toByte) // low nibble first
         j += 2
+      }
+    }
+    out.array()
+  }
+
+  /** Valid STEREO IMA-ADPCM WAV — the interleaved-word layout real
+    * stereo IMA files ship: per block an 8-byte header pair (4 bytes
+    * per channel: s16le predictor, u8 step index, reserved) then
+    * alternating 4-byte nibble words — 8 left samples, 8 right. Each
+    * block is `(predL, idxL, predR, idxR, nibblesL, nibblesR)` with
+    * equal per-channel nibble counts that are multiples of 8 (word
+    * granularity).
+    */
+  def synthWavImaAdpcmStereo(sampleRate: Int,
+      blocks: Seq[(Int, Int, Int, Int, Array[Int], Array[Int])]): Array[Byte] = {
+    require(blocks.nonEmpty, "at least one block")
+    val nNib = blocks.head._5.length
+    require(nNib > 0 && nNib % 8 == 0,
+      s"per-channel nibble count must be a multiple of 8: $nNib")
+    require(blocks.forall(bk => bk._5.length == nNib && bk._6.length == nNib),
+      "uniform block size across blocks and channels")
+    require(blocks.forall { case (pl, il, pr, ir, nl, nr) =>
+      Seq(pl, pr).forall(p => p >= -32768 && p <= 32767) &&
+        Seq(il, ir).forall(i => i >= 0 && i <= 88) &&
+        (nl ++ nr).forall(n => n >= 0 && n <= 15)
+    }, "predictor s16, index 0..88, nibbles 0..15")
+    val blockAlign = 8 + nNib // nNib/2 bytes per channel, two channels
+    val dataLen = blocks.length * blockAlign
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + 20 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(4 + 28 + 8 + dataLen).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(20)
+      .putShort(0x11)                       // IMA/DVI ADPCM
+      .putShort(2)                          // stereo
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / (nNib + 1)) // approx byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(4)                          // bits per (coded) sample
+      .putShort(2)                          // cbSize
+      .putShort((nNib + 1).toShort)         // wSamplesPerBlock (per channel)
+    out.put("data".getBytes).putInt(dataLen)
+    for ((pl, il, pr, ir, nl, nr) <- blocks) {
+      out.putShort(pl.toShort).put(il.toByte).put(0.toByte)
+      out.putShort(pr.toShort).put(ir.toByte).put(0.toByte)
+      var w = 0
+      while (w < nNib / 8) { // alternate 4-byte words: L then R
+        for (ns <- Seq(nl, nr)) {
+          var j = w * 8
+          while (j < w * 8 + 8) {
+            out.put((ns(j) | (ns(j + 1) << 4)).toByte) // low nibble first
+            j += 2
+          }
+        }
+        w += 1
       }
     }
     out.array()
@@ -4021,7 +4115,7 @@ object Containers {
       case code => (code, bits) match { // the set wavSamples dispatches on
         case (1, 8) | (1, 16) | (1, 24) | (1, 32) | (3, 32) |
              (7, 8) | (6, 8) => false
-        case (17, 4) => channels != 1 // mono IMA decodes; stereo is a gap
+        case (17, 4) => channels != 1 && channels != 2 // IMA decodes
         case (2, 4)  => channels != 1 // mono MS-ADPCM decodes too
         case _ => true
       }

@@ -856,6 +856,29 @@ object Multimodal {
     })
   }
 
+  /** Deterministic STEREO IMA-ADPCM corpus: doc `id` is ONE 72-byte
+    * block whose channels carry independent recurrences — left seeds
+    * `((id·37 mod 65536) − 32768, id·13 mod 89)` with nibbles
+    * `(id·7 + j·3) mod 16`, right seeds
+    * `((id·59 mod 65536) − 32768, id·17 mod 89)` with nibbles
+    * `(id·11 + j·5) mod 16`, 64 nibbles each packed as alternating
+    * 4-byte words → 130 interleaved samples. The oracle runs BOTH
+    * channel recurrences in one recursive CTE (channel as a state
+    * dimension), so the word de-interleave and per-channel state
+    * isolation are both checked.
+    */
+  def demoAudioImaStereoCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val blob = Containers.synthWavImaAdpcmStereo(16000, Seq((
+        ((id * 37) % 65536 - 32768).toInt, ((id * 13) % 89).toInt,
+        ((id * 59) % 65536 - 32768).toInt, ((id * 17) % 89).toInt,
+        Array.tabulate(64)(j => ((id * 7 + j.toLong * 3) % 16).toInt),
+        Array.tabulate(64)(j => ((id * 11 + j.toLong * 5) % 16).toInt))))
+      MediaFile(id, "audio", blob)
+    })
+  }
+
   /** Deterministic mono MS-ADPCM corpus: doc `id` is ONE 39-byte
     * block — coefficient pair `id mod 7`, initial delta
     * `16 + id·11 mod 1000`, seed samples `(id·37 mod 65536) − 32768`

@@ -352,6 +352,20 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // STEREO IMA-ADPCM: alternating 4-byte channel words with
+    // independent per-channel predictor state — the de-interleave is
+    // where naive decoders corrupt stereo audio. The oracle runs both
+    // channel recurrences in one recursive CTE.
+    "multimodal_audio_ima_stereo" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoAudioImaStereoCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.audioStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // REAL MS-ADPCM decode — the OTHER classic 4-bit WAV codec:
     // 7-byte block headers seeding a two-tap predictor, HIGH-first
     // nibbles, and the adaptive-delta schedule. The oracle replays the
@@ -1416,6 +1430,55 @@ object FrontierQueries {
          |  65::BIGINT AS n_samples, peak::BIGINT AS peak_abs,
          |  sq::BIGINT AS sum_sq
          |FROM dec WHERE j = 64 ORDER BY media_id""".stripMargin
+    },
+
+    // Replays BOTH stereo channels' IMA recurrences in one recursive
+    // CTE with the channel as a state dimension: seeds and nibble
+    // generators switch on ch, the step/nibble tables are shared.
+    "multimodal_audio_ima_stereo" -> {
+      val stepTab = Seq(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23,
+        25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
+        118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+        408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+        1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493,
+        10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
+        24623, 27086, 29794, 32767).zipWithIndex
+        .map { case (s, i) => s"($i,$s)" }.mkString(",")
+      val nibTab = (0 until 16).map { n =>
+        val adj = Seq(-1, -1, -1, -1, 2, 4, 6, 8)(n & 7)
+        s"($n,${n & 1},${(n >> 1) & 1},${(n >> 2) & 1}," +
+          s"${if (n >= 8) -1 else 1},$adj)"
+      }.mkString(",")
+      val np = "LEAST(GREATEST(d.pred + nb.sgn*(st.s//8 + nb.b0*(st.s//4)" +
+        " + nb.b1*(st.s//2) + nb.b2*st.s), -32768), 32767)"
+      val seedP = "CASE ch WHEN 0 THEN (doc_id*37) % 65536 - 32768" +
+        " ELSE (doc_id*59) % 65536 - 32768 END"
+      s"""WITH RECURSIVE
+         |steps AS (SELECT * FROM (VALUES $stepTab) t(i, s)),
+         |nibs AS (SELECT * FROM (VALUES $nibTab) t(n, b0, b1, b2, sgn, adj)),
+         |dec AS (
+         |  SELECT doc_id, ch, 0 AS j,
+         |    $seedP AS pred,
+         |    CASE ch WHEN 0 THEN (doc_id*13) % 89
+         |      ELSE (doc_id*17) % 89 END AS idx,
+         |    abs($seedP) AS peak,
+         |    ($seedP) * ($seedP) AS sq
+         |  FROM documents CROSS JOIN (VALUES (0), (1)) c(ch)
+         |  UNION ALL
+         |  SELECT d.doc_id, d.ch, d.j + 1, $np,
+         |    LEAST(GREATEST(d.idx + nb.adj, 0), 88),
+         |    GREATEST(d.peak, abs($np)), d.sq + ($np) * ($np)
+         |  FROM dec d
+         |  JOIN steps st ON st.i = d.idx
+         |  JOIN nibs nb ON nb.n = CASE d.ch
+         |    WHEN 0 THEN (d.doc_id*7 + d.j*3) % 16
+         |    ELSE (d.doc_id*11 + d.j*5) % 16 END
+         |  WHERE d.j < 64)
+         |SELECT doc_id AS media_id, 16000::BIGINT AS sample_rate,
+         |  130::BIGINT AS n_samples, MAX(peak)::BIGINT AS peak_abs,
+         |  SUM(sq)::BIGINT AS sum_sq
+         |FROM dec WHERE j = 64 GROUP BY doc_id ORDER BY media_id""".stripMargin
     },
 
     // Replays the MS-ADPCM recurrence: a recursive CTE carries

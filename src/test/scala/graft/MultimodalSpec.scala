@@ -1465,14 +1465,41 @@ class MultimodalSpec extends SparkSpec {
     bad(48 + 2) = 90
     assert(Containers.wavSamples(bad) == null)
     assert(!Containers.unsupportedAudioProfile(bad))
-    // stereo IMA stays a profile gap (channels field at fmt+10)
-    val st = wav.clone(); st(12 + 8 + 2) = 2
+    // >2-channel IMA stays a profile gap (channels field at fmt+10)
+    val st = wav.clone(); st(12 + 8 + 2) = 3
     assert(Containers.wavSamples(st) == null)
     assert(Containers.unsupportedAudioProfile(st))
     // parse still names the container and its coded bit depth
     val hdr = Containers.parse(wav)
     assert(hdr.format == "wav" && hdr.sampleRate == 16000 &&
       hdr.bitsPerSample == 4)
+  }
+
+  test("wav: stereo IMA-ADPCM de-interleaves alternating channel words") {
+    // left: the mono hand case (pred 0, idx 0, nibbles 0,7,15,4 then
+    // zero-padding to the 8-nibble word); right: constant nibble 0
+    // from pred 1000, idx 0 — step 7 gives diff 0, so the channel
+    // holds 1000 while its index floors at 0
+    val nl = Array(0, 7, 15, 4, 0, 0, 0, 0)
+    val nr = Array.fill(8)(0)
+    val wav = Containers.synthWavImaAdpcmStereo(16000,
+      Seq((0, 0, 1000, 0, nl, nr)))
+    val s = Containers.wavSamples(wav)
+    assert(s != null && s.length == 18) // (1 + 8) samples x 2, interleaved
+    // interleaved: even positions left, odd positions right
+    val left = s.indices.collect { case i if i % 2 == 0 => s(i) }
+    val right = s.indices.collect { case i if i % 2 == 1 => s(i) }
+    assert(left.take(5) == Seq[Short](0, 0, 11, -19, 19))
+    assert(right.forall(_ == 1000.toShort))
+    // left's trailing zero nibbles keep stepping ITS state only:
+    // after nibble 4 idx=18 (step 45): +5 each zero nibble? no —
+    // nibble 0 adds step>>3 with sign +; verify continuation is
+    // monotone non-decreasing and right stays untouched
+    assert(left.drop(4).sliding(2).forall(p => p(1) >= p(0)))
+    // a cut mid word-pair drops the incomplete pair, keeps the seeds
+    val cut = Containers.wavSamples(wav.dropRight(4))
+    assert(cut != null && cut.length == 2)
+    assert(Containers.parse(wav).channels == 2)
   }
   test("mp4: fragmented moof/trun runs yield exact sample ranges") {
     // two fragments: layout is deterministic, so every offset is
