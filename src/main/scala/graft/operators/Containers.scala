@@ -1870,6 +1870,57 @@ object Containers {
     out.toArray
   } catch { case _: IndexOutOfBoundsException => null }
 
+  /** The HTTP response carried INSIDE a WARC response record's
+    * content block: status code, media type (lowercased, parameters
+    * like `; charset=` stripped), and the exact body byte range after
+    * the header terminator.
+    */
+  final case class HttpResponse(status: Int, contentType: String,
+      bodyOffset: Int, bodyLength: Int)
+
+  /** Parse the HTTP/1.x response message at `[off, off+len)` — the
+    * payload shape every Common Crawl `response` record carries:
+    * status line, CRLF header lines to the empty line (field names
+    * case-insensitive), then the body. This is the split a crawl
+    * pipeline MUST perform before treating payloads as documents —
+    * skipping it leaks protocol headers into training text. Null for
+    * a missing/malformed status line or an unterminated header block.
+    */
+  def httpResponse(b: Array[Byte], off: Int, len: Int): HttpResponse = try {
+    val end = off + len
+    def lineEnd(from: Int): Int = {
+      var j = from
+      while (j + 1 < end && !(b(j) == '\r'.toByte && b(j + 1) == '\n'.toByte))
+        j += 1
+      if (j + 1 < end) j else -1
+    }
+    val se = lineEnd(off)
+    if (se < 0) return null
+    val statusLine = new String(b, off, se - off, "US-ASCII")
+    if (!statusLine.startsWith("HTTP/")) return null
+    val parts = statusLine.split(" ")
+    if (parts.length < 2) return null
+    val code = parts(1).toIntOption.getOrElse(return null)
+    var p = se + 2
+    var ct = ""
+    var done = false
+    while (!done) {
+      val le = lineEnd(p)
+      if (le < 0) return null // header block never terminates
+      if (le == p) { done = true; p += 2 }
+      else {
+        val line = new String(b, p, le - p, "US-ASCII")
+        val ci = line.indexOf(':')
+        if (ci > 0 &&
+            line.substring(0, ci).trim.equalsIgnoreCase("content-type"))
+          ct = line.substring(ci + 1).split(";")(0).trim
+            .toLowerCase(java.util.Locale.ROOT)
+        p = le + 2
+      }
+    }
+    HttpResponse(code, ct, p, end - p)
+  } catch { case _: IndexOutOfBoundsException => null }
+
   /** Valid WARC 1.0 from (type, targetUri, payload) records — CRLF
     * headers with Content-Length, double-CRLF record separators; the
     * exact write-side counterpart of [[warcRecords]]. With
@@ -2133,6 +2184,7 @@ object Containers {
       p += 1
     }
     var nFrames = 0
+    var decodedPx = 0L // cumulative decode-bomb guard across frames
     var transparent = -1; var disposal = 0 // pending GCE, reset per frame
     // previous frame's disposal is applied when the NEXT frame arrives
     // (after the last frame the canvas keeps what that frame drew)
@@ -2179,6 +2231,12 @@ object Containers {
           }
           if (pos >= b.length) return null // missing sub-block terminator
           pos += 1
+          // decompression-bomb guard: constant frames compress ~160:1
+          // through LZW, so a small hostile stream can demand billions
+          // of composited pixels — cap TOTAL decoded pixels like
+          // warcInflate caps gzip expansion (2^28 ≈ 4k full-HD frames)
+          decodedPx += iw.toLong * ih
+          if (decodedPx > (1L << 28)) return null
           val idx = lzwDecode(data.toByteArray, mcs, iw * ih)
           if (idx == null) return null
           // settle the PREVIOUS frame's disposal before drawing

@@ -856,6 +856,78 @@ object Multimodal {
     })
   }
 
+  case class WarcHttpStats(media_id: Long, n_records: Long, n_ok: Long,
+      n_html: Long, body_bytes: Long, body_sum: Long)
+
+  /** HTTP-aware WARC processing — the split every crawl pipeline must
+    * perform before payloads become documents: gunzip the crawl, walk
+    * its records, and parse the HTTP response INSIDE each `response`
+    * record's content block (status line, header fold, exact body
+    * boundary). `body_sum` (Σ of body byte values) only matches if
+    * the header/body split is byte-exact, so the oracle checks the
+    * protocol parse, not just counts. Undecodable payloads report −1
+    * rows.
+    */
+  def warcHttpStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[WarcHttpStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val plain = Containers.warcInflate(m.content)
+      val recs = if (plain == null) null else Containers.warcRecords(plain)
+      if (recs == null) WarcHttpStats(m.media_id, -1L, -1L, -1L, -1L, -1L)
+      else {
+        var n = 0L; var ok = 0L; var html = 0L; var bytes = 0L; var sum = 0L
+        for (r <- recs if r.warcType == "response") {
+          val h = Containers.httpResponse(plain, r.payloadOffset.toInt,
+            r.contentLength.toInt)
+          if (h != null) {
+            n += 1
+            if (h.status == 200) ok += 1
+            if (h.contentType == "text/html") html += 1
+            bytes += h.bodyLength
+            var j = 0
+            while (j < h.bodyLength) {
+              sum += java.lang.Byte.toUnsignedInt(plain(h.bodyOffset + j))
+              j += 1
+            }
+          }
+        }
+        WarcHttpStats(m.media_id, n, ok, html, bytes, sum)
+      }
+    })
+  }
+
+  /** Deterministic HTTP-in-WARC corpus: doc `id` is a per-record-gzip
+    * crawl of `2 + id%3` response records. Record `r` carries status
+    * `{200,301,404,503}` by `(id+r)%4`, Content-Type
+    * `{text/html; charset=UTF-8, application/json, text/plain}` by
+    * `(id·3+r)%3` (the charset parameter exercises the
+    * parameter-stripping parse), an X-Crawl decoy header, a truthful
+    * Content-Length, and a body of `20 + (id·7 + r·11) % 50` bytes
+    * whose byte `j` is `(id·13 + r·17 + j·19) % 256`.
+    */
+  def demoWarcHttpCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val recs = (0 until (2 + id % 3).toInt).map { r =>
+        val status = Seq("200 OK", "301 Moved Permanently",
+          "404 Not Found", "503 Service Unavailable")(((id + r) % 4).toInt)
+        val ct = Seq("text/html; charset=UTF-8", "application/json",
+          "text/plain")(((id * 3 + r) % 3).toInt)
+        val bodyLen = (20 + (id * 7 + r * 11) % 50).toInt
+        val body = Array.tabulate(bodyLen)(j =>
+          ((id * 13 + r * 17 + j.toLong * 19) % 256).toByte)
+        val head = (s"HTTP/1.1 $status\r\n" +
+          s"Content-Type: $ct\r\n" +
+          s"X-Crawl: graft-$id-$r\r\n" +
+          s"Content-Length: $bodyLen\r\n\r\n").getBytes("US-ASCII")
+        ("response", s"https://example.com/$id/$r", head ++ body)
+      }
+      MediaFile(id, "web",
+        Containers.synthWarc(recs, gzipPerRecord = true))
+    })
+  }
+
   /** Deterministic STEREO IMA-ADPCM corpus: doc `id` is ONE 72-byte
     * block whose channels carry independent recurrences — left seeds
     * `((id·37 mod 65536) − 32768, id·13 mod 89)` with nibbles

@@ -352,6 +352,22 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // HTTP-aware WARC processing: gunzip -> record walk -> parse the
+    // HTTP response inside each content block (status, Content-Type
+    // with parameter stripping, exact header/body split). body_sum
+    // only matches on a byte-exact split, so leaking protocol headers
+    // into the "document" fails the oracle — the exact bug that
+    // poisons crawl-derived training text.
+    "warc_http_stats" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoWarcHttpCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.warcHttpStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // STEREO IMA-ADPCM: alternating 4-byte channel words with
     // independent per-channel predictor state — the de-interleave is
     // where naive decoders corrupt stereo audio. The oracle runs both
@@ -1431,6 +1447,31 @@ object FrontierQueries {
          |  sq::BIGINT AS sum_sq
          |FROM dec WHERE j = 64 ORDER BY media_id""".stripMargin
     },
+
+    // Replays the HTTP generator: status/type cycles, body lengths,
+    // and the modular body byte sum via a per-byte unnest.
+    "warc_http_stats" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS nr FROM documents),
+        |r AS (SELECT doc_id, unnest(range(0, nr)) AS rec FROM m),
+        |x AS (SELECT doc_id, rec,
+        |    CASE (doc_id + rec) % 4 WHEN 0 THEN 200 WHEN 1 THEN 301
+        |      WHEN 2 THEN 404 ELSE 503 END AS status,
+        |    CASE (doc_id*3 + rec) % 3 WHEN 0 THEN 'text/html'
+        |      WHEN 1 THEN 'application/json' ELSE 'text/plain' END AS ct,
+        |    20 + (doc_id*7 + rec*11) % 50 AS blen
+        |  FROM r),
+        |bs AS (SELECT doc_id, rec,
+        |    sum((doc_id*13 + rec*17 + j*19) % 256) AS bsum
+        |  FROM (SELECT doc_id, rec, blen, unnest(range(0, blen)) AS j
+        |        FROM x) GROUP BY doc_id, rec)
+        |SELECT x.doc_id AS media_id, count(*)::BIGINT AS n_records,
+        |  sum(CASE WHEN x.status = 200 THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+        |  sum(CASE WHEN x.ct = 'text/html' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_html,
+        |  sum(x.blen)::BIGINT AS body_bytes,
+        |  sum(bs.bsum)::BIGINT AS body_sum
+        |FROM x JOIN bs ON bs.doc_id = x.doc_id AND bs.rec = x.rec
+        |GROUP BY x.doc_id ORDER BY media_id""".stripMargin,
 
     // Replays BOTH stereo channels' IMA recurrences in one recursive
     // CTE with the channel as a state dimension: seeds and nibble

@@ -1564,4 +1564,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Containers.wavSamples(st) == null)
     assert(Containers.unsupportedAudioProfile(st))
   }
+  test("warc: HTTP responses inside content blocks split exactly") {
+    val body = "<html>hi</html>".getBytes("US-ASCII")
+    val msg = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n" +
+      "Content-Length: " + body.length + "\r\n\r\n").getBytes("US-ASCII") ++ body
+    val h = Containers.httpResponse(msg, 0, msg.length)
+    assert(h != null && h.status == 200 && h.contentType == "text/html")
+    assert(h.bodyLength == body.length)
+    assert(new String(msg, h.bodyOffset, h.bodyLength, "US-ASCII")
+      == "<html>hi</html>")
+    // case-insensitive field names; empty body; parameter stripping
+    val m2 = "HTTP/1.0 404 Not Found\r\ncontent-TYPE: Text/Plain\r\n\r\n"
+      .getBytes("US-ASCII")
+    val h2 = Containers.httpResponse(m2, 0, m2.length)
+    assert(h2 != null && h2.status == 404 &&
+      h2.contentType == "text/plain" && h2.bodyLength == 0)
+    // malformed: no HTTP prefix, unterminated headers
+    assert(Containers.httpResponse("junk\r\n\r\n".getBytes, 0, 8) == null)
+    val unterm = "HTTP/1.1 200 OK\r\nX: 1\r\n".getBytes("US-ASCII")
+    assert(Containers.httpResponse(unterm, 0, unterm.length) == null)
+    // a decode-bomb GIF (many frames over the pixel cap) degrades to
+    // null instead of compositing gigapixels
+    val pal = Array.tabulate(3 * 4)(i => (i * 31) % 256)
+    val big = Containers.synthGifAnim(4096, 4096, pal, 0,
+      Seq.fill(17)(Containers.GifFrame(0, 0, 4096, 4096,
+        Array.fill(4096 * 4096)(1))))
+    assert(Containers.gifAnimate(big) == null) // 17*16.7M px > 2^28
+  }
 }
