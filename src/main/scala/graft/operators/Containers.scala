@@ -1888,34 +1888,40 @@ object Containers {
     */
   def httpResponse(b: Array[Byte], off: Int, len: Int): HttpResponse = try {
     val end = off + len
-    def lineEnd(from: Int): Int = {
+    // a line ends at '\n'; a preceding '\r' is terminator, not content
+    // (RFC 7230 §3.5: recipients may accept bare LF — real crawl
+    // payloads carry both conventions)
+    def nl(from: Int): Int = {
       var j = from
-      while (j + 1 < end && !(b(j) == '\r'.toByte && b(j + 1) == '\n'.toByte))
-        j += 1
-      if (j + 1 < end) j else -1
+      while (j < end && b(j) != '\n'.toByte) j += 1
+      if (j < end) j else -1
     }
-    val se = lineEnd(off)
-    if (se < 0) return null
-    val statusLine = new String(b, off, se - off, "US-ASCII")
+    def contentEnd(from: Int, lf: Int): Int =
+      if (lf > from && b(lf - 1) == '\r'.toByte) lf - 1 else lf
+    val lf0 = nl(off)
+    if (lf0 < 0) return null
+    val statusLine = new String(b, off, contentEnd(off, lf0) - off, "US-ASCII")
     if (!statusLine.startsWith("HTTP/")) return null
-    val parts = statusLine.split(" ")
+    // split on whitespace RUNS: double-spaced status lines exist
+    val parts = statusLine.trim.split("\\s+")
     if (parts.length < 2) return null
     val code = parts(1).toIntOption.getOrElse(return null)
-    var p = se + 2
+    var p = lf0 + 1
     var ct = ""
     var done = false
     while (!done) {
-      val le = lineEnd(p)
-      if (le < 0) return null // header block never terminates
-      if (le == p) { done = true; p += 2 }
+      val lf = nl(p)
+      if (lf < 0) return null // header block never terminates
+      val ce = contentEnd(p, lf)
+      if (ce == p) { done = true; p = lf + 1 } // empty line ends headers
       else {
-        val line = new String(b, p, le - p, "US-ASCII")
+        val line = new String(b, p, ce - p, "US-ASCII")
         val ci = line.indexOf(':')
         if (ci > 0 &&
             line.substring(0, ci).trim.equalsIgnoreCase("content-type"))
           ct = line.substring(ci + 1).split(";")(0).trim
             .toLowerCase(java.util.Locale.ROOT)
-        p = le + 2
+        p = lf + 1
       }
     }
     HttpResponse(code, ct, p, end - p)
@@ -4226,7 +4232,6 @@ object Containers {
   private def mp4FragmentSamples(b: Array[Byte]): Array[Mp4Sample] = try {
     val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
     var sampleIdx = 0
-    def beU64At(i: Int): Long = (beU32(b, i) << 32) | beU32(b, i + 4)
     for (("moof", ms, me) <- mp4Boxes(b, 0, b.length)) {
       val moofStart = ms - 8L
       for (("traf", ts, te) <- mp4Boxes(b, ms, me)) {
@@ -4239,7 +4244,7 @@ object Containers {
             var q = ps + 8 // verflags + track_ID
             if ((flags & 1) != 0) {
               if (q + 8 > pe) return Array.empty
-              baseOff = beU64At(q); q += 8
+              baseOff = beU64At(b, q); q += 8
             }
             if ((flags & 2) != 0) q += 4    // sample_description_index
             if ((flags & 8) != 0) q += 4    // default_sample_duration
@@ -4254,7 +4259,11 @@ object Containers {
           case "trun" if pe - ps >= 8 =>
             val flags = beU32(b, ps) & 0xFFFFFF
             val count = beU32(b, ps + 4)
-            if (count > (pe - ps)) return Array.empty // forged count
+            // bomb guard: a run can legitimately hold more samples
+            // than its own box bytes (per-sample fields absent, sizes
+            // from the tfhd default), but never more than the FILE
+            // holds bytes — forged counts degrade instead of OOMing
+            if (count > b.length) return Array.empty
             var q = ps + 8
             if ((flags & 1) == 0) return Array.empty // offset-less run
             if (q + 4 > pe) return Array.empty
@@ -4377,8 +4386,14 @@ object Containers {
     * empty array — the same degrade-don't-throw posture as every
     * other parser here.
     */
+  /** Big-endian u64 at `i` — the ISO-BMFF largesize / co64 word. */
+  private def beU64At(b: Array[Byte], i: Int): Long =
+    (beU32(b, i) << 32) | beU32(b, i + 4)
+
   /** Child-box iterator over `[lo, hi)`: yields (type, payloadStart,
-    * payloadEnd); a size-0 box runs to `hi`, malformed sizes end the
+    * payloadEnd); a size-0 box runs to `hi`, size 1 reads the 64-bit
+    * largesize (mandatory for >4 GiB mdats; payload then starts at
+    * +16), malformed sizes (2..7, or a truncated largesize) end the
     * walk at the enclosing bound. Shared by the stbl and moof walks.
     */
   private def mp4Boxes(b: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int)] =
@@ -4388,18 +4403,38 @@ object Containers {
       def next(): (String, Int, Int) = {
         val size0 = beU32(b, p)
         val tpe = ascii(b, p + 4, 4)
-        val end = if (size0 == 0L) hi.toLong else p + size0
-        val e = math.min(end, hi.toLong).toInt
-        if (e <= p) { val q = p; p = hi; (tpe, q + 8, q + 8) }
-        else { val payload = p + 8; p = e; (tpe, payload, e) }
+        val hdr = if (size0 == 1L) 16 else 8
+        val end: Long =
+          if (size0 == 0L) hi.toLong
+          else if (size0 == 1L) {
+            if (p + 16 > hi) -1L else p + beU64At(b, p + 8)
+          }
+          else if (size0 < 8L) -1L // sizes 2..7 are malformed
+          else p + size0
+        val e = if (end < 0) -1 else math.min(end, hi.toLong).toInt
+        if (e < p + hdr) { val q = p; p = hi; (tpe, q + 8, q + 8) }
+        else { val payload = p + hdr; p = e; (tpe, payload, e) }
       }
     }
 
-  def mp4Samples(b: Array[Byte]): Array[Mp4Sample] = try {
-    def boxes(lo: Int, hi: Int) = mp4Boxes(b, lo, hi)
+  def mp4Samples(b: Array[Byte]): Array[Mp4Sample] = {
     if (!(b.length >= 12 &&
         (ascii(b, 4, 4) == "ftyp" || ascii(b, 4, 4) == "styp")))
       return Array.empty
+    val viaStbl = mp4StblSamples(b)
+    if (viaStbl.nonEmpty) viaStbl
+    // no stbl samples — INCLUDING the self-initializing DASH/CMAF
+    // shape whose init segment carries a moov with EMPTY stsz/stco
+    // tables before the moof fragments — so try the fragment walk
+    else mp4FragmentSamples(b)
+  }
+
+  /** The moov→stbl half of [[mp4Samples]]: empty when the file has no
+    * populated sample table (fragmented captures land here with their
+    * empty init-segment tables).
+    */
+  private def mp4StblSamples(b: Array[Byte]): Array[Mp4Sample] = try {
+    def boxes(lo: Int, hi: Int) = mp4Boxes(b, lo, hi)
     val stbl = (for {
       ("moov", ms, me) <- boxes(0, b.length)
       ("trak", ts, te) <- boxes(ms, me)
@@ -4407,13 +4442,12 @@ object Containers {
       ("minf", fs, fe) <- boxes(ds, de)
       ("stbl", ss, se) <- boxes(fs, fe)
     } yield (ss, se)).nextOption()
-      .getOrElse(return mp4FragmentSamples(b))
+      .getOrElse(return Array.empty)
     val (ss, se) = stbl
     var sizes: Array[Long] = null
     var offsets: Array[Long] = null
     var stsc: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
     var sync: Array[Int] = null // 1-based sample numbers; null = all sync
-    def beU64At(i: Int): Long = (beU32(b, i) << 32) | beU32(b, i + 4)
     for ((tpe, ps, pe) <- boxes(ss, se)) tpe match {
       case "stsz" if pe - ps >= 12 =>
         val uniform = beU32(b, ps + 4)
@@ -4430,7 +4464,7 @@ object Containers {
       case "co64" if pe - ps >= 8 =>
         val n = beU32(b, ps + 4).toInt
         if (pe - ps < 8 + 8 * n) return Array.empty
-        offsets = Array.tabulate(n)(i => beU64At(ps + 8 + 8 * i))
+        offsets = Array.tabulate(n)(i => beU64At(b, ps + 8 + 8 * i))
       case "stsc" if pe - ps >= 8 =>
         val n = beU32(b, ps + 4).toInt
         if (pe - ps < 8 + 12 * n) return Array.empty

@@ -19,6 +19,28 @@ import graft.sources.Tables
   */
 object FrontierQueries {
 
+  // IMA-ADPCM oracle building blocks, shared VERBATIM by the mono and
+  // stereo query oracles so the step table / nibble decomposition /
+  // clamp expression cannot drift between them
+  private val ImaStepSql: String = Seq(7, 8, 9, 10, 11, 12, 13, 14, 16,
+    17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80,
+    88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060,
+    1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024,
+    3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+    9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
+    24623, 27086, 29794, 32767).zipWithIndex
+    .map { case (s, i) => s"($i,$s)" }.mkString(",")
+  private val ImaNibSql: String = (0 until 16).map { n =>
+    val adj = Seq(-1, -1, -1, -1, 2, 4, 6, 8)(n & 7)
+    s"($n,${n & 1},${(n >> 1) & 1},${(n >> 2) & 1}," +
+      s"${if (n >= 8) -1 else 1},$adj)"
+  }.mkString(",")
+  private val ImaNpSql: String =
+    "LEAST(GREATEST(d.pred + nb.sgn*(st.s//8 + nb.b0*(st.s//4)" +
+      " + nb.b1*(st.s//2) + nb.b2*st.s), -32768), 32767)"
+
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -1407,22 +1429,7 @@ object FrontierQueries {
     // 16-row nibble-bit table — the oracle derives every sample
     // independently, not from the decoder.
     "multimodal_audio_ima" -> {
-      val stepTab = Seq(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23,
-        25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
-        118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
-        408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
-        1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
-        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493,
-        10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
-        24623, 27086, 29794, 32767).zipWithIndex
-        .map { case (s, i) => s"($i,$s)" }.mkString(",")
-      val nibTab = (0 until 16).map { n =>
-        val adj = Seq(-1, -1, -1, -1, 2, 4, 6, 8)(n & 7)
-        s"($n,${n & 1},${(n >> 1) & 1},${(n >> 2) & 1}," +
-          s"${if (n >= 8) -1 else 1},$adj)"
-      }.mkString(",")
-      val np = "LEAST(GREATEST(d.pred + nb.sgn*(st.s//8 + nb.b0*(st.s//4)" +
-        " + nb.b1*(st.s//2) + nb.b2*st.s), -32768), 32767)"
+      val stepTab = ImaStepSql; val nibTab = ImaNibSql; val np = ImaNpSql
       s"""WITH RECURSIVE
          |steps AS (SELECT * FROM (VALUES $stepTab) t(i, s)),
          |nibs AS (SELECT * FROM (VALUES $nibTab) t(n, b0, b1, b2, sgn, adj)),
@@ -1477,22 +1484,7 @@ object FrontierQueries {
     // CTE with the channel as a state dimension: seeds and nibble
     // generators switch on ch, the step/nibble tables are shared.
     "multimodal_audio_ima_stereo" -> {
-      val stepTab = Seq(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23,
-        25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
-        118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
-        408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
-        1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
-        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493,
-        10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
-        24623, 27086, 29794, 32767).zipWithIndex
-        .map { case (s, i) => s"($i,$s)" }.mkString(",")
-      val nibTab = (0 until 16).map { n =>
-        val adj = Seq(-1, -1, -1, -1, 2, 4, 6, 8)(n & 7)
-        s"($n,${n & 1},${(n >> 1) & 1},${(n >> 2) & 1}," +
-          s"${if (n >= 8) -1 else 1},$adj)"
-      }.mkString(",")
-      val np = "LEAST(GREATEST(d.pred + nb.sgn*(st.s//8 + nb.b0*(st.s//4)" +
-        " + nb.b1*(st.s//2) + nb.b2*st.s), -32768), 32767)"
+      val stepTab = ImaStepSql; val nibTab = ImaNibSql; val np = ImaNpSql
       val seedP = "CASE ch WHEN 0 THEN (doc_id*37) % 65536 - 32768" +
         " ELSE (doc_id*59) % 65536 - 32768 END"
       s"""WITH RECURSIVE

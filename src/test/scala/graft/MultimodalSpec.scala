@@ -1592,4 +1592,46 @@ class MultimodalSpec extends SparkSpec {
         Array.fill(4096 * 4096)(1))))
     assert(Containers.gifAnimate(big) == null) // 17*16.7M px > 2^28
   }
+  test("mp4: init-segment stbl, largesize boxes, default-size runs") {
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(t: String, p: Array[Byte]) =
+      be32(8 + p.length) ++ t.getBytes("US-ASCII") ++ p
+    val frag = Containers.synthMp4Fragmented("isom", Seq(Seq(10, 20)))
+    val base = Containers.mp4Samples(frag)
+    assert(base.length == 2)
+    // self-initializing DASH shape: a moov whose stbl has EMPTY
+    // stsz/stco tables sits between ftyp and the fragments — the
+    // fragment walk must still run (default-base-is-moof keeps the
+    // data offsets correct under the shift)
+    val stbl = box("stbl",
+      box("stsz", be32(0) ++ be32(0) ++ be32(0)) ++
+        box("stco", be32(0) ++ be32(0)))
+    val moov = box("moov", box("trak", box("mdia", box("minf", stbl))))
+    val s1 = Containers.mp4Samples(frag.take(16) ++ moov ++ frag.drop(16))
+    assert(s1.length == 2, "init-segment shape must route to fragments")
+    assert(s1(0).offset == base(0).offset + moov.length)
+    assert(s1(0).size == 10 && s1(1).size == 20 && s1(0).sync && !s1(1).sync)
+    // a largesize (size0 == 1, 64-bit length) box must not desync the
+    // top-level walk
+    val pay = Array.tabulate(24)(_.toByte)
+    val big = be32(1) ++ "free".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0) ++ be32(16 + pay.length) ++ pay
+    val s2 = Containers.mp4Samples(frag.take(16) ++ big ++ frag.drop(16))
+    assert(s2.length == 2 && s2(0).offset == base(0).offset + big.length)
+    // a trun with NO per-sample fields whose count exceeds its own box
+    // bytes (sizes from tfhd default_sample_size) is spec-valid
+    val n = 5
+    val tfhd = box("tfhd",
+      be32(0x020030) ++ be32(1) ++ be32(4) ++ be32(0x10000))
+    val trun = box("trun", be32(0x000005) ++ be32(n) ++ be32(88) ++ be32(0))
+    val moof = box("moof", box("mfhd", be32(0) ++ be32(1)) ++
+      box("traf", tfhd ++ trun))
+    assert(moof.length == 80) // doff 88 = moof + mdat header
+    val mdat = box("mdat", new Array[Byte](4 * n))
+    val s3 = Containers.mp4Samples(frag.take(16) ++ moof ++ mdat)
+    assert(s3.length == n, "default-size run must decode")
+    assert(s3(0).offset == 16 + 88 && s3(0).size == 4 && s3(0).sync)
+    assert(s3(4).offset == 16 + 88 + 16 && !s3(4).sync)
+  }
 }
