@@ -897,6 +897,74 @@ object Multimodal {
     })
   }
 
+  case class CrawlPage(media_id: Long, status: Int, content_type: String,
+      body: String)
+
+  /** Explode a crawl into HTTP pages: gunzip → WARC record walk →
+    * HTTP response parse, one row per parseable response record with
+    * the status, stripped media type, and the exact body string —
+    * the binary-side half of a crawl-to-corpus pipeline; everything
+    * downstream (status/type filters, HTML boilerplate strip, text
+    * stats) stays a narrow codegen'd Column program over these rows.
+    */
+  def crawlPages(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[CrawlPage] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val plain = Containers.warcInflate(m.content)
+      val recs = if (plain == null) null else Containers.warcRecords(plain)
+      if (recs == null) Iterator.empty
+      else recs.iterator.filter(_.warcType == "response").flatMap { r =>
+        Option(Containers.httpResponse(plain, r.payloadOffset.toInt,
+          r.contentLength.toInt)).map { h =>
+          CrawlPage(m.media_id, h.status, h.contentType,
+            new String(plain, h.bodyOffset, h.bodyLength,
+              java.nio.charset.StandardCharsets.US_ASCII))
+        }
+      }
+    })
+  }
+
+  /** Deterministic crawl-of-HTML corpus for the COMPOSED pipeline
+    * (gunzip → WARC → HTTP → boilerplate strip → text stats): doc
+    * `id` carries `2 + id%3` response records; record `r` has status
+    * `{200,404,200,503}` by `(id+r)%4` and Content-Type
+    * `{text/html; charset=UTF-8, application/json, text/html}` by
+    * `(id·3+r)%3`. HTML bodies are a full page — head with title and
+    * style, two prose paragraphs around an inline script, an entity —
+    * whose post-strip text is exactly
+    * `alpha{w0} beta{w1} & gamma{w2} delta{w3}` with
+    * `w_k = (id·7 + r·11 + k·13) % 100`; JSON records carry decoy
+    * bodies the status/type filter must drop.
+    */
+  def demoCrawlHtmlCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val recs = (0 until (2 + id % 3).toInt).map { r =>
+        val status = Seq("200 OK", "404 Not Found", "200 OK",
+          "503 Service Unavailable")(((id + r) % 4).toInt)
+        val ctc = ((id * 3 + r) % 3).toInt
+        val ct = Seq("text/html; charset=UTF-8", "application/json",
+          "text/html")(ctc)
+        def w(k: Int) = (id * 7 + r * 11 + k * 13) % 100
+        val body =
+          if (ctc == 1) s"""{"doc": $id, "rec": $r, "alpha": "decoy"}"""
+          else s"<html><head><title>doc $id</title>" +
+            s"<style>p{color:red}</style></head><body>" +
+            s"<p>alpha${w(0)} beta${w(1)} &amp; gamma${w(2)}</p>" +
+            s"<script>var x = $id;</script>" +
+            s"<p>delta${w(3)}</p></body></html>"
+        val head = (s"HTTP/1.1 $status\r\n" +
+          s"Content-Type: $ct\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+        ("response", s"https://example.com/$id/$r",
+          head ++ body.getBytes("US-ASCII"))
+      }
+      MediaFile(id, "web",
+        Containers.synthWarc(recs, gzipPerRecord = true))
+    })
+  }
+
   /** Deterministic HTTP-in-WARC corpus: doc `id` is a per-record-gzip
     * crawl of `2 + id%3` response records. Record `r` carries status
     * `{200,301,404,503}` by `(id+r)%4`, Content-Type

@@ -374,6 +374,30 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // The COMPOSED crawl-to-corpus pipeline in one query — what a C4/
+    // CCNet-style ingest actually runs: gunzip the crawl, walk WARC
+    // records, parse the HTTP responses, keep 200 + text/html, strip
+    // HTML boilerplate (head/script/style blocks, tags, entities)
+    // with the codegen'd Column chain, and aggregate text stats. The
+    // binary walk is one flatMap; everything after stays whole-stage
+    // codegen over (status, type, body) rows.
+    "crawl_text_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoCrawlHtmlCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.crawlPages(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF()
+        .filter(col("status") === 200 && col("content_type") === "text/html")
+        .withColumn("txt", graft.operators.Html.extractText(col("body")))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(size(split(col("txt"), "\\s+"))).as("sum_tokens"),
+          sum(length(col("txt"))).as("sum_chars"))
+        .orderBy("media_id")
+    }),
+
     // HTTP-aware WARC processing: gunzip -> record walk -> parse the
     // HTTP response inside each content block (status, Content-Type
     // with parameter stripping, exact header/body split). body_sum
@@ -1454,6 +1478,29 @@ object FrontierQueries {
          |  sq::BIGINT AS sum_sq
          |FROM dec WHERE j = 64 ORDER BY media_id""".stripMargin
     },
+
+    // Replays the whole composed chain from the generator: qualifying
+    // records are status residues {0,2} x type residues {0,2}; the
+    // post-strip text is the literal template, so tokens = 5/page and
+    // chars = length of the rebuilt string.
+    "crawl_text_pipeline" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS nr FROM documents),
+        |r AS (SELECT doc_id, unnest(range(0, nr)) AS rec FROM m),
+        |x AS (SELECT doc_id, rec,
+        |    (doc_id + rec) % 4 AS st, (doc_id*3 + rec) % 3 AS ctc,
+        |    (doc_id*7 + rec*11) % 100 AS w0,
+        |    (doc_id*7 + rec*11 + 13) % 100 AS w1,
+        |    (doc_id*7 + rec*11 + 26) % 100 AS w2,
+        |    (doc_id*7 + rec*11 + 39) % 100 AS w3
+        |  FROM r),
+        |p AS (SELECT doc_id,
+        |    'alpha' || w0 || ' beta' || w1 || ' & gamma' || w2
+        |      || ' delta' || w3 AS txt
+        |  FROM x WHERE st IN (0, 2) AND ctc IN (0, 2))
+        |SELECT doc_id AS media_id, count(*)::BIGINT AS n_pages,
+        |  (5 * count(*))::BIGINT AS sum_tokens,
+        |  sum(length(txt))::BIGINT AS sum_chars
+        |FROM p GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     // Replays the HTTP generator: status/type cycles, body lengths,
     // and the modular body byte sum via a per-byte unnest.
