@@ -3759,49 +3759,75 @@ object Containers {
   private val MsCoef1: Array[Int] = Array(256, 512, 0, 192, 240, 460, 392)
   private val MsCoef2: Array[Int] = Array(0, -256, 0, 64, 0, -208, -232)
 
-  /** Decode mono MS-ADPCM blocks: a 7-byte header (u8 coefficient
-    * index, s16le initial delta, s16le sample1, s16le sample2 — the
-    * seeds, OUTPUT in s2-then-s1 order) then nibbles HIGH-first (the
-    * opposite packing of IMA). Per nibble:
+  /** One MS-ADPCM channel's rolling (prev, prev2, delta) state;
+    * `step` advances it by one nibble and returns the decoded sample.
+    * The delta floor of 16 is per spec; the 32767 ceiling is THIS
+    * decoder's documented convention — a step beyond the s16 sample
+    * range is useless to a real encoder, and without the cap a
+    * hostile nibble stream grows delta exponentially into integer
+    * overflow.
+    */
+  private final class MsState(val c1: Int, val c2: Int,
+      var delta: Int, var prev: Int, var prev2: Int) {
+    def step(n: Int): Short = {
+      val signed = if (n >= 8) n - 16 else n
+      var p = ((prev * c1 + prev2 * c2) >> 8) + signed * delta
+      if (p < -32768) p = -32768 else if (p > 32767) p = 32767
+      prev2 = prev; prev = p
+      delta = math.min(math.max(16, (MsAdapt(n) * delta) >> 8), 32767)
+      p.toShort
+    }
+  }
+
+  /** Decode MS-ADPCM blocks (mono or stereo). The block header packs
+    * per-channel fields FIELD-MAJOR (all coefficient indices, all
+    * deltas, all sample1s, all sample2s — 7 bytes/channel), the seeds
+    * are output sample2-then-sample1 (interleaved L,R for stereo),
+    * and nibbles are HIGH-first (the opposite packing of IMA) with
+    * stereo alternating channels PER NIBBLE: a byte's high nibble is
+    * a left sample, its low nibble the right. Per nibble:
     * `pred = (prev·c1 + prev2·c2) >> 8 + signed4(n)·delta` clamped to
-    * s16, then `delta = max(16, (adapt(n)·delta) >> 8)`. A trailing
-    * partial block decodes the nibbles it has; a coefficient index
-    * over 6 is corruption → null.
+    * s16, then the adaptive delta schedule. A trailing partial block
+    * decodes the nibbles (mono) / complete L,R byte-pairs (stereo) it
+    * has; a coefficient index over 6 is corruption → null.
     */
   private def msAdpcmDecode(b: Array[Byte], dataOff: Int, avail: Int,
-      blockAlign: Int): Array[Short] = {
-    if (blockAlign < 8) return null
+      blockAlign: Int, channels: Int): Array[Short] = {
+    val hdr = 7 * channels
+    if (blockAlign < hdr + 1) return null
     val out = new scala.collection.mutable.ArrayBuffer[Short]()
     var blk = 0
-    while (blk.toLong * blockAlign + 7 <= avail) {
+    while (blk.toLong * blockAlign + hdr <= avail) {
       val base = dataOff + blk * blockAlign
-      val ci = u8(b, base)
-      if (ci > 6) return null // damaged header
-      val c1 = MsCoef1(ci); val c2 = MsCoef2(ci)
       def s16(i: Int): Int = ((u8(b, i) | (u8(b, i + 1) << 8)) << 16) >> 16
-      var delta = s16(base + 1)
-      var prev = s16(base + 3)  // sample1: the more recent seed
-      var prev2 = s16(base + 5) // sample2: the older seed, output first
-      out += prev2.toShort
-      out += prev.toShort
+      val st = Array.tabulate(channels) { c =>
+        val ci = u8(b, base + c)
+        if (ci > 6) return null // damaged header
+        new MsState(MsCoef1(ci), MsCoef2(ci),
+          s16(base + channels + 2 * c),           // initial delta
+          s16(base + 3 * channels + 2 * c),       // sample1 (recent)
+          s16(base + 5 * channels + 2 * c))       // sample2 (older)
+      }
+      st.foreach(s => out += s.prev2.toShort) // sample2s first, per spec
+      st.foreach(s => out += s.prev.toShort)
       val dataBytes = math.min(blockAlign, avail - blk.toLong * blockAlign)
-        .toInt - 7
-      var j = 0
-      val nNibbles = dataBytes * 2
-      while (j < nNibbles) {
-        val byte = u8(b, base + 7 + (j >> 1))
-        val n = if ((j & 1) == 0) byte >> 4 else byte & 0x0F
-        val signed = if (n >= 8) n - 16 else n
-        var p = ((prev * c1 + prev2 * c2) >> 8) + signed * delta
-        if (p < -32768) p = -32768 else if (p > 32767) p = 32767
-        prev2 = prev; prev = p
-        // floor 16 per spec; ceiling 32767 is THIS decoder's documented
-        // convention — a step beyond the s16 sample range is useless to
-        // a real encoder, and without the cap a hostile nibble stream
-        // grows delta exponentially into integer overflow
-        delta = math.min(math.max(16, (MsAdapt(n) * delta) >> 8), 32767)
-        out += p.toShort
-        j += 1
+        .toInt - hdr
+      if (channels == 1) {
+        var j = 0
+        val nNibbles = dataBytes * 2
+        while (j < nNibbles) {
+          val byte = u8(b, base + hdr + (j >> 1))
+          out += st(0).step(if ((j & 1) == 0) byte >> 4 else byte & 0x0F)
+          j += 1
+        }
+      } else {
+        var j = 0
+        while (j < dataBytes) {
+          val byte = u8(b, base + hdr + j)
+          out += st(0).step(byte >> 4)   // high nibble: left
+          out += st(1).step(byte & 0x0F) // low nibble: right
+          j += 1
+        }
       }
       blk += 1
     }
@@ -3828,7 +3854,8 @@ object Containers {
       case (6, 8)  => 2 // A-law
       case (17, 4) if channels == 1 || channels == 2 =>
         7 // IMA/DVI ADPCM, block-coded, mono or stereo
-      case (2, 4) if channels == 1  => 8 // MS-ADPCM, block-coded
+      case (2, 4) if channels == 1 || channels == 2 =>
+        8 // MS-ADPCM, block-coded, mono or stereo
       case _       => return null
     }
     var off = 12L
@@ -3842,7 +3869,8 @@ object Containers {
           return imaAdpcmDecode(b, i + 8, avail.toInt, leU16(b, fi + 20),
             channels)
         if (mode == 8)
-          return msAdpcmDecode(b, i + 8, avail.toInt, leU16(b, fi + 20))
+          return msAdpcmDecode(b, i + 8, avail.toInt, leU16(b, fi + 20),
+            channels)
         val width = mode match {
           case 0 => 2; case 4 => 3; case 5 | 6 => 4; case _ => 1
         }
@@ -4157,6 +4185,58 @@ object Containers {
     }
   } catch { case _: IndexOutOfBoundsException => false }
 
+  /** Valid STEREO MS-ADPCM WAV: the 14-byte field-major block header
+    * (coefficient indices L,R; deltas L,R; sample1s L,R; sample2s
+    * L,R) then data bytes whose HIGH nibble is a left sample and LOW
+    * nibble the right. Each block is
+    * `(ciL, ciR, deltaL, deltaR, s1L, s1R, s2L, s2R, nibL, nibR)`
+    * with equal per-channel nibble counts.
+    */
+  def synthWavMsAdpcmStereo(sampleRate: Int,
+      blocks: Seq[(Int, Int, Int, Int, Int, Int, Int, Int,
+        Array[Int], Array[Int])]): Array[Byte] = {
+    require(blocks.nonEmpty, "at least one block")
+    val nNib = blocks.head._9.length
+    require(nNib > 0, "at least one nibble pair")
+    require(blocks.forall(bk => bk._9.length == nNib && bk._10.length == nNib),
+      "uniform block size across blocks and channels")
+    require(blocks.forall { case (cl, cr, dl, dr, a, bb, c, d, nl, nr) =>
+      Seq(cl, cr).forall(x => x >= 0 && x <= 6) &&
+        Seq(dl, dr, a, bb, c, d).forall(x => x >= -32768 && x <= 32767) &&
+        (nl ++ nr).forall(n => n >= 0 && n <= 15)
+    }, "coef 0..6, delta/samples s16, nibbles 0..15")
+    val blockAlign = 14 + nNib
+    val dataLen = blocks.length * blockAlign
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + 50 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(4 + 58 + 8 + dataLen).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(50)
+      .putShort(2)                          // MS-ADPCM
+      .putShort(2)                          // stereo
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / (nNib + 2)) // approx byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(4)                          // bits per (coded) sample
+      .putShort(32)                         // cbSize
+      .putShort((nNib + 2).toShort)         // wSamplesPerBlock (per channel)
+      .putShort(7)                          // wNumCoef
+    for (i <- 0 until 7)
+      out.putShort(MsCoef1(i).toShort).putShort(MsCoef2(i).toShort)
+    out.put("data".getBytes).putInt(dataLen)
+    for ((cl, cr, dl, dr, s1l, s1r, s2l, s2r, nl, nr) <- blocks) {
+      out.put(cl.toByte).put(cr.toByte)
+        .putShort(dl.toShort).putShort(dr.toShort)
+        .putShort(s1l.toShort).putShort(s1r.toShort)
+        .putShort(s2l.toShort).putShort(s2r.toShort)
+      var j = 0
+      while (j < nNib) {
+        out.put(((nl(j) << 4) | nr(j)).toByte) // high = left, low = right
+        j += 1
+      }
+    }
+    out.array()
+  }
+
   /** Whether a RECOGNIZED RIFF/WAVE file that [[wavSamples]] refused
     * did so because its fmt chunk names a codec/depth outside the
     * supported set (ADPCM, MP3-in-WAV, GSM, exotic PCM depths, a
@@ -4180,7 +4260,7 @@ object Containers {
         case (1, 8) | (1, 16) | (1, 24) | (1, 32) | (3, 32) |
              (7, 8) | (6, 8) => false
         case (17, 4) => channels != 1 && channels != 2 // IMA decodes
-        case (2, 4)  => channels != 1 // mono MS-ADPCM decodes too
+        case (2, 4)  => channels != 1 && channels != 2 // MS-ADPCM decodes
         case _ => true
       }
     }

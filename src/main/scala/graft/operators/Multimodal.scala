@@ -996,6 +996,31 @@ object Multimodal {
     })
   }
 
+  /** Deterministic STEREO MS-ADPCM corpus: doc `id` is ONE 78-byte
+    * block — field-major header with left seeds
+    * `(coef id%7, delta 16+id·11%1000, s1 (id·37%65536)−32768,
+    * s2 (id·53%65536)−32768)` and right seeds
+    * `(coef (id·5)%7, delta 16+id·23%1000, s1 (id·41%65536)−32768,
+    * s2 (id·61%65536)−32768)`, then 64 nibble pairs — high nibble
+    * left `(id·7+j·3)%16`, low nibble right `(id·19+j·9)%16` — for
+    * 132 interleaved samples. The oracle advances BOTH two-tap
+    * predictors in one recursive CTE row, so the per-nibble channel
+    * alternation and state isolation are both checked.
+    */
+  def demoAudioMsStereoCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val blob = Containers.synthWavMsAdpcmStereo(16000, Seq((
+        (id % 7).toInt, ((id * 5) % 7).toInt,
+        (16 + (id * 11) % 1000).toInt, (16 + (id * 23) % 1000).toInt,
+        ((id * 37) % 65536 - 32768).toInt, ((id * 41) % 65536 - 32768).toInt,
+        ((id * 53) % 65536 - 32768).toInt, ((id * 61) % 65536 - 32768).toInt,
+        Array.tabulate(64)(j => ((id * 7 + j.toLong * 3) % 16).toInt),
+        Array.tabulate(64)(j => ((id * 19 + j.toLong * 9) % 16).toInt))))
+      MediaFile(id, "audio", blob)
+    })
+  }
+
   /** Deterministic STEREO IMA-ADPCM corpus: doc `id` is ONE 72-byte
     * block whose channels carry independent recurrences — left seeds
     * `((id·37 mod 65536) − 32768, id·13 mod 89)` with nibbles

@@ -40,6 +40,26 @@ object FrontierQueries {
     "LEAST(GREATEST(d.pred + nb.sgn*(st.s//8 + nb.b0*(st.s//4)" +
       " + nb.b1*(st.s//2) + nb.b2*st.s), -32768), 32767)"
 
+  // MS-ADPCM oracle building blocks, shared by the mono and stereo
+  // query oracles (same drift argument as the IMA trio above)
+  private val MsCoefSql: String = Seq((256, 0), (512, -256), (0, 0),
+    (192, 64), (240, 0), (460, -208), (392, -232)).zipWithIndex
+    .map { case ((a, c), i) => s"($i,$a,$c)" }.mkString(",")
+  private val MsNibSql: String = {
+    val adapt = Seq(230, 230, 230, 230, 307, 409, 512, 614,
+      768, 614, 512, 409, 307, 230, 230, 230)
+    (0 until 16).map { n =>
+      s"($n,${if (n >= 8) n - 16 else n},${adapt(n)})"
+    }.mkString(",")
+  }
+  /** One MS-ADPCM predictor step for channel-suffix `ch` reading its
+    * nibble from table alias `nb` — the clamped two-tap update. */
+  private def msNpSql(ch: String, nb: String): String =
+    s"LEAST(GREATEST(CAST(floor((d.prev$ch*d.c1$ch + d.prev2$ch*d.c2$ch)" +
+      s" / 256.0) AS BIGINT) + $nb.sn * d.delta$ch, -32768), 32767)"
+  private def msDeltaSql(ch: String, nb: String): String =
+    s"LEAST(GREATEST(16, ($nb.ad * d.delta$ch) // 256), 32767)"
+
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -421,6 +441,20 @@ object FrontierQueries {
     "multimodal_audio_ima_stereo" -> ((s, dir) => {
       import s.implicits._
       val corpus = graft.operators.Multimodal.demoAudioImaStereoCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.audioStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
+    // STEREO MS-ADPCM: field-major dual-channel headers and PER-NIBBLE
+    // channel alternation (high = left, low = right) — a different
+    // interleave than IMA's word blocks. Both two-tap predictors
+    // advance in one recursive-CTE row in the oracle.
+    "multimodal_audio_msadpcm_stereo" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoAudioMsStereoCorpus(
         s, t(s, dir, "documents"))
       graft.operators.Multimodal.audioStats(s,
           graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
@@ -1561,20 +1595,54 @@ object FrontierQueries {
          |FROM dec WHERE j = 64 GROUP BY doc_id ORDER BY media_id""".stripMargin
     },
 
+    // Replays BOTH stereo MS-ADPCM predictors per recursion row:
+    // channel-suffixed state columns, per-channel coefficient joins in
+    // the base case, and two nibble-table joins keyed on each
+    // channel's generator.
+    "multimodal_audio_msadpcm_stereo" -> {
+      val npL = msNpSql("l", "nl"); val npR = msNpSql("r", "nr")
+      def seed(m: Int) = s"((doc_id*$m) % 65536 - 32768)"
+      val (s1l, s1r, s2l, s2r) = (seed(37), seed(41), seed(53), seed(61))
+      s"""WITH RECURSIVE
+         |cf AS (SELECT * FROM (VALUES $MsCoefSql) t(i, c1, c2)),
+         |nt AS (SELECT * FROM (VALUES $MsNibSql) t(n, sn, ad)),
+         |dec AS (
+         |  SELECT doc_id, 0 AS j,
+         |    cl.c1 AS c1l, cl.c2 AS c2l, cr2.c1 AS c1r, cr2.c2 AS c2r,
+         |    $s1l AS prevl, $s2l AS prev2l,
+         |    (16 + (doc_id*11) % 1000) AS deltal,
+         |    $s1r AS prevr, $s2r AS prev2r,
+         |    (16 + (doc_id*23) % 1000) AS deltar,
+         |    GREATEST(abs($s1l), abs($s2l), abs($s1r), abs($s2r)) AS peak,
+         |    ($s1l)*($s1l) + ($s2l)*($s2l)
+         |      + ($s1r)*($s1r) + ($s2r)*($s2r) AS sq
+         |  FROM documents
+         |  JOIN cf cl ON cl.i = doc_id % 7
+         |  JOIN cf cr2 ON cr2.i = (doc_id*5) % 7
+         |  UNION ALL
+         |  SELECT d.doc_id, d.j + 1,
+         |    d.c1l, d.c2l, d.c1r, d.c2r,
+         |    $npL, d.prevl, ${msDeltaSql("l", "nl")},
+         |    $npR, d.prevr, ${msDeltaSql("r", "nr")},
+         |    GREATEST(d.peak, abs($npL), abs($npR)),
+         |    d.sq + ($npL) * ($npL) + ($npR) * ($npR)
+         |  FROM dec d
+         |  JOIN nt nl ON nl.n = (d.doc_id*7 + d.j*3) % 16
+         |  JOIN nt nr ON nr.n = (d.doc_id*19 + d.j*9) % 16
+         |  WHERE d.j < 64)
+         |SELECT doc_id AS media_id, 16000::BIGINT AS sample_rate,
+         |  132::BIGINT AS n_samples, peak::BIGINT AS peak_abs,
+         |  sq::BIGINT AS sum_sq
+         |FROM dec WHERE j = 64 ORDER BY media_id""".stripMargin
+    },
+
     // Replays the MS-ADPCM recurrence: a recursive CTE carries
     // (prev, prev2, delta) through the 64 nibbles, joining the public
     // 7-pair coefficient table (fixed per doc) and a 16-row
     // signed-nibble/adaptation table; >>8 on a possibly-negative
     // predictor is FLOOR division, modeled via floor(x/256.0).
     "multimodal_audio_msadpcm" -> {
-      val coefTab = Seq((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
-        (460, -208), (392, -232)).zipWithIndex
-        .map { case ((a, c), i) => s"($i,$a,$c)" }.mkString(",")
-      val adapt = Seq(230, 230, 230, 230, 307, 409, 512, 614,
-        768, 614, 512, 409, 307, 230, 230, 230)
-      val nibTab = (0 until 16).map { n =>
-        s"($n,${if (n >= 8) n - 16 else n},${adapt(n)})"
-      }.mkString(",")
+      val coefTab = MsCoefSql; val nibTab = MsNibSql
       val np = "LEAST(GREATEST(CAST(floor((d.prev*d.c1 + d.prev2*d.c2)" +
         " / 256.0) AS BIGINT) + nt.sn * d.delta, -32768), 32767)"
       s"""WITH RECURSIVE

@@ -1559,10 +1559,34 @@ class MultimodalSpec extends SparkSpec {
     bad(12 + 8 + 50 + 8) = 9 // block header coef index at data start
     assert(Containers.wavSamples(bad) == null)
     assert(!Containers.unsupportedAudioProfile(bad))
-    // stereo MS-ADPCM stays a profile gap
-    val st = wav.clone(); st(12 + 8 + 2) = 2
+    // >2-channel MS-ADPCM stays a profile gap
+    val st = wav.clone(); st(12 + 8 + 2) = 3
     assert(Containers.wavSamples(st) == null)
     assert(Containers.unsupportedAudioProfile(st))
+  }
+
+  test("wav: stereo MS-ADPCM alternates channels per nibble") {
+    // left: coef 0 (c1=256, prev-only), delta 16, seeds s1=100 s2=-50
+    // -> same hand case as mono: nibbles 1,9,0,8 give 116,4,4,-268;
+    // right: coef 2 (c1=c2=0), delta 16, seeds s1=5 s2=6 -> every
+    // sample is signed(n)*16 from a zero predictor tap
+    val nl = Array(1, 9, 0, 8)
+    val nr = Array(1, 15, 0, 8)
+    val wav = Containers.synthWavMsAdpcmStereo(16000,
+      Seq((0, 2, 16, 16, 100, 5, -50, 6, nl, nr)))
+    val s = Containers.wavSamples(wav)
+    assert(s != null && s.length == 12) // 4 seeds + 4 nibble pairs
+    // seed order: sample2s interleaved L,R then sample1s L,R
+    assert(s.take(4).toSeq == Seq[Short](-50, 6, 100, 5))
+    val left = Seq(s(4), s(6), s(8), s(10))
+    val right = Seq(s(5), s(7), s(9), s(11))
+    assert(left == Seq[Short](116, 4, 4, -268))
+    // right channel: p = 0 + signed(n)*delta each step, delta adapts:
+    //   n=1: p=16, delta max(16,(230*16)>>8)=16
+    //   n=15: p=-112? signed(15)=-1 -> p=-16; delta (230*16)>>8 -> 16
+    //   n=0: p=0; n=8: signed=-8 -> p=-128
+    assert(right == Seq[Short](16, -16, 0, -128))
+    assert(Containers.parse(wav).channels == 2)
   }
   test("warc: HTTP responses inside content blocks split exactly") {
     val body = "<html>hi</html>".getBytes("US-ASCII")
