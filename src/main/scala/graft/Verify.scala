@@ -24,6 +24,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // coalesce(1) is harness-only: verification results are small by
+      // construction (aggregates/top-k), and one file per query keeps
+      // the DuckDB oracle compare trivial. Not a production pattern.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1993,9 +1993,11 @@ object Containers {
   // GIF's "codec" is LZW over palette indices — dictionary-based,
   // deterministic, implementable in plain JVM arithmetic like PNG's
   // DEFLATE (which at least ships in the JDK; LZW here is ours).
-  // Supported: 87a/89a, first image covering the full logical screen,
-  // global or local palette, interlaced or sequential, extensions
-  // skipped. Animated GIFs decode their first frame.
+  // Supported: 87a/89a, global or local palettes, interlaced or
+  // sequential, frames at arbitrary offsets (partial-frame compose
+  // onto the canvas), GCE transparency, disposal methods 0-3.
+  // Animated GIFs compose their FULL frame sequence via [[gifAnimate]];
+  // still-image decode is the single-frame special case.
 
   /** Stream-order → logical row permutation for interlaced GIFs
     * (passes: every 8th from 0, every 8th from 4, every 4th from 2,
@@ -2132,13 +2134,13 @@ object Containers {
     out.toByteArray
   }
 
-  /** Decode a GIF's first full-frame image into logical top-down
-    * 3-bytes-per-pixel rows (R,G,B from the active palette): block
-    * walk past extensions, global/local color table, LZW decode of the
-    * sub-block-concatenated index stream, interlace reorder. Null for
-    * anything malformed, truncated, partial-frame, or with an index
-    * outside the palette — degrade-don't-throw like every decoder
-    * here.
+  /** Decode a GIF into logical top-down 3-bytes-per-pixel rows (R,G,B
+    * from the active palettes) — the FINAL composed canvas: this
+    * routes through [[gifAnimate]], so multi-frame and partial-frame
+    * GIFs compose per GIF89a (disposal, transparency) rather than
+    * decoding only a first full-screen frame. Null for anything
+    * malformed, truncated, or with an index outside the palette —
+    * degrade-don't-throw like every decoder here.
     */
   def gifPixelBytes(b: Array[Byte]): Array[Byte] =
     gifAnimate(b) match {
@@ -4313,7 +4315,16 @@ object Containers {
     val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
     var sampleIdx = 0
     for (("moof", ms, me) <- mp4Boxes(b, 0, b.length)) {
-      val moofStart = ms - 8L
+      // mp4Boxes yields PAYLOAD offsets; the box start (which
+      // default-base-is-moof offsets are relative to) sits 8 bytes
+      // earlier for a compact header but 16 for a size==1 largesize
+      // header — recover which from the bytes preceding the payload,
+      // else every trun offset in a largesize moof shifts by 8 and can
+      // still pass the bounds check, emitting silently wrong samples.
+      val moofStart =
+        if (ms >= 16 && beU32(b, ms - 16) == 1L &&
+            ascii(b, ms - 12, 4) == "moof") ms - 16L
+        else ms - 8L
       for (("traf", ts, te) <- mp4Boxes(b, ms, me)) {
         var baseOff = moofStart // default-base-is-moof / first-traf default
         var defSize = -1L

@@ -113,7 +113,15 @@ object Multimodal {
     */
   def shapeForDecode(df: DataFrame, partitions: Int): DataFrame = {
     val prev = lastShaped.getAndSet(df)
-    if (prev != null && (prev ne df)) prev.unpersist(blocking = false)
+    // Guarded: the previous slot may belong to a since-stopped session
+    // (cross-suite JVM reuse), whose unpersist would throw and fail an
+    // unrelated query; eviction is best-effort bookkeeping, never fatal.
+    if (prev != null && (prev ne df)) {
+      try {
+        if (!prev.sparkSession.sparkContext.isStopped)
+          prev.unpersist(blocking = false)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     df.cache()
       .withColumn("__sz", length(col("content")))
       .repartitionByRange(partitions, col("__sz"), col("media_id"))
@@ -919,7 +927,12 @@ object Multimodal {
           r.contentLength.toInt)).map { h =>
           CrawlPage(m.media_id, h.status, h.contentType,
             new String(plain, h.bodyOffset, h.bodyLength,
-              java.nio.charset.StandardCharsets.US_ASCII))
+              // UTF-8, not US-ASCII: an ASCII superset, so ASCII-only
+              // corpora are unaffected, but real crawl text in any
+              // non-English language survives instead of becoming
+              // U+FFFD per byte. (Charset params other than UTF-8 in
+              // Content-Type are still normalized to UTF-8 here.)
+              java.nio.charset.StandardCharsets.UTF_8))
         }
       }
     })
