@@ -1809,6 +1809,16 @@ object Containers {
     }
   }
 
+  /** Expand a crawl archive whatever its framing: `.warc.gz`
+    * multi-member gzip through [[warcInflate]], `.warc.zst` zstd
+    * frames — Common Crawl's newer distribution format — through the
+    * from-scratch [[Zstd]] decoder, identity for plain bytes. Null on
+    * corruption either way; same 2³⁰ bomb cap on both paths.
+    */
+  def crawlInflate(b: Array[Byte]): Array[Byte] =
+    if (b != null && Zstd.isZstd(b)) Zstd.decode(b)
+    else warcInflate(b)
+
   /** Walk a WARC 1.0/1.1 file: per record, the version line, CRLF
     * header lines up to the empty line (field names case-insensitive),
     * a Content-Length-delimited content block, and the two-CRLF record

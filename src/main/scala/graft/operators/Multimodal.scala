@@ -269,12 +269,14 @@ object Multimodal {
 
   /** `(detected container, decode_err)` across EVERY family this
     * engine ingests — images via [[imageDecodeClass]]'s logic, WAV
-    * audio, MP4, tar shards, WARC crawls (gzip-framed or plain), and
-    * the zstd frames Common Crawl's newer `.warc.zst` drops ship in.
-    * Same reason vocabulary as images (`ok` / `unsupported_profile` /
-    * `corrupt` / `unknown_container` / `empty`), so one loss dashboard
-    * covers the whole ingest: tar and WARC damage was previously a
-    * silent null from the shard readers.
+    * audio, MP4, tar shards, WARC crawls (plain, gzip-framed, or in
+    * the zstd frames Common Crawl's newer `.warc.zst` drops ship in —
+    * decoded for real via [[Zstd]]; the one remaining zstd profile
+    * gap is a frame naming an external dictionary). Same reason
+    * vocabulary as images (`ok` / `unsupported_profile` / `corrupt` /
+    * `unknown_container` / `empty`), so one loss dashboard covers the
+    * whole ingest: tar and WARC damage was previously a silent null
+    * from the shard readers.
     */
   def mediaDecodeClass(content: Array[Byte]): (String, String) = {
     if (content == null || content.length == 0) return ("unknown", "empty")
@@ -319,9 +321,21 @@ object Multimodal {
     if (b.length >= 5 && new String(b, 0, 5, "US-ASCII") == "WARC/")
       return (if (Containers.warcRecords(b) != null) ("warc", "ok")
               else ("warc", "corrupt"))
-    if (b.length >= 4 && (b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
-        (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD)
-      return ("zstd", "unsupported_profile") // frame named, codec gap
+    if (Zstd.isZstd(b)) {
+      // REAL decode (from-scratch RFC 8878) then classify the payload
+      // like the gzip branch: the only remaining profile gap is a
+      // frame that names an external dictionary we don't ship
+      return Zstd.decodeResult(b) match {
+        case Zstd.NeedsDictionary => ("zstd", "unsupported_profile")
+        case Zstd.Corrupt => ("zstd", "corrupt")
+        case Zstd.Ok(plain) =>
+          if (plain.length >= 5 &&
+              new String(plain, 0, 5, "US-ASCII") == "WARC/") {
+            if (Containers.warcRecords(plain) != null) ("warc", "ok")
+            else ("warc", "corrupt")
+          } else ("zstd", "unknown_container") // sound zstd, unrecognized payload
+      }
+    }
     // ftyp-less CMAF/DASH media segment ([styp][moof][mdat]) — the
     // normal shape of a streaming capture; Containers.parse can't
     // name it (it keys on ftyp), but the styp brand box can, and the
@@ -353,7 +367,7 @@ object Multimodal {
   }
 
   /** Deterministic decode-forensics corpus planting one failure class
-    * per `id mod 15` residue, now covering every ingest family:
+    * per `id mod 18` residue, now covering every ingest family:
     * 0 → valid BMP (`ok`), 1 → valid PNG (`ok`), 2 → TIFF with its
     * Compression tag rewritten to JPEG-in-TIFF (`unsupported_profile`),
     * 3 → PNG truncated mid-IDAT (`corrupt`), 4 → magic-free garbage
@@ -370,9 +384,14 @@ object Multimodal {
     * trailer cut (`gzip`/`corrupt` — a broken stream can't name its
     * payload), 11 → valid PCM-16 WAV (`wav`/`ok`), 12 → WAV whose fmt
     * chunk names ADPCM (`wav`/`unsupported_profile`), 13 → WAV with
-    * its data chunk id damaged (`wav`/`corrupt`), 14 → a zstd frame
-    * (`zstd`/`unsupported_profile` — the codec gap `.warc.zst` drops
-    * hit).
+    * its data chunk id damaged (`wav`/`corrupt`), 14 → a valid
+    * `.warc.zst` — a skippable frame then the WARC in a checksummed
+    * zstd frame, Common Crawl's newer framing, decoded for REAL
+    * (`warc`/`ok`), 15 → the same zstd frame truncated mid-checksum
+    * (`zstd`/`corrupt`), 16 → a zstd frame naming an external
+    * dictionary, the one profile the decoder can't read
+    * (`zstd`/`unsupported_profile`), 17 → a sound zstd frame whose
+    * payload is no container we know (`zstd`/`unknown_container`).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -391,7 +410,7 @@ object Multimodal {
       def wavBytes = Containers.synthWav(8000, 1, 16,
         Array.tabulate((64 + id % 32).toInt * 2)(j =>
           ((id * 11 + j * 37) % 256).toByte))
-      val blob = (id % 15) match {
+      val blob = (id % 18) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -455,9 +474,28 @@ object Multimodal {
           val v = wavBytes
           v(36) = 'x'.toByte
           v
-        case _ => Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte) ++
-          Array.tabulate((16 + id % 16).toInt)(j =>
-            ((id * 13 + j * 7) % 256).toByte)
+        case 14 =>
+          // Common Crawl's newer framing: a skippable frame (real
+          // drops lead with one carrying the shared dictionary; ours
+          // is undictionaried metadata the walk must SKIP) then the
+          // WARC bytes in a checksummed zstd frame
+          Zstd.synthSkippableFrame(
+            Array.tabulate(12)(j => ((id * 7 + j * 3) % 256).toByte)) ++
+            Zstd.synthRawFrame(Containers.synthWarc(Seq(
+              ("response", s"https://example.com/zst/$id",
+                Array.tabulate((40 + id % 64).toInt)(j =>
+                  ((id * 29 + j * 17) % 256).toByte)))), checksum = true)
+        case 15 =>
+          // cut into the checksum: frame parses to the last block then
+          // fails validation — corrupt, not a profile gap
+          Zstd.synthRawFrame(Array.tabulate((48 + id % 32).toInt)(j =>
+            ((id * 19 + j * 23) % 256).toByte), checksum = true).dropRight(2)
+        case 16 => Zstd.synthDictFrame((1 + id % 65535).toInt)
+        case _ =>
+          // sound zstd, payload matches no known container magic (the
+          // id*7 + j*13 generator provably forms none — see case 4)
+          Zstd.synthRawFrame(Array.tabulate(64 + (id % 32).toInt)(j =>
+            ((id * 7 + j * 13) % 256).toByte), checksum = true)
       }
       MediaFile(id, "image", blob)
     })
@@ -919,7 +957,7 @@ object Multimodal {
       media: Dataset[MediaFile]): Dataset[CrawlPage] = {
     import spark.implicits._
     media.mapPartitions(_.flatMap { m =>
-      val plain = Containers.warcInflate(m.content)
+      val plain = Containers.crawlInflate(m.content)
       val recs = if (plain == null) null else Containers.warcRecords(plain)
       if (recs == null) Iterator.empty
       else recs.iterator.filter(_.warcType == "response").flatMap { r =>
@@ -1645,15 +1683,16 @@ object Multimodal {
     * CRLF headers, Content-Length-delimited blocks) and reduce the
     * response payloads — the Common-Crawl-shaped ingest path, one
     * narrow partition-wise pass, degrade-don't-throw. `.warc.gz`
-    * inputs (per-record gzip members, the Common Crawl framing)
-    * expand through `Containers.warcInflate` first; record offsets
-    * index into the EXPANDED bytes.
+    * inputs (per-record gzip members) and `.warc.zst` inputs
+    * (per-record zstd frames, Common Crawl's newer framing) expand
+    * through `Containers.crawlInflate` first; record offsets index
+    * into the EXPANDED bytes.
     */
   def warcStats(spark: SparkSession,
       media: Dataset[MediaFile]): Dataset[WarcStats] = {
     import spark.implicits._
     media.map { m =>
-      val body = Containers.warcInflate(m.content)
+      val body = Containers.crawlInflate(m.content)
       val recs = if (body == null) null else Containers.warcRecords(body)
       if (recs == null) WarcStats(m.media_id, -1, -1, -1L, -1L)
       else {
@@ -1699,6 +1738,54 @@ object Multimodal {
       MediaFile(id, "crawl",
         Containers.synthWarc(recs, gzipPerRecord = id % 2 == 1))
     })
+  }
+
+  /** Deterministic `.warc.zst` corpus — Common Crawl's NEWER framing:
+    * crawl `id` holds `2 + id%4` records cycling
+    * response/request/metadata, record `s` carrying a
+    * `20 + (id+s)%24`-byte payload (byte `j` =
+    * `(id*17 + s*23 + j*11) % 256`), each record its OWN zstd frame,
+    * frames concatenated. Even ids are compressed by the independent
+    * zstd implementation Spark bundles (level cycling 1/3/19 by
+    * `id%6`) so the decode path must read REAL frames — predefined
+    * and FSE-described sequence tables, Huffman literals — not echoes
+    * of our own synthesizer; odd ids lead with a skippable frame and
+    * use our checksummed raw frames, pinning the walk/skip/checksum
+    * machinery. The oracle replays the payload generator: framing is
+    * transparent to the sums, exactly like the `.warc.gz` twin.
+    */
+  def demoWarcZstdCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      // ONE native compression context per partition (the Deflater
+      // lesson from the gzip twin), released deterministically by the
+      // by-name `++` tail when the iterator drains — not by GC
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      val rows = it.map { id =>
+        val n = (2 + id % 4).toInt
+        val frames = new java.io.ByteArrayOutputStream()
+        if (id % 2 == 1)
+          frames.write(Zstd.synthSkippableFrame(
+            Array.tabulate(16)(j => ((id * 3 + j * 5) % 256).toByte)))
+        (0 until n).foreach { s =>
+          val tpe = (s % 3) match {
+            case 0 => "response"; case 1 => "request"; case _ => "metadata"
+          }
+          val len = (20 + (id + s) % 24).toInt
+          val payload = Array.tabulate(len)(j =>
+            ((id * 17 + s * 23 + j.toLong * 11) % 256).toByte)
+          val rec = Containers.synthWarc(
+            Seq((tpe, s"https://ex.test/zst/$id/$s", payload)))
+          if (id % 2 == 0) {
+            ctx.setLevel(Seq(1, 3, 19)((id % 6).toInt / 2))
+            ctx.setChecksum(id % 4 == 0)
+            frames.write(ctx.compress(rec))
+          } else frames.write(Zstd.synthRawFrame(rec, checksum = true))
+        }
+        MediaFile(id, "crawl", frames.toByteArray)
+      }
+      rows ++ { ctx.close(); Iterator.empty }
+    }
   }
 
   /** Deterministic G.711 telephony corpus: clip `id` holds

@@ -220,6 +220,22 @@ object FrontierQueries {
         .toDF().orderBy("crawl_id")
     }),
 
+    // Common Crawl's NEWER `.warc.zst` framing through the
+    // from-scratch RFC 8878 decoder: per-record zstd frames (real
+    // compressor output on even ids — FSE tables, Huffman literals,
+    // sequence execution — skippable frames + checksummed synth
+    // frames on odd), then the same WARC record walk as warc_extract.
+    // Generator-replay oracle: compression is transparent to the sums.
+    "warc_zstd_extract" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoWarcZstdCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.warcStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("crawl_id")
+    }),
+
     // REAL G.711 telephony audio decode: μ-law/A-law companded WAVs
     // expand through the exact ITU segment arithmetic — the oracle
     // replays the expansion formula per byte; the Spark side must get
@@ -1321,6 +1337,22 @@ object FrontierQueries {
         |      j -> (doc_id*13 + s*29 + j*7) % 256))))::BIGINT AS payload_sum
         |FROM r ORDER BY crawl_id""".stripMargin,
 
+    // Replays the `.warc.zst` generator: records cycle
+    // response/request/metadata; only responses are reduced. The zstd
+    // framing never appears — decode must be the identity on content.
+    "warc_zstd_extract" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 4 AS n FROM documents),
+        |r AS (SELECT doc_id, n,
+        |    list_filter(range(0, n), s -> s % 3 = 0) AS resp FROM m)
+        |SELECT doc_id AS crawl_id, n::INT AS n_records,
+        |  length(resp)::INT AS n_responses,
+        |  list_sum(list_transform(resp,
+        |    s -> 20 + (doc_id + s) % 24))::BIGINT AS response_bytes,
+        |  list_sum(list_transform(resp, s ->
+        |    list_sum(list_transform(range(0, 20 + (doc_id + s) % 24),
+        |      j -> (doc_id*17 + s*23 + j*11) % 256))))::BIGINT AS payload_sum
+        |FROM r ORDER BY crawl_id""".stripMargin,
+
     // Replays the ITU G.711 expansion per companded byte
     // (μ-law: complement, segment shift, bias 132; A-law: 0x55
     // toggle, segment shift, sign bit SET = positive) over the
@@ -1791,18 +1823,22 @@ object FrontierQueries {
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
 
-    // Replays the planted-failure generator: each id%15 residue maps
-    // to a fixed (container, reason) pair across all ingest families.
+    // Replays the planted-failure generator: each id%18 residue maps
+    // to a fixed (container, reason) pair across all ingest families —
+    // including the four zstd outcomes the real RFC 8878 decoder
+    // distinguishes (warc-in-zstd ok / corrupt / dictionary profile
+    // gap / sound-but-unknown payload).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 15
+        |    CASE doc_id % 18
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
         |      WHEN 9 THEN 'warc' WHEN 10 THEN 'gzip' WHEN 11 THEN 'wav'
-        |      WHEN 12 THEN 'wav' WHEN 13 THEN 'wav' ELSE 'zstd'
+        |      WHEN 12 THEN 'wav' WHEN 13 THEN 'wav' WHEN 14 THEN 'warc'
+        |      ELSE 'zstd'
         |    END AS format,
-        |    CASE doc_id % 15
+        |    CASE doc_id % 18
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -1811,7 +1847,9 @@ object FrontierQueries {
         |      WHEN 8 THEN 'unsupported_profile'
         |      WHEN 9 THEN 'ok' WHEN 10 THEN 'corrupt'
         |      WHEN 11 THEN 'ok' WHEN 12 THEN 'unsupported_profile'
-        |      WHEN 13 THEN 'corrupt' ELSE 'unsupported_profile'
+        |      WHEN 13 THEN 'corrupt' WHEN 14 THEN 'ok'
+        |      WHEN 15 THEN 'corrupt' WHEN 16 THEN 'unsupported_profile'
+        |      ELSE 'unknown_container'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n
