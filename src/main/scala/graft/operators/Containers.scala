@@ -50,6 +50,11 @@ object Containers {
       MediaHeader("gif", width = leU16(b, 6), height = leU16(b, 8))
     else if (b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE")
       parseWav(b)
+    else if (Webp.isWebp(b)) {
+      val p = Webp.probe(b)
+      if (p == null) unknown
+      else MediaHeader("webp", width = p._2, height = p._3)
+    }
     else if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8 && u8(b, 2) == 0xFF)
       parseJpeg(b)
     else if (b.length >= 12 && ascii(b, 4, 4) == "ftyp") parseMp4(b)
@@ -4110,6 +4115,15 @@ object Containers {
         // sequential and Adam7) now decodes — an undecodable PNG is
         // corruption, never a profile gap
         false
+      case "webp" =>
+        // lossless VP8L decodes in full; lossy VP8 (a DCT intra-frame
+        // video codec) and animated/opaque extended files are NAMED
+        // profile gaps
+        Webp.probe(b) match {
+          case ("vp8l", _, _) => false // undecodable VP8L = corruption
+          case null => false
+          case _ => true
+        }
       case "jpeg" =>
         // walk to the frame marker: non-SOF0 frames (progressive SOF2,
         // arithmetic SOF9, …) or sampling factors above 2 are profile

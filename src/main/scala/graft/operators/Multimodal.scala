@@ -211,13 +211,14 @@ object Multimodal {
       peak_abs: Long, sum_sq: Long)
 
   /** Logical top-down 3-bytes-per-pixel decode for any supported image
-    * container: 24-bit BMP (row-padding strip + bottom-up un-reverse;
-    * bytes are B,G,R), 8-bit PNG (zlib inflate + per-row unfilter;
-    * bytes are R,G,B, gray replicated, alpha dropped), or baseline
-    * JPEG (canonical Huffman + dequantize + 8×8 IDCT; grayscale
-    * replicated, YCbCr converted). Null for anything undecodable — the
-    * shared degrade-don't-throw entry every pixel operator here routes
-    * through, so adding a format upgrades all of them at once.
+    * container: BMP (row geometry + palettes), PNG (inflate +
+    * unfilter, every depth/color/interlace profile), GIF (LZW +
+    * animation composition), TIFF (strip/tile layouts), lossless WebP
+    * (VP8L prefix codes + transforms via [[Webp]]), or baseline JPEG
+    * (canonical Huffman + dequantize + 8×8 IDCT). Gray replicated,
+    * alpha dropped, bytes are R,G,B. Null for anything undecodable —
+    * the shared degrade-don't-throw entry every pixel operator here
+    * routes through, so adding a format upgrades all of them at once.
     */
   def imagePixelBytes(content: Array[Byte]): Array[Byte] = {
     val bmp = Containers.bmpPixelBytes(content)
@@ -227,7 +228,9 @@ object Multimodal {
     val gif = Containers.gifPixelBytes(content)
     if (gif != null) return gif
     val tif = Containers.tiffPixelBytes(content)
-    if (tif != null) tif else Containers.jpegPixelBytes(content)
+    if (tif != null) return tif
+    val webp = Webp.pixelBytes(content)
+    if (webp != null) webp else Containers.jpegPixelBytes(content)
   }
 
   /** Classify WHY an image payload decodes or doesn't — the
@@ -367,7 +370,7 @@ object Multimodal {
   }
 
   /** Deterministic decode-forensics corpus planting one failure class
-    * per `id mod 18` residue, now covering every ingest family:
+    * per `id mod 20` residue, now covering every ingest family:
     * 0 → valid BMP (`ok`), 1 → valid PNG (`ok`), 2 → TIFF with its
     * Compression tag rewritten to JPEG-in-TIFF (`unsupported_profile`),
     * 3 → PNG truncated mid-IDAT (`corrupt`), 4 → magic-free garbage
@@ -391,7 +394,10 @@ object Multimodal {
     * (`zstd`/`corrupt`), 16 → a zstd frame naming an external
     * dictionary, the one profile the decoder can't read
     * (`zstd`/`unsupported_profile`), 17 → a sound zstd frame whose
-    * payload is no container we know (`zstd`/`unknown_container`).
+    * payload is no container we know (`zstd`/`unknown_container`),
+    * 18 → a lossless WebP decoded for REAL via [[Webp]]
+    * (`webp`/`ok`), 19 → a lossy VP8 WebP — named with true
+    * dimensions, undecoded (`webp`/`unsupported_profile`).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -410,7 +416,7 @@ object Multimodal {
       def wavBytes = Containers.synthWav(8000, 1, 16,
         Array.tabulate((64 + id % 32).toInt * 2)(j =>
           ((id * 11 + j * 37) % 256).toByte))
-      val blob = (id % 18) match {
+      val blob = (id % 20) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -491,11 +497,18 @@ object Multimodal {
           Zstd.synthRawFrame(Array.tabulate((48 + id % 32).toInt)(j =>
             ((id * 19 + j * 23) % 256).toByte), checksum = true).dropRight(2)
         case 16 => Zstd.synthDictFrame((1 + id % 65535).toInt)
-        case _ =>
+        case 17 =>
           // sound zstd, payload matches no known container magic (the
           // id*7 + j*13 generator provably forms none — see case 4)
           Zstd.synthRawFrame(Array.tabulate(64 + (id % 32).toInt)(j =>
             ((id * 7 + j * 13) % 256).toByte), checksum = true)
+        case 18 =>
+          Webp.synthVp8lLiteral(w, h,
+            Array.tabulate(w * h * 3)(i => ((id * 31 + i.toLong * 7) % 256).toByte))
+        case _ =>
+          Webp.synthVp8LossyStub((64 + id % 64).toInt, 48,
+            Array.tabulate((40 + id % 40).toInt)(j =>
+              ((id * 11 + j * 29) % 256).toByte))
       }
       MediaFile(id, "image", blob)
     })
@@ -1737,6 +1750,42 @@ object Multimodal {
       }
       MediaFile(id, "crawl",
         Containers.synthWarc(recs, gzipPerRecord = id % 2 == 1))
+    })
+  }
+
+  /** Deterministic lossless-WebP corpus cycling the VP8L encoder
+    * shapes by `id mod 4`: 0 → full-literal (every channel through
+    * the code-length-coded prefix trees), 1 → two-color checkerboard
+    * via 1-/2-symbol simple codes (`(x+y)` even picks color B), 2 →
+    * row-replicated via one 2-D-distance LZ77 backref per row (row 0
+    * literal, every later row copies it), 3 → the literal image
+    * behind a subtract-green transform. Pixel byte `i` of the
+    * literal image is `(id*31 + i*7) % 256` (dims `8+id%9 ×
+    * 8+id%7`), colors A/B are affine in the id — the oracle replays
+    * closed forms, the Spark side must earn them through the real
+    * VP8L decode ([[Webp]], itself pinned byte-exact against libwebp
+    * output in WebpSpec).
+    */
+  def demoWebpCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      def lit = Array.tabulate(w * h * 3)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+      val blob = (id % 4) match {
+        case 0 => Webp.synthVp8lLiteral(w, h, lit)
+        case 1 =>
+          val a = (((id * 13 + 5) % 256).toInt, ((id * 29 + 3) % 256).toInt,
+            ((id * 7 + 11) % 256).toInt)
+          val b = (((id * 17 + 2) % 256).toInt, ((id * 23 + 9) % 256).toInt,
+            ((id * 5 + 4) % 256).toInt)
+          Webp.synthVp8lTwoColor(w, h, a, b, (x, y) => (x + y) % 2 == 0)
+        case 2 =>
+          val row0 = Array.tabulate(w * 3)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+          Webp.synthVp8lRowCopy(w, h, row0)
+        case _ => Webp.synthVp8lSubtractGreen(w, h, lit)
+      }
+      MediaFile(id, "image", blob)
     })
   }
 

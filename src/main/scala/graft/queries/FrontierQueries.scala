@@ -220,6 +220,22 @@ object FrontierQueries {
         .toDF().orderBy("crawl_id")
     }),
 
+    // REAL lossless-WebP (VP8L) pixel decode: prefix trees described
+    // by code-length codes, simple codes, 2-D-distance LZ77, and the
+    // subtract-green transform, across four encoder shapes — the
+    // oracle replays closed-form pixel arithmetic; the Spark side
+    // must earn it through the from-scratch decoder (pinned
+    // byte-exact against real libwebp output in WebpSpec).
+    "multimodal_webp_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoWebpCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.pixelStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // Common Crawl's NEWER `.warc.zst` framing through the
     // from-scratch RFC 8878 decoder: per-record zstd frames (real
     // compressor output on even ids — FSE tables, Huffman literals,
@@ -1337,6 +1353,37 @@ object FrontierQueries {
         |      j -> (doc_id*13 + s*29 + j*7) % 256))))::BIGINT AS payload_sum
         |FROM r ORDER BY crawl_id""".stripMargin,
 
+    // Replays the WebP corpus closed forms per id%4 shape: literal /
+    // subtract-green sums are the (id*31 + i*7)%256 generator;
+    // checkerboard counts even-parity cells in closed form; row-copy
+    // is h × the first-row sum.
+    "multimodal_webp_pixels" ->
+      """WITH m AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |    doc_id % 4 AS var,
+        |    ((8 + doc_id % 9 + 1)//2)*((8 + doc_id % 7 + 1)//2)
+        |      + ((8 + doc_id % 9)//2)*((8 + doc_id % 7)//2) AS nb
+        |  FROM documents),
+        |sums AS (SELECT doc_id, w, h,
+        |    CASE var
+        |      WHEN 1 THEN list_transform(range(0, 3), k ->
+        |        nb * ([ (doc_id*17+2) % 256, (doc_id*23+9) % 256,
+        |                (doc_id*5+4) % 256 ][k+1])
+        |        + (w*h - nb) * ([ (doc_id*13+5) % 256, (doc_id*29+3) % 256,
+        |                          (doc_id*7+11) % 256 ][k+1]))
+        |      WHEN 2 THEN list_transform(range(0, 3), k ->
+        |        h * list_sum(list_transform(range(0, w),
+        |          x -> (doc_id*31 + (x*3+k)*7) % 256)))
+        |      ELSE list_transform(range(0, 3), k ->
+        |        list_sum(list_transform(
+        |          list_filter(range(0, w*h*3), i -> i % 3 = k),
+        |          i -> (doc_id*31 + i*7) % 256)))
+        |    END AS cs
+        |  FROM m)
+        |SELECT doc_id AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  (w*h)::BIGINT AS n_pixels, cs[1]::BIGINT AS c0_sum,
+        |  cs[2]::BIGINT AS c1_sum, cs[3]::BIGINT AS c2_sum
+        |FROM sums ORDER BY media_id""".stripMargin,
+
     // Replays the `.warc.zst` generator: records cycle
     // response/request/metadata; only responses are reduced. The zstd
     // framing never appears — decode must be the identity on content.
@@ -1823,22 +1870,23 @@ object FrontierQueries {
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
 
-    // Replays the planted-failure generator: each id%18 residue maps
+    // Replays the planted-failure generator: each id%20 residue maps
     // to a fixed (container, reason) pair across all ingest families —
     // including the four zstd outcomes the real RFC 8878 decoder
-    // distinguishes (warc-in-zstd ok / corrupt / dictionary profile
-    // gap / sound-but-unknown payload).
+    // distinguishes and the two WebP outcomes the real VP8L decoder
+    // distinguishes (lossless ok / lossy named profile gap).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 18
+        |    CASE doc_id % 20
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
         |      WHEN 9 THEN 'warc' WHEN 10 THEN 'gzip' WHEN 11 THEN 'wav'
         |      WHEN 12 THEN 'wav' WHEN 13 THEN 'wav' WHEN 14 THEN 'warc'
-        |      ELSE 'zstd'
+        |      WHEN 15 THEN 'zstd' WHEN 16 THEN 'zstd' WHEN 17 THEN 'zstd'
+        |      ELSE 'webp'
         |    END AS format,
-        |    CASE doc_id % 18
+        |    CASE doc_id % 20
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -1849,7 +1897,8 @@ object FrontierQueries {
         |      WHEN 11 THEN 'ok' WHEN 12 THEN 'unsupported_profile'
         |      WHEN 13 THEN 'corrupt' WHEN 14 THEN 'ok'
         |      WHEN 15 THEN 'corrupt' WHEN 16 THEN 'unsupported_profile'
-        |      ELSE 'unknown_container'
+        |      WHEN 17 THEN 'unknown_container'
+        |      WHEN 18 THEN 'ok' ELSE 'unsupported_profile'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n
