@@ -1814,15 +1814,101 @@ object Containers {
     }
   }
 
+  /** Split a multi-member gzip stream into its members' PLAIN bytes —
+    * the member-aware reader the tolerant `.warc.gz` walk needs
+    * (GZIPInputStream concatenates members invisibly, so one
+    * interloper member poisons the whole stream for the WARC parser).
+    * Each member's header is parsed by hand (CM=8 required;
+    * FEXTRA/FNAME/FCOMMENT/FHCRC fields skipped per RFC 1952), the
+    * deflate body runs through ONE `reset()` raw Inflater across all
+    * members (`end()`ed in finally — the Deflater lesson), and the
+    * CRC32/ISIZE trailer is verified per member. Null for damage in
+    * ANY member, zero-progress loops, or the 2³⁰ bomb cap —
+    * degrade-don't-throw.
+    */
+  def gzipMembers(b: Array[Byte]): Array[Array[Byte]] = {
+    if (b == null || b.length < 2 || u8(b, 0) != 0x1f || u8(b, 1) != 0x8b)
+      return null
+    val members = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      val crc = new java.util.zip.CRC32()
+      var p = 0
+      var total = 0L
+      while (p < b.length) {
+        if (p + 10 > b.length || u8(b, p) != 0x1f || u8(b, p + 1) != 0x8b ||
+            u8(b, p + 2) != 8) return null
+        val flg = u8(b, p + 3)
+        var q = p + 10
+        if ((flg & 4) != 0) { // FEXTRA
+          if (q + 2 > b.length) return null
+          q += 2 + leU16(b, q)
+        }
+        if ((flg & 8) != 0) { // FNAME
+          while (q < b.length && b(q) != 0) q += 1
+          q += 1
+        }
+        if ((flg & 16) != 0) { // FCOMMENT
+          while (q < b.length && b(q) != 0) q += 1
+          q += 1
+        }
+        if ((flg & 2) != 0) q += 2 // FHCRC
+        if (q > b.length) return null
+        inf.reset()
+        inf.setInput(b, q, b.length - q)
+        val out = new java.io.ByteArrayOutputStream(1 << 12)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) return null // corrupt or needs-input
+          total += n
+          if (total > (1L << 30)) return null // decompression bomb
+          out.write(buf, 0, n)
+        }
+        val body = out.toByteArray
+        val trailer = q + ((b.length - q) - inf.getRemaining)
+        if (trailer + 8 > b.length) return null
+        crc.reset()
+        crc.update(body)
+        if ((crc.getValue & 0xFFFFFFFFL) != (leU32(b, trailer) & 0xFFFFFFFFL))
+          return null
+        if ((body.length.toLong & 0xFFFFFFFFL) !=
+            (leU32(b, trailer + 4) & 0xFFFFFFFFL)) return null
+        members += body
+        p = trailer + 8
+      }
+      members.toArray
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+      case _: ArrayIndexOutOfBoundsException => null
+    } finally inf.end()
+  }
+
   /** Expand a crawl archive whatever its framing: `.warc.gz`
-    * multi-member gzip through [[warcInflate]], `.warc.zst` zstd
-    * frames — Common Crawl's newer distribution format — through the
-    * from-scratch [[Zstd]] decoder, identity for plain bytes. Null on
-    * corruption either way; same 2³⁰ bomb cap on both paths.
+    * multi-member gzip, `.warc.zst` zstd frames — Common Crawl's
+    * newer distribution format — through the from-scratch [[Zstd]]
+    * decoder, identity for plain bytes. Real Common Crawl members
+    * occasionally interleave NON-record gzip members (differently
+    * framed warcinfo, stray payloads); when at least one member IS a
+    * WARC record, such interlopers are skipped instead of poisoning
+    * the whole crawl — a stream with no WARC members at all expands
+    * verbatim (generic gunzip). Null on corruption either way; same
+    * 2³⁰ bomb cap on both paths.
     */
   def crawlInflate(b: Array[Byte]): Array[Byte] =
     if (b != null && Zstd.isZstd(b)) Zstd.decode(b)
-    else warcInflate(b)
+    else if (b != null && b.length >= 2 && u8(b, 0) == 0x1f && u8(b, 1) == 0x8b) {
+      val members = gzipMembers(b)
+      if (members == null) null
+      else {
+        def isWarc(m: Array[Byte]): Boolean =
+          m.length >= 5 && ascii(m, 0, 5) == "WARC/"
+        val keep = if (members.exists(isWarc)) members.filter(isWarc) else members
+        val out = new java.io.ByteArrayOutputStream()
+        keep.foreach(m => out.write(m, 0, m.length))
+        out.toByteArray
+      }
+    } else b
 
   /** Walk a WARC 1.0/1.1 file: per record, the version line, CRLF
     * header lines up to the empty line (field names case-insensitive),
@@ -2002,6 +2088,33 @@ object Containers {
       }
       out.toByteArray
     } finally if (deflater != null) deflater.end()
+  }
+
+  /** One complete gzip member wrapping `payload` — the splice helper
+    * mixed-member `.warc.gz` fixtures use to plant an interloper
+    * between record members. Same hand-written RFC 1952 framing as
+    * [[synthWarc]]'s per-record path.
+    */
+  def synthGzipMember(payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+    try {
+      out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+      deflater.setInput(payload)
+      deflater.finish()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload)
+      val c = crc.getValue
+      val n = payload.length.toLong
+      out.write(Array[Byte](
+        (c & 0xff).toByte, ((c >> 8) & 0xff).toByte,
+        ((c >> 16) & 0xff).toByte, ((c >> 24) & 0xff).toByte,
+        (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+      out.toByteArray
+    } finally deflater.end()
   }
 
   // --- real GIF pixel decode: LZW is pure algorithm ------------------

@@ -312,14 +312,25 @@ object Multimodal {
     if (fmt != "unknown") return (fmt, imageErrFor(b, fmt))
     // magic-free families [[Containers.parse]] doesn't cover
     if (b.length >= 2 && (b(0) & 0xFF) == 0x1f && (b(1) & 0xFF) == 0x8b) {
-      val plain = Containers.warcInflate(b)
-      return if (plain == null) ("gzip", "corrupt") // can't see inside
-      else if (plain.length >= 5 &&
-          new String(plain, 0, 5, "US-ASCII") == "WARC/") {
-        if (Containers.warcRecords(plain) != null) ("warc", "ok")
-        else ("warc", "corrupt")
+      // MEMBER-aware walk: real Common Crawl `.warc.gz` occasionally
+      // interleaves non-record members — recoverable, and worth its
+      // own reason so the dashboard separates "fix the ingest" from
+      // "this crawl sheds some members"
+      val members = Containers.gzipMembers(b)
+      if (members == null) return ("gzip", "corrupt") // can't see inside
+      def isWarcMember(m: Array[Byte]): Boolean =
+        m.length >= 5 && new String(m, 0, 5, "US-ASCII") == "WARC/"
+      val warcMembers = members.filter(isWarcMember)
+      if (warcMembers.isEmpty)
+        return ("gzip", "unknown_container") // sound gzip, unrecognized payload
+      val plain = {
+        val o = new java.io.ByteArrayOutputStream()
+        warcMembers.foreach(m => o.write(m, 0, m.length))
+        o.toByteArray
       }
-      else ("gzip", "unknown_container") // sound gzip, unrecognized payload
+      return if (Containers.warcRecords(plain) == null) ("warc", "corrupt")
+      else if (warcMembers.length < members.length) ("warc", "ok_skipped_members")
+      else ("warc", "ok")
     }
     if (b.length >= 5 && new String(b, 0, 5, "US-ASCII") == "WARC/")
       return (if (Containers.warcRecords(b) != null) ("warc", "ok")
@@ -370,7 +381,7 @@ object Multimodal {
   }
 
   /** Deterministic decode-forensics corpus planting one failure class
-    * per `id mod 20` residue, now covering every ingest family:
+    * per `id mod 21` residue, now covering every ingest family:
     * 0 → valid BMP (`ok`), 1 → valid PNG (`ok`), 2 → TIFF with its
     * Compression tag rewritten to JPEG-in-TIFF (`unsupported_profile`),
     * 3 → PNG truncated mid-IDAT (`corrupt`), 4 → magic-free garbage
@@ -397,7 +408,12 @@ object Multimodal {
     * payload is no container we know (`zstd`/`unknown_container`),
     * 18 → a lossless WebP decoded for REAL via [[Webp]]
     * (`webp`/`ok`), 19 → a lossy VP8 WebP — named with true
-    * dimensions, undecoded (`webp`/`unsupported_profile`).
+    * dimensions, undecoded (`webp`/`unsupported_profile`), 20 → a
+    * `.warc.gz` with a NON-record gzip member spliced between two
+    * record members — the real-crawl mixed-member shape the
+    * member-aware walk recovers (`warc`/`ok_skipped_members`,
+    * distinct from `corrupt`: records survive, the interloper is
+    * shed).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -416,7 +432,7 @@ object Multimodal {
       def wavBytes = Containers.synthWav(8000, 1, 16,
         Array.tabulate((64 + id % 32).toInt * 2)(j =>
           ((id * 11 + j * 37) % 256).toByte))
-      val blob = (id % 20) match {
+      val blob = (id % 21) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -505,10 +521,22 @@ object Multimodal {
         case 18 =>
           Webp.synthVp8lLiteral(w, h,
             Array.tabulate(w * h * 3)(i => ((id * 31 + i.toLong * 7) % 256).toByte))
-        case _ =>
+        case 19 =>
           Webp.synthVp8LossyStub((64 + id % 64).toInt, 48,
             Array.tabulate((40 + id % 40).toInt)(j =>
               ((id * 11 + j * 29) % 256).toByte))
+        case _ =>
+          // two record members with a non-record gzip member between
+          // them — the interloper's payload is magic-free garbage
+          Containers.synthWarc(Seq(("response", s"https://example.com/m/$id",
+            Array.tabulate((24 + id % 32).toInt)(j =>
+              ((id * 23 + j * 19) % 256).toByte))), gzipPerRecord = true) ++
+            Containers.synthGzipMember(
+              Array.tabulate((20 + id % 16).toInt)(j =>
+                ((id * 7 + j * 13) % 256).toByte)) ++
+            Containers.synthWarc(Seq(("request", s"https://example.com/m/$id",
+              Array.tabulate((16 + id % 16).toInt)(j =>
+                ((id * 29 + j * 31) % 256).toByte))), gzipPerRecord = true)
       }
       MediaFile(id, "image", blob)
     })

@@ -1870,23 +1870,23 @@ object FrontierQueries {
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
 
-    // Replays the planted-failure generator: each id%20 residue maps
+    // Replays the planted-failure generator: each id%21 residue maps
     // to a fixed (container, reason) pair across all ingest families —
-    // including the four zstd outcomes the real RFC 8878 decoder
-    // distinguishes and the two WebP outcomes the real VP8L decoder
-    // distinguishes (lossless ok / lossy named profile gap).
+    // the four zstd outcomes of the RFC 8878 decoder, the two WebP
+    // outcomes of the VP8L decoder, and the mixed-member `.warc.gz`
+    // recovery class (`ok_skipped_members`, distinct from corrupt).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 20
+        |    CASE doc_id % 21
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
         |      WHEN 9 THEN 'warc' WHEN 10 THEN 'gzip' WHEN 11 THEN 'wav'
         |      WHEN 12 THEN 'wav' WHEN 13 THEN 'wav' WHEN 14 THEN 'warc'
         |      WHEN 15 THEN 'zstd' WHEN 16 THEN 'zstd' WHEN 17 THEN 'zstd'
-        |      ELSE 'webp'
+        |      WHEN 18 THEN 'webp' WHEN 19 THEN 'webp' ELSE 'warc'
         |    END AS format,
-        |    CASE doc_id % 20
+        |    CASE doc_id % 21
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -1898,7 +1898,8 @@ object FrontierQueries {
         |      WHEN 13 THEN 'corrupt' WHEN 14 THEN 'ok'
         |      WHEN 15 THEN 'corrupt' WHEN 16 THEN 'unsupported_profile'
         |      WHEN 17 THEN 'unknown_container'
-        |      WHEN 18 THEN 'ok' ELSE 'unsupported_profile'
+        |      WHEN 18 THEN 'ok' WHEN 19 THEN 'unsupported_profile'
+        |      ELSE 'ok_skipped_members'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n

@@ -814,6 +814,36 @@ class MultimodalSpec extends SparkSpec {
       got.map(_.warcType).toSeq == Seq("response", "request", "metadata"))
   }
 
+  test("warc: mixed-member gz sheds interlopers instead of corrupting") {
+    val rec1 = Containers.synthWarc(Seq(
+      ("response", "https://ex.test/1", Array.tabulate(30)(i => (i * 5).toByte))),
+      gzipPerRecord = true)
+    val rec2 = Containers.synthWarc(Seq(
+      ("request", "https://ex.test/1", Array.tabulate(12)(i => (i * 9).toByte))),
+      gzipPerRecord = true)
+    val interloper = Containers.synthGzipMember(
+      Array.tabulate(25)(i => (i * 7 + 3).toByte))
+    val mixed = rec1 ++ interloper ++ rec2
+    // member split sees all three; the tolerant walk keeps the records
+    val members = Containers.gzipMembers(mixed)
+    assert(members != null && members.length == 3)
+    val plain = Containers.crawlInflate(mixed)
+    val recs = Containers.warcRecords(plain)
+    assert(recs != null && recs.map(_.warcType).toSeq == Seq("response", "request"))
+    // classifier: distinct reason, not corrupt — and not plain ok
+    assert(Multimodal.mediaDecodeClass(mixed) == ("warc", "ok_skipped_members"))
+    // a gzip stream with NO warc members stays generic gunzip
+    val generic = Containers.synthGzipMember("hello world".getBytes("US-ASCII"))
+    assert(Containers.crawlInflate(generic).toSeq ==
+      "hello world".getBytes("US-ASCII").toSeq)
+    assert(Multimodal.mediaDecodeClass(generic) == ("gzip", "unknown_container"))
+    // damage inside ANY member is corruption, not recovery
+    val damaged = mixed.clone()
+    damaged(rec1.length + 12) = (damaged(rec1.length + 12) ^ 0x7).toByte
+    assert(Containers.gzipMembers(damaged) == null)
+    assert(Multimodal.mediaDecodeClass(damaged) == ("gzip", "corrupt"))
+  }
+
   test("warc: record walk round-trip, case-insensitive headers, degrades") {
     val recs = Seq(
       ("response", "https://ex.test/1", Array.tabulate(30)(i => (i * 5).toByte)),
