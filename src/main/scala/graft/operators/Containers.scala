@@ -55,6 +55,12 @@ object Containers {
       if (p == null) unknown
       else MediaHeader("webp", width = p._2, height = p._3)
     }
+    else if (Flac.isFlac(b)) {
+      val si = Flac.streamInfo(b)
+      if (si == null) unknown
+      else MediaHeader("flac", sampleRate = si.sampleRate,
+        channels = si.channels, bitsPerSample = si.bps)
+    }
     else if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8 && u8(b, 2) == 0xFF)
       parseJpeg(b)
     else if (b.length >= 12 && ascii(b, 4, 4) == "ftyp") parseMp4(b)

@@ -264,7 +264,7 @@ object Multimodal {
   private def imageErrFor(content: Array[Byte], fmt: String): String = {
     if (imagePixelBytes(content) != null) return "ok"
     if (fmt == "unknown") "unknown_container"
-    else if (fmt == "wav" || fmt.startsWith("mp4")) "not_image"
+    else if (fmt == "wav" || fmt == "flac" || fmt.startsWith("mp4")) "not_image"
     else if (Containers.unsupportedImageProfile(content, fmt))
       "unsupported_profile"
     else "corrupt"
@@ -302,6 +302,11 @@ object Multimodal {
         else if (Containers.unsupportedAudioProfile(b)) "unsupported_profile"
         else "corrupt"
       return ("wav", err)
+    }
+    if (fmt == "flac") {
+      // real frame decode: damage anywhere (CRC, sync, residual
+      // shapes) degrades to corrupt; every spec subframe type decodes
+      return ("flac", if (Flac.samples(b) != null) "ok" else "corrupt")
     }
     if (fmt.startsWith("mp4")) {
       // mp4Samples walks BOTH layouts now: stbl tables and
@@ -381,7 +386,7 @@ object Multimodal {
   }
 
   /** Deterministic decode-forensics corpus planting one failure class
-    * per `id mod 21` residue, now covering every ingest family:
+    * per `id mod 23` residue, now covering every ingest family:
     * 0 → valid BMP (`ok`), 1 → valid PNG (`ok`), 2 → TIFF with its
     * Compression tag rewritten to JPEG-in-TIFF (`unsupported_profile`),
     * 3 → PNG truncated mid-IDAT (`corrupt`), 4 → magic-free garbage
@@ -413,7 +418,10 @@ object Multimodal {
     * record members — the real-crawl mixed-member shape the
     * member-aware walk recovers (`warc`/`ok_skipped_members`,
     * distinct from `corrupt`: records survive, the interloper is
-    * shed).
+    * shed), 21 → a valid FLAC clip decoded for REAL via [[Flac]]
+    * (`flac`/`ok`), 22 → the same FLAC with one byte of its Rice
+    * residual flipped so the frame CRC-16 catches it
+    * (`flac`/`corrupt`).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -432,7 +440,7 @@ object Multimodal {
       def wavBytes = Containers.synthWav(8000, 1, 16,
         Array.tabulate((64 + id % 32).toInt * 2)(j =>
           ((id * 11 + j * 37) % 256).toByte))
-      val blob = (id % 21) match {
+      val blob = (id % 23) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -525,7 +533,7 @@ object Multimodal {
           Webp.synthVp8LossyStub((64 + id % 64).toInt, 48,
             Array.tabulate((40 + id % 40).toInt)(j =>
               ((id * 11 + j * 29) % 256).toByte))
-        case _ =>
+        case 20 =>
           // two record members with a non-record gzip member between
           // them — the interloper's payload is magic-free garbage
           Containers.synthWarc(Seq(("response", s"https://example.com/m/$id",
@@ -537,6 +545,14 @@ object Multimodal {
             Containers.synthWarc(Seq(("request", s"https://example.com/m/$id",
               Array.tabulate((16 + id % 16).toInt)(j =>
                 ((id * 29 + j * 31) % 256).toByte))), gzipPerRecord = true)
+        case 21 => Flac.synthFlac(16000, 1, Array.tabulate((64 + id % 64).toInt)(
+          j => ((id * 13 + j.toLong * 37) % 65536 - 32768).toInt))
+        case _ =>
+          // flip one residual byte: the frame CRC-16 must catch it
+          val f = Flac.synthFlac(16000, 1, Array.tabulate((64 + id % 64).toInt)(
+            j => ((id * 13 + j.toLong * 37) % 65536 - 32768).toInt))
+          f(f.length - 10) = (f(f.length - 10) ^ 0x11).toByte
+          f
       }
       MediaFile(id, "image", blob)
     })
@@ -1781,6 +1797,40 @@ object Multimodal {
     })
   }
 
+  /** Deterministic FLAC corpus cycling the subframe shapes by
+    * `id mod 4`: 0 → sawtooth mono through FIXED order-2 prediction
+    * (`((id%50+1)·j) % 4096 − 2048`), 1 → constant clip (CONSTANT
+    * subframes, value `(id·37)%4000 − 2000`), 2 → noise mono as
+    * VERBATIM (`(id·13 + j·37) % 65536 − 32768`), 3 → stereo
+    * LEFT/SIDE decorrelation (left as variant 2, right
+    * `(id·19 + j·23) % 65536 − 32768`; the side channel carries the
+    * 17-bit subframe). `200 + id%100` samples per channel at 16 kHz,
+    * block size `128 + (id%3)·64` so clips span multiple frames with
+    * a short last frame. The oracle replays the sample formulas —
+    * FLAC is lossless, so framing/Rice/prediction must vanish.
+    */
+  def demoFlacCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (200 + id % 100).toInt
+      val bs = (128 + (id % 3) * 64).toInt
+      val blob = (id % 4) match {
+        case 0 => Flac.synthFlac(16000, 1, Array.tabulate(n)(j =>
+          (((id % 50 + 1) * j) % 4096 - 2048).toInt), bs, "fixed2")
+        case 1 => Flac.synthFlac(16000, 1,
+          Array.fill(n)(((id * 37) % 4000 - 2000).toInt), bs, "fixed0")
+        case 2 => Flac.synthFlac(16000, 1, Array.tabulate(n)(j =>
+          ((id * 13 + j.toLong * 37) % 65536 - 32768).toInt), bs, "verbatim")
+        case _ => Flac.synthFlac(16000, 2, Array.tabulate(2 * n)(k => {
+          val j = k / 2
+          if (k % 2 == 0) ((id * 13 + j.toLong * 37) % 65536 - 32768).toInt
+          else ((id * 19 + j.toLong * 23) % 65536 - 32768).toInt
+        }), bs, "leftside")
+      }
+      MediaFile(id, "audio", blob)
+    })
+  }
+
   /** Deterministic lossless-WebP corpus cycling the VP8L encoder
     * shapes by `id mod 4`: 0 → full-literal (every channel through
     * the code-length-coded prefix trees), 1 → two-color checkerboard
@@ -1931,29 +1981,47 @@ object Multimodal {
     })
   }
 
-  /** REAL sample decode: walk the RIFF chunks to `data`, reassemble
-    * s16le samples (`Containers.wavSamples` — PCM s16le, or G.711
-    * μ-law/A-law expanded through the ITU segment arithmetic), and
-    * reduce to peak/energy/count — again one narrow pass,
-    * degrade-don't-throw.
+  /** REAL sample decode: WAV payloads walk the RIFF chunks to `data`
+    * and reassemble samples (`Containers.wavSamples` — PCM at every
+    * integer depth, G.711 μ-law/A-law, IMA/MS-ADPCM); FLAC payloads
+    * decode through the from-scratch [[Flac]] frame reader (FIXED/LPC
+    * predictors, Rice residuals, stereo decorrelation). Reduce to
+    * peak/energy/count — one narrow pass, degrade-don't-throw.
     */
   def audioStats(spark: SparkSession, media: Dataset[MediaFile]): Dataset[AudioStats] = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
       val hdr = Containers.parse(m.content)
-      val s = Containers.wavSamples(m.content)
-      if (s == null) AudioStats(m.media_id, -1L, -1L, -1L, -1L)
-      else {
-        var peak = 0L; var sq = 0L
-        var j = 0
-        while (j < s.length) {
-          val v = s(j).toLong
-          val a = math.abs(v)
-          if (a > peak) peak = a
-          sq += v * v
-          j += 1
+      if (hdr.format == "flac") {
+        val s = Flac.samples(m.content)
+        if (s == null) AudioStats(m.media_id, -1L, -1L, -1L, -1L)
+        else {
+          var peak = 0L; var sq = 0L
+          var j = 0
+          while (j < s.length) {
+            val v = s(j).toLong
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sq += v * v
+            j += 1
+          }
+          AudioStats(m.media_id, hdr.sampleRate.toLong, s.length.toLong, peak, sq)
         }
-        AudioStats(m.media_id, hdr.sampleRate.toLong, s.length.toLong, peak, sq)
+      } else {
+        val s = Containers.wavSamples(m.content)
+        if (s == null) AudioStats(m.media_id, -1L, -1L, -1L, -1L)
+        else {
+          var peak = 0L; var sq = 0L
+          var j = 0
+          while (j < s.length) {
+            val v = s(j).toLong
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sq += v * v
+            j += 1
+          }
+          AudioStats(m.media_id, hdr.sampleRate.toLong, s.length.toLong, peak, sq)
+        }
       }
     })
   }

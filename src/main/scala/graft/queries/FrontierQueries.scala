@@ -220,6 +220,21 @@ object FrontierQueries {
         .toDF().orderBy("crawl_id")
     }),
 
+    // REAL FLAC audio decode: frame walk with CRC-8/16 verification,
+    // FIXED-predictor reconstruction, Rice residuals (escapes and
+    // RICE2), CONSTANT/VERBATIM subframes, and left/side stereo
+    // decorrelation across four corpus shapes — the oracle replays the
+    // sample formulas; FLAC is lossless so the whole codec must vanish.
+    "multimodal_audio_flac" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoFlacCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.audioStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // REAL lossless-WebP (VP8L) pixel decode: prefix trees described
     // by code-length codes, simple codes, 2-D-distance LZ77, and the
     // subtract-green transform, across four encoder shapes — the
@@ -1353,6 +1368,31 @@ object FrontierQueries {
         |      j -> (doc_id*13 + s*29 + j*7) % 256))))::BIGINT AS payload_sum
         |FROM r ORDER BY crawl_id""".stripMargin,
 
+    // Replays the FLAC corpus sample formulas per id%4 shape —
+    // sawtooth / constant / noise mono, interleaved stereo for the
+    // left/side variant. Lossless: framing never appears.
+    "multimodal_audio_flac" ->
+      """WITH m AS (SELECT doc_id, 200 + doc_id % 100 AS n,
+        |    doc_id % 4 AS var FROM documents),
+        |s AS (SELECT doc_id, n,
+        |    CASE var
+        |      WHEN 0 THEN list_transform(range(0, n),
+        |        j -> ((doc_id % 50 + 1) * j) % 4096 - 2048)
+        |      WHEN 1 THEN list_transform(range(0, n),
+        |        j -> (doc_id*37) % 4000 - 2000)
+        |      WHEN 2 THEN list_transform(range(0, n),
+        |        j -> (doc_id*13 + j*37) % 65536 - 32768)
+        |      ELSE flatten(list_transform(range(0, n), j ->
+        |        [(doc_id*13 + j*37) % 65536 - 32768,
+        |         (doc_id*19 + j*23) % 65536 - 32768]))
+        |    END AS vs
+        |  FROM m)
+        |SELECT doc_id AS media_id, 16000::BIGINT AS sample_rate,
+        |  length(vs)::BIGINT AS n_samples,
+        |  list_max(list_transform(vs, y -> abs(y)))::BIGINT AS peak_abs,
+        |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
+        |FROM s ORDER BY media_id""".stripMargin,
+
     // Replays the WebP corpus closed forms per id%4 shape: literal /
     // subtract-green sums are the (id*31 + i*7)%256 generator;
     // checkerboard counts even-parity cells in closed form; row-copy
@@ -1870,23 +1910,25 @@ object FrontierQueries {
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
 
-    // Replays the planted-failure generator: each id%21 residue maps
+    // Replays the planted-failure generator: each id%23 residue maps
     // to a fixed (container, reason) pair across all ingest families —
     // the four zstd outcomes of the RFC 8878 decoder, the two WebP
-    // outcomes of the VP8L decoder, and the mixed-member `.warc.gz`
-    // recovery class (`ok_skipped_members`, distinct from corrupt).
+    // outcomes of the VP8L decoder, the mixed-member `.warc.gz`
+    // recovery class (`ok_skipped_members`, distinct from corrupt),
+    // and the two FLAC outcomes (real decode / CRC-caught damage).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 21
+        |    CASE doc_id % 23
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
         |      WHEN 9 THEN 'warc' WHEN 10 THEN 'gzip' WHEN 11 THEN 'wav'
         |      WHEN 12 THEN 'wav' WHEN 13 THEN 'wav' WHEN 14 THEN 'warc'
         |      WHEN 15 THEN 'zstd' WHEN 16 THEN 'zstd' WHEN 17 THEN 'zstd'
-        |      WHEN 18 THEN 'webp' WHEN 19 THEN 'webp' ELSE 'warc'
+        |      WHEN 18 THEN 'webp' WHEN 19 THEN 'webp' WHEN 20 THEN 'warc'
+        |      ELSE 'flac'
         |    END AS format,
-        |    CASE doc_id % 21
+        |    CASE doc_id % 23
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -1899,7 +1941,8 @@ object FrontierQueries {
         |      WHEN 15 THEN 'corrupt' WHEN 16 THEN 'unsupported_profile'
         |      WHEN 17 THEN 'unknown_container'
         |      WHEN 18 THEN 'ok' WHEN 19 THEN 'unsupported_profile'
-        |      ELSE 'ok_skipped_members'
+        |      WHEN 20 THEN 'ok_skipped_members'
+        |      WHEN 21 THEN 'ok' ELSE 'corrupt'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n
