@@ -1830,7 +1830,9 @@ object Containers {
     * members (`end()`ed in finally — the Deflater lesson), and the
     * CRC32/ISIZE trailer is verified per member. Null for damage in
     * ANY member, zero-progress loops, or the 2³⁰ bomb cap —
-    * degrade-don't-throw.
+    * degrade-don't-throw. Trailing bytes that don't parse as a next
+    * member header after ≥1 sound member are treated as end-of-stream
+    * (GZIPInputStream parity), not corruption.
     */
   def gzipMembers(b: Array[Byte]): Array[Array[Byte]] = {
     if (b == null || b.length < 2 || u8(b, 0) != 0x1f || u8(b, 1) != 0x8b)
@@ -1843,7 +1845,14 @@ object Containers {
       var total = 0L
       while (p < b.length) {
         if (p + 10 > b.length || u8(b, p) != 0x1f || u8(b, p + 1) != 0x8b ||
-            u8(b, p + 2) != 8) return null
+            u8(b, p + 2) != 8) {
+          // GZIPInputStream parity: after at least one sound member,
+          // bytes that don't parse as a next member header are
+          // trailing garbage/padding and mean end-of-stream, not
+          // corruption (readTrailer treats a failed header parse the
+          // same way). Damage INSIDE a member still nulls below.
+          return if (members.nonEmpty) members.toArray else null
+        }
         val flg = u8(b, p + 3)
         var q = p + 10
         if ((flg & 4) != 0) { // FEXTRA
@@ -1904,17 +1913,31 @@ object Containers {
   def crawlInflate(b: Array[Byte]): Array[Byte] =
     if (b != null && Zstd.isZstd(b)) Zstd.decode(b)
     else if (b != null && b.length >= 2 && u8(b, 0) == 0x1f && u8(b, 1) == 0x8b) {
-      val members = gzipMembers(b)
-      if (members == null) null
-      else {
-        def isWarc(m: Array[Byte]): Boolean =
-          m.length >= 5 && ascii(m, 0, 5) == "WARC/"
-        val keep = if (members.exists(isWarc)) members.filter(isWarc) else members
-        val out = new java.io.ByteArrayOutputStream()
-        keep.foreach(m => out.write(m, 0, m.length))
-        out.toByteArray
-      }
+      val cm = crawlMembers(b)
+      if (cm == null) null else cm.plain
     } else b
+
+  /** Member-aware view of a multi-member `.warc.gz`: the concatenated
+    * plain bytes of its WARC record members (of ALL members when none
+    * is a record — generic gunzip), plus kept/total member counts so
+    * classifiers can tell full recovery from member shedding without
+    * re-implementing the filter rule. Null for gzip damage. This is
+    * the ONE place the members→filter(WARC)→concat rule lives —
+    * [[crawlInflate]] and the decode classifier both route here.
+    */
+  final case class CrawlMembers(plain: Array[Byte], kept: Int, total: Int)
+
+  def crawlMembers(b: Array[Byte]): CrawlMembers = {
+    val members = gzipMembers(b)
+    if (members == null) return null
+    def isWarc(m: Array[Byte]): Boolean =
+      m.length >= 5 && ascii(m, 0, 5) == "WARC/"
+    val warc = members.filter(isWarc)
+    val keep = if (warc.nonEmpty) warc else members
+    val out = new java.io.ByteArrayOutputStream()
+    keep.foreach(m => out.write(m, 0, m.length))
+    CrawlMembers(out.toByteArray, warc.length, members.length)
+  }
 
   /** Walk a WARC 1.0/1.1 file: per record, the version line, CRLF
     * header lines up to the empty line (field names case-insensitive),
@@ -4457,22 +4480,17 @@ object Containers {
   private def mp4FragmentSamples(b: Array[Byte]): Array[Mp4Sample] = try {
     val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
     var sampleIdx = 0
-    for (("moof", ms, me) <- mp4Boxes(b, 0, b.length)) {
-      // mp4Boxes yields PAYLOAD offsets; the box start (which
-      // default-base-is-moof offsets are relative to) sits 8 bytes
-      // earlier for a compact header but 16 for a size==1 largesize
-      // header — recover which from the bytes preceding the payload,
-      // else every trun offset in a largesize moof shifts by 8 and can
-      // still pass the bounds check, emitting silently wrong samples.
-      val moofStart =
-        if (ms >= 16 && beU32(b, ms - 16) == 1L &&
-            ascii(b, ms - 12, 4) == "moof") ms - 16L
-        else ms - 8L
-      for (("traf", ts, te) <- mp4Boxes(b, ms, me)) {
+    for (("moof", moofStart0, ms, me) <- mp4Boxes(b, 0, b.length)) {
+      // the box start (which default-base-is-moof offsets are relative
+      // to) comes from mp4Boxes itself — it knows whether the header
+      // was compact (8) or largesize (16), so no byte-sniffing that a
+      // crafted preceding box could spoof into an 8-byte offset shift.
+      val moofStart = moofStart0.toLong
+      for (("traf", _, ts, te) <- mp4Boxes(b, ms, me)) {
         var baseOff = moofStart // default-base-is-moof / first-traf default
         var defSize = -1L
         var defFlags = -1L
-        for ((tpe, ps, pe) <- mp4Boxes(b, ts, te)) tpe match {
+        for ((tpe, _, ps, pe) <- mp4Boxes(b, ts, te)) tpe match {
           case "tfhd" if pe - ps >= 8 =>
             val flags = beU32(b, ps) & 0xFFFFFF
             var q = ps + 8 // verflags + track_ID
@@ -4624,17 +4642,22 @@ object Containers {
   private def beU64At(b: Array[Byte], i: Int): Long =
     (beU32(b, i) << 32) | beU32(b, i + 4)
 
-  /** Child-box iterator over `[lo, hi)`: yields (type, payloadStart,
-    * payloadEnd); a size-0 box runs to `hi`, size 1 reads the 64-bit
-    * largesize (mandatory for >4 GiB mdats; payload then starts at
-    * +16), malformed sizes (2..7, or a truncated largesize) end the
-    * walk at the enclosing bound. Shared by the stbl and moof walks.
+  /** Child-box iterator over `[lo, hi)`: yields (type, boxStart,
+    * payloadStart, payloadEnd) — the box start is what
+    * default-base-is-moof offsets are relative to, and yielding it
+    * here (the one place that KNOWS whether the header was 8 compact
+    * bytes or 16 largesize bytes) beats every caller re-deriving it
+    * from bytes before the payload. A size-0 box runs to `hi`, size 1
+    * reads the 64-bit largesize (mandatory for >4 GiB mdats; payload
+    * then starts at +16), malformed sizes (2..7, or a truncated
+    * largesize) end the walk at the enclosing bound. Shared by the
+    * stbl and moof walks.
     */
-  private def mp4Boxes(b: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int)] =
-    new Iterator[(String, Int, Int)] {
+  private def mp4Boxes(b: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int, Int)] =
+    new Iterator[(String, Int, Int, Int)] {
       private var p = lo
       def hasNext: Boolean = p + 8 <= hi
-      def next(): (String, Int, Int) = {
+      def next(): (String, Int, Int, Int) = {
         val size0 = beU32(b, p)
         val tpe = ascii(b, p + 4, 4)
         val hdr = if (size0 == 1L) 16 else 8
@@ -4646,8 +4669,8 @@ object Containers {
           else if (size0 < 8L) -1L // sizes 2..7 are malformed
           else p + size0
         val e = if (end < 0) -1 else math.min(end, hi.toLong).toInt
-        if (e < p + hdr) { val q = p; p = hi; (tpe, q + 8, q + 8) }
-        else { val payload = p + hdr; p = e; (tpe, payload, e) }
+        if (e < p + hdr) { val q = p; p = hi; (tpe, q, q + 8, q + 8) }
+        else { val q = p; val payload = p + hdr; p = e; (tpe, q, payload, e) }
       }
     }
 
@@ -4670,11 +4693,11 @@ object Containers {
   private def mp4StblSamples(b: Array[Byte]): Array[Mp4Sample] = try {
     def boxes(lo: Int, hi: Int) = mp4Boxes(b, lo, hi)
     val stbl = (for {
-      ("moov", ms, me) <- boxes(0, b.length)
-      ("trak", ts, te) <- boxes(ms, me)
-      ("mdia", ds, de) <- boxes(ts, te)
-      ("minf", fs, fe) <- boxes(ds, de)
-      ("stbl", ss, se) <- boxes(fs, fe)
+      ("moov", _, ms, me) <- boxes(0, b.length)
+      ("trak", _, ts, te) <- boxes(ms, me)
+      ("mdia", _, ds, de) <- boxes(ts, te)
+      ("minf", _, fs, fe) <- boxes(ds, de)
+      ("stbl", _, ss, se) <- boxes(fs, fe)
     } yield (ss, se)).nextOption()
       .getOrElse(return Array.empty)
     val (ss, se) = stbl
@@ -4682,7 +4705,7 @@ object Containers {
     var offsets: Array[Long] = null
     var stsc: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
     var sync: Array[Int] = null // 1-based sample numbers; null = all sync
-    for ((tpe, ps, pe) <- boxes(ss, se)) tpe match {
+    for ((tpe, _, ps, pe) <- boxes(ss, se)) tpe match {
       case "stsz" if pe - ps >= 12 =>
         val uniform = beU32(b, ps + 4)
         val n = beU32(b, ps + 8).toInt

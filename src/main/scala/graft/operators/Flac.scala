@@ -402,38 +402,104 @@ object Flac {
     if (mx == 0) 0 else math.min(30, 64 - java.lang.Long.numberOfLeadingZeros(mx) - 1)
   }
 
-  /** Emit one subframe: CONSTANT when all-equal, else VERBATIM
-    * (`order = -1`) or FIXED `order` 0-4 with one real Rice partition.
+  /** Encoding shape of one subframe — the synthesizer's lever for
+    * steering the decoder through EVERY branch it has (`order` −1 =
+    * VERBATIM, 0-4 = FIXED; non-null `coefs` = LPC at that order with
+    * `precision`-bit coefficients and right-`shift`; `po` = Rice
+    * partition order, reduced per frame until it divides the block;
+    * `escape` forces raw-bits partitions; `wasted` emits the
+    * wasted-bits unary field — callers must pass samples divisible by
+    * 2^wasted or the round-trip breaks by construction).
     */
-  private def writeSubframe(bw: BitWriterMsb, x: Array[Long], bps: Int,
-      order: Int): Unit = {
+  private final case class SubframeSpec(order: Int,
+      coefs: Array[Long] = null, precision: Int = 0, shift: Int = 0,
+      po: Int = 0, escape: Boolean = false, wasted: Int = 0)
+
+  /** Emit one subframe per `spec`; CONSTANT when all-equal. */
+  private def writeSubframe(bw: BitWriterMsb, x0: Array[Long], bps: Int,
+      spec: SubframeSpec): Unit = {
     bw.write(0, 1) // padding
-    if (x.forall(_ == x(0))) {
+    if (x0.forall(_ == x0(0))) {
       bw.write(0, 6) // CONSTANT
       bw.write(0, 1) // no wasted bits
-      bw.writeSigned(x(0), bps)
+      bw.writeSigned(x0(0), bps)
       return
     }
-    if (order < 0) {
+    val wasted = spec.wasted
+    val x = if (wasted == 0) x0 else x0.map(_ >> wasted)
+    val eff = bps - wasted
+    def writeWasted(): Unit =
+      if (wasted == 0) bw.write(0, 1)
+      else { bw.write(1, 1); bw.writeUnary(wasted - 1) }
+    if (spec.order < 0 && spec.coefs == null) {
       bw.write(1, 6) // VERBATIM
-      bw.write(0, 1)
-      x.foreach(v => bw.writeSigned(v, bps))
+      writeWasted()
+      x.foreach(v => bw.writeSigned(v, eff))
       return
     }
-    bw.write(8 + order, 6) // FIXED
-    bw.write(0, 1) // no wasted bits
+    val order = if (spec.coefs != null) spec.coefs.length else spec.order
+    if (spec.coefs != null) bw.write(32 + (order - 1), 6) // LPC
+    else bw.write(8 + order, 6) // FIXED
+    writeWasted()
     var i = 0
-    while (i < order) { bw.writeSigned(x(i), bps); i += 1 }
-    val res = (order until x.length).map(j => fixedResidual(x, j, order))
-    val param = riceParamFor(res)
-    val method = if (param > 14) 1 else 0
+    while (i < order) { bw.writeSigned(x(i), eff); i += 1 }
+    if (spec.coefs != null) {
+      bw.write((spec.precision - 1).toLong, 4)
+      bw.writeSigned(spec.shift.toLong, 5)
+      spec.coefs.foreach(c => bw.writeSigned(c, spec.precision))
+    }
+    val res: IndexedSeq[Long] =
+      if (spec.coefs != null)
+        (order until x.length).map { j =>
+          var acc = 0L
+          var k = 0
+          while (k < order) { acc += spec.coefs(k) * x(j - 1 - k); k += 1 }
+          x(j) - (acc >> spec.shift)
+        }
+      else (order until x.length).map(j => fixedResidual(x, j, order))
+    // partition order: largest ≤ spec.po that divides the block with
+    // the warm-up samples still fitting inside the first partition
+    // (short last frames legitimately force a lower order — real
+    // encoders re-pick per frame the same way)
+    var po = spec.po
+    while (po > 0 && (x.length % (1 << po) != 0 || (x.length >> po) <= order))
+      po -= 1
+    val partitions = 1 << po
+    val perPart = x.length >> po
+    val globalParam = riceParamFor(res)
+    val method = if (!spec.escape && globalParam > 14) 1 else 0
+    val paramBits = if (method == 0) 4 else 5
+    val escapeCode = (1 << paramBits) - 1
     bw.write(method, 2)
-    bw.write(0, 4) // partition order 0
-    bw.write(param, if (method == 0) 4 else 5)
-    res.foreach { r =>
-      val u = (r << 1) ^ (r >> 63)
-      bw.writeUnary((u >>> param).toInt)
-      bw.write(u & ((1L << param) - 1), param)
+    bw.write(po.toLong, 4)
+    var part = 0
+    var idx = 0
+    while (part < partitions) {
+      val count = if (part == 0) perPart - order else perPart
+      val slice = res.slice(idx, idx + count)
+      if (spec.escape) {
+        // raw-bits escape: the minimal signed width holding every
+        // residual in the partition (0 = all-zero partition)
+        var raw = 0
+        slice.foreach { r =>
+          var n = 1
+          while (n < 32 && (r < -(1L << (n - 1)) || r >= (1L << (n - 1)))) n += 1
+          if (r != 0 && n > raw) raw = n
+        }
+        bw.write(escapeCode, paramBits)
+        bw.write(raw.toLong, 5)
+        if (raw > 0) slice.foreach(r => bw.writeSigned(r, raw))
+      } else {
+        val param = math.min(riceParamFor(slice), escapeCode - 1)
+        bw.write(param.toLong, paramBits)
+        slice.foreach { r =>
+          val u = (r << 1) ^ (r >> 63)
+          bw.writeUnary((u >>> param).toInt)
+          bw.write(u & ((1L << param) - 1), param)
+        }
+      }
+      idx += count
+      part += 1
     }
   }
 
@@ -454,9 +520,24 @@ object Flac {
   }
 
   /** Real FLAC stream from interleaved 16-bit samples. `mode` picks
-    * the subframe shape: "fixed0"/"fixed1"/"fixed2" (Rice-coded
-    * residuals at that order), "verbatim", or "leftside" (stereo
-    * only: channel 1 becomes the side channel, 17-bit subframe).
+    * the subframe shape so tests and corpora can steer the decoder
+    * through every branch it has:
+    *  - "fixed0".."fixed4" — FIXED prediction at that order,
+    *    Rice-coded residuals ("fixed3"/"fixed4" at partition order 2);
+    *  - "verbatim";
+    *  - "lpc2" — LPC order 2, coefs (3,−1), 5-bit precision, shift 1,
+    *    partition order 2;
+    *  - "lpc8" — LPC order 8 with mixed-sign coefficients at shift 2;
+    *    noise input drives the Rice parameter past 14, so this is
+    *    also the RICE2 (5-bit parameter) path;
+    *  - "escape" — FIXED order 1 with raw-bits escape partitions
+    *    (partition order 1, per-partition minimal signed width,
+    *    raw = 0 for all-zero partitions);
+    *  - "wasted2" — FIXED order 1 with 2 wasted bits (callers must
+    *    pass samples divisible by 4);
+    *  - stereo only: "leftside" (channel 1 = side, 17-bit subframe),
+    *    "rightside" (channel 0 = side), "midside" (floor-averaged mid
+    *    + side with the parity bit the decoder reconstitutes).
     * Constant blocks collapse to CONSTANT automatically.
     */
   def synthFlac(sampleRate: Int, channels: Int, interleaved: Array[Int],
@@ -488,33 +569,61 @@ object Flac {
       bw.write(0, 1) // fixed blocking
       bw.write(if (bs <= 256) 6 else 7, 4)
       bw.write(0, 4) // sample rate from streaminfo
-      val chCode = if (mode == "leftside" && channels == 2) 8 else channels - 1
+      val chCode =
+        if (channels == 2) mode match {
+          case "leftside" => 8
+          case "rightside" => 9
+          case "midside" => 10
+          case _ => 1
+        } else 0
       bw.write(chCode.toLong, 4)
       bw.write(4, 3) // 16-bit
       bw.write(0, 1)
       writeCodedNumber(bw, frameIdx)
       if (bs <= 256) bw.write((bs - 1).toLong, 8) else bw.write((bs - 1).toLong, 16)
       val headerBytes = bw.result()
-      val order = mode match {
-        case "fixed0" => 0
-        case "fixed1" => 1
-        case "fixed2" => 2
-        case "verbatim" => -1
-        case "leftside" => 1
+      val spec = mode match {
+        case "fixed0" => SubframeSpec(0)
+        case "fixed1" => SubframeSpec(1)
+        case "fixed2" => SubframeSpec(2)
+        case "fixed3" => SubframeSpec(3, po = 2)
+        case "fixed4" => SubframeSpec(4, po = 2)
+        case "verbatim" => SubframeSpec(-1)
+        case "lpc2" => SubframeSpec(-1, coefs = Array(3L, -1L),
+          precision = 5, shift = 1, po = 2)
+        case "lpc8" => SubframeSpec(-1,
+          coefs = Array(2L, -3L, 1L, 0L, -1L, 2L, 0L, 1L),
+          precision = 6, shift = 2)
+        case "escape" => SubframeSpec(1, po = 1, escape = true)
+        case "wasted2" => SubframeSpec(1, wasted = 2)
+        case "leftside" | "rightside" => SubframeSpec(1)
+        case "midside" => SubframeSpec(2)
         case other => sys.error(s"unknown synth mode $other")
       }
       val body = new BitWriterMsb
-      if (chCode == 8) {
-        val left = Array.tabulate(bs)(i => interleaved((pos + i) * 2).toLong)
-        val side = Array.tabulate(bs)(i =>
-          interleaved((pos + i) * 2).toLong - interleaved((pos + i) * 2 + 1))
-        writeSubframe(body, left, 16, order)
-        writeSubframe(body, side, 17, order) // side channel: one extra bit
+      if (chCode >= 8) {
+        def left(i: Int) = interleaved((pos + i) * 2).toLong
+        def right(i: Int) = interleaved((pos + i) * 2 + 1).toLong
+        val side = Array.tabulate(bs)(i => left(i) - right(i))
+        chCode match {
+          case 8 =>
+            writeSubframe(body, Array.tabulate(bs)(left), 16, spec)
+            writeSubframe(body, side, 17, spec) // side: one extra bit
+          case 9 =>
+            writeSubframe(body, side, 17, spec)
+            writeSubframe(body, Array.tabulate(bs)(right), 16, spec)
+          case _ =>
+            // mid is the FLOOR average; the side channel's parity bit
+            // restores the dropped low bit on decode
+            val mid = Array.tabulate(bs)(i => (left(i) + right(i)) >> 1)
+            writeSubframe(body, mid, 16, spec)
+            writeSubframe(body, side, 17, spec)
+        }
       } else {
         var c = 0
         while (c < channels) {
           val chan = Array.tabulate(bs)(i => interleaved((pos + i) * channels + c).toLong)
-          writeSubframe(body, chan, 16, order)
+          writeSubframe(body, chan, 16, spec)
           c += 1
         }
       }

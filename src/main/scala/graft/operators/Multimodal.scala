@@ -321,20 +321,12 @@ object Multimodal {
       // interleaves non-record members — recoverable, and worth its
       // own reason so the dashboard separates "fix the ingest" from
       // "this crawl sheds some members"
-      val members = Containers.gzipMembers(b)
-      if (members == null) return ("gzip", "corrupt") // can't see inside
-      def isWarcMember(m: Array[Byte]): Boolean =
-        m.length >= 5 && new String(m, 0, 5, "US-ASCII") == "WARC/"
-      val warcMembers = members.filter(isWarcMember)
-      if (warcMembers.isEmpty)
+      val cm = Containers.crawlMembers(b)
+      if (cm == null) return ("gzip", "corrupt") // can't see inside
+      if (cm.kept == 0)
         return ("gzip", "unknown_container") // sound gzip, unrecognized payload
-      val plain = {
-        val o = new java.io.ByteArrayOutputStream()
-        warcMembers.foreach(m => o.write(m, 0, m.length))
-        o.toByteArray
-      }
-      return if (Containers.warcRecords(plain) == null) ("warc", "corrupt")
-      else if (warcMembers.length < members.length) ("warc", "ok_skipped_members")
+      return if (Containers.warcRecords(cm.plain) == null) ("warc", "corrupt")
+      else if (cm.kept < cm.total) ("warc", "ok_skipped_members")
       else ("warc", "ok")
     }
     if (b.length >= 5 && new String(b, 0, 5, "US-ASCII") == "WARC/")
@@ -963,11 +955,14 @@ object Multimodal {
       n_html: Long, body_bytes: Long, body_sum: Long)
 
   /** HTTP-aware WARC processing — the split every crawl pipeline must
-    * perform before payloads become documents: gunzip the crawl, walk
-    * its records, and parse the HTTP response INSIDE each `response`
-    * record's content block (status line, header fold, exact body
-    * boundary). `body_sum` (Σ of body byte values) only matches if
-    * the header/body split is byte-exact, so the oracle checks the
+    * perform before payloads become documents: expand the crawl
+    * (member-aware `.warc.gz` walk that sheds non-record interlopers,
+    * or from-scratch `.warc.zst` — same [[Containers.crawlInflate]]
+    * path as [[warcStats]]/[[crawlPages]]), walk its records, and
+    * parse the HTTP response INSIDE each `response` record's content
+    * block (status line, header fold, exact body boundary).
+    * `body_sum` (Σ of body byte values) only matches if the
+    * header/body split is byte-exact, so the oracle checks the
     * protocol parse, not just counts. Undecodable payloads report −1
     * rows.
     */
@@ -975,7 +970,7 @@ object Multimodal {
       media: Dataset[MediaFile]): Dataset[WarcHttpStats] = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val plain = Containers.warcInflate(m.content)
+      val plain = Containers.crawlInflate(m.content)
       val recs = if (plain == null) null else Containers.warcRecords(plain)
       if (recs == null) WarcHttpStats(m.media_id, -1L, -1L, -1L, -1L, -1L)
       else {
@@ -1797,35 +1792,44 @@ object Multimodal {
     })
   }
 
-  /** Deterministic FLAC corpus cycling the subframe shapes by
-    * `id mod 4`: 0 → sawtooth mono through FIXED order-2 prediction
-    * (`((id%50+1)·j) % 4096 − 2048`), 1 → constant clip (CONSTANT
-    * subframes, value `(id·37)%4000 − 2000`), 2 → noise mono as
-    * VERBATIM (`(id·13 + j·37) % 65536 − 32768`), 3 → stereo
-    * LEFT/SIDE decorrelation (left as variant 2, right
-    * `(id·19 + j·23) % 65536 − 32768`; the side channel carries the
-    * 17-bit subframe). `200 + id%100` samples per channel at 16 kHz,
-    * block size `128 + (id%3)·64` so clips span multiple frames with
-    * a short last frame. The oracle replays the sample formulas —
-    * FLAC is lossless, so framing/Rice/prediction must vanish.
+  /** Deterministic FLAC corpus. SAMPLE formulas cycle by `id mod 4`
+    * (the oracle replays exactly these — FLAC is lossless, so the
+    * whole codec must vanish): 0 → sawtooth mono
+    * (`((id%50+1)·j) % 4096 − 2048`), 1 → constant clip
+    * (`(id·37)%4000 − 2000`), 2 → noise mono
+    * (`(id·13 + j·37) % 65536 − 32768`), 3 → stereo (left as
+    * variant 2, right `(id·19 + j·23) % 65536 − 32768`). The ENCODE
+    * shape additionally cycles by `(id/4) mod 3` — invisible to the
+    * oracle but steering the decoder through every branch it has:
+    * sawtooth through FIXED-2 / LPC-2 / FIXED-3 (the latter two with
+    * partition order 2), noise through VERBATIM / raw-bits-escape
+    * partitions / LPC-8 (whose Rice parameter exceeds 14 → RICE2),
+    * stereo through LEFT/SIDE, MID/SIDE (floor-mid + parity bit) and
+    * RIGHT/SIDE decorrelations; constants collapse to CONSTANT.
+    * `200 + id%100` samples per channel at 16 kHz, block size
+    * `128 + (id%3)·64` so clips span multiple frames with a short
+    * last frame.
     */
   def demoFlacCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
       val n = (200 + id % 100).toInt
       val bs = (128 + (id % 3) * 64).toInt
+      val enc = ((id / 4) % 3).toInt
       val blob = (id % 4) match {
         case 0 => Flac.synthFlac(16000, 1, Array.tabulate(n)(j =>
-          (((id % 50 + 1) * j) % 4096 - 2048).toInt), bs, "fixed2")
+          (((id % 50 + 1) * j) % 4096 - 2048).toInt), bs,
+          Seq("fixed2", "lpc2", "fixed3")(enc))
         case 1 => Flac.synthFlac(16000, 1,
           Array.fill(n)(((id * 37) % 4000 - 2000).toInt), bs, "fixed0")
         case 2 => Flac.synthFlac(16000, 1, Array.tabulate(n)(j =>
-          ((id * 13 + j.toLong * 37) % 65536 - 32768).toInt), bs, "verbatim")
+          ((id * 13 + j.toLong * 37) % 65536 - 32768).toInt), bs,
+          Seq("verbatim", "escape", "lpc8")(enc))
         case _ => Flac.synthFlac(16000, 2, Array.tabulate(2 * n)(k => {
           val j = k / 2
           if (k % 2 == 0) ((id * 13 + j.toLong * 37) % 65536 - 32768).toInt
           else ((id * 19 + j.toLong * 23) % 65536 - 32768).toInt
-        }), bs, "leftside")
+        }), bs, Seq("leftside", "midside", "rightside")(enc))
       }
       MediaFile(id, "audio", blob)
     })
@@ -1885,9 +1889,17 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       // ONE native compression context per partition (the Deflater
-      // lesson from the gzip twin), released deterministically by the
-      // by-name `++` tail when the iterator drains — not by GC
+      // lesson from the gzip twin). Released by the task-completion
+      // listener — which fires on EVERY task exit path, including a
+      // downstream limit/take or failure that abandons the iterator
+      // before it drains; the `++` tail alone would leak the native
+      // context to GC on those paths. The tail stays as the release
+      // for driver-side (non-task) iteration in unit tests.
       val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def closeOnce(): Unit = if (closed.compareAndSet(false, true)) ctx.close()
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
       val rows = it.map { id =>
         val n = (2 + id % 4).toInt
         val frames = new java.io.ByteArrayOutputStream()
@@ -1911,7 +1923,7 @@ object Multimodal {
         }
         MediaFile(id, "crawl", frames.toByteArray)
       }
-      rows ++ { ctx.close(); Iterator.empty }
+      rows ++ { closeOnce(); Iterator.empty }
     }
   }
 
@@ -1992,36 +2004,26 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
       val hdr = Containers.parse(m.content)
-      if (hdr.format == "flac") {
-        val s = Flac.samples(m.content)
-        if (s == null) AudioStats(m.media_id, -1L, -1L, -1L, -1L)
+      // widen the WAV path's Array[Short] to the FLAC path's Int — one
+      // reduction loop beats two diverging copies of it
+      val s: Array[Int] =
+        if (hdr.format == "flac") Flac.samples(m.content)
         else {
-          var peak = 0L; var sq = 0L
-          var j = 0
-          while (j < s.length) {
-            val v = s(j).toLong
-            val a = math.abs(v)
-            if (a > peak) peak = a
-            sq += v * v
-            j += 1
-          }
-          AudioStats(m.media_id, hdr.sampleRate.toLong, s.length.toLong, peak, sq)
+          val w = Containers.wavSamples(m.content)
+          if (w == null) null else w.map(_.toInt)
         }
-      } else {
-        val s = Containers.wavSamples(m.content)
-        if (s == null) AudioStats(m.media_id, -1L, -1L, -1L, -1L)
-        else {
-          var peak = 0L; var sq = 0L
-          var j = 0
-          while (j < s.length) {
-            val v = s(j).toLong
-            val a = math.abs(v)
-            if (a > peak) peak = a
-            sq += v * v
-            j += 1
-          }
-          AudioStats(m.media_id, hdr.sampleRate.toLong, s.length.toLong, peak, sq)
+      if (s == null) AudioStats(m.media_id, -1L, -1L, -1L, -1L)
+      else {
+        var peak = 0L; var sq = 0L
+        var j = 0
+        while (j < s.length) {
+          val v = s(j).toLong
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sq += v * v
+          j += 1
         }
+        AudioStats(m.media_id, hdr.sampleRate.toLong, s.length.toLong, peak, sq)
       }
     })
   }

@@ -340,7 +340,13 @@ object Webp {
         }
         mx + 1
       }
-    if (numGroups > 1024) fail("meta group bomb")
+    // the group index is a 16-bit red<<8|green value, so 65536 is the
+    // FORMAT's bound (libwebp imposes no tighter cap — high-effort
+    // encodes of large photos legitimately keep thousands of
+    // histogram clusters); allocation stays input-bounded because
+    // every readGroup consumes bits and the reader fails on
+    // exhaustion, so a tiny forged header can't trigger 65536 reads
+    if (numGroups > 65536) fail("meta group count exceeds format bound")
     val groups = Array.fill(numGroups)(readGroup(br, cacheSize))
     val out = new Array[Int](w * h)
     var pos = 0

@@ -221,10 +221,13 @@ object FrontierQueries {
     }),
 
     // REAL FLAC audio decode: frame walk with CRC-8/16 verification,
-    // FIXED-predictor reconstruction, Rice residuals (escapes and
-    // RICE2), CONSTANT/VERBATIM subframes, and left/side stereo
-    // decorrelation across four corpus shapes — the oracle replays the
-    // sample formulas; FLAC is lossless so the whole codec must vanish.
+    // FIXED (orders 0-4) and LPC predictor reconstruction, Rice
+    // residuals (multi-partition, raw-bits escapes, RICE2),
+    // CONSTANT/VERBATIM subframes, and all three stereo
+    // decorrelations (left/side, mid/side, right/side) across the
+    // corpus's sample-formula × encode-shape grid — the oracle
+    // replays the sample formulas; FLAC is lossless so the whole
+    // codec must vanish.
     "multimodal_audio_flac" -> ((s, dir) => {
       import s.implicits._
       val corpus = graft.operators.Multimodal.demoFlacCorpus(

@@ -61,6 +61,63 @@ class FlacSpec extends AnyFunSuite {
       inter.toSeq)
   }
 
+  test("right/side and mid/side decorrelations round-trip") {
+    // full-range noise exercises the mid channel's floor average and
+    // the parity-bit reconstruction on BOTH parities, and ±32768/32767
+    // extremes through the 17-bit side subframe
+    val n = 301
+    val inter = Array.tabulate(2 * n) { k =>
+      val j = k / 2
+      if (k % 2 == 0) noise(n, 23)(j) else noise(n, 24)(j)
+    }
+    inter(0) = -32768; inter(1) = 32767; inter(2) = 32767; inter(3) = -32768
+    for (mode <- Seq("rightside", "midside"))
+      assert(Flac.samples(Flac.synthFlac(48000, 2, inter, 128, mode)).toSeq ==
+        inter.toSeq, s"$mode mismatch")
+  }
+
+  test("fixed orders 3-4 with multi-partition residuals round-trip") {
+    // cubic-ish ramps keep order-3/4 residuals small but NONZERO;
+    // blockSize 128 at po=2 puts the warm-up inside partition 0 and
+    // three more partitions after it, and n=300 forces a short last
+    // frame where the writer re-picks a lower partition order
+    for (mode <- Seq("fixed3", "fixed4"); n <- Seq(128, 300)) {
+      val x = Array.tabulate(n)(j => ((j * j % 977) * 7 % 4096) - 2048)
+      val got = Flac.samples(Flac.synthFlac(16000, 1, x, 128, mode))
+      assert(got != null && got.toSeq == x.toSeq, s"$mode n=$n mismatch")
+    }
+  }
+
+  test("LPC subframes round-trip, including the RICE2 parameter path") {
+    // lpc2: order-2 coefs (3,-1) shift 1 on a sawtooth; lpc8: order-8
+    // mixed-sign coefs on full-range noise, whose residuals push the
+    // Rice parameter past 14 and onto the 5-bit RICE2 method
+    val saw = Array.tabulate(300)(j => ((j * 11) % 4096) - 2048)
+    assert(Flac.samples(Flac.synthFlac(16000, 1, saw, 128, "lpc2")).toSeq ==
+      saw.toSeq)
+    val nz = noise(300, 27)
+    assert(Flac.samples(Flac.synthFlac(16000, 1, nz, 128, "lpc8")).toSeq ==
+      nz.toSeq)
+  }
+
+  test("raw-bits escape partitions round-trip, including raw = 0") {
+    val nz = noise(300, 29)
+    assert(Flac.samples(Flac.synthFlac(16000, 1, nz, 128, "escape")).toSeq ==
+      nz.toSeq)
+    // a linear ramp has all-zero order-1 residuals → raw = 0 partitions
+    val ramp = Array.tabulate(200)(j => j - 100)
+    assert(Flac.samples(Flac.synthFlac(16000, 1, ramp, 64, "escape")).toSeq ==
+      ramp.toSeq)
+  }
+
+  test("wasted bits round-trip") {
+    // samples divisible by 4 → 2 wasted bits; the decoder must shift
+    // the reconstructed subframe back up
+    val x = Array.tabulate(260)(j => ((((j * 7) % 4096) - 2048) / 4) * 4)
+    assert(Flac.samples(Flac.synthFlac(16000, 1, x, 128, "wasted2")).toSeq ==
+      x.toSeq)
+  }
+
   test("corruption degrades to null via frame CRCs, never throws") {
     val good = Flac.synthFlac(16000, 1, noise(200, 31), 128, "fixed2")
     assert(Flac.samples(good) != null)

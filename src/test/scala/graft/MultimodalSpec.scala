@@ -842,6 +842,46 @@ class MultimodalSpec extends SparkSpec {
     damaged(rec1.length + 12) = (damaged(rec1.length + 12) ^ 0x7).toByte
     assert(Containers.gzipMembers(damaged) == null)
     assert(Multimodal.mediaDecodeClass(damaged) == ("gzip", "corrupt"))
+    // trailing non-member bytes after sound members are end-of-stream
+    // (GZIPInputStream parity: readTrailer treats a failed next-header
+    // parse as EOF), NOT corruption — archives get padded in the wild
+    val padded = rec1 ++ rec2 ++ Array.fill[Byte](7)(0x20)
+    val padMembers = Containers.gzipMembers(padded)
+    assert(padMembers != null && padMembers.length == 2)
+    val padRecs = Containers.warcRecords(Containers.crawlInflate(padded))
+    assert(padRecs != null &&
+      padRecs.map(_.warcType).toSeq == Seq("response", "request"))
+    assert(Multimodal.mediaDecodeClass(padded) == ("warc", "ok"))
+    // ...but a stream that fails INSIDE its first member stays corrupt
+    assert(Containers.gzipMembers(rec1.take(rec1.length - 4)) == null)
+  }
+
+  test("warcHttpStats routes through the member-aware crawl walk") {
+    import spark.implicits._
+    // an HTTP response inside a WARC record, framed three ways: plain
+    // per-record gzip, gzip with a non-record interloper member, and
+    // a zstd frame — the HTTP parse must survive all three framings
+    // (the interloper/zstd paths exist only via crawlInflate)
+    val httpBytes = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Length: 5\r\n\r\nhello").getBytes("US-ASCII")
+    val rec = Containers.synthWarc(
+      Seq(("response", "https://ex.test/h", httpBytes)), gzipPerRecord = true)
+    val interloper = Containers.synthGzipMember(
+      Array.tabulate(25)(i => (i * 7 + 3).toByte))
+    val plainWarc = Containers.synthWarc(
+      Seq(("response", "https://ex.test/h", httpBytes)))
+    val corpus = Seq(
+      Multimodal.MediaFile(1L, "crawl", rec),
+      Multimodal.MediaFile(2L, "crawl", interloper ++ rec),
+      Multimodal.MediaFile(3L, "crawl",
+        graft.operators.Zstd.synthRawFrame(plainWarc, checksum = true))).toDS()
+    val got = Multimodal.warcHttpStats(spark, corpus).collect()
+      .map(r => r.media_id -> r).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(got(id).n_records == 1L, s"id=$id records")
+      assert(got(id).n_ok == 1L && got(id).n_html == 1L, s"id=$id parse")
+      assert(got(id).body_bytes == 5L, s"id=$id body")
+    }
   }
 
   test("warc: record walk round-trip, case-insensitive headers, degrades") {

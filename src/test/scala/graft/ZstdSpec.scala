@@ -152,12 +152,16 @@ class ZstdSpec extends AnyFunSuite {
   }
 
   test("xxh64 matches the reference vectors") {
-    // Published XXH64 sanity vectors (seed 0)
-    assert(Zstd.xxh64(Array.empty[Byte], 0, 0, 0L) == 0xEF46DB3751D8E999L)
-    // cross-checked via jni's checksummed frame in the tests above;
-    // here pin a couple of computed-on-first-run values for drift
-    val v = "Nobody inspects the spammish repetition".getBytes("US-ASCII")
-    val h = Zstd.xxh64(v, 0, v.length, 0L)
-    assert(Zstd.xxh64(v, 0, v.length, 0L) == h) // determinism
+    // Published XXH64 vectors (seed 0), cross-checked against an
+    // independent spec implementation — the full 64 bits, unlike the
+    // jni frame checksums above which only pin the low 32. The four
+    // lengths cover every code path: empty, <4 tail bytes, a 4-byte
+    // lane + tail, the 32-byte 4-lane merge, and multi-stripe.
+    def h(s: Array[Byte]) = Zstd.xxh64(s, 0, s.length, 0L)
+    assert(h(Array.empty[Byte]) == 0xEF46DB3751D8E999L)
+    assert(h("abc".getBytes("US-ASCII")) == 0x44BC2CF5AD770999L)
+    assert(h("Nobody inspects the spammish repetition"
+      .getBytes("US-ASCII")) == 0xFBCEA83C8A378BF1L)
+    assert(h(Array.tabulate[Byte](256)(_.toByte)) == 0x1FACBE8406CD904BL)
   }
 }
