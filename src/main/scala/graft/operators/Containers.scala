@@ -61,6 +61,20 @@ object Containers {
       else MediaHeader("flac", sampleRate = si.sampleRate,
         channels = si.channels, bitsPerSample = si.bps)
     }
+    else if (Ogg.isOgg(b)) {
+      // the codec is named from the first packet's magic — damaged
+      // containers (CRC, framing) degrade to unknown, sound ones with
+      // an unrecognized codec stay "ogg" for the classifier to report
+      Ogg.codec(b) match {
+        case null => unknown
+        case "oggflac" =>
+          val si = Ogg.flacStreamInfo(b)
+          if (si == null) unknown
+          else MediaHeader("oggflac", sampleRate = si.sampleRate,
+            channels = si.channels, bitsPerSample = si.bps)
+        case c => MediaHeader(c)
+      }
+    }
     else if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8 && u8(b, 2) == 0xFF)
       parseJpeg(b)
     else if (b.length >= 12 && ascii(b, 4, 4) == "ftyp") parseMp4(b)

@@ -142,7 +142,6 @@ object Flac {
   def samples(b: Array[Byte]): Array[Int] = try {
     val info = streamInfo(b)
     if (info == null) return null
-    if (info.bps > 32) return null
     // walk metadata blocks to the first frame
     var p = 4
     var last = false
@@ -153,8 +152,24 @@ object Flac {
       p += 4 + len
       if (p > b.length) fail("metadata block past input")
     }
+    frameSamples(b, p, info)
+  } catch {
+    case _: Err => null
+    case _: ArrayIndexOutOfBoundsException => null
+    case _: NegativeArraySizeException => null
+  }
+
+  /** Decode a raw frame sequence at `from` against an
+    * already-parsed STREAMINFO — the entry the Ogg-FLAC mapping
+    * needs, where the metadata travels in Ogg packets and the frames
+    * arrive reassembled from page segments. Same null-on-corruption
+    * contract as [[samples]].
+    */
+  def frameSamples(b: Array[Byte], from: Int, info: StreamInfo): Array[Int] = try {
+    if (info == null || info.bps > 32) return null
     val out = new ArrayBuffer[Int](
       math.min(info.totalSamples * info.channels, MaxSamples.toLong).toInt.max(16))
+    var p = from
     while (p < b.length) {
       p = decodeFrame(b, p, info, out)
       if (out.length > MaxSamples) fail("sample bomb")
@@ -542,6 +557,22 @@ object Flac {
     */
   def synthFlac(sampleRate: Int, channels: Int, interleaved: Array[Int],
       blockSize: Int = 256, mode: String = "fixed2"): Array[Byte] = {
+    val (header, frames) =
+      synthFlacParts(sampleRate, channels, interleaved, blockSize, mode)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header, 0, header.length)
+    frames.foreach(f => out.write(f, 0, f.length))
+    out.toByteArray
+  }
+
+  /** The two halves of [[synthFlac]] separately: the `fLaC` header
+    * with its STREAMINFO block, and each complete frame (header +
+    * CRC-8 + subframes + CRC-16) as its own array — the granularity
+    * the Ogg-FLAC mapping packetizes at (one frame per packet).
+    */
+  private[operators] def synthFlacParts(sampleRate: Int, channels: Int,
+      interleaved: Array[Int], blockSize: Int = 256,
+      mode: String = "fixed2"): (Array[Byte], Seq[Array[Byte]]) = {
     require(channels == 1 || channels == 2)
     require(interleaved.length % channels == 0)
     val nSamples = interleaved.length / channels
@@ -559,6 +590,7 @@ object Flac {
     out.write(0x80) // last metadata block, type 0
     out.write(0); out.write(0); out.write(siBytes.length)
     out.write(siBytes, 0, siBytes.length)
+    val frames = Seq.newBuilder[Array[Byte]]
     var frameIdx = 0L
     var pos = 0
     while (pos < nSamples) {
@@ -628,16 +660,17 @@ object Flac {
         }
       }
       val bodyBytes = body.result() // zero-padded to a byte
-      val frame = new Array[Byte](headerBytes.length + 1 + bodyBytes.length)
+      val frame = new Array[Byte](headerBytes.length + 1 + bodyBytes.length + 2)
       System.arraycopy(headerBytes, 0, frame, 0, headerBytes.length)
       frame(headerBytes.length) = crc8(headerBytes, 0, headerBytes.length).toByte
       System.arraycopy(bodyBytes, 0, frame, headerBytes.length + 1, bodyBytes.length)
-      val c16 = crc16(frame, 0, frame.length)
-      out.write(frame, 0, frame.length)
-      out.write((c16 >> 8) & 0xFF); out.write(c16 & 0xFF)
+      val c16 = crc16(frame, 0, frame.length - 2)
+      frame(frame.length - 2) = ((c16 >> 8) & 0xFF).toByte
+      frame(frame.length - 1) = (c16 & 0xFF).toByte
+      frames += frame
       pos += bs
       frameIdx += 1
     }
-    out.toByteArray
+    (out.toByteArray, frames.result())
   }
 }

@@ -264,7 +264,8 @@ object Multimodal {
   private def imageErrFor(content: Array[Byte], fmt: String): String = {
     if (imagePixelBytes(content) != null) return "ok"
     if (fmt == "unknown") "unknown_container"
-    else if (fmt == "wav" || fmt == "flac" || fmt.startsWith("mp4")) "not_image"
+    else if (fmt == "wav" || fmt == "flac" || fmt.startsWith("ogg") ||
+        fmt.startsWith("mp4")) "not_image"
     else if (Containers.unsupportedImageProfile(content, fmt))
       "unsupported_profile"
     else "corrupt"
@@ -308,6 +309,14 @@ object Multimodal {
       // shapes) degrades to corrupt; every spec subframe type decodes
       return ("flac", if (Flac.samples(b) != null) "ok" else "corrupt")
     }
+    if (fmt == "oggflac")
+      return ("oggflac", if (Ogg.flacSamples(b) != null) "ok" else "corrupt")
+    if (fmt == "ogg_vorbis" || fmt == "ogg_opus" || fmt == "ogg_theora")
+      // sound container, named codec we don't decode — a profile gap
+      // ("ship the codec"), not corruption ("fix the ingest")
+      return (fmt, "unsupported_profile")
+    if (fmt == "ogg")
+      return ("ogg", "unknown_container") // sound Ogg, unrecognized codec
     if (fmt.startsWith("mp4")) {
       // mp4Samples walks BOTH layouts now: stbl tables and
       // fragmented moof/trun runs
@@ -378,7 +387,7 @@ object Multimodal {
   }
 
   /** Deterministic decode-forensics corpus planting one failure class
-    * per `id mod 23` residue, now covering every ingest family:
+    * per `id mod 25` residue, now covering every ingest family:
     * 0 → valid BMP (`ok`), 1 → valid PNG (`ok`), 2 → TIFF with its
     * Compression tag rewritten to JPEG-in-TIFF (`unsupported_profile`),
     * 3 → PNG truncated mid-IDAT (`corrupt`), 4 → magic-free garbage
@@ -413,7 +422,10 @@ object Multimodal {
     * shed), 21 → a valid FLAC clip decoded for REAL via [[Flac]]
     * (`flac`/`ok`), 22 → the same FLAC with one byte of its Rice
     * residual flipped so the frame CRC-16 catches it
-    * (`flac`/`corrupt`).
+    * (`flac`/`corrupt`), 23 → a valid Ogg-FLAC stream decoded for
+    * REAL via [[Ogg]] + [[Flac]] (`oggflac`/`ok`), 24 → a
+    * Vorbis-headed Ogg stream — sound container, named codec outside
+    * scope (`ogg_vorbis`/`unsupported_profile`).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -432,7 +444,7 @@ object Multimodal {
       def wavBytes = Containers.synthWav(8000, 1, 16,
         Array.tabulate((64 + id % 32).toInt * 2)(j =>
           ((id * 11 + j * 37) % 256).toByte))
-      val blob = (id % 23) match {
+      val blob = (id % 25) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -539,12 +551,15 @@ object Multimodal {
                 ((id * 29 + j * 31) % 256).toByte))), gzipPerRecord = true)
         case 21 => Flac.synthFlac(16000, 1, Array.tabulate((64 + id % 64).toInt)(
           j => ((id * 13 + j.toLong * 37) % 65536 - 32768).toInt))
-        case _ =>
+        case 22 =>
           // flip one residual byte: the frame CRC-16 must catch it
           val f = Flac.synthFlac(16000, 1, Array.tabulate((64 + id % 64).toInt)(
             j => ((id * 13 + j.toLong * 37) % 65536 - 32768).toInt))
           f(f.length - 10) = (f(f.length - 10) ^ 0x11).toByte
           f
+        case 23 => Ogg.synthOggFlac(16000, 1, Array.tabulate((64 + id % 64).toInt)(
+          j => ((id * 13 + j.toLong * 37) % 65536 - 32768).toInt))
+        case _ => Ogg.synthVorbisStub(44100, 2)
       }
       MediaFile(id, "image", blob)
     })
@@ -1835,6 +1850,43 @@ object Multimodal {
     })
   }
 
+  /** Deterministic Ogg-FLAC corpus — the Xiph container around the
+    * FLAC frames, cycling the CONTAINER shapes by `id mod 4` while
+    * the sample formulas stay per-variant (the oracle replays them;
+    * page framing, lacing, CRC-32, packet reassembly and the mapping
+    * header must all vanish): 0 → sawtooth mono, one frame per page
+    * (`((id%40+2)·j) % 4096 − 2048`, FIXED-2); 1 → noise mono as
+    * VERBATIM paginated at 2 segments/page, so the large frames
+    * CONTINUE across page boundaries (`(id·17 + j·31) % 65536 −
+    * 32768`); 2 → stereo LEFT/SIDE (left as variant 1's formula,
+    * right `(id·23 + j·29) % 65536 − 32768`); 3 → constant clip
+    * (`(id·41) % 5000 − 2500`) with many frames packed per page.
+    * `150 + id%80` samples per channel at 16 kHz, block size 128.
+    */
+  def demoOggFlacCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (150 + id % 80).toInt
+      def noise(j: Int) = ((id * 17 + j.toLong * 31) % 65536 - 32768).toInt
+      val blob = (id % 4) match {
+        case 0 => Ogg.synthOggFlac(16000, 1, Array.tabulate(n)(j =>
+          (((id % 40 + 2) * j) % 4096 - 2048).toInt), 128, "fixed2",
+          maxSegsPerPage = 3)
+        case 1 => Ogg.synthOggFlac(16000, 1, Array.tabulate(n)(noise),
+          128, "verbatim", maxSegsPerPage = 2)
+        case 2 => Ogg.synthOggFlac(16000, 2, Array.tabulate(2 * n)(k => {
+          val j = k / 2
+          if (k % 2 == 0) noise(j)
+          else ((id * 23 + j.toLong * 29) % 65536 - 32768).toInt
+        }), 128, "leftside")
+        case _ => Ogg.synthOggFlac(16000, 1,
+          Array.fill(n)(((id * 41) % 5000 - 2500).toInt), 128, "fixed0",
+          maxSegsPerPage = 64)
+      }
+      MediaFile(id, "audio", blob)
+    })
+  }
+
   /** Deterministic lossless-WebP corpus cycling the VP8L encoder
     * shapes by `id mod 4`: 0 → full-literal (every channel through
     * the code-length-coded prefix trees), 1 → two-color checkerboard
@@ -1997,8 +2049,10 @@ object Multimodal {
     * and reassemble samples (`Containers.wavSamples` — PCM at every
     * integer depth, G.711 μ-law/A-law, IMA/MS-ADPCM); FLAC payloads
     * decode through the from-scratch [[Flac]] frame reader (FIXED/LPC
-    * predictors, Rice residuals, stereo decorrelation). Reduce to
-    * peak/energy/count — one narrow pass, degrade-don't-throw.
+    * predictors, Rice residuals, stereo decorrelation); Ogg-FLAC
+    * payloads reassemble packets from CRC-verified pages ([[Ogg]])
+    * before the same frame reader. Reduce to peak/energy/count — one
+    * narrow pass, degrade-don't-throw.
     */
   def audioStats(spark: SparkSession, media: Dataset[MediaFile]): Dataset[AudioStats] = {
     import spark.implicits._
@@ -2006,12 +2060,13 @@ object Multimodal {
       val hdr = Containers.parse(m.content)
       // widen the WAV path's Array[Short] to the FLAC path's Int — one
       // reduction loop beats two diverging copies of it
-      val s: Array[Int] =
-        if (hdr.format == "flac") Flac.samples(m.content)
-        else {
+      val s: Array[Int] = hdr.format match {
+        case "flac" => Flac.samples(m.content)
+        case "oggflac" => Ogg.flacSamples(m.content)
+        case _ =>
           val w = Containers.wavSamples(m.content)
           if (w == null) null else w.map(_.toInt)
-        }
+      }
       if (s == null) AudioStats(m.media_id, -1L, -1L, -1L, -1L)
       else {
         var peak = 0L; var sq = 0L

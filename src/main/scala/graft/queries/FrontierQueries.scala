@@ -238,6 +238,21 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // REAL Ogg-FLAC decode: CRC-32-verified page walk, lacing-value
+    // packet reassembly (incl. packets continued across pages), the
+    // Xiph mapping header with its header-packet skip, then the FLAC
+    // frame decoder — the oracle replays the sample formulas; both
+    // container AND codec must vanish.
+    "multimodal_audio_oggflac" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoOggFlacCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.audioStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // REAL lossless-WebP (VP8L) pixel decode: prefix trees described
     // by code-length codes, simple codes, 2-D-distance LZ77, and the
     // subtract-green transform, across four encoder shapes — the
@@ -1396,6 +1411,31 @@ object FrontierQueries {
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
 
+    // Replays the Ogg-FLAC corpus sample formulas per id%4 shape —
+    // sawtooth / noise / interleaved stereo / constant. Lossless:
+    // neither the Ogg framing nor the FLAC codec may appear.
+    "multimodal_audio_oggflac" ->
+      """WITH m AS (SELECT doc_id, 150 + doc_id % 80 AS n,
+        |    doc_id % 4 AS var FROM documents),
+        |s AS (SELECT doc_id, n,
+        |    CASE var
+        |      WHEN 0 THEN list_transform(range(0, n),
+        |        j -> ((doc_id % 40 + 2) * j) % 4096 - 2048)
+        |      WHEN 1 THEN list_transform(range(0, n),
+        |        j -> (doc_id*17 + j*31) % 65536 - 32768)
+        |      WHEN 2 THEN flatten(list_transform(range(0, n), j ->
+        |        [(doc_id*17 + j*31) % 65536 - 32768,
+        |         (doc_id*23 + j*29) % 65536 - 32768]))
+        |      ELSE list_transform(range(0, n),
+        |        j -> (doc_id*41) % 5000 - 2500)
+        |    END AS vs
+        |  FROM m)
+        |SELECT doc_id AS media_id, 16000::BIGINT AS sample_rate,
+        |  length(vs)::BIGINT AS n_samples,
+        |  list_max(list_transform(vs, y -> abs(y)))::BIGINT AS peak_abs,
+        |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
+        |FROM s ORDER BY media_id""".stripMargin,
+
     // Replays the WebP corpus closed forms per id%4 shape: literal /
     // subtract-green sums are the (id*31 + i*7)%256 generator;
     // checkerboard counts even-parity cells in closed form; row-copy
@@ -1913,15 +1953,17 @@ object FrontierQueries {
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
 
-    // Replays the planted-failure generator: each id%23 residue maps
+    // Replays the planted-failure generator: each id%25 residue maps
     // to a fixed (container, reason) pair across all ingest families —
     // the four zstd outcomes of the RFC 8878 decoder, the two WebP
     // outcomes of the VP8L decoder, the mixed-member `.warc.gz`
     // recovery class (`ok_skipped_members`, distinct from corrupt),
-    // and the two FLAC outcomes (real decode / CRC-caught damage).
+    // the two FLAC outcomes (real decode / CRC-caught damage), and
+    // the two Ogg outcomes (real Ogg-FLAC decode / Vorbis named as a
+    // profile gap).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 23
+        |    CASE doc_id % 25
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
@@ -1929,9 +1971,10 @@ object FrontierQueries {
         |      WHEN 12 THEN 'wav' WHEN 13 THEN 'wav' WHEN 14 THEN 'warc'
         |      WHEN 15 THEN 'zstd' WHEN 16 THEN 'zstd' WHEN 17 THEN 'zstd'
         |      WHEN 18 THEN 'webp' WHEN 19 THEN 'webp' WHEN 20 THEN 'warc'
-        |      ELSE 'flac'
+        |      WHEN 21 THEN 'flac' WHEN 22 THEN 'flac'
+        |      WHEN 23 THEN 'oggflac' ELSE 'ogg_vorbis'
         |    END AS format,
-        |    CASE doc_id % 23
+        |    CASE doc_id % 25
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -1945,7 +1988,8 @@ object FrontierQueries {
         |      WHEN 17 THEN 'unknown_container'
         |      WHEN 18 THEN 'ok' WHEN 19 THEN 'unsupported_profile'
         |      WHEN 20 THEN 'ok_skipped_members'
-        |      WHEN 21 THEN 'ok' ELSE 'corrupt'
+        |      WHEN 21 THEN 'ok' WHEN 22 THEN 'corrupt'
+        |      WHEN 23 THEN 'ok' ELSE 'unsupported_profile'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n
