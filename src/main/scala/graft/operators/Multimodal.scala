@@ -1887,6 +1887,82 @@ object Multimodal {
     })
   }
 
+  /** Deterministic camera-JPEG corpus: every blob is a real JPEG with
+    * a real EXIF APP1 planted after SOI, fields by closed formulas —
+    * orientation `1 + id%8`, DateTime from id (year 2000+id%25 …
+    * sec (id·7)%60), Make `cam_(id%13)`, Model `mdl_(id%11)`, GPS
+    * latitude `(N/S by id%2, id%90°, id%60', (id·7)%6000 centi-sec)`,
+    * longitude `(E/W by id%3, id%180°, (id·3)%60', (id·11)%6000)`.
+    * The oracle replays the formulas, so extraction must invert the
+    * TIFF/IFD layout exactly — and the strip oracle replays the APP1
+    * byte size, so removal must be byte-exact too.
+    */
+  def demoExifCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val jpeg = Containers.synthJpegGray(16, 8,
+        (bx, by) => ((id * 31 + (by * 2 + bx) * 7) % 256).toInt)
+      val meta = Exif.ExifMeta(
+        orientation = 1 + id % 8,
+        dateTime = f"${2000 + id % 25}%04d:${1 + id % 12}%02d:${1 + id % 28}%02d " +
+          f"${id % 24}%02d:${id % 60}%02d:${(id * 7) % 60}%02d",
+        make = s"cam_${id % 13}", model = s"mdl_${id % 11}",
+        latRef = if (id % 2 == 0) "N" else "S",
+        latDeg = id % 90, latMin = id % 60, latSecCenti = (id * 7) % 6000,
+        lonRef = if (id % 3 == 0) "E" else "W",
+        lonDeg = id % 180, lonMin = (id * 3) % 60, lonSecCenti = (id * 11) % 6000)
+      MediaFile(id, "image", Exif.withApp1(jpeg, Exif.synthApp1(meta)))
+    })
+  }
+
+  case class ExifRow(media_id: Long, orientation: Long, date_time: String,
+      make: String, model: String,
+      lat_ref: String, lat_deg: Long, lat_min: Long, lat_sec_centi: Long,
+      lon_ref: String, lon_deg: Long, lon_min: Long, lon_sec_centi: Long)
+
+  /** EXIF extraction — the audit half of the image privacy pass:
+    * marker walk to APP1, TIFF/IFD parse (both byte orders, inline
+    * rule, GPS sub-IFD), GPS as integer deg/min/centi-sec. Blobs
+    * without EXIF yield the empty row, damaged walks too (the strip
+    * half is where damage must NOT pass silently).
+    */
+  def exifExtract(spark: SparkSession, media: Dataset[MediaFile]): Dataset[ExifRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val e = Exif.fromJpeg(m.content)
+      if (e == null)
+        ExifRow(m.media_id, 0L, "", "", "", "", 0L, 0L, 0L, "", 0L, 0L, 0L)
+      else ExifRow(m.media_id, e.orientation, e.dateTime, e.make, e.model,
+        e.latRef, e.latDeg, e.latMin, e.latSecCenti,
+        e.lonRef, e.lonDeg, e.lonMin, e.lonSecCenti)
+    })
+  }
+
+  case class ExifStripRow(media_id: Long, had_exif: Long, had_gps: Long,
+      exif_after: Long, pixels_ok: Long, bytes_removed: Long)
+
+  /** EXIF strip — the redaction half: remove every Exif APP1, verify
+    * the result (re-extraction finds nothing; pixels still decode —
+    * a privacy pass that breaks the image is as useless as one that
+    * leaks), and account for the removed bytes. A damaged segment
+    * walk reports had_exif = −1 rather than passing unverified bytes.
+    */
+  def exifStrip(spark: SparkSession, media: Dataset[MediaFile]): Dataset[ExifStripRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val before = Exif.fromJpeg(m.content)
+      val stripped = Exif.stripJpeg(m.content)
+      if (stripped == null) ExifStripRow(m.media_id, -1L, -1L, -1L, -1L, -1L)
+      else ExifStripRow(m.media_id,
+        had_exif = if (before != null) 1L else 0L,
+        had_gps = if (before != null && (before.latRef.nonEmpty ||
+          before.lonRef.nonEmpty)) 1L else 0L,
+        exif_after = if (Exif.fromJpeg(stripped) != null) 1L else 0L,
+        pixels_ok = if (imagePixelBytes(stripped) != null) 1L else 0L,
+        bytes_removed = (m.content.length - stripped.length).toLong)
+    })
+  }
+
   /** Deterministic lossless-WebP corpus cycling the VP8L encoder
     * shapes by `id mod 4`: 0 → full-literal (every channel through
     * the code-length-coded prefix trees), 1 → two-color checkerboard

@@ -238,6 +238,34 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // EXIF extraction — the audit half of the image privacy pass:
+    // JPEG marker walk to APP1, TIFF/IFD parse with the 4-byte inline
+    // rule, the GPS sub-IFD, and integer-exact deg/min/centi-sec
+    // coordinates. The oracle replays the planted-field formulas.
+    "multimodal_exif" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoExifCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.exifExtract(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
+    // EXIF strip — the redaction half: remove the APP1, verify
+    // re-extraction finds nothing and pixels still decode, account
+    // for removed bytes byte-exactly (the oracle recomputes the APP1
+    // size from the planted string lengths).
+    "exif_strip_privacy" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoExifCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.exifStrip(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // REAL Ogg-FLAC decode: CRC-32-verified page walk, lacing-value
     // packet reassembly (incl. packets continued across pages), the
     // Xiph mapping header with its header-packet skip, then the FLAC
@@ -1410,6 +1438,40 @@ object FrontierQueries {
         |  list_max(list_transform(vs, y -> abs(y)))::BIGINT AS peak_abs,
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // Replays the EXIF corpus's planted-field formulas; extraction
+    // must invert the TIFF/IFD layout exactly to match.
+    "multimodal_exif" ->
+      """SELECT doc_id AS media_id,
+        |  (1 + doc_id % 8)::BIGINT AS orientation,
+        |  printf('%04d:%02d:%02d %02d:%02d:%02d',
+        |    2000 + doc_id % 25, 1 + doc_id % 12, 1 + doc_id % 28,
+        |    doc_id % 24, doc_id % 60, (doc_id * 7) % 60) AS date_time,
+        |  'cam_' || (doc_id % 13)::VARCHAR AS make,
+        |  'mdl_' || (doc_id % 11)::VARCHAR AS model,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+        |  (doc_id % 90)::BIGINT AS lat_deg,
+        |  (doc_id % 60)::BIGINT AS lat_min,
+        |  ((doc_id * 7) % 6000)::BIGINT AS lat_sec_centi,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+        |  (doc_id % 180)::BIGINT AS lon_deg,
+        |  ((doc_id * 3) % 60)::BIGINT AS lon_min,
+        |  ((doc_id * 11) % 6000)::BIGINT AS lon_sec_centi
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Replays the strip accounting: every blob had EXIF with GPS,
+    // none after, pixels survive, and the removed byte count is the
+    // APP1's exact size — marker+len (4) + 'Exif\0\0' (6) + TIFF
+    // header+IFD0 (74) + NUL-terminated make/model + DateTime (20) +
+    // GPS IFD (54) + two DMS rational triples (48).
+    "exif_strip_privacy" ->
+      """SELECT doc_id AS media_id, 1::BIGINT AS had_exif,
+        |  1::BIGINT AS had_gps, 0::BIGINT AS exif_after,
+        |  1::BIGINT AS pixels_ok,
+        |  (4 + 6 + 74 + length('cam_' || (doc_id % 13)::VARCHAR) + 1
+        |     + length('mdl_' || (doc_id % 11)::VARCHAR) + 1
+        |     + 20 + 54 + 48)::BIGINT AS bytes_removed
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // Replays the Ogg-FLAC corpus sample formulas per id%4 shape —
     // sawtooth / noise / interleaved stereo / constant. Lossless:
