@@ -356,6 +356,15 @@ object Multimodal {
           } else ("zstd", "unknown_container") // sound zstd, unrecognized payload
       }
     }
+    if (Zip.isZip(b)) {
+      // REAL walk + full-member decode: a shard with any damaged
+      // member is quarantined whole. ZIP64 and non-STORED/DEFLATE
+      // methods are NAMED profile gaps, distinct from damage.
+      if (Zip.members(b) != null) return ("zip", "ok")
+      if (Zip.isZip64(b) || Zip.unsupportedMethod(b))
+        return ("zip", "unsupported_profile")
+      return ("zip", "corrupt")
+    }
     // ftyp-less CMAF/DASH media segment ([styp][moof][mdat]) — the
     // normal shape of a streaming capture; Containers.parse can't
     // name it (it keys on ftyp), but the styp brand box can, and the
@@ -387,7 +396,7 @@ object Multimodal {
   }
 
   /** Deterministic decode-forensics corpus planting one failure class
-    * per `id mod 25` residue, now covering every ingest family:
+    * per `id mod 27` residue, now covering every ingest family:
     * 0 → valid BMP (`ok`), 1 → valid PNG (`ok`), 2 → TIFF with its
     * Compression tag rewritten to JPEG-in-TIFF (`unsupported_profile`),
     * 3 → PNG truncated mid-IDAT (`corrupt`), 4 → magic-free garbage
@@ -425,7 +434,10 @@ object Multimodal {
     * (`flac`/`corrupt`), 23 → a valid Ogg-FLAC stream decoded for
     * REAL via [[Ogg]] + [[Flac]] (`oggflac`/`ok`), 24 → a
     * Vorbis-headed Ogg stream — sound container, named codec outside
-    * scope (`ogg_vorbis`/`unsupported_profile`).
+    * scope (`ogg_vorbis`/`unsupported_profile`), 25 → a valid ZIP
+    * shard, every member decoded and CRC-checked via [[Zip]]
+    * (`zip`/`ok`), 26 → the same ZIP with one deflate byte flipped so
+    * the member CRC-32 catches it (`zip`/`corrupt`).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -444,7 +456,7 @@ object Multimodal {
       def wavBytes = Containers.synthWav(8000, 1, 16,
         Array.tabulate((64 + id % 32).toInt * 2)(j =>
           ((id * 11 + j * 37) % 256).toByte))
-      val blob = (id % 25) match {
+      val blob = (id % 27) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -559,7 +571,17 @@ object Multimodal {
           f
         case 23 => Ogg.synthOggFlac(16000, 1, Array.tabulate((64 + id % 64).toInt)(
           j => ((id * 13 + j.toLong * 37) % 65536 - 32768).toInt))
-        case _ => Ogg.synthVorbisStub(44100, 2)
+        case 24 => Ogg.synthVorbisStub(44100, 2)
+        case 25 => Zip.synthZip(Seq((s"m$id.txt",
+          Array.tabulate((24 + id % 24).toInt)(j =>
+            ((id * 19 + j * 7) % 256).toByte), true)))
+        case _ =>
+          // flip one deflate byte mid-member: CRC-32 must catch it
+          val z = Zip.synthZip(Seq((s"m$id.txt",
+            Array.tabulate((24 + id % 24).toInt)(j =>
+              ((id * 19 + j * 7) % 256).toByte), true)))
+          z(40) = (z(40) ^ 0x15).toByte
+          z
       }
       MediaFile(id, "image", blob)
     })
@@ -1669,6 +1691,71 @@ object Multimodal {
     * output is one row per sample. Corrupt shards degrade to a single
     * (-1 …) sentinel row.
     */
+  /** ZIP-shard regrouping — same WebDataset key convention as the tar
+    * walk, over [[Zip]] archives: central-directory walk, per-member
+    * STORED/DEFLATE decode with CRC-32 verification, directory
+    * entries skipped. A shard with any damaged member degrades whole
+    * (the sentinel row), matching the quarantine posture.
+    */
+  def zipShardSamples(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[ShardSample] = {
+    import spark.implicits._
+    media.flatMap { m =>
+      val members = Zip.members(m.content)
+      if (members == null) Seq(ShardSample(m.media_id, "", -1, -1L, -1L))
+      else members
+        .groupBy { case (name, _) =>
+          val base = name.lastIndexOf('/') + 1
+          val dot = name.indexOf('.', base)
+          if (dot < 0) name else name.substring(0, dot)
+        }
+        .toSeq.map { case (key, parts) =>
+          var bytes = 0L; var sum = 0L
+          parts.foreach { case (_, data) =>
+            bytes += data.length
+            var j = 0
+            while (j < data.length) {
+              sum += java.lang.Byte.toUnsignedInt(data(j)); j += 1
+            }
+          }
+          ShardSample(m.media_id, key, parts.length, bytes, sum)
+        }
+    }
+  }
+
+  /** Deterministic ZIP-shard corpus: same sample formulas as the tar
+    * twin (shard `id` holds `2 + id%3` samples; sample `s` ships a
+    * `%06d.txt` part of `16 + (id+s)%8` bytes, byte `j` =
+    * `(id*31 + s*17 + j*7) % 256`, plus a 1-byte `%06d.cls` label
+    * `(id+s) % 256`) so compression must be transparent. The ARCHIVE
+    * layout cycles `id mod 3`: 0 → flat names, .txt DEFLATED and .cls
+    * STORED (both methods in one archive); 1 → under a dotted
+    * directory `imgs.{id%5}/` WITH its explicit directory entry the
+    * reader must skip; 2 → everything DEFLATED under `d{id%7}/`.
+    */
+  def demoZipShards(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nSamples = (2 + id % 3).toInt
+      val dir = (id % 3) match {
+        case 0 => ""
+        case 1 => s"imgs.${id % 5}/"
+        case _ => s"d${id % 7}/"
+      }
+      val files = Seq.newBuilder[(String, Array[Byte], Boolean)]
+      if (id % 3 == 1) files += ((dir, Array.empty[Byte], false)) // dir entry
+      val deflateAll = id % 3 == 2
+      for (s <- 0 until nSamples) {
+        val txt = Array.tabulate((16 + (id + s) % 8).toInt)(j =>
+          ((id * 31 + s * 17 + j * 7) % 256).toByte)
+        files += ((f"$dir$s%06d.txt", txt, true))
+        files += ((f"$dir$s%06d.cls",
+          Array(((id + s) % 256).toByte), deflateAll))
+      }
+      MediaFile(id, "shard", Zip.synthZip(files.result()))
+    })
+  }
+
   def tarShardSamples(spark: SparkSession,
       media: Dataset[MediaFile]): Dataset[ShardSample] = {
     import spark.implicits._

@@ -204,6 +204,22 @@ object FrontierQueries {
         .toDF().orderBy("shard_id", "sample_key")
     }),
 
+    // ZIP-shard reading — the other archive format real datasets ship
+    // in: EOCD scan, central-directory walk, per-member local-header
+    // re-read, STORED + DEFLATE decode with CRC-32 verification,
+    // directory entries skipped, WebDataset key regrouping. The
+    // oracle replays the shard generator; compression and framing
+    // must be transparent.
+    "shard_zip_samples" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoZipShards(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.zipShardSamples(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("shard_id", "sample_key")
+    }),
+
     // Common-Crawl-shaped WARC ingest: walk REAL record structure
     // (version line, CRLF headers, Content-Length blocks) and reduce
     // the response payloads; odd crawls ship as `.warc.gz` with each
@@ -1399,6 +1415,29 @@ object FrontierQueries {
         |   + (doc_id + s) % 256)::BIGINT AS byte_sum
         |FROM k ORDER BY shard_id, sample_key""".stripMargin,
 
+    // Replays the zip-shard generator: same sample formulas as the
+    // tar twin, keys carrying the per-layout directory (flat /
+    // dotted-dir-with-entry / deflate-all) — the dot inside "imgs.N"
+    // pins the key split starting at the basename.
+    "shard_zip_samples" ->
+      """WITH m AS (SELECT doc_id,
+        |    unnest(range(0, (2 + doc_id % 3)::BIGINT)) AS s
+        |  FROM documents),
+        |k AS (SELECT doc_id, s,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN ''
+        |      WHEN 1 THEN 'imgs.' || (doc_id % 5)::VARCHAR || '/'
+        |      ELSE 'd' || (doc_id % 7)::VARCHAR || '/'
+        |    END || lpad(s::VARCHAR, 6, '0') AS sample_key
+        |  FROM m)
+        |SELECT doc_id AS shard_id, sample_key,
+        |  2::INT AS n_parts,
+        |  (16 + (doc_id + s) % 8 + 1)::BIGINT AS n_bytes,
+        |  (list_sum(list_transform(range(0, 16 + (doc_id + s) % 8),
+        |     j -> (doc_id*31 + s*17 + j*7) % 256))
+        |   + (doc_id + s) % 256)::BIGINT AS byte_sum
+        |FROM k ORDER BY shard_id, sample_key""".stripMargin,
+
     // Replays the WARC generator: records cycle
     // response/request/metadata; only responses are reduced.
     "warc_extract" ->
@@ -2015,17 +2054,18 @@ object FrontierQueries {
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
 
-    // Replays the planted-failure generator: each id%25 residue maps
+    // Replays the planted-failure generator: each id%27 residue maps
     // to a fixed (container, reason) pair across all ingest families —
     // the four zstd outcomes of the RFC 8878 decoder, the two WebP
     // outcomes of the VP8L decoder, the mixed-member `.warc.gz`
     // recovery class (`ok_skipped_members`, distinct from corrupt),
-    // the two FLAC outcomes (real decode / CRC-caught damage), and
-    // the two Ogg outcomes (real Ogg-FLAC decode / Vorbis named as a
-    // profile gap).
+    // the two FLAC outcomes (real decode / CRC-caught damage), the
+    // two Ogg outcomes (real Ogg-FLAC decode / Vorbis named as a
+    // profile gap), and the two ZIP outcomes (full-member decode /
+    // member-CRC-caught damage).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 25
+        |    CASE doc_id % 27
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
@@ -2034,9 +2074,10 @@ object FrontierQueries {
         |      WHEN 15 THEN 'zstd' WHEN 16 THEN 'zstd' WHEN 17 THEN 'zstd'
         |      WHEN 18 THEN 'webp' WHEN 19 THEN 'webp' WHEN 20 THEN 'warc'
         |      WHEN 21 THEN 'flac' WHEN 22 THEN 'flac'
-        |      WHEN 23 THEN 'oggflac' ELSE 'ogg_vorbis'
+        |      WHEN 23 THEN 'oggflac' WHEN 24 THEN 'ogg_vorbis'
+        |      ELSE 'zip'
         |    END AS format,
-        |    CASE doc_id % 25
+        |    CASE doc_id % 27
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -2051,7 +2092,8 @@ object FrontierQueries {
         |      WHEN 18 THEN 'ok' WHEN 19 THEN 'unsupported_profile'
         |      WHEN 20 THEN 'ok_skipped_members'
         |      WHEN 21 THEN 'ok' WHEN 22 THEN 'corrupt'
-        |      WHEN 23 THEN 'ok' ELSE 'unsupported_profile'
+        |      WHEN 23 THEN 'ok' WHEN 24 THEN 'unsupported_profile'
+        |      WHEN 25 THEN 'ok' ELSE 'corrupt'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n

@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Zip
+
+/** ZIP walk conformance. Unlike tar, the JDK SHIPS a zip
+  * implementation, so this is interop-pinned both directions:
+  * `java.util.zip.ZipOutputStream` output must read back through our
+  * walk, and our synthesizer's output must read back through
+  * `java.util.zip.ZipInputStream` — plus the usual
+  * corruption-degrades / bomb-cap / profile-gap checks.
+  */
+class ZipSpec extends AnyFunSuite {
+
+  private def gen(n: Int, seed: Int): Array[Byte] =
+    Array.tabulate(n)(j => ((seed * 13 + j * 37) % 256).toByte)
+
+  test("jdk-written archives read back through the walk") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    // a directory entry, a deflated file, and a stored file
+    zos.putNextEntry(new java.util.zip.ZipEntry("d/"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("d/a.txt"))
+    zos.write(gen(300, 5)); zos.closeEntry()
+    val stored = new java.util.zip.ZipEntry("b.bin")
+    stored.setMethod(java.util.zip.ZipOutputStream.STORED)
+    stored.setSize(40)
+    val crc = new java.util.zip.CRC32(); crc.update(gen(40, 7))
+    stored.setCrc(crc.getValue)
+    zos.putNextEntry(stored)
+    zos.write(gen(40, 7)); zos.closeEntry()
+    zos.close()
+    val b = bos.toByteArray
+    assert(Zip.isZip(b))
+    val m = Zip.members(b)
+    assert(m != null && m.length == 2) // the directory entry is skipped
+    assert(m.map(_._1).toSeq == Seq("d/a.txt", "b.bin"))
+    assert(m(0)._2.toSeq == gen(300, 5).toSeq)
+    assert(m(1)._2.toSeq == gen(40, 7).toSeq)
+  }
+
+  test("synthesized archives read back through the jdk") {
+    val z = Zip.synthZip(Seq(
+      ("x/", Array.empty[Byte], false),
+      ("x/0001.txt", gen(200, 9), true),
+      ("x/0001.cls", gen(1, 11), false)))
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(z))
+    var names = List.empty[String]
+    var bytes = List.empty[Seq[Byte]]
+    var e = zis.getNextEntry
+    while (e != null) {
+      names ::= e.getName
+      bytes ::= zis.readAllBytes().toSeq
+      e = zis.getNextEntry
+    }
+    zis.close()
+    assert(names.reverse == List("x/", "x/0001.txt", "x/0001.cls"))
+    assert(bytes.reverse(1) == gen(200, 9).toSeq)
+    assert(bytes.reverse(2) == gen(1, 11).toSeq)
+    // and through our own walk
+    assert(Zip.members(z).map(_._1).toSeq == Seq("x/0001.txt", "x/0001.cls"))
+    // trailing archive comment: tolerated when the EOCD's comment
+    // length is consistent, rejected when bytes dangle unexplained
+    val commented = z ++ "hi".getBytes("US-ASCII")
+    commented(z.length - 2) = 2 // EOCD comment-length field
+    assert(Zip.members(commented).map(_._1).toSeq ==
+      Seq("x/0001.txt", "x/0001.cls"))
+    assert(Zip.members(z ++ Array[Byte](0, 0)) == null)
+  }
+
+  test("corruption degrades to null, never half-reads") {
+    val z = Zip.synthZip(Seq(("a.txt", gen(120, 3), true),
+      ("b.txt", gen(60, 4), false)))
+    assert(Zip.members(z) != null)
+    // flip bytes through the deflate stream, the stored data, the
+    // central directory, and the EOCD: every flip must be caught
+    // (CRC-32, signature, or structural check), and a shard with ANY
+    // bad member yields null, not the good half
+    for (i <- Seq(35, 40, z.length - 30, z.length - 10, z.length / 2))
+      {
+        val bad = z.clone()
+        bad(i) = (bad(i) ^ 0x2A).toByte
+        val got = Zip.members(bad)
+        assert(got == null ||
+          (got.length == 2 && got(0)._2.toSeq == gen(120, 3).toSeq &&
+            got(1)._2.toSeq == gen(60, 4).toSeq),
+          s"flip at $i half-read or mis-read")
+      }
+    // truncation: mid-member, mid-central-directory, mid-EOCD
+    for (cut <- Seq(10, z.length / 2, z.length - 4))
+      assert(Zip.members(java.util.Arrays.copyOf(z, cut)) == null, s"cut=$cut")
+    assert(Zip.members(gen(64, 6)) == null)
+  }
+
+  test("profile gaps are named, not misread") {
+    // an unsupported compression method (bzip2 = 12): hand-patch the
+    // method field in both the local header and the central directory
+    val z = Zip.synthZip(Seq(("a.bin", gen(50, 8), false)))
+    def leU16(b: Array[Byte], i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    // local header method at offset 8; central entry method at cd+10
+    z(8) = 12
+    var cd = -1
+    for (i <- 0 until z.length - 4)
+      if (z(i) == 'P' && z(i + 1) == 'K' && z(i + 2) == 1 && z(i + 3) == 2) cd = i
+    z(cd + 10) = 12
+    assert(Zip.members(z) == null)
+    assert(Zip.unsupportedMethod(z))
+    assert(!Zip.isZip64(z))
+    assert(leU16(z, cd + 28) == 5) // sanity: name length intact
+  }
+
+  test("expansion bomb caps instead of OOMing") {
+    // forge the sizes: a member CLAIMING > 2^30 expanded bytes is
+    // rejected before allocation (members() budget check)
+    val big = Zip.synthZip(Seq(("a.txt", gen(100, 2), true)))
+    var cd = -1
+    for (i <- 0 until big.length - 4)
+      if (big(i) == 'P' && big(i + 1) == 'K' && big(i + 2) == 1 && big(i + 3) == 2) cd = i
+    // central usize at cd+24 → 2 GiB
+    big(cd + 24) = 0; big(cd + 25) = 0; big(cd + 26) = 0; big(cd + 27) = 0x80.toByte
+    assert(Zip.members(big) == null)
+  }
+}
