@@ -9,6 +9,9 @@ object ProfileOne {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = Profiling.session()
     val fn = graft.SparkEntry.queries(name)
+    // GRAFT_EXPLAIN=1 dumps the formatted physical plan before timing
+    // (the scale audit: joins chosen, filters pushed, codegen spans)
+    if (sys.env.contains("GRAFT_EXPLAIN")) fn(spark, dir).explain("formatted")
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
       Profiling.noop(fn(spark, dir))

@@ -1974,6 +1974,60 @@ object Multimodal {
     })
   }
 
+  /** Deterministic subtitle corpus: doc `id` renders `3 + id%4` cues
+    * as REAL WebVTT (even ids — `WEBVTT` header, cue-identifier
+    * lines, cue settings after the end timestamp when `id%4 == 0`)
+    * or REAL SubRip SRT (odd ids — numeric indices, comma decimal
+    * separator). Cue `c` spans `[c·25000 + (id%7)·100,
+    * +15000 + (id%5)·100)` ms (gaps between cues are real) with text
+    * `cap id c`, split across two lines when `c` is odd (the parser
+    * must re-join). The alignment oracle replays the formulas, so
+    * timestamp parsing and the band join must both be exact.
+    */
+  def demoCaptionDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (3 + id % 4).toInt
+      def ts(ms: Long, comma: Boolean): String = {
+        val h = ms / 3600000; val m = (ms / 60000) % 60
+        val s = (ms / 1000) % 60; val f = ms % 1000
+        f"$h%02d:$m%02d:$s%02d${if (comma) "," else "."}$f%03d"
+      }
+      val vtt = id % 2 == 0
+      val sb = new StringBuilder
+      if (vtt) sb.append("WEBVTT\n\n")
+      for (c <- 0 until n) {
+        val start = c * 25000L + (id % 7) * 100
+        val end = start + 15000 + (id % 5) * 100
+        if (vtt) {
+          sb.append(s"cue-$c\n") // identifier line the parser must skip
+          sb.append(s"${ts(start, comma = false)} --> ${ts(end, comma = false)}")
+          if (id % 4 == 0) sb.append(" align:start position:10%")
+          sb.append('\n')
+        } else {
+          sb.append(s"${c + 1}\n")
+          sb.append(s"${ts(start, comma = true)} --> ${ts(end, comma = true)}\n")
+        }
+        if (c % 2 == 1) sb.append(s"cap $id\n$c\n") // two-line cue text
+        else sb.append(s"cap $id $c\n")
+        sb.append('\n')
+      }
+      (id, sb.toString)
+    }).toDF("media_id", "caption_text")
+  }
+
+  /** Deterministic sampled-frame timeline: doc `id` has `5 + id%4`
+    * frames, frame `f` at `f·21000 + (id%11)·50` ms — landing some
+    * frames inside cues and some in the gaps between them.
+    */
+  def demoFrameTimes(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].flatMap { id =>
+      (0 until (5 + id % 4).toInt).map(f =>
+        (id, f.toLong, f * 21000L + (id % 11) * 50))
+    }.toDF("media_id", "frame_idx", "t_ms")
+  }
+
   /** Deterministic camera-JPEG corpus: every blob is a real JPEG with
     * a real EXIF APP1 planted after SOI, fields by closed formulas —
     * orientation `1 + id%8`, DateTime from id (year 2000+id%25 …

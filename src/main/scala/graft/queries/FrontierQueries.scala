@@ -254,6 +254,24 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // Caption-to-frame alignment — how video-text training pairs are
+    // made: parse REAL WebVTT and SRT (identifier lines, cue
+    // settings, comma/dot decimals, multi-line text), then align
+    // sampled frame timestamps to covering cues with a doc-key
+    // equality join carrying the time band as residual. LEFT join:
+    // frames in caption gaps surface with cue_idx -1.
+    "caption_frame_align" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val capDocs = graft.operators.Multimodal.demoCaptionDocs(s, docs)
+      val cues = capDocs.as[(Long, String)].flatMap { case (id, text) =>
+        graft.operators.Captions.parse(id, text)
+      }
+      graft.operators.Captions.alignFrames(s, cues,
+          graft.operators.Multimodal.demoFrameTimes(s, docs))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // EXIF extraction — the audit half of the image privacy pass:
     // JPEG marker walk to APP1, TIFF/IFD parse with the 4-byte inline
     // rule, the GPS sub-IFD, and integer-exact deg/min/centi-sec
@@ -1477,6 +1495,29 @@ object FrontierQueries {
         |  list_max(list_transform(vs, y -> abs(y)))::BIGINT AS peak_abs,
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // Replays the caption and frame-time formulas and re-derives the
+    // alignment relationally — cue c covers [c*25000 + (id%7)*100,
+    // +15000 + (id%5)*100); frames outside every cue keep -1/''.
+    "caption_frame_align" ->
+      """WITH c AS (SELECT doc_id,
+        |    unnest(range(0, (3 + doc_id % 4)::BIGINT)) AS c FROM documents),
+        |cues AS (SELECT doc_id, c::INT AS cue_idx,
+        |    c*25000 + (doc_id % 7)*100 AS start_ms,
+        |    c*25000 + (doc_id % 7)*100 + 15000 + (doc_id % 5)*100 AS end_ms,
+        |    'cap ' || doc_id::VARCHAR || ' ' || c::VARCHAR AS text
+        |  FROM c),
+        |f AS (SELECT doc_id,
+        |    unnest(range(0, (5 + doc_id % 4)::BIGINT)) AS f FROM documents),
+        |frames AS (SELECT doc_id AS media_id, f::BIGINT AS frame_idx,
+        |    (f*21000 + (doc_id % 11)*50)::BIGINT AS t_ms FROM f)
+        |SELECT frames.media_id, frames.frame_idx, frames.t_ms,
+        |  coalesce(cues.cue_idx, -1)::INT AS cue_idx,
+        |  coalesce(cues.text, '') AS cue_text
+        |FROM frames LEFT JOIN cues
+        |  ON frames.media_id = cues.doc_id
+        |  AND frames.t_ms >= cues.start_ms AND frames.t_ms < cues.end_ms
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // Replays the EXIF corpus's planted-field formulas; extraction
     // must invert the TIFF/IFD layout exactly to match.
