@@ -62,17 +62,16 @@ object Containers {
         channels = si.channels, bitsPerSample = si.bps)
     }
     else if (Ogg.isOgg(b)) {
-      // the codec is named from the first packet's magic — damaged
-      // containers (CRC, framing) degrade to unknown, sound ones with
-      // an unrecognized codec stay "ogg" for the classifier to report
-      Ogg.codec(b) match {
+      // ONE probe walk names the codec AND yields the FLAC STREAMINFO
+      // — damaged containers (CRC, framing, page loss) degrade to
+      // unknown, sound ones with an unrecognized codec stay "ogg"
+      Ogg.probe(b) match {
         case null => unknown
-        case "oggflac" =>
-          val si = Ogg.flacStreamInfo(b)
+        case ("oggflac", si) =>
           if (si == null) unknown
           else MediaHeader("oggflac", sampleRate = si.sampleRate,
             channels = si.channels, bitsPerSample = si.bps)
-        case c => MediaHeader(c)
+        case (c, _) => MediaHeader(c)
       }
     }
     else if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8 && u8(b, 2) == 0xFF)

@@ -576,11 +576,15 @@ object Multimodal {
           Array.tabulate((24 + id % 24).toInt)(j =>
             ((id * 19 + j * 7) % 256).toByte), true)))
         case _ =>
-          // flip one deflate byte mid-member: CRC-32 must catch it
+          // flip one deflate byte mid-member: CRC-32 must catch it.
+          // Offset computed RELATIVE to the data start (30-byte local
+          // header + name) — an absolute offset would drift into the
+          // unchecked name field once ids grow more digits
           val z = Zip.synthZip(Seq((s"m$id.txt",
             Array.tabulate((24 + id % 24).toInt)(j =>
               ((id * 19 + j * 7) % 256).toByte), true)))
-          z(40) = (z(40) ^ 0x15).toByte
+          val dataStart = 30 + s"m$id.txt".length
+          z(dataStart + 3) = (z(dataStart + 3) ^ 0x15).toByte
           z
       }
       MediaFile(id, "image", blob)
@@ -1704,11 +1708,7 @@ object Multimodal {
       val members = Zip.members(m.content)
       if (members == null) Seq(ShardSample(m.media_id, "", -1, -1L, -1L))
       else members
-        .groupBy { case (name, _) =>
-          val base = name.lastIndexOf('/') + 1
-          val dot = name.indexOf('.', base)
-          if (dot < 0) name else name.substring(0, dot)
-        }
+        .groupBy { case (name, _) => webdatasetKey(name) }
         .toSeq.map { case (key, parts) =>
           var bytes = 0L; var sum = 0L
           parts.foreach { case (_, data) =>
@@ -1756,6 +1756,18 @@ object Multimodal {
     })
   }
 
+  /** WebDataset sample key = path up to the first dot of the
+    * BASENAME — dots are legal in directory names ("v1.2/0001.txt"
+    * keys as "v1.2/0001", not "v1"), so the split must start after
+    * the last '/'. The ONE definition both shard readers (tar, zip)
+    * share, so the convention can't silently diverge between them.
+    */
+  private def webdatasetKey(name: String): String = {
+    val base = name.lastIndexOf('/') + 1
+    val dot = name.indexOf('.', base)
+    if (dot < 0) name else name.substring(0, dot)
+  }
+
   def tarShardSamples(spark: SparkSession,
       media: Dataset[MediaFile]): Dataset[ShardSample] = {
     import spark.implicits._
@@ -1763,15 +1775,7 @@ object Multimodal {
       val entries = Containers.tarEntries(m.content)
       if (entries == null) Seq(ShardSample(m.media_id, "", -1, -1L, -1L))
       else entries.filter(_.typeflag == '0')
-        // WebDataset key = path up to the first dot of the BASENAME —
-        // dots are legal in directory names ("v1.2/0001.txt" keys as
-        // "v1.2/0001", not "v1"), so the split must start after the
-        // last '/'
-        .groupBy { e =>
-          val base = e.name.lastIndexOf('/') + 1
-          val dot = e.name.indexOf('.', base)
-          if (dot < 0) e.name else e.name.substring(0, dot)
-        }
+        .groupBy(e => webdatasetKey(e.name))
         .toSeq.map { case (key, parts) =>
           var bytes = 0L; var sum = 0L
           parts.foreach { e =>

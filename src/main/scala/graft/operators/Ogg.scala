@@ -34,8 +34,20 @@ object Ogg {
 
   /** Ogg page CRC-32: poly 0x04C11DB7, init 0, no reflection, no
     * final xor (NOT the zlib CRC), computed with the CRC field
-    * zeroed.
+    * zeroed. Table-driven — this runs over EVERY byte of every crawl
+    * audio blob on the mapPartitions hot path, where a bitwise kernel
+    * would cost 8 shift/xor rounds per byte.
     */
+  private val CrcTable: Array[Int] = Array.tabulate(256) { n =>
+    var c = n << 24
+    var k = 0
+    while (k < 8) {
+      c = if ((c & 0x80000000) != 0) (c << 1) ^ 0x04C11DB7 else c << 1
+      k += 1
+    }
+    c
+  }
+
   private[graft] def pageCrc(b: Array[Byte], off: Int, len: Int,
       crcFieldAt: Int): Int = {
     var crc = 0
@@ -44,13 +56,7 @@ object Ogg {
       val v =
         if (off + i >= crcFieldAt && off + i < crcFieldAt + 4) 0
         else b(off + i) & 0xFF
-      crc ^= v << 24
-      var k = 0
-      while (k < 8) {
-        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04C11DB7
-          else crc << 1
-        k += 1
-      }
+      crc = (crc << 8) ^ CrcTable(((crc >>> 24) ^ v) & 0xFF)
       i += 1
     }
     crc
@@ -60,10 +66,11 @@ object Ogg {
     ((b(i) & 0xFFL)) | ((b(i + 1) & 0xFFL) << 8) |
       ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
 
-  /** One page: header flags, stream serial, and the segment bytes
-    * with their lacing values (needed for packet reassembly).
+  /** One page: header flags, stream serial, sequence number, and the
+    * segment bytes with their lacing values (needed for packet
+    * reassembly and loss detection).
     */
-  private final case class Page(flags: Int, serial: Long,
+  private final case class Page(flags: Int, serial: Long, seq: Long,
       lacing: Array[Int], data: Array[Byte])
 
   /** Walk all pages, verifying each CRC. Null on damage anywhere —
@@ -89,7 +96,7 @@ object Ogg {
       if (p + pageLen > b.length) return null
       val want = leU32(b, p + 22).toInt
       if (pageCrc(b, p, pageLen, p + 22) != want) return null
-      out += Page(flags, serial,
+      out += Page(flags, serial, leU32(b, p + 18),
         lacing, java.util.Arrays.copyOfRange(b, p + 27 + nseg, p + pageLen))
       p += pageLen
     }
@@ -102,8 +109,12 @@ object Ogg {
     * the continued-packet flag — and any value < 255 ends it. Pages
     * of other multiplexed/chained serials are skipped, not decoded
     * (grouped/chained Ogg carries independent streams; callers get
-    * the primary one). Null on page damage, a continuity violation,
-    * an unterminated final packet, or the reassembly bomb cap.
+    * the primary one). Null on page damage, a sequence-number gap
+    * (the RFC's page-loss detector — a stream cut at an exact page
+    * boundary is otherwise CRC-clean), a missing end-of-stream flag
+    * on the final page (same truncation shape), a continuity
+    * violation, an unterminated final packet, or the reassembly bomb
+    * cap.
     */
   def packets(b: Array[Byte]): Array[Array[Byte]] = {
     val ps = pages(b)
@@ -114,7 +125,13 @@ object Ogg {
     var cur = new java.io.ByteArrayOutputStream()
     var open = false // a packet is mid-assembly across a page boundary
     var total = 0L
+    var expectSeq = ps(0).seq // per-stream counter; BOS fixes the base
+    var sawEos = false
     for (pg <- ps if pg.serial == serial) {
+      if (pg.seq != expectSeq) return null // page loss / reorder
+      expectSeq += 1
+      if (sawEos) return null // pages after the end-of-stream flag
+      if ((pg.flags & 4) != 0) sawEos = true
       if (((pg.flags & 1) != 0) != open) return null // continuity violation
       var off = 0
       for (l <- pg.lacing) {
@@ -130,7 +147,29 @@ object Ogg {
       }
     }
     if (open) return null // stream ended mid-packet
+    if (!sawEos) return null // cut at a page boundary: CRC-clean truncation
     out.toArray
+  }
+
+  /** Codec name + (for Ogg-FLAC) STREAMINFO in ONE packets() walk —
+    * the probe [[graft.operators.Containers.parse]] calls, so
+    * classifying a blob doesn't re-walk and re-CRC the pages once per
+    * question. Null when the container is damaged; the info half is
+    * null for non-FLAC codecs.
+    */
+  def probe(b: Array[Byte]): (String, Flac.StreamInfo) = {
+    val pk = packets(b)
+    if (pk == null || pk.isEmpty) return null
+    val h = pk(0)
+    def hasMagic(at: Int, s: String): Boolean =
+      h.length >= at + s.length && s.indices.forall(i => h(at + i) == s(i).toByte)
+    if (h.length >= 5 && (h(0) & 0xFF) == 0x7F && hasMagic(1, "FLAC"))
+      ("oggflac", flacInfoOf(h))
+    else if (h.length >= 7 && h(0) == 1 && hasMagic(1, "vorbis")) ("ogg_vorbis", null)
+    else if (hasMagic(0, "OpusHead")) ("ogg_opus", null)
+    else if (h.length >= 7 && (h(0) & 0xFF) == 0x80 && hasMagic(1, "theora"))
+      ("ogg_theora", null)
+    else ("ogg", null)
   }
 
   /** Codec of the first logical stream, from its first packet's
@@ -139,17 +178,8 @@ object Ogg {
     * Null when the container itself is damaged.
     */
   def codec(b: Array[Byte]): String = {
-    val pk = packets(b)
-    if (pk == null || pk.isEmpty) return null
-    val h = pk(0)
-    def hasMagic(at: Int, s: String): Boolean =
-      h.length >= at + s.length && s.indices.forall(i => h(at + i) == s(i).toByte)
-    if (h.length >= 5 && (h(0) & 0xFF) == 0x7F && hasMagic(1, "FLAC")) "oggflac"
-    else if (h.length >= 7 && h(0) == 1 && hasMagic(1, "vorbis")) "ogg_vorbis"
-    else if (hasMagic(0, "OpusHead")) "ogg_opus"
-    else if (h.length >= 7 && (h(0) & 0xFF) == 0x80 && hasMagic(1, "theora"))
-      "ogg_theora"
-    else "ogg"
+    val p = probe(b)
+    if (p == null) null else p._1
   }
 
   /** STREAMINFO of an Ogg-FLAC stream (the Xiph mapping's first
@@ -158,9 +188,8 @@ object Ogg {
     * sound Ogg-FLAC.
     */
   def flacStreamInfo(b: Array[Byte]): Flac.StreamInfo = {
-    val pk = packets(b)
-    if (pk == null || pk.isEmpty) return null
-    flacInfoOf(pk(0))
+    val p = probe(b)
+    if (p == null) null else p._2
   }
 
   private def flacInfoOf(first: Array[Byte]): Flac.StreamInfo = {

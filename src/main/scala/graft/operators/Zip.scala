@@ -40,9 +40,15 @@ object Zip {
 
   /** True when the archive walks soundly but uses ZIP64 extensions —
     * the named profile gap (>4 GiB members/archives), distinct from
-    * damage.
+    * damage. Detects BOTH sentinel levels: the EOCD's 0xFFFF
+    * entry-count / 0xFFFFFFFF central-directory offset (the
+    * ZIP64-EOCD-locator case) and per-member size/offset sentinels.
     */
   def isZip64(b: Array[Byte]): Boolean = {
+    val eocd = eocdOffset(b)
+    if (eocd < 0) return false
+    if (leU16(b, eocd + 10) == 0xFFFF || leU32(b, eocd + 16) == 0xFFFFFFFFL)
+      return true
     val es = entriesOrNull(b, allowZip64Probe = true)
     es != null && es.exists(e =>
       e.size == 0xFFFFFFFFL || e.compressedSize == 0xFFFFFFFFL ||
@@ -52,23 +58,28 @@ object Zip {
   /** Central-directory walk via the EOCD record. Null on damage or
     * ZIP64 sentinels (use [[isZip64]] to tell the two apart).
     */
-  def entries(b: Array[Byte]): Array[ZipEntry] = {
-    val es = entriesOrNull(b, allowZip64Probe = false)
-    es
+  def entries(b: Array[Byte]): Array[ZipEntry] =
+    entriesOrNull(b, allowZip64Probe = false)
+
+  /** EOCD record offset: scan back over a possible comment (≤ 65535
+    * bytes), accepting only a comment-length-consistent record. −1
+    * when absent.
+    */
+  private def eocdOffset(b: Array[Byte]): Int = {
+    if (b == null || b.length < 22) return -1
+    var p = b.length - 22
+    val stop = math.max(0, b.length - 22 - 65535)
+    while (p >= stop) {
+      if (b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 5 && b(p + 3) == 6 &&
+          p + 22 + leU16(b, p + 20) == b.length) return p
+      p -= 1
+    }
+    -1
   }
 
   private def entriesOrNull(b: Array[Byte],
       allowZip64Probe: Boolean): Array[ZipEntry] = try {
-    if (b == null || b.length < 22) return null
-    // EOCD: scan back over a possible comment (≤ 65535 bytes)
-    var eocd = -1
-    var p = b.length - 22
-    val stop = math.max(0, b.length - 22 - 65535)
-    while (eocd < 0 && p >= stop) {
-      if (b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 5 && b(p + 3) == 6 &&
-          p + 22 + leU16(b, p + 20) == b.length) eocd = p
-      p -= 1
-    }
+    val eocd = eocdOffset(b)
     if (eocd < 0) return null
     val n = leU16(b, eocd + 10)
     if (n != leU16(b, eocd + 8)) return null // multi-disk: not a shard
@@ -127,12 +138,20 @@ object Zip {
         inf.reset()
         inf.setInput(b, data, e.compressedSize.toInt)
         var got = 0
-        while (got < res.length && !inf.finished()) {
-          val m = inf.inflate(res, got, res.length - got)
-          if (m == 0 && !inf.finished()) return null // corrupt/needs input
+        // the scratch drives the inflater through the final block even
+        // when the declared size is 0 (the JDK writes empty entries as
+        // method 8 with a real 2-byte empty-block stream) or when the
+        // stream holds MORE data than declared (then m > 0 = corrupt)
+        val scratch = new Array[Byte](1)
+        while (!inf.finished()) {
+          val m =
+            if (got < res.length) inf.inflate(res, got, res.length - got)
+            else inf.inflate(scratch)
+          if (m > 0 && got >= res.length) return null // longer than declared
           got += m
+          if (m == 0 && !inf.finished()) return null // corrupt/needs input
         }
-        if (got != res.length || !inf.finished()) return null
+        if (got != res.length) return null
         res
       case _ => return null // other methods: unsupported profile
     }

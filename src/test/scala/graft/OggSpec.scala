@@ -52,6 +52,38 @@ class OggSpec extends AnyFunSuite {
       assert(Ogg.packets(java.util.Arrays.copyOf(ogg, cut)) == null, s"cut=$cut")
   }
 
+  test("page loss is detected even when every remaining page is CRC-clean") {
+    // four pages of one packet each; walk them structurally
+    val pkts = (0 until 4).map(i => Array.tabulate(40)(j => (i * 31 + j).toByte))
+    val ogg = Ogg.synthOgg(pkts, maxSegsPerPage = 1)
+    def pageBounds: Seq[(Int, Int)] = {
+      var p = 0
+      val out = Seq.newBuilder[(Int, Int)]
+      while (p < ogg.length) {
+        val nseg = ogg(p + 26) & 0xFF
+        var dataLen = 0
+        for (k <- 0 until nseg) dataLen += ogg(p + 27 + k) & 0xFF
+        val len = 27 + nseg + dataLen
+        out += ((p, len)); p += len
+      }
+      out.result()
+    }
+    val bounds = pageBounds
+    assert(bounds.length == 4 && Ogg.packets(ogg) != null)
+    // cut at an EXACT page boundary: every kept page is CRC-clean,
+    // but the missing end-of-stream flag must fail the walk
+    val cutAtBoundary = java.util.Arrays.copyOf(ogg, bounds(3)._1)
+    assert(Ogg.packets(cutAtBoundary) == null)
+    // drop a MIDDLE page at a packet boundary: the sequence-number
+    // gap must fail the walk (RFC 3533's page-loss detector)
+    val (dropOff, dropLen) = bounds(1)
+    val dropped = new Array[Byte](ogg.length - dropLen)
+    System.arraycopy(ogg, 0, dropped, 0, dropOff)
+    System.arraycopy(ogg, dropOff + dropLen, dropped, dropOff,
+      ogg.length - dropOff - dropLen)
+    assert(Ogg.packets(dropped) == null)
+  }
+
   test("ogg-flac round-trips through pagination shapes") {
     for ((mode, maxSegs) <- Seq(("fixed2", 3), ("verbatim", 2), ("fixed0", 64))) {
       val x = noise(330, 7)

@@ -111,6 +111,33 @@ class ZipSpec extends AnyFunSuite {
     assert(leU16(z, cd + 28) == 5) // sanity: name length intact
   }
 
+  test("empty members decode (the JDK writes them as real DEFLATE)") {
+    // JDK ZipOutputStream emits empty entries as method 8 with a
+    // 2-byte empty-block stream — a valid shard shape that must NOT
+    // quarantine
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("empty.cls")); zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("full.txt"))
+    zos.write(gen(30, 12)); zos.closeEntry()
+    zos.close()
+    val m = Zip.members(bos.toByteArray)
+    assert(m != null && m.length == 2)
+    assert(m(0)._1 == "empty.cls" && m(0)._2.isEmpty)
+    assert(m(1)._2.toSeq == gen(30, 12).toSeq)
+  }
+
+  test("EOCD-level zip64 sentinels classify as profile gap, not corrupt") {
+    val z = Zip.synthZip(Seq(("a.txt", gen(50, 13), true)))
+    // forge the EOCD's total-entry-count to the 0xFFFF sentinel (both
+    // count fields, to keep the multi-disk consistency check green)
+    val eocd = z.length - 22
+    z(eocd + 8) = 0xFF.toByte; z(eocd + 9) = 0xFF.toByte
+    z(eocd + 10) = 0xFF.toByte; z(eocd + 11) = 0xFF.toByte
+    assert(Zip.members(z) == null)
+    assert(Zip.isZip64(z)) // named gap — "ship zip64", not "fix the shard"
+  }
+
   test("expansion bomb caps instead of OOMing") {
     // forge the sizes: a member CLAIMING > 2^30 expanded bytes is
     // rejected before allocation (members() budget check)
