@@ -2032,6 +2032,53 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "t_ms")
   }
 
+  /** Deterministic robots.txt corpus: host `id` publishes a policy
+    * with a comment line, a `*` group (`Disallow: /p{id%4}/`,
+    * `Allow: /p{id%4}/ok/` — the longest-match + Allow-tiebreak
+    * probe — and a star-wildcard Disallow anchored on `.tmp$`), and,
+    * when `id%3 == 0`, a MORE SPECIFIC `graftbot` group
+    * (`Disallow: /g/`) that per RFC 9309 replaces the `*` group
+    * entirely for that agent. The oracle encodes the expected
+    * decisions in closed form, so group selection, longest-match
+    * precedence, wildcards, and the `$` anchor must all be exact.
+    */
+  def demoRobotsDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val sb = new StringBuilder
+      sb.append("# crawl policy for host ").append(id).append('\n')
+      sb.append("User-agent: *\n")
+      sb.append(s"Disallow: /p${id % 4}/\n")
+      sb.append(s"Allow: /p${id % 4}/ok/\n")
+      sb.append("Disallow: /*.tmp$\n")
+      sb.append("Crawl-delay: 2\n") // unknown-to-us field: must be skipped
+      if (id % 3 == 0) {
+        sb.append('\n')
+        sb.append("User-agent: graftbot\n")
+        sb.append("Disallow: /g/\n")
+      }
+      (id, sb.toString)
+    }).toDF("media_id", "robots_txt")
+  }
+
+  /** Six probe URLs per host, hitting each decision branch: inside
+    * the `*` group's disallowed tree, inside its Allow carve-out,
+    * the graftbot-only disallow, a `$`-anchored wildcard hit, the
+    * near-miss past the anchor, and an unmatched path.
+    */
+  def demoCrawlUrls(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].flatMap { id =>
+      Seq(
+        (id, 0L, s"/p${id % 4}/a"),
+        (id, 1L, s"/p${id % 4}/ok/b"),
+        (id, 2L, "/g/c"),
+        (id, 3L, "/x/y.tmp"),
+        (id, 4L, "/x/y.tmpz"),
+        (id, 5L, "/pub/d"))
+    }.toDF("media_id", "url_idx", "path")
+  }
+
   /** Deterministic camera-JPEG corpus: every blob is a real JPEG with
     * a real EXIF APP1 planted after SOI, fields by closed formulas —
     * orientation `1 + id%8`, DateTime from id (year 2000+id%25 …

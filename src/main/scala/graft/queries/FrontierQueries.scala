@@ -254,6 +254,21 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // robots.txt compliance filter (RFC 9309) — the legality gate
+    // before a crawled page may become training data: parse each
+    // host's policy once, select the most specific agent group,
+    // decide per URL by longest-match with Allow winning ties,
+    // wildcards and $ anchors included. The oracle encodes every
+    // expected decision in closed form.
+    "crawl_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.operators.Robots.filterPages(s,
+          graft.operators.Multimodal.demoRobotsDocs(s, docs),
+          graft.operators.Multimodal.demoCrawlUrls(s, docs), "graftbot")
+        .orderBy("media_id", "url_idx")
+    }),
+
     // Caption-to-frame alignment — how video-text training pairs are
     // made: parse REAL WebVTT and SRT (identifier lines, cue
     // settings, comma/dot decimals, multi-line text), then align
@@ -1495,6 +1510,27 @@ object FrontierQueries {
         |  list_max(list_transform(vs, y -> abs(y)))::BIGINT AS peak_abs,
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // Encodes the robots decisions in closed form: hosts with a
+    // graftbot group (id%3=0) disallow ONLY /g/ for that agent (the
+    // specific group replaces *); other hosts disallow the /p{k}/
+    // tree (except the /ok/ Allow carve-out) and $-anchored *.tmp.
+    "crawl_robots_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |    unnest(range(0, 6::BIGINT)) AS url_idx FROM documents)
+        |SELECT doc_id AS media_id, url_idx,
+        |  CASE url_idx
+        |    WHEN 0 THEN '/p' || (doc_id % 4)::VARCHAR || '/a'
+        |    WHEN 1 THEN '/p' || (doc_id % 4)::VARCHAR || '/ok/b'
+        |    WHEN 2 THEN '/g/c' WHEN 3 THEN '/x/y.tmp'
+        |    WHEN 4 THEN '/x/y.tmpz' ELSE '/pub/d'
+        |  END AS path,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    CASE WHEN url_idx = 2 THEN 0 ELSE 1 END
+        |  ELSE
+        |    CASE WHEN url_idx = 0 OR url_idx = 3 THEN 0 ELSE 1 END
+        |  END::BIGINT AS allowed
+        |FROM u ORDER BY media_id, url_idx""".stripMargin,
 
     // Replays the caption and frame-time formulas and re-derives the
     // alignment relationally — cue c covers [c*25000 + (id%7)*100,
