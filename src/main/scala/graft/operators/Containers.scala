@@ -61,6 +61,17 @@ object Containers {
       else MediaHeader("flac", sampleRate = si.sampleRate,
         channels = si.channels, bitsPerSample = si.bps)
     }
+    else if (Id3.hasId3(b)) {
+      // real-world audio ships with an ID3v2 tag PREPENDED — name the
+      // codec beneath it, not "unknown". An MP3 frame sync after a
+      // REAL tag is strong evidence (the bare 11-bit sync alone would
+      // be too weak a magic to probe on).
+      val inner = Id3.strip(b)
+      if (inner == null || inner.length < 4) unknown
+      else if ((inner(0) & 0xFF) == 0xFF && (inner(1) & 0xE0) == 0xE0)
+        MediaHeader("mp3")
+      else parse(inner) // e.g. ID3-tagged FLAC: recurse past the tag
+    }
     else if (Ogg.isOgg(b)) {
       // ONE probe walk names the codec AND yields the FLAC STREAMINFO
       // — damaged containers (CRC, framing, page loss) degrade to

@@ -306,9 +306,17 @@ object Multimodal {
     }
     if (fmt == "flac") {
       // real frame decode: damage anywhere (CRC, sync, residual
-      // shapes) degrades to corrupt; every spec subframe type decodes
-      return ("flac", if (Flac.samples(b) != null) "ok" else "corrupt")
+      // shapes) degrades to corrupt; every spec subframe type decodes.
+      // Strip a leading ID3 tag first — the probe names ID3+fLaC as
+      // "flac", so decode must look past the tag too
+      val body = Id3.strip(b)
+      return ("flac",
+        if (body != null && Flac.samples(body) != null) "ok" else "corrupt")
     }
+    if (fmt == "mp3")
+      // named codec we don't decode (psychoacoustic transform, not
+      // container work) — a profile gap, never "unknown"
+      return ("mp3", "unsupported_profile")
     if (fmt == "oggflac")
       return ("oggflac", if (Ogg.flacSamples(b) != null) "ok" else "corrupt")
     if (fmt == "ogg_vorbis" || fmt == "ogg_opus" || fmt == "ogg_theora")
@@ -2032,6 +2040,62 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "t_ms")
   }
 
+  /** Deterministic ID3-tagged-audio corpus: clip `id` is a real FLAC
+    * stream (`120 + id%60` mono samples at 16 kHz, sample `j` =
+    * `(id·13 + j·37) % 65536 − 32768`, FIXED-1) behind a REAL ID3v2
+    * tag — v2.3 with big-endian frame sizes for even ids (TIT2 in
+    * ISO-8859-1, TPE1 in BOM-led UTF-16), v2.4 with syncsafe frame
+    * sizes for odd ids (UTF-8) — fields `Tïtle {id}` /
+    * `ártist_{id%50}` / `album_{id%20}` carrying non-ASCII so the
+    * encodings are exercised, plus a TXXX frame the extractor must
+    * also surface in its count. The oracle replays fields AND the
+    * decoded sample count: tag parse, strip, and the codec beneath
+    * must all work.
+    */
+  def demoId3Corpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (120 + id % 60).toInt
+      val flac = Flac.synthFlac(16000, 1, Array.tabulate(n)(j =>
+        ((id * 13 + j.toLong * 37) % 65536 - 32768).toInt), 128, "fixed1")
+      val frames =
+        if (id % 2 == 0) Seq(
+          ("TIT2", s"Tïtle $id", 0), // ISO-8859-1
+          ("TPE1", s"ártist_${id % 50}", 1), // UTF-16 with BOM
+          ("TALB", s"album_${id % 20}", 0),
+          ("TXXX", s"k$id", 0))
+        else Seq(
+          ("TIT2", s"Tïtle $id", 3), // UTF-8
+          ("TPE1", s"ártist_${id % 50}", 3),
+          ("TALB", s"album_${id % 20}", 3),
+          ("TXXX", s"k$id", 3))
+      MediaFile(id, "audio",
+        Id3.synthTag(if (id % 2 == 0) 3 else 4, frames, flac))
+    })
+  }
+
+  case class Id3Audio(media_id: Long, title: String, artist: String,
+      album: String, n_text_frames: Long, n_samples: Long)
+
+  /** ID3 provenance extraction + decode-through: the tag's text
+    * frames (attribution metadata a pipeline audits) AND the sample
+    * count of the codec stream beneath it — proving strip + decode,
+    * not just header reads. Untagged/undecodable blobs report
+    * ""/−1 sentinels.
+    */
+  def id3AudioStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[Id3Audio] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val frames = Id3.textFrames(m.content)
+      def f(id: String) = frames.find(_._1 == id).map(_._2).getOrElse("")
+      val body = Id3.strip(m.content)
+      val s = if (body == null) null else Flac.samples(body)
+      Id3Audio(m.media_id, f("TIT2"), f("TPE1"), f("TALB"),
+        frames.length.toLong, if (s == null) -1L else s.length.toLong)
+    })
+  }
+
   /** Deterministic robots.txt corpus: host `id` publishes a policy
     * with a comment line, a `*` group (`Disallow: /p{id%4}/`,
     * `Allow: /p{id%4}/ok/` — the longest-match + Allow-tiebreak
@@ -2326,15 +2390,20 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
       val hdr = Containers.parse(m.content)
+      // the probe names ID3-tagged codecs by what's BENEATH the tag,
+      // so decode strips it too (identity for untagged blobs)
+      val body = Id3.strip(m.content)
       // widen the WAV path's Array[Short] to the FLAC path's Int — one
       // reduction loop beats two diverging copies of it
-      val s: Array[Int] = hdr.format match {
-        case "flac" => Flac.samples(m.content)
-        case "oggflac" => Ogg.flacSamples(m.content)
-        case _ =>
-          val w = Containers.wavSamples(m.content)
-          if (w == null) null else w.map(_.toInt)
-      }
+      val s: Array[Int] =
+        if (body == null) null
+        else hdr.format match {
+          case "flac" => Flac.samples(body)
+          case "oggflac" => Ogg.flacSamples(body)
+          case _ =>
+            val w = Containers.wavSamples(body)
+            if (w == null) null else w.map(_.toInt)
+        }
       if (s == null) AudioStats(m.media_id, -1L, -1L, -1L, -1L)
       else {
         var peak = 0L; var sq = 0L

@@ -254,6 +254,22 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // ID3v2 provenance + decode-through: parse the tag real-world
+    // audio carries PREPENDED (v2.3 big-endian and v2.4 syncsafe
+    // frame sizes; ISO-8859-1, BOM-led UTF-16, and UTF-8 text
+    // encodings with non-ASCII content), surface the attribution
+    // fields, and decode the FLAC stream BENEATH the tag — the strip
+    // must be byte-exact or the codec won't sync.
+    "multimodal_audio_id3" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoId3Corpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.id3AudioStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // robots.txt compliance filter (RFC 9309) — the legality gate
     // before a crawled page may become training data: parse each
     // host's policy once, select the most specific agent group,
@@ -1510,6 +1526,18 @@ object FrontierQueries {
         |  list_max(list_transform(vs, y -> abs(y)))::BIGINT AS peak_abs,
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // Replays the ID3 corpus field formulas and the FLAC sample
+    // count; the non-ASCII characters must survive all three tag
+    // encodings byte-for-byte.
+    "multimodal_audio_id3" ->
+      """SELECT doc_id AS media_id,
+        |  'Tïtle ' || doc_id::VARCHAR AS title,
+        |  'ártist_' || (doc_id % 50)::VARCHAR AS artist,
+        |  'album_' || (doc_id % 20)::VARCHAR AS album,
+        |  4::BIGINT AS n_text_frames,
+        |  (120 + doc_id % 60)::BIGINT AS n_samples
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // Encodes the robots decisions in closed form: hosts with a
     // graftbot group (id%3=0) disallow ONLY /g/ for that agent (the

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Containers, Flac, Id3, Multimodal}
+
+/** ID3v2 conformance: v2.3 (big-endian frame sizes) and v2.4
+  * (syncsafe) round-trips across all three text encodings, byte-exact
+  * strip so the codec beneath decodes, and classification of tagged
+  * audio by what's UNDER the tag.
+  */
+class Id3Spec extends AnyFunSuite {
+
+  private def flac(n: Int): Array[Byte] =
+    Flac.synthFlac(16000, 1, Array.tabulate(n)(j =>
+      ((j * 37) % 4096 - 2048)), 128, "fixed1")
+
+  test("text frames round-trip in both versions and all encodings") {
+    for (ver <- Seq(3, 4)) {
+      val tagged = Id3.synthTag(ver, Seq(
+        ("TIT2", "Tïtle Ünïcode", 0),
+        ("TPE1", "ártist — ütf16", 1),
+        ("TALB", "日本語アルバム", 3)), flac(100))
+      val fr = Id3.textFrames(tagged).toMap
+      assert(fr("TIT2") == "Tïtle Ünïcode", s"v2.$ver iso")
+      assert(fr("TPE1") == "ártist — ütf16", s"v2.$ver utf16")
+      assert(fr("TALB") == "日本語アルバム", s"v2.$ver utf8")
+    }
+  }
+
+  test("strip is byte-exact: the codec beneath decodes") {
+    val plain = flac(150)
+    val tagged = Id3.synthTag(4, Seq(("TIT2", "x", 3)), plain)
+    assert(Id3.strip(tagged).toSeq == plain.toSeq)
+    assert(Flac.samples(Id3.strip(tagged)) != null)
+    // identity for untagged input
+    assert(Id3.strip(plain) eq plain)
+    // damaged tag (declared size past input) degrades to null
+    val short = java.util.Arrays.copyOf(tagged, 12)
+    assert(Id3.strip(short) == null)
+    assert(Id3.textFrames(short).isEmpty)
+  }
+
+  test("classification names what's under the tag") {
+    val tagged = Id3.synthTag(3, Seq(("TIT2", "t", 0)), flac(100))
+    val h = Containers.parse(tagged)
+    assert(h.format == "flac" && h.sampleRate == 16000)
+    assert(Multimodal.mediaDecodeClass(tagged) == ("flac", "ok"))
+    // a corrupted codec under a sound tag is corrupt, not ok
+    val bad = tagged.clone()
+    bad(bad.length - 6) = (bad(bad.length - 6) ^ 0x33).toByte
+    assert(Multimodal.mediaDecodeClass(bad) == ("flac", "corrupt"))
+    // an MP3 frame sync under a real tag names the mp3 profile gap
+    val mp3ish = Id3.synthTag(3, Seq(("TIT2", "t", 0)),
+      Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00) ++
+        Array.tabulate(64)(i => (i * 7).toByte))
+    assert(Containers.parse(mp3ish).format == "mp3")
+    assert(Multimodal.mediaDecodeClass(mp3ish) == ("mp3", "unsupported_profile"))
+  }
+}
