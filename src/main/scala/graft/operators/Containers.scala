@@ -1891,7 +1891,13 @@ object Containers {
           while (q < b.length && b(q) != 0) q += 1
           q += 1
         }
-        if ((flg & 2) != 0) q += 2 // FHCRC
+        if ((flg & 2) != 0) { // FHCRC: CRC-16 of the header bytes so far
+          if (q + 2 > b.length) return null
+          val hc = new java.util.zip.CRC32()
+          hc.update(b, p, q - p)
+          if ((hc.getValue & 0xFFFFL) != leU16(b, q)) return null
+          q += 2
+        }
         if (q > b.length) return null
         inf.reset()
         inf.setInput(b, q, b.length - q)

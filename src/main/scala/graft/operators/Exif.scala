@@ -44,9 +44,19 @@ object Exif {
 
   private val ExifHeader = Array[Byte]('E', 'x', 'i', 'f', 0, 0)
 
-  private def isExifApp1(b: Array[Byte], segStart: Int, segLen: Int): Boolean =
-    segLen >= 2 + 6 &&
-      (0 until 6).forall(i => b(segStart + 4 + i) == ExifHeader(i))
+  /** Offset of the payload (past marker + length) of the segment
+    * starting at `segStart`, skipping any 0xFF fill prefix.
+    */
+  private def segPayload(b: Array[Byte], segStart: Int): Int = {
+    var m = segStart
+    while ((b(m) & 0xFF) == 0xFF) m += 1 // fills, then the marker byte itself
+    m + 3 // past marker byte + 2 length bytes
+  }
+
+  private def isExifApp1(b: Array[Byte], segStart: Int, segEnd: Int): Boolean = {
+    val pay = segPayload(b, segStart)
+    pay + 6 <= segEnd && (0 until 6).forall(i => b(pay + i) == ExifHeader(i))
+  }
 
   /** Walk the JPEG's marker segments up to SOS, invoking `f(marker,
     * segStart, segTotal)` per segment (segTotal = marker + length +
@@ -58,13 +68,22 @@ object Exif {
     var p = 2
     while (p + 4 <= b.length) {
       if ((b(p) & 0xFF) != 0xFF) return -1
-      val marker = b(p + 1) & 0xFF
+      // JPEG permits runs of 0xFF fill bytes between segments: the
+      // marker byte is the first non-FF of the run. The fill bytes are
+      // treated as part of the following segment so strip round-trips
+      // keep them byte-exact.
+      var q = p + 1
+      while (q < b.length && (b(q) & 0xFF) == 0xFF) q += 1
+      if (q >= b.length) return -1
+      val marker = b(q) & 0xFF
+      if (marker == 0x00) return -1 // FF00 is entropy stuffing, not a marker
       if (marker == 0xDA) return p // SOS: entropy data follows
       if (marker == 0xD9) return p // EOI before SOS (no scan)
-      val len = beU16(b, p + 2)
-      if (len < 2 || p + 2 + len > b.length) return -1
-      f(marker, p, 2 + len)
-      p += 2 + len
+      if (q + 3 > b.length) return -1
+      val len = beU16(b, q + 1)
+      if (len < 2 || q + 1 + len > b.length) return -1
+      f(marker, p, (q + 1 + len) - p)
+      p = q + 1 + len
     }
     b.length
   }
@@ -75,8 +94,8 @@ object Exif {
   def fromJpeg(b: Array[Byte]): ExifMeta = try {
     var found: ExifMeta = null
     val sos = walkSegments(b) { (marker, s, total) =>
-      if (found == null && marker == 0xE1 && isExifApp1(b, s, total - 2))
-        found = parseTiff(b, s + 10, s + total)
+      if (found == null && marker == 0xE1 && isExifApp1(b, s, s + total))
+        found = parseTiff(b, segPayload(b, s) + 6, s + total)
     }
     if (sos < 0) null else found
   } catch { case _: ArrayIndexOutOfBoundsException => null }
@@ -90,7 +109,7 @@ object Exif {
     if (!isJpeg(b)) return b
     val keep = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     val sos = walkSegments(b) { (marker, s, total) =>
-      if (!(marker == 0xE1 && isExifApp1(b, s, total - 2)))
+      if (!(marker == 0xE1 && isExifApp1(b, s, s + total)))
         keep += ((s, total))
     }
     if (sos < 0) return null

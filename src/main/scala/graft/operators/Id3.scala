@@ -52,44 +52,78 @@ object Id3 {
     else java.util.Arrays.copyOfRange(b, len, b.length)
   }
 
+  /** Reverse ID3v2 unsynchronisation over `[from, until)`: every
+    * `FF 00` pair collapses to `FF` (the writer inserted the `00` to
+    * keep false MPEG sync patterns out of the tag).
+    */
+  private def deUnsync(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new Array[Byte](until - from)
+    var i = from
+    var o = 0
+    while (i < until) {
+      out(o) = b(i)
+      o += 1
+      if ((b(i) & 0xFF) == 0xFF && i + 1 < until && b(i + 1) == 0) i += 2
+      else i += 1
+    }
+    java.util.Arrays.copyOf(out, o)
+  }
+
   /** Text frames (`Txxx` ids) as (id, decoded text), in file order.
     * Handles the three spec text encodings — 0 = ISO-8859-1, 1 =
     * UTF-16 with BOM, 3 = UTF-8 (v2.4) — and skips non-text and
     * damaged frames rather than failing the tag (hand-tagged files
     * are messy; partial metadata beats none). Empty for untagged
     * input.
+    *
+    * Unsynchronisation (common from older writers) is reversed at the
+    * scope each version defines: v2.3's tag flag stuffs the WHOLE tag
+    * body after frame assembly (headers and sizes included), so the
+    * body is de-stuffed before the frame walk; v2.4 stuffs per frame
+    * (tag flag = all frames, or the per-frame format flag 0x02) with
+    * the size field counting the stored stuffed bytes, so each
+    * payload de-stuffs individually.
     */
   def textFrames(b: Array[Byte]): Seq[(String, String)] = {
     val total = tagLength(b)
     if (total < 0) return Seq.empty
     val major = b(3) & 0xFF
     if (major < 3) return Seq.empty // v2.2 3-char frames: named, not parsed
-    val end = total - (if ((b(5) & 0x10) != 0) 10 else 0)
+    val tagUnsync = (b(5) & 0x80) != 0
+    val endRaw = total - (if ((b(5) & 0x10) != 0) 10 else 0)
+    val (buf, start, end) =
+      if (major == 3 && tagUnsync) {
+        val d = deUnsync(b, 10, endRaw)
+        (d, 0, d.length)
+      } else (b, 10, endRaw)
     val out = Seq.newBuilder[(String, String)]
-    var p = 10
+    var p = start
     // skip the extended header when present (flag bit 6)
     if ((b(5) & 0x40) != 0 && p + 4 <= end) {
       val ehSize =
-        if (major == 4) syncsafe(b, p)
-        else ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) |
-          ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+        if (major == 4) syncsafe(buf, p)
+        else ((buf(p) & 0xFF) << 24) | ((buf(p + 1) & 0xFF) << 16) |
+          ((buf(p + 2) & 0xFF) << 8) | (buf(p + 3) & 0xFF)
       p += (if (major == 4) ehSize else 4 + ehSize)
     }
-    while (p + 10 <= end && b(p) != 0) {
-      val id = new String(b, p, 4, "US-ASCII")
+    while (p >= 0 && p + 10 <= end && buf(p) != 0) {
+      val id = new String(buf, p, 4, "US-ASCII")
       val size =
-        if (major == 4) syncsafe(b, p + 4)
-        else ((b(p + 4) & 0xFF) << 24) | ((b(p + 5) & 0xFF) << 16) |
-          ((b(p + 6) & 0xFF) << 8) | (b(p + 7) & 0xFF)
+        if (major == 4) syncsafe(buf, p + 4)
+        else ((buf(p + 4) & 0xFF) << 24) | ((buf(p + 5) & 0xFF) << 16) |
+          ((buf(p + 6) & 0xFF) << 8) | (buf(p + 7) & 0xFF)
       if (size < 0 || p + 10 + size > end) return out.result() // damaged: stop
       if (id.length == 4 && id.charAt(0) == 'T' && size >= 1) {
-        val enc = b(p + 10) & 0xFF
-        val vOff = p + 11
-        val vLen = size - 1
+        val frameUnsync =
+          major == 4 && (tagUnsync || (buf(p + 9) & 0x02) != 0)
+        val pay =
+          if (frameUnsync) deUnsync(buf, p + 10, p + 10 + size)
+          else java.util.Arrays.copyOfRange(buf, p + 10, p + 10 + size)
+        val enc = pay(0) & 0xFF
         val text = enc match {
-          case 0 => new String(b, vOff, vLen, "ISO-8859-1")
-          case 1 => new String(b, vOff, vLen, "UTF-16") // BOM-led
-          case 3 => new String(b, vOff, vLen, "UTF-8")
+          case 0 => new String(pay, 1, pay.length - 1, "ISO-8859-1")
+          case 1 => new String(pay, 1, pay.length - 1, "UTF-16") // BOM-led
+          case 3 => new String(pay, 1, pay.length - 1, "UTF-8")
           case _ => null // 2 = UTF-16BE without BOM: rare, skip
         }
         if (text != null)
@@ -102,12 +136,32 @@ object Id3 {
 
   // ---- synthesizer -----------------------------------------------------
 
+  /** Writer-side unsynchronisation: insert `00` after every `FF`
+    * byte. (The spec requires it only before `00`/`E0-FF` or at the
+    * end; stuffing every `FF` is conservative and decodes to the
+    * same bytes, since reversal collapses exactly `FF 00` pairs.)
+    */
+  private def unsyncStuff(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length + 8)
+    var i = 0
+    while (i < b.length) {
+      out.write(b(i))
+      if ((b(i) & 0xFF) == 0xFF) out.write(0)
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** A real ID3v2 tag (major `version` 3 or 4) from (frameId, text,
     * encoding) triples, prepended to `payload`. Frame sizes are
     * syncsafe for v2.4 and plain big-endian for v2.3, per spec.
+    * With `unsync` set, stuffing is applied at each version's scope:
+    * v2.3 stuffs the assembled tag body (tag flag 0x80); v2.4 stuffs
+    * each frame payload (tag flag + per-frame format flag 0x02, size
+    * counting stored bytes).
     */
   def synthTag(version: Int, frames: Seq[(String, String, Int)],
-      payload: Array[Byte]): Array[Byte] = {
+      payload: Array[Byte], unsync: Boolean = false): Array[Byte] = {
     require(version == 3 || version == 4)
     val body = new java.io.ByteArrayOutputStream()
     for ((id, text, enc) <- frames) {
@@ -119,7 +173,9 @@ object Id3 {
         case 3 => text.getBytes("UTF-8")
         case other => sys.error(s"unsupported synth encoding $other")
       }
-      val size = 1 + tb.length
+      val raw = enc.toByte +: tb
+      val stored = if (unsync && version == 4) unsyncStuff(raw) else raw
+      val size = stored.length
       body.write(id.getBytes("US-ASCII"), 0, 4)
       if (version == 4) {
         body.write((size >> 21) & 0x7F); body.write((size >> 14) & 0x7F)
@@ -128,15 +184,16 @@ object Id3 {
         body.write((size >> 24) & 0xFF); body.write((size >> 16) & 0xFF)
         body.write((size >> 8) & 0xFF); body.write(size & 0xFF)
       }
-      body.write(0); body.write(0) // frame flags
-      body.write(enc)
-      body.write(tb, 0, tb.length)
+      body.write(0)
+      body.write(if (unsync && version == 4) 0x02 else 0) // frame flags
+      body.write(stored, 0, stored.length)
     }
-    val bb = body.toByteArray
+    val bb0 = body.toByteArray
+    val bb = if (unsync && version == 3) unsyncStuff(bb0) else bb0
     val out = new java.io.ByteArrayOutputStream(10 + bb.length + payload.length)
     out.write('I'); out.write('D'); out.write('3')
     out.write(version); out.write(0) // minor
-    out.write(0) // flags
+    out.write(if (unsync) 0x80 else 0) // flags
     out.write((bb.length >> 21) & 0x7F); out.write((bb.length >> 14) & 0x7F)
     out.write((bb.length >> 7) & 0x7F); out.write(bb.length & 0x7F)
     out.write(bb, 0, bb.length)

@@ -87,4 +87,20 @@ class ExifSpec extends AnyFunSuite {
     val strippedShort = Exif.stripJpeg(framed)
     assert(strippedShort != null && Exif.fromJpeg(strippedShort) == null)
   }
+  test("0xFF fill bytes between segments are tolerated (real camera files)") {
+    val withExif = Exif.withApp1(jpeg(13), Exif.synthApp1(meta))
+    // insert a run of fill bytes right before the APP1 marker (after SOI)
+    val filled = withExif.take(2) ++ Array.fill[Byte](3)(0xFF.toByte) ++
+      withExif.drop(2)
+    val got = Exif.fromJpeg(filled)
+    assert(got != null && got.make == meta.make && got.latDeg == meta.latDeg)
+    val stripped = Exif.stripJpeg(filled)
+    assert(stripped != null && Exif.fromJpeg(stripped) == null)
+    // non-EXIF segments keep their fill prefix byte-exact
+    val plain = jpeg(13)
+    val plainFilled = plain.take(2) ++ Array.fill[Byte](2)(0xFF.toByte) ++
+      plain.drop(2)
+    assert(Exif.stripJpeg(plainFilled).toSeq == plainFilled.toSeq)
+  }
+
 }

@@ -56,4 +56,23 @@ class Id3Spec extends AnyFunSuite {
     assert(Containers.parse(mp3ish).format == "mp3")
     assert(Multimodal.mediaDecodeClass(mp3ish) == ("mp3", "unsupported_profile"))
   }
+  test("unsynchronised tags de-stuff at each version's scope") {
+    // 'ÿ' is 0xFF in ISO-8859-1 and FF 00 in UTF-16LE — both shapes
+    // force stuffing, including the genuine-FF-00-in-payload case
+    val frames = Seq(("TIT2", "ÿesÿ", 0), ("TPE1", "aÿb", 1))
+    for (ver <- Seq(3, 4)) {
+      val tagged = Id3.synthTag(ver, frames, flac(90), unsync = true)
+      assert((tagged(5) & 0x80) != 0, s"v2.$ver unsync flag set")
+      val fr = Id3.textFrames(tagged).toMap
+      assert(fr("TIT2") == "ÿesÿ", s"v2.$ver iso-8859-1 text survives unsync")
+      assert(fr("TPE1") == "aÿb", s"v2.$ver utf-16 text survives unsync")
+      // strip stays byte-exact (sizes count post-unsync bytes)
+      assert(Id3.strip(tagged).toSeq == flac(90).toSeq, s"v2.$ver strip")
+      assert(Multimodal.mediaDecodeClass(tagged) == ("flac", "ok"))
+    }
+    // un-stuffed tags keep parsing exactly as before
+    val plainTag = Id3.synthTag(4, frames, flac(90))
+    assert(Id3.textFrames(plainTag).toMap.apply("TIT2") == "ÿesÿ")
+  }
+
 }

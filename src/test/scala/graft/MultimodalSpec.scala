@@ -1728,4 +1728,49 @@ class MultimodalSpec extends SparkSpec {
     assert(s3(0).offset == 16 + 88 && s3(0).size == 4 && s3(0).sync)
     assert(s3(4).offset == 16 + 88 + 16 && !s3(4).sync)
   }
+  test("gzip FHCRC header CRC is verified when present") {
+    // build a member with FLG.FHCRC set: CRC-16 of the header bytes
+    // (RFC 1952 §2.3.1: low 16 bits of CRC-32 over the header so far)
+    def withFhcrc(payload: Array[Byte], corruptHeaderCrc: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val header = Array[Byte](0x1f, 0x8b.toByte, 8, 2, 0, 0, 0, 0, 0, 0xff.toByte)
+      out.write(header)
+      val hc = new java.util.zip.CRC32()
+      hc.update(header)
+      val c16 = (hc.getValue & 0xFFFFL).toInt ^ (if (corruptHeaderCrc) 0x5A else 0)
+      out.write(c16 & 0xFF); out.write((c16 >> 8) & 0xFF)
+      val deflater = new java.util.zip.Deflater(1, true)
+      try {
+        deflater.setInput(payload); deflater.finish()
+        val buf = new Array[Byte](8192)
+        while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      } finally deflater.end()
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload)
+      val c = crc.getValue
+      val n = payload.length.toLong
+      out.write(Array[Byte](
+        (c & 0xff).toByte, ((c >> 8) & 0xff).toByte,
+        ((c >> 16) & 0xff).toByte, ((c >> 24) & 0xff).toByte,
+        (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+      out.toByteArray
+    }
+    val payload = Array.tabulate(40)(i => (i * 11 + 3).toByte)
+    val sound = withFhcrc(payload, corruptHeaderCrc = false)
+    // interop pin: GZIPInputStream accepts the sound header CRC
+    val jdk = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(sound))
+    assert(jdk.readAllBytes().toSeq == payload.toSeq)
+    val m = Containers.gzipMembers(sound)
+    assert(m != null && m.length == 1 && m(0).toSeq == payload.toSeq)
+    // corrupted header CRC is rejected (GZIPInputStream parity)
+    val bad = withFhcrc(payload, corruptHeaderCrc = true)
+    assert(Containers.gzipMembers(bad) == null)
+    intercept[java.io.IOException] {
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bad)).readAllBytes()
+    }
+  }
+
 }
