@@ -404,7 +404,7 @@ object Multimodal {
   }
 
   /** Deterministic decode-forensics corpus planting one failure class
-    * per `id mod 27` residue, now covering every ingest family:
+    * per `id mod 29` residue, now covering every ingest family:
     * 0 → valid BMP (`ok`), 1 → valid PNG (`ok`), 2 → TIFF with its
     * Compression tag rewritten to JPEG-in-TIFF (`unsupported_profile`),
     * 3 → PNG truncated mid-IDAT (`corrupt`), 4 → magic-free garbage
@@ -445,7 +445,14 @@ object Multimodal {
     * scope (`ogg_vorbis`/`unsupported_profile`), 25 → a valid ZIP
     * shard, every member decoded and CRC-checked via [[Zip]]
     * (`zip`/`ok`), 26 → the same ZIP with one deflate byte flipped so
-    * the member CRC-32 catches it (`zip`/`corrupt`).
+    * the member CRC-32 catches it (`zip`/`corrupt`), 27 → a
+    * dictionary-bearing `.warc.zst`: structured dictionary in the
+    * leading nibble-D skippable frame, id-checked splice frame — now
+    * DECODED for real through the RFC 8878 §5 machinery
+    * (`warc`/`ok`), 28 → the same splice frame but the embedded
+    * dictionary names a DIFFERENT id — a dictionary is present, just
+    * not the one the frame wants (`zstd`/`unsupported_profile`,
+    * distinct from case 16's no-dictionary-at-all).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -464,7 +471,21 @@ object Multimodal {
       def wavBytes = Containers.synthWav(8000, 1, 16,
         Array.tabulate((64 + id % 32).toInt * 2)(j =>
           ((id * 11 + j * 37) % 256).toByte))
-      val blob = (id % 27) match {
+      def zstdDictWarc(dictIdInFrame: Int, dictIdInDict: Int): Array[Byte] = {
+        val pattern = Array.tabulate(52)(j => ((j * 7 + 13) % 256).toByte)
+        val payload = pattern ++ Array.tabulate((8 + id % 16).toInt)(j =>
+          ((id * 29 + j * 17) % 256).toByte)
+        val rec = Containers.synthWarc(Seq(
+          ("response", s"https://example.com/zd/$id", payload)))
+        val prefix = java.util.Arrays.copyOfRange(rec, 0,
+          rec.length - 4 - payload.length)
+        val suffix = java.util.Arrays.copyOfRange(rec, prefix.length + 52,
+          rec.length)
+        Zstd.synthDictSkippableFrame(Zstd.synthDictionary(dictIdInDict, pattern)) ++
+          Zstd.synthDictSpliceFrame(dictIdInFrame, prefix, pattern.length, 52,
+            suffix, checksum = true, dictContent = pattern)
+      }
+      val blob = (id % 29) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -583,7 +604,7 @@ object Multimodal {
         case 25 => Zip.synthZip(Seq((s"m$id.txt",
           Array.tabulate((24 + id % 24).toInt)(j =>
             ((id * 19 + j * 7) % 256).toByte), true)))
-        case _ =>
+        case 26 =>
           // flip one deflate byte mid-member: CRC-32 must catch it.
           // Offset computed RELATIVE to the data start (30-byte local
           // header + name) — an absolute offset would drift into the
@@ -594,6 +615,8 @@ object Multimodal {
           val dataStart = 30 + s"m$id.txt".length
           z(dataStart + 3) = (z(dataStart + 3) ^ 0x15).toByte
           z
+        case 27 => zstdDictWarc(5, 5) // embedded dict resolves → decodes
+        case _ => zstdDictWarc(5, 6) // id mismatch → nameable gap
       }
       MediaFile(id, "image", blob)
     })
@@ -2304,6 +2327,75 @@ object Multimodal {
             ctx.setChecksum(id % 4 == 0)
             frames.write(ctx.compress(rec))
           } else frames.write(Zstd.synthRawFrame(rec, checksum = true))
+        }
+        MediaFile(id, "crawl", frames.toByteArray)
+      }
+      rows ++ { closeOnce(); Iterator.empty }
+    }
+  }
+
+  /** Deterministic DICTIONARY-bearing `.warc.zst` corpus — the shape
+    * Common Crawl actually ships: every crawl leads with a skippable
+    * frame (magic nibble D, `0x184D2A5D`) carrying the shared
+    * dictionary, then per-record zstd frames that can only decode
+    * WITH it. Crawl `id` holds `2 + id%4` records cycling
+    * response/request/metadata; record `s` carries a
+    * `60 + (id+s)%24`-byte payload whose first 52 bytes are the
+    * shared pattern `(j*7 + 13) % 256` — the bytes the dictionary
+    * contributes — and byte `j ≥ 52` is `(id*17 + s*23 + j*11) % 256`.
+    * Even ids: a RAW-CONTENT dictionary (the pattern itself) loaded
+    * into the independent zstd implementation Spark bundles, so the
+    * decode path must resolve real cross-frame dictionary references
+    * libzstd emits (no dict id in those frame headers — raw dicts
+    * carry none). Odd ids: a STRUCTURED dictionary (entropy tables +
+    * rep offsets + content) built by [[Zstd.synthDictionary]], with
+    * id-checked splice frames whose one sequence copies the 52-byte
+    * pattern out of dictionary history. The oracle replays the
+    * payload generator: dictionaries are transparent to the sums.
+    */
+  def demoWarcZstdDictCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val pattern = Array.tabulate(52)(j => ((j * 7 + 13) % 256).toByte)
+      // ONE native context per partition, released on every task exit
+      // path (same discipline as demoWarcZstdCorpus)
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def closeOnce(): Unit = if (closed.compareAndSet(false, true)) ctx.close()
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
+      val rows = it.map { id =>
+        val n = (2 + id % 4).toInt
+        val structured = id % 2 == 1
+        val dictId = (1 + id % 9).toInt
+        val frames = new java.io.ByteArrayOutputStream()
+        frames.write(Zstd.synthDictSkippableFrame(
+          if (structured) Zstd.synthDictionary(dictId, pattern) else pattern))
+        (0 until n).foreach { s =>
+          val tpe = (s % 3) match {
+            case 0 => "response"; case 1 => "request"; case _ => "metadata"
+          }
+          val len = (60 + (id + s) % 24).toInt
+          val payload = Array.tabulate(len)(j =>
+            if (j < 52) pattern(j)
+            else ((id * 17 + s * 23 + j.toLong * 11) % 256).toByte)
+          val rec = Containers.synthWarc(
+            Seq((tpe, s"https://ex.test/zstdict/$id/$s", payload)))
+          if (structured) {
+            val prefix = java.util.Arrays.copyOfRange(rec, 0, rec.length - 4 - len)
+            val suffix = java.util.Arrays.copyOfRange(rec, prefix.length + 52,
+              rec.length)
+            frames.write(Zstd.synthDictSpliceFrame(dictId, prefix,
+              pattern.length, 52, suffix, checksum = true,
+              dictContent = pattern))
+          } else {
+            // parameters BEFORE loadDict: libzstd pins compression
+            // params when the dictionary's tables are built
+            ctx.setLevel(Seq(1, 3, 19)((id % 6).toInt / 2))
+            ctx.setChecksum(id % 4 == 0)
+            ctx.loadDict(pattern)
+            frames.write(ctx.compress(rec))
+          }
         }
         MediaFile(id, "crawl", frames.toByteArray)
       }

@@ -16,8 +16,12 @@ import scala.collection.mutable.ArrayBuffer
   * (normalized-count parsing, table build, the three predefined
   * distributions), Huffman literals (direct AND FSE-compressed
   * weights, 1- and 4-stream), sequence execution with the three
-  * repeat-offset slots, skippable frames, and xxhash64 content
-  * checksums.
+  * repeat-offset slots, skippable frames, xxhash64 content
+  * checksums, and §5 dictionaries — structured (entropy tables +
+  * rep-offset seeds + content history) and raw-content, captured
+  * from the leading skippable frame Common Crawl ships them in
+  * (magic `0x184D2A5D`, possibly itself zstd-compressed) or supplied
+  * externally via [[decodeResultWithDict]].
   *
   * Posture matches every decoder in [[Containers]]: degrade, don't
   * throw — corrupt or truncated input returns null; decompression is
@@ -36,14 +40,20 @@ object Zstd {
     extends RuntimeException(msg, null, false, false)
   private def fail(msg: String): Nothing = throw new Err(msg)
 
-  /** Well-formed frame that needs an external dictionary — a profile
-    * gap (we ship none), distinct from corruption.
+  /** Well-formed frame that needs a dictionary not in hand (none
+    * embedded in a leading skippable frame, none supplied externally,
+    * or an id mismatch) — a profile gap, distinct from corruption.
     */
   private final class NeedsDict
     extends RuntimeException("dictionary frame", null, false, false)
 
   private val FrameMagic = 0xFD2FB528
   private val SkippableMin = 0x184D2A50
+  private val DictMagic = 0xEC30A437
+  /** Common Crawl's `.warc.zst` convention: the shared dictionary
+    * travels in a leading skippable frame with THIS magic (nibble D).
+    */
+  private val DictSkippableMagic = 0x184D2A5D
   private val BlockMaxAbs = 128 << 10
 
   def isZstd(b: Array[Byte]): Boolean =
@@ -68,8 +78,20 @@ object Zstd {
     * tables, checksum mismatch, or output past `cap`.
     */
   def decodeResult(b: Array[Byte], cap: Long = 1L << 30): Result =
-    try Ok(decodeAll(b, cap))
-    catch {
+    decodeResultWithDict(b, null, cap)
+
+  /** [[decodeResult]] with an EXTERNAL dictionary (raw-content or
+    * structured `0xEC30A437` bytes) supplied out-of-band — the shape
+    * for corpora whose dictionary lives in a sidecar file rather than
+    * a leading skippable frame. An embedded skippable-frame
+    * dictionary still takes precedence for frames after it.
+    */
+  def decodeResultWithDict(b: Array[Byte], dictBytes: Array[Byte],
+      cap: Long = 1L << 30): Result =
+    try {
+      val d = if (dictBytes == null) null else parseDict(dictBytes)
+      Ok(decodeAll(b, cap, d))
+    } catch {
       case _: NeedsDict => NeedsDictionary
       case _: Err => Corrupt
       case _: ArrayIndexOutOfBoundsException => Corrupt
@@ -441,6 +463,86 @@ object Zstd {
     if (!bits.finished) fail("huffman stream not fully consumed")
   }
 
+  // ---- dictionaries (RFC 8878 §5) --------------------------------------
+
+  /** A parsed zstd dictionary: entropy tables prime the first block's
+    * Repeat modes (and treeless literals), `rep` replaces the
+    * {1,4,8} repeat-offset init, and `content` is virtual history in
+    * front of the frame for match copies. Raw-content dictionaries
+    * (no `0xEC30A437` magic) carry content only — entropy fields stay
+    * null and the default init applies.
+    */
+  private final class Dict(val id: Long, val huf: HufTable,
+      val llTable: FseTable, val ofTable: FseTable, val mlTable: FseTable,
+      val rep: Array[Long], val content: Array[Byte])
+
+  /** Parse dictionary bytes: structured when the magic leads —
+    * Huffman table, then FSE tables in OF, ML, LL order, then the 3
+    * recent-offset seeds (4-byte LE each, nonzero, ≤ content length),
+    * then content. Anything without the magic is a raw-content
+    * dictionary. Throws Err on structural damage.
+    */
+  private def parseDict(b: Array[Byte]): Dict = {
+    if (b == null || b.length == 0) fail("empty dictionary")
+    if (b.length < 4 || leU32(b, 0) != DictMagic)
+      return new Dict(0, null, null, null, null, null, b)
+    // the magic commits to the structured layout: a truncated
+    // structured dictionary is damage, not raw content
+    if (b.length < 8) fail("truncated dictionary header")
+    val id = leU32(b, 4) & 0xFFFFFFFFL
+    var p = 8
+    val (huf, hufLen) = hufReadTable(b, p, b.length)
+    p += hufLen
+    val (ofN, ofLog, ofLen) = fseReadNCount(b, p, b.length, 31, 8)
+    p += ofLen
+    val ofT = fseBuildDecode(ofN, ofLog)
+    val (mlN, mlLog, mlLen) = fseReadNCount(b, p, b.length, 52, 9)
+    p += mlLen
+    val mlT = fseBuildDecode(mlN, mlLog)
+    val (llN, llLog, llLen) = fseReadNCount(b, p, b.length, 35, 9)
+    p += llLen
+    val llT = fseBuildDecode(llN, llLog)
+    if (p + 12 > b.length) fail("truncated dictionary rep offsets")
+    val rep = Array.tabulate(3)(i => leU32(b, p + 4 * i) & 0xFFFFFFFFL)
+    p += 12
+    val content = java.util.Arrays.copyOfRange(b, p, b.length)
+    if (rep.exists(r => r == 0 || r > content.length))
+      fail("dictionary rep offset out of range")
+    new Dict(id, huf, llT, ofT, mlT, rep, content)
+  }
+
+  /** Interpret a skippable frame's payload as a dictionary when it
+    * has the shape of one: structured bytes anywhere, a zstd frame
+    * wrapping a structured dictionary (Common Crawl compresses the
+    * dictionary itself), or — only under the nibble-D Common Crawl
+    * dictionary magic — raw content. Null when it isn't one (the
+    * frame is then skipped exactly as before).
+    */
+  private def dictFromSkippable(b: Array[Byte], payloadOff: Int,
+      payloadLen: Int, magic: Int, cap: Long): Dict = {
+    if (payloadLen <= 0) return null
+    val payload = java.util.Arrays.copyOfRange(b, payloadOff, payloadOff + payloadLen)
+    val plain: Array[Byte] =
+      if (payload.length >= 4 && leU32(payload, 0) == FrameMagic) {
+        // the dictionary itself ships zstd-compressed (no nesting);
+        // an undecodable payload is just a skippable frame, not
+        // stream corruption
+        try decodeAll(payload, cap, null)
+        catch {
+          case _: Err | _: NeedsDict => return null
+          case _: ArrayIndexOutOfBoundsException => return null
+          case _: NegativeArraySizeException => return null
+        }
+      } else payload
+    val structured = plain.length >= 4 && leU32(plain, 0) == DictMagic
+    if (!structured && magic != DictSkippableMagic) return null
+    try parseDict(plain)
+    catch {
+      case _: Err => null
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+
   // ---- literals section ----------------------------------------------
 
   /** Entropy state carried across the blocks of ONE frame. */
@@ -452,6 +554,21 @@ object Zstd {
     var rep1: Long = 1
     var rep2: Long = 4
     var rep3: Long = 8
+    /** Virtual history ahead of the frame; empty without a dictionary. */
+    var history: Array[Byte] = null
+
+    def prime(d: Dict): Unit = {
+      history = d.content
+      if (d.huf != null) {
+        huf = d.huf
+        llTable = d.llTable
+        ofTable = d.ofTable
+        mlTable = d.mlTable
+        rep1 = d.rep(0)
+        rep2 = d.rep(1)
+        rep3 = d.rep(2)
+      }
+    }
   }
 
   /** Decode the literals section at `off`; returns (literals, bytes
@@ -591,17 +708,38 @@ object Zstd {
       java.util.Arrays.fill(buf, len, len + n, v)
       len += n
     }
-    /** Overlap-safe LZ match copy. */
-    def copyMatch(offset: Long, n: Long, frameStart: Int): Unit = {
-      if (offset <= 0 || offset > len - frameStart) fail("match offset escapes frame")
+    /** Overlap-safe LZ match copy; offsets past the frame's own
+      * output resolve into the dictionary history (virtual bytes in
+      * front of the frame), per RFC 8878 §5.
+      */
+    def copyMatch(offset: Long, n: Long, frameStart: Int,
+        history: Array[Byte]): Unit = {
+      val avail = len - frameStart
+      val histLen = if (history == null) 0 else history.length
+      if (offset <= 0 || offset > avail.toLong + histLen)
+        fail("match offset escapes frame")
       if (len.toLong + n > cap) fail("decompression bomb")
       if (n > Int.MaxValue) fail("match too long")
       ensure(n.toInt)
-      var i = 0L
-      val src = len - offset.toInt
-      while (i < n) {
-        buf(len + i.toInt) = buf(src + i.toInt)
-        i += 1
+      if (offset <= avail) {
+        var i = 0L
+        val src = len - offset.toInt
+        while (i < n) {
+          buf(len + i.toInt) = buf(src + i.toInt)
+          i += 1
+        }
+      } else {
+        // source begins in the dictionary: position in the virtual
+        // stream history ++ frameOutput, spilling into the frame's
+        // own (possibly just-written) bytes as the copy advances
+        val srcVirtual = histLen - (offset - avail).toInt
+        var i = 0
+        while (i < n) {
+          val s = srcVirtual + i
+          buf(len + i) =
+            if (s < histLen) history(s) else buf(frameStart + (s - histLen))
+          i += 1
+        }
       }
       len += n.toInt
     }
@@ -690,7 +828,7 @@ object Zstd {
       if (litPos + litLenV > lit.length) fail("literal run past buffer")
       out.addSlice(lit, litPos, litLenV)
       litPos += litLenV
-      out.copyMatch(offset, matchLen, frameStart)
+      out.copyMatch(offset, matchLen, frameStart, ctx.history)
       if (out.len - startLen > blockMax) fail("block regen over max")
       i += 1
     }
@@ -701,11 +839,13 @@ object Zstd {
 
   // ---- frames --------------------------------------------------------
 
-  private def decodeAll(b: Array[Byte], cap: Long): Array[Byte] = {
+  private def decodeAll(b: Array[Byte], cap: Long,
+      externalDict: Dict): Array[Byte] = {
     if (b == null || b.length < 4) fail("too short")
     val out = new Sink(cap)
     var p = 0
     var sawFrame = false
+    var dict: Dict = externalDict
     while (p < b.length) {
       if (p + 4 > b.length) fail("trailing garbage")
       val magic = leU32(b, p)
@@ -713,9 +853,14 @@ object Zstd {
         if (p + 8 > b.length) fail("truncated skippable frame")
         val sz = leU32(b, p + 4) & 0xFFFFFFFFL
         if (p + 8 + sz > b.length) fail("skippable frame past input")
+        // Common Crawl ships the shared dictionary in a leading
+        // skippable frame — capture it so later frames decode; any
+        // other skippable payload is skipped exactly as before
+        val d = dictFromSkippable(b, p + 8, sz.toInt, magic, cap)
+        if (d != null) dict = d
         p += 8 + sz.toInt
       } else if (magic == FrameMagic) {
-        p = decodeFrame(b, p + 4, out, cap)
+        p = decodeFrame(b, p + 4, out, cap, dict)
         sawFrame = true
       } else fail("bad magic")
     }
@@ -724,9 +869,14 @@ object Zstd {
   }
 
   /** Decode one frame starting AFTER its magic; returns the offset
-    * past the frame.
+    * past the frame. A frame naming a nonzero dictionary id needs
+    * `dict` (id-matched, or a raw-content dictionary which carries no
+    * id); a present dictionary also primes frames that don't name an
+    * id — raw-content compression writes none (Common Crawl's case),
+    * and priming is inert for frames that never reference it.
     */
-  private def decodeFrame(b: Array[Byte], start: Int, out: Sink, cap: Long): Int = {
+  private def decodeFrame(b: Array[Byte], start: Int, out: Sink, cap: Long,
+      dict: Dict): Int = {
     var p = start
     if (p >= b.length) fail("missing frame header")
     val desc = u8(b, p)
@@ -751,7 +901,12 @@ object Zstd {
     var i = 0
     while (i < dictBytes) { dictId |= (u8(b, p + i).toLong << (8 * i)); i += 1 }
     p += dictBytes
-    if (dictId != 0) throw new NeedsDict
+    // a named id must match the dictionary in hand; raw-content
+    // dictionaries carry no id of their own, so any id is trusted to
+    // them (standard zstd behavior for raw dicts)
+    if (dictId != 0 &&
+        (dict == null || (dict.huf != null && dict.id != dictId)))
+      throw new NeedsDict
     var fcs = -1L
     fcsFlag match {
       case 0 =>
@@ -776,6 +931,7 @@ object Zstd {
     val blockMax = math.min(if (windowSize > 0) windowSize else BlockMaxAbs.toLong,
       BlockMaxAbs.toLong)
     val ctx = new FrameCtx
+    if (dict != null) ctx.prime(dict)
     val frameStart = out.len
     var last = false
     while (!last) {
@@ -972,9 +1128,257 @@ object Zstd {
     out.toByteArray
   }
 
+  // ---- dictionary synthesis (RFC 8878 §5 write side) -------------------
+
+  /** Forward LSB-first bit packer — the counterpart of [[FwdBits]],
+    * for FSE normalized-count headers (byte-aligned at the end;
+    * padding bits are never read).
+    */
+  private final class FwdBitWriter {
+    private val bytes = ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nbits = 0
+    def add(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >> i) & 1) << nbits
+        nbits += 1
+        if (nbits == 8) { bytes += cur.toByte; cur = 0; nbits = 0 }
+        i += 1
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (nbits > 0) { bytes += cur.toByte; cur = 0; nbits = 0 }
+      bytes.toArray
+    }
+  }
+
+  /** Normalized-count header for a single-symbol table: accuracy log
+    * 5, symbol `sym` carrying the whole 2⁵ probability. (Count fields
+    * per §4.1.1: value 1 in 5 bits = "count 0", 2-bit zero-run
+    * repeats, value 63 in 6 bits = "count 32" while remaining=33.)
+    */
+  private def fseWriteSingleNCount(sym: Int): Array[Byte] = {
+    val w = new FwdBitWriter
+    w.add(0, 4) // accuracy_log = 5
+    if (sym == 0) w.add(63, 6)
+    else {
+      w.add(1, 5) // symbol 0: count 0
+      var left = sym - 1 // zero-run 2-bit fields advance to `sym`
+      while (left >= 3) { w.add(3, 2); left -= 3 }
+      w.add(left, 2)
+      w.add(63, 6)
+    }
+    w.finish()
+  }
+
+  /** The alphabet the synthesized dictionary's Huffman table covers:
+    * 'a','b' (2-bit codes) and 'c' (1-bit, the implied last weight).
+    */
+  val DictHufAlphabet: Seq[Byte] = Seq('a'.toByte, 'b'.toByte, 'c'.toByte)
+
+  /** A structured dictionary: magic, id, entropy tables (Huffman over
+    * 'a'/'b'/'c'; single-symbol FSE tables pinning OF code 6, ML code
+    * 38, LL code 0 for Repeat-mode frames), rep offsets {1,4,8}, then
+    * `content` as match history. `content.length` must be ≥ 8 (rep
+    * offsets must not exceed it).
+    */
+  def synthDictionary(dictId: Int, content: Array[Byte]): Array[Byte] = {
+    require(content.length >= 8, "dictionary content too short for rep offsets")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(leBytes(DictMagic & 0xFFFFFFFFL, 4))
+    out.write(leBytes(dictId.toLong & 0xFFFFFFFFL, 4))
+    // Huffman: direct 4-bit weights for symbols 0..98 ('a'=97 w1,
+    // 'b'=98 w1); 'c'=99 is the implied last weight (2)
+    out.write(127 + 99) // direct representation, 99 listed weights
+    val nib = new Array[Int](100)
+    nib(97) = 1; nib(98) = 1
+    var i = 0
+    while (i < 99) {
+      out.write(((nib(i) << 4) | (if (i + 1 < 99) nib(i + 1) else 0)) & 0xFF)
+      i += 2
+    }
+    out.write(fseWriteSingleNCount(6)) // OF: code 6 → offsets 61..124
+    out.write(fseWriteSingleNCount(38)) // ML: code 38 → lengths 51..58
+    out.write(fseWriteSingleNCount(0)) // LL: code 0 → literal length 0
+    out.write(leBytes(1, 4)) // rep offsets
+    out.write(leBytes(4, 4))
+    out.write(leBytes(8, 4))
+    out.write(content, 0, content.length)
+    out.toByteArray
+  }
+
+  /** Wrap dictionary bytes in the Common Crawl dictionary skippable
+    * frame (magic nibble D) — the leading frame `.warc.zst` drops
+    * carry theirs in.
+    */
+  def synthDictSkippableFrame(dict: Array[Byte]): Array[Byte] =
+    synthSkippableFrame(dict, nibble = 0xD)
+
+  private def frameHeaderDict(contentLen: Long, dictId: Int,
+      checksum: Boolean): Array[Byte] = {
+    val out = ArrayBuffer.empty[Byte]
+    out ++= leBytes(FrameMagic & 0xFFFFFFFFL, 4)
+    val (fcsFlag, fcsBytes) =
+      if (contentLen <= 255) (0, 1)
+      else if (contentLen <= 65535 + 256) (1, 2)
+      else (2, 4)
+    val (dictFlagBits, dictBytes) =
+      if (dictId == 0) (0, 0)
+      else if (dictId <= 0xFFFF) (2, 2)
+      else (3, 4)
+    out += ((fcsFlag << 6) | 0x20 | (if (checksum) 4 else 0) | dictFlagBits).toByte
+    if (dictBytes > 0) out ++= leBytes(dictId.toLong & 0xFFFFFFFFL, dictBytes)
+    val stored = if (fcsFlag == 1) contentLen - 256 else contentLen
+    out ++= leBytes(stored, fcsBytes)
+    out.toArray
+  }
+
+  /** A frame NAMING `dictId` whose one compressed-block sequence
+    * copies `copyLen` (51..58) bytes from the START of the
+    * dictionary's content: raw block `prefix`, then the dictionary
+    * splice, then raw block `suffix`. Decodes to
+    * `prefix ++ dictContent.take(copyLen) ++ suffix` — but only with
+    * the dictionary in hand (the match offset escapes the frame).
+    * RLE-mode tables in-block, so only history + id wiring is
+    * exercised; [[synthDictRepeatFrame]] covers the entropy side.
+    */
+  def synthDictSpliceFrame(dictId: Int, prefix: Array[Byte],
+      dictContentLen: Int, copyLen: Int, suffix: Array[Byte],
+      checksum: Boolean = false, dictContent: Array[Byte] = null): Array[Byte] = {
+    require(copyLen >= 51 && copyLen <= 58, "copyLen must fit ML code 38")
+    require(copyLen <= dictContentLen, "copy escapes dictionary content")
+    val offset = prefix.length + dictContentLen
+    val offsetValue = offset + 3L
+    val ofCode = 63 - java.lang.Long.numberOfLeadingZeros(offsetValue)
+    require(ofCode >= 3 && ofCode <= 30, "offset out of synth range")
+    val extras = (offsetValue - (1L << ofCode)).toInt
+    val block = new java.io.ByteArrayOutputStream()
+    block.write(0) // raw literals, size 0
+    block.write(1) // nbSeq = 1
+    block.write((1 << 6) | (1 << 4) | (1 << 2)) // LL/OF/ML all RLE
+    block.write(0) // LL code 0 → litLen 0
+    block.write(ofCode.toInt)
+    block.write(38) // ML code 38 → base 51, 3 extra bits
+    val bw = new BitWriter
+    bw.add((copyLen - 51).toLong, 3)
+    bw.add(extras.toLong, ofCode.toInt) // OF extras: read first, written last
+    val bits = bw.finish()
+    block.write(bits, 0, bits.length)
+    val payload = block.toByteArray
+    val content = prefix ++
+      (if (dictContent != null) dictContent.take(copyLen)
+       else new Array[Byte](copyLen)) ++ suffix
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(frameHeaderDict(content.length.toLong, dictId, checksum))
+    if (prefix.nonEmpty)
+      out.write(blockHeader(last = false, 0, prefix.length))
+    if (prefix.nonEmpty) out.write(prefix, 0, prefix.length)
+    out.write(blockHeader(last = suffix.isEmpty, 2, payload.length))
+    out.write(payload, 0, payload.length)
+    if (suffix.nonEmpty) {
+      out.write(blockHeader(last = true, 0, suffix.length))
+      out.write(suffix, 0, suffix.length)
+    }
+    if (checksum) {
+      require(dictContent != null,
+        "checksummed splice frame needs the dictionary content")
+      out.write(leBytes(xxh64(content, 0, content.length, 0L) & 0xFFFFFFFFL, 4))
+    }
+    out.toByteArray
+  }
+
+  /** A frame NAMING `dictId` whose first block uses Repeat-mode
+    * sequence tables AND treeless literals — both primed from the
+    * dictionary's entropy tables, nothing described in-block.
+    * Literals must be drawn from [[DictHufAlphabet]]; each sequence
+    * is (matchLen 51..58, offset 61..124) with literal length 0
+    * (the dictionary's LL/ML/OF tables pin codes 0/38/6). Decodes to
+    * the match copies (over dict history ++ own output) followed by
+    * the literal tail.
+    */
+  def synthDictRepeatFrame(dictId: Int, literals: Array[Byte],
+      seqs: Seq[(Int, Int)], dictContent: Array[Byte],
+      checksum: Boolean = false): Array[Byte] = {
+    require(literals.nonEmpty && literals.length <= 1023, "literals 1..1023")
+    require(literals.forall(DictHufAlphabet.contains),
+      "literals must be in the dictionary Huffman alphabet")
+    require(seqs.nonEmpty && seqs.size < 128, "1..127 sequences")
+    require(seqs.forall { case (ml, of) =>
+      ml >= 51 && ml <= 58 && of >= 61 && of <= 124 }, "seq out of code range")
+    // Huffman-encode the literals with the dictionary's table:
+    // 'a'→00₂, 'b'→01₂, 'c'→1₁ (canonical cells 0,1,2-3); codes are
+    // consumed top-down so they are written in reverse literal order
+    val hw = new BitWriter
+    for (ch <- literals.reverse) (ch: @unchecked) match {
+      case 'a' => hw.add(0, 2)
+      case 'b' => hw.add(1, 2)
+      case 'c' => hw.add(1, 1)
+    }
+    val huf = hw.finish()
+    require(huf.length <= 1023, "huffman stream too long for size format 0")
+    val block = new java.io.ByteArrayOutputStream()
+    // literals header: type 3 (treeless), size_format 0 (10-bit sizes)
+    val litSize = literals.length
+    val compSize = huf.length
+    block.write(3 | ((litSize & 0xF) << 4))
+    block.write(((litSize >> 4) & 0x3F) | ((compSize & 3) << 6))
+    block.write(compSize >> 2)
+    block.write(huf, 0, huf.length)
+    block.write(seqs.size)
+    block.write((3 << 6) | (3 << 4) | (3 << 2)) // LL/OF/ML all Repeat
+    val bw = new BitWriter
+    for ((ml, of) <- seqs.reverse) {
+      bw.add((ml - 51).toLong, 3)
+      bw.add((of + 3 - 64).toLong, 6) // OF code 6: offsetValue = 64 + extras
+    }
+    // initial states (single-symbol tables: any state; read LL, OF,
+    // ML first-to-last, so written in reverse)
+    bw.add(0, 5) // ML
+    bw.add(0, 5) // OF
+    bw.add(0, 5) // LL — read first
+    val bits = bw.finish()
+    block.write(bits, 0, bits.length)
+    val payload = block.toByteArray
+    val content = decodeForSynthDict(dictContent, literals,
+      seqs.map { case (ml, of) => (0, ml, of) })
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(frameHeaderDict(content.length.toLong, dictId, checksum))
+    out.write(blockHeader(last = true, 2, payload.length))
+    out.write(payload, 0, payload.length)
+    if (checksum)
+      out.write(leBytes(xxh64(content, 0, content.length, 0L) & 0xFFFFFFFFL, 4))
+    out.toByteArray
+  }
+
+  /** Replay of a dictionary-referencing synth frame: sequences of
+    * (litLen, matchLen, offset) over the virtual stream
+    * `dictContent ++ output`, then the literal tail — the closed form
+    * oracles replay.
+    */
+  def decodeForSynthDict(dictContent: Array[Byte], literals: Array[Byte],
+      seqs: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val out = ArrayBuffer.empty[Byte]
+    var lp = 0
+    for ((ll, ml, off) <- seqs) {
+      out ++= literals.slice(lp, lp + ll)
+      lp += ll
+      var i = 0
+      while (i < ml) {
+        val virt = out.length - off
+        out += (if (virt < 0) dictContent(dictContent.length + virt)
+                else out(virt))
+        i += 1
+      }
+    }
+    out ++= literals.drop(lp)
+    out.toArray
+  }
+
   /** A frame whose header names dictionary id `dictId` — well-formed
     * but unreadable without that dictionary: the shape
-    * [[unsupportedProfile]] reports.
+    * [[unsupportedProfile]] reports when no embedded or external
+    * dictionary supplies it.
     */
   def synthDictFrame(dictId: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

@@ -378,6 +378,23 @@ object FrontierQueries {
         .toDF().orderBy("crawl_id")
     }),
 
+    // Common Crawl's REAL `.warc.zst` shape: the shared dictionary in
+    // a leading skippable frame (raw-content via libzstd on even ids,
+    // structured entropy-table dictionaries with id-checked splice
+    // frames on odd), resolved by the from-scratch RFC 8878 §5
+    // dictionary machinery — history-reaching match offsets, repeat
+    // tables, rep-offset seeds. Generator-replay oracle: the
+    // dictionary is transparent to the sums.
+    "warc_zstd_dict" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoWarcZstdDictCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.warcStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("crawl_id")
+    }),
+
     // REAL G.711 telephony audio decode: μ-law/A-law companded WAVs
     // expand through the exact ITU segment arithmetic — the oracle
     // replays the expansion formula per byte; the Spark side must get
@@ -639,7 +656,7 @@ object FrontierQueries {
     // payload as ok / empty / unknown_container / unsupported_profile
     // / corrupt and count by (container, reason) — the observability
     // layer that distinguishes "ship a profile extension" from "fix
-    // the ingest" at corpus scale, over one planted class per id%15.
+    // the ingest" at corpus scale, over one planted class per id%29.
     "decode_err_rates" -> ((s, dir) => {
       import s.implicits._
       val corpus = graft.operators.Multimodal.demoDecodeErrCorpus(
@@ -1689,6 +1706,25 @@ object FrontierQueries {
         |      j -> (doc_id*17 + s*23 + j*11) % 256))))::BIGINT AS payload_sum
         |FROM r ORDER BY crawl_id""".stripMargin,
 
+    // Replays the dictionary-bearing `.warc.zst` generator: payload
+    // byte j < 52 is the shared dictionary pattern, j ≥ 52 the
+    // id/s-keyed generator; only responses are reduced. Dictionary
+    // resolution is the identity on content.
+    "warc_zstd_dict" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 4 AS n FROM documents),
+        |r AS (SELECT doc_id, n,
+        |    list_filter(range(0, n), s -> s % 3 = 0) AS resp FROM m)
+        |SELECT doc_id AS crawl_id, n::INT AS n_records,
+        |  length(resp)::INT AS n_responses,
+        |  list_sum(list_transform(resp,
+        |    s -> 60 + (doc_id + s) % 24))::BIGINT AS response_bytes,
+        |  list_sum(list_transform(resp, s ->
+        |    list_sum(list_transform(range(0, 60 + (doc_id + s) % 24),
+        |      j -> CASE WHEN j < 52 THEN (j*7 + 13) % 256
+        |           ELSE (doc_id*17 + s*23 + j*11) % 256 END))))::BIGINT
+        |    AS payload_sum
+        |FROM r ORDER BY crawl_id""".stripMargin,
+
     // Replays the ITU G.711 expansion per companded byte
     // (μ-law: complement, segment shift, bias 132; A-law: 0x55
     // toggle, segment shift, sign bit SET = positive) over the
@@ -2159,7 +2195,7 @@ object FrontierQueries {
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
 
-    // Replays the planted-failure generator: each id%27 residue maps
+    // Replays the planted-failure generator: each id%29 residue maps
     // to a fixed (container, reason) pair across all ingest families —
     // the four zstd outcomes of the RFC 8878 decoder, the two WebP
     // outcomes of the VP8L decoder, the mixed-member `.warc.gz`
@@ -2170,7 +2206,7 @@ object FrontierQueries {
     // member-CRC-caught damage).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 27
+        |    CASE doc_id % 29
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
@@ -2180,9 +2216,10 @@ object FrontierQueries {
         |      WHEN 18 THEN 'webp' WHEN 19 THEN 'webp' WHEN 20 THEN 'warc'
         |      WHEN 21 THEN 'flac' WHEN 22 THEN 'flac'
         |      WHEN 23 THEN 'oggflac' WHEN 24 THEN 'ogg_vorbis'
-        |      ELSE 'zip'
+        |      WHEN 25 THEN 'zip' WHEN 26 THEN 'zip'
+        |      WHEN 27 THEN 'warc' ELSE 'zstd'
         |    END AS format,
-        |    CASE doc_id % 27
+        |    CASE doc_id % 29
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -2198,7 +2235,8 @@ object FrontierQueries {
         |      WHEN 20 THEN 'ok_skipped_members'
         |      WHEN 21 THEN 'ok' WHEN 22 THEN 'corrupt'
         |      WHEN 23 THEN 'ok' WHEN 24 THEN 'unsupported_profile'
-        |      WHEN 25 THEN 'ok' ELSE 'corrupt'
+        |      WHEN 25 THEN 'ok' WHEN 26 THEN 'corrupt'
+        |      WHEN 27 THEN 'ok' ELSE 'unsupported_profile'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n

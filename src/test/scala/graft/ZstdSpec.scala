@@ -164,4 +164,106 @@ class ZstdSpec extends AnyFunSuite {
       .getBytes("US-ASCII")) == 0xFBCEA83C8A378BF1L)
     assert(h(Array.tabulate[Byte](256)(_.toByte)) == 0x1FACBE8406CD904BL)
   }
+  // ---- dictionaries (RFC 8878 §5) ------------------------------------
+
+  private def jniDecompressWithDict(frame: Array[Byte], origSize: Int,
+      dict: Array[Byte]): Array[Byte] = {
+    val ctx = new com.github.luben.zstd.ZstdDecompressCtx()
+    try { ctx.loadDict(dict); ctx.decompress(frame, origSize) }
+    finally ctx.close()
+  }
+
+  test("raw-content dictionary: jni-compressed frames decode via the skippable frame") {
+    val dict = texty(2000, 7)
+    val data = texty(1500, 7) ++ gen(200, 8) ++ texty(800, 7)
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    val frame =
+      try { ctx.setLevel(3); ctx.loadDict(dict); ctx.compress(data) }
+      finally ctx.close()
+    // jni itself needs the dictionary back — pins that the frame
+    // really references it
+    assert(java.util.Arrays.equals(
+      jniDecompressWithDict(frame, data.length, dict), data))
+    // Common Crawl shape: dictionary in the leading nibble-D
+    // skippable frame, then the compressed frames
+    val stream = Zstd.synthDictSkippableFrame(dict) ++ frame
+    assert(java.util.Arrays.equals(Zstd.decode(stream), data))
+    // external supply works too
+    assert(Zstd.decodeResultWithDict(frame, dict) == Zstd.Ok(data).copy(
+      bytes = Zstd.decodeResultWithDict(frame, dict)
+        .asInstanceOf[Zstd.Ok].bytes) || java.util.Arrays.equals(
+      Zstd.decodeResultWithDict(frame, dict).asInstanceOf[Zstd.Ok].bytes, data))
+    // and the COMPRESSED-dictionary variant: the skippable payload is
+    // itself a zstd frame wrapping the dictionary
+    val zdict = jniCompress(dict, 3, false)
+    val stream2 = graft.operators.Zstd.synthDictSkippableFrame(zdict) ++ frame
+    assert(java.util.Arrays.equals(Zstd.decode(stream2), data))
+  }
+
+  test("structured dictionary: splice frames decode with history, id checked") {
+    val content = texty(80, 11)
+    val dict = Zstd.synthDictionary(777, content)
+    val prefix = gen(40, 12)
+    val suffix = gen(30, 13)
+    val frame = Zstd.synthDictSpliceFrame(777, prefix, content.length, 52,
+      suffix, checksum = true, dictContent = content)
+    val want = prefix ++ content.take(52) ++ suffix
+    // embedded skippable dictionary
+    val stream = Zstd.synthDictSkippableFrame(dict) ++ frame
+    assert(java.util.Arrays.equals(Zstd.decode(stream), want))
+    // external dictionary
+    assert(java.util.Arrays.equals(
+      Zstd.decodeResultWithDict(frame, dict).asInstanceOf[Zstd.Ok].bytes, want))
+    // jni interop: the independent implementation loads our
+    // structured dictionary and reads our frame byte-exactly
+    assert(java.util.Arrays.equals(
+      jniDecompressWithDict(frame, want.length, dict), want))
+    // no dictionary → nameable profile gap, not corruption
+    assert(Zstd.decodeResult(frame) == Zstd.NeedsDictionary)
+    assert(Zstd.unsupportedProfile(frame))
+    // WRONG id → still the gap (the id is checked, not assumed)
+    val wrongDict = Zstd.synthDictionary(778, content)
+    assert(Zstd.decodeResultWithDict(frame, wrongDict) == Zstd.NeedsDictionary)
+    assert(Zstd.decodeResult(
+      Zstd.synthDictSkippableFrame(wrongDict) ++ frame) == Zstd.NeedsDictionary)
+  }
+
+  test("structured dictionary: Repeat-mode tables and treeless literals prime from it") {
+    val content = gen(200, 21)
+    val dict = Zstd.synthDictionary(4242, content)
+    val lits = "abcabccba".getBytes("US-ASCII") ++ Array.fill(20)('c'.toByte)
+    val seqs = Seq((51, 100), (58, 61), (52, 124))
+    val frame = Zstd.synthDictRepeatFrame(4242, lits, seqs, content,
+      checksum = true)
+    val want = Zstd.decodeForSynthDict(content, lits,
+      seqs.map { case (ml, of) => (0, ml, of) })
+    val stream = Zstd.synthDictSkippableFrame(dict) ++ frame
+    assert(java.util.Arrays.equals(Zstd.decode(stream), want))
+    // jni reads the same frame with the same dictionary — pins the
+    // dictionary's serialized entropy tables, not just our parse
+    assert(java.util.Arrays.equals(
+      jniDecompressWithDict(frame, want.length, dict), want))
+    // repeat-offset seeds come from the dictionary (1,4,8 defaults
+    // here, but the parse path is the dictionary's 12-byte field)
+    assert(Zstd.decodeResult(frame) == Zstd.NeedsDictionary)
+  }
+
+  test("dictionary damage degrades: truncated/garbled dicts never poison the stream") {
+    val content = texty(80, 31)
+    val dict = Zstd.synthDictionary(9, content)
+    val frame = Zstd.synthDictSpliceFrame(9, gen(20, 32), content.length, 52,
+      Array.emptyByteArray, checksum = false, dictContent = content)
+    // truncated dictionary payload → frame lacks its dict → gap
+    for (cut <- Seq(4, 8, 12, dict.length / 2))
+      assert(Zstd.decodeResult(
+        Zstd.synthDictSkippableFrame(dict.take(cut)) ++ frame) ==
+        Zstd.NeedsDictionary, s"cut=$cut")
+    // non-dict skippable frames keep being skipped silently
+    assert(Zstd.decodeResult(Zstd.synthSkippableFrame(gen(16, 33)) ++
+      Zstd.synthRawFrame(gen(10, 34))) match {
+      case Zstd.Ok(b) => b.length == 10
+      case _ => false
+    })
+  }
+
 }
