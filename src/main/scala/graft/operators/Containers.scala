@@ -97,6 +97,17 @@ object Containers {
         width = t.get(256).map(_.head.toInt).getOrElse(0),
         height = t.get(257).map(_.head.toInt).getOrElse(0))
     }
+    else if (b.length >= 4 && u8(b, 0) == 0xFF && (u8(b, 1) & 0xE0) == 0xE0) {
+      // untagged MPEG audio: the 11-bit sync alone is too weak a
+      // magic, but a FULL frame walk landing exactly on stream end
+      // (≥2 consistent frames) is semantic evidence, checked LAST so
+      // every stronger magic wins first
+      val info = Mp3.parse(b)
+      if (info != null && info.nFrames >= 2)
+        MediaHeader("mp3", sampleRate = info.sampleRate,
+          channels = info.channels, durationMs = info.durationMs)
+      else unknown
+    }
     else unknown
 
   /** BMP: 14-byte file header, then a DIB header. BITMAPCOREHEADER

@@ -313,10 +313,16 @@ object Multimodal {
       return ("flac",
         if (body != null && Flac.samples(body) != null) "ok" else "corrupt")
     }
-    if (fmt == "mp3")
-      // named codec we don't decode (psychoacoustic transform, not
-      // container work) — a profile gap, never "unknown"
-      return ("mp3", "unsupported_profile")
+    if (fmt == "mp3") {
+      // REAL frame-header walk (framing, bitrate/duration layout,
+      // Xing) — sample synthesis (the psychoacoustic transform)
+      // stays the named gap, reported for free-format streams whose
+      // frame sizes are unsignaled
+      return ("mp3",
+        if (Mp3.parse(b) != null) "ok"
+        else if (Mp3.unsupportedProfile(b)) "unsupported_profile"
+        else "corrupt")
+    }
     if (fmt == "oggflac")
       return ("oggflac", if (Ogg.flacSamples(b) != null) "ok" else "corrupt")
     if (fmt == "ogg_vorbis" || fmt == "ogg_opus" || fmt == "ogg_theora")
@@ -2116,6 +2122,66 @@ object Multimodal {
       val s = if (body == null) null else Flac.samples(body)
       Id3Audio(m.media_id, f("TIT2"), f("TPE1"), f("TALB"),
         frames.length.toLong, if (s == null) -1L else s.length.toLong)
+    })
+  }
+
+  /** One MP3 stream's frame-walk audit row; -1/""/false sentinels for
+    * unwalkable blobs.
+    */
+  final case class Mp3Stats(media_id: Long, version: String, layer: Int,
+      channels: Int, sample_rate: Int, n_frames: Long, total_bytes: Long,
+      duration_ms: Long, bitrate_kbps: Int, vbr: Boolean, xing_frames: Long)
+
+  /** MPEG-audio frame-header walk over a corpus: framing, layout
+    * bytes, duration and bitrate — the audit columns curation filters
+    * on — through ID3v2/ID3v1 tags and the Xing VBR header. Sample
+    * synthesis stays a named gap; see [[Mp3]].
+    */
+  def mp3Stats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[Mp3Stats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val i = Mp3.parse(m.content)
+      if (i == null)
+        Mp3Stats(m.media_id, "", -1, -1, -1, -1L, -1L, -1L, -1, vbr = false, -1L)
+      else Mp3Stats(m.media_id, i.version, i.layer, i.channels, i.sampleRate,
+        i.nFrames, i.totalFrameBytes, i.durationMs, i.bitrateKbps, i.vbr,
+        i.xingFrames)
+    })
+  }
+
+  /** Deterministic MP3 corpus across the whole header space: stream
+    * `id` is version 1/2/2.5 by `id%3`, layer `1 + (id/3)%3`,
+    * samplerate index `(id/2)%3`, mono on even ids, `3 + id%5`
+    * frames at base bitrate index `2 + (id%5)*2`; `id%4==1` streams
+    * are VBR (odd frames +3 index steps, a Xing frame-count header
+    * when layer 3); frame `f` pads by `(id+f)%2`; payload byte `j`
+    * of frame `f` is `(id*7 + f*31 + j*13) % 256`. `id%3==1` streams
+    * carry a leading ID3v2 tag and `id%5==2` a trailing ID3v1 block —
+    * both transparent to the walk. The oracle replays the frame-size
+    * algebra from the same bitrate/samplerate tables.
+    */
+  def demoMp3Corpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val version = Seq(1, 2, 25)((id % 3).toInt)
+      val layer = 1 + ((id / 3) % 3).toInt
+      val srIdx = ((id / 2) % 3).toInt
+      val mono = id % 2 == 0
+      val nFrames = (3 + id % 5).toInt
+      val base = (2 + (id % 5) * 2).toInt
+      val vbr = id % 4 == 1
+      val stream = Mp3.synthMp3(version, layer, srIdx, mono, nFrames,
+        f => if (vbr && f % 2 == 1) base + 3 else base,
+        f => ((id + f) % 2).toInt,
+        withXing = vbr && layer == 3,
+        (f, j) => ((id * 7 + f * 31 + j.toLong * 13) % 256).toByte)
+      val tagged =
+        if (id % 3 == 1) Id3.synthTag(4, Seq(("TIT2", s"track $id", 3)), stream)
+        else stream
+      val full =
+        if (id % 5 == 2) tagged ++ Mp3.synthId3v1(s"t$id") else tagged
+      MediaFile(id, "audio", full)
     })
   }
 

@@ -378,6 +378,21 @@ object FrontierQueries {
         .toDF().orderBy("crawl_id")
     }),
 
+    // MPEG-audio frame-header walk: version/layer/bitrate/samplerate
+    // tables, padding slots, Xing VBR headers, ID3v2/v1 tags — the
+    // audit columns a music/podcast corpus filters on. The oracle
+    // replays the frame-size algebra from the same tables (embedded
+    // by interpolation, so they can never diverge).
+    "audio_mp3_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoMp3Corpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.mp3Stats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // Common Crawl's REAL `.warc.zst` shape: the shared dictionary in
     // a leading skippable frame (raw-content via libzstd on even ids,
     // structured entropy-table dictionaries with id-checked splice
@@ -1705,6 +1720,64 @@ object FrontierQueries {
         |    list_sum(list_transform(range(0, 20 + (doc_id + s) % 24),
         |      j -> (doc_id*17 + s*23 + j*11) % 256))))::BIGINT AS payload_sum
         |FROM r ORDER BY crawl_id""".stripMargin,
+
+    // Replays the MP3 frame-size algebra from the SAME bitrate/
+    // samplerate tables the decoder and synthesizer share
+    // (interpolated below — no transcription to diverge). Truncating
+    // integer division throughout, matching the slot arithmetic.
+    "audio_mp3_metadata" -> {
+      import graft.operators.Mp3
+      def L(a: Array[Int]) = a.mkString("[", ", ", "]")
+      val srV1 = "[44100, 48000, 32000]"
+      val srV2 = "[22050, 24000, 16000]"
+      val srV25 = "[11025, 12000, 8000]"
+      s"""WITH p AS (SELECT doc_id,
+        |    doc_id % 3 AS vi,
+        |    (1 + (doc_id // 3) % 3) AS layer,
+        |    ((doc_id // 2) % 3) AS sri,
+        |    (2 + (doc_id % 5) * 2) AS base,
+        |    (doc_id % 4 = 1) AS isvbr,
+        |    (3 + doc_id % 5) AS nf
+        |  FROM documents),
+        |t AS (SELECT *,
+        |    CASE WHEN vi = 0 THEN $srV1[(sri+1)::INT]
+        |         WHEN vi = 1 THEN $srV2[(sri+1)::INT]
+        |         ELSE $srV25[(sri+1)::INT] END AS sr,
+        |    CASE WHEN vi = 0 THEN
+        |        CASE layer WHEN 1 THEN ${L(Mp3.V1L1)}
+        |          WHEN 2 THEN ${L(Mp3.V1L2)} ELSE ${L(Mp3.V1L3)} END
+        |      ELSE CASE layer WHEN 1 THEN ${L(Mp3.V2L1)}
+        |        ELSE ${L(Mp3.V2L23)} END END AS btab,
+        |    CASE WHEN layer = 1 THEN 384 WHEN layer = 2 THEN 1152
+        |         WHEN vi = 0 THEN 1152 ELSE 576 END AS spf
+        |  FROM p)
+        |SELECT doc_id AS media_id,
+        |  CASE vi WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END AS version,
+        |  layer::INT AS layer,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END::INT AS channels,
+        |  sr::INT AS sample_rate,
+        |  nf::BIGINT AS n_frames,
+        |  list_sum(list_transform(range(0, nf), f ->
+        |    CASE WHEN layer = 1 THEN
+        |        (12 * btab[(base + CASE WHEN isvbr AND f % 2 = 1
+        |            THEN 3 ELSE 0 END + 1)::INT] * 1000 // sr
+        |          + (doc_id + f) % 2) * 4
+        |      WHEN layer = 2 OR vi = 0 THEN
+        |        144 * btab[(base + CASE WHEN isvbr AND f % 2 = 1
+        |            THEN 3 ELSE 0 END + 1)::INT] * 1000 // sr
+        |          + (doc_id + f) % 2
+        |      ELSE
+        |        72 * btab[(base + CASE WHEN isvbr AND f % 2 = 1
+        |            THEN 3 ELSE 0 END + 1)::INT] * 1000 // sr
+        |          + (doc_id + f) % 2
+        |    END))::BIGINT AS total_bytes,
+        |  ((nf * spf * 1000) // sr)::BIGINT AS duration_ms,
+        |  btab[(base + 1)::INT]::INT AS bitrate_kbps,
+        |  isvbr AS vbr,
+        |  CASE WHEN isvbr AND layer = 3 THEN nf ELSE -1 END::BIGINT
+        |    AS xing_frames
+        |FROM t ORDER BY media_id""".stripMargin
+    },
 
     // Replays the dictionary-bearing `.warc.zst` generator: payload
     // byte j < 52 is the shared dictionary pattern, j ≥ 52 the

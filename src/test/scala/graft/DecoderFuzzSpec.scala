@@ -41,6 +41,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Zip.members" -> (b => Zip.members(b)),
     "Exif.fromJpeg" -> (b => Exif.fromJpeg(b)),
     "Exif.stripJpeg" -> (b => Exif.stripJpeg(b)),
+    "Mp3.parse" -> (b => Mp3.parse(b)),
     "mediaDecodeClass" -> (b => Multimodal.mediaDecodeClass(b)))
 
   /** Magic prefixes steering random tails into each format's parser

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Containers, Flac, Id3, Multimodal}
+import graft.operators.{Containers, Flac, Id3, Mp3, Multimodal}
 
 /** ID3v2 conformance: v2.3 (big-endian frame sizes) and v2.4
   * (syncsafe) round-trips across all three text encodings, byte-exact
@@ -49,12 +49,15 @@ class Id3Spec extends AnyFunSuite {
     val bad = tagged.clone()
     bad(bad.length - 6) = (bad(bad.length - 6) ^ 0x33).toByte
     assert(Multimodal.mediaDecodeClass(bad) == ("flac", "corrupt"))
-    // an MP3 frame sync under a real tag names the mp3 profile gap
-    val mp3ish = Id3.synthTag(3, Seq(("TIT2", "t", 0)),
-      Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00) ++
-        Array.tabulate(64)(i => (i * 7).toByte))
+    // an MP3 stream under a real tag names mp3 and WALKS its frames
+    val mp3body = Mp3.synthMp3(1, 3, 0, mono = false, 3, _ => 9, _ % 2,
+      withXing = false, (f, j) => ((f * 31 + j * 13) % 256).toByte)
+    val mp3ish = Id3.synthTag(3, Seq(("TIT2", "t", 0)), mp3body)
     assert(Containers.parse(mp3ish).format == "mp3")
-    assert(Multimodal.mediaDecodeClass(mp3ish) == ("mp3", "unsupported_profile"))
+    assert(Multimodal.mediaDecodeClass(mp3ish) == ("mp3", "ok"))
+    // truncated mid-frame under the tag: corrupt, not a profile gap
+    assert(Multimodal.mediaDecodeClass(
+      mp3ish.take(mp3ish.length - 7)) == ("mp3", "corrupt"))
   }
   test("unsynchronised tags de-stuff at each version's scope") {
     // 'ÿ' is 0xFF in ISO-8859-1 and FF 00 in UTF-16LE — both shapes

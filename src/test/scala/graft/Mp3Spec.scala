@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Containers, Id3, Mp3, Multimodal}
+
+/** MPEG-audio frame-walk conformance: synthesizer round-trips across
+  * every version/layer/samplerate cell, tag transparency, Xing VBR,
+  * and the degrade classes (truncation, sync loss, free format). No
+  * JVM MP3 frame parser exists here to pin against; the frame-size
+  * algebra is pinned by the independent DuckDB oracle replay
+  * (`audio_mp3_metadata`) built from the same published tables.
+  */
+class Mp3Spec extends AnyFunSuite {
+
+  private def pay(f: Int, j: Int): Byte = ((f * 31 + j * 13) % 256).toByte
+
+  test("round-trips every version x layer x samplerate cell") {
+    for (v <- Seq(1, 2, 25); layer <- Seq(1, 2, 3); sri <- Seq(0, 1, 2);
+         mono <- Seq(true, false)) {
+      val n = 4
+      val b = Mp3.synthMp3(v, layer, sri, mono, n, _ => 9, f => f % 2,
+        withXing = false, pay)
+      val i = Mp3.parse(b)
+      assert(i != null, s"v=$v l=$layer sri=$sri")
+      assert(i.version == (v match {
+        case 1 => "1"; case 2 => "2"; case _ => "2.5" }))
+      assert(i.layer == layer && i.channels == (if (mono) 1 else 2))
+      assert(i.nFrames == n && i.totalFrameBytes == b.length)
+      assert(!i.vbr && i.xingFrames == -1L)
+      // layout algebra: frame sizes match the published slot formula
+      val spf = if (layer == 1) 384 else if (layer == 2) 1152
+        else if (v == 1) 1152 else 576
+      assert(i.samplesPerFrame == spf)
+      assert(i.durationMs == n.toLong * spf * 1000 / i.sampleRate)
+    }
+  }
+
+  test("ID3v2 front tag and ID3v1 trailer are transparent") {
+    val core = Mp3.synthMp3(1, 3, 0, mono = false, 5, _ => 9, _ % 2,
+      withXing = false, pay)
+    val both = Id3.synthTag(4, Seq(("TIT2", "x", 3)), core) ++
+      Mp3.synthId3v1("y")
+    val i = Mp3.parse(both)
+    assert(i != null && i.nFrames == 5 && i.totalFrameBytes == core.length)
+    assert(Mp3.parse(core) == i.copy())
+  }
+
+  test("Xing header marks VBR and yields the frame count") {
+    val b = Mp3.synthMp3(2, 3, 1, mono = false, 6, _ => 5, _ => 0,
+      withXing = true, pay)
+    val i = Mp3.parse(b)
+    assert(i != null && i.vbr && i.xingFrames == 6L)
+    // bitrate variation alone also flags VBR (no Xing)
+    val v = Mp3.synthMp3(1, 2, 0, mono = true, 4,
+      f => if (f % 2 == 1) 8 else 5, _ => 0, withXing = false, pay)
+    val iv = Mp3.parse(v)
+    assert(iv != null && iv.vbr && iv.xingFrames == -1L)
+    assert(iv.bitrateKbps == Mp3.V1L2(5)) // first frame's
+  }
+
+  test("damage degrades: truncation, sync loss, reserved fields, free format") {
+    val b = Mp3.synthMp3(1, 3, 0, mono = false, 3, _ => 9, _ => 1,
+      withXing = false, pay)
+    assert(Mp3.parse(b.take(b.length - 1)) == null) // truncated mid-frame
+    val desync = b.clone()
+    desync(b.length / 2) = 0 // likely corrupts a later header or length
+    // must not throw either way
+    Mp3.parse(desync)
+    val reserved = b.clone()
+    reserved(1) = (reserved(1) & ~0x08).toByte // version bits 01 = reserved
+    assert(Mp3.parse(reserved) == null)
+    val free = b.clone()
+    free(2) = (free(2) & 0x0F).toByte // bitrate index 0 = free format
+    assert(Mp3.parse(free) == null)
+    assert(Mp3.unsupportedProfile(free))
+    assert(!Mp3.unsupportedProfile(b))
+  }
+
+  test("classification: a full walk names untagged mp3, weak syncs stay unknown") {
+    val b = Mp3.synthMp3(25, 2, 2, mono = true, 3, _ => 4, _ % 2,
+      withXing = false, pay)
+    val h = Containers.parse(b)
+    assert(h.format == "mp3" && h.sampleRate == 8000 && h.channels == 1)
+    assert(Multimodal.mediaDecodeClass(b) == ("mp3", "ok"))
+    // a lone FF Ex sync with garbage does NOT classify as mp3
+    val junk = Array[Byte](0xFF.toByte, 0xFB.toByte) ++
+      Array.tabulate(60)(i => (i * 7).toByte)
+    assert(Containers.parse(junk).format == "unknown")
+    // single-frame streams stay unclassified (too weak to probe on)
+    val one = Mp3.synthMp3(1, 3, 0, mono = false, 1, _ => 9, _ => 0,
+      withXing = false, pay)
+    assert(Containers.parse(one).format == "unknown")
+  }
+}
