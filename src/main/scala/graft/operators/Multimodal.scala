@@ -2185,6 +2185,70 @@ object Multimodal {
     })
   }
 
+  /** One Ogg audio stream's packet-walk audit row; sentinel -1/"" for
+    * streams the walk can't read.
+    */
+  final case class OggAudioStats(media_id: Long, codec: String, channels: Int,
+      pre_skip: Int, input_rate: Int, n_audio_packets: Long,
+      toc_samples: Long, granule_end: Long, duration_ms: Long)
+
+  /** Opus/Vorbis packet-walk metadata over an Ogg corpus: header
+    * fields, packet counts, TOC durations (Opus), granule clock —
+    * the audit layer for the dominant speech-corpus codec while
+    * payload decode stays a named gap. See [[Ogg.audioMeta]].
+    */
+  def oggAudioStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[OggAudioStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val a = Ogg.audioMeta(m.content)
+      if (a == null)
+        OggAudioStats(m.media_id, "", -1, -1, -1, -1L, -1L, -1L, -1L)
+      else OggAudioStats(m.media_id, a.codec, a.channels, a.preSkip,
+        a.inputRate, a.nAudioPackets, a.tocSamples, a.granuleEnd,
+        a.durationMs)
+    })
+  }
+
+  /** The Opus TOC configs the Ogg audio corpus cycles (SILK 20 ms NB
+    * and WB, CELT 2.5 ms NB and 20 ms FB, hybrid 10 ms SWB) — shared
+    * with the oracle-SQL builder via [[Ogg.opusConfigSamples]].
+    */
+  val OggOpusConfigs: Seq[Int] = Seq(1, 9, 16, 31, 14)
+
+  /** Deterministic Ogg audio corpus: even ids are RFC 7845 Ogg-Opus —
+    * channels `1 + (id/2)%2`, pre-skip `312 + (id%5)*10`, input rate
+    * cycling 48000/44100/16000 by `(id/3)%3`, `3 + id%4` audio
+    * packets where packet `k` uses TOC config
+    * `OggOpusConfigs((id+k)%5)` with `1 + (id+k)%3` frames (count
+    * codes 0/1/3), granules running the 48 kHz clock. Odd ids are
+    * Vorbis-headed streams — all three header packets, rate cycling
+    * 44100/22050/11025, `4 + id%5` stub audio packets, end granule
+    * `1000 + id*97`. The oracle replays the TOC algebra and granule
+    * arithmetic in closed form.
+    */
+  def demoOggAudioCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val channels = (1 + (id / 2) % 2).toInt
+      val blob =
+        if (id % 2 == 0) {
+          val preSkip = (312 + (id % 5) * 10).toInt
+          val rate = Seq(48000, 44100, 16000)(((id / 3) % 3).toInt)
+          val pks = (0 until (3 + id % 4).toInt).map { k =>
+            (OggOpusConfigs(((id + k) % 5).toInt), (1 + (id + k) % 3).toInt)
+          }
+          Ogg.synthOpus(channels, preSkip, rate, pks,
+            (k, j) => ((id * 11 + k * 29 + j * 7) % 256).toByte)
+        } else {
+          val rate = Seq(44100, 22050, 11025)(((id / 3) % 3).toInt)
+          Ogg.synthVorbis(rate, channels, (4 + id % 5).toInt, 1000 + id * 97,
+            (k, j) => ((id * 13 + k * 17 + j * 5) % 256).toByte)
+        }
+      MediaFile(id, "audio", blob)
+    })
+  }
+
   /** Deterministic robots.txt corpus: host `id` publishes a policy
     * with a comment line, a `*` group (`Disallow: /p{id%4}/`,
     * `Allow: /p{id%4}/ok/` — the longest-match + Allow-tiebreak

@@ -70,8 +70,11 @@ object Ogg {
     * segment bytes with their lacing values (needed for packet
     * reassembly and loss detection).
     */
+  private def leU64(b: Array[Byte], i: Int): Long =
+    leU32(b, i) | (leU32(b, i + 4) << 32)
+
   private final case class Page(flags: Int, serial: Long, seq: Long,
-      lacing: Array[Int], data: Array[Byte])
+      granule: Long, lacing: Array[Int], data: Array[Byte])
 
   /** Walk all pages, verifying each CRC. Null on damage anywhere —
     * a truncated header, a lacing table past the input, or a CRC
@@ -96,7 +99,7 @@ object Ogg {
       if (p + pageLen > b.length) return null
       val want = leU32(b, p + 22).toInt
       if (pageCrc(b, p, pageLen, p + 22) != want) return null
-      out += Page(flags, serial, leU32(b, p + 18),
+      out += Page(flags, serial, leU32(b, p + 18), leU64(b, p + 6),
         lacing, java.util.Arrays.copyOfRange(b, p + 27 + nseg, p + pageLen))
       p += pageLen
     }
@@ -117,6 +120,15 @@ object Ogg {
     * cap.
     */
   def packets(b: Array[Byte]): Array[Array[Byte]] = {
+    val w = walk(b)
+    if (w == null) null else w._1
+  }
+
+  /** [[packets]] plus the END granule position of the first logical
+    * stream (its EOS page's granule field) — the sample clock audio
+    * mappings hang duration on.
+    */
+  private def walk(b: Array[Byte]): (Array[Array[Byte]], Long) = {
     val ps = pages(b)
     if (ps == null || ps.isEmpty) return null
     if ((ps(0).flags & 2) == 0) return null // first page must be BOS
@@ -127,7 +139,9 @@ object Ogg {
     var total = 0L
     var expectSeq = ps(0).seq // per-stream counter; BOS fixes the base
     var sawEos = false
+    var endGranule = 0L
     for (pg <- ps if pg.serial == serial) {
+      endGranule = pg.granule
       if (pg.seq != expectSeq) return null // page loss / reorder
       expectSeq += 1
       if (sawEos) return null // pages after the end-of-stream flag
@@ -148,7 +162,7 @@ object Ogg {
     }
     if (open) return null // stream ended mid-packet
     if (!sawEos) return null // cut at a page boundary: CRC-clean truncation
-    out.toArray
+    (out.toArray, endGranule)
   }
 
   /** Codec name + (for Ogg-FLAC) STREAMINFO in ONE packets() walk —
@@ -229,6 +243,100 @@ object Ogg {
     Flac.frameSamples(frames, 0, info)
   }
 
+  // ---- Opus / Vorbis packet metadata ---------------------------------
+
+  /** Per-frame sample count (at the 48 kHz Opus clock) for a TOC
+    * config number, RFC 6716 §3.1: SILK configs 0-11 run
+    * 10/20/40/60 ms in bandwidth groups of four, hybrid 12-15 run
+    * 10/20 ms in pairs, CELT 16-31 run 2.5/5/10/20 ms in groups of
+    * four. Shared with the oracle-SQL builder.
+    */
+  def opusConfigSamples(config: Int): Int =
+    if (config < 12) Array(480, 960, 1920, 2880)(config & 3)
+    else if (config < 16) Array(480, 960)(config & 1)
+    else Array(120, 240, 480, 960)(config & 3)
+
+  /** Samples (48 kHz clock) carried by one Opus packet, from its TOC
+    * byte and frame-count code; -1 for malformed packets (empty, a
+    * code-3 packet without its count byte, zero frames, or over the
+    * RFC's 120 ms packet cap).
+    */
+  def opusPacketSamples(p: Array[Byte]): Int = {
+    if (p == null || p.length < 1) return -1
+    val toc = p(0) & 0xFF
+    val fs = opusConfigSamples(toc >> 3)
+    val n = (toc & 3) match {
+      case 0 => 1
+      case 1 | 2 => 2
+      case _ =>
+        if (p.length < 2) return -1
+        p(1) & 0x3F
+    }
+    if (n == 0) return -1
+    val total = n * fs
+    if (total > 5760) return -1 // RFC 6716: at most 120 ms per packet
+    total
+  }
+
+  /** Audio-stream metadata for the two codecs whose PAYLOAD decode is
+    * out of scope — the packet-walk layer that makes Opus/Vorbis
+    * corpora auditable: identification-header fields, packet counts,
+    * per-packet TOC durations (Opus), and the end-granule sample
+    * clock. `tocSamples` is -1 for Vorbis (packet durations need the
+    * codec's blocksize decode). Null when the container is damaged,
+    * the header packets are malformed, or any Opus TOC is malformed —
+    * degrade, don't throw.
+    */
+  final case class OggAudio(codec: String, channels: Int, preSkip: Int,
+      inputRate: Int, nAudioPackets: Long, tocSamples: Long,
+      granuleEnd: Long, durationMs: Long)
+
+  def audioMeta(b: Array[Byte]): OggAudio = {
+    val w = walk(b)
+    if (w == null || w._1.isEmpty) return null
+    val (pk, endGranule) = w
+    val h = pk(0)
+    def hasMagic(at: Int, m: String): Boolean =
+      h.length >= at + m.length && m.indices.forall(i => h(at + i) == m(i).toByte)
+    if (hasMagic(0, "OpusHead")) {
+      // RFC 7845 §5.1: version (major nibble 0), channel count,
+      // pre-skip LE16, input rate LE32; OpusTags must follow
+      if (h.length < 19 || ((h(8) & 0xFF) >> 4) != 0) return null
+      val channels = h(9) & 0xFF
+      if (channels == 0) return null
+      val preSkip = (h(10) & 0xFF) | ((h(11) & 0xFF) << 8)
+      val inputRate = (leU32(h, 12) & 0xFFFFFFFFL).toInt
+      if (pk.length < 2) return null
+      val t = pk(1)
+      if (t.length < 8 || !"OpusTags".indices.forall(i =>
+        t(i) == "OpusTags".charAt(i).toByte)) return null
+      var toc = 0L
+      var i = 2
+      while (i < pk.length) {
+        val n = opusPacketSamples(pk(i))
+        if (n < 0) return null
+        toc += n
+        i += 1
+      }
+      val played = math.max(0L, endGranule - preSkip)
+      OggAudio("opus", channels, preSkip, inputRate, pk.length - 2L, toc,
+        endGranule, played * 1000L / 48000L)
+    } else if (h.length >= 30 && h(0) == 1 && hasMagic(1, "vorbis")) {
+      // Vorbis I identification header: version LE32 (0), channels,
+      // rate LE32; comment + setup headers follow, then audio packets
+      if (leU32(h, 7) != 0) return null
+      val channels = h(11) & 0xFF
+      val rate = (leU32(h, 12) & 0xFFFFFFFFL).toInt
+      if (channels == 0 || rate <= 0) return null
+      if (pk.length < 3) return null // comment + setup expected
+      if (!(pk(1).length >= 7 && pk(1)(0) == 3 &&
+            "vorbis".indices.forall(i => pk(1)(i + 1) == "vorbis".charAt(i).toByte)))
+        return null
+      OggAudio("vorbis", channels, 0, rate, pk.length - 3L, -1L,
+        endGranule, math.max(0L, endGranule) * 1000L / rate)
+    } else null
+  }
+
   // ---- synthesizer ---------------------------------------------------
 
   private def putLeU32(b: Array[Byte], i: Int, v: Long): Unit = {
@@ -243,15 +351,23 @@ object Ogg {
     * BOS on the first page, EOS on the last, correct CRC-32 per page.
     */
   def synthOgg(packetSeq: Seq[Array[Byte]], serial: Long = 0x67726166L,
-      maxSegsPerPage: Int = 32): Array[Byte] = {
+      maxSegsPerPage: Int = 32,
+      packetGranules: Seq[Long] = null): Array[Byte] = {
     require(maxSegsPerPage >= 1 && maxSegsPerPage <= 255)
-    // flatten to (lacing value, data slice) pairs in stream order
-    final case class Seg(l: Int, src: Array[Byte], off: Int)
+    require(packetGranules == null || packetGranules.length == packetSeq.length,
+      "one granule per packet")
+    // flatten to (lacing value, data slice) pairs in stream order;
+    // terminal segments remember their packet so pages can carry the
+    // granule of the last packet completing on them (the Ogg rule)
+    final case class Seg(l: Int, src: Array[Byte], off: Int, packetIdx: Int,
+        terminal: Boolean)
     val segs = ArrayBuffer.empty[Seg]
-    for (p <- packetSeq) {
+    for ((p, pi) <- packetSeq.zipWithIndex) {
       var off = 0
-      while (p.length - off >= 255) { segs += Seg(255, p, off); off += 255 }
-      segs += Seg(p.length - off, p, off) // terminating segment (may be 0)
+      while (p.length - off >= 255) {
+        segs += Seg(255, p, off, pi, terminal = false); off += 255
+      }
+      segs += Seg(p.length - off, p, off, pi, terminal = true) // may be 0
     }
     val out = new java.io.ByteArrayOutputStream()
     var i = 0
@@ -269,9 +385,15 @@ object Ogg {
       if (i == 0) flags |= 2 // BOS
       if (i + n == segs.length) flags |= 4 // EOS
       buf(5) = flags.toByte
-      // granule: not consumed by the decode path; -1 marks "no packet
-      // ends here" only for all-continuation pages, else page index
-      val granule = if (page.forall(_.l == 255)) -1L else pageIdx
+      // granule: the last packet COMPLETING on this page (per spec),
+      // taken from packetGranules when supplied; -1 for pages where
+      // no packet ends; legacy page index otherwise (granule is not
+      // consumed by the non-audio decode paths)
+      val lastTerm = page.reverseIterator.find(_.terminal)
+      val granule =
+        if (lastTerm.isEmpty) -1L
+        else if (packetGranules != null) packetGranules(lastTerm.get.packetIdx)
+        else pageIdx
       var g = granule
       for (k <- 0 until 8) { buf(6 + k) = (g & 0xFF).toByte; g >>= 8 }
       putLeU32(buf, 14, serial)
@@ -285,7 +407,7 @@ object Ogg {
       }
       putLeU32(buf, 22, pageCrc(buf, 0, buf.length, 22) & 0xFFFFFFFFL)
       out.write(buf, 0, buf.length)
-      continued = page.last.l == 255
+      continued = !page.last.terminal
       pageIdx += 1
       i += n
     }
@@ -325,6 +447,95 @@ object Ogg {
     comment.write(0); comment.write(0); comment.write(0); comment.write(0)
     synthOgg(Seq(first.toByteArray, comment.toByteArray) ++ frames,
       maxSegsPerPage = maxSegsPerPage)
+  }
+
+  /** A real Ogg-Opus stream per RFC 7845: OpusHead (version 1,
+    * channels, pre-skip, input rate), OpusTags, then one audio packet
+    * per `(config, nFrames)` with a correct RFC 6716 TOC byte (frame
+    * count code 0/1/3) and deterministic payload bytes. Granule
+    * positions run the 48 kHz sample clock: header pages at 0, audio
+    * packet k at `preSkip + cumulative TOC samples` — so the end
+    * granule minus pre-skip is exactly the TOC total, the invariant
+    * [[audioMeta]] audits.
+    */
+  def synthOpus(channels: Int, preSkip: Int, inputRate: Int,
+      packets: Seq[(Int, Int)],
+      payload: (Int, Int) => Byte = (_, _) => 0x5A.toByte,
+      maxSegsPerPage: Int = 32): Array[Byte] = {
+    require(channels >= 1 && channels <= 8 && preSkip >= 0)
+    val head = new java.io.ByteArrayOutputStream()
+    head.write("OpusHead".getBytes("US-ASCII"))
+    head.write(1) // version
+    head.write(channels)
+    head.write(preSkip & 0xFF); head.write((preSkip >> 8) & 0xFF)
+    for (k <- 0 until 4) head.write((inputRate >> (8 * k)) & 0xFF)
+    head.write(0); head.write(0) // output gain 0
+    head.write(0) // channel mapping family 0
+    val tags = new java.io.ByteArrayOutputStream()
+    tags.write("OpusTags".getBytes("US-ASCII"))
+    val vendor = "graft".getBytes("US-ASCII")
+    tags.write(vendor.length); tags.write(0); tags.write(0); tags.write(0)
+    tags.write(vendor, 0, vendor.length)
+    tags.write(0); tags.write(0); tags.write(0); tags.write(0) // 0 comments
+    var granule = preSkip.toLong
+    val audio = packets.zipWithIndex.map { case ((config, nFrames), k) =>
+      require(config >= 0 && config <= 31 && nFrames >= 1 && nFrames <= 48)
+      require(nFrames * opusConfigSamples(config) <= 5760,
+        "over the RFC 120 ms packet cap")
+      val out = new java.io.ByteArrayOutputStream()
+      val code = nFrames match { case 1 => 0; case 2 => 1; case _ => 3 }
+      out.write((config << 3) | (if (channels >= 2) 4 else 0) | code)
+      if (code == 3) out.write(nFrames) // CBR, no padding: v=0 p=0 M=n
+      val bodyLen = nFrames * 10 // equal CBR frame bodies
+      for (j <- 0 until bodyLen) out.write(payload(k, j))
+      granule += nFrames * opusConfigSamples(config)
+      (out.toByteArray, granule)
+    }
+    synthOgg(Seq(head.toByteArray, tags.toByteArray) ++ audio.map(_._1),
+      maxSegsPerPage = maxSegsPerPage,
+      packetGranules = Seq(0L, 0L) ++ audio.map(_._2))
+  }
+
+  /** A Vorbis-headed stream with all THREE header packets
+    * (identification, comment, setup-shaped stub) and `nAudio` stub
+    * audio packets, end granule = `granuleEnd` — the container-level
+    * shape [[audioMeta]] audits while the codec payload stays a named
+    * gap.
+    */
+  def synthVorbis(sampleRate: Int, channels: Int, nAudio: Int,
+      granuleEnd: Long,
+      payload: (Int, Int) => Byte = (_, _) => 0x24.toByte): Array[Byte] = {
+    val id = new java.io.ByteArrayOutputStream()
+    id.write(1)
+    id.write("vorbis".getBytes("US-ASCII"))
+    for (k <- 0 until 4) id.write(0) // vorbis_version = 0
+    id.write(channels)
+    for (k <- 0 until 4) id.write((sampleRate >> (8 * k)) & 0xFF)
+    for (k <- 0 until 12) id.write(0) // bitrate fields
+    id.write(0xB8) // blocksize exponents 8/11
+    id.write(1) // framing bit
+    val comment = new java.io.ByteArrayOutputStream()
+    comment.write(3)
+    comment.write("vorbis".getBytes("US-ASCII"))
+    val vendor = "graft".getBytes("US-ASCII")
+    comment.write(vendor.length); comment.write(0); comment.write(0)
+    comment.write(0)
+    comment.write(vendor, 0, vendor.length)
+    comment.write(0); comment.write(0); comment.write(0); comment.write(0)
+    comment.write(1) // framing bit
+    val setup = new java.io.ByteArrayOutputStream()
+    setup.write(5)
+    setup.write("vorbis".getBytes("US-ASCII"))
+    for (k <- 0 until 16) setup.write((k * 7) & 0xFF) // stub body
+    val audio = (0 until nAudio).map { k =>
+      Array.tabulate(12 + (k % 5))(j => payload(k, j))
+    }
+    // granules: headers 0; audio packets step evenly to granuleEnd
+    val gs = (1 to nAudio).map(k =>
+      if (k == nAudio) granuleEnd else granuleEnd * k / math.max(1, nAudio))
+    synthOgg(
+      Seq(id.toByteArray, comment.toByteArray, setup.toByteArray) ++ audio,
+      packetGranules = Seq(0L, 0L, 0L) ++ gs)
   }
 
   /** A Vorbis-headed Ogg stream (identification header magic + the

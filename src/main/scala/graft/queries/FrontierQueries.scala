@@ -378,6 +378,20 @@ object FrontierQueries {
         .toDF().orderBy("crawl_id")
     }),
 
+    // Opus/Vorbis packet-walk metadata: OpusHead/OpusTags fields,
+    // RFC 6716 TOC frame counts and durations, Vorbis identification
+    // headers, end-granule sample clocks — the audit layer for the
+    // dominant speech-corpus codec; payload decode stays a named gap.
+    "audio_ogg_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoOggAudioCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.oggAudioStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // MPEG-audio frame-header walk: version/layer/bitrate/samplerate
     // tables, padding slots, Xing VBR headers, ID3v2/v1 tags — the
     // audit columns a music/podcast corpus filters on. The oracle
@@ -1720,6 +1734,44 @@ object FrontierQueries {
         |    list_sum(list_transform(range(0, 20 + (doc_id + s) % 24),
         |      j -> (doc_id*17 + s*23 + j*11) % 256))))::BIGINT AS payload_sum
         |FROM r ORDER BY crawl_id""".stripMargin,
+
+    // Replays the Opus TOC algebra (per-config 48 kHz frame sizes
+    // interpolated from the SAME table the decoder uses) and the
+    // Vorbis granule arithmetic in closed form.
+    "audio_ogg_metadata" -> {
+      val fs = graft.operators.Multimodal.OggOpusConfigs
+        .map(graft.operators.Ogg.opusConfigSamples)
+        .mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id, doc_id % 2 = 0 AS opus,
+        |    (1 + (doc_id // 2) % 2) AS ch,
+        |    (312 + (doc_id % 5) * 10) AS ps,
+        |    (doc_id // 3) % 3 AS ri,
+        |    (3 + doc_id % 4) AS nop,
+        |    (4 + doc_id % 5) AS nvp,
+        |    (1000 + doc_id * 97) AS ge FROM documents),
+        |t AS (SELECT doc_id, opus, ch,
+        |    CASE WHEN opus THEN ps ELSE 0 END AS pre_skip,
+        |    CASE WHEN opus THEN [48000, 44100, 16000][(ri+1)::INT]
+        |         ELSE [44100, 22050, 11025][(ri+1)::INT] END AS input_rate,
+        |    CASE WHEN opus THEN nop ELSE nvp END AS n_audio,
+        |    CASE WHEN opus THEN
+        |        list_sum(list_transform(range(0, nop), k ->
+        |          (1 + (doc_id + k) % 3) * $fs[((doc_id + k) % 5 + 1)::INT]))
+        |      ELSE -1 END AS toc,
+        |    ge AS gev
+        |  FROM m)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN opus THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  ch::INT AS channels, pre_skip::INT AS pre_skip,
+        |  input_rate::INT AS input_rate,
+        |  n_audio::BIGINT AS n_audio_packets,
+        |  toc::BIGINT AS toc_samples,
+        |  CASE WHEN opus THEN pre_skip + toc ELSE gev END::BIGINT
+        |    AS granule_end,
+        |  CASE WHEN opus THEN (toc * 1000) // 48000
+        |       ELSE (gev * 1000) // input_rate END::BIGINT AS duration_ms
+        |FROM t ORDER BY media_id""".stripMargin
+    },
 
     // Replays the MP3 frame-size algebra from the SAME bitrate/
     // samplerate tables the decoder and synthesizer share

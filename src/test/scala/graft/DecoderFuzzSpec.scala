@@ -38,6 +38,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Flac.samples" -> (b => Flac.samples(b)),
     "Ogg.packets" -> (b => Ogg.packets(b)),
     "Ogg.flacSamples" -> (b => Ogg.flacSamples(b)),
+    "Ogg.audioMeta" -> (b => Ogg.audioMeta(b)),
     "Zip.members" -> (b => Zip.members(b)),
     "Exif.fromJpeg" -> (b => Exif.fromJpeg(b)),
     "Exif.stripJpeg" -> (b => Exif.stripJpeg(b)),

@@ -147,4 +147,54 @@ class OggSpec extends AnyFunSuite {
     assert(Ogg.packets(bad) != null) // container IS sound now
     assert(Ogg.flacSamples(bad) == null) // frame CRC catches the damage
   }
+  test("opus packet metadata: TOC algebra, granule clock, header fields") {
+    val pks = Seq((1, 1), (9, 2), (16, 3), (31, 1), (14, 2))
+    val b = Ogg.synthOpus(2, 312, 48000, pks)
+    val a = Ogg.audioMeta(b)
+    assert(a != null && a.codec == "opus")
+    assert(a.channels == 2 && a.preSkip == 312 && a.inputRate == 48000)
+    assert(a.nAudioPackets == 5)
+    val toc = pks.map { case (c, n) => n * Ogg.opusConfigSamples(c) }.sum
+    assert(a.tocSamples == toc)
+    assert(a.granuleEnd == 312L + toc)
+    assert(a.durationMs == toc.toLong * 1000 / 48000)
+    // TOC table spot checks against RFC 6716 §3.1
+    assert(Ogg.opusConfigSamples(0) == 480) // SILK NB 10 ms
+    assert(Ogg.opusConfigSamples(3) == 2880) // SILK NB 60 ms
+    assert(Ogg.opusConfigSamples(14) == 480) // hybrid FB 10 ms
+    assert(Ogg.opusConfigSamples(16) == 120) // CELT NB 2.5 ms
+    assert(Ogg.opusConfigSamples(31) == 960) // CELT FB 20 ms
+    // over-the-cap packets are malformed (121+ ms)
+    assert(Ogg.opusPacketSamples(Array(((3 << 3) | 3).toByte, 3.toByte)) == -1)
+    // code-3 without its count byte is malformed
+    assert(Ogg.opusPacketSamples(Array(((1 << 3) | 3).toByte)) == -1)
+  }
+
+  test("vorbis packet metadata: identification header + granule duration") {
+    val b = Ogg.synthVorbis(22050, 1, 6, 44100L)
+    val a = Ogg.audioMeta(b)
+    assert(a != null && a.codec == "vorbis")
+    assert(a.channels == 1 && a.inputRate == 22050 && a.preSkip == 0)
+    assert(a.nAudioPackets == 6 && a.tocSamples == -1L)
+    assert(a.granuleEnd == 44100L && a.durationMs == 2000L)
+    // classification still names the profile gap (payload undecoded)
+    assert(Ogg.codec(b) == "ogg_vorbis")
+    // the two-header stub (no setup) degrades to null, not garbage
+    assert(Ogg.audioMeta(Ogg.synthVorbisStub(44100, 2)) == null)
+  }
+
+  test("audio metadata degrades on damage, never throws") {
+    val b = Ogg.synthOpus(1, 0, 16000, Seq((1, 1), (9, 3)))
+    assert(Ogg.audioMeta(b) != null)
+    // CRC damage, truncation, and a flipped TOC byte region
+    val bad = b.clone(); bad(b.length / 2) = (bad(b.length / 2) ^ 0x7).toByte
+    assert(Ogg.audioMeta(bad) == null)
+    assert(Ogg.audioMeta(b.take(b.length - 3)) == null)
+    assert(Ogg.audioMeta(Array[Byte]('O', 'g', 'g', 'S')) == null)
+    // an Ogg-FLAC stream is not an opus/vorbis metadata subject
+    val flac = Ogg.synthOggFlac(16000, 1, Array.tabulate(64)(i => i * 3 - 90))
+    assert(Ogg.audioMeta(flac) == null)
+    assert(Ogg.flacSamples(flac) != null) // its own path still decodes
+  }
+
 }
