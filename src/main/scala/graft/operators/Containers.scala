@@ -2047,7 +2047,7 @@ object Containers {
     * the header terminator.
     */
   final case class HttpResponse(status: Int, contentType: String,
-      bodyOffset: Int, bodyLength: Int)
+      bodyOffset: Int, bodyLength: Int, charset: String = "")
 
   /** Parse the HTTP/1.x response message at `[off, off+len)` — the
     * payload shape every Common Crawl `response` record carries:
@@ -2079,6 +2079,7 @@ object Containers {
     val code = parts(1).toIntOption.getOrElse(return null)
     var p = lf0 + 1
     var ct = ""
+    var cset = ""
     var done = false
     while (!done) {
       val lf = nl(p)
@@ -2089,14 +2090,57 @@ object Containers {
         val line = new String(b, p, ce - p, "US-ASCII")
         val ci = line.indexOf(':')
         if (ci > 0 &&
-            line.substring(0, ci).trim.equalsIgnoreCase("content-type"))
-          ct = line.substring(ci + 1).split(";")(0).trim
-            .toLowerCase(java.util.Locale.ROOT)
+            line.substring(0, ci).trim.equalsIgnoreCase("content-type")) {
+          val segs = line.substring(ci + 1).split(";")
+          ct = segs(0).trim.toLowerCase(java.util.Locale.ROOT)
+          var k = 1
+          while (k < segs.length) {
+            val pv = segs(k).split("=", 2)
+            if (pv.length == 2 && pv(0).trim.equalsIgnoreCase("charset"))
+              cset = pv(1).trim.stripPrefix("\"").stripSuffix("\"")
+            k += 1
+          }
+        }
         p = lf + 1
       }
     }
-    HttpResponse(code, ct, p, end - p)
+    HttpResponse(code, ct, p, end - p, cset)
   } catch { case _: IndexOutOfBoundsException => null }
+
+  /** Decode an HTTP body to text honoring its declared encoding —
+    * the step that keeps non-English crawl pages from mangling into
+    * U+FFFD soup: the Content-Type `charset` parameter wins; absent
+    * or unknown, an HTML5-style prescan of the first 1024 bytes looks
+    * for `<meta charset=...>` (or the http-equiv form); the fallback
+    * is UTF-8 (the ASCII superset, so ASCII corpora are unaffected).
+    * Unknown charset NAMES also fall back to UTF-8 rather than
+    * dropping the page — a wrong label on mostly-ASCII markup should
+    * degrade, not erase.
+    */
+  def decodeBody(b: Array[Byte], off: Int, len: Int,
+      declared: String): String = {
+    def forName(n: String): java.nio.charset.Charset =
+      try {
+        if (n == null || n.isEmpty) null else java.nio.charset.Charset.forName(n)
+      } catch { case _: IllegalArgumentException => null }
+    var cs = forName(declared)
+    if (cs == null) {
+      val scanLen = math.min(len, 1024)
+      // ISO-8859-1 maps every byte to a char, so the prescan can't
+      // throw on arbitrary bytes; the charset tokens are ASCII
+      val head = new String(b, off, scanLen,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+        .toLowerCase(java.util.Locale.ROOT)
+      val direct = """<meta\s+charset\s*=\s*["']?([a-z0-9._:\-]+)""".r
+      val equiv = ("""<meta\s+http-equiv\s*=\s*["']?content-type["']?""" +
+        """\s+content\s*=\s*["'][^"']*charset=([a-z0-9._:\-]+)""").r
+      cs = direct.findFirstMatchIn(head).map(_.group(1))
+        .orElse(equiv.findFirstMatchIn(head).map(_.group(1)))
+        .map(forName).orNull
+    }
+    new String(b, off, len,
+      if (cs != null) cs else java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   /** Valid WARC 1.0 from (type, targetUri, payload) records — CRLF
     * headers with Content-Length, double-CRLF record separators; the

@@ -1094,13 +1094,13 @@ object Multimodal {
         Option(Containers.httpResponse(plain, r.payloadOffset.toInt,
           r.contentLength.toInt)).map { h =>
           CrawlPage(m.media_id, h.status, h.contentType,
-            new String(plain, h.bodyOffset, h.bodyLength,
-              // UTF-8, not US-ASCII: an ASCII superset, so ASCII-only
-              // corpora are unaffected, but real crawl text in any
-              // non-English language survives instead of becoming
-              // U+FFFD per byte. (Charset params other than UTF-8 in
-              // Content-Type are still normalized to UTF-8 here.)
-              java.nio.charset.StandardCharsets.UTF_8))
+            // honor the declared encoding: Content-Type charset param
+            // first, then an HTML5-style <meta charset> prescan, then
+            // UTF-8 — legacy-encoded pages (GBK, Shift_JIS,
+            // windows-125x: a large share of non-English crawl)
+            // survive instead of mangling before extraction
+            Containers.decodeBody(plain, h.bodyOffset, h.bodyLength,
+              h.charset))
         }
       }
     })
@@ -1110,13 +1110,21 @@ object Multimodal {
     * (gunzip → WARC → HTTP → boilerplate strip → text stats): doc
     * `id` carries `2 + id%3` response records; record `r` has status
     * `{200,404,200,503}` by `(id+r)%4` and Content-Type
-    * `{text/html; charset=UTF-8, application/json, text/html}` by
+    * `{text/html; charset=<cs>, application/json, text/html}` by
     * `(id·3+r)%3`. HTML bodies are a full page — head with title and
     * style, two prose paragraphs around an inline script, an entity —
     * whose post-strip text is exactly
-    * `alpha{w0} beta{w1} & gamma{w2} delta{w3}` with
+    * `alpha{w0} beta{w1} & gamma{w2} delta{w3} {mark}` with
     * `w_k = (id·7 + r·11 + k·13) % 100`; JSON records carry decoy
     * bodies the status/type filter must drop.
+    *
+    * Charset coverage (the non-UTF-8 share of real crawl): declared
+    * pages (`ctc 0`) cycle UTF-8 / windows-1251 / Shift_JIS by
+    * `id%3`, carrying the marker word `plain` / `ёжик` / `犬猫`
+    * ENCODED in that charset — the text only round-trips if the
+    * charset parameter is honored. Param-less pages (`ctc 2`) carry
+    * `<meta charset="koi8-r">` + `мир` on odd ids (the prescan path)
+    * and plain-ASCII `ascii` on even ids (the UTF-8 fallback).
     */
   def demoCrawlHtmlCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -1125,21 +1133,29 @@ object Multimodal {
         val status = Seq("200 OK", "404 Not Found", "200 OK",
           "503 Service Unavailable")(((id + r) % 4).toInt)
         val ctc = ((id * 3 + r) % 3).toInt
-        val ct = Seq("text/html; charset=UTF-8", "application/json",
+        val declaredCs = Seq("UTF-8", "windows-1251", "Shift_JIS")((id % 3).toInt)
+        val ct = Seq(s"text/html; charset=$declaredCs", "application/json",
           "text/html")(ctc)
+        val (mark, bodyCs, meta) =
+          if (ctc == 0) {
+            (Seq("plain", "ёжик", "犬猫")((id % 3).toInt), declaredCs, "")
+          } else if (id % 2 == 1) {
+            ("мир", "KOI8-R", "<meta charset=\"koi8-r\">")
+          } else ("ascii", "UTF-8", "")
         def w(k: Int) = (id * 7 + r * 11 + k * 13) % 100
         val body =
           if (ctc == 1) s"""{"doc": $id, "rec": $r, "alpha": "decoy"}"""
-          else s"<html><head><title>doc $id</title>" +
+          else s"<html><head>$meta<title>doc $id</title>" +
             s"<style>p{color:red}</style></head><body>" +
             s"<p>alpha${w(0)} beta${w(1)} &amp; gamma${w(2)}</p>" +
             s"<script>var x = $id;</script>" +
-            s"<p>delta${w(3)}</p></body></html>"
+            s"<p>delta${w(3)} $mark</p></body></html>"
+        val bodyBytes =
+          if (ctc == 1) body.getBytes("US-ASCII") else body.getBytes(bodyCs)
         val head = (s"HTTP/1.1 $status\r\n" +
           s"Content-Type: $ct\r\n" +
-          s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
-        ("response", s"https://example.com/$id/$r",
-          head ++ body.getBytes("US-ASCII"))
+          s"Content-Length: ${bodyBytes.length}\r\n\r\n").getBytes("US-ASCII")
+        ("response", s"https://example.com/$id/$r", head ++ bodyBytes)
       }
       MediaFile(id, "web",
         Containers.synthWarc(recs, gzipPerRecord = true))

@@ -2054,14 +2054,18 @@ object FrontierQueries {
         |    (doc_id*7 + rec*11) % 100 AS w0,
         |    (doc_id*7 + rec*11 + 13) % 100 AS w1,
         |    (doc_id*7 + rec*11 + 26) % 100 AS w2,
-        |    (doc_id*7 + rec*11 + 39) % 100 AS w3
+        |    (doc_id*7 + rec*11 + 39) % 100 AS w3,
+        |    CASE WHEN (doc_id*3 + rec) % 3 = 0 THEN
+        |        CASE doc_id % 3 WHEN 0 THEN 'plain'
+        |          WHEN 1 THEN 'ёжик' ELSE '犬猫' END
+        |      WHEN doc_id % 2 = 1 THEN 'мир' ELSE 'ascii' END AS mark
         |  FROM r),
         |p AS (SELECT doc_id,
         |    'alpha' || w0 || ' beta' || w1 || ' & gamma' || w2
-        |      || ' delta' || w3 AS txt
+        |      || ' delta' || w3 || ' ' || mark AS txt
         |  FROM x WHERE st IN (0, 2) AND ctc IN (0, 2))
         |SELECT doc_id AS media_id, count(*)::BIGINT AS n_pages,
-        |  (5 * count(*))::BIGINT AS sum_tokens,
+        |  (6 * count(*))::BIGINT AS sum_tokens,
         |  sum(length(txt))::BIGINT AS sum_chars
         |FROM p GROUP BY doc_id ORDER BY media_id""".stripMargin,
 

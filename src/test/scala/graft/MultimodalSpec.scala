@@ -1773,4 +1773,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("http body decode honors charset: param, meta prescan, utf-8 fallback") {
+    def resp(ct: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+    def decode(ct: String, body: Array[Byte]): String = {
+      val b = resp(ct, body)
+      val h = Containers.httpResponse(b, 0, b.length)
+      assert(h != null)
+      Containers.decodeBody(b, h.bodyOffset, h.bodyLength, h.charset)
+    }
+    // declared charset parameter wins (quoted and bare forms)
+    assert(decode("text/html; charset=windows-1251",
+      "ёжик".getBytes("windows-1251")) == "ёжик")
+    assert(decode("text/html; charset=\"Shift_JIS\"",
+      "犬猫".getBytes("Shift_JIS")) == "犬猫")
+    // charset param is exposed but stripped from the media type
+    val r = resp("text/html; charset=KOI8-R", "мир".getBytes("KOI8-R"))
+    val h = Containers.httpResponse(r, 0, r.length)
+    assert(h.contentType == "text/html" && h.charset == "KOI8-R")
+    // no param: the <meta charset> prescan decides
+    assert(decode("text/html",
+      "<html><head><meta charset=\"koi8-r\"><title>t</title></head><body>мир</body></html>"
+        .getBytes("KOI8-R")) contains "мир")
+    // http-equiv form
+    assert(decode("text/html",
+      ("<html><head><meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=windows-1251\"></head><body>ёж</body></html>")
+        .getBytes("windows-1251")) contains "ёж")
+    // unknown charset name degrades to UTF-8, never throws or drops
+    assert(decode("text/html; charset=x-martian",
+      "plain ascii".getBytes("US-ASCII")) == "plain ascii")
+    // absent everything: UTF-8 (the ASCII superset)
+    assert(decode("text/plain", "héllo".getBytes("UTF-8")) == "héllo")
+  }
+
 }
