@@ -371,11 +371,12 @@ object Multimodal {
       }
     }
     if (Zip.isZip(b)) {
-      // REAL walk + full-member decode: a shard with any damaged
-      // member is quarantined whole. ZIP64 and non-STORED/DEFLATE
-      // methods are NAMED profile gaps, distinct from damage.
+      // REAL walk + full-member decode (ZIP64 sentinels resolve
+      // through the 0x0001 extra + ZIP64 EOCD): a shard with any
+      // damaged member is quarantined whole. Non-STORED/DEFLATE
+      // methods stay NAMED profile gaps, distinct from damage.
       if (Zip.members(b) != null) return ("zip", "ok")
-      if (Zip.isZip64(b) || Zip.unsupportedMethod(b))
+      if (Zip.unsupportedMethod(b))
         return ("zip", "unsupported_profile")
       return ("zip", "corrupt")
     }
@@ -1785,6 +1786,10 @@ object Multimodal {
     * STORED (both methods in one archive); 1 → under a dotted
     * directory `imgs.{id%5}/` WITH its explicit directory entry the
     * reader must skip; 2 → everything DEFLATED under `d{id%7}/`.
+    * `id%4 == 3` shards are written in FULL ZIP64 form (sentinel
+    * fields, 0x0001 extras, ZIP64 EOCD record + locator) — the >4 GiB
+    * structural shape on small fixtures; the sums are unchanged, so
+    * the oracle only passes if the sentinels resolve.
     */
   def demoZipShards(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -1805,7 +1810,8 @@ object Multimodal {
         files += ((f"$dir$s%06d.cls",
           Array(((id + s) % 256).toByte), deflateAll))
       }
-      MediaFile(id, "shard", Zip.synthZip(files.result()))
+      MediaFile(id, "shard",
+        Zip.synthZip(files.result(), forceZip64 = id % 4 == 3))
     })
   }
 

@@ -11,8 +11,10 @@ package graft.operators
   * central-directory entry walk, per-member LOCAL header re-read for
   * the true data offset (local and central extra fields legitimately
   * differ), STORED and DEFLATE methods, and CRC-32 + size
-  * verification per member. ZIP64 markers (0xFFFF/0xFFFFFFFF
-  * sentinels) are a NAMED profile gap — detected, never misread.
+  * verification per member, and ZIP64 (the >4 GiB format shape):
+  * 0xFFFF/0xFFFFFFFF sentinels resolve through the ZIP64 EOCD
+  * locator/record and each entry's 0x0001 extended-information
+  * extra field.
   *
   * Decode posture matches every parser here: degrade-don't-throw
   * (null on damage), expansion bomb cap shared across members, ONE
@@ -37,29 +39,68 @@ object Zip {
   private def leU32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
       ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  private def leU64(b: Array[Byte], i: Int): Long =
+    leU32(b, i) | (leU32(b, i + 4) << 32)
 
-  /** True when the archive walks soundly but uses ZIP64 extensions —
-    * the named profile gap (>4 GiB members/archives), distinct from
-    * damage. Detects BOTH sentinel levels: the EOCD's 0xFFFF
-    * entry-count / 0xFFFFFFFF central-directory offset (the
-    * ZIP64-EOCD-locator case) and per-member size/offset sentinels.
+  /** True when the archive uses ZIP64 extensions (the >4 GiB format
+    * shape): the EOCD's 0xFFFF entry-count / 0xFFFFFFFF
+    * central-directory sentinels — the ZIP64-EOCD-locator case — or
+    * per-member size/offset sentinels. Informational: ZIP64 archives
+    * DECODE through the same walk (the sentinels resolve via the
+    * 0x0001 extended-information extra field and the ZIP64 EOCD
+    * record).
     */
   def isZip64(b: Array[Byte]): Boolean = {
     val eocd = eocdOffset(b)
     if (eocd < 0) return false
-    if (leU16(b, eocd + 10) == 0xFFFF || leU32(b, eocd + 16) == 0xFFFFFFFFL)
+    if (leU16(b, eocd + 10) == 0xFFFF ||
+        leU32(b, eocd + 12) == 0xFFFFFFFFL ||
+        leU32(b, eocd + 16) == 0xFFFFFFFFL)
       return true
-    val es = entriesOrNull(b, allowZip64Probe = true)
+    val es = entries(b)
     es != null && es.exists(e =>
       e.size == 0xFFFFFFFFL || e.compressedSize == 0xFFFFFFFFL ||
         e.localOffset == 0xFFFFFFFFL)
   }
 
-  /** Central-directory walk via the EOCD record. Null on damage or
-    * ZIP64 sentinels (use [[isZip64]] to tell the two apart).
+  /** Central-directory walk via the EOCD record, resolving ZIP64
+    * sentinels through the ZIP64 EOCD locator/record and each
+    * entry's 0x0001 extra field. Null on damage.
     */
-  def entries(b: Array[Byte]): Array[ZipEntry] =
-    entriesOrNull(b, allowZip64Probe = false)
+  def entries(b: Array[Byte]): Array[ZipEntry] = entriesOrNull(b)
+
+  /** Resolve the ZIP64 extended-information extra field (id 0x0001)
+    * for a central entry whose fixed fields carry sentinels: the
+    * field packs 8-byte size, compressed size, and local offset — in
+    * that order, ONLY for the fields that are 0xFFFFFFFF. Returns
+    * (size, csize, localOffset) or null on a malformed field.
+    */
+  private def resolve64(b: Array[Byte], extraOff: Int, extraLen: Int,
+      usize: Long, csize: Long, lho: Long): (Long, Long, Long) = {
+    if (usize != 0xFFFFFFFFL && csize != 0xFFFFFFFFL && lho != 0xFFFFFFFFL)
+      return (usize, csize, lho)
+    var p = extraOff
+    val end = extraOff + extraLen
+    while (p + 4 <= end) {
+      val id = leU16(b, p)
+      val len = leU16(b, p + 2)
+      if (p + 4 + len > end) return null
+      if (id == 1) {
+        var q = p + 4
+        val fEnd = p + 4 + len
+        var u = usize
+        var c = csize
+        var l = lho
+        if (u == 0xFFFFFFFFL) { if (q + 8 > fEnd) return null; u = leU64(b, q); q += 8 }
+        if (c == 0xFFFFFFFFL) { if (q + 8 > fEnd) return null; c = leU64(b, q); q += 8 }
+        if (l == 0xFFFFFFFFL) { if (q + 8 > fEnd) return null; l = leU64(b, q); q += 8 }
+        if (u < 0 || c < 0 || l < 0) return null
+        return (u, c, l)
+      }
+      p += 4 + len
+    }
+    null // sentinel fields with no ZIP64 extra: malformed
+  }
 
   /** EOCD record offset: scan back over a possible comment (≤ 65535
     * bytes), accepting only a comment-length-consistent record. −1
@@ -77,22 +118,40 @@ object Zip {
     -1
   }
 
-  private def entriesOrNull(b: Array[Byte],
-      allowZip64Probe: Boolean): Array[ZipEntry] = try {
+  private def entriesOrNull(b: Array[Byte]): Array[ZipEntry] = try {
     val eocd = eocdOffset(b)
     if (eocd < 0) return null
-    val n = leU16(b, eocd + 10)
+    var n = leU16(b, eocd + 10).toLong
     if (n != leU16(b, eocd + 8)) return null // multi-disk: not a shard
-    val cdSize = leU32(b, eocd + 12)
-    val cdOff = leU32(b, eocd + 16)
-    if (n == 0xFFFF || cdOff == 0xFFFFFFFFL) // ZIP64 EOCD locator needed
-      return if (allowZip64Probe) Array.empty else null
-    if (cdOff + cdSize > eocd) return null
-    val out = new Array[ZipEntry](n)
+    var cdSize = leU32(b, eocd + 12)
+    var cdOff = leU32(b, eocd + 16)
+    var cdEnd = eocd.toLong
+    if (n == 0xFFFF || cdSize == 0xFFFFFFFFL || cdOff == 0xFFFFFFFFL) {
+      // ZIP64: the 20-byte EOCD locator sits immediately before the
+      // EOCD and points at the ZIP64 EOCD record
+      val loc = eocd - 20
+      if (loc < 0 || leU32(b, loc) != 0x07064b50L) return null
+      if (leU32(b, loc + 4) != 0 || leU32(b, loc + 16) != 1)
+        return null // multi-disk
+      val z64 = leU64(b, loc + 8)
+      if (z64 < 0 || z64 + 56 > loc) return null
+      val z = z64.toInt
+      if (leU32(b, z) != 0x06064b50L) return null
+      if (leU32(b, z + 16) != 0 || leU32(b, z + 20) != 0) return null // disks
+      val total = leU64(b, z + 32)
+      if (total != leU64(b, z + 24) || total < 0 || total > Int.MaxValue)
+        return null
+      n = total
+      cdSize = leU64(b, z + 40)
+      cdOff = leU64(b, z + 48)
+      cdEnd = z64
+    }
+    if (cdSize < 0 || cdOff < 0 || cdOff + cdSize > cdEnd) return null
+    val out = new Array[ZipEntry](n.toInt)
     var q = cdOff.toInt
     var k = 0
     while (k < n) {
-      if (q + 46 > eocd || leU32(b, q) != 0x02014b50L) return null
+      if (q + 46 > cdEnd || leU32(b, q) != 0x02014b50L) return null
       val method = leU16(b, q + 10)
       val crc = leU32(b, q + 16)
       val csize = leU32(b, q + 20)
@@ -101,13 +160,12 @@ object Zip {
       val xlen = leU16(b, q + 30)
       val clen = leU16(b, q + 32)
       val lho = leU32(b, q + 42)
-      if (q + 46 + nlen > eocd) return null
+      if (q + 46 + nlen + xlen > cdEnd) return null
       val name = new String(b, q + 46, nlen,
         java.nio.charset.StandardCharsets.UTF_8)
-      if (!allowZip64Probe &&
-          (csize == 0xFFFFFFFFL || usize == 0xFFFFFFFFL ||
-            lho == 0xFFFFFFFFL)) return null // ZIP64 member
-      out(k) = ZipEntry(name, method, crc, csize, usize, lho)
+      val r = resolve64(b, q + 46 + nlen, xlen, usize, csize, lho)
+      if (r == null) return null
+      out(k) = ZipEntry(name, method, crc, r._2, r._1, r._3)
       q += 46 + nlen + xlen + clen
       k += 1
     }
@@ -204,12 +262,19 @@ object Zip {
   /** A real ZIP from (name, bytes, deflate?) triples: local headers,
     * central directory, EOCD — deflated members through ONE reset()
     * raw Deflater. Names ending '/' become directory entries (size
-    * 0, STORED) the reader must skip.
+    * 0, STORED) the reader must skip. With `forceZip64` the archive
+    * is written in FULL ZIP64 form regardless of size — sentinel
+    * fixed fields, 0x0001 extra fields in local and central headers,
+    * ZIP64 EOCD record + locator — the structural shape >4 GiB
+    * shards have, testable on small fixtures.
     */
-  def synthZip(files: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+  def synthZip(files: Seq[(String, Array[Byte], Boolean)],
+      forceZip64: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    def w64(v: Long): Unit = { w32(v & 0xFFFFFFFFL); w32((v >>> 32) & 0xFFFFFFFFL) }
+    val ver = if (forceZip64) 45 else 20
     val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
     try {
       val central = files.map { case (name, data, deflate) =>
@@ -231,30 +296,62 @@ object Zip {
             buf.toByteArray
           }
         val lho = out.size().toLong
-        w32(0x04034b50L); w16(20); w16(0); w16(if (deflate) 8 else 0)
+        w32(0x04034b50L); w16(ver); w16(0); w16(if (deflate) 8 else 0)
         w16(0); w16(0) // time/date: not consumed by the reader
-        w32(crc.getValue); w32(packed.length.toLong); w32(data.length.toLong)
-        w16(nameB.length); w16(0)
-        out.write(nameB, 0, nameB.length)
+        w32(crc.getValue)
+        if (forceZip64) {
+          w32(0xFFFFFFFFL); w32(0xFFFFFFFFL) // sizes live in the extra
+          w16(nameB.length); w16(20)
+          out.write(nameB, 0, nameB.length)
+          // local 0x0001 extra: APPNOTE wants BOTH sizes here
+          w16(1); w16(16)
+          w64(data.length.toLong); w64(packed.length.toLong)
+        } else {
+          w32(packed.length.toLong); w32(data.length.toLong)
+          w16(nameB.length); w16(0)
+          out.write(nameB, 0, nameB.length)
+        }
         out.write(packed, 0, packed.length)
         (nameB, if (deflate) 8 else 0, crc.getValue, packed.length.toLong,
           data.length.toLong, lho)
       }
       val cdOff = out.size().toLong
       central.foreach { case (nameB, method, crc, csize, usize, lho) =>
-        w32(0x02014b50L); w16(20); w16(20); w16(0); w16(method)
+        w32(0x02014b50L); w16(ver); w16(ver); w16(0); w16(method)
         w16(0); w16(0)
-        w32(crc); w32(csize); w32(usize)
-        w16(nameB.length); w16(0); w16(0)
+        w32(crc)
+        if (forceZip64) { w32(0xFFFFFFFFL); w32(0xFFFFFFFFL) }
+        else { w32(csize); w32(usize) }
+        w16(nameB.length); w16(if (forceZip64) 28 else 0); w16(0)
         w16(0); w16(0) // disk, internal attrs
         w32(0) // external attrs
-        w32(lho)
+        if (forceZip64) w32(0xFFFFFFFFL) else w32(lho)
         out.write(nameB, 0, nameB.length)
+        if (forceZip64) {
+          // central 0x0001 extra: size, csize, offset (sentinel order)
+          w16(1); w16(24)
+          w64(usize); w64(csize); w64(lho)
+        }
       }
       val cdSize = out.size() - cdOff
-      w32(0x06054b50L); w16(0); w16(0)
-      w16(files.length); w16(files.length)
-      w32(cdSize); w32(cdOff); w16(0)
+      if (forceZip64) {
+        val z64Off = out.size().toLong
+        w32(0x06064b50L) // ZIP64 EOCD record
+        w64(44) // size of remainder
+        w16(ver); w16(ver)
+        w32(0); w32(0) // disk numbers
+        w64(files.length.toLong); w64(files.length.toLong)
+        w64(cdSize); w64(cdOff)
+        w32(0x07064b50L) // ZIP64 EOCD locator
+        w32(0); w64(z64Off); w32(1)
+        w32(0x06054b50L); w16(0); w16(0)
+        w16(0xFFFF); w16(0xFFFF)
+        w32(0xFFFFFFFFL); w32(0xFFFFFFFFL); w16(0)
+      } else {
+        w32(0x06054b50L); w16(0); w16(0)
+        w16(files.length); w16(files.length)
+        w32(cdSize); w32(cdOff); w16(0)
+      }
       out.toByteArray
     } finally defl.end()
   }

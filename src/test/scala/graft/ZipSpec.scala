@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Zip
+import graft.operators.{Multimodal, Zip}
 
 /** ZIP walk conformance. Unlike tar, the JDK SHIPS a zip
   * implementation, so this is interop-pinned both directions:
@@ -149,4 +149,46 @@ class ZipSpec extends AnyFunSuite {
     big(cd + 24) = 0; big(cd + 25) = 0; big(cd + 26) = 0; big(cd + 27) = 0x80.toByte
     assert(Zip.members(big) == null)
   }
+  test("zip64: sentinel fields resolve through the 0x0001 extra and ZIP64 EOCD") {
+    val files = Seq(
+      ("a.txt", Array.tabulate(40)(i => (i * 3).toByte), true),
+      ("dir/b.bin", Array.tabulate(9)(i => (i * 11 + 1).toByte), false),
+      ("empty.txt", Array.emptyByteArray, true))
+    val z = Zip.synthZip(files, forceZip64 = true)
+    assert(Zip.isZip64(z))
+    val got = Zip.members(z)
+    assert(got != null && got.length == 3)
+    for (((name, data, _), k) <- files.zipWithIndex) {
+      assert(got(k)._1 == name)
+      assert(got(k)._2.toSeq == data.toSeq)
+    }
+    // the JDK's independent reader accepts the same ZIP64 structures
+    val tmp = java.io.File.createTempFile("graft-z64", ".zip")
+    try {
+      java.nio.file.Files.write(tmp.toPath, z)
+      val zf = new java.util.zip.ZipFile(tmp)
+      try {
+        assert(zf.size() == 3)
+        for ((name, data, _) <- files) {
+          val e = zf.getEntry(name)
+          assert(e != null, name)
+          assert(zf.getInputStream(e).readAllBytes().toSeq == data.toSeq)
+        }
+      } finally zf.close()
+    } finally tmp.delete()
+    // classification: zip64 now DECODES (it is not a profile gap)
+    assert(Multimodal.mediaDecodeClass(z) == ("zip", "ok"))
+    // damage inside a zip64 member is corrupt, exactly like zip32
+    val bad = z.clone()
+    val dataStart = 30 + "a.txt".length + 20 // local hdr + name + z64 extra
+    bad(dataStart + 2) = (bad(dataStart + 2) ^ 0x2C).toByte
+    assert(Zip.members(bad) == null)
+    assert(Multimodal.mediaDecodeClass(bad) == ("zip", "corrupt"))
+    // a sentinel entry WITHOUT its 0x0001 extra is malformed, not read
+    // as a 4 GiB member: truncate the locator so resolution must fail
+    val noLoc = z.clone()
+    noLoc(noLoc.length - 42) = 'X'.toByte // ZIP64 EOCD record signature
+    assert(Zip.members(noLoc) == null)
+  }
+
 }
