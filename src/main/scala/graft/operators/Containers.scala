@@ -1535,11 +1535,34 @@ object Containers {
   // layouts — header arithmetic, no codec.
 
   /** One tar entry: `offset` is the absolute position of the entry's
-    * DATA (the 512-byte header precedes it), `typeflag` per ustar
-    * ('0'/NUL regular file, '5' directory, …).
+    * DATA (the 512-byte header — and, for old-GNU sparse members,
+    * the sparse-map continuation blocks — precede it), `typeflag` per
+    * ustar ('0'/NUL regular file, '5' directory, 'S' old-GNU
+    * sparse, …). For sparse members `size` is the PACKED data-region
+    * length, `realSize` the logical file size, and `sparse` the
+    * (logicalOffset, fragmentLength) map; use [[tarEntryBytes]] to
+    * expand. Regular members carry realSize = size, sparse = null.
     */
   final case class TarEntry(name: String, size: Long, offset: Long,
-      typeflag: Char)
+      typeflag: Char, realSize: Long = -1L,
+      sparse: Array[(Long, Long)] = null)
+
+  /** A tar entry's CONTENT bytes: the data region verbatim for
+    * regular members; the hole-reconstructed logical file (fragments
+    * copied at their offsets over zeros) for old-GNU sparse members.
+    */
+  def tarEntryBytes(b: Array[Byte], e: TarEntry): Array[Byte] = {
+    if (e.typeflag != 'S' || e.sparse == null)
+      return java.util.Arrays.copyOfRange(b, e.offset.toInt,
+        (e.offset + e.size).toInt)
+    val out = new Array[Byte](e.realSize.toInt)
+    var src = e.offset.toInt
+    for ((fo, fn) <- e.sparse) {
+      System.arraycopy(b, src, out, fo.toInt, fn.toInt)
+      src += fn.toInt
+    }
+    out
+  }
 
   /** Parse the `len key=value\n` records of a PAX extended header
     * block (`len` is the DECIMAL byte length of the whole record,
@@ -1683,7 +1706,8 @@ object Containers {
           // the ustar magic (old-format headers carry arbitrary bytes
           // there)
           val ustarName =
-            if (ascii(b, i + 257, 5) == "ustar" && b(i + 345) != 0) {
+            if (ascii(b, i + 257, 5) == "ustar" && b(i + 345) != 0 &&
+                tf != 'S') {
               var e = i + 345
               while (e < i + 500 && b(e) != 0) e += 1
               new String(b, i + 345, e - (i + 345),
@@ -1694,7 +1718,53 @@ object Containers {
             else if (globalPath != null) globalPath
             else ustarName
           nextPath = null; nextFromPax = false
-          out += TarEntry(full, size, off + 512, tf)
+          if (tf == 'S') {
+            // old-GNU sparse: 4 map entries at 386 (offset+numbytes,
+            // 12-octal each), isextended flag at 482, realsize at
+            // 483; continuation blocks of 21 entries + flag at 504
+            // sit BETWEEN header and data. An all-NUL entry ends the
+            // map (GNU zero-fills unused slots).
+            val frags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            // returns false on malformed entries
+            def readEntries(base: Int, count: Int): Boolean = {
+              var k = 0
+              while (k < count) {
+                val o = base + k * 24
+                if (b(o) == 0) return true // map end
+                val fo = octal(o, 12)
+                val fn = octal(o + 12, 12)
+                if (fo < 0 || fn < 0) return false
+                frags += ((fo, fn))
+                k += 1
+              }
+              true
+            }
+            if (!readEntries(i + 386, 4)) return null
+            var extBlocks = 0
+            var ext = b(i + 482) != 0
+            while (ext) {
+              val cb = i + 512 + extBlocks * 512
+              if (cb + 512 > b.length) return null
+              if (!readEntries(cb, 21)) return null
+              ext = b(cb + 504) != 0
+              extBlocks += 1
+            }
+            val realSize = octal(i + 483, 12)
+            val dataOff = off + 512 + extBlocks.toLong * 512
+            if (dataOff + size > b.length) return null
+            // the packed region must be exactly the fragments, every
+            // fragment inside the logical file, offsets nondecreasing,
+            // and the expansion bomb-capped
+            if (realSize < 0 || realSize > (1L << 30)) return null
+            if (frags.map(_._2).sum != size) return null
+            var last = 0L
+            for ((fo, fn) <- frags) {
+              if (fo < last || fo + fn > realSize) return null
+              last = fo + fn
+            }
+            out += TarEntry(full, size, dataOff, 'S', realSize, frags.toArray)
+            off += extBlocks.toLong * 512 // data advance added below
+          } else out += TarEntry(full, size, off + 512, tf, size)
       }
       off += 512 + ((size + 511) / 512) * 512
     }
@@ -1810,6 +1880,73 @@ object Containers {
       }
     }
     out.write(new Array[Byte](1024)) // two zero blocks
+    out.toByteArray
+  }
+
+  /** One old-GNU SPARSE tar member's blocks (header + continuation
+    * sparse-map blocks + packed fragment data, 512-padded; no
+    * end-of-archive terminator — compose into archives by
+    * concatenation before the final zero blocks): `frags` are
+    * (logicalOffset, bytes) runs of the logical `realSize`-byte file,
+    * holes between them reading as zeros. More than 4 fragments
+    * spill into isextended continuation blocks (21 entries each),
+    * the shape GNU tar actually writes.
+    */
+  def synthTarSparseMember(name: String, frags: Seq[(Long, Array[Byte])],
+      realSize: Long): Array[Byte] = {
+    val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(nb.length <= 100, "sparse member name over 100 bytes")
+    var last = 0L
+    for ((fo, f) <- frags) {
+      require(fo >= last && fo + f.length <= realSize, "bad fragment map")
+      last = fo + f.length
+    }
+    val dataLen = frags.map(_._2.length).sum
+    val out = new java.io.ByteArrayOutputStream()
+    val h = new Array[Byte](512)
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    def putOctal(b: Array[Byte], off: Int, width: Int, v: Long): Unit = {
+      val s = s"%0${width - 1}o".format(v).getBytes("US-ASCII")
+      System.arraycopy(s, s.length - (width - 1), b, off, width - 1)
+      b(off + width - 1) = 0
+    }
+    putOctal(h, 100, 8, 420)
+    putOctal(h, 108, 8, 0); putOctal(h, 116, 8, 0)
+    putOctal(h, 124, 12, dataLen)
+    putOctal(h, 136, 12, 0)
+    h(156) = 'S'.toByte
+    // old-GNU magic: "ustar  \0" (the prefix field is NOT used;
+    // offset 345 holds GNU fields in this format)
+    System.arraycopy("ustar ".getBytes("US-ASCII"), 0, h, 257, 6)
+    h(263) = ' '.toByte; h(264) = 0
+    for ((k, (fo, f)) <- (0 until math.min(4, frags.length)).zip(frags)) {
+      putOctal(h, 386 + k * 24, 12, fo)
+      putOctal(h, 398 + k * 24, 12, f.length.toLong)
+    }
+    if (frags.length > 4) h(482) = 1
+    putOctal(h, 483, 12, realSize)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (k <- 0 until 512) sum += u8(h, k)
+    val cs = "%06o".format(sum).getBytes("US-ASCII")
+    System.arraycopy(cs, 0, h, 148, 6)
+    h(154) = 0; h(155) = ' '.toByte
+    out.write(h)
+    // continuation blocks for fragments 4+
+    var rest = frags.drop(4)
+    while (rest.nonEmpty) {
+      val blk = new Array[Byte](512)
+      for ((k, (fo, f)) <- (0 until math.min(21, rest.length)).zip(rest)) {
+        putOctal(blk, k * 24, 12, fo)
+        putOctal(blk, k * 24 + 12, 12, f.length.toLong)
+      }
+      rest = rest.drop(21)
+      if (rest.nonEmpty) blk(504) = 1
+      out.write(blk)
+    }
+    for ((_, f) <- frags) out.write(f, 0, f.length)
+    val pad = (512 - dataLen % 512) % 512
+    out.write(new Array[Byte](pad))
     out.toByteArray
   }
 
@@ -4520,13 +4657,13 @@ object Containers {
   } catch { case _: IndexOutOfBoundsException => false }
 
   /** Whether a checksum-valid tar stream carries a member type the
-    * shard reader can't expand — old-GNU sparse (`S`, whose data
-    * region is hole-elided fragments, not file content) or the
-    * dump/multivolume/volume-label types (`D`/`M`/`V`). Walks headers
-    * with the same validated advance as [[tarEntries]] and stops at
-    * the first such member (sparse members can desync the size-based
-    * walk, so nothing after the hit is trusted); damaged headers
-    * return false (= corrupt, not a profile gap).
+    * shard reader can't expand — the dump/multivolume/volume-label
+    * types (`D`/`M`/`V`). Old-GNU sparse (`S`) EXPANDS through
+    * [[tarEntryBytes]] now, so it is skipped here (continuation
+    * blocks included) rather than reported. Walks headers with the
+    * same validated advance as [[tarEntries]] and stops at the first
+    * hit; damaged headers return false (= corrupt, not a profile
+    * gap).
     */
   def unsupportedTarProfile(b: Array[Byte]): Boolean = try {
     var off = 0L
@@ -4538,7 +4675,18 @@ object Containers {
       if (allZero) return false // end-of-archive
       if (!tarChecksumOk(b, i)) return false // damaged header = corrupt
       b(i + 156).toChar match {
-        case 'S' | 'D' | 'M' | 'V' => return true
+        case 'D' | 'M' | 'V' => return true
+        case 'S' =>
+          // skip the sparse-map continuation blocks before the data
+          var extBlocks = 0
+          var more = b(i + 482) != 0
+          while (more) {
+            val cb = i + 512 + extBlocks * 512
+            if (cb + 512 > b.length) return false
+            more = b(cb + 504) != 0
+            extBlocks += 1
+          }
+          off += extBlocks.toLong * 512
         case _ => ()
       }
       val size = tarOctal(b, i + 124, 12)

@@ -422,7 +422,7 @@ object Multimodal {
     * arithmetic-coded SOF9 (`unsupported_profile`), 6 → valid ustar
     * shard (`tar`/`ok`), 7 → tar with its first name byte flipped so
     * the header checksum mismatches (`tar`/`corrupt`), 8 → tar whose
-    * member is retagged old-GNU sparse with the checksum recomputed
+    * member is retagged GNU dumpdir with the checksum recomputed
     * (`tar`/`unsupported_profile`), 9 → valid per-record-gzip WARC
     * (`warc`/`ok`), 10 → the same with the final member's CRC/ISIZE
     * trailer cut (`gzip`/`corrupt` — a broken stream can't name its
@@ -527,12 +527,13 @@ object Multimodal {
           t(0) = (t(0) ^ 1).toByte
           t
         case 8 =>
-          // retag the member old-GNU sparse and RECOMPUTE the checksum
+          // retag the member GNU dumpdir and RECOMPUTE the checksum
           // (field summed as spaces, "%06o\0 " layout, same convention
           // as synthTar) — a checksum-valid header carrying a profile
-          // the shard reader can't expand
+          // the shard reader can't expand (old-GNU SPARSE decodes for
+          // real now, so it can no longer serve as this plant)
           val t = tarBytes
-          t(156) = 'S'.toByte
+          t(156) = 'D'.toByte
           java.util.Arrays.fill(t, 148, 156, ' '.toByte)
           var sum = 0L
           var k = 0
@@ -1833,16 +1834,18 @@ object Multimodal {
     media.flatMap { m =>
       val entries = Containers.tarEntries(m.content)
       if (entries == null) Seq(ShardSample(m.media_id, "", -1, -1L, -1L))
-      else entries.filter(_.typeflag == '0')
+      else entries.filter(e => e.typeflag == '0' || e.typeflag == 'S')
         .groupBy(e => webdatasetKey(e.name))
         .toSeq.map { case (key, parts) =>
           var bytes = 0L; var sum = 0L
           parts.foreach { e =>
-            bytes += e.size
+            // sparse members expand to their logical bytes (holes
+            // read as zeros), regular members pass through verbatim
+            val data = Containers.tarEntryBytes(m.content, e)
+            bytes += data.length
             var j = 0
-            while (j < e.size) {
-              sum += java.lang.Byte.toUnsignedInt(
-                m.content((e.offset + j).toInt))
+            while (j < data.length) {
+              sum += java.lang.Byte.toUnsignedInt(data(j))
               j += 1
             }
           }
@@ -1886,7 +1889,22 @@ object Multimodal {
         val cls = Array(((id + s) % 256).toByte)
         Seq(f"$dir$s%06d.txt" -> txt, f"$dir$s%06d.cls" -> cls)
       }
-      MediaFile(id, "shard", Containers.synthTar(files, style))
+      val plain = Containers.synthTar(files, style)
+      // ustar shards additionally cycle an old-GNU SPARSE member
+      // (sample key n, two fragments around a zero hole): the reader
+      // must expand it to its logical realSize bytes
+      val blob =
+        if (id % 3 == 0) {
+          val realSize = (64 + id % 32).toInt
+          val a = (10 + id % 6).toInt
+          val c = (8 + id % 5).toInt
+          val f1 = Array.tabulate(a)(j => ((id * 37 + j * 13) % 256).toByte)
+          val f2 = Array.tabulate(c)(j => ((id * 41 + j * 19) % 256).toByte)
+          val sparse = Containers.synthTarSparseMember(f"$dir$n%06d.txt",
+            Seq((0L, f1), ((realSize - c).toLong, f2)), realSize.toLong)
+          plain.dropRight(1024) ++ sparse ++ new Array[Byte](1024)
+        } else plain
+      MediaFile(id, "shard", blob)
     })
   }
 

@@ -1501,14 +1501,27 @@ object FrontierQueries {
         |      ELSE 'gnu.dir.' || (doc_id % 7)::VARCHAR || '/'
         |           || repeat('g', 95) || '/'
         |    END || lpad(s::VARCHAR, 6, '0') AS sample_key
-        |  FROM m)
-        |SELECT doc_id AS shard_id, sample_key,
-        |  2::INT AS n_parts,
-        |  (16 + (doc_id + s) % 8 + 1)::BIGINT AS n_bytes,
-        |  (list_sum(list_transform(range(0, 16 + (doc_id + s) % 8),
-        |     j -> (doc_id*31 + s*17 + j*7) % 256))
-        |   + (doc_id + s) % 256)::BIGINT AS byte_sum
-        |FROM k ORDER BY shard_id, sample_key""".stripMargin,
+        |  FROM m),
+        |reg AS (SELECT doc_id AS shard_id, sample_key,
+        |    2::INT AS n_parts,
+        |    (16 + (doc_id + s) % 8 + 1)::BIGINT AS n_bytes,
+        |    (list_sum(list_transform(range(0, 16 + (doc_id + s) % 8),
+        |       j -> (doc_id*31 + s*17 + j*7) % 256))
+        |     + (doc_id + s) % 256)::BIGINT AS byte_sum
+        |  FROM k),
+        |-- ustar shards carry one extra old-GNU SPARSE sample (key =
+        |-- the next index, always 2): logical realSize bytes with two
+        |-- fragments around a zero hole — zeros add nothing to the sum
+        |sp AS (SELECT doc_id AS shard_id,
+        |    lpad('2', 6, '0') AS sample_key, 1::INT AS n_parts,
+        |    (64 + doc_id % 32)::BIGINT AS n_bytes,
+        |    (list_sum(list_transform(range(0, 10 + doc_id % 6),
+        |       j -> (doc_id*37 + j*13) % 256))
+        |     + list_sum(list_transform(range(0, 8 + doc_id % 5),
+        |       j -> (doc_id*41 + j*19) % 256)))::BIGINT AS byte_sum
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT * FROM reg UNION ALL SELECT * FROM sp
+        |ORDER BY shard_id, sample_key""".stripMargin,
 
     // Replays the zip-shard generator: same sample formulas as the
     // tar twin, keys carrying the per-layout directory (flat /

@@ -1808,4 +1808,52 @@ class MultimodalSpec extends SparkSpec {
     assert(decode("text/plain", "héllo".getBytes("UTF-8")) == "héllo")
   }
 
+  test("tar: old-GNU sparse members expand with holes as zeros") {
+    val f1 = Array.tabulate(12)(i => (i * 7 + 1).toByte)
+    val f2 = Array.tabulate(9)(i => (i * 11 + 3).toByte)
+    val member = Containers.synthTarSparseMember("hole.bin",
+      Seq((0L, f1), (40L, f2)), 64L)
+    val plain = Containers.synthTar(Seq("a.txt" ->
+      Array.tabulate(10)(i => (i * 3).toByte)))
+    val archive = plain.dropRight(1024) ++ member ++ new Array[Byte](1024)
+    val es = Containers.tarEntries(archive)
+    assert(es != null && es.length == 2)
+    val sp = es(1)
+    assert(sp.name == "hole.bin" && sp.typeflag == 'S')
+    assert(sp.size == 21 && sp.realSize == 64)
+    val data = Containers.tarEntryBytes(archive, sp)
+    assert(data.length == 64)
+    assert(data.slice(0, 12).toSeq == f1.toSeq)
+    assert(data.slice(12, 40).forall(_ == 0)) // the hole
+    assert(data.slice(40, 49).toSeq == f2.toSeq)
+    assert(data.slice(49, 64).forall(_ == 0)) // trailing hole
+    // sparse is NOT a profile gap anymore; dumpdir still is
+    assert(!Containers.unsupportedTarProfile(archive))
+    assert(Multimodal.mediaDecodeClass(archive) == ("tar", "ok"))
+    // >4 fragments spill into isextended continuation blocks
+    val many = (0 until 9).map(k =>
+      (k * 30L, Array.tabulate(5)(i => (k * 16 + i + 1).toByte)))
+    val ext = Containers.synthTarSparseMember("many.bin", many, 300L)
+    val arc2 = plain.dropRight(1024) ++ ext ++ new Array[Byte](1024)
+    val es2 = Containers.tarEntries(arc2)
+    assert(es2 != null && es2.length == 2)
+    val d2 = Containers.tarEntryBytes(arc2, es2(1))
+    assert(d2.length == 300)
+    for ((off, fb) <- many)
+      assert(d2.slice(off.toInt, off.toInt + 5).toSeq == fb.toSeq)
+    // a malformed map (fragment sum != packed size) is corrupt
+    val bad = archive.clone()
+    // shrink the first fragment's numbytes field (octal at 398)
+    val hdrOff = plain.length - 1024
+    bad(hdrOff + 398 + 9) = '0'.toByte
+    // recompute the checksum so only the MAP is inconsistent
+    java.util.Arrays.fill(bad, hdrOff + 148, hdrOff + 156, ' '.toByte)
+    var sum = 0L
+    for (k <- 0 until 512) sum += (bad(hdrOff + k) & 0xFF)
+    val cs = "%06o".format(sum).getBytes("US-ASCII")
+    System.arraycopy(cs, 0, bad, hdrOff + 148, 6)
+    bad(hdrOff + 154) = 0; bad(hdrOff + 155) = ' '.toByte
+    assert(Containers.tarEntries(bad) == null)
+  }
+
 }
