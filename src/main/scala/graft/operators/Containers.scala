@@ -4480,11 +4480,11 @@ object Containers {
         // corruption, never a profile gap
         false
       case "webp" =>
-        // lossless VP8L decodes in full; lossy VP8 (a DCT intra-frame
-        // video codec) and animated/opaque extended files are NAMED
-        // profile gaps
+        // lossless VP8L and still lossy VP8 keyframes both decode in
+        // full; animated/opaque extended files are the NAMED gaps
         Webp.probe(b) match {
           case ("vp8l", _, _) => false // undecodable VP8L = corruption
+          case ("vp8", _, _) => false // undecodable VP8 = corruption
           case null => false
           case _ => true
         }

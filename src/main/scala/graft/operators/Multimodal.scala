@@ -263,6 +263,8 @@ object Multimodal {
     */
   private def imageErrFor(content: Array[Byte], fmt: String): String = {
     if (imagePixelBytes(content) != null) return "ok"
+    // lossy (VP8) WebP decodes to YUV planes, not the RGB pixel path
+    if (fmt == "webp" && Webp.yuv(content) != null) return "ok"
     if (fmt == "unknown") "unknown_container"
     else if (fmt == "wav" || fmt == "flac" || fmt.startsWith("ogg") ||
         fmt.startsWith("mp4")) "not_image"
@@ -437,8 +439,9 @@ object Multimodal {
     * (`zstd`/`unsupported_profile`), 17 → a sound zstd frame whose
     * payload is no container we know (`zstd`/`unknown_container`),
     * 18 → a lossless WebP decoded for REAL via [[Webp]]
-    * (`webp`/`ok`), 19 → a lossy VP8 WebP — named with true
-    * dimensions, undecoded (`webp`/`unsupported_profile`), 20 → a
+    * (`webp`/`ok`), 19 → an ANIMATED WebP (VP8X/ANIM) — still lossy
+    * VP8 decodes for real now, so animation is the remaining named
+    * webp gap (`webp`/`unsupported_profile`), 20 → a
     * `.warc.gz` with a NON-record gzip member spliced between two
     * record members — the real-crawl mixed-member shape the
     * member-aware walk recovers (`warc`/`ok_skipped_members`,
@@ -583,9 +586,9 @@ object Multimodal {
           Webp.synthVp8lLiteral(w, h,
             Array.tabulate(w * h * 3)(i => ((id * 31 + i.toLong * 7) % 256).toByte))
         case 19 =>
-          Webp.synthVp8LossyStub((64 + id % 64).toInt, 48,
-            Array.tabulate((40 + id % 40).toInt)(j =>
-              ((id * 11 + j * 29) % 256).toByte))
+          // ANIMATED WebP (VP8X/ANIM): the remaining named webp gap
+          // now that still lossy VP8 decodes for real
+          Webp.synthVp8xAnimStub((64 + id % 64).toInt, 48)
         case 20 =>
           // two record members with a non-record gzip member between
           // them — the interloper's payload is magic-free garbage
@@ -2162,6 +2165,58 @@ object Multimodal {
       val s = if (body == null) null else Flac.samples(body)
       Id3Audio(m.media_id, f("TIT2"), f("TPE1"), f("TALB"),
         frames.length.toLong, if (s == null) -1L else s.length.toLong)
+    })
+  }
+
+  /** One lossy-WebP decode's audit row (plane sums over YUV 4:2:0);
+    * -1 sentinels when the frame doesn't decode.
+    */
+  final case class WebpLossyStats(media_id: Long, width: Int, height: Int,
+      y_sum: Long, u_sum: Long, v_sum: Long)
+
+  /** Lossy (VP8 keyframe) WebP decode to plane sums — the pixel-level
+    * audit for the majority-share WebP profile, through the
+    * from-scratch [[Vp8]] decoder.
+    */
+  def webpLossyStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[WebpLossyStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val yuv = Webp.yuv(m.content)
+      if (yuv == null) WebpLossyStats(m.media_id, -1, -1, -1L, -1L, -1L)
+      else {
+        def sum(a: Array[Byte]): Long = {
+          var s = 0L
+          var i = 0
+          while (i < a.length) { s += a(i) & 0xFF; i += 1 }
+          s
+        }
+        WebpLossyStats(m.media_id, yuv.width, yuv.height,
+          sum(yuv.y), sum(yuv.u), sum(yuv.v))
+      }
+    })
+  }
+
+  /** Deterministic lossy-WebP corpus: image `id` is a 32x32 (2x2-MB)
+    * VP8 keyframe at quantizer index `20 + id%40`, every MB DC_PRED
+    * with DC-only residuals — Y2 DC level `(id*3 + m*5)%25 - 12` and
+    * chroma DC levels `(id*7 + m*3)%13 - 6` / `(id*11 + m*9)%13 - 6`
+    * for MB `m` in raster order (token categories 1-3 exercised by
+    * the level range). The oracle replays dequant → inverse WHT →
+    * inverse DCT → DC-prediction recurrence in closed form; nothing
+    * in the bitstream survives to the sums unless the boolean
+    * decoder, header parse, token trees, and reconstruction are all
+    * exact.
+    */
+  def demoWebpLossyCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val qIdx = (20 + id % 40).toInt
+      val frame = Vp8.synthVp8Frame(32, 32, qIdx,
+        (mx, my) => (((id * 3 + (my * 2 + mx) * 5) % 25) - 12).toInt,
+        (mx, my) => (((id * 7 + (my * 2 + mx) * 3) % 13) - 6).toInt,
+        (mx, my) => (((id * 11 + (my * 2 + mx) * 9) % 13) - 6).toInt)
+      MediaFile(id, "image", Webp.synthVp8Lossy(frame))
     })
   }
 

@@ -908,6 +908,68 @@ object Webp {
     * classifier must report as a named profile gap. Write-side only:
     * this engine does not decode VP8.
     */
+  /** Decode a LOSSY (VP8 keyframe) WebP to its YUV 4:2:0 planes via
+    * the from-scratch [[Vp8]] decoder. Null for non-lossy profiles
+    * and corruption.
+    */
+  def yuv(b: Array[Byte]): Vp8.Yuv = try {
+    if (!isWebp(b)) return null
+    var p = 12
+    while (p + 8 <= b.length) {
+      val cc = fourCC(b, p)
+      val sz = leU32(b, p + 4)
+      val payload = p + 8
+      if (payload + sz > b.length) return null
+      if (cc == "VP8 ") return Vp8.decodeFrame(b, payload, sz.toInt)
+      p = payload + sz.toInt + (sz.toInt & 1)
+    }
+    null
+  } catch { case _: ArrayIndexOutOfBoundsException => null }
+
+  /** Wrap a complete VP8 keyframe bitstream (e.g.
+    * [[Vp8.synthVp8Frame]] output) in the WebP RIFF container.
+    */
+  def synthVp8Lossy(frame: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(4 + 8 + frame.length + (frame.length & 1))
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8 ".getBytes("US-ASCII"))
+    le32(frame.length)
+    out.write(frame, 0, frame.length)
+    if ((frame.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** An ANIMATED extended WebP stub (VP8X with the ANIM flag +
+    * canvas dims) — the named profile gap shape after lossy VP8
+    * became decodable.
+    */
+  def synthVp8xAnimStub(w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(4 + 8 + 10)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8X".getBytes("US-ASCII"))
+    le32(10)
+    out.write(2) // ANIM flag
+    out.write(0); out.write(0); out.write(0)
+    val wm = w - 1
+    out.write(wm & 0xFF); out.write((wm >> 8) & 0xFF); out.write((wm >> 16) & 0xFF)
+    val hm = h - 1
+    out.write(hm & 0xFF); out.write((hm >> 8) & 0xFF); out.write((hm >> 16) & 0xFF)
+    out.toByteArray
+  }
+
   def synthVp8LossyStub(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
     require(w >= 1 && w <= 0x3FFF && h >= 1 && h <= 0x3FFF)
     val payload = new java.io.ByteArrayOutputStream()

@@ -378,6 +378,20 @@ object FrontierQueries {
         .toDF().orderBy("crawl_id")
     }),
 
+    // REAL lossy VP8 WebP decode (boolean arithmetic decoder,
+    // keyframe header, token trees, dequant, inverse WHT+DCT, DC
+    // intra prediction) — the majority-share WebP profile. The
+    // oracle replays the reconstruction arithmetic in closed form.
+    "multimodal_webp_lossy" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoWebpLossyCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.webpLossyStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // Opus/Vorbis packet-walk metadata: OpusHead/OpusTags fields,
     // RFC 6716 TOC frame counts and durations, Vorbis identification
     // headers, end-granule sample clocks — the audit layer for the
@@ -1747,6 +1761,55 @@ object FrontierQueries {
         |    list_sum(list_transform(range(0, 20 + (doc_id + s) % 24),
         |      j -> (doc_id*17 + s*23 + j*11) % 256))))::BIGINT AS payload_sum
         |FROM r ORDER BY crawl_id""".stripMargin,
+
+    // Replays the VP8 reconstruction in closed form: dequant (y2dc/
+    // uvdc values interpolated from the SAME tables the decoder
+    // uses), inverse-WHT + inverse-DCT DC shortcut as exact floor
+    // arithmetic, and the DC-prediction recurrence over the 2x2 MB
+    // grid with clamping.
+    "multimodal_webp_lossy" -> {
+      import graft.operators.Vp8
+      val q2 = (20 until 60).map(Vp8.y2dcQuant).mkString("[", ", ", "]")
+      val quv = (20 until 60).map(Vp8.uvdcQuant).mkString("[", ", ", "]")
+      def lvl(plane: String, m: Int): String = plane match {
+        case "y" => s"((doc_id*3 + $m*5) % 25 - 12)"
+        case "u" => s"((doc_id*7 + $m*3) % 13 - 6)"
+        case _ => s"((doc_id*11 + $m*9) % 13 - 6)"
+      }
+      def r(plane: String, m: Int): String = plane match {
+        case "y" =>
+          s"CAST(floor((CAST(floor((${lvl(plane, m)} * q2 + 3) / 8.0) " +
+            s"AS BIGINT) + 4) / 8.0) AS BIGINT)"
+        case _ =>
+          s"CAST(floor((${lvl(plane, m)} * quv + 4) / 8.0) AS BIGINT)"
+      }
+      def cl(e: String): String = s"GREATEST(0, LEAST(255, $e))"
+      val rCols = (for (pl <- Seq("y", "u", "v"); m <- 0 to 3)
+        yield s"${r(pl, m)} AS r$pl$m").mkString(", ")
+      val aCols = Seq("y", "u", "v").map(pl =>
+        s"${cl(s"128 + r${pl}0")} AS p${pl}0").mkString(", ")
+      val bCols = Seq("y", "u", "v").flatMap(pl => Seq(
+        s"${cl(s"p${pl}0 + r${pl}1")} AS p${pl}1",
+        s"${cl(s"p${pl}0 + r${pl}2")} AS p${pl}2")).mkString(", ")
+      val cCols = Seq("y", "u", "v").map(pl =>
+        s"${cl(s"((p${pl}1 + p${pl}2 + 1) // 2) + r${pl}3")} AS p${pl}3")
+        .mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+        |    $q2[(doc_id % 40 + 1)::INT] AS q2,
+        |    $quv[(doc_id % 40 + 1)::INT] AS quv
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    $rCols
+        |  FROM t),
+        |a AS (SELECT *, $aCols FROM r),
+        |b AS (SELECT *, $bCols FROM a),
+        |c AS (SELECT *, $cCols FROM b)
+        |SELECT doc_id AS media_id, 32::INT AS width, 32::INT AS height,
+        |  (256*(py0+py1+py2+py3))::BIGINT AS y_sum,
+        |  (64*(pu0+pu1+pu2+pu3))::BIGINT AS u_sum,
+        |  (64*(pv0+pv1+pv2+pv3))::BIGINT AS v_sum
+        |FROM c ORDER BY media_id""".stripMargin
+    },
 
     // Replays the Opus TOC algebra (per-config 48 kHz frame sizes
     // interpolated from the SAME table the decoder uses) and the

@@ -35,6 +35,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "mp4Samples" -> (b => Containers.mp4Samples(b)),
     "Zstd.decode" -> (b => Zstd.decode(b)),
     "Webp.pixelBytes" -> (b => Webp.pixelBytes(b)),
+    "Webp.yuv" -> (b => Webp.yuv(b)),
     "Flac.samples" -> (b => Flac.samples(b)),
     "Ogg.packets" -> (b => Ogg.packets(b)),
     "Ogg.flacSamples" -> (b => Ogg.flacSamples(b)),

@@ -1334,9 +1334,11 @@ class MultimodalSpec extends SparkSpec {
     assert(mediaDecodeClass(bmTar) == ("tar", "ok"))
     val bad = tar.clone(); bad(0) = (bad(0) ^ 1).toByte
     assert(mediaDecodeClass(bad) == ("tar", "corrupt"))
-    // tar: old-GNU sparse member with a RECOMPUTED checksum -> profile
+    // tar: GNU dumpdir member with a RECOMPUTED checksum -> profile
+    // (old-GNU sparse DECODES now, so 'D' is the remaining gap plant;
+    // a retagged-'S' header with a zeroed sparse map is CORRUPT)
     val sp = tar.clone()
-    sp(156) = 'S'.toByte
+    sp(156) = 'D'.toByte
     java.util.Arrays.fill(sp, 148, 156, ' '.toByte)
     var sum = 0L
     for (k <- 0 until 512) sum += (sp(k) & 0xFF)
@@ -1344,6 +1346,15 @@ class MultimodalSpec extends SparkSpec {
     sp(154) = 0; sp(155) = ' '.toByte
     assert(Containers.unsupportedTarProfile(sp))
     assert(mediaDecodeClass(sp) == ("tar", "unsupported_profile"))
+    val retaggedSparse = tar.clone()
+    retaggedSparse(156) = 'S'.toByte
+    java.util.Arrays.fill(retaggedSparse, 148, 156, ' '.toByte)
+    var sum2 = 0L
+    for (k <- 0 until 512) sum2 += (retaggedSparse(k) & 0xFF)
+    System.arraycopy("%06o".format(sum2).getBytes("US-ASCII"), 0,
+      retaggedSparse, 148, 6)
+    retaggedSparse(154) = 0; retaggedSparse(155) = ' '.toByte
+    assert(mediaDecodeClass(retaggedSparse) == ("tar", "corrupt"))
     assert(!Containers.unsupportedTarProfile(tar))
     assert(!Containers.unsupportedTarProfile(bad)) // damage is not a profile
     // WARC: gzip-framed ok; trailer cut -> the STREAM is corrupt (we
