@@ -2268,12 +2268,15 @@ object Containers {
       val head = new String(b, off, scanLen,
         java.nio.charset.StandardCharsets.ISO_8859_1)
         .toLowerCase(java.util.Locale.ROOT)
-      val direct = """<meta\s+charset\s*=\s*["']?([a-z0-9._:\-]+)""".r
-      val equiv = ("""<meta\s+http-equiv\s*=\s*["']?content-type["']?""" +
-        """\s+content\s*=\s*["'][^"']*charset=([a-z0-9._:\-]+)""").r
-      cs = direct.findFirstMatchIn(head).map(_.group(1))
-        .orElse(equiv.findFirstMatchIn(head).map(_.group(1)))
-        .map(forName).orNull
+      // attribute-order independent, like the HTML5 prescan: any
+      // charset=… inside any <meta …> tag (covers both the direct
+      // attribute and the http-equiv content="…; charset=…" form in
+      // either attribute order)
+      val metaTag = """<meta[^>]*>""".r
+      val charsetIn = """charset\s*=\s*["']?([a-z0-9._:\-]+)""".r
+      cs = metaTag.findAllIn(head).toSeq.iterator
+        .flatMap(tag => charsetIn.findFirstMatchIn(tag).map(_.group(1)))
+        .map(forName).collectFirst { case c if c != null => c }.orNull
     }
     new String(b, off, len,
       if (cs != null) cs else java.nio.charset.StandardCharsets.UTF_8)

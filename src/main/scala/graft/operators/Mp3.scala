@@ -156,29 +156,34 @@ object Mp3 {
       bytes += len
     }
     if (n == 0) return null
-    val xing = xingFrames(b, first)
+    val (xing, xingIsVbr) = xingFrames(b, first)
+    // LAME writes "Xing" for VBR and "Info" for CBR — an Info header
+    // must NOT flip the vbr audit column
     Mp3Info(first.versionString, first.layer, first.channels,
       first.sampleRate, n, bytes, first.samplesPerFrame, first.bitrateKbps,
-      vbr || xing >= 0, xing)
+      vbr || xingIsVbr, xing)
   }
 
   /** The Xing/Info frame count from the FIRST frame (Layer III
-    * convention: after the zeroed side info), or -1.
+    * convention: after the zeroed side info) and whether the magic
+    * was the VBR one ("Xing"; "Info" marks CBR); (-1, false) when
+    * absent.
     */
-  private def xingFrames(b: Array[Byte], h: Header): Long = {
-    if (h.layer != 3) return -1
+  private def xingFrames(b: Array[Byte], h: Header): (Long, Boolean) = {
+    if (h.layer != 3) return (-1L, false)
     val side =
       if (h.verBits == 3) { if (h.channels == 1) 17 else 32 }
       else { if (h.channels == 1) 9 else 17 }
     val off = 4 + (if (h.crc) 2 else 0) + side
-    if (off + 8 > b.length) return -1
+    if (off + 8 > b.length) return (-1L, false)
     val magic = new String(b, off, 4, "US-ASCII")
-    if (magic != "Xing" && magic != "Info") return -1
+    if (magic != "Xing" && magic != "Info") return (-1L, false)
     val flags = ((b(off + 4) & 0xFF) << 24) | ((b(off + 5) & 0xFF) << 16) |
       ((b(off + 6) & 0xFF) << 8) | (b(off + 7) & 0xFF)
-    if ((flags & 1) == 0 || off + 12 > b.length) return -1
-    (((b(off + 8) & 0xFF).toLong << 24) | ((b(off + 9) & 0xFF) << 16) |
-      ((b(off + 10) & 0xFF) << 8) | (b(off + 11) & 0xFF))
+    if ((flags & 1) == 0 || off + 12 > b.length) return (-1L, false)
+    val n = ((b(off + 8) & 0xFF).toLong << 24) | ((b(off + 9) & 0xFF) << 16) |
+      ((b(off + 10) & 0xFF) << 8) | (b(off + 11) & 0xFF)
+    (n, magic == "Xing")
   }
 
   // ---- synthesizer -----------------------------------------------------

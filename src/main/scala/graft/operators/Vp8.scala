@@ -209,7 +209,7 @@ object Vp8 {
   private val UvModeTree = Array(0, 2, -1, 4, -2, -3) // -DC, -V, -H, -TM
   private val KfUvModeProb = Array(142, 114, 183)
   private val BmodeTree = Array(
-    0, 2, -3, 4, -1, 6, 8, 12, -2, 10, -5, -6, -4, 14, -7, 16, -8, -9)
+    0, 2, -3, 4, -1, 6, 8, 12, -2, 10, -4, -5, -6, 14, -7, 16, -8, -9)
   // submode numbering: B_DC=0 B_TM=3... we use: DC=0, VE=1, HE=2, TM=3,
   // RD=4, VR=5, LD=6, VL=7, HD=8, HU=9 with the tree above mapping
   // leaves {DC,TM,VE,HE,RD,VR,LD,VL,HD,HU} = {0,3,1,2,4,5,6,7,8,9}.
@@ -482,8 +482,20 @@ object Vp8 {
     }
     val nParts = 1 << d.literal(2)
     val qIdx = d.literal(7)
-    val quants = new Quants(qIdx, d.flaggedSigned(4), d.flaggedSigned(4),
-      d.flaggedSigned(4), d.flaggedSigned(4), d.flaggedSigned(4))
+    val y1dcD = d.flaggedSigned(4)
+    val y2dcD = d.flaggedSigned(4)
+    val y2acD = d.flaggedSigned(4)
+    val uvdcD = d.flaggedSigned(4)
+    val uvacD = d.flaggedSigned(4)
+    val quants = new Quants(qIdx, y1dcD, y2dcD, y2acD, uvdcD, uvacD)
+    // per RFC 6386 §9.6/§14 segmentation adjusts only the BASE index;
+    // the five plane deltas still apply — precomputed once, not per MB
+    val segQuants: Array[Quants] =
+      if (!segEnabled) null
+      else Array.tabulate(4) { sg =>
+        val base = if (segAbsolute) segQuant(sg) else qIdx + segQuant(sg)
+        new Quants(clampQ(base), y1dcD, y2dcD, y2acD, uvdcD, uvacD)
+      }
     d.literal(1) // refresh entropy (keyframe: state not carried out)
     // token probability updates
     val coefProbs = Array.tabulate(4, 8, 3)((p, ba, c) =>
@@ -781,6 +793,7 @@ object Vp8 {
       }
     }
 
+    val mbHasCoeffs = new Array[Boolean](mbW * mbH)
     mby = 0
     while (mby < mbH) {
       val d2 = parts(mby % nParts)
@@ -792,16 +805,10 @@ object Vp8 {
       while (mbx < mbW) {
         val m = mbs(mby * mbW + mbx)
         val hasY2 = m.ymode != 4
-        // per-segment quantizer
-        val q =
-          if (!segEnabled) quants
-          else {
-            val base = if (segAbsolute) segQuant(m.segment)
-              else qIdx + segQuant(m.segment)
-            new Quants(clampQ(base), 0, 0, 0, 0, 0)
-          }
+        val q = if (segEnabled) segQuants(m.segment) else quants
         val blockCoeffs = Array.ofDim[Int](25, 16)
         val blockNz = new Array[Boolean](25)
+        var anyNz = false
         if (m.skip) {
           // no residual tokens; contexts reset (Y2 only when present)
           var k = 0
@@ -820,6 +827,7 @@ object Vp8 {
             val nz = decodeBlock(d2, 1, 0, q.y2dc, q.y2ac, ctx, coefProbs(1))
             System.arraycopy(coeffs, 0, blockCoeffs(24), 0, 16)
             blockNz(24) = nz
+            anyNz ||= nz
             aboveNzY2(mbx) = nz
             leftNzY2 = nz
             firstY = 1
@@ -835,6 +843,7 @@ object Vp8 {
               coefProbs(planeY))
             System.arraycopy(coeffs, 0, blockCoeffs(sb), 0, 16)
             blockNz(sb) = nz
+            anyNz ||= nz
             aboveNz(mbx * 4 + sx) = nz
             leftNz(sy) = nz
             sb += 1
@@ -851,6 +860,7 @@ object Vp8 {
               val nz = decodeBlock(d2, 2, 0, q.uvdc, q.uvac, ctx, coefProbs(2))
               System.arraycopy(coeffs, 0, blockCoeffs(16 + pl * 4 + cb), 0, 16)
               blockNz(16 + pl * 4 + cb) = nz
+              anyNz ||= nz
               aN(mbx * 2 + cx) = nz
               lN(cy) = nz
               cb += 1
@@ -858,6 +868,7 @@ object Vp8 {
             pl += 1
           }
         }
+        mbHasCoeffs(mby * mbW + mbx) = !m.skip && anyNz
         // ---- reconstruct ----
         val yX = mbx * 16
         val yY = mby * 16
@@ -906,9 +917,35 @@ object Vp8 {
       mby += 1
     }
 
-    if (filterLevel > 0)
+    if (filterLevel > 0) {
+      // per-MB filter level (RFC 6386 §15.1-15.2): segment value
+      // (absolute or delta on the frame level), then the INTRA ref
+      // delta and — for B_PRED — mode delta 0, each clamped to 0..63;
+      // interior subblock edges are filtered only for MBs with
+      // coefficients (or B_PRED)
+      def clamp63(v: Int): Int = if (v < 0) 0 else if (v > 63) 63 else v
+      val mbLevels = new Array[Int](mbW * mbH)
+      val mbInterior = new Array[Boolean](mbW * mbH)
+      var mi = 0
+      while (mi < mbW * mbH) {
+        val m = mbs(mi)
+        var lvl =
+          if (segEnabled)
+            clamp63(if (segAbsolute) segLf(m.segment)
+              else filterLevel + segLf(m.segment))
+          else filterLevel
+        if (lfDeltaEnabled) {
+          lvl += refDeltas(0) // keyframes reference INTRA_FRAME
+          if (m.ymode == 4) lvl += modeDeltas(0)
+          lvl = clamp63(lvl)
+        }
+        mbLevels(mi) = lvl
+        mbInterior(mi) = mbHasCoeffs(mi) || m.ymode == 4
+        mi += 1
+      }
       loopFilter(yPlane, uPlane, vPlane, yStride, cStride, mbW, mbH,
-        filterType == 1, filterLevel, sharpness)
+        filterType == 1, sharpness, mbLevels, mbInterior)
+    }
 
     // crop
     val cw = (w + 1) / 2
@@ -938,172 +975,180 @@ object Vp8 {
   // ---- loop filter (RFC 6386 §15) ---------------------------------------
   // Applied only when filter_level > 0; synthesized fixtures use level
   // 0, so this path is pinned by code review against the spec text,
-  // not by the oracle (no conformant reference ships here).
+  // not by the oracle (no conformant reference ships here). Pixel
+  // accessors are (plane, base, step) primitives — no per-edge
+  // allocation on the mapPartitions hot path.
 
   private def loopFilter(yP: Array[Int], uP: Array[Int], vP: Array[Int],
       yStride: Int, cStride: Int, mbW: Int, mbH: Int, simple: Boolean,
-      level: Int, sharpness: Int): Unit = {
-    val interiorLimit = {
-      var il = level
-      if (sharpness > 0) {
-        il >>= (if (sharpness > 4) 2 else 1)
-        if (il > 9 - sharpness) il = 9 - sharpness
-      }
-      math.max(1, il)
-    }
-    val hevThresh =
-      if (level >= 40) 2
-      else if (level >= 15) 1
-      else 0
-    val mbEdgeLimit = ((level + 2) * 2) + interiorLimit
-    val subEdgeLimit = (level * 2) + interiorLimit
+      sharpness: Int, mbLevels: Array[Int],
+      mbInterior: Array[Boolean]): Unit = {
 
     def c128(x: Int): Int = math.max(-128, math.min(127, x))
     def u2s(x: Int): Int = x - 128
     def s2u(x: Int): Int = clamp255(x + 128)
 
-    def commonAdjust(useOuter: Boolean, plane: Array[Int], p1i: Int,
-        p0i: Int, q0i: Int, q1i: Int): Int = {
-      val p1 = u2s(plane(p1i)); val p0 = u2s(plane(p0i))
-      val q0 = u2s(plane(q0i)); val q1 = u2s(plane(q1i))
-      var a = c128((if (useOuter) c128(p1 - q1) else 0) + 3 * (q0 - p0))
+    // the filtered edge straddles `base`: p-side at base-k*st, q-side
+    // at base+(k-1)*st
+    def commonAdjust(useOuter: Boolean, pl: Array[Int], base: Int,
+        st: Int): Int = {
+      val p1 = u2s(pl(base - 2 * st)); val p0 = u2s(pl(base - st))
+      val q0 = u2s(pl(base)); val q1 = u2s(pl(base + st))
+      val a = c128((if (useOuter) c128(p1 - q1) else 0) + 3 * (q0 - p0))
       val f1 = c128(a + 4) >> 3
       val f2 = c128(a + 3) >> 3
-      plane(q0i) = s2u(q0 - f1)
-      plane(p0i) = s2u(p0 + f2)
+      pl(base) = s2u(q0 - f1)
+      pl(base - st) = s2u(p0 + f2)
       f1
     }
 
-    def filterNeeded(plane: Array[Int], idx: Array[Int], edgeLimit: Int): Boolean = {
-      val p3 = plane(idx(0)); val p2 = plane(idx(1)); val p1 = plane(idx(2))
-      val p0 = plane(idx(3)); val q0 = plane(idx(4)); val q1 = plane(idx(5))
-      val q2 = plane(idx(6)); val q3 = plane(idx(7))
+    def filterNeeded(pl: Array[Int], base: Int, st: Int, edgeLimit: Int,
+        interiorLimit: Int): Boolean = {
+      val p3 = pl(base - 4 * st); val p2 = pl(base - 3 * st)
+      val p1 = pl(base - 2 * st); val p0 = pl(base - st)
+      val q0 = pl(base); val q1 = pl(base + st)
+      val q2 = pl(base + 2 * st); val q3 = pl(base + 3 * st)
       (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2) <= edgeLimit &&
-        math.abs(p3 - p2) <= interiorLimit && math.abs(p2 - p1) <= interiorLimit &&
-        math.abs(p1 - p0) <= interiorLimit && math.abs(q3 - q2) <= interiorLimit &&
-        math.abs(q2 - q1) <= interiorLimit && math.abs(q1 - q0) <= interiorLimit
+        math.abs(p3 - p2) <= interiorLimit &&
+        math.abs(p2 - p1) <= interiorLimit &&
+        math.abs(p1 - p0) <= interiorLimit &&
+        math.abs(q3 - q2) <= interiorLimit &&
+        math.abs(q2 - q1) <= interiorLimit &&
+        math.abs(q1 - q0) <= interiorLimit
     }
 
-    def highEdgeVariance(plane: Array[Int], idx: Array[Int]): Boolean =
-      math.abs(plane(idx(2)) - plane(idx(3))) > hevThresh ||
-        math.abs(plane(idx(5)) - plane(idx(4))) > hevThresh
+    def highEdgeVariance(pl: Array[Int], base: Int, st: Int,
+        hevThresh: Int): Boolean =
+      math.abs(pl(base - 2 * st) - pl(base - st)) > hevThresh ||
+        math.abs(pl(base + st) - pl(base)) > hevThresh
 
-    def subblockFilter(plane: Array[Int], idx: Array[Int]): Unit = {
-      if (!filterNeeded(plane, idx, subEdgeLimit)) return
-      val hev = highEdgeVariance(plane, idx)
-      val f = commonAdjust(hev, plane, idx(2), idx(3), idx(4), idx(5))
+    def subblockFilter(pl: Array[Int], base: Int, st: Int, edgeLimit: Int,
+        interiorLimit: Int, hevThresh: Int): Unit = {
+      if (!filterNeeded(pl, base, st, edgeLimit, interiorLimit)) return
+      val hev = highEdgeVariance(pl, base, st, hevThresh)
+      val f = commonAdjust(hev, pl, base, st)
       if (!hev) {
         val g = (f + 1) >> 1
-        plane(idx(5)) = s2u(u2s(plane(idx(5))) - g)
-        plane(idx(2)) = s2u(u2s(plane(idx(2))) + g)
+        pl(base + st) = s2u(u2s(pl(base + st)) - g)
+        pl(base - 2 * st) = s2u(u2s(pl(base - 2 * st)) + g)
       }
     }
 
-    def mbFilter(plane: Array[Int], idx: Array[Int]): Unit = {
-      if (!filterNeeded(plane, idx, mbEdgeLimit)) return
-      if (highEdgeVariance(plane, idx)) {
-        commonAdjust(true, plane, idx(2), idx(3), idx(4), idx(5))
+    def mbFilter(pl: Array[Int], base: Int, st: Int, edgeLimit: Int,
+        interiorLimit: Int, hevThresh: Int): Unit = {
+      if (!filterNeeded(pl, base, st, edgeLimit, interiorLimit)) return
+      if (highEdgeVariance(pl, base, st, hevThresh)) {
+        commonAdjust(true, pl, base, st)
       } else {
-        val p2 = u2s(plane(idx(1))); val p1 = u2s(plane(idx(2)))
-        val p0 = u2s(plane(idx(3))); val q0 = u2s(plane(idx(4)))
-        val q1 = u2s(plane(idx(5))); val q2 = u2s(plane(idx(6)))
+        val p2 = u2s(pl(base - 3 * st)); val p1 = u2s(pl(base - 2 * st))
+        val p0 = u2s(pl(base - st)); val q0 = u2s(pl(base))
+        val q1 = u2s(pl(base + st)); val q2 = u2s(pl(base + 2 * st))
         val w0 = c128(c128(p1 - q1) + 3 * (q0 - p0))
         var a = (27 * w0 + 63) >> 7
-        plane(idx(4)) = s2u(q0 - a); plane(idx(3)) = s2u(p0 + a)
+        pl(base) = s2u(q0 - a); pl(base - st) = s2u(p0 + a)
         a = (18 * w0 + 63) >> 7
-        plane(idx(5)) = s2u(q1 - a); plane(idx(2)) = s2u(p1 + a)
+        pl(base + st) = s2u(q1 - a); pl(base - 2 * st) = s2u(p1 + a)
         a = (9 * w0 + 63) >> 7
-        plane(idx(6)) = s2u(q2 - a); plane(idx(1)) = s2u(p2 + a)
+        pl(base + 2 * st) = s2u(q2 - a); pl(base - 3 * st) = s2u(p2 + a)
       }
     }
 
-    def simpleFilter(plane: Array[Int], p1i: Int, p0i: Int, q0i: Int,
-        q1i: Int, edgeLimit: Int): Unit = {
-      val p0 = plane(p0i); val q0 = plane(q0i)
-      val p1 = plane(p1i); val q1 = plane(q1i)
+    def simpleFilter(pl: Array[Int], base: Int, st: Int,
+        edgeLimit: Int): Unit = {
+      val p0 = pl(base - st); val q0 = pl(base)
+      val p1 = pl(base - 2 * st); val q1 = pl(base + st)
       if (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= edgeLimit)
-        commonAdjust(true, plane, p1i, p0i, q0i, q1i)
+        commonAdjust(true, pl, base, st)
     }
 
-    def filterPlane(plane: Array[Int], stride: Int, mbSize: Int): Unit = {
-      val wpx = mbW * mbSize
-      val hpx = mbH * mbSize
-      var mby = 0
-      while (mby < mbH) {
-        var mbx = 0
-        while (mbx < mbW) {
-          val x0 = mbx * mbSize
-          val y0 = mby * mbSize
-          // vertical MB edge
-          if (mbx > 0) {
-            var r = 0
-            while (r < mbSize) {
-              val base = (y0 + r) * stride + x0
-              if (simple) {
-                if (plane eq yP)
-                  simpleFilter(plane, base - 2, base - 1, base, base + 1, mbEdgeLimit)
-              } else mbFilter(plane, Array(base - 4, base - 3, base - 2,
-                base - 1, base, base + 1, base + 2, base + 3))
-              r += 1
+    var mbyF = 0
+    while (mbyF < mbH) {
+      var mbxF = 0
+      while (mbxF < mbW) {
+        val idx = mbyF * mbW + mbxF
+        val level = mbLevels(idx)
+        if (level > 0) {
+          val interiorLimit = {
+            var il = level
+            if (sharpness > 0) {
+              il >>= (if (sharpness > 4) 2 else 1)
+              if (il > 9 - sharpness) il = 9 - sharpness
+            }
+            math.max(1, il)
+          }
+          val hevThresh =
+            if (level >= 40) 2 else if (level >= 15) 1 else 0
+          val mbEdgeLimit = ((level + 2) * 2) + interiorLimit
+          val subEdgeLimit = (level * 2) + interiorLimit
+          val interior = mbInterior(idx)
+
+          def filterMb(pl: Array[Int], stride: Int, mbSize: Int,
+              isY: Boolean): Unit = {
+            val x0 = mbxF * mbSize
+            val y0 = mbyF * mbSize
+            // vertical MB edge (left)
+            if (mbxF > 0) {
+              var r = 0
+              while (r < mbSize) {
+                val base = (y0 + r) * stride + x0
+                if (simple) { if (isY) simpleFilter(pl, base, 1, mbEdgeLimit) }
+                else mbFilter(pl, base, 1, mbEdgeLimit, interiorLimit,
+                  hevThresh)
+                r += 1
+              }
+            }
+            if (interior) {
+              var sx = 4
+              while (sx < mbSize) {
+                var r = 0
+                while (r < mbSize) {
+                  val base = (y0 + r) * stride + x0 + sx
+                  if (simple) { if (isY) simpleFilter(pl, base, 1, subEdgeLimit) }
+                  else subblockFilter(pl, base, 1, subEdgeLimit,
+                    interiorLimit, hevThresh)
+                  r += 1
+                }
+                sx += 4
+              }
+            }
+            // horizontal MB edge (top)
+            if (mbyF > 0) {
+              var cpx = 0
+              while (cpx < mbSize) {
+                val base = y0 * stride + x0 + cpx
+                if (simple) {
+                  if (isY) simpleFilter(pl, base, stride, mbEdgeLimit)
+                } else mbFilter(pl, base, stride, mbEdgeLimit,
+                  interiorLimit, hevThresh)
+                cpx += 1
+              }
+            }
+            if (interior) {
+              var sy = 4
+              while (sy < mbSize) {
+                var cpx = 0
+                while (cpx < mbSize) {
+                  val base = (y0 + sy) * stride + x0 + cpx
+                  if (simple) {
+                    if (isY) simpleFilter(pl, base, stride, subEdgeLimit)
+                  } else subblockFilter(pl, base, stride, subEdgeLimit,
+                    interiorLimit, hevThresh)
+                  cpx += 1
+                }
+                sy += 4
+              }
             }
           }
-          // vertical subblock edges
-          var sx = 4
-          while (sx < mbSize) {
-            var r = 0
-            while (r < mbSize) {
-              val base = (y0 + r) * stride + x0 + sx
-              if (simple) {
-                if (plane eq yP)
-                  simpleFilter(plane, base - 2, base - 1, base, base + 1, subEdgeLimit)
-              } else subblockFilter(plane, Array(base - 4, base - 3, base - 2,
-                base - 1, base, base + 1, base + 2, base + 3))
-              r += 1
-            }
-            sx += 4
+
+          filterMb(yP, yStride, 16, isY = true)
+          if (!simple) {
+            filterMb(uP, cStride, 8, isY = false)
+            filterMb(vP, cStride, 8, isY = false)
           }
-          // horizontal MB edge
-          if (mby > 0) {
-            var cpx = 0
-            while (cpx < mbSize) {
-              val col = y0 * stride + x0 + cpx
-              if (simple) {
-                if (plane eq yP)
-                  simpleFilter(plane, col - 2 * stride, col - stride, col,
-                    col + stride, mbEdgeLimit)
-              } else mbFilter(plane, Array(col - 4 * stride, col - 3 * stride,
-                col - 2 * stride, col - stride, col, col + stride,
-                col + 2 * stride, col + 3 * stride))
-              cpx += 1
-            }
-          }
-          // horizontal subblock edges
-          var sy = 4
-          while (sy < mbSize) {
-            var cpx = 0
-            while (cpx < mbSize) {
-              val col = (y0 + sy) * stride + x0 + cpx
-              if (simple) {
-                if (plane eq yP)
-                  simpleFilter(plane, col - 2 * stride, col - stride, col,
-                    col + stride, subEdgeLimit)
-              } else subblockFilter(plane, Array(col - 4 * stride,
-                col - 3 * stride, col - 2 * stride, col - stride, col,
-                col + stride, col + 2 * stride, col + 3 * stride))
-              cpx += 1
-            }
-            sy += 4
-          }
-          mbx += 1
         }
-        mby += 1
+        mbxF += 1
       }
-    }
-
-    filterPlane(yP, yStride, 16)
-    if (!simple) {
-      filterPlane(uP, cStride, 8)
-      filterPlane(vP, cStride, 8)
+      mbyF += 1
     }
   }
 

@@ -147,6 +147,10 @@ object Zip {
       cdEnd = z64
     }
     if (cdSize < 0 || cdOff < 0 || cdOff + cdSize > cdEnd) return null
+    // a central entry is >= 46 bytes, so the claimed count is bounded
+    // by the directory size — reject forged 64-bit counts BEFORE
+    // allocating (degrade, don't OOM)
+    if (n > cdSize / 46) return null
     val out = new Array[ZipEntry](n.toInt)
     var q = cdOff.toInt
     var k = 0

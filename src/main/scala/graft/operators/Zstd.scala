@@ -523,10 +523,14 @@ object Zstd {
     if (payloadLen <= 0) return null
     val payload = java.util.Arrays.copyOfRange(b, payloadOff, payloadOff + payloadLen)
     val plain: Array[Byte] =
-      if (payload.length >= 4 && leU32(payload, 0) == FrameMagic) {
-        // the dictionary itself ships zstd-compressed (no nesting);
-        // an undecodable payload is just a skippable frame, not
-        // stream corruption
+      if (magic == DictSkippableMagic &&
+          payload.length >= 4 && leU32(payload, 0) == FrameMagic) {
+        // the dictionary itself ships zstd-compressed — but ONLY the
+        // nibble-D dictionary magic warrants the decompression
+        // attempt; other skippable payloads that merely start with
+        // the frame magic are skipped in O(1) as before. An
+        // undecodable payload is just a skippable frame, not stream
+        // corruption.
         try decodeAll(payload, cap, null)
         catch {
           case _: Err | _: NeedsDict => return null

@@ -56,6 +56,15 @@ class Mp3Spec extends AnyFunSuite {
     val iv = Mp3.parse(v)
     assert(iv != null && iv.vbr && iv.xingFrames == -1L)
     assert(iv.bitrateKbps == Mp3.V1L2(5)) // first frame's
+    // an "Info" header (LAME's CBR marker) yields the frame count but
+    // must NOT set vbr
+    val cbr = Mp3.synthMp3(2, 3, 1, mono = false, 6, _ => 5, _ => 0,
+      withXing = true, pay)
+    val off = 4 + 17 // V2 stereo side info
+    assert(new String(cbr, off, 4, "US-ASCII") == "Xing")
+    cbr(off) = 'I'; cbr(off + 1) = 'n'; cbr(off + 2) = 'f'; cbr(off + 3) = 'o'
+    val ic = Mp3.parse(cbr)
+    assert(ic != null && !ic.vbr && ic.xingFrames == 6L)
   }
 
   test("damage degrades: truncation, sync loss, reserved fields, free format") {

@@ -1812,6 +1812,12 @@ class MultimodalSpec extends SparkSpec {
       ("<html><head><meta http-equiv=\"Content-Type\" " +
         "content=\"text/html; charset=windows-1251\"></head><body>ёж</body></html>")
         .getBytes("windows-1251")) contains "ёж")
+    // REVERSED attribute order (widespread in legacy pages): the
+    // prescan must be attribute-order independent like HTML5's
+    assert(decode("text/html",
+      ("<html><head><meta content=\"text/html; charset=windows-1251\" " +
+        "http-equiv=\"Content-Type\"></head><body>ёж</body></html>")
+        .getBytes("windows-1251")) contains "ёж")
     // unknown charset name degrades to UTF-8, never throws or drops
     assert(decode("text/html; charset=x-martian",
       "plain ascii".getBytes("US-ASCII")) == "plain ascii")
