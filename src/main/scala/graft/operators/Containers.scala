@@ -2274,7 +2274,7 @@ object Containers {
       // either attribute order)
       val metaTag = """<meta[^>]*>""".r
       val charsetIn = """charset\s*=\s*["']?([a-z0-9._:\-]+)""".r
-      cs = metaTag.findAllIn(head).toSeq.iterator
+      cs = metaTag.findAllIn(head)
         .flatMap(tag => charsetIn.findFirstMatchIn(tag).map(_.group(1)))
         .map(forName).collectFirst { case c if c != null => c }.orNull
     }
@@ -4483,11 +4483,16 @@ object Containers {
         // corruption, never a profile gap
         false
       case "webp" =>
-        // lossless VP8L and still lossy VP8 keyframes both decode in
-        // full; animated/opaque extended files are the NAMED gaps
+        // lossless VP8L decodes in full (undecodable VP8L =
+        // corruption). Still lossy VP8 decodes via [[Vp8]], but its
+        // DEFAULT probability tables are unpinned offline (see the
+        // Vp8 scaladoc): a real-world file relying on them can fail
+        // decode without being damaged, so a failing VP8 still image
+        // stays a NAMED gap rather than quarantined as corrupt.
+        // Animated/opaque extended files are named gaps as before.
         Webp.probe(b) match {
-          case ("vp8l", _, _) => false // undecodable VP8L = corruption
-          case ("vp8", _, _) => false // undecodable VP8 = corruption
+          case ("vp8l", _, _) => false
+          case ("vp8", _, _) => Webp.yuv(b) == null
           case null => false
           case _ => true
         }

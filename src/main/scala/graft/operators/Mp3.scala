@@ -134,28 +134,43 @@ object Mp3 {
   def parse(b0: Array[Byte]): Mp3Info = {
     val b = Id3.strip(b0)
     if (b == null || b.length < 4) return null
-    var end = b.length
-    if (end >= 128 && b(end - 128) == 'T' && b(end - 127) == 'A' &&
-        b(end - 126) == 'G') end -= 128
     val first = header(b, 0)
     if (first == null) return null
-    var p = 0
-    var n = 0L
-    var bytes = 0L
-    var vbr = false
-    while (p < end) {
-      val h = header(b, p)
-      if (h == null) return null
-      if (h.verBits != first.verBits || h.layer != first.layer ||
-          h.srIdx != first.srIdx || h.channels != first.channels) return null
-      if (h.bitrateIdx != first.bitrateIdx) vbr = true
-      val len = h.frameLen
-      if (len < 4 || p + len > end) return null // truncated mid-frame
-      p += len
-      n += 1
-      bytes += len
+
+    /** Walk frames to exactly `end`; (frames, bytes, vbr) or null. */
+    def walkTo(end: Int): (Long, Long, Boolean) = {
+      var p = 0
+      var n = 0L
+      var bytes = 0L
+      var vbr = false
+      while (p < end) {
+        val h = header(b, p)
+        if (h == null) return null
+        if (h.verBits != first.verBits || h.layer != first.layer ||
+            h.srIdx != first.srIdx || h.channels != first.channels)
+          return null
+        if (h.bitrateIdx != first.bitrateIdx) vbr = true
+        val len = h.frameLen
+        if (len < 4 || p + len > end) return null // truncated mid-frame
+        p += len
+        n += 1
+        bytes += len
+      }
+      if (n == 0) null else (n, bytes, vbr)
     }
-    if (n == 0) return null
+
+    // an ID3v1 trailer is only stripped when the frame walk TILES to
+    // the stripped end — entropy-coded audio can contain "TAG" at
+    // length-128 by chance, and cutting there would break a valid file
+    val hasTag = b.length >= 132 && b(b.length - 128) == 'T' &&
+      b(b.length - 127) == 'A' && b(b.length - 126) == 'G'
+    val walked =
+      if (hasTag) {
+        val t = walkTo(b.length - 128)
+        if (t != null) t else walkTo(b.length)
+      } else walkTo(b.length)
+    if (walked == null) return null
+    val (n, bytes, vbr) = walked
     val (xing, xingIsVbr) = xingFrames(b, first)
     // LAME writes "Xing" for VBR and "Info" for CBR — an Info header
     // must NOT flip the vbr audit column

@@ -141,7 +141,9 @@ object Ogg {
     var sawEos = false
     var endGranule = 0L
     for (pg <- ps if pg.serial == serial) {
-      endGranule = pg.granule
+      // -1 marks "no packet completes on this page" (all-continuation
+      // or empty EOS pages); the stream clock is the last REAL granule
+      if (pg.granule != -1L) endGranule = pg.granule
       if (pg.seq != expectSeq) return null // page loss / reorder
       expectSeq += 1
       if (sawEos) return null // pages after the end-of-stream flag

@@ -523,7 +523,13 @@ object Vp8 {
 
     val mbW = (w + 15) / 16
     val mbH = (h + 15) / 16
-    if (mbW.toLong * mbH > (1 << 20)) fail("frame too large")
+    // allocation bomb guards: cap the macroblock count, and require
+    // the INPUT to be plausibly large for it — the keyframe mode
+    // layer alone costs >1.5 bits/MB, so a tiny input declaring huge
+    // dimensions is forged (BoolDec zero-fills past the end, so the
+    // decode would otherwise "succeed" into gigabyte planes)
+    if (mbW.toLong * mbH > (1 << 18)) fail("frame too large")
+    if (len.toLong < mbW.toLong * mbH / 64) fail("input too small for dims")
 
     // ---- per-MB modes (rest of first partition) ----
     val mbs = Array.fill(mbW * mbH)(new MbInfo)
@@ -794,6 +800,10 @@ object Vp8 {
     }
 
     val mbHasCoeffs = new Array[Boolean](mbW * mbH)
+    // per-MB coefficient scratch, reused across all MBs (contents are
+    // fully rewritten for non-skip MBs and unread for skipped ones)
+    val blockCoeffs = Array.ofDim[Int](25, 16)
+    val blockNz = new Array[Boolean](25)
     mby = 0
     while (mby < mbH) {
       val d2 = parts(mby % nParts)
@@ -806,8 +816,6 @@ object Vp8 {
         val m = mbs(mby * mbW + mbx)
         val hasY2 = m.ymode != 4
         val q = if (segEnabled) segQuants(m.segment) else quants
-        val blockCoeffs = Array.ofDim[Int](25, 16)
-        val blockNz = new Array[Boolean](25)
         var anyNz = false
         if (m.skip) {
           // no residual tokens; contexts reset (Y2 only when present)

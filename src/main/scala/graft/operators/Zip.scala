@@ -184,8 +184,11 @@ object Zip {
     */
   private def entryBytesWith(b: Array[Byte], e: ZipEntry,
       inf: java.util.zip.Inflater, budget: Long): Array[Byte] = try {
+    // 64-bit offsets must be bounds-checked BEFORE the Int narrowing
+    // (2^32+k would otherwise wrap onto another member's header)
+    if (e.localOffset < 0 || e.localOffset > b.length - 30) return null
     val p = e.localOffset.toInt
-    if (p + 30 > b.length || leU32(b, p) != 0x04034b50L) return null
+    if (leU32(b, p) != 0x04034b50L) return null
     val nlen = leU16(b, p + 26)
     val xlen = leU16(b, p + 28)
     val data = p + 30 + nlen + xlen

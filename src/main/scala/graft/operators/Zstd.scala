@@ -511,16 +511,15 @@ object Zstd {
     new Dict(id, huf, llT, ofT, mlT, rep, content)
   }
 
-  /** Interpret a skippable frame's payload as a dictionary when it
-    * has the shape of one: structured bytes anywhere, a zstd frame
-    * wrapping a structured dictionary (Common Crawl compresses the
-    * dictionary itself), or — only under the nibble-D Common Crawl
-    * dictionary magic — raw content. Null when it isn't one (the
-    * frame is then skipped exactly as before).
+  /** Interpret a skippable frame's payload as a dictionary — ONLY
+    * under the nibble-D Common Crawl dictionary magic (structured
+    * bytes, a zstd frame wrapping them, or raw content). Every other
+    * skippable frame stays inert exactly as before, whatever its
+    * payload happens to start with.
     */
   private def dictFromSkippable(b: Array[Byte], payloadOff: Int,
       payloadLen: Int, magic: Int, cap: Long): Dict = {
-    if (payloadLen <= 0) return null
+    if (magic != DictSkippableMagic || payloadLen <= 0) return null
     val payload = java.util.Arrays.copyOfRange(b, payloadOff, payloadOff + payloadLen)
     val plain: Array[Byte] =
       if (magic == DictSkippableMagic &&
@@ -538,8 +537,6 @@ object Zstd {
           case _: NegativeArraySizeException => return null
         }
       } else payload
-    val structured = plain.length >= 4 && leU32(plain, 0) == DictMagic
-    if (!structured && magic != DictSkippableMagic) return null
     try parseDict(plain)
     catch {
       case _: Err => null

@@ -63,11 +63,14 @@ class Vp8Spec extends AnyFunSuite {
     val webp = Webp.synthVp8Lossy(frame)
     assert(Webp.probe(webp)._1 == "vp8")
     assert(Multimodal.mediaDecodeClass(webp) == ("webp", "ok"))
-    // damage degrades to corrupt, not a profile gap
+    // a FAILING still VP8 decode stays the named gap: with the
+    // default tables unpinned offline, failure cannot be attributed
+    // to damage vs default-probability reliance (see Vp8 scaladoc)
     val bad = webp.clone()
     bad(bad.length - 4) = (bad(bad.length - 4) ^ 0x55).toByte
     val r = Multimodal.mediaDecodeClass(bad)
-    assert(r._1 == "webp" && (r._2 == "corrupt" || r._2 == "ok"))
+    assert(r._1 == "webp" &&
+      (r._2 == "unsupported_profile" || r._2 == "ok"))
     val cut = webp.take(webp.length / 2)
     assert(Webp.yuv(cut) == null)
     // animation: the remaining named profile gap
