@@ -263,8 +263,11 @@ object Multimodal {
     */
   private def imageErrFor(content: Array[Byte], fmt: String): String = {
     if (imagePixelBytes(content) != null) return "ok"
-    // lossy (VP8) WebP decodes to YUV planes, not the RGB pixel path
+    // lossy (VP8) WebP decodes to YUV planes, and ANIMATED WebP with
+    // lossless frames composes onto its canvas — neither goes through
+    // the RGB pixel path
     if (fmt == "webp" && Webp.yuv(content) != null) return "ok"
+    if (fmt == "webp" && Webp.webpAnimate(content) != null) return "ok"
     if (fmt == "unknown") "unknown_container"
     else if (fmt == "wav" || fmt == "flac" || fmt.startsWith("ogg") ||
         fmt.startsWith("mp4")) "not_image"
@@ -2217,6 +2220,117 @@ object Multimodal {
         (mx, my) => (((id * 7 + (my * 2 + mx) * 3) % 13) - 6).toInt,
         (mx, my) => (((id * 11 + (my * 2 + mx) * 9) % 13) - 6).toInt)
       MediaFile(id, "image", Webp.synthVp8Lossy(frame))
+    })
+  }
+
+  /** One alpha-carrying lossy still's audit row; -1 sentinels when
+    * undecodable.
+    */
+  final case class WebpAlphaStats(media_id: Long, width: Int, height: Int,
+      alpha_sum: Long, y_sum: Long)
+
+  /** ALPH-plane + lossy-pixel decode over VP8X stills — the
+    * transparency shape real lossy WebP ships in.
+    */
+  def webpAlphaStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[WebpAlphaStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val a = Webp.alpha(m.content)
+      val yuv = Webp.yuv(m.content)
+      if (a == null || yuv == null)
+        WebpAlphaStats(m.media_id, -1, -1, -1L, -1L)
+      else {
+        var as = 0L
+        var i = 0
+        while (i < a.length) { as += a(i) & 0xFF; i += 1 }
+        var ys = 0L
+        i = 0
+        while (i < yuv.y.length) { ys += yuv.y(i) & 0xFF; i += 1 }
+        WebpAlphaStats(m.media_id, yuv.width, yuv.height, as, ys)
+      }
+    })
+  }
+
+  /** Deterministic alpha-still corpus: image `id` is a VP8X still of
+    * `13 + id%8` x `9 + id%6` pixels whose ALPH plane carries
+    * `(id*7 + i*37) % 256` at flat index `i`, under filter method
+    * `id%4` and lossless compression on odd ids; the lossy frame
+    * beneath is a uniform DC residual (Y2 level `(id%9) - 4` at
+    * quantizer 15). The oracle replays the alpha generator and the
+    * uniform-Y reconstruction arithmetic.
+    */
+  def demoWebpAlphaCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = (13 + id % 8).toInt
+      val h = (9 + id % 6).toInt
+      val alpha = Array.tabulate(w * h)(i => ((id * 7 + i * 37) % 256).toByte)
+      val frame = Vp8.synthVp8Frame(w, h, 15,
+        (_, _) => ((id % 9) - 4).toInt, (_, _) => 0, (_, _) => 0)
+      MediaFile(id, "image", Webp.synthAlphaStill(w, h, alpha,
+        (id % 4).toInt, compressed = id % 2 == 1, frame))
+    })
+  }
+
+  /** One animation composition's audit row; -1 sentinels when it
+    * doesn't compose.
+    */
+  final case class WebpAnimStats(media_id: Long, width: Int, height: Int,
+      n_frames: Long, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** ANIM/ANMF composition over animated WebP — final-canvas channel
+    * sums, so blending, dispose-to-background, and frame placement
+    * must all be exact.
+    */
+  def webpAnimStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[WebpAnimStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val got = Webp.webpAnimate(m.content)
+      if (got == null) WebpAnimStats(m.media_id, -1, -1, -1L, -1L, -1L, -1L)
+      else {
+        val (w, h, n, rgb) = got
+        var r = 0L; var g = 0L; var b = 0L
+        var i = 0
+        while (i < rgb.length) {
+          r += rgb(i) & 0xFF; g += rgb(i + 1) & 0xFF; b += rgb(i + 2) & 0xFF
+          i += 3
+        }
+        WebpAnimStats(m.media_id, w, h, n.toLong, r, g, b)
+      }
+    })
+  }
+
+  /** Deterministic animated-WebP corpus: a 24x16 canvas with
+    * background `(id*13, id*17, id*19) % 256`, three lossless frames:
+    * f0 at (0,0) 12x8 colored `(id*5, id*7, id*11)`, f1 at (8,4)
+    * 12x8 colored `(id*23, id*29, id*31)` with
+    * DISPOSE-TO-BACKGROUND, f2 at `(2*(id%5), 2*(id%3))` 10x6
+    * colored `(id*37, id*41, id*43)`. Final canvas: f2 over
+    * (f1's rect restored to background) over f0 over background —
+    * the oracle replays that paint order per pixel.
+    */
+  def demoWebpAnimCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      def solid(w: Int, h: Int, m5: Long, m7: Long, m11: Long): Array[Byte] =
+        Array.tabulate(w * h * 3)(i => (i % 3 match {
+          case 0 => (id * m5) % 256
+          case 1 => (id * m7) % 256
+          case _ => (id * m11) % 256
+        }).toByte)
+      val bg = 0xFF000000 |
+        ((((id * 13) % 256) << 16) | (((id * 17) % 256) << 8) |
+          ((id * 19) % 256)).toInt
+      val frames = Seq(
+        Webp.AnimFrame(0, 0, 12, 8, solid(12, 8, 5, 7, 11),
+          noBlend = false, dispose = false),
+        Webp.AnimFrame(8, 4, 12, 8, solid(12, 8, 23, 29, 31),
+          noBlend = true, dispose = true),
+        Webp.AnimFrame(2 * (id % 5).toInt, 2 * (id % 3).toInt, 10, 6,
+          solid(10, 6, 37, 41, 43), noBlend = false, dispose = false))
+      MediaFile(id, "image", Webp.synthWebpAnim(24, 16, bg, 0, frames))
     })
   }
 

@@ -576,6 +576,24 @@ object Webp {
   // ---- VP8L top level ------------------------------------------------
 
   private def decodeVp8l(b: Array[Byte], start: Int, endExcl: Int): Array[Byte] = {
+    val (px, fullW, fullH) = decodeVp8lArgb(b, start, endExcl)
+    // ARGB → packed RGB rows
+    val out = new Array[Byte](fullW * fullH * 3)
+    var i = 0
+    while (i < px.length) {
+      out(i * 3) = ((px(i) >> 16) & 0xFF).toByte
+      out(i * 3 + 1) = ((px(i) >> 8) & 0xFF).toByte
+      out(i * 3 + 2) = (px(i) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Full VP8L decode to ARGB pixels + dimensions — the alpha-keeping
+    * form animation composition and alpha-aware callers need.
+    */
+  private def decodeVp8lArgb(b: Array[Byte], start: Int,
+      endExcl: Int): (Array[Int], Int, Int) = {
     if (endExcl - start < 5 || u8(b, start) != 0x2F) fail("bad vp8l signature")
     val br = new Bits(b, start + 1, endExcl)
     val fullW = br.read(14) + 1
@@ -633,16 +651,268 @@ object Webp {
       ti -= 1
     }
     if (curW != fullW) fail("transform stack did not restore width")
-    // ARGB → packed RGB rows
-    val out = new Array[Byte](fullW * fullH * 3)
+    (px, fullW, fullH)
+  }
+
+  // ---- ALPH alpha plane (lossy stills with transparency) --------------
+
+  /** Inverse of the WebP alpha filters: `A = (stored + pred) mod 256`
+    * applied in raster order over already-reconstructed values.
+    * Predictors — 1: left (first column: above), 2: above (first
+    * row: left), 3: gradient clip(left + above - topleft); the very
+    * first pixel always predicts 0.
+    */
+  private def unfilterAlpha(a: Array[Byte], w: Int, h: Int,
+      method: Int): Unit = {
+    if (method == 0) return
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val left = if (x > 0) a(i - 1) & 0xFF else -1
+        val above = if (y > 0) a(i - w) & 0xFF else -1
+        val tl = if (x > 0 && y > 0) a(i - w - 1) & 0xFF else -1
+        val pred =
+          if (x == 0 && y == 0) 0
+          else method match {
+            case 1 => if (left >= 0) left else above
+            case 2 => if (above >= 0) above else left
+            case _ =>
+              if (left < 0) above
+              else if (above < 0) left
+              else clip255(left + above - tl)
+          }
+        a(i) = ((a(i) & 0xFF) + pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Decode an ALPH chunk's plane for a `w`x`h` lossy image: 1-byte
+    * header (compression 0 = raw, 1 = lossless image-stream whose
+    * GREEN channel is the alpha; 2-bit filter method; preprocessing
+    * is a lossy-encode hint with no decode effect), then the plane.
+    */
+  private def decodeAlph(b: Array[Byte], start: Int, endExcl: Int,
+      w: Int, h: Int): Array[Byte] = {
+    if (start >= endExcl) fail("empty alpha chunk")
+    val hdr = u8(b, start)
+    if ((hdr & 0xC0) != 0) fail("reserved alpha bits")
+    val method = (hdr >> 2) & 3
+    val a: Array[Byte] = (hdr & 3) match {
+      case 0 =>
+        if (endExcl - (start + 1) < w * h) fail("raw alpha truncated")
+        java.util.Arrays.copyOfRange(b, start + 1, start + 1 + w * h)
+      case 1 =>
+        val br = new Bits(b, start + 1, endExcl)
+        val px = decodeImage(br, w, h, allowMeta = true)
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < px.length) { out(i) = ((px(i) >> 8) & 0xFF).toByte; i += 1 }
+        out
+      case _ => fail("reserved alpha compression method")
+    }
+    unfilterAlpha(a, w, h, method)
+    a
+  }
+
+  /** The alpha plane of a lossy WebP carrying an ALPH chunk (the
+    * VP8X-extended still shape), `w*h` unsigned bytes matching the
+    * VP8 chunk's dimensions. Null when there is no ALPH chunk or on
+    * damage.
+    */
+  def alpha(b: Array[Byte]): Array[Byte] = try {
+    if (!isWebp(b)) return null
+    var p = 12
+    var alph: (Int, Int) = null
+    var dims: (Int, Int) = null
+    while (p + 8 <= b.length) {
+      val cc = fourCC(b, p)
+      val sz = leU32(b, p + 4)
+      val payload = p + 8
+      if (payload + sz > b.length) return null
+      cc match {
+        case "ALPH" => alph = (payload, (payload + sz).toInt)
+        case "VP8 " =>
+          if (sz >= 10 && u8(b, payload + 3) == 0x9D &&
+              u8(b, payload + 4) == 0x01 && u8(b, payload + 5) == 0x2A)
+            dims = ((u8(b, payload + 6) | (u8(b, payload + 7) << 8)) & 0x3FFF,
+              (u8(b, payload + 8) | (u8(b, payload + 9) << 8)) & 0x3FFF)
+        case _ => ()
+      }
+      p = payload + sz.toInt + (sz.toInt & 1)
+    }
+    if (alph == null || dims == null) return null
+    decodeAlph(b, alph._1, alph._2, dims._1, dims._2)
+  } catch {
+    case _: Err => null
+    case _: ArrayIndexOutOfBoundsException => null
+    case _: NegativeArraySizeException => null
+  }
+
+  // ---- animation (VP8X/ANIM/ANMF) --------------------------------------
+
+  /** Compose an animated WebP's full frame sequence onto its canvas:
+    * ANIM's background color fills the canvas, each ANMF frame
+    * renders its sub-image at (x,y) — alpha-blended or overwritten
+    * per its blending flag — and dispose-to-background restores the
+    * frame's rectangle before the NEXT frame. Returns
+    * `(canvasW, canvasH, nFrames, rgb)` of the final canvas, the
+    * [[graft.operators.Containers.gifAnimate]] convention. VP8L
+    * sub-frames compose exactly; ANMF frames carrying LOSSY VP8
+    * sub-images are a named gap (YUV→RGB conversion is not
+    * bit-defined by the container spec), returning null. Null on
+    * structural damage or when the file isn't animated.
+    */
+  def webpAnimate(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = try {
+    if (!isWebp(b)) return null
+    var p = 12
+    var canvasW = 0
+    var canvasH = 0
+    var anim = false
+    var bg = 0
+    var canvas: Array[Int] = null
+    var frames = 0
+    // trailing-dispose correction: the final canvas must show the
+    // LAST frame as rendered even when it sets dispose
+    var lastDisposed: (Int, Int, Int, Int, Array[Int]) = null
+    while (p + 8 <= b.length) {
+      val cc = fourCC(b, p)
+      val sz = leU32(b, p + 4)
+      val payload = p + 8
+      if (payload + sz > b.length) return null
+      cc match {
+        case "VP8X" =>
+          if (sz < 10) return null
+          anim = (u8(b, payload) & 2) != 0
+          canvasW = (u8(b, payload + 4) | (u8(b, payload + 5) << 8) |
+            (u8(b, payload + 6) << 16)) + 1
+          canvasH = (u8(b, payload + 7) | (u8(b, payload + 8) << 8) |
+            (u8(b, payload + 9) << 16)) + 1
+          if (canvasW.toLong * canvasH > MaxPixels) return null
+        case "ANIM" =>
+          if (!anim || sz < 6) return null
+          // background color is stored B,G,R,A
+          bg = ((u8(b, payload + 3) << 24) | (u8(b, payload + 2) << 16) |
+            (u8(b, payload + 1) << 8) | u8(b, payload))
+          canvas = Array.fill(canvasW * canvasH)(bg)
+        case "ANMF" =>
+          if (canvas == null || sz < 16) return null
+          val fx = (u8(b, payload) | (u8(b, payload + 1) << 8) |
+            (u8(b, payload + 2) << 16)) * 2
+          val fy = (u8(b, payload + 3) | (u8(b, payload + 4) << 8) |
+            (u8(b, payload + 5) << 16)) * 2
+          val fw = (u8(b, payload + 6) | (u8(b, payload + 7) << 8) |
+            (u8(b, payload + 8) << 16)) + 1
+          val fh = (u8(b, payload + 9) | (u8(b, payload + 10) << 8) |
+            (u8(b, payload + 11) << 16)) + 1
+          // bytes 12-14: duration; byte 15: bit1 = do-not-blend,
+          // bit0 = dispose-to-background
+          val flags = u8(b, payload + 15)
+          val noBlend = (flags & 2) != 0
+          val dispose = (flags & 1) != 0
+          if (fx + fw > canvasW || fy + fh > canvasH) return null
+          // the frame's own image chunks (optional ALPH + VP8L/VP8)
+          var q = payload + 16
+          val fEnd = payload + sz.toInt
+          var px: Array[Int] = null
+          while (q + 8 <= fEnd && px == null) {
+            val fcc = fourCC(b, q)
+            val fsz = leU32(b, q + 4)
+            val fp = q + 8
+            if (fp + fsz > fEnd) return null
+            if (fcc == "VP8L") {
+              val (got, gw, gh) = decodeVp8lArgb(b, fp, (fp + fsz).toInt)
+              if (gw != fw || gh != fh) return null
+              px = got
+            } else if (fcc == "VP8 ") return null // lossy frame: named gap
+            q = fp + fsz.toInt + (fsz.toInt & 1)
+          }
+          if (px == null) return null
+          // render with per-pixel blending (opaque pixels overwrite)
+          var yy = 0
+          while (yy < fh) {
+            var xx = 0
+            while (xx < fw) {
+              val src = px(yy * fw + xx)
+              val di = (fy + yy) * canvasW + (fx + xx)
+              val sa = (src >>> 24) & 0xFF
+              canvas(di) =
+                if (noBlend || sa == 255) src
+                else if (sa == 0) canvas(di)
+                else {
+                  val dst = canvas(di)
+                  val da = (dst >>> 24) & 0xFF
+                  val oa = sa + da * (255 - sa) / 255
+                  if (oa == 0) 0
+                  else {
+                    def ch(shift: Int): Int = {
+                      val sc = (src >> shift) & 0xFF
+                      val dc = (dst >> shift) & 0xFF
+                      (sc * sa + dc * da * (255 - sa) / 255) / oa
+                    }
+                    (oa << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+                  }
+                }
+              xx += 1
+            }
+            yy += 1
+          }
+          frames += 1
+          if (dispose) {
+            // restore the rectangle for the NEXT frame's state
+            var ry = 0
+            while (ry < fh) {
+              var rx = 0
+              while (rx < fw) {
+                canvas((fy + ry) * canvasW + (fx + rx)) = bg
+                rx += 1
+              }
+              ry += 1
+            }
+            // the FINAL canvas shows the last frame as rendered; a
+            // trailing dispose only matters if more frames follow, so
+            // remember the pre-dispose state via re-render on exit —
+            // instead we defer: record that this frame's pixels must
+            // be re-applied if it turns out to be the last
+            lastDisposed = (fx, fy, fw, fh, px)
+          } else lastDisposed = null
+        case _ => ()
+      }
+      p = payload + sz.toInt + (sz.toInt & 1)
+    }
+    if (!anim || canvas == null || frames == 0) return null
+    // undo a trailing dispose: the final canvas is the state WITH the
+    // last frame rendered
+    if (lastDisposed != null) {
+      val (fx, fy, fw, fh, px) = lastDisposed
+      var yy = 0
+      while (yy < fh) {
+        var xx = 0
+        while (xx < fw) {
+          val src = px(yy * fw + xx)
+          if (((src >>> 24) & 0xFF) == 255)
+            canvas((fy + yy) * canvasW + (fx + xx)) = src
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+    val rgb = new Array[Byte](canvasW * canvasH * 3)
     var i = 0
-    while (i < px.length) {
-      out(i * 3) = ((px(i) >> 16) & 0xFF).toByte
-      out(i * 3 + 1) = ((px(i) >> 8) & 0xFF).toByte
-      out(i * 3 + 2) = (px(i) & 0xFF).toByte
+    while (i < canvas.length) {
+      rgb(i * 3) = ((canvas(i) >> 16) & 0xFF).toByte
+      rgb(i * 3 + 1) = ((canvas(i) >> 8) & 0xFF).toByte
+      rgb(i * 3 + 2) = (canvas(i) & 0xFF).toByte
       i += 1
     }
-    out
+    (canvasW, canvasH, frames, rgb)
+  } catch {
+    case _: Err => null
+    case _: ArrayIndexOutOfBoundsException => null
+    case _: NegativeArraySizeException => null
   }
 
   // ---- synthesizer ---------------------------------------------------
@@ -763,7 +1033,13 @@ object Webp {
     * refs): green/red/blue via the 232×8+48×9 two-level code, alpha
     * pinned to 255 by a zero-bit simple code.
     */
-  def synthVp8lLiteral(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+  def synthVp8lLiteral(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    riffWrap(vp8lLiteralPayload(w, h, rgb))
+
+  /** The bare VP8L chunk payload of a literal-coded image — the form
+    * ANMF animation frames embed (no RIFF wrapper of its own).
+    */
+  def vp8lLiteralPayload(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     require(rgb.length == w * h * 3)
     val bw = new BitWriterLsb
     bw.writeBits(0x2F, 8)
@@ -785,7 +1061,7 @@ object Webp {
       bw.writeCode(u8(rgb, i * 3 + 2), 8)
       i += 1
     }
-    riffWrap(bw.result())
+    bw.result()
   }
 
   /** Two-color VP8L via simple codes: pixel (x,y) takes color `a`
@@ -1024,4 +1300,154 @@ object Webp {
     }
     riffWrap(bw.result())
   }
+  // ---- ALPH + animation synthesizers -----------------------------------
+
+  private def chunkBytes(cc: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8 + payload.length + 1)
+    out.write(cc.getBytes("US-ASCII"))
+    val v = payload.length
+    out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+    out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    out.write(payload, 0, payload.length)
+    if ((v & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  private def riffFile(chunks: Array[Byte]*): Array[Byte] = {
+    val body = chunks.map(_.length).sum
+    val out = new java.io.ByteArrayOutputStream(12 + body)
+    out.write("RIFF".getBytes("US-ASCII"))
+    val v = 4 + body
+    out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+    out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    out.write("WEBP".getBytes("US-ASCII"))
+    chunks.foreach(c => out.write(c, 0, c.length))
+    out.toByteArray
+  }
+
+  private def vp8xChunk(flags: Int, w: Int, h: Int): Array[Byte] = {
+    val p = new Array[Byte](10)
+    p(0) = flags.toByte
+    p(4) = ((w - 1) & 0xFF).toByte; p(5) = (((w - 1) >> 8) & 0xFF).toByte
+    p(6) = (((w - 1) >> 16) & 0xFF).toByte
+    p(7) = ((h - 1) & 0xFF).toByte; p(8) = (((h - 1) >> 8) & 0xFF).toByte
+    p(9) = (((h - 1) >> 16) & 0xFF).toByte
+    chunkBytes("VP8X", p)
+  }
+
+  /** Forward WebP alpha filtering (the synth counterpart of
+    * [[unfilterAlpha]]): residual = (A − pred) mod 256, predictors
+    * from the ORIGINAL plane.
+    */
+  private def filterAlpha(a: Array[Byte], w: Int, h: Int,
+      method: Int): Array[Byte] = {
+    if (method == 0) return a.clone()
+    val out = new Array[Byte](a.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val left = if (x > 0) a(i - 1) & 0xFF else -1
+        val above = if (y > 0) a(i - w) & 0xFF else -1
+        val tl = if (x > 0 && y > 0) a(i - w - 1) & 0xFF else -1
+        val pred =
+          if (x == 0 && y == 0) 0
+          else method match {
+            case 1 => if (left >= 0) left else above
+            case 2 => if (above >= 0) above else left
+            case _ =>
+              if (left < 0) above
+              else if (above < 0) left
+              else clip255(left + above - tl)
+          }
+        out(i) = ((a(i) & 0xFF) - pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** ALPH chunk payload: raw (compression 0) or lossless image-stream
+    * (compression 1, alpha in the green channel), under filter
+    * `method` 0-3.
+    */
+  def synthAlphPayload(w: Int, h: Int, alphaPlane: Array[Byte],
+      method: Int, compressed: Boolean): Array[Byte] = {
+    require(alphaPlane.length == w * h && method >= 0 && method <= 3)
+    val filtered = filterAlpha(alphaPlane, w, h, method)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((method << 2) | (if (compressed) 1 else 0))
+    if (!compressed) out.write(filtered, 0, filtered.length)
+    else {
+      // headerless VP8L image-stream: no cache, no meta, alpha coded
+      // through the green channel, other channels single-symbol
+      val bw = new BitWriterLsb
+      bw.writeBits(0, 1) // no color cache
+      bw.writeBits(0, 1) // no meta-prefix
+      writeTwoLevelCode(bw, 232, 48) // green (the alpha values)
+      writeSimple1(bw, 0) // red
+      writeSimple1(bw, 0) // blue
+      writeSimple1(bw, 255) // alpha channel of the stream itself
+      writeSimple1(bw, 0) // distance (never used)
+      var i = 0
+      while (i < filtered.length) {
+        greenCode(bw, filtered(i) & 0xFF, 232)
+        i += 1
+      }
+      val stream = bw.result()
+      out.write(stream, 0, stream.length)
+    }
+    out.toByteArray
+  }
+
+  /** A VP8X still: ALPH plane + lossy VP8 frame — the
+    * transparency-carrying shape real lossy WebP ships in.
+    */
+  def synthAlphaStill(w: Int, h: Int, alphaPlane: Array[Byte], method: Int,
+      compressed: Boolean, vp8Frame: Array[Byte]): Array[Byte] =
+    riffFile(
+      vp8xChunk(0x10, w, h), // alpha flag
+      chunkBytes("ALPH", synthAlphPayload(w, h, alphaPlane, method, compressed)),
+      chunkBytes("VP8 ", vp8Frame))
+
+  /** One animation frame for [[synthWebpAnim]]: even pixel offsets,
+    * literal-coded RGB content, per-frame blend/dispose flags.
+    */
+  final case class AnimFrame(x: Int, y: Int, w: Int, h: Int,
+      rgb: Array[Byte], noBlend: Boolean, dispose: Boolean)
+
+  /** An animated WebP: VP8X(ANIM) + ANIM(background, loop) + one ANMF
+    * per frame, each embedding a literal VP8L sub-image.
+    */
+  def synthWebpAnim(canvasW: Int, canvasH: Int, bgArgb: Int, loop: Int,
+      frames: Seq[AnimFrame]): Array[Byte] = {
+    val anim = new Array[Byte](6)
+    anim(0) = (bgArgb & 0xFF).toByte // B
+    anim(1) = ((bgArgb >> 8) & 0xFF).toByte // G
+    anim(2) = ((bgArgb >> 16) & 0xFF).toByte // R
+    anim(3) = ((bgArgb >>> 24) & 0xFF).toByte // A
+    anim(4) = (loop & 0xFF).toByte
+    anim(5) = ((loop >> 8) & 0xFF).toByte
+    val anmfs = frames.map { f =>
+      require(f.x % 2 == 0 && f.y % 2 == 0, "ANMF offsets are even")
+      require(f.x + f.w <= canvasW && f.y + f.h <= canvasH, "frame escapes canvas")
+      val hdr = new Array[Byte](16)
+      def put24(off: Int, v: Int): Unit = {
+        hdr(off) = (v & 0xFF).toByte
+        hdr(off + 1) = ((v >> 8) & 0xFF).toByte
+        hdr(off + 2) = ((v >> 16) & 0xFF).toByte
+      }
+      put24(0, f.x / 2); put24(3, f.y / 2)
+      put24(6, f.w - 1); put24(9, f.h - 1)
+      put24(12, 40) // duration ms
+      hdr(15) = ((if (f.noBlend) 2 else 0) | (if (f.dispose) 1 else 0)).toByte
+      chunkBytes("ANMF",
+        hdr ++ chunkBytes("VP8L", vp8lLiteralPayload(f.w, f.h, f.rgb)))
+    }
+    riffFile(vp8xChunk(0x02, canvasW, canvasH) +: chunkBytes("ANIM", anim) +:
+      anmfs: _*)
+  }
+
 }

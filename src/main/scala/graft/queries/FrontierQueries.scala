@@ -378,6 +378,32 @@ object FrontierQueries {
         .toDF().orderBy("crawl_id")
     }),
 
+    // ALPH transparency planes over VP8X lossy stills: raw and
+    // lossless-compressed alpha under all four filter methods, plus
+    // the uniform lossy Y reconstruction beneath.
+    "multimodal_webp_alpha" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoWebpAlphaCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.webpAlphaStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
+    // Animated WebP composition: ANIM/ANMF walk, frame placement,
+    // blend flags, dispose-to-background — final-canvas channel sums
+    // replayed per pixel by the oracle.
+    "multimodal_webp_anim" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoWebpAnimCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.webpAnimStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // REAL lossy VP8 WebP decode (boolean arithmetic decoder,
     // keyframe header, token trees, dequant, inverse WHT+DCT, DC
     // intra prediction) — the majority-share WebP profile. The
@@ -1761,6 +1787,57 @@ object FrontierQueries {
         |    list_sum(list_transform(range(0, 20 + (doc_id + s) % 24),
         |      j -> (doc_id*17 + s*23 + j*11) % 256))))::BIGINT AS payload_sum
         |FROM r ORDER BY crawl_id""".stripMargin,
+
+    // Replays the alpha generator and the Y reconstruction: every MB
+    // shares one DC level, but the DC PREDICTION chains left-to-right,
+    // so the residual STAIRS across macroblock columns — frames wider
+    // than 16 px have a second column value clamp(P0 + r).
+    "multimodal_webp_alpha" -> {
+      val q2 = graft.operators.Vp8.y2dcQuant(15)
+      s"""WITH m AS (SELECT doc_id,
+        |    (13 + doc_id % 8) AS w, (9 + doc_id % 6) AS h,
+        |    CAST(floor((CAST(floor(((doc_id % 9 - 4) * $q2 + 3) / 8.0)
+        |      AS BIGINT) + 4) / 8.0) AS BIGINT) AS r
+        |  FROM documents),
+        |p AS (SELECT *, GREATEST(0, LEAST(255, 128 + r)) AS py0 FROM m),
+        |q AS (SELECT *, GREATEST(0, LEAST(255, py0 + r)) AS py1 FROM p)
+        |SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+        |  list_sum(list_transform(range(0, w * h),
+        |    i -> (doc_id*7 + i*37) % 256))::BIGINT AS alpha_sum,
+        |  (h * CASE WHEN w > 16 THEN 16 * py0 + (w - 16) * py1
+        |            ELSE w * py0 END)::BIGINT AS y_sum
+        |FROM q ORDER BY media_id""".stripMargin
+    },
+
+    // Replays the animation paint order per pixel: f2 over (f1's
+    // rect disposed to background) over f0 over background.
+    "multimodal_webp_anim" ->
+      """WITH px AS (SELECT doc_id, x, y
+        |  FROM documents, range(0, 24) t1(x), range(0, 16) t2(y)),
+        |c AS (SELECT doc_id, x, y,
+        |    (x >= 2*(doc_id % 5) AND x < 2*(doc_id % 5) + 10 AND
+        |     y >= 2*(doc_id % 3) AND y < 2*(doc_id % 3) + 6) AS in2,
+        |    (x >= 8 AND x < 20 AND y >= 4 AND y < 12) AS in1,
+        |    (x < 12 AND y < 8) AS in0
+        |  FROM px),
+        |v AS (SELECT doc_id,
+        |    CASE WHEN in2 THEN (doc_id*37) % 256
+        |         WHEN in1 THEN (doc_id*13) % 256
+        |         WHEN in0 THEN (doc_id*5) % 256
+        |         ELSE (doc_id*13) % 256 END AS r,
+        |    CASE WHEN in2 THEN (doc_id*41) % 256
+        |         WHEN in1 THEN (doc_id*17) % 256
+        |         WHEN in0 THEN (doc_id*7) % 256
+        |         ELSE (doc_id*17) % 256 END AS g,
+        |    CASE WHEN in2 THEN (doc_id*43) % 256
+        |         WHEN in1 THEN (doc_id*19) % 256
+        |         WHEN in0 THEN (doc_id*11) % 256
+        |         ELSE (doc_id*19) % 256 END AS b
+        |  FROM c)
+        |SELECT doc_id AS media_id, 24::INT AS width, 16::INT AS height,
+        |  3::BIGINT AS n_frames, sum(r)::BIGINT AS r_sum,
+        |  sum(g)::BIGINT AS g_sum, sum(b)::BIGINT AS b_sum
+        |FROM v GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     // Replays the VP8 reconstruction in closed form: dequant (y2dc/
     // uvdc values interpolated from the SAME tables the decoder

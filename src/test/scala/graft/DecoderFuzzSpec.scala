@@ -36,6 +36,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Zstd.decode" -> (b => Zstd.decode(b)),
     "Webp.pixelBytes" -> (b => Webp.pixelBytes(b)),
     "Webp.yuv" -> (b => Webp.yuv(b)),
+    "Webp.alpha" -> (b => Webp.alpha(b)),
+    "Webp.webpAnimate" -> (b => Webp.webpAnimate(b)),
     "Flac.samples" -> (b => Flac.samples(b)),
     "Ogg.packets" -> (b => Ogg.packets(b)),
     "Ogg.flacSamples" -> (b => Ogg.flacSamples(b)),

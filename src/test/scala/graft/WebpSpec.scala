@@ -258,4 +258,71 @@ class WebpSpec extends AnyFunSuite {
     assert(Webp.pixelBytes(Array.fill[Byte](40)(7)) == null)
     assert(!Webp.isWebp(Array.fill[Byte](8)(0)))
   }
+  test("alpha planes: raw + all three filters + lossless compression round-trip") {
+    val w = 13; val h = 9
+    val alpha = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val frame = graft.operators.Vp8.synthVp8Frame(w, h, 15,
+      (_, _) => 2, (_, _) => 0, (_, _) => 0)
+    for (method <- 0 to 3; compressed <- Seq(false, true)) {
+      val still = Webp.synthAlphaStill(w, h, alpha, method, compressed, frame)
+      val got = Webp.alpha(still)
+      assert(got != null, s"method=$method compressed=$compressed")
+      assert(got.toSeq == alpha.toSeq, s"method=$method compressed=$compressed")
+      // the lossy pixels underneath still decode
+      assert(Webp.yuv(still) != null)
+      assert(graft.operators.Multimodal.mediaDecodeClass(still) == ("webp", "ok"))
+    }
+    // no ALPH chunk → null, not garbage
+    assert(Webp.alpha(Webp.synthVp8Lossy(frame)) == null)
+    // damage degrades
+    val bad = Webp.synthAlphaStill(w, h, alpha, 3, compressed = true, frame)
+    assert(Webp.alpha(bad.take(bad.length / 2)) == null)
+  }
+
+  test("animation composes frames with blend, dispose, and background") {
+    val cw = 24; val ch = 16
+    def solid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
+      Array.tabulate(w * h * 3)(i => (i % 3 match {
+        case 0 => r; case 1 => g; case _ => b }).toByte)
+    val bg = 0xFF102030 // ARGB
+    val f0 = Webp.AnimFrame(0, 0, 12, 8, solid(12, 8, 200, 10, 10),
+      noBlend = false, dispose = false)
+    val f1 = Webp.AnimFrame(8, 4, 12, 8, solid(12, 8, 10, 200, 10),
+      noBlend = true, dispose = true)
+    val f2 = Webp.AnimFrame(4, 2, 10, 6, solid(10, 6, 10, 10, 200),
+      noBlend = false, dispose = false)
+    val anim = Webp.synthWebpAnim(cw, ch, bg, 0, Seq(f0, f1, f2))
+    assert(Webp.probe(anim)._1 == "vp8x-anim")
+    val got = Webp.webpAnimate(anim)
+    assert(got != null)
+    val (gw, gh, n, rgb) = got
+    assert(gw == cw && gh == ch && n == 3)
+    // expected: bg, painted by f0, f1's rect disposed back to bg, f2 on top
+    def in(f: Webp.AnimFrame, x: Int, y: Int): Boolean =
+      x >= f.x && x < f.x + f.w && y >= f.y && y < f.y + f.h
+    for (y <- 0 until ch; x <- 0 until cw) {
+      val want: (Int, Int, Int) =
+        if (in(f2, x, y)) (10, 10, 200)
+        else if (in(f1, x, y)) (0x10, 0x20, 0x30)
+        else if (in(f0, x, y)) (200, 10, 10)
+        else (0x10, 0x20, 0x30)
+      val i = (y * cw + x) * 3
+      assert(((rgb(i) & 0xFF), (rgb(i + 1) & 0xFF), (rgb(i + 2) & 0xFF)) == want,
+        s"($x,$y)")
+    }
+    // a trailing dispose must NOT erase the last frame from the canvas
+    val anim2 = Webp.synthWebpAnim(cw, ch, bg, 0,
+      Seq(f0.copy(dispose = true)))
+    val got2 = Webp.webpAnimate(anim2)
+    assert(got2 != null && (got2._4(0) & 0xFF) == 200)
+    // classification: a composable animation decodes
+    assert(graft.operators.Multimodal.mediaDecodeClass(anim) == ("webp", "ok"))
+    // the frameless anim stub stays the named gap
+    assert(graft.operators.Multimodal.mediaDecodeClass(
+      Webp.synthVp8xAnimStub(32, 32)) == ("webp", "unsupported_profile"))
+    // damage degrades, never throws
+    for (cut <- Seq(13, 40, anim.length / 2, anim.length - 3))
+      Webp.webpAnimate(anim.take(cut))
+  }
+
 }
