@@ -2089,7 +2089,12 @@ object Containers {
     * 2³⁰ bomb cap on both paths.
     */
   def crawlInflate(b: Array[Byte]): Array[Byte] =
-    if (b != null && Zstd.isZstd(b)) Zstd.decode(b)
+    // lz4 first with the CONTENT probe: the skippable-frame magic
+    // range is shared between lz4 and zstd, so the first real frame
+    // decides the codec
+    if (b != null && Lz4.isLz4Content(b)) Lz4.decode(b)
+    else if (b != null && Zstd.isZstd(b)) Zstd.decode(b)
+    else if (b != null && Bzip2.isBzip2(b)) Bzip2.decode(b)
     else if (b != null && b.length >= 2 && u8(b, 0) == 0x1f && u8(b, 1) == 0x8b) {
       val cm = crawlMembers(b)
       if (cm == null) null else cm.plain

@@ -360,6 +360,17 @@ object Multimodal {
     if (b.length >= 5 && new String(b, 0, 5, "US-ASCII") == "WARC/")
       return (if (Containers.warcRecords(b) != null) ("warc", "ok")
               else ("warc", "corrupt"))
+    // lz4 BEFORE zstd: the skippable magic range is shared, so the
+    // first CONTENT frame decides the codec
+    if (Lz4.isLz4Content(b)) {
+      val plain = Lz4.decode(b)
+      return if (plain == null) ("lz4", "corrupt")
+      else if (plain.length >= 5 &&
+          new String(plain, 0, 5, "US-ASCII") == "WARC/") {
+        if (Containers.warcRecords(plain) != null) ("warc", "ok")
+        else ("warc", "corrupt")
+      } else ("lz4", "unknown_container")
+    }
     if (Zstd.isZstd(b)) {
       // REAL decode (from-scratch RFC 8878) then classify the payload
       // like the gzip branch: the only remaining profile gap is a
@@ -373,6 +384,20 @@ object Multimodal {
             if (Containers.warcRecords(plain) != null) ("warc", "ok")
             else ("warc", "corrupt")
           } else ("zstd", "unknown_container") // sound zstd, unrecognized payload
+      }
+    }
+    if (Bzip2.isBzip2(b)) {
+      // REAL decode (from-scratch BWT/Huffman/MTF) then classify the
+      // payload; deprecated randomised blocks are the named gap
+      return Bzip2.decodeResult(b) match {
+        case Bzip2.Unsupported => ("bzip2", "unsupported_profile")
+        case Bzip2.Corrupt => ("bzip2", "corrupt")
+        case Bzip2.Ok(plain) =>
+          if (plain.length >= 5 &&
+              new String(plain, 0, 5, "US-ASCII") == "WARC/") {
+            if (Containers.warcRecords(plain) != null) ("warc", "ok")
+            else ("warc", "corrupt")
+          } else ("bzip2", "unknown_container")
       }
     }
     if (Zip.isZip(b)) {
@@ -416,7 +441,7 @@ object Multimodal {
   }
 
   /** Deterministic decode-forensics corpus planting one failure class
-    * per `id mod 29` residue, now covering every ingest family:
+    * per `id mod 33` residue, now covering every ingest family:
     * 0 → valid BMP (`ok`), 1 → valid PNG (`ok`), 2 → TIFF with its
     * Compression tag rewritten to JPEG-in-TIFF (`unsupported_profile`),
     * 3 → PNG truncated mid-IDAT (`corrupt`), 4 → magic-free garbage
@@ -465,7 +490,12 @@ object Multimodal {
     * (`warc`/`ok`), 28 → the same splice frame but the embedded
     * dictionary names a DIFFERENT id — a dictionary is present, just
     * not the one the frame wants (`zstd`/`unsupported_profile`,
-    * distinct from case 16's no-dictionary-at-all).
+    * distinct from case 16's no-dictionary-at-all), 29 → a valid
+    * `.warc.bz2` decoded for REAL through the from-scratch BWT/
+    * Huffman path (`warc`/`ok`), 30 → the same with one compressed
+    * byte flipped so a CRC catches it (`bzip2`/`corrupt`), 31 → a
+    * valid `.warc.lz4` through the frame decoder (`warc`/`ok`),
+    * 32 → the same truncated mid-block (`lz4`/`corrupt`).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -498,7 +528,21 @@ object Multimodal {
           Zstd.synthDictSpliceFrame(dictIdInFrame, prefix, pattern.length, 52,
             suffix, checksum = true, dictContent = pattern)
       }
-      val blob = (id % 29) match {
+      def bz2Warc: Array[Byte] = {
+        val warc = Containers.synthWarc(Seq(("response",
+          s"https://example.com/bz/$id", Array.tabulate((30 + id % 20).toInt)(
+            j => ((id * 21 + j * 11) % 256).toByte))))
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorOutputStream(bos, (1 + id % 9).toInt)
+        z.write(warc); z.close()
+        bos.toByteArray
+      }
+      def lz4Warc: Array[Byte] =
+        Lz4.synthStoredFrame(Containers.synthWarc(Seq(("response",
+          s"https://example.com/l4/$id", Array.tabulate((26 + id % 18).toInt)(
+            j => ((id * 27 + j * 5) % 256).toByte)))))
+      val blob = (id % 33) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -630,7 +674,15 @@ object Multimodal {
           z(dataStart + 3) = (z(dataStart + 3) ^ 0x15).toByte
           z
         case 27 => zstdDictWarc(5, 5) // embedded dict resolves → decodes
-        case _ => zstdDictWarc(5, 6) // id mismatch → nameable gap
+        case 28 => zstdDictWarc(5, 6) // id mismatch → nameable gap
+        case 29 => bz2Warc
+        case 30 =>
+          // flip one compressed byte mid-stream: block CRC catches it
+          val z = bz2Warc
+          z(z.length / 2) = (z(z.length / 2) ^ 0x2A).toByte
+          z
+        case 31 => lz4Warc
+        case _ => lz4Warc.dropRight(9) // cut mid-block: corrupt
       }
       MediaFile(id, "image", blob)
     })
@@ -2740,6 +2792,74 @@ object Multimodal {
       }
       rows ++ { closeOnce(); Iterator.empty }
     }
+  }
+
+  /** Deterministic `.warc.bz2` corpus — the Wikipedia-dump-style
+    * framing: crawl `id` holds `2 + id%3` records cycling
+    * response/request/metadata, record `s` carrying a
+    * `24 + (id+s)%20`-byte payload (byte `j` =
+    * `(id*19 + s*7 + j*13) % 256`), the whole WARC compressed as ONE
+    * bzip2 stream by the independent commons-compress implementation
+    * Spark bundles at level `1 + id%9` — so the from-scratch decoder
+    * must read real multi-table Huffman/BWT streams, not echoes of
+    * its own writer (it has none). The oracle replays the payload
+    * generator.
+    */
+  def demoWarcBzip2Corpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (2 + id % 3).toInt
+      val recs = (0 until n).map { sIdx =>
+        val tpe = (sIdx % 3) match {
+          case 0 => "response"; case 1 => "request"; case _ => "metadata"
+        }
+        val len = (24 + (id + sIdx) % 20).toInt
+        (tpe, s"https://ex.test/bz2/$id/$sIdx", Array.tabulate(len)(j =>
+          ((id * 19 + sIdx * 7 + j.toLong * 13) % 256).toByte))
+      }
+      val warc = Containers.synthWarc(recs)
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(bos, (1 + id % 9).toInt)
+      z.write(warc)
+      z.close()
+      MediaFile(id, "crawl", bos.toByteArray)
+    })
+  }
+
+  /** Deterministic `.warc.lz4` corpus: crawl `id` holds `2 + id%4`
+    * records, record `s` carrying a `28 + (id+s)%16`-byte payload
+    * (byte `j` = `(id*23 + s*11 + j*7) % 256`). Even ids are
+    * compressed by the independent lz4-java implementation (real
+    * token/offset sequences); odd ids lead with a skippable frame and
+    * use our checksummed stored frames, pinning the
+    * walk/skip/checksum machinery. Oracle replays the generator.
+    */
+  def demoWarcLz4Corpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (2 + id % 4).toInt
+      val recs = (0 until n).map { sIdx =>
+        val tpe = (sIdx % 3) match {
+          case 0 => "response"; case 1 => "request"; case _ => "metadata"
+        }
+        val len = (28 + (id + sIdx) % 16).toInt
+        (tpe, s"https://ex.test/lz4/$id/$sIdx", Array.tabulate(len)(j =>
+          ((id * 23 + sIdx * 11 + j.toLong * 7) % 256).toByte))
+      }
+      val warc = Containers.synthWarc(recs)
+      val blob =
+        if (id % 2 == 0) {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+          z.write(warc)
+          z.close()
+          bos.toByteArray
+        } else
+          Lz4.synthSkippableFrame(Array.tabulate(12)(j =>
+            ((id * 3 + j * 5) % 256).toByte)) ++ Lz4.synthStoredFrame(warc)
+      MediaFile(id, "crawl", blob)
+    })
   }
 
   /** Deterministic G.711 telephony corpus: clip `id` holds

@@ -447,6 +447,33 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // Wikipedia-dump-style `.warc.bz2` through the from-scratch
+    // bzip2 decoder (multi-table Huffman, MTF/RLE2, inverse BWT,
+    // block+stream CRCs) — compressed by the independent
+    // commons-compress implementation, so real streams must decode.
+    "warc_bzip2_extract" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoWarcBzip2Corpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.warcStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("crawl_id")
+    }),
+
+    // `.warc.lz4` through the from-scratch LZ4 frame decoder (block
+    // format, frame descriptors, XXH32 checksums, skippable frames) —
+    // real lz4-java frames on even ids, our stored frames on odd.
+    "warc_lz4_extract" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoWarcLz4Corpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.warcStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("crawl_id")
+    }),
+
     // Common Crawl's REAL `.warc.zst` shape: the shared dictionary in
     // a leading skippable frame (raw-content via libzstd on even ids,
     // structured entropy-table dictionaries with id-checked splice
@@ -725,7 +752,7 @@ object FrontierQueries {
     // payload as ok / empty / unknown_container / unsupported_profile
     // / corrupt and count by (container, reason) — the observability
     // layer that distinguishes "ship a profile extension" from "fix
-    // the ingest" at corpus scale, over one planted class per id%29.
+    // the ingest" at corpus scale, over one planted class per id%33.
     "decode_err_rates" -> ((s, dir) => {
       import s.implicits._
       val corpus = graft.operators.Multimodal.demoDecodeErrCorpus(
@@ -1984,6 +2011,34 @@ object FrontierQueries {
         |FROM t ORDER BY media_id""".stripMargin
     },
 
+    // Replays the `.warc.bz2` generator: compression transparent.
+    "warc_bzip2_extract" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS n FROM documents),
+        |r AS (SELECT doc_id, n,
+        |    list_filter(range(0, n), s -> s % 3 = 0) AS resp FROM m)
+        |SELECT doc_id AS crawl_id, n::INT AS n_records,
+        |  length(resp)::INT AS n_responses,
+        |  list_sum(list_transform(resp,
+        |    s -> 24 + (doc_id + s) % 20))::BIGINT AS response_bytes,
+        |  list_sum(list_transform(resp, s ->
+        |    list_sum(list_transform(range(0, 24 + (doc_id + s) % 20),
+        |      j -> (doc_id*19 + s*7 + j*13) % 256))))::BIGINT AS payload_sum
+        |FROM r ORDER BY crawl_id""".stripMargin,
+
+    // Replays the `.warc.lz4` generator: compression transparent.
+    "warc_lz4_extract" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 4 AS n FROM documents),
+        |r AS (SELECT doc_id, n,
+        |    list_filter(range(0, n), s -> s % 3 = 0) AS resp FROM m)
+        |SELECT doc_id AS crawl_id, n::INT AS n_records,
+        |  length(resp)::INT AS n_responses,
+        |  list_sum(list_transform(resp,
+        |    s -> 28 + (doc_id + s) % 16))::BIGINT AS response_bytes,
+        |  list_sum(list_transform(resp, s ->
+        |    list_sum(list_transform(range(0, 28 + (doc_id + s) % 16),
+        |      j -> (doc_id*23 + s*11 + j*7) % 256))))::BIGINT AS payload_sum
+        |FROM r ORDER BY crawl_id""".stripMargin,
+
     // Replays the dictionary-bearing `.warc.zst` generator: payload
     // byte j < 52 is the shared dictionary pattern, j ≥ 52 the
     // id/s-keyed generator; only responses are reduced. Dictionary
@@ -2477,7 +2532,7 @@ object FrontierQueries {
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
 
-    // Replays the planted-failure generator: each id%29 residue maps
+    // Replays the planted-failure generator: each id%33 residue maps
     // to a fixed (container, reason) pair across all ingest families —
     // the four zstd outcomes of the RFC 8878 decoder, the two WebP
     // outcomes of the VP8L decoder, the mixed-member `.warc.gz`
@@ -2488,7 +2543,7 @@ object FrontierQueries {
     // member-CRC-caught damage).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 29
+        |    CASE doc_id % 33
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
@@ -2499,9 +2554,11 @@ object FrontierQueries {
         |      WHEN 21 THEN 'flac' WHEN 22 THEN 'flac'
         |      WHEN 23 THEN 'oggflac' WHEN 24 THEN 'ogg_vorbis'
         |      WHEN 25 THEN 'zip' WHEN 26 THEN 'zip'
-        |      WHEN 27 THEN 'warc' ELSE 'zstd'
+        |      WHEN 27 THEN 'warc' WHEN 28 THEN 'zstd'
+        |      WHEN 29 THEN 'warc' WHEN 30 THEN 'bzip2'
+        |      WHEN 31 THEN 'warc' ELSE 'lz4'
         |    END AS format,
-        |    CASE doc_id % 29
+        |    CASE doc_id % 33
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -2518,7 +2575,9 @@ object FrontierQueries {
         |      WHEN 21 THEN 'ok' WHEN 22 THEN 'corrupt'
         |      WHEN 23 THEN 'ok' WHEN 24 THEN 'unsupported_profile'
         |      WHEN 25 THEN 'ok' WHEN 26 THEN 'corrupt'
-        |      WHEN 27 THEN 'ok' ELSE 'unsupported_profile'
+        |      WHEN 27 THEN 'ok' WHEN 28 THEN 'unsupported_profile'
+        |      WHEN 29 THEN 'ok' WHEN 30 THEN 'corrupt'
+        |      WHEN 31 THEN 'ok' ELSE 'corrupt'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bzip2
+
+/** bzip2 decoder conformance, pinned against the independent
+  * commons-compress implementation Spark bundles: our decoder must
+  * read real bzip2 output byte-exactly across levels, block shapes,
+  * multi-block streams, and RLE1 pathologies.
+  */
+class Bzip2Spec extends AnyFunSuite {
+
+  private def cc(data: Array[Byte], level: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(bos, level)
+    z.write(data); z.close()
+    bos.toByteArray
+  }
+
+  private def gen(n: Int, seed: Long): Array[Byte] =
+    Array.tabulate(n)(j => ((seed * 13 + j.toLong * 37) % 256).toByte)
+
+  private def texty(n: Int, seed: Long): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0L
+    while (sb.length < n) {
+      sb.append("the quick brown fox jumps over the lazy dog ")
+      sb.append((seed * 31 + i * 17) % 1000).append(' ')
+      i += 1
+    }
+    sb.toString.getBytes("US-ASCII").take(n)
+  }
+
+  test("decodes commons-compress output across levels and shapes") {
+    val payloads = Seq(
+      Array.emptyByteArray,
+      "x".getBytes("US-ASCII"),
+      texty(100, 3), texty(5000, 4), gen(20000, 5),
+      // RLE1 pathologies: long runs incl. exactly 4, 259, 260
+      Array.fill[Byte](4)(7), Array.fill[Byte](259)(9),
+      Array.fill[Byte](260)(9), Array.fill[Byte](1000)(0) ++ texty(50, 6),
+      // multi-block at level 1 (>100k forces 2 blocks)
+      texty(250000, 7))
+    for ((p, i) <- payloads.zipWithIndex; level <- Seq(1, 5, 9)) {
+      val z = cc(p, level)
+      val got = Bzip2.decode(z)
+      assert(got != null, s"payload $i level $level")
+      assert(java.util.Arrays.equals(got, p), s"payload $i level $level")
+    }
+  }
+
+  test("damage degrades to null, never throws") {
+    val good = cc(texty(4000, 11), 5)
+    assert(Bzip2.decode(good) != null)
+    for (cut <- Seq(1, 3, 5, 9, good.length / 2, good.length - 1))
+      assert(Bzip2.decode(good.take(cut)) == null, s"cut=$cut")
+    for (i <- Seq(0, 3, 4, 10, good.length / 2, good.length - 2)) {
+      val bad = good.clone()
+      bad(i) = (bad(i) ^ 0x40).toByte
+      // a flip may land in slack; if it decodes, CRCs guarantee content
+      val out = Bzip2.decode(bad)
+      if (out != null)
+        assert(java.util.Arrays.equals(out, Bzip2.decode(good)))
+    }
+    assert(Bzip2.decode(gen(100, 12)) == null)
+    assert(!Bzip2.isBzip2("BZh0junk".getBytes("US-ASCII")))
+    // bomb cap
+    val bomb = cc(new Array[Byte](1 << 21), 9)
+    assert(Bzip2.decode(bomb, cap = 1 << 16) == null)
+    assert(Bzip2.decode(bomb, cap = 1 << 22) != null)
+  }
+}
