@@ -79,6 +79,10 @@ object Bzip2 {
       v
     }
     def readBit(): Int = read(1)
+    /** Drop any partial byte and return the next byte offset — the
+      * boundary a following concatenated stream starts on.
+      */
+    def alignToByte(): Int = { n = 0; pos }
     def readLong(k: Int): Long = {
       var v = 0L
       var left = k
@@ -126,34 +130,50 @@ object Bzip2 {
 
   private def decodeAll(b: Array[Byte], cap: Long): Array[Byte] = {
     if (!isBzip2(b)) fail("bad magic")
-    val level = b(3) - '0'
-    val maxBlock = level * 100000
-    val bits = new Bits(b, 4, b.length)
     val out = new java.io.ByteArrayOutputStream(64 << 10)
-    var combinedCrc = 0
-    var done = false
-    while (!done) {
-      val magic = bits.readLong(48)
-      if (magic == 0x314159265359L) {
-        val blockCrc = bits.readLong(32).toInt
-        val plain = decodeBlock(bits, maxBlock)
-        if (out.size().toLong + plain.length > cap) fail("decompression bomb")
-        // block CRC over the fully-expanded bytes
-        var crc = 0xFFFFFFFF
-        var i = 0
-        while (i < plain.length) {
-          crc = (crc << 8) ^ CrcTable(((crc >>> 24) ^ (plain(i) & 0xFF)) & 0xFF)
-          i += 1
-        }
-        if (~crc != blockCrc) fail("block crc mismatch")
-        combinedCrc = ((combinedCrc << 1) | (combinedCrc >>> 31)) ^ blockCrc
-        out.write(plain, 0, plain.length)
-      } else if (magic == 0x177245385090L) {
-        val streamCrc = bits.readLong(32).toInt
-        if (streamCrc != combinedCrc) fail("stream crc mismatch")
-        done = true
-      } else fail("bad block magic")
+    // MULTISTREAM: pbzip2 and Wikipedia multistream dumps concatenate
+    // independent byte-aligned streams (each with its OWN level);
+    // decode them all. Trailing bytes that don't start a stream after
+    // at least one sound one are tolerated (gzip-member parity).
+    var off = 0
+    var any = false
+    var more = true
+    while (more) {
+      val level = b(off + 3) - '0'
+      val maxBlock = level * 100000
+      val bits = new Bits(b, off + 4, b.length)
+      var combinedCrc = 0
+      var done = false
+      while (!done) {
+        val magic = bits.readLong(48)
+        if (magic == 0x314159265359L) {
+          val blockCrc = bits.readLong(32).toInt
+          val plain = decodeBlock(bits, maxBlock)
+          if (out.size().toLong + plain.length > cap)
+            fail("decompression bomb")
+          // block CRC over the fully-expanded bytes
+          var crc = 0xFFFFFFFF
+          var i = 0
+          while (i < plain.length) {
+            crc = (crc << 8) ^
+              CrcTable(((crc >>> 24) ^ (plain(i) & 0xFF)) & 0xFF)
+            i += 1
+          }
+          if (~crc != blockCrc) fail("block crc mismatch")
+          combinedCrc = ((combinedCrc << 1) | (combinedCrc >>> 31)) ^ blockCrc
+          out.write(plain, 0, plain.length)
+        } else if (magic == 0x177245385090L) {
+          val streamCrc = bits.readLong(32).toInt
+          if (streamCrc != combinedCrc) fail("stream crc mismatch")
+          done = true
+        } else fail("bad block magic")
+      }
+      any = true
+      off = bits.alignToByte()
+      more = off + 4 <= b.length && b(off) == 'B' && b(off + 1) == 'Z' &&
+        b(off + 2) == 'h' && b(off + 3) >= '1' && b(off + 3) <= '9'
     }
+    if (!any) fail("no stream")
     out.toByteArray
   }
 

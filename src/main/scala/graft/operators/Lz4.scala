@@ -41,8 +41,9 @@ object Lz4 {
   def isLz4Content(b: Array[Byte]): Boolean = {
     if (b == null) return false
     var p = 0
-    var hops = 0
-    while (p + 4 <= b.length && hops < 64) {
+    // p strictly increases by >= 8 per hop, so the walk is input-
+    // bounded; no hop cap (it would misroute long skippable prefixes)
+    while (p + 4 <= b.length) {
       val m = leU32(b, p).toInt
       if (m == FrameMagic) return true
       if (m >= SkippableMin && m <= SkippableMin + 15) {
@@ -50,7 +51,6 @@ object Lz4 {
         val sz = leU32(b, p + 4)
         if (p + 8 + sz > b.length) return false
         p += 8 + sz.toInt
-        hops += 1
       } else return false
     }
     false
@@ -256,10 +256,16 @@ object Lz4 {
               System.arraycopy(b, q, out, outLen, sz)
               outLen += sz
             } else {
-              ensure(blockMax + 16)
+              // worst-case expansion of an LZ4 block is < 256x its
+              // stored size (each length-extension byte adds <= 255),
+              // so grow by that, capped at the declared block max —
+              // NOT a flat blockMax, which would churn 4 MB per tiny
+              // block under lz4-java's default descriptor
+              val grow = math.min(blockMax.toLong, sz.toLong * 256 + 16).toInt
+              ensure(grow + 16)
               val window = if (blockIndep) outLen else frameStart
               outLen = decodeBlock(b, q, q + sz, out, outLen, window,
-                math.min(capI, outLen + blockMax))
+                math.min(capI, outLen + grow))
             }
             q += sz
             if (blockChecksum) {
@@ -295,6 +301,8 @@ object Lz4 {
     */
   def synthStoredFrame(data: Array[Byte],
       blockSize: Int = 64 << 10): Array[Byte] = {
+    require(blockSize >= 1 && blockSize <= (64 << 10),
+      "the frame descriptor declares 64K blocks")
     val out = new java.io.ByteArrayOutputStream()
     def w32(v: Int): Unit = {
       out.write(v & 0xFF); out.write((v >> 8) & 0xFF)

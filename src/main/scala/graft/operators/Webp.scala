@@ -600,6 +600,16 @@ object Webp {
     val fullH = br.read(14) + 1
     br.readBit() // alpha-is-used hint
     if (br.read(3) != 0) fail("vp8l version not 0")
+    (decodeVp8lBody(br, fullW, fullH), fullW, fullH)
+  }
+
+  /** The level-0 image-stream AFTER the signature/dimension header:
+    * optional-transform list, spatially-coded image, inverse
+    * transforms. ALPH alpha planes embed exactly this (dimensions
+    * come from the VP8 chunk), so both paths share it.
+    */
+  private def decodeVp8lBody(br: Bits, fullW: Int,
+      fullH: Int): Array[Int] = {
     if (fullW.toLong * fullH > MaxPixels) fail("pixel bomb")
     // transforms (main image only), each type at most once; color
     // indexing shrinks the coded width for everything read after it
@@ -651,7 +661,7 @@ object Webp {
       ti -= 1
     }
     if (curW != fullW) fail("transform stack did not restore width")
-    (px, fullW, fullH)
+    px
   }
 
   // ---- ALPH alpha plane (lossy stills with transparency) --------------
@@ -662,6 +672,27 @@ object Webp {
     * row: left), 3: gradient clip(left + above - topleft); the very
     * first pixel always predicts 0.
     */
+  /** The alpha-filter predictor at (x,y) of `a` — shared by the
+    * inverse (decode) and forward (synth) passes so they can never
+    * diverge.
+    */
+  private def alphaPred(a: Array[Byte], w: Int, x: Int, y: Int,
+      method: Int): Int = {
+    val i = y * w + x
+    val left = if (x > 0) a(i - 1) & 0xFF else -1
+    val above = if (y > 0) a(i - w) & 0xFF else -1
+    val tl = if (x > 0 && y > 0) a(i - w - 1) & 0xFF else -1
+    if (x == 0 && y == 0) 0
+    else method match {
+      case 1 => if (left >= 0) left else above
+      case 2 => if (above >= 0) above else left
+      case _ =>
+        if (left < 0) above
+        else if (above < 0) left
+        else clip255(left + above - tl)
+    }
+  }
+
   private def unfilterAlpha(a: Array[Byte], w: Int, h: Int,
       method: Int): Unit = {
     if (method == 0) return
@@ -670,20 +701,7 @@ object Webp {
       var x = 0
       while (x < w) {
         val i = y * w + x
-        val left = if (x > 0) a(i - 1) & 0xFF else -1
-        val above = if (y > 0) a(i - w) & 0xFF else -1
-        val tl = if (x > 0 && y > 0) a(i - w - 1) & 0xFF else -1
-        val pred =
-          if (x == 0 && y == 0) 0
-          else method match {
-            case 1 => if (left >= 0) left else above
-            case 2 => if (above >= 0) above else left
-            case _ =>
-              if (left < 0) above
-              else if (above < 0) left
-              else clip255(left + above - tl)
-          }
-        a(i) = ((a(i) & 0xFF) + pred).toByte
+        a(i) = ((a(i) & 0xFF) + alphaPred(a, w, x, y, method)).toByte
         x += 1
       }
       y += 1
@@ -698,6 +716,7 @@ object Webp {
   private def decodeAlph(b: Array[Byte], start: Int, endExcl: Int,
       w: Int, h: Int): Array[Byte] = {
     if (start >= endExcl) fail("empty alpha chunk")
+    if (w.toLong * h > MaxPixels) fail("pixel bomb") // raw path included
     val hdr = u8(b, start)
     if ((hdr & 0xC0) != 0) fail("reserved alpha bits")
     val method = (hdr >> 2) & 3
@@ -706,8 +725,10 @@ object Webp {
         if (endExcl - (start + 1) < w * h) fail("raw alpha truncated")
         java.util.Arrays.copyOfRange(b, start + 1, start + 1 + w * h)
       case 1 =>
+        // a full LEVEL-0 image-stream (transform list included — real
+        // encoders write at least its terminator bit), green = alpha
         val br = new Bits(b, start + 1, endExcl)
-        val px = decodeImage(br, w, h, allowMeta = true)
+        val px = decodeVp8lBody(br, w, h)
         val out = new Array[Byte](w * h)
         var i = 0
         while (i < px.length) { out(i) = ((px(i) >> 8) & 0xFF).toByte; i += 1 }
@@ -776,7 +797,8 @@ object Webp {
     var canvas: Array[Int] = null
     var frames = 0
     // trailing-dispose correction: the final canvas must show the
-    // LAST frame as rendered even when it sets dispose
+    // LAST frame as rendered even when it sets dispose — snapshot the
+    // rendered rectangle before wiping it
     var lastDisposed: (Int, Int, Int, Int, Array[Int]) = null
     while (p + 8 <= b.length) {
       val cc = fourCC(b, p)
@@ -862,22 +884,21 @@ object Webp {
           }
           frames += 1
           if (dispose) {
-            // restore the rectangle for the NEXT frame's state
+            // snapshot the RENDERED rectangle (blend results and all),
+            // then restore it to background for the next frame
+            val snap = new Array[Int](fw * fh)
             var ry = 0
             while (ry < fh) {
               var rx = 0
               while (rx < fw) {
-                canvas((fy + ry) * canvasW + (fx + rx)) = bg
+                val ci = (fy + ry) * canvasW + (fx + rx)
+                snap(ry * fw + rx) = canvas(ci)
+                canvas(ci) = bg
                 rx += 1
               }
               ry += 1
             }
-            // the FINAL canvas shows the last frame as rendered; a
-            // trailing dispose only matters if more frames follow, so
-            // remember the pre-dispose state via re-render on exit —
-            // instead we defer: record that this frame's pixels must
-            // be re-applied if it turns out to be the last
-            lastDisposed = (fx, fy, fw, fh, px)
+            lastDisposed = (fx, fy, fw, fh, snap)
           } else lastDisposed = null
         case _ => ()
       }
@@ -885,16 +906,15 @@ object Webp {
     }
     if (!anim || canvas == null || frames == 0) return null
     // undo a trailing dispose: the final canvas is the state WITH the
-    // last frame rendered
+    // last frame rendered (the snapshot preserves blend results and
+    // non-opaque pixels exactly)
     if (lastDisposed != null) {
-      val (fx, fy, fw, fh, px) = lastDisposed
+      val (fx, fy, fw, fh, snap) = lastDisposed
       var yy = 0
       while (yy < fh) {
         var xx = 0
         while (xx < fw) {
-          val src = px(yy * fw + xx)
-          if (((src >>> 24) & 0xFF) == 255)
-            canvas((fy + yy) * canvasW + (fx + xx)) = src
+          canvas((fy + yy) * canvasW + (fx + xx)) = snap(yy * fw + xx)
           xx += 1
         }
         yy += 1
@@ -1348,20 +1368,8 @@ object Webp {
       var x = 0
       while (x < w) {
         val i = y * w + x
-        val left = if (x > 0) a(i - 1) & 0xFF else -1
-        val above = if (y > 0) a(i - w) & 0xFF else -1
-        val tl = if (x > 0 && y > 0) a(i - w - 1) & 0xFF else -1
-        val pred =
-          if (x == 0 && y == 0) 0
-          else method match {
-            case 1 => if (left >= 0) left else above
-            case 2 => if (above >= 0) above else left
-            case _ =>
-              if (left < 0) above
-              else if (above < 0) left
-              else clip255(left + above - tl)
-          }
-        out(i) = ((a(i) & 0xFF) - pred).toByte
+        // predictors read the ORIGINAL plane (a), residuals go to out
+        out(i) = ((a(i) & 0xFF) - alphaPred(a, w, x, y, method)).toByte
         x += 1
       }
       y += 1
@@ -1384,6 +1392,7 @@ object Webp {
       // headerless VP8L image-stream: no cache, no meta, alpha coded
       // through the green channel, other channels single-symbol
       val bw = new BitWriterLsb
+      bw.writeBits(0, 1) // transform list terminator (level-0 stream)
       bw.writeBits(0, 1) // no color cache
       bw.writeBits(0, 1) // no meta-prefix
       writeTwoLevelCode(bw, 232, 48) // green (the alpha values)

@@ -70,4 +70,21 @@ class Bzip2Spec extends AnyFunSuite {
     assert(Bzip2.decode(bomb, cap = 1 << 16) == null)
     assert(Bzip2.decode(bomb, cap = 1 << 22) != null)
   }
+  test("multistream: concatenated streams decode whole (pbzip2/Wikipedia shape)") {
+    val a = texty(3000, 21)
+    val b = gen(500, 22)
+    val c = texty(120000, 23) // level-1 second stream spans blocks
+    val cat = cc(a, 5) ++ cc(b, 9) ++ cc(c, 1)
+    val got = Bzip2.decode(cat)
+    assert(got != null && got.length == a.length + b.length + c.length)
+    assert(java.util.Arrays.equals(got, a ++ b ++ c))
+    // trailing garbage after sound streams is tolerated (gzip parity)
+    val padded = cc(a, 5) ++ Array.fill[Byte](7)(0x20)
+    assert(java.util.Arrays.equals(Bzip2.decode(padded), a))
+    // ...but damage INSIDE a later stream is corruption
+    val bad = cc(a, 5) ++ cc(b, 9)
+    bad(bad.length - 3) = (bad(bad.length - 3) ^ 0x11).toByte
+    assert(Bzip2.decode(bad) == null)
+  }
+
 }
