@@ -400,6 +400,15 @@ object Multimodal {
           } else ("bzip2", "unknown_container")
       }
     }
+    if (Xz.isXz(b)) {
+      val plain = Xz.decode(b)
+      return if (plain == null) ("xz", "corrupt")
+      else if (plain.length >= 5 &&
+          new String(plain, 0, 5, "US-ASCII") == "WARC/") {
+        if (Containers.warcRecords(plain) != null) ("warc", "ok")
+        else ("warc", "corrupt")
+      } else ("xz", "unknown_container")
+    }
     if (Zip.isZip(b)) {
       // REAL walk + full-member decode (ZIP64 sentinels resolve
       // through the 0x0001 extra + ZIP64 EOCD): a shard with any
@@ -441,7 +450,7 @@ object Multimodal {
   }
 
   /** Deterministic decode-forensics corpus planting one failure class
-    * per `id mod 33` residue, now covering every ingest family:
+    * per `id mod 35` residue, now covering every ingest family:
     * 0 → valid BMP (`ok`), 1 → valid PNG (`ok`), 2 → TIFF with its
     * Compression tag rewritten to JPEG-in-TIFF (`unsupported_profile`),
     * 3 → PNG truncated mid-IDAT (`corrupt`), 4 → magic-free garbage
@@ -495,7 +504,10 @@ object Multimodal {
     * Huffman path (`warc`/`ok`), 30 → the same with one compressed
     * byte flipped so a CRC catches it (`bzip2`/`corrupt`), 31 → a
     * valid `.warc.lz4` through the frame decoder (`warc`/`ok`),
-    * 32 → the same truncated mid-block (`lz4`/`corrupt`).
+    * 32 → the same truncated mid-block (`lz4`/`corrupt`), 33 → a
+    * valid `.warc.xz` through the from-scratch LZMA2/range decoder
+    * (`warc`/`ok`), 34 → the same with one byte flipped so a check
+    * catches it (`xz`/`corrupt`).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -542,7 +554,17 @@ object Multimodal {
         Lz4.synthStoredFrame(Containers.synthWarc(Seq(("response",
           s"https://example.com/l4/$id", Array.tabulate((26 + id % 18).toInt)(
             j => ((id * 27 + j * 5) % 256).toByte)))))
-      val blob = (id % 33) match {
+      def xzWarc: Array[Byte] = {
+        val warc = Containers.synthWarc(Seq(("response",
+          s"https://example.com/xz/$id", Array.tabulate((28 + id % 14).toInt)(
+            j => ((id * 33 + j * 9) % 256).toByte))))
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new org.tukaani.xz.XZOutputStream(bos,
+          new org.tukaani.xz.LZMA2Options((id % 10).toInt))
+        z.write(warc); z.close()
+        bos.toByteArray
+      }
+      val blob = (id % 35) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -682,7 +704,13 @@ object Multimodal {
           z(z.length / 2) = (z(z.length / 2) ^ 0x2A).toByte
           z
         case 31 => lz4Warc
-        case _ => lz4Warc.dropRight(9) // cut mid-block: corrupt
+        case 32 => lz4Warc.dropRight(9) // cut mid-block: corrupt
+        case 33 => xzWarc
+        case _ =>
+          // flip one compressed byte: a block check catches it
+          val z = xzWarc
+          z(z.length / 2) = (z(z.length / 2) ^ 0x18).toByte
+          z
       }
       MediaFile(id, "image", blob)
     })
@@ -2859,6 +2887,39 @@ object Multimodal {
           Lz4.synthSkippableFrame(Array.tabulate(12)(j =>
             ((id * 3 + j * 5) % 256).toByte)) ++ Lz4.synthStoredFrame(warc)
       MediaFile(id, "crawl", blob)
+    })
+  }
+
+  /** Deterministic `.warc.xz` corpus: crawl `id` holds `2 + id%3`
+    * records, record `s` carrying a `22 + (id+s)%18`-byte payload
+    * (byte `j` = `(id*29 + s*13 + j*17) % 256`), the WARC compressed
+    * by the independent xz-java implementation at preset `id%10`
+    * with check type cycling CRC32/CRC64/SHA-256 — so the
+    * from-scratch LZMA2/range decoder must read real streams across
+    * the preset space. Oracle replays the generator.
+    */
+  def demoWarcXzCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (2 + id % 3).toInt
+      val recs = (0 until n).map { sIdx =>
+        val tpe = (sIdx % 3) match {
+          case 0 => "response"; case 1 => "request"; case _ => "metadata"
+        }
+        val len = (22 + (id + sIdx) % 18).toInt
+        (tpe, s"https://ex.test/xz/$id/$sIdx", Array.tabulate(len)(j =>
+          ((id * 29 + sIdx * 13 + j.toLong * 17) % 256).toByte))
+      }
+      val warc = Containers.synthWarc(recs)
+      val bos = new java.io.ByteArrayOutputStream()
+      val check = Seq(org.tukaani.xz.XZ.CHECK_CRC32,
+        org.tukaani.xz.XZ.CHECK_CRC64,
+        org.tukaani.xz.XZ.CHECK_SHA256)((id % 3).toInt)
+      val z = new org.tukaani.xz.XZOutputStream(bos,
+        new org.tukaani.xz.LZMA2Options((id % 10).toInt), check)
+      z.write(warc)
+      z.close()
+      MediaFile(id, "crawl", bos.toByteArray)
     })
   }
 

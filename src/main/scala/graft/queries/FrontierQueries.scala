@@ -447,6 +447,20 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // `.warc.xz` through the from-scratch LZMA2/XZ decoder (range
+    // coder, 12-state machine, matched literals, position slots,
+    // block checks) — xz-java-written streams across presets 0-9 and
+    // all three check types.
+    "warc_xz_extract" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoWarcXzCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.warcStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("crawl_id")
+    }),
+
     // Wikipedia-dump-style `.warc.bz2` through the from-scratch
     // bzip2 decoder (multi-table Huffman, MTF/RLE2, inverse BWT,
     // block+stream CRCs) — compressed by the independent
@@ -752,7 +766,7 @@ object FrontierQueries {
     // payload as ok / empty / unknown_container / unsupported_profile
     // / corrupt and count by (container, reason) — the observability
     // layer that distinguishes "ship a profile extension" from "fix
-    // the ingest" at corpus scale, over one planted class per id%33.
+    // the ingest" at corpus scale, over one planted class per id%35.
     "decode_err_rates" -> ((s, dir) => {
       import s.implicits._
       val corpus = graft.operators.Multimodal.demoDecodeErrCorpus(
@@ -2011,6 +2025,20 @@ object FrontierQueries {
         |FROM t ORDER BY media_id""".stripMargin
     },
 
+    // Replays the `.warc.xz` generator: compression transparent.
+    "warc_xz_extract" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS n FROM documents),
+        |r AS (SELECT doc_id, n,
+        |    list_filter(range(0, n), s -> s % 3 = 0) AS resp FROM m)
+        |SELECT doc_id AS crawl_id, n::INT AS n_records,
+        |  length(resp)::INT AS n_responses,
+        |  list_sum(list_transform(resp,
+        |    s -> 22 + (doc_id + s) % 18))::BIGINT AS response_bytes,
+        |  list_sum(list_transform(resp, s ->
+        |    list_sum(list_transform(range(0, 22 + (doc_id + s) % 18),
+        |      j -> (doc_id*29 + s*13 + j*17) % 256))))::BIGINT AS payload_sum
+        |FROM r ORDER BY crawl_id""".stripMargin,
+
     // Replays the `.warc.bz2` generator: compression transparent.
     "warc_bzip2_extract" ->
       """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS n FROM documents),
@@ -2532,7 +2560,7 @@ object FrontierQueries {
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
 
-    // Replays the planted-failure generator: each id%33 residue maps
+    // Replays the planted-failure generator: each id%35 residue maps
     // to a fixed (container, reason) pair across all ingest families —
     // the four zstd outcomes of the RFC 8878 decoder, the two WebP
     // outcomes of the VP8L decoder, the mixed-member `.warc.gz`
@@ -2543,7 +2571,7 @@ object FrontierQueries {
     // member-CRC-caught damage).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 33
+        |    CASE doc_id % 35
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
@@ -2556,9 +2584,10 @@ object FrontierQueries {
         |      WHEN 25 THEN 'zip' WHEN 26 THEN 'zip'
         |      WHEN 27 THEN 'warc' WHEN 28 THEN 'zstd'
         |      WHEN 29 THEN 'warc' WHEN 30 THEN 'bzip2'
-        |      WHEN 31 THEN 'warc' ELSE 'lz4'
+        |      WHEN 31 THEN 'warc' WHEN 32 THEN 'lz4'
+        |      WHEN 33 THEN 'warc' ELSE 'xz'
         |    END AS format,
-        |    CASE doc_id % 33
+        |    CASE doc_id % 35
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -2577,7 +2606,8 @@ object FrontierQueries {
         |      WHEN 25 THEN 'ok' WHEN 26 THEN 'corrupt'
         |      WHEN 27 THEN 'ok' WHEN 28 THEN 'unsupported_profile'
         |      WHEN 29 THEN 'ok' WHEN 30 THEN 'corrupt'
-        |      WHEN 31 THEN 'ok' ELSE 'corrupt'
+        |      WHEN 31 THEN 'ok' WHEN 32 THEN 'corrupt'
+        |      WHEN 33 THEN 'ok' ELSE 'corrupt'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n

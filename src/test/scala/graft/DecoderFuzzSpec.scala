@@ -36,6 +36,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Zstd.decode" -> (b => Zstd.decode(b)),
     "Bzip2.decode" -> (b => Bzip2.decode(b)),
     "Lz4.decode" -> (b => Lz4.decode(b)),
+    "Xz.decode" -> (b => Xz.decode(b)),
     "Webp.pixelBytes" -> (b => Webp.pixelBytes(b)),
     "Webp.yuv" -> (b => Webp.yuv(b)),
     "Webp.alpha" -> (b => Webp.alpha(b)),
@@ -61,6 +62,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     Array[Byte](0x1f, 0x8b.toByte, 8, 0),
     Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte), // zstd frame
     "BZh5".getBytes("ISO-8859-1"),
+    Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0),
     Array[Byte](0x04, 0x22, 0x4D, 0x18), // lz4 frame
     Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p'))
 
