@@ -284,17 +284,20 @@ object Xz {
           if (slot < 4) st.rep0 = slot
           else {
             val ndb = (slot >> 1) - 1
-            var dist = (2 | (slot & 1)) << ndb
+            // compute in Long: slots 62/63 reach 2^31, which would
+            // wrap Int and bypass every window guard below
+            var dist = (2L | (slot & 1)) << ndb
             if (slot < 14)
-              dist += bitTreeRev(rc, st.specPos, dist - slot - 1, ndb)
+              dist += bitTreeRev(rc, st.specPos, dist.toInt - slot - 1, ndb)
             else {
-              dist += (rc.decodeDirect(ndb - 4) << 4).toInt
+              dist += rc.decodeDirect(ndb - 4) << 4
               dist += bitTreeRev(rc, st.align, 0, 4)
             }
-            st.rep0 = dist
+            if (dist == 0xFFFFFFFFL)
+              fail("unexpected end marker in lzma2 chunk")
+            if (dist > Int.MaxValue - 2) fail("distance overflow")
+            st.rep0 = dist.toInt
           }
-          if (st.rep0 == -1 || (st.rep0 & 0xFFFFFFFFL) == 0xFFFFFFFFL)
-            fail("unexpected end marker in lzma2 chunk")
           st.state = if (st.state < 7) 7 else 10
         } else {
           // rep match
@@ -349,11 +352,12 @@ object Xz {
 
   // ---- LZMA2 chunk layer -------------------------------------------------
 
-  /** Decode an LZMA2 stream at [start, endExcl) appending to a
-    * growable buffer; returns the plain bytes.
+  /** Decode an LZMA2 stream starting at `start`, bounded by
+    * `endExcl`, stopping at its end marker; returns the plain bytes
+    * and the position just past the marker.
     */
   private def lzma2(b: Array[Byte], start: Int, endExcl: Int,
-      cap: Long): Array[Byte] = {
+      cap: Long): (Array[Byte], Int) = {
     var out = new Array[Byte](64 << 10)
     var outLen = 0
     def ensure(n: Int): Unit =
@@ -408,12 +412,13 @@ object Xz {
         ensure(unpack)
         val rc = new RangeDec(b, p, p + packed)
         outLen = lzmaChunk(rc, st, out, outLen, unpack, dictStart)
-        if (rc.pos != p + packed) fail("lzma chunk length mismatch")
+        // conformant chunks consume EXACTLY their bytes and leave the
+        // range coder at code==0 (xz-java/liblzma reject otherwise)
+        if (!rc.finishedExactly) fail("lzma chunk not cleanly terminated")
         p += packed
       } else fail("reserved lzma2 control byte")
     }
-    if (p != endExcl) fail("trailing bytes after lzma2 end marker")
-    java.util.Arrays.copyOf(out, outLen)
+    (java.util.Arrays.copyOf(out, outLen), p)
   }
 
   // ---- xz container --------------------------------------------------------
@@ -494,6 +499,9 @@ object Xz {
         val dictProp = u8(b, pos(0))
         if (dictProp > 40) fail("bad lzma2 dict size")
         pos(0) += 1
+        // every field must fit inside the DECLARED header size —
+        // fields spilling into the padding/CRC region are damage
+        if (pos(0) > p + hdrSize - 4) fail("block header fields overrun")
         // padding to the declared header size must be zeros
         while (pos(0) < p + hdrSize - 4) {
           if (b(pos(0)) != 0) fail("nonzero block header padding")
@@ -508,8 +516,7 @@ object Xz {
             if (p + compSizeDecl > b.length) fail("block data truncated")
             p + compSizeDecl.toInt
           } else b.length
-        val plain = lzma2Scan(b, p, dataEnd, compSizeDecl >= 0,
-          cap - out.size())
+        val plain = lzma2(b, p, dataEnd, cap - out.size())
         out.write(plain._1, 0, plain._1.length)
         val compUsed = plain._2 - p
         if (compSizeDecl >= 0 && compUsed != compSizeDecl)
@@ -585,30 +592,4 @@ object Xz {
     p + 12
   }
 
-  /** LZMA2 decode that also reports where the end marker landed —
-    * `(plain, posAfterEndMarker)`.
-    */
-  private def lzma2Scan(b: Array[Byte], start: Int, endExcl: Int,
-      bounded: Boolean, cap: Long): (Array[Byte], Int) = {
-    // walk chunks to find the end marker, then decode the exact span
-    var p = start
-    var done = false
-    while (!done) {
-      if (p >= endExcl) fail("lzma2 missing end marker")
-      val ctrl = u8(b, p)
-      if (ctrl == 0) { p += 1; done = true }
-      else if (ctrl <= 2) {
-        if (p + 3 > endExcl) fail("lzma2 chunk size truncated")
-        p += 3 + ((u8(b, p + 1) << 8) | u8(b, p + 2)) + 1
-        if (p > endExcl) fail("uncompressed chunk truncated")
-      } else if (ctrl >= 0x80) {
-        if (p + 5 > endExcl) fail("lzma2 chunk header truncated")
-        val packed = ((u8(b, p + 3) << 8) | u8(b, p + 4)) + 1
-        val props = if (((ctrl >> 5) & 3) >= 2) 1 else 0
-        p += 5 + props + packed
-        if (p > endExcl) fail("lzma chunk truncated")
-      } else fail("reserved lzma2 control byte")
-    }
-    (lzma2(b, start, p, cap), p)
-  }
 }
