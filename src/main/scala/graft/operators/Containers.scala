@@ -4495,7 +4495,11 @@ object Containers {
         // Vp8 scaladoc): a real-world file relying on them can fail
         // decode without being damaged, so a failing VP8 still image
         // stays a NAMED gap rather than quarantined as corrupt.
-        // Animated/opaque extended files are named gaps as before.
+        // Animations COMPOSE now (VP8L and VP8-keyframe sub-frames,
+        // ALPH transparency) — callers try [[Webp.webpAnimate]]
+        // before landing here — so a FAILING animation is likewise a
+        // named gap (interframe sub-images, default-table reliance),
+        // as are opaque extended stills.
         Webp.probe(b) match {
           case ("vp8l", _, _) => false
           case ("vp8", _, _) => Webp.yuv(b) == null

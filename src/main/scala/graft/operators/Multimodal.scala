@@ -263,9 +263,9 @@ object Multimodal {
     */
   private def imageErrFor(content: Array[Byte], fmt: String): String = {
     if (imagePixelBytes(content) != null) return "ok"
-    // lossy (VP8) WebP decodes to YUV planes, and ANIMATED WebP with
-    // lossless frames composes onto its canvas — neither goes through
-    // the RGB pixel path
+    // lossy (VP8) WebP decodes to YUV planes, and ANIMATED WebP
+    // composes onto its canvas (VP8L and VP8-keyframe sub-frames,
+    // ALPH transparency) — neither goes through the RGB pixel path
     if (fmt == "webp" && Webp.yuv(content) != null) return "ok"
     if (fmt == "webp" && Webp.webpAnimate(content) != null) return "ok"
     if (fmt == "unknown") "unknown_container"
@@ -476,9 +476,10 @@ object Multimodal {
     * (`zstd`/`unsupported_profile`), 17 → a sound zstd frame whose
     * payload is no container we know (`zstd`/`unknown_container`),
     * 18 → a lossless WebP decoded for REAL via [[Webp]]
-    * (`webp`/`ok`), 19 → an ANIMATED WebP (VP8X/ANIM) — still lossy
-    * VP8 decodes for real now, so animation is the remaining named
-    * webp gap (`webp`/`unsupported_profile`), 20 → a
+    * (`webp`/`ok`), 19 → an ANIMATED WebP whose sub-frame is a lossy
+    * VP8 INTERFRAME — animations with keyframe/lossless sub-frames
+    * compose for real now, so the interframe profile is the
+    * remaining named webp gap (`webp`/`unsupported_profile`), 20 → a
     * `.warc.gz` with a NON-record gzip member spliced between two
     * record members — the real-crawl mixed-member shape the
     * member-aware walk recovers (`warc`/`ok_skipped_members`,
@@ -655,9 +656,10 @@ object Multimodal {
           Webp.synthVp8lLiteral(w, h,
             Array.tabulate(w * h * 3)(i => ((id * 31 + i.toLong * 7) % 256).toByte))
         case 19 =>
-          // ANIMATED WebP (VP8X/ANIM): the remaining named webp gap
-          // now that still lossy VP8 decodes for real
-          Webp.synthVp8xAnimStub((64 + id % 64).toInt, 48)
+          // ANIMATED WebP whose frame is a lossy VP8 INTERFRAME —
+          // the remaining named webp gap now that animations with
+          // keyframe/lossless sub-frames compose for real
+          Webp.synthVp8xAnimInter((64 + id % 64).toInt, 48)
         case 20 =>
           // two record members with a non-record gzip member between
           // them — the interloper's payload is magic-free garbage
@@ -2410,6 +2412,49 @@ object Multimodal {
           noBlend = true, dispose = true),
         Webp.AnimFrame(2 * (id % 5).toInt, 2 * (id % 3).toInt, 10, 6,
           solid(10, 6, 37, 41, 43), noBlend = false, dispose = false))
+      MediaFile(id, "image", Webp.synthWebpAnim(24, 16, bg, 0, frames))
+    })
+  }
+
+  /** Deterministic LOSSY-animated-WebP corpus: the 24x16 canvas and
+    * frame geometry of [[demoWebpAnimCorpus]], but f1 and f2 are VP8
+    * KEYFRAMES decoded through [[Vp8]] and converted with the pinned
+    * BT.601 integer formula — f1 under a uniform ALPH plane
+    * `30 + (id*29)%196` (raw on even ids, lossless-compressed on odd,
+    * filter method `id%4`) so it alpha-BLENDS over f0 and the
+    * background, f2 opaque with a trailing dispose the composer must
+    * snapshot-undo. Each lossy frame is a single macroblock (12x8 /
+    * 10x6) with DC-only residuals at quantizer `20 + id%40`, so its
+    * reconstruction — and therefore every blended channel — is
+    * closed-form integer algebra the oracle replays.
+    */
+  def demoWebpAnimLossyCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val qIdx = (20 + id % 40).toInt
+      def lossy(w: Int, h: Int, ly: Int, lu: Int, lv: Int): Array[Byte] =
+        Vp8.synthVp8Frame(w, h, qIdx, (_, _) => ly, (_, _) => lu, (_, _) => lv)
+      val bg = 0xFF000000 |
+        ((((id * 13) % 256) << 16) | (((id * 17) % 256) << 8) |
+          ((id * 19) % 256)).toInt
+      val f0rgb = Array.tabulate(12 * 8 * 3)(i => (i % 3 match {
+        case 0 => (id * 5) % 256
+        case 1 => (id * 7) % 256
+        case _ => (id * 11) % 256
+      }).toByte)
+      val a1 = (30 + (id * 29) % 196).toInt
+      val alph = Webp.synthAlphPayload(12, 8,
+        Array.fill(12 * 8)(a1.toByte), (id % 4).toInt, compressed = id % 2 == 1)
+      val frames = Seq(
+        Webp.AnimFrame(0, 0, 12, 8, f0rgb, noBlend = false, dispose = false),
+        Webp.AnimFrame(8, 4, 12, 8, null, noBlend = false, dispose = false,
+          vp8 = lossy(12, 8, ((id * 3) % 25 - 12).toInt,
+            ((id * 7) % 13 - 6).toInt, ((id * 11) % 13 - 6).toInt),
+          alph = alph),
+        Webp.AnimFrame(2 * (id % 5).toInt, 2 * (id % 3).toInt, 10, 6, null,
+          noBlend = true, dispose = true,
+          vp8 = lossy(10, 6, ((id * 5 + 7) % 25 - 12).toInt,
+            ((id * 13 + 1) % 13 - 6).toInt, ((id * 17 + 2) % 13 - 6).toInt)))
       MediaFile(id, "image", Webp.synthWebpAnim(24, 16, bg, 0, frames))
     })
   }

@@ -775,6 +775,38 @@ object Webp {
 
   // ---- animation (VP8X/ANIM/ANMF) --------------------------------------
 
+  /** YUV 4:2:0 planes → opaque ARGB. The container spec leaves
+    * YUV→RGB to the renderer, so this engine PINS one exact integer
+    * convention: the classic 8-bit fixed-point BT.601 limited-range
+    * formula (`R = clip((298(Y−16) + 409(V−128) + 128) >> 8)` and
+    * friends) with nearest-neighbor chroma upsampling, arithmetic
+    * (floor) shifts throughout — replayable as floor-division by an
+    * oracle.
+    */
+  private def yuvToArgb(yuv: Vp8.Yuv): Array[Int] = {
+    val w = yuv.width
+    val h = yuv.height
+    val cw = (w + 1) / 2
+    val out = new Array[Int](w * h)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val c = (yuv.y(yy * w + xx) & 0xFF) - 16
+        val ci = (yy / 2) * cw + (xx / 2)
+        val d = (yuv.u(ci) & 0xFF) - 128
+        val e = (yuv.v(ci) & 0xFF) - 128
+        val r = clip255((298 * c + 409 * e + 128) >> 8)
+        val g = clip255((298 * c - 100 * d - 208 * e + 128) >> 8)
+        val bl = clip255((298 * c + 516 * d + 128) >> 8)
+        out(yy * w + xx) = 0xFF000000 | (r << 16) | (g << 8) | bl
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
   /** Compose an animated WebP's full frame sequence onto its canvas:
     * ANIM's background color fills the canvas, each ANMF frame
     * renders its sub-image at (x,y) — alpha-blended or overwritten
@@ -782,9 +814,13 @@ object Webp {
     * frame's rectangle before the NEXT frame. Returns
     * `(canvasW, canvasH, nFrames, rgb)` of the final canvas, the
     * [[graft.operators.Containers.gifAnimate]] convention. VP8L
-    * sub-frames compose exactly; ANMF frames carrying LOSSY VP8
-    * sub-images are a named gap (YUV→RGB conversion is not
-    * bit-defined by the container spec), returning null. Null on
+    * sub-frames compose exactly; LOSSY (VP8 keyframe) sub-frames
+    * decode through [[Vp8]] and convert via the pinned BT.601
+    * integer formula ([[yuvToArgb]]), honoring a preceding ALPH
+    * chunk's transparency plane. Sub-frames this decoder can't
+    * reconstruct — interframes, or keyframes leaning on the unpinned
+    * default probability tables — return null (the classifier names
+    * that a profile gap, not corruption). Null likewise on
     * structural damage or when the file isn't animated.
     */
   def webpAnimate(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = try {
@@ -840,6 +876,7 @@ object Webp {
           var q = payload + 16
           val fEnd = payload + sz.toInt
           var px: Array[Int] = null
+          var alph: (Int, Int) = null // ALPH precedes the image chunk
           while (q + 8 <= fEnd && px == null) {
             val fcc = fourCC(b, q)
             val fsz = leU32(b, q + 4)
@@ -849,7 +886,19 @@ object Webp {
               val (got, gw, gh) = decodeVp8lArgb(b, fp, (fp + fsz).toInt)
               if (gw != fw || gh != fh) return null
               px = got
-            } else if (fcc == "VP8 ") return null // lossy frame: named gap
+            } else if (fcc == "VP8 ") {
+              val yv = Vp8.decodeFrame(b, fp, fsz.toInt)
+              if (yv == null || yv.width != fw || yv.height != fh) return null
+              px = yuvToArgb(yv)
+              if (alph != null) {
+                val a = decodeAlph(b, alph._1, alph._2, fw, fh)
+                var i = 0
+                while (i < px.length) {
+                  px(i) = (px(i) & 0xFFFFFF) | ((a(i) & 0xFF) << 24)
+                  i += 1
+                }
+              }
+            } else if (fcc == "ALPH") alph = (fp, (fp + fsz).toInt)
             q = fp + fsz.toInt + (fsz.toInt & 1)
           }
           if (px == null) return null
@@ -1266,6 +1315,31 @@ object Webp {
     out.toByteArray
   }
 
+  /** An animated WebP whose single ANMF frame carries a lossy VP8
+    * INTERFRAME (frame-tag bit 0 set) — the real-world animation
+    * shape this keyframe-only decoder names a profile gap. The
+    * container walk is structurally sound; only the sub-frame's
+    * codec profile is outside scope.
+    */
+  def synthVp8xAnimInter(w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1)
+    val inter = new Array[Byte](12)
+    // frame tag: keyframe bit SET (interframe), version 0, partition
+    // length 4 — no start code follows (that's keyframe-only layout)
+    inter(0) = ((4 << 5) | 1).toByte
+    val hdr = new Array[Byte](16)
+    def put24(off: Int, v: Int): Unit = {
+      hdr(off) = (v & 0xFF).toByte
+      hdr(off + 1) = ((v >> 8) & 0xFF).toByte
+      hdr(off + 2) = ((v >> 16) & 0xFF).toByte
+    }
+    put24(6, w - 1); put24(9, h - 1); put24(12, 40)
+    val anim = new Array[Byte](6)
+    anim(3) = 0xFF.toByte // opaque black background
+    riffFile(vp8xChunk(0x02, w, h), chunkBytes("ANIM", anim),
+      chunkBytes("ANMF", hdr ++ chunkBytes("VP8 ", inter)))
+  }
+
   def synthVp8LossyStub(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
     require(w >= 1 && w <= 0x3FFF && h >= 1 && h <= 0x3FFF)
     val payload = new java.io.ByteArrayOutputStream()
@@ -1422,10 +1496,14 @@ object Webp {
       chunkBytes("VP8 ", vp8Frame))
 
   /** One animation frame for [[synthWebpAnim]]: even pixel offsets,
-    * literal-coded RGB content, per-frame blend/dispose flags.
+    * per-frame blend/dispose flags, and EITHER literal-coded RGB
+    * content (`rgb`, embedded as VP8L) or a pre-encoded lossy VP8
+    * keyframe bitstream (`vp8` non-null, embedded as a `VP8 ` chunk,
+    * optionally preceded by a raw ALPH payload in `alph`).
     */
   final case class AnimFrame(x: Int, y: Int, w: Int, h: Int,
-      rgb: Array[Byte], noBlend: Boolean, dispose: Boolean)
+      rgb: Array[Byte], noBlend: Boolean, dispose: Boolean,
+      vp8: Array[Byte] = null, alph: Array[Byte] = null)
 
   /** An animated WebP: VP8X(ANIM) + ANIM(background, loop) + one ANMF
     * per frame, each embedding a literal VP8L sub-image.
@@ -1452,8 +1530,11 @@ object Webp {
       put24(6, f.w - 1); put24(9, f.h - 1)
       put24(12, 40) // duration ms
       hdr(15) = ((if (f.noBlend) 2 else 0) | (if (f.dispose) 1 else 0)).toByte
-      chunkBytes("ANMF",
-        hdr ++ chunkBytes("VP8L", vp8lLiteralPayload(f.w, f.h, f.rgb)))
+      val img =
+        if (f.vp8 == null) chunkBytes("VP8L", vp8lLiteralPayload(f.w, f.h, f.rgb))
+        else if (f.alph == null) chunkBytes("VP8 ", f.vp8)
+        else chunkBytes("ALPH", f.alph) ++ chunkBytes("VP8 ", f.vp8)
+      chunkBytes("ANMF", hdr ++ img)
     }
     riffFile(vp8xChunk(0x02, canvasW, canvasH) +: chunkBytes("ANIM", anim) +:
       anmfs: _*)

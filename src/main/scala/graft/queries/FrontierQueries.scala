@@ -404,6 +404,21 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // Animated WebP whose sub-frames are LOSSY VP8 keyframes (one
+    // under an ALPH transparency plane): decode through Vp8, convert
+    // with the pinned BT.601 integer formula, alpha-blend onto the
+    // canvas, snapshot-undo the trailing dispose — the real-world
+    // animation shape, closing the lossy-in-animation gap.
+    "multimodal_webp_anim_lossy" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoWebpAnimLossyCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.webpAnimStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // REAL lossy VP8 WebP decode (boolean arithmetic decoder,
     // keyframe header, token trees, dequant, inverse WHT+DCT, DC
     // intra prediction) — the majority-share WebP profile. The
@@ -1879,6 +1894,77 @@ object FrontierQueries {
         |  3::BIGINT AS n_frames, sum(r)::BIGINT AS r_sum,
         |  sum(g)::BIGINT AS g_sum, sum(b)::BIGINT AS b_sum
         |FROM v GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // Replays the full lossy-animation pipeline in closed form: each
+    // single-MB VP8 frame's DC reconstruction (same quant tables as
+    // the decoder, interpolated), the pinned BT.601 integer YUV→RGB
+    // conversion as floor arithmetic, per-channel alpha blending over
+    // the already-painted canvas, and the paint order f2 > f1 > f0 >
+    // background.
+    "multimodal_webp_anim_lossy" -> {
+      import graft.operators.Vp8
+      val q2t = (20 until 60).map(Vp8.y2dcQuant).mkString("[", ", ", "]")
+      val quvt = (20 until 60).map(Vp8.uvdcQuant).mkString("[", ", ", "]")
+      // single-MB DC-only reconstruction: uniform Y/U/V per frame
+      def recon(ly: String, lu: String, lv: String, k: Int): String = {
+        val ry = s"CAST(floor((CAST(floor(($ly * q2 + 3) / 8.0) AS BIGINT)" +
+          s" + 4) / 8.0) AS BIGINT)"
+        val ru = s"CAST(floor(($lu * quv + 4) / 8.0) AS BIGINT)"
+        val rv = s"CAST(floor(($lv * quv + 4) / 8.0) AS BIGINT)"
+        s"GREATEST(0, LEAST(255, 128 + $ry)) AS y$k, " +
+          s"GREATEST(0, LEAST(255, 128 + $ru)) AS u$k, " +
+          s"GREATEST(0, LEAST(255, 128 + $rv)) AS v$k"
+      }
+      // the pinned BT.601 limited-range fixed-point conversion;
+      // arithmetic shifts are floor division
+      def rgbOf(k: Int): String = {
+        val c = s"(y$k - 16)"
+        val d = s"(u$k - 128)"
+        val e = s"(v$k - 128)"
+        def cl(x: String) =
+          s"GREATEST(0, LEAST(255, CAST(floor(($x + 128) / 256.0) AS BIGINT)))"
+        s"${cl(s"298*$c + 409*$e")} AS fr$k, " +
+          s"${cl(s"298*$c - 100*$d - 208*$e")} AS fg$k, " +
+          s"${cl(s"298*$c + 516*$d")} AS fb$k"
+      }
+      def blend(src: String, dst: String): String =
+        s"($src * a1 + ($dst) * (255 - a1)) // 255"
+      def chan(f2: String, f1: String, f0: String, bgm: Long): String =
+        s"""CASE WHEN in2 THEN $f2
+           |      WHEN in1 THEN ${blend(f1,
+          s"CASE WHEN in0 THEN (doc_id*$f0)%256 ELSE (doc_id*$bgm)%256 END")}
+           |      WHEN in0 THEN (doc_id*$f0)%256
+           |      ELSE (doc_id*$bgm)%256 END""".stripMargin
+      s"""WITH t AS (SELECT doc_id,
+        |    $q2t[(doc_id % 40 + 1)::INT] AS q2,
+        |    $quvt[(doc_id % 40 + 1)::INT] AS quv,
+        |    (30 + (doc_id*29) % 196) AS a1
+        |  FROM documents),
+        |f AS (SELECT doc_id, a1,
+        |    ${recon("((doc_id*3)%25 - 12)", "((doc_id*7)%13 - 6)",
+          "((doc_id*11)%13 - 6)", 1)},
+        |    ${recon("((doc_id*5 + 7)%25 - 12)", "((doc_id*13 + 1)%13 - 6)",
+          "((doc_id*17 + 2)%13 - 6)", 2)}
+        |  FROM t),
+        |g AS (SELECT *, ${rgbOf(1)}, ${rgbOf(2)} FROM f),
+        |px AS (SELECT g.*, x, y
+        |  FROM g, range(0, 24) t1(x), range(0, 16) t2(y)),
+        |c AS (SELECT *,
+        |    (x >= 2*(doc_id % 5) AND x < 2*(doc_id % 5) + 10 AND
+        |     y >= 2*(doc_id % 3) AND y < 2*(doc_id % 3) + 6) AS in2,
+        |    (x >= 8 AND x < 20 AND y >= 4 AND y < 12) AS in1,
+        |    (x < 12 AND y < 8) AS in0
+        |  FROM px),
+        |v AS (SELECT doc_id,
+        |    ${chan("fr2", "fr1", "5", 13)} AS r,
+        |    ${chan("fg2", "fg1", "7", 17)} AS g,
+        |    ${chan("fb2", "fb1", "11", 19)} AS b
+        |  FROM c)
+        |SELECT doc_id AS media_id, 24::INT AS width, 16::INT AS height,
+        |  3::BIGINT AS n_frames, sum(r)::BIGINT AS r_sum,
+        |  sum(g)::BIGINT AS g_sum, sum(b)::BIGINT AS b_sum
+        |FROM v GROUP BY doc_id ORDER BY media_id""".stripMargin
+    },
 
     // Replays the VP8 reconstruction in closed form: dequant (y2dc/
     // uvdc values interpolated from the SAME tables the decoder

@@ -325,4 +325,78 @@ class WebpSpec extends AnyFunSuite {
       Webp.webpAnimate(anim.take(cut))
   }
 
+  test("animation composes LOSSY keyframe sub-frames with ALPH blending") {
+    import graft.operators.Vp8
+    def clamp(v: Int): Int = math.max(0, math.min(255, v))
+    // independent closed-form replay of the single-MB DC reconstruction
+    // and the pinned BT.601 conversion (the same algebra the driver
+    // oracle uses — derived here, not read back from the decoder)
+    def frameRgb(qIdx: Int, ly: Int, lu: Int, lv: Int): (Int, Int, Int) = {
+      val ry = (((ly * Vp8.y2dcQuant(qIdx) + 3) >> 3) + 4) >> 3
+      val yv = clamp(128 + ry)
+      val uv = clamp(128 + ((lu * Vp8.uvdcQuant(qIdx) + 4) >> 3))
+      val vv = clamp(128 + ((lv * Vp8.uvdcQuant(qIdx) + 4) >> 3))
+      val c = yv - 16; val d = uv - 128; val e = vv - 128
+      (clamp((298 * c + 409 * e + 128) >> 8),
+        clamp((298 * c - 100 * d - 208 * e + 128) >> 8),
+        clamp((298 * c + 516 * d + 128) >> 8))
+    }
+    for (id <- Seq(0L, 1L, 7L, 23L, 38L)) {
+      val qIdx = (20 + id % 40).toInt
+      val a1 = (30 + (id * 29) % 196).toInt
+      val bgC = (((id * 13) % 256).toInt, ((id * 17) % 256).toInt,
+        ((id * 19) % 256).toInt)
+      val f0C = (((id * 5) % 256).toInt, ((id * 7) % 256).toInt,
+        ((id * 11) % 256).toInt)
+      val f1C = frameRgb(qIdx, ((id * 3) % 25 - 12).toInt,
+        ((id * 7) % 13 - 6).toInt, ((id * 11) % 13 - 6).toInt)
+      val f2C = frameRgb(qIdx, ((id * 5 + 7) % 25 - 12).toInt,
+        ((id * 13 + 1) % 13 - 6).toInt, ((id * 17 + 2) % 13 - 6).toInt)
+      def blend(s: Int, d: Int): Int = (s * a1 + d * (255 - a1)) / 255
+      val f0rgb = Array.tabulate(12 * 8 * 3)(i => (i % 3 match {
+        case 0 => f0C._1; case 1 => f0C._2; case _ => f0C._3 }).toByte)
+      def lossy(w: Int, h: Int, ly: Int, lu: Int, lv: Int): Array[Byte] =
+        Vp8.synthVp8Frame(w, h, qIdx, (_, _) => ly, (_, _) => lu, (_, _) => lv)
+      val alph = Webp.synthAlphPayload(12, 8, Array.fill(12 * 8)(a1.toByte),
+        (id % 4).toInt, compressed = id % 2 == 1)
+      val bg = 0xFF000000 | (bgC._1 << 16) | (bgC._2 << 8) | bgC._3
+      val (f2x, f2y) = (2 * (id % 5).toInt, 2 * (id % 3).toInt)
+      val anim = Webp.synthWebpAnim(24, 16, bg, 0, Seq(
+        Webp.AnimFrame(0, 0, 12, 8, f0rgb, noBlend = false, dispose = false),
+        Webp.AnimFrame(8, 4, 12, 8, null, noBlend = false, dispose = false,
+          vp8 = lossy(12, 8, ((id * 3) % 25 - 12).toInt,
+            ((id * 7) % 13 - 6).toInt, ((id * 11) % 13 - 6).toInt),
+          alph = alph),
+        Webp.AnimFrame(f2x, f2y, 10, 6, null, noBlend = true, dispose = true,
+          vp8 = lossy(10, 6, ((id * 5 + 7) % 25 - 12).toInt,
+            ((id * 13 + 1) % 13 - 6).toInt, ((id * 17 + 2) % 13 - 6).toInt))))
+      val got = Webp.webpAnimate(anim)
+      assert(got != null, s"id=$id animate")
+      val (gw, gh, n, rgb) = got
+      assert(gw == 24 && gh == 16 && n == 3, s"id=$id shape")
+      for (y <- 0 until 16; x <- 0 until 24) {
+        val in2 = x >= f2x && x < f2x + 10 && y >= f2y && y < f2y + 6
+        val in1 = x >= 8 && x < 20 && y >= 4 && y < 12
+        val in0 = x < 12 && y < 8
+        val dst = if (in0) f0C else bgC
+        val want =
+          if (in2) f2C
+          else if (in1) (blend(f1C._1, dst._1), blend(f1C._2, dst._2),
+            blend(f1C._3, dst._3))
+          else if (in0) f0C
+          else bgC
+        val i = (y * 24 + x) * 3
+        assert(((rgb(i) & 0xFF), (rgb(i + 1) & 0xFF), (rgb(i + 2) & 0xFF))
+          == want, s"id=$id ($x,$y)")
+      }
+      assert(graft.operators.Multimodal.mediaDecodeClass(anim) == ("webp", "ok"))
+    }
+    // an animation carrying a lossy INTERFRAME stays the named gap
+    val inter = Webp.synthVp8xAnimInter(40, 30)
+    assert(Webp.webpAnimate(inter) == null)
+    assert(Webp.probe(inter)._1 == "vp8x-anim")
+    assert(graft.operators.Multimodal.mediaDecodeClass(inter)
+      == ("webp", "unsupported_profile"))
+  }
+
 }
