@@ -387,10 +387,9 @@ object Multimodal {
       }
     }
     if (Bzip2.isBzip2(b)) {
-      // REAL decode (from-scratch BWT/Huffman/MTF) then classify the
-      // payload; deprecated randomised blocks are the named gap
+      // REAL decode (from-scratch BWT/Huffman/MTF, deprecated
+      // randomised blocks included) then classify the payload
       return Bzip2.decodeResult(b) match {
-        case Bzip2.Unsupported => ("bzip2", "unsupported_profile")
         case Bzip2.Corrupt => ("bzip2", "corrupt")
         case Bzip2.Ok(plain) =>
           if (plain.length >= 5 &&
@@ -2871,12 +2870,15 @@ object Multimodal {
     * framing: crawl `id` holds `2 + id%3` records cycling
     * response/request/metadata, record `s` carrying a
     * `24 + (id+s)%20`-byte payload (byte `j` =
-    * `(id*19 + s*7 + j*13) % 256`), the whole WARC compressed as ONE
-    * bzip2 stream by the independent commons-compress implementation
+    * `(id*19 + s*7 + j*13) % 256`). Most ids compress the WARC as ONE
+    * bzip2 stream via the independent commons-compress implementation
     * Spark bundles at level `1 + id%9` — so the from-scratch decoder
     * must read real multi-table Huffman/BWT streams, not echoes of
-    * its own writer (it has none). The oracle replays the payload
-    * generator.
+    * its own writer. Ids with `id%4 == 3` instead use the deprecated
+    * 0.9.0 RANDOMISED profile via [[Bzip2.synthBzip2]] (no modern
+    * encoder can produce it), exercising the `randtable` path the
+    * driver gate would otherwise never see. The oracle replays the
+    * payload generator.
     */
   def demoWarcBzip2Corpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -2891,12 +2893,18 @@ object Multimodal {
           ((id * 19 + sIdx * 7 + j.toLong * 13) % 256).toByte))
       }
       val warc = Containers.synthWarc(recs)
-      val bos = new java.io.ByteArrayOutputStream()
-      val z = new org.apache.commons.compress.compressors.bzip2
-        .BZip2CompressorOutputStream(bos, (1 + id % 9).toInt)
-      z.write(warc)
-      z.close()
-      MediaFile(id, "crawl", bos.toByteArray)
+      val blob =
+        if (id % 4 == 3)
+          Bzip2.synthBzip2(warc, (1 + id % 9).toInt, randomised = true)
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorOutputStream(bos, (1 + id % 9).toInt)
+          z.write(warc)
+          z.close()
+          bos.toByteArray
+        }
+      MediaFile(id, "crawl", blob)
     })
   }
 

@@ -87,4 +87,50 @@ class Bzip2Spec extends AnyFunSuite {
     assert(Bzip2.decode(bad) == null)
   }
 
+  test("RNums matches commons-compress's independent randtable transcription") {
+    val cls = Class.forName(
+      "org.apache.commons.compress.compressors.bzip2.Rand")
+    val m = cls.getDeclaredMethod("rNums", classOf[Int])
+    m.setAccessible(true)
+    for (i <- 0 until 512)
+      assert(m.invoke(null, Int.box(i)) == Int.box(Bzip2.RNums(i)), s"i=$i")
+  }
+
+  test("synth streams decode in BOTH implementations, plain and RANDOMISED") {
+    val payloads = Seq(
+      "x".getBytes("US-ASCII"),
+      texty(100, 31), texty(5000, 32), gen(8000, 33),
+      Array.fill[Byte](4)(7), Array.fill[Byte](259)(9),
+      Array.fill[Byte](260)(9), Array.fill[Byte](1000)(0) ++ texty(50, 34))
+    for ((p, i) <- payloads.zipWithIndex; level <- Seq(1, 9);
+         rnd <- Seq(false, true)) {
+      val z = Bzip2.synthBzip2(p, level, randomised = rnd)
+      // our own decoder round-trips
+      val mine = Bzip2.decode(z)
+      assert(mine != null && java.util.Arrays.equals(mine, p),
+        s"self payload $i level $level rnd=$rnd")
+      // the independent implementation agrees — THE randtable pin:
+      // commons-compress carries its own 0.9.0 table, so a wrong
+      // RNums entry or a misplaced flip breaks this cross-decode
+      val in = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(new java.io.ByteArrayInputStream(z))
+      val got = in.readAllBytes()
+      in.close()
+      assert(java.util.Arrays.equals(got, p),
+        s"commons payload $i level $level rnd=$rnd")
+    }
+    // empty input: header + footer, zero blocks, both readers
+    val empty = Bzip2.synthBzip2(Array.emptyByteArray)
+    assert(Bzip2.decode(empty) != null && Bzip2.decode(empty).isEmpty)
+    // multi-block randomised synth (level 1, >100k plaintext)
+    val big = texty(250000, 35)
+    val zr = Bzip2.synthBzip2(big, 1, randomised = true)
+    assert(java.util.Arrays.equals(Bzip2.decode(zr), big))
+    // damage in a randomised stream is still caught by the block CRC
+    val bad = zr.clone()
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x08).toByte
+    val out = Bzip2.decode(bad)
+    if (out != null) assert(java.util.Arrays.equals(out, big))
+  }
+
 }
