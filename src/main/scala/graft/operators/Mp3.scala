@@ -88,8 +88,10 @@ object Mp3 {
     }
   }
 
-  /** Parse the header at `off`; null when it isn't a valid,
-    * non-free-format frame header.
+  /** Parse the header at `off`; null when it isn't a valid frame
+    * header. Bitrate index 0 (FREE FORMAT) parses with
+    * `bitrateKbps = 0` — its frame size is unsignaled, recovered by
+    * [[parse]]'s free-format walk.
     */
   private def header(b: Array[Byte], off: Int): Header = {
     if (off + 4 > b.length) return null
@@ -101,7 +103,7 @@ object Mp3 {
     val layer = 4 - layerBits
     val crc = (b(off + 1) & 1) == 0
     val bitrateIdx = (b(off + 2) >> 4) & 15
-    if (bitrateIdx == 0 || bitrateIdx == 15) return null // free format / bad
+    if (bitrateIdx == 15) return null // invalid
     val srIdx = (b(off + 2) >> 2) & 3
     if (srIdx == 3) return null
     val sr = (verBits match {
@@ -113,9 +115,13 @@ object Mp3 {
     Header(verBits, layer, crc, br, bitrateIdx, sr, srIdx, padding, channels)
   }
 
-  /** True when a valid-but-FREE-FORMAT header leads (bitrate index
-    * 0): a profile this walk names but doesn't measure — frame sizes
-    * are unsignaled.
+  /** True when a valid FREE-FORMAT header leads (bitrate index 0).
+    * Free-format streams DECODE now (the walk recovers the unsignaled
+    * frame size and verifies the stream tiles at it) — the classifier
+    * consults this only after [[parse]] failed, so it names the
+    * residual shapes the recovery genuinely can't measure: a lone
+    * frame with no second sync, or a free-format lead over bytes that
+    * tile at no size.
     */
   def unsupportedProfile(b0: Array[Byte]): Boolean = {
     val b = Id3.strip(b0)
@@ -128,14 +134,18 @@ object Mp3 {
   /** Walk every frame: a leading ID3v2 tag and a trailing 128-byte
     * ID3v1 `TAG` block are transparent; version/layer/samplerate/
     * channel mode must stay constant across frames (one stream);
-    * bitrate may vary (VBR). Null on truncation, sync loss, reserved
-    * fields, or free format — degrade, don't throw.
+    * bitrate may vary (VBR). FREE-FORMAT streams (bitrate index 0)
+    * walk too: the unsignaled frame size is recovered by scanning for
+    * the next matching sync and verifying the whole stream tiles at
+    * that size. Null on truncation, sync loss, or reserved fields —
+    * degrade, don't throw.
     */
   def parse(b0: Array[Byte]): Mp3Info = {
     val b = Id3.strip(b0)
     if (b == null || b.length < 4) return null
     val first = header(b, 0)
     if (first == null) return null
+    if (first.bitrateIdx == 0) return parseFree(b, first)
 
     /** Walk frames to exactly `end`; (frames, bytes, vbr) or null. */
     def walkTo(end: Int): (Long, Long, Boolean) = {
@@ -147,7 +157,8 @@ object Mp3 {
         val h = header(b, p)
         if (h == null) return null
         if (h.verBits != first.verBits || h.layer != first.layer ||
-            h.srIdx != first.srIdx || h.channels != first.channels)
+            h.srIdx != first.srIdx || h.channels != first.channels ||
+            h.bitrateIdx == 0) // free frames can't mix into a rated stream
           return null
         if (h.bitrateIdx != first.bitrateIdx) vbr = true
         val len = h.frameLen
@@ -177,6 +188,70 @@ object Mp3 {
     Mp3Info(first.versionString, first.layer, first.channels,
       first.sampleRate, n, bytes, first.samplesPerFrame, first.bitrateKbps,
       vbr || xingIsVbr, xing)
+  }
+
+  /** FREE-FORMAT walk (bitrate index 0): the frame size is
+    * unsignaled, so recover it — scan for the next header matching
+    * the first (free frames can only follow free frames), derive the
+    * base size from that candidate minus the first frame's padding
+    * slot, and VERIFY the whole stream tiles at it (per-frame padding
+    * honored). Entropy bytes can fake a sync, so failed candidates
+    * retry (bounded) — the verification pass is what real decoders
+    * lean on too. The reported bitrate is the derived
+    * `base*sampleRate/slotFactor` truncated to kbps, `vbr` false
+    * (free format is constant-size by definition), no Xing.
+    */
+  private def parseFree(b: Array[Byte], first: Header): Mp3Info = {
+    val slot = if (first.layer == 1) 4 else 1
+    def matches(h: Header): Boolean =
+      h != null && h.bitrateIdx == 0 && h.verBits == first.verBits &&
+        h.layer == first.layer && h.srIdx == first.srIdx &&
+        h.channels == first.channels
+    def walkTo(end: Int, base: Int): (Long, Long) = {
+      var p = 0
+      var n = 0L
+      var bytes = 0L
+      while (p < end) {
+        if (!matches(header(b, p))) return null
+        val len = base + slot * ((b(p + 2) >> 1) & 1)
+        if (p + len > end) return null
+        p += len
+        n += 1
+        bytes += len
+      }
+      if (n < 2) null else (n, bytes) // a lone frame proves no size
+    }
+    val hasTag = b.length >= 132 && b(b.length - 128) == 'T' &&
+      b(b.length - 127) == 'A' && b(b.length - 126) == 'G'
+    var q = 8 // smallest conceivable frame: header + some payload
+    var tried = 0
+    while (q + 4 <= b.length && tried < 64) {
+      if (matches(header(b, q))) {
+        tried += 1
+        val base = q - slot * first.padding
+        if (base >= 8) {
+          val walked =
+            if (hasTag) {
+              val t = walkTo(b.length - 128, base)
+              if (t != null) t else walkTo(b.length, base)
+            } else walkTo(b.length, base)
+          if (walked != null) {
+            val (n, bytes) = walked
+            val div = first.layer match {
+              case 1 => 48000L
+              case 2 => 144000L
+              case _ => if (first.verBits == 3) 144000L else 72000L
+            }
+            val kbps = (base.toLong * first.sampleRate / div).toInt
+            return Mp3Info(first.versionString, first.layer, first.channels,
+              first.sampleRate, n, bytes, first.samplesPerFrame, kbps,
+              vbr = false, -1L)
+          }
+        }
+      }
+      q += 1
+    }
+    null
   }
 
   /** The Xing/Info frame count from the FIRST frame (Layer III
@@ -251,6 +326,38 @@ object Mp3 {
         body(off + 10) = ((nFrames >> 8) & 0xFF).toByte
         body(off + 11) = (nFrames & 0xFF).toByte
       }
+      out.write(body, 0, len)
+    }
+    out.toByteArray
+  }
+
+  /** A FREE-FORMAT stream (bitrate index 0): every frame is
+    * `base + slot*pad` bytes (slot 4 for Layer I, 1 otherwise), size
+    * signaled by NOTHING — the walk must recover it. Payload bytes
+    * are masked to 0x7F so no false sync precedes the real frame-1
+    * header (real free-format encoders can't promise that, which is
+    * exactly why the walk retries candidates; fixtures keep the
+    * recovery deterministic).
+    */
+  def synthMp3Free(version: Int, layer: Int, srIdx: Int, mono: Boolean,
+      nFrames: Int, base: Int, padFn: Int => Int,
+      payload: (Int, Int) => Byte): Array[Byte] = {
+    require(Seq(1, 2, 25).contains(version) && layer >= 1 && layer <= 3)
+    require(srIdx >= 0 && srIdx <= 2 && nFrames >= 2 && base >= 8)
+    val slot = if (layer == 1) 4 else 1
+    require(layer != 1 || base % 4 == 0, "Layer I frames are 4-byte slotted")
+    val verBits = version match { case 1 => 3; case 2 => 2; case _ => 0 }
+    val out = new java.io.ByteArrayOutputStream()
+    for (f <- 0 until nFrames) {
+      val pad = padFn(f) & 1
+      val len = base + slot * pad
+      val body = new Array[Byte](len)
+      body(0) = 0xFF.toByte
+      body(1) = (0xE0 | (verBits << 3) | ((4 - layer) << 1) | 1).toByte
+      body(2) = ((srIdx << 2) | (pad << 1)).toByte // bitrate index 0
+      body(3) = (if (mono) 0xC0 else 0x00).toByte
+      var j = 4
+      while (j < len) { body(j) = (payload(f, j - 4) & 0x7F).toByte; j += 1 }
       out.write(body, 0, len)
     }
     out.toByteArray

@@ -320,9 +320,10 @@ object Multimodal {
     }
     if (fmt == "mp3") {
       // REAL frame-header walk (framing, bitrate/duration layout,
-      // Xing) — sample synthesis (the psychoacoustic transform)
-      // stays the named gap, reported for free-format streams whose
-      // frame sizes are unsignaled
+      // Xing; free-format sizes recovered by scan-and-tile) — sample
+      // synthesis (the psychoacoustic transform) stays the named gap;
+      // unsupported_profile now covers only free-format leads whose
+      // size recovery failed (lone frame, nothing tiles)
       return ("mp3",
         if (Mp3.parse(b) != null) "ok"
         else if (Mp3.unsupportedProfile(b)) "unsupported_profile"
@@ -2514,6 +2515,39 @@ object Multimodal {
         else stream
       val full =
         if (id % 5 == 2) tagged ++ Mp3.synthId3v1(s"t$id") else tagged
+      MediaFile(id, "audio", full)
+    })
+  }
+
+  /** Deterministic FREE-FORMAT MP3 corpus (bitrate index 0 — the
+    * frame size is unsignaled and must be recovered by scan-and-tile):
+    * stream `id` is version 1/2/2.5 by `id%3`, layer `1 + (id/3)%3`,
+    * samplerate index `(id/2)%3`, mono on even ids, `3 + id%5` frames
+    * of base size `4*(28 + id%9)` (Layer I, 4-byte slots) or
+    * `96 + (id%31)*3` (Layers II/III), frame `f` padded by `(id+f)%2`;
+    * `id%3==1` streams carry a leading ID3v2 tag and `id%5==2` a
+    * trailing ID3v1 block. The oracle replays the size algebra and
+    * the derived-bitrate truncation.
+    */
+  def demoMp3FreeCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val version = Seq(1, 2, 25)((id % 3).toInt)
+      val layer = 1 + ((id / 3) % 3).toInt
+      val srIdx = ((id / 2) % 3).toInt
+      val mono = id % 2 == 0
+      val nFrames = (3 + id % 5).toInt
+      val base =
+        if (layer == 1) 4 * (28 + id % 9).toInt
+        else 96 + ((id % 31) * 3).toInt
+      val stream = Mp3.synthMp3Free(version, layer, srIdx, mono, nFrames,
+        base, f => ((id + f) % 2).toInt,
+        (f, j) => ((id * 7 + f * 31 + j.toLong * 13) % 256).toByte)
+      val tagged =
+        if (id % 3 == 1) Id3.synthTag(4, Seq(("TIT2", s"free $id", 3)), stream)
+        else stream
+      val full =
+        if (id % 5 == 2) tagged ++ Mp3.synthId3v1(s"f$id") else tagged
       MediaFile(id, "audio", full)
     })
   }

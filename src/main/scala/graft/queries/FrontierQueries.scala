@@ -447,6 +447,21 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // FREE-FORMAT MPEG audio (bitrate index 0): the frame size is
+    // unsignaled, recovered by scanning for the next matching sync
+    // and verifying the stream tiles at it — the walk real decoders
+    // do. The oracle replays the size algebra and the
+    // derived-bitrate truncation.
+    "audio_mp3_freeformat" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoMp3FreeCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.mp3Stats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // MPEG-audio frame-header walk: version/layer/bitrate/samplerate
     // tables, padding slots, Xing VBR headers, ID3v2/v1 tags — the
     // audit columns a music/podcast corpus filters on. The oracle
@@ -2057,6 +2072,43 @@ object FrontierQueries {
     // samplerate tables the decoder and synthesizer share
     // (interpolated below — no transcription to diverge). Truncating
     // integer division throughout, matching the slot arithmetic.
+    // Replays the free-format size algebra: base size per layer,
+    // 4-byte Layer-I padding slots, tiled byte totals, and the
+    // derived bitrate base*sr // slotFactor — the same truncation the
+    // walk reports.
+    "audio_mp3_freeformat" ->
+      """WITH p AS (SELECT doc_id,
+        |    doc_id % 3 AS vi,
+        |    (1 + (doc_id // 3) % 3) AS layer,
+        |    ((doc_id // 2) % 3) AS sri,
+        |    (3 + doc_id % 5) AS nf
+        |  FROM documents),
+        |t AS (SELECT *,
+        |    CASE WHEN layer = 1 THEN 4*(28 + doc_id % 9)
+        |         ELSE 96 + (doc_id % 31)*3 END AS base,
+        |    CASE WHEN layer = 1 THEN 4 ELSE 1 END AS slot,
+        |    CASE WHEN vi = 0 THEN [44100, 48000, 32000][(sri+1)::INT]
+        |         WHEN vi = 1 THEN [22050, 24000, 16000][(sri+1)::INT]
+        |         ELSE [11025, 12000, 8000][(sri+1)::INT] END AS sr,
+        |    CASE WHEN layer = 1 THEN 384 WHEN layer = 2 THEN 1152
+        |         WHEN vi = 0 THEN 1152 ELSE 576 END AS spf
+        |  FROM p)
+        |SELECT doc_id AS media_id,
+        |  CASE vi WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END AS version,
+        |  layer::INT AS layer,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END::INT AS channels,
+        |  sr::INT AS sample_rate,
+        |  nf::BIGINT AS n_frames,
+        |  list_sum(list_transform(range(0, nf), f ->
+        |    base + slot * ((doc_id + f) % 2)))::BIGINT AS total_bytes,
+        |  ((nf * spf * 1000) // sr)::BIGINT AS duration_ms,
+        |  (base * sr // CASE WHEN layer = 1 THEN 48000
+        |    WHEN layer = 2 THEN 144000
+        |    WHEN vi = 0 THEN 144000 ELSE 72000 END)::INT AS bitrate_kbps,
+        |  false AS vbr,
+        |  (-1)::BIGINT AS xing_frames
+        |FROM t ORDER BY media_id""".stripMargin,
+
     "audio_mp3_metadata" -> {
       import graft.operators.Mp3
       def L(a: Array[Int]) = a.mkString("[", ", ", "]")

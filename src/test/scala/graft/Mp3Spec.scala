@@ -78,11 +78,53 @@ class Mp3Spec extends AnyFunSuite {
     val reserved = b.clone()
     reserved(1) = (reserved(1) & ~0x08).toByte // version bits 01 = reserved
     assert(Mp3.parse(reserved) == null)
+    // a free-format LEAD over rated frames tiles at no size: the
+    // recovery fails and the profile check names the residue
     val free = b.clone()
     free(2) = (free(2) & 0x0F).toByte // bitrate index 0 = free format
     assert(Mp3.parse(free) == null)
     assert(Mp3.unsupportedProfile(free))
     assert(!Mp3.unsupportedProfile(b))
+  }
+
+  test("FREE-FORMAT streams recover their unsignaled frame size") {
+    for ((version, layer, srIdx, mono, nf, base) <- Seq(
+        (1, 1, 0, false, 5, 4 * 30), // Layer I: 4-byte slots
+        (1, 3, 1, true, 4, 181),
+        (2, 2, 2, false, 3, 96),
+        (25, 3, 0, true, 6, 144))) {
+      val b = Mp3.synthMp3Free(version, layer, srIdx, mono, nf, base,
+        f => f % 2, pay)
+      val i = Mp3.parse(b)
+      assert(i != null, s"v$version L$layer")
+      val slot = if (layer == 1) 4 else 1
+      val wantBytes = (0 until nf).map(f => base + slot * (f % 2)).sum
+      assert(i.nFrames == nf && i.totalFrameBytes == wantBytes,
+        s"v$version L$layer layout")
+      assert(!i.vbr && i.xingFrames == -1L)
+      // derived bitrate: base*sr truncated by the layer's slot factor
+      val div = layer match {
+        case 1 => 48000L
+        case 2 => 144000L
+        case _ => if (version == 1) 144000L else 72000L
+      }
+      assert(i.bitrateKbps == (base.toLong * i.sampleRate / div).toInt,
+        s"v$version L$layer kbps")
+      assert(Multimodal.mediaDecodeClass(b) == ("mp3", "ok"))
+      // ID3 tags stay transparent around free-format frames
+      val wrapped = graft.operators.Id3.synthTag(4,
+        Seq(("TIT2", "ff", 3)), b) ++ Mp3.synthId3v1("ff")
+      val wi = Mp3.parse(wrapped)
+      assert(wi != null && wi.nFrames == nf, s"v$version L$layer tagged")
+    }
+    // a LONE free-format frame proves no size — named, not corrupt
+    val lone = Mp3.synthMp3Free(1, 3, 0, mono = true, 2, 120, _ => 0, pay)
+      .take(120)
+    assert(Mp3.parse(lone) == null)
+    assert(Mp3.unsupportedProfile(lone))
+    // truncation mid-frame degrades to null
+    val full = Mp3.synthMp3Free(1, 3, 0, mono = true, 4, 120, _ => 0, pay)
+    assert(Mp3.parse(full.take(full.length - 7)) == null)
   }
 
   test("classification: a full walk names untagged mp3, weak syncs stay unknown") {
