@@ -10,7 +10,9 @@ package graft.operators
   * directory scan from the tail (tolerating a trailing comment),
   * central-directory entry walk, per-member LOCAL header re-read for
   * the true data offset (local and central extra fields legitimately
-  * differ), STORED and DEFLATE methods, and CRC-32 + size
+  * differ), the STORED, DEFLATE, BZIP2 (12), Zstandard (93), and XZ
+  * (95) methods — the latter three through this engine's own
+  * from-scratch [[Bzip2]]/[[Zstd]]/[[Xz]] decoders — CRC-32 + size
   * verification per member, and ZIP64 (the >4 GiB format shape):
   * 0xFFFF/0xFFFFFFFF sentinels resolve through the ZIP64 EOCD
   * locator/record and each entry's 0x0001 extended-information
@@ -218,7 +220,25 @@ object Zip {
         }
         if (got != res.length) return null
         res
-      case _ => return null // other methods: unsupported profile
+      case 12 => // BZIP2 (APPNOTE 4.4.5): a complete .bz2 stream
+        val got = Bzip2.decode(
+          java.util.Arrays.copyOfRange(b, data, data + e.compressedSize.toInt),
+          cap = e.size)
+        if (got == null || got.length != e.size) return null
+        got
+      case 93 => // Zstandard: a complete zstd frame sequence
+        val got = Zstd.decode(
+          java.util.Arrays.copyOfRange(b, data, data + e.compressedSize.toInt),
+          cap = e.size)
+        if (got == null || got.length != e.size) return null
+        got
+      case 95 => // XZ: a complete .xz stream
+        val got = Xz.decode(
+          java.util.Arrays.copyOfRange(b, data, data + e.compressedSize.toInt),
+          cap = e.size)
+        if (got == null || got.length != e.size) return null
+        got
+      case _ => return null // LZMA 14 / legacy methods: unsupported profile
     }
     val crc = new java.util.zip.CRC32()
     crc.update(out)
@@ -255,13 +275,18 @@ object Zip {
     } finally inf.end()
   }
 
-  /** Does any member use a compression method outside STORED/DEFLATE
-    * (bzip2 12, LZMA 14, zstd 93, XZ 95 …)? That's the "ship a
-    * profile" answer, distinct from damage.
+  /** Does any member use a compression method outside the decodable
+    * set — STORED 0, DEFLATE 8, and (through this engine's
+    * from-scratch codec matrix) BZIP2 12, Zstandard 93, XZ 95? LZMA
+    * 14 and the legacy methods (shrink/reduce/implode) remain the
+    * "ship a profile" answer, distinct from damage.
     */
   def unsupportedMethod(b: Array[Byte]): Boolean = {
     val es = entries(b)
-    es != null && es.exists(e => e.method != 0 && e.method != 8)
+    es != null && es.exists(e => e.method match {
+      case 0 | 8 | 12 | 93 | 95 => false
+      case _ => true
+    })
   }
 
   // ---- synthesizer -----------------------------------------------------
@@ -276,6 +301,18 @@ object Zip {
     * shards have, testable on small fixtures.
     */
   def synthZip(files: Seq[(String, Array[Byte], Boolean)],
+      forceZip64: Boolean = false): Array[Byte] =
+    synthZipMethods(
+      files.map { case (n, d, defl) => (n, d, if (defl) 8 else 0) },
+      forceZip64)
+
+  /** [[synthZip]] with an explicit compression method per member:
+    * STORED 0, DEFLATE 8, BZIP2 12 (commons-compress writes the
+    * member stream), Zstandard 93 (zstd-jni), XZ 95 (xz-java) — every
+    * write side an independent implementation, so the reader's codec
+    * dispatch is interop-pinned, not an echo of its own encoders.
+    */
+  def synthZipMethods(files: Seq[(String, Array[Byte], Int)],
       forceZip64: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
@@ -284,13 +321,13 @@ object Zip {
     val ver = if (forceZip64) 45 else 20
     val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
     try {
-      val central = files.map { case (name, data, deflate) =>
+      val central = files.map { case (name, data, method) =>
         val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val crc = new java.util.zip.CRC32()
         crc.update(data)
-        val packed =
-          if (!deflate) data
-          else {
+        val packed = method match {
+          case 0 => data
+          case 8 =>
             defl.reset()
             defl.setInput(data)
             defl.finish()
@@ -301,9 +338,24 @@ object Zip {
               buf.write(tmp, 0, m)
             }
             buf.toByteArray
-          }
+          case 12 =>
+            val buf = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+            val z = new org.apache.commons.compress.compressors.bzip2
+              .BZip2CompressorOutputStream(buf, 1)
+            z.write(data); z.close()
+            buf.toByteArray
+          case 93 =>
+            com.github.luben.zstd.Zstd.compress(data, 3)
+          case 95 =>
+            val buf = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+            val z = new org.tukaani.xz.XZOutputStream(buf,
+              new org.tukaani.xz.LZMA2Options(1))
+            z.write(data); z.close()
+            buf.toByteArray
+          case m => throw new IllegalArgumentException(s"method $m")
+        }
         val lho = out.size().toLong
-        w32(0x04034b50L); w16(ver); w16(0); w16(if (deflate) 8 else 0)
+        w32(0x04034b50L); w16(ver); w16(0); w16(method)
         w16(0); w16(0) // time/date: not consumed by the reader
         w32(crc.getValue)
         if (forceZip64) {
@@ -319,7 +371,7 @@ object Zip {
           out.write(nameB, 0, nameB.length)
         }
         out.write(packed, 0, packed.length)
-        (nameB, if (deflate) 8 else 0, crc.getValue, packed.length.toLong,
+        (nameB, method, crc.getValue, packed.length.toLong,
           data.length.toLong, lho)
       }
       val cdOff = out.size().toLong

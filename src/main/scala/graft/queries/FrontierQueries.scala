@@ -220,6 +220,21 @@ object FrontierQueries {
         .toDF().orderBy("shard_id", "sample_key")
     }),
 
+    // ZIP shards whose members are compressed with the codec MATRIX
+    // (DEFLATE / BZIP2 / Zstandard / XZ, methods 8/12/93/95) — the
+    // three non-DEFLATE streams decode through this engine's own
+    // from-scratch Bzip2/Zstd/Xz decoders, each member still
+    // CRC-32-verified. Write sides are independent implementations.
+    "shard_zip_codecs" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoZipCodecShards(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.zipShardSamples(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("shard_id", "sample_key")
+    }),
+
     // Common-Crawl-shaped WARC ingest: walk REAL record structure
     // (version line, CRLF headers, Content-Length blocks) and reduce
     // the response payloads; odd crawls ship as `.warc.gz` with each
@@ -1656,6 +1671,20 @@ object FrontierQueries {
         |     j -> (doc_id*31 + s*17 + j*7) % 256))
         |   + (doc_id + s) % 256)::BIGINT AS byte_sum
         |FROM k ORDER BY shard_id, sample_key""".stripMargin,
+
+    // Replays the codec-matrix zip-shard generator: flat keys, same
+    // sample formulas — compression methods must be transparent.
+    "shard_zip_codecs" ->
+      """WITH m AS (SELECT doc_id,
+        |    unnest(range(0, (2 + doc_id % 3)::BIGINT)) AS s
+        |  FROM documents)
+        |SELECT doc_id AS shard_id, lpad(s::VARCHAR, 6, '0') AS sample_key,
+        |  2::INT AS n_parts,
+        |  (16 + (doc_id + s) % 8 + 1)::BIGINT AS n_bytes,
+        |  (list_sum(list_transform(range(0, 16 + (doc_id + s) % 8),
+        |     j -> (doc_id*31 + s*17 + j*7) % 256))
+        |   + (doc_id + s) % 256)::BIGINT AS byte_sum
+        |FROM m ORDER BY shard_id, sample_key""".stripMargin,
 
     // Replays the WARC generator: records cycle
     // response/request/metadata; only responses are reduced.
