@@ -1700,6 +1700,7 @@ object Containers {
               java.nio.charset.StandardCharsets.UTF_8)
           }
         case 'K' => () // GNU longlink: link target, not tracked here
+        case 'V' => () // GNU volume label: archive metadata, skipped
         case _ =>
           // POSIX ustar stores the leading directories of >100-byte
           // paths in the 155-byte prefix field — only trusted under
@@ -1948,6 +1949,82 @@ object Containers {
     val pad = (512 - dataLen % 512) % 512
     out.write(new Array[Byte](pad))
     out.toByteArray
+  }
+
+  /** One arbitrary-typeflag tar member's blocks (ustar header +
+    * 512-padded data; no end-of-archive terminator — compose archives
+    * by concatenation plus two final zero blocks). The write side for
+    * the GNU incremental/multi-volume shapes: dumpdir 'D', volume
+    * label 'V', multivolume continuation 'M', alongside regular '0'
+    * files.
+    */
+  def synthTarSpecialMember(name: String, typeflag: Char,
+      data: Array[Byte]): Array[Byte] = {
+    val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(nb.length <= 100, "member name over 100 bytes")
+    val out = new java.io.ByteArrayOutputStream()
+    val h = new Array[Byte](512)
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    def putOctal(off: Int, width: Int, v: Long): Unit = {
+      val s = s"%0${width - 1}o".format(v).getBytes("US-ASCII")
+      System.arraycopy(s, s.length - (width - 1), h, off, width - 1)
+      h(off + width - 1) = 0
+    }
+    putOctal(100, 8, 420)
+    putOctal(108, 8, 0); putOctal(116, 8, 0)
+    putOctal(124, 12, data.length.toLong)
+    putOctal(136, 12, 0)
+    h(156) = typeflag.toByte
+    System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+    h(263) = '0'.toByte; h(264) = '0'.toByte
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (k <- 0 until 512) sum += u8(h, k)
+    val cs = "%06o".format(sum).getBytes("US-ASCII")
+    System.arraycopy(cs, 0, h, 148, 6)
+    h(154) = 0; h(155) = ' '.toByte
+    out.write(h)
+    out.write(data, 0, data.length)
+    out.write(new Array[Byte]((512 - data.length % 512) % 512))
+    out.toByteArray
+  }
+
+  /** One GNU incremental-dump directory listing: the dumpdir member's
+    * name (the directory it describes) and its records — control byte
+    * 'Y' (file present in this dump), 'N' (present in the directory
+    * but not dumped), 'D' (subdirectory), each followed by a
+    * NUL-terminated name. The GNU `--listed-incremental` payload.
+    */
+  final case class TarDumpdir(dir: String, entries: Array[(Char, String)])
+
+  /** Parse every dumpdir ('D') member of a GNU incremental-backup
+    * shard — previously a named profile gap, now first-class
+    * metadata: what a restore pass reads to know which files each
+    * directory held at dump time. Null when the archive walk fails or
+    * any listing is malformed (unknown control byte, unterminated
+    * name) — degrade-don't-throw.
+    */
+  def tarDumpdirs(b: Array[Byte]): Array[TarDumpdir] = {
+    val es = tarEntries(b)
+    if (es == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[TarDumpdir]
+    for (e <- es if e.typeflag == 'D') {
+      val data = tarEntryBytes(b, e)
+      val recs = scala.collection.mutable.ArrayBuffer.empty[(Char, String)]
+      var p = 0
+      while (p < data.length && data(p) != 0) {
+        val c = data(p).toChar
+        if (c != 'Y' && c != 'N' && c != 'D') return null
+        var q = p + 1
+        while (q < data.length && data(q) != 0) q += 1
+        if (q >= data.length) return null // unterminated name
+        recs += ((c, new String(data, p + 1, q - p - 1,
+          java.nio.charset.StandardCharsets.UTF_8)))
+        p = q + 1
+      }
+      out += TarDumpdir(e.name, recs.toArray)
+    }
+    out.toArray
   }
 
   /** One WARC record: header fields plus the absolute byte range of
@@ -4693,7 +4770,11 @@ object Containers {
       if (allZero) return false // end-of-archive
       if (!tarChecksumOk(b, i)) return false // damaged header = corrupt
       b(i + 156).toChar match {
-        case 'D' | 'M' | 'V' => return true
+        // only MULTIVOLUME continuations remain unreadable — one
+        // shard genuinely can't reassemble a member split across
+        // volumes. Dumpdirs ('D') parse via [[tarDumpdirs]] and
+        // volume labels ('V') are skipped metadata now.
+        case 'M' => return true
         case 'S' =>
           // skip the sparse-map continuation blocks before the data
           var extBlocks = 0

@@ -461,8 +461,10 @@ object Multimodal {
     * arithmetic-coded SOF9 (`unsupported_profile`), 6 → valid ustar
     * shard (`tar`/`ok`), 7 → tar with its first name byte flipped so
     * the header checksum mismatches (`tar`/`corrupt`), 8 → tar whose
-    * member is retagged GNU dumpdir with the checksum recomputed
-    * (`tar`/`unsupported_profile`), 9 → valid per-record-gzip WARC
+    * member is retagged GNU MULTIVOLUME with the checksum recomputed —
+    * dumpdirs decode now, so the cross-volume continuation is the
+    * remaining tar gap (`tar`/`unsupported_profile`), 9 → valid
+    * per-record-gzip WARC
     * (`warc`/`ok`), 10 → the same with the final member's CRC/ISIZE
     * trailer cut (`gzip`/`corrupt` — a broken stream can't name its
     * payload), 11 → valid PCM-16 WAV (`wav`/`ok`), 12 → WAV whose fmt
@@ -600,13 +602,14 @@ object Multimodal {
           t(0) = (t(0) ^ 1).toByte
           t
         case 8 =>
-          // retag the member GNU dumpdir and RECOMPUTE the checksum
-          // (field summed as spaces, "%06o\0 " layout, same convention
-          // as synthTar) — a checksum-valid header carrying a profile
-          // the shard reader can't expand (old-GNU SPARSE decodes for
-          // real now, so it can no longer serve as this plant)
+          // retag the member GNU MULTIVOLUME and RECOMPUTE the
+          // checksum (field summed as spaces, "%06o\0 " layout, same
+          // convention as synthTar) — a checksum-valid header carrying
+          // the one profile a single shard genuinely can't expand
+          // (sparse AND dumpdir members decode for real now, so
+          // neither can serve as this plant)
           val t = tarBytes
-          t(156) = 'D'.toByte
+          t(156) = 'M'.toByte
           java.util.Arrays.fill(t, 148, 156, ' '.toByte)
           var sum = 0L
           var k = 0
@@ -1938,6 +1941,73 @@ object Multimodal {
     val base = name.lastIndexOf('/') + 1
     val dot = name.indexOf('.', base)
     if (dot < 0) name else name.substring(0, dot)
+  }
+
+  /** One dumpdir listing's audit row; a single -1 sentinel row for
+    * unreadable shards.
+    */
+  final case class TarDumpdirStats(shard_id: Long, dir: String,
+      n_entries: Int, n_present: Int, n_not_dumped: Int, n_subdirs: Int,
+      name_char_sum: Long)
+
+  /** Parse GNU incremental-dump (dumpdir) listings across a shard
+    * corpus — the `--listed-incremental` metadata a restore pass
+    * reads, previously a named tar profile gap. One partition-wise
+    * pass, one row per dumpdir member.
+    */
+  def tarDumpdirStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[TarDumpdirStats] = {
+    import spark.implicits._
+    media.flatMap { m =>
+      val dds = Containers.tarDumpdirs(m.content)
+      if (dds == null)
+        Seq(TarDumpdirStats(m.media_id, "", -1, -1, -1, -1, -1L))
+      else dds.toSeq.map { d =>
+        var y = 0; var nn = 0; var sd = 0; var cs = 0L
+        d.entries.foreach { case (c, nm) =>
+          c match {
+            case 'Y' => y += 1
+            case 'N' => nn += 1
+            case _ => sd += 1
+          }
+          nm.foreach(ch => cs += ch.toInt)
+        }
+        TarDumpdirStats(m.media_id, d.dir, d.entries.length, y, nn, sd, cs)
+      }
+    }
+  }
+
+  /** Deterministic GNU incremental-backup corpus: shard `id` leads
+    * with a volume label ('V', skipped metadata) on `id%3==0`, then a
+    * dumpdir member `dir{id%7}/` whose listing holds `2 + id%4`
+    * records — control `Y/N/D` by `(id+e)%3`, names `f{id%10}_{e}` —
+    * then a regular payload file. The oracle replays the listing
+    * generator; the walk must skip the label, parse the dumpdir, and
+    * keep the file.
+    */
+  def demoTarIncrementalCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val bos = new java.io.ByteArrayOutputStream()
+      if (id % 3 == 0)
+        bos.write(Containers.synthTarSpecialMember(s"vol-$id", 'V',
+          Array.empty[Byte]))
+      val n = (2 + id % 4).toInt
+      val listing = new java.io.ByteArrayOutputStream()
+      for (e <- 0 until n) {
+        listing.write(Seq('Y', 'N', 'D')(((id + e) % 3).toInt))
+        listing.write(s"f${id % 10}_$e".getBytes("UTF-8"))
+        listing.write(0)
+      }
+      listing.write(0) // GNU ends the listing with an empty record
+      bos.write(Containers.synthTarSpecialMember(s"dir${id % 7}/", 'D',
+        listing.toByteArray))
+      bos.write(Containers.synthTarSpecialMember(s"payload$id.bin", '0',
+        Array.tabulate((20 + id % 12).toInt)(j =>
+          ((id * 11 + j * 3) % 256).toByte)))
+      bos.write(new Array[Byte](1024))
+      MediaFile(id, "shard", bos.toByteArray)
+    })
   }
 
   def tarShardSamples(spark: SparkSession,

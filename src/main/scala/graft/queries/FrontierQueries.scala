@@ -204,6 +204,19 @@ object FrontierQueries {
         .toDF().orderBy("shard_id", "sample_key")
     }),
 
+    // GNU incremental-backup tar ingest: dumpdir ('D') listings parse
+    // into restore metadata (present / not-dumped / subdirectory
+    // records), volume labels skip — previously named profile gaps.
+    "shard_tar_dumpdir" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoTarIncrementalCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.tarDumpdirStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("shard_id", "dir")
+    }),
+
     // ZIP-shard reading — the other archive format real datasets ship
     // in: EOCD scan, central-directory walk, per-member local-header
     // re-read, STORED + DEFLATE decode with CRC-32 verification,
@@ -1671,6 +1684,23 @@ object FrontierQueries {
         |     j -> (doc_id*31 + s*17 + j*7) % 256))
         |   + (doc_id + s) % 256)::BIGINT AS byte_sum
         |FROM k ORDER BY shard_id, sample_key""".stripMargin,
+
+    // Replays the dumpdir listing generator: control cycle, name
+    // char sums (ASCII algebra: 'f'=102, '_'=95, digits 48+d).
+    "shard_tar_dumpdir" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 4 AS n FROM documents)
+        |SELECT doc_id AS shard_id,
+        |  'dir' || (doc_id % 7)::VARCHAR || '/' AS dir,
+        |  n::INT AS n_entries,
+        |  length(list_filter(range(0, n),
+        |    e -> (doc_id + e) % 3 = 0))::INT AS n_present,
+        |  length(list_filter(range(0, n),
+        |    e -> (doc_id + e) % 3 = 1))::INT AS n_not_dumped,
+        |  length(list_filter(range(0, n),
+        |    e -> (doc_id + e) % 3 = 2))::INT AS n_subdirs,
+        |  list_sum(list_transform(range(0, n),
+        |    e -> 293 + doc_id % 10 + e))::BIGINT AS name_char_sum
+        |FROM m ORDER BY shard_id, dir""".stripMargin,
 
     // Replays the codec-matrix zip-shard generator: flat keys, same
     // sample formulas — compression methods must be transparent.

@@ -754,6 +754,44 @@ class MultimodalSpec extends SparkSpec {
     assert(le != null && le.head.name == longPath && le.head.size == 3)
   }
 
+  test("tar: GNU incremental dumpdirs parse, volume labels skip") {
+    val listing = new java.io.ByteArrayOutputStream()
+    for ((c, nm) <- Seq(('Y', "a.txt"), ('N', "b.bin"), ('D', "sub"))) {
+      listing.write(c)
+      listing.write(nm.getBytes("UTF-8"))
+      listing.write(0)
+    }
+    listing.write(0) // GNU's empty terminator record
+    val shard =
+      Containers.synthTarSpecialMember("vol-7", 'V', Array.emptyByteArray) ++
+        Containers.synthTarSpecialMember("home/d/", 'D', listing.toByteArray) ++
+        Containers.synthTarSpecialMember("f.bin", '0',
+          Array.tabulate(33)(i => (i * 5).toByte)) ++
+        new Array[Byte](1024)
+    // the entry walk skips the label, keeps the dumpdir and the file
+    val es = Containers.tarEntries(shard)
+    assert(es != null && es.map(_.typeflag).toSeq == Seq('D', '0'))
+    val dds = Containers.tarDumpdirs(shard)
+    assert(dds != null && dds.length == 1)
+    assert(dds(0).dir == "home/d/")
+    assert(dds(0).entries.toSeq ==
+      Seq(('Y', "a.txt"), ('N', "b.bin"), ('D', "sub")))
+    // classification: incremental shards decode now
+    assert(Multimodal.mediaDecodeClass(shard) == ("tar", "ok"))
+    // a listing with an unknown control byte quarantines the parse
+    val bad = Containers.synthTarSpecialMember("d/", 'D',
+      Array[Byte]('Q', 'x', 0)) ++ new Array[Byte](1024)
+    assert(Containers.tarDumpdirs(bad) == null)
+    // an unterminated name quarantines too
+    val unterm = Containers.synthTarSpecialMember("d/", 'D',
+      Array[Byte]('Y', 'x', 'y')) ++ new Array[Byte](1024)
+    assert(Containers.tarDumpdirs(unterm) == null)
+    // MULTIVOLUME stays the named tar gap
+    val mv = Containers.synthTarSpecialMember("part", 'M',
+      Array.tabulate(10)(i => i.toByte)) ++ new Array[Byte](1024)
+    assert(Multimodal.mediaDecodeClass(mv) == ("tar", "unsupported_profile"))
+  }
+
   test("tar: PAX and GNU-longname layouts recover full paths") {
     // a >100-byte dotted-directory path: the embedded ustar name MUST
     // truncate, so only honoring the extension records recovers it
@@ -1334,11 +1372,12 @@ class MultimodalSpec extends SparkSpec {
     assert(mediaDecodeClass(bmTar) == ("tar", "ok"))
     val bad = tar.clone(); bad(0) = (bad(0) ^ 1).toByte
     assert(mediaDecodeClass(bad) == ("tar", "corrupt"))
-    // tar: GNU dumpdir member with a RECOMPUTED checksum -> profile
-    // (old-GNU sparse DECODES now, so 'D' is the remaining gap plant;
-    // a retagged-'S' header with a zeroed sparse map is CORRUPT)
+    // tar: GNU MULTIVOLUME member with a RECOMPUTED checksum ->
+    // profile (sparse AND dumpdir members DECODE now, so 'M' is the
+    // remaining gap plant; a retagged-'S' header with a zeroed sparse
+    // map is CORRUPT)
     val sp = tar.clone()
-    sp(156) = 'D'.toByte
+    sp(156) = 'M'.toByte
     java.util.Arrays.fill(sp, 148, 156, ' '.toByte)
     var sum = 0L
     for (k <- 0 until 512) sum += (sp(k) & 0xFF)
