@@ -217,6 +217,27 @@ object Bzip2 {
     out.toByteArray
   }
 
+  /** The 0.9.0 randomisation walk, shared by encode and decode (the
+    * transform is its own inverse): after [[RNums]](k) bytes, flip
+    * the next byte's low bit, the counter reloading from the table
+    * cyclically — the reference `BZ_RAND_UPD_MASK` sequence exactly.
+    */
+  private def applyRandomisation(buf: Array[Byte], len: Int): Unit = {
+    var rNToGo = 0
+    var rTPos = 0
+    var i = 0
+    while (i < len) {
+      if (rNToGo == 0) {
+        rNToGo = RNums(rTPos)
+        rTPos += 1
+        if (rTPos == 512) rTPos = 0
+      }
+      rNToGo -= 1
+      if (rNToGo == 1) buf(i) = (buf(i) ^ 1).toByte
+      i += 1
+    }
+  }
+
   /** One block: Huffman groups → MTF/RLE2 → inverse BWT →
     * de-randomisation (0.9.0 profile) → RLE1.
     */
@@ -420,25 +441,10 @@ object Bzip2 {
       t = next(t)
       i += 1
     }
-    // deprecated 0.9.0 randomisation: after [[RNums]](k) bytes, flip
-    // the next byte's low bit — per-block state, applied to the
+    // deprecated 0.9.0 randomisation: per-block state, applied to the
     // inverse-BWT output BEFORE RLE1 expansion (the mirror of the
     // encoder randomising AFTER RLE1)
-    if (randomised) {
-      var rNToGo = 0
-      var rTPos = 0
-      i = 0
-      while (i < bwtLen) {
-        if (rNToGo == 0) {
-          rNToGo = RNums(rTPos)
-          rTPos += 1
-          if (rTPos == 512) rTPos = 0
-        }
-        rNToGo -= 1
-        if (rNToGo == 1) sorted(i) = (sorted(i) ^ 1).toByte
-        i += 1
-      }
-    }
+    if (randomised) applyRandomisation(sorted, bwtLen)
     // RLE1: 4 identical bytes are followed by an extra-count byte
     val out = new java.io.ByteArrayOutputStream(bwtLen + (bwtLen >> 2))
     i = 0
@@ -556,22 +562,9 @@ object Bzip2 {
     }
     val block = r1.toByteArray
     // 0.9.0 randomisation: AFTER RLE1, BEFORE BWT — the exact mirror
-    // of the decode-side pass
-    if (randomised) {
-      var rNToGo = 0
-      var rTPos = 0
-      i = 0
-      while (i < block.length) {
-        if (rNToGo == 0) {
-          rNToGo = RNums(rTPos)
-          rTPos += 1
-          if (rTPos == 512) rTPos = 0
-        }
-        rNToGo -= 1
-        if (rNToGo == 1) block(i) = (block(i) ^ 1).toByte
-        i += 1
-      }
-    }
+    // of the decode-side pass (the transform is an involution, so
+    // both sides share ONE walk)
+    if (randomised) applyRandomisation(block, block.length)
     // BWT by naive rotation sort
     val n = block.length
     val idx = Array.range(0, n).sortWith { (a, b) =>

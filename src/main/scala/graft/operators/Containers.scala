@@ -1796,6 +1796,41 @@ object Containers {
     * All three end with 512-padded data and two terminating zero
     * blocks.
     */
+  /** The ONE ustar header writer every POSIX-style synth shares
+    * (name + prefix fields, octal sizes, the space-summed checksum
+    * in "%06o\0 " layout, "ustar\0" + version "00"). The old-GNU
+    * sparse synth keeps its own variant — that format's magic and
+    * offset-345 fields genuinely differ.
+    */
+  private def ustarHeaderBlock(base: String, prefix: String,
+      typeflag: Char, size: Long): Array[Byte] = {
+    val nb = base.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val pb = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(nb.length <= 100 && pb.length <= 155, "field overflow")
+    val h = new Array[Byte](512)
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    System.arraycopy(pb, 0, h, 345, pb.length)
+    def putOctal(off: Int, width: Int, v: Long): Unit = {
+      val s = s"%0${width - 1}o".format(v).getBytes("US-ASCII")
+      System.arraycopy(s, s.length - (width - 1), h, off, width - 1)
+      h(off + width - 1) = 0
+    }
+    putOctal(100, 8, 420 /* 0644 */)
+    putOctal(108, 8, 0); putOctal(116, 8, 0)
+    putOctal(124, 12, size)
+    putOctal(136, 12, 0)
+    h(156) = typeflag.toByte
+    System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+    h(263) = '0'.toByte; h(264) = '0'.toByte // version "00"
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (k <- 0 until 512) sum += u8(h, k)
+    val cs = "%06o".format(sum).getBytes("US-ASCII")
+    System.arraycopy(cs, 0, h, 148, 6)
+    h(154) = 0; h(155) = ' '.toByte
+    h
+  }
+
   def synthTar(files: Seq[(String, Array[Byte])],
       style: String = "ustar"): Array[Byte] = {
     require(style == "ustar" || style == "pax" || style == "gnu",
@@ -1809,31 +1844,7 @@ object Containers {
       */
     def writeMember(base: String, prefix: String, typeflag: Char,
         data: Array[Byte]): Unit = {
-      val nb = bytesOf(base)
-      val pb = bytesOf(prefix)
-      require(nb.length <= 100 && pb.length <= 155, "field overflow")
-      val h = new Array[Byte](512)
-      System.arraycopy(nb, 0, h, 0, nb.length)
-      System.arraycopy(pb, 0, h, 345, pb.length)
-      def putOctal(off: Int, width: Int, v: Long): Unit = {
-        val s = s"%0${width - 1}o".format(v).getBytes("US-ASCII")
-        System.arraycopy(s, s.length - (width - 1), h, off, width - 1)
-        h(off + width - 1) = 0
-      }
-      putOctal(100, 8, 420 /* 0644 */)
-      putOctal(108, 8, 0); putOctal(116, 8, 0)
-      putOctal(124, 12, data.length)
-      putOctal(136, 12, 0)
-      h(156) = typeflag.toByte
-      System.arraycopy("ustar".getBytes, 0, h, 257, 5)
-      h(263) = '0'.toByte; h(264) = '0'.toByte // version "00"
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-      var sum = 0L
-      for (k <- 0 until 512) sum += u8(h, k)
-      val cs = "%06o".format(sum).getBytes("US-ASCII")
-      System.arraycopy(cs, 0, h, 148, 6)
-      h(154) = 0; h(155) = ' '.toByte
-      out.write(h)
+      out.write(ustarHeaderBlock(base, prefix, typeflag, data.length.toLong))
       out.write(data)
       val pad = (512 - data.length % 512) % 512
       out.write(new Array[Byte](pad))
@@ -1960,30 +1971,8 @@ object Containers {
     */
   def synthTarSpecialMember(name: String, typeflag: Char,
       data: Array[Byte]): Array[Byte] = {
-    val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    require(nb.length <= 100, "member name over 100 bytes")
     val out = new java.io.ByteArrayOutputStream()
-    val h = new Array[Byte](512)
-    System.arraycopy(nb, 0, h, 0, nb.length)
-    def putOctal(off: Int, width: Int, v: Long): Unit = {
-      val s = s"%0${width - 1}o".format(v).getBytes("US-ASCII")
-      System.arraycopy(s, s.length - (width - 1), h, off, width - 1)
-      h(off + width - 1) = 0
-    }
-    putOctal(100, 8, 420)
-    putOctal(108, 8, 0); putOctal(116, 8, 0)
-    putOctal(124, 12, data.length.toLong)
-    putOctal(136, 12, 0)
-    h(156) = typeflag.toByte
-    System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
-    h(263) = '0'.toByte; h(264) = '0'.toByte
-    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-    var sum = 0L
-    for (k <- 0 until 512) sum += u8(h, k)
-    val cs = "%06o".format(sum).getBytes("US-ASCII")
-    System.arraycopy(cs, 0, h, 148, 6)
-    h(154) = 0; h(155) = ' '.toByte
-    out.write(h)
+    out.write(ustarHeaderBlock(name, "", typeflag, data.length.toLong))
     out.write(data, 0, data.length)
     out.write(new Array[Byte]((512 - data.length % 512) % 512))
     out.toByteArray
@@ -1992,8 +1981,11 @@ object Containers {
   /** One GNU incremental-dump directory listing: the dumpdir member's
     * name (the directory it describes) and its records — control byte
     * 'Y' (file present in this dump), 'N' (present in the directory
-    * but not dumped), 'D' (subdirectory), each followed by a
-    * NUL-terminated name. The GNU `--listed-incremental` payload.
+    * but not dumped), 'D' (subdirectory), plus the rename/transfer
+    * records GNU tar writes when directories moved between dumps
+    * ('R' source, 'T' target) and the 'X' temporary marker — each
+    * followed by a NUL-terminated name. The GNU `--listed-incremental`
+    * payload.
     */
   final case class TarDumpdir(dir: String, entries: Array[(Char, String)])
 
@@ -2014,7 +2006,10 @@ object Containers {
       var p = 0
       while (p < data.length && data(p) != 0) {
         val c = data(p).toChar
-        if (c != 'Y' && c != 'N' && c != 'D') return null
+        // the full GNU control set: membership Y/N/D, rename pairs
+        // R(from)/T(to), and the X temporary marker
+        if (c != 'Y' && c != 'N' && c != 'D' && c != 'R' && c != 'T' &&
+            c != 'X') return null
         var q = p + 1
         while (q < data.length && data(q) != 0) q += 1
         if (q >= data.length) return null // unterminated name
@@ -4752,10 +4747,12 @@ object Containers {
   } catch { case _: IndexOutOfBoundsException => false }
 
   /** Whether a checksum-valid tar stream carries a member type the
-    * shard reader can't expand — the dump/multivolume/volume-label
-    * types (`D`/`M`/`V`). Old-GNU sparse (`S`) EXPANDS through
-    * [[tarEntryBytes]] now, so it is skipped here (continuation
-    * blocks included) rather than reported. Walks headers with the
+    * shard reader can't expand — ONLY the multivolume continuation
+    * (`M`) now: a single shard genuinely can't reassemble a member
+    * split across volumes. Old-GNU sparse (`S`) EXPANDS through
+    * [[tarEntryBytes]], dumpdirs (`D`) parse via [[tarDumpdirs]], and
+    * volume labels (`V`) are skipped metadata, so none of those
+    * report. Walks headers with the
     * same validated advance as [[tarEntries]] and stops at the first
     * hit; damaged headers return false (= corrupt, not a profile
     * gap).

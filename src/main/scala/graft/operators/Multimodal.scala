@@ -1968,7 +1968,8 @@ object Multimodal {
           c match {
             case 'Y' => y += 1
             case 'N' => nn += 1
-            case _ => sd += 1
+            case 'D' => sd += 1
+            case _ => () // R/T rename records and X markers: uncounted
           }
           nm.foreach(ch => cs += ch.toInt)
         }

@@ -1324,8 +1324,9 @@ object Webp {
   def synthVp8xAnimInter(w: Int, h: Int): Array[Byte] = {
     require(w >= 1 && h >= 1)
     val inter = new Array[Byte](12)
-    // frame tag: keyframe bit SET (interframe), version 0, partition
-    // length 4 — no start code follows (that's keyframe-only layout)
+    // frame tag: frame-type bit 0 SET = interframe (0 marks a
+    // keyframe per RFC 6386 §9.1), version 0, partition length 4 —
+    // no start code follows (that's keyframe-only layout)
     inter(0) = ((4 << 5) | 1).toByte
     val hdr = new Array[Byte](16)
     def put24(off: Int, v: Int): Unit = {

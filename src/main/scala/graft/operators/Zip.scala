@@ -220,22 +220,18 @@ object Zip {
         }
         if (got != res.length) return null
         res
-      case 12 => // BZIP2 (APPNOTE 4.4.5): a complete .bz2 stream
-        val got = Bzip2.decode(
+      case 12 | 93 | 95 =>
+        // the codec-matrix methods: the member data is a complete
+        // stream of its codec (APPNOTE 4.4.5 bzip2 / 4.4.13 zstd /
+        // 4.4.15 xz), decoded through this engine's own decoders
+        val dec: (Array[Byte], Long) => Array[Byte] = e.method match {
+          case 12 => Bzip2.decode(_, _)
+          case 93 => Zstd.decode(_, _)
+          case _ => Xz.decode(_, _)
+        }
+        val got = dec(
           java.util.Arrays.copyOfRange(b, data, data + e.compressedSize.toInt),
-          cap = e.size)
-        if (got == null || got.length != e.size) return null
-        got
-      case 93 => // Zstandard: a complete zstd frame sequence
-        val got = Zstd.decode(
-          java.util.Arrays.copyOfRange(b, data, data + e.compressedSize.toInt),
-          cap = e.size)
-        if (got == null || got.length != e.size) return null
-        got
-      case 95 => // XZ: a complete .xz stream
-        val got = Xz.decode(
-          java.util.Arrays.copyOfRange(b, data, data + e.compressedSize.toInt),
-          cap = e.size)
+          e.size)
         if (got == null || got.length != e.size) return null
         got
       case _ => return null // LZMA 14 / legacy methods: unsupported profile

@@ -778,6 +778,18 @@ class MultimodalSpec extends SparkSpec {
       Seq(('Y', "a.txt"), ('N', "b.bin"), ('D', "sub")))
     // classification: incremental shards decode now
     assert(Multimodal.mediaDecodeClass(shard) == ("tar", "ok"))
+    // rename records ('R' from / 'T' to) and the 'X' marker are part
+    // of the GNU payload — parse-accepted, not a quarantine
+    val ren = new java.io.ByteArrayOutputStream()
+    for ((c, nm) <- Seq(('R', "old/dir"), ('T', "new/dir"), ('X', "tmp"),
+        ('Y', "kept.txt"))) {
+      ren.write(c); ren.write(nm.getBytes("UTF-8")); ren.write(0)
+    }
+    val renShard = Containers.synthTarSpecialMember("r/", 'D',
+      ren.toByteArray) ++ new Array[Byte](1024)
+    val renDds = Containers.tarDumpdirs(renShard)
+    assert(renDds != null && renDds(0).entries.length == 4)
+    assert(renDds(0).entries.map(_._1).toSeq == Seq('R', 'T', 'X', 'Y'))
     // a listing with an unknown control byte quarantines the parse
     val bad = Containers.synthTarSpecialMember("d/", 'D',
       Array[Byte]('Q', 'x', 0)) ++ new Array[Byte](1024)
