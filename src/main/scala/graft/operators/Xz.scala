@@ -428,6 +428,35 @@ object Xz {
     * CRCs, unsupported filters, block check mismatches (CRC32, CRC64,
     * SHA-256), index inconsistencies, or output past `cap`.
     */
+  /** Decode a RAW LZMA1 stream — ZIP method 14's payload after its
+    * `[version u16][propsSize u16][props]` member header. `propsByte`
+    * is the classic `(pb*5 + lp)*9 + lc` byte; the output size is
+    * KNOWN from the container, so decoding stops at `outSize` bytes
+    * and never needs (or consumes) an end-of-stream marker — streams
+    * written WITH one decode too, the marker simply going unread.
+    * LZMA1 is the same range-coder/state machine as LZMA2's chunks
+    * with no reset layer: one fresh state, one window from zero.
+    * Null on damage.
+    */
+  def decodeLzma1(b: Array[Byte], start: Int, endExcl: Int,
+      propsByte: Int, outSize: Int): Array[Byte] =
+    try {
+      if (outSize < 0) fail("negative size")
+      val st = new LzmaState
+      st.setProps(propsByte)
+      st.resetState()
+      val out = new Array[Byte](outSize)
+      if (outSize > 0) {
+        val rc = new RangeDec(b, start, endExcl)
+        lzmaChunk(rc, st, out, 0, outSize, 0)
+      }
+      out
+    } catch {
+      case _: Err => null
+      case _: ArrayIndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
+
   def decode(b: Array[Byte], cap: Long = 1L << 30): Array[Byte] =
     try decodeAll(b, cap)
     catch {

@@ -234,7 +234,19 @@ object Zip {
           e.size)
         if (got == null || got.length != e.size) return null
         got
-      case _ => return null // LZMA 14 / legacy methods: unsupported profile
+      case 14 =>
+        // LZMA (APPNOTE 4.4.4): [version u16][propsSize u16][props],
+        // props = 1 lc/lp/pb byte + LE32 dictionary size (irrelevant
+        // here — the whole member is in memory), then the raw LZMA1
+        // stream; the declared size bounds the decode, so EOS-marker
+        // and marker-less streams both read
+        if (e.compressedSize < 9) return null
+        if (leU16(b, data + 2) != 5) return null
+        val got = Xz.decodeLzma1(b, data + 9,
+          data + e.compressedSize.toInt, b(data + 4) & 0xFF, e.size.toInt)
+        if (got == null) return null
+        got
+      case _ => return null // legacy methods (shrink/reduce/implode): unsupported
     }
     val crc = new java.util.zip.CRC32()
     crc.update(out)
@@ -273,14 +285,14 @@ object Zip {
 
   /** Does any member use a compression method outside the decodable
     * set — STORED 0, DEFLATE 8, and (through this engine's
-    * from-scratch codec matrix) BZIP2 12, Zstandard 93, XZ 95? LZMA
-    * 14 and the legacy methods (shrink/reduce/implode) remain the
+    * from-scratch codec matrix) BZIP2 12, LZMA 14, Zstandard 93,
+    * XZ 95? The legacy methods (shrink/reduce/implode) remain the
     * "ship a profile" answer, distinct from damage.
     */
   def unsupportedMethod(b: Array[Byte]): Boolean = {
     val es = entries(b)
     es != null && es.exists(e => e.method match {
-      case 0 | 8 | 12 | 93 | 95 => false
+      case 0 | 8 | 12 | 14 | 93 | 95 => false
       case _ => true
     })
   }
@@ -304,9 +316,11 @@ object Zip {
 
   /** [[synthZip]] with an explicit compression method per member:
     * STORED 0, DEFLATE 8, BZIP2 12 (commons-compress writes the
-    * member stream), Zstandard 93 (zstd-jni), XZ 95 (xz-java) — every
-    * write side an independent implementation, so the reader's codec
-    * dispatch is interop-pinned, not an echo of its own encoders.
+    * member stream), LZMA 14 (xz-java raw LZMA1 behind the APPNOTE
+    * member header), Zstandard 93 (zstd-jni), XZ 95 (xz-java) —
+    * every write side an independent implementation, so the reader's
+    * codec dispatch is interop-pinned, not an echo of its own
+    * encoders.
     */
   def synthZipMethods(files: Seq[(String, Array[Byte], Int)],
       forceZip64: Boolean = false): Array[Byte] = {
@@ -339,6 +353,21 @@ object Zip {
             val z = new org.apache.commons.compress.compressors.bzip2
               .BZip2CompressorOutputStream(buf, 1)
             z.write(data); z.close()
+            buf.toByteArray
+          case 14 =>
+            val opts = new org.tukaani.xz.LZMA2Options(1)
+            val buf = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+            // APPNOTE member header: SDK version (readers ignore),
+            // props size 5, the lc/lp/pb byte, LE32 dictionary size
+            buf.write(9); buf.write(20)
+            buf.write(5); buf.write(0)
+            buf.write((opts.getPb * 5 + opts.getLp) * 9 + opts.getLc)
+            val ds = opts.getDictSize
+            buf.write(ds & 0xFF); buf.write((ds >> 8) & 0xFF)
+            buf.write((ds >> 16) & 0xFF); buf.write((ds >>> 24) & 0xFF)
+            val z = new org.tukaani.xz.LZMAOutputStream(buf, opts,
+              false) // raw stream, no end marker: sizes are declared
+            z.write(data); z.finish()
             buf.toByteArray
           case 93 =>
             com.github.luben.zstd.Zstd.compress(data, 3)

@@ -234,10 +234,11 @@ object FrontierQueries {
     }),
 
     // ZIP shards whose members are compressed with the codec MATRIX
-    // (DEFLATE / BZIP2 / Zstandard / XZ, methods 8/12/93/95) — the
-    // three non-DEFLATE streams decode through this engine's own
-    // from-scratch Bzip2/Zstd/Xz decoders, each member still
-    // CRC-32-verified. Write sides are independent implementations.
+    // (DEFLATE / BZIP2 / Zstandard / XZ / LZMA, methods
+    // 8/12/93/95/14) — the non-DEFLATE streams decode through this
+    // engine's own from-scratch Bzip2/Zstd/Xz(+LZMA1) decoders, each
+    // member still CRC-32-verified. Write sides are independent
+    // implementations.
     "shard_zip_codecs" -> ((s, dir) => {
       import s.implicits._
       val corpus = graft.operators.Multimodal.demoZipCodecShards(

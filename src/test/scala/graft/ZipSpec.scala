@@ -95,34 +95,36 @@ class ZipSpec extends AnyFunSuite {
   }
 
   test("profile gaps are named, not misread") {
-    // an unsupported compression method (LZMA = 14 — bzip2/zstd/xz
-    // decode now): hand-patch the method field in both the local
-    // header and the central directory
+    // an unsupported compression method (IMPLODING = 6 — bzip2/lzma/
+    // zstd/xz all decode now): hand-patch the method field in both
+    // the local header and the central directory
     val z = Zip.synthZip(Seq(("a.bin", gen(50, 8), false)))
     def leU16(b: Array[Byte], i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
     // local header method at offset 8; central entry method at cd+10
-    z(8) = 14
+    z(8) = 6
     var cd = -1
     for (i <- 0 until z.length - 4)
       if (z(i) == 'P' && z(i + 1) == 'K' && z(i + 2) == 1 && z(i + 3) == 2) cd = i
-    z(cd + 10) = 14
+    z(cd + 10) = 6
     assert(Zip.members(z) == null)
     assert(Zip.unsupportedMethod(z))
     assert(!Zip.isZip64(z))
     assert(leU16(z, cd + 28) == 5) // sanity: name length intact
   }
 
-  test("codec-matrix methods (bzip2/zstd/xz) decode and cross-read") {
+  test("codec-matrix methods (bzip2/lzma/zstd/xz) decode and cross-read") {
     val files = Seq(
       ("s.bin", gen(70, 41), 0),
       ("d.bin", gen(500, 42), 8),
       ("b.bin", gen(800, 43), 12),
+      ("l.bin", gen(900, 46), 14),
       ("z.bin", gen(650, 44), 93),
-      ("x.bin", gen(720, 45), 95))
+      ("x.bin", gen(720, 45), 95),
+      ("l0.bin", Array.emptyByteArray, 14)) // zero-size LZMA member
     val z = Zip.synthZipMethods(files)
     // our walk decodes every method, CRC-verified
     val m = Zip.members(z)
-    assert(m != null && m.length == 5)
+    assert(m != null && m.length == 7)
     for (((name, data, _), i) <- files.zipWithIndex) {
       assert(m(i)._1 == name)
       assert(m(i)._2.toSeq == data.toSeq, name)
@@ -130,15 +132,24 @@ class ZipSpec extends AnyFunSuite {
     assert(!Zip.unsupportedMethod(z))
     assert(Multimodal.mediaDecodeClass(z) == ("zip", "ok"))
     // the independent commons-compress reader agrees on every member
+    // it can read — it REFUSES method 14 outright
+    // (UnsupportedZipFeatureException), so for LZMA the pin is the
+    // write side alone: xz-java produced the raw stream our decoder
+    // just read. Our walk exceeds the bundled reader there.
     val ch = new org.apache.commons.compress.utils
       .SeekableInMemoryByteChannel(z)
     val zf = org.apache.commons.compress.archivers.zip.ZipFile.builder()
       .setSeekableByteChannel(ch).get()
     try {
-      for ((name, data, _) <- files) {
+      for ((name, data, method) <- files) {
         val e = zf.getEntry(name)
-        assert(e != null && zf.canReadEntryData(e), name)
-        assert(zf.getInputStream(e).readAllBytes().toSeq == data.toSeq, name)
+        assert(e != null, name)
+        if (method == 14) assert(!zf.canReadEntryData(e), name)
+        else {
+          assert(zf.canReadEntryData(e), name)
+          assert(zf.getInputStream(e).readAllBytes().toSeq == data.toSeq,
+            name)
+        }
       }
     } finally zf.close()
     // damage inside a bzip2 member quarantines the shard (CRC nets)
