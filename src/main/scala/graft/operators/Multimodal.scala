@@ -1909,12 +1909,13 @@ object Multimodal {
 
   /** Deterministic codec-matrix ZIP corpus: flat-named shards with
     * the [[demoZipShards]] sample formulas, but the `.txt` part of
-    * sample `s` is compressed with method `8/12/93/95/14` by
-    * `(id+s)%5` (DEFLATE / BZIP2 / Zstandard / XZ / LZMA — the write
-    * sides all independent implementations: JDK Deflater,
-    * commons-compress, zstd-jni, xz-java twice), `.cls` labels
-    * STORED. The sums are method-independent, so the oracle only
-    * passes if every codec dispatch decodes exactly.
+    * sample `s` is compressed with method `8/12/93/95/14/1` by
+    * `(id+s)%6` (DEFLATE / BZIP2 / Zstandard / XZ / LZMA / SHRINK —
+    * write sides: JDK Deflater, commons-compress, zstd-jni, xz-java
+    * twice, and the from-scratch shrink encoder commons-compress can
+    * read back), `.cls` labels STORED. The sums are
+    * method-independent, so the oracle only passes if every codec
+    * dispatch decodes exactly.
     */
   def demoZipCodecShards(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -1925,7 +1926,7 @@ object Multimodal {
         val txt = Array.tabulate((16 + (id + s) % 8).toInt)(j =>
           ((id * 31 + s * 17 + j * 7) % 256).toByte)
         files += ((f"$s%06d.txt", txt,
-          Seq(8, 12, 93, 95, 14)(((id + s) % 5).toInt)))
+          Seq(8, 12, 93, 95, 14, 1)(((id + s) % 6).toInt)))
         files += ((f"$s%06d.cls", Array(((id + s) % 256).toByte), 0))
       }
       MediaFile(id, "shard", Zip.synthZipMethods(files.result()))

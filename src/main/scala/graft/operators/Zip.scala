@@ -246,7 +246,12 @@ object Zip {
           data + e.compressedSize.toInt, b(data + 4) & 0xFF, e.size.toInt)
         if (got == null) return null
         got
-      case _ => return null // legacy methods (shrink/reduce/implode): unsupported
+      case 1 => // SHRINK (PKZIP 1.x dynamic LZW, APPNOTE 4.3)
+        val got = shrinkDecode(b, data, data + e.compressedSize.toInt,
+          e.size.toInt)
+        if (got == null) return null
+        got
+      case _ => return null // reduce/implode and friends: unsupported
     }
     val crc = new java.util.zip.CRC32()
     crc.update(out)
@@ -284,17 +289,197 @@ object Zip {
   }
 
   /** Does any member use a compression method outside the decodable
-    * set — STORED 0, DEFLATE 8, and (through this engine's
+    * set — STORED 0, SHRINK 1, DEFLATE 8, and (through this engine's
     * from-scratch codec matrix) BZIP2 12, LZMA 14, Zstandard 93,
-    * XZ 95? The legacy methods (shrink/reduce/implode) remain the
-    * "ship a profile" answer, distinct from damage.
+    * XZ 95? The remaining legacy methods (reduce 2-5, implode 6)
+    * stay the "ship a profile" answer, distinct from damage.
     */
   def unsupportedMethod(b: Array[Byte]): Boolean = {
     val es = entries(b)
     es != null && es.exists(e => e.method match {
-      case 0 | 8 | 12 | 14 | 93 | 95 => false
+      case 0 | 1 | 8 | 12 | 14 | 93 | 95 => false
       case _ => true
     })
+  }
+
+  // ---- SHRINK (method 1): PKZIP 1.x dynamic LZW ------------------------
+  // LSB-first codes, width 9→13 grown ONLY by the explicit (256,1)
+  // escape, (256,2) = partial clear: leaf entries (those no live
+  // entry uses as a prefix) become reusable, their CONTENTS retained
+  // until overwritten — the convention every unshrink implementation
+  // relies on, since the previous-code string may sit in a freed
+  // slot. Entries are added implicitly, one per code received:
+  // (previous code, first byte of the current string), at the lowest
+  // free slot. The same table object serves encode and decode so the
+  // two sides can never disagree on allocation order.
+
+  private final class ShrinkTable {
+    val prefix = new Array[Int](8192)
+    val suffix = new Array[Byte](8192)
+    val used = new Array[Boolean](8192)
+    private var scanFrom = 257
+
+    /** Allocate (p, s) at the lowest free slot; -1 when full. */
+    def alloc(p: Int, s: Byte): Int = {
+      var i = scanFrom
+      while (i < 8192 && used(i)) i += 1
+      if (i >= 8192) return -1
+      prefix(i) = p
+      suffix(i) = s
+      used(i) = true
+      scanFrom = i + 1
+      i
+    }
+
+    def partialClear(): Unit = {
+      val isPrefix = new Array[Boolean](8192)
+      var i = 257
+      while (i < 8192) {
+        if (used(i) && prefix(i) >= 257) isPrefix(prefix(i)) = true
+        i += 1
+      }
+      i = 257
+      while (i < 8192) {
+        if (used(i) && !isPrefix(i)) used(i) = false
+        i += 1
+      }
+      scanFrom = 257
+    }
+  }
+
+  /** Decode a SHRINK stream to exactly `outSize` bytes; null on
+    * exhausted input, invalid escapes, or overrun.
+    */
+  private def shrinkDecode(b: Array[Byte], start: Int, endExcl: Int,
+      outSize: Int): Array[Byte] = {
+    val out = new Array[Byte](outSize)
+    var outLen = 0
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = start
+    def readCode(): Int = {
+      while (bitCnt < width) {
+        if (pos >= endExcl) return -1
+        bitBuf |= (b(pos) & 0xFFL) << bitCnt
+        pos += 1
+        bitCnt += 8
+      }
+      val v = (bitBuf & ((1 << width) - 1)).toInt
+      bitBuf >>>= width
+      bitCnt -= width
+      v
+    }
+    val t = new ShrinkTable
+    val stack = new Array[Byte](8192)
+    var prevCode = -1
+    var prevFirst: Byte = 0
+    while (outLen < outSize) {
+      val c = readCode()
+      if (c < 0) return null
+      if (c == 256) {
+        readCode() match {
+          case 1 => if (width < 13) width += 1 else return null
+          case 2 => t.partialClear()
+          case _ => return null
+        }
+        // specials do NOT touch prevCode: the next implicit add still
+        // pairs with the last real code
+      } else {
+        var sp = 0
+        var cur = c
+        if (cur >= 257 && !t.used(cur)) {
+          // KwKwK: the code the implicit add is about to create
+          if (prevCode < 0) return null
+          stack(sp) = prevFirst
+          sp += 1
+          cur = prevCode
+        }
+        while (cur >= 257) {
+          // freed-slot contents are traversed as-is (see above)
+          stack(sp) = t.suffix(cur)
+          sp += 1
+          if (sp >= stack.length) return null
+          cur = t.prefix(cur)
+        }
+        if (cur < 0 || cur > 255) return null
+        val first = cur.toByte
+        if (outLen + 1 + sp > outSize) return null
+        out(outLen) = first
+        outLen += 1
+        var k = sp - 1
+        while (k >= 0) {
+          out(outLen) = stack(k)
+          outLen += 1
+          k -= 1
+        }
+        if (prevCode >= 0) t.alloc(prevCode, first)
+        prevCode = c
+        prevFirst = first
+      }
+    }
+    out
+  }
+
+  /** SHRINK-compress `data` — the write side no modern tool ships, so
+    * fixtures for the decoder must come from here: real dynamic LZW
+    * with lazy width escapes and a partial clear when the 13-bit
+    * table fills. commons-compress's ZipFile READS shrunk entries, so
+    * the independent pin for this encoder/decoder pair is its
+    * cross-read.
+    */
+  private def shrinkEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    def emit(v: Int): Unit = {
+      bitBuf |= (v.toLong & 0x1FFF) << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xFF).toInt)
+        bitBuf >>>= 8
+        bitCnt -= 8
+      }
+    }
+    def emitWidened(v: Int): Unit = {
+      while (v >= (1 << width)) { emit(256); emit(1); width += 1 }
+      emit(v)
+    }
+    if (data.isEmpty) return Array.emptyByteArray
+    val t = new ShrinkTable
+    val map = scala.collection.mutable.HashMap.empty[(Int, Byte), Int]
+    var w = data(0) & 0xFF
+    var i = 1
+    while (i < data.length) {
+      val c = data(i)
+      map.get((w, c)) match {
+        case Some(code) => w = code
+        case None =>
+          emitWidened(w)
+          var slot = t.alloc(w, c)
+          if (slot < 0) {
+            // table full: partial-clear in the stream AND locally,
+            // then the add lands at the lowest reclaimed slot — the
+            // decoder mirrors both steps in the same order
+            emit(256); emit(2)
+            t.partialClear()
+            map.clear()
+            var k = 257
+            while (k < 8192) {
+              if (t.used(k)) map((t.prefix(k), t.suffix(k))) = k
+              k += 1
+            }
+            slot = t.alloc(w, c)
+          }
+          if (slot >= 0) map((w, c)) = slot
+          w = c & 0xFF
+      }
+      i += 1
+    }
+    emitWidened(w)
+    if (bitCnt > 0) out.write((bitBuf & 0xFF).toInt)
+    out.toByteArray
   }
 
   // ---- synthesizer -----------------------------------------------------
@@ -315,12 +500,13 @@ object Zip {
       forceZip64)
 
   /** [[synthZip]] with an explicit compression method per member:
-    * STORED 0, DEFLATE 8, BZIP2 12 (commons-compress writes the
-    * member stream), LZMA 14 (xz-java raw LZMA1 behind the APPNOTE
-    * member header), Zstandard 93 (zstd-jni), XZ 95 (xz-java) —
-    * every write side an independent implementation, so the reader's
-    * codec dispatch is interop-pinned, not an echo of its own
-    * encoders.
+    * STORED 0, SHRINK 1 (the from-scratch [[shrinkEncode]] — no
+    * modern tool writes it; commons-compress READS it, which is that
+    * pair's independent pin), DEFLATE 8, BZIP2 12 (commons-compress
+    * writes the member stream), LZMA 14 (xz-java raw LZMA1 behind
+    * the APPNOTE member header), Zstandard 93 (zstd-jni), XZ 95
+    * (xz-java) — each codec pinned against an independent
+    * implementation on at least one side.
     */
   def synthZipMethods(files: Seq[(String, Array[Byte], Int)],
       forceZip64: Boolean = false): Array[Byte] = {
@@ -337,6 +523,7 @@ object Zip {
         crc.update(data)
         val packed = method match {
           case 0 => data
+          case 1 => shrinkEncode(data)
           case 8 =>
             defl.reset()
             defl.setInput(data)

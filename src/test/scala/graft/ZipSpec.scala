@@ -112,7 +112,8 @@ class ZipSpec extends AnyFunSuite {
     assert(leU16(z, cd + 28) == 5) // sanity: name length intact
   }
 
-  test("codec-matrix methods (bzip2/lzma/zstd/xz) decode and cross-read") {
+  test("codec-matrix methods (shrink/bzip2/lzma/zstd/xz) decode and cross-read") {
+    val repetitive = ("the quick brown shard " * 40).getBytes("US-ASCII")
     val files = Seq(
       ("s.bin", gen(70, 41), 0),
       ("d.bin", gen(500, 42), 8),
@@ -120,11 +121,15 @@ class ZipSpec extends AnyFunSuite {
       ("l.bin", gen(900, 46), 14),
       ("z.bin", gen(650, 44), 93),
       ("x.bin", gen(720, 45), 95),
-      ("l0.bin", Array.emptyByteArray, 14)) // zero-size LZMA member
+      ("l0.bin", Array.emptyByteArray, 14), // zero-size LZMA member
+      ("k.bin", repetitive, 1), // SHRINK: dictionary hits + KwKwK
+      // random bytes add ~1 LZW entry each: 10k forces width escapes
+      // up to 13 bits; full-table partial clears are pinned below
+      ("kw.bin", gen(10000, 47), 1))
     val z = Zip.synthZipMethods(files)
     // our walk decodes every method, CRC-verified
     val m = Zip.members(z)
-    assert(m != null && m.length == 7)
+    assert(m != null && m.length == 9)
     for (((name, data, _), i) <- files.zipWithIndex) {
       assert(m(i)._1 == name)
       assert(m(i)._2.toSeq == data.toSeq, name)
@@ -157,6 +162,22 @@ class ZipSpec extends AnyFunSuite {
     val dataStart = z.indexOfSlice("b.bin".getBytes("US-ASCII")) + 5
     bad(dataStart + 20) = (bad(dataStart + 20) ^ 0x33).toByte
     assert(Zip.members(bad) == null)
+    // SHRINK with a full 13-bit table: the partial-clear escape is in
+    // the stream, and the independent commons-compress unshrinker
+    // agrees byte-for-byte across it
+    val big = gen(40000, 48)
+    val zb = Zip.synthZipMethods(Seq(("big.bin", big, 1)))
+    val mb = Zip.members(zb)
+    assert(mb != null && mb(0)._2.toSeq == big.toSeq)
+    val chb = new org.apache.commons.compress.utils
+      .SeekableInMemoryByteChannel(zb)
+    val zfb = org.apache.commons.compress.archivers.zip.ZipFile.builder()
+      .setSeekableByteChannel(chb).get()
+    try {
+      val e = zfb.getEntry("big.bin")
+      assert(e != null && zfb.canReadEntryData(e))
+      assert(zfb.getInputStream(e).readAllBytes().toSeq == big.toSeq)
+    } finally zfb.close()
   }
 
   test("empty members decode (the JDK writes them as real DEFLATE)") {
