@@ -192,12 +192,15 @@ object Xz {
     var repHigh: Array[Short] = _
     var literal: Array[Short] = _
 
-    def setProps(props: Int): Unit = {
+    /** `maxLcLp`: LZMA2 requires lc+lp <= 4; LZMA1 (the ZIP method-14
+      * payload) allows the full lc<=8, lp<=4 range — pass 12 there.
+      */
+    def setProps(props: Int, maxLcLp: Int = 4): Unit = {
       if (props >= 9 * 5 * 5) fail("bad lzma props")
       lc = props % 9
       lp = (props / 9) % 5
       pb = props / 45
-      if (lc + lp > 4) fail("unsupported lc+lp > 4")
+      if (lc + lp > maxLcLp) fail(s"unsupported lc+lp > $maxLcLp")
     }
 
     def resetState(): Unit = {
@@ -443,7 +446,7 @@ object Xz {
     try {
       if (outSize < 0) fail("negative size")
       val st = new LzmaState
-      st.setProps(propsByte)
+      st.setProps(propsByte, maxLcLp = 12) // LZMA1: lc<=8, lp<=4 legal
       st.resetState()
       val out = new Array[Byte](outSize)
       if (outSize > 0) {

@@ -449,6 +449,13 @@ object Zip {
     if (data.isEmpty) return Array.emptyByteArray
     val t = new ShrinkTable
     val map = scala.collection.mutable.HashMap.empty[(Int, Byte), Int]
+    // The decoder (ours AND commons-compress's) performs each implicit
+    // add only AFTER expanding the next code — a one-code lag. With
+    // slot reuse after a partial clear, an alloc can land on a slot a
+    // live chain still passes through, so an entry must not become
+    // reachable until the code following its creation has been
+    // emitted: defer the map insertion by one emit.
+    var pending: ((Int, Byte), Int) = null
     var w = data(0) & 0xFF
     var i = 1
     while (i < data.length) {
@@ -457,6 +464,10 @@ object Zip {
         case Some(code) => w = code
         case None =>
           emitWidened(w)
+          if (pending != null) {
+            map(pending._1) = pending._2
+            pending = null
+          }
           var slot = t.alloc(w, c)
           if (slot < 0) {
             // table full: partial-clear in the stream AND locally,
@@ -472,7 +483,7 @@ object Zip {
             }
             slot = t.alloc(w, c)
           }
-          if (slot >= 0) map((w, c)) = slot
+          if (slot >= 0) pending = (((w, c), slot))
           w = c & 0xFF
       }
       i += 1

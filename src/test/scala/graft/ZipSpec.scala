@@ -162,6 +162,17 @@ class ZipSpec extends AnyFunSuite {
     val dataStart = z.indexOfSlice("b.bin".getBytes("US-ASCII")) + 5
     bad(dataStart + 20) = (bad(dataStart + 20) ^ 0x33).toByte
     assert(Zip.members(bad) == null)
+    // LZMA1 props: the full lc<=8, lp<=4 range is LEGAL for method 14
+    // (the lc+lp<=4 limit is LZMA2-only) — 7-Zip writes e.g. lc=4 —
+    // so tuned props must not classify as damage. xz-java can't
+    // WRITE lc+lp>4, so pin acceptance at the props layer: a
+    // zero-size member decodes under any in-range byte, and an
+    // out-of-range byte (>= 225) still rejects
+    val rc5 = Array[Byte](0, 0, 0, 0, 0)
+    for (props <- Seq((0 * 5 + 2) * 9 + 4, (0 * 5 + 4) * 9 + 8))
+      assert(graft.operators.Xz.decodeLzma1(rc5, 0, 5, props, 0) != null,
+        s"props=$props")
+    assert(graft.operators.Xz.decodeLzma1(rc5, 0, 5, 225, 0) == null)
     // SHRINK with a full 13-bit table: the partial-clear escape is in
     // the stream, and the independent commons-compress unshrinker
     // agrees byte-for-byte across it
