@@ -49,6 +49,10 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Exif.fromJpeg" -> (b => Exif.fromJpeg(b)),
     "Exif.stripJpeg" -> (b => Exif.stripJpeg(b)),
     "Mp3.parse" -> (b => Mp3.parse(b)),
+    "tarDumpdirs" -> (b => Containers.tarDumpdirs(b)),
+    "Xz.decodeLzma1" -> (b =>
+      Xz.decodeLzma1(b, 0, b.length, if (b.isEmpty) 0 else b(0) & 0xFF,
+        math.min(b.length * 4, 4096))),
     "mediaDecodeClass" -> (b => Multimodal.mediaDecodeClass(b)))
 
   /** Magic prefixes steering random tails into each format's parser
@@ -97,6 +101,18 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Flac.synthFlac(16000, 1, snd(220), 128, "lpc2"),
       Ogg.synthOggFlac(16000, 1, snd(180), 128, "fixed2"),
       Zip.synthZip(Seq(("d/0001.txt", px(80), true), ("d/0001.cls", px(1), false))),
+      Zip.synthZipMethods(Seq(("m1.bin", px(600), 1), ("m12.bin", px(200), 12),
+        ("m14.bin", px(200), 14), ("m93.bin", px(200), 93),
+        ("m95.bin", px(200), 95))),
+      Containers.synthTarSpecialMember("d/", 'D',
+        Array[Byte]('Y', 'a', 0, 'D', 's', 0, 0)) ++ new Array[Byte](1024),
+      Mp3.synthMp3Free(1, 3, 0, mono = true, 4, 120, _ % 2,
+        (f, j) => ((f * 31 + j * 13) % 256).toByte),
+      Webp.synthWebpAnim(16, 16, 0xFF336699, 0, Seq(
+        Webp.AnimFrame(0, 0, 12, 8, null, noBlend = false, dispose = false,
+          vp8 = Vp8.synthVp8Frame(12, 8, 25, (_, _) => 3, (_, _) => -2,
+            (_, _) => 4),
+          alph = Webp.synthAlphPayload(12, 8, px(96), 2, compressed = true)))),
       Exif.withApp1(Containers.synthJpegGray(16, 8, (_, _) => 128),
         Exif.synthApp1(Exif.ExifMeta(1, "2024:01:02 03:04:05", "cam_1", "mdl_1",
           "N", 10, 20, 3000, "E", 30, 40, 5000))))
