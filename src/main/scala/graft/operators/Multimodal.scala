@@ -562,8 +562,11 @@ object Multimodal {
           s"https://example.com/xz/$id", Array.tabulate((28 + id % 14).toInt)(
             j => ((id * 33 + j * 9) % 256).toByte))))
         val bos = new java.io.ByteArrayOutputStream()
-        val z = new org.tukaani.xz.XZOutputStream(bos,
-          new org.tukaani.xz.LZMA2Options((id % 10).toInt))
+        // dict capped: preset-default dictionaries cost dict-sized
+        // encoder allocations per plant (see demoWarcXzCorpus)
+        val opts = new org.tukaani.xz.LZMA2Options((id % 10).toInt)
+        opts.setDictSize(1 << 16)
+        val z = new org.tukaani.xz.XZOutputStream(bos, opts)
         z.write(warc); z.close()
         bos.toByteArray
       }
@@ -3099,8 +3102,14 @@ object Multimodal {
       val check = Seq(org.tukaani.xz.XZ.CHECK_CRC32,
         org.tukaani.xz.XZ.CHECK_CRC64,
         org.tukaani.xz.XZ.CHECK_SHA256)((id % 3).toInt)
-      val z = new org.tukaani.xz.XZOutputStream(bos,
-        new org.tukaani.xz.LZMA2Options((id % 10).toInt), check)
+      // keep each preset's lc/lp/pb and mode but cap the dictionary:
+      // presets 6-9 otherwise allocate up-to-64 MB dictionaries AND
+      // dict-sized match-finder tables PER DOCUMENT on the encode
+      // side (measured 34 ms/doc — 169 s of the sf0.1 bench); the
+      // decode side never keys on the declared size
+      val opts = new org.tukaani.xz.LZMA2Options((id % 10).toInt)
+      opts.setDictSize(1 << 16)
+      val z = new org.tukaani.xz.XZOutputStream(bos, opts, check)
       z.write(warc)
       z.close()
       MediaFile(id, "crawl", bos.toByteArray)

@@ -554,6 +554,7 @@ object Zip {
             buf.toByteArray
           case 14 =>
             val opts = new org.tukaani.xz.LZMA2Options(1)
+            opts.setDictSize(1 << 16) // dict-sized encoder tables per member
             val buf = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
             // APPNOTE member header: SDK version (readers ignore),
             // props size 5, the lc/lp/pb byte, LE32 dictionary size
@@ -571,8 +572,9 @@ object Zip {
             com.github.luben.zstd.Zstd.compress(data, 3)
           case 95 =>
             val buf = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-            val z = new org.tukaani.xz.XZOutputStream(buf,
-              new org.tukaani.xz.LZMA2Options(1))
+            val xo = new org.tukaani.xz.LZMA2Options(1)
+            xo.setDictSize(1 << 16) // dict-sized encoder tables per member
+            val z = new org.tukaani.xz.XZOutputStream(buf, xo)
             z.write(data); z.close()
             buf.toByteArray
           case m => throw new IllegalArgumentException(s"method $m")
