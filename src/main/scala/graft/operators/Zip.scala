@@ -29,8 +29,12 @@ object Zip {
 
   private val MaxExpandedBytes = 1L << 30
 
+  /** `flags` = the general-purpose bit field: IMPLODE keys its
+    * dictionary size (bit 1: 8K vs 4K) and tree count (bit 2: 3 vs 2)
+    * there, so member decode needs it.
+    */
   final case class ZipEntry(name: String, method: Int, crc: Long,
-      compressedSize: Long, size: Long, localOffset: Long)
+      compressedSize: Long, size: Long, localOffset: Long, flags: Int = 0)
 
   def isZip(b: Array[Byte]): Boolean =
     b != null && b.length >= 4 && b(0) == 'P' && b(1) == 'K' &&
@@ -158,6 +162,7 @@ object Zip {
     var k = 0
     while (k < n) {
       if (q + 46 > cdEnd || leU32(b, q) != 0x02014b50L) return null
+      val flags = leU16(b, q + 8)
       val method = leU16(b, q + 10)
       val crc = leU32(b, q + 16)
       val csize = leU32(b, q + 20)
@@ -171,7 +176,7 @@ object Zip {
         java.nio.charset.StandardCharsets.UTF_8)
       val r = resolve64(b, q + 46 + nlen, xlen, usize, csize, lho)
       if (r == null) return null
-      out(k) = ZipEntry(name, method, crc, r._2, r._1, r._3)
+      out(k) = ZipEntry(name, method, crc, r._2, r._1, r._3, flags)
       q += 46 + nlen + xlen + clen
       k += 1
     }
@@ -251,7 +256,12 @@ object Zip {
           e.size.toInt)
         if (got == null) return null
         got
-      case _ => return null // reduce/implode and friends: unsupported
+      case 6 => // IMPLODE (PKZIP 1.x Shannon-Fano + sliding dict)
+        val got = implodeDecode(b, data, data + e.compressedSize.toInt,
+          e.size.toInt, e.flags)
+        if (got == null) return null
+        got
+      case _ => return null // reduce (2-5) and friends: unsupported
     }
     val crc = new java.util.zip.CRC32()
     crc.update(out)
@@ -289,15 +299,16 @@ object Zip {
   }
 
   /** Does any member use a compression method outside the decodable
-    * set — STORED 0, SHRINK 1, DEFLATE 8, and (through this engine's
-    * from-scratch codec matrix) BZIP2 12, LZMA 14, Zstandard 93,
-    * XZ 95? The remaining legacy methods (reduce 2-5, implode 6)
-    * stay the "ship a profile" answer, distinct from damage.
+    * set — STORED 0, SHRINK 1, IMPLODE 6, DEFLATE 8, and (through
+    * this engine's from-scratch codec matrix) BZIP2 12, LZMA 14,
+    * Zstandard 93,
+    * XZ 95? Only REDUCE (2-5) remains the "ship a profile"
+    * answer, distinct from damage.
     */
   def unsupportedMethod(b: Array[Byte]): Boolean = {
     val es = entries(b)
     es != null && es.exists(e => e.method match {
-      case 0 | 1 | 8 | 12 | 14 | 93 | 95 => false
+      case 0 | 1 | 6 | 8 | 12 | 14 | 93 | 95 => false
       case _ => true
     })
   }
@@ -493,6 +504,282 @@ object Zip {
     out.toByteArray
   }
 
+  // ---- IMPLODE (method 6): PKZIP 1.x Shannon-Fano + sliding dict -------
+  // General-purpose bit 1 selects the 8K dictionary (else 4K), bit 2
+  // a third Shannon-Fano tree coding literals (else raw 8-bit
+  // literals; minimum match length 3 vs 2). The trees are transmitted
+  // BYTE-aligned ahead of the bit stream as (count-1 | length-1)
+  // nibble pairs; codes are built with the APPNOTE 4.3.2 16-bit
+  // construction over (length, symbol)-sorted entries processed in
+  // reverse, each truncated code transmitted MSB-FIRST through the
+  // LSB-first byte stream (pinned against commons-compress's
+  // exploder, which walks its tree in that order).
+
+  /** LSB-first bit reader (gzip bit order — implode's data stream). */
+  private final class BitsLsb(b: Array[Byte], start: Int, endExcl: Int) {
+    private var pos = start
+    private var cur = 0
+    private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (pos >= endExcl) return -1
+        cur = b(pos) & 0xFF
+        pos += 1
+        n = 8
+      }
+      val v = cur & 1
+      cur >>= 1
+      n -= 1
+      v
+    }
+    def bits(k: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < k) {
+        val t = bit()
+        if (t < 0) return -1
+        v |= t << i
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** One Shannon-Fano table over `lens` (bit length per symbol). */
+  private final class SfTree(val lens: Array[Int]) {
+    /** (length, code value) → symbol; readers accumulate the code
+      * MSB-first. SF codes are prefix-free, so probing at each
+      * accumulated depth matches at most once.
+      */
+    val dec = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    val code = new Array[Int](lens.length)
+    locally {
+      val order = lens.indices.sortBy(s => (lens(s), s))
+      var c = 0
+      var inc = 0
+      var last = 0
+      var i = order.length - 1
+      while (i >= 0) {
+        val s = order(i)
+        c += inc
+        if (lens(s) != last) {
+          last = lens(s)
+          inc = 1 << (16 - last)
+        }
+        code(s) = c >> (16 - lens(s))
+        dec((lens(s), code(s))) = s
+        i -= 1
+      }
+    }
+  }
+
+  /** Parse one transmitted tree (`nSymbols` total); (tree, posAfter)
+    * or null on malformed pairs.
+    */
+  private def sfParse(b: Array[Byte], pos0: Int, end: Int,
+      nSymbols: Int): (SfTree, Int) = {
+    if (pos0 >= end) return null
+    val nPairs = (b(pos0) & 0xFF) + 1
+    if (pos0 + 1 + nPairs > end) return null
+    val lens = new Array[Int](nSymbols)
+    var sym = 0
+    var i = 0
+    while (i < nPairs) {
+      val v = b(pos0 + 1 + i) & 0xFF
+      val len = (v & 0x0F) + 1
+      val cnt = (v >> 4) + 1
+      if (sym + cnt > nSymbols) return null
+      var k = 0
+      while (k < cnt) {
+        lens(sym) = len
+        sym += 1
+        k += 1
+      }
+      i += 1
+    }
+    if (sym != nSymbols) return null
+    (new SfTree(lens), pos0 + 1 + nPairs)
+  }
+
+  /** Read one SF-coded symbol (code bits MSB-first); -1 on
+    * exhaustion or a 16-bit miss.
+    */
+  private def sfRead(t: SfTree, br: BitsLsb): Int = {
+    var v = 0
+    var l = 0
+    while (l < 16) {
+      val bit = br.bit()
+      if (bit < 0) return -1
+      v = (v << 1) | bit
+      l += 1
+      val s = t.dec.getOrElse((l, v), -1)
+      if (s >= 0) return s
+    }
+    -1
+  }
+
+  /** Decode an IMPLODE stream to exactly `outSize` bytes under the
+    * entry's general-purpose `flags`; null on damage.
+    */
+  private def implodeDecode(b: Array[Byte], start: Int, endExcl: Int,
+      outSize: Int, flags: Int): Array[Byte] = {
+    val dictBits = if ((flags & 2) != 0) 7 else 6
+    val threeTrees = (flags & 4) != 0
+    val minMatch = if (threeTrees) 3 else 2
+    var p = start
+    var litTree: SfTree = null
+    if (threeTrees) {
+      val r = sfParse(b, p, endExcl, 256)
+      if (r == null) return null
+      litTree = r._1
+      p = r._2
+    }
+    val rl = sfParse(b, p, endExcl, 64)
+    if (rl == null) return null
+    val lenTree = rl._1
+    p = rl._2
+    val rd = sfParse(b, p, endExcl, 64)
+    if (rd == null) return null
+    val distTree = rd._1
+    p = rd._2
+    val br = new BitsLsb(b, p, endExcl)
+    val out = new Array[Byte](outSize)
+    var outLen = 0
+    while (outLen < outSize) {
+      br.bit() match {
+        case -1 => return null
+        case 1 => // literal
+          val lit = if (litTree != null) sfRead(litTree, br) else br.bits(8)
+          if (lit < 0) return null
+          out(outLen) = lit.toByte
+          outLen += 1
+        case _ => // match
+          val low = br.bits(dictBits)
+          if (low < 0) return null
+          val high = sfRead(distTree, br)
+          if (high < 0) return null
+          val dist = ((high << dictBits) | low) + 1
+          var c = sfRead(lenTree, br)
+          if (c < 0) return null
+          if (c == 63) {
+            val extra = br.bits(8)
+            if (extra < 0) return null
+            c += extra
+          }
+          val len = c + minMatch
+          if (dist > outLen) return null // pre-window reach = damage
+          if (outLen + len > outSize) return null
+          var k = 0
+          while (k < len) { // byte-wise: overlapping copies replicate
+            out(outLen) = out(outLen - dist)
+            outLen += 1
+            k += 1
+          }
+      }
+    }
+    out
+  }
+
+  /** IMPLODE-compress with FLAT trees (64×6-bit length and distance
+    * codes; 256×8-bit literals in 3-tree mode) and a real greedy LZ
+    * matcher over the selected window — the write side no modern tool
+    * ships. commons-compress READS imploded entries: the independent
+    * pin for this pair.
+    */
+  private def implodeEncode(data: Array[Byte], bigDict: Boolean,
+      threeTrees: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    def flatTree(nSymbols: Int, len: Int): Unit = {
+      val nPairs = nSymbols / 16
+      out.write(nPairs - 1)
+      var i = 0
+      while (i < nPairs) { out.write((15 << 4) | (len - 1)); i += 1 }
+    }
+    if (threeTrees) flatTree(256, 8)
+    flatTree(64, 6)
+    flatTree(64, 6)
+    val litT = if (threeTrees) new SfTree(Array.fill(256)(8)) else null
+    val lenT = new SfTree(Array.fill(64)(6))
+    val distT = new SfTree(Array.fill(64)(6))
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(v: Int, k: Int): Unit = { // LSB-first
+      bitBuf |= (v.toLong & ((1L << k) - 1)) << bitCnt
+      bitCnt += k
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xFF).toInt)
+        bitBuf >>>= 8
+        bitCnt -= 8
+      }
+    }
+    def putSf(t: SfTree, s: Int): Unit = { // code bits MSB-first
+      var k = t.lens(s) - 1
+      while (k >= 0) {
+        putBits((t.code(s) >> k) & 1, 1)
+        k -= 1
+      }
+    }
+    val dictSize = if (bigDict) 8192 else 4096
+    val dictBits = if (bigDict) 7 else 6
+    val minMatch = if (threeTrees) 3 else 2
+    val maxLen = 63 + 255 + minMatch
+    val lastPos = new Array[Int](65536)
+    java.util.Arrays.fill(lastPos, -1)
+    def pairKey(j: Int): Int = ((data(j) & 0xFF) << 8) | (data(j + 1) & 0xFF)
+    var i = 0
+    while (i < data.length) {
+      var matched = 0
+      var dist = 0
+      if (i + 1 < data.length) {
+        val cand = lastPos(pairKey(i))
+        if (cand >= 0 && i - cand <= dictSize) {
+          val d = i - cand
+          var l = 0
+          val lim = math.min(maxLen, data.length - i)
+          while (l < lim && data(i - d + l) == data(i + l)) l += 1
+          if (l >= minMatch) {
+            matched = l
+            dist = d
+          }
+        }
+      }
+      if (matched >= minMatch) {
+        putBits(0, 1)
+        val dm1 = dist - 1
+        putBits(dm1 & ((1 << dictBits) - 1), dictBits)
+        putSf(distT, dm1 >> dictBits)
+        val c = matched - minMatch
+        if (c >= 63) {
+          putSf(lenT, 63)
+          putBits(c - 63, 8)
+        } else putSf(lenT, c)
+        var k = 0
+        while (k < matched && i + k + 1 < data.length) {
+          lastPos(pairKey(i + k)) = i + k
+          k += 1
+        }
+        i += matched
+      } else {
+        putBits(1, 1)
+        if (litT != null) putSf(litT, data(i) & 0xFF)
+        else putBits(data(i) & 0xFF, 8)
+        if (i + 1 < data.length) lastPos(pairKey(i)) = i
+        i += 1
+      }
+    }
+    if (bitCnt > 0) out.write((bitBuf & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** The general-purpose flags [[synthZipMethods]] stores for a
+    * member: IMPLODE members signal their dictionary/tree shape
+    * there — 8K when the payload outgrows the 4K window, the
+    * literal tree on even payload lengths (cycling both modes).
+    */
+  private def gpFlagsFor(method: Int, dataLen: Int): Int =
+    if (method != 6) 0
+    else (if (dataLen > 4096) 2 else 0) | (if (dataLen % 2 == 0) 4 else 0)
+
   // ---- synthesizer -----------------------------------------------------
 
   /** A real ZIP from (name, bytes, deflate?) triples: local headers,
@@ -535,6 +822,9 @@ object Zip {
         val packed = method match {
           case 0 => data
           case 1 => shrinkEncode(data)
+          case 6 =>
+            implodeEncode(data, bigDict = data.length > 4096,
+              threeTrees = data.length % 2 == 0)
           case 8 =>
             defl.reset()
             defl.setInput(data)
@@ -580,7 +870,8 @@ object Zip {
           case m => throw new IllegalArgumentException(s"method $m")
         }
         val lho = out.size().toLong
-        w32(0x04034b50L); w16(ver); w16(0); w16(method)
+        val gpf = gpFlagsFor(method, data.length)
+        w32(0x04034b50L); w16(ver); w16(gpf); w16(method)
         w16(0); w16(0) // time/date: not consumed by the reader
         w32(crc.getValue)
         if (forceZip64) {
@@ -596,12 +887,12 @@ object Zip {
           out.write(nameB, 0, nameB.length)
         }
         out.write(packed, 0, packed.length)
-        (nameB, method, crc.getValue, packed.length.toLong,
+        (nameB, method, gpf, crc.getValue, packed.length.toLong,
           data.length.toLong, lho)
       }
       val cdOff = out.size().toLong
-      central.foreach { case (nameB, method, crc, csize, usize, lho) =>
-        w32(0x02014b50L); w16(ver); w16(ver); w16(0); w16(method)
+      central.foreach { case (nameB, method, gpf, crc, csize, usize, lho) =>
+        w32(0x02014b50L); w16(ver); w16(ver); w16(gpf); w16(method)
         w16(0); w16(0)
         w32(crc)
         if (forceZip64) { w32(0xFFFFFFFFL); w32(0xFFFFFFFFL) }

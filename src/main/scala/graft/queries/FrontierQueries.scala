@@ -234,12 +234,12 @@ object FrontierQueries {
     }),
 
     // ZIP shards whose members are compressed with the codec MATRIX
-    // (DEFLATE / BZIP2 / Zstandard / XZ / LZMA / SHRINK, methods
-    // 8/12/93/95/14/1) — the non-DEFLATE streams decode through this
-    // engine's own from-scratch decoders (Bzip2, Zstd, Xz + raw
-    // LZMA1, dynamic-LZW unshrink), each member still
-    // CRC-32-verified. Every codec is pinned against an independent
-    // implementation on at least one side.
+    // (DEFLATE / BZIP2 / Zstandard / XZ / LZMA / SHRINK / IMPLODE,
+    // methods 8/12/93/95/14/1/6) — the non-DEFLATE streams decode
+    // through this engine's own from-scratch decoders (Bzip2, Zstd,
+    // Xz + raw LZMA1, dynamic-LZW unshrink, Shannon-Fano explode),
+    // each member still CRC-32-verified. Every codec is pinned
+    // against an independent implementation on at least one side.
     "shard_zip_codecs" -> ((s, dir) => {
       import s.implicits._
       val corpus = graft.operators.Multimodal.demoZipCodecShards(

@@ -95,17 +95,17 @@ class ZipSpec extends AnyFunSuite {
   }
 
   test("profile gaps are named, not misread") {
-    // an unsupported compression method (IMPLODING = 6 — bzip2/lzma/
-    // zstd/xz all decode now): hand-patch the method field in both
-    // the local header and the central directory
+    // an unsupported compression method (REDUCE-2 = 3 — shrink/
+    // implode/bzip2/lzma/zstd/xz all decode now): hand-patch the
+    // method field in both the local header and the central directory
     val z = Zip.synthZip(Seq(("a.bin", gen(50, 8), false)))
     def leU16(b: Array[Byte], i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
     // local header method at offset 8; central entry method at cd+10
-    z(8) = 6
+    z(8) = 3
     var cd = -1
     for (i <- 0 until z.length - 4)
       if (z(i) == 'P' && z(i + 1) == 'K' && z(i + 2) == 1 && z(i + 3) == 2) cd = i
-    z(cd + 10) = 6
+    z(cd + 10) = 3
     assert(Zip.members(z) == null)
     assert(Zip.unsupportedMethod(z))
     assert(!Zip.isZip64(z))
@@ -125,11 +125,18 @@ class ZipSpec extends AnyFunSuite {
       ("k.bin", repetitive, 1), // SHRINK: dictionary hits + KwKwK
       // random bytes add ~1 LZW entry each: 10k forces width escapes
       // up to 13 bits; full-table partial clears are pinned below
-      ("kw.bin", gen(10000, 47), 1))
+      ("kw.bin", gen(10000, 47), 1),
+      // IMPLODE: odd length = 2-tree raw literals; even = 3-tree
+      // coded literals; >4096 selects the 8K dictionary — matches
+      // cross the 4K boundary in the big repetitive one
+      ("i2.bin", gen(701, 49), 6),
+      ("i3.bin", gen(900, 50), 6),
+      ("i8.bin", (("imploded shard block " * 300).getBytes("US-ASCII")
+        ++ gen(101, 51)), 6))
     val z = Zip.synthZipMethods(files)
     // our walk decodes every method, CRC-verified
     val m = Zip.members(z)
-    assert(m != null && m.length == 9)
+    assert(m != null && m.length == 12)
     for (((name, data, _), i) <- files.zipWithIndex) {
       assert(m(i)._1 == name)
       assert(m(i)._2.toSeq == data.toSeq, name)
