@@ -193,6 +193,7 @@ object Zip {
       inf: java.util.zip.Inflater, budget: Long): Array[Byte] = try {
     // 64-bit offsets must be bounds-checked BEFORE the Int narrowing
     // (2^32+k would otherwise wrap onto another member's header)
+    if ((e.flags & 1) != 0) return null // encrypted: a named gap, below
     if (e.localOffset < 0 || e.localOffset > b.length - 30) return null
     val p = e.localOffset.toInt
     if (leU32(b, p) != 0x04034b50L) return null
@@ -298,19 +299,20 @@ object Zip {
     } finally inf.end()
   }
 
-  /** Does any member use a compression method outside the decodable
-    * set — STORED 0, SHRINK 1, IMPLODE 6, DEFLATE 8, and (through
+  /** Does any member lie outside the decodable profile — a method
+    * beyond STORED 0, SHRINK 1, IMPLODE 6, DEFLATE 8, and (through
     * this engine's from-scratch codec matrix) BZIP2 12, LZMA 14,
-    * Zstandard 93,
-    * XZ 95? Only REDUCE (2-5) remains the "ship a profile"
+    * Zstandard 93, XZ 95 — or traditional ENCRYPTION (general-purpose
+    * bit 0: the data is ciphertext behind a 12-byte crypt header)?
+    * REDUCE (2-5) and encrypted members are the "ship a profile"
     * answer, distinct from damage.
     */
   def unsupportedMethod(b: Array[Byte]): Boolean = {
     val es = entries(b)
-    es != null && es.exists(e => e.method match {
+    es != null && es.exists(e => (e.flags & 1) != 0 || (e.method match {
       case 0 | 1 | 6 | 8 | 12 | 14 | 93 | 95 => false
       case _ => true
-    })
+    }))
   }
 
   // ---- SHRINK (method 1): PKZIP 1.x dynamic LZW ------------------------
@@ -545,14 +547,18 @@ object Zip {
     }
   }
 
-  /** One Shannon-Fano table over `lens` (bit length per symbol). */
+  /** One Shannon-Fano table over `lens` (bit length per symbol).
+    * The APPNOTE construction assigns CONTIGUOUS code values to each
+    * same-length group (ascending code = descending symbol), so
+    * decode is O(1) range arithmetic per probe — no hashing in the
+    * per-symbol hot loop (the flat-table convention every sibling
+    * decoder here uses).
+    */
   private final class SfTree(val lens: Array[Int]) {
-    /** (length, code value) → symbol; readers accumulate the code
-      * MSB-first. SF codes are prefix-free, so probing at each
-      * accumulated depth matches at most once.
-      */
-    val dec = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
     val code = new Array[Int](lens.length)
+    private val lo = Array.fill(17)(Int.MaxValue)
+    private val hi = Array.fill(17)(-1)
+    private val symAtLo = new Array[Int](17)
     locally {
       val order = lens.indices.sortBy(s => (lens(s), s))
       var c = 0
@@ -566,11 +572,21 @@ object Zip {
           last = lens(s)
           inc = 1 << (16 - last)
         }
-        code(s) = c >> (16 - lens(s))
-        dec((lens(s), code(s))) = s
+        val l = lens(s)
+        code(s) = c >> (16 - l)
+        if (code(s) < lo(l)) { lo(l) = code(s); symAtLo(l) = s }
+        if (code(s) > hi(l)) hi(l) = code(s)
         i -= 1
       }
     }
+
+    /** Symbol for a complete length-`l` code of value `v`, else -1.
+      * Readers accumulate MSB-first; prefix-freeness makes the first
+      * in-range depth the unique match.
+      */
+    def sym(l: Int, v: Int): Int =
+      if (l < 17 && v >= lo(l) && v <= hi(l)) symAtLo(l) - (v - lo(l))
+      else -1
   }
 
   /** Parse one transmitted tree (`nSymbols` total); (tree, posAfter)
@@ -612,7 +628,7 @@ object Zip {
       if (bit < 0) return -1
       v = (v << 1) | bit
       l += 1
-      val s = t.dec.getOrElse((l, v), -1)
+      val s = t.sym(l, v)
       if (s >= 0) return s
     }
     -1
@@ -819,12 +835,15 @@ object Zip {
         val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val crc = new java.util.zip.CRC32()
         crc.update(data)
+        val gpf = gpFlagsFor(method, data.length)
         val packed = method match {
           case 0 => data
           case 1 => shrinkEncode(data)
           case 6 =>
-            implodeEncode(data, bigDict = data.length > 4096,
-              threeTrees = data.length % 2 == 0)
+            // stream shape derived from the SAME flags the headers
+            // advertise — the two can't drift apart
+            implodeEncode(data, bigDict = (gpf & 2) != 0,
+              threeTrees = (gpf & 4) != 0)
           case 8 =>
             defl.reset()
             defl.setInput(data)
@@ -870,7 +889,6 @@ object Zip {
           case m => throw new IllegalArgumentException(s"method $m")
         }
         val lho = out.size().toLong
-        val gpf = gpFlagsFor(method, data.length)
         w32(0x04034b50L); w16(ver); w16(gpf); w16(method)
         w16(0); w16(0) // time/date: not consumed by the reader
         w32(crc.getValue)

@@ -127,8 +127,8 @@ class ZipSpec extends AnyFunSuite {
       // up to 13 bits; full-table partial clears are pinned below
       ("kw.bin", gen(10000, 47), 1),
       // IMPLODE: odd length = 2-tree raw literals; even = 3-tree
-      // coded literals; >4096 selects the 8K dictionary — matches
-      // cross the 4K boundary in the big repetitive one
+      // coded literals; >4096 selects the 8K dictionary (short
+      // distances here; true beyond-4K matches are pinned below)
       ("i2.bin", gen(701, 49), 6),
       ("i3.bin", gen(900, 50), 6),
       ("i8.bin", (("imploded shard block " * 300).getBytes("US-ASCII")
@@ -169,6 +169,39 @@ class ZipSpec extends AnyFunSuite {
     val dataStart = z.indexOfSlice("b.bin".getBytes("US-ASCII")) + 5
     bad(dataStart + 20) = (bad(dataStart + 20) ^ 0x33).toByte
     assert(Zip.members(bad) == null)
+    // 8K-dict LARGE distances + the bigDict/threeTrees combination:
+    // block A (alphabet 128-255) recurs after 5 KB of alphabet-
+    // disjoint filler (0-127), so its pairs match only at distance
+    // 5217 — beyond the 4K window — and the EVEN total length
+    // selects the literal tree alongside the 8K dictionary
+    val blockA = Array.tabulate(217)(i => (128 + (i * 73) % 128).toByte)
+    val farFill = Array.tabulate(5000)(i => ((i * 31) % 128).toByte)
+    val far = blockA ++ farFill ++ blockA
+    assert(far.length % 2 == 0 && far.length > 4096)
+    val zFar = Zip.synthZipMethods(Seq(("far.bin", far, 6)))
+    val mFar = Zip.members(zFar)
+    assert(mFar != null && mFar(0)._2.toSeq == far.toSeq)
+    val chf = new org.apache.commons.compress.utils
+      .SeekableInMemoryByteChannel(zFar)
+    val zff = org.apache.commons.compress.archivers.zip.ZipFile.builder()
+      .setSeekableByteChannel(chf).get()
+    try {
+      val e = zff.getEntry("far.bin")
+      assert(e != null && zff.canReadEntryData(e))
+      assert(zff.getInputStream(e).readAllBytes().toSeq == far.toSeq)
+    } finally zff.close()
+    // traditionally-ENCRYPTED members (gp bit 0) are a NAMED gap,
+    // not damage: flag an entry encrypted in both headers
+    val enc = Zip.synthZip(Seq(("e.bin", gen(40, 52), false)))
+    enc(6) = 1 // local header flags live at offset 6
+    var ecd = -1
+    for (i <- 0 until enc.length - 4)
+      if (enc(i) == 'P' && enc(i + 1) == 'K' && enc(i + 2) == 1 &&
+          enc(i + 3) == 2) ecd = i
+    enc(ecd + 8) = 1
+    assert(Zip.members(enc) == null)
+    assert(Zip.unsupportedMethod(enc))
+    assert(Multimodal.mediaDecodeClass(enc) == ("zip", "unsupported_profile"))
     // LZMA1 props: the full lc<=8, lp<=4 range is LEGAL for method 14
     // (the lc+lp<=4 limit is LZMA2-only) — 7-Zip writes e.g. lc=4 —
     // so tuned props must not classify as damage. xz-java can't
