@@ -262,7 +262,12 @@ object Zip {
           e.size.toInt, e.flags)
         if (got == null) return null
         got
-      case _ => return null // reduce (2-5) and friends: unsupported
+      case 2 | 3 | 4 | 5 => // REDUCE (PKZIP 0.9 follower sets + DLE)
+        val got = reduceDecode(b, data, data + e.compressedSize.toInt,
+          e.size.toInt, e.method - 1)
+        if (got == null) return null
+        got
+      case _ => return null // deflate64/dcl-implode/ppmd: unsupported
     }
     val crc = new java.util.zip.CRC32()
     crc.update(out)
@@ -300,20 +305,243 @@ object Zip {
   }
 
   /** Does any member lie outside the decodable profile — a method
-    * beyond STORED 0, SHRINK 1, IMPLODE 6, DEFLATE 8, and (through
-    * this engine's from-scratch codec matrix) BZIP2 12, LZMA 14,
-    * Zstandard 93, XZ 95 — or traditional ENCRYPTION (general-purpose
-    * bit 0: the data is ciphertext behind a 12-byte crypt header)?
-    * REDUCE (2-5) and encrypted members are the "ship a profile"
-    * answer, distinct from damage.
+    * beyond STORED 0, SHRINK 1, REDUCE 2-5, IMPLODE 6, DEFLATE 8,
+    * and (through this engine's from-scratch codec matrix) BZIP2 12,
+    * LZMA 14, Zstandard 93, XZ 95 — or traditional ENCRYPTION
+    * (general-purpose bit 0: the data is ciphertext behind a 12-byte
+    * crypt header)? Deflate64/DCL-implode/PPMd and encrypted members
+    * are the "ship a profile" answer, distinct from damage.
     */
   def unsupportedMethod(b: Array[Byte]): Boolean = {
     val es = entries(b)
     es != null && es.exists(e => (e.flags & 1) != 0 || (e.method match {
-      case 0 | 1 | 6 | 8 | 12 | 14 | 93 | 95 => false
+      case 0 | 1 | 2 | 3 | 4 | 5 | 6 | 8 | 12 | 14 | 93 | 95 => false
       case _ => true
     }))
   }
+
+  // ---- REDUCE (methods 2-5): follower sets + DLE expansion -------------
+  // APPNOTE 4.3's "Reducing" is two chained stages ("etl-pack has no
+  // codec layer at all; this closes the last PKZIP method a single
+  // shard can carry"). The stored bitstream is the PROBABILISTIC
+  // stage: 256 follower sets transmitted S(255) down to S(0), each a
+  // 6-bit size N(j) (0..32) then N(j) 8-bit members. Decoding tracks
+  // the previous character j: an empty S(j) reads a raw byte with NO
+  // flag; a non-empty one reads 1 flag bit, then a raw byte (1) or a
+  // B(N(j))-bit index into S(j) (0), where B(n) = bits to represent
+  // n-1, minimum 1. The recovered bytes then EXPAND: DLE (144)
+  // escapes a (length, distance) pair whose bit split depends on the
+  // factor (method - 1): Len = V's low (8-factor) bits, == mask pulls
+  // one extra length byte; distance = (V >> (8-factor)) * 256 + next
+  // byte + 1; copy Len + 3 bytes. DLE,0 is a literal DLE. The window
+  // (2^factor * 256 bytes) is zero-initialized — pre-start reaches
+  // produce zeros, the convention every historical unreducer keeps.
+
+  /** B(n): bits needed for an index into an n-member follower set. */
+  private def reduceB(n: Int): Int =
+    if (n > 16) 5 else if (n > 8) 4 else if (n > 4) 3
+    else if (n > 2) 2 else 1
+
+  private final val ReduceDle = 144
+
+  private def reduceDecode(b: Array[Byte], start: Int, endExcl: Int,
+      outSize: Int, factor: Int): Array[Byte] = {
+    val br = new BitsLsb(b, start, endExcl)
+    val setLen = new Array[Int](256)
+    val sets = new Array[Array[Byte]](256)
+    var j = 255
+    while (j >= 0) {
+      val n = br.bits(6)
+      if (n < 0 || n > 32) return null
+      setLen(j) = n
+      if (n > 0) {
+        val s = new Array[Byte](n)
+        var k = 0
+        while (k < n) {
+          val v = br.bits(8)
+          if (v < 0) return null
+          s(k) = v.toByte
+          k += 1
+        }
+        sets(j) = s
+      }
+      j -= 1
+    }
+    val out = new Array[Byte](outSize)
+    var outLen = 0
+    val shift = 8 - factor
+    val mask = (1 << shift) - 1
+    var last = 0
+    var state = 0 // 0 literal, 1 post-DLE, 2 extra length, 3 distance low
+    var len = 0
+    var v = 0
+    while (outLen < outSize) {
+      val n = setLen(last)
+      val c =
+        if (n == 0) br.bits(8)
+        else br.bit() match {
+          case -1 => -1
+          case 1 => br.bits(8)
+          case _ =>
+            val idx = br.bits(reduceB(n))
+            if (idx < 0 || idx >= n) -1 else sets(last)(idx) & 0xFF
+        }
+      if (c < 0) return null
+      last = c
+      state match {
+        case 0 =>
+          if (c == ReduceDle) state = 1
+          else { out(outLen) = c.toByte; outLen += 1 }
+        case 1 =>
+          if (c == 0) {
+            out(outLen) = ReduceDle.toByte
+            outLen += 1
+            state = 0
+          } else {
+            v = c
+            len = c & mask
+            state = if (len == mask) 2 else 3
+          }
+        case 2 =>
+          len += c
+          state = 3
+        case _ =>
+          val dist = ((v >> shift) << 8) + c + 1
+          val total = len + 3
+          if (outLen + total > outSize) return null
+          var k = 0
+          while (k < total) { // byte-wise: overlaps replicate
+            val src = outLen - dist
+            out(outLen) = if (src < 0) 0 else out(src)
+            outLen += 1
+            k += 1
+          }
+          state = 0
+      }
+    }
+    out
+  }
+
+  /** The expanding stage's ENCODER: greedy LZ over the factor's
+    * 2^factor*256 window with DLE escapes (matches >= 4 — a 3-byte
+    * match costs its own 3 escape bytes; literal DLE doubles to
+    * DLE,0). V is never 0 by construction: its length bits are >= 1
+    * (or == mask >= 15 on the extra-byte path).
+    */
+  private def reduceExpandEncode(data: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    val shift = 8 - factor
+    val mask = (1 << shift) - 1
+    val window = 256 << factor
+    val maxMatch = mask + 255 + 3
+    val lastPos = new Array[Int](65536)
+    java.util.Arrays.fill(lastPos, -1)
+    def pairKey(j: Int): Int = ((data(j) & 0xFF) << 8) | (data(j + 1) & 0xFF)
+    var i = 0
+    while (i < data.length) {
+      var matched = 0
+      var dist = 0
+      if (i + 1 < data.length) {
+        val cand = lastPos(pairKey(i))
+        if (cand >= 0 && i - cand <= window) {
+          val d = i - cand
+          var l = 0
+          val lim = math.min(maxMatch, data.length - i)
+          while (l < lim && data(i - d + l) == data(i + l)) l += 1
+          if (l >= 4) { matched = l; dist = d }
+        }
+      }
+      if (matched >= 4) {
+        val dm1 = dist - 1
+        val len = matched - 3
+        out.write(ReduceDle)
+        if (len >= mask) {
+          out.write(((dm1 >> 8) << shift) | mask)
+          out.write(len - mask)
+        } else out.write(((dm1 >> 8) << shift) | len)
+        out.write(dm1 & 0xFF)
+        var k = 0
+        while (k < matched && i + k + 1 < data.length) {
+          lastPos(pairKey(i + k)) = i + k
+          k += 1
+        }
+        i += matched
+      } else {
+        out.write(data(i) & 0xFF)
+        if ((data(i) & 0xFF) == ReduceDle) out.write(0)
+        if (i + 1 < data.length) lastPos(pairKey(i)) = i
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** The probabilistic stage's ENCODER: follower sets hold each
+    * predecessor's repeat followers (frequency >= 2, capped at the
+    * spec's 32), so streams exercise all three decode paths — coded
+    * index, 9-bit escape, and raw bytes under empty sets.
+    */
+  private def reduceProbEncode(mid: Array[Byte]): Array[Byte] = {
+    val freq = Array.ofDim[Int](256, 256)
+    var last = 0
+    var i = 0
+    while (i < mid.length) {
+      freq(last)(mid(i) & 0xFF) += 1
+      last = mid(i) & 0xFF
+      i += 1
+    }
+    val sets = Array.tabulate(256) { j =>
+      (0 until 256).filter(c => freq(j)(c) >= 2)
+        .sortBy(c => (-freq(j)(c), c)).take(32).toArray
+    }
+    val idxIn = Array.fill(256)(Array.fill(256)(-1))
+    for (j <- 0 until 256; k <- sets(j).indices) idxIn(j)(sets(j)(k)) = k
+    val out = new java.io.ByteArrayOutputStream(mid.length + 256)
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(v: Int, k: Int): Unit = { // LSB-first
+      bitBuf |= (v.toLong & ((1L << k) - 1)) << bitCnt
+      bitCnt += k
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xFF).toInt)
+        bitBuf >>>= 8
+        bitCnt -= 8
+      }
+    }
+    var j = 255
+    while (j >= 0) {
+      putBits(sets(j).length, 6)
+      sets(j).foreach(c => putBits(c, 8))
+      j -= 1
+    }
+    last = 0
+    i = 0
+    while (i < mid.length) {
+      val c = mid(i) & 0xFF
+      if (sets(last).length == 0) putBits(c, 8)
+      else {
+        val k = idxIn(last)(c)
+        if (k < 0) { putBits(1, 1); putBits(c, 8) }
+        else { putBits(0, 1); putBits(k, reduceB(sets(last).length)) }
+      }
+      last = c
+      i += 1
+    }
+    if (bitCnt > 0) out.write((bitBuf & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** REDUCE-compress at `factor` 1-4 (method = factor + 1): the
+    * expanding stage then the probabilistic stage, matching PKZIP
+    * 0.9's order — no modern tool writes OR reads this, so the pair
+    * is pinned by APPNOTE-derived hand vectors plus round-trip.
+    */
+  private[graft] def reduceEncode(data: Array[Byte], factor: Int): Array[Byte] =
+    reduceProbEncode(reduceExpandEncode(data, factor))
+
+  /** Spec-visible decode entry for [[reduceDecode]] hand vectors. */
+  private[graft] def reduceDecodeForTest(b: Array[Byte], outSize: Int,
+      factor: Int): Array[Byte] = reduceDecode(b, 0, b.length, outSize, factor)
 
   // ---- SHRINK (method 1): PKZIP 1.x dynamic LZW ------------------------
   // LSB-first codes, width 9→13 grown ONLY by the explicit (256,1)
@@ -816,11 +1044,13 @@ object Zip {
   /** [[synthZip]] with an explicit compression method per member:
     * STORED 0, SHRINK 1 (the from-scratch [[shrinkEncode]] — no
     * modern tool writes it; commons-compress READS it, which is that
-    * pair's independent pin), DEFLATE 8, BZIP2 12 (commons-compress
-    * writes the member stream), LZMA 14 (xz-java raw LZMA1 behind
-    * the APPNOTE member header), Zstandard 93 (zstd-jni), XZ 95
-    * (xz-java) — each codec pinned against an independent
-    * implementation on at least one side.
+    * pair's independent pin), REDUCE 2-5 (the from-scratch
+    * [[reduceEncode]] — NO implementation of either side survives on
+    * a modern classpath, so the pair is pinned by APPNOTE-derived
+    * hand vectors plus round-trip across all four factors), DEFLATE
+    * 8, BZIP2 12 (commons-compress writes the member stream), LZMA
+    * 14 (xz-java raw LZMA1 behind the APPNOTE member header),
+    * Zstandard 93 (zstd-jni), XZ 95 (xz-java).
     */
   def synthZipMethods(files: Seq[(String, Array[Byte], Int)],
       forceZip64: Boolean = false): Array[Byte] = {
@@ -839,6 +1069,7 @@ object Zip {
         val packed = method match {
           case 0 => data
           case 1 => shrinkEncode(data)
+          case 2 | 3 | 4 | 5 => reduceEncode(data, method - 1)
           case 6 =>
             // stream shape derived from the SAME flags the headers
             // advertise — the two can't drift apart

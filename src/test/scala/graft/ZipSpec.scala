@@ -95,21 +95,96 @@ class ZipSpec extends AnyFunSuite {
   }
 
   test("profile gaps are named, not misread") {
-    // an unsupported compression method (REDUCE-2 = 3 — shrink/
-    // implode/bzip2/lzma/zstd/xz all decode now): hand-patch the
-    // method field in both the local header and the central directory
+    // an unsupported compression method (DCL-implode = 10 — shrink/
+    // reduce/implode/bzip2/lzma/zstd/xz all decode now): hand-patch
+    // the method field in both the local header and the central
+    // directory
     val z = Zip.synthZip(Seq(("a.bin", gen(50, 8), false)))
     def leU16(b: Array[Byte], i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
     // local header method at offset 8; central entry method at cd+10
-    z(8) = 3
+    z(8) = 10
     var cd = -1
     for (i <- 0 until z.length - 4)
       if (z(i) == 'P' && z(i + 1) == 'K' && z(i + 2) == 1 && z(i + 3) == 2) cd = i
-    z(cd + 10) = 3
+    z(cd + 10) = 10
     assert(Zip.members(z) == null)
     assert(Zip.unsupportedMethod(z))
     assert(!Zip.isZip64(z))
     assert(leU16(z, cd + 28) == 5) // sanity: name length intact
+  }
+
+  test("REDUCE hand vectors pin the APPNOTE semantics") {
+    // factor 4 (method 5), all follower sets empty: 256 six-bit
+    // zeros = 192 zero bytes, then the intermediate stream as plain
+    // LSB-first bytes. "AB" + DLE escape (V=0x07: Len=7 -> copy 10,
+    // dist = low byte 1 + 1 = 2) must expand to AB repeated 6x.
+    val empty = Array.fill(192)(0.toByte)
+    val v1 = empty ++ Array[Byte](65, 66, 144.toByte, 7, 1)
+    assert(Zip.reduceDecodeForTest(v1, 12, 4) != null)
+    assert(new String(Zip.reduceDecodeForTest(v1, 12, 4), "US-ASCII") ==
+      "ABABABABABAB")
+    // DLE,0 is a literal DLE
+    val v2 = empty ++ Array[Byte](144.toByte, 0, 65)
+    assert(Zip.reduceDecodeForTest(v2, 2, 4).toSeq ==
+      Seq(144.toByte, 65.toByte))
+    // a pre-window reach reads zeros (the zero-initialized window
+    // every historical unreducer shares): dist 257 via V=0x10,C=0
+    val v3 = empty ++ Array[Byte](144.toByte, 0x10, 0)
+    assert(Zip.reduceDecodeForTest(v3, 3, 4).toSeq ==
+      Seq[Byte](0, 0, 0).toSeq)
+    // follower sets drive the probabilistic stage: S(0)={65} (the
+    // initial last-char is 0), S(65) empty, S(66)={65,66} — decode
+    // flag0+idx0 -> A, raw B, flag0+idx0 -> A
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]
+    def put(v: Int, k: Int): Unit = for (b <- 0 until k) bits += ((v >> b) & 1)
+    for (j <- 255 to 0 by -1) j match {
+      case 66 => put(2, 6); put(65, 8); put(66, 8)
+      case 0 => put(1, 6); put(65, 8)
+      case _ => put(0, 6)
+    }
+    put(0, 1); put(0, 1) // flag 0, B(1)=1-bit index 0 -> 'A'
+    put(66, 8) // raw under empty S(65)
+    put(0, 1); put(0, 1) // flag 0, B(2)=1-bit index 0 -> 'A'
+    val packed = bits.grouped(8).map(g =>
+      g.zipWithIndex.map { case (b, i) => b << i }.sum.toByte).toArray
+    assert(new String(Zip.reduceDecodeForTest(packed, 3, 1), "US-ASCII") ==
+      "ABA")
+    // malformed streams degrade: follower-set size > 32, truncation
+    val over = Array.fill(200)(0xFF.toByte)
+    assert(Zip.reduceDecodeForTest(over, 4, 1) == null)
+    assert(Zip.reduceDecodeForTest(empty, 4, 2) == null)
+  }
+
+  test("REDUCE round-trips across all four factors and shapes") {
+    val shapes = Seq(
+      "repetitive: " + ("the reduced shard block " * 200), // > mask matches
+      new String(Array.tabulate(5000)(i => (32 + (i * 17) % 95).toChar)),
+      "short", "")
+    val withDle = gen(3000, 61) // gen hits 144 bytes too
+    for (factor <- 1 to 4) {
+      for (s <- shapes) {
+        val data = s.getBytes("US-ASCII")
+        val enc = Zip.reduceEncode(data, factor)
+        val dec = Zip.reduceDecodeForTest(enc, data.length, factor)
+        assert(dec != null && dec.toSeq == data.toSeq, s"factor=$factor")
+      }
+      val enc = Zip.reduceEncode(withDle, factor)
+      val dec = Zip.reduceDecodeForTest(enc, withDle.length, factor)
+      assert(dec != null && dec.toSeq == withDle.toSeq, s"factor=$factor dle")
+      // beyond-window data: matches must respect the factor's window
+      val far = gen(300, 62) ++ new Array[Byte](256 << factor) ++ gen(300, 62)
+      val encF = Zip.reduceEncode(far, factor)
+      val decF = Zip.reduceDecodeForTest(encF, far.length, factor)
+      assert(decF != null && decF.toSeq == far.toSeq, s"factor=$factor far")
+    }
+    // all-identical run: overlapping dist-1 copies + extra length byte
+    val run = Array.fill(10000)(7.toByte)
+    for (factor <- Seq(1, 4)) {
+      val enc = Zip.reduceEncode(run, factor)
+      assert(enc.length < 600, s"run under-compressed: ${enc.length}")
+      assert(Zip.reduceDecodeForTest(enc, run.length, factor).toSeq ==
+        run.toSeq)
+    }
   }
 
   test("codec-matrix methods (shrink/bzip2/lzma/zstd/xz) decode and cross-read") {
@@ -132,11 +207,17 @@ class ZipSpec extends AnyFunSuite {
       ("i2.bin", gen(701, 49), 6),
       ("i3.bin", gen(900, 50), 6),
       ("i8.bin", (("imploded shard block " * 300).getBytes("US-ASCII")
-        ++ gen(101, 51)), 6))
+        ++ gen(101, 51)), 6),
+      // REDUCE factors 1-4: repetitive (DLE escapes + follower hits)
+      // and incompressible (escape-heavy) shapes
+      ("r1.bin", ("reduced member " * 60).getBytes("US-ASCII"), 2),
+      ("r2.bin", gen(640, 53), 3),
+      ("r3.bin", ("follow the set " * 90).getBytes("US-ASCII"), 4),
+      ("r4.bin", gen(777, 54), 5))
     val z = Zip.synthZipMethods(files)
     // our walk decodes every method, CRC-verified
     val m = Zip.members(z)
-    assert(m != null && m.length == 12)
+    assert(m != null && m.length == 16)
     for (((name, data, _), i) <- files.zipWithIndex) {
       assert(m(i)._1 == name)
       assert(m(i)._2.toSeq == data.toSeq, name)
@@ -145,9 +226,11 @@ class ZipSpec extends AnyFunSuite {
     assert(Multimodal.mediaDecodeClass(z) == ("zip", "ok"))
     // the independent commons-compress reader agrees on every member
     // it can read — it REFUSES method 14 outright
-    // (UnsupportedZipFeatureException), so for LZMA the pin is the
-    // write side alone: xz-java produced the raw stream our decoder
-    // just read. Our walk exceeds the bundled reader there.
+    // (UnsupportedZipFeatureException) and has no unreducer for 2-5,
+    // so for LZMA the pin is the write side alone (xz-java produced
+    // the raw stream our decoder just read) and for REDUCE it is the
+    // APPNOTE hand vectors below. Our walk exceeds the bundled
+    // reader on both.
     val ch = new org.apache.commons.compress.utils
       .SeekableInMemoryByteChannel(z)
     val zf = org.apache.commons.compress.archivers.zip.ZipFile.builder()
@@ -156,7 +239,8 @@ class ZipSpec extends AnyFunSuite {
       for ((name, data, method) <- files) {
         val e = zf.getEntry(name)
         assert(e != null, name)
-        if (method == 14) assert(!zf.canReadEntryData(e), name)
+        if (method == 14 || (method >= 2 && method <= 5))
+          assert(!zf.canReadEntryData(e), name)
         else {
           assert(zf.canReadEntryData(e), name)
           assert(zf.getInputStream(e).readAllBytes().toSeq == data.toSeq,
