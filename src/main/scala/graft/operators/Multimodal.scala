@@ -1912,13 +1912,14 @@ object Multimodal {
 
   /** Deterministic codec-matrix ZIP corpus: flat-named shards with
     * the [[demoZipShards]] sample formulas, but the `.txt` part of
-    * sample `s` is compressed with method `8/12/93/95/14/1/6/2/3/4/5`
-    * by `(id+s)%11` (DEFLATE / BZIP2 / Zstandard / XZ / LZMA /
-    * SHRINK / IMPLODE / REDUCE-1..4 — write sides: JDK Deflater,
-    * commons-compress, zstd-jni, xz-java twice, and the from-scratch
-    * shrink/implode/reduce encoders), `.cls` labels STORED. The sums
-    * are method-independent, so the oracle only passes if every codec
-    * dispatch decodes exactly.
+    * sample `s` is compressed with method
+    * `8/12/93/95/14/1/6/2/3/4/5/9` by `(id+s)%12` (DEFLATE / BZIP2 /
+    * Zstandard / XZ / LZMA / SHRINK / IMPLODE / REDUCE-1..4 /
+    * DEFLATE64 — write sides: JDK Deflater, commons-compress,
+    * zstd-jni, xz-java twice, and the from-scratch
+    * shrink/implode/reduce/deflate64 encoders), `.cls` labels
+    * STORED. The sums are method-independent, so the oracle only
+    * passes if every codec dispatch decodes exactly.
     */
   def demoZipCodecShards(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -1929,7 +1930,7 @@ object Multimodal {
         val txt = Array.tabulate((16 + (id + s) % 8).toInt)(j =>
           ((id * 31 + s * 17 + j * 7) % 256).toByte)
         files += ((f"$s%06d.txt", txt,
-          Seq(8, 12, 93, 95, 14, 1, 6, 2, 3, 4, 5)(((id + s) % 11).toInt)))
+          Seq(8, 12, 93, 95, 14, 1, 6, 2, 3, 4, 5, 9)(((id + s) % 12).toInt)))
         files += ((f"$s%06d.cls", Array(((id + s) % 256).toByte), 0))
       }
       MediaFile(id, "shard", Zip.synthZipMethods(files.result()))

@@ -267,7 +267,12 @@ object Zip {
           e.size.toInt, e.method - 1)
         if (got == null) return null
         got
-      case _ => return null // deflate64/dcl-implode/ppmd: unsupported
+      case 9 => // DEFLATE64 (enhanced deflate, 64K window)
+        val got = Inflate64.inflate(b, data,
+          data + e.compressedSize.toInt, e.size.toInt)
+        if (got == null) return null
+        got
+      case _ => return null // dcl-implode 10 / ppmd 98: unsupported
     }
     val crc = new java.util.zip.CRC32()
     crc.update(out)
@@ -306,16 +311,17 @@ object Zip {
 
   /** Does any member lie outside the decodable profile — a method
     * beyond STORED 0, SHRINK 1, REDUCE 2-5, IMPLODE 6, DEFLATE 8,
-    * and (through this engine's from-scratch codec matrix) BZIP2 12,
-    * LZMA 14, Zstandard 93, XZ 95 — or traditional ENCRYPTION
-    * (general-purpose bit 0: the data is ciphertext behind a 12-byte
-    * crypt header)? Deflate64/DCL-implode/PPMd and encrypted members
-    * are the "ship a profile" answer, distinct from damage.
+    * DEFLATE64 9, and (through this engine's from-scratch codec
+    * matrix) BZIP2 12, LZMA 14, Zstandard 93, XZ 95 — or traditional
+    * ENCRYPTION (general-purpose bit 0: the data is ciphertext
+    * behind a 12-byte crypt header)? DCL-implode 10 / PPMd 98 and
+    * encrypted members are the "ship a profile" answer, distinct
+    * from damage.
     */
   def unsupportedMethod(b: Array[Byte]): Boolean = {
     val es = entries(b)
     es != null && es.exists(e => (e.flags & 1) != 0 || (e.method match {
-      case 0 | 1 | 2 | 3 | 4 | 5 | 6 | 8 | 12 | 14 | 93 | 95 => false
+      case 0 | 1 | 2 | 3 | 4 | 5 | 6 | 8 | 9 | 12 | 14 | 93 | 95 => false
       case _ => true
     }))
   }
@@ -1070,6 +1076,7 @@ object Zip {
           case 0 => data
           case 1 => shrinkEncode(data)
           case 2 | 3 | 4 | 5 => reduceEncode(data, method - 1)
+          case 9 => Inflate64.encode(data)
           case 6 =>
             // stream shape derived from the SAME flags the headers
             // advertise — the two can't drift apart

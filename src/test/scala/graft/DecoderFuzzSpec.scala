@@ -105,7 +105,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
         ("m14.bin", px(200), 14), ("m93.bin", px(200), 93),
         ("m95.bin", px(200), 95), ("m6a.bin", px(299), 6),
         ("m6b.bin", px(300), 6), ("m2.bin", px(240), 2),
-        ("m5.bin", px(260), 5))),
+        ("m5.bin", px(260), 5), ("m9.bin", px(280), 9))),
       Containers.synthTarSpecialMember("d/", 'D',
         Array[Byte]('Y', 'a', 0, 'D', 's', 0, 0)) ++ new Array[Byte](1024),
       Mp3.synthMp3Free(1, 3, 0, mono = true, 4, 120, _ % 2,
