@@ -1851,10 +1851,13 @@ object Multimodal {
     * (the sentinel row), matching the quarantine posture.
     */
   def zipShardSamples(spark: SparkSession,
-      media: Dataset[MediaFile]): Dataset[ShardSample] = {
+      media: Dataset[MediaFile],
+      password: String = null): Dataset[ShardSample] = {
     import spark.implicits._
+    val pw = if (password == null) null
+      else password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     media.flatMap { m =>
-      val members = Zip.members(m.content)
+      val members = Zip.members(m.content, pw)
       if (members == null) Seq(ShardSample(m.media_id, "", -1, -1L, -1L))
       else members
         .groupBy { case (name, _) => webdatasetKey(name) }
@@ -1934,6 +1937,35 @@ object Multimodal {
         files += ((f"$s%06d.cls", Array(((id + s) % 256).toByte), 0))
       }
       MediaFile(id, "shard", Zip.synthZipMethods(files.result()))
+    })
+  }
+
+  /** The corpus password for [[demoZipEncShards]] — fixed and public
+    * in the fixture generator, like every other fixture parameter.
+    */
+  val DemoZipPassword = "graft-shard-key"
+
+  /** [[demoZipCodecShards]] behind traditional ZipCrypto (APPNOTE
+    * 6.1): every member's codec stream sits inside the 12-byte crypt
+    * envelope, so the oracle (identical to the codec corpus — the
+    * sums ignore both codec and cipher) only passes if decryption
+    * composes with all 12 method dispatches.
+    */
+  def demoZipEncShards(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    val pw = DemoZipPassword.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nSamples = (2 + id % 3).toInt
+      val files = Seq.newBuilder[(String, Array[Byte], Int)]
+      for (s <- 0 until nSamples) {
+        val txt = Array.tabulate((16 + (id + s) % 8).toInt)(j =>
+          ((id * 31 + s * 17 + j * 7) % 256).toByte)
+        files += ((f"$s%06d.txt", txt,
+          Seq(8, 12, 93, 95, 14, 1, 6, 2, 3, 4, 5, 9)(((id + s) % 12).toInt)))
+        files += ((f"$s%06d.cls", Array(((id + s) % 256).toByte), 0))
+      }
+      MediaFile(id, "shard",
+        Zip.synthZipMethods(files.result(), password = pw))
     })
   }
 

@@ -190,10 +190,12 @@ object Zip {
     * `budget` caps cumulative expansion. Null on any mismatch.
     */
   private def entryBytesWith(b: Array[Byte], e: ZipEntry,
-      inf: java.util.zip.Inflater, budget: Long): Array[Byte] = try {
+      inf: java.util.zip.Inflater, budget: Long,
+      password: Array[Byte]): Array[Byte] = try {
     // 64-bit offsets must be bounds-checked BEFORE the Int narrowing
     // (2^32+k would otherwise wrap onto another member's header)
-    if ((e.flags & 1) != 0) return null // encrypted: a named gap, below
+    if ((e.flags & 1) != 0 && password == null)
+      return null // encrypted without a key: a named gap, below
     if (e.localOffset < 0 || e.localOffset > b.length - 30) return null
     val p = e.localOffset.toInt
     if (leU32(b, p) != 0x04034b50L) return null
@@ -202,14 +204,38 @@ object Zip {
     val data = p + 30 + nlen + xlen
     if (data + e.compressedSize > b.length) return null
     if (e.size > budget) return null // expansion bomb
+    // traditional ZipCrypto (APPNOTE 6.1): csize counts the 12-byte
+    // crypt header; decrypt it + the member stream, quick-reject on
+    // the header's check byte (high byte of the CRC — unless bit 3
+    // deferred the CRC to a data descriptor, where Info-ZIP stores
+    // the DOS-time high byte we don't track; the member CRC below is
+    // the real gate either way)
+    var src = b
+    var off = data
+    var clen = e.compressedSize.toInt
+    if ((e.flags & 1) != 0) {
+      if (clen < 12) return null
+      val cipher = new ZipCipher(password)
+      val dec = new Array[Byte](clen)
+      var i = 0
+      while (i < clen) {
+        dec(i) = cipher.decrypt(b(data + i) & 0xFF).toByte
+        i += 1
+      }
+      if ((e.flags & 8) == 0 && (dec(11) & 0xFF) != (e.crc >>> 24).toInt)
+        return null
+      src = dec
+      off = 12
+      clen -= 12
+    }
     val out: Array[Byte] = e.method match {
       case 0 => // STORED
-        if (e.compressedSize != e.size) return null
-        java.util.Arrays.copyOfRange(b, data, data + e.size.toInt)
+        if (clen != e.size) return null
+        java.util.Arrays.copyOfRange(src, off, off + e.size.toInt)
       case 8 => // DEFLATE (raw)
         val res = new Array[Byte](e.size.toInt)
         inf.reset()
-        inf.setInput(b, data, e.compressedSize.toInt)
+        inf.setInput(src, off, clen)
         var got = 0
         // the scratch drives the inflater through the final block even
         // when the declared size is 0 (the JDK writes empty entries as
@@ -236,8 +262,7 @@ object Zip {
           case _ => Xz.decode(_, _)
         }
         val got = dec(
-          java.util.Arrays.copyOfRange(b, data, data + e.compressedSize.toInt),
-          e.size)
+          java.util.Arrays.copyOfRange(src, off, off + clen), e.size)
         if (got == null || got.length != e.size) return null
         got
       case 14 =>
@@ -246,30 +271,28 @@ object Zip {
         // here — the whole member is in memory), then the raw LZMA1
         // stream; the declared size bounds the decode, so EOS-marker
         // and marker-less streams both read
-        if (e.compressedSize < 9) return null
-        if (leU16(b, data + 2) != 5) return null
-        val got = Xz.decodeLzma1(b, data + 9,
-          data + e.compressedSize.toInt, b(data + 4) & 0xFF, e.size.toInt)
+        if (clen < 9) return null
+        if (leU16(src, off + 2) != 5) return null
+        val got = Xz.decodeLzma1(src, off + 9,
+          off + clen, src(off + 4) & 0xFF, e.size.toInt)
         if (got == null) return null
         got
       case 1 => // SHRINK (PKZIP 1.x dynamic LZW, APPNOTE 4.3)
-        val got = shrinkDecode(b, data, data + e.compressedSize.toInt,
-          e.size.toInt)
+        val got = shrinkDecode(src, off, off + clen, e.size.toInt)
         if (got == null) return null
         got
       case 6 => // IMPLODE (PKZIP 1.x Shannon-Fano + sliding dict)
-        val got = implodeDecode(b, data, data + e.compressedSize.toInt,
+        val got = implodeDecode(src, off, off + clen,
           e.size.toInt, e.flags)
         if (got == null) return null
         got
       case 2 | 3 | 4 | 5 => // REDUCE (PKZIP 0.9 follower sets + DLE)
-        val got = reduceDecode(b, data, data + e.compressedSize.toInt,
+        val got = reduceDecode(src, off, off + clen,
           e.size.toInt, e.method - 1)
         if (got == null) return null
         got
       case 9 => // DEFLATE64 (enhanced deflate, 64K window)
-        val got = Inflate64.inflate(b, data,
-          data + e.compressedSize.toInt, e.size.toInt)
+        val got = Inflate64.inflate(src, off, off + clen, e.size.toInt)
         if (got == null) return null
         got
       case _ => return null // dcl-implode 10 / ppmd 98: unsupported
@@ -289,7 +312,17 @@ object Zip {
     * member is a shard to quarantine, not half-read. One Inflater
     * serves the whole archive, `end()`ed on every path.
     */
-  def members(b: Array[Byte]): Array[(String, Array[Byte])] = {
+  def members(b: Array[Byte]): Array[(String, Array[Byte])] =
+    members(b, null)
+
+  /** [[members]] with a password for traditionally-ENCRYPTED members
+    * (ZipCrypto, APPNOTE 6.1) — the legacy scheme real-world dataset
+    * drops still ship in. A wrong password fails the crypt header's
+    * check byte or the member CRC, quarantining the shard like any
+    * damage; unencrypted members in the same archive read normally.
+    */
+  def members(b: Array[Byte],
+      password: Array[Byte]): Array[(String, Array[Byte])] = {
     val es = entries(b)
     if (es == null) return null
     val inf = new java.util.zip.Inflater(true)
@@ -299,7 +332,7 @@ object Zip {
       var budget = MaxExpandedBytes
       var k = 0
       while (k < files.length) {
-        val got = entryBytesWith(b, files(k), inf, budget)
+        val got = entryBytesWith(b, files(k), inf, budget, password)
         if (got == null) return null
         budget -= got.length
         out(k) = (files(k).name, got)
@@ -307,6 +340,51 @@ object Zip {
       }
       out
     } finally inf.end()
+  }
+
+  // ---- traditional ZipCrypto (APPNOTE 6.1) ----------------------------
+  // Three rolling 32-bit keys seeded by the password; every PLAINTEXT
+  // byte updates them (k0/k2 through CRC-32 steps, k1 through an LCG),
+  // and each stream byte XORs with a value derived from k2's low half.
+  // A 12-byte header precedes the member stream; its last byte echoes
+  // the CRC's high byte for cheap wrong-password rejection.
+
+  private val CrcTab: Array[Int] = Array.tabulate(256) { n =>
+    var c = n
+    var k = 0
+    while (k < 8) {
+      c = if ((c & 1) != 0) 0xEDB88320 ^ (c >>> 1) else c >>> 1
+      k += 1
+    }
+    c
+  }
+
+  private final class ZipCipher(password: Array[Byte]) {
+    private var k0 = 0x12345678
+    private var k1 = 0x23456789
+    private var k2 = 0x34567890
+    private def step(key: Int, b: Int): Int =
+      (key >>> 8) ^ CrcTab((key ^ b) & 0xFF)
+    private def update(p: Int): Unit = {
+      k0 = step(k0, p)
+      k1 = (k1 + (k0 & 0xFF)) * 134775813 + 1
+      k2 = step(k2, k1 >>> 24)
+    }
+    password.foreach(b => update(b & 0xFF))
+    private def streamByte(): Int = {
+      val t = (k2 | 2) & 0xFFFF
+      ((t * (t ^ 1)) >>> 8) & 0xFF
+    }
+    def decrypt(c: Int): Int = {
+      val p = (c ^ streamByte()) & 0xFF
+      update(p)
+      p
+    }
+    def encrypt(p: Int): Int = {
+      val c = (p ^ streamByte()) & 0xFF
+      update(p & 0xFF)
+      c
+    }
   }
 
   /** Does any member lie outside the decodable profile — a method
@@ -1059,7 +1137,8 @@ object Zip {
     * Zstandard 93 (zstd-jni), XZ 95 (xz-java).
     */
   def synthZipMethods(files: Seq[(String, Array[Byte], Int)],
-      forceZip64: Boolean = false): Array[Byte] = {
+      forceZip64: Boolean = false,
+      password: Array[Byte] = null): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
@@ -1071,8 +1150,9 @@ object Zip {
         val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val crc = new java.util.zip.CRC32()
         crc.update(data)
-        val gpf = gpFlagsFor(method, data.length)
-        val packed = method match {
+        val gpf = gpFlagsFor(method, data.length) |
+          (if (password != null) 1 else 0)
+        val packed0 = method match {
           case 0 => data
           case 1 => shrinkEncode(data)
           case 2 | 3 | 4 | 5 => reduceEncode(data, method - 1)
@@ -1125,6 +1205,28 @@ object Zip {
             z.write(data); z.close()
             buf.toByteArray
           case m => throw new IllegalArgumentException(s"method $m")
+        }
+        // ZipCrypto: deterministic 11 filler bytes (an LCG off the
+        // CRC — fixtures must replay bit-exact), check byte = CRC
+        // high byte, whole envelope encrypted with plaintext-fed keys
+        val packed = if (password == null) packed0 else {
+          val cipher = new ZipCipher(password)
+          val env = new Array[Byte](12 + packed0.length)
+          var h = crc.getValue ^ 0x9E3779B97F4A7C15L
+          var i = 0
+          while (i < 11) {
+            h = h * 6364136223846793005L + 1442695040888963407L
+            env(i) = (h >>> 56).toByte
+            i += 1
+          }
+          env(11) = (crc.getValue >>> 24).toByte
+          System.arraycopy(packed0, 0, env, 12, packed0.length)
+          i = 0
+          while (i < env.length) {
+            env(i) = cipher.encrypt(env(i) & 0xFF).toByte
+            i += 1
+          }
+          env
         }
         val lho = out.size().toLong
         w32(0x04034b50L); w16(ver); w16(gpf); w16(method)

@@ -250,6 +250,23 @@ object FrontierQueries {
         .toDF().orderBy("shard_id", "sample_key")
     }),
 
+    // ZIP shards behind traditional ZipCrypto (APPNOTE 6.1) — the
+    // legacy password scheme real-world dataset drops still use:
+    // per-member 12-byte crypt envelopes decrypt (plaintext-fed
+    // rolling keys, check-byte + CRC gates), composing with the full
+    // 12-method codec matrix beneath. Same oracle as the codec
+    // corpus: cipher and codec must BOTH vanish.
+    "shard_zip_encrypted" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoZipEncShards(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.zipShardSamples(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile],
+          graft.operators.Multimodal.DemoZipPassword)
+        .toDF().orderBy("shard_id", "sample_key")
+    }),
+
     // Common-Crawl-shaped WARC ingest: walk REAL record structure
     // (version line, CRLF headers, Content-Length blocks) and reduce
     // the response payloads; odd crawls ship as `.warc.gz` with each
@@ -1707,6 +1724,20 @@ object FrontierQueries {
     // Replays the codec-matrix zip-shard generator: flat keys, same
     // sample formulas — compression methods must be transparent.
     "shard_zip_codecs" ->
+      """WITH m AS (SELECT doc_id,
+        |    unnest(range(0, (2 + doc_id % 3)::BIGINT)) AS s
+        |  FROM documents)
+        |SELECT doc_id AS shard_id, lpad(s::VARCHAR, 6, '0') AS sample_key,
+        |  2::INT AS n_parts,
+        |  (16 + (doc_id + s) % 8 + 1)::BIGINT AS n_bytes,
+        |  (list_sum(list_transform(range(0, 16 + (doc_id + s) % 8),
+        |     j -> (doc_id*31 + s*17 + j*7) % 256))
+        |   + (doc_id + s) % 256)::BIGINT AS byte_sum
+        |FROM m ORDER BY shard_id, sample_key""".stripMargin,
+
+    // The encrypted corpus shares the codec corpus's formulas: the
+    // ZipCrypto envelope must be transparent on top of the codecs.
+    "shard_zip_encrypted" ->
       """WITH m AS (SELECT doc_id,
         |    unnest(range(0, (2 + doc_id % 3)::BIGINT)) AS s
         |  FROM documents)

@@ -46,6 +46,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Ogg.flacSamples" -> (b => Ogg.flacSamples(b)),
     "Ogg.audioMeta" -> (b => Ogg.audioMeta(b)),
     "Zip.members" -> (b => Zip.members(b)),
+    "Zip.members+pw" -> (b => Zip.members(b, "fuzz-key".getBytes("UTF-8"))),
     "Exif.fromJpeg" -> (b => Exif.fromJpeg(b)),
     "Exif.stripJpeg" -> (b => Exif.stripJpeg(b)),
     "Mp3.parse" -> (b => Mp3.parse(b)),
@@ -106,6 +107,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
         ("m95.bin", px(200), 95), ("m6a.bin", px(299), 6),
         ("m6b.bin", px(300), 6), ("m2.bin", px(240), 2),
         ("m5.bin", px(260), 5), ("m9.bin", px(280), 9))),
+      Zip.synthZipMethods(Seq(("e8.bin", px(220), 8), ("e0.bin", px(90), 0)),
+        password = "fuzz-key".getBytes("UTF-8")),
       Containers.synthTarSpecialMember("d/", 'D',
         Array[Byte]('Y', 'a', 0, 'D', 's', 0, 0)) ++ new Array[Byte](1024),
       Mp3.synthMp3Free(1, 3, 0, mono = true, 4, 120, _ % 2,
