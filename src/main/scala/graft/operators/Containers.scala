@@ -2168,6 +2168,7 @@ object Containers {
     else if (b != null && Zstd.isZstd(b)) Zstd.decode(b)
     else if (b != null && Bzip2.isBzip2(b)) Bzip2.decode(b)
     else if (b != null && Xz.isXz(b)) Xz.decode(b)
+    else if (b != null && LzwZ.isZ(b)) LzwZ.decode(b)
     else if (b != null && b.length >= 2 && u8(b, 0) == 0x1f && u8(b, 1) == 0x8b) {
       val cm = crawlMembers(b)
       if (cm == null) null else cm.plain

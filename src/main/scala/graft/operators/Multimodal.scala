@@ -409,6 +409,17 @@ object Multimodal {
         else ("warc", "corrupt")
       } else ("xz", "unknown_container")
     }
+    if (LzwZ.isZ(b)) {
+      // Unix compress .Z (from-scratch LZW incl. the canonical -b9
+      // width bump) then classify the payload like its siblings
+      val plain = LzwZ.decode(b)
+      return if (plain == null) ("compress_z", "corrupt")
+      else if (plain.length >= 5 &&
+          new String(plain, 0, 5, "US-ASCII") == "WARC/") {
+        if (Containers.warcRecords(plain) != null) ("warc", "ok")
+        else ("warc", "corrupt")
+      } else ("compress_z", "unknown_container")
+    }
     if (Zip.isZip(b)) {
       // REAL walk + full-member decode (ZIP64 sentinels resolve
       // through the 0x0001 extra + ZIP64 EOCD): a shard with any
@@ -3146,6 +3157,31 @@ object Multimodal {
       z.write(warc)
       z.close()
       MediaFile(id, "crawl", bos.toByteArray)
+    })
+  }
+
+  /** Deterministic `.warc.Z` corpus — the Unix-compress framing the
+    * OLDEST archived crawls and tape dumps ship in: crawl `id` holds
+    * `2 + id%3` records, record `s` carrying a `22 + (id+s)%18`-byte
+    * payload (byte `j` = `(id*23 + s*11 + j*19) % 256`), the WARC
+    * compressed by the from-scratch [[LzwZ]] encoder at max width
+    * `9 + id%8` — so the decoder crosses every width schedule
+    * including the canonical -b9 bump. Oracle replays the generator.
+    */
+  def demoWarcZCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (2 + id % 3).toInt
+      val recs = (0 until n).map { sIdx =>
+        val tpe = (sIdx % 3) match {
+          case 0 => "response"; case 1 => "request"; case _ => "metadata"
+        }
+        val len = (22 + (id + sIdx) % 18).toInt
+        (tpe, s"https://ex.test/z/$id/$sIdx", Array.tabulate(len)(j =>
+          ((id * 23 + sIdx * 11 + j.toLong * 19) % 256).toByte))
+      }
+      val warc = Containers.synthWarc(recs)
+      MediaFile(id, "crawl", LzwZ.encode(warc, (9 + id % 8).toInt))
     })
   }
 

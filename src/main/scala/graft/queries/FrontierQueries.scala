@@ -538,6 +538,20 @@ object FrontierQueries {
         .toDF().orderBy("crawl_id")
     }),
 
+    // `.warc.Z` through the from-scratch Unix-compress LZW decoder
+    // (8-code group realignment, the maxcode width schedule with the
+    // canonical -b9 bump, block-mode clears) — the framing the
+    // OLDEST archived crawls ship in, cycling max widths 9-16.
+    "warc_z_extract" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoWarcZCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.warcStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("crawl_id")
+    }),
+
     // Wikipedia-dump-style `.warc.bz2` through the from-scratch
     // bzip2 decoder (multi-table Huffman, MTF/RLE2, inverse BWT,
     // block+stream CRCs) — compressed by the independent
@@ -2267,6 +2281,20 @@ object FrontierQueries {
         |  list_sum(list_transform(resp, s ->
         |    list_sum(list_transform(range(0, 22 + (doc_id + s) % 18),
         |      j -> (doc_id*29 + s*13 + j*17) % 256))))::BIGINT AS payload_sum
+        |FROM r ORDER BY crawl_id""".stripMargin,
+
+    // Replays the `.warc.Z` generator: compression transparent.
+    "warc_z_extract" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS n FROM documents),
+        |r AS (SELECT doc_id, n,
+        |    list_filter(range(0, n), s -> s % 3 = 0) AS resp FROM m)
+        |SELECT doc_id AS crawl_id, n::INT AS n_records,
+        |  length(resp)::INT AS n_responses,
+        |  list_sum(list_transform(resp,
+        |    s -> 22 + (doc_id + s) % 18))::BIGINT AS response_bytes,
+        |  list_sum(list_transform(resp, s ->
+        |    list_sum(list_transform(range(0, 22 + (doc_id + s) % 18),
+        |      j -> (doc_id*23 + s*11 + j*19) % 256))))::BIGINT AS payload_sum
         |FROM r ORDER BY crawl_id""".stripMargin,
 
     // Replays the `.warc.bz2` generator: compression transparent.

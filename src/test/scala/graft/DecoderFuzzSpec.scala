@@ -54,6 +54,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Xz.decodeLzma1" -> (b =>
       Xz.decodeLzma1(b, 0, b.length, if (b.isEmpty) 0 else b(0) & 0xFF,
         math.min(b.length * 4, 4096))),
+    "LzwZ.decode" -> (b => LzwZ.decode(b, 1 << 22)),
     "mediaDecodeClass" -> (b => Multimodal.mediaDecodeClass(b)))
 
   /** Magic prefixes steering random tails into each format's parser
@@ -69,6 +70,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "BZh5".getBytes("ISO-8859-1"),
     Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0),
     Array[Byte](0x04, 0x22, 0x4D, 0x18), // lz4 frame
+    Array[Byte](0x1f, 0x9d.toByte, 0x90.toByte), // compress .Z block mode
     Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p'))
 
   test("random bytes never throw, with or without format magics") {
@@ -109,6 +111,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
         ("m5.bin", px(260), 5), ("m9.bin", px(280), 9))),
       Zip.synthZipMethods(Seq(("e8.bin", px(220), 8), ("e0.bin", px(90), 0)),
         password = "fuzz-key".getBytes("UTF-8")),
+      LzwZ.encode(px(700), 9),
+      LzwZ.encode(Containers.synthWarc(
+        Seq(("response", "https://x.test/z", px(60)))), 12),
       Containers.synthTarSpecialMember("d/", 'D',
         Array[Byte]('Y', 'a', 0, 'D', 's', 0, 0)) ++ new Array[Byte](1024),
       Mp3.synthMp3Free(1, 3, 0, mono = true, 4, 120, _ % 2,
