@@ -1956,6 +1956,98 @@ object Multimodal {
     */
   val DemoZipPassword = "graft-shard-key"
 
+  /** [[zipShardSamples]] over cpio shards ([[Cpio]]): initrd/RPM-
+    * style archives regroup into WebDataset samples the same way —
+    * one partition-wise pass, bytes never shuffle.
+    */
+  def cpioShardSamples(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[ShardSample] = {
+    import spark.implicits._
+    media.flatMap { m =>
+      val members = Cpio.members(m.content)
+      if (members == null) Seq(ShardSample(m.media_id, "", -1, -1L, -1L))
+      else members
+        .groupBy { case (name, _) => webdatasetKey(name) }
+        .toSeq.map { case (key, parts) =>
+          var bytes = 0L; var sum = 0L
+          parts.foreach { case (_, data) =>
+            bytes += data.length
+            var j = 0
+            while (j < data.length) {
+              sum += java.lang.Byte.toUnsignedInt(data(j)); j += 1
+            }
+          }
+          ShardSample(m.media_id, key, parts.length, bytes, sum)
+        }
+    }
+  }
+
+  /** [[zipShardSamples]] over ar shards ([[Ar]]) — same regrouping. */
+  def arShardSamples(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[ShardSample] = {
+    import spark.implicits._
+    media.flatMap { m =>
+      val members = Ar.members(m.content)
+      if (members == null) Seq(ShardSample(m.media_id, "", -1, -1L, -1L))
+      else members
+        .groupBy { case (name, _) => webdatasetKey(name) }
+        .toSeq.map { case (key, parts) =>
+          var bytes = 0L; var sum = 0L
+          parts.foreach { case (_, data) =>
+            bytes += data.length
+            var j = 0
+            while (j < data.length) {
+              sum += java.lang.Byte.toUnsignedInt(data(j)); j += 1
+            }
+          }
+          ShardSample(m.media_id, key, parts.length, bytes, sum)
+        }
+    }
+  }
+
+  /** Deterministic cpio corpus: the flat [[demoZipCodecShards]]
+    * sample formulas, the archive FORMAT cycling all four on-disk
+    * variants (`newc`/`crc`/`odc`/`bin_le`) by `id%4` — so every
+    * header dialect, padding rule, and the crc checksum path decode.
+    */
+  def demoCpioShards(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nSamples = (2 + id % 3).toInt
+      val files = Seq.newBuilder[(String, Array[Byte])]
+      for (s <- 0 until nSamples) {
+        val txt = Array.tabulate((16 + (id + s) % 8).toInt)(j =>
+          ((id * 31 + s * 17 + j * 7) % 256).toByte)
+        files += ((f"$s%06d.txt", txt))
+        files += ((f"$s%06d.cls", Array(((id + s) % 256).toByte)))
+      }
+      val fmt = Seq("newc", "crc", "odc", "bin_le")((id % 4).toInt)
+      MediaFile(id, "shard", Cpio.synthCpio(files.result(), fmt))
+    })
+  }
+
+  /** Deterministic ar corpus: same formulas, the member names under
+    * a LONG directory prefix on `id%3==1` (forcing the GNU `//`
+    * table or BSD `#1/len` path), dialect by `id%2`.
+    */
+  def demoArShards(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nSamples = (2 + id % 3).toInt
+      val dir =
+        if (id % 3 == 1) s"dataset-shard-directory-${id % 7}/" else ""
+      val files = Seq.newBuilder[(String, Array[Byte])]
+      for (s <- 0 until nSamples) {
+        val txt = Array.tabulate((16 + (id + s) % 8).toInt)(j =>
+          ((id * 31 + s * 17 + j * 7) % 256).toByte)
+        files += ((f"$dir$s%06d.txt", txt))
+        files += ((f"$dir$s%06d.cls", Array(((id + s) % 256).toByte)))
+      }
+      val style = if (id % 2 == 0) "gnu" else "bsd"
+      MediaFile(id, "shard", Ar.synthAr(files.result(), style))
+    })
+  }
+
   /** [[demoZipCodecShards]] behind traditional ZipCrypto (APPNOTE
     * 6.1): every member's codec stream sits inside the 12-byte crypt
     * envelope, so the oracle (identical to the codec corpus — the

@@ -267,6 +267,35 @@ object FrontierQueries {
         .toDF().orderBy("shard_id", "sample_key")
     }),
 
+    // cpio-shard reading — initrd/RPM-style archives as dataset
+    // shards: all four on-disk dialects walk (newc/crc ASCII-hex
+    // with 4-byte padding and VERIFIED crc checksums, odc octal,
+    // old-binary 16-bit words with split 32-bit fields), trailer
+    // detection, WebDataset regrouping. Oracle replays the shard
+    // generator; the header dialects must be transparent.
+    "shard_cpio_samples" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoCpioShards(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.cpioShardSamples(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("shard_id", "sample_key")
+    }),
+
+    // ar-shard reading — the .deb/.a outer container: 60-byte ASCII
+    // headers, '\n' padding, GNU `//` long-name tables and BSD
+    // `#1/len` embedded names both resolve, symbol tables skip.
+    "shard_ar_samples" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoArShards(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.arShardSamples(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("shard_id", "sample_key")
+    }),
+
     // Common-Crawl-shaped WARC ingest: walk REAL record structure
     // (version line, CRLF headers, Content-Length blocks) and reduce
     // the response payloads; odd crawls ship as `.warc.gz` with each
@@ -1742,6 +1771,37 @@ object FrontierQueries {
         |    unnest(range(0, (2 + doc_id % 3)::BIGINT)) AS s
         |  FROM documents)
         |SELECT doc_id AS shard_id, lpad(s::VARCHAR, 6, '0') AS sample_key,
+        |  2::INT AS n_parts,
+        |  (16 + (doc_id + s) % 8 + 1)::BIGINT AS n_bytes,
+        |  (list_sum(list_transform(range(0, 16 + (doc_id + s) % 8),
+        |     j -> (doc_id*31 + s*17 + j*7) % 256))
+        |   + (doc_id + s) % 256)::BIGINT AS byte_sum
+        |FROM m ORDER BY shard_id, sample_key""".stripMargin,
+
+    // Replays the cpio generator: same flat formulas, the four
+    // header dialects transparent.
+    "shard_cpio_samples" ->
+      """WITH m AS (SELECT doc_id,
+        |    unnest(range(0, (2 + doc_id % 3)::BIGINT)) AS s
+        |  FROM documents)
+        |SELECT doc_id AS shard_id, lpad(s::VARCHAR, 6, '0') AS sample_key,
+        |  2::INT AS n_parts,
+        |  (16 + (doc_id + s) % 8 + 1)::BIGINT AS n_bytes,
+        |  (list_sum(list_transform(range(0, 16 + (doc_id + s) % 8),
+        |     j -> (doc_id*31 + s*17 + j*7) % 256))
+        |   + (doc_id + s) % 256)::BIGINT AS byte_sum
+        |FROM m ORDER BY shard_id, sample_key""".stripMargin,
+
+    // Replays the ar generator: long-name dialects must resolve, so
+    // the key carries the directory prefix on doc_id%3=1.
+    "shard_ar_samples" ->
+      """WITH m AS (SELECT doc_id,
+        |    unnest(range(0, (2 + doc_id % 3)::BIGINT)) AS s
+        |  FROM documents)
+        |SELECT doc_id AS shard_id,
+        |  (CASE WHEN doc_id % 3 = 1
+        |     THEN 'dataset-shard-directory-' || (doc_id % 7)::VARCHAR || '/'
+        |     ELSE '' END) || lpad(s::VARCHAR, 6, '0') AS sample_key,
         |  2::INT AS n_parts,
         |  (16 + (doc_id + s) % 8 + 1)::BIGINT AS n_bytes,
         |  (list_sum(list_transform(range(0, 16 + (doc_id + s) % 8),

@@ -55,6 +55,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Xz.decodeLzma1(b, 0, b.length, if (b.isEmpty) 0 else b(0) & 0xFF,
         math.min(b.length * 4, 4096))),
     "LzwZ.decode" -> (b => LzwZ.decode(b, 1 << 22)),
+    "Cpio.members" -> (b => Cpio.members(b)),
+    "Ar.members" -> (b => Ar.members(b)),
     "mediaDecodeClass" -> (b => Multimodal.mediaDecodeClass(b)))
 
   /** Magic prefixes steering random tails into each format's parser
@@ -114,6 +116,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
       LzwZ.encode(px(700), 9),
       LzwZ.encode(Containers.synthWarc(
         Seq(("response", "https://x.test/z", px(60)))), 12),
+      Cpio.synthCpio(Seq(("c/0001.txt", px(50)), ("c/0001.cls", px(1))),
+        "crc"),
+      Cpio.synthCpio(Seq(("c/0002.txt", px(33))), "bin_le"),
+      Ar.synthAr(Seq(("a-very-long-shard-member-name-0001.txt", px(44)),
+        ("0001.cls", px(1))), "gnu"),
       Containers.synthTarSpecialMember("d/", 'D',
         Array[Byte]('Y', 'a', 0, 'D', 's', 0, 0)) ++ new Array[Byte](1024),
       Mp3.synthMp3Free(1, 3, 0, mono = true, 4, 120, _ % 2,
