@@ -1978,6 +1978,191 @@ object Containers {
     out.toByteArray
   }
 
+  // ---- GNU multi-volume (`tar -M`) ------------------------------------
+  // The one tar profile a SINGLE shard genuinely can't reassemble —
+  // closed here by an operator over the whole volume SET. On-disk
+  // shape (verified against GNU tar 1.34 during development): the
+  // split member's first header declares the FULL size and its data
+  // simply cuts at the volume end (non-final volumes are exactly the
+  // tape length, a block multiple); each continuation volume leads
+  // (after an optional 'V' label) with a typeflag-'M' header whose
+  // size is the REMAINING byte count, whose GNU offset field (369,
+  // octal) is the byte count already stored, and whose magic is
+  // ZEROED (GNU writes no ustar magic on continuation headers — the
+  // checksum is still valid); only the final volume carries the
+  // end-of-archive zero blocks.
+
+  /** Reassemble one multi-volume set, volumes in order. Returns the
+    * regular-file members or null on any inconsistency: a missing or
+    * out-of-order continuation (name/offset/remaining mismatch), a
+    * bad checksum, a split that never completes. Labels skip;
+    * directories and other node types are structural.
+    */
+  def tarMultivolume(volumes: Seq[Array[Byte]]): Array[(String, Array[Byte])] = try {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var pendName: String = null
+    var pendSize = 0L
+    var pend: java.io.ByteArrayOutputStream = null
+    for (v <- volumes) {
+      if (v.length % 512 != 0) return null
+      var off = 0
+      var ended = false
+      while (!ended && off + 512 <= v.length) {
+        var allZero = true
+        var k = 0
+        while (allZero && k < 512) { if (v(off + k) != 0) allZero = false; k += 1 }
+        if (allZero) {
+          var j = off + 512 // end-of-volume padding must stay zero
+          while (j < v.length) { if (v(j) != 0) return null; j += 1 }
+          ended = true
+        } else {
+          if (!tarChecksumOk(v, off)) return null
+          val tf = v(off + 156).toChar
+          val size = tarOctal(v, off + 124, 12)
+          if (size < 0) return null
+          var ne = off
+          while (ne < off + 100 && v(ne) != 0) ne += 1
+          val name = ascii(v, off, ne - off)
+          val hdrOff = off
+          off += 512
+          tf match {
+            case 'V' => // volume label: metadata, skip its (rare) data
+              off += ((size + 511) / 512 * 512).toInt
+            case 'M' =>
+              if (pend == null) return null
+              val already = tarOctal(v, hdrOff + 369, 12)
+              if (name != pendName || already != pend.size() ||
+                  size != pendSize - pend.size()) return null
+              val need = ((size + 511) / 512 * 512).toInt
+              if (off + need <= v.length) { // completes in this volume
+                pend.write(v, off, size.toInt)
+                out += ((pendName, pend.toByteArray))
+                pend = null
+                off += need
+              } else { // spans yet another volume
+                val blocks = (v.length - off) / 512
+                pend.write(v, off, blocks * 512)
+                off = v.length
+              }
+            case _ =>
+              if (pend != null) return null // lost continuation
+              val need = ((size + 511) / 512 * 512).toInt
+              if (off + need <= v.length) {
+                if (tf == '0' || tf == '\u0000')
+                  out += ((name, java.util.Arrays.copyOfRange(v, off,
+                    off + size.toInt)))
+                off += need
+              } else { // the split START: regular files only
+                if (tf != '0' && tf != '\u0000') return null
+                pendName = name
+                pendSize = size
+                pend = new java.io.ByteArrayOutputStream(size.toInt)
+                val blocks = (v.length - off) / 512
+                pend.write(v, off, blocks * 512)
+                off = v.length
+              }
+          }
+        }
+      }
+    }
+    if (pend != null) return null // the set ended mid-member
+    out.toArray
+  } catch { case _: ArrayIndexOutOfBoundsException => null }
+
+  /** A GNU multivolume continuation ('M') header: remaining size in
+    * the size field, bytes-already-stored in the GNU offset field
+    * (369), magic ZEROED exactly as GNU tar writes it.
+    */
+  private def gnuContinuationHeader(name: String, remaining: Long,
+      offset: Long): Array[Byte] = {
+    val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(nb.length <= 100, "name overflow")
+    val h = new Array[Byte](512)
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    def putOctal(o: Int, width: Int, v: Long): Unit = {
+      val s = s"%0${width - 1}o".format(v).getBytes("US-ASCII")
+      System.arraycopy(s, s.length - (width - 1), h, o, width - 1)
+      h(o + width - 1) = 0
+    }
+    putOctal(100, 8, 420)
+    putOctal(108, 8, 0); putOctal(116, 8, 0)
+    putOctal(124, 12, remaining)
+    putOctal(136, 12, 0)
+    h(156) = 'M'.toByte
+    putOctal(369, 12, offset)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (k <- 0 until 512) sum += u8(h, k)
+    val cs = "%06o".format(sum).getBytes("US-ASCII")
+    System.arraycopy(cs, 0, h, 148, 6)
+    h(154) = 0; h(155) = ' '.toByte
+    h
+  }
+
+  /** Split (name, bytes) members across GNU-style volumes of exactly
+    * `volBytes` (a block multiple): data cuts at volume ends, 'M'
+    * continuation headers open follow-on volumes, an optional label
+    * leads every volume ("label" then "label Volume N" — the GNU
+    * convention), and the final volume carries the zero terminator
+    * blocks plus zero padding to the volume size.
+    */
+  def synthTarMultivolume(files: Seq[(String, Array[Byte])], volBytes: Int,
+      label: String = null): Array[Array[Byte]] = {
+    require(volBytes >= 2048 && volBytes % 512 == 0, s"volBytes=$volBytes")
+    val vols = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var cur = new java.io.ByteArrayOutputStream()
+    def openVolume(): Unit = {
+      cur = new java.io.ByteArrayOutputStream()
+      if (label != null) {
+        val l = if (vols.isEmpty) label else s"$label Volume ${vols.length + 1}"
+        cur.write(ustarHeaderBlock(l, "", 'V', 0L), 0, 512)
+      }
+    }
+    def closeVolume(): Unit = { vols += cur.toByteArray; cur = null }
+    openVolume()
+    for ((name, data) <- files) {
+      if (volBytes - cur.size() < 512) { closeVolume(); openVolume() }
+      cur.write(ustarHeaderBlock(name, "", '0', data.length.toLong), 0, 512)
+      var done = 0
+      var firstChunk = true
+      while (done < data.length || firstChunk) {
+        if (!firstChunk) {
+          closeVolume()
+          openVolume()
+          if (volBytes - cur.size() < 1024)
+            throw new IllegalArgumentException("volume too small for label")
+          cur.write(gnuContinuationHeader(name,
+            (data.length - done).toLong, done.toLong), 0, 512)
+        }
+        firstChunk = false
+        val freeBlocks = (volBytes - cur.size()) / 512
+        val remaining = data.length - done
+        val needBlocks = (remaining + 511) / 512
+        if (needBlocks <= freeBlocks) {
+          cur.write(data, done, remaining)
+          val padLen = (512 - remaining % 512) % 512
+          cur.write(new Array[Byte](padLen), 0, padLen)
+          done = data.length
+        } else {
+          cur.write(data, done, freeBlocks * 512)
+          done += freeBlocks * 512
+        }
+      }
+    }
+    // terminator: two zero blocks, volume padded to size; roll over
+    // (zero-padding the closing volume) if they no longer fit
+    if (volBytes - cur.size() < 1024) {
+      val pad = volBytes - cur.size()
+      cur.write(new Array[Byte](pad), 0, pad)
+      closeVolume()
+      openVolume()
+    }
+    cur.write(new Array[Byte](volBytes - cur.size()), 0,
+      volBytes - cur.size())
+    closeVolume()
+    vols.toArray
+  }
+
   /** One GNU incremental-dump directory listing: the dumpdir member's
     * name (the directory it describes) and its records — control byte
     * 'Y' (file present in this dump), 'N' (present in the directory
@@ -4768,10 +4953,12 @@ object Containers {
       if (allZero) return false // end-of-archive
       if (!tarChecksumOk(b, i)) return false // damaged header = corrupt
       b(i + 156).toChar match {
-        // only MULTIVOLUME continuations remain unreadable — one
-        // shard genuinely can't reassemble a member split across
-        // volumes. Dumpdirs ('D') parse via [[tarDumpdirs]] and
-        // volume labels ('V') are skipped metadata now.
+        // a LONE shard can't reassemble a member split across
+        // volumes — the named profile for single-shard reads; the
+        // SET-level [[tarMultivolume]] walk closes it when all
+        // volumes are present. Dumpdirs ('D') parse via
+        // [[tarDumpdirs]] and volume labels ('V') are skipped
+        // metadata now.
         case 'M' => return true
         case 'S' =>
           // skip the sparse-map continuation blocks before the data

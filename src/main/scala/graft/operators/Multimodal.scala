@@ -2005,6 +2005,72 @@ object Multimodal {
     }
   }
 
+  /** Reassemble GNU multi-volume tar SETS (`tar -M`) and regroup the
+    * members into WebDataset samples — the tar profile a single
+    * shard can't close, done as an operator over the whole set.
+    * Volumes ride as MediaFiles with `media_id = set*8 + volume`;
+    * groupByKey co-locates one set's volumes (the one unavoidable
+    * shuffle — a split member is meaningless until its volumes
+    * meet), each group reassembling via [[Containers.tarMultivolume]]
+    * in a single pass. At corpus scale sets are the parallelism
+    * unit; bytes shuffle once and never again.
+    */
+  def tarMultivolumeSamples(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[ShardSample] = {
+    import spark.implicits._
+    media.groupByKey(m => m.media_id / 8)
+      .flatMapGroups { (setId: Long, it: Iterator[MediaFile]) =>
+        val vols = it.toArray.sortBy(_.media_id)
+        val members = Containers.tarMultivolume(
+          vols.map(_.content).toSeq)
+        if (members == null)
+          Iterator.single(ShardSample(setId, "", -1, -1L, -1L))
+        else members
+          .groupBy { case (name, _) => webdatasetKey(name) }
+          .toSeq.iterator.map { case (key, parts) =>
+            var bytes = 0L; var sum = 0L
+            parts.foreach { case (_, data) =>
+              bytes += data.length
+              var j = 0
+              while (j < data.length) {
+                sum += java.lang.Byte.toUnsignedInt(data(j)); j += 1
+              }
+            }
+            ShardSample(setId, key, parts.length, bytes, sum)
+          }
+      }
+  }
+
+  /** Deterministic multi-volume corpus: set `id` holds one
+    * `payload.bin` of `1500 + id%700` bytes (byte `j` =
+    * `(id*7 + j*3) % 256` — guaranteed to span volumes of 4096) plus
+    * the usual `2 + id%3` samples, split GNU-style with a volume
+    * label on `id%3==0`. One MediaFile per VOLUME
+    * (`media_id = id*8 + volumeIndex`); the oracle replays the
+    * member formulas, so labels, continuation headers, and offsets
+    * must all resolve.
+    */
+  def demoTarMultivolumeShards(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      val files = Seq.newBuilder[(String, Array[Byte])]
+      files += (("payload.bin", Array.tabulate((1500 + id % 700).toInt)(j =>
+        ((id * 7 + j.toLong * 3) % 256).toByte)))
+      val nSamples = (2 + id % 3).toInt
+      for (s <- 0 until nSamples) {
+        val txt = Array.tabulate((16 + (id + s) % 8).toInt)(j =>
+          ((id * 31 + s * 17 + j * 7) % 256).toByte)
+        files += ((f"$s%06d.txt", txt))
+        files += ((f"$s%06d.cls", Array(((id + s) % 256).toByte)))
+      }
+      val label = if (id % 3 == 0) s"set-$id" else null
+      val vols = Containers.synthTarMultivolume(files.result(), 4096, label)
+      vols.zipWithIndex.map { case (v, k) =>
+        MediaFile(id * 8 + k, "shard", v)
+      }
+    })
+  }
+
   /** Deterministic cpio corpus: the flat [[demoZipCodecShards]]
     * sample formulas, the archive FORMAT cycling all four on-disk
     * variants (`newc`/`crc`/`odc`/`bin_le`) by `id%4` — so every

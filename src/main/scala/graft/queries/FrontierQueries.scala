@@ -267,6 +267,22 @@ object FrontierQueries {
         .toDF().orderBy("shard_id", "sample_key")
     }),
 
+    // GNU multi-volume tar reassembly (`tar -M`) — the tar profile a
+    // single shard can't close: members split mid-data across
+    // volumes rejoin through 'M' continuation headers (remaining
+    // size + GNU offset field verified against bytes collected),
+    // volume labels skip, one co-locating shuffle per set. Both
+    // directions live-pinned against GNU tar itself in the spec.
+    "shard_tar_multivolume" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoTarMultivolumeShards(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.tarMultivolumeSamples(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("shard_id", "sample_key")
+    }),
+
     // cpio-shard reading — initrd/RPM-style archives as dataset
     // shards: all four on-disk dialects walk (newc/crc ASCII-hex
     // with 4-byte padding and VERIFIED crc checksums, odc octal,
@@ -1777,6 +1793,29 @@ object FrontierQueries {
         |     j -> (doc_id*31 + s*17 + j*7) % 256))
         |   + (doc_id + s) % 256)::BIGINT AS byte_sum
         |FROM m ORDER BY shard_id, sample_key""".stripMargin,
+
+    // Replays the multi-volume generator: the split payload's row
+    // unions with the usual sample rows; volume mechanics vanish.
+    "shard_tar_multivolume" ->
+      """WITH m AS (SELECT doc_id,
+        |    unnest(range(0, (2 + doc_id % 3)::BIGINT)) AS s
+        |  FROM documents),
+        |samples AS (
+        |  SELECT doc_id AS shard_id, lpad(s::VARCHAR, 6, '0') AS sample_key,
+        |    2::INT AS n_parts,
+        |    (16 + (doc_id + s) % 8 + 1)::BIGINT AS n_bytes,
+        |    (list_sum(list_transform(range(0, 16 + (doc_id + s) % 8),
+        |       j -> (doc_id*31 + s*17 + j*7) % 256))
+        |     + (doc_id + s) % 256)::BIGINT AS byte_sum
+        |  FROM m),
+        |payload AS (
+        |  SELECT doc_id AS shard_id, 'payload' AS sample_key, 1::INT AS n_parts,
+        |    (1500 + doc_id % 700)::BIGINT AS n_bytes,
+        |    list_sum(list_transform(range(0, 1500 + doc_id % 700),
+        |      j -> (doc_id*7 + j*3) % 256))::BIGINT AS byte_sum
+        |  FROM documents)
+        |SELECT * FROM samples UNION ALL SELECT * FROM payload
+        |ORDER BY shard_id, sample_key""".stripMargin,
 
     // Replays the cpio generator: same flat formulas, the four
     // header dialects transparent.

@@ -57,6 +57,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "LzwZ.decode" -> (b => LzwZ.decode(b, 1 << 22)),
     "Cpio.members" -> (b => Cpio.members(b)),
     "Ar.members" -> (b => Ar.members(b)),
+    "tarMultivolume" -> (b => Containers.tarMultivolume(Seq(b))),
     "mediaDecodeClass" -> (b => Multimodal.mediaDecodeClass(b)))
 
   /** Magic prefixes steering random tails into each format's parser
@@ -121,6 +122,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Cpio.synthCpio(Seq(("c/0002.txt", px(33))), "bin_le"),
       Ar.synthAr(Seq(("a-very-long-shard-member-name-0001.txt", px(44)),
         ("0001.cls", px(1))), "gnu"),
+      Containers.synthTarMultivolume(
+        Seq(("payload.bin", px(3000))), 2048, "lbl")(1),
       Containers.synthTarSpecialMember("d/", 'D',
         Array[Byte]('Y', 'a', 0, 'D', 's', 0, 0)) ++ new Array[Byte](1024),
       Mp3.synthMp3Free(1, 3, 0, mono = true, 4, 120, _ % 2,
