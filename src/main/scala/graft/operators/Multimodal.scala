@@ -420,6 +420,13 @@ object Multimodal {
         else ("warc", "corrupt")
       } else ("compress_z", "unknown_container")
     }
+    // cpio (all four dialects; the weak 2-byte binary magic sits
+    // safely behind every stronger sniff above) and ar shards: REAL
+    // walks, crc checksums verified
+    if (Cpio.isCpio(b))
+      return ("cpio", if (Cpio.members(b) != null) "ok" else "corrupt")
+    if (Ar.isAr(b))
+      return ("ar", if (Ar.members(b) != null) "ok" else "corrupt")
     if (Zip.isZip(b)) {
       // REAL walk + full-member decode (ZIP64 sentinels resolve
       // through the 0x0001 extra + ZIP64 EOCD): a shard with any
@@ -521,7 +528,18 @@ object Multimodal {
     * 32 → the same truncated mid-block (`lz4`/`corrupt`), 33 → a
     * valid `.warc.xz` through the from-scratch LZMA2/range decoder
     * (`warc`/`ok`), 34 → the same with one byte flipped so a check
-    * catches it (`xz`/`corrupt`).
+    * catches it (`xz`/`corrupt`), 35 → a valid `.warc.Z` through the
+    * from-scratch Unix-compress LZW decoder, widths cycling
+    * (`warc`/`ok`), 36 → a sound `.Z` whose payload is no container
+    * we know (`compress_z`/`unknown_container`), 37 → a valid cpio
+    * shard cycling the newc/odc/binary dialects (`cpio`/`ok`),
+    * 38 → a crc-dialect cpio with one payload byte flipped so the
+    * VERIFIED member checksum catches it (`cpio`/`corrupt`), 39 → a
+    * valid ar shard cycling the GNU/BSD long-name dialects
+    * (`ar`/`ok`), 40 → an ar with a broken header terminator
+    * (`ar`/`corrupt`), 41 → a traditionally-ENCRYPTED zip read
+    * without a key — ciphertext is a named profile, not damage
+    * (`zip`/`unsupported_profile`).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -581,7 +599,7 @@ object Multimodal {
         z.write(warc); z.close()
         bos.toByteArray
       }
-      val blob = (id % 35) match {
+      val blob = (id % 42) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -725,11 +743,56 @@ object Multimodal {
         case 31 => lz4Warc
         case 32 => lz4Warc.dropRight(9) // cut mid-block: corrupt
         case 33 => xzWarc
-        case _ =>
+        case 34 =>
           // flip one compressed byte: a block check catches it
           val z = xzWarc
           z(z.length / 2) = (z(z.length / 2) ^ 0x18).toByte
           z
+        case 35 =>
+          // `.warc.Z`: the WARC behind Unix compress, real LZW decode
+          LzwZ.encode(Containers.synthWarc(Seq(
+            ("response", s"https://example.com/cz/$id",
+              Array.tabulate((40 + id % 60).toInt)(j =>
+                ((id * 27 + j * 31) % 256).toByte)))), (9 + id % 8).toInt)
+        case 36 =>
+          // a sound .Z whose payload is no container we know (the
+          // id·7 + j·13 generator provably forms no magic, case 4)
+          LzwZ.encode(Array.tabulate((64 + id % 64).toInt)(j =>
+            ((id * 7 + j * 13) % 256).toByte), 12)
+        case 37 => // valid cpio shard, the header dialect cycling
+          Cpio.synthCpio(Seq((s"f$id.bin",
+            Array.tabulate((32 + id % 48).toInt)(j =>
+              ((id * 13 + j * 23) % 256).toByte))),
+            Seq("newc", "odc", "bin_le")((id % 3).toInt))
+        case 38 =>
+          // cpio crc dialect with one payload byte flipped: the
+          // verified member checksum catches it
+          val name = s"f$id.bin"
+          val z = Cpio.synthCpio(Seq((name,
+            Array.tabulate((32 + id % 48).toInt)(j =>
+              ((id * 13 + j * 23) % 256).toByte))), "crc")
+          val dataOff = (110 + name.length + 1 + 3) / 4 * 4
+          z(dataOff + 1) = (z(dataOff + 1) ^ 0x2C).toByte
+          z
+        case 39 => // valid ar shard, both long-name dialects
+          Ar.synthAr(Seq((s"member-file-with-a-long-name-$id.bin",
+            Array.tabulate((24 + id % 40).toInt)(j =>
+              ((id * 17 + j * 19) % 256).toByte))),
+            if (id % 2 == 0) "gnu" else "bsd")
+        case 40 =>
+          // ar with its first member-header terminator broken
+          val z = Ar.synthAr(Seq((s"m$id.bin",
+            Array.tabulate((24 + id % 40).toInt)(j =>
+              ((id * 17 + j * 19) % 256).toByte))), "gnu")
+          z(8 + 58) = 'X'.toByte
+          z
+        case _ =>
+          // traditionally-ENCRYPTED zip (no key in the classify
+          // path): ciphertext is a named profile, not damage
+          Zip.synthZipMethods(Seq((s"e$id.bin",
+            Array.tabulate((20 + id % 30).toInt)(j =>
+              ((id * 11 + j * 29) % 256).toByte), 8)),
+            password = Array[Byte]('k', '0'))
       }
       MediaFile(id, "image", blob)
     })

@@ -2928,7 +2928,7 @@ object FrontierQueries {
     // member-CRC-caught damage).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 35
+        |    CASE doc_id % 42
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
@@ -2942,9 +2942,13 @@ object FrontierQueries {
         |      WHEN 27 THEN 'warc' WHEN 28 THEN 'zstd'
         |      WHEN 29 THEN 'warc' WHEN 30 THEN 'bzip2'
         |      WHEN 31 THEN 'warc' WHEN 32 THEN 'lz4'
-        |      WHEN 33 THEN 'warc' ELSE 'xz'
+        |      WHEN 33 THEN 'warc' WHEN 34 THEN 'xz'
+        |      WHEN 35 THEN 'warc' WHEN 36 THEN 'compress_z'
+        |      WHEN 37 THEN 'cpio' WHEN 38 THEN 'cpio'
+        |      WHEN 39 THEN 'ar' WHEN 40 THEN 'ar'
+        |      ELSE 'zip'
         |    END AS format,
-        |    CASE doc_id % 35
+        |    CASE doc_id % 42
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -2964,7 +2968,11 @@ object FrontierQueries {
         |      WHEN 27 THEN 'ok' WHEN 28 THEN 'unsupported_profile'
         |      WHEN 29 THEN 'ok' WHEN 30 THEN 'corrupt'
         |      WHEN 31 THEN 'ok' WHEN 32 THEN 'corrupt'
-        |      WHEN 33 THEN 'ok' ELSE 'corrupt'
+        |      WHEN 33 THEN 'ok' WHEN 34 THEN 'corrupt'
+        |      WHEN 35 THEN 'ok' WHEN 36 THEN 'unknown_container'
+        |      WHEN 37 THEN 'ok' WHEN 38 THEN 'corrupt'
+        |      WHEN 39 THEN 'ok' WHEN 40 THEN 'corrupt'
+        |      ELSE 'unsupported_profile'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n
