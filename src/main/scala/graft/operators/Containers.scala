@@ -50,6 +50,12 @@ object Containers {
       MediaHeader("gif", width = leU16(b, 6), height = leU16(b, 8))
     else if (b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE")
       parseWav(b)
+    else if (Aiff.isAiff(b)) {
+      val h = Aiff.header(b)
+      if (h == null) MediaHeader("aiff")
+      else MediaHeader("aiff", sampleRate = h._1, channels = h._2,
+        bitsPerSample = h._3, durationMs = h._4)
+    }
     else if (Webp.isWebp(b)) {
       val p = Webp.probe(b)
       if (p == null) unknown

@@ -3406,6 +3406,40 @@ object Multimodal {
     })
   }
 
+  /** Deterministic AIFF / AIFF-C corpus: clip `id` holds
+    * `2*(200 + id%100)` interleaved samples across the compression
+    * grid `id%4` — 0: big-endian PCM "NONE" at 44100 (stereo on odd
+    * ids), 1: byte-swapped "sowt" at 22050 (same channel rule),
+    * 2/3: G.711 ulaw/alaw at 8000 mono where sample `j` is the EXACT
+    * expansion of companded byte `(id*13 + j*37) % 256` — nearest-
+    * codeword re-encoding is then the identity, so the oracle
+    * replays the same ITU arithmetic as the WAV G.711 query. PCM
+    * sample `j` = `(id*131 + j*277) % 65536 - 32768`.
+    */
+  def demoAiffCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (2 * (200 + id % 100)).toInt
+      val blob = (id % 4) match {
+        case 0 | 1 =>
+          val pcm = Array.tabulate(n)(j =>
+            ((id * 131 + j.toLong * 277) % 65536 - 32768).toShort)
+          val ch = (1 + id % 2).toInt
+          if (id % 4 == 0) Aiff.synthAiff(44100, ch, pcm)
+          else Aiff.synthAiff(22050, ch, pcm, "sowt")
+        case c =>
+          val comp = if (c == 2) "ulaw" else "alaw"
+          val levels = Array.tabulate(n) { j =>
+            val x = ((id * 13 + j * 37) % 256).toInt
+            (if (c == 2) Containers.ulawToLinear(x)
+             else Containers.alawToLinear(x)).toShort
+          }
+          Aiff.synthAiff(8000, 1, levels, comp)
+      }
+      MediaFile(id, "audio", blob)
+    })
+  }
+
   /** Deterministic G.711 telephony corpus: clip `id` holds
     * `400 + id%200` companded bytes, byte `j` = `(id*13 + j*37) % 256`,
     * μ-law (format 7) for even ids and A-law (format 6) for odd, at
@@ -3495,6 +3529,9 @@ object Multimodal {
         else hdr.format match {
           case "flac" => Flac.samples(body)
           case "oggflac" => Ogg.flacSamples(body)
+          case "aiff" =>
+            val a = Aiff.samples(body)
+            if (a == null) null else a.map(_.toInt)
           case _ =>
             val w = Containers.wavSamples(body)
             if (w == null) null else w.map(_.toInt)

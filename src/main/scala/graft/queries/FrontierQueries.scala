@@ -655,6 +655,22 @@ object FrontierQueries {
         .toDF().orderBy("media_id")
     }),
 
+    // REAL AIFF / AIFF-C audio decode: the IFF chunk walk with the
+    // 80-bit extended sample-rate float, big-endian PCM, the
+    // byte-swapped "sowt" Mac variant, and G.711 companding — the
+    // corpus plants exact codeword levels so the oracle replays the
+    // same ITU arithmetic as the WAV G.711 query. Pinned both
+    // directions against javax.sound in the spec.
+    "multimodal_audio_aiff" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoAiffCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.audioStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("media_id")
+    }),
+
     // REAL GIF pixel decode: a full LZW decompression (growing
     // dictionary, 12-bit cap, LSB-first packing) over a deterministic
     // palette-index generator, with odd ids additionally stored in
@@ -2447,6 +2463,43 @@ object FrontierQueries {
     // (μ-law: complement, segment shift, bias 132; A-law: 0x55
     // toggle, segment shift, sign bit SET = positive) over the
     // deterministic byte generator.
+    // Replays the AIFF corpus: PCM/sowt rows use the direct sample
+    // formula; ulaw/alaw rows the exact ITU expansion (same
+    // arithmetic as the WAV G.711 oracle below).
+    "multimodal_audio_aiff" ->
+      """WITH m AS (SELECT doc_id, 2*(200 + doc_id % 100) AS n FROM documents),
+        |v AS (SELECT doc_id, n,
+        |    CASE
+        |      WHEN doc_id % 4 <= 1 THEN
+        |        list_transform(range(0, n),
+        |          j -> (doc_id*131 + j*277) % 65536 - 32768)
+        |      WHEN doc_id % 4 = 2 THEN
+        |        list_transform(range(0, n), j ->
+        |          CASE WHEN (255 - ((doc_id*13 + j*37) % 256)) >= 128
+        |            THEN 132 - ((((255 - ((doc_id*13 + j*37) % 256)) % 16) * 8 + 132)
+        |                        << (((255 - ((doc_id*13 + j*37) % 256)) // 16) % 8))
+        |            ELSE ((((255 - ((doc_id*13 + j*37) % 256)) % 16) * 8 + 132)
+        |                  << (((255 - ((doc_id*13 + j*37) % 256)) // 16) % 8)) - 132
+        |          END)
+        |      ELSE
+        |        list_transform(range(0, n), j ->
+        |          (CASE WHEN xor((doc_id*13 + j*37) % 256, 85) >= 128
+        |             THEN 1 ELSE -1 END) *
+        |          (CASE WHEN ((xor((doc_id*13 + j*37) % 256, 85) // 16) % 8) = 0
+        |            THEN (xor((doc_id*13 + j*37) % 256, 85) % 16) * 16 + 8
+        |            ELSE ((xor((doc_id*13 + j*37) % 256, 85) % 16) * 16 + 264)
+        |                 << (((xor((doc_id*13 + j*37) % 256, 85) // 16) % 8) - 1)
+        |          END))
+        |    END AS vs
+        |  FROM m)
+        |SELECT doc_id AS media_id,
+        |  (CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 22050
+        |     ELSE 8000 END)::BIGINT AS sample_rate,
+        |  n::BIGINT AS n_samples,
+        |  list_max(list_transform(vs, y -> abs(y)))::BIGINT AS peak_abs,
+        |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
+        |FROM v ORDER BY media_id""".stripMargin,
+
     "multimodal_audio_g711" ->
       """WITH m AS (SELECT doc_id, 400 + doc_id % 200 AS n FROM documents),
         |s AS (SELECT doc_id, n,

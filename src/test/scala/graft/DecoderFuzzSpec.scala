@@ -58,6 +58,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Cpio.members" -> (b => Cpio.members(b)),
     "Ar.members" -> (b => Ar.members(b)),
     "tarMultivolume" -> (b => Containers.tarMultivolume(Seq(b))),
+    "Aiff.samples" -> (b => Aiff.samples(b)),
     "mediaDecodeClass" -> (b => Multimodal.mediaDecodeClass(b)))
 
   /** Magic prefixes steering random tails into each format's parser
@@ -135,7 +136,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
           alph = Webp.synthAlphPayload(12, 8, px(96), 2, compressed = true)))),
       Exif.withApp1(Containers.synthJpegGray(16, 8, (_, _) => 128),
         Exif.synthApp1(Exif.ExifMeta(1, "2024:01:02 03:04:05", "cam_1", "mdl_1",
-          "N", 10, 20, 3000, "E", 30, 40, 5000))))
+          "N", 10, 20, 3000, "E", 30, 40, 5000))),
+      Aiff.synthAiff(8000, 1, Array.tabulate(300)(j =>
+        ((j * 277) % 65536 - 32768).toShort), "sowt"))
     for ((blob, bi) <- valid.zipWithIndex; trial <- 0 until 30) {
       val mutated = blob.clone()
       // 1-4 byte flips at random positions
