@@ -1990,11 +1990,11 @@ object Multimodal {
   /** Deterministic codec-matrix ZIP corpus: flat-named shards with
     * the [[demoZipShards]] sample formulas, but the `.txt` part of
     * sample `s` is compressed with method
-    * `8/12/93/95/14/1/6/2/3/4/5/9` by `(id+s)%12` (DEFLATE / BZIP2 /
+    * `8/12/93/95/14/1/6/2/3/4/5/9/10` by `(id+s)%13` (DEFLATE / BZIP2 /
     * Zstandard / XZ / LZMA / SHRINK / IMPLODE / REDUCE-1..4 /
-    * DEFLATE64 — write sides: JDK Deflater, commons-compress,
+    * DEFLATE64 / DCL-IMPLODE — write sides: JDK Deflater, commons-compress,
     * zstd-jni, xz-java twice, and the from-scratch
-    * shrink/implode/reduce/deflate64 encoders), `.cls` labels
+    * shrink/implode/reduce/deflate64/dcl encoders), `.cls` labels
     * STORED. The sums are method-independent, so the oracle only
     * passes if every codec dispatch decodes exactly.
     */
@@ -2007,7 +2007,7 @@ object Multimodal {
         val txt = Array.tabulate((16 + (id + s) % 8).toInt)(j =>
           ((id * 31 + s * 17 + j * 7) % 256).toByte)
         files += ((f"$s%06d.txt", txt,
-          Seq(8, 12, 93, 95, 14, 1, 6, 2, 3, 4, 5, 9)(((id + s) % 12).toInt)))
+          Seq(8, 12, 93, 95, 14, 1, 6, 2, 3, 4, 5, 9, 10)(((id + s) % 13).toInt)))
         files += ((f"$s%06d.cls", Array(((id + s) % 256).toByte), 0))
       }
       MediaFile(id, "shard", Zip.synthZipMethods(files.result()))
@@ -2181,7 +2181,7 @@ object Multimodal {
     * 6.1): every member's codec stream sits inside the 12-byte crypt
     * envelope, so the oracle (identical to the codec corpus — the
     * sums ignore both codec and cipher) only passes if decryption
-    * composes with all 12 method dispatches.
+    * composes with all 13 method dispatches.
     */
   def demoZipEncShards(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -2193,7 +2193,7 @@ object Multimodal {
         val txt = Array.tabulate((16 + (id + s) % 8).toInt)(j =>
           ((id * 31 + s * 17 + j * 7) % 256).toByte)
         files += ((f"$s%06d.txt", txt,
-          Seq(8, 12, 93, 95, 14, 1, 6, 2, 3, 4, 5, 9)(((id + s) % 12).toInt)))
+          Seq(8, 12, 93, 95, 14, 1, 6, 2, 3, 4, 5, 9, 10)(((id + s) % 13).toInt)))
         files += ((f"$s%06d.cls", Array(((id + s) % 256).toByte), 0))
       }
       MediaFile(id, "shard",

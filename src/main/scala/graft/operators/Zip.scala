@@ -295,7 +295,11 @@ object Zip {
         val got = Inflate64.inflate(src, off, off + clen, e.size.toInt)
         if (got == null) return null
         got
-      case _ => return null // dcl-implode 10 / ppmd 98: unsupported
+      case 10 => // DCL implode (PKWARE Data Compression Library)
+        val got = dclDecode(src, off, off + clen, e.size.toInt)
+        if (got == null) return null
+        got
+      case _ => return null // ppmd 98 and friends: unsupported
     }
     val crc = new java.util.zip.CRC32()
     crc.update(out)
@@ -340,6 +344,224 @@ object Zip {
       }
       out
     } finally inf.end()
+  }
+
+  // ---- DCL IMPLODE (method 10): the PKWARE Data Compression -----------
+  // Library's format ("blast" in zlib's contrib, where Mark Adler
+  // documented it publicly). Two header bytes: literal mode (0 =
+  // raw 8-bit literals, 1 = literals through the fixed 256-symbol
+  // Huffman table) and log2(dictionary)-6 (4..6 → 1K/2K/4K). Then a
+  // bitstream (LSB-first bytes) of flag bits: 0 = literal, 1 =
+  // match; match length through a fixed 16-symbol code (bases
+  // 3,2,4..264 — symbol 1 is the special LENGTH-2 match — plus 0-8
+  // extra bits), distance high 6 bits through a fixed 64-symbol
+  // code, low bits raw (2 when length==2, else the dictionary log).
+  // THE format quirk: Huffman code bits are stored INVERTED
+  // (complemented) in the stream. Fixed tables ship as the PKWARE
+  // compact rep (low nibble = length-1... low 4 bits = bit length,
+  // high 4 = repeat-1), identical to the public spec's constants.
+
+  /** Canonical-Huffman table in the DCL convention: shortest codes
+    * first, symbols ASCENDING within a length (puff-style — the
+    * opposite symbol order of the APPNOTE Shannon-Fano [[SfTree]]),
+    * with per-symbol (code, len) kept for the write side.
+    */
+  private final class DclTable(val lens: Array[Int]) {
+    val count = new Array[Int](16)
+    val symAt = new Array[Int](lens.length)
+    val code = new Array[Int](lens.length)
+    locally {
+      lens.foreach(l => count(l) += 1)
+      val offs = new Array[Int](16)
+      for (l <- 1 until 15) offs(l + 1) = offs(l) + count(l)
+      val next = offs.clone()
+      for (s <- lens.indices if lens(s) != 0) {
+        symAt(next(lens(s))) = s
+        next(lens(s)) += 1
+      }
+      // canonical code values per symbol, for the encoder
+      var c = 0
+      var idx = 0
+      for (l <- 1 to 15) {
+        var k = count(l)
+        while (k > 0) {
+          code(symAt(idx)) = c
+          c += 1
+          idx += 1
+          k -= 1
+        }
+        c <<= 1
+      }
+    }
+  }
+
+  private def dclBuild(rep: Array[Int], n: Int): DclTable = {
+    val lens = new Array[Int](n)
+    var sym = 0
+    rep.foreach { v =>
+      val len = v & 15
+      var r = (v >> 4) + 1
+      while (r > 0) { lens(sym) = len; sym += 1; r -= 1 }
+    }
+    require(sym == n, s"rep covers $sym of $n")
+    new DclTable(lens)
+  }
+
+  private lazy val DclLit = dclBuild(Array(11, 124, 8, 7, 28, 7, 188, 13,
+    76, 4, 10, 8, 12, 10, 12, 10, 8, 23, 8, 9, 7, 6, 7, 8, 7, 6, 55, 8,
+    23, 24, 12, 11, 7, 9, 11, 12, 6, 7, 22, 5, 7, 24, 6, 11, 9, 6, 7,
+    22, 7, 11, 38, 7, 9, 8, 25, 11, 8, 11, 9, 12, 8, 12, 5, 38, 5, 38,
+    5, 11, 7, 5, 6, 21, 6, 10, 53, 8, 7, 24, 10, 27, 44, 253, 253, 253,
+    252, 252, 252, 13, 12, 45, 12, 45, 12, 61, 12, 45, 44, 173), 256)
+  private lazy val DclLen = dclBuild(Array(2, 35, 36, 53, 38, 23), 16)
+  private lazy val DclDist = dclBuild(Array(2, 20, 53, 230, 247, 151, 248), 64)
+
+  private val DclLenBase = Array(3, 2, 4, 5, 6, 7, 8, 9, 10, 12, 16, 24,
+    40, 72, 136, 264)
+  private val DclLenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 3, 4, 5,
+    6, 7, 8)
+
+  /** Read one fixed-table symbol; the stream stores code bits
+    * INVERTED, so flip each before the canonical walk.
+    */
+  private def dclRead(t: DclTable, br: BitsLsb): Int = {
+    var code = 0
+    var first = 0
+    var index = 0
+    var l = 1
+    while (l <= 15) {
+      val bit = br.bit()
+      if (bit < 0) return -1
+      code |= bit ^ 1
+      val cnt = t.count(l)
+      if (code - first < cnt) return t.symAt(index + (code - first))
+      index += cnt
+      first = (first + cnt) << 1
+      code <<= 1
+      l += 1
+    }
+    -1
+  }
+
+  private[graft] def dclDecode(b: Array[Byte], start: Int, endExcl: Int,
+      outSize: Int): Array[Byte] = {
+    if (start + 2 > endExcl) return null
+    val codedLits = b(start) & 0xFF
+    val dictLog = b(start + 1) & 0xFF
+    if (codedLits > 1 || dictLog < 4 || dictLog > 6) return null
+    val br = new BitsLsb(b, start + 2, endExcl)
+    val out = new Array[Byte](outSize)
+    var outLen = 0
+    while (outLen < outSize) {
+      br.bit() match {
+        case -1 => return null
+        case 0 => // literal
+          val lit = if (codedLits == 1) dclRead(DclLit, br) else br.bits(8)
+          if (lit < 0) return null
+          out(outLen) = lit.toByte
+          outLen += 1
+        case _ => // match
+          val ls = dclRead(DclLen, br)
+          if (ls < 0) return null
+          val extra = br.bits(DclLenExtra(ls))
+          if (extra < 0) return null
+          val len = DclLenBase(ls) + extra
+          if (len == 519) return null // end marker before outSize met
+          val lowBits = if (len == 2) 2 else dictLog
+          val hi = dclRead(DclDist, br)
+          if (hi < 0) return null
+          val lo = br.bits(lowBits)
+          if (lo < 0) return null
+          val dist = (hi << lowBits) + lo + 1
+          if (dist > outLen || outLen + len > outSize) return null
+          var k = 0
+          while (k < len) { // byte-wise: overlaps replicate
+            out(outLen) = out(outLen - dist)
+            outLen += 1
+            k += 1
+          }
+      }
+    }
+    out
+  }
+
+  /** DCL-implode COMPRESS (uncoded-literal mode, the simpler legal
+    * profile; matches >= 3 through the real fixed tables, code bits
+    * complemented on write exactly as on read).
+    */
+  private[graft] def dclEncode(data: Array[Byte], dictLog: Int = 6): Array[Byte] = {
+    require(dictLog >= 4 && dictLog <= 6)
+    val out = new java.io.ByteArrayOutputStream(data.length + 32)
+    out.write(0) // uncoded literals
+    out.write(dictLog)
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(v: Int, k: Int): Unit = { // LSB-first
+      bitBuf |= (v.toLong & ((1L << k) - 1)) << bitCnt
+      bitCnt += k
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xFF).toInt)
+        bitBuf >>>= 8
+        bitCnt -= 8
+      }
+    }
+    def putCode(t: DclTable, s: Int): Unit = { // MSB-first, INVERTED
+      var k = t.lens(s) - 1
+      while (k >= 0) {
+        putBits(((t.code(s) >> k) & 1) ^ 1, 1)
+        k -= 1
+      }
+    }
+    val dictSize = 64 << dictLog
+    val lowBits = dictLog
+    val maxMatch = 264 + 254 // 519 is the end marker, not a length
+    val lastPos = new Array[Int](65536)
+    java.util.Arrays.fill(lastPos, -1)
+    def pairKey(j: Int): Int = ((data(j) & 0xFF) << 8) | (data(j + 1) & 0xFF)
+    var i = 0
+    while (i < data.length) {
+      var matched = 0
+      var dist = 0
+      if (i + 1 < data.length) {
+        val cand = lastPos(pairKey(i))
+        if (cand >= 0 && i - cand <= dictSize) {
+          val d = i - cand
+          var l = 0
+          val lim = math.min(maxMatch, data.length - i)
+          while (l < lim && data(i - d + l) == data(i + l)) l += 1
+          if (l >= 3) { matched = l; dist = d }
+        }
+      }
+      if (matched >= 3) {
+        putBits(1, 1)
+        // length symbol: the largest base <= matched (its extra
+        // range always covers the gap to the next base)
+        var ls = 15
+        while (DclLenBase(ls) > matched || ls == 1) ls -= 1
+        putCode(DclLen, ls)
+        putBits(matched - DclLenBase(ls), DclLenExtra(ls))
+        val dm1 = dist - 1
+        putCode(DclDist, dm1 >> lowBits)
+        putBits(dm1 & ((1 << lowBits) - 1), lowBits)
+        var k = 0
+        while (k < matched && i + k + 1 < data.length) {
+          lastPos(pairKey(i + k)) = i + k
+          k += 1
+        }
+        i += matched
+      } else {
+        putBits(0, 1)
+        putBits(data(i) & 0xFF, 8)
+        if (i + 1 < data.length) lastPos(pairKey(i)) = i
+        i += 1
+      }
+    }
+    // the documented end marker: length symbol 15 with extra 255
+    putBits(1, 1)
+    putCode(DclLen, 15)
+    putBits(255, 8)
+    if (bitCnt > 0) out.write((bitBuf & 0xFF).toInt)
+    out.toByteArray
   }
 
   // ---- traditional ZipCrypto (APPNOTE 6.1) ----------------------------
@@ -389,17 +611,17 @@ object Zip {
 
   /** Does any member lie outside the decodable profile — a method
     * beyond STORED 0, SHRINK 1, REDUCE 2-5, IMPLODE 6, DEFLATE 8,
-    * DEFLATE64 9, and (through this engine's from-scratch codec
-    * matrix) BZIP2 12, LZMA 14, Zstandard 93, XZ 95 — or traditional
-    * ENCRYPTION (general-purpose bit 0: the data is ciphertext
-    * behind a 12-byte crypt header)? DCL-implode 10 / PPMd 98 and
-    * encrypted members are the "ship a profile" answer, distinct
-    * from damage.
+    * DEFLATE64 9, DCL-IMPLODE 10, and (through this engine's
+    * from-scratch codec matrix) BZIP2 12, LZMA 14, Zstandard 93,
+    * XZ 95 — or traditional ENCRYPTION without a key (general-
+    * purpose bit 0)? PPMd 98 and keyless encrypted members are the
+    * "ship a profile" answer, distinct from damage.
     */
   def unsupportedMethod(b: Array[Byte]): Boolean = {
     val es = entries(b)
     es != null && es.exists(e => (e.flags & 1) != 0 || (e.method match {
-      case 0 | 1 | 2 | 3 | 4 | 5 | 6 | 8 | 9 | 12 | 14 | 93 | 95 => false
+      case 0 | 1 | 2 | 3 | 4 | 5 | 6 | 8 | 9 | 10 | 12 | 14 | 93 | 95 =>
+        false
       case _ => true
     }))
   }
@@ -626,6 +848,12 @@ object Zip {
   /** Spec-visible decode entry for [[reduceDecode]] hand vectors. */
   private[graft] def reduceDecodeForTest(b: Array[Byte], outSize: Int,
       factor: Int): Array[Byte] = reduceDecode(b, 0, b.length, outSize, factor)
+
+  /** Spec-visible entries for the DCL pair's golden vectors. */
+  private[graft] def dclDecodeForTest(b: Array[Byte], outSize: Int): Array[Byte] =
+    dclDecode(b, 0, b.length, outSize)
+  private[graft] def dclEncodeForTest(data: Array[Byte], dictLog: Int): Array[Byte] =
+    dclEncode(data, dictLog)
 
   // ---- SHRINK (method 1): PKZIP 1.x dynamic LZW ------------------------
   // LSB-first codes, width 9→13 grown ONLY by the explicit (256,1)
@@ -1157,6 +1385,7 @@ object Zip {
           case 1 => shrinkEncode(data)
           case 2 | 3 | 4 | 5 => reduceEncode(data, method - 1)
           case 9 => Inflate64.encode(data)
+          case 10 => dclEncode(data)
           case 6 =>
             // stream shape derived from the SAME flags the headers
             // advertise — the two can't drift apart

@@ -95,22 +95,44 @@ class ZipSpec extends AnyFunSuite {
   }
 
   test("profile gaps are named, not misread") {
-    // an unsupported compression method (DCL-implode = 10 — shrink/
-    // reduce/implode/bzip2/lzma/zstd/xz all decode now): hand-patch
-    // the method field in both the local header and the central
-    // directory
+    // an unsupported compression method (PPMd = 98 — every other
+    // PKZIP method decodes now): hand-patch the method field in both
+    // the local header and the central directory
     val z = Zip.synthZip(Seq(("a.bin", gen(50, 8), false)))
     def leU16(b: Array[Byte], i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
     // local header method at offset 8; central entry method at cd+10
-    z(8) = 10
+    z(8) = 98
     var cd = -1
     for (i <- 0 until z.length - 4)
       if (z(i) == 'P' && z(i + 1) == 'K' && z(i + 2) == 1 && z(i + 3) == 2) cd = i
-    z(cd + 10) = 10
+    z(cd + 10) = 98
     assert(Zip.members(z) == null)
     assert(Zip.unsupportedMethod(z))
     assert(!Zip.isZip64(z))
     assert(leU16(z, cd + 28) == 5) // sanity: name length intact
+  }
+
+  test("DCL implode decodes the public blast golden vector") {
+    // the example stream Mark Adler ships with zlib's blast: coded
+    // literals, 1K dictionary, decodes to "AIAIAIAIAIAIA"
+    val v = Array[Byte](0x00, 0x04, 0x82.toByte, 0x24, 0x25, 0x8f.toByte,
+      0x80.toByte, 0x7f)
+    val got = Zip.dclDecodeForTest(v, 13)
+    assert(got != null && new String(got, "US-ASCII") == "AIAIAIAIAIAIA")
+    // round-trips across dictionary sizes and shapes, end marker
+    // included
+    val shapes = Seq(
+      ("dcl imploded member block " * 300).getBytes("US-ASCII"),
+      gen(5000, 55), gen(2, 56), Array.emptyByteArray)
+    for (d <- shapes; dictLog <- 4 to 6) {
+      val enc = Zip.dclEncodeForTest(d, dictLog)
+      val dec = Zip.dclDecodeForTest(enc, d.length)
+      assert(dec != null && dec.toSeq == d.toSeq, s"dictLog=$dictLog")
+    }
+    // malformed headers and truncations degrade
+    assert(Zip.dclDecodeForTest(Array[Byte](2, 4, 0), 4) == null)
+    assert(Zip.dclDecodeForTest(Array[Byte](0, 7, 0), 4) == null)
+    assert(Zip.dclDecodeForTest(v.take(5), 13) == null)
   }
 
   test("REDUCE hand vectors pin the APPNOTE semantics") {
@@ -213,11 +235,12 @@ class ZipSpec extends AnyFunSuite {
       ("r1.bin", ("reduced member " * 60).getBytes("US-ASCII"), 2),
       ("r2.bin", gen(640, 53), 3),
       ("r3.bin", ("follow the set " * 90).getBytes("US-ASCII"), 4),
-      ("r4.bin", gen(777, 54), 5))
+      ("r4.bin", gen(777, 54), 5),
+      ("d10.bin", ("dcl member " * 70).getBytes("US-ASCII"), 10))
     val z = Zip.synthZipMethods(files)
     // our walk decodes every method, CRC-verified
     val m = Zip.members(z)
-    assert(m != null && m.length == 16)
+    assert(m != null && m.length == 17)
     for (((name, data, _), i) <- files.zipWithIndex) {
       assert(m(i)._1 == name)
       assert(m(i)._2.toSeq == data.toSeq, name)
@@ -239,7 +262,7 @@ class ZipSpec extends AnyFunSuite {
       for ((name, data, method) <- files) {
         val e = zf.getEntry(name)
         assert(e != null, name)
-        if (method == 14 || (method >= 2 && method <= 5))
+        if (method == 14 || method == 10 || (method >= 2 && method <= 5))
           assert(!zf.canReadEntryData(e), name)
         else {
           assert(zf.canReadEntryData(e), name)
