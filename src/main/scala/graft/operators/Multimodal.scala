@@ -2134,6 +2134,126 @@ object Multimodal {
     })
   }
 
+  /** One Debian package's provenance + payload accounting row. */
+  final case class DebPackage(deb_id: Long, package_name: String,
+      version: String, n_files: Int, data_bytes: Long, byte_sum: Long)
+
+  /** Walk `.deb` packages — the composition the session's archive
+    * layers exist for: the ar OUTER container ([[Ar]]), the
+    * `debian-binary` version check, then `control.tar.*` and
+    * `data.tar.*` decompressed BY MAGIC (gzip/xz/zstd/plain — the
+    * same sniff the crawl path uses, so extensions can lie) into tar
+    * walks. Control fields parse RFC-822-style; the payload's
+    * regular files aggregate. One partition-wise pass; a package
+    * failing ANY layer degrades to a single sentinel row.
+    */
+  def debPackages(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[DebPackage] = {
+    import spark.implicits._
+    media.map { m =>
+      val bad = DebPackage(m.media_id, "", "", -1, -1L, -1L)
+      val members = Ar.members(m.content)
+      if (members == null || members.isEmpty ||
+          members(0)._1 != "debian-binary" ||
+          !new String(members(0)._2,
+            java.nio.charset.StandardCharsets.US_ASCII).startsWith("2.0"))
+        bad
+      else {
+        val ctrl = members.find(_._1.startsWith("control.tar"))
+        val data = members.find(_._1.startsWith("data.tar"))
+        if (ctrl.isEmpty || data.isEmpty) bad
+        else {
+          val ctrlTar = Containers.crawlInflate(ctrl.get._2)
+          val dataTar = Containers.crawlInflate(data.get._2)
+          val ce = if (ctrlTar == null) null else Containers.tarEntries(ctrlTar)
+          val de = if (dataTar == null) null else Containers.tarEntries(dataTar)
+          if (ce == null || de == null) bad
+          else {
+            val cf = ce.find(e => (e.name == "./control" ||
+              e.name == "control") && e.typeflag == '0')
+            if (cf.isEmpty) bad
+            else {
+              val fields = new String(
+                Containers.tarEntryBytes(ctrlTar, cf.get),
+                java.nio.charset.StandardCharsets.UTF_8)
+                .split("\n").iterator
+                .map(_.split(": ", 2))
+                .collect { case Array(k, v) => (k, v) }
+                .toMap
+              var n = 0
+              var bytes = 0L
+              var sum = 0L
+              de.foreach { e =>
+                if (e.typeflag == '0') {
+                  n += 1
+                  val d = Containers.tarEntryBytes(dataTar, e)
+                  bytes += d.length
+                  var j = 0
+                  while (j < d.length) {
+                    sum += java.lang.Byte.toUnsignedInt(d(j)); j += 1
+                  }
+                }
+              }
+              DebPackage(m.media_id,
+                fields.getOrElse("Package", ""),
+                fields.getOrElse("Version", ""), n, bytes, sum)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic `.deb` corpus: package `id` is `pkg-(id%20)` at
+    * version `1.(id%10).(id%5)`, its control.tar always gzip (the
+    * field layout Debian mandates), its data.tar holding `1 + id%3`
+    * files of `20 + (id+f)%16` bytes (byte `j` =
+    * `(id*19 + f*23 + j*11) % 256`) behind the compressor cycle
+    * `id%4` → gzip / xz / zstd / none — the walk must dispatch by
+    * magic, not name.
+    */
+  def demoDebCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val control =
+        s"Package: pkg-${id % 20}\nVersion: 1.${id % 10}.${id % 5}\n" +
+        s"Architecture: all\nInstalled-Size: ${10 + id % 90}\n" +
+        s"Description: deterministic fixture package ${id}\n"
+      val ctrlTar = Containers.synthTar(Seq(("./control",
+        control.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      val dataFiles = (0 until (1 + id % 3).toInt).map { f =>
+        (f"./usr/share/pkg/$f%04d.bin",
+          Array.tabulate((20 + (id + f) % 16).toInt)(j =>
+            ((id * 19 + f * 23 + j * 11) % 256).toByte))
+      }
+      val dataTar = Containers.synthTar(dataFiles)
+      def gz(b: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.GZIPOutputStream(bos)
+        z.write(b); z.close()
+        bos.toByteArray
+      }
+      val (dataName, dataBytes) = (id % 4) match {
+        case 0 => ("data.tar.gz", gz(dataTar))
+        case 1 =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val opts = new org.tukaani.xz.LZMA2Options(1)
+          opts.setDictSize(1 << 16)
+          val z = new org.tukaani.xz.XZOutputStream(bos, opts)
+          z.write(dataTar); z.close()
+          ("data.tar.xz", bos.toByteArray)
+        case 2 => ("data.tar.zst",
+          com.github.luben.zstd.Zstd.compress(dataTar, 3))
+        case _ => ("data.tar", dataTar)
+      }
+      MediaFile(id, "package", Ar.synthAr(Seq(
+        ("debian-binary", "2.0\n".getBytes(
+          java.nio.charset.StandardCharsets.US_ASCII)),
+        ("control.tar.gz", gz(ctrlTar)),
+        (dataName, dataBytes)), "gnu"))
+    })
+  }
+
   /** Deterministic cpio corpus: the flat [[demoZipCodecShards]]
     * sample formulas, the archive FORMAT cycling all four on-disk
     * variants (`newc`/`crc`/`odc`/`bin_le`) by `id%4` — so every

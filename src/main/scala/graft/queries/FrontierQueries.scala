@@ -312,6 +312,21 @@ object FrontierQueries {
         .toDF().orderBy("shard_id", "sample_key")
     }),
 
+    // Debian package ingest — the archive layers COMPOSED: ar outer
+    // walk, debian-binary version check, control.tar/data.tar
+    // decompressed by MAGIC (gzip/xz/zstd/plain — extensions can
+    // lie), tar walks beneath, RFC-822 control fields parsed, payload
+    // files aggregated. Oracle replays every formula.
+    "shard_deb_packages" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoDebCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.debPackages(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("deb_id")
+    }),
+
     // Common-Crawl-shaped WARC ingest: walk REAL record structure
     // (version line, CRLF headers, Content-Length blocks) and reduce
     // the response payloads; odd crawls ship as `.warc.gz` with each
@@ -1809,6 +1824,21 @@ object FrontierQueries {
         |     j -> (doc_id*31 + s*17 + j*7) % 256))
         |   + (doc_id + s) % 256)::BIGINT AS byte_sum
         |FROM m ORDER BY shard_id, sample_key""".stripMargin,
+
+    // Replays the .deb generator: ar + compressor + tar all vanish.
+    "shard_deb_packages" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 3 AS nf FROM documents)
+        |SELECT doc_id AS deb_id,
+        |  'pkg-' || (doc_id % 20)::VARCHAR AS package_name,
+        |  '1.' || (doc_id % 10)::VARCHAR || '.' || (doc_id % 5)::VARCHAR
+        |    AS version,
+        |  nf::INT AS n_files,
+        |  list_sum(list_transform(range(0, nf),
+        |    f -> 20 + (doc_id + f) % 16))::BIGINT AS data_bytes,
+        |  list_sum(list_transform(range(0, nf), f ->
+        |    list_sum(list_transform(range(0, 20 + (doc_id + f) % 16),
+        |      j -> (doc_id*19 + f*23 + j*11) % 256))))::BIGINT AS byte_sum
+        |FROM m ORDER BY deb_id""".stripMargin,
 
     // Replays the multi-volume generator: the split payload's row
     // unions with the usual sample rows; volume mechanics vanish.
