@@ -2134,6 +2134,66 @@ object Multimodal {
     })
   }
 
+  /** One SQLite database's table-extraction accounting row. */
+  final case class SqliteStats(db_id: Long, n_rows: Int, val_sum: Long,
+      name_char_sum: Long, n_nulls: Int)
+
+  /** Extract the `samples` table from SQLite database files — the
+    * single-file format annotation drops and scraped datasets ship
+    * in — through the from-scratch [[Sqlite]] B-tree walk (interior
+    * pages, overflow chains, all serial types). One partition-wise
+    * pass; an unreadable database degrades to a sentinel row.
+    */
+  def sqliteStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[SqliteStats] = {
+    import spark.implicits._
+    media.map { m =>
+      val rows = Sqlite.rows(m.content, "samples")
+      if (rows == null) SqliteStats(m.media_id, -1, -1L, -1L, -1)
+      else {
+        var vs = 0L
+        var cs = 0L
+        var nulls = 0
+        rows.foreach { r =>
+          r.values(0) match {
+            case s: String => s.foreach(c => cs += c.toInt)
+            case _ => ()
+          }
+          r.values(1) match {
+            case l: java.lang.Long => vs += l.longValue()
+            case _ => ()
+          }
+          if (r.values(2) == null) nulls += 1
+        }
+        SqliteStats(m.media_id, rows.length, vs, cs, nulls)
+      }
+    }
+  }
+
+  /** Deterministic SQLite corpus: database `id` holds a `samples`
+    * table of `3 + id%5` rows — name `doc-<id>-<r>`, val
+    * `id*31 + r*17` (0 stays the serial-type-8 constant form), score
+    * NULL on `r%3==0` else `r/4.0`, and a blob of `r%6` bytes; on
+    * `id%7==0` row 0's name is 6000 chars of 'Z', forcing a real
+    * overflow chain. The oracle replays name/val/null arithmetic —
+    * the B-tree, record, and overflow layers must all vanish.
+    */
+  def demoSqliteCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (3 + id % 5).toInt
+      val rows = (0 until n).map { r =>
+        val name =
+          if (id % 7 == 0 && r == 0) "Z" * 6000 else s"doc-$id-$r"
+        Seq[Any](name, id * 31 + r * 17L,
+          (if (r % 3 == 0) null else r / 4.0),
+          Array.tabulate(r % 6)(j => ((id + j) % 256).toByte))
+      }
+      MediaFile(id, "db", Sqlite.synthDb("samples",
+        "name TEXT, val INTEGER, score REAL, data BLOB", rows))
+    })
+  }
+
   /** One Debian package's provenance + payload accounting row. */
   final case class DebPackage(deb_id: Long, package_name: String,
       version: String, n_files: Int, data_bytes: Long, byte_sum: Long)

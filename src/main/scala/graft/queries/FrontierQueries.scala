@@ -312,6 +312,22 @@ object FrontierQueries {
         .toDF().orderBy("shard_id", "sample_key")
     }),
 
+    // SQLite table extraction — the single-file database format
+    // annotation drops ship in, read through a from-scratch B-tree
+    // walk: page-1 schema resolution, interior+leaf pages, overflow
+    // chains (the id%7 long-name rows), and the full serial-type
+    // system. Live-pinned both directions against real SQLite
+    // (python3) in the spec; the oracle replays the row formulas.
+    "sqlite_extract" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoSqliteCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.sqliteStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("db_id")
+    }),
+
     // Debian package ingest — the archive layers COMPOSED: ar outer
     // walk, debian-binary version check, control.tar/data.tar
     // decompressed by MAGIC (gzip/xz/zstd/plain — extensions can
@@ -1824,6 +1840,26 @@ object FrontierQueries {
         |     j -> (doc_id*31 + s*17 + j*7) % 256))
         |   + (doc_id + s) % 256)::BIGINT AS byte_sum
         |FROM m ORDER BY shard_id, sample_key""".stripMargin,
+
+    // Replays the SQLite corpus: names are 'doc-<id>-<r>' (the id%7
+    // row-0 overflow name is 6000 'Z's = char 90), val sums are
+    // closed-form, NULL scores land on r%3=0.
+    "sqlite_extract" ->
+      """WITH m AS (SELECT doc_id, 3 + doc_id % 5 AS n,
+        |    list_sum(list_transform(range(0, length(doc_id::VARCHAR)),
+        |      k -> ascii(substring(doc_id::VARCHAR, (k+1)::INT, 1))))
+        |      AS id_digit_sum
+        |  FROM documents)
+        |SELECT doc_id AS db_id, n::INT AS n_rows,
+        |  list_sum(list_transform(range(0, n),
+        |    r -> doc_id*31 + r*17))::BIGINT AS val_sum,
+        |  list_sum(list_transform(range(0, n), r ->
+        |    CASE WHEN doc_id % 7 = 0 AND r = 0 THEN 6000*90
+        |    -- 'doc-' + id digits + '-' + digit r: d+o+c=310, '-'x2=90
+        |    ELSE 400 + id_digit_sum + 48 + r END))::BIGINT
+        |    AS name_char_sum,
+        |  length(list_filter(range(0, n), r -> r % 3 = 0))::INT AS n_nulls
+        |FROM m ORDER BY db_id""".stripMargin,
 
     // Replays the .deb generator: ar + compressor + tar all vanish.
     "shard_deb_packages" ->

@@ -59,6 +59,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Ar.members" -> (b => Ar.members(b)),
     "tarMultivolume" -> (b => Containers.tarMultivolume(Seq(b))),
     "Aiff.samples" -> (b => Aiff.samples(b)),
+    "Sqlite.rows" -> (b => Sqlite.rows(b, "samples")),
     "mediaDecodeClass" -> (b => Multimodal.mediaDecodeClass(b)))
 
   /** Magic prefixes steering random tails into each format's parser
@@ -138,7 +139,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
         Exif.synthApp1(Exif.ExifMeta(1, "2024:01:02 03:04:05", "cam_1", "mdl_1",
           "N", 10, 20, 3000, "E", 30, 40, 5000))),
       Aiff.synthAiff(8000, 1, Array.tabulate(300)(j =>
-        ((j * 277) % 65536 - 32768).toShort), "sowt"))
+        ((j * 277) % 65536 - 32768).toShort), "sowt"),
+      Sqlite.synthDb("samples", "a TEXT, b INTEGER",
+        (0 until 60).map(i => Seq[Any](s"n$i" * (i % 9), i.toLong))))
     for ((blob, bi) <- valid.zipWithIndex; trial <- 0 until 30) {
       val mutated = blob.clone()
       // 1-4 byte flips at random positions
