@@ -2006,6 +2006,10 @@ object Containers {
     */
   def tarMultivolume(volumes: Seq[Array[Byte]]): Array[(String, Array[Byte])] = try {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    // no member can exceed the bytes the whole SET holds — the bound
+    // that keeps every Int narrowing below safe and caps preallocation
+    // against forged size fields (checksum-valid headers included)
+    val totalSetBytes = volumes.iterator.map(_.length.toLong).sum
     var pendName: String = null
     var pendSize = 0L
     var pend: java.io.ByteArrayOutputStream = null
@@ -2025,7 +2029,7 @@ object Containers {
           if (!tarChecksumOk(v, off)) return null
           val tf = v(off + 156).toChar
           val size = tarOctal(v, off + 124, 12)
-          if (size < 0) return null
+          if (size < 0 || size > totalSetBytes) return null
           var ne = off
           while (ne < off + 100 && v(ne) != 0) ne += 1
           val name = ascii(v, off, ne - off)
@@ -2039,12 +2043,12 @@ object Containers {
               val already = tarOctal(v, hdrOff + 369, 12)
               if (name != pendName || already != pend.size() ||
                   size != pendSize - pend.size()) return null
-              val need = ((size + 511) / 512 * 512).toInt
+              val need = (size + 511) / 512 * 512 // Long: no wrap
               if (off + need <= v.length) { // completes in this volume
                 pend.write(v, off, size.toInt)
                 out += ((pendName, pend.toByteArray))
                 pend = null
-                off += need
+                off += need.toInt
               } else { // spans yet another volume
                 val blocks = (v.length - off) / 512
                 pend.write(v, off, blocks * 512)
@@ -2052,17 +2056,18 @@ object Containers {
               }
             case _ =>
               if (pend != null) return null // lost continuation
-              val need = ((size + 511) / 512 * 512).toInt
+              val need = (size + 511) / 512 * 512 // Long: no wrap
               if (off + need <= v.length) {
                 if (tf == '0' || tf == '\u0000')
                   out += ((name, java.util.Arrays.copyOfRange(v, off,
                     off + size.toInt)))
-                off += need
+                off += need.toInt
               } else { // the split START: regular files only
                 if (tf != '0' && tf != '\u0000') return null
                 pendName = name
                 pendSize = size
-                pend = new java.io.ByteArrayOutputStream(size.toInt)
+                pend = new java.io.ByteArrayOutputStream(
+                  math.min(size, 1L << 20).toInt)
                 val blocks = (v.length - off) / 512
                 pend.write(v, off, blocks * 512)
                 off = v.length

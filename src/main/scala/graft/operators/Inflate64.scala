@@ -267,36 +267,8 @@ object Inflate64 {
     */
   private[graft] def encode(data: Array[Byte]): Array[Byte] = {
     val ops = Seq.newBuilder[(Int, Int)]
-    val lastPos = new Array[Int](65536)
-    java.util.Arrays.fill(lastPos, -1)
-    def pairKey(j: Int): Int = ((data(j) & 0xFF) << 8) | (data(j + 1) & 0xFF)
-    var i = 0
-    while (i < data.length) {
-      var matched = 0
-      var dist = 0
-      if (i + 1 < data.length) {
-        val cand = lastPos(pairKey(i))
-        if (cand >= 0 && i - cand <= 65536) {
-          val d = i - cand
-          var l = 0
-          val lim = math.min(65538, data.length - i)
-          while (l < lim && data(i - d + l) == data(i + l)) l += 1
-          if (l >= 4) { matched = l; dist = d }
-        }
-      }
-      if (matched >= 4) {
-        ops += ((matched, dist))
-        var k = 0
-        while (k < matched && i + k + 1 < data.length) {
-          lastPos(pairKey(i + k)) = i + k
-          k += 1
-        }
-        i += matched
-      } else {
-        ops += ((data(i) & 0xFF, 0))
-        if (i + 1 < data.length) lastPos(pairKey(i)) = i
-        i += 1
-      }
+    LzGreedy.compress(data, 65536, 4, 65538)(lit => ops += ((lit, 0))) {
+      (matched, dist) => ops += ((matched, dist))
     }
     fixedBlock(ops.result())
   }

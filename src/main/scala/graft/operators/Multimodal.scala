@@ -753,7 +753,10 @@ object Multimodal {
           LzwZ.encode(Containers.synthWarc(Seq(
             ("response", s"https://example.com/cz/$id",
               Array.tabulate((40 + id % 60).toInt)(j =>
-                ((id * 27 + j * 31) % 256).toByte)))), (9 + id % 8).toInt)
+                ((id * 27 + j * 31) % 256).toByte)))),
+            // id % 8 is CONSTANT on a mod-42 residue (gcd 2): vary by
+            // the quotient so all widths incl. the -b9 bump really run
+            (9 + (id / 42) % 8).toInt)
         case 36 =>
           // a sound .Z whose payload is no container we know (the
           // id·7 + j·13 generator provably forms no magic, case 4)
@@ -763,7 +766,8 @@ object Multimodal {
           Cpio.synthCpio(Seq((s"f$id.bin",
             Array.tabulate((32 + id % 48).toInt)(j =>
               ((id * 13 + j * 23) % 256).toByte))),
-            Seq("newc", "odc", "bin_le")((id % 3).toInt))
+            // id % 3 is constant on a mod-42 residue: cycle by quotient
+            Seq("newc", "odc", "bin_le")(((id / 42) % 3).toInt))
         case 38 =>
           // cpio crc dialect with one payload byte flipped: the
           // verified member checksum catches it
@@ -778,7 +782,8 @@ object Multimodal {
           Ar.synthAr(Seq((s"member-file-with-a-long-name-$id.bin",
             Array.tabulate((24 + id % 40).toInt)(j =>
               ((id * 17 + j * 19) % 256).toByte))),
-            if (id % 2 == 0) "gnu" else "bsd")
+            // id % 2 is constant on a mod-42 residue: cycle by quotient
+            if ((id / 42) % 2 == 0) "gnu" else "bsd")
         case 40 =>
           // ar with its first member-header terminator broken
           val z = Ar.synthAr(Seq((s"m$id.bin",
@@ -1924,29 +1929,37 @@ object Multimodal {
     * entries skipped. A shard with any damaged member degrades whole
     * (the sentinel row), matching the quarantine posture.
     */
+  /** The ONE members→WebDataset-samples aggregation every shard
+    * family shares (zip, cpio, ar, tar, multi-volume tar): regroup
+    * by [[webdatasetKey]], fold byte counts and sums, sentinel row
+    * on a null walk — so the keying and quarantine conventions can't
+    * silently diverge between formats.
+    */
+  private def membersToSamples(id: Long,
+      members: Array[(String, Array[Byte])]): Iterator[ShardSample] =
+    if (members == null) Iterator.single(ShardSample(id, "", -1, -1L, -1L))
+    else members
+      .groupBy { case (name, _) => webdatasetKey(name) }
+      .iterator.map { case (key, parts) =>
+        var bytes = 0L; var sum = 0L
+        parts.foreach { case (_, data) =>
+          bytes += data.length
+          var j = 0
+          while (j < data.length) {
+            sum += java.lang.Byte.toUnsignedInt(data(j)); j += 1
+          }
+        }
+        ShardSample(id, key, parts.length, bytes, sum)
+      }
+
   def zipShardSamples(spark: SparkSession,
       media: Dataset[MediaFile],
       password: String = null): Dataset[ShardSample] = {
     import spark.implicits._
     val pw = if (password == null) null
       else password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    media.flatMap { m =>
-      val members = Zip.members(m.content, pw)
-      if (members == null) Seq(ShardSample(m.media_id, "", -1, -1L, -1L))
-      else members
-        .groupBy { case (name, _) => webdatasetKey(name) }
-        .toSeq.map { case (key, parts) =>
-          var bytes = 0L; var sum = 0L
-          parts.foreach { case (_, data) =>
-            bytes += data.length
-            var j = 0
-            while (j < data.length) {
-              sum += java.lang.Byte.toUnsignedInt(data(j)); j += 1
-            }
-          }
-          ShardSample(m.media_id, key, parts.length, bytes, sum)
-        }
-    }
+    media.flatMap(m => membersToSamples(m.media_id,
+      Zip.members(m.content, pw)))
   }
 
   /** Deterministic ZIP-shard corpus: same sample formulas as the tar
@@ -2026,46 +2039,14 @@ object Multimodal {
   def cpioShardSamples(spark: SparkSession,
       media: Dataset[MediaFile]): Dataset[ShardSample] = {
     import spark.implicits._
-    media.flatMap { m =>
-      val members = Cpio.members(m.content)
-      if (members == null) Seq(ShardSample(m.media_id, "", -1, -1L, -1L))
-      else members
-        .groupBy { case (name, _) => webdatasetKey(name) }
-        .toSeq.map { case (key, parts) =>
-          var bytes = 0L; var sum = 0L
-          parts.foreach { case (_, data) =>
-            bytes += data.length
-            var j = 0
-            while (j < data.length) {
-              sum += java.lang.Byte.toUnsignedInt(data(j)); j += 1
-            }
-          }
-          ShardSample(m.media_id, key, parts.length, bytes, sum)
-        }
-    }
+    media.flatMap(m => membersToSamples(m.media_id, Cpio.members(m.content)))
   }
 
   /** [[zipShardSamples]] over ar shards ([[Ar]]) — same regrouping. */
   def arShardSamples(spark: SparkSession,
       media: Dataset[MediaFile]): Dataset[ShardSample] = {
     import spark.implicits._
-    media.flatMap { m =>
-      val members = Ar.members(m.content)
-      if (members == null) Seq(ShardSample(m.media_id, "", -1, -1L, -1L))
-      else members
-        .groupBy { case (name, _) => webdatasetKey(name) }
-        .toSeq.map { case (key, parts) =>
-          var bytes = 0L; var sum = 0L
-          parts.foreach { case (_, data) =>
-            bytes += data.length
-            var j = 0
-            while (j < data.length) {
-              sum += java.lang.Byte.toUnsignedInt(data(j)); j += 1
-            }
-          }
-          ShardSample(m.media_id, key, parts.length, bytes, sum)
-        }
-    }
+    media.flatMap(m => membersToSamples(m.media_id, Ar.members(m.content)))
   }
 
   /** Reassemble GNU multi-volume tar SETS (`tar -M`) and regroup the
@@ -2084,23 +2065,8 @@ object Multimodal {
     media.groupByKey(m => m.media_id / 8)
       .flatMapGroups { (setId: Long, it: Iterator[MediaFile]) =>
         val vols = it.toArray.sortBy(_.media_id)
-        val members = Containers.tarMultivolume(
-          vols.map(_.content).toSeq)
-        if (members == null)
-          Iterator.single(ShardSample(setId, "", -1, -1L, -1L))
-        else members
-          .groupBy { case (name, _) => webdatasetKey(name) }
-          .toSeq.iterator.map { case (key, parts) =>
-            var bytes = 0L; var sum = 0L
-            parts.foreach { case (_, data) =>
-              bytes += data.length
-              var j = 0
-              while (j < data.length) {
-                sum += java.lang.Byte.toUnsignedInt(data(j)); j += 1
-              }
-            }
-            ShardSample(setId, key, parts.length, bytes, sum)
-          }
+        membersToSamples(setId,
+          Containers.tarMultivolume(vols.map(_.content).toSeq))
       }
   }
 
@@ -2155,15 +2121,20 @@ object Multimodal {
         var cs = 0L
         var nulls = 0
         rows.foreach { r =>
-          r.values(0) match {
+          // records may legally be SHORTER than the schema (rows
+          // predating ALTER TABLE ADD COLUMN): absent trailing
+          // columns read as NULL, like SQLite itself fills them
+          def at(i: Int): Any =
+            if (i < r.values.length) r.values(i) else null
+          at(0) match {
             case s: String => s.foreach(c => cs += c.toInt)
             case _ => ()
           }
-          r.values(1) match {
+          at(1) match {
             case l: java.lang.Long => vs += l.longValue()
             case _ => ()
           }
-          if (r.values(2) == null) nulls += 1
+          if (at(2) == null) nulls += 1
         }
         SqliteStats(m.media_id, rows.length, vs, cs, nulls)
       }
@@ -2466,24 +2437,13 @@ object Multimodal {
     import spark.implicits._
     media.flatMap { m =>
       val entries = Containers.tarEntries(m.content)
-      if (entries == null) Seq(ShardSample(m.media_id, "", -1, -1L, -1L))
-      else entries.filter(e => e.typeflag == '0' || e.typeflag == 'S')
-        .groupBy(e => webdatasetKey(e.name))
-        .toSeq.map { case (key, parts) =>
-          var bytes = 0L; var sum = 0L
-          parts.foreach { e =>
-            // sparse members expand to their logical bytes (holes
-            // read as zeros), regular members pass through verbatim
-            val data = Containers.tarEntryBytes(m.content, e)
-            bytes += data.length
-            var j = 0
-            while (j < data.length) {
-              sum += java.lang.Byte.toUnsignedInt(data(j))
-              j += 1
-            }
-          }
-          ShardSample(m.media_id, key, parts.length, bytes, sum)
-        }
+      val members =
+        if (entries == null) null
+        else entries.filter(e => e.typeflag == '0' || e.typeflag == 'S')
+          // sparse members expand to their logical bytes (holes read
+          // as zeros), regular members pass through verbatim
+          .map(e => (e.name, Containers.tarEntryBytes(m.content, e)))
+      membersToSamples(m.media_id, members)
     }
   }
 
@@ -3588,8 +3548,9 @@ object Multimodal {
 
   /** Deterministic AIFF / AIFF-C corpus: clip `id` holds
     * `2*(200 + id%100)` interleaved samples across the compression
-    * grid `id%4` — 0: big-endian PCM "NONE" at 44100 (stereo on odd
-    * ids), 1: byte-swapped "sowt" at 22050 (same channel rule),
+    * grid `id%4` — 0: big-endian PCM "NONE" at 44100, 1:
+    * byte-swapped "sowt" at 22050 (channels cycle 1/2 by `id/4` —
+    * the quotient, since parity is determined by the grid),
     * 2/3: G.711 ulaw/alaw at 8000 mono where sample `j` is the EXACT
     * expansion of companded byte `(id*13 + j*37) % 256` — nearest-
     * codeword re-encoding is then the identity, so the oracle
@@ -3604,7 +3565,9 @@ object Multimodal {
         case 0 | 1 =>
           val pcm = Array.tabulate(n)(j =>
             ((id * 131 + j.toLong * 277) % 65536 - 32768).toShort)
-          val ch = (1 + id % 2).toInt
+          // id % 2 is determined by id % 4: vary channels by the
+          // quotient so stereo NONE and mono sowt both occur
+          val ch = (1 + (id / 4) % 2).toInt
           if (id % 4 == 0) Aiff.synthAiff(44100, ch, pcm)
           else Aiff.synthAiff(22050, ch, pcm, "sowt")
         case c =>

@@ -514,47 +514,21 @@ object Zip {
     }
     val dictSize = 64 << dictLog
     val lowBits = dictLog
-    val maxMatch = 264 + 254 // 519 is the end marker, not a length
-    val lastPos = new Array[Int](65536)
-    java.util.Arrays.fill(lastPos, -1)
-    def pairKey(j: Int): Int = ((data(j) & 0xFF) << 8) | (data(j + 1) & 0xFF)
-    var i = 0
-    while (i < data.length) {
-      var matched = 0
-      var dist = 0
-      if (i + 1 < data.length) {
-        val cand = lastPos(pairKey(i))
-        if (cand >= 0 && i - cand <= dictSize) {
-          val d = i - cand
-          var l = 0
-          val lim = math.min(maxMatch, data.length - i)
-          while (l < lim && data(i - d + l) == data(i + l)) l += 1
-          if (l >= 3) { matched = l; dist = d }
-        }
-      }
-      if (matched >= 3) {
-        putBits(1, 1)
-        // length symbol: the largest base <= matched (its extra
-        // range always covers the gap to the next base)
-        var ls = 15
-        while (DclLenBase(ls) > matched || ls == 1) ls -= 1
-        putCode(DclLen, ls)
-        putBits(matched - DclLenBase(ls), DclLenExtra(ls))
-        val dm1 = dist - 1
-        putCode(DclDist, dm1 >> lowBits)
-        putBits(dm1 & ((1 << lowBits) - 1), lowBits)
-        var k = 0
-        while (k < matched && i + k + 1 < data.length) {
-          lastPos(pairKey(i + k)) = i + k
-          k += 1
-        }
-        i += matched
-      } else {
-        putBits(0, 1)
-        putBits(data(i) & 0xFF, 8)
-        if (i + 1 < data.length) lastPos(pairKey(i)) = i
-        i += 1
-      }
+    // 519 is the end marker, not a length
+    LzGreedy.compress(data, dictSize, 3, 264 + 254) { lit =>
+      putBits(0, 1)
+      putBits(lit, 8)
+    } { (matched, dist) =>
+      putBits(1, 1)
+      // length symbol: the largest base <= matched (its extra
+      // range always covers the gap to the next base)
+      var ls = 15
+      while (DclLenBase(ls) > matched || ls == 1) ls -= 1
+      putCode(DclLen, ls)
+      putBits(matched - DclLenBase(ls), DclLenExtra(ls))
+      val dm1 = dist - 1
+      putCode(DclDist, dm1 >> lowBits)
+      putBits(dm1 & ((1 << lowBits) - 1), lowBits)
     }
     // the documented end marker: length symbol 15 with extra 255
     putBits(1, 1)
@@ -738,46 +712,18 @@ object Zip {
     val out = new java.io.ByteArrayOutputStream(data.length + 16)
     val shift = 8 - factor
     val mask = (1 << shift) - 1
-    val window = 256 << factor
-    val maxMatch = mask + 255 + 3
-    val lastPos = new Array[Int](65536)
-    java.util.Arrays.fill(lastPos, -1)
-    def pairKey(j: Int): Int = ((data(j) & 0xFF) << 8) | (data(j + 1) & 0xFF)
-    var i = 0
-    while (i < data.length) {
-      var matched = 0
-      var dist = 0
-      if (i + 1 < data.length) {
-        val cand = lastPos(pairKey(i))
-        if (cand >= 0 && i - cand <= window) {
-          val d = i - cand
-          var l = 0
-          val lim = math.min(maxMatch, data.length - i)
-          while (l < lim && data(i - d + l) == data(i + l)) l += 1
-          if (l >= 4) { matched = l; dist = d }
-        }
-      }
-      if (matched >= 4) {
-        val dm1 = dist - 1
-        val len = matched - 3
-        out.write(ReduceDle)
-        if (len >= mask) {
-          out.write(((dm1 >> 8) << shift) | mask)
-          out.write(len - mask)
-        } else out.write(((dm1 >> 8) << shift) | len)
-        out.write(dm1 & 0xFF)
-        var k = 0
-        while (k < matched && i + k + 1 < data.length) {
-          lastPos(pairKey(i + k)) = i + k
-          k += 1
-        }
-        i += matched
-      } else {
-        out.write(data(i) & 0xFF)
-        if ((data(i) & 0xFF) == ReduceDle) out.write(0)
-        if (i + 1 < data.length) lastPos(pairKey(i)) = i
-        i += 1
-      }
+    LzGreedy.compress(data, 256 << factor, 4, mask + 255 + 3) { lit =>
+      out.write(lit)
+      if (lit == ReduceDle) out.write(0)
+    } { (matched, dist) =>
+      val dm1 = dist - 1
+      val len = matched - 3
+      out.write(ReduceDle)
+      if (len >= mask) {
+        out.write(((dm1 >> 8) << shift) | mask)
+        out.write(len - mask)
+      } else out.write(((dm1 >> 8) << shift) | len)
+      out.write(dm1 & 0xFF)
     }
     out.toByteArray
   }
@@ -1278,50 +1224,20 @@ object Zip {
     val dictSize = if (bigDict) 8192 else 4096
     val dictBits = if (bigDict) 7 else 6
     val minMatch = if (threeTrees) 3 else 2
-    val maxLen = 63 + 255 + minMatch
-    val lastPos = new Array[Int](65536)
-    java.util.Arrays.fill(lastPos, -1)
-    def pairKey(j: Int): Int = ((data(j) & 0xFF) << 8) | (data(j + 1) & 0xFF)
-    var i = 0
-    while (i < data.length) {
-      var matched = 0
-      var dist = 0
-      if (i + 1 < data.length) {
-        val cand = lastPos(pairKey(i))
-        if (cand >= 0 && i - cand <= dictSize) {
-          val d = i - cand
-          var l = 0
-          val lim = math.min(maxLen, data.length - i)
-          while (l < lim && data(i - d + l) == data(i + l)) l += 1
-          if (l >= minMatch) {
-            matched = l
-            dist = d
-          }
-        }
-      }
-      if (matched >= minMatch) {
-        putBits(0, 1)
-        val dm1 = dist - 1
-        putBits(dm1 & ((1 << dictBits) - 1), dictBits)
-        putSf(distT, dm1 >> dictBits)
-        val c = matched - minMatch
-        if (c >= 63) {
-          putSf(lenT, 63)
-          putBits(c - 63, 8)
-        } else putSf(lenT, c)
-        var k = 0
-        while (k < matched && i + k + 1 < data.length) {
-          lastPos(pairKey(i + k)) = i + k
-          k += 1
-        }
-        i += matched
-      } else {
-        putBits(1, 1)
-        if (litT != null) putSf(litT, data(i) & 0xFF)
-        else putBits(data(i) & 0xFF, 8)
-        if (i + 1 < data.length) lastPos(pairKey(i)) = i
-        i += 1
-      }
+    LzGreedy.compress(data, dictSize, minMatch, 63 + 255 + minMatch) { lit =>
+      putBits(1, 1)
+      if (litT != null) putSf(litT, lit)
+      else putBits(lit, 8)
+    } { (matched, dist) =>
+      putBits(0, 1)
+      val dm1 = dist - 1
+      putBits(dm1 & ((1 << dictBits) - 1), dictBits)
+      putSf(distT, dm1 >> dictBits)
+      val c = matched - minMatch
+      if (c >= 63) {
+        putSf(lenT, 63)
+        putBits(c - 63, 8)
+      } else putSf(lenT, c)
     }
     if (bitCnt > 0) out.write((bitBuf & 0xFF).toInt)
     out.toByteArray
