@@ -2100,6 +2100,119 @@ object Multimodal {
     })
   }
 
+  /** One TFRecord shard's accounting row. */
+  final case class TfRecordStats(shard_id: Long, n_records: Int,
+      total_bytes: Long, byte_sum: Long)
+
+  /** Walk TFRecord shards — TensorFlow's training framing — through
+    * the CRC32C-verified [[TfRecord]] reader (whole-file gzip
+    * transparent). One partition-wise pass; a shard with any bad
+    * record degrades whole.
+    */
+  def tfrecordStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[TfRecordStats] = {
+    import spark.implicits._
+    media.map { m =>
+      val recs = TfRecord.records(m.content)
+      if (recs == null) TfRecordStats(m.media_id, -1, -1L, -1L)
+      else {
+        var bytes = 0L
+        var sum = 0L
+        recs.foreach { r =>
+          bytes += r.length
+          var j = 0
+          while (j < r.length) {
+            sum += java.lang.Byte.toUnsignedInt(r(j)); j += 1
+          }
+        }
+        TfRecordStats(m.media_id, recs.length, bytes, sum)
+      }
+    }
+  }
+
+  /** Deterministic TFRecord corpus: shard `id` holds `3 + id%4`
+    * records, record `r` of `18 + (id+r)%14` bytes (byte `j` =
+    * `(id*29 + r*13 + j*7) % 256`); odd ids ship whole-file-gzipped
+    * (`.tfrecord.gz`). The oracle replays the formulas; framing and
+    * CRCs must vanish.
+    */
+  def demoTfRecordCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (3 + id % 4).toInt
+      val recs = (0 until n).map { r =>
+        Array.tabulate((18 + (id + r) % 14).toInt)(j =>
+          ((id * 29 + r * 13 + j * 7) % 256).toByte)
+      }
+      val plain = TfRecord.synth(recs)
+      val blob = if (id % 2 == 1) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.GZIPOutputStream(bos)
+        z.write(plain); z.close()
+        bos.toByteArray
+      } else plain
+      MediaFile(id, "shard", blob)
+    })
+  }
+
+  /** One Avro container's extraction accounting row. */
+  final case class AvroStats(avro_id: Long, n_rows: Int, val_sum: Long,
+      name_char_sum: Long, n_nulls: Int)
+
+  /** Extract rows from Avro object-container files through the
+    * from-scratch [[Avro]] walk (schema subset, per-block sync
+    * verification, null/deflate/snappy/zstandard codecs).
+    */
+  def avroStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[AvroStats] = {
+    import spark.implicits._
+    media.map { m =>
+      val f = Avro.read(m.content)
+      if (f == null || f.fieldNames.length < 2)
+        AvroStats(m.media_id, -1, -1L, -1L, -1)
+      else {
+        var vs = 0L
+        var cs = 0L
+        var nulls = 0
+        f.rows.foreach { r =>
+          r(0) match {
+            case s: String => s.foreach(c => cs += c.toInt)
+            case _ => ()
+          }
+          r(1) match {
+            case l: java.lang.Long => vs += l.longValue()
+            case null => nulls += 1
+            case _ => ()
+          }
+        }
+        AvroStats(m.media_id, f.rows.length, vs, cs, nulls)
+      }
+    }
+  }
+
+  /** Deterministic Avro corpus: container `id` holds `4 + id%5` rows
+    * of (name `rec-<id>-<r>`, nullable val `id*23 + r*19` — NULL on
+    * `r%4==0` — and a score double), the codec cycling
+    * null/deflate/snappy/zstandard by `id%4`, two blocks when
+    * `id%3==0` (blockRows 2). Oracle replays the name/val/null
+    * arithmetic.
+    */
+  def demoAvroCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (4 + id % 5).toInt
+      val rows = (0 until n).map { r =>
+        Seq[Any](s"rec-$id-$r",
+          (if (r % 4 == 0) null else id * 23 + r * 19L), r * 0.25)
+      }
+      val codec = Seq("null", "deflate", "snappy", "zstandard")((id % 4).toInt)
+      val blockRows = if (id % 3 == 0) 2 else 1000
+      MediaFile(id, "shard", Avro.synthAvro(
+        Seq("name", "val", "score"), Seq("string", "long?", "double"),
+        rows, codec, blockRows))
+    })
+  }
+
   /** One SQLite database's table-extraction accounting row. */
   final case class SqliteStats(db_id: Long, n_rows: Int, val_sum: Long,
       name_char_sum: Long, n_nulls: Int)

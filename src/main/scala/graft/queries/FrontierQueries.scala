@@ -312,6 +312,35 @@ object FrontierQueries {
         .toDF().orderBy("shard_id", "sample_key")
     }),
 
+    // TFRecord shard reading — TensorFlow's training framing:
+    // length + masked-CRC32C headers verified per record (the JDK's
+    // independent CRC32C is the checksum pin), whole-file gzip
+    // transparent on odd ids. Oracle replays the record formulas.
+    "shard_tfrecord_samples" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoTfRecordCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.tfrecordStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("shard_id")
+    }),
+
+    // Avro object-container extraction — the Hadoop-era row format:
+    // metadata map + schema JSON parse, per-block sync verification,
+    // zigzag varints, nullable unions, and the codec grid
+    // (null / deflate / from-scratch snappy+CRC32 / zstandard).
+    // Pinned both directions against real Avro in the spec.
+    "shard_avro_records" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoAvroCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.avroStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("avro_id")
+    }),
+
     // SQLite table extraction — the single-file database format
     // annotation drops ship in, read through a from-scratch B-tree
     // walk: page-1 schema resolution, interior+leaf pages, overflow
@@ -1840,6 +1869,35 @@ object FrontierQueries {
         |     j -> (doc_id*31 + s*17 + j*7) % 256))
         |   + (doc_id + s) % 256)::BIGINT AS byte_sum
         |FROM m ORDER BY shard_id, sample_key""".stripMargin,
+
+    // Replays the TFRecord generator: framing vanishes.
+    "shard_tfrecord_samples" ->
+      """WITH m AS (SELECT doc_id, 3 + doc_id % 4 AS n FROM documents)
+        |SELECT doc_id AS shard_id, n::INT AS n_records,
+        |  list_sum(list_transform(range(0, n),
+        |    r -> 18 + (doc_id + r) % 14))::BIGINT AS total_bytes,
+        |  list_sum(list_transform(range(0, n), r ->
+        |    list_sum(list_transform(range(0, 18 + (doc_id + r) % 14),
+        |      j -> (doc_id*29 + r*13 + j*7) % 256))))::BIGINT AS byte_sum
+        |FROM m ORDER BY shard_id""".stripMargin,
+
+    // Replays the Avro corpus: container, codecs, and unions vanish.
+    "shard_avro_records" ->
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 5 AS n,
+        |    list_sum(list_transform(range(0, length(doc_id::VARCHAR)),
+        |      k -> ascii(substring(doc_id::VARCHAR, (k+1)::INT, 1))))
+        |      AS id_digit_sum
+        |  FROM documents)
+        |SELECT doc_id AS avro_id, n::INT AS n_rows,
+        |  list_sum(list_transform(range(0, n),
+        |    r -> CASE WHEN r % 4 = 0 THEN 0
+        |         ELSE doc_id*23 + r*19 END))::BIGINT AS val_sum,
+        |  -- 'rec-' (114+101+99+45=359) + id digits + '-' + digit r
+        |  list_sum(list_transform(range(0, n),
+        |    r -> 359 + id_digit_sum + 45 + 48 + r))::BIGINT
+        |    AS name_char_sum,
+        |  length(list_filter(range(0, n), r -> r % 4 = 0))::INT AS n_nulls
+        |FROM m ORDER BY avro_id""".stripMargin,
 
     // Replays the SQLite corpus: names are 'doc-<id>-<r>' (the id%7
     // row-0 overflow name is 6000 'Z's = char 90), val sums are

@@ -60,6 +60,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "tarMultivolume" -> (b => Containers.tarMultivolume(Seq(b))),
     "Aiff.samples" -> (b => Aiff.samples(b)),
     "Sqlite.rows" -> (b => Sqlite.rows(b, "samples")),
+    "TfRecord.records" -> (b => TfRecord.records(b)),
+    "Snappy.decode" -> (b => Snappy.decode(b, 1 << 22)),
+    "Avro.read" -> (b => Avro.read(b)),
     "mediaDecodeClass" -> (b => Multimodal.mediaDecodeClass(b)))
 
   /** Magic prefixes steering random tails into each format's parser
@@ -76,6 +79,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0),
     Array[Byte](0x04, 0x22, 0x4D, 0x18), // lz4 frame
     Array[Byte](0x1f, 0x9d.toByte, 0x90.toByte), // compress .Z block mode
+    Array[Byte]('O', 'b', 'j', 1), // avro container
     Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p'))
 
   test("random bytes never throw, with or without format magics") {
@@ -141,7 +145,12 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Aiff.synthAiff(8000, 1, Array.tabulate(300)(j =>
         ((j * 277) % 65536 - 32768).toShort), "sowt"),
       Sqlite.synthDb("samples", "a TEXT, b INTEGER",
-        (0 until 60).map(i => Seq[Any](s"n$i" * (i % 9), i.toLong))))
+        (0 until 60).map(i => Seq[Any](s"n$i" * (i % 9), i.toLong))),
+      TfRecord.synth((0 until 8).map(i => px(30 + i * 11))),
+      Snappy.encode(("snappy fuzz block " * 40).getBytes("US-ASCII")),
+      Avro.synthAvro(Seq("a", "b"), Seq("string", "long?"),
+        (0 until 40).map(i => Seq[Any](s"s$i",
+          if (i % 3 == 0) null else i.toLong)), "snappy"))
     for ((blob, bi) <- valid.zipWithIndex; trial <- 0 until 30) {
       val mutated = blob.clone()
       // 1-4 byte flips at random positions
