@@ -2155,6 +2155,78 @@ object Multimodal {
     })
   }
 
+  /** One tf.Example shard's feature-extraction accounting row. */
+  final case class TfExampleStats(shard_id: Long, n_examples: Int,
+      token_sum: Long, text_char_sum: Long, n_weights: Int)
+
+  /** Decode tf.Example features inside TFRecord shards — the actual
+    * payload shape of TensorFlow training data: CRC-verified framing
+    * via [[TfRecord]], then the protobuf wire walk via [[TfExample]]
+    * per record. A shard with any undecodable record degrades whole.
+    */
+  def tfexampleStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[TfExampleStats] = {
+    import spark.implicits._
+    media.map { m =>
+      val bad = TfExampleStats(m.media_id, -1, -1L, -1L, -1)
+      val recs = TfRecord.records(m.content)
+      if (recs == null) bad
+      else {
+        var tokens = 0L
+        var chars = 0L
+        var weights = 0
+        var ok = true
+        recs.foreach { r =>
+          val fs = TfExample.parse(r)
+          if (fs == null) ok = false
+          else fs.foreach {
+            case ("tokens", TfExample.Int64List(vs)) =>
+              vs.foreach(tokens += _)
+            case ("text", TfExample.BytesList(vs)) =>
+              vs.foreach(v => chars += v.length)
+            case ("weights", TfExample.FloatList(vs)) =>
+              weights += vs.length
+            case _ => ()
+          }
+        }
+        if (!ok) bad
+        else TfExampleStats(m.media_id, recs.length, tokens, chars, weights)
+      }
+    }
+  }
+
+  /** Deterministic tf.Example corpus: shard `id` holds `2 + id%4`
+    * examples; example `e` carries tokens
+    * `[id*7 + e*3 + k | k < 3 + (id+e)%4]`, a text byte-string of
+    * `10 + (id+e)%12` bytes, and `1 + (id+e)%3` float weights; even
+    * ids gzip the whole shard. Oracle replays the token/text/weight
+    * arithmetic — framing, protobuf, and gzip all vanish.
+    */
+  def demoTfExampleCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (2 + id % 4).toInt
+      val recs = (0 until n).map { e =>
+        TfExample.synth(Seq(
+          ("tokens", TfExample.Int64List(
+            Array.tabulate((3 + (id + e) % 4).toInt)(k => id * 7 + e * 3 + k))),
+          ("text", TfExample.BytesList(Array(
+            Array.tabulate((10 + (id + e) % 12).toInt)(j =>
+              ((id * 11 + e * 5 + j * 3) % 256).toByte)))),
+          ("weights", TfExample.FloatList(
+            Array.tabulate((1 + (id + e) % 3).toInt)(k => k * 0.5f)))))
+      }
+      val plain = TfRecord.synth(recs)
+      val blob = if (id % 2 == 0) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.GZIPOutputStream(bos)
+        z.write(plain); z.close()
+        bos.toByteArray
+      } else plain
+      MediaFile(id, "shard", blob)
+    })
+  }
+
   /** One Avro container's extraction accounting row. */
   final case class AvroStats(avro_id: Long, n_rows: Int, val_sum: Long,
       name_char_sum: Long, n_nulls: Int)

@@ -326,6 +326,21 @@ object FrontierQueries {
         .toDF().orderBy("shard_id")
     }),
 
+    // tf.Example feature extraction — the REAL payload of TensorFlow
+    // training shards: CRC-verified TFRecord framing, then the
+    // protobuf wire walk (packed varint lists, length-delimited
+    // nesting, map entries) per record. The oracle replays the
+    // token/text/weight arithmetic in closed form.
+    "tfexample_features" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoTfExampleCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.tfexampleStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("shard_id")
+    }),
+
     // Avro object-container extraction — the Hadoop-era row format:
     // metadata map + schema JSON parse, per-block sync verification,
     // zigzag varints, nullable unions, and the codec grid
@@ -1879,6 +1894,19 @@ object FrontierQueries {
         |  list_sum(list_transform(range(0, n), r ->
         |    list_sum(list_transform(range(0, 18 + (doc_id + r) % 14),
         |      j -> (doc_id*29 + r*13 + j*7) % 256))))::BIGINT AS byte_sum
+        |FROM m ORDER BY shard_id""".stripMargin,
+
+    // Replays the tf.Example generator: framing + protobuf vanish.
+    "tfexample_features" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 4 AS n FROM documents)
+        |SELECT doc_id AS shard_id, n::INT AS n_examples,
+        |  list_sum(list_transform(range(0, n), e ->
+        |    list_sum(list_transform(range(0, 3 + (doc_id + e) % 4),
+        |      k -> doc_id*7 + e*3 + k))))::BIGINT AS token_sum,
+        |  list_sum(list_transform(range(0, n),
+        |    e -> 10 + (doc_id + e) % 12))::BIGINT AS text_char_sum,
+        |  list_sum(list_transform(range(0, n),
+        |    e -> 1 + (doc_id + e) % 3))::INT AS n_weights
         |FROM m ORDER BY shard_id""".stripMargin,
 
     // Replays the Avro corpus: container, codecs, and unions vanish.

@@ -63,6 +63,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "TfRecord.records" -> (b => TfRecord.records(b)),
     "Snappy.decode" -> (b => Snappy.decode(b, 1 << 22)),
     "Avro.read" -> (b => Avro.read(b)),
+    "TfExample.parse" -> (b => TfExample.parse(b)),
     "mediaDecodeClass" -> (b => Multimodal.mediaDecodeClass(b)))
 
   /** Magic prefixes steering random tails into each format's parser
@@ -150,7 +151,10 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Snappy.encode(("snappy fuzz block " * 40).getBytes("US-ASCII")),
       Avro.synthAvro(Seq("a", "b"), Seq("string", "long?"),
         (0 until 40).map(i => Seq[Any](s"s$i",
-          if (i % 3 == 0) null else i.toLong)), "snappy"))
+          if (i % 3 == 0) null else i.toLong)), "snappy"),
+      TfRecord.synth(Seq(TfExample.synth(Seq(
+        ("tokens", TfExample.Int64List(Array(1L, 2L, 3L))),
+        ("text", TfExample.BytesList(Array(px(20)))))))))
     for ((blob, bi) <- valid.zipWithIndex; trial <- 0 until 30) {
       val mutated = blob.clone()
       // 1-4 byte flips at random positions
