@@ -2285,6 +2285,56 @@ object Multimodal {
     })
   }
 
+  /** One RPM package's provenance + payload accounting row. */
+  final case class RpmPackage(rpm_id: Long, package_name: String,
+      version: String, n_files: Int, data_bytes: Long, byte_sum: Long)
+
+  /** Walk RPM packages ([[Rpm]]): lead, signature/main header
+    * structures, provenance tags, and the magic-sniffed compressed
+    * cpio payload. One partition-wise pass; sentinel row on damage.
+    */
+  def rpmPackages(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[RpmPackage] = {
+    import spark.implicits._
+    media.map { m =>
+      val info = Rpm.read(m.content)
+      if (info == null) RpmPackage(m.media_id, "", "", -1, -1L, -1L)
+      else {
+        var n = 0
+        var bytes = 0L
+        var sum = 0L
+        info.members.foreach { case (_, d) =>
+          n += 1
+          bytes += d.length
+          var j = 0
+          while (j < d.length) {
+            sum += java.lang.Byte.toUnsignedInt(d(j)); j += 1
+          }
+        }
+        RpmPackage(m.media_id, info.name, info.version, n, bytes, sum)
+      }
+    }
+  }
+
+  /** Deterministic RPM corpus: package `id` is `pkg-(id%20)` at
+    * version `2.(id%9)`, holding `1 + id%3` payload files of
+    * `22 + (id+f)%14` bytes (byte `j` = `(id*17 + f*29 + j*13) %
+    * 256`) behind the compressor cycle gzip/xz/zstd by `id%3`.
+    */
+  def demoRpmCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val files = (0 until (1 + id % 3).toInt).map { f =>
+        (f"./usr/lib/pkg/$f%04d.so",
+          Array.tabulate((22 + (id + f) % 14).toInt)(j =>
+            ((id * 17 + f * 29 + j * 13) % 256).toByte))
+      }
+      MediaFile(id, "package", Rpm.synthRpm(
+        s"pkg-${id % 20}", s"2.${id % 9}", "1", "noarch", files,
+        Seq("gzip", "xz", "zstd")((id % 3).toInt)))
+    })
+  }
+
   /** One SQLite database's table-extraction accounting row. */
   final case class SqliteStats(db_id: Long, n_rows: Int, val_sum: Long,
       name_char_sum: Long, n_nulls: Int)

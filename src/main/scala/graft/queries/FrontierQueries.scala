@@ -356,6 +356,20 @@ object FrontierQueries {
         .toDF().orderBy("avro_id")
     }),
 
+    // RPM package ingest — the other Linux package family: lead +
+    // signature/main rpm header structures (index entries, tag
+    // store), provenance tags, then the magic-sniffed compressed
+    // newc-cpio payload (gzip/xz/zstd). Oracle replays every formula.
+    "shard_rpm_packages" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoRpmCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.rpmPackages(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("rpm_id")
+    }),
+
     // SQLite table extraction — the single-file database format
     // annotation drops ship in, read through a from-scratch B-tree
     // walk: page-1 schema resolution, interior+leaf pages, overflow
@@ -1926,6 +1940,20 @@ object FrontierQueries {
         |    AS name_char_sum,
         |  length(list_filter(range(0, n), r -> r % 4 = 0))::INT AS n_nulls
         |FROM m ORDER BY avro_id""".stripMargin,
+
+    // Replays the RPM generator: lead/headers/compressor vanish.
+    "shard_rpm_packages" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 3 AS nf FROM documents)
+        |SELECT doc_id AS rpm_id,
+        |  'pkg-' || (doc_id % 20)::VARCHAR AS package_name,
+        |  '2.' || (doc_id % 9)::VARCHAR AS version,
+        |  nf::INT AS n_files,
+        |  list_sum(list_transform(range(0, nf),
+        |    f -> 22 + (doc_id + f) % 14))::BIGINT AS data_bytes,
+        |  list_sum(list_transform(range(0, nf), f ->
+        |    list_sum(list_transform(range(0, 22 + (doc_id + f) % 14),
+        |      j -> (doc_id*17 + f*29 + j*13) % 256))))::BIGINT AS byte_sum
+        |FROM m ORDER BY rpm_id""".stripMargin,
 
     // Replays the SQLite corpus: names are 'doc-<id>-<r>' (the id%7
     // row-0 overflow name is 6000 'Z's = char 90), val sums are

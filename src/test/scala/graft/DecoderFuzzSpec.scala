@@ -64,6 +64,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Snappy.decode" -> (b => Snappy.decode(b, 1 << 22)),
     "Avro.read" -> (b => Avro.read(b)),
     "TfExample.parse" -> (b => TfExample.parse(b)),
+    "Rpm.read" -> (b => Rpm.read(b)),
     "mediaDecodeClass" -> (b => Multimodal.mediaDecodeClass(b)))
 
   /** Magic prefixes steering random tails into each format's parser
@@ -154,7 +155,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
           if (i % 3 == 0) null else i.toLong)), "snappy"),
       TfRecord.synth(Seq(TfExample.synth(Seq(
         ("tokens", TfExample.Int64List(Array(1L, 2L, 3L))),
-        ("text", TfExample.BytesList(Array(px(20)))))))))
+        ("text", TfExample.BytesList(Array(px(20)))))))),
+      Rpm.synthRpm("p", "1.0", "1", "noarch",
+        Seq(("./usr/a.bin", px(80))), "zstd"))
     for ((blob, bi) <- valid.zipWithIndex; trial <- 0 until 30) {
       val mutated = blob.clone()
       // 1-4 byte flips at random positions
