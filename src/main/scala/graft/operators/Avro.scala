@@ -27,97 +27,6 @@ object Avro {
   final case class AvroFile(fieldNames: Array[String],
       fieldTypes: Array[String], rows: Array[Array[Any]])
 
-  // ---- minimal JSON (the schema document) ------------------------------
-
-  private final class JParser(s: String) {
-    private var p = 0
-    private def ws(): Unit =
-      while (p < s.length && Character.isWhitespace(s.charAt(p))) p += 1
-    def parse(): Any = { ws(); value() }
-    def done: Boolean = { ws(); p >= s.length }
-    private def value(): Any = {
-      ws()
-      if (p >= s.length) throw new IllegalArgumentException("eof")
-      s.charAt(p) match {
-        case '{' =>
-          p += 1
-          val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
-          ws()
-          if (p < s.length && s.charAt(p) == '}') { p += 1; return m }
-          while (true) {
-            ws()
-            val k = str()
-            ws()
-            expect(':')
-            m(k) = value()
-            ws()
-            if (p < s.length && s.charAt(p) == ',') p += 1
-            else { expect('}'); return m }
-          }
-          m
-        case '[' =>
-          p += 1
-          val a = scala.collection.mutable.ArrayBuffer.empty[Any]
-          ws()
-          if (p < s.length && s.charAt(p) == ']') { p += 1; return a }
-          while (true) {
-            a += value()
-            ws()
-            if (p < s.length && s.charAt(p) == ',') p += 1
-            else { expect(']'); return a }
-          }
-          a
-        case '"' => str()
-        case 't' => lit("true"); java.lang.Boolean.TRUE
-        case 'f' => lit("false"); java.lang.Boolean.FALSE
-        case 'n' => lit("null"); null
-        case _ =>
-          val start = p
-          while (p < s.length && "+-.eE0123456789".indexOf(s.charAt(p)) >= 0)
-            p += 1
-          java.lang.Double.parseDouble(s.substring(start, p))
-      }
-    }
-    private def expect(c: Char): Unit = {
-      ws()
-      if (p >= s.length || s.charAt(p) != c)
-        throw new IllegalArgumentException(s"want $c at $p")
-      p += 1
-    }
-    private def lit(l: String): Unit = {
-      if (!s.startsWith(l, p)) throw new IllegalArgumentException(l)
-      p += l.length
-    }
-    private def str(): String = {
-      expect('"')
-      val sb = new StringBuilder
-      while (p < s.length && s.charAt(p) != '"') {
-        val c = s.charAt(p)
-        if (c == '\\') {
-          p += 1
-          if (p >= s.length) throw new IllegalArgumentException("esc")
-          s.charAt(p) match {
-            case '"' => sb += '"'
-            case '\\' => sb += '\\'
-            case '/' => sb += '/'
-            case 'b' => sb += '\b'
-            case 'f' => sb += '\f'
-            case 'n' => sb += '\n'
-            case 'r' => sb += '\r'
-            case 't' => sb += '\t'
-            case 'u' =>
-              sb += Integer.parseInt(s.substring(p + 1, p + 5), 16).toChar
-              p += 4
-            case x => throw new IllegalArgumentException(s"esc $x")
-          }
-        } else sb += c
-        p += 1
-      }
-      expect('"')
-      sb.toString
-    }
-  }
-
   // ---- schema ----------------------------------------------------------
 
   private val Primitives = Set("boolean", "int", "long", "float",
@@ -127,7 +36,7 @@ object Avro {
     * the schema is outside the supported subset.
     */
   private def parseSchema(json: String): (Array[String], Array[String]) = try {
-    val root = new JParser(json).parse()
+    val root = MiniJson.parse(json)
     val m = root match {
       case m: scala.collection.mutable.LinkedHashMap[_, _] =>
         m.asInstanceOf[scala.collection.mutable.LinkedHashMap[String, Any]]

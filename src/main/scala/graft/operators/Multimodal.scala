@@ -2285,6 +2285,67 @@ object Multimodal {
     })
   }
 
+  /** One notebook's cell-extraction accounting row. */
+  final case class NotebookStats(nb_id: Long, n_cells: Int, n_code: Int,
+      code_char_sum: Long, md_char_sum: Long, n_outputs: Int)
+
+  /** Extract cells from Jupyter notebooks ([[Ipynb]]) — the
+    * code-training ingest path: per-cell type/source/output
+    * accounting over a one-pass JSON parse. Sentinel row on damage.
+    */
+  def notebookStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[NotebookStats] = {
+    import spark.implicits._
+    media.map { m =>
+      val cells = Ipynb.cells(new String(m.content,
+        java.nio.charset.StandardCharsets.UTF_8))
+      if (cells == null) NotebookStats(m.media_id, -1, -1, -1L, -1L, -1)
+      else {
+        var code = 0
+        var codeChars = 0L
+        var mdChars = 0L
+        var outputs = 0
+        cells.foreach { c =>
+          if (c.cellType == "code") {
+            code += 1
+            c.source.foreach(ch => codeChars += ch.toInt)
+            outputs += c.nOutputs
+          } else if (c.cellType == "markdown")
+            c.source.foreach(ch => mdChars += ch.toInt)
+        }
+        NotebookStats(m.media_id, cells.length, code, codeChars,
+          mdChars, outputs)
+      }
+    }
+  }
+
+  /** Deterministic notebook corpus: notebook `id` holds `2 + id%4`
+    * cells alternating code/markdown; cell `c`'s source is
+    * `2 + (id+c)%3` lines of `x<id>_<c>_<l> = <id+c+l>\n` (code) or
+    * `# note <id>-<c>-<l>\n` (markdown); code cells carry `c%2`
+    * outputs and execution counts. Oracle replays the exact
+    * character arithmetic of both source shapes.
+    */
+  def demoNotebookCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (2 + id % 4).toInt
+      val cells = (0 until n).map { c =>
+        val lines = (2 + (id + c) % 3).toInt
+        if (c % 2 == 0) {
+          val src = (0 until lines).map(l =>
+            s"x${id}_${c}_$l = ${id + c + l}\n").mkString
+          ("code", src, (c + 1).toLong, (c % 2) + (if (c % 4 == 0) 1 else 0))
+        } else {
+          val src = (0 until lines).map(l => s"# note $id-$c-$l\n").mkString
+          ("markdown", src, -1L, 0)
+        }
+      }
+      MediaFile(id, "notebook", Ipynb.synth(cells).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    })
+  }
+
   /** One RPM package's provenance + payload accounting row. */
   final case class RpmPackage(rpm_id: Long, package_name: String,
       version: String, n_files: Int, data_bytes: Long, byte_sum: Long)

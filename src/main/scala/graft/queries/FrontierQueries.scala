@@ -356,6 +356,22 @@ object FrontierQueries {
         .toDF().orderBy("avro_id")
     }),
 
+    // Jupyter-notebook cell extraction — the code-training ingest
+    // path: nbformat-4 JSON parse (array-of-lines sources
+    // normalized, execution counts, output counting) through the
+    // from-scratch JSON reader. The oracle RECONSTRUCTS the exact
+    // source strings in SQL and sums their characters — the parse
+    // must be character-exact to match.
+    "notebook_cells" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoNotebookCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.notebookStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("nb_id")
+    }),
+
     // RPM package ingest — the other Linux package family: lead +
     // signature/main rpm header structures (index entries, tag
     // store), provenance tags, then the magic-sniffed compressed
@@ -1940,6 +1956,35 @@ object FrontierQueries {
         |    AS name_char_sum,
         |  length(list_filter(range(0, n), r -> r % 4 = 0))::INT AS n_nulls
         |FROM m ORDER BY avro_id""".stripMargin,
+
+    // Replays the notebook generator by RECONSTRUCTING each cell's
+    // source text and summing characters.
+    "notebook_cells" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 4 AS n FROM documents),
+        |cells AS (SELECT doc_id, n, unnest(range(0, n)) AS c FROM m),
+        |src AS (SELECT doc_id, n, c,
+        |    CASE WHEN c % 2 = 0 THEN
+        |      list_aggregate(list_transform(range(0, 2 + (doc_id + c) % 3),
+        |        l -> 'x' || doc_id::VARCHAR || '_' || c::VARCHAR || '_' ||
+        |             l::VARCHAR || ' = ' || (doc_id + c + l)::VARCHAR ||
+        |             chr(10)), 'string_agg', '')
+        |    ELSE
+        |      list_aggregate(list_transform(range(0, 2 + (doc_id + c) % 3),
+        |        l -> '# note ' || doc_id::VARCHAR || '-' || c::VARCHAR ||
+        |             '-' || l::VARCHAR || chr(10)), 'string_agg', '')
+        |    END AS text FROM cells),
+        |sums AS (SELECT doc_id, n, c,
+        |    list_sum(list_transform(range(0, length(text)),
+        |      k -> ascii(substring(text, (k+1)::INT, 1)))) AS cs
+        |  FROM src)
+        |SELECT doc_id AS nb_id, n::INT AS n_cells,
+        |  length(list_filter(range(0, n), c -> c % 2 = 0))::INT AS n_code,
+        |  sum(CASE WHEN c % 2 = 0 THEN cs ELSE 0 END)::BIGINT
+        |    AS code_char_sum,
+        |  sum(CASE WHEN c % 2 = 1 THEN cs ELSE 0 END)::BIGINT
+        |    AS md_char_sum,
+        |  length(list_filter(range(0, n), c -> c % 4 = 0))::INT AS n_outputs
+        |FROM sums GROUP BY doc_id, n ORDER BY nb_id""".stripMargin,
 
     // Replays the RPM generator: lead/headers/compressor vanish.
     "shard_rpm_packages" ->

@@ -65,6 +65,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Avro.read" -> (b => Avro.read(b)),
     "TfExample.parse" -> (b => TfExample.parse(b)),
     "Rpm.read" -> (b => Rpm.read(b)),
+    "Ipynb.cells" -> (b => Ipynb.cells(new String(b,
+      java.nio.charset.StandardCharsets.UTF_8))),
     "mediaDecodeClass" -> (b => Multimodal.mediaDecodeClass(b)))
 
   /** Magic prefixes steering random tails into each format's parser
@@ -157,7 +159,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
         ("tokens", TfExample.Int64List(Array(1L, 2L, 3L))),
         ("text", TfExample.BytesList(Array(px(20)))))))),
       Rpm.synthRpm("p", "1.0", "1", "noarch",
-        Seq(("./usr/a.bin", px(80))), "zstd"))
+        Seq(("./usr/a.bin", px(80))), "zstd"),
+      Ipynb.synth(Seq(("code", "a = 1\n", 1L, 1),
+        ("markdown", "# t\n", -1L, 0))).getBytes("UTF-8"))
     for ((blob, bi) <- valid.zipWithIndex; trial <- 0 until 30) {
       val mutated = blob.clone()
       // 1-4 byte flips at random positions
