@@ -2285,6 +2285,67 @@ object Multimodal {
     })
   }
 
+  /** One mbox archive's extraction accounting row. */
+  final case class MboxStats(mbox_id: Long, n_messages: Int, n_parts: Int,
+      subject_char_sum: Long, text_char_sum: Long)
+
+  /** Extract messages from mbox archives ([[Mbox]]): splitting,
+    * header unfolding, RFC 2047 subject decoding, MIME multipart
+    * walking with per-part transfer-encoding decode. Sentinel row
+    * when any message in the archive fails.
+    */
+  def mboxStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[MboxStats] = {
+    import spark.implicits._
+    media.map { m =>
+      val bad = MboxStats(m.media_id, -1, -1, -1L, -1L)
+      val msgs = Mbox.split(m.content)
+      if (msgs == null) bad
+      else {
+        var parts = 0
+        var subj = 0L
+        var text = 0L
+        var ok = true
+        msgs.foreach { raw =>
+          val msg = Mbox.message(raw)
+          if (msg == null) ok = false
+          else {
+            msg.subject.foreach(c => subj += c.toInt)
+            msg.parts.foreach { p =>
+              parts += 1
+              if (p.text != null) p.text.foreach(c => text += c.toInt)
+            }
+          }
+        }
+        if (!ok) bad
+        else MboxStats(m.media_id, msgs.length, parts, subj, text)
+      }
+    }
+  }
+
+  /** Deterministic mbox corpus: archive `id` holds `2 + id%3`
+    * messages; message `m`'s subject is `msg <id>-<m>` (even m) or
+    * the RFC-2047-encoded `grüße <id>-<m>` (odd m); it carries
+    * `1 + (id+m)%3` text parts, part `p` = the line
+    * `body <id>-<m>-<p>\n` repeated `1 + (id+m+p)%3` times, the
+    * transfer encodings cycling 7bit/quoted-printable/base64. The
+    * oracle reconstructs every string's character sum.
+    */
+  def demoMboxCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val msgs = (0 until (2 + id % 3).toInt).map { m =>
+        val subject =
+          if (m % 2 == 0) s"msg $id-$m" else s"grüße $id-$m"
+        val parts = (0 until (1 + (id + m) % 3).toInt).map { p =>
+          s"body $id-$m-$p\n" * (1 + ((id + m + p) % 3)).toInt
+        }
+        (subject, s"u$m@ex.test", parts)
+      }
+      MediaFile(id, "mail", Mbox.synthMbox(msgs))
+    })
+  }
+
   /** One notebook's cell-extraction accounting row. */
   final case class NotebookStats(nb_id: Long, n_cells: Int, n_code: Int,
       code_char_sum: Long, md_char_sum: Long, n_outputs: Int)

@@ -356,6 +356,22 @@ object FrontierQueries {
         .toDF().orderBy("avro_id")
     }),
 
+    // mbox email extraction — the classic text-corpus format
+    // (mailing-list archives): message splitting, header unfolding,
+    // RFC 2047 subject decode, MIME multipart walking with
+    // 7bit/quoted-printable/base64 transfer decodes. Pinned both
+    // directions against Python's reference email package in the
+    // spec; the oracle reconstructs every character sum.
+    "mbox_messages" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoMboxCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.mboxStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("mbox_id")
+    }),
+
     // Jupyter-notebook cell extraction — the code-training ingest
     // path: nbformat-4 JSON parse (array-of-lines sources
     // normalized, execution counts, output counting) through the
@@ -1956,6 +1972,29 @@ object FrontierQueries {
         |    AS name_char_sum,
         |  length(list_filter(range(0, n), r -> r % 4 = 0))::INT AS n_nulls
         |FROM m ORDER BY avro_id""".stripMargin,
+
+    // Replays the mbox generator: 'msg ' = 359, 'grüße ' = 825
+    // (103+114+252+223+101+32), 'body ' = 462; single-digit m/p.
+    "mbox_messages" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS nm,
+        |    list_sum(list_transform(range(0, length(doc_id::VARCHAR)),
+        |      k -> ascii(substring(doc_id::VARCHAR, (k+1)::INT, 1))))
+        |      AS ds
+        |  FROM documents),
+        |msgs AS (SELECT doc_id, nm, ds, unnest(range(0, nm)) AS mi FROM m),
+        |per AS (SELECT doc_id, nm, mi,
+        |    (CASE WHEN mi % 2 = 0 THEN 359 ELSE 825 END)
+        |      + ds + 45 + 48 + mi AS subj,
+        |    1 + (doc_id + mi) % 3 AS np,
+        |    list_sum(list_transform(range(0, 1 + (doc_id + mi) % 3), p ->
+        |      (1 + (doc_id + mi + p) % 3) *
+        |      (462 + ds + 45 + 48 + mi + 45 + 48 + p + 10))) AS txt
+        |  FROM msgs)
+        |SELECT doc_id AS mbox_id, nm::INT AS n_messages,
+        |  sum(np)::INT AS n_parts,
+        |  sum(subj)::BIGINT AS subject_char_sum,
+        |  sum(txt)::BIGINT AS text_char_sum
+        |FROM per GROUP BY doc_id, nm ORDER BY mbox_id""".stripMargin,
 
     // Replays the notebook generator by RECONSTRUCTING each cell's
     // source text and summing characters.

@@ -67,6 +67,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Rpm.read" -> (b => Rpm.read(b)),
     "Ipynb.cells" -> (b => Ipynb.cells(new String(b,
       java.nio.charset.StandardCharsets.UTF_8))),
+    "Mbox.split+message" -> { b =>
+      val ms = Mbox.split(b)
+      if (ms != null) ms.foreach(Mbox.message)
+      ms
+    },
     "mediaDecodeClass" -> (b => Multimodal.mediaDecodeClass(b)))
 
   /** Magic prefixes steering random tails into each format's parser
@@ -161,7 +166,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Rpm.synthRpm("p", "1.0", "1", "noarch",
         Seq(("./usr/a.bin", px(80))), "zstd"),
       Ipynb.synth(Seq(("code", "a = 1\n", 1L, 1),
-        ("markdown", "# t\n", -1L, 0))).getBytes("UTF-8"))
+        ("markdown", "# t\n", -1L, 0))).getBytes("UTF-8"),
+      Mbox.synthMbox(Seq(("s\u00fcbject", "a@x.test",
+        Seq("one\n", "two\n", "three\n")))))
     for ((blob, bi) <- valid.zipWithIndex; trial <- 0 until 30) {
       val mutated = blob.clone()
       // 1-4 byte flips at random positions
