@@ -49,6 +49,7 @@ object Avro {
     }
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     val types = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fields.isEmpty) return null // zero-byte records: out of subset
     fields.foreach {
       case f: scala.collection.mutable.LinkedHashMap[_, _] =>
         val fm = f.asInstanceOf[
@@ -133,15 +134,13 @@ object Avro {
     b != null && b.length >= 4 && b(0) == 'O' && b(1) == 'b' &&
       b(2) == 'j' && b(3) == 1
 
-  /** Read the whole container; null on damage or an out-of-subset
-    * profile (distinguish via [[unsupportedProfile]]).
+  /** The ONE metadata-map walk read() and unsupportedProfile()
+    * share: blocks of (count, entries), 0 terminates, a negative
+    * count carrying a byte size after it. Leaves `in` positioned at
+    * the sync marker. Throws like the Bin primitives on damage.
     */
-  def read(b: Array[Byte]): AvroFile = try {
-    if (!isAvro(b)) return null
-    val in = new Bin(b)
-    in.p = 4
-    // metadata map: blocks of (count, entries), 0 terminates; a
-    // negative count carries a byte size after it
+  private def readMeta(in: Bin):
+      scala.collection.mutable.LinkedHashMap[String, Array[Byte]] = {
     val meta = scala.collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
     var n = in.varlong()
     while (n != 0) {
@@ -155,6 +154,17 @@ object Avro {
       }
       n = in.varlong()
     }
+    meta
+  }
+
+  /** Read the whole container; null on damage or an out-of-subset
+    * profile (distinguish via [[unsupportedProfile]]).
+    */
+  def read(b: Array[Byte]): AvroFile = try {
+    if (!isAvro(b)) return null
+    val in = new Bin(b)
+    in.p = 4
+    val meta = readMeta(in)
     val sync = in.bytes(16)
     val schemaJson = meta.get("avro.schema") match {
       case Some(s) => new String(s, java.nio.charset.StandardCharsets.UTF_8)
@@ -171,6 +181,7 @@ object Avro {
       val count = in.varlong()
       val size = in.varlong()
       if (count < 0 || size < 0 || size > b.length - in.p) return null
+      if (count > (1L << 26)) return null // hostile row-count bomb
       val packed = in.bytes(size.toInt)
       val plain: Array[Byte] = codec match {
         case "null" => packed
@@ -184,6 +195,7 @@ object Avro {
               val m = inf.inflate(tmp)
               if (m == 0 && !inf.finished()) return null
               buf.write(tmp, 0, m)
+              if (buf.size() > (1 << 30)) return null // expansion bomb
             }
             buf.toByteArray
           } finally inf.end()
@@ -233,19 +245,7 @@ object Avro {
     if (!isAvro(b)) return false
     val in = new Bin(b)
     in.p = 4
-    val meta = scala.collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
-    var n = in.varlong()
-    while (n != 0) {
-      val cnt = if (n < 0) { in.varlong(); -n } else n
-      var i = 0L
-      while (i < cnt) {
-        val k = new String(in.bytes(in.varlong().toInt),
-          java.nio.charset.StandardCharsets.UTF_8)
-        meta(k) = in.bytes(in.varlong().toInt)
-        i += 1
-      }
-      n = in.varlong()
-    }
+    val meta = readMeta(in)
     val codecBad = meta.get("avro.codec").exists(c =>
       !Set("null", "deflate", "snappy", "zstandard").contains(
         new String(c, java.nio.charset.StandardCharsets.US_ASCII)))

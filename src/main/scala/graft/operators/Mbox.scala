@@ -22,6 +22,11 @@ package graft.operators
   */
 object Mbox {
 
+  // mboxrd From-quoting, compiled ONCE (split runs per partition)
+  private val QuotedFrom = java.util.regex.Pattern.compile("^>+From .*")
+  private val PlainOrQuotedFrom =
+    java.util.regex.Pattern.compile("^>*From .*")
+
   final case class Part(contentType: String, charset: String,
       text: String, bytes: Array[Byte])
 
@@ -61,7 +66,7 @@ object Mbox {
       } else if (started) {
         // mboxrd: any >...>From quoting drops ONE level
         val l =
-          if (line.matches("^>+From .*")) line.substring(1)
+          if (QuotedFrom.matcher(line).matches()) line.substring(1)
           else line
         cur ++= l
         cur += '\n'
@@ -103,7 +108,9 @@ object Mbox {
   /** RFC 2047 encoded-word decoding for header values. */
   private[graft] def decodeWords(v: String): String = {
     val re = "=\\?([^?]+)\\?([bBqQ])\\?([^?]*)\\?=".r
-    var out = v
+    // RFC 2047 §6.2: linear whitespace BETWEEN adjacent encoded
+    // words is deleted (the reference parser agrees)
+    var out = v.replaceAll("(\\?=)[ \\t]+(=\\?)", "$1$2")
     var changed = true
     while (changed) {
       changed = false
@@ -163,9 +170,13 @@ object Mbox {
 
   // ---- MIME ------------------------------------------------------------
 
+  /** A Content-Type parameter, name matched case-insensitively but
+    * the VALUE case-preserved — boundaries are case-sensitive
+    * tokens (real mailers emit uppercase in them).
+    */
   private def param(ct: String, name: String): String = {
-    val re = (name + "\\s*=\\s*(\"([^\"]*)\"|[^;\\s]+)").r
-    re.findFirstMatchIn(ct.toLowerCase) match {
+    val re = ("(?i)" + name + "\\s*=\\s*(\"([^\"]*)\"|[^;\\s]+)").r
+    re.findFirstMatchIn(ct) match {
       case Some(m) =>
         val g = m.group(1)
         if (g.startsWith("\"")) m.group(2) else g
@@ -200,7 +211,10 @@ object Mbox {
       var cur: StringBuilder = null
       var done = false
       for (line0 <- lines if !done) {
-        val line = if (line0.endsWith("\r")) line0.dropRight(1) else line0
+        val raw = if (line0.endsWith("\r")) line0.dropRight(1) else line0
+        // RFC 2046 §5.1.1: delimiter lines may carry trailing
+        // transport padding (WSP*)
+        val line = raw.replaceAll("[ \\t]+$", "")
         if (line == sep) {
           if (cur != null) {
             val sub = parsePart(cur.toString.stripSuffix("\n"), depth + 1)
@@ -312,7 +326,7 @@ object Mbox {
         // line
         val bl = body.split("\n", -1)
         (if (body.endsWith("\n")) bl.dropRight(1) else bl).foreach { l =>
-          if (l.matches("^>*From .*")) sb ++= ">"
+          if (PlainOrQuotedFrom.matcher(l).matches()) sb ++= ">"
           sb ++= l
           sb += '\n'
         }
@@ -327,7 +341,7 @@ object Mbox {
           sb ++= s"Content-Transfer-Encoding: $cte\n\n"
           val bl = body.split("\n", -1)
           (if (body.endsWith("\n")) bl.dropRight(1) else bl).foreach { l =>
-            if (l.matches("^>*From .*")) sb ++= ">"
+            if (PlainOrQuotedFrom.matcher(l).matches()) sb ++= ">"
             sb ++= l
             sb += '\n'
           }

@@ -127,6 +127,7 @@ object TfExample {
 
   /** Decode one Example's feature map; null on damage. */
   def parse(b: Array[Byte]): Array[(String, FeatureValue)] = try {
+    if (b == null) return null
     val out = scala.collection.mutable.LinkedHashMap.empty[String, FeatureValue]
     val ex = new Wire(b, 0, b.length)
     while (!ex.done) {

@@ -38,9 +38,13 @@ object TfRecord {
     if (b == null) return null
     val body =
       if (b.length >= 2 && (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B) {
-        val cm = Containers.crawlMembers(b)
-        if (cm == null) return null
-        cm.plain
+        // PLAIN multi-member gunzip — not the crawl path's
+        // WARC-member filter, which is the wrong altitude here
+        val members = Containers.gzipMembers(b)
+        if (members == null) return null
+        val bos = new java.io.ByteArrayOutputStream()
+        members.foreach(m => bos.write(m, 0, m.length))
+        bos.toByteArray
       } else b
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var p = 0

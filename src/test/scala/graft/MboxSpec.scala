@@ -48,6 +48,18 @@ class MboxSpec extends AnyFunSuite {
     // Q-encoded word with underscore-as-space
     assert(Mbox.decodeWords("=?utf-8?Q?hello=20w=C3=B6rld_x?=") ==
       "hello wörld x")
+    // UPPERCASE boundary (the Outlook/JavaMail shape) with trailing
+    // transport padding on the delimiter line (RFC 2046 §5.1.1)
+    val upper = ("From x\n" +
+      "Content-Type: multipart/mixed; boundary=\"----=_Part_ABC\"\n\n" +
+      "------=_Part_ABC  \n" +
+      "Content-Type: text/plain; charset=us-ascii\n\npart one\n\n" +
+      "------=_Part_ABC--\t\n").getBytes("ISO-8859-1")
+    val um = Mbox.message(Mbox.split(upper)(0))
+    assert(um != null && um.parts.length == 1 &&
+      um.parts(0).text == "part one\n")
+    // adjacent encoded words: separating whitespace is DELETED
+    assert(Mbox.decodeWords("=?utf-8?B?Zm9v?= =?utf-8?B?YmFy?=") == "foobar")
     // damage: unterminated multipart, broken QP
     assert(Mbox.qpDecode("ab=zz") == null)
     assert(Mbox.qpDecode("ab=4") == null)
