@@ -427,6 +427,20 @@ object Multimodal {
       return ("cpio", if (Cpio.members(b) != null) "ok" else "corrupt")
     if (Ar.isAr(b))
       return ("ar", if (Ar.members(b) != null) "ok" else "corrupt")
+    // Avro containers, SQLite databases, RPM packages: REAL walks
+    // with the profile/damage split each reader names
+    if (Avro.isAvro(b))
+      return ("avro",
+        if (Avro.read(b) != null) "ok"
+        else if (Avro.unsupportedProfile(b)) "unsupported_profile"
+        else "corrupt")
+    if (Sqlite.isSqlite(b))
+      return ("sqlite",
+        if (Sqlite.tables(b) != null) "ok"
+        else if (Sqlite.unsupportedProfile(b)) "unsupported_profile"
+        else "corrupt")
+    if (Rpm.isRpm(b))
+      return ("rpm", if (Rpm.read(b) != null) "ok" else "corrupt")
     if (Zip.isZip(b)) {
       // REAL walk + full-member decode (ZIP64 sentinels resolve
       // through the 0x0001 extra + ZIP64 EOCD): a shard with any
@@ -539,7 +553,16 @@ object Multimodal {
     * (`ar`/`ok`), 40 → an ar with a broken header terminator
     * (`ar`/`corrupt`), 41 → a traditionally-ENCRYPTED zip read
     * without a key — ciphertext is a named profile, not damage
-    * (`zip`/`unsupported_profile`).
+    * (`zip`/`unsupported_profile`), 42 → a valid Avro container
+    * cycling all four codecs (`avro`/`ok`), 43 → Avro behind the xz
+    * codec, written by the real implementation — sound container,
+    * codec outside the subset (`avro`/`unsupported_profile`),
+    * 44 → Avro with a flipped sync-marker byte (`avro`/`corrupt`),
+    * 45 → a valid SQLite database (`sqlite`/`ok`), 46 → SQLite with
+    * the UTF-16 encoding flag (`sqlite`/`unsupported_profile`),
+    * 47 → a valid RPM cycling gzip/xz/zstd payloads (`rpm`/`ok`),
+    * 48 → an RPM with a flipped payload byte, caught by the cpio
+    * layer beneath the compressor (`rpm`/`corrupt`).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -599,7 +622,7 @@ object Multimodal {
         z.write(warc); z.close()
         bos.toByteArray
       }
-      val blob = (id % 42) match {
+      val blob = (id % 49) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -791,13 +814,63 @@ object Multimodal {
               ((id * 17 + j * 19) % 256).toByte))), "gnu")
           z(8 + 58) = 'X'.toByte
           z
-        case _ =>
+        case 41 =>
           // traditionally-ENCRYPTED zip (no key in the classify
           // path): ciphertext is a named profile, not damage
           Zip.synthZipMethods(Seq((s"e$id.bin",
             Array.tabulate((20 + id % 30).toInt)(j =>
               ((id * 11 + j * 29) % 256).toByte), 8)),
             password = Array[Byte]('k', '0'))
+        case 42 => // valid Avro container, codec cycling
+          Avro.synthAvro(Seq("a", "b"), Seq("string", "long?"),
+            (0 until (5 + id % 5).toInt).map(i =>
+              Seq[Any](s"r$id-$i", if (i % 3 == 0) null else i * 7L)),
+            Seq("null", "deflate", "snappy", "zstandard")(((id / 42) % 4).toInt))
+        case 43 =>
+          // Avro behind the xz codec — sound container, codec
+          // outside the subset (written by the REAL implementation)
+          val schema = new org.apache.avro.Schema.Parser().parse(
+            """{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}""")
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          w.setCodec(org.apache.avro.file.CodecFactory.xzCodec(1))
+          val bos = new java.io.ByteArrayOutputStream()
+          w.create(schema, bos)
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          rec.put("a", java.lang.Long.valueOf(id))
+          w.append(rec)
+          w.close()
+          bos.toByteArray
+        case 44 =>
+          // Avro with one sync-marker byte flipped: block quarantined
+          val z = Avro.synthAvro(Seq("a"), Seq("long"),
+            (0 until 20).map(i => Seq[Any](i * 3L)), "deflate")
+          z(z.length - 2) = (z(z.length - 2) ^ 0x55).toByte
+          z
+        case 45 => // valid SQLite database
+          Sqlite.synthDb("samples", "name TEXT, val INTEGER",
+            (0 until (10 + id % 20).toInt).map(i =>
+              Seq[Any](s"d$id-$i", id * 3 + i.toLong)))
+        case 46 =>
+          // SQLite with the UTF-16 encoding flag: named profile
+          val z = Sqlite.synthDb("samples", "a TEXT",
+            Seq(Seq[Any]("x")))
+          z(59) = 2
+          z
+        case 47 => // valid RPM, compressor cycling
+          Rpm.synthRpm(s"pkg-$id", "1.0", "1", "noarch",
+            Seq((s"./usr/f$id.bin", Array.tabulate((20 + id % 20).toInt)(
+              j => ((id * 7 + j * 11) % 256).toByte))),
+            Seq("gzip", "xz", "zstd")(((id / 42) % 3).toInt))
+        case _ =>
+          // RPM with a flipped payload byte: the cpio layer beneath
+          // the compressor catches it
+          val z = Rpm.synthRpm(s"pkg-$id", "1.0", "1", "noarch",
+            Seq((s"./usr/f$id.bin", Array.tabulate(30)(
+              j => ((id * 7 + j * 11) % 256).toByte))), "gzip")
+          z(z.length - 8) = (z(z.length - 8) ^ 0x2D).toByte
+          z
       }
       MediaFile(id, "image", blob)
     })

@@ -3245,7 +3245,7 @@ object FrontierQueries {
     // member-CRC-caught damage).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 42
+        |    CASE doc_id % 49
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
@@ -3263,9 +3263,12 @@ object FrontierQueries {
         |      WHEN 35 THEN 'warc' WHEN 36 THEN 'compress_z'
         |      WHEN 37 THEN 'cpio' WHEN 38 THEN 'cpio'
         |      WHEN 39 THEN 'ar' WHEN 40 THEN 'ar'
-        |      ELSE 'zip'
+        |      WHEN 41 THEN 'zip'
+        |      WHEN 42 THEN 'avro' WHEN 43 THEN 'avro' WHEN 44 THEN 'avro'
+        |      WHEN 45 THEN 'sqlite' WHEN 46 THEN 'sqlite'
+        |      WHEN 47 THEN 'rpm' ELSE 'rpm'
         |    END AS format,
-        |    CASE doc_id % 42
+        |    CASE doc_id % 49
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -3289,7 +3292,11 @@ object FrontierQueries {
         |      WHEN 35 THEN 'ok' WHEN 36 THEN 'unknown_container'
         |      WHEN 37 THEN 'ok' WHEN 38 THEN 'corrupt'
         |      WHEN 39 THEN 'ok' WHEN 40 THEN 'corrupt'
-        |      ELSE 'unsupported_profile'
+        |      WHEN 41 THEN 'unsupported_profile'
+        |      WHEN 42 THEN 'ok' WHEN 43 THEN 'unsupported_profile'
+        |      WHEN 44 THEN 'corrupt'
+        |      WHEN 45 THEN 'ok' WHEN 46 THEN 'unsupported_profile'
+        |      WHEN 47 THEN 'ok' ELSE 'corrupt'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n
