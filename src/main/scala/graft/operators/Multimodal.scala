@@ -2358,6 +2358,101 @@ object Multimodal {
     })
   }
 
+  /** One .npz embedding archive's accounting row. */
+  final case class NpzStats(npz_id: Long, n_arrays: Int, total_elems: Long,
+      ids_sum: Long, feat_sum: Long)
+
+  /** Read `.npz` embedding drops ([[Npy]] through the [[Zip]] walk):
+    * the `ids` vector and the `(n,4)` int feature matrix aggregate
+    * exactly. Sentinel row on damage.
+    */
+  def npzStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[NpzStats] = {
+    import spark.implicits._
+    media.map { m =>
+      val arrays = Npy.npz(m.content)
+      if (arrays == null) NpzStats(m.media_id, -1, -1L, -1L, -1L)
+      else {
+        var elems = 0L
+        var ids = 0L
+        var feat = 0L
+        arrays.foreach { case (name, a) =>
+          elems += a.n
+          if (name == "ids" && a.longs != null) a.longs.foreach(ids += _)
+          if (name == "feat" && a.longs != null) a.longs.foreach(feat += _)
+        }
+        NpzStats(m.media_id, arrays.length, elems, ids, feat)
+      }
+    }
+  }
+
+  /** Deterministic `.npz` corpus: archive `id` holds `ids` (shape
+    * `(3 + id%5,)`, value `id*13 + k`) and `feat` (shape `(n, 4)`,
+    * value `(id*7 + r*5 + c*3) % 1000`), both `<i8`. The oracle
+    * replays the arithmetic; npy headers and the zip wrap vanish.
+    */
+  def demoNpzCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (3 + id % 5).toInt
+      val ids = Array.tabulate(n)(k => id * 13 + k)
+      val feat = Array.tabulate(n * 4) { j =>
+        val r = j / 4
+        val c = j % 4
+        (id * 7 + r * 5 + c * 3) % 1000
+      }
+      MediaFile(id, "embeddings", Npy.synthNpz(Seq(
+        ("ids", Npy.synthNpy(Array(n), ids, null)),
+        ("feat", Npy.synthNpy(Array(n, 4), feat, null)))))
+    })
+  }
+
+  /** One safetensors file's accounting row. */
+  final case class SafetensorsStats(st_id: Long, n_tensors: Int,
+      n_params: Long, int_param_sum: Long)
+
+  /** Read safetensors weight files ([[Safetensors]]): tensor count,
+    * total parameter count, and the integer tensors' exact sum.
+    */
+  def safetensorsStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[SafetensorsStats] = {
+    import spark.implicits._
+    media.map { m =>
+      val ts = Safetensors.read(m.content)
+      if (ts == null) SafetensorsStats(m.media_id, -1, -1L, -1L)
+      else {
+        var params = 0L
+        var isum = 0L
+        ts.foreach { t =>
+          params += (if (t.longs != null) t.longs.length
+            else t.doubles.length)
+          if (t.longs != null) t.longs.foreach(isum += _)
+        }
+        SafetensorsStats(m.media_id, ts.length, params, isum)
+      }
+    }
+  }
+
+  /** Deterministic safetensors corpus: file `id` holds `wq` (I64,
+    * shape `(2 + id%3, 4)`, value `id*11 + r*7 + c`) and `scale`
+    * (F32, shape `(4,)`, uncounted). Oracle replays the int
+    * arithmetic.
+    */
+  def demoSafetensorsCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val rows = (2 + id % 3).toInt
+      val wq = Array.tabulate(rows * 4) { j =>
+        val r = j / 4
+        val c = j % 4
+        id * 11 + r * 7 + c
+      }
+      MediaFile(id, "weights", Safetensors.synth(Seq(
+        ("wq", Array(rows, 4), Left(wq)),
+        ("scale", Array(4), Right(Array.tabulate(4)(k => k * 0.5f))))))
+    })
+  }
+
   /** One mbox archive's extraction accounting row. */
   final case class MboxStats(mbox_id: Long, n_messages: Int, n_parts: Int,
       subject_char_sum: Long, text_char_sum: Long)

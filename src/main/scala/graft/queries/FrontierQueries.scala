@@ -356,6 +356,34 @@ object FrontierQueries {
         .toDF().orderBy("avro_id")
     }),
 
+    // NumPy .npz embedding drops — npy headers (the python-literal
+    // dict, version framing, dtype/order grid) through the zip wrap,
+    // live-pinned against real numpy in the spec. Oracle replays the
+    // array arithmetic.
+    "embeddings_npz" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoNpzCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.npzStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("npz_id")
+    }),
+
+    // safetensors weight files — the tensor-serialization format
+    // model/embedding dumps ship in: LE header framing, JSON tensor
+    // map, offset validation, the dtype grid. Pinned against a
+    // pure-python spec construction in the spec.
+    "safetensors_weights" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoSafetensorsCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.safetensorsStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("st_id")
+    }),
+
     // mbox email extraction — the classic text-corpus format
     // (mailing-list archives): message splitting, header unfolding,
     // RFC 2047 subject decode, MIME multipart walking with
@@ -1972,6 +2000,28 @@ object FrontierQueries {
         |    AS name_char_sum,
         |  length(list_filter(range(0, n), r -> r % 4 = 0))::INT AS n_nulls
         |FROM m ORDER BY avro_id""".stripMargin,
+
+    // Replays the npz generator: headers and zip wrap vanish.
+    "embeddings_npz" ->
+      """WITH m AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents)
+        |SELECT doc_id AS npz_id, 2::INT AS n_arrays,
+        |  (n + n*4)::BIGINT AS total_elems,
+        |  list_sum(list_transform(range(0, n),
+        |    k -> doc_id*13 + k))::BIGINT AS ids_sum,
+        |  list_sum(list_transform(range(0, n*4),
+        |    j -> (doc_id*7 + (j // 4)*5 + (j % 4)*3) % 1000))::BIGINT
+        |    AS feat_sum
+        |FROM m ORDER BY npz_id""".stripMargin,
+
+    // Replays the safetensors generator.
+    "safetensors_weights" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS rows_ FROM documents)
+        |SELECT doc_id AS st_id, 2::INT AS n_tensors,
+        |  (rows_*4 + 4)::BIGINT AS n_params,
+        |  list_sum(list_transform(range(0, rows_*4),
+        |    j -> doc_id*11 + (j // 4)*7 + (j % 4)))::BIGINT
+        |    AS int_param_sum
+        |FROM m ORDER BY st_id""".stripMargin,
 
     // Replays the mbox generator: 'msg ' = 359, 'grüße ' = 825
     // (103+114+252+223+101+32), 'body ' = 462; single-digit m/p.

@@ -67,6 +67,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Rpm.read" -> (b => Rpm.read(b)),
     "Ipynb.cells" -> (b => Ipynb.cells(new String(b,
       java.nio.charset.StandardCharsets.UTF_8))),
+    "Npy.read" -> (b => Npy.read(b)),
+    "Npy.npz" -> (b => Npy.npz(b)),
+    "Safetensors.read" -> (b => Safetensors.read(b)),
     "Mbox.split+message" -> { b =>
       val ms = Mbox.split(b)
       if (ms != null) ms.foreach(Mbox.message)
@@ -89,6 +92,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     Array[Byte](0x04, 0x22, 0x4D, 0x18), // lz4 frame
     Array[Byte](0x1f, 0x9d.toByte, 0x90.toByte), // compress .Z block mode
     Array[Byte]('O', 'b', 'j', 1), // avro container
+    Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0), // npy
     Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p'))
 
   test("random bytes never throw, with or without format magics") {
@@ -168,7 +172,12 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Ipynb.synth(Seq(("code", "a = 1\n", 1L, 1),
         ("markdown", "# t\n", -1L, 0))).getBytes("UTF-8"),
       Mbox.synthMbox(Seq(("s\u00fcbject", "a@x.test",
-        Seq("one\n", "two\n", "three\n")))))
+        Seq("one\n", "two\n", "three\n")))),
+      Npy.synthNpy(Array(3, 4), Array.tabulate(12)(_ * 3L), null),
+      Npy.synthNpz(Seq(("a", Npy.synthNpy(Array(4),
+        Array(1L, 2L, 3L, 4L), null)))),
+      Safetensors.synth(Seq(("w", Array(2, 2),
+        Left(Array(5L, 6L, 7L, 8L))))))
     for ((blob, bi) <- valid.zipWithIndex; trial <- 0 until 30) {
       val mutated = blob.clone()
       // 1-4 byte flips at random positions
