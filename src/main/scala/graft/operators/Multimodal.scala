@@ -2358,6 +2358,72 @@ object Multimodal {
     })
   }
 
+  /** One git pack's object-census row. */
+  final case class GitPackStats(pack_id: Long, n_commits: Int, n_trees: Int,
+      n_blobs: Int, blob_byte_sum: Long)
+
+  /** Census git packfiles ([[GitPack]]) — code-corpus ingest: delta
+    * resolution, SHA-1 trailer verification, object typing, and the
+    * blob payload bytes that become training text.
+    */
+  def gitPackStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[GitPackStats] = {
+    import spark.implicits._
+    media.map { m =>
+      val objs = GitPack.objects(m.content)
+      if (objs == null) GitPackStats(m.media_id, -1, -1, -1, -1L)
+      else {
+        var c = 0
+        var t = 0
+        var bl = 0
+        var sum = 0L
+        objs.foreach { o =>
+          o.tpe match {
+            case "commit" => c += 1
+            case "tree" => t += 1
+            case "blob" =>
+              bl += 1
+              var j = 0
+              while (j < o.data.length) {
+                sum += java.lang.Byte.toUnsignedInt(o.data(j)); j += 1
+              }
+            case _ => ()
+          }
+        }
+        GitPackStats(m.media_id, c, t, bl, sum)
+      }
+    }
+  }
+
+  /** Deterministic git-pack corpus: pack `id` holds `2 + id%3` blobs
+    * (blob `k` = `24 + (id+k)%16` bytes, byte `j` =
+    * `(id*37 + k*17 + j*5) % 256`), a tree naming them, and a commit
+    * — the LAST blob rides as an OFS_DELTA against its predecessor,
+    * so the resolver always runs. Oracle replays the blob formulas.
+    */
+  def demoGitPackCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nBlobs = (2 + id % 3).toInt
+      val blobs = (0 until nBlobs).map { k =>
+        Array.tabulate((24 + (id + k) % 16).toInt)(j =>
+          ((id * 37 + k * 17 + j * 5) % 256).toByte)
+      }
+      val blobShas = blobs.map(b =>
+        GitPack.objects(GitPack.synthPack(Seq(("blob", b))))(0).sha)
+      val tree = GitPack.synthTree(blobs.indices.map(k =>
+        ("100644", f"f$k%04d.txt", blobShas(k))))
+      val treeSha = GitPack.objects(
+        GitPack.synthPack(Seq(("tree", tree))))(0).sha
+      val commit = GitPack.synthCommit(treeSha, Nil,
+        s"gen <g@x.test> ${1700000000L + id} +0000", s"pack $id")
+      val objs = Seq(("commit", commit), ("tree", tree)) ++
+        blobs.map(b => ("blob", b))
+      MediaFile(id, "repo",
+        GitPack.synthPack(objs, deltaAgainstPrev = Set(objs.length - 1)))
+    })
+  }
+
   /** One .npz embedding archive's accounting row. */
   final case class NpzStats(npz_id: Long, n_arrays: Int, total_elems: Long,
       ids_sum: Long, feat_sum: Long)

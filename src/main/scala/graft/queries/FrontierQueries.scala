@@ -356,6 +356,20 @@ object FrontierQueries {
         .toDF().orderBy("avro_id")
     }),
 
+    // git packfile census — code-corpus ingest: v2 object walk,
+    // OFS_DELTA resolution (always exercised), SHA-1 trailer
+    // verification, commit/tree/blob typing. Live-pinned both
+    // directions against git itself in the spec.
+    "git_pack_objects" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoGitPackCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.gitPackStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("pack_id")
+    }),
+
     // NumPy .npz embedding drops — npy headers (the python-literal
     // dict, version framing, dtype/order grid) through the zip wrap,
     // live-pinned against real numpy in the spec. Oracle replays the
@@ -2000,6 +2014,17 @@ object FrontierQueries {
         |    AS name_char_sum,
         |  length(list_filter(range(0, n), r -> r % 4 = 0))::INT AS n_nulls
         |FROM m ORDER BY avro_id""".stripMargin,
+
+    // Replays the git-pack generator: deltas/zlib/framing vanish.
+    "git_pack_objects" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS nb FROM documents)
+        |SELECT doc_id AS pack_id, 1::INT AS n_commits, 1::INT AS n_trees,
+        |  nb::INT AS n_blobs,
+        |  list_sum(list_transform(range(0, nb), k ->
+        |    list_sum(list_transform(range(0, 24 + (doc_id + k) % 16),
+        |      j -> (doc_id*37 + k*17 + j*5) % 256))))::BIGINT
+        |    AS blob_byte_sum
+        |FROM m ORDER BY pack_id""".stripMargin,
 
     // Replays the npz generator: headers and zip wrap vanish.
     "embeddings_npz" ->

@@ -70,6 +70,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Npy.read" -> (b => Npy.read(b)),
     "Npy.npz" -> (b => Npy.npz(b)),
     "Safetensors.read" -> (b => Safetensors.read(b)),
+    "GitPack.objects" -> (b => GitPack.objects(b)),
     "Mbox.split+message" -> { b =>
       val ms = Mbox.split(b)
       if (ms != null) ms.foreach(Mbox.message)
@@ -93,6 +94,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     Array[Byte](0x1f, 0x9d.toByte, 0x90.toByte), // compress .Z block mode
     Array[Byte]('O', 'b', 'j', 1), // avro container
     Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0), // npy
+    Array[Byte]('P', 'A', 'C', 'K', 0, 0, 0, 2), // git pack
     Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p'))
 
   test("random bytes never throw, with or without format magics") {
@@ -177,7 +179,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Npy.synthNpz(Seq(("a", Npy.synthNpy(Array(4),
         Array(1L, 2L, 3L, 4L), null)))),
       Safetensors.synth(Seq(("w", Array(2, 2),
-        Left(Array(5L, 6L, 7L, 8L))))))
+        Left(Array(5L, 6L, 7L, 8L))))),
+      GitPack.synthPack(Seq(
+        ("blob", px(200)), ("blob", px(150))), Set(1)))
     for ((blob, bi) <- valid.zipWithIndex; trial <- 0 until 30) {
       val mutated = blob.clone()
       // 1-4 byte flips at random positions
