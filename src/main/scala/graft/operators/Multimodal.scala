@@ -441,6 +441,22 @@ object Multimodal {
         else "corrupt")
     if (Rpm.isRpm(b))
       return ("rpm", if (Rpm.read(b) != null) "ok" else "corrupt")
+    // NumPy arrays, safetensors, git packs: REAL walks
+    if (Npy.isNpy(b))
+      return ("npy",
+        if (Npy.read(b) != null) "ok"
+        else if (Npy.unsupportedProfile(b)) "unsupported_profile"
+        else "corrupt")
+    if (Safetensors.isSafetensors(b))
+      return ("safetensors",
+        if (Safetensors.read(b) != null) "ok"
+        else if (Safetensors.unsupportedProfile(b)) "unsupported_profile"
+        else "corrupt")
+    if (b.length >= 12 && b(0) == 'P' && b(1) == 'A' && b(2) == 'C' &&
+        b(3) == 'K' && (b(7) & 0xFF) >= 2 && (b(7) & 0xFF) <= 3 &&
+        b(4) == 0 && b(5) == 0 && b(6) == 0)
+      return ("gitpack",
+        if (GitPack.objects(b) != null) "ok" else "corrupt")
     if (Zip.isZip(b)) {
       // REAL walk + full-member decode (ZIP64 sentinels resolve
       // through the 0x0001 extra + ZIP64 EOCD): a shard with any
@@ -562,7 +578,14 @@ object Multimodal {
     * the UTF-16 encoding flag (`sqlite`/`unsupported_profile`),
     * 47 → a valid RPM cycling gzip/xz/zstd payloads (`rpm`/`ok`),
     * 48 → an RPM with a flipped payload byte, caught by the cpio
-    * layer beneath the compressor (`rpm`/`corrupt`).
+    * layer beneath the compressor (`rpm`/`corrupt`), 49 → a valid
+    * `.npy` (`npy`/`ok`), 50 → an object-dtype `.npy` — named
+    * profile (`npy`/`unsupported_profile`), 51 → a valid safetensors
+    * file (`safetensors`/`ok`), 52 → safetensors naming a dtype
+    * outside the table (`safetensors`/`unsupported_profile`),
+    * 53 → a valid git pack with its delta resolver running
+    * (`gitpack`/`ok`), 54 → a git pack with a flipped SHA-1 trailer
+    * byte (`gitpack`/`corrupt`).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -622,7 +645,7 @@ object Multimodal {
         z.write(warc); z.close()
         bos.toByteArray
       }
-      val blob = (id % 49) match {
+      val blob = (id % 55) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -863,13 +886,44 @@ object Multimodal {
             Seq((s"./usr/f$id.bin", Array.tabulate((20 + id % 20).toInt)(
               j => ((id * 7 + j * 11) % 256).toByte))),
             Seq("gzip", "xz", "zstd")(((id / 42) % 3).toInt))
-        case _ =>
+        case 48 =>
           // RPM with a flipped payload byte: the cpio layer beneath
           // the compressor catches it
           val z = Rpm.synthRpm(s"pkg-$id", "1.0", "1", "noarch",
             Seq((s"./usr/f$id.bin", Array.tabulate(30)(
               j => ((id * 7 + j * 11) % 256).toByte))), "gzip")
           z(z.length - 8) = (z(z.length - 8) ^ 0x2D).toByte
+          z
+        case 49 => // valid .npy
+          Npy.synthNpy(Array((4 + id % 6).toInt),
+            Array.tabulate((4 + id % 6).toInt)(k => id * 5 + k), null)
+        case 50 =>
+          // object dtype: same-length descr byte-patch '<i8'->'|O8'
+          val z = Npy.synthNpy(Array(3), Array(1L, 2L, 3L), null)
+          val at = z.indexOfSlice("<i8".getBytes("US-ASCII"))
+          z(at) = '|'; z(at + 1) = 'O'; z(at + 2) = '8'
+          z
+        case 51 => // valid safetensors
+          Safetensors.synth(Seq(("w", Array((2 + id % 3).toInt),
+            Left(Array.tabulate((2 + id % 3).toInt)(k => id * 9 + k)))))
+        case 52 =>
+          // unknown dtype, same-length patch I64->U64 (not in table)
+          val z = Safetensors.synth(Seq(("w", Array(2),
+            Left(Array(1L, 2L)))))
+          val at = z.indexOfSlice("I64".getBytes("US-ASCII"))
+          z(at) = 'U'
+          z
+        case 53 => // valid git pack (with the delta resolver running)
+          GitPack.synthPack(Seq(
+            ("blob", Array.tabulate((30 + id % 20).toInt)(j =>
+              ((id * 3 + j * 7) % 256).toByte)),
+            ("blob", Array.tabulate(25)(j =>
+              ((id * 5 + j * 11) % 256).toByte))), Set(1))
+        case _ =>
+          // git pack with a flipped trailer byte: digest-quarantined
+          val z = GitPack.synthPack(Seq(("blob",
+            Array.tabulate(40)(j => ((id + j * 13) % 256).toByte))))
+          z(z.length - 4) = (z(z.length - 4) ^ 0x17).toByte
           z
       }
       MediaFile(id, "image", blob)

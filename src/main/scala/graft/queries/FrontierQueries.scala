@@ -3320,7 +3320,7 @@ object FrontierQueries {
     // member-CRC-caught damage).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 49
+        |    CASE doc_id % 55
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
@@ -3341,9 +3341,12 @@ object FrontierQueries {
         |      WHEN 41 THEN 'zip'
         |      WHEN 42 THEN 'avro' WHEN 43 THEN 'avro' WHEN 44 THEN 'avro'
         |      WHEN 45 THEN 'sqlite' WHEN 46 THEN 'sqlite'
-        |      WHEN 47 THEN 'rpm' ELSE 'rpm'
+        |      WHEN 47 THEN 'rpm' WHEN 48 THEN 'rpm'
+        |      WHEN 49 THEN 'npy' WHEN 50 THEN 'npy'
+        |      WHEN 51 THEN 'safetensors' WHEN 52 THEN 'safetensors'
+        |      WHEN 53 THEN 'gitpack' ELSE 'gitpack'
         |    END AS format,
-        |    CASE doc_id % 49
+        |    CASE doc_id % 55
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -3371,7 +3374,10 @@ object FrontierQueries {
         |      WHEN 42 THEN 'ok' WHEN 43 THEN 'unsupported_profile'
         |      WHEN 44 THEN 'corrupt'
         |      WHEN 45 THEN 'ok' WHEN 46 THEN 'unsupported_profile'
-        |      WHEN 47 THEN 'ok' ELSE 'corrupt'
+        |      WHEN 47 THEN 'ok' WHEN 48 THEN 'corrupt'
+        |      WHEN 49 THEN 'ok' WHEN 50 THEN 'unsupported_profile'
+        |      WHEN 51 THEN 'ok' WHEN 52 THEN 'unsupported_profile'
+        |      WHEN 53 THEN 'ok' ELSE 'corrupt'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n
