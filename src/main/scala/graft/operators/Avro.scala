@@ -99,6 +99,16 @@ object Avro {
       p += n
       r
     }
+    /** Validate a 64-bit length against the remaining buffer BEFORE the
+      * Int narrowing: a damaged length like 2^32+5 would otherwise
+      * truncate to 5 and mis-read a corrupt block instead of failing.
+      */
+    def len(n: Long): Int = {
+      if (n < 0 || n > b.length - p)
+        throw new IllegalArgumentException("len")
+      n.toInt
+    }
+    def varlen(): Int = len(varlong())
   }
 
   private def readValue(in: Bin, tpe: String): Any = tpe match {
@@ -117,9 +127,9 @@ object Avro {
       for (i <- 0 until 8) bits |= (r(i) & 0xFFL) << (8 * i)
       java.lang.Double.longBitsToDouble(bits)
     case "string" =>
-      new String(in.bytes(in.varlong().toInt),
+      new String(in.bytes(in.varlen()),
         java.nio.charset.StandardCharsets.UTF_8)
-    case "bytes" => in.bytes(in.varlong().toInt)
+    case "bytes" => in.bytes(in.varlen())
     case nullable => // "<prim>?": union [null, prim]
       in.varlong() match {
         case 0 => null
@@ -147,9 +157,9 @@ object Avro {
       val cnt = if (n < 0) { in.varlong(); -n } else n
       var i = 0L
       while (i < cnt) {
-        val k = new String(in.bytes(in.varlong().toInt),
+        val k = new String(in.bytes(in.varlen()),
           java.nio.charset.StandardCharsets.UTF_8)
-        meta(k) = in.bytes(in.varlong().toInt)
+        meta(k) = in.bytes(in.varlen())
         i += 1
       }
       n = in.varlong()

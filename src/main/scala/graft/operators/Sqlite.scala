@@ -156,13 +156,17 @@ object Sqlite {
         case 8 => out(i) = 0L
         case 9 => out(i) = 1L
         case n if n >= 12 && n % 2 == 0 =>
-          val len = ((n - 12) / 2).toInt
-          if (len < 0 || body + len > p.length) return null
+          // Bound the 64-bit serial type BEFORE narrowing: 2^33+12 would
+          // otherwise truncate to len=0 and silently decode an empty blob.
+          val lenL = (n - 12) / 2
+          if (lenL < 0 || lenL > p.length - body) return null
+          val len = lenL.toInt
           out(i) = java.util.Arrays.copyOfRange(p, body, body + len)
           body += len
         case n if n >= 13 =>
-          val len = ((n - 13) / 2).toInt
-          if (len < 0 || body + len > p.length) return null
+          val lenL = (n - 13) / 2
+          if (lenL < 0 || lenL > p.length - body) return null
+          val len = lenL.toInt
           out(i) = new String(p, body, len,
             java.nio.charset.StandardCharsets.UTF_8)
           body += len
