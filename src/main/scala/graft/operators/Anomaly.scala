@@ -104,23 +104,27 @@ object Anomaly {
     */
   def madOutliers(df: DataFrame, valueCol: String, threshold: Double = 3.5,
       bins: Int = 256): DataFrame = {
-    // Both 1-row quantile frames are referenced repeatedly (the median
-    // feeds the deviation pass AND the final score; the deviation frame
-    // is scanned twice inside its own quantile sketch) — cut their
-    // lineage so each sketch runs once instead of once per reference.
-    // Measured at sf0.1: 3.3 s -> 1.1 s.
-    val med1 = graft.sources.Tables.cutLineage(
-      Sketches.histogramQuantiles(df, valueCol, bins, Seq(0.5))
-        .select(col("est").as("__med")))
-    val dev = df.crossJoin(broadcast(med1))
-      .withColumn("__ad", abs(col(valueCol).cast("double") - col("__med")))
-    val mad1 = graft.sources.Tables.cutLineage(
-      Sketches.histogramQuantiles(dev, "__ad", bins, Seq(0.5))
-        .select(col("est").as("__mad")))
-    df.crossJoin(broadcast(med1)).crossJoin(broadcast(mad1))
-      .withColumn("mz", round(
-        lit(0.6745) * (col(valueCol).cast("double") - col("__med")) / col("__mad"), 4))
-      .where(col("__mad") > 0 && abs(col("mz")) > lit(threshold))
-      .drop("__med", "__mad")
+    // The sketch returns its 1-row result as a LOCAL relation (the
+    // histogram pick happens driver-side, bounded by the fixed bin
+    // constant) — so median and MAD become plain literals here: no
+    // broadcast exchanges, no lineage cuts, no crossJoins. The whole
+    // operator is four distributed aggregation jobs (stats + bin counts
+    // per sketch, each shuffling ≤ `bins` rows) plus the final scoring
+    // scan. Eager like the sketch itself.
+    val v = col(valueCol).cast("double")
+    val medRows = Sketches.histogramQuantiles(df, valueCol, bins, Seq(0.5))
+      .select("est").collect()
+    if (medRows.isEmpty)
+      return df.withColumn("mz", lit(null).cast("double")).where(lit(false))
+    val med = medRows(0).getDouble(0)
+    val dev = df.select(abs(v - lit(med)).as("__ad"))
+    val madRows = Sketches.histogramQuantiles(dev, "__ad", bins, Seq(0.5))
+      .select("est").collect()
+    val mad = if (madRows.isEmpty) 0.0 else madRows(0).getDouble(0)
+    // Zero MAD (≥ 50% identical values) flags nothing, per the scaladoc.
+    if (!(mad > 0))
+      return df.withColumn("mz", lit(null).cast("double")).where(lit(false))
+    df.withColumn("mz", round(lit(0.6745) * (v - lit(med)) / lit(mad), 4))
+      .where(abs(col("mz")) > lit(threshold))
   }
 }

@@ -110,12 +110,18 @@ object Dedup {
     */
   private def bandKeyed(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sigs = base.select(col("id"), explode(col("hs")).as("h"))
-      .groupBy("id")
-      .agg(min(xxhash64(col("h"), lit(0))).as("s0"),
-        (1 until numHashes).map(k => min(xxhash64(col("h"), lit(k))).as(s"s$k")): _*)
+    // One codegen'd pass over each document's shingle array computes the
+    // whole signature ([[graft.expressions.MinHashSig]]) — no shingle
+    // explode, no groupBy exchange; signatures and band keys stay
+    // bit-identical to the aggregation formulation they replaced.
+    // Shingle-less documents (which the old explode dropped implicitly)
+    // are filtered: they can never pair.
+    val sigs = base.where(size(col("hs")) > 0)
+      .select(col("id"),
+        graft.expressions.MinHashSig.signature(col("hs"), numHashes).as("sig"))
     val bandKeys = array((0 until bands).map { b =>
-      concat_ws("_", (lit(b) +: (0 until rows).map(i => col(s"s${b * rows + i}"))): _*)
+      concat_ws("_", (lit(b) +: (0 until rows).map(i =>
+        element_at(col("sig"), b * rows + i + 1))): _*)
     }: _*)
     sigs.select(col("id"), explode(bandKeys).as("bkey"))
   }

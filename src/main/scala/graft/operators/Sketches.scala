@@ -271,46 +271,55 @@ object Sketches {
     * grid is what buys determinism AND mergeability: bin counts are
     * sums).
     *
-    * Output: one row per q — (q, n, est). The tiny cumulative window
-    * runs over ≤ `bins` rows on one partition (explicitly fine: the
-    * histogram, not the data, is what's being scanned).
+    * Output: one row per q — (q, n, est), as a LOCAL relation: both
+    * passes are distributed aggregations, but the ≤`bins`-row histogram
+    * is collected and the cumulative-sum + pick + interpolation run on
+    * the driver. The collect is bounded by the fixed bin constant
+    * (corpus-size independent — the k-means-centroid bounded-collect
+    * class); doing the pick in-plan cost a Window + two broadcasts + a
+    * min_by join over a 256-row frame, a cascade of ~8 scheduling
+    * barriers that dominated the whole sketch on anything but huge
+    * inputs. NOTE: eager — the two aggregation jobs run when this is
+    * called. The arithmetic is byte-for-byte the oracle's CTE replay.
     */
   def histogramQuantiles(df: DataFrame, valueCol: String, bins: Int = 256,
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
     require(bins >= 2 && qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = df.sparkSession
     val v = col(valueCol).cast("double")
-    // The 1-row stats frame feeds BOTH the binning pass and the final
-    // quantile pick — cut its lineage so the min/max/count scan runs
-    // once, not once per reference.
-    val stats = graft.sources.Tables.cutLineage(
-      df.agg(min(v).as("mn"), max(v).as("mx"), count(v).as("n")))
-    val w = (col("mx") - col("mn")) / lit(bins.toDouble)
-    val binned = graft.sources.Tables.rebalanceForCompute(
-        df.select(v.as("__v")).where(col("__v").isNotNull))
-      .crossJoin(broadcast(stats))
-      .select(when(col("mx") === col("mn"), lit(0))
-        .otherwise(least(floor((col("__v") - col("mn")) / w), lit(bins - 1)))
+    val schema = StructType(Seq(StructField("q", DoubleType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("est", DoubleType, nullable = true)))
+    val stats = df.agg(min(v).as("mn"), max(v).as("mx"), count(v).as("n")).head()
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    if (stats.isNullAt(0) || stats.getLong(2) == 0L) return empty
+    val mn = stats.getDouble(0); val mx = stats.getDouble(1)
+    val n = stats.getLong(2)
+    val w = (mx - mn) / bins.toDouble
+    // No rebalanceForCompute here: binning is a trivial per-row
+    // expression (a subtract, divide, floor), so even a 1-partition
+    // input bins faster than the repartition shuffle it would pay for;
+    // huge single files are split by maxPartitionBytes regardless.
+    val counts = df.select(v.as("__v")).where(col("__v").isNotNull)
+      .select(when(lit(mx) === lit(mn), lit(0))
+        .otherwise(least(floor((col("__v") - lit(mn)) / lit(w)), lit(bins - 1)))
         .cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
-    val win = org.apache.spark.sql.expressions.Window
-      .orderBy("bin").rowsBetween(Long.MinValue, 0)
-    val cum = binned.select(col("bin"), col("cnt"),
-      sum("cnt").over(win).as("cum"))
-    val qdf = df.sparkSession.createDataFrame(
-      qs.map(Tuple1(_))).toDF("q")
-    // First bin whose cumulative count reaches q·n, then interpolate at
-    // the target rank inside it.
-    val picked = broadcast(qdf).crossJoin(broadcast(stats))
-      .join(cum, col("cum") >= col("q") * col("n"))
-      .groupBy("q", "mn", "mx", "n")
-      .agg(min_by(struct(col("bin"), col("cnt"), col("cum")), col("bin")).as("s"))
-    picked.select(col("q"), col("n"),
-      round(when(col("mx") === col("mn"), col("mn")).otherwise(
-        col("mn") + ((col("mx") - col("mn")) / lit(bins.toDouble)) *
-          (col("s.bin") +
-            (col("q") * col("n") - (col("s.cum") - col("s.cnt"))) / col("s.cnt"))),
-        4).as("est"))
-      .orderBy("q")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val cums = counts.scanLeft(0L)(_ + _._2).tail
+    val rows: Seq[org.apache.spark.sql.Row] = qs.sorted.map { q =>
+      val target = q * n // double, exactly the oracle's q * n
+      val idx = cums.indexWhere(_ >= target)
+      val (bin, cnt) = counts(idx); val cum = cums(idx)
+      val est = if (mx == mn) mn
+        else mn + w * (bin + (target - (cum - cnt)) / cnt)
+      org.apache.spark.sql.Row(q, n,
+        BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** Count-Min sketch of key frequencies: `depth` independent hash rows

@@ -24,6 +24,35 @@ class DedupExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("MinHashSig expression is bit-identical to the explode+min aggregation") {
+    val sh = docs.select(col("doc_id").as("id"),
+        array_sort(transform(
+          TextOps.wordShingles(TextOps.tokens(col("text")), 3),
+          s => xxhash64(s))).as("hs"))
+      .where(size(col("hs")) > 0)
+    val viaAgg = sh.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy("id")
+      .agg(min(xxhash64(col("h"), lit(0))).as("s0"),
+        (1 until 32).map(k => min(xxhash64(col("h"), lit(k))).as(s"s$k")): _*)
+      .select(col("id"), array((0 until 32).map(k => col(s"s$k")): _*).as("sig"))
+    val viaExpr = sh.select(col("id"),
+      graft.expressions.MinHashSig.signature(col("hs"), 32).as("sig"))
+    assert(viaExpr.join(viaAgg, "id")
+      .where(viaExpr("sig") =!= viaAgg("sig")).count() == 0)
+    assert(viaExpr.count() == viaAgg.count() && viaExpr.count() > 0)
+    // interpreted eval path agrees with codegen
+    val one = sh.limit(1).select(col("hs")).collect()(0).getSeq[Long](0)
+    val interp = graft.expressions.MinHashSig(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        one, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)), 32)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    val fromDf = viaExpr.join(sh.limit(1), "id").select("sig")
+      .collect()(0).getSeq[Long](0)
+    assert(interp == fromDf)
+  }
+
   test("minhash LSH finds exactly the brute-force pairs on fixture data") {
     val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",
       shingleLen = 3, numHashes = 32, bands = 16, threshold = 0.5)
