@@ -457,6 +457,17 @@ object Multimodal {
         b(4) == 0 && b(5) == 0 && b(6) == 0)
       return ("gitpack",
         if (GitPack.objects(b) != null) "ok" else "corrupt")
+    if (Pdf.isPdf(b)) {
+      // full structure walk: xref tables/streams, ObjStm, incremental
+      // chains; classes distinguish the crypto gap (encrypted), the
+      // repair path (recovered_xref), pages with no text operators
+      // (image_only) and structural damage (mapped onto the shared
+      // 'corrupt' bucket)
+      return ("pdf", Pdf.decodeClass(b) match {
+        case "damaged" => "corrupt"
+        case other     => other
+      })
+    }
     if (Zip.isZip(b)) {
       // REAL walk + full-member decode (ZIP64 sentinels resolve
       // through the 0x0001 extra + ZIP64 EOCD): a shard with any
@@ -498,7 +509,7 @@ object Multimodal {
   }
 
   /** Deterministic decode-forensics corpus planting one failure class
-    * per `id mod 35` residue, now covering every ingest family:
+    * per `id mod 59` residue, now covering every ingest family:
     * 0 → valid BMP (`ok`), 1 → valid PNG (`ok`), 2 → TIFF with its
     * Compression tag rewritten to JPEG-in-TIFF (`unsupported_profile`),
     * 3 → PNG truncated mid-IDAT (`corrupt`), 4 → magic-free garbage
@@ -585,7 +596,13 @@ object Multimodal {
     * outside the table (`safetensors`/`unsupported_profile`),
     * 53 → a valid git pack with its delta resolver running
     * (`gitpack`/`ok`), 54 → a git pack with a flipped SHA-1 trailer
-    * byte (`gitpack`/`corrupt`).
+    * byte (`gitpack`/`corrupt`), 55 → a valid PDF rotating all six
+    * structural profiles (`pdf`/`ok`), 56 → a PDF with a trailer
+    * /Encrypt — ciphertext is a named profile (`pdf`/`encrypted`),
+    * 57 → a PDF whose startxref points nowhere, text recovered by the
+    * whole-file object scan (`pdf`/`recovered_xref`), 58 → a PDF page
+    * drawing an image XObject with no text operators
+    * (`pdf`/`image_only`).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -645,7 +662,7 @@ object Multimodal {
         z.write(warc); z.close()
         bos.toByteArray
       }
-      val blob = (id % 55) match {
+      val blob = (id % 59) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -919,12 +936,24 @@ object Multimodal {
               ((id * 3 + j * 7) % 256).toByte)),
             ("blob", Array.tabulate(25)(j =>
               ((id * 5 + j * 11) % 256).toByte))), Set(1))
-        case _ =>
+        case 54 =>
           // git pack with a flipped trailer byte: digest-quarantined
           val z = GitPack.synthPack(Seq(("blob",
             Array.tabulate(40)(j => ((id + j * 13) % 256).toByte))))
           z(z.length - 4) = (z(z.length - 4) ^ 0x17).toByte
           z
+        case 55 => // valid PDF, profile rotated over all six
+          Pdf.synthPdf(Seq(s"planted page for $id"), (id % 6).toInt)
+        case 56 => Pdf.synthEncrypted() // /Encrypt: the crypto gap
+        case 57 =>
+          // corrupt the startxref target: the object-scan repair path
+          // must recover the text (recovered_xref, distinct from ok)
+          val z = Pdf.synthPdf(Seq(s"recoverable page $id"), 0)
+          val s = new String(z, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val sx = s.lastIndexOf("startxref")
+          (s.substring(0, sx) + "startxref\n999999999\n%%EOF\n")
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        case _ => Pdf.synthImageOnly() // pages but no text operators
       }
       MediaFile(id, "image", blob)
     })
@@ -2808,6 +2837,86 @@ object Multimodal {
       MediaFile(id, "db", Sqlite.synthDb("samples",
         "name TEXT, val INTEGER, score REAL, data BLOB", rows))
     })
+  }
+
+  /** One 7z member's accounting row. */
+  final case class SevenZipSample(shard_id: Long, sample_key: String,
+      n_bytes: Long, byte_sum: Long)
+
+  /** Deterministic 7z shard corpus: shard `id` holds `2 + id%3` files
+    * (`sample-<s>.txt`, byte j = `(id*31 + s*17 + j*7) % 256`, length
+    * `16 + (id+s)%8`), plus an EMPTY member on `id%5==0` (exercising
+    * the kEmptyStream/kEmptyFile vectors), in structural variant
+    * `id % 4` ([[SevenZip.synth7z]]: copy / LZMA2 / solid substreams /
+    * encoded header). The oracle replays the member arithmetic only —
+    * variant independence is the correctness claim.
+    */
+  def demoSevenZipShards(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    val variants = Array("copy", "lzma2", "solid", "encoded_header")
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (2 + id % 3).toInt
+      val files = (0 until n).map { s =>
+        s"sample-$s.txt" -> Array.tabulate((16 + (id + s) % 8).toInt)(j =>
+          ((id * 31 + s * 17 + j * 7) % 256).toByte)
+      } ++ (if (id % 5 == 0) Seq("zz-empty.txt" -> Array.emptyByteArray) else Nil)
+      MediaFile(id, "7z", SevenZip.synth7z(files, variants((id % 4).toInt)))
+    })
+  }
+
+  /** Account every member of a 7z shard corpus; a shard failing any
+    * layer degrades to a single sentinel row.
+    */
+  def sevenZipShardSamples(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[SevenZipSample] = {
+    import spark.implicits._
+    media.flatMap { m =>
+      val entries = SevenZip.members(m.content)
+      if (entries == null) Seq(SevenZipSample(m.media_id, "", -1L, -1L))
+      else entries.toSeq.filter(!_.isDir).map { e =>
+        var sum = 0L
+        e.data.foreach(b => sum += (b & 0xFF))
+        SevenZipSample(m.media_id, e.name, e.data.length.toLong, sum)
+      }
+    }
+  }
+
+  /** One PDF's extracted text: page count and the pages joined by `|`
+    * (the fixture vocabulary never contains `|`). `n_pages = -1` marks
+    * an unreadable or encrypted document.
+    */
+  final case class PdfTextRow(pdf_id: Long, n_pages: Int, text: String)
+
+  /** Deterministic PDF corpus: document `id` becomes a two-page PDF —
+    * page 1 = the first 40 chars of its text, page 2 = the rest — in
+    * structural profile `id % 6` ([[Pdf.synthPdf]]: classic/stream
+    * xref, ObjStm, Flate/LZW/plain content, literal/hex/TJ strings,
+    * ToUnicode CMap, /Differences + incremental update). The oracle
+    * replays only the text split, so every profile must extract
+    * identically — profile independence is the correctness claim.
+    */
+  def demoPdfCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text0) =>
+        val text = if (text0 == null) "" else text0
+        val p1 = text.substring(0, math.min(40, text.length))
+        val p2 = if (text.length > 40) text.substring(40) else ""
+        MediaFile(id, "pdf", Pdf.synthPdf(Seq(p1, p2), (id % 6).toInt))
+      })
+  }
+
+  /** Extract text from a PDF corpus — per-blob scalar work in one
+    * partition-wise pass; damage degrades to a sentinel row.
+    */
+  def pdfTexts(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[PdfTextRow] = {
+    import spark.implicits._
+    media.map { m =>
+      val t = Pdf.extract(m.content)
+      if (t == null || t.cls == "encrypted") PdfTextRow(m.media_id, -1, "")
+      else PdfTextRow(m.media_id, t.pages.length, t.pages.mkString("|"))
+    }
   }
 
   /** One Debian package's provenance + payload accounting row. */

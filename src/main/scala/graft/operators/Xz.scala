@@ -426,6 +426,18 @@ object Xz {
 
   // ---- xz container --------------------------------------------------------
 
+  /** Decode a raw LZMA2 chunk sequence (no xz container) — the member
+    * codec 7z folders use. Null on damage or cap breach.
+    */
+  private[graft] def decodeLzma2Raw(b: Array[Byte], start: Int, endExcl: Int,
+      cap: Long): Array[Byte] =
+    try lzma2(b, start, endExcl, cap)._1
+    catch {
+      case _: Err => null
+      case _: ArrayIndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
+
   /** Decode a complete `.xz` file (concatenated streams and stream
     * padding included). Null on damage — bad magics, header/footer
     * CRCs, unsupported filters, block check mismatches (CRC32, CRC64,

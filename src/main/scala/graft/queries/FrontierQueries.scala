@@ -460,6 +460,37 @@ object FrontierQueries {
         .toDF().orderBy("db_id")
     }),
 
+    // 7z shard reading — signature + header CRCs, the property-ID
+    // header grammar, folders as coder graphs, encoded headers, solid
+    // substreams, empty-stream/empty-file vectors; Copy/LZMA2 members
+    // through the from-scratch Xz range-decoder core. Pinned both
+    // directions against commons-compress in the spec.
+    "shard_7z_samples" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoSevenZipShards(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.sevenZipShardSamples(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("shard_id", "sample_key")
+    }),
+
+    // PDF text extraction — the most common document format in crawled
+    // corpora: xref tables AND xref streams (PNG-predicted), object
+    // streams, incremental /Prev updates, Flate/LZW content, literal/
+    // hex/TJ string forms, ToUnicode CMaps, /Differences encodings. The
+    // oracle replays only the page-text split; the six structural
+    // profiles (doc_id % 6) must all extract identically.
+    "pdf_text_extract" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoPdfCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.pdfTexts(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("pdf_id")
+    }),
+
     // Debian package ingest — the archive layers COMPOSED: ar outer
     // walk, debian-binary version check, control.tar/data.tar
     // decompressed by MAGIC (gzip/xz/zstd/plain — extensions can
@@ -2114,6 +2145,34 @@ object FrontierQueries {
         |      j -> (doc_id*17 + f*29 + j*13) % 256))))::BIGINT AS byte_sum
         |FROM m ORDER BY rpm_id""".stripMargin,
 
+    // Replays the 7z member arithmetic (names, lengths, byte sums);
+    // the empty member appears with zero length/sum on doc_id%5=0.
+    // Variant-independent, so no CASE on doc_id % 4.
+    "shard_7z_samples" ->
+      """WITH m AS (SELECT doc_id,
+        |    unnest(range(0, (2 + doc_id % 3)::BIGINT)) AS s
+        |  FROM documents),
+        |rows_ AS (
+        |  SELECT doc_id AS shard_id,
+        |    'sample-' || s::VARCHAR || '.txt' AS sample_key,
+        |    (16 + (doc_id + s) % 8)::BIGINT AS n_bytes,
+        |    list_sum(list_transform(range(0, 16 + (doc_id + s) % 8),
+        |      j -> (doc_id*31 + s*17 + j*7) % 256))::BIGINT AS byte_sum
+        |  FROM m
+        |  UNION ALL
+        |  SELECT doc_id, 'zz-empty.txt', 0::BIGINT, 0::BIGINT
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT * FROM rows_ ORDER BY shard_id, sample_key""".stripMargin,
+
+    // Replays the PDF corpus text split (two pages: first 40 chars,
+    // rest) — profile-independent by construction, so the oracle needs
+    // no CASE on doc_id % 6.
+    "pdf_text_extract" ->
+      """SELECT doc_id AS pdf_id, 2::INT AS n_pages,
+        |  substr(text, 1, 40) || '|' || coalesce(substr(text, 41), '')
+        |    AS text
+        |FROM documents ORDER BY pdf_id""".stripMargin,
+
     // Replays the SQLite corpus: names are 'doc-<id>-<r>' (the id%7
     // row-0 overflow name is 6000 'Z's = char 90), val sums are
     // closed-form, NULL scores land on r%3=0.
@@ -3309,7 +3368,7 @@ object FrontierQueries {
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
 
-    // Replays the planted-failure generator: each id%35 residue maps
+    // Replays the planted-failure generator: each id%59 residue maps
     // to a fixed (container, reason) pair across all ingest families —
     // the four zstd outcomes of the RFC 8878 decoder, the two WebP
     // outcomes of the VP8L decoder, the mixed-member `.warc.gz`
@@ -3320,7 +3379,7 @@ object FrontierQueries {
     // member-CRC-caught damage).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 55
+        |    CASE doc_id % 59
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
@@ -3344,9 +3403,10 @@ object FrontierQueries {
         |      WHEN 47 THEN 'rpm' WHEN 48 THEN 'rpm'
         |      WHEN 49 THEN 'npy' WHEN 50 THEN 'npy'
         |      WHEN 51 THEN 'safetensors' WHEN 52 THEN 'safetensors'
-        |      WHEN 53 THEN 'gitpack' ELSE 'gitpack'
+        |      WHEN 53 THEN 'gitpack' WHEN 54 THEN 'gitpack'
+        |      ELSE 'pdf'
         |    END AS format,
-        |    CASE doc_id % 55
+        |    CASE doc_id % 59
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -3377,7 +3437,9 @@ object FrontierQueries {
         |      WHEN 47 THEN 'ok' WHEN 48 THEN 'corrupt'
         |      WHEN 49 THEN 'ok' WHEN 50 THEN 'unsupported_profile'
         |      WHEN 51 THEN 'ok' WHEN 52 THEN 'unsupported_profile'
-        |      WHEN 53 THEN 'ok' ELSE 'corrupt'
+        |      WHEN 53 THEN 'ok' WHEN 54 THEN 'corrupt'
+        |      WHEN 55 THEN 'ok' WHEN 56 THEN 'encrypted'
+        |      WHEN 57 THEN 'recovered_xref' ELSE 'image_only'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n

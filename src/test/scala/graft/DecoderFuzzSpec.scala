@@ -71,6 +71,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Npy.npz" -> (b => Npy.npz(b)),
     "Safetensors.read" -> (b => Safetensors.read(b)),
     "GitPack.objects" -> (b => GitPack.objects(b)),
+    "Pdf.extract" -> (b => Pdf.extract(b)),
+    "SevenZip.members" -> (b => SevenZip.members(b)),
     "Mbox.split+message" -> { b =>
       val ms = Mbox.split(b)
       if (ms != null) ms.foreach(Mbox.message)
@@ -181,7 +183,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Safetensors.synth(Seq(("w", Array(2, 2),
         Left(Array(5L, 6L, 7L, 8L))))),
       GitPack.synthPack(Seq(
-        ("blob", px(200)), ("blob", px(150))), Set(1)))
+        ("blob", px(200)), ("blob", px(150))), Set(1)),
+      Pdf.synthPdf(Seq("fuzz page one text", "and page two"), 3),
+      Pdf.synthPdf(Seq("lzw hex content page"), 2),
+      SevenZip.synth7z(Seq("a.txt" -> px(60), "b" -> px(40)), "solid"),
+      SevenZip.synth7z(Seq("c.txt" -> px(80)), "encoded_header"))
     for ((blob, bi) <- valid.zipWithIndex; trial <- 0 until 30) {
       val mutated = blob.clone()
       // 1-4 byte flips at random positions
