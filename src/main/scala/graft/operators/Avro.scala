@@ -9,11 +9,12 @@ package graft.operators
   *
   * Schema subset: one record of primitive fields (boolean, int,
   * long, float, double, string, bytes) and the ubiquitous
-  * `["null", primitive]` nullable unions. Codecs: null, deflate
-  * (raw, via the JDK), snappy (the from-scratch [[Snappy]] plus the
-  * 4-byte BE CRC32 suffix Avro appends), zstandard (via [[Zstd]]).
-  * Anything else — other schema shapes, bzip2/xz codecs — is a
-  * named profile gap, not damage.
+  * `["null", primitive]` nullable unions. Codecs — every one the
+  * reference implementation registers: null, deflate (raw, via the
+  * JDK), snappy (the from-scratch [[Snappy]] plus the 4-byte BE
+  * CRC32 suffix Avro appends), zstandard (via [[Zstd]]), bzip2 (via
+  * [[Bzip2]]), xz (via [[Xz]]). Other schema shapes and unregistered
+  * codec names stay named profile gaps, not damage.
   *
   * Values decode per the binary encoding: zigzag varints for
   * int/long, LE IEEE for float/double, length-prefixed bytes/string,
@@ -228,7 +229,15 @@ object Avro {
           val body = Zstd.decode(packed)
           if (body == null) return null
           body
-        case _ => return null // bzip2/xz codecs: named gap
+        case "bzip2" =>
+          val body = Bzip2.decode(packed, 1L << 30)
+          if (body == null) return null
+          body
+        case "xz" =>
+          val body = Xz.decode(packed, 1L << 30)
+          if (body == null) return null
+          body
+        case _ => return null // unknown codec: named gap
       }
       val bin = new Bin(plain)
       var i = 0L
@@ -257,7 +266,7 @@ object Avro {
     in.p = 4
     val meta = readMeta(in)
     val codecBad = meta.get("avro.codec").exists(c =>
-      !Set("null", "deflate", "snappy", "zstandard").contains(
+      !Set("null", "deflate", "snappy", "zstandard", "bzip2", "xz").contains(
         new String(c, java.nio.charset.StandardCharsets.US_ASCII)))
     val schemaBad = meta.get("avro.schema").exists(s =>
       parseSchema(new String(s,
@@ -365,6 +374,17 @@ object Avro {
             ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
             ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
         case "zstandard" => Zstd.synthRawFrame(plain, checksum = true)
+        case "bzip2" => Bzip2.synthBzip2(plain)
+        case "xz" =>
+          // no from-scratch xz ENCODER exists (decode-only, like the
+          // warc path) — write through the independent xz-java on the
+          // classpath, which doubles as the read pin
+          val bos = new java.io.ByteArrayOutputStream()
+          val opts = new org.tukaani.xz.LZMA2Options(1)
+          opts.setDictSize(1 << 16)
+          val z = new org.tukaani.xz.XZOutputStream(bos, opts)
+          z.write(plain); z.close()
+          bos.toByteArray
         case c => throw new IllegalArgumentException(c)
       }
       zigzag(out, block.length.toLong)

@@ -581,9 +581,9 @@ object Multimodal {
     * (`ar`/`corrupt`), 41 → a traditionally-ENCRYPTED zip read
     * without a key — ciphertext is a named profile, not damage
     * (`zip`/`unsupported_profile`), 42 → a valid Avro container
-    * cycling all four codecs (`avro`/`ok`), 43 → Avro behind the xz
-    * codec, written by the real implementation — sound container,
-    * codec outside the subset (`avro`/`unsupported_profile`),
+    * cycling all six codecs (`avro`/`ok`), 43 → Avro naming the
+    * unregistered legacy `lzo1` codec — sound container, codec
+    * outside the subset (`avro`/`unsupported_profile`),
     * 44 → Avro with a flipped sync-marker byte (`avro`/`corrupt`),
     * 45 → a valid SQLite database (`sqlite`/`ok`), 46 → SQLite with
     * the UTF-16 encoding flag (`sqlite`/`unsupported_profile`),
@@ -861,27 +861,27 @@ object Multimodal {
             Array.tabulate((20 + id % 30).toInt)(j =>
               ((id * 11 + j * 29) % 256).toByte), 8)),
             password = Array[Byte]('k', '0'))
-        case 42 => // valid Avro container, codec cycling
+        case 42 => // valid Avro container, now cycling ALL SIX codecs
           Avro.synthAvro(Seq("a", "b"), Seq("string", "long?"),
             (0 until (5 + id % 5).toInt).map(i =>
               Seq[Any](s"r$id-$i", if (i % 3 == 0) null else i * 7L)),
-            Seq("null", "deflate", "snappy", "zstandard")(((id / 42) % 4).toInt))
+            Seq("null", "deflate", "snappy", "zstandard", "bzip2",
+              "xz")(((id / 42) % 6).toInt))
         case 43 =>
-          // Avro behind the xz codec — sound container, codec
-          // outside the subset (written by the REAL implementation)
-          val schema = new org.apache.avro.Schema.Parser().parse(
-            """{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}""")
-          val w = new org.apache.avro.file.DataFileWriter(
-            new org.apache.avro.generic.GenericDatumWriter[
-              org.apache.avro.generic.GenericRecord](schema))
-          w.setCodec(org.apache.avro.file.CodecFactory.xzCodec(1))
-          val bos = new java.io.ByteArrayOutputStream()
-          w.create(schema, bos)
-          val rec = new org.apache.avro.generic.GenericData.Record(schema)
-          rec.put("a", java.lang.Long.valueOf(id))
-          w.append(rec)
-          w.close()
-          bos.toByteArray
+          // Avro naming a codec outside the subset — sound container,
+          // named profile gap. Every codec the REAL implementation can
+          // write (null/deflate/snappy/zstandard/bzip2/xz) decodes
+          // since r10, so the plant is a null-codec container whose
+          // avro.codec metadata is byte-patched to the historical
+          // Hadoop "lzo1" name (same length, container untouched).
+          val z = Avro.synthAvro(Seq("a"), Seq("long"),
+            (0 until 8).map(i => Seq[Any](id * 3 + i.toLong)), "null")
+          val at = z.indexOfSlice("avro.codec".getBytes("US-ASCII"))
+          // value follows the key: [varint len=4]["null"]
+          val vAt = at + "avro.codec".length + 1
+          assert(new String(z, vAt, 4, "US-ASCII") == "null")
+          System.arraycopy("lzo1".getBytes("US-ASCII"), 0, z, vAt, 4)
+          z
         case 44 =>
           // Avro with one sync-marker byte flipped: block quarantined
           val z = Avro.synthAvro(Seq("a"), Seq("long"),
@@ -2420,8 +2420,8 @@ object Multimodal {
 
   /** Deterministic Avro corpus: container `id` holds `4 + id%5` rows
     * of (name `rec-<id>-<r>`, nullable val `id*23 + r*19` — NULL on
-    * `r%4==0` — and a score double), the codec cycling
-    * null/deflate/snappy/zstandard by `id%4`, two blocks when
+    * `r%4==0` — and a score double), the codec cycling all six
+    * (null/deflate/snappy/zstandard/bzip2/xz) by `id%6`, two blocks when
     * `id%3==0` (blockRows 2). Oracle replays the name/val/null
     * arithmetic.
     */
@@ -2433,7 +2433,8 @@ object Multimodal {
         Seq[Any](s"rec-$id-$r",
           (if (r % 4 == 0) null else id * 23 + r * 19L), r * 0.25)
       }
-      val codec = Seq("null", "deflate", "snappy", "zstandard")((id % 4).toInt)
+      val codec = Seq("null", "deflate", "snappy", "zstandard", "bzip2",
+        "xz")((id % 6).toInt)
       val blockRows = if (id % 3 == 0) 2 else 1000
       MediaFile(id, "shard", Avro.synthAvro(
         Seq("name", "val", "score"), Seq("string", "long?", "double"),
@@ -2837,6 +2838,61 @@ object Multimodal {
       MediaFile(id, "db", Sqlite.synthDb("samples",
         "name TEXT, val INTEGER, score REAL, data BLOB", rows))
     })
+  }
+
+  /** One GGUF model's audit row: identity metadata, tensor census,
+    * parameter count and the quant-type mix.
+    */
+  final case class GgufStats(model_id: Long, model_name: String,
+      context_length: Long, n_tensors: Int, n_params: Long,
+      quant_mix: String)
+
+  /** Deterministic GGUF corpus: model `id` carries llama.cpp-style
+    * metadata (name `model-<id>`, context length `id%4096`, an
+    * architecture string, a tokenizer string array) and `2 + id%3`
+    * weight tensors of dims [64 + id%16, 32], quant type cycling
+    * f32/f16/q8_0/q4_k by `(id+l)%4`. The oracle replays the census
+    * arithmetic; the v3 header/KV/descriptor layers must vanish.
+    */
+  def demoGgufCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nT = (2 + id % 3).toInt
+      val quant = Array(0, 1, 8, 12) // f32, f16, q8_0, q4_k
+      val tensors = (0 until nT).map { l =>
+        (s"blk.$l.attn.weight",
+          Array(64L + id % 16, 32L), quant(((id + l) % 4).toInt))
+      }
+      val kv: Seq[(String, Any)] = Seq(
+        "general.architecture" -> "llama",
+        "general.name" -> s"model-$id",
+        "llama.context_length" -> (id % 4096), // u32
+        "general.quantized" -> (id % 2 == 0),
+        "tokenizer.ggml.tokens" -> Seq("<s>", "</s>", "a", "b"))
+      MediaFile(id, "gguf", Gguf.synthGguf(kv, tensors))
+    })
+  }
+
+  /** Audit a GGUF corpus; damage degrades to a sentinel row. */
+  def ggufStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[GgufStats] = {
+    import spark.implicits._
+    media.map { m =>
+      val g = Gguf.read(m.content)
+      if (g == null) GgufStats(m.media_id, "", -1L, -1, -1L, "")
+      else {
+        val name = g.kv.getOrElse("general.name", "").toString
+        val ctx = g.kv.get("llama.context_length") match {
+          case Some(v: Long) => v
+          case Some(v: Int)  => v.toLong
+          case _             => -1L
+        }
+        val nParams = g.tensors.map(_.dims.product).sum
+        val mix = g.tensors.map(t =>
+          Gguf.TypeNames.getOrElse(t.typeId, t.typeId.toString)).mkString(",")
+        GgufStats(m.media_id, name, ctx, g.tensors.length, nParams, mix)
+      }
+    }
   }
 
   /** One 7z member's accounting row. */

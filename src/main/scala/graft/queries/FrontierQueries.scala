@@ -460,6 +460,20 @@ object FrontierQueries {
         .toDF().orderBy("db_id")
     }),
 
+    // GGUF metadata walk — the LLM-era single-file weights format:
+    // v3 header, the full KV value-type table (incl. string arrays),
+    // tensor descriptors; census + quant-mix audit, spec-constructed
+    // fixtures (the safetensors pin posture).
+    "gguf_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoGgufCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.ggufStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("model_id")
+    }),
+
     // 7z shard reading — signature + header CRCs, the property-ID
     // header grammar, folders as coder graphs, encoded headers, solid
     // substreams, empty-stream/empty-file vectors; Copy/LZMA2 members
@@ -2144,6 +2158,19 @@ object FrontierQueries {
         |    list_sum(list_transform(range(0, 22 + (doc_id + f) % 14),
         |      j -> (doc_id*17 + f*29 + j*13) % 256))))::BIGINT AS byte_sum
         |FROM m ORDER BY rpm_id""".stripMargin,
+
+    // Replays the GGUF census: name/context from the KV plants,
+    // parameter count and quant mix from the tensor generator.
+    "gguf_metadata" ->
+      """SELECT doc_id AS model_id,
+        |  'model-' || doc_id::VARCHAR AS model_name,
+        |  (doc_id % 4096)::BIGINT AS context_length,
+        |  (2 + doc_id % 3)::INT AS n_tensors,
+        |  ((2 + doc_id % 3) * (64 + doc_id % 16) * 32)::BIGINT AS n_params,
+        |  array_to_string(list_transform(range(0, 2 + doc_id % 3),
+        |    l -> CASE (doc_id + l) % 4 WHEN 0 THEN 'f32' WHEN 1 THEN 'f16'
+        |         WHEN 2 THEN 'q8_0' ELSE 'q4_k' END), ',') AS quant_mix
+        |FROM documents ORDER BY model_id""".stripMargin,
 
     // Replays the 7z member arithmetic (names, lengths, byte sums);
     // the empty member appears with zero length/sum on doc_id%5=0.

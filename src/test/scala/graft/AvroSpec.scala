@@ -5,7 +5,7 @@ import graft.operators.Avro
 
 /** Avro object-container conformance, pinned BOTH directions against
   * the real Avro implementation on the classpath: DataFileWriter
-  * streams (all four codecs) read through the from-scratch walk, and
+  * streams (all six codecs) read through the from-scratch walk, and
   * [[Avro.synthAvro]] streams read back through DataFileReader.
   */
 class AvroSpec extends AnyFunSuite {
@@ -29,6 +29,8 @@ class AvroSpec extends AnyFunSuite {
       case "deflate" => w.setCodec(CodecFactory.deflateCodec(6))
       case "snappy" => w.setCodec(CodecFactory.snappyCodec())
       case "zstandard" => w.setCodec(CodecFactory.zstandardCodec(3))
+      case "bzip2" => w.setCodec(CodecFactory.bzip2Codec())
+      case "xz" => w.setCodec(CodecFactory.xzCodec(1))
     }
     val bos = new java.io.ByteArrayOutputStream()
     w.create(schema, bos)
@@ -46,8 +48,9 @@ class AvroSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
-  test("real-Avro files read back across all four codecs") {
-    for (codec <- Seq("null", "deflate", "snappy", "zstandard")) {
+  test("real-Avro files read back across all six codecs") {
+    for (codec <- Seq("null", "deflate", "snappy", "zstandard",
+        "bzip2", "xz")) {
       val b = avroWrite(codec, 500)
       assert(Avro.isAvro(b), codec)
       val got = Avro.read(b)
@@ -80,7 +83,8 @@ class AvroSpec extends AnyFunSuite {
       Seq[Any](s"n-$i", (if (i % 5 == 0) null else i * 31L), i * 0.5,
         i % 2 == 0, Array.tabulate(i % 7)(j => ((i * 3 + j) % 256).toByte))
     }
-    for (codec <- Seq("null", "deflate", "snappy", "zstandard")) {
+    for (codec <- Seq("null", "deflate", "snappy", "zstandard",
+        "bzip2", "xz")) {
       val b = graft.operators.Avro.synthAvro(names, types, rows, codec,
         blockRows = 150) // multiple blocks
       // our own reader round-trips
@@ -123,10 +127,17 @@ class AvroSpec extends AnyFunSuite {
     // truncations
     for (cut <- Seq(2, 10, 60, b.length / 2))
       assert(Avro.read(java.util.Arrays.copyOf(b, cut)) == null, s"$cut")
-    // unsupported codec is a named profile
+    // xz DECODES since r10 — the named codec gap is an UNREGISTERED
+    // name (byte-patched null -> legacy "lzo1", container untouched)
     val xz = avroWriteWithCodec("xz")
-    assert(Avro.read(xz) == null)
-    assert(Avro.unsupportedProfile(xz))
+    assert(Avro.read(xz) != null)
+    assert(!Avro.unsupportedProfile(xz))
+    val lzo = graft.operators.Avro.synthAvro(names, types, rows, "null")
+    val at = lzo.indexOfSlice("avro.codec".getBytes("US-ASCII"))
+    System.arraycopy("lzo1".getBytes("US-ASCII"), 0, lzo,
+      at + "avro.codec".length + 1, 4)
+    assert(Avro.read(lzo) == null)
+    assert(Avro.unsupportedProfile(lzo))
     assert(!Avro.unsupportedProfile(b))
     // out-of-subset schema (array field) is a named profile
     import org.apache.avro._

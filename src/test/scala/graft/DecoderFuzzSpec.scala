@@ -73,6 +73,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "GitPack.objects" -> (b => GitPack.objects(b)),
     "Pdf.extract" -> (b => Pdf.extract(b)),
     "SevenZip.members" -> (b => SevenZip.members(b)),
+    "Gguf.read" -> (b => Gguf.read(b)),
     "Mbox.split+message" -> { b =>
       val ms = Mbox.split(b)
       if (ms != null) ms.foreach(Mbox.message)
@@ -187,7 +188,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Pdf.synthPdf(Seq("fuzz page one text", "and page two"), 3),
       Pdf.synthPdf(Seq("lzw hex content page"), 2),
       SevenZip.synth7z(Seq("a.txt" -> px(60), "b" -> px(40)), "solid"),
-      SevenZip.synth7z(Seq("c.txt" -> px(80)), "encoded_header"))
+      SevenZip.synth7z(Seq("c.txt" -> px(80)), "encoded_header"),
+      Gguf.synthGguf(Seq("general.name" -> "fz", "n.ctx" -> 128L),
+        Seq(("t.weight", Array(8L, 4L), 0))))
     for ((blob, bi) <- valid.zipWithIndex; trial <- 0 until 30) {
       val mutated = blob.clone()
       // 1-4 byte flips at random positions
