@@ -286,8 +286,22 @@ object Multimodal {
     * `unknown_container` / `empty`), so one loss dashboard covers the
     * whole ingest: tar and WARC damage was previously a silent null
     * from the shard readers.
+    *
+    * Size quarantine: a blob past `oversizeCap` classifies
+    * (`oversize`/`quarantined_oversize`) BEFORE any sniffing — a
+    * multi-GB single file would otherwise become one decode task
+    * holding the whole blob (the 100 TB straggler risk; sniffing
+    * itself can be the straggler, so quarantined blobs are not even
+    * magic-probed). The default is the TEST-SCALE cap; a production
+    * ingest sizes it to its executor task-memory budget (hundreds of
+    * MiB) via the parameter.
     */
-  def mediaDecodeClass(content: Array[Byte]): (String, String) = {
+  val OversizeCapBytes: Long = 2L << 20 // 2 MiB at fixture scale
+
+  def mediaDecodeClass(content: Array[Byte],
+      oversizeCap: Long = OversizeCapBytes): (String, String) = {
+    if (content != null && content.length > oversizeCap)
+      return ("oversize", "quarantined_oversize")
     if (content == null || content.length == 0) return ("unknown", "empty")
     val b = content
     // STRONG magic first: the checksum-validated tar sniff must beat
@@ -444,7 +458,7 @@ object Multimodal {
     // NumPy arrays, safetensors, git packs: REAL walks
     if (Npy.isNpy(b))
       return ("npy",
-        if (Npy.read(b) != null) "ok"
+        if (Npy.read(b) != null || Npy.readObjects(b) != null) "ok"
         else if (Npy.unsupportedProfile(b)) "unsupported_profile"
         else "corrupt")
     if (Safetensors.isSafetensors(b))
@@ -590,8 +604,9 @@ object Multimodal {
     * 47 → a valid RPM cycling gzip/xz/zstd payloads (`rpm`/`ok`),
     * 48 → an RPM with a flipped payload byte, caught by the cpio
     * layer beneath the compressor (`rpm`/`corrupt`), 49 → a valid
-    * `.npy` (`npy`/`ok`), 50 → an object-dtype `.npy` — named
-    * profile (`npy`/`unsupported_profile`), 51 → a valid safetensors
+    * `.npy` (`npy`/`ok`), 50 → a datetime64 `.npy` — named dtype
+    * profile (`npy`/`unsupported_profile`; object dtype decodes via
+    * the Pickle walk since r10), 51 → a valid safetensors
     * file (`safetensors`/`ok`), 52 → safetensors naming a dtype
     * outside the table (`safetensors`/`unsupported_profile`),
     * 53 → a valid git pack with its delta resolver running
@@ -602,7 +617,9 @@ object Multimodal {
     * 57 → a PDF whose startxref points nowhere, text recovered by the
     * whole-file object scan (`pdf`/`recovered_xref`), 58 → a PDF page
     * drawing an image XObject with no text operators
-    * (`pdf`/`image_only`).
+    * (`pdf`/`image_only`), 59 → a blob past the oversize cap with a
+    * zip magic that must NOT be probed
+    * (`oversize`/`quarantined_oversize`).
     */
   def demoDecodeErrCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
@@ -662,7 +679,7 @@ object Multimodal {
         z.write(warc); z.close()
         bos.toByteArray
       }
-      val blob = (id % 59) match {
+      val blob = (id % 60) match {
         case 0 => Containers.synthBmp24(w, h, px)
         case 1 => png
         case 2 =>
@@ -915,10 +932,12 @@ object Multimodal {
           Npy.synthNpy(Array((4 + id % 6).toInt),
             Array.tabulate((4 + id % 6).toInt)(k => id * 5 + k), null)
         case 50 =>
-          // object dtype: same-length descr byte-patch '<i8'->'|O8'
+          // datetime64: same-length descr byte-patch '<i8'->'<M8' —
+          // the remaining named dtype gap (object dtype DECODES via
+          // the Pickle walk since r10)
           val z = Npy.synthNpy(Array(3), Array(1L, 2L, 3L), null)
           val at = z.indexOfSlice("<i8".getBytes("US-ASCII"))
-          z(at) = '|'; z(at + 1) = 'O'; z(at + 2) = '8'
+          z(at + 1) = 'M'
           z
         case 51 => // valid safetensors
           Safetensors.synth(Seq(("w", Array((2 + id % 3).toInt),
@@ -953,7 +972,13 @@ object Multimodal {
           val sx = s.lastIndexOf("startxref")
           (s.substring(0, sx) + "startxref\n999999999\n%%EOF\n")
             .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-        case _ => Pdf.synthImageOnly() // pages but no text operators
+        case 58 => Pdf.synthImageOnly() // pages but no text operators
+        case _ =>
+          // past the oversize cap: quarantined BEFORE sniffing (the
+          // zip magic is deliberate — it must not matter)
+          val z = new Array[Byte]((OversizeCapBytes + 1).toInt)
+          z(0) = 'P'; z(1) = 'K'; z(2) = 3; z(3) = 4
+          z
       }
       MediaFile(id, "image", blob)
     })
@@ -2838,6 +2863,174 @@ object Multimodal {
       MediaFile(id, "db", Sqlite.synthDb("samples",
         "name TEXT, val INTEGER, score REAL, data BLOB", rows))
     })
+  }
+
+  /** One pickle's structural-extract row. */
+  final case class PickleRow(pickle_id: Long, id_echo: Long, n_tags: Int,
+      text: String)
+
+  /** Deterministic pickle corpus: document `id` becomes a dict
+    * `{'id': id, 'tags': ['tag0'..], 'text': first 24 chars}` written
+    * at protocol `[0, 2, 4][id % 3]` — text opcodes, classic binary,
+    * and framed/memoized forms all walk to the same tree. Live python3
+    * compatibility is pinned in PickleSpec.
+    */
+  def demoPickleCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text0) =>
+        val text = Option(text0).getOrElse("")
+        val v: Seq[(String, Any)] = Seq(
+          "id" -> id,
+          "tags" -> (0 until (1 + id % 4).toInt).map(k => s"tag$k"),
+          "text" -> text.substring(0, math.min(24, text.length)))
+        MediaFile(id, "pickle",
+          Pickle.synthPickle(v, Seq(0, 2, 4)((id % 3).toInt)))
+      })
+  }
+
+  /** Structural pickle extraction; damage degrades to a sentinel. */
+  def pickleRows(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[PickleRow] = {
+    import spark.implicits._
+    media.map { m =>
+      Pickle.parse(m.content) match {
+        case d: Pickle.PDict =>
+          val kv = d.items.collect {
+            case (Pickle.PStr(k), v) => k -> v
+          }.toMap
+          val idEcho = kv.get("id") match {
+            case Some(Pickle.PInt(v)) => v
+            case _ => -1L
+          }
+          val nTags = kv.get("tags") match {
+            case Some(l: Pickle.PList) => l.items.length
+            case _ => -1
+          }
+          val text = kv.get("text") match {
+            case Some(Pickle.PStr(s)) => s
+            case _ => ""
+          }
+          PickleRow(m.media_id, idEcho, nTags, text)
+        case _ => PickleRow(m.media_id, -1L, -1, "")
+      }
+    }
+  }
+
+  /** One object-dtype `.npy`'s accounting row. */
+  final case class NpyObjectRow(npy_id: Long, n_elems: Int, n_nulls: Int,
+      n_ints: Int, val_sum: Long, char_sum: Long)
+
+  /** Object-dtype `.npy` corpus: array `id` holds `2 + id%4` elements
+    * cycling string `e<id>-<k>` / long `id*7 + k` / null by `k%3` —
+    * the numpy `_reconstruct` pickle shape [[Npy.readObjects]] walks
+    * (live-pinned both directions against numpy in PickleSpec).
+    */
+  def demoNpyObjectCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (2 + id % 4).toInt
+      val elems: Seq[Any] = (0 until n).map { k =>
+        (k % 3) match {
+          case 0 => s"e$id-$k"
+          case 1 => id * 7 + k
+          case _ => null
+        }
+      }
+      MediaFile(id, "npy", Npy.synthObjectNpy(Array(n), elems))
+    })
+  }
+
+  def npyObjectRows(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[NpyObjectRow] = {
+    import spark.implicits._
+    media.map { m =>
+      val got = Npy.readObjects(m.content)
+      if (got == null) NpyObjectRow(m.media_id, -1, -1, -1, -1L, -1L)
+      else {
+        var nulls = 0; var ints = 0; var vs = 0L; var cs = 0L
+        got._2.foreach {
+          case Pickle.PNone => nulls += 1
+          case Pickle.PInt(v) => ints += 1; vs += v
+          case Pickle.PStr(s) => s.foreach(c => cs += c.toInt)
+          case _ => ()
+        }
+        NpyObjectRow(m.media_id, got._2.length, nulls, ints, vs, cs)
+      }
+    }
+  }
+
+  /** One Arrow IPC table's accounting row. */
+  final case class ArrowStats(table_id: Long, n_rows: Int, val_sum: Long,
+      name_char_sum: Long, n_nulls: Int)
+
+  /** Deterministic Arrow IPC corpus, WRITTEN BY the independent
+    * arrow-vector implementation on the executors (the read direction
+    * is the from-scratch surface under test — the Xz posture): table
+    * `id` holds `3 + id%5` rows of (val `id*13 + r*7`, NULL on
+    * `r%4==0`; name `rec-<id>-<r>`), in FILE framing on even ids and
+    * STREAM framing on odd, split into two batches when `id%3==0`.
+    * The oracle replays the value arithmetic only — framing
+    * independence is the correctness claim.
+    */
+  def demoArrowCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (3 + id % 5).toInt
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val vv = new org.apache.arrow.vector.BigIntVector("val", alloc)
+      val nv = new org.apache.arrow.vector.VarCharVector("name", alloc)
+      val root = new org.apache.arrow.vector.VectorSchemaRoot(
+        java.util.List.of[org.apache.arrow.vector.FieldVector](vv, nv))
+      try {
+        def fill(from: Int, k: Int): Unit = {
+          root.allocateNew()
+          (0 until k).foreach { i =>
+            val r = from + i
+            if (r % 4 == 0) vv.setNull(i) else vv.setSafe(i, id * 13 + r * 7L)
+            nv.setSafe(i, s"rec-$id-$r".getBytes("UTF-8"))
+          }
+          root.setRowCount(k)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val ch = java.nio.channels.Channels.newChannel(bos)
+        val w: org.apache.arrow.vector.ipc.ArrowWriter =
+          if (id % 2 == 0) new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+          else new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, ch)
+        w.start()
+        if (id % 3 == 0 && n > 1) {
+          fill(0, n / 2); w.writeBatch()
+          fill(n / 2, n - n / 2); w.writeBatch()
+        } else { fill(0, n); w.writeBatch() }
+        w.end(); w.close()
+        MediaFile(id, "arrow", bos.toByteArray)
+      } finally { root.close(); alloc.close() }
+    })
+  }
+
+  /** Account an Arrow corpus through the from-scratch IPC reader. */
+  def arrowStats(spark: SparkSession,
+      media: Dataset[MediaFile]): Dataset[ArrowStats] = {
+    import spark.implicits._
+    media.map { m =>
+      val t = ArrowIpc.read(m.content)
+      if (t == null) ArrowStats(m.media_id, -1, -1L, -1L, -1)
+      else {
+        var vs = 0L; var cs = 0L; var nulls = 0
+        t.rows.foreach { r =>
+          r(0) match {
+            case null => nulls += 1
+            case v: Long => vs += v
+            case _ => ()
+          }
+          r(1) match {
+            case s: String => s.foreach(c => cs += c.toInt)
+            case _ => ()
+          }
+        }
+        ArrowStats(m.media_id, t.rows.length, vs, cs, nulls)
+      }
+    }
   }
 
   /** One GGUF model's audit row: identity metadata, tensor census,

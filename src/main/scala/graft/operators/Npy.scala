@@ -217,7 +217,10 @@ object Npy {
     hd != null && {
       val code = hd._1.stripPrefix("<").stripPrefix(">")
         .stripPrefix("=").stripPrefix("|")
-      !Set("i1", "u1", "b1", "i2", "i4", "i8", "f4", "f8").contains(code)
+      // object dtype decodes via the Pickle walk since r10 — failures
+      // there are damage, not a profile gap
+      !Set("i1", "u1", "b1", "i2", "i4", "i8", "f4", "f8",
+        "O", "O8").contains(code)
     }
   } catch { case _: IndexOutOfBoundsException => false }
 
@@ -235,6 +238,36 @@ object Npy {
     }
     out.toArray
   }
+
+  /** Elements of an OBJECT-dtype `.npy` (descr `|O` / `|O8`): the data
+    * section is a pickle of the ndarray (numpy's write_array falls
+    * back to `pickle.dump`), walked STRUCTURALLY by [[Pickle]] — the
+    * `_reconstruct` + BUILD state carries the element list. Returns
+    * (shape, elements) or null on damage / non-object dtype. Closes
+    * the named object-dtype profile gap.
+    */
+  def readObjects(b: Array[Byte]): (Array[Long], Vector[Pickle.V]) = try {
+    if (!isNpy(b)) return null
+    val major = b(6) & 0xFF
+    val (hLen, ds) =
+      if (major == 1) ((b(8) & 0xFF) | ((b(9) & 0xFF) << 8), 10)
+      else if (major == 2 || major == 3) {
+        if (b.length < 12) return null
+        (((b(8) & 0xFF) | ((b(9) & 0xFF) << 8) | ((b(10) & 0xFF) << 16) |
+          ((b(11) & 0xFF) << 24)), 12)
+      } else return null
+    if (hLen < 0 || ds + hLen > b.length) return null
+    val hd = headerDict(new String(b, ds, hLen,
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    if (hd == null) return null
+    val code = hd._1.stripPrefix("<").stripPrefix(">")
+      .stripPrefix("=").stripPrefix("|")
+    if (code != "O" && code != "O8") return null
+    val tree = Pickle.parse(
+      java.util.Arrays.copyOfRange(b, ds + hLen, b.length))
+    if (tree == null) return null
+    Pickle.ndarrayElements(tree)
+  } catch { case _: IndexOutOfBoundsException => null }
 
   // ---- write side ------------------------------------------------------
 
@@ -269,6 +302,76 @@ object Npy {
       for (k <- 0 until 8) out.write(((v >> (8 * k)) & 0xFF).toInt)
     if (longs != null) longs.foreach(w64)
     else doubles.foreach(d => w64(java.lang.Double.doubleToLongBits(d)))
+    out.toByteArray
+  }
+
+  /** An OBJECT-dtype `.npy`: `|O` header + a protocol-2 pickle of the
+    * ndarray in numpy's own `_reconstruct` + BUILD shape (state =
+    * (1, shape, dtype, False, elements)). Elements: null, Long (int32
+    * range), String. The live numpy pin reads these back with
+    * `np.load(allow_pickle=True)`.
+    */
+  def synthObjectNpy(shape: Array[Int], elements: Seq[Any]): Array[Byte] = {
+    require(shape.product == elements.length)
+    val pk = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = pk.write(v & 0xFF)
+    def raw(s: String): Unit =
+      pk.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    def le32(v: Long): Unit = {
+      var k = 0; while (k < 4) { u8(((v >> (8 * k)) & 0xFF).toInt); k += 1 }
+    }
+    def str(s: String): Unit = {
+      val d = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      u8('X'); le32(d.length); pk.write(d)
+    }
+    u8(0x80); u8(2)
+    raw("cnumpy.core.multiarray\n_reconstruct\n")
+    raw("cnumpy\nndarray\n")
+    u8('K'); u8(0); u8(0x85) // (0,)
+    u8(0x43); u8(1); u8('b') // b'b'
+    u8(0x87) // TUPLE3 args
+    u8('R') // _reconstruct(...)
+    // state tuple: MARK, 5 items, 't'
+    u8('(')
+    u8('K'); u8(1) // version
+    u8('(') // shape tuple
+    shape.foreach { d => require(d >= 0 && d < 65536); u8('M'); u8(d & 0xFF); u8((d >> 8) & 0xFF) }
+    u8('t')
+    raw("cnumpy\ndtype\n") // dtype('O8')
+    str("O8"); u8(0x89); u8(0x88)
+    u8(0x87); u8('R')
+    u8(0x89) // fortran_order = False
+    u8(']'); u8('(') // elements
+    elements.foreach {
+      case null => u8('N')
+      case n: Long => u8('J'); le32(n)
+      case s: String => str(s)
+      case other => throw new IllegalArgumentException(other.getClass.getName)
+    }
+    u8('e')
+    u8('t') // close the state tuple
+    u8('b') // BUILD
+    u8('.')
+    val pickle = pk.toByteArray
+    // |O header, v1.0 framing
+    val shapeStr = shape.length match {
+      case 1 => s"(${shape(0)},)"
+      case _ => shape.mkString("(", ", ", ")")
+    }
+    val dict =
+      s"{'descr': '|O', 'fortran_order': False, 'shape': $shapeStr, }"
+    val base = 10 + dict.length + 1
+    val pad = (64 - base % 64) % 64
+    val hLen = dict.length + pad + 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x93); out.write('N'); out.write('U'); out.write('M')
+    out.write('P'); out.write('Y')
+    out.write(1); out.write(0)
+    out.write(hLen & 0xFF); out.write((hLen >> 8) & 0xFF)
+    out.write(dict.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    for (_ <- 0 until pad) out.write(' ')
+    out.write('\n')
+    out.write(pickle)
     out.toByteArray
   }
 

@@ -460,6 +460,48 @@ object FrontierQueries {
         .toDF().orderBy("db_id")
     }),
 
+    // Pickle structural extraction — crawled pickles read as DATA
+    // with zero code execution: scalar/container opcodes evaluate,
+    // object construction stays opaque. Protocols 0/2/4 cycled;
+    // live-pinned against python3 itself in PickleSpec.
+    "pickle_extract" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoPickleCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.pickleRows(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("pickle_id")
+    }),
+
+    // Object-dtype .npy reading — numpy's pickle fallback walked
+    // structurally (_reconstruct + BUILD state); closes the named
+    // object-dtype gap. Live-pinned against numpy in PickleSpec.
+    "npy_object_extract" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoNpyObjectCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.npyObjectRows(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("npy_id")
+    }),
+
+    // Arrow IPC reading — the columnar interchange format of the ML
+    // data ecosystem: from-scratch flatbuffers walk (vtables, unions,
+    // struct vectors), FILE + STREAM framings, validity bitmaps,
+    // varbinary offsets. Corpus written by the independent
+    // arrow-vector implementation; the read side is under test.
+    "arrow_ipc_records" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.operators.Multimodal.demoArrowCorpus(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.arrowStats(s,
+          graft.operators.Multimodal.shapeForDecode(corpus.toDF(), 32)
+            .as[graft.operators.Multimodal.MediaFile])
+        .toDF().orderBy("table_id")
+    }),
+
     // GGUF metadata walk — the LLM-era single-file weights format:
     // v3 header, the full KV value-type table (incl. string arrays),
     // tensor descriptors; census + quant-mix audit, spec-constructed
@@ -2159,6 +2201,51 @@ object FrontierQueries {
         |      j -> (doc_id*17 + f*29 + j*13) % 256))))::BIGINT AS byte_sum
         |FROM m ORDER BY rpm_id""".stripMargin,
 
+    // Replays the pickle dict plants: id echo, tag count, text slice.
+    // Protocol (doc_id%3) must vanish.
+    "pickle_extract" ->
+      """SELECT doc_id AS pickle_id, doc_id AS id_echo,
+        |  (1 + doc_id % 4)::INT AS n_tags,
+        |  substr(text, 1, 24) AS text
+        |FROM documents ORDER BY pickle_id""".stripMargin,
+
+    // Replays the object-array element generator: 'e'+'-' = 146 plus
+    // '0' = 48 gives the 194 constant; element digit k <= 4 is
+    // single-digit.
+    "npy_object_extract" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 4 AS n,
+        |    list_sum(list_transform(range(0, length(doc_id::VARCHAR)),
+        |      j -> ascii(substring(doc_id::VARCHAR, (j+1)::INT, 1))))
+        |      AS ids
+        |  FROM documents)
+        |SELECT doc_id AS npy_id, n::INT AS n_elems,
+        |  length(list_filter(range(0, n), k -> k % 3 = 2))::INT AS n_nulls,
+        |  length(list_filter(range(0, n), k -> k % 3 = 1))::INT AS n_ints,
+        |  coalesce(list_sum(list_transform(
+        |    list_filter(range(0, n), k -> k % 3 = 1),
+        |    k -> doc_id*7 + k)), 0)::BIGINT AS val_sum,
+        |  coalesce(list_sum(list_transform(
+        |    list_filter(range(0, n), k -> k % 3 = 0),
+        |    k -> 194 + ids + k)), 0)::BIGINT AS char_sum
+        |FROM m ORDER BY npy_id""".stripMargin,
+
+    // Replays the Arrow corpus arithmetic: 'rec-'+'-' chars = 404,
+    // row digit r <= 6 is single-digit (ascii 48+r), nulls on r%4=0.
+    // Framing (file/stream, batch splits) must vanish.
+    "arrow_ipc_records" ->
+      """WITH m AS (SELECT doc_id, 3 + doc_id % 5 AS n,
+        |    list_sum(list_transform(range(0, length(doc_id::VARCHAR)),
+        |      k -> ascii(substring(doc_id::VARCHAR, (k+1)::INT, 1))))
+        |      AS id_digit_sum
+        |  FROM documents)
+        |SELECT doc_id AS table_id, n::INT AS n_rows,
+        |  coalesce(list_sum(list_transform(
+        |    list_filter(range(0, n), r -> r % 4 != 0),
+        |    r -> doc_id*13 + r*7)), 0)::BIGINT AS val_sum,
+        |  (n * (452 + id_digit_sum) + n*(n-1)//2)::BIGINT AS name_char_sum,
+        |  length(list_filter(range(0, n), r -> r % 4 = 0))::INT AS n_nulls
+        |FROM m ORDER BY table_id""".stripMargin,
+
     // Replays the GGUF census: name/context from the KV plants,
     // parameter count and quant mix from the tensor generator.
     "gguf_metadata" ->
@@ -3395,7 +3482,7 @@ object FrontierQueries {
         |  list_sum(list_transform(vs, y -> y*y))::BIGINT AS sum_sq
         |FROM s ORDER BY media_id""".stripMargin,
 
-    // Replays the planted-failure generator: each id%59 residue maps
+    // Replays the planted-failure generator: each id%60 residue maps
     // to a fixed (container, reason) pair across all ingest families —
     // the four zstd outcomes of the RFC 8878 decoder, the two WebP
     // outcomes of the VP8L decoder, the mixed-member `.warc.gz`
@@ -3406,7 +3493,7 @@ object FrontierQueries {
     // member-CRC-caught damage).
     "decode_err_rates" ->
       """WITH m AS (SELECT doc_id,
-        |    CASE doc_id % 59
+        |    CASE doc_id % 60
         |      WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
         |      WHEN 3 THEN 'png' WHEN 4 THEN 'unknown' WHEN 5 THEN 'jpeg'
         |      WHEN 6 THEN 'tar' WHEN 7 THEN 'tar' WHEN 8 THEN 'tar'
@@ -3431,9 +3518,10 @@ object FrontierQueries {
         |      WHEN 49 THEN 'npy' WHEN 50 THEN 'npy'
         |      WHEN 51 THEN 'safetensors' WHEN 52 THEN 'safetensors'
         |      WHEN 53 THEN 'gitpack' WHEN 54 THEN 'gitpack'
+        |      WHEN 59 THEN 'oversize'
         |      ELSE 'pdf'
         |    END AS format,
-        |    CASE doc_id % 59
+        |    CASE doc_id % 60
         |      WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |      WHEN 2 THEN 'unsupported_profile' WHEN 3 THEN 'corrupt'
         |      WHEN 4 THEN 'unknown_container'
@@ -3466,7 +3554,8 @@ object FrontierQueries {
         |      WHEN 51 THEN 'ok' WHEN 52 THEN 'unsupported_profile'
         |      WHEN 53 THEN 'ok' WHEN 54 THEN 'corrupt'
         |      WHEN 55 THEN 'ok' WHEN 56 THEN 'encrypted'
-        |      WHEN 57 THEN 'recovered_xref' ELSE 'image_only'
+        |      WHEN 57 THEN 'recovered_xref'
+        |      WHEN 59 THEN 'quarantined_oversize' ELSE 'image_only'
         |    END AS decode_err
         |  FROM documents)
         |SELECT format, decode_err, count(*)::BIGINT AS n

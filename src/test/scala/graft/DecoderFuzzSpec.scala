@@ -74,6 +74,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Pdf.extract" -> (b => Pdf.extract(b)),
     "SevenZip.members" -> (b => SevenZip.members(b)),
     "Gguf.read" -> (b => Gguf.read(b)),
+    "ArrowIpc.read" -> (b => ArrowIpc.read(b)),
+    "Pickle.parse" -> (b => Pickle.parse(b)),
+    "Npy.readObjects" -> (b => Npy.readObjects(b)),
     "Mbox.split+message" -> { b =>
       val ms = Mbox.split(b)
       if (ms != null) ms.foreach(Mbox.message)
@@ -113,6 +116,26 @@ class DecoderFuzzSpec extends AnyFunSuite {
             s"(magic ${trial % magics.length}): ${e.getMessage}")
       }
     }
+  }
+
+  /** A small arrow-vector-written IPC blob for the mutation corpus. */
+  private def arrowBlob(file: Boolean): Array[Byte] = {
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val v = new org.apache.arrow.vector.BigIntVector("v", alloc)
+    val root = new org.apache.arrow.vector.VectorSchemaRoot(
+      java.util.List.of[org.apache.arrow.vector.FieldVector](v))
+    try {
+      root.allocateNew()
+      (0 until 24).foreach(i => v.setSafe(i, i * 31L))
+      root.setRowCount(24)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ch = java.nio.channels.Channels.newChannel(bos)
+      val w: org.apache.arrow.vector.ipc.ArrowWriter =
+        if (file) new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+        else new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, ch)
+      w.start(); w.writeBatch(); w.end(); w.close()
+      bos.toByteArray
+    } finally { root.close(); alloc.close() }
   }
 
   test("mutated valid blobs never throw") {
@@ -190,7 +213,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
       SevenZip.synth7z(Seq("a.txt" -> px(60), "b" -> px(40)), "solid"),
       SevenZip.synth7z(Seq("c.txt" -> px(80)), "encoded_header"),
       Gguf.synthGguf(Seq("general.name" -> "fz", "n.ctx" -> 128L),
-        Seq(("t.weight", Array(8L, 4L), 0))))
+        Seq(("t.weight", Array(8L, 4L), 0))),
+      arrowBlob(file = true), arrowBlob(file = false),
+      Pickle.synthPickle(Seq("k" -> Seq("a", "b"), "n" -> 42L), 4),
+      Pickle.synthPickle(Seq("k" -> 7L), 0),
+      Npy.synthObjectNpy(Array(3), Seq("x", 5L, null)))
     for ((blob, bi) <- valid.zipWithIndex; trial <- 0 until 30) {
       val mutated = blob.clone()
       // 1-4 byte flips at random positions
