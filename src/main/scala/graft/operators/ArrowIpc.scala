@@ -16,9 +16,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * Column subset — the shapes training-data tables actually use:
   * signed/unsigned Int 8/16/32/64, Float32/64, Bool, Utf8, Binary
-  * (each nullable). Named profile gaps, distinct from damage:
-  * dictionary encoding, body compression (LZ4/ZSTD BodyCompression),
-  * nested/list/struct/view types, big-endian schemas.
+  * (each nullable), with or without BodyCompression (LZ4-frame and
+  * zstd buffer compression decode through the existing from-scratch
+  * [[Lz4]]/[[Zstd]] cores). Named profile gaps, distinct from damage:
+  * dictionary encoding, nested/list/struct/view types, big-endian
+  * schemas.
   *
   * Pinned against the INDEPENDENT arrow-vector implementation on the
   * Spark classpath: ArrowFileWriter and ArrowStreamWriter bytes (both
@@ -166,7 +168,19 @@ object ArrowIpc {
       rows: scala.collection.mutable.ArrayBuffer[Array[Any]]): Unit = {
     val nRows = meta.longF(0)
     if (nRows < 0 || nRows > (1 << 20)) fail("row bomb")
-    if (meta.field(3) != 0) fail("compression profile") // BodyCompression
+    // BodyCompression (codec 0 = LZ4 frame, 1 = zstd; method BUFFER):
+    // each body buffer is [int64 LE uncompressed length][compressed
+    // bytes], -1 marking a raw passthrough buffer — decoded through
+    // the existing from-scratch Lz4/Zstd cores.
+    val codec: Int = meta.tableF(3) match {
+      case null => -1
+      case bc =>
+        if (bc.byteF(1) != 0) fail("compression method profile")
+        bc.byteF(0) match {
+          case c @ (0 | 1) => c
+          case _           => fail("compression profile")
+        }
+    }
     val (nodesV, nNodes) = meta.vectorF(1)   // FieldNode structs: 16 B
     val (bufsV, nBufs) = meta.vectorF(2)     // Buffer structs: 16 B
     if (nNodes != cols.length) fail("node count")
@@ -180,7 +194,19 @@ object ArrowIpc {
     def slice(off: Long, len: Long): Array[Byte] = {
       if (off < 0 || len < 0 || len > (1 << 26) || off + len > body.length)
         fail("buffer bounds")
-      java.util.Arrays.copyOfRange(body, off.toInt, (off + len).toInt)
+      val raw = java.util.Arrays.copyOfRange(body, off.toInt, (off + len).toInt)
+      if (codec < 0 || raw.length == 0) return raw
+      if (raw.length < 8) fail("compressed buffer short")
+      val unLen = i64(raw, 0)
+      val payload = java.util.Arrays.copyOfRange(raw, 8, raw.length)
+      if (unLen == -1L) return payload // stored raw (already-small buffer)
+      if (unLen < 0 || unLen > (1 << 26)) fail("uncompressed bounds")
+      val out = codec match {
+        case 0 => Lz4.decode(payload, unLen + 1)
+        case _ => Zstd.decode(payload)
+      }
+      if (out == null || out.length != unLen) fail("buffer codec")
+      out
     }
     val n = nRows.toInt
     val colVals = cols.zipWithIndex.map { case (c, ci) =>
@@ -196,9 +222,10 @@ object ArrowIpc {
         case "utf8" | "bin" =>
           val (oOff, oLen) = nextBuf()
           val (dOff, dLen) = nextBuf()
-          if (oLen < (n + 1).toLong * 4 && n > 0) fail("offsets short")
           val offs = slice(oOff, oLen)
           val data = slice(dOff, dLen)
+          // post-slice: slice() may have DECOMPRESSED the buffer
+          if (offs.length < (n + 1).toLong * 4 && n > 0) fail("offsets short")
           Array.tabulate[Any](n) { r =>
             if (!valid(r)) null
             else {
@@ -224,7 +251,7 @@ object ArrowIpc {
             case "i32" | "u32" | "f32" => 4
             case _ => 8
           }
-          if (dLen < n.toLong * width) fail("data short")
+          if (data.length < n.toLong * width) fail("data short")
           Array.tabulate[Any](n) { r =>
             if (!valid(r)) null
             else other match {
@@ -287,6 +314,12 @@ object ArrowIpc {
   def isArrowStream(b: Array[Byte]): Boolean =
     b != null && b.length >= 8 &&
       i32(b, 0) == -1 && i32(b, 4) > 0 && !isArrowFile(b)
+
+  /** As [[read]] but surfacing the failure reason (spec diagnostics). */
+  private[graft] def readOrThrow(b: Array[Byte]): ArrowTable =
+    if (isArrowFile(b)) readMessages(b, 8, fileEnd(b))
+    else if (isArrowStream(b)) readMessages(b, 0, b.length)
+    else fail("not arrow")
 
   /** Read an Arrow IPC FILE or STREAM; null on damage/profile gap. */
   def read(b: Array[Byte]): ArrowTable = try {

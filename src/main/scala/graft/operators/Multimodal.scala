@@ -2969,8 +2969,9 @@ object Multimodal {
     * is the from-scratch surface under test — the Xz posture): table
     * `id` holds `3 + id%5` rows of (val `id*13 + r*7`, NULL on
     * `r%4==0`; name `rec-<id>-<r>`), in FILE framing on even ids and
-    * STREAM framing on odd, split into two batches when `id%3==0`.
-    * The oracle replays the value arithmetic only — framing
+    * STREAM framing on odd, split into two batches when `id%3==0`,
+    * with LZ4-frame / zstd / no body compression cycling on `id%5`.
+    * The oracle replays the value arithmetic only — framing AND codec
     * independence is the correctness claim.
     */
   def demoArrowCorpus(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
@@ -2994,9 +2995,30 @@ object Multimodal {
         }
         val bos = new java.io.ByteArrayOutputStream()
         val ch = java.nio.channels.Channels.newChannel(bos)
+        // body compression cycles on id%5: LZ4-frame / zstd / none —
+        // decoded by the from-scratch Lz4/Zstd cores under the reader
+        val codec: org.apache.arrow.vector.compression.CompressionUtil.CodecType =
+          (id % 5) match {
+            case 0 => org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME
+            case 1 => org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD
+            case _ => null
+          }
         val w: org.apache.arrow.vector.ipc.ArrowWriter =
-          if (id % 2 == 0) new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
-          else new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, ch)
+          (id % 2 == 0, codec) match {
+            case (true, null) =>
+              new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+            case (false, null) =>
+              new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, ch)
+            case (true, c) =>
+              new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch,
+                new java.util.HashMap[String, String](),
+                org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+                org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE, c)
+            case (false, c) =>
+              new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, ch,
+                org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+                org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE, c)
+          }
         w.start()
         if (id % 3 == 0 && n > 1) {
           fill(0, n / 2); w.writeBatch()

@@ -102,6 +102,27 @@ class ArrowIpcSpec extends AnyFunSuite {
     }
   }
 
+  test("LZ4 and ZSTD body compression decode via the from-scratch cores") {
+    import org.apache.arrow.vector.compression.CompressionUtil
+    import org.apache.arrow.compression.CommonsCompressionFactory
+    for (codec <- Seq(CompressionUtil.CodecType.LZ4_FRAME,
+        CompressionUtil.CodecType.ZSTD)) {
+      withRoot { (_, root) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val w = new ArrowFileWriter(root, null,
+          java.nio.channels.Channels.newChannel(bos),
+          new java.util.HashMap[String, String](),
+          org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+          CommonsCompressionFactory.INSTANCE, codec)
+        w.start()
+        fill(root, 0, 50); w.writeBatch()
+        fill(root, 50, 30); w.writeBatch()
+        w.end(); w.close()
+        check(ArrowIpc.read(bos.toByteArray), 80)
+      }
+    }
+  }
+
   test("profile gaps and damage split; fuzz never throws") {
     assert(ArrowIpc.read("not arrow".getBytes("UTF-8")) == null)
     assert(ArrowIpc.decodeClass("not arrow".getBytes("UTF-8")) == "not_arrow")
