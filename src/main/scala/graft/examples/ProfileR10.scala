@@ -2,10 +2,8 @@ package graft.examples
 
 import Profiling.{noop, time}
 
-/** Scratch: round-10 timing of the two queries the r9 verdict marked
-  * weak, after their plan changes (anomaly_mad: single-column
-  * checkpoint feeding all four sketch passes; dedup_minhash_lsh:
-  * codegen'd MinHashSig replacing the explode+groupBy signature).
+/** Scratch: round-10 timing checks (weak-query rewrites, and the
+  * arrow corpus after body-compression cycling entered it).
   */
 object ProfileR10 {
   def main(args: Array[String]): Unit = {
@@ -13,8 +11,8 @@ object ProfileR10 {
     val spark = Profiling.session()
     graft.GraftExtensions.register(spark)
     val qs = graft.SparkEntry.queries
-    for (name <- Seq("anomaly_mad", "dedup_minhash_lsh",
-        "dedup_incremental_minhash", "corpus_curate")) {
+    for (name <- Seq("arrow_ipc_records", "arrow_ipc_records", "anomaly_mad",
+        "dedup_minhash_lsh")) {
       time(name)(noop(qs(name)(spark, dir)))
       spark.catalog.clearCache()
     }
